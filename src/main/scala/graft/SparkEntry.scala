@@ -1,13 +1,538 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.expr.{Flags, Similarity, TextStats, Timestamps}
+import graft.ops.{Analytics, Ann, Dedup, Incremental, Merge, Multimodal, Star, TextDedup}
+import graft.stream.FlightStream
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2
+  * (+ the training-data-pipeline extensions), each with equivalent ANSI
+  * SQL for the DuckDB oracle.
+  *
+  * Determinism rules (SURVEY §7.4): no wall-clock (cutoffs derived from
+  * data maxima), exact arithmetic (decimal sums, integer micros) until a
+  * final rounded double, unique total orders before any LIMIT, and long
+  * (not int) output integers to match DuckDB's BIGINT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Table loader. `events.ts` is parquet TIMESTAMP(NANOS), which Spark
+    * has no timestamp type for — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and we rebuild the
+    * column as microsecond TIMESTAMP_NTZ here (integer `div`, no double
+    * round-trip: ns epochs exceed 2^53). DuckDB reads the same column as
+    * µs TIMESTAMP (the data is µs-aligned), so both engines agree. */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    else df
+  }
+
+  /** Decimal-exact product re-used by the revenue queries. */
+  private def revenue: Column =
+    col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+  /** Flagship: star-schema revenue rollup on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qStarRevenue(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Relational core (reference parity)
+  // =====================================================================
+
+  /** A1/A5/A6-style pricing summary (agg + exact sums). */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base"),
+        sum(revenue).cast("double").as("sum_disc"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_price"),
+        count(lit(1)).as("n"))
+
+  /** D1/D2: latest full row per key (max_by aggregation form). */
+  private def qLatestPerUser(s: SparkSession, dir: String): DataFrame =
+    Dedup.latestPerKey(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+
+  /** D3: SELECT DISTINCT pair projection. */
+  private def qDistinctPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.distinctPairs(t(s, dir, "events"), Seq("user_id", "event_type"))
+
+  /** F1/P5/P14: case-insensitive allow-list filter. */
+  private def qStatusFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("status_lc", lower(col("event_type")))
+      .filter(col("status_lc").isin("click", "purchase", "signup"))
+      .select(col("event_id"), col("user_id"), col("status_lc"))
+
+  /** F2/P9: rolling retention window with data-derived `now`. */
+  private def qRetentionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 3 DAYS"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+  }
+
+  /** F3: junk guard (non-null key + at least one populated field). */
+  private def qJunkGuard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(nullif(col("event_type"), lit("error")).isNotNull &&
+        col("value").isNotNull && col("value") >= 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+
+  /** F7: NOT EXISTS → left_anti join. */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** J1/J2: disjunctive alternate-key lookup as two equi-joins + coalesce. */
+  private def qAltKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").withColumn("key_iata",
+      when(col("o_custkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")))
+    Star.altKeyLookup(o, t(s, dir, "customer"),
+        ("key_iata", "c_custkey"), ("o_custkey", "c_custkey"),
+        Seq(("c_name", "cust_name"), ("c_mktsegment", "segment")))
+      .select(col("o_orderkey"), col("cust_name"), col("segment"))
+  }
+
+  /** J3/J4: 4-dim star denormalization + rollup. */
+  private def qStarRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(revenue).cast("double").as("revenue"))
+
+  /** U1/U2: NULL-preserving dim upsert as full-outer merge. */
+  private def qDimUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def profile(parity: Int): DataFrame =
+      Dedup.latestPerKey(ev.filter(col("event_id") % 2 === parity),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"),
+          when(col("value") >= 5, col("value")).as("last_value"))
+    Merge.upsertCoalesce(profile(0), profile(1), Seq("user_id"))
+  }
+
+  /** U4: fact merge — latest-wins + per-column coalesce/greatest rules. */
+  private def qFactMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def half(parity: Int): DataFrame =
+      Dedup.latestPerKey(ev.filter(col("event_id") % 2 === parity),
+          Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("value").as("val"),
+          nullif(col("event_type"), lit("error")).as("pk"),
+          col("ts").as("ingest"))
+    Merge.factMerge(half(0), half(1), Seq("user_id"),
+      overwriteCols = Seq("status", "val"),
+      coalesceCols = Seq("pk"),
+      greatestCols = Seq("ingest"))
+  }
+
+  /** U3: insert-if-absent (ON CONFLICT DO NOTHING). */
+  private def qInsertIfAbsent(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def pairs(parity: Int): DataFrame =
+      ev.filter(col("event_id") % 2 === parity)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("first_seen"))
+    Merge.insertIfAbsent(pairs(0), pairs(1), Seq("user_id", "event_type"))
+  }
+
+  /** F6/O1/J5: incremental watermark export, bounded + ordered. */
+  private def qIncrementalExport(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val wm = ev.agg((max(col("ts")) - expr("INTERVAL 1 DAYS")).as("wm"))
+    Incremental.exportBatch(ev.crossJoin(broadcast(wm)), col("ts"), col("wm"),
+        Seq(col("ts"), col("event_id")), 500)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+
+  /** A7/O5: top-k routes by average revenue. */
+  private def qTopkRoutes(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val cn = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val sn = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val grouped = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .groupBy(concat_ws("->", col("cust_nation"), col("supp_nation")).as("route"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(revenue).cast("double") / count(lit(1)), 4).as("avg_rev"))
+    Analytics.topK(grouped, col("avg_rev"), col("route"), 10)
+  }
+
+  /** A4/A5: on-time-rate trend over time buckets. */
+  private def qOntimeTrend(s: SparkSession, dir: String): DataFrame =
+    Analytics.rateTrend(t(s, dir, "events"),
+        to_date(col("ts")), Flags.onTimeFlag(col("value"), 5.0))
+      .withColumnRenamed("bucket", "d")
+
+  /** A6: average measure per group. */
+  private def qAvgByGroup(s: SparkSession, dir: String): DataFrame =
+    Analytics.avgByGroup(t(s, dir, "events"), col("event_type"), col("value"))
+      .orderBy(col("avg_measure").desc, col("grp"))
+
+  /** P6/P7/P8: clean_ts branches exercised on synthesized dirty strings. */
+  private def qCleanTs(s: SparkSession, dir: String): DataFrame = {
+    val fmtS = "yyyy-MM-dd'T'HH:mm:ss"
+    val ev = t(s, dir, "events")
+    val branch = (col("event_id") % 7).cast("int")
+    val raw = when(branch === 0, concat(date_format(col("ts"), fmtS), lit("Z")))
+      .when(branch === 1, concat(date_format(col("ts"), fmtS), lit("+0000")))
+      .when(branch === 2,
+        concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("+00:00")))
+      .when(branch === 3, concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm"), lit("+00:00")))
+      .when(branch === 4, date_format(col("ts"), fmtS))
+      .when(branch === 5, concat(date_format(col("ts"), fmtS), lit("+00:00")))
+      .otherwise(lit("garbage"))
+    ev.select(col("event_id"),
+      Timestamps.normalizeTs(raw).cast("timestamp_ntz").as("parsed_ts"))
+  }
+
+  /** 2.10 windows: gap-based sessionization. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Analytics.sessionize(t(s, dir, "events"), col("user_id"), col("ts"),
+      col("event_id"), 1800L)
+
+  /** Exact distinct counting (approx_count_distinct's oracle-checkable twin). */
+  private def qDistinctCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+
+  // =====================================================================
+  // Training-data-pipeline extensions
+  // =====================================================================
+
+  /** Exact dedup by content hash. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    TextDedup.shingleSet(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
+
+  /** MinHash + LSH banding candidate pairs. */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    TextDedup.lshCandidates(
+      TextDedup.minhashSignatures(docShingles(s, dir), 8))
+
+  /** Exact n-gram Jaccard on the LSH candidates. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccard(qMinhashLsh(s, dir), docShingles(s, dir))
+
+  /** SimHash document fingerprints. */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhash16(t(s, dir, "documents"), col("doc_id"), col("text"))
+
+  /** Text quality / language-ID / token stats / fingerprint. */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextStats.nTokens(txt).cast("long").as("n_tokens"),
+      TextStats.tokenCountBpeish(txt).cast("long").as("n_bpeish"),
+      TextStats.stopwordCount(txt).cast("long").as("stop_cnt"),
+      TextStats.punctCount(txt).cast("long").as("punct_cnt"),
+      round(TextStats.avgTokenLen(txt), 4).as("avg_tok_len"),
+      TextStats.langIdHeuristic(txt).as("lang"),
+      TextStats.fingerprint(txt).as("fingerprint"),
+      TextStats.qualityScore(txt).as("quality"))
+  }
+
+  /** Brute-force cosine top-k ANN (exact baseline). */
+  private def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+  }
+
+  /** IVF-bucketed ANN — the scale path (no SQL oracle: rows-only check). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "label", 10)
+  }
+
+  /** Multimodal metadata plumbing (Catalyst-only part). */
+  private def qMediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(t(s, dir, "documents"))
+
+  /** Full streaming parse/filter/staging pipeline run in batch mode over
+    * synthesized flight JSON (rows-only check; streaming semantics are
+    * covered by the MemoryStream specs). */
+  private def qStreamPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val fmtS = "yyyy-MM-dd'T'HH:mm:ss"
+    val js = ev.select(to_json(struct(
+      concat_ws("_", col("user_id"), col("event_id")).as("flight_key"),
+      date_format(col("ts"), "yyyy-MM-dd").as("flight_date"),
+      when(col("event_id") % 5 === 0, lit("cancelled"))
+        .otherwise(lit("active")).as("status"),
+      struct(lit("AA").as("iata"), lit("AAL").as("icao"),
+        lit("American").as("name")).as("airline"),
+      struct(concat(lit("AA"), col("event_id")).as("number"),
+        lit(null).cast("string").as("iata"),
+        lit(null).cast("string").as("icao")).as("flight"),
+      struct(lit("Origin Intl").as("airport"), lit("ORG").as("iata"),
+        lit("KORG").as("icao"), lit("1").as("gate"), lit("A").as("terminal"),
+        concat(date_format(col("ts"), fmtS), lit("Z")).as("schedule"),
+        lit(null).cast("string").as("estimated"),
+        lit(null).cast("string").as("actual"),
+        (col("event_id") % 30).cast("int").as("delay_min")).as("departure"),
+      struct(lit("Dest Intl").as("airport"), lit("DST").as("iata"),
+        lit("KDST").as("icao"), lit(null).cast("string").as("gate"),
+        lit("B").as("terminal"),
+        concat(date_format(col("ts") + expr("INTERVAL 2 HOURS"), fmtS),
+          lit("+00:00")).as("schedule"),
+        lit(null).cast("string").as("estimated"),
+        lit(null).cast("string").as("actual"),
+        lit(null).cast("int").as("delay_min")).as("arrival"),
+      date_format(col("ts"), fmtS).as("ingest_time"),
+      lit("synthetic").as("source"))).as("json"))
+    val mx = ev.agg(max(col("ts")).as("mx")).first().get(0)
+    FlightStream.pipeline(js, lit(mx).cast("timestamp"))
+  }
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (qPricingSummary _),
+    "q02_latest_per_user" -> (qLatestPerUser _),
+    "q03_distinct_pairs" -> (qDistinctPairs _),
+    "q04_status_filter" -> (qStatusFilter _),
+    "q05_retention_window" -> (qRetentionWindow _),
+    "q06_junk_guard" -> (qJunkGuard _),
+    "q07_anti_join" -> (qAntiJoin _),
+    "q08_alt_key_join" -> (qAltKeyJoin _),
+    "q09_star_revenue" -> (qStarRevenue _),
+    "q10_dim_upsert" -> (qDimUpsert _),
+    "q11_fact_merge" -> (qFactMerge _),
+    "q12_insert_if_absent" -> (qInsertIfAbsent _),
+    "q13_incremental_export" -> (qIncrementalExport _),
+    "q14_topk_routes" -> (qTopkRoutes _),
+    "q15_ontime_trend" -> (qOntimeTrend _),
+    "q16_avg_by_group" -> (qAvgByGroup _),
+    "q17_clean_ts" -> (qCleanTs _),
+    "q18_sessionize" -> (qSessionize _),
+    "q19_distinct_count" -> (qDistinctCount _),
+    "q20_dedup_exact" -> (qDedupExact _),
+    "q21_minhash_lsh" -> (qMinhashLsh _),
+    "q22_ngram_jaccard" -> (qNgramJaccard _),
+    "q23_simhash" -> (qSimhash _),
+    "q24_text_stats" -> (qTextStats _),
+    "q25_ann_cosine" -> (qAnnCosine _),
+    "q26_media_meta" -> (qMediaMeta _),
+    "q27_ann_ivf" -> (qAnnIvf _),
+    "q28_stream_pipeline" -> (qStreamPipeline _))
+
+  // =====================================================================
+  // DuckDB oracle SQL — column names/aliases must match the Spark output.
+  // =====================================================================
+
+  private val latestSql =
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+
+  private def simhashSql: String = {
+    val bcols = (0 until 16).map(j =>
+      s"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val bits = (0 until 16).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    "WITH tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "tok AS (SELECT DISTINCT doc_id, tok FROM tok0), " +
+      "hh AS (SELECT doc_id, md5(tok) AS h FROM tok), " +
+      s"agg AS (SELECT doc_id, $bcols FROM hh GROUP BY 1) " +
+      s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg"
+  }
+
+  private val shingleCte =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "sh0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
+      "list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) " +
+      "ELSE []::VARCHAR[] END) AS shingle FROM toks), " +
+      "sh AS (SELECT DISTINCT doc_id, shingle FROM sh0), " +
+      "hs AS (SELECT unnest(generate_series(0, 7)) AS h), " +
+      "sigs AS (SELECT doc_id, h, min(md5(concat(h, '|', shingle))) AS minhash " +
+      "FROM sh CROSS JOIN hs GROUP BY 1, 2), " +
+      "bands AS (SELECT doc_id, h // 2 AS band, min(minhash) || max(minhash) AS band_sig " +
+      "FROM sigs GROUP BY 1, 2), " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base, " +
+        s"CAST(sum($revenueSql) AS DOUBLE) AS sum_disc, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price, " +
+        "count(*) AS n FROM lineitem GROUP BY 1, 2"),
+    "q02_latest_per_user" ->
+      s"SELECT user_id, event_id, ts, event_type, value FROM events $latestSql",
+    "q03_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q04_status_filter" ->
+      ("SELECT event_id, user_id, lower(event_type) AS status_lc FROM events " +
+        "WHERE lower(event_type) IN ('click', 'purchase', 'signup')"),
+    "q05_retention_window" ->
+      ("SELECT event_id, ts, user_id, value FROM events " +
+        "WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY"),
+    "q06_junk_guard" ->
+      ("SELECT event_id, event_type, value FROM events " +
+        "WHERE nullif(event_type, 'error') IS NOT NULL " +
+        "AND value IS NOT NULL AND value >= 0"),
+    "q07_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q08_alt_key_join" ->
+      ("SELECT o_orderkey, coalesce(c1.c_name, c2.c_name) AS cust_name, " +
+        "coalesce(c1.c_mktsegment, c2.c_mktsegment) AS segment FROM orders " +
+        "LEFT JOIN customer c1 ON o_custkey % 7 <> 0 AND c1.c_custkey = o_custkey " +
+        "LEFT JOIN customer c2 ON o_custkey % 7 = 0 AND c2.c_custkey = o_custkey"),
+    "q09_star_revenue" ->
+      ("SELECT r_name, n_name, count(*) AS n_items, " +
+        s"CAST(sum($revenueSql) AS DOUBLE) AS revenue FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2"),
+    "q10_dim_upsert" ->
+      ("WITH e AS (SELECT user_id, ts AS last_ts, event_type AS last_type, " +
+        s"CASE WHEN value >= 5 THEN value END AS last_value FROM events WHERE event_id % 2 = 0 $latestSql), " +
+        "i AS (SELECT user_id, ts AS last_ts, event_type AS last_type, " +
+        s"CASE WHEN value >= 5 THEN value END AS last_value FROM events WHERE event_id % 2 = 1 $latestSql) " +
+        "SELECT coalesce(e.user_id, i.user_id) AS user_id, " +
+        "coalesce(i.last_ts, e.last_ts) AS last_ts, " +
+        "coalesce(i.last_type, e.last_type) AS last_type, " +
+        "coalesce(i.last_value, e.last_value) AS last_value " +
+        "FROM e FULL JOIN i ON e.user_id = i.user_id"),
+    "q11_fact_merge" ->
+      ("WITH t AS (SELECT user_id, event_type AS status, value AS val, " +
+        s"nullif(event_type, 'error') AS pk, ts AS ingest FROM events WHERE event_id % 2 = 0 $latestSql), " +
+        "s AS (SELECT user_id, event_type AS status, value AS val, " +
+        s"nullif(event_type, 'error') AS pk, ts AS ingest FROM events WHERE event_id % 2 = 1 $latestSql) " +
+        "SELECT coalesce(t.user_id, s.user_id) AS user_id, " +
+        "CASE WHEN s.user_id IS NOT NULL THEN s.status ELSE t.status END AS status, " +
+        "CASE WHEN s.user_id IS NOT NULL THEN s.val ELSE t.val END AS val, " +
+        "coalesce(s.pk, t.pk) AS pk, " +
+        "greatest(coalesce(s.ingest, t.ingest), coalesce(t.ingest, s.ingest)) AS ingest " +
+        "FROM t FULL JOIN s ON t.user_id = s.user_id"),
+    "q12_insert_if_absent" ->
+      ("WITH e AS (SELECT user_id, event_type, min(ts) AS first_seen FROM events " +
+        "WHERE event_id % 2 = 0 GROUP BY 1, 2), " +
+        "i AS (SELECT user_id, event_type, min(ts) AS first_seen FROM events " +
+        "WHERE event_id % 2 = 1 GROUP BY 1, 2) " +
+        "SELECT * FROM e UNION ALL SELECT i.* FROM i WHERE NOT EXISTS " +
+        "(SELECT 1 FROM e WHERE e.user_id = i.user_id AND e.event_type = i.event_type)"),
+    "q13_incremental_export" ->
+      ("SELECT event_id, ts, user_id, event_type, value FROM events " +
+        "WHERE ts > (SELECT max(ts) - INTERVAL 1 DAY FROM events) " +
+        "ORDER BY ts, event_id LIMIT 500"),
+    "q14_topk_routes" ->
+      ("SELECT concat(cn.n_name, '->', sn.n_name) AS route, count(*) AS n, " +
+        s"round(CAST(sum($revenueSql) AS DOUBLE) / count(*), 4) AS avg_rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "GROUP BY 1 ORDER BY avg_rev DESC, route LIMIT 10"),
+    "q15_ontime_trend" ->
+      ("SELECT CAST(ts AS DATE) AS d, count(*) AS n, " +
+        "round(CAST(sum(CASE WHEN value IS NULL THEN NULL WHEN value <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "count(CASE WHEN value IS NOT NULL THEN 1 END), 4) AS rate " +
+        "FROM events GROUP BY 1"),
+    "q16_avg_by_group" ->
+      ("SELECT event_type AS grp, count(*) AS n, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4) AS avg_measure " +
+        "FROM events GROUP BY 1"),
+    "q17_clean_ts" ->
+      ("SELECT event_id, CASE event_id % 7 " +
+        "WHEN 0 THEN date_trunc('second', ts) WHEN 1 THEN date_trunc('second', ts) " +
+        "WHEN 3 THEN date_trunc('minute', ts) WHEN 4 THEN date_trunc('second', ts) " +
+        "WHEN 5 THEN date_trunc('second', ts) END AS parsed_ts FROM events"),
+    "q18_sessionize" ->
+      ("WITH x AS (SELECT user_id, ts, event_id, CASE WHEN " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS is_new FROM events), " +
+        "y AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM x) " +
+        "SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, " +
+        "(epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_sec " +
+        "FROM y GROUP BY 1, 2"),
+    "q19_distinct_count" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n " +
+        "FROM events GROUP BY 1"),
+    "q20_dedup_exact" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY 1"),
+    "q21_minhash_lsh" ->
+      s"WITH $shingleCte SELECT doc_a, doc_b FROM cands",
+    "q22_ngram_jaccard" ->
+      (s"WITH $shingleCte, " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
+        "JOIN sh sa ON c.doc_a = sa.doc_id " +
+        "JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle GROUP BY 1, 2) " +
+        "SELECT c.doc_a, c.doc_b, " +
+        "round(CAST(coalesce(n_inter, 0) AS DOUBLE) / (za.sz + zb.sz - coalesce(n_inter, 0)), 4) AS jaccard " +
+        "FROM cands c LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b " +
+        "JOIN sz za ON c.doc_a = za.doc_id JOIN sz zb ON c.doc_b = zb.doc_id"),
+    "q23_simhash" -> simhashSql,
+    "q24_text_stats" ->
+      ("SELECT doc_id, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        "len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish, " +
+        "len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS stop_cnt, " +
+        "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS punct_cnt, " +
+        "round(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_tok_len, " +
+        "CASE WHEN len(string_split(text, ' ')) > 0 AND " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS DOUBLE) / len(string_split(text, ' ')) >= 0.05 " +
+        "THEN 'en' ELSE 'unknown' END AS lang, " +
+        "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, " +
+        "round((CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END + " +
+        "CASE WHEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10 < length(text) THEN 1.0 ELSE 0.5 END + " +
+        "CASE WHEN len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) > 0 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS quality " +
+        "FROM documents"),
+    "q25_ann_cosine" ->
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+        "sc AS (SELECT q_id, n_id, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM q JOIN c ON n_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) " +
+        "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM r WHERE rank <= 10"),
+    "q26_media_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
+        "CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks FROM documents"))
 }

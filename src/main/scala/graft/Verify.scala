@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reference semantics: silently-NULL casts/parses (SURVEY §7.4.2)
+      .config("spark.sql.ansi.enabled", "false")
+      // events.ts is TIMESTAMP(NANOS); read as long, converted in loader
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,75 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar layer for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristic, token counting,
+  * document fingerprinting. All pure `Column => Column` built-ins —
+  * everything stays inside whole-stage codegen (no UDFs), so these run at
+  * parquet-scan speed on a 1000-executor cluster.
+  */
+object TextStats {
+
+  /** Whitespace tokenizer (single-space corpus convention). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword segmentation count: letter runs / digit runs /
+    * single punctuation, the classic pre-tokenizer regex shape. */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Small English stopword list used by the language-ID heuristic. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are English stopwords. Exact rational
+    * (int/int division done by caller for float policy control). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords.map(lit): _*)))
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
+
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  /** n-gram-heuristic language ID: stopword density above threshold → en.
+    * (The corpus is synthetic; the operator shape is what matters.) */
+  def langIdHeuristic(text: Column, threshold: Double = 0.05): Column =
+    when(nTokens(text) > 0 &&
+      stopwordCount(text).cast("double") / nTokens(text) >= threshold, lit("en"))
+      .otherwise(lit("unknown"))
+
+  /** Quality score in [0,1]: length sweet-spot, low punctuation, some
+    * stopwords — the usual cheap pre-filter for corpus curation. */
+  def qualityScore(text: Column): Column = {
+    val n = nTokens(text)
+    val lenOk = when(n.between(20, 1000), lit(1.0)).otherwise(lit(0.5))
+    val punctOk = when(punctCount(text) * lit(10) < length(text), lit(1.0))
+      .otherwise(lit(0.5))
+    val stopOk = when(stopwordCount(text) > 0, lit(1.0)).otherwise(lit(0.5))
+    round((lenOk + punctOk + stopOk) / lit(3.0), 4)
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set. Identical token multisets-modulo-order collide — the
+    * standard cheap near-dup blocking key. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Contiguous word n-gram shingles as strings, e.g. n=3. Docs shorter
+    * than n yield an empty array (sequence() would otherwise descend). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytical workload (Tableau layer,
+  * /root/reference/README.md:257-282) plus the daily-aggregate extension
+  * (README.md:361), generalized over (time, group, measure) columns.
+  *
+  * Float policy for oracle parity: sums are computed over DECIMAL casts
+  * (exact, order-independent) and only converted to double at the end;
+  * averages are exact-sum / exact-count division.
+  */
+object Analytics {
+
+  /** Exact decimal sum of a double measure, emitted as double. */
+  def decSum(c: Column, as: String): Column =
+    sum(c.cast("decimal(18,4)")).cast("double").as(as)
+
+  /** Order-independent average: decimal sum / count, rounded. */
+  def decAvg(c: Column, as: String, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double") / count(c), scale).as(as)
+
+  /** A5: rate-over-time trend — avg of a 0/1 flag per time bucket. */
+  def rateTrend(df: DataFrame, timeBucket: Column, flag: Column): DataFrame =
+    df.groupBy(timeBucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(flag).cast("double") / count(flag), 4).as("rate"))
+
+  /** A6: average measure per group, sorted descending. */
+  def avgByGroup(df: DataFrame, group: Column, measure: Column): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"), decAvg(measure, "avg_measure"))
+
+  /** A7/O1: top-k groups by a descending measure with deterministic
+    * tie-break on the label. Plans as partial-agg → shuffle → TakeOrdered. */
+  def topK(grouped: DataFrame, measure: Column, label: Column, k: Int): DataFrame =
+    grouped.orderBy(measure.desc, label.asc).limit(k)
+
+  /** Sessionization: split each user's event stream at gaps > `gapSec`,
+    * aggregate per session. Integer microsecond arithmetic end-to-end
+    * (exact, oracle-comparable). One shuffle on user, one window sort. */
+  def sessionize(df: DataFrame, user: Column, ts: Column, id: Column,
+      gapSec: Long): DataFrame = {
+    // NTZ-safe: cast through LTZ under the UTC session so unix_micros
+    // matches DuckDB's epoch_us on naive timestamps.
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
+    val w = Window.partitionBy(user).orderBy(ts, id)
+    val prev = lag(micros(ts), 1).over(w)
+    val isNew = when(prev.isNull ||
+      micros(ts) - prev > gapSec * 1000000L, 1).otherwise(0)
+    val sess = df
+      .withColumn("__user", user)
+      .withColumn("__new", isNew)
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy(col("__user").as("user_id"), col("session_idx"))
+      .agg(
+        min(ts).as("session_start"),
+        max(ts).as("session_end"),
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max(ts).cast("timestamp")) -
+          unix_micros(min(ts).cast("timestamp"))) / lit(1000000L))
+          .as("duration_sec"))
+  }
+}

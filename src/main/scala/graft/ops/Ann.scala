@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expr.Similarity
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Scale design: the query set broadcasts (it is the small side by
+  * construction); the corpus never shuffles for brute force — each
+  * partition scores its own rows and per-query top-k is a bounded
+  * window over (query × k) candidates. The IVF variant prunes the
+  * corpus to the probed partition(s) before scoring, turning a full
+  * scan into a fraction-of-corpus scan — the standard recall/cost knob.
+  */
+object Ann {
+
+  /** Brute-force cosine top-k: exact baseline.
+    * Ranking key is cosine rounded to 6 dp with id tie-break — fully
+    * deterministic and oracle-comparable. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(q, col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        round(Similarity.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** IVF-style ANN: centroids from a coarse partitioner column (here: any
+    * assignment, e.g. a precomputed cluster label), queries probe only
+    * their nearest centroid's partition. Returns top-k within the probed
+    * cell. Recall < 1.0 by design; cost drops by the number of cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // centroids: elementwise mean per cell, via posexplode + re-assemble
+    val centroids = corpus
+      .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    // each query probes its nearest centroid
+    val qc = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", Similarity.l2Distance(col("q_vec"), col("centroid")))
+    val probe = Dedup.latestPerKey(
+      qc.select(col("q_id"), col("q_vec"), col("cell"), negate(col("d")).as("nd")),
+      Seq("q_id"), Seq(col("nd"), col("cell")))
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    // score only within the probed cell
+    val scored = corpus.select(col(cellCol).as("cell"), col(idCol), col(vecCol))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        round(Similarity.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch merge/upsert operators re-expressing the reference's
+  * `INSERT … ON CONFLICT` family (/root/reference/apps/loader/
+  * load_warehouse.py:32-119,153-180,199-202,208-278) as full-outer-join
+  * merges. No driver loops — each merge is one shuffle on the key (or a
+  * broadcast join when one side is dim-sized; AQE picks that at runtime).
+  */
+object Merge {
+
+  /** U1/U2: NULL-preserving upsert — incoming NULLs never erase known
+    * values (`SET col = COALESCE(EXCLUDED.col, old.col)`,
+    * load_warehouse.py:47-48). `incoming` must be unique per key
+    * (pre-apply Dedup.latestPerKey). Rows on either side survive. */
+  def upsertCoalesce(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val dataCols = existing.columns.filterNot(keys.contains).toSeq
+    require(incoming.columns.sorted.sameElements(existing.columns.sorted),
+      "upsertCoalesce: schemas must match")
+    val t = existing.as("t")
+    val s = incoming.as("s")
+    t.join(s, keys, "full_outer")
+      .select(keys.map(col) ++
+        dataCols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
+  }
+
+  /** U3: insert-if-absent (`ON CONFLICT DO NOTHING`): keep all existing
+    * rows, add incoming rows whose key is unseen (left_anti = the
+    * NOT-EXISTS rewrite, load_warehouse.py:199-202). */
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      incoming.join(existing, keys, "left_anti")
+        .select(existing.columns.map(col).toSeq: _*))
+
+  /** U4: fact merge, latest-wins with per-column policies
+    * (load_warehouse.py:263-277): `overwriteCols` are taken from the
+    * incoming row when present; `coalesceCols` keep the first non-NULL of
+    * (incoming, existing); `greatestCols` take the max of both sides.
+    * `incoming` must already be latest-per-key. */
+  def factMerge(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      overwriteCols: Seq[String],
+      coalesceCols: Seq[String],
+      greatestCols: Seq[String]): DataFrame = {
+    val t = existing.as("t")
+    // presence marker survives the outer join even when all data cols are NULL
+    val sm = incoming.withColumn("__s_present", lit(1)).as("s")
+    t.join(sm, keys, "full_outer")
+      .select(keys.map(col) ++
+        overwriteCols.map(c =>
+          when(col("__s_present").isNotNull, col(s"s.$c"))
+            .otherwise(col(s"t.$c")).as(c)) ++
+        coalesceCols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)) ++
+        greatestCols.map(c => greatest(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
+  }
+
+  /** U5: retention purge — staging rewritten to rows newer than cutoff
+    * (load_warehouse.py:281). */
+  def purge(staging: DataFrame, ingestCol: String, cutoff: org.apache.spark.sql.Column): DataFrame =
+    staging.filter(col(ingestCol) > cutoff)
+}

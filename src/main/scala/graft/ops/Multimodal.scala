@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, batched per-partition feature extraction.
+  *
+  * The decode step is STUBBED (no image/audio codecs in this
+  * environment) with a deterministic fake — `fakeDecodeFeatures` derives
+  * a fixed-width float vector from the bytes — but the Spark-side shape
+  * is real: binary column + metadata struct, `mapPartitions` batching
+  * (one iterator per partition ≈ one model/codec instance per executor
+  * core at scale), and a typed output schema that downstream ANN/dedup
+  * operators consume directly.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte],
+      format: String, n_bytes: Long)
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, features: Array[Float])
+
+  /** Wrap a text corpus as a media table: payload = utf-8 bytes, metadata
+    * derived. Stand-in for reading real image/audio blobs. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("media"),
+      lit("utf8-text").as("format"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** Batched per-partition "decode" — the distributed shape of a codec or
+    * model-inference pass. Replace `fakeDecodeFeatures` with a real codec
+    * when available; everything else stays identical. */
+  def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init point (codec/model handle) goes here
+      it.map { r =>
+        val f = fakeDecodeFeatures(r.media, dim)
+        MediaFeatures(r.doc_id, r.n_bytes,
+          width = r.media.length % 640, height = r.media.length % 480, f)
+      }
+    }
+  }
+
+  /** Deterministic stand-in for a real decoder: cheap rolling hash of the
+    * byte stream folded into `dim` float buckets. */
+  def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = new Array[Long](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31L * h + bytes(i)
+      acc(i % dim) ^= h
+      i += 1
+    }
+    acc.map(v => (v % 1000L) / 1000.0f)
+  }
+
+  /** Catalyst-only metadata projection (no decode): chunking plan for a
+    * fixed batch size — demonstrates pushdown-friendly metadata access. */
+  def mediaMeta(docs: DataFrame, chunkBytes: Int = 256): DataFrame =
+    docs.select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("byte_len"),
+      ceil(octet_length(col("text")) / lit(chunkBytes.toDouble)).cast("long")
+        .as("n_chunks"))
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.{Similarity, TextStats}
+
+/** Near-duplicate detection for document corpora at training-data scale:
+  * MinHash + LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every stage is a groupBy/join on bounded-width keys —
+  * signatures and band hashes, never raw text — so the shuffles carry
+  * O(docs × bands) small rows. Candidate generation is strictly
+  * band-bucket joins (no quadratic pair enumeration); exact Jaccard runs
+  * only on LSH candidates.
+  */
+object TextDedup {
+
+  /** Exploded distinct (id, shingle) pairs — the set representation. */
+  def shingleSet(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(TextStats.shingles(text, n)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures in long format: (doc_id, h, minhash) for h in
+    * [0, numHashes). min(md5(h|shingle)) emulates a random permutation
+    * per hash-family member; min is mergeable map-side. */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val hs = explode(sequence(lit(0), lit(numHashes - 1))).as("h")
+    shingles.select(col("doc_id"), hs, col("shingle"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(min(md5(concat_ws("|", col("h"), col("shingle")))).as("minhash"))
+  }
+
+  /** LSH banding with rows-per-band = 2: band signature = concat of the
+    * (order-independent) min and max member hash. Docs sharing any band
+    * signature become candidate pairs. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val bands = signatures
+      .groupBy(col("doc_id"), shiftright(col("h"), 1).as("band"))
+      .agg(concat(min(col("minhash")), max(col("minhash"))).as("band_sig"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
+    * equi-join, |A∪B| = |A|+|B|−|A∩B|. Integer arithmetic until the final
+    * division. */
+  def jaccard(candidates: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(shingles.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shingles.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("n_inter")), 4).as("jaccard"))
+  }
+
+  /** SimHash (16-bit): per distinct token, derive 16 pseudo-random bits
+    * from the md5 nibbles; majority-vote each bit over the token set.
+    * Oracle-portable (md5 + string ops only) yet still one groupBy. */
+  def simhash16(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+        explode(array_distinct(TextStats.tokens(text))).as("tok"))
+    val h = md5(col("tok"))
+    // bit j = parity of md5 nibble j
+    val contribs = (0 until 16).map { j =>
+      val nibble = conv(substring(h, j + 1, 1), 16, 10).cast("int")
+      sum(when(nibble % 2 === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(contribs.head, contribs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j))
+          .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+}

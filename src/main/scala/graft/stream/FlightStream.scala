@@ -1,0 +1,118 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.Row
+import graft.expr.Timestamps
+import graft.schema.FlightSchemas
+
+/** The streaming core re-expressed Spark-natively: JSON value stream →
+  * explicit-schema parse → timestamp normalization → status/retention/junk
+  * filters → flat staging projection → foreachBatch append sink.
+  * (/root/reference/apps/spark_app/flight_stream.py:93-344)
+  *
+  * The whole pipeline is a NARROW plan (no shuffle): parse + project +
+  * filter fuse into one WholeStageCodegen span per micro-batch, so
+  * throughput scales linearly with input partitions on a real cluster.
+  *
+  * `now` is injected (instead of `current_timestamp()`) so the 3-day
+  * retention window is deterministic under test — SURVEY §7.4(1).
+  */
+object FlightStream {
+
+  val KeepStatuses: Seq[String] =
+    Seq("active", "landed", "arrived", "en-route", "enroute")
+
+  /** Parse raw JSON strings (the Kafka `value` payload) into the typed,
+    * flattened, timestamp-normalized event frame. Works identically on a
+    * batch or streaming DataFrame with a single `json` string column. */
+  def parse(raw: DataFrame): DataFrame = {
+    val ts = Seq(
+      "dep_sched_ts" -> "departure.schedule",
+      "dep_est_ts" -> "departure.estimated",
+      "dep_act_ts" -> "departure.actual",
+      "arr_sched_ts" -> "arrival.schedule",
+      "arr_est_ts" -> "arrival.estimated",
+      "arr_act_ts" -> "arrival.actual",
+      "ingest_ts" -> "ingest_time")
+    val flat = Seq(
+      "airline_iata" -> "airline.iata", "airline_icao" -> "airline.icao",
+      "airline_name" -> "airline.name",
+      "flight_number" -> "flight.number", "flight_iata" -> "flight.iata",
+      "flight_icao" -> "flight.icao",
+      "dep_airport" -> "departure.airport",
+      "dep_airport_iata" -> "departure.iata",
+      "dep_airport_icao" -> "departure.icao",
+      "dep_gate" -> "departure.gate", "dep_terminal" -> "departure.terminal",
+      "arr_airport" -> "arrival.airport",
+      "arr_airport_iata" -> "arrival.iata",
+      "arr_airport_icao" -> "arrival.icao",
+      "arr_terminal" -> "arrival.terminal", "arr_gate" -> "arrival.gate")
+    // ONE select, not 25 withColumns — withColumn stacks projection nodes.
+    raw.select(from_json(col("json"), FlightSchemas.eventSchema).as("r"))
+      .select(col("r.*"))
+      .select(col("*") +:
+        (ts.map { case (as, src) => Timestamps.normalizeTs(col(src)).as(as) } ++
+          Seq(col("departure.delay_min").cast("double").as("dep_delay_min"),
+            col("arrival.delay_min").cast("double").as("arr_delay_min")) ++
+          flat.map { case (as, src) => col(src).as(as) }): _*)
+  }
+
+  /** Status allow-list + 3-day retention + junk guard
+    * (flight_stream.py:238-268). */
+  def filterRelevant(parsed: DataFrame, now: Column): DataFrame = {
+    val threeDaysAgo = now - expr("INTERVAL 3 DAYS")
+    def recent(c: String) = col(c).isNotNull && (col(c) >= threeDaysAgo)
+    parsed
+      .withColumn("status_lc", lower(col("status")))
+      .filter(col("status_lc").isin(KeepStatuses: _*))
+      .filter(recent("dep_sched_ts") || recent("arr_sched_ts") ||
+        recent("dep_act_ts") || recent("arr_act_ts"))
+      .filter(col("flight_key").isNotNull &&
+        (col("dep_sched_ts").isNotNull || col("arr_sched_ts").isNotNull ||
+          col("dep_act_ts").isNotNull || col("arr_act_ts").isNotNull))
+  }
+
+  /** Final 28-column staging projection with sink aliases
+    * (flight_stream.py:284-301); ingest falls back to `now`. */
+  def stagingProjection(filtered: DataFrame, now: Column): DataFrame =
+    filtered.select(
+      col("flight_key"),
+      to_date(col("flight_date")).as("flight_date"),
+      col("status_lc").as("status"),
+      coalesce(col("ingest_ts"), now).as("ingest_time"),
+      col("flight_number"), col("flight_iata"), col("flight_icao"),
+      col("airline_iata"), col("airline_icao"), col("airline_name"),
+      col("dep_airport"), col("dep_airport_iata"), col("dep_airport_icao"),
+      col("dep_terminal"), col("dep_gate"),
+      col("dep_sched_ts").as("dep_scheduled"),
+      col("dep_est_ts").as("dep_estimated"),
+      col("dep_act_ts").as("dep_actual"),
+      col("dep_delay_min"),
+      col("arr_airport"), col("arr_airport_iata"), col("arr_airport_icao"),
+      col("arr_terminal"), col("arr_gate"),
+      col("arr_sched_ts").as("arr_scheduled"),
+      col("arr_est_ts").as("arr_estimated"),
+      col("arr_act_ts").as("arr_actual"),
+      col("arr_delay_min"))
+
+  /** Full pipeline: raw json column → staging rows. */
+  def pipeline(raw: DataFrame, now: Column): DataFrame =
+    stagingProjection(filterRelevant(parse(raw), now), now)
+
+  /** foreachBatch append sink with empty-batch guard + checkpointing
+    * (flight_stream.py:273-341): at-least-once append; downstream
+    * latest-per-key merge makes the chain effectively-once (ST4). */
+  def startStagingSink(staged: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    staged.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        if (!df.isEmpty) {
+          df.write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.{Dedup, Merge}
+import org.apache.spark.sql.functions._
+
+/** Merge-layer semantics from the reference's ON CONFLICT family
+  * (/root/reference/apps/loader/load_warehouse.py:32-119,199-202,263-277):
+  * NULL-preservation, insert-if-absent, per-column fact-merge policies,
+  * idempotence, and NULL-key safety.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertCoalesce: incoming NULLs never erase known values") {
+    val existing = Seq(("AA", "AAL", "American")).toDF("iata", "icao", "name")
+    val incoming = Seq(("AA", null: String, "American Airlines"))
+      .toDF("iata", "icao", "name")
+    val out = Merge.upsertCoalesce(existing, incoming, Seq("iata")).collect()
+    assert(out.toSeq == Seq(Row("AA", "AAL", "American Airlines")))
+  }
+
+  test("upsertCoalesce: both sides' unmatched rows survive (full outer)") {
+    val existing = Seq(("AA", "a")).toDF("k", "v")
+    val incoming = Seq(("BB", "b")).toDF("k", "v")
+    val out = Merge.upsertCoalesce(existing, incoming, Seq("k"))
+      .orderBy("k").collect()
+    assert(out.toSeq == Seq(Row("AA", "a"), Row("BB", "b")))
+  }
+
+  test("upsertCoalesce is idempotent: applying the same batch twice == once") {
+    val existing = Seq(("AA", "AAL"), ("BB", null: String)).toDF("k", "v")
+    val batch = Seq(("AA", null: String), ("BB", "BBL"), ("CC", "CCL")).toDF("k", "v")
+    val once = Merge.upsertCoalesce(existing, batch, Seq("k"))
+    val twice = Merge.upsertCoalesce(once, batch, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("insertIfAbsent: existing rows never overwritten (DO NOTHING)") {
+    val existing = Seq((1L, 2L, "old")).toDF("dep", "arr", "tag")
+    val incoming = Seq((1L, 2L, "new"), (3L, 4L, "fresh")).toDF("dep", "arr", "tag")
+    val out = Merge.insertIfAbsent(existing, incoming, Seq("dep", "arr"))
+      .orderBy("dep").collect()
+    assert(out.toSeq == Seq(Row(1L, 2L, "old"), Row(3L, 4L, "fresh")))
+  }
+
+  test("factMerge: overwrite vs coalesce vs greatest column policies") {
+    val existing = Seq(("k1", "landed", 9.0, "p-old", 100L))
+      .toDF("k", "status", "val", "pk", "ingest")
+    // incoming row has NULL status (overwrite→NULL), NULL pk (coalesce→old),
+    // smaller ingest (greatest→old)
+    val incoming = Seq(("k1", null: String, 1.0, null: String, 50L))
+      .toDF("k", "status", "val", "pk", "ingest")
+    val out = Merge.factMerge(existing, incoming, Seq("k"),
+      overwriteCols = Seq("status", "val"),
+      coalesceCols = Seq("pk"), greatestCols = Seq("ingest")).collect()
+    assert(out.toSeq == Seq(Row("k1", null, 1.0, "p-old", 100L)))
+  }
+
+  test("factMerge: insert-only and unmatched-existing rows survive") {
+    val existing = Seq(("old", "s0", 0.0, "p0", 1L)).toDF("k", "status", "val", "pk", "ingest")
+    val incoming = Seq(("new", "s1", 1.0, "p1", 2L)).toDF("k", "status", "val", "pk", "ingest")
+    val out = Merge.factMerge(existing, incoming, Seq("k"),
+      Seq("status", "val"), Seq("pk"), Seq("ingest")).orderBy("k").collect()
+    assert(out.toSeq == Seq(
+      Row("new", "s1", 1.0, "p1", 2L), Row("old", "s0", 0.0, "p0", 1L)))
+  }
+
+  test("latestPerKey: ties broken deterministically by tie-break column") {
+    val df = Seq(
+      ("u1", 10L, 1L, "first"), ("u1", 10L, 2L, "second"), ("u1", 5L, 3L, "older"))
+      .toDF("k", "ts", "id", "tag")
+    val out = Dedup.latestPerKey(df, Seq("k"), Seq(col("ts"), col("id"))).collect()
+    assert(out.toSeq == Seq(Row("u1", 10L, 2L, "second")))
+  }
+
+  test("latestPerKey window form agrees with max_by form") {
+    val df = Seq(
+      ("a", 3L, 1L), ("a", 7L, 2L), ("b", 1L, 3L), ("b", 1L, 4L))
+      .toDF("k", "ts", "id")
+    val m = Dedup.latestPerKey(df, Seq("k"), Seq(col("ts"), col("id")))
+      .orderBy("k").collect()
+    val w = Dedup.latestPerKeyWindow(df, Seq("k"), Seq(col("ts"), col("id")))
+      .orderBy("k").collect()
+    assert(m.toSeq == w.toSeq)
+  }
+
+  test("duplicate + reordered staging batches converge (ST4 layering)") {
+    val b1 = Seq(("k", 1L, "v1"), ("k", 2L, "v2")).toDF("key", "ts", "v")
+    val b2 = Seq(("k", 2L, "v2"), ("k", 1L, "v1")).toDF("key", "ts", "v") // dup, reordered
+    val merged = Dedup.latestPerKey(b1.unionByName(b2), Seq("key"), Seq(col("ts")))
+    assert(merged.collect().toSeq == Seq(Row("k", 2L, "v2")))
+  }
+
+  test("NULL natural keys never merge with each other (equi-join NULL drop)") {
+    val existing = Seq((Some("x"), "ex"), (None, "en")).toDF("k", "v")
+    val incoming = Seq((Some("x"), "ix"), (None, "in")).toDF("k", "v")
+    val out = Merge.upsertCoalesce(existing, incoming, Seq("k"))
+    // full_outer USING-join keeps NULL-key rows distinct (no NULL=NULL match)
+    assert(out.count() == 3)
+    assert(out.filter(col("k").isNull).count() == 2)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.expr.Timestamps
+import graft.ops.{Dedup, Merge}
+
+/** Property-based invariants (SURVEY §5.2-3): clean_ts total-function
+  * behavior over ScalaCheck-generated malformed ISO-8601 inputs, merge
+  * idempotence, and latest-per-key determinism under permutation.
+  * (Generators drive corpus construction; assertions run on whole-corpus
+  * Spark jobs rather than per-sample forAll — one JVM job per property.)
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val isoishGen: Gen[String] = for {
+    y <- Gen.chooseNum(1990, 2030)
+    mo <- Gen.chooseNum(0, 13)
+    d <- Gen.chooseNum(0, 32)
+    h <- Gen.chooseNum(0, 25)
+    mi <- Gen.chooseNum(0, 60)
+    sec <- Gen.oneOf("", ":5", ":05", ":055", ":05.1", ":05.123", ":05.123456")
+    tz <- Gen.oneOf("", "Z", "+00:00", "+0000", "-0500", "+02:00", "junk")
+  } yield f"$y%04d-$mo%02d-${d}%02dT$h%02d:$mi%02d$sec$tz"
+
+  test("normalizeTs never throws; output is timestamp-or-NULL for any input") {
+    val samples = Gen.listOfN(300, Gen.oneOf(isoishGen,
+      Gen.alphaNumStr, Gen.const(""), Gen.const("2024-05-01"))).sample.get
+    // one Spark job for the whole corpus: must not raise
+    val out = samples.toDF("raw")
+      .select(col("raw"), Timestamps.normalizeTs(col("raw")).as("ts"))
+      .collect()
+    assert(out.length == samples.length)
+    // every non-NULL result must round-trip as a valid UTC instant
+    out.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getTimestamp(1).getTime > -9999999999999L)
+    }
+  }
+
+  test("normalizeTs parses every branch-valid shape to the same instant") {
+    val variants = Seq(
+      "2024-05-01T10:20:30Z", "2024-05-01T10:20:30+0000",
+      "2024-05-01T10:20:30", "2024-05-01T10:20:300Z", // 3-digit clamp → :30
+
+      "2024-05-01T10:20:30+00:00")
+    val parsed = variants.toDF("raw")
+      .select(Timestamps.normalizeTs(col("raw")).as("ts")).collect()
+    val secs = parsed.map(_.getTimestamp(0).toInstant.getEpochSecond).toSet
+    assert(secs.size == 1)
+  }
+
+  test("upsertCoalesce idempotence over random batches") {
+    val kv = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0, 9)
+      v <- Gen.option(Gen.alphaStr.map(_.take(4)))
+    } yield (s"k$k", v.orNull)).sample.get
+    val existing = kv.take(20).toDF("k", "v")
+      .groupBy("k").agg(first("v").as("v"))
+    val batch = kv.drop(20).toDF("k", "v")
+      .groupBy("k").agg(first("v").as("v"))
+    val once = Merge.upsertCoalesce(existing, batch, Seq("k"))
+    val twice = Merge.upsertCoalesce(once, batch, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("latestPerKey is permutation-invariant") {
+    val rows = Gen.listOfN(60, for {
+      k <- Gen.chooseNum(0, 5)
+      ts <- Gen.chooseNum(0L, 20L)
+      id <- Gen.chooseNum(0L, 1000000L)
+    } yield (s"u$k", ts, id)).sample.get.distinct
+    val a = Dedup.latestPerKey(rows.toDF("k", "ts", "id"),
+      Seq("k"), Seq(col("ts"), col("id"))).orderBy("k").collect()
+    val b = Dedup.latestPerKey(scala.util.Random.shuffle(rows).toDF("k", "ts", "id"),
+      Seq("k"), Seq(col("ts"), col("id"))).orderBy("k").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

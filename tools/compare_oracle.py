@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle correctness gate.
+
+Loads each Spark result parquet from the Verify outDir, runs the matching
+oracle SQL in DuckDB against the raw testdata tables, sorts columns by
+name and rows by all columns, and compares values cell-by-cell (exact for
+ints/strings/timestamps, tiny-epsilon report for floats so we can see
+HOW values differ when they do).
+"""
+import json
+import math
+import sys
+import glob
+import os
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(os.path.join(OUT_DIR, "oracle_sql.json")))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
+    return [cols[i] for i in order], out
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    spark_dir = os.path.join(OUT_DIR, name)
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output")
+        n_fail += 1
+        continue
+    try:
+        sp = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+        sp_cols, sp_rows = canon(sp.fetchall(), sp.columns)
+        du = con.sql(oracle[name])
+        du_cols, du_rows = canon(du.fetchall(), du.columns)
+    except Exception as e:
+        print(f"FAIL {name}: {str(e).splitlines()[0][:160]}")
+        n_fail += 1
+        continue
+    if sp_cols != du_cols:
+        print(f"FAIL {name}: columns {sp_cols} vs {du_cols}")
+        n_fail += 1
+        continue
+    if len(sp_rows) != len(du_rows):
+        print(f"FAIL {name}: rows {len(sp_rows)} vs {len(du_rows)}")
+        n_fail += 1
+        continue
+    bad = None
+    for i, (a, b) in enumerate(zip(sp_rows, du_rows)):
+        for j, (x, y) in enumerate(zip(a, b)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if x != y and not (math.isnan(x) and math.isnan(y)):
+                    bad = (i, sp_cols[j], x, y, abs(x - y))
+                    break
+            elif x != y:
+                bad = (i, sp_cols[j], x, y, None)
+                break
+        if bad:
+            break
+    if bad:
+        print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r} delta={bad[4]}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(sp_rows)} rows)")
+        n_pass += 1
+
+extra = [q for q in ("q27_ann_ivf", "q28_stream_pipeline")
+         if os.path.isdir(os.path.join(OUT_DIR, q))]
+for q in extra:
+    n = con.sql(f"SELECT count(*) FROM '{OUT_DIR}/{q}/*.parquet'").fetchone()[0]
+    print(f"INFO {q}: rows-only, {n} rows")
+print(f"== {n_pass} pass / {n_fail} fail ==")
