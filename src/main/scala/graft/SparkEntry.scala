@@ -320,6 +320,24 @@ object SparkEntry {
     FlightStream.pipeline(js, lit(mx).cast("timestamp"))
   }
 
+  /** A8/ST5: tumbling daily aggregate (streaming-ready plan shape). */
+  private def qWindowAgg(s: SparkSession, dir: String): DataFrame =
+    Analytics.tumblingAgg(t(s, dir, "events"), col("ts"), "1 day", col("value"))
+
+  /** ST5: sliding 2-day/1-day window aggregate. */
+  private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Analytics.slidingAgg(t(s, dir, "events"), col("ts"), "2 days", "1 day",
+      col("value"))
+
+  /** approx_count_distinct with an in-plan error-bound assertion. */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Analytics.approxDistinct(t(s, dir, "events"), col("event_type"),
+      col("user_id"))
+
+  /** Embedding-cosine near-dup pairs, bucketed by the cluster label. */
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(t(s, dir, "embeddings"), "label", 0.28)
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -350,7 +368,11 @@ object SparkEntry {
     "q25_ann_cosine" -> (qAnnCosine _),
     "q26_media_meta" -> (qMediaMeta _),
     "q27_ann_ivf" -> (qAnnIvf _),
-    "q28_stream_pipeline" -> (qStreamPipeline _))
+    "q28_stream_pipeline" -> (qStreamPipeline _),
+    "q29_window_agg" -> (qWindowAgg _),
+    "q30_sliding_window" -> (qSlidingWindow _),
+    "q31_approx_distinct" -> (qApproxDistinct _),
+    "q32_dedup_embedding" -> (qDedupEmbedding _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -534,5 +556,24 @@ object SparkEntry {
         "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM r WHERE rank <= 10"),
     "q26_media_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, " +
-        "CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks FROM documents"))
+        "CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks FROM documents"),
+    "q29_window_agg" ->
+      ("SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_measure " +
+        "FROM events GROUP BY 1"),
+    "q30_sliding_window" ->
+      ("SELECT date_trunc('day', ts) - o * INTERVAL 1 DAY AS window_start, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_measure " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) GROUP BY 1"),
+    "q31_approx_distinct" ->
+      ("SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact, " +
+        "TRUE AS ok FROM events GROUP BY 1"),
+    "q32_dedup_embedding" ->
+      ("WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_dot_product(a.e, b.e) / " +
+        "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) AS cos " +
+        "FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.28"))
 }

@@ -38,6 +38,40 @@ object Analytics {
   def topK(grouped: DataFrame, measure: Column, label: Column, k: Int): DataFrame =
     grouped.orderBy(measure.desc, label.asc).limit(k)
 
+  /** A8/ST5: tumbling-window aggregate — the daily-materialization
+    * extension (/root/reference/README.md:361) in its streaming-ready
+    * form. `window()` keys partial aggregation map-side exactly like a
+    * groupBy on the bucketed time, so the shuffle carries one row per
+    * (partition, window): identical plan batch or streaming. */
+  def tumblingAgg(df: DataFrame, ts: Column, width: String,
+      measure: Column): DataFrame =
+    df.groupBy(window(ts, width).as("w"))
+      .agg(count(lit(1)).as("n"), decSum(measure, "sum_measure"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_measure"))
+
+  /** Sliding-window aggregate: width/slide, each row lands in
+    * width/slide windows (the explode happens BEFORE partial agg, so the
+    * shuffle still carries only per-window partials — no row blow-up
+    * crosses the wire). */
+  def slidingAgg(df: DataFrame, ts: Column, width: String, slide: String,
+      measure: Column): DataFrame =
+    df.groupBy(window(ts, width, slide).as("w"))
+      .agg(count(lit(1)).as("n"), decSum(measure, "sum_measure"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_measure"))
+
+  /** Approx distinct (HLL++) with an in-plan accuracy check against the
+    * exact count. HLL insertion is order/partitioning-independent →
+    * deterministic; the oracle asserts `ok` (bounded relative error)
+    * rather than the sketch value itself. */
+  def approxDistinct(df: DataFrame, group: Column, key: Column,
+      maxRelErr: Double = 0.15): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(countDistinct(key).as("n_exact"),
+        approx_count_distinct(key, 0.05).as("n_approx"))
+      .select(col("grp"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= maxRelErr).as("ok"))
+
   /** Sessionization: split each user's event stream at gaps > `gapSec`,
     * aggregate per session. Integer microsecond arithmetic end-to-end
     * (exact, oracle-comparable). One shuffle on user, one window sort. */

@@ -33,6 +33,27 @@ object Ann {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, bucketed: candidate pairs are
+    * generated ONLY within a blocking bucket (here a coarse cluster/label
+    * column — at scale an LSH band of the vector), so the join is an
+    * equi-join on the bucket, never a full cross product. Emits ordered
+    * (a < b) pairs with cosine ≥ threshold on the 4-dp rounded value
+    * (rounding before comparison keeps the threshold decision
+    * float-order-independent and oracle-comparable). */
+  def cosineNearDupPairs(corpus: DataFrame, bucketCol: String,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(bucketCol).as("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(bucketCol).as("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF-style ANN: centroids from a coarse partitioner column (here: any
     * assignment, e.g. a precomputed cluster label), queries probe only
     * their nearest centroid's partition. Returns top-k within the probed
