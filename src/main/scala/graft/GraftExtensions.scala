@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expr.catalyst.NormalizeTs
+
+/** SQL-surface registration for the engine's native expressions:
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` makes
+  * `graft_normalize_ts(col)` available to plain SQL users. The Scala API
+  * ([[graft.expr.Timestamps.normalizeTs]]) does not require the extension
+  * — it builds the expression directly — so library queries work on any
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_ts"),
+      new ExpressionInfo(classOf[NormalizeTs].getName, "graft_normalize_ts"),
+      (children: Seq[Expression]) => NormalizeTs(children.head)))
+  }
+}

@@ -49,6 +49,16 @@ object Timestamps {
   def parseTs(c: Column, fmt: String = TsFmt): Column =
     try_to_timestamp(c, lit(fmt))
 
-  /** cleanTs + parse in one step — the canonical ingest path. */
-  def normalizeTs(c: Column): Column = parseTs(cleanTs(c))
+  /** cleanTs + parse via composed built-ins — the reference-literal form,
+    * kept as the property-test twin of the native expression. */
+  def normalizeTsChain(c: Column): Column = parseTs(cleanTs(c))
+
+  /** cleanTs + parse in one step — the canonical ingest path. Uses the
+    * native single-pass [[graft.expr.catalyst.NormalizeTs]] expression
+    * (~7× less string work than the 6-regex chain, still codegen'd);
+    * semantically identical to [[normalizeTsChain]] (property-tested). */
+  def normalizeTs(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.catalyst.NormalizeTs(
+        org.apache.spark.sql.GraftBridge.expression(c)))
 }

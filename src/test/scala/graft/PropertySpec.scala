@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import graft.expr.Timestamps
@@ -48,6 +49,53 @@ class PropertySpec extends SparkSpec {
       .select(Timestamps.normalizeTs(col("raw")).as("ts")).collect()
     val secs = parsed.map(_.getTimestamp(0).toInstant.getEpochSecond).toSet
     assert(secs.size == 1)
+  }
+
+  test("native NormalizeTs ≡ regex-chain normalizeTs on adversarial corpus") {
+    val edge = Seq(
+      "2024-05-01T10:20:30Z", "2024-05-01T10:20:30+0000",
+      "2024-05-01T10:20:3", "2024-05-01T10:20:300", "2024-05-01T10:20",
+      "2024-05-01T10:20:30.123456+00:00", "2024-05-01T10:20:30.1",
+      "2024-05-01T10:20Z", "2024-05-01T10:20.123", "2024-05-01T10:20:",
+      "2024-05-01T10:20:3.12345", "2024-05-01T10:20:30+01",
+      "2024-05-01T10:20:30+0130", "2024-05-01T10:20:30-23:59",
+      "2024-13-40T99:99:99Z", "0000-01-01T00:00:00Z", "garbage", "",
+      "2024-05-01", "2024-05-01T10:20:3000Z", "T10:20:30Z",
+      "2024-05-01T10:20:30+1:30", "2024-05-01T10:20:30junk")
+    val gen = Gen.listOfN(500, Gen.oneOf(isoishGen, Gen.alphaNumStr))
+    val samples = (edge ++ gen.sample.get).distinct
+    val out = samples.toDF("raw").select(col("raw"),
+        Timestamps.normalizeTs(col("raw")).as("native"),
+        Timestamps.normalizeTsChain(col("raw")).as("chain"))
+      .collect()
+    val diffs = out.filter(r => r.get(1) != r.get(2))
+    assert(diffs.isEmpty,
+      s"native≠chain for: ${diffs.map(r => r.getString(0)).mkString("; ")}")
+  }
+
+  test("graft_normalize_ts is SQL-callable via GraftExtensions") {
+    // force a NEW session so the extension actually registers (getOrCreate
+    // would silently return the suite session); same SparkContext under it
+    spark.sparkContext // materialize the shared context first
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // withExtensions (not the spark.sql.extensions conf): the static
+      // conf is read from the already-running SparkContext and would be
+      // ignored here; on a fresh cluster session either route works.
+      val s2 = org.apache.spark.sql.classic.SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_normalize_ts('2024-05-01T10:20:30Z') AS ts").collect()
+      assert(r.head.getTimestamp(0).toInstant ==
+        java.time.Instant.parse("2024-05-01T10:20:30Z"))
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+      }
+    }
   }
 
   test("upsertCoalesce idempotence over random batches") {
