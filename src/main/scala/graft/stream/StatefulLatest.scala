@@ -1,0 +1,60 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-native latest-per-key (the reference keeps this state in
+  * Postgres via `DISTINCT ON` + upsert,
+  * /root/reference/apps/loader/load_warehouse.py:209-278; here it lives in
+  * the Spark state store — SURVEY §2 ST6 / §7.4(8)).
+  *
+  * Scale design: state is one row per live key, partitioned by the
+  * group-by shuffle exactly like a streaming aggregation; the event-time
+  * TTL mirrors the reference's 3-day retention window
+  * (flight_stream.py:246) so state size is bounded by (keys active within
+  * TTL), not by stream history — the property that keeps a 100 TB/day
+  * stream's state store flat.
+  */
+object StatefulLatest {
+
+  /** Update-mode latest-per-key over a watermarked stream.
+    *
+    * Emits a key's row whenever its latest-so-far changes (monotone in
+    * `ordMicros`; ties keep the incumbent, matching the merge layer's
+    * GREATEST semantics). State for a key is dropped once the event-time
+    * watermark passes `latest + ttl`.
+    *
+    * Input must carry a watermark (`ds.withWatermark(...)`) — required by
+    * the event-time timeout and what makes `ttl` meaningful.
+    */
+  def latestPerKey[T](ds: Dataset[T], keyFn: T => String, ordMicros: T => Long,
+      ttl: java.time.Duration)(implicit enc: Encoder[T]): Dataset[T] = {
+    implicit val stateEnc: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, enc)
+    val ttlMs = ttl.toMillis
+    ds.groupByKey(keyFn)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, T), T](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[T], state: GroupState[(Long, T)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (bestOrd, best) = state.getOption.getOrElse((Long.MinValue, null.asInstanceOf[T]))
+            var changed = false
+            rows.foreach { r =>
+              val o = ordMicros(r)
+              if (o > bestOrd) { bestOrd = o; best = r; changed = true }
+            }
+            if (changed) {
+              state.update((bestOrd, best))
+              // TTL anchored to the key's own latest event time; clamp
+              // above the current watermark (required by the API).
+              state.setTimeoutTimestamp(
+                math.max(bestOrd / 1000L + ttlMs, state.getCurrentWatermarkMs + 1))
+              Iterator.single(best)
+            } else Iterator.empty
+          }
+      }
+  }
+}
