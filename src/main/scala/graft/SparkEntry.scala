@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expr.{Flags, Similarity, TextStats, Timestamps}
-import graft.ops.{Analytics, Ann, Dedup, Incremental, Merge, Multimodal, Star, TextDedup}
+import graft.ops.{Analytics, Ann, AsofJoin, Dedup, Incremental, Merge, Multimodal, Star, TextDedup}
 import graft.stream.FlightStream
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -338,6 +338,18 @@ object SparkEntry {
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(t(s, dir, "embeddings"), "label", 0.28)
 
+  /** As-of join: odd events look up the latest even-event state at or
+    * before their timestamp, per user. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val left = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val right = ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value")) // unique per (key, ts)
+    AsofJoin.asofJoin(left, right, Seq("user_id"), "ts")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,7 +384,8 @@ object SparkEntry {
     "q29_window_agg" -> (qWindowAgg _),
     "q30_sliding_window" -> (qSlidingWindow _),
     "q31_approx_distinct" -> (qApproxDistinct _),
-    "q32_dedup_embedding" -> (qDedupEmbedding _))
+    "q32_dedup_embedding" -> (qDedupEmbedding _),
+    "q33_asof_join" -> (qAsofJoin _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -575,5 +588,10 @@ object SparkEntry {
         "round(list_dot_product(a.e, b.e) / " +
         "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) AS cos " +
         "FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) " +
-        "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.28"))
+        "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.28"),
+    "q33_asof_join" ->
+      ("WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_id % 2 = 1), " +
+        "r AS (SELECT user_id, ts, max(value) AS value FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2) " +
+        "SELECT l.user_id, l.event_id, l.ts, l.value, r.ts AS r_ts, r.value AS r_value " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts"))
 }

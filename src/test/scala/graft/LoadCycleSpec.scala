@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LoadCycle
+import graft.stream.FlightStream
+
+/** The full warehouse load cycle (U6, load_warehouse.py:308-329) over
+  * stream-produced staging rows: dim two-path upserts, route
+  * insert-if-absent, fact latest-wins merge, purge, curated view, and
+  * cross-cycle idempotence.
+  */
+class LoadCycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = "2024-05-10T00:00:00Z"
+
+  private def event(key: String, status: String = "active",
+      ingest: String = "2024-05-09T11:00:00Z",
+      airlineIata: String = "AA", airlineIcao: String = "AAL",
+      airlineName: String = "American",
+      depIata: String = "ORG", arrIata: String = "DST"): String = {
+    def j(s: String) = if (s == null) "null" else s""""$s""""
+    s"""{"flight_key":"$key","flight_date":"2024-05-09","status":"$status",
+      "airline":{"iata":${j(airlineIata)},"icao":${j(airlineIcao)},"name":${j(airlineName)}},
+      "flight":{"number":"100","iata":"AA100","icao":null},
+      "departure":{"airport":"Origin Intl","iata":${j(depIata)},"icao":"KORG",
+        "gate":"1","terminal":"A","schedule":"2024-05-09T10:00:00Z",
+        "estimated":null,"actual":null,"delay_min":7},
+      "arrival":{"airport":"Dest Intl","iata":${j(arrIata)},"icao":"KDST",
+        "gate":null,"terminal":"B","schedule":"2024-05-09T12:00:00Z",
+        "estimated":null,"actual":null,"delay_min":null},
+      "ingest_time":"$ingest","source":"test"}""".replaceAll("\n\\s*", "")
+  }
+
+  private def stage(jsons: Seq[String]) =
+    FlightStream.pipeline(jsons.toDF("json"),
+      lit(java.sql.Timestamp.from(java.time.Instant.parse(now))))
+
+  private def cutoff(s: String) =
+    lit(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+
+  test("two cycles: dims via both paths, route resolved, fact latest-wins, purge") {
+    val staging = stage(Seq(
+      event("k1", ingest = "2024-05-09T10:30:00Z"),
+      event("k1", status = "landed", ingest = "2024-05-09T11:30:00Z",
+        airlineName = null), // next cycle; NULL must not erase "American"
+      event("k2", ingest = "2024-05-09T10:45:00Z",
+        airlineIata = null, airlineIcao = "BBL", airlineName = "Beta")))
+    // cycle 1 sees only rows <= 11:00 (e2 stays in staging for cycle 2) —
+    // the per-cycle cutoff slice, load_warehouse.py:318-319
+    val wh1 = LoadCycle.run(LoadCycle.emptyWarehouse(staging),
+      cutoff("2024-05-09T11:00:00Z"))
+    assert(wh1.staging.count() == 1) // e2 survives the purge
+    val wh = LoadCycle.run(wh1, cutoff("2024-05-09T12:00:00Z"))
+
+    val airlines = wh.dimAirline.orderBy("icao").collect()
+    assert(airlines.length == 2)
+    assert(airlines(0).getAs[String]("icao") == "AAL" &&
+      airlines(0).getAs[String]("airline_name") == "American") // NULL preserved
+    assert(airlines(1).getAs[String]("iata") == null &&
+      airlines(1).getAs[String]("airline_name") == "Beta") // ICAO-only path
+
+    assert(wh.dimAirport.count() == 2) // ORG, DST from both flight ends
+    assert(wh.dimRoute.count() == 1)
+
+    val fact = wh.fact.orderBy("flight_key").collect()
+    assert(fact.length == 2)
+    val k1 = fact(0)
+    assert(k1.getAs[String]("status") == "landed") // latest wins
+    assert(!k1.isNullAt(k1.fieldIndex("airline_id")))
+    assert(!k1.isNullAt(k1.fieldIndex("route_id")))
+    assert(wh.staging.isEmpty) // everything <= cutoff purged
+  }
+
+  test("second cycle merges onto first; replayed batch is a no-op (idempotent)") {
+    val batch1 = stage(Seq(event("k1", ingest = "2024-05-09T10:30:00Z")))
+    val wh1 = LoadCycle.run(LoadCycle.emptyWarehouse(batch1),
+      cutoff("2024-05-09T12:00:00Z"))
+
+    // replaying the same rows (at-least-once duplicate delivery, ST4)
+    val wh2 = LoadCycle.run(wh1.copy(staging = batch1),
+      cutoff("2024-05-09T12:00:00Z"))
+    assert(wh2.fact.orderBy("flight_key").drop("last_updated").collect().toSeq ==
+      wh1.fact.orderBy("flight_key").drop("last_updated").collect().toSeq)
+    assert(wh2.dimAirline.collect().toSeq == wh1.dimAirline.collect().toSeq)
+
+    // a genuinely newer snapshot for k1 overwrites timeline, keeps ids
+    val batch2 = stage(Seq(
+      event("k1", status = "landed", ingest = "2024-05-09T13:00:00Z")))
+    val wh3 = LoadCycle.run(wh2.copy(staging = batch2),
+      cutoff("2024-05-09T14:00:00Z"))
+    val k1 = wh3.fact.filter(col("flight_key") === "k1").collect()(0)
+    assert(k1.getAs[String]("status") == "landed")
+    assert(wh3.fact.count() == 1)
+  }
+
+  test("curated view denormalizes airline and both airports") {
+    val staging = stage(Seq(event("k1", ingest = "2024-05-09T10:30:00Z")))
+    val wh = LoadCycle.run(LoadCycle.emptyWarehouse(staging),
+      cutoff("2024-05-09T12:00:00Z"))
+    val v = LoadCycle.curatedView(wh).collect()(0)
+    assert(v.getAs[String]("airline_name") == "American")
+    assert(v.getAs[String]("dep_code") == "ORG")
+    assert(v.getAs[String]("arr_code") == "DST")
+    assert(v.getAs[String]("dep_airport_name") == "Origin Intl")
+  }
+}
