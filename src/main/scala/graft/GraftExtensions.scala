@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.catalyst.NormalizeTs
+import graft.expr.catalyst.{NormalizeTs, VectorCosine}
 
 /** SQL-surface registration for the engine's native expressions:
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` makes
@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_normalize_ts"),
       new ExpressionInfo(classOf[NormalizeTs].getName, "graft_normalize_ts"),
       (children: Seq[Expression]) => NormalizeTs(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
+      (children: Seq[Expression]) => VectorCosine(children(0), children(1))))
   }
 }

@@ -215,7 +215,7 @@ object SparkEntry {
       .when(branch === 4, date_format(col("ts"), fmtS))
       .when(branch === 5, concat(date_format(col("ts"), fmtS), lit("+00:00")))
       .otherwise(lit("garbage"))
-    ev.select(col("event_id"),
+    ev.repartition(32).select(col("event_id"),
       Timestamps.normalizeTs(raw).cast("timestamp_ntz").as("parsed_ts"))
   }
 
@@ -245,9 +245,16 @@ object SparkEntry {
     TextDedup.lshCandidates(
       TextDedup.minhashSignatures(docShingles(s, dir), 8))
 
-  /** Exact n-gram Jaccard on the LSH candidates. */
-  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccard(qMinhashLsh(s, dir), docShingles(s, dir))
+  /** Exact n-gram Jaccard on the LSH candidates. The shingle set feeds
+    * three consumers and the candidate set two — persist both (at
+    * warehouse scale: a checkpoint of the candidate pairs) instead of
+    * recomputing the explode/minhash DAG per consumer. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir).persist()
+    val cands = TextDedup.lshCandidates(
+      TextDedup.minhashSignatures(sh, 8)).persist()
+    TextDedup.jaccard(cands, sh)
+  }
 
   /** SimHash document fingerprints. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
@@ -317,7 +324,9 @@ object SparkEntry {
       date_format(col("ts"), fmtS).as("ingest_time"),
       lit("synthetic").as("source"))).as("json"))
     val mx = ev.agg(max(col("ts")).as("mx")).first().get(0)
-    FlightStream.pipeline(js, lit(mx).cast("timestamp"))
+    // a real Kafka scan arrives partitioned; the single-file test scan
+    // does not — spread the parse/normalize work like the broker would
+    FlightStream.pipeline(js.repartition(32), lit(mx).cast("timestamp"))
   }
 
   /** A8/ST5: tumbling daily aggregate (streaming-ready plan shape). */
@@ -337,6 +346,16 @@ object SparkEntry {
   /** Embedding-cosine near-dup pairs, bucketed by the cluster label. */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.cosineNearDupPairs(t(s, dir, "embeddings"), "label", 0.28)
+
+  /** Multimodal decode path: binary media column → per-partition batched
+    * feature extraction (stubbed codec; real Spark plumbing). Rows-only
+    * check — the fake decoder is not SQL-expressible. */
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decodeFeatures(
+      Multimodal.asMediaTable(t(s, dir, "documents"))
+        .as[Multimodal.MediaRow]).toDF()
+  }
 
   /** As-of join: odd events look up the latest even-event state at or
     * before their timestamp, per user. */
@@ -385,7 +404,8 @@ object SparkEntry {
     "q30_sliding_window" -> (qSlidingWindow _),
     "q31_approx_distinct" -> (qApproxDistinct _),
     "q32_dedup_embedding" -> (qDedupEmbedding _),
-    "q33_asof_join" -> (qAsofJoin _))
+    "q33_asof_join" -> (qAsofJoin _),
+    "q34_media_features" -> (qMediaFeatures _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.

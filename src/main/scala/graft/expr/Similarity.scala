@@ -20,10 +20,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; NULL on zero-norm inputs (division yields NULL via
-    * nullif guard rather than NaN/Inf). */
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity, HOF form — the property-test twin of the native
+    * expression; NULL on zero-norm inputs (nullif guard, not NaN/Inf). */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Cosine similarity — native fused-loop expression
+    * ([[graft.expr.catalyst.VectorCosine]]); bit-identical to
+    * [[cosineHof]] (same accumulation order, property-tested) with no
+    * per-pair array materialization. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.catalyst.VectorCosine(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(

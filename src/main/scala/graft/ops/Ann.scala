@@ -47,8 +47,13 @@ object Ann {
       col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = corpus.select(col(bucketCol).as("bucket"),
       col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    // score AFTER spreading the pair blow-up: the bucket join's output
+    // parallelism is bounded by the number of distinct buckets (10 labels
+    // → ≤10 busy tasks), while scoring cost is O(pairs × dim) — round-
+    // robin the pairs first so every core scores (per-row op, order-free)
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .repartition(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)

@@ -15,9 +15,17 @@ import graft.expr.{Similarity, TextStats}
   */
 object TextDedup {
 
+  /** Partition for the EXPANDED output, not the input: a shingle explode
+    * multiplies rows ~|tokens|×, so a compact input scan (often one
+    * partition at small scale) must be spread across the cluster BEFORE
+    * the expansion or one task does all the work. Round-robin is safe —
+    * every downstream agg here (min, integer counts) is order-independent. */
+  private def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Exploded distinct (id, shingle) pairs — the set representation. */
   def shingleSet(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
-    docs.select(id.as("doc_id"),
+    fanout(docs).select(id.as("doc_id"),
         explode(TextStats.shingles(text, n)).as("shingle"))
       .distinct()
 
@@ -74,7 +82,7 @@ object TextDedup {
     * from the md5 nibbles; majority-vote each bit over the token set.
     * Oracle-portable (md5 + string ops only) yet still one groupBy. */
   def simhash16(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = docs.select(id.as("doc_id"),
+    val tok = fanout(docs).select(id.as("doc_id"),
         explode(array_distinct(TextStats.tokens(text))).as("tok"))
     val h = md5(col("tok"))
     // bit j = parity of md5 nibble j

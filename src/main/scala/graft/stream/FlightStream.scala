@@ -24,6 +24,34 @@ object FlightStream {
   val KeepStatuses: Seq[String] =
     Seq("active", "landed", "arrived", "en-route", "enroute")
 
+  /** S3: the Kafka streaming source exactly as the reference subscribes
+    * (flight_stream.py:93-100): latest offsets, tolerate data loss, value
+    * bytes → `json` string column ready for [[parse]]. Not exercisable in
+    * this environment (no broker) — covered by the MemoryStream specs,
+    * which feed the identical `json`-column contract. */
+  def fromKafka(spark: org.apache.spark.sql.SparkSession, bootstrap: String,
+      topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("failOnDataLoss", "false")
+      .load()
+      .select(col("value").cast("string").as("json"))
+
+  /** S5: JDBC batch append with the reference's write options
+    * (flight_stream.py:312-322). Per-partition connections; batchsize
+    * bounds statement size. Not exercisable here (no database) — the
+    * parquet staging sink in [[startStagingSink]] is the tested analog. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      user: String, password: String, batchSize: Int = 5000): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("batchsize", batchSize)
+      .option("isolationLevel", "READ_COMMITTED")
+      .mode("append").save()
+
   /** Parse raw JSON strings (the Kafka `value` payload) into the typed,
     * flattened, timestamp-normalized event frame. Works identically on a
     * batch or streaming DataFrame with a single `json` string column. */

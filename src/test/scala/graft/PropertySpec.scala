@@ -98,6 +98,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native VectorCosine ≡ HOF cosine bit-for-bit on random vectors") {
+    import graft.expr.Similarity
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
+    val pairs = Gen.listOfN(200, Gen.zip(vecGen, vecGen)).sample.get
+      .map { case (a, b) => (a.toArray, b.toArray) } ++
+      Seq( // edge shapes
+        (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),       // zero norm → NULL
+        (Array[Float](), Array[Float]()),             // empty → NULL
+        (Array(1.0f), Array(1.0f, 2.0f)))             // length mismatch → NULL
+    val out = pairs.toDF("a", "b").select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("upsertCoalesce idempotence over random batches") {
     val kv = Gen.listOfN(40, for {
       k <- Gen.chooseNum(0, 9)
