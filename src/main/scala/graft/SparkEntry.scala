@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.expr.{Flags, Similarity, TextStats, Timestamps}
-import graft.ops.{Analytics, Ann, AsofJoin, Dedup, Incremental, Merge, Multimodal, Star, TextDedup}
+import graft.ops.{Analytics, Ann, AsofJoin, Dedup, Incremental, Merge, Multimodal, RangeJoin, Star, TextDedup}
 import graft.stream.FlightStream
 
 /** Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -357,6 +357,20 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** Range join: events against synthesized half-day [06:00,18:00]
+    * intervals — bucket-quantized equi-join, never a nested loop. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
+    val iv = ev.select(date_trunc("day", col("ts")).as("d")).distinct()
+      .select(micros(col("d") + expr("INTERVAL 6 HOURS")).as("lo"),
+        micros(col("d") + expr("INTERVAL 18 HOURS")).as("hi"))
+    val pts = ev.select(col("event_id"), micros(col("ts")).as("pt"))
+    RangeJoin.rangeJoin(pts, col("pt"), iv, col("lo"), col("hi"),
+        12L * 3600 * 1000000)
+      .select(col("event_id"), col("lo"), col("hi"))
+  }
+
   /** As-of join: odd events look up the latest even-event state at or
     * before their timestamp, per user. */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -405,7 +419,8 @@ object SparkEntry {
     "q31_approx_distinct" -> (qApproxDistinct _),
     "q32_dedup_embedding" -> (qDedupEmbedding _),
     "q33_asof_join" -> (qAsofJoin _),
-    "q34_media_features" -> (qMediaFeatures _))
+    "q34_media_features" -> (qMediaFeatures _),
+    "q35_range_join" -> (qRangeJoin _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -613,5 +628,11 @@ object SparkEntry {
       ("WITH l AS (SELECT user_id, event_id, ts, value FROM events WHERE event_id % 2 = 1), " +
         "r AS (SELECT user_id, ts, max(value) AS value FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2) " +
         "SELECT l.user_id, l.event_id, l.ts, l.value, r.ts AS r_ts, r.value AS r_value " +
-        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts"))
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts"),
+    "q35_range_join" ->
+      ("WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events), " +
+        "iv AS (SELECT epoch_us(d + INTERVAL 6 HOUR) AS lo, " +
+        "epoch_us(d + INTERVAL 18 HOUR) AS hi FROM days) " +
+        "SELECT e.event_id, iv.lo, iv.hi FROM events e " +
+        "JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi"))
 }

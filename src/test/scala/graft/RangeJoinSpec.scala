@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.ops.{AsofJoin, RangeJoin}
+import graft.stream.StreamDedup
+
+/** Range-join quantization semantics, as-of join edge cases, and
+  * streaming dedup bounded-state behavior. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rangeJoin: inclusive bounds, multi-bucket intervals, no false pairs") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 100L))
+      .toDF("id", "pt")
+    val intervals = Seq((10L, 20L), (0L, 99L)).toDF("lo", "hi")
+    val out = RangeJoin.rangeJoin(points, col("pt"),
+        intervals, col("lo"), col("hi"), bucketWidth = 8L)
+      .select("id", "lo", "hi").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, 0L, 99L),            // 5 only in the wide interval
+      (2L, 10L, 20L), (2L, 0L, 99L), // 10 inclusive lower bound, both
+      (3L, 0L, 99L),            // 25 > 20 → only wide
+      // 100 > 99 → nothing (4 absent)
+      ))
+  }
+
+  test("rangeJoin result is bucketWidth-invariant") {
+    val points = (0L to 50L).map(i => (i, i * 3L)).toDF("id", "pt")
+    val intervals = Seq((10L, 40L), (35L, 36L), (90L, 120L)).toDF("lo", "hi")
+    def run(w: Long) = RangeJoin.rangeJoin(points, col("pt"),
+        intervals, col("lo"), col("hi"), w)
+      .select("id", "lo").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1L) == run(7L) && run(7L) == run(1000L))
+  }
+
+  test("asofJoin: no right row yet → NULLs; exact-ts tie is inclusive") {
+    val left = Seq(("u1", 5L, "a"), ("u1", 10L, "b"), ("u2", 1L, "c"))
+      .toDF("k", "ts", "lv")
+    val right = Seq(("u1", 5L, 100.0), ("u1", 8L, 200.0))
+      .toDF("k", "ts", "rv")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "ts")
+      .orderBy("k", "ts").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("r_rv")) == 100.0) // ts=5 inclusive
+    assert(out(1).getDouble(out(1).fieldIndex("r_rv")) == 200.0) // latest ≤ 10
+    assert(out(2).isNullAt(out(2).fieldIndex("r_rv")))           // u2: none
+  }
+
+  test("streaming exact dedup: duplicates dropped within watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Obs]
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val q = StreamDedup.exactDedupStream(ms.toDF(), Seq("key"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(Obs("a", t("2024-05-09T10:00:00Z"), 1.0),
+      Obs("a", t("2024-05-09T10:00:00Z"), 1.0)) // same-batch duplicate
+    q.processAllAvailable()
+    ms.addData(Obs("a", t("2024-05-09T10:10:00Z"), 2.0)) // dup key, within horizon
+    q.processAllAvailable()
+    assert(spark.table("dedup_sink").count() == 1) // only first occurrence
+    q.stop()
+  }
+}
