@@ -357,6 +357,31 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** Exact interpolated percentiles per group (median / p95). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+
+  /** Hierarchical rollup totals over the star dimensions (ROLLUP —
+    * region, region+nation, grand total in one pass). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        // grand-total magnitude ~3e9: 1 double-ulp (~5e-7) exceeds the
+        // engines' decimal→double conversion agreement — round to 4 dp
+        round(sum(revenue).cast("double"), 4).as("revenue"))
+
   /** Range join: events against synthesized half-day [06:00,18:00]
     * intervals — bucket-quantized equi-join, never a nested loop. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -420,7 +445,9 @@ object SparkEntry {
     "q32_dedup_embedding" -> (qDedupEmbedding _),
     "q33_asof_join" -> (qAsofJoin _),
     "q34_media_features" -> (qMediaFeatures _),
-    "q35_range_join" -> (qRangeJoin _))
+    "q35_range_join" -> (qRangeJoin _),
+    "q36_percentiles" -> (qPercentiles _),
+    "q37_rollup" -> (qRollup _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -634,5 +661,17 @@ object SparkEntry {
         "iv AS (SELECT epoch_us(d + INTERVAL 6 HOUR) AS lo, " +
         "epoch_us(d + INTERVAL 18 HOUR) AS hi FROM days) " +
         "SELECT e.event_id, iv.lo, iv.hi FROM events e " +
-        "JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi"))
+        "JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi"),
+    "q36_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n " +
+        "FROM events GROUP BY 1"),
+    "q37_rollup" ->
+      ("SELECT r_name, n_name, count(*) AS n_items, " +
+        s"round(CAST(sum($revenueSql) AS DOUBLE), 4) AS revenue FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP (r_name, n_name)"))
 }
