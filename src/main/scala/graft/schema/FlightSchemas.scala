@@ -8,6 +8,24 @@ import org.apache.spark.sql.types._
   * StringType except the two delay_min IntegerTypes; timestamps arrive as
   * strings and are normalized downstream.
   */
+/** Typed mirror of [[FlightSchemas.eventSchema]] for the `Dataset[T]`
+  * API surface: compile-time field access where type safety matters more
+  * than the last bit of codegen (typed lambdas leave whole-stage codegen;
+  * the hot ingest path stays on the untyped Column API by design). */
+case class AirlineRef(iata: Option[String], icao: Option[String],
+    name: Option[String])
+case class FlightRef(number: Option[String], iata: Option[String],
+    icao: Option[String])
+case class EndpointRef(airport: Option[String], iata: Option[String],
+    icao: Option[String], gate: Option[String], terminal: Option[String],
+    schedule: Option[String], estimated: Option[String],
+    actual: Option[String], delay_min: Option[Int])
+case class FlightEvent(flight_key: Option[String], flight_date: Option[String],
+    status: Option[String], airline: Option[AirlineRef],
+    flight: Option[FlightRef], departure: Option[EndpointRef],
+    arrival: Option[EndpointRef], ingest_time: Option[String],
+    source: Option[String])
+
 object FlightSchemas {
 
   private def ep = StructType(Seq(

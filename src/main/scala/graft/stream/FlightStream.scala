@@ -87,6 +87,27 @@ object FlightStream {
           flat.map { case (as, src) => col(src).as(as) }): _*)
   }
 
+  /** Typed variant of [[parse]]: the same explicit-schema JSON parse
+    * surfaced as `Dataset[FlightEvent]` for callers who want compile-time
+    * field access (schema drift = compile error, not a runtime NULL). */
+  def parseTyped(raw: DataFrame): org.apache.spark.sql.Dataset[graft.schema.FlightEvent] = {
+    import raw.sparkSession.implicits._
+    raw.select(from_json(col("json"), FlightSchemas.eventSchema).as("r"))
+      .select(col("r.*"))
+      .as[graft.schema.FlightEvent]
+  }
+
+  /** S2: Kafka producer sink (run_producer.py:143-158 analog) — JSON
+    * value stream back to a topic. Compile-only here (no broker). */
+  def toKafka(staged: DataFrame, bootstrap: String, topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    staged.select(to_json(struct(staged.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Status allow-list + 3-day retention + junk guard
     * (flight_stream.py:238-268). */
   def filterRelevant(parsed: DataFrame, now: Column): DataFrame = {

@@ -86,6 +86,16 @@ class FlightStreamSpec extends SparkSpec {
       java.sql.Timestamp.from(java.time.Instant.parse(now)))
   }
 
+  test("parseTyped: Dataset[FlightEvent] round-trips fields; junk → None") {
+    val ds = FlightStream.parseTyped(Seq(event(), "{not json").toDF("json"))
+    val rows = ds.collect()
+    assert(rows.length == 2)
+    val ok = rows.find(_.flight_key.isDefined).get
+    assert(ok.airline.get.iata.contains("AA"))
+    assert(ok.departure.get.delay_min.contains(7))
+    assert(rows.exists(r => r.flight_key.isEmpty && r.airline.isEmpty))
+  }
+
   test("MemoryStream → foreachBatch sink appends across batches; restart resumes from checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("fs-test").toString
     val out = s"$dir/staging"
