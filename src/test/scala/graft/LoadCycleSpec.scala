@@ -94,6 +94,36 @@ class LoadCycleSpec extends SparkSpec {
     assert(wh3.fact.count() == 1)
   }
 
+  test("end-to-end topology: stream → staging parquet → warehouse → curated view") {
+    // the whole reference pipeline in one test: Kafka-shaped JSON through
+    // the streaming sink, loader cycle over the staged parquet, analytics
+    // off the curated view (docker-compose.yml:3-117 as a library call)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val dir = java.nio.file.Files.createTempDirectory("e2e").toString
+    val staged = stage0(ms.toDF().withColumnRenamed("value", "json"))
+    val q = FlightStream.startStagingSink(staged, s"$dir/staging", s"$dir/cp")
+    ms.addData(event("e2e_k1", ingest = "2024-05-09T10:30:00Z"))
+    ms.addData(event("e2e_k1", status = "landed", ingest = "2024-05-09T11:30:00Z"),
+      event("e2e_k2", ingest = "2024-05-09T10:45:00Z",
+        airlineIata = null, airlineIcao = "BBL", airlineName = "Beta"))
+    q.processAllAvailable(); q.stop()
+
+    val staging = spark.read.parquet(s"$dir/staging")
+    val wh = LoadCycle.run(LoadCycle.emptyWarehouse(staging),
+      cutoff("2024-05-09T12:00:00Z"))
+    val view = LoadCycle.curatedView(wh)
+    assert(view.count() == 2)
+    val k1 = view.filter(col("flight_key") === "e2e_k1").collect()(0)
+    assert(k1.getAs[String]("status") == "landed") // latest snapshot won
+    assert(k1.getAs[String]("airline_name") == "American")
+    assert(k1.getAs[String]("dep_code") == "ORG")
+  }
+
+  private def stage0(raw: org.apache.spark.sql.DataFrame) =
+    FlightStream.pipeline(raw,
+      lit(java.sql.Timestamp.from(java.time.Instant.parse(now))))
+
   test("curated view denormalizes airline and both airports") {
     val staging = stage(Seq(event("k1", ingest = "2024-05-09T10:30:00Z")))
     val wh = LoadCycle.run(LoadCycle.emptyWarehouse(staging),

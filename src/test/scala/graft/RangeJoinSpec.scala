@@ -48,6 +48,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("r_rv")))           // u2: none
   }
 
+  test("asofJoin ≡ naive join+argmax on random keyed data (property)") {
+    import org.scalacheck.Gen
+    val rows = Gen.listOfN(300, for {
+      k <- Gen.chooseNum(0, 8); ts <- Gen.chooseNum(0L, 50L)
+      v <- Gen.chooseNum(0.0, 9.0)
+    } yield (s"u$k", ts, v)).sample.get
+    val left = rows.take(150).toDF("k", "ts", "lv")
+    // right must be unique per (k, ts) — the operator's contract
+    val right = rows.drop(150).toDF("k", "ts", "rv")
+      .groupBy("k", "ts").agg(max("rv").as("rv"))
+    val fast = AsofJoin.asofJoin(left, right, Seq("k"), "ts")
+      .select("k", "ts", "lv", "r_ts", "r_rv")
+      .collect().map(_.toSeq).toSet
+    // reference implementation: quadratic join + latest-per-left-row argmax
+    val naive = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"), "left")
+      .groupBy(col("l.k").as("k"), col("l.ts").as("ts"), col("l.lv").as("lv"))
+      .agg(max_by(struct(col("r.ts"), col("r.rv")), col("r.ts")).as("m"))
+      .select(col("k"), col("ts"), col("lv"),
+        col("m.ts").as("r_ts"), col("m.rv").as("r_rv"))
+      .collect().map(_.toSeq).toSet
+    assert(fast == naive)
+  }
+
   test("streaming exact dedup: duplicates dropped within watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Obs]
