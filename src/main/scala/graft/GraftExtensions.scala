@@ -22,5 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
       (children: Seq[Expression]) => VectorCosine(children(0), children(1))))
+    // whole-operator surface: the native as-of join physical strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
