@@ -357,6 +357,15 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** Pivot: event counts per user-bucket × event_type (fixed column set
+    * so the schema is static — the scale-safe form of pivot). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "purchase", "signup", "view", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** Exact interpolated percentiles per group (median / p95). */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -447,7 +456,8 @@ object SparkEntry {
     "q34_media_features" -> (qMediaFeatures _),
     "q35_range_join" -> (qRangeJoin _),
     "q36_percentiles" -> (qPercentiles _),
-    "q37_rollup" -> (qRollup _))
+    "q37_rollup" -> (qRollup _),
+    "q38_pivot" -> (qPivot _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -662,6 +672,14 @@ object SparkEntry {
         "epoch_us(d + INTERVAL 18 HOUR) AS hi FROM days) " +
         "SELECT e.event_id, iv.lo, iv.hi FROM events e " +
         "JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi"),
+    "q38_pivot" ->
+      ("SELECT user_id % 10 AS user_bucket, " +
+        "count(*) FILTER (event_type = 'click') AS click, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup') AS signup, " +
+        "count(*) FILTER (event_type = 'view') AS view, " +
+        "count(*) FILTER (event_type = 'error') AS error " +
+        "FROM events GROUP BY 1"),
     "q36_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
         "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n " +

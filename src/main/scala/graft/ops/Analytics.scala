@@ -72,6 +72,16 @@ object Analytics {
         (abs(col("n_approx") - col("n_exact")).cast("double") /
           col("n_exact") <= maxRelErr).as("ok"))
 
+  /** Session windows via the built-in `session_window` (streaming-capable
+    * twin of [[sessionize]]; state merges adjacent windows, watermark
+    * closes them). */
+  def sessionWindowAgg(df: DataFrame, user: Column, ts: Column,
+      gap: String): DataFrame =
+    df.groupBy(session_window(ts, gap).as("w"), user.as("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Sessionization: split each user's event stream at gaps > `gapSec`,
     * aggregate per session. Integer microsecond arithmetic end-to-end
     * (exact, oracle-comparable). One shuffle on user, one window sort. */

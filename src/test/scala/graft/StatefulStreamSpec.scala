@@ -58,6 +58,31 @@ class StatefulStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("session_window aggregation on a watermarked stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Obs]
+    val agg = Analytics.sessionWindowAgg(
+      ms.toDF().withWatermark("ts", "0 seconds"), col("key"), col("ts"), "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess_sink")
+      .outputMode(OutputMode.Append).start()
+    // two events 10 min apart (one session), one 2h later (new session)
+    ms.addData(Obs("u1", t("2024-05-09T10:00:00Z"), 1.0),
+      Obs("u1", t("2024-05-09T10:10:00Z"), 1.0),
+      Obs("u1", t("2024-05-09T12:00:00Z"), 1.0))
+    q.processAllAvailable()
+    // close all sessions by advancing the watermark far ahead
+    ms.addData(Obs("zz", t("2024-05-10T00:00:00Z"), 0.0))
+    q.processAllAvailable()
+    ms.addData(Obs("zz2", t("2024-05-11T00:00:00Z"), 0.0))
+    q.processAllAvailable()
+    val u1 = spark.table("sess_sink").filter(col("user_id") === "u1")
+      .orderBy("session_start").collect()
+    assert(u1.length == 2)
+    assert(u1(0).getAs[Long]("n_events") == 2L) // merged 10:00+10:10
+    assert(u1(1).getAs[Long]("n_events") == 1L)
+    q.stop()
+  }
+
   test("tumblingAgg runs unchanged on a watermarked stream (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Obs]
