@@ -124,6 +124,32 @@ class LoadCycleSpec extends SparkSpec {
     FlightStream.pipeline(raw,
       lit(java.sql.Timestamp.from(java.time.Instant.parse(now))))
 
+  test("WarehouseSink: continuous micro-batch warehouse with versioned swap") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val dir = java.nio.file.Files.createTempDirectory("whsink").toString
+    val sink = new graft.stream.WarehouseSink(spark, s"$dir/wh")
+    val q = sink.start(stage0(ms.toDF().withColumnRenamed("value", "json")),
+      s"$dir/cp")
+
+    ms.addData(event("w_k1", ingest = "2024-05-09T10:30:00Z"))
+    q.processAllAvailable()
+    assert(sink.warehouse.fact.count() == 1)
+
+    // batch 2: newer snapshot for k1 + a new flight; merges onto v1
+    ms.addData(event("w_k1", status = "landed", ingest = "2024-05-09T11:30:00Z"),
+      event("w_k2", ingest = "2024-05-09T11:00:00Z"))
+    q.processAllAvailable()
+    q.stop()
+    val fact = sink.warehouse.fact
+    assert(fact.count() == 2)
+    assert(fact.filter(col("flight_key") === "w_k1")
+      .collect()(0).getAs[String]("status") == "landed")
+    // both warehouse versions exist on disk (write-then-swap, no in-place)
+    assert(new java.io.File(s"$dir/wh/v1/fact").exists)
+    assert(new java.io.File(s"$dir/wh/v2/fact").exists)
+  }
+
   test("curated view denormalizes airline and both airports") {
     val staging = stage(Seq(event("k1", ingest = "2024-05-09T10:30:00Z")))
     val wh = LoadCycle.run(LoadCycle.emptyWarehouse(staging),
