@@ -357,6 +357,11 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** Rolling-hash content fingerprint per document. */
+  private def qRollingHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(32)
+      .select(col("doc_id"), TextStats.rollingHash(col("text")).as("rhash"))
+
   /** Pivot: event counts per user-bucket × event_type (fixed column set
     * so the schema is static — the scale-safe form of pivot). */
   private def qPivot(s: SparkSession, dir: String): DataFrame =
@@ -457,7 +462,8 @@ object SparkEntry {
     "q35_range_join" -> (qRangeJoin _),
     "q36_percentiles" -> (qPercentiles _),
     "q37_rollup" -> (qRollup _),
-    "q38_pivot" -> (qPivot _))
+    "q38_pivot" -> (qPivot _),
+    "q39_rolling_hash" -> (qRollingHash _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -672,6 +678,10 @@ object SparkEntry {
         "epoch_us(d + INTERVAL 18 HOUR) AS hi FROM days) " +
         "SELECT e.event_id, iv.lo, iv.hi FROM events e " +
         "JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi"),
+    "q39_rolling_hash" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(h, c) -> (h * 31 + c) % 1000000007) AS rhash FROM documents"),
     "q38_pivot" ->
       ("SELECT user_id % 10 AS user_bucket, " +
         "count(*) FILTER (event_type = 'click') AS click, " +

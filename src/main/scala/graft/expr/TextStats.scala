@@ -63,6 +63,13 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Polynomial rolling hash over the character stream (Rabin-Karp
+    * base-31 mod 1e9+7): the classic cheap content fingerprint; folds
+    * left-to-right inside codegen, no UDF. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (h, c) => pmod(h * lit(31L) + ascii(c), lit(1000000007L)))
+
   /** Contiguous word n-gram shingles as strings, e.g. n=3. Docs shorter
     * than n yield an empty array (sequence() would otherwise descend). */
   def shingles(text: Column, n: Int): Column = {
