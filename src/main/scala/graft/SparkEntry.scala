@@ -357,6 +357,26 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** D1 window-function form (row_number = 1) — the literal DISTINCT ON
+    * rewrite, same oracle as the max_by form. */
+  private def qLatestWindow(s: SparkSession, dir: String): DataFrame =
+    Dedup.latestPerKeyWindow(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+
+  /** Approx percentile with an in-plan error-bound assertion against the
+    * exact value (same oracle pattern as q31). */
+  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      .select(col("event_type"), col("p50_exact"),
+        (col("p50_approx").between(col("lo"), col("hi"))).as("ok"))
+
   /** Rolling-hash content fingerprint per document. */
   private def qRollingHash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").repartition(32)
@@ -463,7 +483,9 @@ object SparkEntry {
     "q36_percentiles" -> (qPercentiles _),
     "q37_rollup" -> (qRollup _),
     "q38_pivot" -> (qPivot _),
-    "q39_rolling_hash" -> (qRollingHash _))
+    "q39_rolling_hash" -> (qRollingHash _),
+    "q40_latest_window" -> (qLatestWindow _),
+    "q41_approx_percentile" -> (qApproxPercentile _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -678,6 +700,11 @@ object SparkEntry {
         "epoch_us(d + INTERVAL 18 HOUR) AS hi FROM days) " +
         "SELECT e.event_id, iv.lo, iv.hi FROM events e " +
         "JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi"),
+    "q40_latest_window" ->
+      s"SELECT user_id, event_id, ts, event_type, value FROM events $latestSql",
+    "q41_approx_percentile" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, " +
+        "TRUE AS ok FROM events GROUP BY 1"),
     "q39_rolling_hash" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +

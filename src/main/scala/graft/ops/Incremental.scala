@@ -19,4 +19,25 @@ object Incremental {
   /** U7/A2: next watermark = greatest(old, max(batch)) — monotonic. */
   def advanceWatermark(batch: DataFrame, wmCol: Column, old: Column): DataFrame =
     batch.agg(greatest(max(wmCol), old).as("watermark"))
+
+  /** The sink's main loop (sheets_sink.py:300-335): drain the table in
+    * watermark order, `n` rows per batch, advancing the watermark after
+    * each append — returns the batches in export order. Driver-side loop
+    * by design (state = one scalar), each batch a distributed
+    * TakeOrdered job. Requires `wmCol` values unique per row (the
+    * reference's `last_updated`); ties at a batch boundary would
+    * otherwise re-export. */
+  def drainAll(df: DataFrame, wmCol: Column, orderCols: Seq[Column],
+      start: Any, n: Int): Seq[DataFrame] = {
+    var wm: Any = start
+    val out = Seq.newBuilder[DataFrame]
+    var done = false
+    while (!done) {
+      val batch = exportBatch(df, wmCol, lit(wm), orderCols, n)
+      val rows = batch.agg(count(lit(1)), max(wmCol)).first()
+      if (rows.getLong(0) == 0L) done = true
+      else { out += batch; wm = rows.get(1) }
+    }
+    out.result()
+  }
 }

@@ -123,6 +123,28 @@ object FlightStream {
           col("dep_act_ts").isNotNull || col("arr_act_ts").isNotNull))
   }
 
+  /** Data-quality split: the rows [[filterRelevant]] drops, with the
+    * first failing rule as a reason column — the quarantine/dead-letter
+    * side of the ingest filter (the reference only logs+drops;
+    * flight_stream.py:303-330). One pass, same predicates. */
+  def quarantine(parsed: DataFrame, now: Column): DataFrame = {
+    val threeDaysAgo = now - expr("INTERVAL 3 DAYS")
+    def recent(c: String) = col(c).isNotNull && (col(c) >= threeDaysAgo)
+    val anyTs = col("dep_sched_ts").isNotNull || col("arr_sched_ts").isNotNull ||
+      col("dep_act_ts").isNotNull || col("arr_act_ts").isNotNull
+    parsed
+      .withColumn("status_lc", lower(col("status")))
+      .withColumn("reject_reason",
+        when(!col("status_lc").isin(KeepStatuses: _*) ||
+          col("status_lc").isNull, lit("status_not_allowed"))
+          .when(col("flight_key").isNull, lit("null_flight_key"))
+          .when(!anyTs, lit("no_timestamps"))
+          .when(!(recent("dep_sched_ts") || recent("arr_sched_ts") ||
+            recent("dep_act_ts") || recent("arr_act_ts")), lit("stale"))
+          .otherwise(lit(null).cast("string")))
+      .filter(col("reject_reason").isNotNull)
+  }
+
   /** Final 28-column staging projection with sink aliases
     * (flight_stream.py:284-301); ingest falls back to `now`. */
   def stagingProjection(filtered: DataFrame, now: Column): DataFrame =

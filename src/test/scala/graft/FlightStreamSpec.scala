@@ -86,6 +86,24 @@ class FlightStreamSpec extends SparkSpec {
       java.sql.Timestamp.from(java.time.Instant.parse(now)))
   }
 
+  test("quarantine: rejected rows carry the first failing reason; disjoint with kept") {
+    val nowCol = lit(java.sql.Timestamp.from(java.time.Instant.parse(now)))
+    val jsons = Seq(
+      event(),                                  // kept
+      event(status = "cancelled"),              // status_not_allowed
+      event(key = null),                        // null_flight_key
+      event(depSched = "zzz", arrSched = null), // no_timestamps
+      event(depSched = "2024-05-01T10:00:00Z",  // stale (both old)
+        arrSched = "2024-05-01T12:00:00Z"))
+    val parsed = FlightStream.parse(jsons.toDF("json"))
+    val rejected = FlightStream.quarantine(parsed, nowCol)
+    val reasons = rejected.select("reject_reason").as[String].collect().sorted
+    assert(reasons.toSeq == Seq(
+      "no_timestamps", "null_flight_key", "stale", "status_not_allowed"))
+    val kept = FlightStream.filterRelevant(parsed, nowCol)
+    assert(kept.count() + rejected.count() == jsons.length)
+  }
+
   test("parseTyped: Dataset[FlightEvent] round-trips fields; junk → None") {
     val ds = FlightStream.parseTyped(Seq(event(), "{not json").toDF("json"))
     val rows = ds.collect()

@@ -62,6 +62,15 @@ class StarSpec extends SparkSpec {
     assert(next2.getLong(0) == 3L)
   }
 
+  test("drainAll: full table exported once, in order, bounded batches") {
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("wm", "v")
+    val batches = Incremental.drainAll(df, col("wm"), Seq(col("wm")),
+      start = 2L, n = 3)
+    assert(batches.map(_.count()).toSeq == Seq(3, 3, 2)) // rows 3..10
+    val all = batches.flatMap(_.select("wm").as[Long].collect())
+    assert(all == (3L to 10L)) // ordered, no dup, no gap, respects start
+  }
+
   test("bruteForceTopK: self excluded, rank deterministic, k bounded") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),
