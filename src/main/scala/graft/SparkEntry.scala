@@ -357,6 +357,19 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** Reproducible hash-based train/val/test split over documents. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.hashSplit(t(s, dir, "documents").select(col("doc_id")),
+        col("doc_id"), Seq(10 -> "val", 20 -> "test", 100 -> "train"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+
+  /** P13-style export rendering: typed values → stable strings. */
+  private def qExportRender(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("value").cast("decimal(12,2)").cast("string").as("value_str"))
+
   /** D1 window-function form (row_number = 1) — the literal DISTINCT ON
     * rewrite, same oracle as the max_by form. */
   private def qLatestWindow(s: SparkSession, dir: String): DataFrame =
@@ -485,7 +498,9 @@ object SparkEntry {
     "q38_pivot" -> (qPivot _),
     "q39_rolling_hash" -> (qRollingHash _),
     "q40_latest_window" -> (qLatestWindow _),
-    "q41_approx_percentile" -> (qApproxPercentile _))
+    "q41_approx_percentile" -> (qApproxPercentile _),
+    "q42_hash_split" -> (qHashSplit _),
+    "q43_export_render" -> (qExportRender _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -702,6 +717,13 @@ object SparkEntry {
         "JOIN iv ON epoch_us(e.ts) BETWEEN iv.lo AND iv.hi"),
     "q40_latest_window" ->
       s"SELECT user_id, event_id, ts, event_type, value FROM events $latestSql",
+    "q42_hash_split" ->
+      ("WITH b AS (SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bkt FROM documents) " +
+        "SELECT CASE WHEN bkt < 10 THEN 'val' WHEN bkt < 20 THEN 'test' ELSE 'train' END AS split, " +
+        "count(*) AS n FROM b GROUP BY 1"),
+    "q43_export_render" ->
+      ("SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str FROM events"),
     "q41_approx_percentile" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, " +
         "TRUE AS ok FROM events GROUP BY 1"),

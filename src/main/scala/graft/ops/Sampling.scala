@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling/splitting for training-data pipelines.
+  *
+  * Hash-based, not `rand()`-based: the assignment is a pure function of
+  * the row's id, so it is stable across runs, executors, retries, and
+  * engine versions — the property that makes a train/test split
+  * defensible. Buckets come from the first 8 hex chars of md5 (shared
+  * vocabulary with any other engine; xxhash64 would be Spark-only).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the id. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic percentage split: `cuts` are ascending percentile
+    * upper bounds mapped to labels, e.g.
+    * `Seq(10 -> "val", 20 -> "test", 100 -> "train")`. */
+  def hashSplit(df: DataFrame, id: Column, cuts: Seq[(Int, String)]): DataFrame = {
+    val b = hashBucket(id, 100)
+    // nested when, innermost = smallest cut → first-match semantics
+    val assigned = cuts.sortBy(_._1).reverse
+      .foldLeft(lit(null).cast("string")) { case (elseC, (hi, label)) =>
+        when(b < hi, lit(label)).otherwise(elseC)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Deterministic fractional sample: keep ~`percent`% of rows by id
+    * hash — repeatable, join-stable (the same ids are kept everywhere). */
+  def hashSample(df: DataFrame, id: Column, percent: Int): DataFrame =
+    df.filter(hashBucket(id, 100) < percent)
+}

@@ -62,6 +62,23 @@ class StarSpec extends SparkSpec {
     assert(next2.getLong(0) == 3L)
   }
 
+  test("hashSplit: deterministic, exhaustive, approximately proportioned") {
+    import graft.ops.Sampling
+    val ids = (1L to 2000L).toDF("id")
+    val cuts = Seq(10 -> "val", 20 -> "test", 100 -> "train")
+    val a = Sampling.hashSplit(ids, col("id"), cuts)
+    val b = Sampling.hashSplit(ids, col("id"), cuts)
+    assert(a.collect().toSeq == b.collect().toSeq) // run-to-run identical
+    val byLabel = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == 2000L) // exhaustive, no NULL split
+    assert(byLabel("train") > 1400 && byLabel("val") > 100 && byLabel("test") > 100)
+    // sample keeps exactly the ids whose bucket qualifies — join-stable
+    val sampled = Sampling.hashSample(ids, col("id"), 10)
+    assert(sampled.count() ==
+      a.filter(col("split") === "val").count())
+  }
+
   test("drainAll: full table exported once, in order, bounded batches") {
     val df = (1L to 10L).map(i => (i, s"v$i")).toDF("wm", "v")
     val batches = Incremental.drainAll(df, col("wm"), Seq(col("wm")),
