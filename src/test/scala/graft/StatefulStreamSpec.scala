@@ -83,6 +83,19 @@ class StatefulStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("Trigger.AvailableNow drains pending data then stops on its own") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Obs]
+    ms.addData(Obs("a", t("2024-05-09T10:00:00Z"), 1.0),
+      Obs("b", t("2024-05-09T11:00:00Z"), 2.0))
+    val q = ms.toDF().writeStream.format("memory").queryName("avnow_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode(OutputMode.Append).start()
+    q.awaitTermination(30000) // self-terminates after draining
+    assert(!q.isActive)
+    assert(spark.table("avnow_sink").count() == 2)
+  }
+
   test("tumblingAgg runs unchanged on a watermarked stream (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Obs]
