@@ -284,7 +284,7 @@ object SparkEntry {
   /** IVF-bucketed ANN — the scale path (no SQL oracle: rows-only check). */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "label", 10)
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "label", 10, nprobe = 3)
   }
 
   /** Multimodal metadata plumbing (Catalyst-only part). */

@@ -60,11 +60,14 @@ object Ann {
   }
 
   /** IVF-style ANN: centroids from a coarse partitioner column (here: any
-    * assignment, e.g. a precomputed cluster label), queries probe only
-    * their nearest centroid's partition. Returns top-k within the probed
-    * cell. Recall < 1.0 by design; cost drops by the number of cells. */
+    * assignment, e.g. a precomputed cluster label); each query probes its
+    * `nprobe` nearest centroids' partitions. Returns top-k within the
+    * probed cells. The recall/cost knob: cost scales with
+    * nprobe/numCells of a full scan; nprobe = numCells degenerates to
+    * exact search (asserted in AnnSpec). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, cellCol: String, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 1): DataFrame = {
     // centroids: elementwise mean per cell, via posexplode + re-assemble
     val centroids = corpus
       .select(col(cellCol).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
@@ -77,9 +80,11 @@ object Ann {
     val qc = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
       .crossJoin(broadcast(centroids))
       .withColumn("d", Similarity.l2Distance(col("q_vec"), col("centroid")))
-    val probe = Dedup.latestPerKey(
-      qc.select(col("q_id"), col("q_vec"), col("cell"), negate(col("d")).as("nd")),
-      Seq("q_id"), Seq(col("nd"), col("cell")))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val probe = qc
+      .withColumn("__pr", row_number().over(wProbe))
+      .filter(col("__pr") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("cell"))
     // score only within the probed cell
     val scored = corpus.select(col(cellCol).as("cell"), col(idCol), col(vecCol))
