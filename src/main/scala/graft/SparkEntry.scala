@@ -429,6 +429,35 @@ object SparkEntry {
         // engines' decimal→double conversion agreement — round to 4 dp
         round(sum(revenue).cast("double"), 4).as("revenue"))
 
+  /** CUBE over event dimensions (all grouping combinations in one pass). */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .cube(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+          .as("sum_v"))
+
+  /** Analytic window functions: per-user inter-event gap + running rank. */
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      ((micros(col("ts")) - lag(micros(col("ts")), 1).over(w)) / 1000000L)
+        .as("gap_sec"),
+      rank().over(w).cast("long").as("rnk"),
+      lead(col("event_id"), 1).over(w).as("next_event"))
+  }
+
+  /** Full warehouse load cycle over stream-synthesized staging (U6 in the
+    * bench path; rows-only — surrogate-hash ids aren't SQL-portable). */
+  private def qWarehouseCycle(s: SparkSession, dir: String): DataFrame = {
+    val staging = qStreamPipeline(s, dir)
+    val cutoff = staging.agg(max(col("ingest_time"))).first().getTimestamp(0)
+    ops.LoadCycle.run(ops.LoadCycle.emptyWarehouse(staging), lit(cutoff)).fact
+  }
+
   /** Range join: events against synthesized half-day [06:00,18:00]
     * intervals — bucket-quantized equi-join, never a nested loop. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
@@ -500,7 +529,10 @@ object SparkEntry {
     "q40_latest_window" -> (qLatestWindow _),
     "q41_approx_percentile" -> (qApproxPercentile _),
     "q42_hash_split" -> (qHashSplit _),
-    "q43_export_render" -> (qExportRender _))
+    "q43_export_render" -> (qExportRender _),
+    "q44_cube" -> (qCube _),
+    "q45_window_funcs" -> (qWindowFuncs _),
+    "q46_warehouse_cycle" -> (qWarehouseCycle _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -724,6 +756,15 @@ object SparkEntry {
     "q43_export_render" ->
       ("SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
         "CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str FROM events"),
+    "q44_cube" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v " +
+        "FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))"),
+    "q45_window_funcs" ->
+      ("SELECT user_id, event_id, " +
+        "(epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000 AS gap_sec, " +
+        "rank() OVER w AS rnk, lead(event_id) OVER w AS next_event " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
     "q41_approx_percentile" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact, " +
         "TRUE AS ok FROM events GROUP BY 1"),
