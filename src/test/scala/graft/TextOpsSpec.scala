@@ -36,6 +36,23 @@ class TextOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("LSH guarantee: exact-duplicate texts are ALWAYS candidates") {
+    import graft.ops.TextDedup
+    // identical text → identical shingle set → identical signatures →
+    // same band signatures → candidate pair, with probability 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "the quick brown fox jumps over dogs"),
+      (4L, "completely different content entirely here now"))
+      .toDF("doc_id", "text")
+    val cands = TextDedup.lshCandidates(
+      TextDedup.minhashSignatures(
+        TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3), 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
   test("simhash: identical docs get identical fingerprints, dissimilar differ") {
     val s = TextDedup.simhash16(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
