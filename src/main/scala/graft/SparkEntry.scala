@@ -453,7 +453,9 @@ object SparkEntry {
   /** Full warehouse load cycle over stream-synthesized staging (U6 in the
     * bench path; rows-only — surrogate-hash ids aren't SQL-portable). */
   private def qWarehouseCycle(s: SparkSession, dir: String): DataFrame = {
-    val staging = qStreamPipeline(s, dir)
+    // staging is a materialized table in the reference — persist, or the
+    // load cycle's ~6 consumers re-run the whole synth+parse pipeline
+    val staging = qStreamPipeline(s, dir).persist()
     val cutoff = staging.agg(max(col("ingest_time"))).first().getTimestamp(0)
     ops.LoadCycle.run(ops.LoadCycle.emptyWarehouse(staging), lit(cutoff)).fact
   }
