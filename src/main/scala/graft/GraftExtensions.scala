@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.catalyst.{NormalizeTs, VectorCosine}
+import graft.expr.catalyst.{BitsetDistinct, NormalizeTs, VectorCosine}
 
 /** SQL-surface registration for the engine's native expressions:
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` makes
@@ -22,6 +22,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
       (children: Seq[Expression]) => VectorCosine(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bitset_distinct"),
+      new ExpressionInfo(classOf[BitsetDistinct].getName, "graft_bitset_distinct"),
+      (children: Seq[Expression]) => {
+        val maxId = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bitset_distinct(col, maxId): maxId must be an int literal, got $other")
+        }
+        BitsetDistinct(children.head, maxId)
+      }))
     // whole-operator surface: the native as-of join physical strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -429,6 +429,14 @@ object SparkEntry {
         // engines' decimal→double conversion agreement — round to 4 dp
         round(sum(revenue).cast("double"), 4).as("revenue"))
 
+  /** Exact distinct via the mergeable bitset aggregate (fixed-size
+    * map-side buffers, bitwise-OR merge) against count(DISTINCT). */
+  private def qBitsetDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.expr.catalyst.BitsetDistinct
+        .bitsetDistinct(col("user_id"), 1 << 14).as("n_users"))
+
   /** CUBE over event dimensions (all grouping combinations in one pass). */
   private def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -534,7 +542,8 @@ object SparkEntry {
     "q43_export_render" -> (qExportRender _),
     "q44_cube" -> (qCube _),
     "q45_window_funcs" -> (qWindowFuncs _),
-    "q46_warehouse_cycle" -> (qWarehouseCycle _))
+    "q46_warehouse_cycle" -> (qWarehouseCycle _),
+    "q47_bitset_distinct" -> (qBitsetDistinct _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -758,6 +767,8 @@ object SparkEntry {
     "q43_export_render" ->
       ("SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, " +
         "CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str FROM events"),
+    "q47_bitset_distinct" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "q44_cube" ->
       ("SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n, " +
         "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v " +

@@ -118,6 +118,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BitsetDistinct ≡ countDistinct across partitions; null-safe; range-checked") {
+    import graft.expr.catalyst.BitsetDistinct.bitsetDistinct
+    val rows = Gen.listOfN(500, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.option(Gen.chooseNum(0L, 999L)))).sample.get
+    val df = rows.toDF("g", "id").repartition(8) // force multi-partition merge
+    val got = df.groupBy("g")
+      .agg(bitsetDistinct(col("id"), 1023).as("n"),
+        countDistinct(col("id")).as("expect"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2), r))
+    // out-of-domain id → clear error, not silent wrong answer
+    val err = intercept[Exception] {
+      Seq(5000L).toDF("id")
+        .agg(bitsetDistinct(col("id"), 1023)).collect()
+    }
+    assert(err.getMessage.contains("outside") ||
+      err.getCause != null && err.getCause.getMessage.contains("outside"))
+  }
+
   test("upsertCoalesce idempotence over random batches") {
     val kv = Gen.listOfN(40, for {
       k <- Gen.chooseNum(0, 9)
