@@ -84,14 +84,19 @@ case class AsofJoinExec(
           // consume same-key right rows with ts <= left ts (inclusive);
           // later rows overwrite earlier → latest wins
           // null ts on either side never matches (ASOF comparison is
-          // null-rejecting, like DuckDB's)
-          while (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0 && {
-              val rTsV = rTsEval.eval(rHead)
-              rTsV != null && lTsV != null && tsOrd.compare(rTsV, lTsV) <= 0
-            }) {
-            lastMatch = rHead
-            lastMatchKey = rHeadKey
-            advanceRight()
+          // null-rejecting, like DuckDB's). Null-ts right rows sort
+          // NULLS FIRST — they must be SKIPPED, not treated as a stop
+          // condition, or they would hide every valid row behind them.
+          var scanning = true
+          while (scanning && rHead != null &&
+              keyOrd.compare(rHeadKey, lKey) == 0) {
+            val rTsV = rTsEval.eval(rHead)
+            if (rTsV == null) advanceRight()
+            else if (lTsV != null && tsOrd.compare(rTsV, lTsV) <= 0) {
+              lastMatch = rHead
+              lastMatchKey = rHeadKey
+              advanceRight()
+            } else scanning = false
           }
           val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0
           result(joined(l, if (matched) lastMatch else nullRight))

@@ -52,6 +52,19 @@ class AsofNativeSpec extends SparkSpec {
     assert(nativeRows == composed)
   }
 
+  test("native asofJoin: null right timestamps are skipped, not match-blocking") {
+    val s = sessionWithStrategy
+    import s.implicits._
+    // the null-ts row sorts NULLS FIRST; the valid ts=3 row behind it
+    // must still be found
+    val left = Seq(("a", 5L, 1)).toDF("k", "ts", "lv")
+    val right = Seq(("a", Option.empty[Long], 99), ("a", Some(3L), 7))
+      .toDF("k", "ts", "rv")
+    val out = AsofJoinNative.asofJoin(left, right, Seq("k"), "ts").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(4) == 3L && out(0).getInt(5) == 7)
+  }
+
   test("native asofJoin: empty right side → all-NULL right columns") {
     val s = sessionWithStrategy
     import s.implicits._
