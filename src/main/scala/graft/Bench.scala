@@ -22,6 +22,10 @@ object Bench {
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        // drop persisted intermediates between runs: queries that
+        // persist() (q22/q46) would otherwise cache-hit the previous
+        // run and the min would time a cache read, not the query
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }

@@ -45,7 +45,9 @@ object Similarity {
   /** MinHash value for one hash-family member `i` over a string set
     * element: lexicographic min of `md5(i|element)` per group emulates a
     * random permutation. Shared vocabulary with DuckDB (both have md5),
-    * deterministic, and mergeable map-side (min is a semilattice). */
-  def minhashTerm(i: Int, element: Column): Column =
-    md5(concat_ws("|", lit(i.toString), element))
+    * deterministic, and mergeable map-side (min is a semilattice).
+    * Single definition — [[graft.ops.TextDedup.minhashSignatures]] and
+    * the q21/q22 oracle SQL must stay in lockstep with it. */
+  def minhashTerm(i: Column, element: Column): Column =
+    md5(concat_ws("|", i, element))
 }

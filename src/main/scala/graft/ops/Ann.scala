@@ -51,9 +51,8 @@ object Ann {
     // parallelism is bounded by the number of distinct buckets (10 labels
     // → ≤10 busy tasks), while scoring cost is O(pairs × dim) — round-
     // robin the pairs first so every core scores (per-row op, order-free)
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .repartition(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    Fanout.fanout(a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b")))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)

@@ -30,7 +30,10 @@ object AsofJoin {
     val rStructType = right.select(
       struct(rightPayload.map(col): _*).as("__r")).schema.head.dataType
 
-    val rUnion = right.select(
+    // null-ts right rows never match (ASOF comparison is null-rejecting,
+    // matching AsofJoinExec and DuckDB); they would otherwise sort NULLS
+    // FIRST and be carried forward as spurious matches
+    val rUnion = right.filter(col(tsCol).isNotNull).select(
       keys.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(0).as("__tag"),
         struct(rightPayload.map(col): _*).as("__r")) ++

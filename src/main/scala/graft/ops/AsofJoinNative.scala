@@ -19,7 +19,13 @@ object AsofJoinNative {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String): DataFrame = {
     val lPlan = GraftBridge.analyzed(left)
-    val rPlan = GraftBridge.analyzed(right)
+    // re-alias every right column (fresh exprIds): a self-join would
+    // otherwise carry duplicate attribute ids through our custom node
+    // (the analyzer's dedupRight never sees a post-analysis plan), and
+    // right-side references would silently bind to left columns
+    val rPlan = GraftBridge.analyzed(
+      right.select(right.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(c)): _*))
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) =
       p.output.find(_.name == name).getOrElse(

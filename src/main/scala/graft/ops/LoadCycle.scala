@@ -98,9 +98,9 @@ object LoadCycle {
       Seq("dep_airport_id", "arr_airport_id"))
 
     // ---- fact (D2 latest per key, J2/J3 resolve ids, U4 merge)
-    val latest = Dedup.latestPerKey(
-      slice.filter(col("flight_key").isNotNull),
-      Seq("flight_key"), Seq(col("ingest_time")))
+    val factSrc = slice.filter(col("flight_key").isNotNull)
+    val latest = Dedup.latestPerKey(factSrc,
+      Seq("flight_key"), ordWithTieBreak(factSrc))
     val aResolved = Star.altKeyLookup(latest,
       dimAirline.select(col("iata"), col("icao"),
         dimId("airline", col("iata"), col("icao")).as("airline_id")),
@@ -128,14 +128,23 @@ object LoadCycle {
     * (load_warehouse.py:32-79). NULL join keys never match (asserted by
     * MergeSpec), so the existing ICAO-only rows are untouched by path 1
     * and vice versa. */
+  /** latestPerKey's contract needs a deterministic TOTAL order; staging
+    * has no unique row id (equal ingest_times are common — every
+    * unparsable ingest_ts in a batch gets the same `now` fallback), so
+    * ties break on the full remaining payload, lexicographically. */
+  private def ordWithTieBreak(df: DataFrame): Seq[Column] =
+    Seq(col("ingest_time"),
+      struct(df.columns.filterNot(_ == "ingest_time").sorted.map(col): _*))
+
   private def upsertDim(dim: DataFrame, src: DataFrame,
       dataCols: Seq[String]): DataFrame = {
     val cols = Seq("iata", "icao") ++ dataCols
-    val byIata = Dedup.latestPerKey(src.filter(col("iata").isNotNull),
-      Seq("iata"), Seq(col("ingest_time"))).select(cols.map(col): _*)
-    val byIcao = Dedup.latestPerKey(
-      src.filter(col("iata").isNull && col("icao").isNotNull),
-      Seq("icao"), Seq(col("ingest_time"))).select(cols.map(col): _*)
+    val srcIata = src.filter(col("iata").isNotNull)
+    val byIata = Dedup.latestPerKey(srcIata,
+      Seq("iata"), ordWithTieBreak(srcIata)).select(cols.map(col): _*)
+    val srcIcao = src.filter(col("iata").isNull && col("icao").isNotNull)
+    val byIcao = Dedup.latestPerKey(srcIcao,
+      Seq("icao"), ordWithTieBreak(srcIcao)).select(cols.map(col): _*)
     val afterIata = Merge.upsertCoalesce(dim, byIata, Seq("iata"))
     Merge.upsertCoalesce(afterIata, byIcao, Seq("icao"))
   }

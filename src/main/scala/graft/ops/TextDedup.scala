@@ -15,13 +15,7 @@ import graft.expr.{Similarity, TextStats}
   */
 object TextDedup {
 
-  /** Partition for the EXPANDED output, not the input: a shingle explode
-    * multiplies rows ~|tokens|×, so a compact input scan (often one
-    * partition at small scale) must be spread across the cluster BEFORE
-    * the expansion or one task does all the work. Round-robin is safe —
-    * every downstream agg here (min, integer counts) is order-independent. */
-  private def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+  import Fanout.fanout
 
   /** Exploded distinct (id, shingle) pairs — the set representation. */
   def shingleSet(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
@@ -36,7 +30,7 @@ object TextDedup {
     val hs = explode(sequence(lit(0), lit(numHashes - 1))).as("h")
     shingles.select(col("doc_id"), hs, col("shingle"))
       .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat_ws("|", col("h"), col("shingle")))).as("minhash"))
+      .agg(min(Similarity.minhashTerm(col("h"), col("shingle"))).as("minhash"))
   }
 
   /** LSH banding with rows-per-band = 2: band signature = concat of the

@@ -123,10 +123,12 @@ object FlightStream {
           col("dep_act_ts").isNotNull || col("arr_act_ts").isNotNull))
   }
 
-  /** Data-quality split: the rows [[filterRelevant]] drops, with the
-    * first failing rule as a reason column — the quarantine/dead-letter
-    * side of the ingest filter (the reference only logs+drops;
-    * flight_stream.py:303-330). One pass, same predicates. */
+  /** Data-quality split: the rows [[filterRelevant]] drops, with a
+    * diagnostic reason column — the quarantine/dead-letter side of the
+    * ingest filter (the reference only logs+drops;
+    * flight_stream.py:303-330). One pass, same predicates; the reason
+    * is by diagnostic priority (status > key > timestamps > staleness),
+    * not by [[filterRelevant]]'s filter order. */
   def quarantine(parsed: DataFrame, now: Column): DataFrame = {
     val threeDaysAgo = now - expr("INTERVAL 3 DAYS")
     def recent(c: String) = col(c).isNotNull && (col(c) >= threeDaysAgo)

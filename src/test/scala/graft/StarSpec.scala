@@ -45,6 +45,21 @@ class StarSpec extends SparkSpec {
     assert(r(2).isNullAt(0))
   }
 
+  test("flightNum fallback chain and flightKey derivation (P11/D4)") {
+    val r = Seq(
+      (Some("AA100"), Some("AAL100"), Some("100")),
+      (None, Some("AAL100"), Some("100")),
+      (None, None, Some("100")),
+      (None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("iata", "icao", "number")
+      .select(Flags.flightNum(col("iata"), col("icao"), col("number")).as("num"))
+      .as[String].collect()
+    assert(r.toSeq == Seq("AA100", "AAL100", "100", "UNKNOWN"))
+    val k = Seq(("AA100", "2024-05-09T10:00:00+00:00")).toDF("n", "d")
+      .select(Flags.flightKey(col("n"), col("d"))).as[String].collect()
+    assert(k.head == "AA100_2024-05-09T10:00:00+00:00")
+  }
+
   test("onTimeFlag: NULL-guarded threshold") {
     val r = Seq(Some(3.0), Some(5.0), Some(6.0), None).toDF("d")
       .select(Flags.onTimeFlag(col("d"), 5.0).as("f")).collect()

@@ -78,9 +78,15 @@ for name in sorted(oracle):
         print(f"PASS {name} ({len(sp_rows)} rows)")
         n_pass += 1
 
-extra = [q for q in ("q27_ann_ivf", "q28_stream_pipeline")
-         if os.path.isdir(os.path.join(OUT_DIR, q))]
+# any spark output without an oracle entry gets the driver's weaker
+# rows-only check (auto-derived — a hardcoded list silently skips
+# newly added oracle-less queries)
+extra = sorted(d for d in os.listdir(OUT_DIR)
+               if os.path.isdir(os.path.join(OUT_DIR, d)) and d not in oracle)
 for q in extra:
     n = con.sql(f"SELECT count(*) FROM '{OUT_DIR}/{q}/*.parquet'").fetchone()[0]
-    print(f"INFO {q}: rows-only, {n} rows")
+    status = "INFO" if n > 0 else "FAIL"
+    if n == 0:
+        n_fail += 1
+    print(f"{status} {q}: rows-only, {n} rows")
 print(f"== {n_pass} pass / {n_fail} fail ==")
