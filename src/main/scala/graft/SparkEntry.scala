@@ -256,6 +256,18 @@ object SparkEntry {
     TextDedup.jaccard(cands, sh)
   }
 
+  /** Edit-distance verification on the LSH candidate pairs — the third
+    * near-dup signal next to Jaccard and cosine. */
+  private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("prefix"))
+    qMinhashLsh(s, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+  }
+
   /** SimHash document fingerprints. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhash16(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -543,7 +555,8 @@ object SparkEntry {
     "q44_cube" -> (qCube _),
     "q45_window_funcs" -> (qWindowFuncs _),
     "q46_warehouse_cycle" -> (qWarehouseCycle _),
-    "q47_bitset_distinct" -> (qBitsetDistinct _))
+    "q47_bitset_distinct" -> (qBitsetDistinct _),
+    "q48_edit_distance" -> (qEditDistance _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -769,6 +782,11 @@ object SparkEntry {
         "CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str FROM events"),
     "q47_bitset_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q48_edit_distance" ->
+      (s"WITH $shingleCte SELECT c.doc_a, c.doc_b, " +
+        "CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS BIGINT) AS edit_dist " +
+        "FROM cands c JOIN documents da ON c.doc_a = da.doc_id " +
+        "JOIN documents db ON c.doc_b = db.doc_id"),
     "q44_cube" ->
       ("SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n, " +
         "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_v " +

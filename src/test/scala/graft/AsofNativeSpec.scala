@@ -52,6 +52,24 @@ class AsofNativeSpec extends SparkSpec {
     assert(nativeRows == composed)
   }
 
+  test("native asofJoin self-join (shared lineage) binds right columns correctly") {
+    val s = sessionWithStrategy
+    import s.implicits._
+    // both sides slice the SAME DataFrame — without re-aliasing, left and
+    // right would share exprIds and right refs would bind to left columns
+    val ev = Seq(("a", 1L, 10), ("a", 2L, 20), ("a", 3L, 30), ("a", 4L, 40))
+      .toDF("k", "ts", "v")
+    val left = ev.filter(col("v") % 20 === 10)  // ts 1, 3
+    val right = ev.filter(col("v") % 20 === 0)  // ts 2, 4
+    val out = AsofJoinNative.asofJoin(left, right, Seq("k"), "ts")
+      .toDF("k", "ts", "v", "rk", "rts", "rv")
+      .orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(4))              // ts=1: no right row ≤ 1
+    assert(out(1).getLong(4) == 2L &&       // ts=3 matches right ts=2
+      out(1).getInt(5) == 20)
+  }
+
   test("native asofJoin: null right timestamps are skipped, not match-blocking") {
     val s = sessionWithStrategy
     import s.implicits._

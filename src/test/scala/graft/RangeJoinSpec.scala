@@ -27,6 +27,24 @@ class RangeJoinSpec extends SparkSpec {
       ))
   }
 
+  test("rangeJoin ≡ naive BETWEEN join on random data (property)") {
+    import org.scalacheck.Gen
+    val pts = Gen.listOfN(200, Gen.chooseNum(0L, 500L)).sample.get
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val ivs = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 480L),
+      Gen.chooseNum(0L, 60L))).sample.get.map { case (lo, w) => (lo, lo + w) }
+    val points = pts.toDF("id", "pt")
+    val intervals = ivs.toDF("lo", "hi")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "lo", "hi").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = asSet(RangeJoin.rangeJoin(points, col("pt"),
+      intervals, col("lo"), col("hi"), bucketWidth = 64L))
+    val naive = asSet(points.join(intervals,
+      col("pt") >= col("lo") && col("pt") <= col("hi")))
+    assert(bucketed == naive)
+  }
+
   test("rangeJoin result is bucketWidth-invariant") {
     val points = (0L to 50L).map(i => (i, i * 3L)).toDF("id", "pt")
     val intervals = Seq((10L, 40L), (35L, 36L), (90L, 120L)).toDF("lo", "hi")
