@@ -369,6 +369,16 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** Class-balanced deterministic sample: ≤50 events per type. */
+  private def qStratified(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.stratifiedBalanced(t(s, dir, "events"),
+        col("event_type"), col("event_id"), 50)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+
+  /** Vocabulary: top-200 tokens with dense ids. */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    TextStats.buildVocab(t(s, dir, "documents"), col("text"), 200)
+
   /** Reproducible hash-based train/val/test split over documents. */
   private def qHashSplit(s: SparkSession, dir: String): DataFrame =
     ops.Sampling.hashSplit(t(s, dir, "documents").select(col("doc_id")),
@@ -556,7 +566,9 @@ object SparkEntry {
     "q45_window_funcs" -> (qWindowFuncs _),
     "q46_warehouse_cycle" -> (qWarehouseCycle _),
     "q47_bitset_distinct" -> (qBitsetDistinct _),
-    "q48_edit_distance" -> (qEditDistance _))
+    "q48_edit_distance" -> (qEditDistance _),
+    "q49_stratified_sample" -> (qStratified _),
+    "q50_vocab" -> (qVocab _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -782,6 +794,15 @@ object SparkEntry {
         "CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str FROM events"),
     "q47_bitset_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q49_stratified_sample" ->
+      ("SELECT event_id, event_type, user_id FROM events " +
+        "QUALIFY row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 50"),
+    "q50_vocab" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1 " +
+        "ORDER BY n DESC, token LIMIT 200) " +
+        "SELECT token, n, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id FROM cnt"),
     "q48_edit_distance" ->
       (s"WITH $shingleCte SELECT c.doc_a, c.doc_b, " +
         "CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64)) AS BIGINT) AS edit_dist " +

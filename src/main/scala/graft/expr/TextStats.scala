@@ -63,6 +63,23 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Vocabulary builder: the `maxSize` most frequent tokens with dense
+    * ids assigned in (count desc, token asc) order — the dictionary-
+    * encoding step that bounds id domains for downstream sketches
+    * (e.g. [[graft.expr.catalyst.BitsetDistinct]]). One explode + one
+    * count agg + one top-N; the rank window runs over ≤maxSize rows. */
+  def buildVocab(docs: org.apache.spark.sql.DataFrame, text: Column,
+      maxSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    graft.ops.Fanout.fanout(docs)
+      .select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(maxSize)
+      .withColumn("token_id", row_number().over(w).cast("long") - 1L)
+  }
+
   /** Polynomial rolling hash over the character stream (Rabin-Karp
     * base-31 mod 1e9+7): the classic cheap content fingerprint; folds
     * left-to-right inside codegen, no UDF. */

@@ -35,4 +35,16 @@ object Sampling {
     * hash — repeatable, join-stable (the same ids are kept everywhere). */
   def hashSample(df: DataFrame, id: Column, percent: Int): DataFrame =
     df.filter(hashBucket(id, 100) < percent)
+
+  /** Class-balanced sample: up to `nPerClass` rows per class, chosen by
+    * hash order of the id — deterministic (no rand()), and the per-class
+    * shuffle carries only class-partitioned rows (one window sort). */
+  def stratifiedBalanced(df: DataFrame, classCol: Column, id: Column,
+      nPerClass: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol).orderBy(md5(id.cast("string")), id)
+    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("__rn") <= nPerClass)
+      .drop("__rn")
+  }
 }
