@@ -369,6 +369,22 @@ object SparkEntry {
         .as[Multimodal.MediaRow]).toDF()
   }
 
+  /** Set algebra over user cohorts: intersect/except with bag semantics
+    * (§2.9 — absent from the reference, part of the relational surface). */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clickers = ev.filter(col("event_type") === "click")
+      .select(col("user_id"))
+    val buyers = ev.filter(col("event_type") === "purchase" && col("value") > 300)
+      .select(col("user_id"))
+    val both = clickers.distinct().intersect(buyers.distinct())
+      .withColumn("cohort", lit("click_and_buy"))
+    val onlyClick = clickers.distinct().except(buyers.distinct())
+      .withColumn("cohort", lit("click_no_buy"))
+    both.unionByName(onlyClick)
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Class-balanced deterministic sample: ≤50 events per type. */
   private def qStratified(s: SparkSession, dir: String): DataFrame =
     ops.Sampling.stratifiedBalanced(t(s, dir, "events"),
@@ -568,7 +584,8 @@ object SparkEntry {
     "q47_bitset_distinct" -> (qBitsetDistinct _),
     "q48_edit_distance" -> (qEditDistance _),
     "q49_stratified_sample" -> (qStratified _),
-    "q50_vocab" -> (qVocab _))
+    "q50_vocab" -> (qVocab _),
+    "q51_set_ops" -> (qSetOps _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -794,6 +811,12 @@ object SparkEntry {
         "CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str FROM events"),
     "q47_bitset_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q51_set_ops" ->
+      ("WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 300), " +
+        "u AS (SELECT user_id, 'click_and_buy' AS cohort FROM (SELECT * FROM c INTERSECT SELECT * FROM b) " +
+        "UNION ALL SELECT user_id, 'click_no_buy' FROM (SELECT * FROM c EXCEPT SELECT * FROM b)) " +
+        "SELECT cohort, count(*) AS n_users FROM u GROUP BY 1"),
     "q49_stratified_sample" ->
       ("SELECT event_id, event_type, user_id FROM events " +
         "QUALIFY row_number() OVER (PARTITION BY event_type " +
