@@ -150,6 +150,22 @@ class LoadCycleSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/wh/v2/fact").exists)
   }
 
+  test("incremental export drains the curated view by last_updated (§3.3)") {
+    val staging = stage(Seq(
+      event("x_k1", ingest = "2024-05-09T10:30:00Z"),
+      event("x_k2", ingest = "2024-05-09T10:45:00Z")))
+    val wh = LoadCycle.run(LoadCycle.emptyWarehouse(staging),
+      cutoff("2024-05-09T12:00:00Z"))
+    val view = LoadCycle.curatedView(wh)
+      .withColumn("__ord", col("flight_key")) // unique order within equal last_updated
+    val batches = graft.ops.Incremental.drainAll(view,
+      col("last_updated"), Seq(col("last_updated"), col("__ord")),
+      start = java.sql.Timestamp.from(java.time.Instant.EPOCH), n = 10)
+    assert(batches.map(_.count()).sum == 2)
+    assert(batches.head.select("flight_key").collect()
+      .map(_.getString(0)).toSet == Set("x_k1", "x_k2"))
+  }
+
   test("curated view denormalizes airline and both airports") {
     val staging = stage(Seq(event("k1", ingest = "2024-05-09T10:30:00Z")))
     val wh = LoadCycle.run(LoadCycle.emptyWarehouse(staging),
