@@ -309,7 +309,10 @@ object SparkEntry {
   private def qStreamPipeline(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val fmtS = "yyyy-MM-dd'T'HH:mm:ss"
-    val js = ev.select(to_json(struct(
+    // fan out BEFORE the JSON synthesis: the single-file test scan is one
+    // partition, and to_json over a 25-field struct is the expensive side
+    // (a real Kafka scan arrives already partitioned by the broker)
+    val js = ev.repartition(32).select(to_json(struct(
       concat_ws("_", col("user_id"), col("event_id")).as("flight_key"),
       date_format(col("ts"), "yyyy-MM-dd").as("flight_date"),
       when(col("event_id") % 5 === 0, lit("cancelled"))
@@ -336,9 +339,11 @@ object SparkEntry {
       date_format(col("ts"), fmtS).as("ingest_time"),
       lit("synthetic").as("source"))).as("json"))
     val mx = ev.agg(max(col("ts")).as("mx")).first().get(0)
-    // a real Kafka scan arrives partitioned; the single-file test scan
-    // does not — spread the parse/normalize work like the broker would
-    FlightStream.pipeline(js.repartition(32), lit(mx).cast("timestamp"))
+    // materialize the synthetic "topic": without a cache boundary,
+    // CollapseProject + pushdown inline the whole from_json(to_json(...))
+    // round-trip into every downstream predicate (~15 sites × per row).
+    // A real Kafka topic is materialized JSON — this models it honestly.
+    FlightStream.pipeline(js.persist(), lit(mx).cast("timestamp"))
   }
 
   /** A8/ST5: tumbling daily aggregate (streaming-ready plan shape). */
@@ -361,12 +366,17 @@ object SparkEntry {
 
   /** Multimodal decode path: binary media column → per-partition batched
     * feature extraction (stubbed codec; real Spark plumbing). Rows-only
-    * check — the fake decoder is not SQL-expressible. */
+    * check — the fake decoder is not SQL-expressible. The feature vector
+    * is posexploded to scalar rows: the driver's compare sorts every
+    * column, and raw array columns aren't sortable. */
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Multimodal.decodeFeatures(
       Multimodal.asMediaTable(t(s, dir, "documents"))
         .as[Multimodal.MediaRow]).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+      .withColumn("feat_val", round(col("feat_val").cast("double"), 4))
   }
 
   /** Set algebra over user cohorts: intersect/except with bag semantics
@@ -503,7 +513,9 @@ object SparkEntry {
     // load cycle's ~6 consumers re-run the whole synth+parse pipeline
     val staging = qStreamPipeline(s, dir).persist()
     val cutoff = staging.agg(max(col("ingest_time"))).first().getTimestamp(0)
-    ops.LoadCycle.run(ops.LoadCycle.emptyWarehouse(staging), lit(cutoff)).fact
+    // dims are multi-consumer inside the cycle — persist each once
+    ops.LoadCycle.run(ops.LoadCycle.emptyWarehouse(staging), lit(cutoff),
+      materialize = _.persist()).fact
   }
 
   /** Range join: events against synthesized half-day [06:00,18:00]

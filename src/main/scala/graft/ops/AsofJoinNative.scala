@@ -31,9 +31,16 @@ object AsofJoinNative {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"asofJoin: no column '$name' in ${p.output.map(_.name).mkString(", ")}"))
+    val lTs = attr(lPlan, tsCol)
+    val rTs = attr(rPlan, tsCol)
+    // the exec derives its ordering from rightTs alone and merges raw
+    // values — a type mismatch must fail here, not as a mid-task CCE
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        lTs.dataType, rTs.dataType, ignoreNullability = true),
+      s"asofJoin: ts column '$tsCol' has type ${lTs.dataType.sql} on the " +
+        s"left but ${rTs.dataType.sql} on the right — both sides must match")
     GraftBridge.ofRows(left.sparkSession,
       AsofJoinPlan(lPlan, rPlan,
-        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-        attr(lPlan, tsCol), attr(rPlan, tsCol)))
+        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)), lTs, rTs))
   }
 }

@@ -69,14 +69,25 @@ object LoadCycle {
       col("airline_id"), col("route_id"), col("ingest_time"),
       lastUpdated.as("last_updated")): _*)
 
-  /** One load cycle; returns the next warehouse version. */
-  def run(wh: Warehouse, cutoff: Column): Warehouse = {
+  /** One load cycle; returns the next warehouse version.
+    *
+    * `materialize` is applied to each dim right after its upsert. The
+    * fact branch consumes every dim more than once (dim_airport alone
+    * feeds route discovery plus dep/arr resolution of the latest rows) —
+    * left lazy, each use re-runs the dim's whole dedup+merge sub-DAG and
+    * the composed plan grows multiplicatively. Dims are broadcast-sized
+    * by construction, so `_.persist()` (or a write-then-read swap, as
+    * [[graft.stream.WarehouseSink]] does per version) is the intended
+    * argument; the default keeps the function pure/lazy. */
+  def run(wh: Warehouse, cutoff: Column,
+      materialize: DataFrame => DataFrame = identity): Warehouse = {
     val slice = wh.staging.filter(col("ingest_time") <= cutoff)
 
     // ---- dim_airline (U1 IATA path, then U2 ICAO-only path; F5 split)
     val airlineSrc = slice.select(col("airline_iata").as("iata"),
       col("airline_icao").as("icao"), col("airline_name"), col("ingest_time"))
-    val dimAirline = upsertDim(wh.dimAirline, airlineSrc, Seq("airline_name"))
+    val dimAirline = materialize(
+      upsertDim(wh.dimAirline, airlineSrc, Seq("airline_name")))
 
     // ---- dim_airport: candidates from both ends of every flight
     val depSrc = slice.select(col("dep_airport_iata").as("iata"),
@@ -85,8 +96,9 @@ object LoadCycle {
     val arrSrc = slice.select(col("arr_airport_iata").as("iata"),
       col("arr_airport_icao").as("icao"), col("arr_airport").as("airport_name"),
       col("ingest_time"))
-    val dimAirport = upsertDim(wh.dimAirport, depSrc.unionByName(arrSrc),
-      Seq("airport_name"))
+    val dimAirport = materialize(
+      upsertDim(wh.dimAirport, depSrc.unionByName(arrSrc),
+        Seq("airport_name")))
 
     // ---- dim_route (J1 resolve both ends, D3 distinct, U3 insert-if-absent)
     val withIds = resolveAirports(slice, dimAirport)
@@ -94,8 +106,8 @@ object LoadCycle {
       .select(col("dep_airport_id"), col("arr_airport_id"))
       .filter(col("dep_airport_id").isNotNull && col("arr_airport_id").isNotNull)
       .distinct()
-    val dimRoute = Merge.insertIfAbsent(wh.dimRoute, newPairs,
-      Seq("dep_airport_id", "arr_airport_id"))
+    val dimRoute = materialize(Merge.insertIfAbsent(wh.dimRoute, newPairs,
+      Seq("dep_airport_id", "arr_airport_id")))
 
     // ---- fact (D2 latest per key, J2/J3 resolve ids, U4 merge)
     val factSrc = slice.filter(col("flight_key").isNotNull)

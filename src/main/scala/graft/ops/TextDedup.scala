@@ -25,12 +25,23 @@ object TextDedup {
 
   /** MinHash signatures in long format: (doc_id, h, minhash) for h in
     * [0, numHashes). min(md5(h|shingle)) emulates a random permutation
-    * per hash-family member; min is mergeable map-side. */
+    * per hash-family member.
+    *
+    * All `numHashes` minima are computed as ONE wide aggregation over a
+    * single pass of the shingle set — not an explode×numHashes + tall
+    * groupBy, which would push numHashes× the rows through the hash-agg
+    * operator for the same md5 work. The wide form's map-side partial
+    * state is one row of `numHashes` strings per doc per task; the long
+    * (doc_id, h, minhash) contract is restored by unpivoting the tiny
+    * per-doc result. */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val hs = explode(sequence(lit(0), lit(numHashes - 1))).as("h")
-    shingles.select(col("doc_id"), hs, col("shingle"))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(Similarity.minhashTerm(col("h"), col("shingle"))).as("minhash"))
+    val minCols = (0 until numHashes).map(h =>
+      min(Similarity.minhashTerm(lit(h), col("shingle"))).as(s"m$h"))
+    shingles.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), explode(array((0 until numHashes).map(h =>
+          struct(lit(h).as("h"), col(s"m$h").as("minhash"))): _*)).as("s"))
+      .select(col("doc_id"), col("s.h").as("h"), col("s.minhash").as("minhash"))
   }
 
   /** LSH banding with rows-per-band = 2: band signature = concat of the

@@ -47,9 +47,39 @@ class WarehouseSink(spark: SparkSession, baseDir: String) {
       wh.staging)
   }
 
+  /** Latest persisted version under `baseDir`, or 0 if none exist. */
+  private def latestPersistedVersion(): Long = {
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else fs.listStatus(path).iterator.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .foldLeft(0L)(math.max)
+  }
+
   /** Start the loader: `staged` is the staging-projection stream
-    * ([[FlightStream.pipeline]] output shape). */
+    * ([[FlightStream.pipeline]] output shape).
+    *
+    * Restart recovery: warehouse state must survive the JVM, or the
+    * checkpoint (which skips already-committed batches) and the
+    * process-local `current` disagree — the warehouse would silently
+    * bootstrap empty and re-number versions over directories earlier
+    * readers may still hold. Recover both from the newest `$baseDir/vN`
+    * before consuming any batch. */
   def start(staged: DataFrame, checkpointDir: String): StreamingQuery = {
+    val recovered = latestPersistedVersion()
+    if (recovered > 0L && current.get() == null) {
+      version = recovered
+      val dir = s"$baseDir/v$recovered"
+      val empty = staged.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), staged.schema)
+      current.compareAndSet(null, Warehouse(
+        spark.read.parquet(s"$dir/dim_airline"),
+        spark.read.parquet(s"$dir/dim_airport"),
+        spark.read.parquet(s"$dir/dim_route"),
+        spark.read.parquet(s"$dir/fact"),
+        empty))
+    }
     current.compareAndSet(null,
       LoadCycle.emptyWarehouse(staged.sparkSession
         .createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -61,9 +91,14 @@ class WarehouseSink(spark: SparkSession, baseDir: String) {
         if (!batch.isEmpty) {
           // data-derived cutoff: everything in this batch loads this cycle
           val cutoff = batch.agg(max(col("ingest_time"))).first().getTimestamp(0)
+          // dims are multi-consumer within the cycle: persist for its
+          // duration, release once the version swap re-reads from parquet
+          val cached = scala.collection.mutable.Buffer.empty[DataFrame]
           val next = LoadCycle.run(
-            current.get().copy(staging = batch), lit(cutoff))
+            current.get().copy(staging = batch), lit(cutoff),
+            materialize = { df => cached += df.persist(); df })
           current.set(materialize(next)) // atomic version swap
+          cached.foreach(_.unpersist(blocking = false))
         }
       }
       .start()
