@@ -150,6 +150,37 @@ class LoadCycleSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/wh/v2/fact").exists)
   }
 
+  test("WarehouseSink: restart recovers state and version from newest vN dir") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("whrestart").toString
+
+    // process 1: load one batch, producing v1, then "crash" (stop)
+    val ms1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val sink1 = new graft.stream.WarehouseSink(spark, s"$dir/wh")
+    val q1 = sink1.start(stage0(ms1.toDF().withColumnRenamed("value", "json")),
+      s"$dir/cp1")
+    ms1.addData(event("r_k1", ingest = "2024-05-09T10:30:00Z"))
+    q1.processAllAvailable(); q1.stop()
+    assert(new java.io.File(s"$dir/wh/v1/fact").exists)
+
+    // process 2: fresh JVM analog — new sink instance, same baseDir.
+    // Without recovery it would bootstrap empty and overwrite v1.
+    val ms2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val sink2 = new graft.stream.WarehouseSink(spark, s"$dir/wh")
+    val q2 = sink2.start(stage0(ms2.toDF().withColumnRenamed("value", "json")),
+      s"$dir/cp2")
+    ms2.addData(event("r_k2", ingest = "2024-05-09T11:00:00Z"))
+    q2.processAllAvailable(); q2.stop()
+
+    // recovered v1 state merged with the new batch, written as v2 (not v1)
+    val fact = sink2.warehouse.fact
+    assert(fact.count() == 2)
+    assert(fact.select("flight_key").collect().map(_.getString(0)).toSet ==
+      Set("r_k1", "r_k2"))
+    assert(new java.io.File(s"$dir/wh/v2/fact").exists)
+    assert(spark.read.parquet(s"$dir/wh/v1/fact").count() == 1) // v1 untouched
+  }
+
   test("incremental export drains the curated view by last_updated (§3.3)") {
     val staging = stage(Seq(
       event("x_k1", ingest = "2024-05-09T10:30:00Z"),
