@@ -544,6 +544,63 @@ object SparkEntry {
     AsofJoin.asofJoin(left, right, Seq("user_id"), "ts")
   }
 
+  /** Span-duplication signal: fraction of each doc's 3-gram spans shared
+    * with any other doc (the suffix-array-dedup approximation). The
+    * shingle set feeds both the doc-frequency agg and the join-back —
+    * persist it once (at warehouse scale: a checkpoint). */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.spanDupStats(docShingles(s, dir).persist())
+
+  /** PII scrub: emails/IPs/phones synthesized deterministically into the
+    * corpus, then redacted; verifies count + redacted-content hash. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call 555-123-4567"))
+        .otherwise(lit("")))
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.expr.Pii.countPii(aug).as("n_pii"),
+      md5(graft.expr.Pii.scrub(aug)).as("clean_hash"))
+  }
+
+  /** Benchmark decontamination: 5-gram overlap of the corpus (doc_id
+    * ≥ 20) against a held-out eval set (doc_id < 20). */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val g = TextDedup.shingleSet(t(s, dir, "documents"),
+      col("doc_id"), col("text"), 5)
+    TextDedup.contamination(
+      g.filter(col("doc_id") >= 20), g.filter(col("doc_id") < 20))
+  }
+
+  /** Random-hyperplane LSH ANN: 4-bit signature buckets, exact cosine
+    * re-rank within the query's own bucket. */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), planes = 4, k = 10)
+  }
+
+  /** Multimodal frame sampling: every 4th 64-byte frame of the media
+    * payload, content-hashed (codec-free keyframe-extraction shape). */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.asMediaTable(t(s, dir, "documents")))
+
+  /** Deterministic weighted Bernoulli sample (quality-weighted corpus
+    * mixing): keep probability = length(text)/400, hash-derived u. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.weightedSample(t(s, dir, "documents"), col("doc_id"),
+        length(col("text")) / lit(400.0))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+
+  /** Gopher-style repetition signal: top-2-gram share per document. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionStats(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -597,7 +654,14 @@ object SparkEntry {
     "q48_edit_distance" -> (qEditDistance _),
     "q49_stratified_sample" -> (qStratified _),
     "q50_vocab" -> (qVocab _),
-    "q51_set_ops" -> (qSetOps _))
+    "q51_set_ops" -> (qSetOps _),
+    "q52_span_dedup" -> (qSpanDedup _),
+    "q53_pii_scrub" -> (qPiiScrub _),
+    "q54_contamination" -> (qContamination _),
+    "q55_ann_lsh" -> (qAnnLsh _),
+    "q56_frame_sample" -> (qFrameSample _),
+    "q57_weighted_sample" -> (qWeightedSample _),
+    "q58_repetition" -> (qRepetition _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -878,5 +942,67 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey " +
-        "GROUP BY ROLLUP (r_name, n_name)"))
+        "GROUP BY ROLLUP (r_name, n_name)"),
+    "q52_span_dedup" ->
+      (s"WITH $shingleCte, " +
+        "dfq AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_spans, " +
+        "CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
+        "round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio " +
+        "FROM sh JOIN dfq USING (shingle) GROUP BY 1"),
+    "q53_pii_scrub" -> {
+      import graft.expr.Pii.{EmailPattern, Ipv4Pattern, PhonePattern}
+      ("WITH aug AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END AS t FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(t, '$EmailPattern')) + " +
+        s"len(regexp_extract_all(t, '$Ipv4Pattern')) + " +
+        s"len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_pii, " +
+        s"md5(regexp_replace(regexp_replace(regexp_replace(t, " +
+        s"'$EmailPattern', '[EMAIL]', 'g'), " +
+        s"'$Ipv4Pattern', '[IP]', 'g'), " +
+        s"'$PhonePattern', '[PHONE]', 'g')) AS clean_hash FROM aug")
+    },
+    "q54_contamination" ->
+      ("WITH toks5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN " +
+        "list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS shingle FROM toks5), " +
+        "g AS (SELECT DISTINCT doc_id, shingle FROM g0), " +
+        "bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id < 20) " +
+        "SELECT doc_id, count(*) AS n_shared_grams FROM g " +
+        "WHERE doc_id >= 20 AND shingle IN (SELECT shingle FROM bench) GROUP BY 1"),
+    "q55_ann_lsh" ->
+      ("WITH pl AS (SELECT p, list_transform(generate_series(0, 63), i -> " +
+        "CASE WHEN strpos('02468ace', substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) > 0 " +
+        "THEN 1.0 ELSE -1.0 END) AS signs FROM (SELECT unnest(generate_series(0, 3)) AS p)), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "sig AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(e, signs) >= 0 " +
+        "THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket FROM v CROSS JOIN pl GROUP BY 1), " +
+        "q AS (SELECT vec_id AS q_id, e AS qv, bucket FROM v JOIN sig USING (vec_id) WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS n_id, e AS cv, bucket FROM v JOIN sig USING (vec_id)), " +
+        "sc AS (SELECT q_id, n_id, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM q JOIN c ON q.bucket = c.bucket AND n_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) " +
+        "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM r WHERE rank <= 10"),
+    "q56_frame_sample" ->
+      ("SELECT doc_id, frame_idx, " +
+        "md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_hash " +
+        "FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)) // 64, 4)) AS frame_idx " +
+        "FROM documents WHERE octet_length(encode(text)) // 64 > 0)"),
+    "q57_weighted_sample" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents " +
+        "WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 " +
+        "< least(1.0, greatest(0.0, length(text) / 400.0))"),
+    "q58_repetition" ->
+      ("WITH g0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN " +
+        "list_transform(generate_series(1, len(t) - 1), i -> array_to_string(t[i:i+1], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS gram " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)), " +
+        "cnt AS (SELECT doc_id, gram, count(*) AS n FROM g0 GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_2grams, " +
+        "CAST(max(n) AS BIGINT) AS top_2gram_n, " +
+        "round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio FROM cnt GROUP BY 1"))
 }

@@ -80,6 +80,27 @@ object TextStats {
       .withColumn("token_id", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Repetition signal (Gopher-style quality rule): per document, the
+    * share of its most frequent word 2-gram in all of its 2-grams — high
+    * values flag boilerplate/looping text. Counted over the NON-distinct
+    * gram stream (repetition is exactly what distinct would erase).
+    *
+    * One explode + two aggregations, both keyed by (doc, gram) / doc with
+    * map-side combine; shuffles carry gram strings, not documents. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, max, round, sum}
+    graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(shingles(text, 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("total_2grams"), max(col("n")).as("top_2gram_n"))
+      .select(col("doc_id"), col("total_2grams"), col("top_2gram_n"),
+        round(col("top_2gram_n").cast("double") / col("total_2grams"), 4)
+          .as("rep_ratio"))
+  }
+
   /** Polynomial rolling hash over the character stream (Rabin-Karp
     * base-31 mod 1e9+7): the classic cheap content fingerprint; folds
     * left-to-right inside codegen, no UDF. */

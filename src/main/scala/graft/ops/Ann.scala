@@ -58,6 +58,56 @@ object Ann {
       .filter(col("cos") >= threshold)
   }
 
+  /** Deterministic Rademacher (±1) hyperplane entries derived from md5 —
+    * the same values any engine's `md5()` derives, so LSH bucket
+    * assignments are portable and reproducible (no RNG state). Entry
+    * (p, i) is +1 iff the first hex nibble of md5("p|i") is even. */
+  private[graft] def hyperplaneSigns(planes: Int, dim: Int): Seq[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      Array.tabulate(dim) { i =>
+        val hex = digest.digest(s"$p|$i".getBytes("UTF-8"))
+        // first hex char = high nibble of byte 0
+        if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH ANN (SimHash for vectors): bucket = the
+    * `planes`-bit sign pattern of the vector's projections onto
+    * hash-derived ±1 hyperplanes; each query searches ONLY its own
+    * bucket, exact cosine re-ranks within it.
+    *
+    * Scale design: the signature is a per-row projection (codegen'd
+    * fold over the array — no shuffle, no model state), so bucketing a
+    * 100 TB corpus is a single narrow pass; the candidate join is an
+    * equi-join on the bucket id. `planes` is the recall/cost knob:
+    * each bit halves the expected bucket population. Unlike [[ivfTopK]]
+    * there is no training/centroid pass at all. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val signs = hyperplaneSigns(planes, dim)
+    def signature(vec: Column): Column =
+      signs.zipWithIndex.map { case (s, p) =>
+        val plane = array(s.map(lit).toIndexedSeq: _*)
+        when(Similarity.dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.foldLeft(lit(0L))(_ + _) // planes=0 → single bucket = exact search
+    val c = corpus.select(col(idCol), col(vecCol),
+      signature(col(vecCol)).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), signature(col(vecCol)).as("bucket")))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        round(Similarity.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF-style ANN: centroids from a coarse partitioner column (here: any
     * assignment, e.g. a precomputed cluster label); each query probes its
     * `nprobe` nearest centroids' partitions. Returns top-k within the

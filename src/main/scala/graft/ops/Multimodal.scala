@@ -59,6 +59,27 @@ object Multimodal {
     acc.map(v => (v % 1000L) / 1000.0f)
   }
 
+  /** Frame sampling over an opaque media payload: treat the binary as a
+    * stream of fixed-size frames, keep every `stride`-th frame, emit a
+    * stable content hash per sampled frame. The Spark shape of
+    * "ffmpeg -r"-style keyframe extraction: a per-row `sequence` +
+    * `explode` (no shuffle, no UDF), with the byte slicing and hashing
+    * inside whole-stage codegen. A real codec replaces the
+    * substring+md5 with a decode of the same slice; the plan is
+    * unchanged. Documents shorter than one frame yield no rows. */
+  def frameSample(media: DataFrame, frameBytes: Int = 64,
+      stride: Int = 4): DataFrame = {
+    val nFrames = floor(col("n_bytes") / lit(frameBytes)).cast("long")
+    graft.ops.Fanout.fanout(media)
+      .select(col("doc_id"), col("media"),
+        explode(when(nFrames > 0,
+            sequence(lit(0L), nFrames - 1L, lit(stride.toLong)))
+          .otherwise(array().cast("array<long>"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(media, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_hash"))
+  }
+
   /** Catalyst-only metadata projection (no decode): chunking plan for a
     * fixed batch size — demonstrates pushdown-friendly metadata access. */
   def mediaMeta(docs: DataFrame, chunkBytes: Int = 256): DataFrame =

@@ -36,6 +36,16 @@ object Sampling {
   def hashSample(df: DataFrame, id: Column, percent: Int): DataFrame =
     df.filter(hashBucket(id, 100) < percent)
 
+  /** Deterministic weighted (Bernoulli) sample: keep a row iff its
+    * hash-uniform u(id) ∈ [0,1) falls below the row's weight — the
+    * quality-weighted / temperature-sampling step of corpus mixing,
+    * reproducible because u is a pure function of the id (same rows kept
+    * on every run, every engine, every retry). Weights are clamped to
+    * [0,1]; the hash has 1e6 distinct levels. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column): DataFrame =
+    df.filter(hashBucket(id, 1000000).cast("double") / 1000000.0 <
+      least(lit(1.0), greatest(lit(0.0), weight)))
+
   /** Class-balanced sample: up to `nPerClass` rows per class, chosen by
     * hash order of the id — deterministic (no rand()), and the per-class
     * shuffle carries only class-partitioned rows (one window sort). */

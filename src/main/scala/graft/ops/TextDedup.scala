@@ -83,6 +83,51 @@ object TextDedup {
           (col("za.sz") + col("zb.sz") - col("n_inter")), 4).as("jaccard"))
   }
 
+  /** Per-document span-duplication signal: what fraction of a doc's
+    * distinct n-gram spans also appear in at least one other document.
+    * The practical approximation of suffix-array substring dedup — the
+    * signal that drives "drop or trim documents that are mostly copies".
+    *
+    * No join back on the span column: a span seen in exactly one doc has
+    * a well-defined owner (`min(doc_id)` of its single row), so per-doc
+    * UNIQUE-span counts fall out of the span-frequency aggregation
+    * itself, and dup counts are `n_spans − n_unique`. Every shuffle is an
+    * aggregation with map-side combine; the only join carries doc-level
+    * rows (|docs|, not |spans|). */
+  def spanDupStats(shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val uniquePerDoc = shingles.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    sizes.join(uniquePerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_unique"))
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - col("n_unique")).as("n_dup_spans"),
+        round((col("n_spans") - col("n_unique")).cast("double") /
+          col("n_spans"), 4).as("dup_ratio"))
+  }
+
+  /** Benchmark-contamination check: for each corpus doc, the number of
+    * distinct n-gram spans it shares with a held-out benchmark/eval set
+    * (the n-gram-overlap decontamination step every LLM data pipeline
+    * runs before training). Returns only contaminated docs.
+    *
+    * Scale shape: eval sets are tiny relative to the corpus, so the
+    * benchmark's distinct span set broadcasts and the corpus side never
+    * shuffles — contamination is a broadcast semi-join + one count
+    * aggregation, a single pass over the corpus spans. */
+  def contamination(corpusShingles: DataFrame,
+      benchShingles: DataFrame): DataFrame = {
+    val benchSpans = broadcast(
+      benchShingles.select(col("shingle")).distinct())
+    corpusShingles.join(benchSpans, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** SimHash (16-bit): per distinct token, derive 16 pseudo-random bits
     * from the md5 nibbles; majority-vote each bit over the token set.
     * Oracle-portable (md5 + string ops only) yet still one groupBy. */

@@ -25,4 +25,30 @@ class AnnSpec extends SparkSpec {
     assert(r1 <= r3 + 1e-9 && r3 <= rAll + 1e-9, s"$r1 / $r3 / $rAll")
     assert(rAll == 1.0) // probing every cell = exact search
   }
+
+  test("lshTopK: bucket-restricted, self-excluded, planes=0 ≡ brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    // 0 planes → a single bucket (signature 0 everywhere) → exact search
+    val all = topkSet(Ann.lshTopK(emb, q, planes = 0, k = 10))
+    assert(all == topkSet(Ann.bruteForceTopK(emb, q, 10)))
+    val lsh = Ann.lshTopK(emb, q, planes = 4, k = 10)
+    assert(lsh.filter(col("q_id") === col("n_id")).isEmpty) // self excluded
+    // every reported neighbor genuinely shares the query's 4-bit bucket
+    val hits = topkSet(lsh)
+    assert(hits.nonEmpty && hits.subsetOf(
+      topkSet(Ann.lshTopK(emb, q, planes = 0, k = Int.MaxValue))))
+    // per-query result count ≤ k
+    val counts = lsh.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 10))
+  }
+
+  test("hyperplaneSigns: deterministic ±1, md5-derived (engine-portable)") {
+    val s1 = Ann.hyperplaneSigns(4, 64)
+    val s2 = Ann.hyperplaneSigns(4, 64)
+    assert(s1.zip(s2).forall { case (a, b) => a.sameElements(b) })
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // not degenerate: both signs occur in every plane
+    assert(s1.forall(p => p.contains(1.0) && p.contains(-1.0)))
+  }
 }

@@ -30,6 +30,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).n_bytes == 11L)
   }
 
+  test("frameSample: stride-sampled frame indices, stable hashes, short-doc empty") {
+    // 10-byte frames, every 2nd frame: a 35-byte doc has frames 0,1,2 → keep 0,2
+    val d = Seq((1L, "x" * 35), (2L, "y" * 9)).toDF("doc_id", "text")
+    val m = Multimodal.frameSample(Multimodal.asMediaTable(d),
+      frameBytes = 10, stride = 2)
+    val rows = m.orderBy("doc_id", "frame_idx").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (1L, 2L)))          // doc 2 shorter than one frame: no rows
+    // frame hash = md5 of exactly that 10-byte slice
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(("x" * 10).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(0).getString(2) == expect)
+    assert(rows(1).getString(2) == expect) // same bytes at idx 2 ("x"*10 again)
+  }
+
   test("mediaMeta: chunk plan matches byte length") {
     val m = Multimodal.mediaMeta(docs, chunkBytes = 4).orderBy("doc_id").collect()
     assert(m(0).getAs[Long]("byte_len") == 11L)

@@ -90,6 +90,67 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L) != r(3L))
   }
 
+  test("spanDupStats: exact dup fully duplicated, unique doc fully unique") {
+    val sh = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3)
+    val r = TextDedup.spanDupStats(sh).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) == 1.0 && r(4L) == 1.0) // every span of the dup pair shared
+    assert(r(3L) == 0.0)                 // nothing of doc 3 appears elsewhere
+    assert(r(2L) > 0.0 && r(2L) < 1.0)   // near-dup: partial overlap
+  }
+
+  test("contamination: only docs sharing a benchmark span are flagged") {
+    val sh = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3)
+    val bench = sh.filter(col("doc_id") === 1L)   // doc 1 = the eval set
+    val corpus = sh.filter(col("doc_id") =!= 1L)
+    val r = TextDedup.contamination(corpus, bench).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(4L) == 7L)      // exact dup: all 7 3-gram spans shared
+    assert(r.contains(2L))   // near-dup shares a prefix of spans
+    assert(!r.contains(3L))  // clean doc absent from the report
+  }
+
+  test("repetitionStats: looping text scores high, varied text low") {
+    val d = Seq((1L, "spam ham spam ham spam ham spam ham"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(d, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) > 0.5)            // "spam ham" dominates
+    assert(r(2L) < 0.2)            // all 2-grams unique: 1/7
+    val row = TextStats.repetitionStats(d, col("doc_id"), col("text"))
+      .filter(col("doc_id") === 2L).collect()(0)
+    assert(row.getLong(1) == 7L && row.getLong(2) == 1L)
+  }
+
+  test("Pii.scrub redacts all three classes in order; countPii matches") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.0.1 port"),
+      (3L, "call 555-123-4567 today"),
+      (4L, "u1@a.io and 10.0.0.7 and 555-000-1111"),
+      (5L, "nothing sensitive here")).toDF("id", "text")
+    val r = d.select(col("id"), graft.expr.Pii.scrub(col("text")).as("s"),
+        graft.expr.Pii.countPii(col("text")).as("n"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r(1L) == (("mail [EMAIL] now", 1L)))
+    assert(r(2L) == (("server at [IP] port", 1L)))
+    assert(r(3L) == (("call [PHONE] today", 1L)))
+    assert(r(4L) == (("[EMAIL] and [IP] and [PHONE]", 3L)))
+    assert(r(5L) == (("nothing sensitive here", 0L)))
+  }
+
+  test("weightedSample: weight 0 keeps nothing, 1 keeps all, deterministic") {
+    val d = spark.range(1000).toDF("id")
+    assert(graft.ops.Sampling.weightedSample(d, col("id"), lit(0.0)).count() == 0)
+    assert(graft.ops.Sampling.weightedSample(d, col("id"), lit(1.0)).count() == 1000)
+    val half1 = graft.ops.Sampling.weightedSample(d, col("id"), lit(0.5))
+      .collect().map(_.getLong(0)).toSet
+    val half2 = graft.ops.Sampling.weightedSample(d, col("id"), lit(0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(half1 == half2)                        // pure function of id
+    assert(half1.size > 400 && half1.size < 600)  // ~Binomial(1000, .5)
+  }
+
   test("cosine similarity: orthogonal/identical/zero-norm vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
