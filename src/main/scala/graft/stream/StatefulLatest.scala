@@ -27,6 +27,48 @@ object StatefulLatest {
     * Input must carry a watermark (`ds.withWatermark(...)`) — required by
     * the event-time timeout and what makes `ttl` meaningful.
     */
+  /** Per-key running statistics (count / sum / latest value) via
+    * `mapGroupsWithState` — the "one output row per key per batch" shape,
+    * complementing [[latestPerKey]]'s flatMap (0-or-1 rows) form. The
+    * running aggregate is the streaming-native version of the loader's
+    * cumulative fact columns. Same event-time TTL contract: state for a
+    * key is dropped once the watermark passes `latestMicros + ttl`. */
+  def runningStats[T](ds: Dataset[T], keyFn: T => String, ordMicros: T => Long,
+      valueFn: T => Double, ttl: java.time.Duration)
+      : Dataset[(String, Long, Double, Double)] = {
+    implicit val stateEnc: Encoder[(Long, Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+    implicit val outEnc: Encoder[(String, Long, Double, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+    val ttlMs = ttl.toMillis
+    ds.groupByKey(keyFn)(Encoders.STRING)
+      .mapGroupsWithState[(Long, Long, Double, Double),
+        (String, Long, Double, Double)](GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[T],
+            state: GroupState[(Long, Long, Double, Double)]) =>
+          if (state.hasTimedOut) {
+            val (_, n, sum, last) = state.get
+            state.remove()
+            (key, n, sum, last) // final flush on expiry
+          } else {
+            var (maxOrd, n, sum, last) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0.0, 0.0))
+            rows.foreach { r =>
+              n += 1
+              sum += valueFn(r)
+              val o = ordMicros(r)
+              if (o > maxOrd) { maxOrd = o; last = valueFn(r) }
+            }
+            state.update((maxOrd, n, sum, last))
+            state.setTimeoutTimestamp(
+              math.max(maxOrd / 1000L + ttlMs, state.getCurrentWatermarkMs + 1))
+            (key, n, sum, last)
+          }
+      }
+  }
+
   def latestPerKey[T](ds: Dataset[T], keyFn: T => String, ordMicros: T => Long,
       ttl: java.time.Duration)(implicit enc: Encoder[T]): Dataset[T] = {
     implicit val stateEnc: Encoder[(Long, T)] =

@@ -1,0 +1,31 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream correlation — the streaming-native upgrade
+  * of the reference's "match departure and arrival snapshots of the same
+  * flight in the warehouse" (the loader joins dep/arr rows by key in
+  * Postgres, /root/reference/apps/loader/load_warehouse.py:236-243; here
+  * both sides are live streams and the join runs in the state store).
+  *
+  * Scale design: the equi-key condition makes this a shuffled
+  * symmetric-hash join partitioned by the key; the TIME-INTERVAL bound
+  * plus both watermarks is what lets Spark evict state — without the
+  * interval the state store grows with stream history. State per side is
+  * bounded by (events within watermark + interval), the same
+  * bounded-by-time property as [[StatefulLatest]].
+  */
+object StreamJoin {
+
+  /** Inner interval join: rows of `left` match rows of `right` with the
+    * same `key` whose `rightTs` lies in [leftTs, leftTs + maxGap].
+    * Both inputs MUST carry watermarks for state cleanup. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, maxGap: String): DataFrame =
+    left.join(right,
+      left(key) === right(key) &&
+        right(rightTs) >= left(leftTs) &&
+        right(rightTs) <= left(leftTs) + expr(s"INTERVAL $maxGap"),
+      "inner")
+}

@@ -83,6 +83,97 @@ class StatefulStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("mapGroupsWithState runningStats: per-key count/sum/latest across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Obs]
+    // 2h watermark delay: out-of-order rows within 2h are accepted (a
+    // 0s watermark would late-drop them before the state function)
+    val stats = StatefulLatest.runningStats[Obs](
+      ms.toDS().withWatermark("ts", "2 hours"),
+      _.key, _.ts.getTime * 1000L, _.value, Duration.ofDays(3))
+    val q = stats.toDF("key", "n", "sum", "last")
+      .writeStream.format("memory").queryName("stats_sink")
+      .outputMode(OutputMode.Update).start()
+    def latestFor(k: String) = spark.table("stats_sink")
+      .filter(col("key") === k).orderBy(col("n").desc).collect()(0)
+
+    ms.addData(Obs("k1", t("2024-05-09T10:00:00Z"), 2.0),
+      Obs("k1", t("2024-05-09T11:00:00Z"), 3.0))
+    q.processAllAvailable()
+    var r = latestFor("k1")
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 5.0 && r.getDouble(3) == 3.0)
+
+    // next batch: count/sum accumulate; `last` tracks max event time,
+    // so an out-of-order older row (within the watermark delay: the
+    // post-batch-1 watermark is 09:00) must NOT displace it
+    ms.addData(Obs("k1", t("2024-05-09T09:30:00Z"), 100.0))
+    q.processAllAvailable()
+    r = latestFor("k1")
+    assert(r.getLong(1) == 3L && r.getDouble(2) == 105.0 && r.getDouble(3) == 3.0)
+    q.stop()
+  }
+
+  test("stream-stream interval join: matches within gap, state evicted by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val dep = MemoryStream[Obs]
+    val arr = MemoryStream[Obs]
+    val joined = graft.stream.StreamJoin.intervalJoin(
+      dep.toDF().withWatermark("ts", "0 seconds")
+        .select(col("key"), col("ts").as("dep_ts"), col("value").as("dep_v")),
+      arr.toDF().withWatermark("ts", "0 seconds")
+        .select(col("key"), col("ts").as("arr_ts"), col("value").as("arr_v")),
+      "key", "dep_ts", "arr_ts", "4 hours")
+    // duplicate `key` columns (one per side) — drop both for the sink
+    val q = joined.drop("key").writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(OutputMode.Append).start()
+
+    dep.addData(Obs("f1", t("2024-05-09T10:00:00Z"), 1.0))
+    arr.addData(Obs("f1", t("2024-05-09T12:00:00Z"), 2.0)) // within 4h → match
+    arr.addData(Obs("f1", t("2024-05-09T19:00:00Z"), 3.0)) // 9h later → no match
+    q.processAllAvailable()
+    val rows = spark.table("ssj_sink").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("arr_v") == 2.0)
+
+    // watermark far ahead on both sides → join state drains
+    dep.addData(Obs("zz", t("2024-06-01T00:00:00Z"), 0.0))
+    arr.addData(Obs("zz", t("2024-06-01T00:00:00Z"), 0.0))
+    q.processAllAvailable()
+    dep.addData(Obs("zz2", t("2024-06-02T00:00:00Z"), 0.0))
+    arr.addData(Obs("zz2", t("2024-06-02T00:00:00Z"), 0.0))
+    q.processAllAvailable()
+    val st = q.lastProgress.stateOperators(0)
+    assert(st.numRowsTotal <= 4L, // only the watermark-advancing sentinels live
+      s"join state not evicted: ${st.numRowsTotal} rows")
+    q.stop()
+  }
+
+  test("backpressure: maxFilesPerTrigger bounds each micro-batch (ST7)") {
+    val dir = java.nio.file.Files.createTempDirectory("bp").toString
+    import spark.implicits._
+    // three single-file "topic segments"
+    (1 to 3).foreach { i =>
+      Seq(Obs(s"k$i", t(s"2024-05-09T0$i:00:00Z"), i.toDouble)).toDS()
+        .coalesce(1).write.parquet(s"$dir/in/f$i")
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Obs]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/*")
+      .writeStream
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(batches.sum == 3L)
+    assert(batches.forall(_ <= 1L), s"batch sizes: $batches") // rate held
+    assert(batches.count(_ == 1L) == 3)
+  }
+
   test("Trigger.AvailableNow drains pending data then stops on its own") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Obs]
