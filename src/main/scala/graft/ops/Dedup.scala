@@ -25,6 +25,29 @@ object Dedup {
       .select(col("__row.*"))
   }
 
+  /** Latest-per-key with a FULL-PAYLOAD tie-break, packed form:
+    * `max(struct(ordPrefix…, remaining-columns-sorted))`.
+    *
+    * Equivalent to [[latestPerKey]] with
+    * `orderCols = ordPrefix :+ struct(payload)` — the total order
+    * compares the prefix first, then the remaining columns
+    * lexicographically by name — but the shuffle carries each row ONCE:
+    * `max_by(payload, ord)` ships (payload, ord) and a full-payload
+    * tie-break makes that 2× the row; `max` over one packed struct
+    * halves the dedup's shuffle volume. Used by the load cycle, where
+    * staging has no unique row id and equal ingest_times are common
+    * (every unparsable ingest_ts in a batch gets the same fallback). */
+  def latestPerKeyTotal(df: DataFrame, keys: Seq[String],
+      ordPrefix: Seq[String]): DataFrame = {
+    val rest = df.columns
+      .filterNot(c => keys.contains(c) || ordPrefix.contains(c)).sorted
+    val packed = struct((ordPrefix ++ rest).map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(packed).as("__row"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__row.$c")).toIndexedSeq: _*)
+  }
+
   /** Window-function form (`row_number over partitionBy(key) = 1`) — the
     * literal rewrite of Postgres `DISTINCT ON`. Sorts every group; use
     * when you also need the rank or explicit NULL-ordering control. */

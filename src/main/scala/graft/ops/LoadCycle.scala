@@ -111,8 +111,8 @@ object LoadCycle {
 
     // ---- fact (D2 latest per key, J2/J3 resolve ids, U4 merge)
     val factSrc = slice.filter(col("flight_key").isNotNull)
-    val latest = Dedup.latestPerKey(factSrc,
-      Seq("flight_key"), ordWithTieBreak(factSrc))
+    val latest = Dedup.latestPerKeyTotal(factSrc,
+      Seq("flight_key"), Seq("ingest_time"))
     val aResolved = Star.altKeyLookup(latest,
       dimAirline.select(col("iata"), col("icao"),
         dimId("airline", col("iata"), col("icao")).as("airline_id")),
@@ -143,20 +143,18 @@ object LoadCycle {
   /** latestPerKey's contract needs a deterministic TOTAL order; staging
     * has no unique row id (equal ingest_times are common — every
     * unparsable ingest_ts in a batch gets the same `now` fallback), so
-    * ties break on the full remaining payload, lexicographically. */
-  private def ordWithTieBreak(df: DataFrame): Seq[Column] =
-    Seq(col("ingest_time"),
-      struct(df.columns.filterNot(_ == "ingest_time").sorted.map(col): _*))
-
+    * ties break on the full remaining payload, lexicographically —
+    * [[Dedup.latestPerKeyTotal]]'s packed form (one struct through the
+    * shuffle, not payload + full-payload ordering twice). */
   private def upsertDim(dim: DataFrame, src: DataFrame,
       dataCols: Seq[String]): DataFrame = {
     val cols = Seq("iata", "icao") ++ dataCols
     val srcIata = src.filter(col("iata").isNotNull)
-    val byIata = Dedup.latestPerKey(srcIata,
-      Seq("iata"), ordWithTieBreak(srcIata)).select(cols.map(col): _*)
+    val byIata = Dedup.latestPerKeyTotal(srcIata,
+      Seq("iata"), Seq("ingest_time")).select(cols.map(col): _*)
     val srcIcao = src.filter(col("iata").isNull && col("icao").isNotNull)
-    val byIcao = Dedup.latestPerKey(srcIcao,
-      Seq("icao"), ordWithTieBreak(srcIcao)).select(cols.map(col): _*)
+    val byIcao = Dedup.latestPerKeyTotal(srcIcao,
+      Seq("icao"), Seq("ingest_time")).select(cols.map(col): _*)
     val afterIata = Merge.upsertCoalesce(dim, byIata, Seq("iata"))
     Merge.upsertCoalesce(afterIata, byIcao, Seq("icao"))
   }

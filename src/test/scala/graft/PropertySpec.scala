@@ -163,4 +163,25 @@ class PropertySpec extends SparkSpec {
       Seq("k"), Seq(col("ts"), col("id"))).orderBy("k").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("latestPerKeyTotal ≡ latestPerKey with full-payload tie-break (ties + NULLs)") {
+    // heavy tie pressure: ts from a tiny domain, payload cols with NULLs
+    val rows = Gen.listOfN(120, for {
+      k <- Gen.chooseNum(0, 4)
+      ts <- Gen.chooseNum(0L, 3L)
+      a <- Gen.option(Gen.chooseNum(0, 9))
+      b <- Gen.oneOf("x", "y", "z")
+    } yield (s"u$k", ts, a.map(_.toString).orNull, b)).sample.get.distinct
+    val df = rows.toDF("k", "ts", "a", "b")
+    val packed = Dedup.latestPerKeyTotal(df, Seq("k"), Seq("ts"))
+      .orderBy("k").collect()
+    // the unpacked equivalent: ord = (ts, struct(remaining cols sorted))
+    val unpacked = Dedup.latestPerKey(df, Seq("k"),
+        Seq(col("ts"), struct(col("a"), col("b"))))
+      .orderBy("k").collect()
+    assert(packed.toSeq == unpacked.toSeq)
+    // column order and names preserved
+    assert(Dedup.latestPerKeyTotal(df, Seq("k"), Seq("ts")).columns.toSeq ==
+      Seq("k", "ts", "a", "b"))
+  }
 }
