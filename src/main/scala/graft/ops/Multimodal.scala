@@ -59,6 +59,36 @@ object Multimodal {
     acc.map(v => (v % 1000L) / 1000.0f)
   }
 
+  /** Batched per-partition inference shape: rows are grouped into
+    * fixed-size batches INSIDE each partition iterator (`grouped(n)`),
+    * the per-batch callback runs once per batch (≈ one model forward
+    * pass per batch on an accelerator), and results flatten back to
+    * rows. This is the exact plumbing a GPU embedding/captioning stage
+    * needs — bounded batch memory, one model handle per partition, no
+    * shuffle — with the model call stubbed. */
+  def batchedInfer(media: Dataset[MediaRow], batchSize: Int, dim: Int = 8)(
+      infer: Seq[MediaRow] => Seq[Array[Float]] = defaultInfer(dim))
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init point (load model once per task) goes here
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = infer(batch)
+        require(feats.length == batch.length,
+          s"infer returned ${feats.length} results for ${batch.length} inputs")
+        batch.lazyZip(feats).map { (r, f) =>
+          MediaFeatures(r.doc_id, r.n_bytes,
+            width = r.media.length % 640, height = r.media.length % 480, f)
+        }
+      }
+    }
+  }
+
+  /** Stub "model": deterministic per-row features (the batch boundary
+    * must not change results — asserted by spec). */
+  private def defaultInfer(dim: Int)(batch: Seq[MediaRow]): Seq[Array[Float]] =
+    batch.map(r => fakeDecodeFeatures(r.media, dim))
+
   /** Frame sampling over an opaque media payload: treat the binary as a
     * stream of fixed-size frames, keep every `stride`-th frame, emit a
     * stable content hash per sampled frame. The Spark shape of

@@ -46,6 +46,23 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).getString(2) == expect) // same bytes at idx 2 ("x"*10 again)
   }
 
+  test("batchedInfer: batch size bounded, results row-aligned, batch-invariant") {
+    val docs9 = (1L to 9L).map(i => (i, s"doc number $i content")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs9).as[Multimodal.MediaRow]
+    val seen = spark.sparkContext.collectionAccumulator[Int]("batch_sizes")
+    val out = Multimodal.batchedInfer(media.repartition(2), batchSize = 4) {
+      batch => seen.add(batch.length)
+        batch.map(r => Multimodal.fakeDecodeFeatures(r.media, 8))
+    }.collect().sortBy(_.doc_id)
+    assert(out.length == 9)
+    import scala.jdk.CollectionConverters._
+    assert(seen.value.asScala.forall(_ <= 4)) // no batch exceeds the bound
+    // batch boundaries must not change per-row results
+    val whole = Multimodal.batchedInfer(media, batchSize = 100)()
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.features.toSeq).toSeq == whole.map(_.features.toSeq).toSeq)
+  }
+
   test("mediaMeta: chunk plan matches byte length") {
     val m = Multimodal.mediaMeta(docs, chunkBytes = 4).orderBy("doc_id").collect()
     assert(m(0).getAs[Long]("byte_len") == 11L)
