@@ -16,10 +16,11 @@ object Bench {
     // untimed warmup: JIT + codegen + parquet-footer caches, standard
     // steady-state benchmarking practice
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // best-of-N per query (N=2 default): first execution pays per-plan
-    // codegen compilation; the repeat measures steady-state. Failures
-    // report -1.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
+    // best-of-N per query (N=3 default): first execution pays per-plan
+    // codegen compilation; the repeats measure steady-state. N=3 because
+    // this host's memory reclaim adds multi-second stalls at random —
+    // one repeat is not enough for a stable minimum. Failures report -1.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         // drop persisted intermediates between runs: queries that

@@ -601,6 +601,20 @@ object SparkEntry {
     TextStats.repetitionStats(t(s, dir, "documents"), col("doc_id"),
       col("text"))
 
+  /** Concat-then-chunk sequence packing: global token offsets via a
+    * distributed prefix sum, 512-token context windows. */
+  private def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    ops.Packing.concatChunk(t(s, dir, "documents"), col("doc_id"),
+      TextStats.nTokens(col("text")), ctxTokens = 512L, bucketWidth = 100L)
+
+  /** Dictionary encoding of the corpus against its own top-200 vocab
+    * (OOV → -1), long format (doc_id, pos, token_id). */
+  private def qVocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextStats.encodeTokens(docs, col("doc_id"), col("text"),
+      TextStats.buildVocab(docs, col("text"), 200))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -661,7 +675,9 @@ object SparkEntry {
     "q55_ann_lsh" -> (qAnnLsh _),
     "q56_frame_sample" -> (qFrameSample _),
     "q57_weighted_sample" -> (qWeightedSample _),
-    "q58_repetition" -> (qRepetition _))
+    "q58_repetition" -> (qRepetition _),
+    "q59_seq_pack" -> (qSeqPack _),
+    "q60_vocab_encode" -> (qVocabEncode _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1004,5 +1020,22 @@ object SparkEntry {
         "cnt AS (SELECT doc_id, gram, count(*) AS n FROM g0 GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_2grams, " +
         "CAST(max(n) AS BIGINT) AS top_2gram_n, " +
-        "round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio FROM cnt GROUP BY 1"))
+        "round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS rep_ratio FROM cnt GROUP BY 1"),
+    "q59_seq_pack" ->
+      ("WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM d) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_off, " +
+        "start_off // 512 AS seq_first, " +
+        "(start_off + n_tokens - 1) // 512 AS seq_last FROM o"),
+    "q60_vocab_encode" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1 " +
+        "ORDER BY n DESC, token LIMIT 200), " +
+        "v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id FROM cnt), " +
+        "g AS (SELECT doc_id, unnest(list_transform(string_split(text, ' '), " +
+        "(x, i) -> struct_pack(pos := i - 1, token := x))) AS s FROM documents) " +
+        "SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, " +
+        "CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id " +
+        "FROM g LEFT JOIN v ON s.token = v.token"))
 }

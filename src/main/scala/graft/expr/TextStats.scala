@@ -80,6 +80,24 @@ object TextStats {
       .withColumn("token_id", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Dictionary-encode a corpus against a vocabulary (the
+    * tokenize-to-ids step before packing/training): one posexplode, one
+    * broadcast join (vocabularies are bounded — [[buildVocab]]'s top-N),
+    * out-of-vocabulary tokens map to -1. Output is long format
+    * (doc_id, pos, token_id) — re-assembly order is explicit in `pos`,
+    * not dependent on any collect_list ordering guarantee. */
+  def encodeTokens(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, posexplode}
+    graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+  }
+
   /** Repetition signal (Gopher-style quality rule): per document, the
     * share of its most frequent word 2-gram in all of its 2-grams — high
     * values flag boilerplate/looping text. Counted over the NON-distinct

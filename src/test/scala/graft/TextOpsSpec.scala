@@ -151,6 +151,28 @@ class TextOpsSpec extends SparkSpec {
     assert(half1.size > 400 && half1.size < 600)  // ~Binomial(1000, .5)
   }
 
+  test("concatChunk: exact global offsets, straddling docs, bucket-width invariant") {
+    // 5 docs × 100 tokens, ctx=256: doc 3 straddles seqs 0→1 (offset 200)
+    val d = (0L to 4L).map(i => (i, 100L)).toDF("doc_id", "n")
+    val packed = graft.ops.Packing.concatChunk(d, col("doc_id"), col("n"), 256L)
+      .orderBy("doc_id").collect()
+    assert(packed.map(_.getLong(2)).toSeq == Seq(0L, 100L, 200L, 300L, 400L))
+    assert(packed.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 1L)))
+    // offsets are exact regardless of how the prefix sum is bucketed
+    val alt = graft.ops.Packing.concatChunk(d, col("doc_id"), col("n"), 256L,
+      bucketWidth = 2L).orderBy("doc_id").collect()
+    assert(alt.map(_.getLong(2)).toSeq == packed.map(_.getLong(2)).toSeq)
+  }
+
+  test("encodeTokens: in-vocab ids, OOV -1, positions preserved") {
+    val d = Seq((1L, "a b zzz a")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 0L), ("b", 1L)).toDF("token", "token_id")
+    val r = TextStats.encodeTokens(d, col("doc_id"), col("text"), vocab)
+      .orderBy("pos").collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((0L, 0L), (1L, 1L), (2L, -1L), (3L, 0L)))
+  }
+
   test("cosine similarity: orthogonal/identical/zero-norm vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
