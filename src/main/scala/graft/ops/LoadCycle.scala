@@ -101,7 +101,14 @@ object LoadCycle {
         Seq("airport_name")))
 
     // ---- dim_route (J1 resolve both ends, D3 distinct, U3 insert-if-absent)
-    val withIds = resolveAirports(slice, dimAirport)
+    // distinct the airport-code combos BEFORE resolving: route discovery
+    // only needs each (dep, arr) code pair once, so the four dim joins
+    // run over |distinct combos| rows (bounded by airports², with
+    // map-side-combined distinct), not every staging row
+    val rawPairs = slice.select(
+      col("dep_airport_iata"), col("dep_airport_icao"),
+      col("arr_airport_iata"), col("arr_airport_icao")).distinct()
+    val withIds = resolveAirports(rawPairs, dimAirport)
     val newPairs = withIds
       .select(col("dep_airport_id"), col("arr_airport_id"))
       .filter(col("dep_airport_id").isNotNull && col("arr_airport_id").isNotNull)
