@@ -33,7 +33,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BitsetDistinct(children.head, maxId)
       }))
+    // composed-expression functions: built from the same Column => Column
+    // definitions the Scala API uses (one definition, two surfaces)
+    composed1(ext, "graft_rolling_hash", graft.expr.TextStats.rollingHash)
+    composed1(ext, "graft_quality", graft.expr.TextStats.qualityScore)
+    composed1(ext, "graft_lang_id", graft.expr.TextStats.langIdHeuristic(_))
+    composed1(ext, "graft_fingerprint", graft.expr.TextStats.fingerprint)
+    composed1(ext, "graft_pii_scrub", graft.expr.Pii.scrub)
+    composed1(ext, "graft_pii_count", graft.expr.Pii.countPii)
     // whole-operator surface: the native as-of join physical strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
+
+  /** Register a unary Column=>Column as a SQL function: the builder wraps
+    * the child expression in a Column, applies the library definition,
+    * and unwraps — the analyzer resolves the produced built-in tree. */
+  private def composed1(ext: SparkSessionExtensions, name: String,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (children: Seq[Expression]) => org.apache.spark.sql.GraftBridge
+        .catalystExpression(
+          f(org.apache.spark.sql.GraftBridge.column(children.head)))))
 }

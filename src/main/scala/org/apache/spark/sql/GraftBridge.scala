@@ -12,6 +12,16 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Deep-convert a Column to a catalyst Expression tree. Unlike
+    * [[expression]] — which wraps the column node in an opaque
+    * `ColumnNodeExpression` leaf that only Dataset-API analysis unwraps —
+    * this runs the converter immediately, yielding ordinary (possibly
+    * unresolved) catalyst nodes the analyzer resolves wherever they are
+    * spliced. Needed by `injectFunction` builders that return composed
+    * built-in trees. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Wrap a (resolved) logical plan as a DataFrame — the construction
     * path for graft's custom logical operators (e.g.
     * [[graft.plans.AsofJoinPlan]]). */

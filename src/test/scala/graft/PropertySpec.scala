@@ -98,6 +98,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("composed SQL functions (rolling hash, quality, PII) via GraftExtensions") {
+    spark.sparkContext
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.classic.SparkSession.builder()
+        .withExtensions(new GraftExtensions()(_))
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_rolling_hash('abc') AS h, " +
+          "graft_pii_scrub('mail a@b.io now') AS s, " +
+          "graft_pii_count('mail a@b.io now') AS n, " +
+          "graft_lang_id('the cat is on the mat') AS lang").collect().head
+      // same value as the Column-API definition on the suite session
+      import org.apache.spark.sql.functions.lit
+      val expectH = spark.range(1)
+        .select(graft.expr.TextStats.rollingHash(lit("abc"))).collect()(0).getLong(0)
+      assert(r.getLong(0) == expectH)
+      assert(r.getString(1) == "mail [EMAIL] now" && r.getLong(2) == 1L)
+      assert(r.getString(3) == "en")
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
   test("native VectorCosine ≡ HOF cosine bit-for-bit on random vectors") {
     import graft.expr.Similarity
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
