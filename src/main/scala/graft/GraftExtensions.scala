@@ -33,6 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BitsetDistinct(children.head, maxId)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[graft.expr.catalyst.MinhashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash(text, n, numHashes): $what must be an int literal, got $other")
+        }
+        graft.expr.catalyst.MinhashSig(children.head,
+          intLit(children(1), "n"), intLit(children(2), "numHashes"))
+      }))
     // composed-expression functions: built from the same Column => Column
     // definitions the Scala API uses (one definition, two surfaces)
     composed1(ext, "graft_rolling_hash", graft.expr.TextStats.rollingHash)

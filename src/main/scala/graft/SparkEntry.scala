@@ -240,10 +240,13 @@ object SparkEntry {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     TextDedup.shingleSet(t(s, dir, "documents"), col("doc_id"), col("text"), 3)
 
-  /** MinHash + LSH banding candidate pairs. */
+  /** MinHash + LSH banding candidate pairs — signatures via the native
+    * single-pass expression (zero-shuffle generation; same oracle as the
+    * composed form, which q22 still exercises). */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     TextDedup.lshCandidates(
-      TextDedup.minhashSignatures(docShingles(s, dir), 8))
+      TextDedup.minhashSignaturesNative(t(s, dir, "documents"),
+        col("doc_id"), col("text"), 3, 8))
 
   /** Exact n-gram Jaccard on the LSH candidates. The shingle set feeds
     * three consumers and the candidate set two — persist both (at

@@ -44,6 +44,21 @@ object TextDedup {
       .select(col("doc_id"), col("s.h").as("h"), col("s.minhash").as("minhash"))
   }
 
+  /** Native single-pass form of [[shingleSet]] + [[minhashSignatures]]:
+    * the codegen'd [[graft.expr.catalyst.MinhashSig]] computes a doc's
+    * whole signature per row — signature generation is a narrow
+    * projection with NO shuffle (the composed form exchanges the
+    * exploded shingle set twice). Same (doc_id, h, minhash) contract,
+    * property-tested ≡; docs shorter than `n` tokens yield no rows in
+    * both forms (NULL signature → explode drops them). */
+  def minhashSignaturesNative(docs: DataFrame, id: Column, text: Column,
+      n: Int, numHashes: Int): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.expr.catalyst.MinhashSig(
+            org.apache.spark.sql.GraftBridge.expression(text), n, numHashes)))
+          .as(Seq("h", "minhash")))
+
   /** LSH banding with rows-per-band = 2: band signature = concat of the
     * (order-independent) min and max member hash. Docs sharing any band
     * signature become candidate pairs. */

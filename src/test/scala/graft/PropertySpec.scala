@@ -126,6 +126,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native MinhashSig ≡ composed shingleSet+minhashSignatures (incl. edges)") {
+    import graft.ops.TextDedup
+    // edge cases: short doc (no shingles), repeated shingles, trailing
+    // space (empty trailing token), single-space doc, real-ish docs
+    val docs = (Seq((1L, "a b c d e"), (2L, "a b"), (3L, "x y z x y z x y z"),
+      (4L, "a b c "), (5L, " "), (6L, "q w e r t y u i o p")) ++
+      (7L to 16L).map(i => i -> s"tok${i % 3} tok${i % 5} tok${i % 7} mid$i tok${i % 3} tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val composed = TextDedup.minhashSignatures(
+        TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3), 8)
+      .orderBy("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val native = TextDedup.minhashSignaturesNative(
+        docs, col("doc_id"), col("text"), 3, 8)
+      .orderBy("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(native.toSeq == composed.toSeq)
+    assert(native.nonEmpty && !native.exists(_._1 == 2L)) // short doc: no rows
+  }
+
   test("native VectorCosine ≡ HOF cosine bit-for-bit on random vectors") {
     import graft.expr.Similarity
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
