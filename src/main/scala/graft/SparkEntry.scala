@@ -248,14 +248,16 @@ object SparkEntry {
       TextDedup.minhashSignaturesNative(t(s, dir, "documents"),
         col("doc_id"), col("text"), 3, 8))
 
-  /** Exact n-gram Jaccard on the LSH candidates. The shingle set feeds
-    * three consumers and the candidate set two — persist both (at
-    * warehouse scale: a checkpoint of the candidate pairs) instead of
-    * recomputing the explode/minhash DAG per consumer. */
+  /** Exact n-gram Jaccard on the LSH candidates. Candidates come from
+    * the native zero-shuffle signatures; the exploded shingle set (which
+    * only the Jaccard stage needs — sizes + intersection = two
+    * consumers) is persisted once. minhashSignatures-composed parity
+    * with this oracle is covered by PropertySpec's ≡ test. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir).persist()
     val cands = TextDedup.lshCandidates(
-      TextDedup.minhashSignatures(sh, 8)).persist()
+      TextDedup.minhashSignaturesNative(t(s, dir, "documents"),
+        col("doc_id"), col("text"), 3, 8)).persist()
     TextDedup.jaccard(cands, sh)
   }
 
