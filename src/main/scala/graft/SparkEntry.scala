@@ -538,7 +538,12 @@ object SparkEntry {
   }
 
   /** As-of join: odd events look up the latest even-event state at or
-    * before their timestamp, per user. */
+    * before their timestamp, per user. Runs the NATIVE operator
+    * (AsofJoinPlan → AsofJoinExec via the injected strategy) when the
+    * session has GraftExtensions — the Verify/Bench sessions do — so the
+    * custom SparkPlan itself is under the DuckDB oracle gate; falls back
+    * to the composed union+carry-forward form otherwise (≡ by
+    * AsofNativeSpec). */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val left = ev.filter(col("event_id") % 2 === 1)
@@ -546,7 +551,14 @@ object SparkEntry {
     val right = ev.filter(col("event_id") % 2 === 0)
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("value")) // unique per (key, ts)
-    AsofJoin.asofJoin(left, right, Seq("user_id"), "ts")
+    val hasStrategy = s.sessionState.planner.extraPlanningStrategies
+      .contains(graft.plans.AsofJoinStrategy)
+    if (hasStrategy)
+      ops.AsofJoinNative.asofJoin(left, right, Seq("user_id"), "ts")
+        .toDF("user_id", "event_id", "ts", "value",
+          "r_user", "r_ts", "r_value")
+        .drop("r_user")
+    else AsofJoin.asofJoin(left, right, Seq("user_id"), "ts")
   }
 
   /** Span-duplication signal: fraction of each doc's 3-gram spans shared

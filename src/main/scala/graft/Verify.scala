@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // native-operator surface (as-of strategy, SQL functions): a fresh
+      // JVM reads this static conf; on a live context use withExtensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // reference semantics: silently-NULL casts/parses (SURVEY §7.4.2)
       .config("spark.sql.ansi.enabled", "false")
       // events.ts is TIMESTAMP(NANOS); read as long, converted in loader
