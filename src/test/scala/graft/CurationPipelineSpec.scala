@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.TextStats
+import graft.ops.{Dedup, Packing, Sampling, TextDedup}
+
+/** Capstone: the whole training-data curation pipeline chained
+  * end-to-end on the real documents table — quality filter → exact
+  * dedup → MinHash near-dup candidate removal → benchmark
+  * decontamination → weighted sampling → sequence packing → dictionary
+  * encoding. Each stage is an operator verified individually by its own
+  * oracle query; this spec verifies they COMPOSE: schemas line up,
+  * survivors only ever shrink, and the packed/encoded output is
+  * internally consistent.
+  */
+class CurationPipelineSpec extends SparkSpec {
+
+  test("documents → filter → dedup → decontaminate → sample → pack → encode") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = docs.count()
+
+    // 1. quality gate (keep reasonably sized, low-punct docs)
+    val quality = docs.filter(TextStats.qualityScore(col("text")) >= 0.5)
+    val nQuality = quality.count()
+    assert(nQuality > 0 && nQuality <= total)
+
+    // 2. exact dedup: canonical survivor per content hash
+    val keep = Dedup.exactDedup(quality, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val deduped = quality.join(keep, Seq("doc_id"), "left_semi")
+    val nDeduped = deduped.count()
+    assert(nDeduped <= nQuality)
+
+    // 3. near-dup removal: drop the higher id of every LSH candidate pair
+    val nearDupLosers = TextDedup.lshCandidates(
+        TextDedup.minhashSignaturesNative(deduped, col("doc_id"), col("text"), 3, 8))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val afterNearDup = deduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val nNearDup = afterNearDup.count()
+    assert(nNearDup <= nDeduped)
+
+    // 4. decontamination vs the "benchmark" (doc_id < 20 held out)
+    val g5 = TextDedup.shingleSet(afterNearDup, col("doc_id"), col("text"), 5)
+    val contaminated = TextDedup.contamination(
+      g5.filter(col("doc_id") >= 20), g5.filter(col("doc_id") < 20))
+    val clean = afterNearDup.filter(col("doc_id") >= 20)
+      .join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val nClean = clean.count()
+    assert(nClean <= nNearDup)
+
+    // 5. quality-weighted deterministic sampling
+    val sampled = Sampling.weightedSample(clean, col("doc_id"),
+      length(col("text")) / lit(300.0))
+    val nSampled = sampled.count()
+    assert(nSampled > 0 && nSampled <= nClean)
+
+    // 6. pack into 512-token sequences: offsets contiguous, windows sane
+    val packed = Packing.concatChunk(sampled, col("doc_id"),
+      TextStats.nTokens(col("text")), ctxTokens = 512L, bucketWidth = 50L)
+    val rows = packed.orderBy("doc_id").collect()
+    assert(rows.length == nSampled)
+    var expectedOff = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == expectedOff, s"offset gap at doc ${r.getLong(0)}")
+      expectedOff += r.getLong(1)
+      assert(r.getLong(3) <= r.getLong(4)) // seq_first <= seq_last
+      assert(r.getLong(3) == r.getLong(2) / 512)
+    }
+
+    // 7. dictionary-encode the survivors against their own vocab
+    val vocab = TextStats.buildVocab(sampled, col("text"), 100)
+    val encoded = TextStats.encodeTokens(sampled, col("doc_id"), col("text"), vocab)
+    // every sampled token produced exactly one (pos, id) row
+    val tokenTotal = sampled
+      .agg(sum(TextStats.nTokens(col("text")))).collect()(0).getLong(0)
+    assert(encoded.count() == tokenTotal)
+    // vocab ids dense in [0, 100); OOV exactly -1
+    val ids = encoded.select("token_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(ids.forall(id => id == -1L || (id >= 0L && id < 100L)))
+    // round-trip: joining ids back to tokens reproduces in-vocab tokens
+    val joined = encoded.join(vocab, Seq("token_id"))
+      .select(col("doc_id"), col("pos"), col("token"))
+    assert(joined.count() == encoded.filter(col("token_id") >= 0).count())
+  }
+}
