@@ -113,15 +113,24 @@ object SparkEntry {
       .select(col("o_orderkey"), col("cust_name"), col("segment"))
   }
 
-  /** J3/J4: 4-dim star denormalization + rollup. */
-  private def qStarRevenue(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+  /** J3/J4: 4-dim star denormalization + rollup. Dimension side first:
+    * orders enriches with customer/nation/region BEFORE touching
+    * lineitem, so the fact table joins once against a pre-joined (and
+    * AQE-broadcastable when small enough) side instead of re-shuffling
+    * the fact×orders result again by custkey. */
+  private def orderDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")),
         col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey"), col("r_name"), col("n_name"))
+
+  private def qStarRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(orderDims(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_items"),
         sum(revenue).cast("double").as("revenue"))
@@ -179,12 +188,21 @@ object SparkEntry {
     val n = t(s, dir, "nation")
     val cn = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     val sn = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-    val grouped = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    // dimension side first (see orderDims): orders+customer+nation
+    // pre-join, fact joins once per enriched side
+    val ocn = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
-      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    val ssn = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    // no broadcast hint on the enriched sides: supplier/orders scale
+    // with SF, so size stats + AQE pick broadcast only while they fit
+    val grouped = t(s, dir, "lineitem")
+      .join(ocn, col("l_orderkey") === col("o_orderkey"))
+      .join(ssn, col("l_suppkey") === col("s_suppkey"))
       .groupBy(concat_ws("->", col("cust_nation"), col("supp_nation")).as("route"))
       .agg(count(lit(1)).as("n"),
         round(sum(revenue).cast("double") / count(lit(1)), 4).as("avg_rev"))
@@ -470,12 +488,7 @@ object SparkEntry {
     * region, region+nation, grand total in one pass). */
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, dir, "nation")),
-        col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(t(s, dir, "region")),
-        col("n_regionkey") === col("r_regionkey"))
+      .join(orderDims(s, dir), col("l_orderkey") === col("o_orderkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_items"),
         // grand-total magnitude ~3e9: 1 double-ulp (~5e-7) exceeds the
