@@ -110,6 +110,29 @@ object Multimodal {
           .as("frame_hash"))
   }
 
+  case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** Resize/transcode shape: per-partition batched transform of the
+    * media payload to a fixed-size thumbnail. The codec is STUBBED
+    * (crop-or-cycle the source bytes into a w×h buffer — deterministic,
+    * content-dependent) but the plumbing is the real thing: binary in,
+    * binary out, fixed output geometry, one codec instance per
+    * partition, no shuffle. */
+  def resizeStub(media: Dataset[MediaRow], w: Int, h: Int): Dataset[Thumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init goes here
+      it.map { r =>
+        val out = new Array[Byte](w * h)
+        if (r.media.nonEmpty) {
+          var i = 0
+          while (i < out.length) { out(i) = r.media(i % r.media.length); i += 1 }
+        }
+        Thumb(r.doc_id, w, h, out)
+      }
+    }
+  }
+
   /** Catalyst-only metadata projection (no decode): chunking plan for a
     * fixed batch size — demonstrates pushdown-friendly metadata access. */
   def mediaMeta(docs: DataFrame, chunkBytes: Int = 256): DataFrame =

@@ -63,6 +63,20 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.features.toSeq).toSeq == whole.map(_.features.toSeq).toSeq)
   }
 
+  test("resizeStub: fixed output geometry, deterministic, empty-input safe") {
+    val media = Multimodal.asMediaTable(docs).as[Multimodal.MediaRow]
+    val thumbs = Multimodal.resizeStub(media, 4, 3).collect().sortBy(_.doc_id)
+    assert(thumbs.forall(t => t.thumb.length == 12 && t.width == 4 && t.height == 3))
+    // content-dependent: "hello world" cycled into 12 bytes
+    assert(new String(thumbs(0).thumb, "UTF-8") == "hello worldh")
+    // empty payload → zeroed buffer, not a crash
+    assert(thumbs(2).thumb.forall(_ == 0))
+    // same input partitioned differently → same thumbs
+    val again = Multimodal.resizeStub(media.repartition(3), 4, 3)
+      .collect().sortBy(_.doc_id)
+    assert(thumbs.map(_.thumb.toSeq).toSeq == again.map(_.thumb.toSeq).toSeq)
+  }
+
   test("mediaMeta: chunk plan matches byte length") {
     val m = Multimodal.mediaMeta(docs, chunkBytes = 4).orderBy("doc_id").collect()
     assert(m(0).getAs[Long]("byte_len") == 11L)
