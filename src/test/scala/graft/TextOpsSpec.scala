@@ -139,6 +139,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(5L) == (("nothing sensitive here", 0L)))
   }
 
+  test("Pii.scrub is idempotent: placeholders never re-match any rule") {
+    val texts = Seq("a@b.io at 10.0.0.1 call 555-123-4567",
+      "x [EMAIL] y", "v1.2.3.4.5 not-an-ip-boundary 1.2.3.4",
+      "plain text").toDF("text")
+    val once = texts.select(graft.expr.Pii.scrub(col("text")).as("s"))
+    val twice = once.select(graft.expr.Pii.scrub(col("s")).as("s"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+    // and a scrubbed corpus reports zero remaining PII
+    assert(once.select(graft.expr.Pii.countPii(col("s")).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0) == 0L)
+  }
+
   test("weightedSample: weight 0 keeps nothing, 1 keeps all, deterministic") {
     val d = spark.range(1000).toDF("id")
     assert(graft.ops.Sampling.weightedSample(d, col("id"), lit(0.0)).count() == 0)
