@@ -645,6 +645,21 @@ object SparkEntry {
       TextStats.buildVocab(docs, col("text"), 200))
   }
 
+  /** Heavy hitters with a relational Count-Min sketch: exact token
+    * counts ≥ 50 alongside the deterministic CM estimate (min over 3
+    * md5-bucketed rows of width 64); `ok` asserts the CM lower-bound
+    * guarantee (estimate never undercounts) in-plan. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val tok = ops.Fanout.fanout(t(s, dir, "documents"))
+      .select(explode(TextStats.tokens(col("text"))).as("token"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 50)
+    val matrix = ops.Sketch.countMinMatrix(tok, col("token"), 3, 64)
+    ops.Sketch.countMinEstimate(exact, col("token"), matrix, 3, 64)
+      .select(col("token"), col("n"), col("cm_est"),
+        (col("cm_est") >= col("n")).as("ok"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -707,7 +722,8 @@ object SparkEntry {
     "q57_weighted_sample" -> (qWeightedSample _),
     "q58_repetition" -> (qRepetition _),
     "q59_seq_pack" -> (qSeqPack _),
-    "q60_vocab_encode" -> (qVocabEncode _))
+    "q60_vocab_encode" -> (qVocabEncode _),
+    "q61_heavy_hitters" -> (qHeavyHitters _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1067,5 +1083,18 @@ object SparkEntry {
         "(x, i) -> struct_pack(pos := i - 1, token := x))) AS s FROM documents) " +
         "SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, " +
         "CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id " +
-        "FROM g LEFT JOIN v ON s.token = v.token"))
+        "FROM g LEFT JOIN v ON s.token = v.token"),
+    "q61_heavy_hitters" -> {
+      def b(i: Int, item: String) =
+        s"CAST(CAST(('0x' || substr(md5('$i' || '|' || $item), 1, 8)) AS BIGINT) % 64 AS BIGINT)"
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "exact AS (SELECT token, count(*) AS n FROM tok GROUP BY 1 HAVING count(*) >= 50), " +
+        (0 until 3).map(i =>
+          s"cms$i AS (SELECT ${b(i, "token")} AS bucket, count(*) AS cnt FROM tok GROUP BY 1) ")
+          .mkString(", ") +
+        "SELECT e.token, e.n, least(c0.cnt, c1.cnt, c2.cnt) AS cm_est, " +
+        "least(c0.cnt, c1.cnt, c2.cnt) >= e.n AS ok FROM exact e " +
+        (0 until 3).map(i =>
+          s"JOIN cms$i c$i ON ${b(i, "e.token")} = c$i.bucket ").mkString)
+    })
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch in pure relational form: the sketch matrix is
+  * `depth` tiny (bucket, count) tables — built with one map-side-combined
+  * aggregation each — and a point estimate is the min over depth of the
+  * item's bucket counts. Deterministic md5 bucketing (no seeds/RNG), so
+  * estimates are identical across engines, runs, and retries.
+  *
+  * Why not `functions.count_min_sketch`: its result is an opaque binary
+  * blob queryable only driver-side after deserialization. This form
+  * keeps the whole structure in the plan: the matrix is data
+  * (depth × width rows — broadcastable by construction), estimates are
+  * joins, and merging two sketches is `union → sum by (row, bucket)` —
+  * the mergeability that matters for 100 TB partial aggregation.
+  *
+  * CM guarantee asserted by spec and oracle: estimate ≥ true count
+  * always; overestimate bounded by collisions in the narrowest row.
+  */
+object Sketch {
+
+  /** Bucket of `item` for sketch row `i`: first 8 md5 hex chars of
+    * "i|item" mod width — the same shared-vocabulary hashing as
+    * [[Sampling.hashBucket]]/minhash (portable to any engine with md5). */
+  def cmBucket(i: Int, item: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws("|", lit(i), item)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** The sketch matrix: (row, bucket, cnt) — depth aggregations over the
+    * item stream, each shuffling at most `width` combined rows per task. */
+  def countMinMatrix(items: DataFrame, item: Column, depth: Int,
+      width: Int): DataFrame =
+    (0 until depth).map { i =>
+      items.groupBy(cmBucket(i, item, width).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(i).as("row"), col("bucket"), col("cnt"))
+    }.reduce(_ unionByName _)
+
+  /** Point estimates for each distinct item in `queries(itemCol)`:
+    * min over rows of the item's bucket count. The matrix is
+    * depth × width rows → broadcast joins. */
+  def countMinEstimate(queries: DataFrame, item: Column,
+      matrix: DataFrame, depth: Int, width: Int): DataFrame = {
+    val withEst = (0 until depth).foldLeft(
+        queries.withColumn("__est", lit(Long.MaxValue))) { (df, i) =>
+      df.join(broadcast(matrix.filter(col("row") === i)
+          .select(col("bucket").as(s"__b$i"), col("cnt").as(s"__c$i"))),
+          cmBucket(i, item, width) === col(s"__b$i"), "left")
+        .withColumn("__est", least(col("__est"), coalesce(col(s"__c$i"), lit(0L))))
+        .drop(s"__b$i", s"__c$i")
+    }
+    withEst.withColumnRenamed("__est", "cm_est")
+  }
+}

@@ -139,6 +139,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(5L) == (("nothing sensitive here", 0L)))
   }
 
+  test("Count-Min sketch: never undercounts, and sketches merge by sum") {
+    import graft.ops.Sketch
+    val items = (1 to 400).map(i => s"w${i % 23}").toDF("w")
+    val exact = items.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val m = Sketch.countMinMatrix(items, col("w"), 3, 16)
+    val est = Sketch.countMinEstimate(exact, col("w"), m, 3, 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(est.values.forall { case (n, e) => e >= n }) // CM lower bound
+    // mergeability: matrix(A ∪ B) == matrix(A) + matrix(B) summed by cell
+    val a = items.filter(col("w") < "w2")
+    val b = items.filter(col("w") >= "w2")
+    val merged = Sketch.countMinMatrix(a, col("w"), 3, 16)
+      .unionByName(Sketch.countMinMatrix(b, col("w"), 3, 16))
+      .groupBy("row", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val whole = m.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val part = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole == part)
+  }
+
   test("Pii.scrub is idempotent: placeholders never re-match any rule") {
     val texts = Seq("a@b.io at 10.0.0.1 call 555-123-4567",
       "x [EMAIL] y", "v1.2.3.4.5 not-an-ip-boundary 1.2.3.4",
