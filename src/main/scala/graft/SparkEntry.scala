@@ -660,6 +660,26 @@ object SparkEntry {
         (col("cm_est") >= col("n")).as("ok"))
   }
 
+  /** Bloom-filter join pruning, measured: build a 4096-bit/3-hash bloom
+    * over orders' custkeys, prune customers through it, and report the
+    * funnel — total, bloom-pass, true matches, false positives. The
+    * no-false-negative guarantee (true ⊆ pass) is what makes pruning
+    * safe; the fp count is deterministic (md5 bits). */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val bits = ops.Sketch.bloomBits(
+      t(s, dir, "orders").select(col("o_custkey")).distinct(),
+      col("o_custkey"), bits = 4096, k = 3)
+    val pass = ops.Sketch.bloomPrune(cust, col("c_custkey"), bits, 4096, 3)
+    val trueMatch = cust.join(t(s, dir, "orders"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+    pass.agg(count(lit(1)).as("n_pass")).crossJoin(
+        cust.agg(count(lit(1)).as("n_customers")))
+      .crossJoin(trueMatch.agg(count(lit(1)).as("n_true")))
+      .select(col("n_customers"), col("n_pass"), col("n_true"),
+        (col("n_pass") - col("n_true")).as("n_fp"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -723,7 +743,8 @@ object SparkEntry {
     "q58_repetition" -> (qRepetition _),
     "q59_seq_pack" -> (qSeqPack _),
     "q60_vocab_encode" -> (qVocabEncode _),
-    "q61_heavy_hitters" -> (qHeavyHitters _))
+    "q61_heavy_hitters" -> (qHeavyHitters _),
+    "q62_bloom_prune" -> (qBloomPrune _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1096,5 +1117,22 @@ object SparkEntry {
         "least(c0.cnt, c1.cnt, c2.cnt) >= e.n AS ok FROM exact e " +
         (0 until 3).map(i =>
           s"JOIN cms$i c$i ON ${b(i, "e.token")} = c$i.bucket ").mkString)
+    },
+    "q62_bloom_prune" -> {
+      def bb(i: Int, item: String) =
+        s"CAST(CAST(('0x' || substr(md5('$i' || '|' || $item), 1, 8)) AS BIGINT) % 4096 AS BIGINT)"
+      ("WITH ck AS (SELECT DISTINCT o_custkey FROM orders), " +
+        "bits AS (SELECT DISTINCT " +
+        s"CAST(CAST(('0x' || substr(md5(i || '|' || o_custkey), 1, 8)) AS BIGINT) % 4096 AS BIGINT) AS bit " +
+        "FROM ck CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)), " +
+        "pass AS (SELECT c_custkey FROM customer WHERE " +
+        (0 until 3).map(i => s"${bb(i, "c_custkey")} IN (SELECT bit FROM bits)")
+          .mkString(" AND ") + "), " +
+        "tm AS (SELECT c_custkey FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)) " +
+        "SELECT (SELECT count(*) FROM customer) AS n_customers, " +
+        "(SELECT count(*) FROM pass) AS n_pass, " +
+        "(SELECT count(*) FROM tm) AS n_true, " +
+        "(SELECT count(*) FROM pass) - (SELECT count(*) FROM tm) AS n_fp")
     })
 }

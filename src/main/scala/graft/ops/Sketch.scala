@@ -38,6 +38,29 @@ object Sketch {
         .select(lit(i).as("row"), col("bucket"), col("cnt"))
     }.reduce(_ unionByName _)
 
+  /** Bloom filter in the same relational style: the filter is the
+    * DISTINCT set of set-bit indices (≤ `bits` rows — broadcastable),
+    * built with one explode + distinct over the build side's keys.
+    * Membership = all `k` of an item's bit positions present —
+    * chained broadcast left-semi joins. No false negatives by
+    * construction; false-positive rate set by bits/keys/k. The
+    * relational form of runtime bloom-filter join pruning: ship the
+    * tiny bit set to the probe side, drop rows early, verify with the
+    * real join. */
+  def bloomBits(build: DataFrame, item: Column, bits: Int, k: Int): DataFrame =
+    build.select(explode(array((0 until k).map(i =>
+        cmBucket(i, item, bits)): _*)).as("bit"))
+      .distinct()
+
+  /** Probe-side pruning: keep rows whose `k` bit positions are ALL set.
+    * `bitsDf` must be the matching [[bloomBits]] output. */
+  def bloomPrune(probe: DataFrame, item: Column, bitsDf: DataFrame,
+      bits: Int, k: Int): DataFrame =
+    (0 until k).foldLeft(probe) { (df, i) =>
+      df.join(broadcast(bitsDf),
+        cmBucket(i, item, bits) === col("bit"), "left_semi")
+    }
+
   /** Point estimates for each distinct item in `queries(itemCol)`:
     * min over rows of the item's bucket count. The matrix is
     * depth × width rows → broadcast joins. */

@@ -158,6 +158,25 @@ class TextOpsSpec extends SparkSpec {
     assert(whole == part)
   }
 
+  test("Bloom filter: zero false negatives; pruning preserves the true join") {
+    import graft.ops.Sketch
+    val build = (1 to 200).filter(_ % 3 == 0).map(_.toLong).toDF("k")
+    val probe = (1 to 400).map(_.toLong).toDF("k")
+    val bits = Sketch.bloomBits(build, col("k"), 1024, 3)
+    val pass = Sketch.bloomPrune(probe, col("k"), bits, 1024, 3)
+      .collect().map(_.getLong(0)).toSet
+    val truth = probe.join(build.withColumnRenamed("k", "bk"),
+        col("k") === col("bk"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(truth.subsetOf(pass))           // no false negatives, ever
+    assert(pass.size < 400)                // it actually prunes something
+    // semi-join after pruning == semi-join without pruning
+    val prunedJoin = Sketch.bloomPrune(probe, col("k"), bits, 1024, 3)
+      .join(build.withColumnRenamed("k", "bk"), col("k") === col("bk"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(prunedJoin == truth)
+  }
+
   test("Pii.scrub is idempotent: placeholders never re-match any rule") {
     val texts = Seq("a@b.io at 10.0.0.1 call 555-123-4567",
       "x [EMAIL] y", "v1.2.3.4.5 not-an-ip-boundary 1.2.3.4",
