@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.expr.catalyst.MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_minhash(text, n, numHashes): " +
+          s"expected 3 arguments, got ${children.length}")
         def intLit(e: Expression, what: String): Int = e match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
@@ -66,7 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, name),
-      (children: Seq[Expression]) => org.apache.spark.sql.GraftBridge
-        .catalystExpression(
-          f(org.apache.spark.sql.GraftBridge.column(children.head)))))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"$name(col): expected 1 argument, got ${children.length}")
+        org.apache.spark.sql.GraftBridge.catalystExpression(
+          f(org.apache.spark.sql.GraftBridge.column(children.head)))
+      }))
 }

@@ -650,11 +650,13 @@ object SparkEntry {
     * md5-bucketed rows of width 64); `ok` asserts the CM lower-bound
     * guarantee (estimate never undercounts) in-plan. */
   private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    // tok feeds 4 aggregations (exact + 3 sketch rows) and the matrix 3
+    // broadcast joins — persist both, per the multi-consumer convention
     val tok = ops.Fanout.fanout(t(s, dir, "documents"))
-      .select(explode(TextStats.tokens(col("text"))).as("token"))
+      .select(explode(TextStats.tokens(col("text"))).as("token")).persist()
     val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 50)
-    val matrix = ops.Sketch.countMinMatrix(tok, col("token"), 3, 64)
+    val matrix = ops.Sketch.countMinMatrix(tok, col("token"), 3, 64).persist()
     ops.Sketch.countMinEstimate(exact, col("token"), matrix, 3, 64)
       .select(col("token"), col("n"), col("cm_est"),
         (col("cm_est") >= col("n")).as("ok"))
@@ -1039,9 +1041,11 @@ object SparkEntry {
         "CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
         "CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END || " +
         "CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END AS t FROM documents) " +
+        // progressive counting, matching Pii.countPii: each class counts
+        // on the text with earlier classes already redacted
         s"SELECT doc_id, CAST(len(regexp_extract_all(t, '$EmailPattern')) + " +
-        s"len(regexp_extract_all(t, '$Ipv4Pattern')) + " +
-        s"len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_pii, " +
+        s"len(regexp_extract_all(regexp_replace(t, '$EmailPattern', '[EMAIL]', 'g'), '$Ipv4Pattern')) + " +
+        s"len(regexp_extract_all(regexp_replace(regexp_replace(t, '$EmailPattern', '[EMAIL]', 'g'), '$Ipv4Pattern', '[IP]', 'g'), '$PhonePattern')) AS BIGINT) AS n_pii, " +
         s"md5(regexp_replace(regexp_replace(regexp_replace(t, " +
         s"'$EmailPattern', '[EMAIL]', 'g'), " +
         s"'$Ipv4Pattern', '[IP]', 'g'), " +

@@ -32,10 +32,15 @@ object Pii {
       regexp_replace(c, pat, tag)
     }
 
-  /** Total count of PII matches across all classes, counted BEFORE any
-    * redaction (each rule counts on the original text; rule order keeps
-    * the classes disjoint on well-formed input). */
+  /** Number of redactions [[scrub]] performs: each rule counts on the
+    * PROGRESSIVELY scrubbed text (the same fold as scrub), so PII
+    * classes embedded in an earlier class's match — a phone number used
+    * as an email local-part, an IP-shaped domain — are not
+    * double-counted, and `countPii` always equals the number of
+    * placeholder insertions. */
   def countPii(text: Column): Column =
-    Rules.map { case (pat, _) => regexp_count(text, lit(pat)) }
-      .reduce(_ + _).cast("long")
+    Rules.foldLeft((lit(0).cast("long"), text)) {
+      case ((n, t), (pat, tag)) =>
+        (n + regexp_count(t, lit(pat)), regexp_replace(t, pat, tag))
+    }._1
 }

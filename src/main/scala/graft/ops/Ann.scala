@@ -85,8 +85,17 @@ object Ann {
     * each bit halves the expected bucket population. Unlike [[ivfTopK]]
     * there is no training/centroid pass at all. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    // a wrong dim would NULL every projection (zip_with pads with nulls)
+    // and silently collapse all rows into bucket 0 — i.e. a full cross
+    // join instead of LSH. Fail loudly on the first corpus row instead.
+    corpus.select(col(vecCol)).limit(1).collect().foreach { r =>
+      val actual = r.getSeq[Any](0).length
+      require(actual == dim,
+        s"lshTopK: embeddings are $actual-dimensional but dim=$dim — " +
+          "pass the correct dim or buckets degenerate")
+    }
     val signs = hyperplaneSigns(planes, dim)
     def signature(vec: Column): Column =
       signs.zipWithIndex.map { case (s, p) =>

@@ -20,7 +20,9 @@ object StreamJoin {
 
   /** Inner interval join: rows of `left` match rows of `right` with the
     * same `key` whose `rightTs` lies in [leftTs, leftTs + maxGap].
-    * Both inputs MUST carry watermarks for state cleanup. */
+    * Both inputs MUST carry watermarks for state cleanup. The output
+    * keeps ONE unambiguous `key` column (the left side's); the right
+    * side's duplicate is dropped so consumers can select/group by it. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, maxGap: String): DataFrame =
     left.join(right,
@@ -28,4 +30,5 @@ object StreamJoin {
         right(rightTs) >= left(leftTs) &&
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $maxGap"),
       "inner")
+      .drop(right(key))
 }

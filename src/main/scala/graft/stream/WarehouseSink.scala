@@ -32,6 +32,9 @@ class WarehouseSink(spark: SparkSession, baseDir: String) {
 
   def warehouse: Warehouse = current.get()
 
+  private def fs() = new org.apache.hadoop.fs.Path(baseDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def materialize(wh: Warehouse): Warehouse = {
     version += 1
     val dir = s"$baseDir/v$version"
@@ -39,22 +42,36 @@ class WarehouseSink(spark: SparkSession, baseDir: String) {
       df.write.mode("overwrite").parquet(s"$dir/$name")
       spark.read.parquet(s"$dir/$name")
     }
-    Warehouse(
+    val next = Warehouse(
       swap(wh.dimAirline, "dim_airline"),
       swap(wh.dimAirport, "dim_airport"),
       swap(wh.dimRoute, "dim_route"),
       swap(wh.fact, "fact"),
       wh.staging)
+    // commit marker LAST: a version is recoverable only once all four
+    // tables are fully written — a crash mid-materialize leaves an
+    // uncommitted directory that recovery skips (and the next cycle's
+    // version counter moves past, so it is never half-read)
+    fs().create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+    next
   }
 
-  /** Latest persisted version under `baseDir`, or 0 if none exist. */
-  private def latestPersistedVersion(): Long = {
+  /** Latest COMMITTED version under `baseDir`, or 0 if none exist.
+    * Partially-written versions (no `_COMMITTED` marker — the crash
+    * window of [[materialize]]) are ignored for state recovery; the
+    * version counter still advances past them so they are never
+    * overwritten while a reader might hold them. */
+  private def latestPersistedVersion(): (Long, Long) = {
     val path = new org.apache.hadoop.fs.Path(baseDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) 0L
-    else fs.listStatus(path).iterator.map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
-      .foldLeft(0L)(math.max)
+    val f = fs()
+    if (!f.exists(path)) (0L, 0L)
+    else {
+      val versions = f.listStatus(path).iterator.map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }.toSeq
+      val committed = versions.filter(v =>
+        f.exists(new org.apache.hadoop.fs.Path(s"$baseDir/v$v/_COMMITTED")))
+      (committed.foldLeft(0L)(math.max), versions.foldLeft(0L)(math.max))
+    }
   }
 
   /** Start the loader: `staged` is the staging-projection stream
@@ -67,9 +84,9 @@ class WarehouseSink(spark: SparkSession, baseDir: String) {
     * readers may still hold. Recover both from the newest `$baseDir/vN`
     * before consuming any batch. */
   def start(staged: DataFrame, checkpointDir: String): StreamingQuery = {
-    val recovered = latestPersistedVersion()
+    val (recovered, newest) = latestPersistedVersion()
+    if (current.get() == null) version = math.max(recovered, newest)
     if (recovered > 0L && current.get() == null) {
-      version = recovered
       val dir = s"$baseDir/v$recovered"
       val empty = staged.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), staged.schema)

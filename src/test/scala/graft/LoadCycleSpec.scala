@@ -163,6 +163,12 @@ class LoadCycleSpec extends SparkSpec {
     q1.processAllAvailable(); q1.stop()
     assert(new java.io.File(s"$dir/wh/v1/fact").exists)
 
+    // simulate a crash mid-materialize: v2 exists but has no _COMMITTED
+    // marker (only a partial table dir) — recovery must skip it, and the
+    // version counter must still move past it
+    assert(new java.io.File(s"$dir/wh/v1/_COMMITTED").exists)
+    new java.io.File(s"$dir/wh/v2/fact").mkdirs()
+
     // process 2: fresh JVM analog — new sink instance, same baseDir.
     // Without recovery it would bootstrap empty and overwrite v1.
     val ms2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
@@ -172,12 +178,13 @@ class LoadCycleSpec extends SparkSpec {
     ms2.addData(event("r_k2", ingest = "2024-05-09T11:00:00Z"))
     q2.processAllAvailable(); q2.stop()
 
-    // recovered v1 state merged with the new batch, written as v2 (not v1)
+    // recovered COMMITTED v1 state (not the torn v2) merged with the new
+    // batch, written past the partial dir as v3
     val fact = sink2.warehouse.fact
     assert(fact.count() == 2)
     assert(fact.select("flight_key").collect().map(_.getString(0)).toSet ==
       Set("r_k1", "r_k2"))
-    assert(new java.io.File(s"$dir/wh/v2/fact").exists)
+    assert(new java.io.File(s"$dir/wh/v3/_COMMITTED").exists)
     assert(spark.read.parquet(s"$dir/wh/v1/fact").count() == 1) // v1 untouched
   }
 

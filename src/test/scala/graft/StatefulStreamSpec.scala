@@ -123,8 +123,9 @@ class StatefulStreamSpec extends SparkSpec {
       arr.toDF().withWatermark("ts", "0 seconds")
         .select(col("key"), col("ts").as("arr_ts"), col("value").as("arr_v")),
       "key", "dep_ts", "arr_ts", "4 hours")
-    // duplicate `key` columns (one per side) — drop both for the sink
-    val q = joined.drop("key").writeStream.format("memory").queryName("ssj_sink")
+    // single unambiguous key column survives the join
+    assert(joined.columns.count(_ == "key") == 1)
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
       .outputMode(OutputMode.Append).start()
 
     dep.addData(Obs("f1", t("2024-05-09T10:00:00Z"), 1.0))
@@ -134,6 +135,7 @@ class StatefulStreamSpec extends SparkSpec {
     val rows = spark.table("ssj_sink").collect()
     assert(rows.length == 1)
     assert(rows(0).getAs[Double]("arr_v") == 2.0)
+    assert(rows(0).getAs[String]("key") == "f1") // key projectable by name
 
     // watermark far ahead on both sides → join state drains
     dep.addData(Obs("zz", t("2024-06-01T00:00:00Z"), 0.0))

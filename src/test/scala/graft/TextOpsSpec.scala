@@ -139,6 +139,18 @@ class TextOpsSpec extends SparkSpec {
     assert(r(5L) == (("nothing sensitive here", 0L)))
   }
 
+  test("countPii counts redactions, not raw matches (nested PII classes)") {
+    // phone-shaped local part and IP-shaped domain: one email redaction
+    // each, so the count must be 1 — not 2 (email + inner class)
+    val d = Seq((1L, "reach 555-123-4567@corp.com ok"),
+      (2L, "mail u@10.0.0.7.com today")).toDF("id", "text")
+    val r = d.select(col("id"), graft.expr.Pii.scrub(col("text")).as("s"),
+        graft.expr.Pii.countPii(col("text")).as("n"))
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r(1L) == (("reach [EMAIL] ok", 1L)))
+    assert(r(2L) == (("mail [EMAIL] today", 1L)))
+  }
+
   test("Count-Min sketch: never undercounts, and sketches merge by sum") {
     import graft.ops.Sketch
     val items = (1 to 400).map(i => s"w${i % 23}").toDF("w")
