@@ -48,6 +48,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expr.catalyst.MinhashSig(children.head,
           intLit(children(1), "n"), intLit(children(2), "numHashes"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(
+        classOf[graft.expr.catalyst.ShingleGen].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_shingles(text, n): expected 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles(text, n): n must be an int literal, got $other")
+        }
+        graft.expr.catalyst.ShingleGen(children.head, n)
+      }))
     // composed-expression functions: built from the same Column => Column
     // definitions the Scala API uses (one definition, two surfaces)
     composed1(ext, "graft_rolling_hash", graft.expr.TextStats.rollingHash)

@@ -17,10 +17,17 @@ object TextDedup {
 
   import Fanout.fanout
 
-  /** Exploded distinct (id, shingle) pairs — the set representation. */
+  /** Exploded distinct (id, shingle) pairs — the set representation.
+    * Shingles stream from the native generator
+    * ([[graft.expr.catalyst.ShingleGen]]): no per-document shingle
+    * array is materialized before the rows exist (the
+    * `explode(shingles(...))` twin builds one — ≡-tested). */
   def shingleSet(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
     fanout(docs).select(id.as("doc_id"),
-        explode(TextStats.shingles(text, n)).as("shingle"))
+        org.apache.spark.sql.GraftBridge.column(
+          graft.expr.catalyst.ShingleGen(
+            org.apache.spark.sql.GraftBridge.expression(text), n))
+          .as("shingle"))
       .distinct()
 
   /** MinHash signatures in long format: (doc_id, h, minhash) for h in

@@ -126,6 +126,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native ShingleGen ≡ explode(shingles(text, n)) row-for-row") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b"), (3L, "x y z x y"),
+      (4L, "a b c "), (5L, " "), (6L, ""), (7L, "solo one two"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "shingle").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val gen = rows(docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expr.catalyst.ShingleGen(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))
+        .as("shingle")))
+    val comp = rows(docs.select(col("doc_id"),
+      explode(graft.expr.TextStats.shingles(col("text"), 3)).as("shingle")))
+    assert(gen == comp)
+    assert(gen.exists(_._2 == "a b c")) // sanity: shingles actually emitted
+  }
+
   test("native MinhashSig ≡ composed shingleSet+minhashSignatures (incl. edges)") {
     import graft.ops.TextDedup
     // edge cases: short doc (no shingles), repeated shingles, trailing
