@@ -52,9 +52,12 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base"),
-        sum(revenue).cast("double").as("sum_disc"),
+        // exact decimal sums, rounded at the double boundary: group sums
+        // reach ~2e10 at sf0.1, where one double ulp (~1e-6) exceeds the
+        // engines' decimal→double conversion agreement (q37 precedent)
+        round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 4).as("sum_base"),
+        round(sum(revenue).cast("double"), 4).as("sum_disc"),
         round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
           count(lit(1)), 4).as("avg_qty"),
         round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") /
@@ -133,7 +136,7 @@ object SparkEntry {
       .join(orderDims(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_items"),
-        sum(revenue).cast("double").as("revenue"))
+        round(sum(revenue).cast("double"), 4).as("revenue"))
 
   /** U1/U2: NULL-preserving dim upsert as full-outer merge. */
   private def qDimUpsert(s: SparkSession, dir: String): DataFrame = {
@@ -785,9 +788,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base, " +
-        s"CAST(sum($revenueSql) AS DOUBLE) AS sum_disc, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base, " +
+        s"round(CAST(sum($revenueSql) AS DOUBLE), 4) AS sum_disc, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty, " +
         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price, " +
         "count(*) AS n FROM lineitem GROUP BY 1, 2"),
@@ -815,7 +818,7 @@ object SparkEntry {
         "LEFT JOIN customer c2 ON o_custkey % 7 = 0 AND c2.c_custkey = o_custkey"),
     "q09_star_revenue" ->
       ("SELECT r_name, n_name, count(*) AS n_items, " +
-        s"CAST(sum($revenueSql) AS DOUBLE) AS revenue FROM lineitem " +
+        s"round(CAST(sum($revenueSql) AS DOUBLE), 4) AS revenue FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
