@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan contracts: the physical-plan properties the 100 TB design
+  * depends on, asserted as tests so a regression (a lost pushdown, an
+  * accidental cartesian, a de-broadcast) fails CI instead of surfacing
+  * as a cluster incident. Complements PLANS.md (human-readable
+  * evidence) and ScaleSpec (storage-layout proofs).
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q04: allow-list evaluates in-scan; only referenced columns read") {
+    val p = plan("q04_status_filter")
+    // lower() keeps the IN out of parquet row-group pushdown (case
+    // insensitivity is reference semantics) — but it still evaluates
+    // inside the scan's DataFilters, and column pruning holds: 3 of the
+    // table's 5 columns read
+    assert(p.contains("DataFilters: [lower(event_type"), p.take(800))
+    assert(p.contains(
+      "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string>"),
+      p.take(800))
+  }
+
+  test("q06: junk-guard numeric predicates push down to parquet") {
+    val p = plan("q06_junk_guard")
+    assert(p.contains("PushedFilters: [IsNotNull(value)"), p.take(800))
+  }
+
+  test("q09: star revenue — dims broadcast, fact never re-shuffled by custkey") {
+    val p = plan("q09_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    // the enriched-dim-side shape: lineitem participates in exactly one
+    // join, so no Exchange hashpartitioning on c_custkey downstream of it
+    assert(!p.contains("hashpartitioning(o_custkey") ||
+      !p.contains("hashpartitioning(l_orderkey") ||
+      count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") <= 2, p.take(500))
+  }
+
+  test("q14: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q14_topk_routes")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(!p.contains("Sort ["), "global sort materialization crept in")
+  }
+
+  test("q25: ANN corpus side scores in place — queries broadcast, no corpus shuffle before scoring") {
+    val p = plan("q25_ann_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    // the only exchange is the per-query top-k window, after scoring
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(800))
+  }
+
+  test("q55: rank<=k filter plans as WindowGroupLimit (partial top-k pushdown)") {
+    val p = plan("q55_ann_lsh")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q21: native signatures — no exchange before the band aggregation") {
+    val p = plan("q21_minhash_lsh")
+    // exchanges: fanout repartition, band agg, dedup of candidate pairs,
+    // plus the band self-join sides — but NO shingle-set distinct (the
+    // composed form's extra exchange). RoundRobin fanout + ≤4 hash.
+    assert(count(p, "Exchange hashpartitioning") <= 4, p.take(1200))
+    assert(p.contains("graft_minhash") || p.contains("minhashsig"),
+      "native signature expression missing from plan")
+  }
+
+  test("q61: sketch estimates are broadcast joins (matrix never shuffles the probe side)") {
+    val p = plan("q61_heavy_hitters")
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(800))
+  }
+}
