@@ -685,6 +685,58 @@ object SparkEntry {
         (col("n_pass") - col("n_true")).as("n_fp"))
   }
 
+  /** Transitive duplicate clusters: LSH candidate pairs closed into
+    * components (alternating star rounds, O(log n)), every doc labeled
+    * with its group's minimum id, one `keep` per group. The stage the
+    * pairwise dedup queries (q21/q22/q48) feed at production scale. */
+  private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
+    ops.Graph.dedupGroups(t(s, dir, "documents"), "doc_id",
+      qMinhashLsh(s, dir), "doc_a", "doc_b")
+
+  /** TF-IDF scoring: top-3 terms per document by tf·idf with smoothed
+    * idf = ln((N+1)/(df+1)). Term stats are two map-side-combinable
+    * aggregations; the idf table is vocabulary-sized and broadcast into
+    * the scoring join, so the corpus shuffles once (the tf groupBy). */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val tf = ops.Fanout.fanout(docs)
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist() // feeds df-counts AND the scoring join
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf", log((lit(nDocs.toDouble) + 1d) / (col("df") + 1d)))
+    val scored = tf.join(broadcast(idf), "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * col("idf"), 4).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  /** Incremental aggregate maintenance: per-day partial aggregates
+    * (count/sum/min/max — all mergeable) merged into per-type totals,
+    * with the merge path's algebra (sum of counts, sum of sums, min of
+    * mins, max of maxs) producing exactly the direct aggregate. At scale
+    * only changed days re-aggregate; totals merge partials. */
+  private def qAggMerge(s: SparkSession, dir: String): DataFrame = {
+    val partials = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal partials: exact, so the merge is order-independent
+        // (double partial sums would drift with partitioning)
+        sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("sum_v")).cast("double"), 4).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        count(lit(1)).as("n_partials"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -749,7 +801,10 @@ object SparkEntry {
     "q59_seq_pack" -> (qSeqPack _),
     "q60_vocab_encode" -> (qVocabEncode _),
     "q61_heavy_hitters" -> (qHeavyHitters _),
-    "q62_bloom_prune" -> (qBloomPrune _))
+    "q62_bloom_prune" -> (qBloomPrune _),
+    "q63_dedup_groups" -> (qDedupGroups _),
+    "q64_tfidf" -> (qTfidf _),
+    "q65_agg_merge" -> (qAggMerge _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1141,5 +1196,37 @@ object SparkEntry {
         "(SELECT count(*) FROM pass) AS n_pass, " +
         "(SELECT count(*) FROM tm) AS n_true, " +
         "(SELECT count(*) FROM pass) - (SELECT count(*) FROM tm) AS n_fp")
-    })
+    },
+    "q63_dedup_groups" ->
+      // transitive closure of the LSH candidate pairs via recursive CTE:
+      // comp(node) = min id reachable over symmetrized edges
+      (s"WITH RECURSIVE $shingleCte, " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r " +
+        "JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1) " +
+        "SELECT c.doc_id, c.group_id, s.group_size, " +
+        "c.doc_id = c.group_id AS keep FROM comp c JOIN sizes s USING (group_id)"),
+    "q64_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, term, tf, df, " +
+        "round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf " +
+        "FROM tf JOIN idf USING (term) CROSS JOIN n), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY tfidf DESC, term) AS rank FROM scored) " +
+        "SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3"),
+    "q65_agg_merge" ->
+      ("WITH partials AS (SELECT CAST(ts AS DATE) AS day, event_type, " +
+        "count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_v, " +
+        "min(value) AS min_v, max(value) AS max_v FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(sum(n) AS BIGINT) AS n, " +
+        "round(CAST(sum(sum_v) AS DOUBLE), 4) AS sum_v, " +
+        "min(min_v) AS min_v, max(max_v) AS max_v, count(*) AS n_partials " +
+        "FROM partials GROUP BY 1"))
 }

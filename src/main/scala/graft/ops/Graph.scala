@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the transitive-closure stage the
+  * reference's dedup story stops short of: MinHash/LSH candidate pairs
+  * ([[TextDedup.lshCandidates]]) say "a looks like b", but removal needs
+  * whole duplicate *clusters* (a~b, b~c ⇒ {a,b,c} is one group, keep one
+  * member). No single join can compute that; it is a graph fixpoint.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", ACM SoCC'14) — the
+  * standard shuffle-based formulation that converges in O(log n) rounds
+  * on any graph (vs O(diameter) for naive label propagation, which on a
+  * 100 TB near-dup chain can be thousands of rounds). Each round is two
+  * hash aggregations + two joins, all keyed on the node id, so every
+  * stage reuses one partitioning; no driver-side data beyond the
+  * convergence counter.
+  *
+  * Scale notes:
+  * - each round's edge set is MATERIALIZED with truncated lineage
+  *   (`localCheckpoint` by default). A plain `persist` is NOT enough:
+  *   each star round references its input several times, so the nested
+  *   logical plan doubles per round — exponential analyzer/optimizer
+  *   blow-up long before any data moves. On a real cluster pass
+  *   `materialize = df => df.checkpoint()` (with a reliable checkpoint
+  *   dir) so round state also survives executor loss;
+  * - convergence = edge multiset unchanged, checked via an order-free
+  *   (sum-of-hash, count) checksum — one tiny aggregate per round, no
+  *   `except` anti-join;
+  * - output rows carry (node, component-min) only; group sizes and
+  *   canonical-member flags are cheap follow-up aggregations.
+  */
+object Graph {
+
+  /** Components of the undirected graph given by `edges(src, dst)`.
+    * Returns (`node`, `comp`) for every node that appears in an edge,
+    * where `comp` is the smallest node id in the component. Nodes
+    * absent from `edges` (singletons) are absent from the result —
+    * callers union them back with a left join + coalesce.
+    */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 25,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // canonical long-typed edge list, self-loops dropped
+    var cur: DataFrame = materialize(edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter($"u" =!= $"v" && $"u".isNotNull && $"v".isNotNull)
+      .distinct())
+    var checksum = edgeChecksum(cur)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = materialize(smallStar(largeStar(cur)))
+      val nextSum = edgeChecksum(next)
+      converged = nextSum == checksum
+      cur = next
+      checksum = nextSum
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter " +
+      "alternating star rounds — graph larger than 2^maxIter nodes?")
+
+    // Fixpoint edge set is a union of stars rooted at each component's
+    // minimum: comp(node) = min over {node} ∪ N(node).
+    val sym = cur.union(cur.select($"v".as("u"), $"u".as("v")))
+    val out = sym.groupBy($"u".as("node"))
+      .agg(least(min($"v"), first($"u")).as("comp"))
+    out
+  }
+
+  /** (sum of per-edge hashes, edge count): order-free multiset identity. */
+  private def edgeChecksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)),
+      count(lit(1))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Large-star: every node connects its larger neighbors to the minimum
+    * of its neighborhood (including itself). Keeps components intact,
+    * strictly reduces large-id chains. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    val mins = sym.groupBy("u").agg(least(min($"v"), first($"u")).as("m"))
+    sym.join(mins, "u")
+      .filter($"v" > $"u")
+      .select($"v".as("u"), $"m".as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+  }
+
+  /** Small-star: orient each edge (larger, smaller); every node connects
+    * its smaller neighbors (and itself) to their minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val oriented = e.select(
+      greatest($"u", $"v").as("a"), least($"u", $"v").as("b"))
+    val mins = oriented.groupBy("a").agg(min($"b").as("m"))
+    val relinked = oriented.join(mins, "a")
+      .select($"b".as("u"), $"m".as("v"))
+    val rootEdges = mins.select($"a".as("u"), $"m".as("v"))
+    relinked.union(rootEdges)
+      .filter($"u" =!= $"v")
+      .distinct()
+  }
+
+  /** Dedup-group assignment over candidate pairs: every document joined
+    * with its duplicate-cluster id (`group_id` = smallest doc id in the
+    * cluster), cluster size, and a `keep` flag marking the canonical
+    * member. Documents with no near-duplicate form singleton groups. */
+  def dedupGroups(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val labeled = docs.select(col(idCol))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).cast("long").as("group_id"))
+    val sizes = labeled.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    labeled.join(sizes, "group_id")
+      .select(col(idCol), col("group_id"), col("group_size"),
+        (col(idCol) === col("group_id")).as("keep"))
+  }
+}
