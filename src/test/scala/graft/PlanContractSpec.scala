@@ -80,4 +80,27 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q61_heavy_hitters")
     assert(count(p, "BroadcastHashJoin") >= 3, p.take(800))
   }
+
+  test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
+    import org.apache.spark.sql.functions.{col, lit, count => fcount}
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "x y")).toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expr.catalyst.ShingleGen(
+          org.apache.spark.sql.GraftBridge.expression(col("text")), 3))
+        .as("shingle"))
+      .groupBy(col("shingle")).agg(fcount(lit(1)).as("n"))
+    // execute with fallback disabled: a codegen compile error fails here
+    // instead of silently reverting to interpreted mode. AQE only
+    // inserts WholeStageCodegen into the FINAL plan, so run first…
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.collect().map(r => r.getString(0)).contains("a b c"))
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // …then assert the executed plan's Generate carries the '*' (inside
+    // a codegen stage), not a fallback wall
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Generate""".r.findFirstIn(p).isDefined,
+      s"Generate not whole-stage-codegen'd:\n${p.take(900)}")
+  }
 }
