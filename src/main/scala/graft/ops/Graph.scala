@@ -124,8 +124,12 @@ object Graph {
       .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("comp"), col(idCol)).cast("long").as("group_id"))
-    val sizes = labeled.groupBy("group_id").agg(count(lit(1)).as("group_size"))
-    labeled.join(sizes, "group_id")
+    // sizes via window, not groupBy+self-join: one shuffle on group_id
+    // and a single pass over `labeled` (the join form re-evaluates the
+    // whole docs⋈comps sub-DAG for its second consumer)
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
+    labeled
+      .withColumn("group_size", count(lit(1)).over(byGroup))
       .select(col(idCol), col("group_id"), col("group_size"),
         (col(idCol) === col("group_id")).as("keep"))
   }
