@@ -737,6 +737,38 @@ object SparkEntry {
         count(lit(1)).as("n_partials"))
   }
 
+  /** BM25 relevance of a fixed query-term set against the corpus
+    * (k1=1.2, b=0.75): the retrieval-scoring counterpart of q64. Doc
+    * lengths and idf come from the same one-shuffle tf aggregation; the
+    * per-term score table is query-sized and the final per-doc sum is a
+    * map-side-combinable groupBy. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count()
+    val terms = Seq("data", "model", "system")
+    val tf = ops.Fanout.fanout(docs)
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist() // feeds doc lengths, idf, and the scoring filter
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val avgdl = dl.agg(avg(col("dl"))).first().getDouble(0)
+    val idf = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df") + 0.5d) / (col("df") + 0.5d) + 1d))
+    // constants written as the same decimal literals the oracle uses
+    // (k1=1.2, b=0.75 → k1+1=2.2, 1-b=0.25): identical doubles, and the
+    // expression tree mirrors the SQL's parenthesization exactly
+    tf.filter(col("term").isin(terms: _*))
+      .join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .withColumn("part", col("idf") * (col("tf") * lit(2.2d)) /
+        (col("tf") + lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl") / avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -804,7 +836,8 @@ object SparkEntry {
     "q62_bloom_prune" -> (qBloomPrune _),
     "q63_dedup_groups" -> (qDedupGroups _),
     "q64_tfidf" -> (qTfidf _),
-    "q65_agg_merge" -> (qAggMerge _))
+    "q65_agg_merge" -> (qAggMerge _),
+    "q66_bm25" -> (qBm25 _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1228,5 +1261,18 @@ object SparkEntry {
         "SELECT event_type, CAST(sum(n) AS BIGINT) AS n, " +
         "round(CAST(sum(sum_v) AS DOUBLE), 4) AS sum_v, " +
         "min(min_v) AS min_v, max(max_v) AS max_v, count(*) AS n_partials " +
-        "FROM partials GROUP BY 1"))
+        "FROM partials GROUP BY 1"),
+    "q66_bm25" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+        "stats AS (SELECT avg(dl) AS avgdl FROM dl), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "idf AS (SELECT term, ln((n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1) AS idf " +
+        "FROM tf CROSS JOIN n WHERE term IN ('data', 'model', 'system') GROUP BY term, n_docs) " +
+        "SELECT tf.doc_id, " +
+        "round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS bm25, " +
+        "count(*) AS n_terms_hit " +
+        "FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats " +
+        "GROUP BY 1"))
 }
