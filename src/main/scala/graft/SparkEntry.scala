@@ -693,6 +693,17 @@ object SparkEntry {
     ops.Graph.dedupGroups(t(s, dir, "documents"), "doc_id",
       qMinhashLsh(s, dir), "doc_a", "doc_b")
 
+  /** Shared term-frequency table for the retrieval-scoring queries
+    * (q64/q66): one tokenize+count aggregation, persisted because every
+    * consumer (df counts, doc lengths, scoring joins) re-reads it.
+    * Keeping the single definition locks the two queries' tokenization
+    * to the same contract (and to the oracle's `string_split`). */
+  private def termFreqs(docs: DataFrame): DataFrame =
+    ops.Fanout.fanout(docs)
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+
   /** TF-IDF scoring: top-3 terms per document by tf·idf with smoothed
     * idf = ln((N+1)/(df+1)). Term stats are two map-side-combinable
     * aggregations; the idf table is vocabulary-sized and broadcast into
@@ -700,10 +711,7 @@ object SparkEntry {
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val nDocs = docs.count()
-    val tf = ops.Fanout.fanout(docs)
-      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist() // feeds df-counts AND the scoring join
+    val tf = termFreqs(docs)
     val idf = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(nDocs.toDouble) + 1d) / (col("df") + 1d)))
@@ -746,12 +754,12 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val nDocs = docs.count()
     val terms = Seq("data", "model", "system")
-    val tf = ops.Fanout.fanout(docs)
-      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist() // feeds doc lengths, idf, and the scoring filter
+    val tf = termFreqs(docs)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val avgdl = dl.agg(avg(col("dl"))).first().getDouble(0)
+    // null-safe: an empty corpus yields a NULL avg (the result is empty
+    // regardless of the value, so any finite default is fine)
+    val avgRow = dl.agg(avg(col("dl"))).first()
+    val avgdl = if (avgRow.isNullAt(0)) 1.0 else avgRow.getDouble(0)
     val idf = tf.filter(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf",

@@ -142,6 +142,19 @@ class PropertySpec extends SparkSpec {
       explode(graft.expr.TextStats.shingles(col("text"), 3)).as("shingle")))
     assert(gen == comp)
     assert(gen.exists(_._2 == "a b c")) // sanity: shingles actually emitted
+    // the same rows must come off the INTERPRETED path (GenerateExec's
+    // eval-iterator, used whenever the stage is not codegen'd): with
+    // the CollectionGenerator codegen now the default, this is the only
+    // coverage keeping eval() and ShingleArrayData from diverging
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = rows(docs.select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.expr.catalyst.ShingleGen(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 3))
+          .as("shingle")))
+      assert(interp == comp)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
   test("native MinhashSig ≡ composed shingleSet+minhashSignatures (incl. edges)") {
