@@ -38,6 +38,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness captures only the LAST ~2000 chars of output; the full
+    // per-query line above outgrows that with 60+ queries and its head
+    // (the parseable prefix) gets truncated. Emit a compact duplicate
+    // LAST — short keys (q01…), 3-dp values — that always fits whole.
+    val compact = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -777,6 +777,42 @@ object SparkEntry {
         count(lit(1)).as("n_terms_hit"))
   }
 
+  /** Int8 min-max quantization of the embedding column: per-vector
+    * [min,max] range mapped to 0..255 codes, with the reconstruction
+    * error bound surfaced in-plan. The 100 TB lever: 4× storage cut for
+    * ANN candidate generation (full-precision rescoring only touches
+    * the final top-k). Pure elementwise codegen'd HOFs — no shuffle at
+    * all; the only exchange in the plan is for no one (narrow scan). */
+  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    val mn = array_min(col("v")); val mx = array_max(col("v"))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), xd.as("v"))
+      .select(col("vec_id"), col("v"), mn.as("mn"),
+        // constant vectors: scale 1 keeps codes at 0 instead of 0/0
+        when(mx > mn, (mx - mn) / 255d).otherwise(lit(1d)).as("scale"))
+      // codes materialize once, in their own projection; both outputs
+      // derive from that column. floor(x+0.5), not round(x): Spark
+      // rounds the DECIMAL rendering (BigDecimal HALF_UP), DuckDB the
+      // BINARY double — they disagree near ties; floor is IEEE-exact in
+      // both. Display rounding happens in a SEPARATE final projection:
+      // aliasing round(mn,4) AS mn in the same select would make
+      // lateral-column-alias resolution bind the error lambda's
+      // col("mn") to the ROUNDED value (observed: max_err off by 2e-5).
+      .select(col("vec_id"), col("v"), col("mn"), col("scale"),
+        transform(col("v"), e =>
+          floor((e - col("mn")) / col("scale") + 0.5d)).as("codes"))
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        col("mn"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c.cast("long"))
+          .as("code_sum"),
+        array_max(zip_with(col("codes"), col("v"), (c, e) =>
+          abs(col("mn") + c * col("scale") - e))).as("raw_err"))
+      .select(col("vec_id"), col("n_dims"), round(col("mn"), 4).as("mn"),
+        col("code_sum"), round(col("raw_err"), 6).as("max_err"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -845,7 +881,8 @@ object SparkEntry {
     "q63_dedup_groups" -> (qDedupGroups _),
     "q64_tfidf" -> (qTfidf _),
     "q65_agg_merge" -> (qAggMerge _),
-    "q66_bm25" -> (qBm25 _))
+    "q66_bm25" -> (qBm25 _),
+    "q67_quantize" -> (qQuantize _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1282,5 +1319,14 @@ object SparkEntry {
         "round(sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS bm25, " +
         "count(*) AS n_terms_hit " +
         "FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats " +
-        "GROUP BY 1"))
+        "GROUP BY 1"),
+    "q67_quantize" ->
+      ("WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "rng AS (SELECT vec_id, v, list_min(v) AS mn, " +
+        "CASE WHEN list_max(v) > list_min(v) THEN (list_max(v) - list_min(v)) / 255 ELSE 1 END AS scale " +
+        "FROM vv) " +
+        "SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, round(mn, 4) AS mn, " +
+        "CAST(list_sum(list_transform(v, x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT))) AS BIGINT) AS code_sum, " +
+        "round(list_max(list_transform(v, x -> abs(mn + floor((x - mn) / scale + 0.5) * scale - x))), 6) AS max_err " +
+        "FROM rng"))
 }

@@ -81,6 +81,14 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 3, p.take(800))
   }
 
+  test("q67: quantization is pure elementwise — zero exchanges, pruned scan") {
+    val p = plan("q67_quantize")
+    assert(!p.contains("Exchange"), p.take(800))
+    // label column never read
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array"),
+      p.take(800))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
