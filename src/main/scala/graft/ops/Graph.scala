@@ -39,9 +39,19 @@ object Graph {
     * where `comp` is the smallest node id in the component. Nodes
     * absent from `edges` (singletons) are absent from the result —
     * callers union them back with a left join + coalesce.
+    *
+    * Endgame cutoff: star rounds shrink the edge set geometrically, so
+    * the last rounds of ANY run — 100 TB included — operate on a tiny
+    * remainder. Each round already counts edges (the convergence
+    * checksum); once the measured count is ≤ `localFinishEdges` the
+    * fixpoint finishes with one in-memory union-find instead of paying
+    * several more full scheduler rounds (2 shuffles + a materialization
+    * each). The distributed rounds still do all volume work; the
+    * default cutoff (1M edges ≈ 16 MB) is far below any executor heap.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25,
+      localFinishEdges: Long = 1L << 20,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -53,9 +63,9 @@ object Graph {
       .distinct())
     var checksum = edgeChecksum(cur)
 
-    var converged = false
+    var converged = checksum._2 == 0L // no edges: nothing to contract
     var iter = 0
-    while (!converged && iter < maxIter) {
+    while (!converged && checksum._2 > localFinishEdges && iter < maxIter) {
       val next = materialize(smallStar(largeStar(cur)))
       val nextSum = edgeChecksum(next)
       converged = nextSum == checksum
@@ -63,6 +73,10 @@ object Graph {
       checksum = nextSum
       iter += 1
     }
+
+    if (!converged && checksum._2 <= localFinishEdges)
+      return localFinish(cur)
+
     require(converged, s"connectedComponents: no fixpoint after $maxIter " +
       "alternating star rounds — graph larger than 2^maxIter nodes?")
 
@@ -72,6 +86,36 @@ object Graph {
     val out = sym.groupBy($"u".as("node"))
       .agg(least(min($"v"), first($"u")).as("comp"))
     out
+  }
+
+  /** Union-find (path-halving + union-by-min) over a measured-small edge
+    * remainder. Output contract identical to the distributed fixpoint:
+    * (node, min-id-in-component) for every node present in `e`. */
+  private def localFinish(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path-halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    e.select($"u", $"v").toLocalIterator().forEachRemaining { r =>
+      val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ru != rv) { // root at the smaller id: comp = component min
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach { n => out += ((n, find(n))) }
+    // roots map to themselves and are nodes too
+    val roots = out.iterator.map(_._2).toSet
+    roots.foreach { r => out += ((r, r)) }
+    spark.createDataset(out.distinct.toSeq).toDF("node", "comp")
   }
 
   /** (sum of per-edge hashes, edge count): order-free multiset identity. */

@@ -20,37 +20,62 @@ class GraphSpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  test("chain and island resolve to component minima") {
+  // localFinishEdges = 0 forces the distributed star rounds; the default
+  // takes the union-find endgame. Both paths share one output contract.
+  private val bothPaths = Seq("local" -> (1L << 20), "distributed" -> 0L)
+
+  test("chain and island resolve to component minima (both paths)") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
-    val got = Graph.connectedComponents(edges, "src", "dst")
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    for ((label, cutoff) <- bothPaths) {
+      val got = Graph.connectedComponents(edges, "src", "dst",
+        localFinishEdges = cutoff).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L),
+        label)
+    }
   }
 
   test("long path converges (log-round bound, not diameter)") {
     // a 64-node path: naive propagation needs 63 rounds; stars need ~log
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Graph.connectedComponents(edges, "src", "dst")
-      .as[(Long, Long)].collect().toMap
+    val got = Graph.connectedComponents(edges, "src", "dst",
+      localFinishEdges = 0L).as[(Long, Long)].collect().toMap
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
-  test("random graphs match union-find") {
+  test("random graphs match union-find (both paths)") {
     val rnd = new scala.util.Random(42)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 3; (label, cutoff) <- bothPaths) {
       val n = 50
       val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val expect = unionFind(n, edges)
       val got = Graph.connectedComponents(
-        edges.toDF("src", "dst"), "src", "dst")
+        edges.toDF("src", "dst"), "src", "dst", localFinishEdges = cutoff)
         .as[(Long, Long)].collect().toMap
       // spark result omits singletons; compare on nodes that have edges
       got.foreach { case (node, comp) =>
-        assert(comp == expect(node), s"trial $trial node $node")
+        assert(comp == expect(node), s"trial $trial $label node $node")
       }
       val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-      assert(got.keySet == touched, s"trial $trial node coverage")
+      assert(got.keySet == touched, s"trial $trial $label node coverage")
+    }
+  }
+
+  test("mid-run handoff: distributed rounds then local endgame agree") {
+    // two big-ish blobs + a bridge: first star rounds shrink the edge
+    // set below the cutoff, then union-find finishes the remainder
+    val rnd = new scala.util.Random(7)
+    val blobA = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val blobB = Seq.fill(120)((60L + rnd.nextInt(60), 60L + rnd.nextInt(60)))
+    val edges = (blobA ++ blobB :+ ((5L, 65L))).filter { case (a, b) => a != b }
+    val expect = unionFind(120, edges)
+    for ((label, cutoff) <- Seq("handoff" -> 40L, "allstar" -> 0L)) {
+      val got = Graph.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst", localFinishEdges = cutoff)
+        .as[(Long, Long)].collect().toMap
+      got.foreach { case (node, comp) =>
+        assert(comp == expect(node), s"$label node $node")
+      }
     }
   }
 
