@@ -813,6 +813,46 @@ object SparkEntry {
         col("code_sum"), round(col("raw_err"), 6).as("max_err"))
   }
 
+  /** Mergeable HyperLogLog distinct-count per event type: the register
+    * matrix is data (≤64 rows/group), built by one map-side-combined max
+    * aggregation — shard sketches merge by union+max without re-scanning,
+    * the property that matters for 100 TB partial aggregation. Registers
+    * are md5-derived, so the estimate (and the exact integer register
+    * checksum) is engine-reproducible — unlike approx_count_distinct's
+    * opaque binary HLL++ state (q31), this keeps the whole sketch
+    * relational. */
+  private def qHllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val regs = ops.Sketch.hllRegisters(
+      t(s, dir, "events"), Seq("event_type"), col("user_id"))
+    ops.Sketch.hllEstimate(regs, Seq("event_type"))
+  }
+
+  /** Z-order layout report: each key min-max-scaled to a 16-bit rank
+    * (integer arithmetic — exact in any engine, and range-proportional
+    * at every scale, where raw bit-masking would wrap keys past 2^16),
+    * Morton-interleaved, top 5 bits = 32 layout blocks. Per block: row
+    * count and the min-max envelope of BOTH keys — the rectangle each
+    * output file would carry as parquet stats. The evidence that
+    * interleaved clustering prunes on either predicate, where a
+    * one-column sort is tight in one dimension and useless in the
+    * other. Pure bitwise codegen; the key-range lookup is a 1-row
+    * broadcast, the report aggregation (32 groups) the one exchange. */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val stats = li.agg(
+      min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+      min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
+    val xr = expr("((l_partkey - pk_lo) * 65535) div greatest(pk_hi - pk_lo, 1)")
+    val yr = expr("((l_suppkey - sk_lo) * 65535) div greatest(sk_hi - sk_lo, 1)")
+    li.join(broadcast(stats))
+      .select(col("l_partkey"), col("l_suppkey"),
+        shiftright(ops.Layout.zOrderKey(xr, yr), 27).as("z_block"))
+      .groupBy(col("z_block"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -882,7 +922,9 @@ object SparkEntry {
     "q64_tfidf" -> (qTfidf _),
     "q65_agg_merge" -> (qAggMerge _),
     "q66_bm25" -> (qBm25 _),
-    "q67_quantize" -> (qQuantize _))
+    "q67_quantize" -> (qQuantize _),
+    "q68_hll_registers" -> (qHllRegisters _),
+    "q69_zorder" -> (qZorder _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1328,5 +1370,38 @@ object SparkEntry {
         "SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, round(mn, 4) AS mn, " +
         "CAST(list_sum(list_transform(v, x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT))) AS BIGINT) AS code_sum, " +
         "round(list_max(list_transform(v, x -> abs(mn + floor((x - mn) / scale + 0.5) * scale - x))), 6) AS max_err " +
-        "FROM rng"))
+        "FROM rng"),
+    "q68_hll_registers" ->
+      // same register rule as Sketch.hllRegisters: 32-bit md5 prefix,
+      // bucket = low 6 bits, reg = 1 + leading zeros of the high 26
+      ("WITH h AS (SELECT event_type, " +
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM events), " +
+        "r AS (SELECT event_type, hv & 63 AS bucket, " +
+        "MAX(CASE WHEN (hv >> 6) > 0 THEN 27 - length(bin(hv >> 6)) ELSE 27 END) AS reg " +
+        "FROM h GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, COUNT(*) AS n_buckets, " +
+        "SUM(pow(2.0, -reg)) AS sp, CAST(SUM(bucket * reg) AS BIGINT) AS reg_checksum " +
+        "FROM r GROUP BY 1) " +
+        "SELECT event_type, n_buckets, reg_checksum, " +
+        "round(CASE WHEN raw <= 160 AND zeros > 0 THEN 64 * ln(64.0 / zeros) ELSE raw END, 3) AS est_distinct " +
+        "FROM (SELECT *, 0.709 * 64 * 64 / (sp + (64 - n_buckets)) AS raw, " +
+        "64 - n_buckets AS zeros FROM s)"),
+    "q69_zorder" ->
+      // same 16-bit min-max rank + magic-number Morton interleave as
+      // the Spark side (integer div keeps both engines exact)
+      ("WITH st AS (SELECT min(l_partkey) AS pk_lo, max(l_partkey) AS pk_hi, " +
+        "min(l_suppkey) AS sk_lo, max(l_suppkey) AS sk_hi FROM lineitem), " +
+        "base AS (SELECT l_partkey, l_suppkey, " +
+        "((l_partkey - pk_lo) * 65535) // greatest(pk_hi - pk_lo, 1) AS x0, " +
+        "((l_suppkey - sk_lo) * 65535) // greatest(sk_hi - sk_lo, 1) AS y0 " +
+        "FROM lineitem, st), " +
+        "s1 AS (SELECT *, (x0 | (x0 << 8)) & 16711935 AS x1, (y0 | (y0 << 8)) & 16711935 AS y1 FROM base), " +
+        "s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2, (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1), " +
+        "s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3, (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2), " +
+        "s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4, (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3) " +
+        "SELECT (x4 | (y4 << 1)) >> 27 AS z_block, count(*) AS n, " +
+        "min(l_partkey) AS p_min, max(l_partkey) AS p_max, " +
+        "min(l_suppkey) AS s_min, max(l_suppkey) AS s_max " +
+        "FROM s4 GROUP BY 1"))
 }

@@ -61,6 +61,59 @@ object Sketch {
         cmBucket(i, item, bits) === col("bit"), "left_semi")
     }
 
+  /** HyperLogLog in the same relational style: per group the sketch is
+    * ≤ `m` (bucket, reg) rows — one map-side-combined `max` aggregation
+    * over the item stream. Merging shard sketches is
+    * `union → max by (group, bucket)`; the registers, not an opaque
+    * blob, travel through the plan, so 100 TB partials combine without
+    * re-scanning. Deterministic md5 hashing (Flajolet et al. 2007
+    * register rule: bucket = low `b` hash bits, reg = 1 + leading
+    * zeros of the remaining 32−b bits), so registers — and therefore
+    * estimates — are bit-identical across engines, runs, and retries.
+    */
+  def hllRegisters(items: DataFrame, groupCols: Seq[String], item: Column,
+      b: Int = 6): DataFrame = {
+    val bits = 32 - b
+    val h = conv(substring(md5(item.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val bucket = h.bitwiseAND(lit((1L << b) - 1))
+    val w = shiftright(h, b)
+    // length(bin(w)) = floor(log2 w)+1 via strings — exact, no float log
+    val rho = when(w > 0, lit(bits + 1) - length(bin(w)))
+      .otherwise(lit(bits + 1))
+    items.groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
+      .agg(max(rho).cast("long").as("reg"))
+  }
+
+  /** Cardinality estimate per group from a [[hllRegisters]] matrix:
+    * harmonic mean of 2^-reg with empty buckets at 2^0, linear-counting
+    * fallback for the small-range regime. All-dyadic running sums (the
+    * 2^-reg terms span < 53 bits), so the double arithmetic is exact
+    * and order-free — the estimate is reproducible to the last bit.
+    * `reg_checksum` = Σ bucket·reg: an exact integer fingerprint of the
+    * whole register matrix, a stronger equality witness than the
+    * estimate itself. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+      b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val agg = registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(pow(lit(2.0), -col("reg"))).as("sp"),
+        sum(col("bucket") * col("reg")).cast("long").as("reg_checksum"))
+    val zeros = lit(m) - col("n_buckets")
+    val raw = lit(alpha * m * m) / (col("sp") + zeros.cast("double"))
+    agg.select((groupCols.map(col) :+ col("n_buckets") :+ col("reg_checksum") :+
+      round(when(raw <= 2.5 * m && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+        .otherwise(raw), 3).as("est_distinct")): _*)
+  }
+
   /** Point estimates for each distinct item in `queries(itemCol)`:
     * min over rows of the item's bucket count. The matrix is
     * depth × width rows → broadcast joins. */

@@ -26,6 +26,36 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("2024-05-09"))
   }
 
+  test("clusterByZ: every output file is a tight rectangle in BOTH keys") {
+    import graft.ops.Layout
+    // 64×64 uniform grid → 16 z-range files; with a plain x-sort each
+    // file would span ALL of y. Z-clustering must bound both.
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(4000)((rnd.nextInt(64).toLong * 1024,
+      rnd.nextInt(64).toLong * 1024)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    Layout.clusterByZ(pts, col("x"), col("y"), 16).write.parquet(dir)
+    val spans = spark.read.parquet(dir)
+      .select(col("x"), col("y"), input_file_name().as("f"))
+      .groupBy("f").agg(
+        (max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .as[(String, Long, Long)].collect()
+    assert(spans.length >= 8, s"expected many files, got ${spans.length}")
+    val full = 63L * 1024
+    // Files that straddle a top-level quadrant boundary legitimately
+    // span one dimension wide (inherent to quantile cuts on a z-curve),
+    // so the layout claim is aggregate: the mean envelope AREA must be
+    // a small fraction of the full rectangle (a 1-d sort pins xs but
+    // leaves ys == full on EVERY file → mean area ≈ full²/nFiles·full).
+    val meanArea = spans.map { case (_, xs, ys) => xs.toDouble * ys }.sum /
+      spans.length
+    assert(meanArea <= full.toDouble * full / 8, s"mean area $meanArea")
+    // and the typical file is tight in BOTH dimensions
+    val tight = spans.count { case (_, xs, ys) => xs <= full / 2 && ys <= full / 2 }
+    assert(tight * 4 >= spans.length * 3, s"only $tight/${spans.length} tight")
+  }
+
   test("saltedJoin ≡ plain join on skewed data (hot key spread, same rows)") {
     import graft.ops.Skew
     // 90% of rows share one hot key

@@ -170,6 +170,29 @@ class TextOpsSpec extends SparkSpec {
     assert(whole == part)
   }
 
+  test("HLL registers: shard sketches merge by max; estimate in error envelope") {
+    import graft.ops.Sketch
+    val items = (1 to 3000).map(i => ("g", s"user${i % 700}")).toDF("g", "id")
+    val whole = Sketch.hllRegisters(items, Seq("g"), col("id"))
+    // mergeability: registers(A ∪ B) == max by cell of shard registers
+    val a = items.filter(col("id") < "user4")
+    val b = items.filter(col("id") >= "user4")
+    val merged = Sketch.hllRegisters(a, Seq("g"), col("id"))
+      .unionByName(Sketch.hllRegisters(b, Seq("g"), col("id")))
+      .groupBy("g", "bucket").agg(max(col("reg")).as("reg"))
+    val w = whole.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val p = merged.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(w == p)
+    // duplicates never move registers: estimate(multiset) == estimate(set)
+    val dedup = Sketch.hllRegisters(items.distinct(), Seq("g"), col("id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(w == dedup)
+    // m=64 ⇒ σ ≈ 13%; assert a generous 3σ window around the true 700
+    val est = Sketch.hllEstimate(whole, Seq("g"))
+      .select(col("est_distinct")).head().getDouble(0)
+    assert(est > 700 * 0.6 && est < 700 * 1.4, s"estimate $est vs 700")
+  }
+
   test("Bloom filter: zero false negatives; pruning preserves the true join") {
     import graft.ops.Sketch
     val build = (1 to 200).filter(_ % 3 == 0).map(_.toLong).toDF("k")
