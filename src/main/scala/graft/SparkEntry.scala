@@ -853,6 +853,20 @@ object SparkEntry {
         min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
   }
 
+  /** Mergeable histogram quantiles per event type: shared bin edges
+    * from one stats pass, then a ≤128-rows-per-group bin matrix (map-
+    * side combined) — shard histograms merge by union+sum, so 100 TB
+    * percentiles come from combining partials, never a global sort the
+    * way q36's exact percentile_approx path re-scans. Estimate = upper
+    * edge of the bin reaching q·n (error ≤ one bin width). */
+  private def qHistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val stats = ops.Sketch.histStats(ev, Seq("event_type"), col("value"))
+    val binsDf = ops.Sketch.histBins(ev, Seq("event_type"), col("value"), stats)
+    ops.Sketch.histQuantiles(binsDf, Seq("event_type"), stats,
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -924,7 +938,8 @@ object SparkEntry {
     "q66_bm25" -> (qBm25 _),
     "q67_quantize" -> (qQuantize _),
     "q68_hll_registers" -> (qHllRegisters _),
-    "q69_zorder" -> (qZorder _))
+    "q69_zorder" -> (qZorder _),
+    "q70_hist_quantiles" -> (qHistQuantiles _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1403,5 +1418,21 @@ object SparkEntry {
         "SELECT (x4 | (y4 << 1)) >> 27 AS z_block, count(*) AS n, " +
         "min(l_partkey) AS p_min, max(l_partkey) AS p_max, " +
         "min(l_suppkey) AS s_min, max(l_suppkey) AS s_max " +
-        "FROM s4 GROUP BY 1"))
+        "FROM s4 GROUP BY 1"),
+    "q70_hist_quantiles" ->
+      // same shared-edge equi-width binning as Sketch.histBins/Quantiles
+      ("WITH st AS (SELECT event_type, min(value) AS lo, max(value) AS hi, " +
+        "count(*) AS n FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "b AS (SELECT e.event_type, CASE WHEN hi > lo THEN " +
+        "CAST(least(floor((value - lo) * 128 / (hi - lo)), 127) AS BIGINT) " +
+        "ELSE 0 END AS bin " +
+        "FROM events e JOIN st USING (event_type) WHERE value IS NOT NULL), " +
+        "c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, bin, " +
+        "sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM c) " +
+        "SELECT event_type, n, " +
+        "round(lo + (min(CASE WHEN cum >= 0.5 * n THEN bin END) + 1) * (hi - lo) / 128, 4) AS p50, " +
+        "round(lo + (min(CASE WHEN cum >= 0.9 * n THEN bin END) + 1) * (hi - lo) / 128, 4) AS p90, " +
+        "round(lo + (min(CASE WHEN cum >= 0.99 * n THEN bin END) + 1) * (hi - lo) / 128, 4) AS p99 " +
+        "FROM cum JOIN st USING (event_type) GROUP BY event_type, n, lo, hi"))
 }

@@ -114,6 +114,56 @@ object Sketch {
         .otherwise(raw), 3).as("est_distinct")): _*)
   }
 
+  /** Per-group value stats for [[histBins]]: (group…, lo, hi, n). The
+    * first pass of the two-pass histogram — bin EDGES must be shared
+    * before shard binning, or shard histograms would not be mergeable. */
+  def histStats(items: DataFrame, groupCols: Seq[String],
+      v: Column): DataFrame =
+    items.filter(v.isNotNull).groupBy(groupCols.map(col): _*)
+      .agg(min(v).as("lo"), max(v).as("hi"), count(lit(1)).as("n"))
+
+  /** Equi-width histogram completing the sketch family (Count-Min =
+    * frequency, Bloom = membership, HLL = cardinality, histogram =
+    * quantiles): per group ≤ `bins` (bin, cnt) rows from one map-side-
+    * combined aggregation. Shards binned against the same `stats`
+    * edges merge by `union → sum by (group, bin)` — no re-scan. All
+    * edge arithmetic is plain double ops evaluated identically in any
+    * engine. */
+  def histBins(items: DataFrame, groupCols: Seq[String], v: Column,
+      stats: DataFrame, bins: Int = 128): DataFrame = {
+    val scaled = (v - col("lo")) * bins / (col("hi") - col("lo"))
+    val bin = when(col("hi") > col("lo"),
+      least(floor(scaled), lit(bins - 1))).otherwise(lit(0))
+      .cast("long").as("bin")
+    items.filter(v.isNotNull)
+      .join(broadcast(stats), groupCols)
+      .groupBy((groupCols.map(col) :+ bin): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[histBins]] matrix: smallest bin whose
+    * cumulative count reaches q·n, mapped to the bin's upper edge. One
+    * tiny window pass (≤ bins rows per group) + one aggregation. */
+  def histQuantiles(binsDf: DataFrame, groupCols: Seq[String],
+      stats: DataFrame, qs: Seq[(String, Double)],
+      bins: Int = 128): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val cum = binsDf.withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(stats), groupCols)
+    val picks = qs.map { case (name, q) =>
+      min(when(col("cum") >= lit(q) * col("n"), col("bin"))).as(s"__$name")
+    }
+    val outCols = groupCols.map(col) ++ Seq(col("n")) ++
+      qs.map { case (name, _) =>
+        round(col("lo") + (col(s"__$name") + 1) * (col("hi") - col("lo")) / bins, 4)
+          .as(name)
+      }
+    cum.groupBy((groupCols.map(col) :+ col("n") :+ col("lo") :+ col("hi")): _*)
+      .agg(picks.head, picks.tail: _*)
+      .select(outCols: _*)
+  }
+
   /** Point estimates for each distinct item in `queries(itemCol)`:
     * min over rows of the item's bucket count. The matrix is
     * depth × width rows → broadcast joins. */

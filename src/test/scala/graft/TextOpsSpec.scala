@@ -193,6 +193,32 @@ class TextOpsSpec extends SparkSpec {
     assert(est > 700 * 0.6 && est < 700 * 1.4, s"estimate $est vs 700")
   }
 
+  test("histogram sketch: shard bins merge by sum; quantiles bound error by one bin") {
+    import graft.ops.Sketch
+    val rnd = new scala.util.Random(3)
+    val vals = Seq.fill(2000)(("g", rnd.nextDouble() * 100)).toDF("g", "v")
+    val stats = Sketch.histStats(vals, Seq("g"), col("v"))
+    val whole = Sketch.histBins(vals, Seq("g"), col("v"), stats)
+    // mergeability (against SHARED edges): bins(A ∪ B) == shard bins summed
+    val a = vals.filter(col("v") < 37.0)
+    val b = vals.filter(col("v") >= 37.0)
+    val merged = Sketch.histBins(a, Seq("g"), col("v"), stats)
+      .unionByName(Sketch.histBins(b, Seq("g"), col("v"), stats))
+      .groupBy("g", "bin").agg(sum(col("cnt")).as("cnt"))
+    val w = whole.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val p = merged.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(w == p)
+    // estimate error ≤ one bin width vs the exact quantile
+    val est = Sketch.histQuantiles(whole, Seq("g"), stats,
+      Seq("p50" -> 0.5, "p90" -> 0.9)).head()
+    val exact = vals.stat.approxQuantile("v", Array(0.5, 0.9), 0.0)
+    val binWidth = 100.0 / 128
+    assert(math.abs(est.getDouble(2) - exact(0)) <= binWidth * 1.5,
+      s"p50 ${est.getDouble(2)} vs ${exact(0)}")
+    assert(math.abs(est.getDouble(3) - exact(1)) <= binWidth * 1.5,
+      s"p90 ${est.getDouble(3)} vs ${exact(1)}")
+  }
+
   test("Bloom filter: zero false negatives; pruning preserves the true join") {
     import graft.ops.Sketch
     val build = (1 to 200).filter(_ % 3 == 0).map(_.toLong).toDF("k")
