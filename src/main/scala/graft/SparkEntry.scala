@@ -861,7 +861,10 @@ object SparkEntry {
     * edge of the bin reaching q·n (error ≤ one bin width). */
   private def qHistQuantiles(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
+    // stats feeds both the binning join and the estimate join: persist,
+    // or the edge pass scans events twice (a full extra scan at 100 TB)
     val stats = ops.Sketch.histStats(ev, Seq("event_type"), col("value"))
+      .persist()
     val binsDf = ops.Sketch.histBins(ev, Seq("event_type"), col("value"), stats)
     ops.Sketch.histQuantiles(binsDf, Seq("event_type"), stats,
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
