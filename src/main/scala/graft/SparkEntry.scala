@@ -870,6 +870,33 @@ object SparkEntry {
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
   }
 
+  /** Corpus-mixture report: per (lang, source) stratum — size, share,
+    * the keep rate that caps any stratum at 25% of the corpus, and the
+    * deterministically-resampled size. The composition-control op of
+    * LLM corpus building (source/language balancing), in the two-phase
+    * measure-then-resample shape that holds at 100 TB: stratum stats
+    * are map-side-combined group counts, rates a strata-sized
+    * broadcast, and the resample one hash-Bernoulli filter — the
+    * corpus is never shuffled. */
+  private def qMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rates = ops.Sampling.mixtureRates(docs, Seq("lang"), 0.25)
+      .persist() // feeds both the report and the resample filter
+    val kept = ops.Sampling.weightedSample(
+        docs.join(broadcast(rates.select(col("lang"), col("__keep_rate"))),
+          Seq("lang")),
+        col("doc_id"), col("__keep_rate"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    val total = rates.agg(sum(col("__n")).cast("double").as("__total"))
+    rates.crossJoin(broadcast(total))
+      .select(col("lang"), col("__n").as("n_docs"),
+        round(col("__n") / col("__total"), 4).as("share"),
+        round(col("__keep_rate"), 4).as("keep_rate"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("share"),
+        col("keep_rate"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -942,7 +969,8 @@ object SparkEntry {
     "q67_quantize" -> (qQuantize _),
     "q68_hll_registers" -> (qHllRegisters _),
     "q69_zorder" -> (qZorder _),
-    "q70_hist_quantiles" -> (qHistQuantiles _))
+    "q70_hist_quantiles" -> (qHistQuantiles _),
+    "q71_mixture" -> (qMixture _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1437,5 +1465,19 @@ object SparkEntry {
         "round(lo + (min(CASE WHEN cum >= 0.5 * n THEN bin END) + 1) * (hi - lo) / 128, 4) AS p50, " +
         "round(lo + (min(CASE WHEN cum >= 0.9 * n THEN bin END) + 1) * (hi - lo) / 128, 4) AS p90, " +
         "round(lo + (min(CASE WHEN cum >= 0.99 * n THEN bin END) + 1) * (hi - lo) / 128, 4) AS p99 " +
-        "FROM cum JOIN st USING (event_type) GROUP BY event_type, n, lo, hi"))
+        "FROM cum JOIN st USING (event_type) GROUP BY event_type, n, lo, hi"),
+    "q71_mixture" ->
+      // same hash-Bernoulli keep filter as Sampling.weightedSample
+      ("WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM st), " +
+        "rates AS (SELECT lang, n_docs, " +
+        "round(n_docs / total, 4) AS share, " +
+        "least(1.0, 0.25 / (n_docs / total)) AS rate FROM st, tot), " +
+        "kept AS (SELECT d.lang, count(*) AS n_kept " +
+        "FROM documents d JOIN rates r ON d.lang = r.lang " +
+        "WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0 " +
+        "< least(1.0, greatest(0.0, rate)) GROUP BY 1) " +
+        "SELECT lang, n_docs, share, round(rate, 4) AS keep_rate, " +
+        "coalesce(n_kept, 0) AS n_kept " +
+        "FROM rates LEFT JOIN kept USING (lang)"))
 }

@@ -46,6 +46,36 @@ object Sampling {
     df.filter(hashBucket(id, 1000000).cast("double") / 1000000.0 <
       least(lit(1.0), greatest(lit(0.0), weight)))
 
+  /** Per-stratum keep rates that cap any stratum's share of the corpus
+    * at `capShare`: strata over the cap get rate = cap/share, the rest
+    * pass through at 1.0. Output: strataCols + (`__n`, `__keep_rate`).
+    * The measure half of mixture rebalancing — corpus-composition
+    * control (source/language balancing) for training-data pipelines.
+    * Stratum stats are group-counts (map-side combined); the total is a
+    * 1-row broadcast, so rates never shuffle the corpus. */
+  def mixtureRates(df: DataFrame, strataCols: Seq[String],
+      capShare: Double): DataFrame = {
+    val strata = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val total = strata.agg(sum(col("__n")).cast("double").as("__total"))
+    strata.crossJoin(broadcast(total))
+      .select((strataCols.map(col) :+ col("__n") :+
+        least(lit(1.0), lit(capShare) / (col("__n") / col("__total")))
+          .as("__keep_rate")): _*)
+  }
+
+  /** Mixture rebalancing: deterministically downsample each stratum to
+    * its [[mixtureRates]] cap (hash-Bernoulli on `id` — same rows kept
+    * on every run/engine/retry). Rates are a strata-sized broadcast;
+    * the corpus passes through one filter, no extra shuffle. */
+  def mixtureRebalance(df: DataFrame, strataCols: Seq[String], id: Column,
+      capShare: Double): DataFrame = {
+    val rates = mixtureRates(df, strataCols, capShare)
+      .select((strataCols.map(col) :+ col("__keep_rate")): _*)
+    weightedSample(df.join(broadcast(rates), strataCols), id,
+      col("__keep_rate")).drop("__keep_rate")
+  }
+
   /** Class-balanced sample: up to `nPerClass` rows per class, chosen by
     * hash order of the id — deterministic (no rand()), and the per-class
     * shuffle carries only class-partitioned rows (one window sort). */

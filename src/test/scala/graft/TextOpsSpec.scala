@@ -251,6 +251,25 @@ class TextOpsSpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0) == 0L)
   }
 
+  test("mixtureRebalance: over-cap strata shrink to the cap, others pass intact") {
+    import graft.ops.Sampling
+    // 800 "web" docs (80%) + 200 "books": cap 0.4 → web ≈ 320, books all
+    val docs = ((1 to 800).map(i => (i.toLong, "web")) ++
+      (801 to 1000).map(i => (i.toLong, "books"))).toDF("id", "src")
+    val out = Sampling.mixtureRebalance(docs, Seq("src"), col("id"), 0.4)
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("books") == 200L, s"under-cap stratum must pass intact: $out")
+    // hash-Bernoulli at rate 0.5: expect ~400 ± binomial noise
+    assert(out("web") > 320 && out("web") < 480, s"web ${out("web")}")
+    // deterministic: the same rows are kept on a re-run
+    val again = Sampling.mixtureRebalance(docs, Seq("src"), col("id"), 0.4)
+      .agg(sum(col("id"))).head().getLong(0)
+    val first = Sampling.mixtureRebalance(docs, Seq("src"), col("id"), 0.4)
+      .agg(sum(col("id"))).head().getLong(0)
+    assert(again == first)
+  }
+
   test("weightedSample: weight 0 keeps nothing, 1 keeps all, deterministic") {
     val d = spark.range(1000).toDF("id")
     assert(graft.ops.Sampling.weightedSample(d, col("id"), lit(0.0)).count() == 0)
