@@ -897,6 +897,46 @@ object SparkEntry {
         col("keep_rate"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Snapshot diff over two deterministic "versions" of orders: the old
+    * snapshot holds O+F rows, the new holds O+P with urgent-O prices
+    * revised — so the diff must classify deletes (F), inserts (P) and
+    * updates (urgent O) in one pass. One key-partitioned full-outer
+    * join, change-sized output; at 100 TB both sides shuffle once on
+    * the key (or bucket-join for free when snapshots share layout). */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val v2 = o.filter(col("o_orderstatus").isin("O", "P"))
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O" &&
+          col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice") + 10d).otherwise(col("o_totalprice"))
+          .as("o_totalprice"),
+        col("o_orderpriority"))
+    ops.Merge.snapshotDiff(v1, v2, Seq("o_orderkey"),
+      Seq("o_totalprice", "o_orderpriority"))
+  }
+
+  /** Unigram language-model quality score: per-doc mean negative log-
+    * likelihood under the corpus unigram distribution — the classic
+    * LM-based quality filter (low = stereotypical text, high =
+    * junk/outlier). Reuses the one shared tf aggregation (q64/q66
+    * contract); the probability table is vocabulary-sized and
+    * broadcast; per-doc sums are map-side combinable. The corpus
+    * shuffles once at any scale. */
+  private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val tf = termFreqs(t(s, dir, "documents"))
+    val totals = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val grand = totals.agg(sum(col("ctf")).cast("double").as("gt"))
+    val probs = totals.crossJoin(broadcast(grand))
+      .select(col("term"), (col("ctf") / col("gt")).as("p"))
+    tf.join(broadcast(probs), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-sum(col("tf") * log(col("p"))) / sum(col("tf")), 4).as("nll"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -970,7 +1010,9 @@ object SparkEntry {
     "q68_hll_registers" -> (qHllRegisters _),
     "q69_zorder" -> (qZorder _),
     "q70_hist_quantiles" -> (qHistQuantiles _),
-    "q71_mixture" -> (qMixture _))
+    "q71_mixture" -> (qMixture _),
+    "q72_snapshot_diff" -> (qSnapshotDiff _),
+    "q73_unigram_nll" -> (qUnigramLogprob _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1479,5 +1521,30 @@ object SparkEntry {
         "< least(1.0, greatest(0.0, rate)) GROUP BY 1) " +
         "SELECT lang, n_docs, share, round(rate, 4) AS keep_rate, " +
         "coalesce(n_kept, 0) AS n_kept " +
-        "FROM rates LEFT JOIN kept USING (lang)"))
+        "FROM rates LEFT JOIN kept USING (lang)"),
+    "q72_snapshot_diff" ->
+      ("WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE o_orderstatus IN ('O', 'F')), " +
+        "v2 AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderstatus = 'O' AND o_orderpriority = '1-URGENT' " +
+        "THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderpriority FROM orders WHERE o_orderstatus IN ('O', 'P')) " +
+        "SELECT o_orderkey, change FROM (" +
+        "SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN v1.o_orderkey IS NULL THEN 'insert' " +
+        "WHEN v2.o_orderkey IS NULL THEN 'delete' " +
+        "WHEN NOT ((v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice) " +
+        "AND (v1.o_orderpriority IS NOT DISTINCT FROM v2.o_orderpriority)) " +
+        "THEN 'update' ELSE 'unchanged' END AS change " +
+        "FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey) " +
+        "WHERE change <> 'unchanged'"),
+    "q73_unigram_nll" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot, g) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+        "round(-sum(tf * ln(p)) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN p USING (term) GROUP BY 1"))
 }

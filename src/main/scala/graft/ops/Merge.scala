@@ -26,6 +26,32 @@ object Merge {
         dataCols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
   }
 
+  /** Snapshot diff (CDC): classify every key as insert / delete /
+    * update between two versions of a table — the generalized form of
+    * the reference's watermark export (F6 ships only inserts-by-time;
+    * a diff also surfaces updates and deletes, which the loader's
+    * upserts create but the export silently drops). One full-outer
+    * join on the key; payload comparison is null-safe column equality
+    * (`<=>`), no hashing — portable to any engine as
+    * IS NOT DISTINCT FROM. Unchanged keys are filtered out, so the
+    * output is change-sized, not table-sized. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ payload).map(col) :+
+      lit(true).as("__in_old"): _*).as("o")
+    val n = newDf.select((keys ++ payload).map(col) :+
+      lit(true).as("__in_new"): _*).as("n")
+    val allEq = payload.map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .reduce(_ && _)
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(!allEq, lit("update"))
+          .otherwise(lit("unchanged")).as("change"): _*)
+      .filter(col("change") =!= "unchanged")
+  }
+
   /** U3: insert-if-absent (`ON CONFLICT DO NOTHING`): keep all existing
     * rows, add incoming rows whose key is unseen (left_anti = the
     * NOT-EXISTS rewrite, load_warehouse.py:199-202). */

@@ -36,6 +36,32 @@ class MergeSpec extends SparkSpec {
     assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
   }
 
+  test("snapshotDiff: insert/delete/update classified; NULLs compare null-safe") {
+    val old0 = Seq(
+      (1L, Some(10.0), "a"),  // unchanged
+      (2L, Some(20.0), "b"),  // updated payload
+      (3L, None, "c"),        // NULL == NULL → unchanged
+      (4L, Some(40.0), "d"))  // deleted
+      .toDF("k", "price", "tag")
+    val new0 = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(21.0), "b"),
+      (3L, None, "c"),
+      (5L, Some(50.0), "e"),  // inserted
+      (6L, None, "f"))        // inserted with NULL payload
+      .toDF("k", "price", "tag")
+    val got = Merge.snapshotDiff(old0, new0, Seq("k"), Seq("price", "tag"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "update", 4L -> "delete",
+      5L -> "insert", 6L -> "insert"))
+    // NULL → value and value → NULL are updates, not unchanged
+    val flip = Merge.snapshotDiff(
+      Seq((7L, Option.empty[Double], "x")).toDF("k", "price", "tag"),
+      Seq((7L, Some(1.0), "x")).toDF("k", "price", "tag"),
+      Seq("k"), Seq("price", "tag")).as[(Long, String)].collect()
+    assert(flip.toSeq == Seq((7L, "update")))
+  }
+
   test("insertIfAbsent: existing rows never overwritten (DO NOTHING)") {
     val existing = Seq((1L, 2L, "old")).toDF("dep", "arr", "tag")
     val incoming = Seq((1L, 2L, "new"), (3L, 4L, "fresh")).toDF("dep", "arr", "tag")
