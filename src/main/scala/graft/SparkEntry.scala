@@ -870,7 +870,7 @@ object SparkEntry {
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
   }
 
-  /** Corpus-mixture report: per (lang, source) stratum — size, share,
+  /** Corpus-mixture report: per language stratum — size, share,
     * the keep rate that caps any stratum at 25% of the corpus, and the
     * deterministically-resampled size. The composition-control op of
     * LLM corpus building (source/language balancing), in the two-phase
@@ -1464,7 +1464,7 @@ object SparkEntry {
       // bucket = low 6 bits, reg = 1 + leading zeros of the high 26
       ("WITH h AS (SELECT event_type, " +
         "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
-        "FROM events), " +
+        "FROM events WHERE user_id IS NOT NULL), " +
         "r AS (SELECT event_type, hv & 63 AS bucket, " +
         "MAX(CASE WHEN (hv >> 6) > 0 THEN 27 - length(bin(hv >> 6)) ELSE 27 END) AS reg " +
         "FROM h GROUP BY 1, 2), " +

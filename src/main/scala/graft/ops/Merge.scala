@@ -41,8 +41,9 @@ object Merge {
       lit(true).as("__in_old"): _*).as("o")
     val n = newDf.select((keys ++ payload).map(col) :+
       lit(true).as("__in_new"): _*).as("n")
+    // empty payload = presence-only diff: no row can ever be an update
     val allEq = payload.map(c => col(s"o.$c") <=> col(s"n.$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     o.join(n, keys, "full_outer")
       .select(keys.map(col) :+
         when(col("__in_old").isNull, lit("insert"))

@@ -70,10 +70,14 @@ object Sampling {
     * the corpus passes through one filter, no extra shuffle. */
   def mixtureRebalance(df: DataFrame, strataCols: Seq[String], id: Column,
       capShare: Double): DataFrame = {
+    // null-safe join: a NULL stratum (e.g. lang unknown) is a real
+    // stratum with a rate — a plain equi-join would silently drop it
     val rates = mixtureRates(df, strataCols, capShare)
-      .select((strataCols.map(col) :+ col("__keep_rate")): _*)
-    weightedSample(df.join(broadcast(rates), strataCols), id,
-      col("__keep_rate")).drop("__keep_rate")
+      .select((strataCols.map(c => col(c).as(s"__r_$c")) :+
+        col("__keep_rate")): _*)
+    val cond = strataCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    weightedSample(df.join(broadcast(rates), cond), id, col("__keep_rate"))
+      .drop(("__keep_rate" +: strataCols.map(c => s"__r_$c")): _*)
   }
 
   /** Class-balanced sample: up to `nPerClass` rows per class, chosen by

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
+  /** One source of truth for the histogram bin count: [[histBins]] and
+    * [[histQuantiles]] must agree on it or quantile edges are wrong —
+    * callers overriding one MUST override the other identically. */
+  val DefaultHistBins = 128
+
+
   /** Bucket of `item` for sketch row `i`: first 8 md5 hex chars of
     * "i|item" mod width — the same shared-vocabulary hashing as
     * [[Sampling.hashBucket]]/minhash (portable to any engine with md5). */
@@ -76,12 +82,15 @@ object Sketch {
     val bits = 32 - b
     val h = conv(substring(md5(item.cast("string")), 1, 8), 16, 10)
       .cast("long")
+    // NULLs are not values: count-distinct semantics ignore them (a null
+    // would otherwise form a 65th null-bucket register and skew `zeros`)
+    val nonNull = items.filter(item.isNotNull)
     val bucket = h.bitwiseAND(lit((1L << b) - 1))
     val w = shiftright(h, b)
     // length(bin(w)) = floor(log2 w)+1 via strings — exact, no float log
     val rho = when(w > 0, lit(bits + 1) - length(bin(w)))
       .otherwise(lit(bits + 1))
-    items.groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
+    nonNull.groupBy((groupCols.map(col) :+ bucket.as("bucket")): _*)
       .agg(max(rho).cast("long").as("reg"))
   }
 
@@ -130,7 +139,7 @@ object Sketch {
     * edge arithmetic is plain double ops evaluated identically in any
     * engine. */
   def histBins(items: DataFrame, groupCols: Seq[String], v: Column,
-      stats: DataFrame, bins: Int = 128): DataFrame = {
+      stats: DataFrame, bins: Int = DefaultHistBins): DataFrame = {
     val scaled = (v - col("lo")) * bins / (col("hi") - col("lo"))
     val bin = when(col("hi") > col("lo"),
       least(floor(scaled), lit(bins - 1))).otherwise(lit(0))
@@ -146,7 +155,7 @@ object Sketch {
     * tiny window pass (≤ bins rows per group) + one aggregation. */
   def histQuantiles(binsDf: DataFrame, groupCols: Seq[String],
       stats: DataFrame, qs: Seq[(String, Double)],
-      bins: Int = 128): DataFrame = {
+      bins: Int = DefaultHistBins): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
     val cum = binsDf.withColumn("cum", sum(col("cnt")).over(w))

@@ -268,6 +268,13 @@ class TextOpsSpec extends SparkSpec {
     val first = Sampling.mixtureRebalance(docs, Seq("src"), col("id"), 0.4)
       .agg(sum(col("id"))).head().getLong(0)
     assert(again == first)
+    // a NULL stratum is a real stratum: its rows survive (null-safe join)
+    val withNull = docs.unionByName(
+      Seq((2001L, Option.empty[String]), (2002L, None))
+        .toDF("id", "src"))
+    val n = Sampling.mixtureRebalance(withNull, Seq("src"), col("id"), 0.9)
+      .filter(col("src").isNull).count()
+    assert(n == 2L, s"NULL-stratum rows dropped: kept $n of 2")
   }
 
   test("weightedSample: weight 0 keeps nothing, 1 keeps all, deterministic") {
