@@ -70,6 +70,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed1(ext, "graft_fingerprint", graft.expr.TextStats.fingerprint)
     composed1(ext, "graft_pii_scrub", graft.expr.Pii.scrub)
     composed1(ext, "graft_pii_count", graft.expr.Pii.countPii)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[graft.ops.Layout.type].getName, "graft_zorder"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_zorder(x, y): expected 2 arguments, got ${children.length}")
+        org.apache.spark.sql.GraftBridge.catalystExpression(
+          graft.ops.Layout.zOrderKey(
+            org.apache.spark.sql.GraftBridge.column(children(0)),
+            org.apache.spark.sql.GraftBridge.column(children(1))))
+      }))
     // whole-operator surface: the native as-of join physical strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }

@@ -937,6 +937,18 @@ object SparkEntry {
         round(-sum(col("tf") * log(col("p"))) / sum(col("tf")), 4).as("nll"))
   }
 
+  /** Per-label embedding centroids (mean pooling): the k-means E-step /
+    * IVF codebook computation, in the relational form that scales —
+    * posexplode to (label, dim, v) then one map-side-combined
+    * aggregation, so each task emits ≤ labels×dims partial rows no
+    * matter how many vectors it read. Centroids are the training half
+    * of q27's IVF ANN path. */
+  private def qCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("v")), 6).as("m"), count(lit(1)).as("n"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1012,7 +1024,8 @@ object SparkEntry {
     "q70_hist_quantiles" -> (qHistQuantiles _),
     "q71_mixture" -> (qMixture _),
     "q72_snapshot_diff" -> (qSnapshotDiff _),
-    "q73_unigram_nll" -> (qUnigramLogprob _))
+    "q73_unigram_nll" -> (qUnigramLogprob _),
+    "q74_centroids" -> (qCentroids _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1546,5 +1559,10 @@ object SparkEntry {
         "p AS (SELECT term, ctf / gt AS p FROM tot, g) " +
         "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
         "round(-sum(tf * ln(p)) / sum(tf), 4) AS nll " +
-        "FROM tf JOIN p USING (term) GROUP BY 1"))
+        "FROM tf JOIN p USING (term) GROUP BY 1"),
+    "q74_centroids" ->
+      ("SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 6) AS m, " +
+        "count(*) AS n FROM (SELECT label, unnest(embedding) AS v, " +
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) " +
+        "GROUP BY 1, 2"))
 }

@@ -72,6 +72,24 @@ class LoadCycleSpec extends SparkSpec {
     assert(wh.staging.isEmpty) // everything <= cutoff purged
   }
 
+  test("snapshotDiff over warehouse versions is the load cycle's change feed") {
+    import graft.ops.Merge
+    val staging = stage(Seq(
+      event("k1", ingest = "2024-05-09T10:30:00Z"),
+      event("k2", ingest = "2024-05-09T11:30:00Z"), // cycle-2 insert
+      event("k1", status = "landed",
+        ingest = "2024-05-09T11:40:00Z")))          // cycle-2 update
+    val wh1 = LoadCycle.run(LoadCycle.emptyWarehouse(staging),
+      cutoff("2024-05-09T11:00:00Z"))
+    val wh2 = LoadCycle.run(wh1, cutoff("2024-05-09T12:00:00Z"))
+    // the diff between fact versions = exactly what the cycle changed —
+    // the CDC view the reference's insert-only watermark export misses
+    val diff = Merge.snapshotDiff(wh1.fact, wh2.fact,
+      Seq("flight_key"), Seq("status"))
+      .as[(String, String)].collect().toMap
+    assert(diff == Map("k1" -> "update", "k2" -> "insert"))
+  }
+
   test("second cycle merges onto first; replayed batch is a no-op (idempotent)") {
     val batch1 = stage(Seq(event("k1", ingest = "2024-05-09T10:30:00Z")))
     val wh1 = LoadCycle.run(LoadCycle.emptyWarehouse(batch1),

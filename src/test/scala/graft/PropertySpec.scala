@@ -112,6 +112,9 @@ class PropertySpec extends SparkSpec {
           "graft_pii_scrub('mail a@b.io now') AS s, " +
           "graft_pii_count('mail a@b.io now') AS n, " +
           "graft_lang_id('the cat is on the mat') AS lang").collect().head
+      // zorder: interleave(x=0b11, y=0b01) = x bits at even, y at odd
+      val z = s2.sql("SELECT graft_zorder(3, 1) AS z").collect().head.getLong(0)
+      assert(z == 7L, s"zorder(3,1) = $z") // 0b0111
       // same value as the Column-API definition on the suite session
       import org.apache.spark.sql.functions.lit
       val expectH = spark.range(1)
