@@ -892,7 +892,7 @@ object SparkEntry {
       .select(col("lang"), col("__n").as("n_docs"),
         round(col("__n") / col("__total"), 4).as("share"),
         round(col("__keep_rate"), 4).as("keep_rate"))
-      .join(kept, Seq("lang"), "left")
+      .join(broadcast(kept), Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("share"),
         col("keep_rate"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }

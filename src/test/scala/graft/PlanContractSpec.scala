@@ -89,6 +89,31 @@ class PlanContractSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q68: HLL registers combine map-side — partial_max precedes the exchange") {
+    val p = plan("q68_hll_registers")
+    assert(p.contains("partial_max"), p.take(800))
+    // register groupBy + estimate groupBy: exactly two hash exchanges
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(1000))
+  }
+
+  test("q71: mixture rates broadcast — the corpus is never sort-merge shuffled") {
+    val p = plan("q71_mixture")
+    assert(!p.contains("SortMergeJoin"), "corpus-sized shuffle join crept in")
+    assert(count(p, "BroadcastExchange") >= 2, p.take(800)) // rates + total
+  }
+
+  test("q72: snapshot diff is ONE full-outer join with pushed status filters") {
+    val p = plan("q72_snapshot_diff")
+    assert(count(p, "FullOuter") == 1, p.take(800))
+    assert(p.contains("PushedFilters: [In(o_orderstatus"), p.take(1200))
+  }
+
+  test("q74: centroid explosion combines before the single exchange") {
+    val p = plan("q74_centroids")
+    assert(p.contains("partial_avg"), p.take(800))
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
