@@ -275,10 +275,19 @@ object SparkEntry {
     * consumers) is persisted once. minhashSignatures-composed parity
     * with this oracle is covered by PropertySpec's ≡ test. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir).persist()
     val cands = TextDedup.lshCandidates(
       TextDedup.minhashSignaturesNative(t(s, dir, "documents"),
         col("doc_id"), col("text"), 3, 8)).persist()
+    // verification touches ONLY candidate docs: semi-join the corpus to
+    // the candidate id set BEFORE the shingle-set explode+distinct —
+    // at 100 TB that exchange covers LSH survivors, not the corpus.
+    // (Candidate ids are LSH-selective → broadcast; drop the hint if a
+    // workload's candidate set outgrows the broadcast threshold.)
+    val ids = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = TextDedup.shingleSet(
+      t(s, dir, "documents").join(broadcast(ids), Seq("doc_id"), "left_semi"),
+      col("doc_id"), col("text"), 3).persist()
     TextDedup.jaccard(cands, sh)
   }
 
