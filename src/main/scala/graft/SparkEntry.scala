@@ -1208,6 +1208,25 @@ object SparkEntry {
         "CASE WHEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 10 < length(text) THEN 1.0 ELSE 0.5 END + " +
         "CASE WHEN len(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) > 0 THEN 1.0 ELSE 0.5 END) / 3.0, 4) AS quality " +
         "FROM documents"),
+    "q27_ann_ivf" ->
+      // mirrors ivfTopK: label centroids, nprobe=3 nearest cells by L2,
+      // exact cosine rank within probed cells (same fold parity as q25)
+      ("WITH cent AS (SELECT label AS cell, list(m ORDER BY pos) AS centroid FROM (" +
+        "SELECT label, i AS pos, avg(v) AS m " +
+        "FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i FROM embeddings) " +
+        "GROUP BY 1, 2) GROUP BY 1), " +
+        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), " +
+        "qc AS (SELECT q_id, qv, cell, " +
+        "sqrt(list_sum(list_transform(list_zip(qv, centroid), t -> (t[1]-t[2])*(t[1]-t[2])))) AS d " +
+        "FROM q CROSS JOIN cent), " +
+        "probe AS (SELECT q_id, qv, cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cell) AS pr FROM qc) WHERE pr <= 3), " +
+        "c AS (SELECT label AS cell, vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+        "sc AS (SELECT q_id, n_id, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM probe JOIN c USING (cell) WHERE n_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) " +
+        "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM r WHERE rank <= 10"),
     "q25_ann_cosine" ->
       ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
