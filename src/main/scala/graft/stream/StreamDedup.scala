@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Streaming exact deduplication — the streaming-native form of
   * [[graft.ops.Dedup.exactDedup]] for at-least-once ingest (the
@@ -17,4 +18,46 @@ object StreamDedup {
       eventTimeCol: String, delay: String): DataFrame =
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming NEAR-duplicate filtering — the streaming form of the
+    * batch MinHash+LSH pipeline (q21), with bounded state.
+    *
+    * The native [[graft.expr.catalyst.MinhashSig]] computes a doc's
+    * whole signature in one projection, so banding needs NO aggregation
+    * (the batch form's groupBy): band `i`'s signature is the
+    * order-independent concat of its two member hashes — the exact
+    * [[graft.ops.TextDedup.lshCandidates]] contract — built with
+    * `least`/`greatest` over array slots. The ONLY stateful operator is
+    * `dropDuplicatesWithinWatermark` on (band, band_sig): state holds
+    * one row per distinct band signature seen within the watermark
+    * horizon, never the corpus.
+    *
+    * Output: the first-seen (id, eventTime, band, band_sig) rows. A doc
+    * emitting ZERO rows matched every band already seen — a near-dup
+    * candidate; a doc emitting all `numHashes/2` bands is novel.
+    * Downstream (foreachBatch or a consumer join) classifies; docs
+    * shorter than `n` tokens have NULL signatures and emit nothing. */
+  def nearDupBandStream(df: DataFrame, idCol: String, textCol: String,
+      eventTimeCol: String, delay: String, n: Int = 3,
+      numHashes: Int = 8): DataFrame = {
+    require(numHashes % 2 == 0, "numHashes must be even (2 hashes per band)")
+    val sig = org.apache.spark.sql.GraftBridge.column(
+      graft.expr.catalyst.MinhashSig(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        n, numHashes))
+    val bandStructs = (0 until numHashes / 2).map { i =>
+      val a = element_at(col("__sig"), 2 * i + 1) // element_at is 1-based
+      val b = element_at(col("__sig"), 2 * i + 2)
+      struct(lit(i.toLong).as("band"),
+        concat(least(a, b), greatest(a, b)).as("band_sig"))
+    }
+    df.select(col(idCol), col(eventTimeCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol), col(eventTimeCol),
+        explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col(eventTimeCol),
+        col("__b.band").as("band"), col("__b.band_sig").as("band_sig"))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("band", "band_sig"))
+  }
 }

@@ -10,6 +10,7 @@ import graft.ops.Analytics
 import graft.stream.StatefulLatest
 
 case class Obs(key: String, ts: Timestamp, value: Double)
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 /** Stateful streaming semantics: flatMapGroupsWithState latest-per-key
   * with event-time TTL (streaming-native form of the loader's
@@ -55,6 +56,48 @@ class StatefulStreamSpec extends SparkSpec {
     q.processAllAvailable() // timeouts fire during this batch
     val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
     assert(stateRows == 2L, s"expected k1/k2 expired, k9/k10 live; got $stateRows")
+    q.stop()
+  }
+
+  test("nearDupBandStream: near-dups emit no new bands, novel docs emit all") {
+    import graft.stream.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val out = StreamDedup.nearDupBandStream(
+      ms.toDF(), "doc_id", "text", "ts", "1 hour", n = 3, numHashes = 8)
+    val q = out.writeStream.format("memory").queryName("neardup_sink")
+      .outputMode(OutputMode.Append).start()
+    def perDoc() = spark.table("neardup_sink")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+
+    // batch 1: two distinct docs → every band is first-seen (4 each)
+    ms.addData(
+      Doc(1L, t("2024-05-09T10:00:00Z"), "the quick brown fox jumps high"),
+      Doc(2L, t("2024-05-09T10:01:00Z"), "entirely different words appear here now"))
+    q.processAllAvailable()
+    assert(perDoc() == Map(1L -> 4L, 2L -> 4L), perDoc().toString)
+
+    // batch 2: an exact dup of doc 1 (identical signature → 0 new bands)
+    // and a novel doc (4 new bands)
+    ms.addData(
+      Doc(3L, t("2024-05-09T10:02:00Z"), "the quick brown fox jumps high"),
+      Doc(4L, t("2024-05-09T10:03:00Z"), "yet another unrelated sentence flows on"))
+    q.processAllAvailable()
+    val m = perDoc()
+    assert(!m.contains(3L), s"exact dup emitted bands: $m")
+    assert(m(4L) == 4L, m.toString)
+
+    // band signatures match the BATCH LSH contract (same min||max concat)
+    val batchBands = graft.ops.TextDedup.minhashSignaturesNative(
+        Seq((1L, "the quick brown fox jumps high")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 3, 8)
+      .groupBy(col("doc_id"), shiftright(col("h"), 1).as("band"))
+      .agg(concat(min(col("minhash")), max(col("minhash"))).as("band_sig"))
+      .select("band_sig").as[String].collect().toSet
+    val streamBands = spark.table("neardup_sink")
+      .filter(col("doc_id") === 1L).select("band_sig")
+      .as[String].collect().toSet
+    assert(streamBands == batchBands, "stream/batch band contract diverged")
     q.stop()
   }
 
