@@ -83,6 +83,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // whole-operator surface: the native as-of join physical strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // logical rewrite: disjunctive alternate-key joins → union of
+    // equi-joins (kills the BroadcastNestedLoopJoin the OR shape plans as)
+    ext.injectOptimizerRule(_ => graft.plans.DisjunctiveJoinRewrite)
   }
 
   /** Register a unary Column=>Column as a SQL function: the builder wraps

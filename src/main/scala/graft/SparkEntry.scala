@@ -958,6 +958,30 @@ object SparkEntry {
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("v")), 6).as("m"), count(lit(1)).as("n"))
 
+  /** The reference's J2 join written the NATURAL way — one disjunctive
+    * OR condition (`load_warehouse.py:215-235`) — relying on the
+    * [[graft.plans.DisjunctiveJoinRewrite]] optimizer rule to turn the
+    * BroadcastNestedLoopJoin shape into a union of two hash joins.
+    * Same semantics as q08 (which hand-writes the two-join form); the
+    * oracle runs the OR join literally. The rule rides along via
+    * `spark.sql.extensions` in driver sessions and is attached to live
+    * sessions here (idempotent: the rewrite leaves no OR-joins behind). */
+  private def qOrJoinRewrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.DisjunctiveJoinRewrite
+    if (!s.experimental.extraOptimizations.contains(DisjunctiveJoinRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ DisjunctiveJoinRewrite
+    val o = t(s, dir, "orders").withColumn("key_iata",
+      when(col("o_custkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")))
+    o.join(t(s, dir, "customer"),
+        col("key_iata") === col("c_custkey") ||
+          (col("key_iata").isNull && col("o_custkey") === col("c_custkey")),
+        "left")
+      .select(col("o_orderkey"), col("c_name").as("cust_name"),
+        col("c_mktsegment").as("segment"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1034,7 +1058,8 @@ object SparkEntry {
     "q71_mixture" -> (qMixture _),
     "q72_snapshot_diff" -> (qSnapshotDiff _),
     "q73_unigram_nll" -> (qUnigramLogprob _),
-    "q74_centroids" -> (qCentroids _))
+    "q74_centroids" -> (qCentroids _),
+    "q75_or_join_rewrite" -> (qOrJoinRewrite _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1592,5 +1617,13 @@ object SparkEntry {
       ("SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 6) AS m, " +
         "count(*) AS n FROM (SELECT label, unnest(embedding) AS v, " +
         "generate_subscripts(embedding, 1) AS i FROM embeddings) " +
-        "GROUP BY 1, 2"))
+        "GROUP BY 1, 2"),
+    "q75_or_join_rewrite" ->
+      // the OR condition LITERALLY — DuckDB nested-loops it; our engine's
+      // DisjunctiveJoinRewrite plans the same query as two hash joins
+      ("SELECT o_orderkey, c_name AS cust_name, c_mktsegment AS segment " +
+        "FROM (SELECT *, CASE WHEN o_custkey % 7 = 0 THEN NULL " +
+        "ELSE o_custkey END AS key_iata FROM orders) o " +
+        "LEFT JOIN customer ON key_iata = c_custkey " +
+        "OR (key_iata IS NULL AND o_custkey = c_custkey)"))
 }

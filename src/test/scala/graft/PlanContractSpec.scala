@@ -114,6 +114,14 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, p.take(800))
   }
 
+  test("q75: the OR-join plans as two hash joins, never a nested loop") {
+    val p = plan("q75_or_join_rewrite")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"DisjunctiveJoinRewrite did not fire:\n${p.take(1200)}")
+    assert(count(p, "BroadcastHashJoin") == 2, p.take(1200))
+    assert(p.contains("Union"), p.take(1200))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
