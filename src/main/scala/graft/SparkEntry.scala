@@ -958,6 +958,13 @@ object SparkEntry {
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("v")), 6).as("m"), count(lit(1)).as("n"))
 
+  /** Full Lloyd k-means (k=4, 2 iterations), deterministic seed + 6-dp
+    * centroid snapping — the trained-codebook half of the IVF path. The
+    * oracle replays the identical trajectory (same init, same rounding,
+    * same argmin tie-break) unrolled as SQL. */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame =
+    Ann.kmeansLloyd(t(s, dir, "embeddings"), k = 4, iters = 2)
+
   /** The reference's J2 join written the NATURAL way — one disjunctive
     * OR condition (`load_warehouse.py:215-235`) — relying on the
     * [[graft.plans.DisjunctiveJoinRewrite]] optimizer rule to turn the
@@ -1059,7 +1066,8 @@ object SparkEntry {
     "q72_snapshot_diff" -> (qSnapshotDiff _),
     "q73_unigram_nll" -> (qUnigramLogprob _),
     "q74_centroids" -> (qCentroids _),
-    "q75_or_join_rewrite" -> (qOrJoinRewrite _))
+    "q75_or_join_rewrite" -> (qOrJoinRewrite _),
+    "q76_kmeans" -> (qKmeans _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1625,5 +1633,25 @@ object SparkEntry {
         "FROM (SELECT *, CASE WHEN o_custkey % 7 = 0 THEN NULL " +
         "ELSE o_custkey END AS key_iata FROM orders) o " +
         "LEFT JOIN customer ON key_iata = c_custkey " +
-        "OR (key_iata IS NULL AND o_custkey = c_custkey)"))
+        "OR (key_iata IS NULL AND o_custkey = c_custkey)"),
+    "q76_kmeans" ->
+      // Lloyd unrolled: init = vec_id<4, two assign/update rounds, 6-dp
+      // floor-snap at every boundary (bit-identical trajectory to Spark)
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "c0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 4), " +
+        "d1 AS (SELECT v.vec_id, v.e, c0.cell, list_sum(list_transform(" +
+        "list_zip(v.e, c0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c0), " +
+        "a1 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "m1 AS (SELECT cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a1) GROUP BY 1, 2), " +
+        "c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM m1 GROUP BY 1), " +
+        "d2 AS (SELECT v.vec_id, v.e, c1.cell, list_sum(list_transform(" +
+        "list_zip(v.e, c1.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c1), " +
+        "a2 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d2) WHERE rn = 1) " +
+        "SELECT cell AS cluster, CAST(i AS BIGINT) AS dim, " +
+        "floor(avg(x)*1000000 + 0.5)/1000000 AS m, count(*) AS n " +
+        "FROM (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a2) " +
+        "GROUP BY 1, 2"))
 }

@@ -117,6 +117,60 @@ object Ann {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Lloyd's k-means over the embedding column — the full iterative loop
+    * whose E-step is the q74 centroid pass and whose output is the
+    * trained codebook [[ivfTopK]] probes.
+    *
+    * Scale design: centroids are DRIVER state (k×dim doubles — the same
+    * shape MLlib's KMeans keeps), folded into the plan as literals, so
+    * the assignment step is a zero-shuffle codegen'd projection: an
+    * argmin over k literal-centroid squared-L2 distances, each a fixed
+    * left-to-right `aggregate`/`zip_with` fold. Each iteration's ONLY
+    * exchange is the k×dim map-side-combined partial-avg aggregation
+    * (identical contract to q74); the corpus is never joined, never
+    * re-partitioned, and read once per iteration.
+    *
+    * Determinism: init = the k smallest-id vectors (no RNG); every
+    * centroid component is snapped to `floor(x·1e6 + 0.5)/1e6` at each
+    * iteration boundary, so the whole trajectory — distances, argmin
+    * assignments, next centroids — is bit-reproducible across runs,
+    * partitionings, and engines (the DuckDB oracle replays it exactly);
+    * argmin ties break to the lowest cluster id on both sides.
+    *
+    * Returns the final codebook relationally: (cluster, dim, m, n) with
+    * 1-based dim, n = cluster population. Empty clusters drop out (both
+    * engines agree). */
+  def kmeansLloyd(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters > 0, s"kmeansLloyd: k=$k, iters=$iters")
+    val src = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    var cents: Seq[(Long, Seq[Double])] = src.orderBy(col("__id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    def assigned: DataFrame = {
+      val dists = array(cents.map { case (_, c) =>
+        aggregate(
+          zip_with(col("__v"), typedLit(c), (x, y) => { val d = x - y; d * d }),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      src.withColumn("cluster", element_at(typedLit(cents.map(_._1)),
+        array_position(dists, array_min(dists)).cast("int")))
+    }
+    def mStep(a: DataFrame): DataFrame = a
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(r6(avg(col("x"))).as("m"), count(lit(1)).as("n"))
+    for (_ <- 1 until iters)
+      cents = mStep(assigned)
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster"), transform(col("dm"), s => s.getField("m")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    mStep(assigned)
+  }
+
   /** IVF-style ANN: centroids from a coarse partitioner column (here: any
     * assignment, e.g. a precomputed cluster label); each query probes its
     * `nprobe` nearest centroids' partitions. Returns top-k within the

@@ -26,6 +26,41 @@ class AnnSpec extends SparkSpec {
     assert(rAll == 1.0) // probing every cell = exact search
   }
 
+  test("kmeansLloyd: deterministic, complete codebook, SSE non-increasing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val total = emb.count()
+    def run(iters: Int) = Ann.kmeansLloyd(emb, k = 4, iters = iters)
+
+    val cb = run(2).collect()
+    // complete codebook: every surviving cluster carries all 64 dims,
+    // populations are dim-independent and sum to the corpus size
+    val byCluster = cb.groupBy(_.getLong(0))
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 64L), s"cluster $c")
+      assert(rows.map(_.getLong(3)).distinct.length == 1, s"cluster $c n varies")
+    }
+    assert(byCluster.values.map(_.head.getLong(3)).sum == total)
+    // deterministic end-to-end (driver state + snapping, no RNG)
+    assert(run(2).collect().map(_.toString).sorted.toSeq ==
+      cb.map(_.toString).sorted.toSeq)
+
+    // Lloyd descent: SSE against each run's OWN codebook never increases
+    // with more iterations
+    def sse(iters: Int): Double = {
+      val cents = run(iters).groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cluster"), transform(col("dm"), s => s.getField("m")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      emb.select(col("embedding").cast("array<double>")).collect().map { r =>
+        val v = r.getSeq[Double](0)
+        cents.values.map(c => v.zip(c).map { case (a, b) =>
+          (a - b) * (a - b) }.sum).min
+      }.sum
+    }
+    val s1 = sse(1); val s2 = sse(2); val s3 = sse(3)
+    assert(s2 <= s1 + 1e-6 && s3 <= s2 + 1e-6, s"SSE rose: $s1 / $s2 / $s3")
+  }
+
   test("lshTopK: bucket-restricted, self-excluded, planes=0 ≡ brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)

@@ -122,6 +122,15 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Union"), p.take(1200))
   }
 
+  test("q76: k-means assignment is joinless — literal centroids, one exchange") {
+    val p = plan("q76_kmeans")
+    // the output plan is the final assign+M-step: argmin over literal
+    // centroids (no join anywhere) and the k×dim partial-avg exchange
+    assert(!p.contains("Join"), p.take(1200))
+    assert(p.contains("partial_avg"), p.take(1200))
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1200))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
