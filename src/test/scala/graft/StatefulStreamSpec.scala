@@ -101,6 +101,40 @@ class StatefulStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("hllRunningRegisters: streaming registers ≡ batch sketch on the same prefix") {
+    import graft.ops.Sketch
+    import graft.stream.StreamSketch
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Obs]
+    val out = StreamSketch.hllRunningRegisters(
+      ms.toDF(), Seq("key"), col("value"), b = 4)
+    val q = out.writeStream.format("memory").queryName("hll_sink")
+      .outputMode(OutputMode.Update).start()
+
+    val batch1 = (1 to 40).map(i => Obs(s"g${i % 2}", t("2024-05-09T10:00:00Z"), (i % 13).toDouble))
+    val batch2 = (1 to 40).map(i => Obs(s"g${i % 2}", t("2024-05-09T10:01:00Z"), (i % 29).toDouble))
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // registers are monotone: max over every emitted version per
+    // (key, bucket) reconstructs the current sketch exactly
+    val streamed = spark.table("hll_sink")
+      .groupBy("key", "bucket").agg(max("reg").as("reg"))
+    val batch = Sketch.hllRegisters(
+      (batch1 ++ batch2).toDF(), Seq("key"), col("value"), b = 4)
+    assert(streamed.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+    // and so do the estimates derived from them
+    val se = Sketch.hllEstimate(streamed, Seq("key"), b = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val be = Sketch.hllEstimate(batch, Seq("key"), b = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(se == be && se.nonEmpty)
+  }
+
   test("session_window aggregation on a watermarked stream") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Obs]
