@@ -989,6 +989,38 @@ object SparkEntry {
         col("c_mktsegment").as("segment"))
   }
 
+  /** Small-file compaction planning (the lakehouse OPTIMIZE primitive):
+    * bin-pack files into ~target-byte output groups per table partition.
+    * The documents listing stands in for a file listing (doc_id = file,
+    * n_chars = bytes, lang = partition); the real input at 100 TB is
+    * the metadata listing, ~10^6 rows — the op never touches data. */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame =
+    ops.Layout.compactionBins(
+      t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        col("n_chars")),
+      Seq("lang"), col("n_chars"), col("doc_id"), 4096L)
+
+  /** Winsorization at per-group exact percentiles: the outlier-clipping
+    * pass of a feature pipeline. Bounds = one agg, broadcast back; the
+    * fact stream never shuffles. */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    Analytics.winsorize(t(s, dir, "events"), col("event_type"),
+        col("value"), 0.05, 0.95)
+      .select(col("event_id"), col("event_type"),
+        round(col("clamped"), 4).as("clamped"))
+
+  /** Time-series gap fill: dense daily purchase series per user, last
+    * value carried into empty days (the resample/ffill operator). */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(Analytics.decSum(col("value"), "v"))
+    Analytics.gapFillDaily(obs, col("user_id"), col("d"), col("v"))
+      .select(col("key").as("user_id"), col("day"), col("filled"),
+        col("observed"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1067,7 +1099,10 @@ object SparkEntry {
     "q73_unigram_nll" -> (qUnigramLogprob _),
     "q74_centroids" -> (qCentroids _),
     "q75_or_join_rewrite" -> (qOrJoinRewrite _),
-    "q76_kmeans" -> (qKmeans _))
+    "q76_kmeans" -> (qKmeans _),
+    "q77_compaction" -> (qCompaction _),
+    "q78_winsorize" -> (qWinsorize _),
+    "q79_gap_fill" -> (qGapFill _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1653,5 +1688,28 @@ object SparkEntry {
         "SELECT cell AS cluster, CAST(i AS BIGINT) AS dim, " +
         "floor(avg(x)*1000000 + 0.5)/1000000 AS m, count(*) AS n " +
         "FROM (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a2) " +
-        "GROUP BY 1, 2"))
+        "GROUP BY 1, 2"),
+    "q77_compaction" ->
+      ("WITH c AS (SELECT lang, doc_id, n_chars, " +
+        "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars AS strt " +
+        "FROM documents) " +
+        "SELECT lang, CAST(floor(strt / 4096.0) AS BIGINT) AS bin, " +
+        "count(*) AS n_files, sum(n_chars) AS bytes FROM c GROUP BY 1, 2"),
+    "q78_winsorize" ->
+      ("WITH b AS (SELECT event_type AS g, quantile_cont(value, 0.05) AS lo, " +
+        "quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) " +
+        "SELECT event_id, event_type, " +
+        "round(least(greatest(value, lo), hi), 4) AS clamped " +
+        "FROM events JOIN b ON event_type = g"),
+    "q79_gap_fill" ->
+      ("WITH obs AS (SELECT user_id, date_trunc('day', ts) AS d, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM obs GROUP BY 1), " +
+        "cal AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span), " +
+        "j AS (SELECT c.user_id, c.day, o.v, o.d IS NOT NULL AS observed " +
+        "FROM cal c LEFT JOIN obs o ON c.user_id = o.user_id AND c.day = o.d) " +
+        "SELECT user_id, day, last_value(v IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, " +
+        "observed FROM j"))
 }

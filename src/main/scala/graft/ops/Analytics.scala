@@ -82,6 +82,55 @@ object Analytics {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Winsorization: clamp `measure` to its per-group [`lo`, `hi`] exact
+    * interpolated percentiles — the outlier-clipping step of a feature /
+    * quality-score pipeline. Group bounds are ONE aggregation over the
+    * data (group-count rows out), broadcast back; the corpus itself
+    * passes through a single clamp projection and never shuffles. At
+    * 100 TB swap `percentile` for `approx_percentile` in `boundsAgg`:
+    * identical plan shape, sketch-sized (mergeable) partials instead of
+    * a per-group value buffer. */
+  def winsorize(df: DataFrame, group: Column, measure: Column,
+      lo: Double, hi: Double): DataFrame = {
+    val bounds = df.groupBy(group.as("__g"))
+      .agg(percentile(measure, lit(lo)).as("__lo"),
+        percentile(measure, lit(hi)).as("__hi"))
+    df.join(broadcast(bounds), group <=> col("__g"))
+      .withColumn("clamped",
+        least(greatest(measure, col("__lo")), col("__hi")))
+      .drop("__g", "__lo", "__hi")
+  }
+
+  /** Time-series gap fill: materialize every `1 day` bucket between each
+    * key's first and last observation and carry the last value forward
+    * into the empty buckets — the resample/ffill step that turns an
+    * event stream into an equally-spaced series (the reference's daily
+    * on-time trend has silent holes on empty days).
+    *
+    * `observed` must be one row per (key, day). Scale shape: the span
+    * agg is map-side combined (one row per key); the calendar explode
+    * emits key×span rows — bounded by the time horizon, not the event
+    * count; the join back to observations shuffles on (key, day) once;
+    * the carry-forward is one per-key window sort, same cost class as
+    * sessionize. No driver loops, no global sort. */
+  def gapFillDaily(observed: DataFrame, key: Column, day: Column,
+      measure: Column): DataFrame = {
+    val span = observed.groupBy(key.as("__k"))
+      .agg(min(day).as("__min_d"), max(day).as("__max_d"))
+    val cal = span.select(col("__k"),
+      explode(sequence(col("__min_d"), col("__max_d"),
+        expr("INTERVAL 1 DAY"))).as("__d"))
+    val obs = observed.select(key.as("__ok"), day.as("__od"),
+      measure.as("__m"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cal.join(obs, col("__k") === col("__ok") && col("__d") === col("__od"),
+        "left")
+      .select(col("__k").as("key"), col("__d").as("day"),
+        last(col("__m"), ignoreNulls = true).over(w).as("filled"),
+        col("__od").isNotNull.as("observed"))
+  }
+
   /** Sessionization: split each user's event stream at gaps > `gapSec`,
     * aggregate per session. Integer microsecond arithmetic end-to-end
     * (exact, oracle-comparable). One shuffle on user, one window sort. */

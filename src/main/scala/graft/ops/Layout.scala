@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering keys.
@@ -45,5 +46,32 @@ object Layout {
       numFiles: Int): DataFrame = {
     val z = zOrderKey(x, y)
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+  }
+
+  /** Small-file compaction planner (the lakehouse OPTIMIZE primitive):
+    * assign files to ~`targetBytes` output bins by a running byte sum.
+    *
+    * The streaming side of the reference lands a micro-batch of rows
+    * every trigger (/root/reference/apps/spark_app/flight_stream.py:
+    * 335-341) — on a lake that is the classic small-file problem, and
+    * compaction is the maintenance op that keeps scan task counts sane
+    * at 100 TB. This operator plans the rewrite over file METADATA
+    * (listing-sized: ~10^6 rows for a 100 TB table, kilobytes per row),
+    * never the data. The window partitions by the table's partition
+    * columns — files of different partitions never share an output
+    * bin, so each partition's running sum is independent and the plan
+    * parallelizes across partitions; no global sort exists. A file
+    * spanning a bin boundary belongs to the bin its first byte falls
+    * in, so every bin except a partition's last carries at least
+    * `targetBytes − maxFileSize` bytes. Deterministic in `ord` —
+    * replays and retries plan identical bins. */
+  def compactionBins(files: DataFrame, partCols: Seq[String], size: Column,
+      ord: Column, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(ord)
+    files
+      .withColumn("__start", sum(size).over(w) - size)
+      .groupBy(partCols.map(col) :+
+        floor(col("__start") / lit(targetBytes.toDouble)).as("bin"): _*)
+      .agg(count(lit(1)).as("n_files"), sum(size).as("bytes"))
   }
 }
