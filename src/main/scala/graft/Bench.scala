@@ -22,7 +22,12 @@ object Bench {
     // this host's memory reclaim adds multi-second stalls at random —
     // one repeat is not enough for a stable minimum. Failures report -1.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter, same contract as Verify's: unset = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         // drop persisted intermediates between runs: queries that
         // persist() (q22/q46) would otherwise cache-hit the previous

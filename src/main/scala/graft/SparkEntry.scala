@@ -681,10 +681,13 @@ object SparkEntry {
     * safe; the fp count is deterministic (md5 bits). */
   private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
-    val bits = ops.Sketch.bloomBits(
+    // mask form: the whole filter is ONE broadcast row and the k-probe
+    // test is a codegen'd filter — the build subplan runs once (the
+    // bits/semi-join form re-executed it per chained join)
+    val mask = ops.Sketch.bloomMask(
       t(s, dir, "orders").select(col("o_custkey")).distinct(),
       col("o_custkey"), bits = 4096, k = 3)
-    val pass = ops.Sketch.bloomPrune(cust, col("c_custkey"), bits, 4096, 3)
+    val pass = ops.Sketch.bloomPruneMask(cust, col("c_custkey"), mask, 4096, 3)
     val trueMatch = cust.join(t(s, dir, "orders"),
       col("c_custkey") === col("o_custkey"), "left_semi")
     pass.agg(count(lit(1)).as("n_pass")).crossJoin(
@@ -730,8 +733,14 @@ object SparkEntry {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+    // filter the RAW row_number, cast after: InferWindowGroupLimit only
+    // recognizes a rank-attribute comparison, and a cast in between
+    // would drop the partial top-k pushdown (every doc's full term list
+    // would cross the window exchange)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .withColumn("rank", col("__rn").cast("long"))
+      .drop("__rn")
   }
 
   /** Incremental aggregate maintenance: per-day partial aggregates

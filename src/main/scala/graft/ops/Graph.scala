@@ -104,7 +104,11 @@ object Graph {
       }
       x
     }
-    e.select($"u", $"v").toLocalIterator().forEachRemaining { r =>
+    // collect(), not toLocalIterator(): the remainder is measured ≤ the
+    // cutoff (≤ ~16 MB), and toLocalIterator fetches partitions as one
+    // sequential job EACH — dozens of scheduler round-trips for a
+    // driver-sized edge set. One job, one fetch.
+    e.select($"u", $"v").collect().foreach { r =>
       val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
       if (ru != rv) { // root at the smaller id: comp = component min
         if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)

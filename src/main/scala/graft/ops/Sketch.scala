@@ -67,6 +67,42 @@ object Sketch {
         cmBucket(i, item, bits) === col("bit"), "left_semi")
     }
 
+  /** The same bloom filter packed into ONE row holding `bits/64` longs —
+    * the broadcast-scalar form of [[bloomBits]]: membership becomes a
+    * codegen'd bitwise test against a single broadcast row instead of
+    * `k` semi-joins (k× fewer join operators, and the build subplan
+    * executes once, not per join). Identical set-bit positions. */
+  def bloomMask(build: DataFrame, item: Column, bits: Int, k: Int): DataFrame = {
+    require(bits % 64 == 0, s"bloomMask: bits=$bits must be a multiple of 64")
+    val words = bloomBits(build, item, bits, k)
+      .groupBy((col("bit") / 64).cast("int").as("word"))
+      .agg(call_function("bit_or",
+        call_function("shiftleft", lit(1L), (col("bit") % 64).cast("int")))
+        .as("w"))
+    // dense word array (absent word = 0), one row total
+    words
+      .agg(map_from_arrays(collect_list(col("word")), collect_list(col("w")))
+        .as("m"))
+      .select(transform(sequence(lit(1), lit(bits / 64)),
+        i => coalesce(element_at(col("m"), i - 1), lit(0L))).as("mask"))
+  }
+
+  /** [[bloomPrune]] against a [[bloomMask]] single-row filter: the mask
+    * broadcasts once and the whole k-probe membership test stays inside
+    * one codegen'd filter — no joins on the probe path at all. */
+  def bloomPruneMask(probe: DataFrame, item: Column, maskDf: DataFrame,
+      bits: Int, k: Int): DataFrame = {
+    val pred = (0 until k).map { i =>
+      val b = cmBucket(i, item, bits)
+      element_at(col("__mask"), (b / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (b % 64).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    probe.crossJoin(broadcast(maskDf.select(col("mask").as("__mask"))))
+      .filter(pred)
+      .drop("__mask")
+  }
+
   /** HyperLogLog in the same relational style: per group the sketch is
     * ≤ `m` (bucket, reg) rows — one map-side-combined `max` aggregation
     * over the item stream. Merging shard sketches is

@@ -236,6 +236,11 @@ class TextOpsSpec extends SparkSpec {
       .join(build.withColumnRenamed("k", "bk"), col("k") === col("bk"), "left_semi")
       .collect().map(_.getLong(0)).toSet
     assert(prunedJoin == truth)
+    // packed single-row mask form ≡ the bit-set semi-join form, exactly
+    val mask = Sketch.bloomMask(build, col("k"), 1024, 3)
+    val passMask = Sketch.bloomPruneMask(probe, col("k"), mask, 1024, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(passMask == pass)
   }
 
   test("Pii.scrub is idempotent: placeholders never re-match any rule") {
