@@ -1030,6 +1030,22 @@ object SparkEntry {
         col("observed"))
   }
 
+  /** The `flight_events` DataSourceV2 connector under the oracle gate:
+    * read the synthesized topic (batch), parse with the pipeline's
+    * explicit schema, aggregate. The payload is a pure function of the
+    * row index, so the oracle REPLAYS the topic from `generate_series`
+    * — source, JSON parse, and aggregation verified end-to-end against
+    * an independent engine. */
+  private def qSourceTopic(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.format("flight_events")
+      .option("rows", 20000L).option("partitions", 32).load()
+    stream.FlightStream.parse(raw.select(col("json")))
+      .groupBy(col("flight_date"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(split(col("flight_key"), "_").getItem(0)).as("n_users"),
+        round(avg(col("dep_delay_min")), 4).as("avg_delay"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1111,7 +1127,8 @@ object SparkEntry {
     "q76_kmeans" -> (qKmeans _),
     "q77_compaction" -> (qCompaction _),
     "q78_winsorize" -> (qWinsorize _),
-    "q79_gap_fill" -> (qGapFill _))
+    "q79_gap_fill" -> (qGapFill _),
+    "q80_source_topic" -> (qSourceTopic _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1720,5 +1737,14 @@ object SparkEntry {
         "FROM cal c LEFT JOIN obs o ON c.user_id = o.user_id AND c.day = o.d) " +
         "SELECT user_id, day, last_value(v IGNORE NULLS) OVER " +
         "(PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, " +
-        "observed FROM j"))
+        "observed FROM j"),
+    "q80_source_topic" ->
+      ("WITH idx AS (SELECT unnest(generate_series(0, 19999)) AS i), " +
+        "e AS (SELECT i, " +
+        "CASE WHEN i % 5 = 0 THEN 'cancelled' ELSE 'active' END AS status, " +
+        "strftime(make_timestamp((1700000000 + i * 60) * 1000000), '%Y-%m-%d') AS flight_date, " +
+        "CAST(i % 150 AS VARCHAR) AS u, i % 30 AS delay FROM idx) " +
+        "SELECT flight_date, status, count(*) AS n, " +
+        "count(DISTINCT u) AS n_users, round(avg(delay), 4) AS avg_delay " +
+        "FROM e GROUP BY 1, 2"))
 }

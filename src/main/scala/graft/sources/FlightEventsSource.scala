@@ -1,0 +1,193 @@
+package graft.sources
+
+import java.util
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `flight_events` — a native DataSourceV2 connector that synthesizes the
+  * reference producer's flight-event topic
+  * (/root/reference/apps/producer/run_producer.py:59-131: REST poll →
+  * JSON records → Kafka) inside the engine, batch and micro-batch.
+  *
+  * Records mirror a Kafka topic row: `(event_id, ts, json)`, where `json`
+  * is the producer's event payload (the [[graft.schema.FlightSchemas
+  * .eventSchema]] shape that [[graft.stream.FlightStream.parse]]
+  * consumes). Generation is a pure function of the row index — no RNG, no
+  * clock — so any range of the topic is bit-identical across reads,
+  * executors, retries, and engines: the same determinism contract as the
+  * rest of the library.
+  *
+  * Scale design:
+  * - batch reads split the row range into `partitions` independent
+  *   [[InputPartition]]s — parallelism is declared to Spark, not
+  *   simulated; each task generates exactly its slice;
+  * - column pruning is pushed into the source
+  *   ([[SupportsPushDownRequiredColumns]]): a query that never touches
+  *   `json` (the fat column — ~700 bytes/row) skips JSON synthesis
+  *   entirely, the v2 analog of parquet's ReadSchema pruning;
+  * - the micro-batch stream advances a row-count offset by
+  *   `rowsPerBatch` per trigger — bounded, replayable batches keyed by
+  *   (start, end] offsets, the exactly-once contract Structured
+  *   Streaming expects from a source (same offset range ⇒ same rows).
+  *
+  * Options: `rows` (total, default 1000), `partitions` (batch split,
+  * default 8), `rowsPerBatch` (streaming, default 100),
+  * `startTs` (epoch seconds of event 0, default 1700000000),
+  * `stepSec` (event-time spacing, default 60 — the reference's poll
+  * interval, run_producer.py:163-165).
+  */
+object FlightSynth {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+
+  private val fmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(ZoneOffset.UTC)
+  private val dayFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+
+  def tsMicros(i: Long, startTs: Long, stepSec: Long): Long =
+    (startTs + i * stepSec) * 1000000L
+
+  /** The producer's JSON payload for event `i` — field-for-field the
+    * shape `FlightStream.parse` expects. Deterministic in `i`. */
+  def json(i: Long, startTs: Long, stepSec: Long): String = {
+    val sec = startTs + i * stepSec
+    val t = Instant.ofEpochSecond(sec)
+    val iso = fmt.format(t)
+    val isoArr = fmt.format(t.plusSeconds(7200))
+    val status = if (i % 5 == 0) "cancelled" else "active"
+    val user = i % 150
+    s"""{"flight_key":"${user}_$i","flight_date":"${dayFmt.format(t)}",""" +
+      s""""status":"$status",""" +
+      s""""airline":{"iata":"AA","icao":"AAL","name":"American"},""" +
+      s""""flight":{"number":"AA$i","iata":null,"icao":null},""" +
+      s""""departure":{"airport":"Origin Intl","iata":"ORG","icao":"KORG",""" +
+      s""""gate":"1","terminal":"A","schedule":"${iso}Z","estimated":null,""" +
+      s""""actual":null,"delay_min":${i % 30}},""" +
+      s""""arrival":{"airport":"Dest Intl","iata":"DST","icao":"KDST",""" +
+      s""""gate":null,"terminal":"B","schedule":"$isoArr+00:00",""" +
+      s""""estimated":null,"actual":null,"delay_min":null},""" +
+      s""""ingest_time":"$iso","source":"synthetic"}"""
+  }
+}
+
+class FlightEventsProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "flight_events"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FlightSynth.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FlightEventsTable
+}
+
+class FlightEventsTable extends Table with SupportsRead {
+  override def name(): String = "flight_events"
+  override def schema(): StructType = FlightSynth.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FlightScanBuilder(options)
+}
+
+class FlightScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = FlightSynth.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // the engine passes a subset of schema() in source field order
+    required = requiredSchema
+  override def build(): Scan = new FlightScan(
+    rows = options.getLong("rows", 1000L),
+    partitions = options.getInt("partitions", 8),
+    rowsPerBatch = options.getLong("rowsPerBatch", 100L),
+    startTs = options.getLong("startTs", 1700000000L),
+    stepSec = options.getLong("stepSec", 60L),
+    required = required)
+}
+
+case class FlightRange(start: Long, end: Long) extends InputPartition
+
+class FlightScan(rows: Long, partitions: Int, rowsPerBatch: Long,
+    startTs: Long, stepSec: Long, required: StructType) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"flight_events rows=$rows cols=${required.fieldNames.mkString(",")}"
+
+  private def factory = new FlightReaderFactory(required, startTs, stepSec)
+
+  private def split(start: Long, end: Long, n: Int): Array[InputPartition] = {
+    val total = end - start
+    if (total <= 0) Array.empty
+    else (0 until n).flatMap { p =>
+      val lo = start + total * p / n
+      val hi = start + total * (p + 1) / n
+      if (hi > lo) Some(FlightRange(lo, hi)) else None
+    }.toArray
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      split(0L, rows, partitions)
+    override def createReaderFactory(): PartitionReaderFactory = factory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      // row-count offsets: each trigger exposes the next `rowsPerBatch`
+      // slice; a (start, end] range always re-plans the same rows, so
+      // replay after failure is exact
+      @volatile private var available = 0L
+      override def initialOffset(): Offset = FlightOffset(0L)
+      override def latestOffset(): Offset = {
+        available = math.min(rows, available + rowsPerBatch)
+        FlightOffset(available)
+      }
+      override def deserializeOffset(json: String): Offset =
+        FlightOffset(json.trim.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        split(start.asInstanceOf[FlightOffset].n,
+          end.asInstanceOf[FlightOffset].n, partitions)
+      override def createReaderFactory(): PartitionReaderFactory = factory
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+}
+
+case class FlightOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class FlightReaderFactory(required: StructType, startTs: Long, stepSec: Long)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val FlightRange(start, end) = partition.asInstanceOf[FlightRange]
+    // resolve the projection ONCE per partition, not per row
+    val gens: Array[Long => Any] = required.fieldNames.map {
+      case "event_id" => (i: Long) => i
+      case "ts" => (i: Long) => FlightSynth.tsMicros(i, startTs, stepSec)
+      case "json" =>
+        (i: Long) => UTF8String.fromString(FlightSynth.json(i, startTs, stepSec))
+      case other => throw new IllegalArgumentException(
+        s"flight_events: unknown column '$other'")
+    }
+    new PartitionReader[InternalRow] {
+      private var i = start - 1
+      override def next(): Boolean = { i += 1; i < end }
+      override def get(): InternalRow =
+        new GenericInternalRow(gens.map(g => g(i)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.FlightStream
+
+/** The `flight_events` DataSourceV2 connector: schema, determinism,
+  * partition split, pushed column pruning, micro-batch streaming, and
+  * the json-column contract with the parse pipeline. */
+class FlightSourceSpec extends SparkSpec {
+
+  private def read(rows: Long, parts: Int = 4) =
+    spark.read.format("flight_events")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("batch read: row count, schema, and range-split partitions") {
+    val df = read(1000, 7)
+    assert(df.schema.fieldNames.toSeq == Seq("event_id", "ts", "json"))
+    assert(df.count() == 1000)
+    // every id exactly once: the 7-way split covers [0, rows) disjointly
+    assert(df.agg(countDistinct(col("event_id")).as("n"),
+      min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .head().toSeq == Seq(1000L, 0L, 999L))
+    assert(df.rdd.getNumPartitions == 7)
+  }
+
+  test("generation is a pure function of the index: re-reads identical") {
+    val a = read(500).collect().map(_.toString).sorted
+    val b = read(500, 2).collect().map(_.toString).sorted
+    assert(a.sameElements(b)) // partition count cannot change content
+  }
+
+  test("column pruning pushes into the source (no json synthesis)") {
+    val df = read(100).select(col("event_id"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.readSchema().fieldNames.toSeq == Seq("event_id"))
+  }
+
+  test("json payload parses under the pipeline's event schema, no nulls") {
+    val parsed = FlightStream.parse(read(200).select(col("json")))
+    assert(parsed.count() == 200)
+    // parse failures would surface as all-null structs
+    assert(parsed.filter(col("flight_key").isNull).count() == 0)
+    assert(parsed.filter(col("status").isNull).count() == 0)
+    // the synthesized event times are the declared 60s apart
+    val d = parsed.select(countDistinct(col("flight_date")).as("n")).head()
+    assert(d.getLong(0) >= 1)
+  }
+
+  test("micro-batch stream: bounded offsets drain exactly the topic") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("flight_src_ckpt").toString
+    val q = spark.readStream.format("flight_events")
+      .option("rows", 250).option("rowsPerBatch", 100)
+      .load()
+      .writeStream.format("memory").queryName("flight_topic")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // 3 triggers: 100 + 100 + 50, then latestOffset stays at 250
+      val deadline = System.currentTimeMillis() + 60000
+      def n(): Long = spark.table("flight_topic").count()
+      while (n() < 250 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(n() == 250)
+      val ids = spark.table("flight_topic")
+        .agg(countDistinct(col("event_id"))).head().getLong(0)
+      assert(ids == 250) // offset ranges replay disjoint slices
+    } finally q.stop()
+  }
+}
