@@ -1046,6 +1046,22 @@ object SparkEntry {
         round(avg(col("dep_delay_min")), 4).as("avg_delay"))
   }
 
+  /** The ENTIRE ingest path — explicit-schema JSON parse, 6-step
+    * timestamp normalization, status/retention/junk filters, 28-column
+    * staging projection — under the hash gate: fed from the
+    * `flight_events` topic, whose payload the oracle replays row-for-row
+    * from `generate_series`. This is the full-pipeline correctness
+    * check q28 (rows-only, Spark-synthesized input) could not have. */
+  private def qIngestOracle(s: SparkSession, dir: String): DataFrame = {
+    val rows = 20000L
+    val raw = s.read.format("flight_events")
+      .option("rows", rows).option("partitions", 32).load()
+    // the reference takes `now` once per cycle; here: the topic's last
+    // event time, a pure function of the topic length
+    val now = lit(1700000000L + (rows - 1) * 60L).cast("timestamp")
+    stream.FlightStream.pipeline(raw.select(col("json")), now)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1128,7 +1144,8 @@ object SparkEntry {
     "q77_compaction" -> (qCompaction _),
     "q78_winsorize" -> (qWinsorize _),
     "q79_gap_fill" -> (qGapFill _),
-    "q80_source_topic" -> (qSourceTopic _))
+    "q80_source_topic" -> (qSourceTopic _),
+    "q81_ingest_oracle" -> (qIngestOracle _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1746,5 +1763,28 @@ object SparkEntry {
         "CAST(i % 150 AS VARCHAR) AS u, i % 30 AS delay FROM idx) " +
         "SELECT flight_date, status, count(*) AS n, " +
         "count(DISTINCT u) AS n_users, round(avg(delay), 4) AS avg_delay " +
-        "FROM e GROUP BY 1, 2"))
+        "FROM e GROUP BY 1, 2"),
+    "q81_ingest_oracle" ->
+      ("WITH idx AS (SELECT unnest(generate_series(0, 19999)) AS i), " +
+        "e AS (SELECT i, make_timestamp((1700000000 + i * 60) * 1000000) AS t " +
+        "FROM idx WHERE i % 5 <> 0), " + // cancelled not in the allow-list
+        "f AS (SELECT * FROM e WHERE " +
+        "t >= make_timestamp(1701199940 * CAST(1000000 AS BIGINT)) - INTERVAL 3 DAY " +
+        "OR t + INTERVAL 2 HOUR >= make_timestamp(1701199940 * CAST(1000000 AS BIGINT)) - INTERVAL 3 DAY) " +
+        "SELECT (i % 150) || '_' || i AS flight_key, " +
+        "CAST(t AS DATE) AS flight_date, 'active' AS status, " +
+        "t AS ingest_time, 'AA' || i AS flight_number, " +
+        "CAST(NULL AS VARCHAR) AS flight_iata, CAST(NULL AS VARCHAR) AS flight_icao, " +
+        "'AA' AS airline_iata, 'AAL' AS airline_icao, 'American' AS airline_name, " +
+        "'Origin Intl' AS dep_airport, 'ORG' AS dep_airport_iata, " +
+        "'KORG' AS dep_airport_icao, 'A' AS dep_terminal, '1' AS dep_gate, " +
+        "t AS dep_scheduled, CAST(NULL AS TIMESTAMP) AS dep_estimated, " +
+        "CAST(NULL AS TIMESTAMP) AS dep_actual, CAST(i % 30 AS DOUBLE) AS dep_delay_min, " +
+        "'Dest Intl' AS arr_airport, 'DST' AS arr_airport_iata, " +
+        "'KDST' AS arr_airport_icao, 'B' AS arr_terminal, " +
+        "CAST(NULL AS VARCHAR) AS arr_gate, " +
+        "t + INTERVAL 2 HOUR AS arr_scheduled, " +
+        "CAST(NULL AS TIMESTAMP) AS arr_estimated, " +
+        "CAST(NULL AS TIMESTAMP) AS arr_actual, " +
+        "CAST(NULL AS DOUBLE) AS arr_delay_min FROM f"))
 }
