@@ -75,4 +75,31 @@ class FlightSourceSpec extends SparkSpec {
       assert(ids == 250) // offset ranges replay disjoint slices
     } finally q.stop()
   }
+
+  test("end to end: streaming source → parse/filter pipeline → staging sink") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("flight_e2e_out").toString
+    val ckpt = Files.createTempDirectory("flight_e2e_ckpt").toString
+    val raw = spark.readStream.format("flight_events")
+      .option("rows", 300).option("rowsPerBatch", 150)
+      .load()
+    // now = last event time of the bounded topic (300 rows, 60s apart)
+    val now = lit(1700000000L + 299L * 60L).cast("timestamp")
+    val staged = FlightStream.pipeline(raw.select(col("json")), now)
+    val q = FlightStream.startStagingSink(staged, out, ckpt)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def n(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      // 300 events span 5h => all inside the 3-day window; cancelled
+      // (every 5th) dropped by the status filter: 240 staging rows
+      while (n() < 240 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(n() == 240)
+      val st = spark.read.parquet(out)
+      assert(st.columns.toSeq == graft.schema.FlightSchemas.stagingColumns)
+      assert(st.filter(col("status") =!= "active").count() == 0)
+      assert(st.filter(col("dep_scheduled").isNull).count() == 0)
+    } finally q.stop()
+  }
 }
