@@ -26,6 +26,40 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("2024-05-09"))
   }
 
+  test("join-driven dynamic partition pruning reaches the fact scan") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp-test").toString + "/fact"
+    // 10 date partitions × 50 rows
+    (0 until 500).map(i => (f"2024-05-${i % 10 + 1}%02d", i.toLong))
+      .toDF("d", "v").write.partitionBy("d").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP requires a SELECTIVE predicate on the pruning side — a bare
+    // table never prunes. The dim must be storage-backed: a literal
+    // local table constant-folds the filter away (ConvertToLocalRelation)
+    // and with it the selectivity evidence.
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp-dim").toString
+    Seq(("2024-05-03", "keep"), ("2024-05-04", "drop"))
+      .toDF("dd", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    // force the decision path that matters: DPP must come from the JOIN,
+    // not from column stats this tiny test lacks
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      val j = fact.join(dim, col("d") === col("dd"))
+      val scan = j.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("PartitionFilters")).getOrElse("")
+      // the fact scan's partition filter is a runtime subquery on the
+      // dim side — only the joined date's files are ever read
+      assert(scan.contains("dynamicpruning"), scan)
+      assert(j.count() == 50)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
   test("clusterByZ: every output file is a tight rectangle in BOTH keys") {
     import graft.ops.Layout
     // 64×64 uniform grid → 16 z-range files; with a plain x-sort each
