@@ -103,13 +103,19 @@ class FlightEventsTable extends Table with SupportsRead {
 }
 
 class FlightScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = FlightSynth.schema
+  private var limit: Long = Long.MaxValue
   override def pruneColumns(requiredSchema: StructType): Unit =
     // the engine passes a subset of schema() in source field order
     required = requiredSchema
+  // LIMIT n caps generation itself: the topic is ordered by event_id, so
+  // the first n rows ARE the limit's result (fully, not partially, pushed)
+  override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
+  override def isPartiallyPushed: Boolean = false
   override def build(): Scan = new FlightScan(
-    rows = options.getLong("rows", 1000L),
+    rows = math.min(options.getLong("rows", 1000L), limit),
     partitions = options.getInt("partitions", 8),
     rowsPerBatch = options.getLong("rowsPerBatch", 100L),
     startTs = options.getLong("startTs", 1700000000L),
@@ -120,10 +126,25 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
 case class FlightRange(start: Long, end: Long) extends InputPartition
 
 class FlightScan(rows: Long, partitions: Int, rowsPerBatch: Long,
-    startTs: Long, stepSec: Long, required: StructType) extends Scan {
+    startTs: Long, stepSec: Long, required: StructType)
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"flight_events rows=$rows cols=${required.fieldNames.mkString(",")}"
+
+  /** Exact statistics (the generator knows its own cardinality) — feeds
+    * DataSourceV2Relation.computeStats, so join planning broadcasts a
+    * small topic WITHOUT a hint, the way parquet's size metadata does. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val width = required.fieldNames.map {
+      case "json" => 700L // measured payload width
+      case _ => 8L
+    }.sum.max(8L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * width)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   private def factory = new FlightReaderFactory(required, startTs, stepSec)
 

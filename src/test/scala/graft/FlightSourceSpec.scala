@@ -42,6 +42,28 @@ class FlightSourceSpec extends SparkSpec {
     assert(scans.head.readSchema().fieldNames.toSeq == Seq("event_id"))
   }
 
+  test("limit pushdown caps generation at the source") {
+    val df = read(1000000, 8).limit(5)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    // the scan itself now generates 5 rows, not a million then a limit
+    assert(scans.head.description().contains("rows=5"), scans.head.description())
+    assert(df.count() == 5)
+  }
+
+  test("reported statistics drive broadcast join planning without a hint") {
+    val small = read(50).select(col("event_id").as("sid"), col("ts"))
+    val big = spark.read
+      .parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("event_id"))
+    val plan = big.join(small, col("event_id") === col("sid"))
+      .queryExecution.executedPlan.toString
+    // exact v2 statistics (rows × width) put the topic side under the
+    // broadcast threshold — no broadcast() hint anywhere
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("json payload parses under the pipeline's event schema, no nulls") {
     val parsed = FlightStream.parse(read(200).select(col("json")))
     assert(parsed.count() == 200)
