@@ -308,6 +308,26 @@ class TextOpsSpec extends SparkSpec {
     assert(alt.map(_.getLong(2)).toSeq == packed.map(_.getLong(2)).toSeq)
   }
 
+  test("slidingChunks: overlap = ctx-stride, full coverage, short-doc tail") {
+    val d = Seq((1L, 300L), (2L, 64L), (3L, 65L), (4L, 0L)).toDF("doc_id", "n")
+    val out = graft.ops.Packing
+      .slidingChunks(d, col("doc_id"), col("n"), ctxTokens = 128L, stride = 64L)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 (300): starts 0,64,128,192,256 — consecutive chunks share 64
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 64L, 128L, 192L, 256L))
+    assert(d1.forall { case (_, i, s, e) => s == i * 64 && e == math.min(s + 128, 300L) })
+    // coverage: every token position falls inside >= 1 chunk
+    assert(d1.sliding(2).forall { case Array(a, b) => b._3 < a._4; case _ => true })
+    // one-chunk docs: 64 tokens -> one [0,64) chunk; 65 -> [0,65) + [64,65)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 64L)))
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 0L, 65L), (3L, 1L, 64L, 65L)))
+    // empty docs vanish
+    assert(!out.exists(_._1 == 4L))
+  }
+
   test("encodeTokens: in-vocab ids, OOV -1, positions preserved") {
     val d = Seq((1L, "a b zzz a")).toDF("doc_id", "text")
     val vocab = Seq(("a", 0L), ("b", 1L)).toDF("token", "token_id")
