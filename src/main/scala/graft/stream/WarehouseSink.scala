@@ -74,6 +74,33 @@ class WarehouseSink(spark: SparkSession, baseDir: String) {
     }
   }
 
+  /** Retention vacuum — the third lakehouse maintenance primitive next
+    * to compaction ([[graft.ops.Layout.compactionBins]]) and clustering
+    * ([[graft.ops.Layout.clusterByZ]]): delete all but the newest
+    * `keep` COMMITTED versions. The newest `keep` are always retained
+    * (readers may hold any of them); uncommitted (torn) directories
+    * older than the newest committed version are dead by construction —
+    * no reader ever saw them — and are swept too. Returns the deleted
+    * version numbers. */
+  def vacuum(keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, s"vacuum: keep=$keep must be >= 1")
+    val f = fs()
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    if (!f.exists(path)) return Seq.empty
+    val versions = f.listStatus(path).iterator.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }.toSeq
+    def committed(v: Long) =
+      f.exists(new org.apache.hadoop.fs.Path(s"$baseDir/v$v/_COMMITTED"))
+    val live = versions.filter(committed).sorted.takeRight(keep).toSet
+    val newestCommitted = if (live.isEmpty) 0L else live.max
+    val dead = versions.filterNot(live).filter(v =>
+      committed(v) || v < newestCommitted).sorted
+    dead.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$baseDir/v$v"), true)
+    }
+    dead
+  }
+
   /** Start the loader: `staged` is the staging-projection stream
     * ([[FlightStream.pipeline]] output shape).
     *

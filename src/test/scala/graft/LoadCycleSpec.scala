@@ -206,6 +206,38 @@ class LoadCycleSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/wh/v1/fact").count() == 1) // v1 untouched
   }
 
+  test("WarehouseSink.vacuum: keeps newest K committed, sweeps old + dead torn dirs") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("whvac").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val sink = new graft.stream.WarehouseSink(spark, s"$dir/wh")
+    val q = sink.start(stage0(ms.toDF().withColumnRenamed("value", "json")),
+      s"$dir/cp")
+    // three cycles → v1..v3 committed
+    (1 to 3).foreach { i =>
+      ms.addData(event(s"v_k$i", ingest = f"2024-05-09T1$i%d:00:00Z"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // a torn dir OLDER than the newest committed version: dead, sweepable
+    new java.io.File(s"$dir/wh/v2a").mkdirs() // non-matching name ignored
+    val torn = new java.io.File(s"$dir/wh/v2/fact_torn"); torn.mkdirs()
+    new java.io.File(s"$dir/wh/v2/_COMMITTED").delete() // v2 now "torn"
+
+    val deleted = sink.vacuum(keep = 2)
+    // keep = {v3, v1? no: newest 2 COMMITTED = v3, v1} — v2 lost its
+    // marker, so committed = {1, 3}; both retained, v2 swept as dead torn
+    assert(deleted == Seq(2L))
+    assert(!new java.io.File(s"$dir/wh/v2").exists)
+    assert(new java.io.File(s"$dir/wh/v1/_COMMITTED").exists)
+    assert(new java.io.File(s"$dir/wh/v3/_COMMITTED").exists)
+    // now retire v1 too
+    assert(sink.vacuum(keep = 1) == Seq(1L))
+    assert(!new java.io.File(s"$dir/wh/v1").exists)
+    // the current warehouse (v3) still reads
+    assert(spark.read.parquet(s"$dir/wh/v3/fact").count() == 3)
+  }
+
   test("incremental export drains the curated view by last_updated (§3.3)") {
     val staging = stage(Seq(
       event("x_k1", ingest = "2024-05-09T10:30:00Z"),
