@@ -1768,6 +1768,14 @@ object SparkEntry {
         "CAST(NULL AS TIMESTAMP) AS arr_estimated, " +
         "CAST(NULL AS TIMESTAMP) AS arr_actual, " +
         "CAST(NULL AS DOUBLE) AS arr_delay_min FROM f"),
+    "q34_media_features" ->
+      // the stub decoder is md5-derived, so the oracle replays the whole
+      // decode: media = utf-8 payload, feature j = md5(j || '|' || bytes)
+      ("WITH j AS (SELECT unnest(generate_series(0, 7)) AS feat_idx), " +
+        "d AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents) " +
+        "SELECT doc_id, n_bytes, n_bytes % 640 AS width, n_bytes % 480 AS height, " +
+        "feat_idx, round((CAST(('0x' || substr(md5(feat_idx || '|' || text), 1, 8)) AS BIGINT) % 1000) / 1000.0, 4) AS feat_val " +
+        "FROM d CROSS JOIN j"),
     "q82_sliding_chunks" ->
       ("WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents), " +
         "c AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 64)) AS chunk_start " +

@@ -45,18 +45,22 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stand-in for a real decoder: cheap rolling hash of the
-    * byte stream folded into `dim` float buckets. */
+  /** Deterministic stand-in for a real decoder: feature `j` is an
+    * md5-derived bucket of the payload — the library's one shared
+    * hashing vocabulary (see `Sampling.hashBucket`), so the fake is
+    * replayable by ANY engine with md5 and q34 sits under the full
+    * DuckDB oracle instead of a rows-only check. (The previous
+    * rolling-hash fake leaned on Java wraparound arithmetic no SQL
+    * engine reproduces.) */
   def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Long](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) {
-      h = 31L * h + bytes(i)
-      acc(i % dim) ^= h
-      i += 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { j =>
+      md.reset()
+      md.update(s"$j|".getBytes("UTF-8"))
+      md.update(bytes)
+      val hex = md.digest().take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 1000L) / 1000.0f
     }
-    acc.map(v => (v % 1000L) / 1000.0f)
   }
 
   /** Batched per-partition inference shape: rows are grouped into
