@@ -90,6 +90,37 @@ class ScaleSpec extends SparkSpec {
     assert(tight * 4 >= spans.length * 3, s"only $tight/${spans.length} tight")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // one hot key (80% of rows) in a forced sort-merge join; thresholds
+    // lowered so the test's KBs register as "skew" — the mechanism under
+    // test is the plan surgery, not the absolute sizes
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = (1 to 40000)
+        .map(i => (if (i % 5 != 0) 7L else i.toLong, s"payload_$i"))
+        .toDF("k", "v")
+      val dim = (1 to 40000).map(_.toLong).toDF("k").withColumn("tag",
+        concat(lit("t"), col("k")))
+      val j = skewed.join(dim, "k")
+      // execute THIS dataframe's plan (count() builds its own, whose
+      // adaptive result we would not see here)
+      assert(j.collect().length == 40000)
+      // the FINAL adaptive plan marks the rebalanced join skew=true
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin ≡ plain join on skewed data (hot key spread, same rows)") {
     import graft.ops.Skew
     // 90% of rows share one hot key
