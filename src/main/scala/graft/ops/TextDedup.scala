@@ -66,13 +66,21 @@ object TextDedup {
             org.apache.spark.sql.GraftBridge.expression(text), n, numHashes)))
           .as(Seq("h", "minhash")))
 
-  /** LSH banding with rows-per-band = 2: band signature = concat of the
-    * (order-independent) min and max member hash. Docs sharing any band
-    * signature become candidate pairs. */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
-    val bands = signatures
+  /** The LSH band index: one (doc_id, band, band_sig) row per band,
+    * rows-per-band = 2, band signature = concat of the
+    * (order-independent) min and max member hash. This is the table a
+    * production dedup pipeline MAINTAINS (written bucketed by
+    * (band, band_sig) at scale) so new shards check against it without
+    * re-banding the corpus — see [[incrementalCandidates]]. */
+  def bandTable(signatures: DataFrame): DataFrame =
+    signatures
       .groupBy(col("doc_id"), shiftright(col("h"), 1).as("band"))
       .agg(concat(min(col("minhash")), max(col("minhash"))).as("band_sig"))
+
+  /** LSH banding: docs sharing any band signature become candidate
+    * pairs (the full-corpus self-join form). */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val bands = bandTable(signatures)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -81,6 +89,33 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental near-dup candidates: a NEW shard's band table joins the
+    * maintained corpus [[bandTable]] (plus the shard's own self-join) —
+    * the production form of corpus dedup, where arriving data checks
+    * against an INDEX instead of re-banding 100 TB. Work scales with
+    * |new shard| × collision rate; the corpus is touched only through
+    * the (bucketed, pre-partitioned) index join. Pairs are
+    * (doc_a = corpus-or-smaller id, doc_b) with the same contract as
+    * [[lshCandidates]] restricted to pairs involving a new doc. */
+  def incrementalCandidates(newSigs: DataFrame,
+      corpusBands: DataFrame): DataFrame = {
+    val newBands = bandTable(newSigs)
+    val vsCorpus = newBands.as("n")
+      .join(corpusBands.as("c"),
+        col("n.band") === col("c.band") &&
+          col("n.band_sig") === col("c.band_sig") &&
+          col("n.doc_id") =!= col("c.doc_id"))
+      .select(least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"))
+    val withinNew = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    vsCorpus.unionByName(withinNew).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle

@@ -23,6 +23,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L).isEmpty)
   }
 
+  test("incrementalCandidates ≡ full re-band restricted to new-doc pairs") {
+    val all = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3)
+    val sigs = TextDedup.minhashSignatures(all, 8)
+    // corpus = docs 1..3 indexed once; doc 4 (exact dup of 1) arrives
+    val corpusBands = TextDedup.bandTable(sigs.filter(col("doc_id") <= 3))
+    val newSigs = sigs.filter(col("doc_id") === 4)
+    val inc = TextDedup.incrementalCandidates(newSigs, corpusBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = TextDedup.lshCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 == 4L || p._2 == 4L)
+    assert(inc == full)
+    assert(inc.contains((1L, 4L))) // the arriving dup is caught
+  }
+
   test("minhash LSH finds the near-dup pair and exact Jaccard confirms") {
     val sh = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3)
     val cands = TextDedup.lshCandidates(TextDedup.minhashSignatures(sh, 8))
