@@ -1042,6 +1042,15 @@ object SparkEntry {
     stream.FlightStream.pipeline(raw.select(col("json")), now)
   }
 
+  /** Corpus composition drift between two deterministic snapshots (even
+    * vs odd doc ids): per-stratum shares + smoothed KL(new‖old) terms. */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Analytics.distributionDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), col("lang"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1126,7 +1135,8 @@ object SparkEntry {
     "q79_gap_fill" -> (qGapFill _),
     "q80_source_topic" -> (qSourceTopic _),
     "q81_ingest_oracle" -> (qIngestOracle _),
-    "q82_sliding_chunks" -> (qSlidingChunks _))
+    "q82_sliding_chunks" -> (qSlidingChunks _),
+    "q83_drift" -> (qDrift _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1781,5 +1791,20 @@ object SparkEntry {
         "c AS (SELECT doc_id, n, unnest(generate_series(0, n - 1, 64)) AS chunk_start " +
         "FROM d WHERE n > 0) " +
         "SELECT doc_id, chunk_start // 64 AS chunk_idx, chunk_start, " +
-        "least(chunk_start + 128, n) AS chunk_end FROM c"))
+        "least(chunk_start + 128, n) AS chunk_end FROM c"),
+    "q83_drift" ->
+      ("WITH o AS (SELECT lang AS stratum, count(*) AS n_old FROM documents " +
+        "WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "n AS (SELECT lang AS stratum, count(*) AS n_new FROM documents " +
+        "WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "j AS (SELECT coalesce(o.stratum, n.stratum) AS stratum, " +
+        "coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new " +
+        "FROM o FULL JOIN n ON o.stratum = n.stratum), " +
+        "t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new, count(*) AS s FROM j) " +
+        "SELECT stratum, n_old, n_new, " +
+        "round(n_old / t_old, 4) AS share_old, " +
+        "round(n_new / t_new, 4) AS share_new, " +
+        "round(((n_new + 1.0) / (t_new + s)) * " +
+        "ln(((n_new + 1.0) / (t_new + s)) / ((n_old + 1.0) / (t_old + s))), 6) AS kl_term " +
+        "FROM j CROSS JOIN t"))
 }

@@ -131,6 +131,29 @@ object Analytics {
         col("__od").isNotNull.as("observed"))
   }
 
+  /** Distribution drift between two corpus snapshots: per-stratum counts
+    * and shares plus the stratum's add-one-smoothed KL(new‖old) term —
+    * the composition monitor that catches a pipeline silently changing
+    * its language/source mix. Two group-counts (map-side combined), one
+    * strata-sized full-outer join, totals broadcast: the corpora
+    * themselves shuffle nothing. Total drift = `sum(kl_term)`. */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
+      stratum: Column): DataFrame = {
+    val o = oldDf.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_old"))
+    val n = newDf.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_new"))
+    val joined = o.join(n, Seq("stratum"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val tot = joined.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"), count(lit(1)).as("s"))
+    val p = (col("n_old") + 1d) / (col("t_old") + col("s")) // Laplace
+    val q = (col("n_new") + 1d) / (col("t_new") + col("s"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_old"), col("n_new"),
+        round(col("n_old") / col("t_old"), 4).as("share_old"),
+        round(col("n_new") / col("t_new"), 4).as("share_new"),
+        round(q * log(q / p), 6).as("kl_term"))
+  }
+
   /** Sessionization: split each user's event stream at gaps > `gapSec`,
     * aggregate per session. Integer microsecond arithmetic end-to-end
     * (exact, oracle-comparable). One shuffle on user, one window sort. */

@@ -114,13 +114,24 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
   // the first n rows ARE the limit's result (fully, not partially, pushed)
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
   override def isPartiallyPushed: Boolean = false
-  override def build(): Scan = new FlightScan(
-    rows = math.min(options.getLong("rows", 1000L), limit),
-    partitions = options.getInt("partitions", 8),
-    rowsPerBatch = options.getLong("rowsPerBatch", 100L),
-    startTs = options.getLong("startTs", 1700000000L),
-    stepSec = options.getLong("stepSec", 60L),
-    required = required)
+  override def build(): Scan = {
+    val rows = options.getLong("rows", 1000L)
+    val partitions = options.getInt("partitions", 8)
+    val rowsPerBatch = options.getLong("rowsPerBatch", 100L)
+    val stepSec = options.getLong("stepSec", 60L)
+    // fail at planning, not with a silently empty read
+    require(rows >= 0, s"flight_events: rows=$rows must be >= 0")
+    require(partitions > 0, s"flight_events: partitions=$partitions must be > 0")
+    require(rowsPerBatch > 0, s"flight_events: rowsPerBatch=$rowsPerBatch must be > 0")
+    require(stepSec > 0, s"flight_events: stepSec=$stepSec must be > 0")
+    new FlightScan(
+      rows = math.min(rows, limit),
+      partitions = partitions,
+      rowsPerBatch = rowsPerBatch,
+      startTs = options.getLong("startTs", 1700000000L),
+      stepSec = stepSec,
+      required = required)
+  }
 }
 
 case class FlightRange(start: Long, end: Long) extends InputPartition
