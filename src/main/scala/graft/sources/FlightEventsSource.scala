@@ -192,7 +192,12 @@ class FlightScan(rows: Long, partitions: Int, rowsPerBatch: Long,
         split(start.asInstanceOf[FlightOffset].n,
           end.asInstanceOf[FlightOffset].n, partitions)
       override def createReaderFactory(): PartitionReaderFactory = factory
-      override def commit(end: Offset): Unit = ()
+      // a restarted stream resumes from the checkpoint's committed end:
+      // fold it into `available` so latestOffset never reports behind it
+      // (a behind offset is harmless — an empty (start, end] plans zero
+      // partitions — but this saves the idle catch-up triggers)
+      override def commit(end: Offset): Unit =
+        available = math.max(available, end.asInstanceOf[FlightOffset].n)
       override def stop(): Unit = ()
     }
 }
