@@ -1051,6 +1051,16 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 === 1), col("lang"))
   }
 
+  /** Temperature mixing rates (α=0.5): the T5-style share^α rule,
+    * projected to downsample-only form. Strata stats only — the corpus
+    * is never touched. */
+  private def qTemperature(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.temperatureRates(t(s, dir, "documents"), Seq("lang"), 0.5)
+      .select(col("lang"), col("__n").as("n_docs"),
+        round(col("__share"), 6).as("share"),
+        round(col("__target"), 6).as("target"),
+        round(col("__keep_rate"), 6).as("keep_rate"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1136,7 +1146,8 @@ object SparkEntry {
     "q80_source_topic" -> (qSourceTopic _),
     "q81_ingest_oracle" -> (qIngestOracle _),
     "q82_sliding_chunks" -> (qSlidingChunks _),
-    "q83_drift" -> (qDrift _))
+    "q83_drift" -> (qDrift _),
+    "q84_temperature" -> (qTemperature _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1806,5 +1817,14 @@ object SparkEntry {
         "round(n_new / t_new, 4) AS share_new, " +
         "round(((n_new + 1.0) / (t_new + s)) * " +
         "ln(((n_new + 1.0) / (t_new + s)) / ((n_old + 1.0) / (t_old + s))), 6) AS kl_term " +
-        "FROM j CROSS JOIN t"))
+        "FROM j CROSS JOIN t"),
+    "q84_temperature" ->
+      ("WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS powsum FROM s), " +
+        "r AS (SELECT lang, n, n / total AS share, pow(n, 0.5) / powsum AS target " +
+        "FROM s CROSS JOIN t), " +
+        "m AS (SELECT max(target / share) AS maxlift FROM r) " +
+        "SELECT lang, n AS n_docs, round(share, 6) AS share, " +
+        "round(target, 6) AS target, " +
+        "round((target / share) / maxlift, 6) AS keep_rate FROM r CROSS JOIN m"))
 }

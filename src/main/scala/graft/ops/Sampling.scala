@@ -64,6 +64,36 @@ object Sampling {
           .as("__keep_rate")): _*)
   }
 
+  /** Temperature-based mixture rates (the T5/mT5 mixing rule): target
+    * share of stratum i ∝ share_i^alpha — alpha=1 keeps the natural
+    * mix, alpha→0 flattens toward uniform, lifting low-resource strata.
+    * Since lifting can only OVERSAMPLE the small strata (rate > 1,
+    * which Bernoulli sampling cannot do), rates are normalized so the
+    * LARGEST requested lift maps to keep-everything: rate_i =
+    * lift_i / max_j lift_j where lift_i = target_i / share_i — the
+    * downsample-only projection of the temperature mix. Same plan shape
+    * as [[mixtureRates]]: group counts map-side combined, a one-row
+    * total broadcast, the corpus untouched. */
+  def temperatureRates(df: DataFrame, strataCols: Seq[String],
+      alpha: Double): DataFrame = {
+    val strata = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val norm = strata.agg(
+      sum(col("__n")).cast("double").as("__total"),
+      sum(pow(col("__n").cast("double"), alpha)).as("__powsum"))
+    strata.crossJoin(broadcast(norm))
+      .withColumn("__share", col("__n") / col("__total"))
+      .withColumn("__target",
+        pow(col("__n").cast("double"), alpha) / col("__powsum"))
+      .withColumn("__lift", col("__target") / col("__share"))
+      // max lift = the most-lifted (smallest) stratum: scale it to 1.0
+      .withColumn("__keep_rate",
+        col("__lift") / max(col("__lift")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select((strataCols.map(col) :+ col("__n") :+ col("__share") :+
+        col("__target") :+ col("__keep_rate")): _*)
+  }
+
   /** Mixture rebalancing: deterministically downsample each stratum to
     * its [[mixtureRates]] cap (hash-Bernoulli on `id` — same rows kept
     * on every run/engine/retry). Rates are a strata-sized broadcast;

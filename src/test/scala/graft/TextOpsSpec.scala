@@ -271,6 +271,31 @@ class TextOpsSpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0) == 0L)
   }
 
+  test("temperatureRates: alpha=1 keeps the natural mix; alpha<1 lifts small strata") {
+    import graft.ops.Sampling
+    val docs = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "sw"))).toDF("id", "lang")
+    def rates(a: Double) = Sampling.temperatureRates(docs, Seq("lang"), a)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // alpha=1: target == share everywhere → every rate is exactly 1.0
+    assert(rates(1.0).values.forall(_ == 1.0))
+    // alpha=0.5: the small stratum is the most lifted → keeps everything;
+    // the big one downsamples. Expected en rate = (sqrt(900)/sqrt(100)) /
+    // (900/100) = 3/9 = 1/3.
+    val r = rates(0.5)
+    assert(r("sw") == 1.0)
+    assert(math.abs(r("en") - 1.0 / 3.0) < 1e-12, r.toString)
+    // rebalanced composition: en ≈ 300 docs kept of 900 (hash-Bernoulli)
+    val kept = Sampling.weightedSample(
+      docs.join(broadcast(Sampling.temperatureRates(docs, Seq("lang"), 0.5)
+        .withColumnRenamed("lang", "__rl")), col("lang") === col("__rl")),
+      col("id"), col("__keep_rate"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("sw") == 100L)
+    assert(kept("en") > 250 && kept("en") < 350, kept.toString)
+  }
+
   test("mixtureRebalance: over-cap strata shrink to the cap, others pass intact") {
     import graft.ops.Sampling
     // 800 "web" docs (80%) + 200 "books": cap 0.4 → web ≈ 320, books all
