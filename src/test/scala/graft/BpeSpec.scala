@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bpe
+
+/** BPE merge training: the Sennrich toy corpus with hand-derived merge
+  * order, determinism, and the compression property on real documents. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train: hand-derived merge order on the classic toy corpus") {
+    // freqs: low×5, lower×2, newest×6, widest×3
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = Bpe.train(corpus, col("text"), 4)
+    // (e,s): 6+3=9; then (es,t</w>): 9; then (l,o): 5+2=7; then the
+    // count-6 tie (e,w)/(n,e)/(w,est</w>) breaks lexicographic → (e,w)
+    assert(merges == Seq(("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+  }
+
+  test("train is deterministic and encode applies merges greedily") {
+    val corpus = Seq("aaa aaa ab").toDF("text")
+    val m1 = Bpe.train(corpus, col("text"), 2)
+    val m2 = Bpe.train(corpus, col("text"), 2)
+    assert(m1 == m2)
+    // "aaa" symbolized [a, a, a</w>]: top pair (a,a) ×2 → merge 1;
+    // then (aa, a</w>) ×2 dominates → merge 2 fuses the whole word
+    assert(m1 == Seq(("a", "a"), ("aa", "a</w>")))
+    // greedy leftmost-first under merge 1 ONLY: overlapping aaa → [aa, a</w>]
+    val enc = Bpe.encode(Seq((1L, "aaa")).toDF("id", "text"),
+        col("id"), col("text"), m1.take(1))
+      .orderBy("sub_pos").collect().map(_.getString(3))
+    assert(enc.toSeq == Seq("aa", "a</w>"))
+  }
+
+  test("compression: subword count strictly below char count on real docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val merges = Bpe.train(docs, col("text"), 12)
+    assert(merges.size == 12)
+    val nSub = Bpe.encode(docs, col("doc_id"), col("text"), merges).count()
+    val nChar = docs.select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .head().getLong(0)
+    assert(nSub < nChar, s"$nSub subwords vs $nChar chars")
+    // every merge actually fused something: no token equals a single
+    // original character for merged pairs... weaker check: the learned
+    // merges are all distinct
+    assert(merges.distinct.size == 12)
+  }
+}
