@@ -131,6 +131,48 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, p.take(1200))
   }
 
+  test("q77: compaction plans ONE exchange — the bin agg reuses the window's partitioning") {
+    val p = plan("q77_compaction")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1200))
+    assert(p.contains("WindowExec") || p.contains("Window"), p.take(600))
+  }
+
+  test("q78: winsorize never shuffles the corpus — bounds broadcast back") {
+    val p = plan("q78_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the only exchange feeds the tiny percentile aggregate, never the
+    // probe side: no sort-merge/shuffled-hash join anywhere
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(800))
+  }
+
+  test("q79: gap fill — obs side broadcasts, carry-forward window needs no new exchange") {
+    val p = plan("q79_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // exchanges: one per aggregated side (span, obs); the window rides
+    // the span agg's partitioning
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(1200))
+  }
+
+  test("q80/q81: the connector scan carries only the referenced columns") {
+    val p = plan("q80_source_topic")
+    assert(p.contains("BatchScan flight_events"), p.take(600))
+    assert(p.contains("cols=json"), p.take(600)) // event_id/ts pruned away
+  }
+
+  test("q82: chunk generation is one codegen span with zero exchanges") {
+    val p = plan("q82_sliding_chunks")
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("Generate explode"), p.take(800))
+  }
+
+  test("q84: temperature rates — corpus aggregated once, normalizer broadcast") {
+    val p = plan("q84_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
