@@ -25,6 +25,57 @@ class PropertySpec extends SparkSpec {
     tz <- Gen.oneOf("", "Z", "+00:00", "+0000", "-0500", "+02:00", "junk")
   } yield f"$y%04d-$mo%02d-${d}%02dT$h%02d:$mi%02d$sec$tz"
 
+  test("compactionBins conserves bytes and files per partition, any sizes") {
+    val sizes = Gen.listOfN(400,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 9000L)))
+      .sample.get.zipWithIndex
+      .map { case ((p, sz), i) => (p, i.toLong, sz) }
+    val files = sizes.toDF("part", "fid", "bytes")
+    val bins = graft.ops.Layout.compactionBins(
+      files, Seq("part"), col("bytes"), col("fid"), 4096L)
+    // conservation: Σ bin bytes ≡ Σ file bytes and Σ n_files ≡ |files|,
+    // per partition — no file lost, none double-assigned
+    val got = bins.groupBy("part")
+      .agg(sum("bytes").as("b"), sum("n_files").as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = sizes.groupBy(_._1).map { case (p, fs) =>
+      p -> (fs.map(_._3).sum, fs.size.toLong) }
+    assert(got == want)
+    // no bin (except possibly a partition's last) is pathologically
+    // under-filled: every non-max bin holds > targetBytes - maxFileSize
+    val maxFile = sizes.map(_._3).max
+    val lastBin = bins.groupBy("part").agg(max("bin").as("lb"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bins.collect().foreach { r =>
+      val (p, bin, bytes) = (r.getString(0), r.getLong(1), r.getLong(3))
+      if (bin != lastBin(p))
+        assert(bytes > 4096L - maxFile, s"$p bin $bin holds only $bytes")
+    }
+  }
+
+  test("slidingChunks covers [0, n) exactly for any (n, ctx, stride)") {
+    val cases = Gen.listOfN(200, Gen.chooseNum(0L, 500L)).sample.get.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+    val docs = cases.toDF("doc_id", "n")
+    val chunks = graft.ops.Packing
+      .slidingChunks(docs, col("doc_id"), col("n"), 96L, 32L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    cases.foreach { case (id, n) =>
+      val cs = chunks.getOrElse(id, Array.empty).sortBy(_._2)
+      if (n == 0) assert(cs.isEmpty)
+      else {
+        assert(cs.head._2 == 0L && cs.last._3 == n)
+        // starts advance by exactly stride → no position can be skipped
+        cs.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._2 - a._2 == 32L && b._2 < a._3 + 32L)
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("normalizeTs never throws; output is timestamp-or-NULL for any input") {
     val samples = Gen.listOfN(300, Gen.oneOf(isoishGen,
       Gen.alphaNumStr, Gen.const(""), Gen.const("2024-05-01"))).sample.get
