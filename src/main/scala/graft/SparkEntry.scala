@@ -1061,6 +1061,16 @@ object SparkEntry {
         round(col("__target"), 6).as("target"),
         round(col("__keep_rate"), 6).as("keep_rate"))
 
+  /** The full production ANN path — train (2 Lloyd rounds), index
+    * (joinless literal-argmin assignment), search (nprobe=2 probed
+    * exact cosine) — in one call; the oracle composes the q76
+    * trajectory replay with the q27 probe/rank. */
+  private def qIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+      kCells = 4, iters = 2, nprobe = 2)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1147,7 +1157,8 @@ object SparkEntry {
     "q81_ingest_oracle" -> (qIngestOracle _),
     "q82_sliding_chunks" -> (qSlidingChunks _),
     "q83_drift" -> (qDrift _),
-    "q84_temperature" -> (qTemperature _))
+    "q84_temperature" -> (qTemperature _),
+    "q85_ivf_trained" -> (qIvfTrained _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1182,6 +1193,24 @@ object SparkEntry {
       "FROM sigs GROUP BY 1, 2), " +
       "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"
+
+  /** DuckDB replay of the 2-round Lloyd trajectory (init = vec_id<4,
+    * 6-dp floor-snap at every boundary, smallest-cell tie-break): CTEs
+    * through `a2` = the trained assignment. Shared by q76 and q85. */
+  private val kmeansReplayCte =
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      "c0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 4), " +
+      "d1 AS (SELECT v.vec_id, v.e, c0.cell, list_sum(list_transform(" +
+      "list_zip(v.e, c0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c0), " +
+      "a1 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d1) WHERE rn = 1), " +
+      "m1 AS (SELECT cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+      "(SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a1) GROUP BY 1, 2), " +
+      "c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM m1 GROUP BY 1), " +
+      "d2 AS (SELECT v.vec_id, v.e, c1.cell, list_sum(list_transform(" +
+      "list_zip(v.e, c1.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c1), " +
+      "a2 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d2) WHERE rn = 1) "
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1717,23 +1746,34 @@ object SparkEntry {
     "q76_kmeans" ->
       // Lloyd unrolled: init = vec_id<4, two assign/update rounds, 6-dp
       // floor-snap at every boundary (bit-identical trajectory to Spark)
-      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
-        "c0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 4), " +
-        "d1 AS (SELECT v.vec_id, v.e, c0.cell, list_sum(list_transform(" +
-        "list_zip(v.e, c0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c0), " +
-        "a1 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d1) WHERE rn = 1), " +
-        "m1 AS (SELECT cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
-        "(SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a1) GROUP BY 1, 2), " +
-        "c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM m1 GROUP BY 1), " +
-        "d2 AS (SELECT v.vec_id, v.e, c1.cell, list_sum(list_transform(" +
-        "list_zip(v.e, c1.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c1), " +
-        "a2 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d2) WHERE rn = 1) " +
+      (kmeansReplayCte +
         "SELECT cell AS cluster, CAST(i AS BIGINT) AS dim, " +
         "floor(avg(x)*1000000 + 0.5)/1000000 AS m, count(*) AS n " +
         "FROM (SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a2) " +
         "GROUP BY 1, 2"),
+    "q85_ivf_trained" ->
+      // the q76 trajectory replay composed with the q27 probe/rank:
+      // corpus cells = a2's trained assignment, cell centroids = per-cell
+      // float means, nprobe=2 nearest by L2, exact cosine rank in-cell
+      (kmeansReplayCte +
+        ", cellsrc AS (SELECT a2.cell, em.vec_id, em.embedding " +
+        "FROM a2 JOIN embeddings em USING (vec_id)), " +
+        "cent AS (SELECT cell, list(m ORDER BY i) AS centroid FROM (" +
+        "SELECT cell, i, avg(x) AS m FROM (SELECT cell, unnest(embedding) AS x, " +
+        "generate_subscripts(embedding, 1) AS i FROM cellsrc) GROUP BY 1, 2) GROUP BY 1), " +
+        "q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "qc AS (SELECT q_id, qv, cell, sqrt(list_sum(list_transform(" +
+        "list_zip(qv, centroid), t -> (t[1]-t[2])*(t[1]-t[2])))) AS d FROM q CROSS JOIN cent), " +
+        "probe AS (SELECT q_id, qv, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY d, cell) AS pr FROM qc) WHERE pr <= 2), " +
+        "cc AS (SELECT cell, vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM cellsrc), " +
+        "sc AS (SELECT q_id, n_id, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM probe JOIN cc USING (cell) WHERE n_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) " +
+        "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM r WHERE rank <= 10"),
     "q77_compaction" ->
       ("WITH c AS (SELECT lang, doc_id, n_chars, " +
         "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars AS strt " +

@@ -140,35 +140,73 @@ object Ann {
     * Returns the final codebook relationally: (cluster, dim, m, n) with
     * 1-based dim, n = cluster population. Empty clusters drop out (both
     * engines agree). */
-  def kmeansLloyd(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && iters > 0, s"kmeansLloyd: k=$k, iters=$iters")
-    val src = corpus.select(col(idCol).as("__id"),
+  /** Joinless nearest-centroid id for a double-array column: argmin over
+    * literal centroids with (distance, centroid-id) tie-break — the
+    * assignment expression shared by the Lloyd loop and IVF indexing. */
+  private def nearestCell(v: Column,
+      cents: Seq[(Long, Seq[Double])]): Column = {
+    val dists = array(cents.map { case (_, c) =>
+      aggregate(
+        zip_with(v, typedLit(c), (x, y) => { val d = x - y; d * d }),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    element_at(typedLit(cents.map(_._1)),
+      array_position(dists, array_min(dists)).cast("int"))
+  }
+
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  private def kmeansSrc(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
-    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  private def kmeansMStep(a: DataFrame): DataFrame = a
+    .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+    .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("dim"))
+    .agg(r6(avg(col("x"))).as("m"), count(lit(1)).as("n"))
+
+  /** The trained codebook (driver state) after `iters − 1` Lloyd
+    * updates — the centroids [[kmeansLloyd]]'s final pass assigns
+    * against, exposed for IVF indexing ([[ivfTrainedTopK]]). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[(Long, Seq[Double])] = {
+    require(k > 0 && iters > 0, s"kmeansCentroids: k=$k, iters=$iters")
+    val src = kmeansSrc(corpus, idCol, vecCol)
     var cents: Seq[(Long, Seq[Double])] = src.orderBy(col("__id")).limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-    def assigned: DataFrame = {
-      val dists = array(cents.map { case (_, c) =>
-        aggregate(
-          zip_with(col("__v"), typedLit(c), (x, y) => { val d = x - y; d * d }),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-      src.withColumn("cluster", element_at(typedLit(cents.map(_._1)),
-        array_position(dists, array_min(dists)).cast("int")))
-    }
-    def mStep(a: DataFrame): DataFrame = a
-      .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
-      .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("dim"))
-      .agg(r6(avg(col("x"))).as("m"), count(lit(1)).as("n"))
     for (_ <- 1 until iters)
-      cents = mStep(assigned)
+      cents = kmeansMStep(
+        src.withColumn("cluster", nearestCell(col("__v"), cents)))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cluster"), transform(col("dm"), s => s.getField("m")).as("c"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
         .sortBy(_._1).toSeq
-    mStep(assigned)
+    cents
+  }
+
+  def kmeansLloyd(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpus, k, iters, idCol, vecCol)
+    kmeansMStep(kmeansSrc(corpus, idCol, vecCol)
+      .withColumn("cluster", nearestCell(col("__v"), cents)))
+  }
+
+  /** End-to-end trained IVF: Lloyd codebook → joinless literal-argmin
+    * cell assignment over the corpus → probed exact search
+    * ([[ivfTopK]]). The full production ANN path in one call — train,
+    * index, search — with every stage's scale shape unchanged: the
+    * corpus is never joined for assignment (centroids are plan
+    * literals) and search touches only the probed cells. */
+  def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kCells: Int, iters: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    val assigned = corpus.withColumn("__cell",
+      nearestCell(col(vecCol).cast("array<double>"), cents))
+    ivfTopK(assigned, queries, "__cell", k, idCol, vecCol, nprobe)
   }
 
   /** IVF-style ANN: centroids from a coarse partitioner column (here: any
