@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *   2. a deterministic argmax on the driver (count desc, then pair
   *      lexicographic — no RNG, bit-stable across runs/engines),
   *   3. one fold projection applying the merge greedily left-to-right
-  *      inside codegen (`aggregate` HOF — no UDF).
+  *      inside the plan (`aggregate` HOF — no UDF, no collect; HOF
+  *      lambdas evaluate interpreted, fine at vocabulary scale).
   * Iteration cost is O(|vocab| × avg word length), independent of
   * corpus size.
   */
@@ -45,7 +46,7 @@ object Bpe {
   }
 
   /** One greedy left-to-right merge pass of (a, b) → a+b over a symbol
-    * array, as a codegen'd fold: overlapping occurrences resolve
+    * array, as an in-plan fold: overlapping occurrences resolve
     * leftmost-first ("aaa" under (a,a) → ["aa","a"]), matching
     * reference BPE. */
   private def mergePass(sym: Column, a: String, b: String): Column =
