@@ -1071,6 +1071,18 @@ object SparkEntry {
       kCells = 4, iters = 2, nprobe = 2)
   }
 
+  /** Equal-frequency binning (ntile) per group — quantile-bucket
+    * assignment for difficulty/quality stratification; completes the
+    * ranking-window family (row_number q40, rank/lag/lead q45). */
+  private def qNtileBins(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc_nulls_first, col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).as("quartile"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1158,7 +1170,8 @@ object SparkEntry {
     "q82_sliding_chunks" -> (qSlidingChunks _),
     "q83_drift" -> (qDrift _),
     "q84_temperature" -> (qTemperature _),
-    "q85_ivf_trained" -> (qIvfTrained _))
+    "q85_ivf_trained" -> (qIvfTrained _),
+    "q86_ntile_bins" -> (qNtileBins _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1774,6 +1787,10 @@ object SparkEntry {
         "r AS (SELECT q_id, n_id, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) " +
         "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM r WHERE rank <= 10"),
+    "q86_ntile_bins" ->
+      ("SELECT event_id, event_type, ntile(4) OVER " +
+        "(PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS quartile " +
+        "FROM events"),
     "q77_compaction" ->
       ("WITH c AS (SELECT lang, doc_id, n_chars, " +
         "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars AS strt " +
