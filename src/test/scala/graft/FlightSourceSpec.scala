@@ -98,6 +98,33 @@ class FlightSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full topology: connector stream → pipeline → versioned warehouse") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("flight_wh_e2e").toString
+    val sink = new graft.stream.WarehouseSink(spark, s"$dir/wh")
+    val raw = spark.readStream.format("flight_events")
+      .option("rows", 300).option("rowsPerBatch", 150)
+      .load()
+    val now = lit(1700000000L + 299L * 60L).cast("timestamp")
+    val q = sink.start(
+      FlightStream.pipeline(raw.select(col("json")), now), s"$dir/cp")
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      def fact() = Option(sink.warehouse).map(_.fact.count()).getOrElse(0L)
+      // 300 events, every 5th cancelled → 240 distinct flight keys land
+      while (fact() < 240 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      assert(fact() == 240)
+      // two micro-batches → two committed warehouse versions on disk
+      assert(new java.io.File(s"$dir/wh/v1/_COMMITTED").exists)
+      assert(new java.io.File(s"$dir/wh/v2/_COMMITTED").exists)
+      // the curated view resolves dims for every fact row
+      val view = graft.ops.LoadCycle.curatedView(sink.warehouse)
+      assert(view.count() == 240)
+      assert(view.filter(col("airline_name").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("end to end: streaming source → parse/filter pipeline → staging sink") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("flight_e2e_out").toString
