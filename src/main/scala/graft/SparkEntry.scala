@@ -1083,6 +1083,56 @@ object SparkEntry {
         ntile(4).over(w).as("quartile"))
   }
 
+  /** SCD2 history of each user's event_type: versioned
+    * [valid_from, valid_to) intervals, no-change upserts collapsed —
+    * the time-travel dim the reference's overwrite-only warehouse
+    * loses. */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    ops.Merge.scd2(
+      t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id")),
+      Seq("user_id"), Seq(col("ts"), col("event_id")), col("ts"),
+      Seq("event_type"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+
+  /** Cohort retention matrix: users bucketed by first-seen day, distinct
+    * activity counted per day offset. First-seen = one map-side-combined
+    * min agg; the join shuffles once on user_id; the matrix agg combines
+    * map-side — the standard lifecycle analysis at any scale. */
+  private def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
+  /** Ordered funnel: click → purchase → signup, each step strictly after
+    * the previous step's first completion. Three min-aggs + two
+    * key-partitioned joins, all on user_id (one partitioning reused);
+    * counts are funnel-sized. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(step: String, prev: DataFrame, prevT: String, as: String) =
+      ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(as))
+    val s1 = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = firstAfter("purchase", s1, "t1", "t2")
+    val s3 = firstAfter("signup", s2, "t2", "t3")
+    def cnt(df: DataFrame, step: Int, name: String) =
+      df.agg(lit(step).as("step"), lit(name).as("step_name"),
+        count(lit(1)).as("n_users"))
+    cnt(s1, 1, "click").unionByName(cnt(s2, 2, "purchase"))
+      .unionByName(cnt(s3, 3, "signup"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1171,7 +1221,10 @@ object SparkEntry {
     "q83_drift" -> (qDrift _),
     "q84_temperature" -> (qTemperature _),
     "q85_ivf_trained" -> (qIvfTrained _),
-    "q86_ntile_bins" -> (qNtileBins _))
+    "q86_ntile_bins" -> (qNtileBins _),
+    "q87_scd2" -> (qScd2 _),
+    "q88_cohort" -> (qCohort _),
+    "q89_funnel" -> (qFunnel _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1791,6 +1844,32 @@ object SparkEntry {
       ("SELECT event_id, event_type, ntile(4) OVER " +
         "(PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS quartile " +
         "FROM events"),
+    "q87_scd2" ->
+      ("WITH c AS (SELECT user_id, event_type, ts, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev " +
+        "FROM events), " +
+        "k AS (SELECT user_id, event_type, ts, event_id FROM c " +
+        "WHERE prev IS DISTINCT FROM event_type) " +
+        "SELECT user_id, event_type, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current " +
+        "FROM k"),
+    "q88_cohort" ->
+      ("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1) " +
+        "SELECT cohort, date_diff('day', cohort, d) AS day_offset, " +
+        "count(DISTINCT user_id) AS n_active " +
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2"),
+    "q89_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'click' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ts > t1 GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) " +
+        "WHERE event_type = 'signup' AND ts > t2 GROUP BY 1) " +
+        "SELECT 1 AS step, 'click' AS step_name, count(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT 2, 'purchase', count(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'signup', count(*) FROM s3"),
     "q77_compaction" ->
       ("WITH c AS (SELECT lang, doc_id, n_chars, " +
         "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars AS strt " +

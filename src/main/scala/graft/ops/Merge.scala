@@ -87,6 +87,34 @@ object Merge {
 
   /** U5: retention purge — staging rewritten to rows newer than cutoff
     * (load_warehouse.py:281). */
+  /** Slowly-changing-dimension type 2: turn a change stream
+    * (key, attrs, event order) into versioned history rows with
+    * `[valid_from, valid_to)` intervals and an `is_current` flag — the
+    * time-travel answer the reference's overwrite-only dims
+    * (load_warehouse.py:32-49, latest wins, history lost) cannot give.
+    *
+    * Consecutive rows with identical `attrs` collapse into one version
+    * (an upsert that changes nothing opens no interval). `orderCols`
+    * must totally order each key's changes. One shuffle: both window
+    * passes (change detection, interval close) share the key
+    * partitioning. */
+  def scd2(changes: DataFrame, keys: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      validFrom: org.apache.spark.sql.Column,
+      attrs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    val a = struct(attrs.map(col): _*)
+    val kept = changes
+      .withColumn("__chg", !(lag(a, 1).over(w) <=> a)) // null-safe: first row true
+      .filter(col("__chg"))
+      .drop("__chg")
+    kept
+      .withColumn("valid_from", validFrom)
+      .withColumn("valid_to", lead(validFrom, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def purge(staging: DataFrame, ingestCol: String, cutoff: org.apache.spark.sql.Column): DataFrame =
     staging.filter(col(ingestCol) > cutoff)
 }
