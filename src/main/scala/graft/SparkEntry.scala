@@ -1133,6 +1133,47 @@ object SparkEntry {
       .unionByName(cnt(s3, 3, "signup"))
   }
 
+  /** Inverted index over the corpus: term → (df, cf, capped posting
+    * list). The posting cap (32) is rank-filtered BEFORE the collect, so
+    * `InferWindowGroupLimit` bounds the exchange per term (a stopword
+    * never ships its corpus-sized list). Postings render as a comma
+    * string at this boundary — arrays aren't hash-portable across the
+    * oracle gate; the library form keeps the typed array. */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    TextStats.invertedIndex(t(s, dir, "documents"), col("doc_id"),
+        col("text"), 32)
+      .select(col("term"), col("df"), col("cf"),
+        array_join(col("postings"), ",").as("postings"))
+
+  /** PMI collocations: association score of adjacent token pairs with
+    * min support 5 (rare-pair PMI is noise). */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    TextStats.pmiCollocations(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 5L)
+
+  /** Normal-equation sufficient statistics: upper triangle of the Gram
+    * matrix of [1 | x_1..x_4 | y] over the embedding column (features =
+    * dims 1-4, target = dim 5). The cluster reduces 21 cells; the driver
+    * solve lives in [[ops.LinAlg.solveNormal]] (LinAlgSpec fits the
+    * regression and checks residual orthogonality). */
+  private def qGramMatrix(s: SparkSession, dir: String): DataFrame =
+    ops.LinAlg.gramMatrix(t(s, dir, "embeddings"), col("embedding"), 4)
+
+  /** PageRank over the part–supplier incidence graph from lineitem
+    * (bipartite, both directions; node id = key*10 + type bit), two
+    * snapped iterations — the graph-fixpoint companion of q63's
+    * connected components on a graph with real degree skew. */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val fwd = li.select((col("l_partkey") * 10).as("src"),
+      (col("l_suppkey") * 10 + 1).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    ops.Graph.pagerank(edges, "src", "dst", iters = 2)
+      .select(col("id"), col("rank"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1224,7 +1265,11 @@ object SparkEntry {
     "q86_ntile_bins" -> (qNtileBins _),
     "q87_scd2" -> (qScd2 _),
     "q88_cohort" -> (qCohort _),
-    "q89_funnel" -> (qFunnel _))
+    "q89_funnel" -> (qFunnel _),
+    "q90_inverted_index" -> (qInvertedIndex _),
+    "q91_pmi" -> (qPmi _),
+    "q92_gram_matrix" -> (qGramMatrix _),
+    "q93_pagerank" -> (qPagerank _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -1962,5 +2007,53 @@ object SparkEntry {
         "m AS (SELECT max(target / share) AS maxlift FROM r) " +
         "SELECT lang, n AS n_docs, round(share, 6) AS share, " +
         "round(target, 6) AS target, " +
-        "round((target / share) / maxlift, 6) AS keep_rate FROM r CROSS JOIN m"))
+        "round((target / share) / maxlift, 6) AS keep_rate FROM r CROSS JOIN m"),
+    "q90_inverted_index" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "stats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1), " +
+        "ranked AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf), " +
+        "posts AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings " +
+        "FROM ranked WHERE rn <= 32 GROUP BY 1) " +
+        "SELECT s.term, s.df, s.cf, p.postings FROM stats s JOIN posts p USING (term)"),
+    "q91_pmi" ->
+      ("WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents), " +
+        "uni AS (SELECT tok, count(*) AS uc FROM (SELECT unnest(tk) AS tok FROM d) GROUP BY 1), " +
+        "big AS (SELECT bigram, count(*) AS bc FROM (SELECT unnest(CASE WHEN len(tk) >= 2 THEN " +
+        "list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS bigram FROM d) GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS t_tot FROM uni), " +
+        "btot AS (SELECT CAST(sum(bc) AS DOUBLE) AS b_tot FROM big) " +
+        "SELECT bigram, bc, u1.uc AS uc1, u2.uc AS uc2, " +
+        "round(ln(CAST(bc AS DOUBLE) * t_tot * t_tot / " +
+        "(b_tot * CAST(u1.uc AS DOUBLE) * CAST(u2.uc AS DOUBLE))), 6) AS pmi " +
+        "FROM big CROSS JOIN tot CROSS JOIN btot " +
+        "JOIN uni u1 ON u1.tok = string_split(bigram, ' ')[1] " +
+        "JOIN uni u2 ON u2.tok = string_split(bigram, ' ')[2] " +
+        "WHERE bc >= 5"),
+    "q92_gram_matrix" ->
+      ("WITH a AS (SELECT list_prepend(CAST(1.0 AS DOUBLE), " +
+        "list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))) AS a FROM embeddings), " +
+        "ij AS (SELECT i.i, j.j FROM (SELECT unnest(generate_series(0, 5)) AS i) i " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS j) j WHERE i.i <= j.j) " +
+        "SELECT i, j, round(CAST(sum(CAST(a[i + 1] * a[j + 1] AS DECIMAL(30,12))) AS DOUBLE), 6) AS sxx, " +
+        "count(*) AS n FROM a CROSS JOIN ij GROUP BY 1, 2"),
+    "q93_pagerank" ->
+      // two unrolled PageRank iterations, same snapping grid as Spark:
+      // contributions floor-snapped at 1e-12 then summed as exact
+      // decimals; ranks floor-snapped at 1e-6 every iteration
+      ("WITH fwd AS (SELECT DISTINCT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst FROM lineitem), " +
+        "e AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT id, floor(1.0 / n * 1e6 + 0.5) / 1e6 AS rank FROM nodes CROSS JOIN nn), " +
+        "c1 AS (SELECT e.dst AS id, sum(CAST(floor(r0.rank / deg.outdeg * 1e12 + 0.5) / 1e12 AS DECIMAL(28,14))) AS mass " +
+        "FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.id = e.src GROUP BY 1), " +
+        "r1 AS (SELECT nodes.id, floor((0.15 / n + 0.85 * CAST(coalesce(c1.mass, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rank " +
+        "FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.id = nodes.id), " +
+        "c2 AS (SELECT e.dst AS id, sum(CAST(floor(r1.rank / deg.outdeg * 1e12 + 0.5) / 1e12 AS DECIMAL(28,14))) AS mass " +
+        "FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY 1) " +
+        "SELECT nodes.id, floor((0.15 / n + 0.85 * CAST(coalesce(c2.mass, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rank " +
+        "FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id"))
 }

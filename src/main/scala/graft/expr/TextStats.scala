@@ -80,6 +80,87 @@ object TextStats {
       .withColumn("token_id", row_number().over(w).cast("long") - 1L)
   }
 
+  /** Inverted index build — term → (document frequency, collection
+    * frequency, bounded posting list): the retrieval-side structure that
+    * completes the scoring family ([[buildVocab]] / q64 TF-IDF / q66
+    * BM25 consume it). Long-format index tables are how lakehouse search
+    * works at 100 TB: one parquet table keyed by term, Z-order/bucket it
+    * and lookups are metadata-pruned scans.
+    *
+    * Scale shape: df/cf are one map-side-combinable aggregation over the
+    * (doc, term) tf table. Posting lists are the scale hazard — a
+    * stopword's list is corpus-sized — so lists are capped at
+    * `maxPostings` doc ids per term via a rank filter BEFORE the
+    * collect: `InferWindowGroupLimit` plants a partial top-k on the map
+    * side, so the exchange carries ≤ maxPostings rows per term, never a
+    * stopword's full corpus. Callers wanting complete lists partition
+    * them into blocks instead (same pattern, rank div blockSize). */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, maxPostings: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit,
+      row_number, sort_array, collect_list, sum}
+    val tf = graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = tf
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    // both sides arrive term-partitioned from their aggregations: the
+    // final join reuses that partitioning, no extra exchange
+    stats.join(postings, "term")
+  }
+
+  /** PMI collocation mining — pointwise mutual information of adjacent
+    * token pairs, ln(P(ab) / (P(a)·P(b))): the association score behind
+    * multi-word-expression detection and tokenizer-vocabulary audits
+    * (high-PMI pairs are merge candidates [[graft.ops.Bpe]] should have
+    * learned). One bigram count + one unigram count, both map-side
+    * combined; the unigram table is vocabulary-sized and broadcast into
+    * the scoring join, so the corpus shuffles only for the two counts.
+    *
+    * Counts are over the NON-distinct streams (probabilities need
+    * multiplicity); `minCount` floors bigram support — PMI of rare pairs
+    * is noise (classic Church & Hanks caveat). Totals ride along as
+    * one-row aggregates collected to the driver (two scalars). */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, minCount: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, log, round, split, sum}
+    val fanned = graft.ops.Fanout.fanout(docs).persist()
+    val uni = fanned.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+      .persist()
+    val bigAll = fanned.select(explode(shingles(text, 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
+      .persist()
+    val bi = bigAll.filter(col("bc") >= minCount)
+    val tTot = uni.agg(sum(col("uc"))).first().getLong(0).toDouble
+    // bigram total over ALL bigrams (support filter must not bias P(ab));
+    // summed off the grouped table — the corpus explodes exactly once
+    val bTot = bigAll.agg(sum(col("bc"))).first().getLong(0).toDouble
+    val w1 = split(col("bigram"), " ").getItem(0)
+    val w2 = split(col("bigram"), " ").getItem(1)
+    bi.withColumn("w1", w1).withColumn("w2", w2)
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")
+        .withColumnRenamed("uc", "uc1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("uc", "uc2")), "w2")
+      .select(col("bigram"), col("bc"), col("uc1"), col("uc2"),
+        // ln of a ratio of exact integer counts: numerator/denominator
+        // products as doubles in a FIXED parenthesization (both engines
+        // evaluate the identical IEEE sequence), rounded at the end
+        round(log(col("bc").cast("double") * lit(tTot) * lit(tTot) /
+          (lit(bTot) * col("uc1").cast("double") * col("uc2").cast("double"))), 6)
+          .as("pmi"))
+  }
+
   /** Dictionary-encode a corpus against a vocabulary (the
     * tokenize-to-ids step before packing/training): one posexplode, one
     * broadcast join (vocabularies are bounded — [[buildVocab]]'s top-N),

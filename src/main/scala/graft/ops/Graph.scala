@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the transitive-closure stage the
@@ -159,6 +159,66 @@ object Graph {
     relinked.union(rootEdges)
       .filter($"u" =!= $"v")
       .distinct()
+  }
+
+  /** PageRank over the directed graph `edges(src, dst)` — the importance
+    * ranking for the co-occurrence / link graphs this library already
+    * builds (duplicate clusters, part–supplier incidence, citation-style
+    * doc links). Complements [[connectedComponents]]: CC says *which*
+    * nodes belong together, PageRank says *which matter most*.
+    *
+    * Same iterative-ML-in-the-relational-engine shape as
+    * [[Ann.kmeansLloyd]]: a driver loop of a fixed number of passes,
+    * where each pass is join + one map-side-combinable aggregation, all
+    * keyed on the node id (one partitioning reused; the rank table is
+    * node-sized, never the edge multiset). No driver-side data at all —
+    * ranks stay distributed, so node count can be billions.
+    *
+    * Determinism (oracle-replayable across engines, partitionings and
+    * retries, the kmeans contract):
+    * - per-edge contributions are snapped to the 1e-12 grid and summed
+    *   as exact decimals — in-mass is order-independent;
+    * - ranks snap to the 1e-6 grid each iteration, so no float drift
+    *   compounds across iterations;
+    * - teleport and damping constants enter as the same decimal
+    *   literals the oracle SQL writes (0.15 / 0.85 — `1 - d` would be a
+    *   DIFFERENT double than a parsed "0.15").
+    *
+    * Dangling nodes (no out-edges) keep the teleport term only; their
+    * lost mass is not redistributed (the common simplification — ranks
+    * then sum to < 1 in graphs with sinks). Nodes absent from `edges`
+    * entirely are absent from the result. */
+  def pagerank(edges: DataFrame, src: String, dst: String, iters: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    // out-degree is loop-invariant: bake it into the edge table ONCE
+    // (window, not self-join — one pass, no duplicated distinct), so
+    // each iteration pays one edge-sized join (ranks), nothing else
+    val e2 = materialize(edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .distinct()
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
+    val nodes = materialize(
+      e2.select(col("src").as("id")).union(e2.select(col("dst"))).distinct())
+    val n = nodes.count()
+    def snap6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    var ranks = nodes.select(col("id"), snap6(lit(1.0) / lit(n.toDouble)).as("rank"))
+    for (i <- 1 to iters) {
+      val inMass = e2
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          (floor(col("rank") / col("outdeg") * lit(1e12) + lit(0.5)) / lit(1e12))
+            .cast("decimal(28,14)").as("contrib"))
+        .groupBy(col("id")).agg(sum(col("contrib")).as("mass"))
+      val next = nodes.join(inMass, Seq("id"), "left")
+        .select(col("id"), snap6(lit(0.15) / lit(n.toDouble) +
+          lit(0.85) * coalesce(col("mass").cast("double"), lit(0.0))).as("rank"))
+      // snapped state between passes: the next iteration starts from a
+      // materialized table, not a growing lineage of joins. The LAST
+      // pass stays lazy — the caller's action pays for it exactly once.
+      ranks = if (i < iters) materialize(next) else next
+    }
+    ranks
   }
 
   /** Dedup-group assignment over candidate pairs: every document joined

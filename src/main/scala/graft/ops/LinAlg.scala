@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear algebra for closed-form model fitting: the
+  * sufficient-statistics pattern. Linear/ridge regression, PCA and
+  * Mahalanobis whitening all need only X^T X and X^T y — d×d numbers
+  * regardless of row count — so the cluster computes ONE mergeable
+  * aggregation over the corpus and the driver solves the d×d system.
+  * This is the third shape of "ML in the relational engine" here:
+  * closed-form (this), iterative-with-driver-state ([[Ann.kmeansLloyd]]),
+  * and graph-fixpoint ([[Graph.pagerank]]).
+  */
+object LinAlg {
+
+  /** Upper triangle of the Gram matrix G = A^T A of the augmented design
+    * matrix A = [1 | X | y] built from the first `nFeatures + 1` entries
+    * of `vec` (features x_1..x_d, then the target y as the last column;
+    * leading 1 = intercept). Row (i, j, sxx, n) carries
+    * Σ a_i·a_j over all rows — which packs X^T X, X^T y AND y^T y in one
+    * result: everything normal equations, R² and residual variance need.
+    *
+    * Scale shape: each input row expands to the (d+2)(d+3)/2 literal
+    * index pairs in a single codegen'd projection (no join, no
+    * posexplode of data columns), then ONE map-side-combinable
+    * aggregation keyed by (i, j) — partial Gram matrices merge by cell
+    * sum exactly like the sketch family. Shuffle volume: #partitions ×
+    * pairs rows, independent of corpus size.
+    *
+    * Determinism: per-row products are exact IEEE doubles (same two
+    * doubles → same product on every engine); sums run as
+    * decimal(30,12) — order-independent, so retries, partitionings and
+    * the DuckDB oracle agree bit-for-bit; one rounded-double boundary at
+    * the end. */
+  def gramMatrix(rows: DataFrame, vec: Column, nFeatures: Int): DataFrame = {
+    val d = nFeatures + 1 // features + target
+    val aug = concat(array(lit(1.0d)),
+      transform(slice(vec, 1, d), _.cast("double")))
+    val pairs = for { i <- 0 to d; j <- i to d } yield (i, j)
+    val cells = array(pairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        (element_at(col("__a"), i + 1) * element_at(col("__a"), j + 1))
+          .cast("decimal(30,12)").as("p"))
+    }: _*)
+    Fanout.fanout(rows.select(aug.as("__a")))
+      .select(explode(cells).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum(col("p")).cast("double"), 6).as("sxx"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Solve the normal equations from a collected [[gramMatrix]] result:
+    * β = (X^T X)^{-1} X^T y via Gaussian elimination with partial
+    * pivoting on the driver ((d+1)×(d+1) — trivial). `cells` maps
+    * (i, j) → Σ a_i·a_j with the target at index d+1 (the gramMatrix
+    * layout). Driver-side by design: the cluster's job ended when the
+    * sufficient statistics were reduced. */
+  def solveNormal(cells: Map[(Int, Int), Double], nFeatures: Int): Array[Double] = {
+    val d = nFeatures + 1 // intercept + features
+    def g(i: Int, j: Int): Double =
+      cells.getOrElse((i min j, i max j),
+        sys.error(s"gram cell ($i,$j) missing"))
+    // augmented system [XtX | Xty]
+    val m = Array.tabulate(d, d + 1) { (i, j) =>
+      if (j < d) g(i, j) else g(i, d)
+    }
+    for (p <- 0 until d) {
+      val piv = (p until d).maxBy(r => math.abs(m(r)(p)))
+      val tmp = m(p); m(p) = m(piv); m(piv) = tmp
+      require(math.abs(m(p)(p)) > 1e-12, "singular normal equations")
+      for (r <- p + 1 until d) {
+        val f = m(r)(p) / m(p)(p)
+        for (c <- p to d) m(r)(c) -= f * m(p)(c)
+      }
+    }
+    val beta = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = m(i)(d)
+      for (j <- i + 1 until d) s -= m(i)(j) * beta(j)
+      beta(i) = s / m(i)(i)
+    }
+    beta
+  }
+}

@@ -91,4 +91,40 @@ class GraphSpec extends SparkSpec {
     Seq(1L, 4L, 8L).foreach(id => assert(got(id) == ((id, 1L, true))))
     assert(got.values.count(_._3) == 5) // exactly one keeper per group
   }
+
+  test("pagerank: hand-computed star graph, two iterations") {
+    // undirected star, center 0, leaves 1..4; N=5, init 0.2.
+    // iter1: leaves each send 0.2/1 to the center → mass 0.8 →
+    //        center 0.03 + 0.85·0.8 = 0.71; leaves get 0.2/4 → 0.0725.
+    // iter2: center mass = 4·0.0725 = 0.29 → 0.2765;
+    //        leaf mass = 0.71/4 = 0.1775 → 0.180875.
+    val fwd = (1L to 4L).map(l => (0L, l))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, "src", "dst", iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(got(0L) == 0.2765)
+    (1L to 4L).foreach(l => assert(got(l) == 0.180875, s"leaf $l"))
+    // no dangling nodes → total rank mass is conserved at 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pagerank is exactly deterministic across partitionings") {
+    val edges = (0 until 300).map { i =>
+      (i.toLong % 23, (i.toLong * 7 + 3) % 23)
+    }.filter(e => e._1 != e._2)
+    val a = Graph.pagerank(edges.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pagerank(edges.toDF("src", "dst").repartition(7),
+      "src", "dst", 3).as[(Long, Double)].collect().toMap
+    assert(a == b) // bit-identical, not approximately equal
+  }
+
+  test("pagerank: dangling nodes keep the teleport floor") {
+    // 1→2, 2 has no out-edges: 2 is a sink; 1 receives nothing
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.075) // 0.15/2, teleport only
+    assert(got(2L) == 0.075 + 0.85 * 0.5)
+  }
 }

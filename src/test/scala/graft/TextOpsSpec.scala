@@ -388,4 +388,33 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r(1).getDouble(0)) < 1e-12)
     assert(r(2).isNullAt(0)) // zero norm → NULL, not NaN
   }
+
+  test("invertedIndex: df/cf exact, posting lists capped and sorted") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "a"), (4L, "b c c"))
+      .toDF("doc_id", "text")
+    val idx = TextStats.invertedIndex(docs, col("doc_id"), col("text"),
+        maxPostings = 2)
+      .as[(String, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // term a: docs 1,2,3 (df 3), cf = 2+1+1 = 4; postings capped to 2
+    assert(idx("a") == ((3L, 4L, Seq(1L, 2L))))
+    assert(idx("b") == ((2L, 2L, Seq(1L, 4L))))
+    assert(idx("c") == ((2L, 3L, Seq(2L, 4L))))
+  }
+
+  test("pmiCollocations: always-adjacent pair scores high, support floors rare pairs") {
+    // corpus: "x y" always adjacent (8×), fillers vary; pair "p q"
+    // appears once — below minCount, must not surface
+    val docs = (0 until 8).map(i => (i.toLong, s"x y f$i")) :+
+      (8L, "p q")
+    val out = TextStats.pmiCollocations(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), minCount = 5L)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(out.contains("x y") && !out.contains("p q"))
+    // P(xy)=8/17 bigrams; P(x)=P(y)=8/26 tokens → pmi = ln(...) > 0
+    val expected = math.log((8.0 * 26 * 26) / (17.0 * 8 * 8))
+    assert(math.abs(out("x y") - expected) < 1e-4)
+  }
 }
