@@ -1174,6 +1174,43 @@ object SparkEntry {
       .select(col("id"), col("rank"))
   }
 
+  /** Per-node triangle counts on the part co-purchase graph (parts in
+    * the same order, one category slice): degree-oriented wedge join —
+    * each triangle counted once, out-degree bounded by O(√E) on any
+    * graph, so the hub-degree² blow-up never happens. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+    ops.Graph.triangleCount(e, "src", "dst")
+  }
+
+  /** Event-type Markov transition matrix over per-user event sequences:
+    * lead() pairs on one (user, time) window, then a 5×5-sized count
+    * matrix with row-normalized probabilities — the path-analysis
+    * companion of sessionize (q18) and funnel (q89). One window shuffle
+    * + one map-side-combined agg; the normalizing totals ride a window
+    * over the matrix-sized result, never the event stream. */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    pairs.withColumn("row_total", sum(col("n")).over(byRow))
+      .withColumn("p",
+        round(col("n").cast("double") / col("row_total").cast("double"), 6))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1269,7 +1306,9 @@ object SparkEntry {
     "q90_inverted_index" -> (qInvertedIndex _),
     "q91_pmi" -> (qPmi _),
     "q92_gram_matrix" -> (qGramMatrix _),
-    "q93_pagerank" -> (qPagerank _))
+    "q93_pagerank" -> (qPagerank _),
+    "q94_triangles" -> (qTriangles _),
+    "q95_transitions" -> (qTransitions _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2055,5 +2094,32 @@ object SparkEntry {
         "c2 AS (SELECT e.dst AS id, sum(CAST(floor(r1.rank / deg.outdeg * 1e12 + 0.5) / 1e12 AS DECIMAL(28,14))) AS mass " +
         "FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY 1) " +
         "SELECT nodes.id, floor((0.15 / n + 0.85 * CAST(coalesce(c2.mass, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rank " +
-        "FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id"))
+        "FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.id = nodes.id"),
+    "q94_triangles" ->
+      // same degree orientation: lower degree → higher (ties by id);
+      // each triangle counted once as fwd(a,b) ⋈ fwd(b,c) ⋈ fwd(a,c)
+      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT n, count(*) AS d FROM " +
+        "(SELECT lo AS n FROM e UNION ALL SELECT hi FROM e) GROUP BY 1), " +
+        "fwd AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND lo < hi) THEN lo ELSE hi END AS u, " +
+        "CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND lo < hi) THEN hi ELSE lo END AS v " +
+        "FROM e JOIN deg d1 ON d1.n = e.lo JOIN deg d2 ON d2.n = e.hi), " +
+        "tri AS (SELECT f1.u AS a, f1.v AS b, f2.v AS c FROM fwd f1 " +
+        "JOIN fwd f2 ON f2.u = f1.v " +
+        "WHERE EXISTS (SELECT 1 FROM fwd f3 WHERE f3.u = f1.u AND f3.v = f2.v)) " +
+        "SELECT node, count(*) AS triangles FROM " +
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
+        "GROUP BY 1"),
+    "q95_transitions" ->
+      ("WITH s AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+        "FROM events), " +
+        "p AS (SELECT event_type, next_type, count(*) AS n FROM s " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT event_type, next_type, n, " +
+        "CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_total, " +
+        "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p " +
+        "FROM p"))
 }

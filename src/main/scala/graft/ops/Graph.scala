@@ -221,6 +221,45 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts of the undirected graph `edges(src, dst)`
+    * — the clustering-coefficient / community-density signal over the
+    * co-occurrence graphs this library builds. Nodes in no triangle are
+    * absent from the result.
+    *
+    * Algorithm: degree-oriented node-iterator (Suri & Vassilvitskii,
+    * WWW'11 MapReduce formulation): orient every undirected edge from
+    * its lower-degree endpoint to the higher (ties by id), then count
+    * each triangle exactly once as fwd(a,b) ⋈ fwd(b,c) ⋈ fwd(a,c).
+    * The orientation is the scale lever: forward out-degree is bounded
+    * by O(√E) on any graph (arboricity bound), so the wedge join
+    * enumerates O(E^1.5) candidates worst-case instead of Σdeg² — on a
+    * skewed co-occurrence graph the difference is the hub node's
+    * degree² (billions) vs its √E cap. Degrees are a node-sized
+    * broadcast; the two joins are edge-keyed hash joins. */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(
+        least(col(src), col(dst)).cast("long").as("lo"),
+        greatest(col(src), col(dst)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val fwdFirst = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("lo") < col("hi"))
+    val fwd = e
+      .join(broadcast(deg.select(col("n").as("lo"), col("d").as("d1"))), "lo")
+      .join(broadcast(deg.select(col("n").as("hi"), col("d").as("d2"))), "hi")
+      .select(when(fwdFirst, col("lo")).otherwise(col("hi")).as("u"),
+        when(fwdFirst, col("hi")).otherwise(col("lo")).as("v"))
+      .persist()
+    val tri = fwd.select(col("u").as("a"), col("v").as("b"))
+      .join(fwd.select(col("u").as("b"), col("v").as("c")), "b")
+      .join(fwd.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
+        "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Dedup-group assignment over candidate pairs: every document joined
     * with its duplicate-cluster id (`group_id` = smallest doc id in the
     * cluster), cluster size, and a `keep` flag marking the canonical

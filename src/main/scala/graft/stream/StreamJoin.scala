@@ -31,4 +31,18 @@ object StreamJoin {
         right(rightTs) <= left(leftTs) + expr(s"INTERVAL $maxGap"),
       "inner")
       .drop(right(key))
+
+  /** Stream-static enrichment: every micro-batch left-joins the live
+    * stream against a STATIC dimension table (the airline/airport lookup
+    * the reference does per loader cycle in Postgres,
+    * load_warehouse.py:167-199 — here it happens inline in the stream,
+    * no round-trip). The static side is broadcast: each micro-batch is
+    * a map-side hash lookup, no shuffle of the stream, no streaming
+    * state at all (Spark re-plans the static side per batch, so a
+    * replaced dim TABLE is picked up on the next trigger at the
+    * source level). Left-outer keeps unmatched stream rows — enrichment
+    * must never drop events (the reference's dim misses become NULL
+    * keys, same semantics). */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

@@ -119,6 +119,28 @@ class GraphSpec extends SparkSpec {
     assert(a == b) // bit-identical, not approximately equal
   }
 
+  test("triangleCount: K4 has 4 triangles, 3 per node; paths have none") {
+    // K4 on 1..4, fed with duplicate and reversed edges (must dedup)
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(k4, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle identity: Σ per-node counts = 3 × triangle count (4 here)
+    assert(got.values.sum == 12L)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangleCount(path, "src", "dst").isEmpty)
+  }
+
+  test("triangleCount: hub graph counts only closed wedges") {
+    // star 0-{1,2,3} plus one closing edge 1-2: exactly one triangle
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("pagerank: dangling nodes keep the teleport floor") {
     // 1→2, 2 has no out-edges: 2 is a sink; 1 receives nothing
     val edges = Seq((1L, 2L)).toDF("src", "dst")

@@ -227,6 +227,27 @@ class StatefulStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("enrichStatic: per-batch broadcast dim lookup, misses survive as NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Obs]
+    val dim = Seq(("f1", "Alpha Air"), ("f2", "Beta Air"))
+      .toDF("key", "airline_name")
+    val q = graft.stream.StreamJoin.enrichStatic(ms.toDF(), dim, "key")
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(Obs("f1", t("2024-05-09T10:00:00Z"), 1.0),
+      Obs("fX", t("2024-05-09T11:00:00Z"), 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_sink").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("airline_name"))
+      .toMap
+    assert(rows == Map("f1" -> "Alpha Air", "fX" -> null))
+    // stateless: no streaming state operator exists for this query
+    assert(q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+  }
+
   test("backpressure: maxFilesPerTrigger bounds each micro-batch (ST7)") {
     val dir = java.nio.file.Files.createTempDirectory("bp").toString
     import spark.implicits._
