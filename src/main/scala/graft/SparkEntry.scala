@@ -1211,6 +1211,39 @@ object SparkEntry {
         round(col("n").cast("double") / col("row_total").cast("double"), 6))
   }
 
+  /** Join-size estimation from two independent CM sketches (the
+    * inner-product bound): what a cost model consults before committing
+    * a 100 TB join strategy. Both relations reduce to depth×width
+    * matrices independently; truth rides along for the bound check. */
+  private def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val a = ev.filter(col("event_id") % 2 === 0).select(col("user_id"))
+    val b = ev.filter(col("event_id") % 2 === 1).select(col("user_id"))
+    val est = ops.Sketch.cmJoinSize(
+      ops.Sketch.countMinMatrix(a, col("user_id"), 3, 64),
+      ops.Sketch.countMinMatrix(b, col("user_id"), 3, 64))
+    val truth = a.groupBy(col("user_id")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("nb")), "user_id")
+      .agg(sum(col("na").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("true_join_size"))
+    est.crossJoin(truth)
+      .select(col("est_join_size"), col("true_join_size"),
+        round(col("est_join_size").cast("double") /
+          col("true_join_size").cast("double"), 4).as("over_ratio"),
+        (col("est_join_size") >= col("true_join_size")).as("bound_holds"))
+  }
+
+  /** Per-day reconciliation checksums over events — the order-free
+    * md5-sum fingerprint that compares two 100 TB copies with one
+    * bucket-sized exchange per side (mismatched buckets then diff via
+    * q72's snapshotDiff on the slice). */
+  private def qTableChecksum(s: SparkSession, dir: String): DataFrame =
+    Merge.tableChecksum(t(s, dir, "events"),
+      Seq(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        col("value").cast("decimal(12,2)")),
+      to_date(col("ts")))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1308,7 +1341,9 @@ object SparkEntry {
     "q92_gram_matrix" -> (qGramMatrix _),
     "q93_pagerank" -> (qPagerank _),
     "q94_triangles" -> (qTriangles _),
-    "q95_transitions" -> (qTransitions _))
+    "q95_transitions" -> (qTransitions _),
+    "q96_join_size_est" -> (qJoinSizeEst _),
+    "q97_table_checksum" -> (qTableChecksum _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2121,5 +2156,35 @@ object SparkEntry {
         "SELECT event_type, next_type, n, " +
         "CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS row_total, " +
         "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p " +
-        "FROM p"))
+        "FROM p"),
+    "q96_join_size_est" -> {
+      def b(i: Int, item: String) =
+        s"CAST(CAST(('0x' || substr(md5('$i' || '|' || $item), 1, 8)) AS BIGINT) % 64 AS BIGINT)"
+      ("WITH a AS (SELECT user_id FROM events WHERE event_id % 2 = 0), " +
+        "bb AS (SELECT user_id FROM events WHERE event_id % 2 = 1), " +
+        (0 until 3).map(i =>
+          s"ca$i AS (SELECT ${b(i, "user_id")} AS bucket, count(*) AS cnt FROM a GROUP BY 1), " +
+          s"cb$i AS (SELECT ${b(i, "user_id")} AS bucket, count(*) AS cnt FROM bb GROUP BY 1), " +
+          s"d$i AS (SELECT sum(CAST(ca$i.cnt AS DECIMAL(19,0)) * CAST(cb$i.cnt AS DECIMAL(19,0))) AS dot " +
+          s"FROM ca$i JOIN cb$i ON ca$i.bucket = cb$i.bucket) ").mkString(", ") + ", " +
+        "est AS (SELECT CAST(least(d0.dot, d1.dot, d2.dot) AS DECIMAL(38,0)) AS est_join_size " +
+        "FROM d0 CROSS JOIN d1 CROSS JOIN d2), " +
+        "na AS (SELECT user_id, count(*) AS n FROM a GROUP BY 1), " +
+        "nb AS (SELECT user_id, count(*) AS n FROM bb GROUP BY 1), " +
+        "tr AS (SELECT CAST(sum(CAST(na.n AS DECIMAL(19,0)) * CAST(nb.n AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS true_join_size " +
+        "FROM na JOIN nb ON na.user_id = nb.user_id) " +
+        "SELECT est_join_size, true_join_size, " +
+        "round(CAST(est_join_size AS DOUBLE) / CAST(true_join_size AS DOUBLE), 4) AS over_ratio, " +
+        "est_join_size >= true_join_size AS bound_holds FROM est CROSS JOIN tr")
+    },
+    "q97_table_checksum" ->
+      ("WITH c AS (SELECT CAST(ts AS DATE) AS bucket, " +
+        "concat_ws('|', coalesce(CAST(event_id AS VARCHAR), '␀'), " +
+        "coalesce(CAST(user_id AS VARCHAR), '␀'), " +
+        "coalesce(event_type, '␀'), " +
+        "coalesce(strftime(ts, '%Y-%m-%d %H:%M:%S'), '␀'), " +
+        "coalesce(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), '␀')) AS canon FROM events) " +
+        "SELECT bucket, count(*) AS n_rows, " +
+        "CAST(sum(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum " +
+        "FROM c GROUP BY 1"))
 }

@@ -117,4 +117,29 @@ object Merge {
 
   def purge(staging: DataFrame, ingestCol: String, cutoff: org.apache.spark.sql.Column): DataFrame =
     staging.filter(col(ingestCol) > cutoff)
+
+  /** Per-bucket reconciliation fingerprint — the cheap cross-engine /
+    * cross-copy table comparison that [[snapshotDiff]]'s full-outer join
+    * is too expensive for at 100 TB: each bucket reduces to (row count,
+    * order-free checksum), two tables match iff every bucket row
+    * matches, and a mismatch names the bucket to diff precisely (run
+    * snapshotDiff on that slice only).
+    *
+    * Checksum = Σ md5-derived 60-bit integers over the canonicalized
+    * row rendering — commutative, so partitioning/order/retries don't
+    * matter, and md5 makes it portable to any engine (the library's
+    * shared hashing vocabulary). Sums run as decimal(38,0): 2^60-sized
+    * terms overflow a long within 300 rows. NULLs render as an explicit
+    * sentinel — concat_ws silently DROPS nulls, which would collide
+    * (a,NULL,b) with (a,b,NULL). Render doubles/timestamps to fixed
+    * strings before passing them in (q43's export-render contract). */
+  def tableChecksum(df: DataFrame, parts: Seq[org.apache.spark.sql.Column],
+      bucket: org.apache.spark.sql.Column): DataFrame = {
+    val canon = concat_ws("|",
+      parts.map(c => coalesce(c.cast("string"), lit("␀"))): _*)
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(canon), 1, 15), 16, 10)
+          .cast("decimal(38,0)")).as("checksum"))
+  }
 }

@@ -209,6 +209,24 @@ object Sketch {
       .select(outCols: _*)
   }
 
+  /** Equi-join cardinality estimate from two [[countMinMatrix]] sketches
+    * over the two join keys: the CM inner-product bound (Cormode &
+    * Muthukrishnan §4.3) — per sketch row, Σ_bucket cnt₁·cnt₂ upper-
+    * bounds Σ_key n₁(k)·n₂(k) (the true join size), and the min over
+    * rows tightens it. This is what a cost model wants BEFORE running a
+    * 100 TB join: both inputs reduce to depth×width matrices
+    * independently (map-side combined, mergeable by cell sum), the
+    * estimate itself joins two sketch-sized tables. Products run as
+    * decimals — two petabyte-scale counts multiply past long range. */
+  def cmJoinSize(m1: DataFrame, m2: DataFrame): DataFrame =
+    m1.select(col("row"), col("bucket"), col("cnt").as("c1"))
+      .join(m2.select(col("row"), col("bucket"), col("cnt").as("c2")),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("c1").cast("decimal(19,0)") *
+        col("c2").cast("decimal(19,0)")).as("dot"))
+      .agg(min(col("dot")).cast("decimal(38,0)").as("est_join_size"))
+
   /** Point estimates for each distinct item in `queries(itemCol)`:
     * min over rows of the item's bucket count. The matrix is
     * depth × width rows → broadcast joins. */

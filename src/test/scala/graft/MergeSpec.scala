@@ -126,4 +126,31 @@ class MergeSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter(col("k").isNull).count() == 2)
   }
+
+  test("tableChecksum: order-free match, mutation pinpoints its bucket") {
+    def sums(rows: Seq[(Long, String, String)]) =
+      Merge.tableChecksum(rows.toDF("id", "b", "v"),
+          Seq(col("id"), col("v")), col("b"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2))))
+        .toMap
+    val base = Seq((1L, "d1", "a"), (2L, "d1", "b"), (3L, "d2", "c"))
+    // reordered copy fingerprints identically (commutative sum)
+    assert(sums(base) == sums(base.reverse))
+    // one mutated cell: that bucket's checksum moves, count does not;
+    // the other bucket is untouched
+    val mutated = sums(Seq((1L, "d1", "a"), (2L, "d1", "X"), (3L, "d2", "c")))
+    val orig = sums(base)
+    assert(mutated("d1")._1 == orig("d1")._1)
+    assert(mutated("d1")._2 != orig("d1")._2)
+    assert(mutated("d2") == orig("d2"))
+  }
+
+  test("tableChecksum: NULL sentinel keeps null position significant") {
+    def one(a: Option[String], b: Option[String]) =
+      Merge.tableChecksum(Seq((a, b)).toDF("x", "y"),
+          Seq(col("x"), col("y")), lit("all"))
+        .collect()(0).getDecimal(2)
+    // concat_ws would collapse (a,NULL) and (NULL,a) without the sentinel
+    assert(one(Some("a"), None) != one(None, Some("a")))
+  }
 }

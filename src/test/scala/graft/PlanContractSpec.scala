@@ -173,6 +173,31 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
+  test("q90: posting cap plans as WindowGroupLimit — a stopword never ships its corpus") {
+    val p = plan("q90_inverted_index")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q92: gram matrix is ONE exchange — the sufficient-statistics aggregation") {
+    val p = plan("q92_gram_matrix")
+    // fanout RoundRobin + the (i,j) hash agg; nothing else may shuffle
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1000))
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "cell sums must combine map-side before the exchange")
+  }
+
+  test("q94: triangle orientation joins broadcast the node-sized degree table") {
+    val p = plan("q94_triangles")
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(1200))
+  }
+
+  test("q95: transition matrix — one stream-sized window shuffle, matrix-sized everything else") {
+    val p = plan("q95_transitions")
+    // exchanges: the (user) window partitioning, the (type, next) agg,
+    // and the matrix-sized row-total window — never a fourth
+    assert(count(p, "Exchange hashpartitioning") <= 3, p.take(1200))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._

@@ -389,6 +389,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).isNullAt(0)) // zero norm → NULL, not NaN
   }
 
+  test("cmJoinSize: inner-product bound holds; exact when buckets don't collide") {
+    import graft.ops.Sketch
+    val a = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(5)("y") ++ Seq.fill(4)("w")).toDF("k")
+    // true join size = 6·2 + 3·5 = 27
+    def est(width: Int) = Sketch.cmJoinSize(
+      Sketch.countMinMatrix(a, col("k"), 3, width),
+      Sketch.countMinMatrix(b, col("k"), 3, width))
+      .collect()(0).getDecimal(0).longValueExact()
+    assert(est(4096) == 27L)   // wide sketch: no collisions → exact
+    assert(est(2) >= 27L)      // collapsed sketch: still an upper bound
+  }
+
   test("invertedIndex: df/cf exact, posting lists capped and sorted") {
     val docs = Seq(
       (1L, "a b a"), (2L, "a c"), (3L, "a"), (4L, "b c c"))
