@@ -1244,6 +1244,23 @@ object SparkEntry {
         col("value").cast("decimal(12,2)")),
       to_date(col("ts")))
 
+  /** CDC roundtrip: derive a change feed between two snapshot variants
+    * of the customer dim, apply it back to the old snapshot, and emit
+    * the reconstructed table — the oracle is simply the NEW snapshot
+    * (applyChanges ∘ changeFeed ≡ identity, the roundtrip law). */
+  private def qCdcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val oldSnap = cust.filter(col("c_custkey") % 10 < 8)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 7 === 0, lit(0.0d))
+          .otherwise(col("c_acctbal")).as("bal"))
+    val newSnap = cust.filter(col("c_custkey") % 10 >= 2)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("bal"))
+    Merge.applyChanges(oldSnap,
+      Merge.changeFeed(oldSnap, newSnap, Seq("c_custkey"), Seq("c_name", "bal")),
+      Seq("c_custkey"), Seq("c_name", "bal"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1343,7 +1360,8 @@ object SparkEntry {
     "q94_triangles" -> (qTriangles _),
     "q95_transitions" -> (qTransitions _),
     "q96_join_size_est" -> (qJoinSizeEst _),
-    "q97_table_checksum" -> (qTableChecksum _))
+    "q97_table_checksum" -> (qTableChecksum _),
+    "q98_cdc_roundtrip" -> (qCdcRoundtrip _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2186,5 +2204,10 @@ object SparkEntry {
         "coalesce(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), '␀')) AS canon FROM events) " +
         "SELECT bucket, count(*) AS n_rows, " +
         "CAST(sum(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum " +
-        "FROM c GROUP BY 1"))
+        "FROM c GROUP BY 1"),
+    "q98_cdc_roundtrip" ->
+      // the roundtrip law IS the oracle: applying the derived change
+      // feed to the old snapshot must reproduce the new snapshot exactly
+      ("SELECT c_custkey, c_name, c_acctbal AS bal FROM customer " +
+        "WHERE c_custkey % 10 >= 2"))
 }

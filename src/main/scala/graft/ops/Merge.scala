@@ -53,6 +53,42 @@ object Merge {
       .filter(col("change") =!= "unchanged")
   }
 
+  /** [[snapshotDiff]] with the payload attached — a consumable CDC
+    * change feed: insert/update rows carry the NEW payload, delete rows
+    * carry the keys (payload NULL). Same single full-outer key join and
+    * change-sized output as snapshotDiff. */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ payload).map(col) :+
+      lit(true).as("__in_old"): _*).as("o")
+    val n = newDf.select((keys ++ payload).map(col) :+
+      lit(true).as("__in_new"): _*).as("n")
+    val allEq = payload.map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .foldLeft(lit(true))(_ && _)
+    o.join(n, keys, "full_outer")
+      .select(keys.map(col) ++
+        payload.map(c => col(s"n.$c").as(c)) :+
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(!allEq, lit("update"))
+          .otherwise(lit("unchanged")).as("change"): _*)
+      .filter(col("change") =!= "unchanged")
+  }
+
+  /** Apply a [[changeFeed]] to a snapshot — the CDC inverse:
+    * `applyChanges(old, changeFeed(old, new)) ≡ new` (the roundtrip law,
+    * MergeSpec). One left_anti join (drops updated + deleted keys) and a
+    * union of the feed's insert/update payloads. The feed is
+    * change-sized — at 100 TB the anti join broadcasts it or bucket-joins
+    * on the snapshot's existing key layout; the snapshot itself is never
+    * shuffled on a fresh partitioning. */
+  def applyChanges(snapshot: DataFrame, feed: DataFrame,
+      keys: Seq[String], payload: Seq[String]): DataFrame =
+    snapshot.select((keys ++ payload).map(col): _*)
+      .join(feed, keys, "left_anti")
+      .unionByName(feed.filter(col("change") =!= "delete")
+        .select((keys ++ payload).map(col): _*))
+
   /** U3: insert-if-absent (`ON CONFLICT DO NOTHING`): keep all existing
     * rows, add incoming rows whose key is unseen (left_anti = the
     * NOT-EXISTS rewrite, load_warehouse.py:199-202). */

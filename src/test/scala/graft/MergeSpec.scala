@@ -127,6 +127,29 @@ class MergeSpec extends SparkSpec {
     assert(out.filter(col("k").isNull).count() == 2)
   }
 
+  test("changeFeed/applyChanges roundtrip: apply(old, feed(old,new)) ≡ new") {
+    val oldS = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val newS = Seq((2L, "b", 25.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal") // 1 deleted, 2 updated, 3 unchanged, 4 inserted
+    val feed = Merge.changeFeed(oldS, newS, Seq("k"), Seq("name", "bal"))
+    val byChange = feed.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byChange == Map(1L -> "delete", 2L -> "update", 4L -> "insert"))
+    val applied = Merge.applyChanges(oldS, feed, Seq("k"), Seq("name", "bal"))
+    assert(applied.collect().toSet == newS.collect().toSet)
+  }
+
+  test("applyChanges: empty feed is the identity; delete-only feed removes rows") {
+    val snap = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "bal")
+    val none = Merge.changeFeed(snap, snap, Seq("k"), Seq("name", "bal"))
+    assert(none.isEmpty)
+    assert(Merge.applyChanges(snap, none, Seq("k"), Seq("name", "bal"))
+      .collect().toSet == snap.collect().toSet)
+    val gone = Merge.changeFeed(snap, snap.limit(0), Seq("k"), Seq("name", "bal"))
+    assert(Merge.applyChanges(snap, gone, Seq("k"), Seq("name", "bal")).isEmpty)
+  }
+
   test("tableChecksum: order-free match, mutation pinpoints its bucket") {
     def sums(rows: Seq[(Long, String, String)]) =
       Merge.tableChecksum(rows.toDF("id", "b", "v"),
