@@ -1261,6 +1261,31 @@ object SparkEntry {
       Seq("c_custkey"), Seq("c_name", "bal"))
   }
 
+  /** Trailing range-frame rolling aggregate + period-over-period delta:
+    * the two window frames the tumbling/sliding family (q29/q30) does
+    * not cover — a RANGE frame over a gappy day series (3 calendar days,
+    * not 3 rows: missing days still shrink the frame) and lag(). Daily
+    * partials reduce first (map-side combined), so the window runs over
+    * the day-grain table, never the event stream. */
+  private def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("day_v"),
+        count(lit(1)).as("day_n"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val rolling = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day_num"))
+      .rangeBetween(-2, 0)
+    val byDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day_num"))
+    daily.select(col("event_type"), col("day"),
+        round(col("day_v").cast("double"), 4).as("day_v"), col("day_n"),
+        round(sum(col("day_v")).over(rolling).cast("double"), 4).as("roll3_v"),
+        sum(col("day_n")).over(rolling).as("roll3_n"),
+        round((col("day_v") - lag(col("day_v"), 1).over(byDay))
+          .cast("double"), 4).as("dod_delta"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1361,7 +1386,8 @@ object SparkEntry {
     "q95_transitions" -> (qTransitions _),
     "q96_join_size_est" -> (qJoinSizeEst _),
     "q97_table_checksum" -> (qTableChecksum _),
-    "q98_cdc_roundtrip" -> (qCdcRoundtrip _))
+    "q98_cdc_roundtrip" -> (qCdcRoundtrip _),
+    "q99_rolling_window" -> (qRollingWindow _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2209,5 +2235,16 @@ object SparkEntry {
       // the roundtrip law IS the oracle: applying the derived change
       // feed to the old snapshot must reproduce the new snapshot exactly
       ("SELECT c_custkey, c_name, c_acctbal AS bal FROM customer " +
-        "WHERE c_custkey % 10 >= 2"))
+        "WHERE c_custkey % 10 >= 2"),
+    "q99_rolling_window" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "sum(CAST(value AS DECIMAL(18,4))) AS day_v, count(*) AS day_n, " +
+        "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num " +
+        "FROM events GROUP BY 1, 2, 5) " +
+        "SELECT event_type, day, round(CAST(day_v AS DOUBLE), 4) AS day_v, day_n, " +
+        "round(CAST(sum(day_v) OVER w AS DOUBLE), 4) AS roll3_v, " +
+        "CAST(sum(day_n) OVER w AS BIGINT) AS roll3_n, " +
+        "round(CAST(day_v - lag(day_v, 1) OVER (PARTITION BY event_type ORDER BY day_num) AS DOUBLE), 4) AS dod_delta " +
+        "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_num " +
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)"))
 }
