@@ -141,10 +141,16 @@ object TextStats {
       .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
       .persist()
     val bi = bigAll.filter(col("bc") >= minCount)
-    val tTot = uni.agg(sum(col("uc"))).first().getLong(0).toDouble
+    // sum() of an empty table is one NULL row — default the totals (any
+    // finite value works: the scored output is empty regardless)
+    def total(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val r = df.agg(sum(col(c))).first()
+      if (r.isNullAt(0)) 1.0 else r.getLong(0).toDouble
+    }
+    val tTot = total(uni, "uc")
     // bigram total over ALL bigrams (support filter must not bias P(ab));
     // summed off the grouped table — the corpus explodes exactly once
-    val bTot = bigAll.agg(sum(col("bc"))).first().getLong(0).toDouble
+    val bTot = total(bigAll, "bc")
     val w1 = split(col("bigram"), " ").getItem(0)
     val w2 = split(col("bigram"), " ").getItem(1)
     bi.withColumn("w1", w1).withColumn("w2", w2)

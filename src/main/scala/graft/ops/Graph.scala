@@ -237,13 +237,19 @@ object Graph {
     * degree² (billions) vs its √E cap. Degrees are a node-sized
     * broadcast; the two joins are edge-keyed hash joins. */
   def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // e feeds three consumers (two degree broadcast builds + the fwd
+    // join input) and fwd three join roles — persist both, or the
+    // upstream edge derivation (often a heavy self-join) re-executes
+    // per consumer and the O(E^1.5) story is off by a constant 3
     val e = edges.select(
         least(col(src), col(dst)).cast("long").as("lo"),
         greatest(col(src), col(dst)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
+      .persist()
     val deg = e.select(explode(array(col("lo"), col("hi"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .persist()
     val fwdFirst = col("d1") < col("d2") ||
       (col("d1") === col("d2") && col("lo") < col("hi"))
     val fwd = e

@@ -36,20 +36,31 @@ object Merge {
     * IS NOT DISTINCT FROM. Unchanged keys are filtered out, so the
     * output is change-sized, not table-sized. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    diffChanges(oldDf, newDf, keys, payload, withPayload = false)
+
+  /** Shared body of [[snapshotDiff]] / [[changeFeed]]: ONE full-outer
+    * key join, null-safe payload compare, change-typed + change-sized
+    * output. Empty payload = presence-only diff: no row can ever be an
+    * update. */
+  private def diffChanges(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], payload: Seq[String],
+      withPayload: Boolean): DataFrame = {
     val o = oldDf.select((keys ++ payload).map(col) :+
       lit(true).as("__in_old"): _*).as("o")
     val n = newDf.select((keys ++ payload).map(col) :+
       lit(true).as("__in_new"): _*).as("n")
-    // empty payload = presence-only diff: no row can ever be an update
     val allEq = payload.map(c => col(s"o.$c") <=> col(s"n.$c"))
       .foldLeft(lit(true))(_ && _)
+    val change = when(col("__in_old").isNull, lit("insert"))
+      .when(col("__in_new").isNull, lit("delete"))
+      .when(!allEq, lit("update"))
+      .otherwise(lit("unchanged")).as("change")
+    val outCols = keys.map(col) ++
+      (if (withPayload) payload.map(c => col(s"n.$c").as(c)) else Nil) :+
+      change
     o.join(n, keys, "full_outer")
-      .select(keys.map(col) :+
-        when(col("__in_old").isNull, lit("insert"))
-          .when(col("__in_new").isNull, lit("delete"))
-          .when(!allEq, lit("update"))
-          .otherwise(lit("unchanged")).as("change"): _*)
+      .select(outCols: _*)
       .filter(col("change") =!= "unchanged")
   }
 
@@ -58,22 +69,8 @@ object Merge {
     * carry the keys (payload NULL). Same single full-outer key join and
     * change-sized output as snapshotDiff. */
   def changeFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
-      payload: Seq[String]): DataFrame = {
-    val o = oldDf.select((keys ++ payload).map(col) :+
-      lit(true).as("__in_old"): _*).as("o")
-    val n = newDf.select((keys ++ payload).map(col) :+
-      lit(true).as("__in_new"): _*).as("n")
-    val allEq = payload.map(c => col(s"o.$c") <=> col(s"n.$c"))
-      .foldLeft(lit(true))(_ && _)
-    o.join(n, keys, "full_outer")
-      .select(keys.map(col) ++
-        payload.map(c => col(s"n.$c").as(c)) :+
-        when(col("__in_old").isNull, lit("insert"))
-          .when(col("__in_new").isNull, lit("delete"))
-          .when(!allEq, lit("update"))
-          .otherwise(lit("unchanged")).as("change"): _*)
-      .filter(col("change") =!= "unchanged")
-  }
+      payload: Seq[String]): DataFrame =
+    diffChanges(oldDf, newDf, keys, payload, withPayload = true)
 
   /** Apply a [[changeFeed]] to a snapshot — the CDC inverse:
     * `applyChanges(old, changeFeed(old, new)) ≡ new` (the roundtrip law,
@@ -83,11 +80,16 @@ object Merge {
     * on the snapshot's existing key layout; the snapshot itself is never
     * shuffled on a fresh partitioning. */
   def applyChanges(snapshot: DataFrame, feed: DataFrame,
-      keys: Seq[String], payload: Seq[String]): DataFrame =
+      keys: Seq[String], payload: Seq[String]): DataFrame = {
+    // the feed has two consumers (anti-join probe + union branch): a
+    // DERIVED feed (changeFeed's full-outer diff) would otherwise
+    // execute its table-sized join twice in one action
+    val f = feed.persist()
     snapshot.select((keys ++ payload).map(col): _*)
-      .join(feed, keys, "left_anti")
-      .unionByName(feed.filter(col("change") =!= "delete")
+      .join(f, keys, "left_anti")
+      .unionByName(f.filter(col("change") =!= "delete")
         .select((keys ++ payload).map(col): _*))
+  }
 
   /** U3: insert-if-absent (`ON CONFLICT DO NOTHING`): keep all existing
     * rows, add incoming rows whose key is unseen (left_anti = the

@@ -182,7 +182,7 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q92_gram_matrix")
     // fanout RoundRobin + the (i,j) hash agg; nothing else may shuffle
     assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1000))
-    assert(p.contains("partial_sum") || p.contains("partial_"),
+    assert(p.contains("partial_sum"),
       "cell sums must combine map-side before the exchange")
   }
 
