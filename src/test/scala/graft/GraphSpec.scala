@@ -141,6 +141,55 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("triangleCount matches brute-force enumeration on random graphs") {
+    for (seed <- 1 to 3) {
+      // deterministic pseudo-random graph on 20 nodes
+      val edges = (0 until 60).map { i =>
+        val h = (i * 2654435761L + seed * 40503L) & 0x7fffffffL
+        ((h % 20), ((h / 20) % 20))
+      }.filter(e => e._1 != e._2).distinct
+      val undirected = edges.map { case (a, b) => (a min b, a max b) }.toSet
+      // brute force: all node triples with all three edges present
+      val nodes = undirected.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expected = scala.collection.mutable.Map[Long, Long]()
+      for {
+        Seq(a, b, c) <- nodes.combinations(3)
+        if undirected((a, b)) && undirected((b, c)) && undirected((a, c))
+      } Seq(a, b, c).foreach(n => expected(n) = expected.getOrElse(n, 0L) + 1)
+      val got = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected.toMap, s"seed $seed")
+    }
+  }
+
+  test("pagerank matches an exact driver replay of the snapped arithmetic") {
+    // driver-side replication of the EXACT snapping grid — not an
+    // approximate reference: results must be bit-identical
+    val edges = (0 until 80).map { i =>
+      val h = (i * 1103515245L + 12345L) & 0x7fffffffL
+      ((h % 12), ((h / 12) % 12))
+    }.filter(e => e._1 != e._2).distinct
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def snap12(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    var rank = nodes.map(_ -> snap6(1.0 / n)).toMap
+    for (_ <- 1 to 3) {
+      // BigDecimal mass sum mirrors the engine's decimal(28,14) exactly
+      val mass = scala.collection.mutable.Map[Long, BigDecimal]()
+      for ((s, d) <- edges) {
+        val c = BigDecimal(snap12(rank(s) / outdeg(s))).setScale(14)
+        mass(d) = mass.getOrElse(d, BigDecimal(0)) + c
+      }
+      rank = nodes.map(nd => nd -> snap6(
+        0.15 / n + 0.85 * mass.getOrElse(nd, BigDecimal(0)).toDouble)).toMap
+    }
+    val got = Graph.pagerank(edges.toDF("src", "dst"), "src", "dst", 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got == rank)
+  }
+
   test("pagerank: dangling nodes keep the teleport floor") {
     // 1→2, 2 has no out-edges: 2 is a sink; 1 receives nothing
     val edges = Seq((1L, 2L)).toDF("src", "dst")
