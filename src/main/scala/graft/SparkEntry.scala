@@ -1286,6 +1286,37 @@ object SparkEntry {
           .cast("double"), 4).as("dod_delta"))
   }
 
+  /** Incremental MV maintenance end-to-end: build the per-type
+    * (n, sum_v) aggregate over an OLD snapshot, derive the full CDC feed
+    * to a NEW snapshot (with updates that change values AND move rows
+    * between groups), delta-apply it — the oracle aggregates the new
+    * snapshot directly (the maintenance law). Refresh cost tracks the
+    * change volume, never the base table. */
+  private def qIncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def snap(pred: Column, mutate: Boolean) = {
+      val grp = if (mutate)
+        when(col("event_id") % 13 === 0, lit("moved"))
+          .otherwise(col("event_type"))
+      else col("event_type")
+      val v = if (mutate)
+        when(col("event_id") % 7 === 0, col("value") + 1d)
+          .otherwise(col("value"))
+      else col("value")
+      ev.filter(pred).select(col("event_id"), grp.as("event_type"),
+        v.cast("decimal(18,4)").as("value"))
+    }
+    val oldSnap = snap(col("event_id") % 10 < 8, mutate = false)
+    val newSnap = snap(col("event_id") % 10 >= 2, mutate = true)
+    val mv = oldSnap.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+    val feed = Merge.changeFeedFull(oldSnap, newSnap, Seq("event_id"),
+      Seq("event_type", "value"))
+    Merge.incrementalAggApply(mv, feed, "event_type", "value")
+      .select(col("event_type"), col("n"),
+        round(col("sum_v").cast("double"), 4).as("sum_v"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1387,7 +1418,8 @@ object SparkEntry {
     "q96_join_size_est" -> (qJoinSizeEst _),
     "q97_table_checksum" -> (qTableChecksum _),
     "q98_cdc_roundtrip" -> (qCdcRoundtrip _),
-    "q99_rolling_window" -> (qRollingWindow _))
+    "q99_rolling_window" -> (qRollingWindow _),
+    "q100_incremental_mv" -> (qIncrementalMv _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2246,5 +2278,14 @@ object SparkEntry {
         "CAST(sum(day_n) OVER w AS BIGINT) AS roll3_n, " +
         "round(CAST(day_v - lag(day_v, 1) OVER (PARTITION BY event_type ORDER BY day_num) AS DOUBLE), 4) AS dod_delta " +
         "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_num " +
-        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)"))
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)"),
+    "q100_incremental_mv" ->
+      // the maintenance law IS the oracle: the delta-applied MV must
+      // equal the aggregate computed directly over the new snapshot
+      ("WITH ns AS (SELECT " +
+        "CASE WHEN event_id % 13 = 0 THEN 'moved' ELSE event_type END AS event_type, " +
+        "CAST(CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS DECIMAL(18,4)) AS value " +
+        "FROM events WHERE event_id % 10 >= 2) " +
+        "SELECT event_type, count(*) AS n, " +
+        "round(CAST(sum(value) AS DOUBLE), 4) AS sum_v FROM ns GROUP BY 1"))
 }

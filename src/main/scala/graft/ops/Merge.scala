@@ -39,13 +39,23 @@ object Merge {
       payload: Seq[String]): DataFrame =
     diffChanges(oldDf, newDf, keys, payload, withPayload = false)
 
-  /** Shared body of [[snapshotDiff]] / [[changeFeed]]: ONE full-outer
-    * key join, null-safe payload compare, change-typed + change-sized
-    * output. Empty payload = presence-only diff: no row can ever be an
-    * update. */
+  /** [[changeFeed]] carrying BOTH payload sides (`old_*` / `new_*`) —
+    * what downstream DELTA consumers need: incremental aggregate
+    * maintenance must subtract the old values (delete/update) and add
+    * the new (insert/update), and an update may move a row between
+    * groups. Same single full-outer join. */
+  def changeFeedFull(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame =
+    diffChanges(oldDf, newDf, keys, payload, withPayload = true,
+      withOldPayload = true)
+
+  /** Shared body of [[snapshotDiff]] / [[changeFeed]] /
+    * [[changeFeedFull]]: ONE full-outer key join, null-safe payload
+    * compare, change-typed + change-sized output. Empty payload =
+    * presence-only diff: no row can ever be an update. */
   private def diffChanges(oldDf: DataFrame, newDf: DataFrame,
       keys: Seq[String], payload: Seq[String],
-      withPayload: Boolean): DataFrame = {
+      withPayload: Boolean, withOldPayload: Boolean = false): DataFrame = {
     val o = oldDf.select((keys ++ payload).map(col) :+
       lit(true).as("__in_old"): _*).as("o")
     val n = newDf.select((keys ++ payload).map(col) :+
@@ -57,8 +67,11 @@ object Merge {
       .when(!allEq, lit("update"))
       .otherwise(lit("unchanged")).as("change")
     val outCols = keys.map(col) ++
-      (if (withPayload) payload.map(c => col(s"n.$c").as(c)) else Nil) :+
-      change
+      (if (withOldPayload)
+        payload.map(c => col(s"o.$c").as(s"old_$c")) ++
+          payload.map(c => col(s"n.$c").as(s"new_$c"))
+      else if (withPayload) payload.map(c => col(s"n.$c").as(c))
+      else Nil) :+ change
     o.join(n, keys, "full_outer")
       .select(outCols: _*)
       .filter(col("change") =!= "unchanged")
@@ -89,6 +102,41 @@ object Merge {
       .join(f, keys, "left_anti")
       .unionByName(f.filter(col("change") =!= "delete")
         .select((keys ++ payload).map(col): _*))
+  }
+
+  /** Incremental materialized-view maintenance — apply a
+    * [[changeFeedFull]] to a per-group (n, sum_v) aggregate table
+    * WITHOUT rescanning the base table: delete/update subtract the old
+    * row's contribution, insert/update add the new one (an update that
+    * moves a row between groups does both, in different groups). The
+    * maintenance law `apply(agg(old), feed(old, new)) ≡ agg(new)` holds
+    * EXACTLY when `sum_v` is decimal (MergeSpec asserts equality, q100
+    * oracles it end-to-end).
+    *
+    * Scale shape: deltas aggregate feed-sized input down to touched
+    * groups (map-side combined), then ONE group-keyed outer join against
+    * the MV — at 100 TB the refresh cost tracks the CHANGE volume, not
+    * the base table; this is q65's mergeable-partials algebra driven by
+    * CDC instead of by partition. Groups emptied by deletes (n = 0)
+    * leave the view. `mv` must carry (grp, n, sum_v). */
+  def incrementalAggApply(mv: DataFrame, feed: DataFrame,
+      grp: String, value: String): DataFrame = {
+    val minus = feed.filter(col("change").isin("delete", "update"))
+      .select(col(s"old_$grp").as(grp), lit(-1L).as("dn"),
+        (-col(s"old_$value")).as("dv"))
+    val plus = feed.filter(col("change").isin("insert", "update"))
+      .select(col(s"new_$grp").as(grp), lit(1L).as("dn"),
+        col(s"new_$value").as("dv"))
+    val delta = minus.unionByName(plus)
+      .groupBy(col(grp))
+      .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+    mv.join(delta, Seq(grp), "full_outer")
+      .select(col(grp),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), lit(0).cast(mv.schema("sum_v").dataType)) +
+          coalesce(col("dv"), lit(0).cast(mv.schema("sum_v").dataType)))
+          .as("sum_v"))
+      .filter(col("n") > 0)
   }
 
   /** U3: insert-if-absent (`ON CONFLICT DO NOTHING`): keep all existing

@@ -150,6 +150,39 @@ class MergeSpec extends SparkSpec {
     assert(Merge.applyChanges(snap, gone, Seq("k"), Seq("name", "bal")).isEmpty)
   }
 
+  test("incrementalAggApply: maintenance law apply(agg(old), feed) ≡ agg(new)") {
+    def mkRows(seed: Int) = (0 until 120).map { i =>
+      val h = i * 2654435761L + seed
+      (i.toLong, s"g${h % 5}", BigDecimal((h % 1000) / 10.0).setScale(4))
+    }
+    // new snapshot: drop a band of keys, add another, move some rows
+    // between groups, change some values
+    val oldRows = mkRows(1).filter(_._1 % 10 < 8)
+    val newRows = mkRows(1).filter(_._1 % 10 >= 2).map { case (k, g, v) =>
+      val g2 = if (k % 13 == 0) "moved" else g
+      val v2 = if (k % 7 == 0) v + 1 else v
+      (k, g2, v2)
+    }
+    def agg(rows: Seq[(Long, String, BigDecimal)]) =
+      rows.toDF("k", "grp", "value").groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_v"))
+    val feed = Merge.changeFeedFull(
+      oldRows.toDF("k", "grp", "value"), newRows.toDF("k", "grp", "value"),
+      Seq("k"), Seq("grp", "value"))
+    val applied = Merge.incrementalAggApply(agg(oldRows), feed, "grp", "value")
+      .select(col("grp"), col("n"), col("sum_v").cast("decimal(18,4)"))
+    val direct = agg(newRows)
+      .select(col("grp"), col("n"), col("sum_v").cast("decimal(18,4)"))
+    assert(applied.collect().toSet == direct.collect().toSet)
+    // a group fully deleted must leave the view
+    val gone = Merge.incrementalAggApply(agg(oldRows),
+      Merge.changeFeedFull(oldRows.toDF("k", "grp", "value"),
+        oldRows.filter(_._2 != "g0").toDF("k", "grp", "value"),
+        Seq("k"), Seq("grp", "value")), "grp", "value")
+    assert(gone.filter(col("grp") === "g0").isEmpty)
+  }
+
   test("tableChecksum: order-free match, mutation pinpoints its bucket") {
     def sums(rows: Seq[(Long, String, String)]) =
       Merge.tableChecksum(rows.toDF("id", "b", "v"),
