@@ -11,6 +11,8 @@ import graft.stream.StatefulLatest
 
 case class Obs(key: String, ts: Timestamp, value: Double)
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
+case class Cdc(k: Long, old_grp: String, old_value: java.math.BigDecimal,
+  new_grp: String, new_value: java.math.BigDecimal, change: String)
 
 /** Stateful streaming semantics: flatMapGroupsWithState latest-per-key
   * with event-time TTL (streaming-native form of the loader's
@@ -245,6 +247,38 @@ class StatefulStreamSpec extends SparkSpec {
     assert(rows == Map("f1" -> "Alpha Air", "fX" -> null))
     // stateless: no streaming state operator exists for this query
     assert(q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+  }
+
+  test("StreamMv: CDC batches maintain the view; streaming ≡ direct aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dec(d: Double) = new java.math.BigDecimal(d).setScale(4)
+    val ms = MemoryStream[Cdc]
+    // initial view: g1 has 2 rows totalling 30, g2 has 1 row of 5
+    val initial = Seq(("g1", 2L, dec(30.0)), ("g2", 1L, dec(5.0)))
+      .toDF("grp", "n", "sum_v").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("mv").toString
+    val (q, view) = graft.stream.StreamMv.start(
+      ms.toDF(), initial, "grp", "value", dir, "mv_q")
+    def snapshot() = view().as[(String, Long, java.math.BigDecimal)]
+      .collect().map(r => r._1 -> ((r._2, r._3.setScale(4)))).toMap
+
+    // batch 1: insert into g1, update moves a row g1 → g3
+    ms.addData(
+      Cdc(10L, null, null, "g1", dec(7.0), "insert"),
+      Cdc(11L, "g1", dec(10.0), "g3", dec(11.0), "update"))
+    q.processAllAvailable()
+    assert(snapshot() == Map(
+      "g1" -> ((2L, dec(27.0))), // +1 insert(7), -1 moved(10)
+      "g2" -> ((1L, dec(5.0))),
+      "g3" -> ((1L, dec(11.0)))))
+
+    // batch 2: delete empties g2 — the group leaves the view
+    ms.addData(Cdc(12L, "g2", dec(5.0), null, null, "delete"))
+    q.processAllAvailable()
+    assert(snapshot() == Map(
+      "g1" -> ((2L, dec(27.0))), "g3" -> ((1L, dec(11.0)))))
     q.stop()
   }
 
