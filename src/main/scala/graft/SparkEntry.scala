@@ -1317,6 +1317,35 @@ object SparkEntry {
         round(col("sum_v").cast("double"), 4).as("sum_v"))
   }
 
+  /** Time-weighted average over an irregular event series (TWAP): each
+    * observation holds until the next one, so its weight is the
+    * microsecond gap to the successor — the correct average for
+    * irregularly-sampled state (sensor readings, prices, delay
+    * telemetry), where the plain mean over-weights bursts. One (key,
+    * time) window for lead(), then a map-side-combined aggregation of
+    * exact decimal (value × duration) products; the last observation
+    * per key carries no interval and drops out. */
+  private def qTwap(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"), col("event_id"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("v"),
+        (unix_micros(col("next_ts").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp"))).as("dur"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("dur")).as("total_us"),
+        round((sum(col("v") * col("dur").cast("decimal(20,0)")).cast("double") /
+          sum(col("dur")).cast("double")), 6).as("twap"),
+        // plain mean via exact decimal sum / exact count — a double avg
+        // would drift with partition summation order
+        round(sum(col("v")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("plain_mean"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1419,7 +1448,8 @@ object SparkEntry {
     "q97_table_checksum" -> (qTableChecksum _),
     "q98_cdc_roundtrip" -> (qCdcRoundtrip _),
     "q99_rolling_window" -> (qRollingWindow _),
-    "q100_incremental_mv" -> (qIncrementalMv _))
+    "q100_incremental_mv" -> (qIncrementalMv _),
+    "q101_twap" -> (qTwap _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2287,5 +2317,14 @@ object SparkEntry {
         "CAST(CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS DECIMAL(18,4)) AS value " +
         "FROM events WHERE event_id % 10 >= 2) " +
         "SELECT event_type, count(*) AS n, " +
-        "round(CAST(sum(value) AS DOUBLE), 4) AS sum_v FROM ns GROUP BY 1"))
+        "round(CAST(sum(value) AS DOUBLE), 4) AS sum_v FROM ns GROUP BY 1"),
+    "q101_twap" ->
+      ("WITH s AS (SELECT event_type, ts, value, event_id, " +
+        "lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_ts FROM events), " +
+        "d AS (SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v, " +
+        "epoch_us(next_ts) - epoch_us(ts) AS dur FROM s WHERE next_ts IS NOT NULL) " +
+        "SELECT event_type, CAST(sum(dur) AS BIGINT) AS total_us, " +
+        "round(CAST(sum(v * CAST(dur AS DECIMAL(20,0))) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6) AS twap, " +
+        "round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS plain_mean " +
+        "FROM d GROUP BY 1"))
 }
