@@ -1346,6 +1346,31 @@ object SparkEntry {
           .as("plain_mean"))
   }
 
+  /** Per-group closed-form linear regression (value vs day), entirely
+    * in-plan — no driver step, unlike q92's general solve: for d = 1 the
+    * normal equations collapse to slope = (n·Sxy − Sx·Sy) / (n·Sxx −
+    * Sx²), so ONE map-side-combined aggregation of decimal sufficient
+    * statistics per group fits millions of independent regressions in a
+    * single pass (per-entity trend fitting at 100 TB). Day-grain x keeps
+    * decimal magnitudes bounded; the only doubles are the final rounded
+    * divisions. */
+  private def qGroupRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = datediff(to_date(col("ts")), lit("2023-01-01").cast("date"))
+      .cast("decimal(10,0)")
+    val y = col("value").cast("decimal(18,4)")
+    val stats = t(s, dir, "events")
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(20,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    stats.select(col("event_type"), col("n").cast("long").as("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+        .as("slope_per_day"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1449,7 +1474,8 @@ object SparkEntry {
     "q98_cdc_roundtrip" -> (qCdcRoundtrip _),
     "q99_rolling_window" -> (qRollingWindow _),
     "q100_incremental_mv" -> (qIncrementalMv _),
-    "q101_twap" -> (qTwap _))
+    "q101_twap" -> (qTwap _),
+    "q102_group_regression" -> (qGroupRegression _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2326,5 +2352,15 @@ object SparkEntry {
         "SELECT event_type, CAST(sum(dur) AS BIGINT) AS total_us, " +
         "round(CAST(sum(v * CAST(dur AS DECIMAL(20,0))) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 6) AS twap, " +
         "round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS plain_mean " +
-        "FROM d GROUP BY 1"))
+        "FROM d GROUP BY 1"),
+    "q102_group_regression" ->
+      ("WITH p AS (SELECT event_type, " +
+        "CAST(datediff('day', DATE '2023-01-01', CAST(ts AS DATE)) AS DECIMAL(10,0)) AS x, " +
+        "CAST(value AS DECIMAL(18,4)) AS y FROM events), " +
+        "st AS (SELECT event_type, CAST(count(*) AS DECIMAL(20,0)) AS n, " +
+        "sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx " +
+        "FROM p GROUP BY 1) " +
+        "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day " +
+        "FROM st"))
 }
