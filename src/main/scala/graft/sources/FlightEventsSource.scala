@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,9 +105,12 @@ class FlightEventsTable extends Table with SupportsRead {
 
 class FlightScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownFilters {
   private var required: StructType = FlightSynth.schema
   private var limit: Long = Long.MaxValue
+  private var fLo: Long = 0L
+  private var fHi: Long = Long.MaxValue
+  private var accepted: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // the engine passes a subset of schema() in source field order
     required = requiredSchema
@@ -114,6 +118,42 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
   // the first n rows ARE the limit's result (fully, not partially, pushed)
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
   override def isPartiallyPushed: Boolean = false
+  // event_id IS the row index, so range predicates prune GENERATION —
+  // the source-side analog of parquet row-group pruning: a query for a
+  // key slice synthesizes only that slice, whatever `rows` says.
+  // Accepted filters are fully applied here (Spark drops them from the
+  // post-scan Filter); everything else stays residual.
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    def v(a: Any): Option[Long] = a match {
+      case n: Number => Some(n.longValue); case _ => None
+    }
+    val (sup, residual) = filters.partition {
+      case sources.EqualTo("event_id", a) => v(a).isDefined
+      case sources.GreaterThan("event_id", a) => v(a).isDefined
+      case sources.GreaterThanOrEqual("event_id", a) => v(a).isDefined
+      case sources.LessThan("event_id", a) => v(a).isDefined
+      case sources.LessThanOrEqual("event_id", a) => v(a).isDefined
+      case sources.IsNotNull("event_id") => true // never null: no-op
+      case _ => false
+    }
+    sup.foreach {
+      case sources.EqualTo(_, a) =>
+        v(a).foreach { x => fLo = math.max(fLo, x)
+          fHi = math.min(fHi, if (x == Long.MaxValue) x else x + 1) }
+      case sources.GreaterThan(_, a) =>
+        v(a).foreach(x => fLo = math.max(fLo, if (x == Long.MaxValue) x else x + 1))
+      case sources.GreaterThanOrEqual(_, a) =>
+        v(a).foreach(x => fLo = math.max(fLo, x))
+      case sources.LessThan(_, a) =>
+        v(a).foreach(x => fHi = math.min(fHi, x))
+      case sources.LessThanOrEqual(_, a) =>
+        v(a).foreach(x => fHi = math.min(fHi, if (x == Long.MaxValue) x else x + 1))
+      case _ => ()
+    }
+    accepted = sup
+    residual
+  }
+  override def pushedFilters(): Array[sources.Filter] = accepted
   override def build(): Scan = {
     val rows = options.getLong("rows", 1000L)
     val partitions = options.getInt("partitions", 8)
@@ -124,8 +164,15 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
     require(partitions > 0, s"flight_events: partitions=$partitions must be > 0")
     require(rowsPerBatch > 0, s"flight_events: rowsPerBatch=$rowsPerBatch must be > 0")
     require(stepSec > 0, s"flight_events: stepSec=$stepSec must be > 0")
+    // generation range: topic bounds ∩ pushed range, then LIMIT (which
+    // applies AFTER filters — the first n surviving rows)
+    val lo = math.min(math.max(0L, fLo), rows)
+    val hi0 = math.max(lo, math.min(rows, fHi))
+    val hi = if (limit == Long.MaxValue || lo + limit < 0) hi0
+      else math.min(hi0, lo + limit)
     new FlightScan(
-      rows = math.min(rows, limit),
+      lo = lo,
+      hi = hi,
       partitions = partitions,
       rowsPerBatch = rowsPerBatch,
       startTs = options.getLong("startTs", 1700000000L),
@@ -136,12 +183,13 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
 
 case class FlightRange(start: Long, end: Long) extends InputPartition
 
-class FlightScan(rows: Long, partitions: Int, rowsPerBatch: Long,
+class FlightScan(lo: Long, hi: Long, partitions: Int, rowsPerBatch: Long,
     startTs: Long, stepSec: Long, required: StructType)
     extends Scan with SupportsReportStatistics {
+  private val rows = hi - lo
   override def readSchema(): StructType = required
   override def description(): String =
-    s"flight_events rows=$rows cols=${required.fieldNames.mkString(",")}"
+    s"flight_events range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
   /** Exact statistics (the generator knows its own cardinality) — feeds
     * DataSourceV2Relation.computeStats, so join planning broadcasts a
@@ -171,7 +219,7 @@ class FlightScan(rows: Long, partitions: Int, rowsPerBatch: Long,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      split(0L, rows, partitions)
+      split(lo, hi, partitions)
     override def createReaderFactory(): PartitionReaderFactory = factory
   }
 
@@ -183,14 +231,17 @@ class FlightScan(rows: Long, partitions: Int, rowsPerBatch: Long,
       @volatile private var available = 0L
       override def initialOffset(): Offset = FlightOffset(0L)
       override def latestOffset(): Offset = {
-        available = math.min(rows, available + rowsPerBatch)
+        available = math.min(hi, available + rowsPerBatch)
         FlightOffset(available)
       }
       override def deserializeOffset(json: String): Offset =
         FlightOffset(json.trim.toLong)
+      // offsets are ABSOLUTE topic positions; a pushed event_id range
+      // intersects each batch's slice, so filtered streams replay the
+      // same (pruned) rows for the same offset pair
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-        split(start.asInstanceOf[FlightOffset].n,
-          end.asInstanceOf[FlightOffset].n, partitions)
+        split(math.max(start.asInstanceOf[FlightOffset].n, lo),
+          math.min(end.asInstanceOf[FlightOffset].n, hi), partitions)
       override def createReaderFactory(): PartitionReaderFactory = factory
       // a restarted stream resumes from the checkpoint's committed end:
       // fold it into `available` so latestOffset never reports behind it

@@ -48,8 +48,37 @@ class FlightSourceSpec extends SparkSpec {
       case b: BatchScanExec => b.scan
     }
     // the scan itself now generates 5 rows, not a million then a limit
-    assert(scans.head.description().contains("rows=5"), scans.head.description())
+    assert(scans.head.description().contains("range=[0,5)"),
+      scans.head.description())
     assert(df.count() == 5)
+  }
+
+  test("event_id range filters prune generation at the source") {
+    // a key-slice query on a billion-row topic synthesizes ONLY the slice
+    val df = read(1000000000, 8)
+      .filter(col("event_id") >= 1000 && col("event_id") < 1100)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(scan.description().contains("range=[1000,1100)"), scan.description())
+    val ids = df.select(col("event_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1000L until 1100L))
+    // filter + limit compose: limit applies AFTER the pushed range
+    val lim = read(1000000000, 8)
+      .filter(col("event_id") > 500).limit(3)
+    val limScan = lim.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(limScan.description().contains("range=[501,504)"),
+      limScan.description())
+    assert(lim.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(501L, 502L, 503L))
+    // an equality probe generates exactly one row
+    val eq = read(1000000000, 8).filter(col("event_id") === 777)
+    assert(eq.count() == 1)
+    // a contradictory range generates nothing
+    assert(read(1000, 8)
+      .filter(col("event_id") > 900 && col("event_id") < 100).isEmpty)
   }
 
   test("reported statistics drive broadcast join planning without a hint") {
