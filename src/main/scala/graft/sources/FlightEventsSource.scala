@@ -118,36 +118,73 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
   // the first n rows ARE the limit's result (fully, not partially, pushed)
   override def pushLimit(n: Int): Boolean = { limit = n.toLong; true }
   override def isPartiallyPushed: Boolean = false
-  // event_id IS the row index, so range predicates prune GENERATION —
-  // the source-side analog of parquet row-group pruning: a query for a
-  // key slice synthesizes only that slice, whatever `rows` says.
-  // Accepted filters are fully applied here (Spark drops them from the
-  // post-scan Filter); everything else stays residual.
+  // event_id IS the row index, and ts is strictly monotone in it
+  // (ts(i) = (startTs + i·stepSec) s), so range predicates on EITHER
+  // column prune GENERATION — the source-side analog of parquet
+  // row-group pruning: a key slice or a time slice on a billion-row
+  // topic synthesizes only the slice. Accepted filters are fully
+  // applied here (Spark drops them from the post-scan Filter);
+  // everything else stays residual.
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
-    def v(a: Any): Option[Long] = a match {
+    val startTs = options.getLong("startTs", 1700000000L)
+    val stepSec = options.getLong("stepSec", 60L)
+    def id(a: Any): Option[Long] = a match {
       case n: Number => Some(n.longValue); case _ => None
     }
-    val (sup, residual) = filters.partition {
-      case sources.EqualTo("event_id", a) => v(a).isDefined
-      case sources.GreaterThan("event_id", a) => v(a).isDefined
-      case sources.GreaterThanOrEqual("event_id", a) => v(a).isDefined
-      case sources.LessThan("event_id", a) => v(a).isDefined
-      case sources.LessThanOrEqual("event_id", a) => v(a).isDefined
-      case sources.IsNotNull("event_id") => true // never null: no-op
+    // micros of a pushed timestamp literal (Timestamp or Instant)
+    def tsUs(a: Any): Option[Long] = a match {
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + t.getNanos / 1000L % 1000L)
+      case t: java.time.Instant =>
+        Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case _ => None
+    }
+    val stepUs = stepSec * 1000000L
+    val baseUs = startTs * 1000000L
+    // smallest i with ts(i) >= us  /  largest-exclusive bound for < us
+    def ceilIdx(us: Long): Long = Math.floorDiv(us - baseUs + stepUs - 1, stepUs)
+    def supported(f: sources.Filter): Boolean = f match {
+      case sources.EqualTo(c, a) =>
+        (c == "event_id" && id(a).isDefined) || (c == "ts" && tsUs(a).isDefined)
+      case sources.GreaterThan(c, a) =>
+        (c == "event_id" && id(a).isDefined) || (c == "ts" && tsUs(a).isDefined)
+      case sources.GreaterThanOrEqual(c, a) =>
+        (c == "event_id" && id(a).isDefined) || (c == "ts" && tsUs(a).isDefined)
+      case sources.LessThan(c, a) =>
+        (c == "event_id" && id(a).isDefined) || (c == "ts" && tsUs(a).isDefined)
+      case sources.LessThanOrEqual(c, a) =>
+        (c == "event_id" && id(a).isDefined) || (c == "ts" && tsUs(a).isDefined)
+      case sources.IsNotNull("event_id") | sources.IsNotNull("ts") =>
+        true // never null: no-op
       case _ => false
     }
+    val (sup, residual) = filters.partition(supported)
+    def clampLo(x: Long): Unit = fLo = math.max(fLo, x)
+    def clampHi(x: Long): Unit = fHi = math.min(fHi, x)
     sup.foreach {
-      case sources.EqualTo(_, a) =>
-        v(a).foreach { x => fLo = math.max(fLo, x)
-          fHi = math.min(fHi, if (x == Long.MaxValue) x else x + 1) }
-      case sources.GreaterThan(_, a) =>
-        v(a).foreach(x => fLo = math.max(fLo, if (x == Long.MaxValue) x else x + 1))
-      case sources.GreaterThanOrEqual(_, a) =>
-        v(a).foreach(x => fLo = math.max(fLo, x))
-      case sources.LessThan(_, a) =>
-        v(a).foreach(x => fHi = math.min(fHi, x))
-      case sources.LessThanOrEqual(_, a) =>
-        v(a).foreach(x => fHi = math.min(fHi, if (x == Long.MaxValue) x else x + 1))
+      case sources.EqualTo("event_id", a) =>
+        id(a).foreach { x => clampLo(x)
+          clampHi(if (x == Long.MaxValue) x else x + 1) }
+      case sources.GreaterThan("event_id", a) =>
+        id(a).foreach(x => clampLo(if (x == Long.MaxValue) x else x + 1))
+      case sources.GreaterThanOrEqual("event_id", a) => id(a).foreach(clampLo)
+      case sources.LessThan("event_id", a) => id(a).foreach(clampHi)
+      case sources.LessThanOrEqual("event_id", a) =>
+        id(a).foreach(x => clampHi(if (x == Long.MaxValue) x else x + 1))
+      case sources.EqualTo("ts", a) => tsUs(a).foreach { us =>
+        // ts(i) = us has a solution only on the step grid
+        if ((us - baseUs) % stepUs == 0 && us >= baseUs) {
+          val i = (us - baseUs) / stepUs; clampLo(i); clampHi(i + 1)
+        } else { clampLo(0L); clampHi(0L) } // off-grid: empty
+      }
+      case sources.GreaterThan("ts", a) =>
+        tsUs(a).foreach(us => clampLo(ceilIdx(us + 1)))
+      case sources.GreaterThanOrEqual("ts", a) =>
+        tsUs(a).foreach(us => clampLo(ceilIdx(us)))
+      case sources.LessThan("ts", a) =>
+        tsUs(a).foreach(us => clampHi(ceilIdx(us)))
+      case sources.LessThanOrEqual("ts", a) =>
+        tsUs(a).foreach(us => clampHi(ceilIdx(us + 1)))
       case _ => ()
     }
     accepted = sup

@@ -81,6 +81,29 @@ class FlightSourceSpec extends SparkSpec {
       .filter(col("event_id") > 900 && col("event_id") < 100).isEmpty)
   }
 
+  test("ts range filters prune via the monotone time grid") {
+    // topic start 1700000000 = 2023-11-14T22:13:20Z, 60s steps.
+    // [22:20:00, 22:30:00) → offsets [400s, 1000s) → indices [7, 17)
+    val df = read(1000000000, 8).filter(
+      col("ts") >= lit("2023-11-14 22:20:00").cast("timestamp") &&
+        col("ts") < lit("2023-11-14 22:30:00").cast("timestamp"))
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(scan.description().contains("range=[7,17)"), scan.description())
+    assert(df.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      == (7L until 17L))
+    // on-grid equality → exactly one generated row
+    val eq = read(1000, 8).filter(
+      col("ts") === lit("2023-11-14 22:14:20").cast("timestamp")) // i = 1
+    assert(eq.select(col("event_id")).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    // off-grid equality can never match: generation is empty
+    val off = read(1000, 8).filter(
+      col("ts") === lit("2023-11-14 22:14:21").cast("timestamp"))
+    assert(off.isEmpty)
+  }
+
   test("reported statistics drive broadcast join planning without a hint") {
     val small = read(50).select(col("event_id").as("sid"), col("ts"))
     val big = spark.read
