@@ -198,6 +198,29 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 3, p.take(1200))
   }
 
+  test("q97: the reconciliation fingerprint is ONE bucket-keyed exchange") {
+    val p = plan("q97_table_checksum")
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1000))
+    assert(p.contains("partial_sum"), "checksum must combine map-side")
+  }
+
+  test("q101: TWAP — one window shuffle, then a map-side-combined agg") {
+    val p = plan("q101_twap")
+    // the (key) window partitioning is reused by the groupBy (same key):
+    // at most 2 exchanges ever, and products combine before any shuffle
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(1000))
+    assert(p.contains("partial_sum"), p.take(1000))
+  }
+
+  test("q102: a million regressions cost ONE exchange of sufficient statistics") {
+    val p = plan("q102_group_regression")
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1000))
+    assert(p.contains("partial_sum"), p.take(1000))
+    // the slope arithmetic runs post-agg in-plan: no driver step exists,
+    // so nothing but the agg exchange may appear
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
