@@ -1371,6 +1371,27 @@ object SparkEntry {
         .as("slope_per_day"))
   }
 
+  /** Data-quality constraint report over events + one referential check
+    * against customer: every per-column check is a violation count in
+    * ONE aggregation pass; the RI check adds one anti join. The gate a
+    * pipeline runs before promoting a snapshot. */
+  private def qQualityReport(s: SparkSession, dir: String): DataFrame = {
+    import ops.Quality
+    val ev = t(s, dir, "events")
+    val perCol = Quality.report(ev, Seq(
+      Quality.notNull("events.event_id not_null", col("event_id")),
+      Quality.unique("events.event_id unique", col("event_id")),
+      Quality.notNull("events.user_id not_null", col("user_id")),
+      Quality.inRange("events.value in [0,1000]", col("value"), 0d, 1000d),
+      Quality.inSet("events.event_type allowed",
+        col("event_type"), Seq("click", "view", "purchase", "signup", "search")),
+      Quality.satisfies("events.ts in 2023",
+        year(col("ts")) === 2023)))
+    val ri = Quality.referential("events.user_id references customer",
+      ev, col("user_id"), t(s, dir, "customer"), col("c_custkey"))
+    perCol.unionByName(ri)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1475,7 +1496,8 @@ object SparkEntry {
     "q99_rolling_window" -> (qRollingWindow _),
     "q100_incremental_mv" -> (qIncrementalMv _),
     "q101_twap" -> (qTwap _),
-    "q102_group_regression" -> (qGroupRegression _))
+    "q102_group_regression" -> (qGroupRegression _),
+    "q103_quality_report" -> (qQualityReport _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2362,5 +2384,25 @@ object SparkEntry {
         "FROM p GROUP BY 1) " +
         "SELECT event_type, CAST(n AS BIGINT) AS n, " +
         "round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day " +
-        "FROM st"))
+        "FROM st"),
+    "q103_quality_report" ->
+      ("WITH m AS (SELECT " +
+        "CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+        "CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c2, " +
+        "CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS c3, " +
+        "CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup','search')) THEN 1 ELSE 0 END) AS BIGINT) AS c4, " +
+        "CAST(sum(CASE WHEN NOT (year(ts) = 2023) THEN 1 ELSE 0 END) AS BIGINT) AS c5 " +
+        "FROM events), " +
+        "ri AS (SELECT CAST(count(*) AS BIGINT) AS v FROM events e " +
+        "WHERE user_id IS NOT NULL AND NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) " +
+        "SELECT \"constraint\", violations, violations = 0 AS pass FROM (" +
+        "SELECT 'events.event_id not_null' AS \"constraint\", c0 AS violations FROM m " +
+        "UNION ALL SELECT 'events.event_id unique', c1 FROM m " +
+        "UNION ALL SELECT 'events.user_id not_null', c2 FROM m " +
+        "UNION ALL SELECT 'events.value in [0,1000]', c3 FROM m " +
+        "UNION ALL SELECT 'events.event_type allowed', c4 FROM m " +
+        "UNION ALL SELECT 'events.ts in 2023', c5 FROM m " +
+        "UNION ALL SELECT 'events.user_id references customer', v FROM ri)"))
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints over a table — the validation
+  * gate a pipeline runs before promoting a snapshot (the lakehouse
+  * "expectations" pattern): each constraint reduces to a violation
+  * COUNT, so an arbitrary number of per-column checks evaluate in ONE
+  * map-side-combinable aggregation pass over the table (`stack` pivots
+  * the single agg row to the long-format report in-plan). Referential
+  * checks are the exception — they need the parent table — and cost one
+  * left_anti join each (broadcast when the parent's key set is dim-
+  * sized).
+  *
+  * All violation metrics are exact integer counts: the report is
+  * engine-portable and hash-stable (q103's oracle), and a `pass` bit
+  * derives in-plan. At 100 TB the whole per-table report costs one scan
+  * + one exchange of #checks rows.
+  */
+object Quality {
+
+  /** One constraint: a name and an aggregate expression counting its
+    * violations over the table. */
+  case class Check(name: String, violations: Column)
+
+  def notNull(name: String, c: Column): Check =
+    Check(name, sum(when(c.isNull, 1L).otherwise(0L)))
+
+  /** Uniqueness: rows beyond the first per value (NULLs not counted —
+    * pair with [[notNull]] for NOT NULL UNIQUE semantics). */
+  def unique(name: String, c: Column): Check =
+    Check(name, count(c) - countDistinct(c))
+
+  def inRange(name: String, c: Column, lo: Double, hi: Double): Check =
+    Check(name, sum(when(c < lo || c > hi, 1L).otherwise(0L)))
+
+  def inSet(name: String, c: Column, allowed: Seq[String]): Check =
+    Check(name, sum(when(!c.isin(allowed: _*), 1L).otherwise(0L)))
+
+  def satisfies(name: String, predicate: Column): Check =
+    Check(name, sum(when(!predicate, 1L).otherwise(0L)))
+
+  /** Evaluate all `checks` in one aggregation pass; returns
+    * (constraint, violations, pass). */
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val agged = df.agg(
+      coalesce(checks.head.violations, lit(0L)).as("c0"),
+      checks.tail.zipWithIndex.map { case (ch, i) =>
+        coalesce(ch.violations, lit(0L)).as(s"c${i + 1}") }: _*)
+    val stackArgs = checks.zipWithIndex
+      .map { case (ch, i) => s"'${ch.name.replace("'", "''")}', c$i" }
+      .mkString(", ")
+    agged
+      .select(expr(s"stack(${checks.length}, $stackArgs) AS (constraint, violations)"))
+      .withColumn("pass", col("violations") === 0L)
+  }
+
+  /** Referential integrity: child keys with no parent (NULL child keys
+    * are not violations — they are [[notNull]]'s job). One left_anti
+    * join; broadcast the parent key set when it is dim-sized. */
+  def referential(name: String, child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame =
+    child.select(childKey.as("__k")).filter(col("__k").isNotNull)
+      .join(parent.select(parentKey.as("__k")), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("constraint"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+}

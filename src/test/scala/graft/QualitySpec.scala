@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quality
+
+/** Declarative quality checks: exact violation counts, one-pass report
+  * shape, null semantics, referential integrity. */
+class QualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), Some("a"), 10.0),
+    (Some(2L), None, -5.0),        // null name, value below range
+    (Some(2L), Some("zz"), 2000.0), // dup id, name not allowed, above range
+    (None, Some("b"), 50.0))        // null id
+    .toDF("id", "name", "v")
+
+  test("report: each check counts exactly its violations, pass derives") {
+    val rep = Quality.report(df, Seq(
+      Quality.notNull("id not_null", col("id")),
+      Quality.unique("id unique", col("id")),
+      Quality.notNull("name not_null", col("name")),
+      Quality.inRange("v in [0,1000]", col("v"), 0d, 1000d),
+      Quality.inSet("name allowed", col("name"), Seq("a", "b"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(rep("id not_null") == ((1L, false)))
+    assert(rep("id unique") == ((1L, false))) // ids 1,2,2 → one extra 2
+    assert(rep("name not_null") == ((1L, false)))
+    assert(rep("v in [0,1000]") == ((2L, false)))
+    // NULL name is not an inSet violation (notNull's job)
+    assert(rep("name allowed") == ((1L, false)))
+  }
+
+  test("report on a clean table passes everything; empty table too") {
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val checks = Seq(Quality.notNull("nn", col("id")),
+      Quality.unique("uq", col("id")))
+    assert(Quality.report(clean, checks).collect()
+      .forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
+    // empty input: aggregates coalesce to zero violations, never NULL
+    assert(Quality.report(clean.limit(0), checks).collect()
+      .forall(r => r.getLong(1) == 0L && r.getBoolean(2)))
+  }
+
+  test("referential: orphans counted, NULL child keys exempt") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Quality.referential("fk refs pk", child, col("fk"),
+      parent, col("pk")).collect()(0)
+    assert(r.getString(0) == "fk refs pk")
+    assert(r.getLong(1) == 1L) // only the 9 — NULL is exempt
+    assert(!r.getBoolean(2))
+  }
+}
