@@ -1392,6 +1392,59 @@ object SparkEntry {
     perCol.unionByName(ri)
   }
 
+  /** Per-user behavioral diversity: Shannon entropy and Gini-Simpson
+    * index over each user's event-type distribution — the composition
+    * metrics (alongside q83's KL drift) that flag bots (entropy ≈ 0)
+    * and scanners (entropy ≈ max). H = ln(n) − (Σ c·ln c)/n, so the
+    * only double sum is Σ c·ln c — snapped to the 1e-9 grid and summed
+    * as exact decimals (order-free, the kmeans contract); Gini-Simpson
+    * needs only Σc² (exact integers). Two map-side-combined
+    * aggregations on one key hierarchy. */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    counts.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum((floor(cd * log(cd) * lit(1e9) + lit(0.5)))
+          .cast("decimal(28,0)")).as("s9"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double")) -
+          (col("s9").cast("double") / lit(1e9)) / col("n_events").cast("double"),
+          6).as("entropy"),
+        round(lit(1.0) - col("sc2").cast("double") /
+          (col("n_events").cast("double") * col("n_events").cast("double")),
+          6).as("gini_simpson"))
+  }
+
+  /** Key-skew diagnostic over the event stream's partition key — the
+    * measurement BEFORE choosing a skew strategy (AQE handles runtime
+    * skew, `Skew.saltedJoin` known-hot keys; this tells you which):
+    * per-key counts (map-side combined, key-table-sized output), then
+    * the Gini coefficient over the sorted count distribution plus
+    * top-share — all integer sums until two final divisions. */
+  private def qSkewGini(s: SparkSession, dir: String): DataFrame = {
+    val k = t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt"), col("user_id"))
+    k.withColumn("r", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("r") * col("cnt")).as("src"))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        round(col("max_cnt").cast("double") / col("total_rows").cast("double"),
+          6).as("top_share"),
+        round(lit(2.0) * col("src").cast("double") /
+          (col("n_keys").cast("double") * col("total_rows").cast("double")) -
+          (col("n_keys").cast("double") + 1.0) / col("n_keys").cast("double"),
+          6).as("gini"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1497,7 +1550,9 @@ object SparkEntry {
     "q100_incremental_mv" -> (qIncrementalMv _),
     "q101_twap" -> (qTwap _),
     "q102_group_regression" -> (qGroupRegression _),
-    "q103_quality_report" -> (qQualityReport _))
+    "q103_quality_report" -> (qQualityReport _),
+    "q104_entropy" -> (qEntropy _),
+    "q105_skew_gini" -> (qSkewGini _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2404,5 +2459,24 @@ object SparkEntry {
         "UNION ALL SELECT 'events.value in [0,1000]', c3 FROM m " +
         "UNION ALL SELECT 'events.event_type allowed', c4 FROM m " +
         "UNION ALL SELECT 'events.ts in 2023', c5 FROM m " +
-        "UNION ALL SELECT 'events.user_id references customer', v FROM ri)"))
+        "UNION ALL SELECT 'events.user_id references customer', v FROM ri)"),
+    "q104_entropy" ->
+      ("WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_types, " +
+        "sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e9 + 0.5) AS DECIMAL(28,0))) AS s9, " +
+        "CAST(sum(c * c) AS BIGINT) AS sc2 FROM c GROUP BY 1) " +
+        "SELECT user_id, n_events, n_types, " +
+        "round(ln(CAST(n_events AS DOUBLE)) - (CAST(s9 AS DOUBLE) / 1e9) / CAST(n_events AS DOUBLE), 6) AS entropy, " +
+        "round(1.0 - CAST(sc2 AS DOUBLE) / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)), 6) AS gini_simpson " +
+        "FROM a"),
+    "q105_skew_gini" ->
+      ("WITH k AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1), " +
+        "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS r FROM k) " +
+        "SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows, " +
+        "max(cnt) AS max_cnt, " +
+        "round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_share, " +
+        "round(2.0 * CAST(sum(r * cnt) AS DOUBLE) / " +
+        "(CAST(count(*) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) - " +
+        "(CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6) AS gini " +
+        "FROM r"))
 }
