@@ -1445,6 +1445,70 @@ object SparkEntry {
           6).as("gini"))
   }
 
+  /** Quantile normalization: map each value to its within-group rank
+    * quantile ((rank−1)/(n−1) ∈ [0,1]) — the distribution-free feature
+    * transform completing the family (min-max q67, clamp q78, ntile
+    * q86). Rank and count are exact integers; ties get the same
+    * normalized score via rank(). One window shuffle. */
+  private def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("r", rank().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .select(col("event_id"), col("event_type"), col("r"),
+        round((col("r") - 1L).cast("double") /
+          (col("n") - 1L).cast("double"), 6).as("qnorm"))
+  }
+
+  /** Last-touch attribution — the as-of join applied: each purchase is
+    * attributed to the user's latest click at or before it; attributed
+    * revenue rolls up per click-day. Operator REUSE is the point: q33's
+    * as-of machinery (one shuffle, carry-forward) drives a product
+    * analytics question; the oracle replays it with DuckDB's native
+    * ASOF JOIN. */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("n")) // unique (user, ts) — as-of contract
+      .select(col("user_id"), col("ts"))
+    ops.AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts")
+      .filter(col("r_ts").isNotNull)
+      .groupBy(to_date(col("r_ts")).as("click_day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+          .as("attributed_revenue"))
+  }
+
+  /** Longest consecutive-day activity streak per user — gaps-and-
+    * islands: distinct active days, island id = day − dense_rank
+    * (constant within a run of consecutive days), longest island per
+    * user. Two window passes over the (user, day) table (events reduce
+    * to it first), all integer arithmetic. */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          dense_rank().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        max_by(col("streak_start"), struct(col("len"), col("streak_start")))
+          .as("best_streak_start"),
+        count(lit(1)).as("n_streaks"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1552,7 +1616,10 @@ object SparkEntry {
     "q102_group_regression" -> (qGroupRegression _),
     "q103_quality_report" -> (qQualityReport _),
     "q104_entropy" -> (qEntropy _),
-    "q105_skew_gini" -> (qSkewGini _))
+    "q105_skew_gini" -> (qSkewGini _),
+    "q106_quantile_norm" -> (qQuantileNorm _),
+    "q107_attribution" -> (qAttribution _),
+    "q108_streaks" -> (qStreaks _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2478,5 +2545,29 @@ object SparkEntry {
         "round(2.0 * CAST(sum(r * cnt) AS DOUBLE) / " +
         "(CAST(count(*) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) - " +
         "(CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6) AS gini " +
-        "FROM r"))
+        "FROM r"),
+    "q106_quantile_norm" ->
+      ("WITH r AS (SELECT event_id, event_type, " +
+        "rank() OVER (PARTITION BY event_type ORDER BY value) AS r, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM events) " +
+        "SELECT event_id, event_type, CAST(r AS BIGINT) AS r, " +
+        "round(CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS qnorm FROM r"),
+    "q107_attribution" ->
+      ("WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts FROM (SELECT user_id, ts, count(*) AS n " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2)) " +
+        "SELECT CAST(c.ts AS DATE) AS click_day, count(*) AS n_purchases, " +
+        "round(CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE), 4) AS attributed_revenue " +
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "GROUP BY 1"),
+    "q108_streaks" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "i AS (SELECT user_id, day, " +
+        "datediff('day', DATE '1970-01-01', day) - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d), " +
+        "s AS (SELECT user_id, island, count(*) AS len, min(day) AS streak_start FROM i GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, len, streak_start, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_streaks FROM s) " +
+        "SELECT user_id, len AS longest_streak, streak_start AS best_streak_start, " +
+        "CAST(n_streaks AS BIGINT) AS n_streaks FROM b WHERE rn = 1"))
 }
