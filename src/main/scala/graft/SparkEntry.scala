@@ -1509,6 +1509,59 @@ object SparkEntry {
         count(lit(1)).as("n_streaks"))
   }
 
+  /** Rolling 3-day distinct users per day — WITHOUT rescanning the
+    * trailing window: q68's HLL register matrices are data, so the
+    * rolling merge is a range-window `max` over per-day registers
+    * (sketch-merge = max, the semilattice), reindexed on the full
+    * day×bucket grid so absent buckets still carry forward. Per day the
+    * cost is 64 register rows, not the window's raw events — THE
+    * mergeable-sketch payoff at 100 TB. Deterministic md5 registers →
+    * bit-identical estimates (exact checksum witness rides along). */
+  private def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val regs = ops.Sketch.hllRegisters(ev, Seq("day"), col("user_id"))
+    val grid = ev.select(col("day")).distinct()
+      .crossJoin(broadcast(s.range(64).select(col("id").as("bucket"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("dn")).rangeBetween(-2, 0)
+    val rolled = grid.join(regs, Seq("day", "bucket"), "left")
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("rreg", max(col("reg")).over(w))
+      .filter(col("rreg").isNotNull)
+      .select(col("day"), col("bucket"), col("rreg").as("reg"))
+    ops.Sketch.hllEstimate(rolled, Seq("day"))
+  }
+
+  /** Two-proportion z-test on purchase conversion between the even/odd
+    * user cohorts — experiment readout in one pass: per-user conversion
+    * flags reduce map-side, the four cohort counts are exact integers,
+    * and the pooled z-statistic is a fixed-parenthesization double
+    * formula both engines evaluate identically. */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+    val isA = col("user_id") % 2 === 0
+    val agg = users.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!isA, col("conv")).otherwise(0L)).as("conv_b"))
+    val (na, ca, nb, cb) = (col("n_a").cast("double"),
+      col("conv_a").cast("double"), col("n_b").cast("double"),
+      col("conv_b").cast("double"))
+    val p = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(ca / na, 6).as("rate_a"), round(cb / nb, 6).as("rate_b"),
+      round(z, 6).as("z_score"),
+      (abs(z) > 1.96).as("significant_95"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1619,7 +1672,9 @@ object SparkEntry {
     "q105_skew_gini" -> (qSkewGini _),
     "q106_quantile_norm" -> (qQuantileNorm _),
     "q107_attribution" -> (qAttribution _),
-    "q108_streaks" -> (qStreaks _))
+    "q108_streaks" -> (qStreaks _),
+    "q109_rolling_distinct" -> (qRollingDistinct _),
+    "q110_ab_test" -> (qAbTest _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2569,5 +2624,42 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start DESC) AS rn, " +
         "count(*) OVER (PARTITION BY user_id) AS n_streaks FROM s) " +
         "SELECT user_id, len AS longest_streak, streak_start AS best_streak_start, " +
-        "CAST(n_streaks AS BIGINT) AS n_streaks FROM b WHERE rn = 1"))
+        "CAST(n_streaks AS BIGINT) AS n_streaks FROM b WHERE rn = 1"),
+    "q109_rolling_distinct" ->
+      // q68's register rule + full day×bucket grid + range-window merge
+      ("WITH h AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "dr AS (SELECT day, hv & 63 AS bucket, " +
+        "MAX(CASE WHEN (hv >> 6) > 0 THEN 27 - length(bin(hv >> 6)) ELSE 27 END) AS reg " +
+        "FROM h GROUP BY 1, 2), " +
+        "grid AS (SELECT day, b AS bucket FROM (SELECT DISTINCT day FROM h) " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)), " +
+        "g AS (SELECT grid.day, grid.bucket, dr.reg, " +
+        "datediff('day', DATE '1970-01-01', grid.day) AS dn " +
+        "FROM grid LEFT JOIN dr ON dr.day = grid.day AND dr.bucket = grid.bucket), " +
+        "roll AS (SELECT day, bucket, max(reg) OVER " +
+        "(PARTITION BY bucket ORDER BY dn RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS reg FROM g), " +
+        "rr AS (SELECT day, bucket, reg FROM roll WHERE reg IS NOT NULL), " +
+        "s AS (SELECT day, count(*) AS n_buckets, sum(pow(2.0, -reg)) AS sp, " +
+        "CAST(sum(bucket * reg) AS BIGINT) AS reg_checksum FROM rr GROUP BY 1) " +
+        "SELECT day, n_buckets, reg_checksum, " +
+        "round(CASE WHEN raw <= 160 AND zeros > 0 THEN 64 * ln(64.0 / zeros) ELSE raw END, 3) AS est_distinct " +
+        "FROM (SELECT *, 0.709 * 64 * 64 / (sp + (64 - n_buckets)) AS raw, " +
+        "64 - n_buckets AS zeros FROM s)"),
+    "q110_ab_test" ->
+      ("WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
+        "FROM events GROUP BY 1), " +
+        "a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE conv END) AS BIGINT) AS conv_b FROM u), " +
+        "d AS (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(conv_a AS DOUBLE) AS ca, " +
+        "CAST(n_b AS DOUBLE) AS nb, CAST(conv_b AS DOUBLE) AS cb, " +
+        "(CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p FROM a) " +
+        "SELECT n_a, conv_a, n_b, conv_b, " +
+        "round(ca / na, 6) AS rate_a, round(cb / nb, 6) AS rate_b, " +
+        "round((ca / na - cb / nb) / sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), 6) AS z_score, " +
+        "abs((ca / na - cb / nb) / sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))) > 1.96 AS significant_95 " +
+        "FROM d"))
 }
