@@ -1384,9 +1384,9 @@ object SparkEntry {
       Quality.notNull("events.user_id not_null", col("user_id")),
       Quality.inRange("events.value in [0,1000]", col("value"), 0d, 1000d),
       Quality.inSet("events.event_type allowed",
-        col("event_type"), Seq("click", "view", "purchase", "signup", "search")),
-      Quality.satisfies("events.ts in 2023",
-        year(col("ts")) === 2023)))
+        col("event_type"), Seq("click", "view", "purchase", "signup", "error")),
+      Quality.satisfies("events.ts in 2024",
+        year(col("ts")) === 2024)))
     val ri = Quality.referential("events.user_id references customer",
       ev, col("user_id"), t(s, dir, "customer"), col("c_custkey"))
     perCol.unionByName(ri)
@@ -1521,7 +1521,11 @@ object SparkEntry {
     val ev = t(s, dir, "events")
       .select(to_date(col("ts")).as("day"), col("user_id"))
     val regs = ops.Sketch.hllRegisters(ev, Seq("day"), col("user_id"))
-    val grid = ev.select(col("day")).distinct()
+      .persist()
+    // day domain from the REGISTERS (64 rows/day), not a second events
+    // scan — also keeps the domain aligned with the oracle's (which
+    // derives days from the non-null-user stream, as hllRegisters does)
+    val grid = regs.select(col("day")).distinct()
       .crossJoin(broadcast(s.range(64).select(col("id").as("bucket"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"))
@@ -2568,8 +2572,8 @@ object SparkEntry {
         "CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS c1, " +
         "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c2, " +
         "CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS c3, " +
-        "CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup','search')) THEN 1 ELSE 0 END) AS BIGINT) AS c4, " +
-        "CAST(sum(CASE WHEN NOT (year(ts) = 2023) THEN 1 ELSE 0 END) AS BIGINT) AS c5 " +
+        "CAST(sum(CASE WHEN NOT (event_type IN ('click','view','purchase','signup','error')) THEN 1 ELSE 0 END) AS BIGINT) AS c4, " +
+        "CAST(sum(CASE WHEN NOT (year(ts) = 2024) THEN 1 ELSE 0 END) AS BIGINT) AS c5 " +
         "FROM events), " +
         "ri AS (SELECT CAST(count(*) AS BIGINT) AS v FROM events e " +
         "WHERE user_id IS NOT NULL AND NOT EXISTS " +
@@ -2580,7 +2584,7 @@ object SparkEntry {
         "UNION ALL SELECT 'events.user_id not_null', c2 FROM m " +
         "UNION ALL SELECT 'events.value in [0,1000]', c3 FROM m " +
         "UNION ALL SELECT 'events.event_type allowed', c4 FROM m " +
-        "UNION ALL SELECT 'events.ts in 2023', c5 FROM m " +
+        "UNION ALL SELECT 'events.ts in 2024', c5 FROM m " +
         "UNION ALL SELECT 'events.user_id references customer', v FROM ri)"),
     "q104_entropy" ->
       ("WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2), " +
@@ -2650,10 +2654,12 @@ object SparkEntry {
     "q110_ab_test" ->
       ("WITH u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv " +
         "FROM events GROUP BY 1), " +
+        // NULL user_id lands in NEITHER cohort (<> 0 on NULL is NULL →
+        // ELSE 0), matching Spark's negated-when semantics exactly
         "a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
         "CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a, " +
-        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b, " +
-        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE conv END) AS BIGINT) AS conv_b FROM u), " +
+        "CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b FROM u), " +
         "d AS (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(conv_a AS DOUBLE) AS ca, " +
         "CAST(n_b AS DOUBLE) AS nb, CAST(conv_b AS DOUBLE) AS cb, " +
         "(CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p FROM a) " +

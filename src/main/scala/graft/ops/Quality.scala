@@ -42,18 +42,21 @@ object Quality {
     Check(name, sum(when(!predicate, 1L).otherwise(0L)))
 
   /** Evaluate all `checks` in one aggregation pass; returns
-    * (constraint, violations, pass). */
+    * (constraint, violations, pass). The single agg row pivots to long
+    * format through typed columns (explode over literal structs) — no
+    * SQL-string interpolation, so check names need no escaping. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
     val agged = df.agg(
       coalesce(checks.head.violations, lit(0L)).as("c0"),
       checks.tail.zipWithIndex.map { case (ch, i) =>
         coalesce(ch.violations, lit(0L)).as(s"c${i + 1}") }: _*)
-    val stackArgs = checks.zipWithIndex
-      .map { case (ch, i) => s"'${ch.name.replace("'", "''")}', c$i" }
-      .mkString(", ")
-    agged
-      .select(expr(s"stack(${checks.length}, $stackArgs) AS (constraint, violations)"))
+    val pairs = checks.zipWithIndex.map { case (ch, i) =>
+      struct(lit(ch.name).as("constraint"), col(s"c$i").as("violations"))
+    }
+    agged.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.constraint").as("constraint"),
+        col("kv.violations").as("violations"))
       .withColumn("pass", col("violations") === 0L)
   }
 

@@ -128,6 +128,10 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     val startTs = options.getLong("startTs", 1700000000L)
     val stepSec = options.getLong("stepSec", 60L)
+    // validate HERE too: pushdown runs during optimization, BEFORE
+    // build()'s checks — stepSec=0 would otherwise surface as a raw
+    // division by zero in the grid arithmetic below
+    require(stepSec > 0, s"flight_events: stepSec=$stepSec must be > 0")
     def id(a: Any): Option[Long] = a match {
       case n: Number => Some(n.longValue); case _ => None
     }
@@ -265,8 +269,11 @@ class FlightScan(lo: Long, hi: Long, partitions: Int, rowsPerBatch: Long,
       // row-count offsets: each trigger exposes the next `rowsPerBatch`
       // slice; a (start, end] range always re-plans the same rows, so
       // replay after failure is exact
-      @volatile private var available = 0L
-      override def initialOffset(): Offset = FlightOffset(0L)
+      // start at the pushed lower bound, not 0: offsets are absolute, so
+      // skipping the pruned prefix preserves replay semantics and avoids
+      // lo/rowsPerBatch empty catch-up triggers on a filtered stream
+      @volatile private var available = lo
+      override def initialOffset(): Offset = FlightOffset(lo)
       override def latestOffset(): Offset = {
         available = math.min(hi, available + rowsPerBatch)
         FlightOffset(available)
