@@ -221,6 +221,33 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q103: N quality checks cost ONE aggregation pass (plus the RI anti join)") {
+    val p = plan("q103_quality_report")
+    // the per-column report: one agg (partial+final) over events; the
+    // only join in the whole plan is the referential anti join
+    assert(count(p, "HashAggregate") <= 6, p.take(1200))
+    assert(count(p, "Join") <= 1 ||
+      count(p, "BroadcastHashJoin LeftAnti") + count(p, "SortMergeJoin") >= 1,
+      p.take(1200))
+  }
+
+  test("q109: the register grid broadcasts; rolling merge reads the CACHED registers") {
+    val p = plan("q109_rolling_distinct")
+    // both consumers (day domain + rolling merge) read the persisted
+    // register table — the raw events feed the register build only
+    // (InMemoryRelation prints its child scan per consumer, so the
+    // witness is the InMemoryTableScan, not a text count of the file)
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "bucket grid must broadcast")
+  }
+
+  test("q110: the z-test is two aggregation levels, no join at all") {
+    val p = plan("q110_ab_test")
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial_max") || p.contains("partial_sum"), p.take(800))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
