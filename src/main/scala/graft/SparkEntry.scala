@@ -1566,6 +1566,31 @@ object SparkEntry {
       (abs(z) > 1.96).as("significant_95"))
   }
 
+  /** Time-to-convert distribution — the latency layer over q89's funnel:
+    * per user, seconds from first click to the first strictly-later
+    * purchase; then the population's exact interpolated quartiles.
+    * Deltas are exact integer seconds (micros div), two min-aggs + one
+    * user-keyed join reuse one partitioning; the percentile runs over
+    * the user-sized delta table, never the event stream. */
+  private def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val deltas = ev.filter(col("event_type") === "purchase")
+      .join(firstClick, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      .select((unix_micros(col("t2").cast("timestamp")) -
+        unix_micros(col("t1").cast("timestamp"))).as("delta_us"))
+    deltas.agg(count(lit(1)).as("n_converted"),
+      min(col("delta_us")).as("min_us"),
+      round(expr("percentile(delta_us, 0.25)"), 3).as("p25_us"),
+      round(expr("percentile(delta_us, 0.5)"), 3).as("p50_us"),
+      round(expr("percentile(delta_us, 0.75)"), 3).as("p75_us"),
+      max(col("delta_us")).as("max_us"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1678,7 +1703,8 @@ object SparkEntry {
     "q107_attribution" -> (qAttribution _),
     "q108_streaks" -> (qStreaks _),
     "q109_rolling_distinct" -> (qRollingDistinct _),
-    "q110_ab_test" -> (qAbTest _))
+    "q110_ab_test" -> (qAbTest _),
+    "q111_time_to_convert" -> (qTimeToConvert _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2667,5 +2693,17 @@ object SparkEntry {
         "round(ca / na, 6) AS rate_a, round(cb / nb, 6) AS rate_b, " +
         "round((ca / na - cb / nb) / sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)), 6) AS z_score, " +
         "abs((ca / na - cb / nb) / sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))) > 1.96 AS significant_95 " +
-        "FROM d"))
+        "FROM d"),
+    "q111_time_to_convert" ->
+      ("WITH fc AS (SELECT user_id, min(ts) AS t1 FROM events " +
+        "WHERE event_type = 'click' GROUP BY 1), " +
+        "cv AS (SELECT e.user_id, min(e.ts) AS t2, min(fc.t1) AS t1 " +
+        "FROM events e JOIN fc ON e.user_id = fc.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > fc.t1 GROUP BY 1), " +
+        "d AS (SELECT epoch_us(t2) - epoch_us(t1) AS delta_us FROM cv) " +
+        "SELECT count(*) AS n_converted, min(delta_us) AS min_us, " +
+        "round(quantile_cont(delta_us, 0.25), 3) AS p25_us, " +
+        "round(quantile_cont(delta_us, 0.5), 3) AS p50_us, " +
+        "round(quantile_cont(delta_us, 0.75), 3) AS p75_us, " +
+        "max(delta_us) AS max_us FROM d"))
 }
