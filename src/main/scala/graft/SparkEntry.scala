@@ -383,8 +383,11 @@ object SparkEntry {
     Multimodal.decodeFeatures(
       Multimodal.asMediaTable(t(s, dir, "documents"))
         .as[Multimodal.MediaRow]).toDF()
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+      .select(col("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
         posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+      .withColumn("feat_idx", col("feat_idx").cast("long"))
       .withColumn("feat_val", round(col("feat_val").cast("double"), 4))
   }
 
@@ -1080,7 +1083,7 @@ object SparkEntry {
       .orderBy(col("value").asc_nulls_first, col("event_id"))
     t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast("long").as("quartile"))
   }
 
   /** SCD2 history of each user's event_type: versioned
@@ -1226,8 +1229,11 @@ object SparkEntry {
       .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("nb")), "user_id")
       .agg(sum(col("na").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)"))
         .cast("decimal(38,0)").as("true_join_size"))
+    // decimal(38,0) canonicalizes differently across engines/hashers;
+    // the string rendering is exact and hash-stable (oracle casts too)
     est.crossJoin(truth)
-      .select(col("est_join_size"), col("true_join_size"),
+      .select(col("est_join_size").cast("string").as("est_join_size"),
+        col("true_join_size").cast("string").as("true_join_size"),
         round(col("est_join_size").cast("double") /
           col("true_join_size").cast("double"), 4).as("over_ratio"),
         (col("est_join_size") >= col("true_join_size")).as("bound_holds"))
@@ -1243,6 +1249,9 @@ object SparkEntry {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
         col("value").cast("decimal(12,2)")),
       to_date(col("ts")))
+      // decimal(38,0) sums stay mergeable inside the op; the query
+      // boundary renders them as exact strings for hash stability
+      .withColumn("checksum", col("checksum").cast("string"))
 
   /** CDC roundtrip: derive a change feed between two snapshot variants
     * of the customer dim, apply it back to the old snapshot, and emit
@@ -2355,7 +2364,7 @@ object SparkEntry {
         "sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) - n_chars AS strt " +
         "FROM documents) " +
         "SELECT lang, CAST(floor(strt / 4096.0) AS BIGINT) AS bin, " +
-        "count(*) AS n_files, sum(n_chars) AS bytes FROM c GROUP BY 1, 2"),
+        "count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes FROM c GROUP BY 1, 2"),
     "q78_winsorize" ->
       ("WITH b AS (SELECT event_type AS g, quantile_cont(value, 0.05) AS lo, " +
         "quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) " +
@@ -2534,7 +2543,8 @@ object SparkEntry {
         "nb AS (SELECT user_id, count(*) AS n FROM bb GROUP BY 1), " +
         "tr AS (SELECT CAST(sum(CAST(na.n AS DECIMAL(19,0)) * CAST(nb.n AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS true_join_size " +
         "FROM na JOIN nb ON na.user_id = nb.user_id) " +
-        "SELECT est_join_size, true_join_size, " +
+        "SELECT CAST(est_join_size AS VARCHAR) AS est_join_size, " +
+        "CAST(true_join_size AS VARCHAR) AS true_join_size, " +
         "round(CAST(est_join_size AS DOUBLE) / CAST(true_join_size AS DOUBLE), 4) AS over_ratio, " +
         "est_join_size >= true_join_size AS bound_holds FROM est CROSS JOIN tr")
     },
@@ -2546,7 +2556,7 @@ object SparkEntry {
         "coalesce(strftime(ts, '%Y-%m-%d %H:%M:%S'), '␀'), " +
         "coalesce(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), '␀')) AS canon FROM events) " +
         "SELECT bucket, count(*) AS n_rows, " +
-        "CAST(sum(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS checksum " +
+        "CAST(CAST(sum(CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum " +
         "FROM c GROUP BY 1"),
     "q98_cdc_roundtrip" ->
       // the roundtrip law IS the oracle: applying the derived change

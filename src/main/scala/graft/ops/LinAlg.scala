@@ -45,7 +45,8 @@ object LinAlg {
     }: _*)
     Fanout.fanout(rows.select(aug.as("__a")))
       .select(explode(cells).as("c"))
-      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .select(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"), col("c.p").as("p"))
       .groupBy(col("i"), col("j"))
       .agg(round(sum(col("p")).cast("double"), 6).as("sxx"),
         count(lit(1)).as("n"))

@@ -11,7 +11,7 @@ class LinAlgSpec extends SparkSpec {
   import spark.implicits._
 
   private def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Double] =
-    df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    df.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
 
   test("recovers a planted exact linear model") {
     // y = 2 + 3*x1 - 1*x2, no noise; quarter-grid values are

@@ -6,6 +6,12 @@ oracle SQL in DuckDB against the raw testdata tables, sorts columns by
 name and rows by all columns, and compares values cell-by-cell (exact for
 ints/strings/timestamps, tiny-epsilon report for floats so we can see
 HOW values differ when they do).
+
+The comparison is TYPE-STRICT, mirroring the driver's hash gate: DuckDB
+column types must match between the spark-parquet scan and the oracle
+query (BIGINT vs HUGEINT/DECIMAL is a FAIL even when values are ==), and
+cell values must agree on Python type as well as value (Decimal(5) == 5
+is True under ==, but hashes differently downstream — so it FAILS here).
 """
 import json
 import math
@@ -25,13 +31,14 @@ for p in glob.glob(os.path.join(SF_DIR, "*.parquet")):
 
 oracle = json.load(open(os.path.join(OUT_DIR, "oracle_sql.json")))
 
-def canon(rows, cols):
+def canon(rel):
+    cols, types, rows = rel.columns, [str(t) for t in rel.types], rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
     out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], [types[i] for i in order], out
 
 n_pass = n_fail = 0
 for name in sorted(oracle):
@@ -41,16 +48,21 @@ for name in sorted(oracle):
         n_fail += 1
         continue
     try:
-        sp = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
-        sp_cols, sp_rows = canon(sp.fetchall(), sp.columns)
-        du = con.sql(oracle[name])
-        du_cols, du_rows = canon(du.fetchall(), du.columns)
+        sp_cols, sp_types, sp_rows = canon(
+            con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
+        du_cols, du_types, du_rows = canon(con.sql(oracle[name]))
     except Exception as e:
         print(f"FAIL {name}: {str(e).splitlines()[0][:160]}")
         n_fail += 1
         continue
     if sp_cols != du_cols:
         print(f"FAIL {name}: columns {sp_cols} vs {du_cols}")
+        n_fail += 1
+        continue
+    if sp_types != du_types:
+        diff = [(c, a, b) for c, a, b in zip(sp_cols, sp_types, du_types)
+                if a != b]
+        print(f"FAIL {name}: types spark vs duckdb {diff}")
         n_fail += 1
         continue
     if len(sp_rows) != len(du_rows):
@@ -66,6 +78,10 @@ for name in sorted(oracle):
                 if x != y and not (math.isnan(x) and math.isnan(y)):
                     bad = (i, sp_cols[j], x, y, abs(x - y))
                     break
+            elif type(x) is not type(y):
+                bad = (i, sp_cols[j], f"{type(x).__name__}:{x!r}",
+                       f"{type(y).__name__}:{y!r}", None)
+                break
             elif x != y:
                 bad = (i, sp_cols[j], x, y, None)
                 break
