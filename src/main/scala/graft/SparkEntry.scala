@@ -340,12 +340,12 @@ object SparkEntry {
 
   /** Full streaming parse/filter/staging pipeline run in batch mode over
     * the `flight_events` topic, sized one event per events-table row so
-    * it scales with the SF (rows-only check; streaming semantics are
-    * covered by the MemoryStream specs, and the fixed-size variant q81
-    * is under the full DuckDB oracle). The connector produces the JSON
-    * off-plan, as a real broker would — the engine is billed for
-    * parse/normalize/filter/project, not for synthesizing its own input
-    * with a 25-field to_json. */
+    * it scales with the SF — under the full DuckDB oracle (the topic is
+    * replayed from `generate_series` with `nr = count(*) FROM events`;
+    * streaming semantics are covered by the MemoryStream specs). The
+    * connector produces the JSON off-plan, as a real broker would — the
+    * engine is billed for parse/normalize/filter/project, not for
+    * synthesizing its own input with a 25-field to_json. */
   private def qStreamPipeline(s: SparkSession, dir: String): DataFrame = {
     val rows = t(s, dir, "events").count()
     val raw = s.read.format("flight_events")
@@ -513,8 +513,10 @@ object SparkEntry {
       lead(col("event_id"), 1).over(w).as("next_event"))
   }
 
-  /** Full warehouse load cycle over stream-synthesized staging (U6 in the
-    * bench path; rows-only — surrogate-hash ids aren't SQL-portable). */
+  /** Full warehouse load cycle over stream-synthesized staging (U6 in
+    * the bench path) — under the full DuckDB oracle: the md5-derived
+    * surrogate ids ([[graft.expr.Flags.surrogateId]]) make the whole
+    * cycle SQL-replayable, staging included. */
   private def qWarehouseCycle(s: SparkSession, dir: String): DataFrame = {
     // staging is a materialized table in the reference — persist, or the
     // load cycle's ~6 consumers re-run the whole synth+parse pipeline
@@ -1749,6 +1751,42 @@ object SparkEntry {
       "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"
 
+  /** DuckDB replay of the `flight_events` topic through the ENTIRE
+    * ingest pipeline (payload is a pure function of the row index —
+    * FlightEventsSource contract): `stg` = the 28-column staging table.
+    * `prmSql` supplies `nr` (topic length) and `nowsec` (the
+    * once-per-cycle `now`, the topic's last event time) — literal for
+    * q81, `count(*) FROM events` for the SF-sized q28/q46. */
+  private def stagingReplayCte(prmSql: String): String =
+    s"WITH prm AS ($prmSql), " +
+      "idx AS (SELECT unnest(generate_series(0, nr - 1)) AS i FROM prm), " +
+      "e AS (SELECT i, make_timestamp((1700000000 + i * 60) * 1000000) AS t, " +
+      "make_timestamp(nowsec * CAST(1000000 AS BIGINT)) AS nowts " +
+      "FROM idx CROSS JOIN prm WHERE i % 5 <> 0), " + // cancelled not in the allow-list
+      "f AS (SELECT * FROM e WHERE t >= nowts - INTERVAL 3 DAY " +
+      "OR t + INTERVAL 2 HOUR >= nowts - INTERVAL 3 DAY), " +
+      "stg AS (SELECT (i % 150) || '_' || i AS flight_key, " +
+      "CAST(t AS DATE) AS flight_date, 'active' AS status, " +
+      "t AS ingest_time, 'AA' || i AS flight_number, " +
+      "CAST(NULL AS VARCHAR) AS flight_iata, CAST(NULL AS VARCHAR) AS flight_icao, " +
+      "'AA' AS airline_iata, 'AAL' AS airline_icao, 'American' AS airline_name, " +
+      "'Origin Intl' AS dep_airport, 'ORG' AS dep_airport_iata, " +
+      "'KORG' AS dep_airport_icao, 'A' AS dep_terminal, '1' AS dep_gate, " +
+      "t AS dep_scheduled, CAST(NULL AS TIMESTAMP) AS dep_estimated, " +
+      "CAST(NULL AS TIMESTAMP) AS dep_actual, CAST(i % 30 AS DOUBLE) AS dep_delay_min, " +
+      "'Dest Intl' AS arr_airport, 'DST' AS arr_airport_iata, " +
+      "'KDST' AS arr_airport_icao, 'B' AS arr_terminal, " +
+      "CAST(NULL AS VARCHAR) AS arr_gate, " +
+      "t + INTERVAL 2 HOUR AS arr_scheduled, " +
+      "CAST(NULL AS TIMESTAMP) AS arr_estimated, " +
+      "CAST(NULL AS TIMESTAMP) AS arr_actual, " +
+      "CAST(NULL AS DOUBLE) AS arr_delay_min FROM f)"
+
+  /** `CAST(('0x' || substr(md5(canon), 1, 15)) AS BIGINT)` — the DuckDB
+    * replay of [[graft.expr.Flags.surrogateId]]. */
+  private def sidSql(canonSql: String): String =
+    s"CAST(('0x' || substr(md5($canonSql), 1, 15)) AS BIGINT)"
+
   /** DuckDB replay of the 2-round Lloyd trajectory (init = vec_id<4,
     * 6-dp floor-snap at every boundary, smallest-cell tie-break): CTEs
     * through `a2` = the trained assignment. Shared by q76 and q85. */
@@ -2392,28 +2430,33 @@ object SparkEntry {
         "count(DISTINCT u) AS n_users, round(avg(delay), 4) AS avg_delay " +
         "FROM e GROUP BY 1, 2"),
     "q81_ingest_oracle" ->
-      ("WITH idx AS (SELECT unnest(generate_series(0, 19999)) AS i), " +
-        "e AS (SELECT i, make_timestamp((1700000000 + i * 60) * 1000000) AS t " +
-        "FROM idx WHERE i % 5 <> 0), " + // cancelled not in the allow-list
-        "f AS (SELECT * FROM e WHERE " +
-        "t >= make_timestamp(1701199940 * CAST(1000000 AS BIGINT)) - INTERVAL 3 DAY " +
-        "OR t + INTERVAL 2 HOUR >= make_timestamp(1701199940 * CAST(1000000 AS BIGINT)) - INTERVAL 3 DAY) " +
-        "SELECT (i % 150) || '_' || i AS flight_key, " +
-        "CAST(t AS DATE) AS flight_date, 'active' AS status, " +
-        "t AS ingest_time, 'AA' || i AS flight_number, " +
-        "CAST(NULL AS VARCHAR) AS flight_iata, CAST(NULL AS VARCHAR) AS flight_icao, " +
-        "'AA' AS airline_iata, 'AAL' AS airline_icao, 'American' AS airline_name, " +
-        "'Origin Intl' AS dep_airport, 'ORG' AS dep_airport_iata, " +
-        "'KORG' AS dep_airport_icao, 'A' AS dep_terminal, '1' AS dep_gate, " +
-        "t AS dep_scheduled, CAST(NULL AS TIMESTAMP) AS dep_estimated, " +
-        "CAST(NULL AS TIMESTAMP) AS dep_actual, CAST(i % 30 AS DOUBLE) AS dep_delay_min, " +
-        "'Dest Intl' AS arr_airport, 'DST' AS arr_airport_iata, " +
-        "'KDST' AS arr_airport_icao, 'B' AS arr_terminal, " +
-        "CAST(NULL AS VARCHAR) AS arr_gate, " +
-        "t + INTERVAL 2 HOUR AS arr_scheduled, " +
-        "CAST(NULL AS TIMESTAMP) AS arr_estimated, " +
-        "CAST(NULL AS TIMESTAMP) AS arr_actual, " +
-        "CAST(NULL AS DOUBLE) AS arr_delay_min FROM f"),
+      (stagingReplayCte("SELECT 20000 AS nr, 1700000000 + 19999 * 60 AS nowsec") +
+        " SELECT * FROM stg"),
+    "q28_stream_pipeline" ->
+      // SF-sized variant of q81: topic length and `now` derive from the
+      // events table's cardinality, exactly as qStreamPipeline takes them
+      (stagingReplayCte("SELECT count(*) AS nr, " +
+        "1700000000 + (count(*) - 1) * 60 AS nowsec FROM events") +
+        " SELECT * FROM stg"),
+    "q46_warehouse_cycle" ->
+      // full warehouse-cycle replay: staging → (first-cycle) dims are the
+      // constant airline/airports of the topic, fact = latest-per-key
+      // (keys are unique) with md5-derived surrogate ids resolved —
+      // SQL-replayable since surrogateId switched from xxhash64 to md5
+      (stagingReplayCte("SELECT count(*) AS nr, " +
+        "1700000000 + (count(*) - 1) * 60 AS nowsec FROM events") +
+        ", cut AS (SELECT max(ingest_time) AS cutoff FROM stg), " +
+        s"ids AS (SELECT ${sidSql("'airline|i:AA'")} AS airline_id, " +
+        s"${sidSql("'airport|i:ORG'")} AS dep_id, " +
+        s"${sidSql("'airport|i:DST'")} AS arr_id) " +
+        "SELECT flight_key, flight_date, status, flight_number, flight_iata, " +
+        "flight_icao, dep_airport_iata, dep_airport_icao, dep_terminal, dep_gate, " +
+        "dep_scheduled, dep_estimated, dep_actual, dep_delay_min, " +
+        "arr_airport_iata, arr_airport_icao, arr_terminal, arr_gate, " +
+        "arr_scheduled, arr_estimated, arr_actual, arr_delay_min, airline_id, " +
+        sidSql("'route|' || CAST(dep_id AS VARCHAR) || '|' || CAST(arr_id AS VARCHAR)") +
+        " AS route_id, ingest_time, cutoff AS last_updated " +
+        "FROM stg CROSS JOIN cut CROSS JOIN ids"),
     "q34_media_features" ->
       // the stub decoder is md5-derived, so the oracle replays the whole
       // decode: media = utf-8 payload, feature j = md5(j || '|' || bytes)

@@ -25,10 +25,20 @@ object Flags {
   /** Deterministic surrogate key for a dimension natural key — replaces the
     * reference's stateful IDENTITY columns
     * (/root/reference/db/00_warehous.sql:79,88,98) with a distributable,
-    * order-independent 64-bit hash. NULL natural keys stay NULL (mirrors
-    * the reference's NULL-unique handling, load_warehouse.py:51-55). */
+    * order-independent 60-bit hash. NULL natural keys stay NULL (mirrors
+    * the reference's NULL-unique handling, load_warehouse.py:51-55).
+    *
+    * md5-derived (the library's shared hashing vocabulary, as in
+    * [[graft.ops.Merge.tableChecksum]]) rather than xxhash64 so any
+    * engine can replay the id: `CAST(('0x' || substr(md5(canon), 1, 15))
+    * AS BIGINT)` in DuckDB. NULL components render as an explicit
+    * sentinel — concat_ws silently drops nulls, which would collide
+    * (a,NULL,b) with (a,b,NULL). */
   def surrogateId(naturalKey: Column*): Column = {
     val anyNonNull = naturalKey.map(_.isNotNull).reduce(_ || _)
-    when(anyNonNull, xxhash64(naturalKey: _*)).otherwise(lit(null).cast("long"))
+    val canon = concat_ws("|",
+      naturalKey.map(c => coalesce(c.cast("string"), lit("␀"))): _*)
+    when(anyNonNull, conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+      .otherwise(lit(null).cast("long"))
   }
 }
