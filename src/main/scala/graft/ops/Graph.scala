@@ -136,7 +136,9 @@ object Graph {
   private def largeStar(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+    // one exchange: hash by u feeds BOTH the neighborhood-min aggregate
+    // and the sym⋈mins join exchange-free (without it sym shuffles twice)
+    val sym = e.union(e.select($"v".as("u"), $"u".as("v"))).repartition($"u")
     val mins = sym.groupBy("u").agg(least(min($"v"), first($"u")).as("m"))
     sym.join(mins, "u")
       .filter($"v" > $"u")
@@ -150,8 +152,11 @@ object Graph {
   private def smallStar(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    // one exchange by a, reused by the aggregate and the join (as in
+    // largeStar)
     val oriented = e.select(
       greatest($"u", $"v").as("a"), least($"u", $"v").as("b"))
+      .repartition($"a")
     val mins = oriented.groupBy("a").agg(min($"b").as("m"))
     val relinked = oriented.join(mins, "a")
       .select($"b".as("u"), $"m".as("v"))
@@ -192,10 +197,16 @@ object Graph {
       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     // out-degree is loop-invariant: bake it into the edge table ONCE
     // (window, not self-join — one pass, no duplicated distinct), so
-    // each iteration pays one edge-sized join (ranks), nothing else
+    // each iteration pays one edge-sized join (ranks), nothing else.
+    // ONE exchange for both the dedup and the degree: hash by src
+    // satisfies the (src,dst)-dedup's clustered distribution (src ⊆
+    // {src,dst}) and the window's, so aggregate and window both run
+    // exchange-free on top of the explicit repartition — the naive
+    // distinct-then-window form shuffles the edge multiset twice
     val e2 = materialize(edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src")))))
     val nodes = materialize(
