@@ -41,8 +41,9 @@ object FlightStream {
 
   /** S5: JDBC batch append with the reference's write options
     * (flight_stream.py:312-322). Per-partition connections; batchsize
-    * bounds statement size. Not exercisable here (no database) — the
-    * parquet staging sink in [[startStagingSink]] is the tested analog. */
+    * bounds statement size. Exercised end-to-end against embedded
+    * in-memory Derby (JdbcSinkSpec): round-trip, append accumulation,
+    * multi-batch flushing with batchsize < row count. */
   def jdbcAppend(df: DataFrame, url: String, table: String,
       user: String, password: String, batchSize: Int = 5000): Unit =
     df.write.format("jdbc")
