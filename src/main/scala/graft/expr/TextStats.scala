@@ -95,14 +95,20 @@ object TextStats {
     * side, so the exchange carries ≤ maxPostings rows per term, never a
     * stopword's full corpus. Callers wanting complete lists partition
     * them into blocks instead (same pattern, rank div blockSize). */
+  /** `materialize` snapshots the shared tf table (two consumers: stats
+    * + postings). Default `localCheckpoint` is self-releasing — blocks
+    * free when the result frame is collected, unlike `persist`, whose
+    * CacheManager entry would outlive the call with no handle to drop
+    * it (long-lived sessions accumulate). */
   def invertedIndex(docs: org.apache.spark.sql.DataFrame, id: Column,
-      text: Column, maxPostings: Int): org.apache.spark.sql.DataFrame = {
+      text: Column, maxPostings: Int,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, explode, lit,
       row_number, sort_array, collect_list, sum}
-    val tf = graft.ops.Fanout.fanout(docs)
+    val tf = materialize(graft.ops.Fanout.fanout(docs)
       .select(id.as("doc_id"), explode(tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val stats = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val w = org.apache.spark.sql.expressions.Window
@@ -129,17 +135,21 @@ object TextStats {
     * multiplicity); `minCount` floors bigram support — PMI of rare pairs
     * is noise (classic Church & Hanks caveat). Totals ride along as
     * one-row aggregates collected to the driver (two scalars). */
+  /** `materialize` (default self-releasing `localCheckpoint`, see
+    * [[invertedIndex]]) snapshots the three multi-consumer frames:
+    * fanned corpus (unigram + bigram counts), unigram counts (total +
+    * two scoring joins), bigram counts (total + support filter). */
   def pmiCollocations(docs: org.apache.spark.sql.DataFrame, id: Column,
-      text: Column, minCount: Long): org.apache.spark.sql.DataFrame = {
+      text: Column, minCount: Long,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, explode,
       lit, log, round, split, sum}
-    val fanned = graft.ops.Fanout.fanout(docs).persist()
-    val uni = fanned.select(explode(tokens(text)).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("uc"))
-      .persist()
-    val bigAll = fanned.select(explode(shingles(text, 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
-      .persist()
+    val fanned = materialize(graft.ops.Fanout.fanout(docs))
+    val uni = materialize(fanned.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc")))
+    val bigAll = materialize(fanned.select(explode(shingles(text, 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bc")))
     val bi = bigAll.filter(col("bc") >= minCount)
     // sum() of an empty table is one NULL row — default the totals (any
     // finite value works: the scored output is empty regardless)

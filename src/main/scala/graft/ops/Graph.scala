@@ -247,28 +247,29 @@ object Graph {
     * skewed co-occurrence graph the difference is the hub node's
     * degree² (billions) vs its √E cap. Degrees are a node-sized
     * broadcast; the two joins are edge-keyed hash joins. */
-  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+  def triangleCount(edges: DataFrame, src: String, dst: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     // e feeds three consumers (two degree broadcast builds + the fwd
-    // join input) and fwd three join roles — persist both, or the
+    // join input) and fwd three join roles — materialize both, or the
     // upstream edge derivation (often a heavy self-join) re-executes
-    // per consumer and the O(E^1.5) story is off by a constant 3
-    val e = edges.select(
+    // per consumer and the O(E^1.5) story is off by a constant 3.
+    // localCheckpoint (not persist): blocks self-release when the
+    // result is collected; a CacheManager entry would leak for the
+    // session's lifetime with no caller-side handle to drop it
+    val e = materialize(edges.select(
         least(col(src), col(dst)).cast("long").as("lo"),
         greatest(col(src), col(dst)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .distinct()
-      .persist()
-    val deg = e.select(explode(array(col("lo"), col("hi"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      .persist()
+      .distinct())
+    val deg = materialize(e.select(explode(array(col("lo"), col("hi"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
     val fwdFirst = col("d1") < col("d2") ||
       (col("d1") === col("d2") && col("lo") < col("hi"))
-    val fwd = e
+    val fwd = materialize(e
       .join(broadcast(deg.select(col("n").as("lo"), col("d").as("d1"))), "lo")
       .join(broadcast(deg.select(col("n").as("hi"), col("d").as("d2"))), "hi")
       .select(when(fwdFirst, col("lo")).otherwise(col("hi")).as("u"),
-        when(fwdFirst, col("hi")).otherwise(col("lo")).as("v"))
-      .persist()
+        when(fwdFirst, col("hi")).otherwise(col("lo")).as("v")))
     val tri = fwd.select(col("u").as("a"), col("v").as("b"))
       .join(fwd.select(col("u").as("b"), col("v").as("c")), "b")
       .join(fwd.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),

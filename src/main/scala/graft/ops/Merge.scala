@@ -93,11 +93,14 @@ object Merge {
     * on the snapshot's existing key layout; the snapshot itself is never
     * shuffled on a fresh partitioning. */
   def applyChanges(snapshot: DataFrame, feed: DataFrame,
-      keys: Seq[String], payload: Seq[String]): DataFrame = {
+      keys: Seq[String], payload: Seq[String],
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     // the feed has two consumers (anti-join probe + union branch): a
     // DERIVED feed (changeFeed's full-outer diff) would otherwise
-    // execute its table-sized join twice in one action
-    val f = feed.persist()
+    // execute its table-sized join twice in one action. localCheckpoint,
+    // not persist: blocks self-release with the result frame, where a
+    // CacheManager entry would outlive the call with no handle to drop
+    val f = materialize(feed)
     snapshot.select((keys ++ payload).map(col): _*)
       .join(f, keys, "left_anti")
       .unionByName(f.filter(col("change") =!= "delete")
