@@ -265,11 +265,16 @@ object Graph {
       .groupBy(col("n")).agg(count(lit(1)).as("d")))
     val fwdFirst = col("d1") < col("d2") ||
       (col("d1") === col("d2") && col("lo") < col("hi"))
-    val fwd = materialize(e
+    // fwd stays LAZY: its three join roles each re-run one broadcast
+    // probe over the materialized e — edge-scan-cheap — and the
+    // orientation joins remain visible in the caller's plan (the q94
+    // plan contract asserts they broadcast, which an eager
+    // materialization would bury)
+    val fwd = e
       .join(broadcast(deg.select(col("n").as("lo"), col("d").as("d1"))), "lo")
       .join(broadcast(deg.select(col("n").as("hi"), col("d").as("d2"))), "hi")
       .select(when(fwdFirst, col("lo")).otherwise(col("hi")).as("u"),
-        when(fwdFirst, col("hi")).otherwise(col("lo")).as("v")))
+        when(fwdFirst, col("hi")).otherwise(col("lo")).as("v"))
     val tri = fwd.select(col("u").as("a"), col("v").as("b"))
       .join(fwd.select(col("u").as("b"), col("v").as("c")), "b")
       .join(fwd.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
