@@ -1602,6 +1602,21 @@ object SparkEntry {
       max(col("delta_us")).as("max_us"))
   }
 
+  /** Distributed BPE merge training under the hash gate: the first two
+    * learned merges over the documents corpus (count desc, pair-lex
+    * tie-break — fully deterministic). Training is the distributed part
+    * (corpus-sized word count, then vocabulary-sized pair aggs); the
+    * learned list itself is driver state by design, emitted here as a
+    * 2-row frame so DuckDB can replay the whole trajectory (symbolize →
+    * argmax → greedy merge apply → argmax). */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ops.Bpe.train(t(s, dir, "documents"), col("text"), 2)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("merge_idx", "lhs", "rhs")
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1715,7 +1730,8 @@ object SparkEntry {
     "q108_streaks" -> (qStreaks _),
     "q109_rolling_distinct" -> (qRollingDistinct _),
     "q110_ab_test" -> (qAbTest _),
-    "q111_time_to_convert" -> (qTimeToConvert _))
+    "q111_time_to_convert" -> (qTimeToConvert _),
+    "q112_bpe_merges" -> (qBpeMerges _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2758,5 +2774,31 @@ object SparkEntry {
         "round(quantile_cont(delta_us, 0.25), 3) AS p25_us, " +
         "round(quantile_cont(delta_us, 0.5), 3) AS p50_us, " +
         "round(quantile_cont(delta_us, 0.75), 3) AS p75_us, " +
-        "max(delta_us) AS max_us FROM d"))
+        "max(delta_us) AS max_us FROM d"),
+    "q112_bpe_merges" ->
+      // replay of the 2-merge BPE training trajectory: symbolize every
+      // word (chars + </w> on the last), argmax adjacent-pair counts
+      // weighted by word freq (count desc, pair-lex tie-break), apply
+      // merge 1 greedily leftmost-first via a list_reduce fold (the
+      // accumulator is chr(31)-joined; "last element = lhs and next =
+      // rhs" appends rhs directly, fusing the pair), argmax again
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "wf AS (SELECT w, count(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY 1), " +
+        "sym0 AS (SELECT freq, list_append(" +
+        "list_transform(generate_series(1, len(w) - 1), i -> substr(w, i, 1)), " +
+        "substr(w, len(w), 1) || '</w>') AS s FROM wf), " +
+        "p1 AS (SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS n " +
+        "FROM sym0, unnest(generate_series(1, len(s) - 1)) AS t(i) " +
+        "WHERE len(s) >= 2 GROUP BY 1, 2), " +
+        "m1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1), " +
+        "sym1 AS (SELECT freq, string_split(list_reduce(s, " +
+        "(acc, x) -> CASE WHEN x = m1.b AND (acc = m1.a OR suffix(acc, chr(31) || m1.a)) " +
+        "THEN acc || m1.b ELSE acc || chr(31) || x END), chr(31)) AS s " +
+        "FROM sym0 CROSS JOIN m1), " +
+        "p2 AS (SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS n " +
+        "FROM sym1, unnest(generate_series(1, len(s) - 1)) AS t(i) " +
+        "WHERE len(s) >= 2 GROUP BY 1, 2), " +
+        "m2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1) " +
+        "SELECT CAST(1 AS BIGINT) AS merge_idx, a AS lhs, b AS rhs FROM m1 " +
+        "UNION ALL SELECT 2, a, b FROM m2"))
 }

@@ -64,30 +64,44 @@ object Bpe {
     }
 
   /** Learn `numMerges` merges from the corpus. Returns the ordered merge
-    * list. Deterministic: ties break on the pair's lexicographic order. */
-  def train(docs: DataFrame, text: Column, numMerges: Int): Merges = {
-    val freqs = wordFreqs(docs, text).persist()
-    try {
-      var merges = Vector.empty[(String, String)]
-      var continue = true
-      while (merges.size < numMerges && continue) {
-        val syms = symbolized(freqs, merges)
-        val pairs = syms
-          .filter(size(col("sym")) >= 2)
-          .select(col("freq"), explode(
-            transform(sequence(lit(1), size(col("sym")) - 1), i =>
-              struct(element_at(col("sym"), i).as("a"),
-                element_at(col("sym"), i + 1).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("n"))
-          .orderBy(col("n").desc, col("a").asc, col("b").asc)
-          .limit(1)
-          .collect()
-        if (pairs.isEmpty) continue = false
-        else merges :+= ((pairs(0).getString(0), pairs(0).getString(1)))
+    * list. Deterministic: ties break on the pair's lexicographic order.
+    *
+    * The symbolized vocab is MAINTAINED across iterations: each pass
+    * applies only the NEWEST merge to the previous materialized state,
+    * so learning m merges costs m mergePass projections total —
+    * re-deriving `symbolized(freqs, merges)` from scratch each round
+    * would apply O(m²) passes and grow the per-pass plan depth linearly
+    * with the learned count (analyzer/codegen cost explodes around
+    * 10^4 merges). `materialize` defaults to eager localCheckpoint:
+    * constant plan depth, blocks self-release on GC. */
+  def train(docs: DataFrame, text: Column, numMerges: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): Merges = {
+    var syms = materialize(wordFreqs(docs, text)
+      .select(col("freq"), symbolize(col("w")).as("sym")))
+    var merges = Vector.empty[(String, String)]
+    var continue = true
+    while (merges.size < numMerges && continue) {
+      val pairs = syms
+        .filter(size(col("sym")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("sym")) - 1), i =>
+            struct(element_at(col("sym"), i).as("a"),
+              element_at(col("sym"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (pairs.isEmpty) continue = false
+      else {
+        val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
+        merges :+= ((a, b))
+        if (merges.size < numMerges)
+          syms = materialize(syms.withColumn("sym",
+            mergePass(col("sym"), a, b)))
       }
-      merges
-    } finally freqs.unpersist(blocking = false)
+    }
+    merges
   }
 
   /** Tokenize text under a learned merge list (training-consistent
