@@ -1617,6 +1617,23 @@ object SparkEntry {
       .toDF("merge_idx", "lhs", "rhs")
   }
 
+  /** Interpolated bigram-LM NLL per document (λ = 0.5 — exactly
+    * representable, so both engines write literal 0.5 for λ and 1−λ):
+    * the perplexity quality filter. */
+  private def qBigramNll(s: SparkSession, dir: String): DataFrame =
+    TextStats.bigramNll(t(s, dir, "documents"), col("doc_id"), col("text"), 0.5)
+
+  /** Leakage-safe split counts: split assigned per dedup GROUP (q63's
+    * connected components over the q21 LSH pairs), so near-duplicates
+    * never straddle train/eval. Emits per-split doc and group counts. */
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.leakageSafeSplit(t(s, dir, "documents"), "doc_id",
+        qMinhashLsh(s, dir), "doc_a", "doc_b",
+        Seq(10 -> "val", 20 -> "test", 100 -> "train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1731,7 +1748,9 @@ object SparkEntry {
     "q109_rolling_distinct" -> (qRollingDistinct _),
     "q110_ab_test" -> (qAbTest _),
     "q111_time_to_convert" -> (qTimeToConvert _),
-    "q112_bpe_merges" -> (qBpeMerges _))
+    "q112_bpe_merges" -> (qBpeMerges _),
+    "q113_bigram_nll" -> (qBigramNll _),
+    "q114_leakage_split" -> (qLeakageSplit _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2800,5 +2819,36 @@ object SparkEntry {
         "WHERE len(s) >= 2 GROUP BY 1, 2), " +
         "m2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1) " +
         "SELECT CAST(1 AS BIGINT) AS merge_idx, a AS lhs, b AS rhs FROM m1 " +
-        "UNION ALL SELECT 2, a, b FROM m2"))
+        "UNION ALL SELECT 2, a, b FROM m2"),
+    "q113_bigram_nll" ->
+      // p = 0.5·(bc/ctx) + 0.5·(uc/T), fixed parenthesization both sides
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "uni AS (SELECT tok, count(*) AS uc FROM (SELECT unnest(tk) AS tok FROM d) GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS t FROM uni), " +
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN " +
+        "list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS bigram FROM d), " +
+        "big AS (SELECT bigram, count(*) AS bc FROM bg GROUP BY 1), " +
+        "ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(bc) AS ctx FROM big GROUP BY 1), " +
+        "p AS (SELECT bigram, 0.5 * (CAST(bc AS DOUBLE) / CAST(ctx AS DOUBLE)) + " +
+        "0.5 * (CAST(uc AS DOUBLE) / t) AS p FROM big " +
+        "JOIN ctx ON string_split(bigram, ' ')[1] = ctx.w1 " +
+        "JOIN uni ON uni.tok = string_split(bigram, ' ')[2] CROSS JOIN tot), " +
+        "db AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, " +
+        "round(-sum(k * ln(p)) / sum(k), 4) AS nll " +
+        "FROM db JOIN p USING (bigram) GROUP BY 1"),
+    "q114_leakage_split" ->
+      // q63's recursive-CTE connected components, then the q42 md5 split
+      // keyed on group_id instead of doc_id
+      (s"WITH RECURSIVE $shingleCte, " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r " +
+        "JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "b AS (SELECT group_id, CAST(CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bkt FROM comp) " +
+        "SELECT CASE WHEN bkt < 10 THEN 'val' WHEN bkt < 20 THEN 'test' ELSE 'train' END AS split, " +
+        "count(*) AS n_docs, count(DISTINCT group_id) AS n_groups FROM b GROUP BY 1"))
 }

@@ -177,6 +177,63 @@ object TextStats {
           .as("pmi"))
   }
 
+  /** Interpolated bigram language-model score per document — the
+    * perplexity-filter quality signal of an LLM data pipeline (docs
+    * whose mean NLL under a corpus-trained LM is an outlier are
+    * boilerplate or noise; the step beyond the unigram NLL of q73):
+    * per-bigram `p = λ·P_ML(w2|w1) + (1−λ)·P_uni(w2)` with
+    * `P_ML(w2|w1) = bc(w1,w2)/Σ_w bc(w1,w)`, NLL = −Σ k·ln p / Σ k.
+    * Interpolation (Jelinek-Mercer) keeps every observed bigram finite
+    * without discounting machinery; both probability terms are ratios
+    * of exact integer counts evaluated in a FIXED parenthesization so
+    * any engine replays bit-identical doubles.
+    *
+    * Scale shape: unigram/bigram/context tables are vocabulary-sized
+    * aggregations (map-side combined, corpus explodes exactly once per
+    * stream); the scoring join keys the doc-bigram table on `bigram` —
+    * one exchange — and the per-doc NLL is a second map-side-combined
+    * aggregation. `materialize` as in [[invertedIndex]]. Docs with
+    * fewer than two tokens have no bigrams and are absent. Pass
+    * λ with an exactly-representable complement (0.5, 0.75, 0.9375…)
+    * if the oracle writes `1−λ` as its own literal. */
+  def bigramNll(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, lam: Double,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, log, round, split, sum}
+    val fanned = materialize(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), text.as("__t")))
+    val uni = materialize(fanned.select(explode(tokens(col("__t"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc")))
+    val big = materialize(fanned
+      .select(explode(shingles(col("__t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bc")))
+    val tTot = {
+      val r = uni.agg(sum(col("uc"))).first()
+      if (r.isNullAt(0)) 1.0 else r.getLong(0).toDouble
+    }
+    val w1 = split(col("bigram"), " ").getItem(0)
+    val ctx = big.groupBy(w1.as("w1")).agg(sum(col("bc")).as("ctx"))
+    val probs = big
+      .withColumn("w1", w1)
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(ctx), "w1")
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("uc", "uc2")), "w2")
+      .select(col("bigram"),
+        (lit(lam) * (col("bc").cast("double") / col("ctx").cast("double")) +
+          lit(1.0 - lam) * (col("uc2").cast("double") / lit(tTot))).as("p"))
+    fanned.select(col("doc_id"),
+        explode(shingles(col("__t"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+      .join(probs, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(-sum(col("k").cast("double") * log(col("p"))) /
+          sum(col("k")).cast("double"), 4).as("nll"))
+  }
+
   /** Dictionary-encode a corpus against a vocabulary (the
     * tokenize-to-ids step before packing/training): one posexplode, one
     * broadcast join (vocabularies are bounded — [[buildVocab]]'s top-N),

@@ -36,6 +36,21 @@ object Sampling {
   def hashSample(df: DataFrame, id: Column, percent: Int): DataFrame =
     df.filter(hashBucket(id, 100) < percent)
 
+  /** Leakage-safe train/val/test split: the split is assigned to the
+    * DEDUP GROUP, not the document — near-duplicates (as connected
+    * components over `pairs`, [[Graph.dedupGroups]]) land on the same
+    * side by construction, so evaluation never scores memorized
+    * near-copies of training docs (the contamination mode a doc-keyed
+    * [[hashSplit]] cannot prevent). Output = dedupGroups' columns +
+    * `split`; group sizes/keep flags ride along, so "train on canonical
+    * members only" is one extra filter. Cost over hashSplit: the CC
+    * fixpoint on the candidate-pair graph — pair-sized, not
+    * corpus-sized. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, cuts: Seq[(Int, String)]): DataFrame =
+    hashSplit(Graph.dedupGroups(docs, idCol, pairs, aCol, bCol),
+      col("group_id"), cuts)
+
   /** Deterministic weighted (Bernoulli) sample: keep a row iff its
     * hash-uniform u(id) ∈ [0,1) falls below the row's weight — the
     * quality-weighted / temperature-sampling step of corpus mixing,

@@ -430,4 +430,42 @@ class TextOpsSpec extends SparkSpec {
     val expected = math.log((8.0 * 26 * 26) / (17.0 * 8 * 8))
     assert(math.abs(out("x y") - expected) < 1e-4)
   }
+
+  test("bigramNll: hand-computed corpus, repetitive text scores lower NLL") {
+    // corpus of two docs: "a b a b" (4 tokens, bigrams ab, ba, ab) and
+    // "c d" (bigram cd). Unigrams: a2 b2 c1 d1, T=6.
+    // ctx(a)=2 (ab×2), ctx(b)=1 (ba), ctx(c)=1 (cd).
+    // p(ab) = .5*(2/2) + .5*(2/6); p(ba) = .5*(1/1) + .5*(2/6);
+    // p(cd) = .5*(1/1) + .5*(1/6)
+    val docs = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextStats.bigramNll(docs, col("doc_id"), col("text"), 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val pAb = 0.5 * 1.0 + 0.5 * (2.0 / 6); val pBa = 0.5 * 1.0 + 0.5 * (2.0 / 6)
+    val pCd = 0.5 * 1.0 + 0.5 * (1.0 / 6)
+    val nll1 = -(2 * math.log(pAb) + math.log(pBa)) / 3
+    val nll2 = -math.log(pCd)
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - nll1) < 1e-3)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - nll2) < 1e-3)
+    // the doc made of the corpus's dominant bigram is more predictable
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("leakageSafeSplit: near-dup groups never straddle splits") {
+    import graft.ops.{Sampling, TextDedup}
+    val pairs = TextDedup.lshCandidates(TextDedup.minhashSignatures(
+      TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3), 8))
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      "doc_a", "doc_b", Seq(50 -> "test", 100 -> "train"))
+    // every group maps to exactly one split, so the near-dup cluster
+    // {1,2,4} shares one side by construction
+    val perGroup = split.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    val dupSides = split.filter(col("doc_id").isin(1L, 2L, 4L))
+      .select(col("split")).distinct().count()
+    assert(dupSides == 1L)
+    // split is exhaustive over the corpus
+    assert(split.filter(col("split").isNull).isEmpty)
+    assert(split.count() == 4L)
+  }
 }
