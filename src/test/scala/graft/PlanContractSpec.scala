@@ -248,6 +248,26 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("partial_sum"), p.take(800))
   }
 
+  test("q113: bigram-LM scoring — vocab tables broadcast, bounded exchanges") {
+    val p = plan("q113_bigram_nll")
+    // ctx and unigram probability tables are vocabulary-sized and must
+    // broadcast into the scoring join (a shuffled join there would
+    // re-exchange the bigram table twice for no reduction)
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(1200))
+    // doc-bigram agg, probs-join redistribution, final per-doc agg —
+    // the corpus-sized stream never exchanges a fourth time
+    assert(count(p, "Exchange hashpartitioning") <= 3, p.take(1200))
+  }
+
+  test("q114: leakage split — group labeling joins on one id partitioning") {
+    val p = plan("q114_leakage_split")
+    // no cartesian anywhere in the CC/label/split composition
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the split aggregation itself is group-keyed: map-side partial
+    // then one exchange on split
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
   test("ShingleGen generates inside WholeStageCodegen (no fallback wall)") {
     import org.apache.spark.sql.functions.{col, lit, count => fcount}
     import spark.implicits._
