@@ -202,8 +202,12 @@ object TextStats {
         _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, explode,
       lit, log, round, split, sum}
-    val fanned = materialize(graft.ops.Fanout.fanout(docs)
-      .select(id.as("doc_id"), text.as("__t")))
+    // the corpus stream is NOT materialized: its three consumers are
+    // each one narrow explode+partial-agg pass over the source scan,
+    // and a corpus-sized checkpoint write costs more than the rescans
+    // (callers with an expensive derived `docs` pre-materialize it)
+    val fanned = graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), text.as("__t"))
     val uni = materialize(fanned.select(explode(tokens(col("__t"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("uc")))
     val big = materialize(fanned
