@@ -83,4 +83,31 @@ class CurationPipelineSpec extends SparkSpec {
       .select(col("doc_id"), col("pos"), col("token"))
     assert(joined.count() == encoded.filter(col("token_id") >= 0).count())
   }
+
+  test("perplexity filter + leakage-safe split compose with the curation stages") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    // LM-score the corpus and keep the most predictable half — the
+    // perplexity gate slots in anywhere a doc-level filter does
+    val scored = TextStats.bigramNll(docs, col("doc_id"), col("text"), 0.5)
+    assert(scored.count() > 0)
+    val cut = scored.agg(expr("percentile(nll, 0.5)")).head().getDouble(0)
+    val kept = docs.join(
+      scored.filter(col("nll") <= cut).select("doc_id"), Seq("doc_id"), "left_semi")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= docs.count())
+
+    // leakage-safe split over the survivors: every surviving near-dup
+    // pair must land on ONE side (the property a doc-keyed split lacks)
+    val pairs = TextDedup.lshCandidates(
+      TextDedup.minhashSignaturesNative(kept, col("doc_id"), col("text"), 3, 8))
+    val split = Sampling.leakageSafeSplit(kept, "doc_id", pairs,
+      "doc_a", "doc_b", Seq(20 -> "test", 100 -> "train"))
+    assert(split.count() == nKept)
+    val straddled = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddled.isEmpty, "a near-dup pair straddles train/test")
+  }
 }
