@@ -45,6 +45,28 @@ class StarSpec extends SparkSpec {
     assert(r(2).isNullAt(0))
   }
 
+  test("surrogateId: NULL position is significant, md5-replayable") {
+    // the sentinel rendering must keep (a,NULL,b) ≠ (a,b,NULL) — a bare
+    // concat_ws would silently drop the NULL and collide them
+    val df = Seq((Some("a"), None: Option[String], Some("b")),
+        (Some("a"), Some("b"), None: Option[String]))
+      .toDF("x", "y", "z")
+      .select(Flags.surrogateId(col("x"), col("y"), col("z")).as("id"))
+    val r = df.collect()
+    assert(r(0).getLong(0) != r(1).getLong(0))
+    // replayable by any engine: id = first 15 md5 hex digits of the
+    // sentinel-joined canon, as the q46 oracle computes it in DuckDB
+    val canon = "airline|i:AA"
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val got = Seq(("airline", "i:AA")).toDF("k", "v")
+      .select(Flags.surrogateId(col("k"), col("v")).as("id"))
+      .head().getLong(0)
+    assert(got == expected)
+  }
+
   test("flightNum fallback chain and flightKey derivation (P11/D4)") {
     val r = Seq(
       (Some("AA100"), Some("AAL100"), Some("100")),
