@@ -1634,6 +1634,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("group_id")).as("n_groups"))
 
+  /** Centroid-based silhouette per embedding cluster: the clustering
+    * quality eval (complements q74 centroids / q76 kmeans). */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    Ann.silhouette(t(s, dir, "embeddings"), "label")
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1750,7 +1755,8 @@ object SparkEntry {
     "q111_time_to_convert" -> (qTimeToConvert _),
     "q112_bpe_merges" -> (qBpeMerges _),
     "q113_bigram_nll" -> (qBigramNll _),
-    "q114_leakage_split" -> (qLeakageSplit _))
+    "q114_leakage_split" -> (qLeakageSplit _),
+    "q115_silhouette" -> (qSilhouette _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2850,5 +2856,24 @@ object SparkEntry {
         "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
         "b AS (SELECT group_id, CAST(CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bkt FROM comp) " +
         "SELECT CASE WHEN bkt < 10 THEN 'val' WHEN bkt < 20 THEN 'test' ELSE 'train' END AS split, " +
-        "count(*) AS n_docs, count(DISTINCT group_id) AS n_groups FROM b GROUP BY 1"))
+        "count(*) AS n_docs, count(DISTINCT group_id) AS n_groups FROM b GROUP BY 1"),
+    "q115_silhouette" ->
+      // same snapping grids as the engine: centroids 1e-6, squared terms
+      // 1e-12 decimal-summed, per-vector s 1e-9 decimal-summed
+      ("WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "xx AS (SELECT vec_id, label, unnest(e) AS xv, generate_subscripts(e, 1) AS pos FROM v), " +
+        "cent AS (SELECT label AS clabel, pos, floor(avg(xv) * 1000000 + 0.5) / 1000000 AS m " +
+        "FROM xx GROUP BY 1, 2), " +
+        "d AS (SELECT vec_id, label, clabel, " +
+        "CAST(sum(CAST(floor((xv - m) * (xv - m) * 1000000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000 AS d2 " +
+        "FROM xx JOIN cent USING (pos) GROUP BY 1, 2, 3), " +
+        "ab AS (SELECT vec_id, label, " +
+        "min(CASE WHEN clabel = label THEN d2 END) AS a, " +
+        "min(CASE WHEN clabel <> label THEN d2 END) AS b " +
+        "FROM d GROUP BY 1, 2), " +
+        "sc AS (SELECT label, (sqrt(b) - sqrt(a)) / greatest(sqrt(a), sqrt(b)) AS s " +
+        "FROM ab WHERE b IS NOT NULL) " +
+        "SELECT label, count(*) AS n_vectors, " +
+        "round(CAST(sum(CAST(floor(s * 1000000000 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000000 / count(*), 4) AS silhouette " +
+        "FROM sc GROUP BY 1"))
 }

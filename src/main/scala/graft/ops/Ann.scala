@@ -248,4 +248,46 @@ object Ann {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** Centroid-based (simplified) silhouette per cluster — the clustering
+    * quality eval of an embedding pipeline (is this labeling/k worth
+    * keeping? is cluster drift degrading the IVF index?): per vector,
+    * a = squared distance to its OWN label centroid, b = min over OTHER
+    * centroids; s = (√b − √a) / max(√a, √b) ∈ [−1, 1], averaged per
+    * label. The centroid-based form (Ward-style) replaces the classic
+    * all-pairs a/b with centroid distances — O(n·k) instead of O(n²),
+    * the only silhouette that exists at 100 TB.
+    *
+    * Scale shape: centroids are one map-side-combined (label, dim)
+    * aggregation (k×dim rows, broadcast); distances are one exploded
+    * join on `dim` grouped per (vector, centroid) — n·k rows, never
+    * n². Determinism (the kmeans/entropy contract): centroids snap to
+    * the 1e-6 grid, per-dim squared terms to 1e-12 summed as decimals,
+    * per-vector s to 1e-9 summed as decimals — bit-identical in any
+    * engine regardless of partitioning or summation order. Vectors
+    * whose corpus has a single label have no `b` and are absent. */
+  def silhouette(corpus: DataFrame, labelCol: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val x = corpus.select(col(idCol).as("__id"), col(labelCol).as("label"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+    val cent = x.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(r6(avg(col("x"))).as("m"))
+    val d2 = x.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("__id"), col("label"), col("clabel"))
+      .agg((sum(floor((col("x") - col("m")) * (col("x") - col("m")) *
+          lit(1e12) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e12)).as("d2"))
+    val ab = d2.groupBy(col("__id"), col("label"))
+      .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
+      .filter(col("b").isNotNull)
+    val s = ab.select(col("label"),
+      ((sqrt(col("b")) - sqrt(col("a"))) /
+        greatest(sqrt(col("a")), sqrt(col("b")))).as("s"))
+    s.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round((sum(floor(col("s") * lit(1e9) + lit(0.5)).cast("decimal(28,0)"))
+          .cast("double") / lit(1e9)) / count(lit(1)).cast("double"), 4)
+          .as("silhouette"))
+  }
 }

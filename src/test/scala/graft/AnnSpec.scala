@@ -86,4 +86,23 @@ class AnnSpec extends SparkSpec {
     // not degenerate: both signs occur in every plane
     assert(s1.forall(p => p.contains(1.0) && p.contains(-1.0)))
   }
+
+  test("silhouette: tight separated clusters ≈ 1, straddling point scores low") {
+    import spark.implicits._
+    // cluster A around (0,0), cluster B around (10,10); one B-labeled
+    // point sits midway — its s is small, dragging B's mean under A's
+    val rows = Seq(
+      (1L, "A", Seq(0.0, 0.1)), (2L, "A", Seq(0.1, 0.0)),
+      (3L, "A", Seq(-0.1, 0.0)),
+      (4L, "B", Seq(10.0, 10.1)), (5L, "B", Seq(10.1, 10.0)),
+      (6L, "B", Seq(5.2, 5.2))) // straddler
+      .toDF("vec_id", "label", "embedding")
+    val out = Ann.silhouette(rows, "label")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("A")._1 == 3L && out("B")._1 == 3L)
+    assert(out("A")._2 > 0.9, s"tight cluster should score ~1: ${out("A")}")
+    assert(out("B")._2 < out("A")._2)
+    // every per-cluster mean stays in the silhouette range
+    assert(out.values.forall(v => v._2 >= -1.0 && v._2 <= 1.0))
+  }
 }
