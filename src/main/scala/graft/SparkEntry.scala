@@ -2842,7 +2842,7 @@ object SparkEntry {
         "JOIN uni ON uni.tok = string_split(bigram, ' ')[2] CROSS JOIN tot), " +
         "db AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, " +
-        "round(-sum(k * ln(p)) / sum(k), 4) AS nll " +
+        "round(-(CAST(sum(CAST(floor(CAST(k AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(k), 4) AS nll " +
         "FROM db JOIN p USING (bigram) GROUP BY 1"),
     "q114_leakage_split" ->
       // q63's recursive-CTE connected components, then the q42 md5 split

@@ -228,14 +228,20 @@ object TextStats {
       .select(col("bigram"),
         (lit(lam) * (col("bc").cast("double") / col("ctx").cast("double")) +
           lit(1.0 - lam) * (col("uc2").cast("double") / lit(tTot))).as("p"))
+    // per-doc NLL terms snap to the 1e-9 grid and sum as exact decimals
+    // (the q104/q115 contract): the mean is identical under ANY
+    // summation order — partitioning, engine, or retry cannot flip a
+    // rounded digit
+    import org.apache.spark.sql.functions.floor
     fanned.select(col("doc_id"),
         explode(shingles(col("__t"), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
       .join(probs, "bigram")
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
-        round(-sum(col("k").cast("double") * log(col("p"))) /
-          sum(col("k")).cast("double"), 4).as("nll"))
+        round(-(sum(floor(col("k").cast("double") * log(col("p")) *
+            lit(1e9) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
+          lit(1e9)) / sum(col("k")).cast("double"), 4).as("nll"))
   }
 
   /** Dictionary-encode a corpus against a vocabulary (the
