@@ -934,10 +934,14 @@ object SparkEntry {
     val grand = totals.agg(sum(col("ctf")).cast("double").as("gt"))
     val probs = totals.crossJoin(broadcast(grand))
       .select(col("term"), (col("ctf") / col("gt")).as("p"))
+    // NLL terms snap to the 1e-9 grid and sum as exact decimals (the
+    // q104/q113/q115 contract): order-independent under any partitioning
     tf.join(broadcast(probs), "term")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        round(-sum(col("tf") * log(col("p"))) / sum(col("tf")), 4).as("nll"))
+        round(-(sum(floor(col("tf").cast("double") * log(col("p")) *
+            lit(1e9) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
+          lit(1e9)) / sum(col("tf")).cast("double"), 4).as("nll"))
   }
 
   /** Per-label embedding centroids (mean pooling): the k-means E-step /
@@ -2362,7 +2366,7 @@ object SparkEntry {
         "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
         "p AS (SELECT term, ctf / gt AS p FROM tot, g) " +
         "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
-        "round(-sum(tf * ln(p)) / sum(tf), 4) AS nll " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
         "FROM tf JOIN p USING (term) GROUP BY 1"),
     "q74_centroids" ->
       ("SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 6) AS m, " +
