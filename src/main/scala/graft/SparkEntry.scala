@@ -1782,16 +1782,24 @@ object SparkEntry {
       s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg"
   }
 
+  // the affine minhash family in SQL, in lockstep with
+  // Similarity.minhashTerm: base = first 32 md5 bits per DISTINCT
+  // shingle (one digest for all 8 members), h_i = (a_i·base + c_i) mod P
+  // with a_i derived from the literal Knuth multiplier
   private val shingleCte =
     "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
       "sh0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
       "list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) " +
       "ELSE []::VARCHAR[] END) AS shingle FROM toks), " +
-      "sh AS (SELECT DISTINCT doc_id, shingle FROM sh0), " +
+      "sh1 AS (SELECT DISTINCT doc_id, shingle FROM sh0), " +
+      "sh AS (SELECT doc_id, shingle, " +
+      "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS base FROM sh1), " +
       "hs AS (SELECT unnest(generate_series(0, 7)) AS h), " +
-      "sigs AS (SELECT doc_id, h, min(md5(concat(h, '|', shingle))) AS minhash " +
+      "sigs AS (SELECT doc_id, h, " +
+      "min((((2654435761 * (h + 1)) % 2147483647) * base + 40503 * h) % 2147483647) AS minhash " +
       "FROM sh CROSS JOIN hs GROUP BY 1, 2), " +
-      "bands AS (SELECT doc_id, h // 2 AS band, min(minhash) || max(minhash) AS band_sig " +
+      "bands AS (SELECT doc_id, h // 2 AS band, " +
+      "CAST(min(minhash) AS VARCHAR) || '|' || CAST(max(minhash) AS VARCHAR) AS band_sig " +
       "FROM sigs GROUP BY 1, 2), " +
       "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"

@@ -42,12 +42,29 @@ object Similarity {
       }),
       lit(0.0), (acc, x) => acc + x))
 
-  /** MinHash value for one hash-family member `i` over a string set
-    * element: lexicographic min of `md5(i|element)` per group emulates a
-    * random permutation. Shared vocabulary with DuckDB (both have md5),
-    * deterministic, and mergeable map-side (min is a semilattice).
-    * Single definition — [[graft.ops.TextDedup.minhashSignatures]] and
-    * the q21/q22 oracle SQL must stay in lockstep with it. */
-  def minhashTerm(i: Column, element: Column): Column =
-    md5(concat_ws("|", i, element))
+  /** MinHash family: ONE digest per set element, then affine mixing —
+    * `h_i(x) = (a_i · base(x) + c_i) mod P` with `base(x)` = the first
+    * 32 bits of md5(x) and P = 2^31 − 1 (prime). The classic universal-
+    * family construction: 8 members cost ONE md5 per shingle instead of
+    * 8 (the digest dominates signature CPU over a 100 TB corpus), and
+    * the arithmetic replays in any engine — `a_i` is itself computed
+    * from the literal Knuth multiplier, so the oracle SQL derives the
+    * member from `h` without a constant table. Numeric min per group
+    * emulates the random permutation; mergeable map-side (semilattice).
+    * All products stay under 2^63: a < P, base < 2^32.
+    * Single definition — [[graft.ops.TextDedup.minhashSignatures]],
+    * the native [[graft.expr.catalyst.MinhashSig]], and the q21/q22/
+    * q63/q114 oracle CTE must stay in lockstep with it. */
+  val MinhashP = 2147483647L
+  val MinhashKnuth = 2654435761L
+  def minhashA(i: Int): Long = (MinhashKnuth * (i + 1)) % MinhashP
+  def minhashC(i: Int): Long = 40503L * i
+
+  /** base(x): first 8 md5 hex chars as an unsigned 32-bit long. */
+  def minhashBase(element: Column): Column =
+    conv(substring(md5(element), 1, 8), 16, 10).cast("long")
+
+  def minhashTerm(i: Int, element: Column): Column =
+    pmod(lit(minhashA(i)) * minhashBase(element) + lit(minhashC(i)),
+      lit(MinhashP))
 }

@@ -17,14 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Bit-identical by construction to the composable pipeline
   * ([[graft.ops.TextDedup.shingleSet]] → `minhashSignatures`:
-  * explode → distinct → min(md5(h|shingle))), property-tested ≡:
+  * explode → distinct → min of the affine family), property-tested ≡:
   * - tokens = split on single space, trailing empties kept (Spark
   *   `split(text, " ")` semantics, limit -1);
   * - shingles = space-joined n-gram windows; docs shorter than n have
   *   no shingles → NULL signature (the grouped form simply has no rows);
-  * - member h's value = lexicographic min over distinct shingles of
-  *   lowercase-hex `md5("h|shingle")` — ASCII hex, so Java String
-  *   ordering ≡ UTF8String binary ordering ≡ DuckDB VARCHAR min.
+  * - member h's value = numeric min over distinct shingles of
+  *   `(a_h · base + c_h) mod P` with base = first 32 bits of
+  *   md5(shingle) — ONE digest per shingle for the whole family
+  *   ([[graft.expr.Similarity.minhashTerm]] is the single source of
+  *   the constants).
   */
 case class MinhashSig(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
@@ -37,7 +39,7 @@ case class MinhashSig(child: Expression, n: Int, numHashes: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"graft_minhash requires a string input, got ${child.dataType.sql}")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
@@ -74,20 +76,14 @@ object MinhashOps {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  private def md5Hex(s: String): String = {
+  /** First 32 bits of md5(s) as an unsigned long — the family base
+    * (≡ `conv(substring(md5(s), 1, 8), 16, 10)`). */
+  private def md5Base32(s: String): Long = {
     val d = digest.get()
     d.reset()
-    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
-      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
-      i += 1
-    }
-    new String(out)
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
 
   /** NULL (no signature) when the doc has fewer than `n` tokens —
@@ -96,8 +92,11 @@ object MinhashOps {
     // limit -1: trailing empty tokens kept, matching Spark split()
     val toks = text.toString.split(" ", -1)
     if (toks.length < n) return null
+    import graft.expr.Similarity.{minhashA, minhashC, MinhashP}
+    val as = Array.tabulate(numHashes)(minhashA)
+    val cs = Array.tabulate(numHashes)(minhashC)
     val seen = new java.util.HashSet[String]()
-    val mins = new Array[String](numHashes)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - n) {
@@ -110,15 +109,18 @@ object MinhashOps {
       }
       val shingle = sb.toString
       if (seen.add(shingle)) {
+        // one digest for the whole family; a·base + c < 2^63 (a < P,
+        // base < 2^32), so plain long arithmetic is exact
+        val base = md5Base32(shingle)
         var h = 0
         while (h < numHashes) {
-          val v = md5Hex(h.toString + "|" + shingle)
-          if (mins(h) == null || v.compareTo(mins(h)) < 0) mins(h) = v
+          val v = (as(h) * base + cs(h)) % MinhashP
+          if (v < mins(h)) mins(h) = v
           h += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(UTF8String.fromString(_)))
+    new GenericArrayData(mins)
   }
 }

@@ -31,19 +31,21 @@ object TextDedup {
       .distinct()
 
   /** MinHash signatures in long format: (doc_id, h, minhash) for h in
-    * [0, numHashes). min(md5(h|shingle)) emulates a random permutation
-    * per hash-family member.
+    * [0, numHashes). The affine family over one md5 base per shingle
+    * ([[graft.expr.Similarity.minhashTerm]]) emulates a random
+    * permutation per member at ONE digest per shingle — the digest is
+    * the signature CPU at corpus scale, so the family width is ~free.
     *
     * All `numHashes` minima are computed as ONE wide aggregation over a
     * single pass of the shingle set — not an explode×numHashes + tall
     * groupBy, which would push numHashes× the rows through the hash-agg
-    * operator for the same md5 work. The wide form's map-side partial
-    * state is one row of `numHashes` strings per doc per task; the long
+    * operator for the same digest work. The wide form's map-side partial
+    * state is one row of `numHashes` longs per doc per task; the long
     * (doc_id, h, minhash) contract is restored by unpivoting the tiny
     * per-doc result. */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
     val minCols = (0 until numHashes).map(h =>
-      min(Similarity.minhashTerm(lit(h), col("shingle"))).as(s"m$h"))
+      min(Similarity.minhashTerm(h, col("shingle"))).as(s"m$h"))
     shingles.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), explode(array((0 until numHashes).map(h =>
@@ -75,7 +77,8 @@ object TextDedup {
   def bandTable(signatures: DataFrame): DataFrame =
     signatures
       .groupBy(col("doc_id"), shiftright(col("h"), 1).as("band"))
-      .agg(concat(min(col("minhash")), max(col("minhash"))).as("band_sig"))
+      .agg(concat_ws("|", min(col("minhash")).cast("string"),
+        max(col("minhash")).cast("string")).as("band_sig"))
 
   /** LSH banding: docs sharing any band signature become candidate
     * pairs (the full-corpus self-join form). */

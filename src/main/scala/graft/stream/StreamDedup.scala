@@ -49,7 +49,8 @@ object StreamDedup {
       val a = element_at(col("__sig"), 2 * i + 1) // element_at is 1-based
       val b = element_at(col("__sig"), 2 * i + 2)
       struct(lit(i.toLong).as("band"),
-        concat(least(a, b), greatest(a, b)).as("band_sig"))
+        concat_ws("|", least(a, b).cast("string"),
+          greatest(a, b).cast("string")).as("band_sig"))
     }
     df.select(col(idCol), col(eventTimeCol), sig.as("__sig"))
       .filter(col("__sig").isNotNull)

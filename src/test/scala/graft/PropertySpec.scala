@@ -222,11 +222,11 @@ class PropertySpec extends SparkSpec {
     val composed = TextDedup.minhashSignatures(
         TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3), 8)
       .orderBy("doc_id", "h").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     val native = TextDedup.minhashSignaturesNative(
         docs, col("doc_id"), col("text"), 3, 8)
       .orderBy("doc_id", "h").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(native.toSeq == composed.toSeq)
     assert(native.nonEmpty && !native.exists(_._1 == 2L)) // short doc: no rows
   }

@@ -89,12 +89,11 @@ class StatefulStreamSpec extends SparkSpec {
     assert(!m.contains(3L), s"exact dup emitted bands: $m")
     assert(m(4L) == 4L, m.toString)
 
-    // band signatures match the BATCH LSH contract (same min||max concat)
-    val batchBands = graft.ops.TextDedup.minhashSignaturesNative(
-        Seq((1L, "the quick brown fox jumps high")).toDF("doc_id", "text"),
-        col("doc_id"), col("text"), 3, 8)
-      .groupBy(col("doc_id"), shiftright(col("h"), 1).as("band"))
-      .agg(concat(min(col("minhash")), max(col("minhash"))).as("band_sig"))
+    // band signatures match the BATCH LSH contract (bandTable itself)
+    val batchBands = graft.ops.TextDedup.bandTable(
+        graft.ops.TextDedup.minhashSignaturesNative(
+          Seq((1L, "the quick brown fox jumps high")).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 3, 8))
       .select("band_sig").as[String].collect().toSet
     val streamBands = spark.table("neardup_sink")
       .filter(col("doc_id") === 1L).select("band_sig")
