@@ -934,14 +934,14 @@ object SparkEntry {
     val grand = totals.agg(sum(col("ctf")).cast("double").as("gt"))
     val probs = totals.crossJoin(broadcast(grand))
       .select(col("term"), (col("ctf") / col("gt")).as("p"))
-    // NLL terms snap to the 1e-9 grid and sum as exact decimals (the
-    // q104/q113/q115 contract): order-independent under any partitioning
+    // NLL terms via the shared order-independent Snap sum (the
+    // q104/q113/q115 contract)
     tf.join(broadcast(probs), "term")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        round(-(sum(floor(col("tf").cast("double") * log(col("p")) *
-            lit(1e9) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
-          lit(1e9)) / sum(col("tf")).cast("double"), 4).as("nll"))
+        round(-graft.expr.Snap.snappedSum(
+            col("tf").cast("double") * log(col("p")), 1e9) /
+          sum(col("tf")).cast("double"), 4).as("nll"))
   }
 
   /** Per-label embedding centroids (mean pooling): the k-means E-step /
@@ -1783,9 +1783,10 @@ object SparkEntry {
   }
 
   // the affine minhash family in SQL, in lockstep with
-  // Similarity.minhashTerm: base = first 32 md5 bits per DISTINCT
-  // shingle (one digest for all 8 members), h_i = (a_i·base + c_i) mod P
-  // with a_i derived from the literal Knuth multiplier
+  // Similarity.minhashTerm: (hi, lo) = first 28 + next 32 md5 bits per
+  // DISTINCT shingle (one digest for all 8 members),
+  // h_i = (a_i·hi + b_i·lo + c_i) mod P with the coefficients derived
+  // from the literal Knuth multipliers
   private val shingleCte =
     "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
       "sh0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
@@ -1793,10 +1794,12 @@ object SparkEntry {
       "ELSE []::VARCHAR[] END) AS shingle FROM toks), " +
       "sh1 AS (SELECT DISTINCT doc_id, shingle FROM sh0), " +
       "sh AS (SELECT doc_id, shingle, " +
-      "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS base FROM sh1), " +
+      "CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS hi, " +
+      "CAST(('0x' || substr(md5(shingle), 8, 8)) AS BIGINT) AS lo FROM sh1), " +
       "hs AS (SELECT unnest(generate_series(0, 7)) AS h), " +
       "sigs AS (SELECT doc_id, h, " +
-      "min((((2654435761 * (h + 1)) % 2147483647) * base + 40503 * h) % 2147483647) AS minhash " +
+      "min((((2654435761 * (h + 1)) % 2147483647) * hi + " +
+      "((2246822519 * (h + 1)) % 1073741789) * lo + 40503 * h) % 2147483647) AS minhash " +
       "FROM sh CROSS JOIN hs GROUP BY 1, 2), " +
       "bands AS (SELECT doc_id, h // 2 AS band, " +
       "CAST(min(minhash) AS VARCHAR) || '|' || CAST(max(minhash) AS VARCHAR) AS band_sig " +
@@ -2499,15 +2502,17 @@ object SparkEntry {
       (stagingReplayCte("SELECT count(*) AS nr, " +
         "1700000000 + (count(*) - 1) * 60 AS nowsec FROM events") +
         ", cut AS (SELECT max(ingest_time) AS cutoff FROM stg), " +
-        s"ids AS (SELECT ${sidSql("'airline|i:AA'")} AS airline_id, " +
-        s"${sidSql("'airport|i:ORG'")} AS dep_id, " +
-        s"${sidSql("'airport|i:DST'")} AS arr_id) " +
+        // surrogateId canon: length-prefixed fields, '|'-joined
+        s"ids AS (SELECT ${sidSql("'7:airline|4:i:AA'")} AS airline_id, " +
+        s"${sidSql("'7:airport|5:i:ORG'")} AS dep_id, " +
+        s"${sidSql("'7:airport|5:i:DST'")} AS arr_id) " +
         "SELECT flight_key, flight_date, status, flight_number, flight_iata, " +
         "flight_icao, dep_airport_iata, dep_airport_icao, dep_terminal, dep_gate, " +
         "dep_scheduled, dep_estimated, dep_actual, dep_delay_min, " +
         "arr_airport_iata, arr_airport_icao, arr_terminal, arr_gate, " +
         "arr_scheduled, arr_estimated, arr_actual, arr_delay_min, airline_id, " +
-        sidSql("'route|' || CAST(dep_id AS VARCHAR) || '|' || CAST(arr_id AS VARCHAR)") +
+        sidSql("'5:route|' || len(CAST(dep_id AS VARCHAR)) || ':' || CAST(dep_id AS VARCHAR) " +
+          "|| '|' || len(CAST(arr_id AS VARCHAR)) || ':' || CAST(arr_id AS VARCHAR)") +
         " AS route_id, ingest_time, cutoff AS last_updated " +
         "FROM stg CROSS JOIN cut CROSS JOIN ids"),
     "q34_media_features" ->
@@ -2818,7 +2823,10 @@ object SparkEntry {
       // weighted by word freq (count desc, pair-lex tie-break), apply
       // merge 1 greedily leftmost-first via a list_reduce fold (the
       // accumulator is chr(31)-joined; "last element = lhs and next =
-      // rhs" appends rhs directly, fusing the pair), argmax again
+      // rhs" appends rhs directly, fusing the pair), argmax again.
+      // Oracle-side caveat: the chr(31) accumulator delimiter assumes
+      // document text never contains U+001F (true of the testdata; the
+      // ENGINE's array fold has no such constraint)
       ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
         "wf AS (SELECT w, count(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY 1), " +
         "sym0 AS (SELECT freq, list_append(" +

@@ -31,13 +31,19 @@ object Flags {
     * md5-derived (the library's shared hashing vocabulary, as in
     * [[graft.ops.Merge.tableChecksum]]) rather than xxhash64 so any
     * engine can replay the id: `CAST(('0x' || substr(md5(canon), 1, 15))
-    * AS BIGINT)` in DuckDB. NULL components render as an explicit
-    * sentinel — concat_ws silently drops nulls, which would collide
-    * (a,NULL,b) with (a,b,NULL). */
+    * AS BIGINT)` in DuckDB. Field framing is injection-proof: each
+    * non-NULL component renders as `length:value` so a '|' INSIDE a
+    * value cannot shift field boundaries — ("a|b","c") and ("a","b|c")
+    * canonicalize differently. NULL components render as the bare
+    * sentinel (no length prefix, so a literal sentinel VALUE renders
+    * "1:␀" and cannot collide with NULL). */
   def surrogateId(naturalKey: Column*): Column = {
     val anyNonNull = naturalKey.map(_.isNotNull).reduce(_ || _)
-    val canon = concat_ws("|",
-      naturalKey.map(c => coalesce(c.cast("string"), lit("␀"))): _*)
+    val canon = concat_ws("|", naturalKey.map { c =>
+      val s = c.cast("string")
+      when(s.isNull, lit("␀"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }: _*)
     when(anyNonNull, conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
       .otherwise(lit(null).cast("long"))
   }

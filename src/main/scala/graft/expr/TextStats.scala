@@ -94,12 +94,14 @@ object TextStats {
     * collect: `InferWindowGroupLimit` plants a partial top-k on the map
     * side, so the exchange carries ≤ maxPostings rows per term, never a
     * stopword's full corpus. Callers wanting complete lists partition
-    * them into blocks instead (same pattern, rank div blockSize). */
-  /** `materialize` snapshots the shared tf table (two consumers: stats
-    * + postings). Default `localCheckpoint` is self-releasing — blocks
-    * free when the result frame is collected, unlike `persist`, whose
-    * CacheManager entry would outlive the call with no handle to drop
-    * it (long-lived sessions accumulate). */
+    * them into blocks instead (same pattern, rank div blockSize).
+    *
+    * `materialize` snapshots the shared tf table (two consumers: stats
+    * + postings). Default `localCheckpoint(true)` is EAGER (the tf job
+    * runs at call time) and self-releasing — blocks free when the
+    * result frame is collected, unlike `persist`, whose CacheManager
+    * entry would outlive the call with no handle to drop it (long-lived
+    * sessions accumulate). */
   def invertedIndex(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, maxPostings: Int,
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
@@ -134,18 +136,21 @@ object TextStats {
     * Counts are over the NON-distinct streams (probabilities need
     * multiplicity); `minCount` floors bigram support — PMI of rare pairs
     * is noise (classic Church & Hanks caveat). Totals ride along as
-    * one-row aggregates collected to the driver (two scalars). */
-  /** `materialize` (default self-releasing `localCheckpoint`, see
-    * [[invertedIndex]]) snapshots the three multi-consumer frames:
-    * fanned corpus (unigram + bigram counts), unigram counts (total +
-    * two scoring joins), bigram counts (total + support filter). */
+    * one-row aggregates collected to the driver (two scalars).
+    *
+    * `materialize` (default eager self-releasing `localCheckpoint`, see
+    * [[invertedIndex]]) snapshots the two vocabulary-sized count tables
+    * (each has 2+ consumers). The corpus stream itself is NOT
+    * materialized — its two consumers are narrow explode+partial-agg
+    * passes over the source scan, and a corpus-sized checkpoint write
+    * costs more than the rescans ([[bigramNll]] measures this). */
   def pmiCollocations(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, minCount: Long,
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
         _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, explode,
       lit, log, round, split, sum}
-    val fanned = materialize(graft.ops.Fanout.fanout(docs))
+    val fanned = graft.ops.Fanout.fanout(docs)
     val uni = materialize(fanned.select(explode(tokens(text)).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("uc")))
     val bigAll = materialize(fanned.select(explode(shingles(text, 2)).as("bigram"))
@@ -228,20 +233,16 @@ object TextStats {
       .select(col("bigram"),
         (lit(lam) * (col("bc").cast("double") / col("ctx").cast("double")) +
           lit(1.0 - lam) * (col("uc2").cast("double") / lit(tTot))).as("p"))
-    // per-doc NLL terms snap to the 1e-9 grid and sum as exact decimals
-    // (the q104/q115 contract): the mean is identical under ANY
-    // summation order — partitioning, engine, or retry cannot flip a
-    // rounded digit
-    import org.apache.spark.sql.functions.floor
+    // per-doc NLL terms via the shared order-independent [[Snap]] sum:
+    // the mean is identical under any partitioning/engine/retry
     fanned.select(col("doc_id"),
         explode(shingles(col("__t"), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
       .join(probs, "bigram")
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
-        round(-(sum(floor(col("k").cast("double") * log(col("p")) *
-            lit(1e9) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
-          lit(1e9)) / sum(col("k")).cast("double"), 4).as("nll"))
+        round(-Snap.snappedSum(col("k").cast("double") * log(col("p")), 1e9) /
+          sum(col("k")).cast("double"), 4).as("nll"))
   }
 
   /** Dictionary-encode a corpus against a vocabulary (the

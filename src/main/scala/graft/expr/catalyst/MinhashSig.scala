@@ -23,10 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * - shingles = space-joined n-gram windows; docs shorter than n have
   *   no shingles → NULL signature (the grouped form simply has no rows);
   * - member h's value = numeric min over distinct shingles of
-  *   `(a_h · base + c_h) mod P` with base = first 32 bits of
-  *   md5(shingle) — ONE digest per shingle for the whole family
-  *   ([[graft.expr.Similarity.minhashTerm]] is the single source of
-  *   the constants).
+  *   `(a_h·hi + b_h·lo + c_h) mod P` with (hi, lo) = the first 28 +
+  *   next 32 bits of md5(shingle) — ONE digest per shingle for the
+  *   whole family ([[graft.expr.Similarity.minhashTerm]] is the single
+  *   source of the constants).
   */
 case class MinhashSig(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
@@ -76,14 +76,20 @@ object MinhashOps {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** First 32 bits of md5(s) as an unsigned long — the family base
-    * (≡ `conv(substring(md5(s), 1, 8), 16, 10)`). */
-  private def md5Base32(s: String): Long = {
+  /** (hi, lo) base limbs of md5(s): hex chars 1-7 (28 bits) and 8-15
+    * (32 bits) — ≡ `conv(substring(md5(s), 1, 7), 16, 10)` /
+    * `conv(substring(md5(s), 8, 8), 16, 10)`. Hex char k is nibble
+    * k−1: high nibble of byte j at position 2j, low at 2j+1. */
+  private def md5Limbs(s: String): (Long, Long) = {
     val d = digest.get()
     d.reset()
     val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
-      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+    val hi = ((b(0) & 0xffL) << 20) | ((b(1) & 0xffL) << 12) |
+      ((b(2) & 0xffL) << 4) | ((b(3) & 0xffL) >> 4)
+    val lo = ((b(3) & 0x0fL) << 28) | ((b(4) & 0xffL) << 20) |
+      ((b(5) & 0xffL) << 12) | ((b(6) & 0xffL) << 4) |
+      ((b(7) & 0xffL) >> 4)
+    (hi, lo)
   }
 
   /** NULL (no signature) when the doc has fewer than `n` tokens —
@@ -92,8 +98,9 @@ object MinhashOps {
     // limit -1: trailing empty tokens kept, matching Spark split()
     val toks = text.toString.split(" ", -1)
     if (toks.length < n) return null
-    import graft.expr.Similarity.{minhashA, minhashC, MinhashP}
+    import graft.expr.Similarity.{minhashA, minhashB, minhashC, MinhashP}
     val as = Array.tabulate(numHashes)(minhashA)
+    val bs = Array.tabulate(numHashes)(minhashB)
     val cs = Array.tabulate(numHashes)(minhashC)
     val seen = new java.util.HashSet[String]()
     val mins = Array.fill(numHashes)(Long.MaxValue)
@@ -109,12 +116,12 @@ object MinhashOps {
       }
       val shingle = sb.toString
       if (seen.add(shingle)) {
-        // one digest for the whole family; a·base + c < 2^63 (a < P,
-        // base < 2^32), so plain long arithmetic is exact
-        val base = md5Base32(shingle)
+        // one digest for the whole family; a·hi + b·lo + c < 2^63
+        // (a < 2^31 · hi < 2^28, b < 2^30 · lo < 2^32), exact in longs
+        val (hi, lo) = md5Limbs(shingle)
         var h = 0
         while (h < numHashes) {
-          val v = (as(h) * base + cs(h)) % MinhashP
+          val v = (as(h) * hi + bs(h) * lo + cs(h)) % MinhashP
           if (v < mins(h)) mins(h) = v
           h += 1
         }

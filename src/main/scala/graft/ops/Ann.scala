@@ -265,7 +265,12 @@ object Ann {
     * the 1e-6 grid, per-dim squared terms to 1e-12 summed as decimals,
     * per-vector s to 1e-9 summed as decimals — bit-identical in any
     * engine regardless of partitioning or summation order. Vectors
-    * whose corpus has a single label have no `b` and are absent. */
+    * whose corpus has a single label have no `b` and are absent.
+    *
+    * Domain ([[graft.expr.Snap]] bound on the 1e12 grid): per-dim
+    * deviation |x − centroid| must stay under ~3e3 — any normalized or
+    * unit-scale embedding qualifies; renormalize unbounded features
+    * first. */
   def silhouette(corpus: DataFrame, labelCol: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val x = corpus.select(col(idCol).as("__id"), col(labelCol).as("label"),
@@ -274,9 +279,8 @@ object Ann {
       .agg(r6(avg(col("x"))).as("m"))
     val d2 = x.join(broadcast(cent), Seq("pos"))
       .groupBy(col("__id"), col("label"), col("clabel"))
-      .agg((sum(floor((col("x") - col("m")) * (col("x") - col("m")) *
-          lit(1e12) + lit(0.5)).cast("decimal(38,0)"))
-        .cast("double") / lit(1e12)).as("d2"))
+      .agg(graft.expr.Snap.snappedSum(
+        (col("x") - col("m")) * (col("x") - col("m")), 1e12).as("d2"))
     val ab = d2.groupBy(col("__id"), col("label"))
       .agg(min(when(col("clabel") === col("label"), col("d2"))).as("a"),
         min(when(col("clabel") =!= col("label"), col("d2"))).as("b"))
@@ -286,8 +290,7 @@ object Ann {
         greatest(sqrt(col("a")), sqrt(col("b")))).as("s"))
     s.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
-        round((sum(floor(col("s") * lit(1e9) + lit(0.5)).cast("decimal(28,0)"))
-          .cast("double") / lit(1e9)) / count(lit(1)).cast("double"), 4)
-          .as("silhouette"))
+        round(graft.expr.Snap.snappedSum(col("s"), 1e9) /
+          count(lit(1)).cast("double"), 4).as("silhouette"))
   }
 }

@@ -76,6 +76,7 @@ object Bpe {
     * constant plan depth, blocks self-release on GC. */
   def train(docs: DataFrame, text: Column, numMerges: Int,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): Merges = {
+    if (numMerges <= 0) return Vector.empty // before the eager corpus count
     var syms = materialize(wordFreqs(docs, text)
       .select(col("freq"), symbolize(col("w")).as("sym")))
     var merges = Vector.empty[(String, String)]

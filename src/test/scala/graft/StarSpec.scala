@@ -54,9 +54,18 @@ class StarSpec extends SparkSpec {
       .select(Flags.surrogateId(col("x"), col("y"), col("z")).as("id"))
     val r = df.collect()
     assert(r(0).getLong(0) != r(1).getLong(0))
+    // length-prefixed framing: a '|' INSIDE a value cannot shift field
+    // boundaries, and a literal sentinel value cannot impersonate NULL
+    val inj = Seq(("a|b", "c"), ("a", "b|c")).toDF("x", "y")
+      .select(Flags.surrogateId(col("x"), col("y")).as("id")).collect()
+    assert(inj(0).getLong(0) != inj(1).getLong(0))
+    val sentinel = Seq((Some("a"), Some("␀")), (Some("a"), None: Option[String]))
+      .toDF("x", "y")
+      .select(Flags.surrogateId(col("x"), col("y")).as("id")).collect()
+    assert(sentinel(0).getLong(0) != sentinel(1).getLong(0))
     // replayable by any engine: id = first 15 md5 hex digits of the
-    // sentinel-joined canon, as the q46 oracle computes it in DuckDB
-    val canon = "airline|i:AA"
+    // length-prefixed canon, as the q46 oracle computes it in DuckDB
+    val canon = "7:airline|4:i:AA"
     val expected = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(canon.getBytes("UTF-8"))
