@@ -1643,6 +1643,30 @@ object SparkEntry {
   private def qSilhouette(s: SparkSession, dir: String): DataFrame =
     Ann.silhouette(t(s, dir, "embeddings"), "label")
 
+  /** Prefix-filtered EXACT Jaccard self-join (AllPairs/PPJoin family) at
+    * t = 3/5 — the lossless candidate generator next to the LSH family
+    * (q21 candidates can miss true pairs; prefix filtering cannot). */
+  private def qPrefixSimjoin(s: SparkSession, dir: String): DataFrame =
+    TextDedup.prefixFilterJoin(t(s, dir, "documents"),
+      col("doc_id"), col("text"), 3, 3, 5)
+
+  /** Content-defined chunking (expected chunk = 8 tokens) with
+    * corpus-wide per-chunk occurrence counts — chunk-level dedup. */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    ops.Packing.cdcChunks(t(s, dir, "documents"),
+      col("doc_id"), col("text"), 8)
+
+  /** Deterministic exact-k uniform sample (min-k by id hash). */
+  private def qMinKSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.minKSample(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
+      col("doc_id"), 100)
+
+  /** Zipf slope / intercept / r² of the token frequency distribution
+    * per language — corpus-health diagnostic. */
+  private def qZipfFit(s: SparkSession, dir: String): DataFrame =
+    TextStats.zipfFit(t(s, dir, "documents"), col("lang"), col("text"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1760,7 +1784,11 @@ object SparkEntry {
     "q112_bpe_merges" -> (qBpeMerges _),
     "q113_bigram_nll" -> (qBigramNll _),
     "q114_leakage_split" -> (qLeakageSplit _),
-    "q115_silhouette" -> (qSilhouette _))
+    "q115_silhouette" -> (qSilhouette _),
+    "q116_prefix_simjoin" -> (qPrefixSimjoin _),
+    "q117_cdc_chunks" -> (qCdcChunks _),
+    "q118_min_k_sample" -> (qMinKSample _),
+    "q119_zipf_fit" -> (qZipfFit _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2895,5 +2923,71 @@ object SparkEntry {
         "FROM ab WHERE b IS NOT NULL) " +
         "SELECT label, count(*) AS n_vectors, " +
         "round(CAST(sum(CAST(floor(s * 1000000000 + 0.5) AS DECIMAL(28,0))) AS DOUBLE) / 1000000000 / count(*), 4) AS silhouette " +
-        "FROM sc GROUP BY 1"))
+        "FROM sc GROUP BY 1"),
+    "q116_prefix_simjoin" ->
+      // prefix-filter lemma at t=3/5: rare-first prefixes of length
+      // sz − ceil(t·sz) + 1; all keep/drop decisions are integer
+      // cross-multiplications (×5 vs ×3), zero float
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
+        "list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS shingle FROM toks), " +
+        "sh AS (SELECT DISTINCT doc_id, shingle FROM sh0), " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), " +
+        "rk AS (SELECT s.doc_id, s.shingle, z.sz, " +
+        "row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn " +
+        "FROM sh s JOIN df d USING (shingle) JOIN sz z USING (doc_id)), " +
+        "pfx AS (SELECT doc_id, shingle, sz FROM rk WHERE rn <= sz - ((sz * 3 + 4) // 5) + 1), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "AND a.sz * 5 >= b.sz * 3 AND b.sz * 5 >= a.sz * 3), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c " +
+        "JOIN sh sa ON c.doc_a = sa.doc_id " +
+        "JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle GROUP BY 1, 2) " +
+        "SELECT i.doc_a, i.doc_b, " +
+        "round(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 4) AS jaccard " +
+        "FROM inter i JOIN sz za ON i.doc_a = za.doc_id JOIN sz zb ON i.doc_b = zb.doc_id " +
+        "WHERE n_inter * 5 >= (za.sz + zb.sz - n_inter) * 3"),
+    "q117_cdc_chunks" ->
+      // cut token = last token of its chunk; chunk text re-sliced from
+      // the token array by (start, len) — no order-sensitive reassembly
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tok AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS pos FROM toks), " +
+        "fl AS (SELECT doc_id, pos, CASE WHEN " +
+        "CAST(('0x' || substr(md5(t[pos]), 1, 8)) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END AS cut FROM tok), " +
+        "ch AS (SELECT doc_id, pos, coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM fl), " +
+        "grp AS (SELECT doc_id, chunk_idx, min(pos) AS start_pos, count(*) AS n_tokens " +
+        "FROM ch GROUP BY 1, 2), " +
+        "h AS (SELECT g.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+        "CAST(start_pos AS BIGINT) AS start_pos, n_tokens, " +
+        "md5(array_to_string(s.t[start_pos:start_pos + n_tokens - 1], ' ')) AS chunk_hash " +
+        "FROM grp g JOIN toks s USING (doc_id)) " +
+        "SELECT doc_id, chunk_idx, start_pos, n_tokens, chunk_hash, " +
+        "count(*) OVER (PARTITION BY chunk_hash) AS n_copies FROM h"),
+    "q118_min_k_sample" ->
+      ("SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS rank_hash " +
+        "FROM documents ORDER BY rank_hash LIMIT 100"),
+    "q119_zipf_fit" ->
+      // snapped-decimal Σ over ln terms (1e9 grid, as q104/q113/q115):
+      // order-independent sums, then the closed-form OLS fit
+      ("WITH tk AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "fr AS (SELECT grp, tok, count(*) AS freq FROM tk GROUP BY 1, 2), " +
+        "xy AS (SELECT grp, freq, " +
+        "ln(CAST(row_number() OVER (PARTITION BY grp ORDER BY freq DESC, tok) AS DOUBLE)) AS x, " +
+        "ln(CAST(freq AS DOUBLE)) AS y FROM fr), " +
+        "s AS (SELECT grp, count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CAST(floor(x * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sx, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy, " +
+        "CAST(sum(CAST(floor(x * x * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxx, " +
+        "CAST(sum(CAST(floor(x * y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxy, " +
+        "CAST(sum(CAST(floor(y * y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS syy " +
+        "FROM xy GROUP BY 1) " +
+        "SELECT grp, vocab_size, n_tokens, " +
+        "round((vocab_size * sxy - sx * sy) / (vocab_size * sxx - sx * sx), 4) AS slope, " +
+        "round((sy - ((vocab_size * sxy - sx * sy) / (vocab_size * sxx - sx * sx)) * sx) / vocab_size, 4) AS intercept, " +
+        "round(((vocab_size * sxy - sx * sy) * (vocab_size * sxy - sx * sy)) / " +
+        "((vocab_size * sxx - sx * sx) * (vocab_size * syy - sy * sy)), 4) AS r2 " +
+        "FROM s"))
 }

@@ -284,6 +284,56 @@ object TextStats {
           .as("rep_ratio"))
   }
 
+  /** Zipf/power-law fit of the token frequency distribution per group:
+    * least-squares slope and intercept of ln(freq) on ln(rank), with r²
+    * — the corpus-health diagnostic (natural language sits near slope
+    * −1; a flat slope flags templated/synthetic text, a cliff flags
+    * boilerplate domination). One row per group:
+    * (group, vocab_size, n_tokens, slope, intercept, r2).
+    *
+    * Scale shape: token counting is one map-side-combined aggregation
+    * (shuffle carries (group, token) counters, never documents);
+    * everything after operates on the VOCABULARY — rank is a window per
+    * group over vocab rows, and the regression is a second vocab-sized
+    * aggregation. The ln terms are snapped to the 1e9 grid
+    * ([[Snap.snappedSum]]) so every Σ is order-independent — the fitted
+    * digits cannot vary with partitioning or engine. */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, log => ln, round, row_number}
+    val freq = graft.ops.Fanout.fanout(docs)
+      .select(group.as("grp"), explode(tokens(text)).as("tok"))
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("freq").desc, col("tok"))
+    val xy = freq
+      .withColumn("rnk", row_number().over(w))
+      .select(col("grp"), col("freq"),
+        ln(col("rnk").cast("double")).as("x"),
+        ln(col("freq").cast("double")).as("y"))
+    val g = 1e9
+    val fit = xy.groupBy(col("grp")).agg(
+      count(lit(1)).as("vocab_size"),
+      org.apache.spark.sql.functions.sum(col("freq")).as("n_tokens"),
+      Snap.snappedSum(col("x"), g).as("sx"),
+      Snap.snappedSum(col("y"), g).as("sy"),
+      Snap.snappedSum(col("x") * col("x"), g).as("sxx"),
+      Snap.snappedSum(col("x") * col("y"), g).as("sxy"),
+      Snap.snappedSum(col("y") * col("y"), g).as("syy"))
+    val n = col("vocab_size").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    val r2num = (n * col("sxy") - col("sx") * col("sy")) *
+      (n * col("sxy") - col("sx") * col("sy"))
+    val r2den = (n * col("sxx") - col("sx") * col("sx")) *
+      (n * col("syy") - col("sy") * col("sy"))
+    fit.select(col("grp"), col("vocab_size"), col("n_tokens"),
+      round(slope, 4).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 4).as("intercept"),
+      round(r2num / r2den, 4).as("r2"))
+  }
+
   /** Polynomial rolling hash over the character stream (Rabin-Karp
     * base-31 mod 1e9+7): the classic cheap content fingerprint; folds
     * left-to-right inside codegen, no UDF. */

@@ -74,4 +74,52 @@ object Packing {
         least(col("chunk_start") + lit(ctxTokens), col("n_tokens"))
           .as("chunk_end"))
   }
+
+  /** Content-defined chunking over each document's token stream: a
+    * token is a cut-point iff a uniform hash of the token ≡ 0 (mod
+    * `divisor`) — the boundary depends only on CONTENT, so an insertion
+    * shifts at most one chunk instead of re-aligning every downstream
+    * chunk (the reason backup/dedup systems chunk this way rather than
+    * at fixed offsets, and the chunk-level analog of shingling).
+    * Expected chunk length = `divisor` tokens. Each chunk row carries
+    * its corpus-wide occurrence count — identical chunks hash equal
+    * wherever they appear, so `n_copies > 1` IS the shared-content
+    * signal (content-addressable-storage dedup over documents).
+    *
+    * Scale shape: cut flags are a narrow projection; chunk assignment is
+    * a per-doc running count (window partitioned by doc_id — state
+    * bounded by one document); chunk text is re-sliced from the token
+    * array by (start, len) rather than re-assembled through an
+    * order-sensitive collect; the only corpus-wide exchanges carry
+    * chunk-sized rows (hash + counters), never token rows. Min/max chunk
+    * bounds compose downstream (split oversized chunks with
+    * [[slidingChunks]]). */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+      divisor: Int): DataFrame = {
+    require(divisor > 0, s"cdcChunks: need divisor > 0 ($divisor)")
+    val base = Fanout.fanout(docs)
+      .select(id.as("doc_id"), split(text, " ").as("t"))
+    val tok = base
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val cut = when(
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+        % divisor === 0, 1L).otherwise(0L)
+    // chunk_idx = number of cut tokens strictly before pos (the cut
+    // token is the LAST token of its chunk, as in byte-level CDC)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grp = tok
+      .withColumn("chunk_idx", coalesce(sum(cut).over(wCum), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("n_tokens"))
+    val hashed = grp.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        col("n_tokens"),
+        md5(array_join(
+          slice(col("t"), col("start_pos").cast("int"),
+            col("n_tokens").cast("int")), " ")).as("chunk_hash"))
+    hashed.withColumn("n_copies",
+      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+  }
 }

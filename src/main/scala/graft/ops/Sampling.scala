@@ -36,6 +36,25 @@ object Sampling {
   def hashSample(df: DataFrame, id: Column, percent: Int): DataFrame =
     df.filter(hashBucket(id, 100) < percent)
 
+  /** Deterministic EXACT-size uniform sample (min-k / bottom-k): rank
+    * every row by a uniform hash of its id and keep the k smallest —
+    * the fixed-budget complement to [[hashSample]]'s fixed-rate keep
+    * (eval-set carving, "exactly 10k docs for ablation", distinct-value
+    * sketching). Reproducible: membership is a pure function of
+    * (id, k), so the same ids are sampled on every run and engine, and
+    * samples NEST — the min-k sample contains the min-j sample for all
+    * j < k.
+    *
+    * Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    * each task keeps a k-row heap and only k rows per partition ever
+    * move — NOT a corpus sort (no range-partitioned exchange of the
+    * data; verified in PLANS.md). */
+  def minKSample(df: DataFrame, id: Column, k: Int): DataFrame = {
+    require(k > 0, s"minKSample: need k > 0 ($k)")
+    df.withColumn("rank_hash", md5(id.cast("string")))
+      .orderBy(col("rank_hash")).limit(k)
+  }
+
   /** Leakage-safe train/val/test split: the split is assigned to the
     * DEDUP GROUP, not the document — near-duplicates (as connected
     * components over `pairs`, [[Graph.dedupGroups]]) land on the same

@@ -188,6 +188,75 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** AllPairs/PPJoin-style prefix-filtered EXACT Jaccard self-join — the
+    * deterministic complement to [[lshCandidates]]: no probabilistic
+    * recall loss, candidates come from a rare-first prefix index instead
+    * of banded signatures. For threshold t = tNum/tDen, two sets with
+    * J ≥ t MUST share an element among their first |x| − ⌈t·|x|⌉ + 1
+    * elements under any single global element order (prefix-filter
+    * lemma), so joining on prefix elements alone is lossless. Ordering
+    * elements rarest-first (by global document frequency) makes those
+    * prefixes join-selective: candidate fan-out per prefix element is
+    * its df, and the rarest shingles have df ≈ 1.
+    *
+    * Scale shape: df is one map-side-combined aggregation over the
+    * shingle set; prefix extraction is a per-doc window (partitioned by
+    * doc_id — state bounded by one doc's shingles); the candidate join
+    * carries prefix rows only (a ~(1−t) fraction of the shingle set,
+    * skew-bounded because high-df shingles sort OUT of rare-first
+    * prefixes). The exact-Jaccard verify reuses [[jaccard]]'s
+    * semi-join-then-count shape. Every threshold comparison is integer
+    * cross-multiplication (tDen·|A∩B| ≥ tNum·|A∪B|) — no float in any
+    * keep/drop decision, so results are bit-stable across engines and
+    * partitionings.
+    *
+    * Output: (doc_a, doc_b, jaccard ROUND 4) for all pairs with
+    * J ≥ tNum/tDen, doc_a < doc_b. */
+  def prefixFilterJoin(docs: DataFrame, id: Column, text: Column, n: Int,
+      tNum: Int, tDen: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"prefixFilterJoin: need 0 < tNum ($tNum) <= tDen ($tDen)")
+    // the shingle set feeds df, sizes, prefixes, AND the verify join —
+    // materialize once (self-releasing), never recompute the explode
+    val sh = materialize(shingleSet(docs, id, text, n))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // prefix length |x| − ⌈t·|x|⌉ + 1, via integer ceil-div; rank within
+    // doc by (df asc, shingle asc) — the one global order both sides of
+    // the self-join must agree on
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefixes = sh.join(freq, Seq("shingle"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1L)
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // size filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|
+          col("a.sz") * tDen >= col("b.sz") * tNum &&
+          col("b.sz") * tDen >= col("a.sz") * tNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .filter(col("n_inter") * tDen >=
+        (col("za.sz") + col("zb.sz") - col("n_inter")) * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("n_inter")), 4).as("jaccard"))
+  }
+
   /** SimHash (16-bit): per distinct token, derive 16 pseudo-random bits
     * from the md5 nibbles; majority-vote each bit over the token set.
     * Oracle-portable (md5 + string ops only) yet still one groupBy. */

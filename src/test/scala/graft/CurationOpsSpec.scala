@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expr.TextStats
+import graft.ops.{Packing, Sampling, TextDedup}
+
+/** Round-4 curation operators: prefix-filtered exact similarity join,
+  * content-defined chunking, min-k sampling, Zipf fit. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy cat today"), // near-dup of 1
+    (3L, "completely different content here entirely folks yes"),
+    (4L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    (5L, "another unrelated document about spark query planning"))
+    .toDF("doc_id", "text")
+
+  test("prefixFilterJoin is LOSSLESS: equals brute-force exact Jaccard >= t") {
+    val got = TextDedup.prefixFilterJoin(docs, col("doc_id"), col("text"),
+        3, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: every pair, exact Jaccard over 3-shingle sets
+    val sh = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ids = sh.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      inter = (sh(a) & sh(b)).size
+      uni = sh(a).size + sh(b).size - inter
+      if inter * 5 >= uni * 3
+    } yield (a, b) -> math.round(inter.toDouble / uni * 1e4) / 1e4).toMap
+    assert(got == want)
+    assert(got((1L, 4L)) == 1.0) // exact dup pair survives at J = 1
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cdcChunks: chunks tile each doc and dup docs share every chunk hash") {
+    val r = Packing.cdcChunks(docs, col("doc_id"), col("text"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))
+    val byDoc = r.groupBy(_._1)
+    val nTok = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    // tiling: per doc, chunk token counts sum to the doc's token count,
+    // chunks are contiguous (next start = prev start + prev len)
+    for ((id, chunks) <- byDoc) {
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._4).sum == nTok(id), s"doc $id")
+      assert(sorted.head._3 == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _           =>
+      }
+    }
+    // exact dup docs 1 and 4 chunk identically → same hash multiset
+    val h1 = byDoc(1L).map(c => (c._2, c._5)).toSet
+    val h4 = byDoc(4L).map(c => (c._2, c._5)).toSet
+    assert(h1 == h4)
+    // and every shared chunk reports n_copies >= 2
+    byDoc(1L).foreach(c => assert(c._6 >= 2L, s"chunk ${c._2}"))
+  }
+
+  test("cdcChunks boundaries are content-defined: a prefix edit only shifts, " +
+    "never re-aligns, the following chunks") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val pair = Seq((1L, base), (2L, s"zzz $base")).toDF("doc_id", "text")
+    val chunks = Packing.cdcChunks(pair, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // all chunks of doc 1 after the first cut also appear in doc 2:
+    // the inserted prefix can only perturb the FIRST chunk
+    val shared = chunks(1L) & chunks(2L)
+    assert(shared.size >= chunks(1L).size - 1,
+      s"expected at most one perturbed chunk, shared=$shared")
+  }
+
+  test("minKSample: exact size, deterministic, and nested across k") {
+    val df = spark.range(1000).toDF("id")
+    val k10 = Sampling.minKSample(df, col("id"), 10)
+      .collect().map(_.getLong(0)).toSet
+    val k50 = Sampling.minKSample(df, col("id"), 50)
+      .collect().map(_.getLong(0)).toSet
+    val k50b = Sampling.minKSample(df.repartition(7), col("id"), 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(k10.size == 10 && k50.size == 50)
+    assert(k10.subsetOf(k50)) // samples nest
+    assert(k50 == k50b)       // partitioning-independent
+  }
+
+  test("zipfFit recovers slope -1, r2 = 1 on an exact power law") {
+    // freq(rank) = 24/rank for ranks 1..4 → ln f = ln 24 − 1·ln rank
+    val text = (Seq.fill(24)("a") ++ Seq.fill(12)("b") ++
+      Seq.fill(8)("c") ++ Seq.fill(6)("d")).mkString(" ")
+    val r = TextStats.zipfFit(Seq((1L, text)).toDF("doc_id", "text"),
+        lit("x"), col("text"))
+      .collect().head
+    assert(r.getLong(1) == 4L)              // vocab
+    assert(r.getLong(2) == 50L)             // tokens
+    assert(math.abs(r.getDouble(3) + 1.0) < 1e-3, s"slope ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - math.log(24.0)) < 1e-3)
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-3, s"r2 ${r.getDouble(5)}")
+  }
+}

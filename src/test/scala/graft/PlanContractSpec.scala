@@ -290,4 +290,39 @@ class PlanContractSpec extends SparkSpec {
     assert("""\*\(\d+\) Generate""".r.findFirstIn(p).isDefined,
       s"Generate not whole-stage-codegen'd:\n${p.take(900)}")
   }
+
+  test("q116: prefix-filter join is equi-joins only — no cartesian, no " +
+    "nested-loop; the prefix window is per-doc") {
+    val p = plan("q116_prefix_simjoin")
+    assert(count(p, "CartesianProduct") == 0, "cartesian crept in")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      "candidate join degenerated to nested loop")
+    // prefix extraction: window partitioned by doc_id (per-doc state),
+    // rarest-first order
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(1500))
+  }
+
+  test("q117: CDC chunking — every window is partitioned (no single-" +
+    "partition funnel) and the scan reads only (doc_id, text)") {
+    val p = plan("q117_cdc_chunks")
+    assert(count(p, "Exchange SinglePartition") == 0,
+      "an unpartitioned window would funnel the corpus to one task")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1200))
+  }
+
+  test("q118: min-k sample is TakeOrderedAndProject with ZERO exchanges " +
+    "— a k-row heap per task, never a corpus sort") {
+    val p = plan("q118_min_k_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(count(p, "Exchange") == 0, p.take(600))
+    assert(!p.contains("Sort ["), "global sort materialization crept in")
+  }
+
+  test("q119: zipf fit — rank window and final OLS agg share the group " +
+    "partitioning (2 hash exchanges total, both vocabulary-sized)") {
+    val p = plan("q119_zipf_fit")
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(1500))
+    assert(count(p, "Exchange SinglePartition") == 0, p.take(1500))
+  }
 }
