@@ -2932,16 +2932,26 @@ object SparkEntry {
         "sh0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN " +
         "list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' ')) " +
         "ELSE []::VARCHAR[] END) AS shingle FROM toks), " +
-        "sh AS (SELECT DISTINCT doc_id, shingle FROM sh0), " +
+        // 60-bit digest keys, as the engine: Jaccard over the HASHED
+        // shingle universe — identical digests on both sides keep
+        // outputs bit-equal even under (negligible) collisions
+        "sh AS (SELECT DISTINCT doc_id, " +
+        "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle FROM sh0), " +
         "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
         "df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), " +
         "rk AS (SELECT s.doc_id, s.shingle, z.sz, " +
         "row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rn " +
         "FROM sh s JOIN df d USING (shingle) JOIN sz z USING (doc_id)), " +
-        "pfx AS (SELECT doc_id, shingle, sz FROM rk WHERE rn <= sz - ((sz * 3 + 4) // 5) + 1), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "pfx AS (SELECT doc_id, shingle, sz, rn FROM rk WHERE rn <= sz - ((sz * 3 + 4) // 5) + 1), " +
+        // positional filter: the first shared element (min rn on BOTH
+        // sides at once — same global order) caps achievable overlap at
+        // min(sza-ia, szb-jb)+1, which must reach ceil(t(sza+szb)/(1+t))
+        "cand0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb, " +
+        "min(a.rn) AS ia, min(b.rn) AS jb " +
         "FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
-        "AND a.sz * 5 >= b.sz * 3 AND b.sz * 5 >= a.sz * 3), " +
+        "AND a.sz * 5 >= b.sz * 3 AND b.sz * 5 >= a.sz * 3 GROUP BY 1, 2, 3, 4), " +
+        "cand AS (SELECT doc_a, doc_b FROM cand0 " +
+        "WHERE (least(sza - ia, szb - jb) + 1) * 8 >= (sza + szb) * 3), " +
         "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c " +
         "JOIN sh sa ON c.doc_a = sa.doc_id " +
         "JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle GROUP BY 1, 2) " +

@@ -23,12 +23,16 @@ object TextDedup {
     * array is materialized before the rows exist (the
     * `explode(shingles(...))` twin builds one — ≡-tested). */
   def shingleSet(docs: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    rawShingles(docs, id, text, n).distinct()
+
+  /** Exploded (id, shingle) pairs BEFORE set dedup — multiset rows. */
+  private def rawShingles(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
     fanout(docs).select(id.as("doc_id"),
-        org.apache.spark.sql.GraftBridge.column(
-          graft.expr.catalyst.ShingleGen(
-            org.apache.spark.sql.GraftBridge.expression(text), n))
-          .as("shingle"))
-      .distinct()
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expr.catalyst.ShingleGen(
+          org.apache.spark.sql.GraftBridge.expression(text), n))
+        .as("shingle"))
 
   /** MinHash signatures in long format: (doc_id, h, minhash) for h in
     * [0, numHashes). The affine family over one md5 base per shingle
@@ -199,13 +203,32 @@ object TextDedup {
     * prefixes join-selective: candidate fan-out per prefix element is
     * its df, and the rarest shingles have df ≈ 1.
     *
+    * Raw prefix matches are further pruned by PPJoin's POSITIONAL
+    * filter before any verification: J ≥ t forces the overlap to reach
+    * o_min = ⌈t·(|A|+|B|)/(1+t)⌉, and the globally-FIRST shared element
+    * (which for a true pair provably sits inside both prefixes) at
+    * ranks (i, j) caps the achievable overlap at min(|A|−i, |B|−j)+1 —
+    * every common element is ≥ it in both ranked lists. Because both
+    * docs rank by the same total order, the first shared element
+    * minimizes rn on BOTH sides at once, so it falls out of the
+    * match-dedup aggregation as (min(rn_a), min(rn_b)) — the filter
+    * costs nothing beyond the group-by that replaces DISTINCT. On the
+    * synthetic corpus at sf0.1 it cuts 193k raw candidates to ~2k
+    * survivors, which is what keeps the verify join's fan-out
+    * (candidates × shingles-per-doc) off the corpus scale.
+    *
     * Scale shape: df is one map-side-combined aggregation over the
     * shingle set; prefix extraction is a per-doc window (partitioned by
     * doc_id — state bounded by one doc's shingles); the candidate join
     * carries prefix rows only (a ~(1−t) fraction of the shingle set,
     * skew-bounded because high-df shingles sort OUT of rare-first
-    * prefixes). The exact-Jaccard verify reuses [[jaccard]]'s
-    * semi-join-then-count shape. Every threshold comparison is integer
+    * prefixes). The exact verify joins each surviving pair to the two
+    * per-doc shingle ARRAYS (doc-bounded rows — AQE broadcasts the
+    * array table when it is small and shuffle-joins it when it is
+    * corpus-sized) and counts the overlap elementwise with
+    * `array_intersect` — per-pair CPU instead of a pair×shingle row
+    * explode through a join+aggregate, which at 68k candidates already
+    * dwarfed everything else. Every threshold comparison is integer
     * cross-multiplication (tDen·|A∩B| ≥ tNum·|A∪B|) — no float in any
     * keep/drop decision, so results are bit-stable across engines and
     * partitionings.
@@ -216,45 +239,72 @@ object TextDedup {
       tNum: Int, tDen: Int,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"prefixFilterJoin: need 0 < tNum ($tNum) <= tDen ($tDen)")
-    // the shingle set feeds df, sizes, prefixes, AND the verify join —
-    // materialize once (self-releasing), never recompute the explode
-    val sh = materialize(shingleSet(docs, id, text, n))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // 60-bit digest keys BEFORE the set dedup: every downstream sort,
+    // exchange, join and intersect operates on 8-byte longs instead of
+    // n-gram strings (the sorts are the cost at corpus scale). Jaccard
+    // is computed exactly over the HASHED shingle universe — both
+    // engines apply the identical digest, so outputs stay bit-equal
+    // even in the ~2^-25-per-pair collision case; widen the digest if
+    // that bound ever matters.
+    val keyed = rawShingles(docs, id, text, n).select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+        .cast("long").as("shingle"))
+    // materialized once: feeds the df aggregation, the prefix window
+    // build, and the verify's set arrays (checkpoint scans are cheap;
+    // recomputing the explode per consumer is not)
+    val sh = materialize(keyed.distinct())
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // prefix length |x| − ⌈t·|x|⌉ + 1, via integer ceil-div; rank within
     // doc by (df asc, shingle asc) — the one global order both sides of
-    // the self-join must agree on
+    // the self-join must agree on. sz rides the same WindowExec as a
+    // full-frame count — no size join, no extra exchange.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefixes = sh.join(freq, Seq("shingle"))
-      .join(sizes, Seq("doc_id"))
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // materialized because BOTH sides of the self-join consume it — a
+    // broadcast self-join re-executes the window subtree per side
+    // (no ReusedExchange under BHJ), doubling the most expensive stage
+    val prefixes = materialize(sh.join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(wAll))
       .filter(col("rn") <=
         col("sz") - floor((col("sz") * tNum + (tDen - 1)) / tDen) + 1L)
-      .select(col("doc_id"), col("shingle"), col("sz"))
+      .select(col("doc_id"), col("shingle"), col("sz"), col("rn")))
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           // size filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|
           col("a.sz") * tDen >= col("b.sz") * tNum &&
           col("b.sz") * tDen >= col("a.sz") * tNum)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") &&
-          col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      // match-dedup (one row per pair) and positional filter in ONE
+      // aggregation: min(rn) on each side is the same (globally first)
+      // shared element, whose ranks bound the achievable overlap
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(min(col("a.rn")).as("ia"), min(col("b.rn")).as("jb"))
+      .filter(
+        (least(col("sza") - col("ia"), col("szb") - col("jb")) + 1L) *
+          (tNum + tDen) >= (col("sza") + col("szb")) * tNum)
+      .select(col("doc_a"), col("doc_b"), col("sza"), col("szb"))
+    // doc-sized (one row per doc); materialized because seta AND setb
+    // join against it — two aggregate executions otherwise
+    val shArr = materialize(sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset")))
+    cands
+      .join(shArr.select(col("doc_id"), col("shset").as("seta")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(shArr.select(col("doc_id"), col("shset").as("setb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("seta"), col("setb"))).cast("long"))
       .filter(col("n_inter") * tDen >=
-        (col("za.sz") + col("zb.sz") - col("n_inter")) * tNum)
+        (col("sza") + col("szb") - col("n_inter")) * tNum)
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
-          (col("za.sz") + col("zb.sz") - col("n_inter")), 4).as("jaccard"))
+          (col("sza") + col("szb") - col("n_inter")), 4).as("jaccard"))
   }
 
   /** SimHash (16-bit): per distinct token, derive 16 pseudo-random bits

@@ -297,9 +297,18 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, "cartesian crept in")
     assert(count(p, "BroadcastNestedLoopJoin") == 0,
       "candidate join degenerated to nested loop")
+    // the production query checkpoints the prefix subtree (it feeds both
+    // sides of the self-join), hiding the window from the final plan —
+    // assert the per-doc window contract on the un-materialized form
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val full = ops.TextDedup.prefixFilterJoin(
+        docs, col("doc_id"), col("text"), 3, 3, 5, materialize = identity)
+      .queryExecution.optimizedPlan.toString
     // prefix extraction: window partitioned by doc_id (per-doc state),
     // rarest-first order
-    assert(p.contains("windowspecdefinition(doc_id"), p.take(1500))
+    assert(full.contains("windowspecdefinition(doc_id"), full.take(1500))
+    assert(count(full, "CartesianProduct") == 0, "cartesian crept in")
   }
 
   test("q117: CDC chunking — every window is partitioned (no single-" +
