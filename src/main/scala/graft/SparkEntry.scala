@@ -1667,6 +1667,82 @@ object SparkEntry {
   private def qZipfFit(s: SparkSession, dir: String): DataFrame =
     TextStats.zipfFit(t(s, dir, "documents"), col("lang"), col("text"))
 
+  /** SemDeDup survivors: one representative per semantic near-dup
+    * neighborhood (cosine ≥ 0.28 within the label cluster, smaller id
+    * wins) — the pruned-corpus half of q32's pair detection. */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Ann.semDedup(t(s, dir, "embeddings"), "label", 0.28)
+      .select(col("vec_id"), col("label"))
+
+  /** Per-source byte budget (corpus composition control): each source
+    * contributes ≤ 6000 chars, docs admitted in deterministic hash
+    * order with their running totals. */
+  private def qSourceBudget(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.sourceBudget(
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      col("source"), col("doc_id"), col("n_chars"), 6000L)
+
+  /** DSIR importance weights toward the English slice: hashed-unigram
+    * log-likelihood ratio target-vs-corpus per document. */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.dsirWeights(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang") === "en")
+
+  /** Deterministic 8-shard manifest: per-shard doc count, payload
+    * size, and id range — the training writer's sidecar. */
+  private def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.shardManifest(t(s, dir, "documents"), col("doc_id"),
+      col("n_chars"), 8)
+
+  /** Hybrid retrieval by reciprocal-rank fusion: a term-frequency
+    * ranking and a coverage ranking (distinct query terms, then
+    * brevity) each produce a top-50 list; RRF (c=60) merges them into
+    * the final top-20. Rank windows run over k-row LISTS (post-top-k),
+    * never the corpus. */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "window")
+    val docs = t(s, dir, "documents")
+    // query-term filter BEFORE any aggregation: the explode emits all
+    // tokens but only matches survive into the shuffle — the tf table
+    // the aggregation sees is (docs × matched tokens), not the corpus
+    // vocabulary (vs the shared termFreqs, which builds the full table)
+    val cand = ops.Fanout.fanout(docs)
+      .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tfq"), countDistinct(col("term")).as("n_terms"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    val ordA = Seq(col("tfq").desc, col("doc_id").asc)
+    val listA = cand.orderBy(ordA: _*).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ordA: _*)).cast("long"))
+    val ordB = Seq(col("n_terms").desc, col("n_chars").asc,
+      col("doc_id").asc)
+    val listB = cand.orderBy(ordB: _*).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ordB: _*)).cast("long"))
+    Analytics.rrfFuse(listA.select(col("doc_id"), col("rank")),
+      listB.select(col("doc_id"), col("rank")), "doc_id", 60, 20)
+  }
+
+  /** Canonical-member selection over the q63 dedup groups: per group,
+    * keep the LONGEST member (ties → smallest id) — the quality-aware
+    * representative policy (vs q63's min-id `keep` flag). One id-keyed
+    * join + one group-sized argmax aggregation on top of the CC
+    * fixpoint. */
+  private def qCanonicalPick(s: SparkSession, dir: String): DataFrame =
+    ops.Graph.dedupGroups(t(s, dir, "documents"), "doc_id",
+        qMinhashLsh(s, dir), "doc_a", "doc_b")
+      .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(max(col("group_size")).as("group_size"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("canon_id"),
+        max(col("n_chars")).as("canon_chars"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1788,7 +1864,13 @@ object SparkEntry {
     "q116_prefix_simjoin" -> (qPrefixSimjoin _),
     "q117_cdc_chunks" -> (qCdcChunks _),
     "q118_min_k_sample" -> (qMinKSample _),
-    "q119_zipf_fit" -> (qZipfFit _))
+    "q119_zipf_fit" -> (qZipfFit _),
+    "q120_semdedup" -> (qSemDedup _),
+    "q121_source_budget" -> (qSourceBudget _),
+    "q122_dsir_weight" -> (qDsirWeights _),
+    "q123_shard_manifest" -> (qShardManifest _),
+    "q124_rrf_fusion" -> (qRrfFusion _),
+    "q125_canonical_pick" -> (qCanonicalPick _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2999,5 +3081,79 @@ object SparkEntry {
         "round((sy - ((vocab_size * sxy - sx * sy) / (vocab_size * sxx - sx * sx)) * sx) / vocab_size, 4) AS intercept, " +
         "round(((vocab_size * sxy - sx * sy) * (vocab_size * sxy - sx * sy)) / " +
         "((vocab_size * sxx - sx * sx) * (vocab_size * syy - sy * sy)), 4) AS r2 " +
-        "FROM s"))
+        "FROM s"),
+    "q120_semdedup" ->
+      // drop any vector with a smaller-id near-duplicate in its label
+      // cluster (cos >= t on the 4-dp rounded value, as q32)
+      ("WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(list_dot_product(a.e, b.e) / " +
+        "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) AS cos " +
+        "FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) " +
+        "SELECT vec_id, label FROM embeddings " +
+        "WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cos >= 0.28)"),
+    "q121_source_budget" ->
+      ("SELECT doc_id, source, n_chars, cum_size FROM (" +
+        "SELECT doc_id, source, n_chars, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_size " +
+        "FROM documents) WHERE cum_size <= 6000"),
+    "q122_dsir_weight" ->
+      // Laplace-smoothed hashed-unigram log-ratios; snapped-decimal
+      // per-doc Σ (1e9 grid, the shared Snap contract)
+      ("WITH tok AS (SELECT doc_id, lang = 'en' AS is_target, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "dt AS (SELECT doc_id, is_target, " +
+        "CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 1024 AS b, " +
+        "count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+        "bs AS (SELECT b, sum(tf) AS craw, " +
+        "sum(CASE WHEN is_target THEN tf ELSE 0 END) AS ctgt FROM dt GROUP BY 1), " +
+        "tt AS (SELECT sum(craw) AS traw, sum(ctgt) AS ttgt FROM bs), " +
+        "lr AS (SELECT b, " +
+        "ln(CAST(ctgt + 1 AS DOUBLE) / CAST(ttgt + 1024 AS DOUBLE)) - " +
+        "ln(CAST(craw + 1 AS DOUBLE) / CAST(traw + 1024 AS DOUBLE)) AS lr " +
+        "FROM bs CROSS JOIN tt) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+        "round(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * lr * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000, 4) AS dsir_w " +
+        "FROM dt JOIN lr USING (b) GROUP BY 1"),
+    "q123_shard_manifest" ->
+      ("SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_size, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents GROUP BY 1"),
+    "q124_rrf_fusion" ->
+      // two integer-keyed top-50 lists, fused by 1/(60+rank); the rrf
+      // expression is two IEEE ops over integer ranks — bit-stable
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok " +
+        "WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2), " +
+        "ca AS (SELECT doc_id, sum(tf) AS tfq, count(*) AS n_terms FROM tf GROUP BY 1), " +
+        "cand AS (SELECT ca.doc_id, tfq, n_terms, d.n_chars " +
+        "FROM ca JOIN documents d USING (doc_id)), " +
+        "la AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY tfq DESC, doc_id) AS BIGINT) AS rank_a " +
+        "FROM cand QUALIFY rank_a <= 50), " +
+        "lb AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY n_terms DESC, n_chars, doc_id) AS BIGINT) AS rank_b " +
+        "FROM cand QUALIFY rank_b <= 50), " +
+        "f AS (SELECT coalesce(la.doc_id, lb.doc_id) AS doc_id, rank_a, rank_b, " +
+        "round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_a), CAST(0 AS DOUBLE)) + " +
+        "coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_b), CAST(0 AS DOUBLE)), 6) AS rrf " +
+        "FROM la FULL JOIN lb ON la.doc_id = lb.doc_id) " +
+        "SELECT doc_id, rank_a, rank_b, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20"),
+    "q125_canonical_pick" ->
+      // q63's CC fixpoint, then the longest member (ties -> smallest id)
+      // as the group representative
+      (s"WITH RECURSIVE $shingleCte, " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r " +
+        "JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1), " +
+        "m AS (SELECT c.group_id, s.group_size, d.doc_id, d.n_chars, " +
+        "row_number() OVER (PARTITION BY c.group_id ORDER BY d.n_chars DESC, d.doc_id) AS rn " +
+        "FROM comp c JOIN sizes s USING (group_id) JOIN documents d ON d.doc_id = c.doc_id) " +
+        "SELECT group_id, group_size, doc_id AS canon_id, n_chars AS canon_chars " +
+        "FROM m WHERE rn = 1"))
 }

@@ -180,4 +180,29 @@ object Analytics {
           unix_micros(min(ts).cast("timestamp"))) / lit(1000000L))
           .as("duration_sec"))
   }
+  /** Reciprocal-rank fusion (Cormack et al.): combine two ranked
+    * candidate lists into one — score(d) = Σ_lists 1/(c + rank_d), the
+    * rank-only fusion that needs no score calibration between the lists
+    * (the standard hybrid-retrieval merge: lexical list + semantic
+    * list). Inputs carry (`idCol`, `rank`); a doc absent from a list
+    * contributes 0 from it. Deterministic: the fused score is computed
+    * from integer ranks by a fixed two-term expression, rounded to 6 dp
+    * before the final order (ties broken by id) — bit-stable across
+    * engines.
+    *
+    * Scale shape: the inputs are top-k LISTS (k-sized, not
+    * corpus-sized) — the fusion join, scoring, and final sort all run
+    * over ≤ 2k rows no matter the corpus behind the lists. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, c: Int,
+      topK: Int): DataFrame = {
+    require(c > 0 && topK > 0, s"rrfFuse: need c ($c), topK ($topK) > 0")
+    val ra = a.select(col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col(idCol), col("rank").as("rank_b"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }

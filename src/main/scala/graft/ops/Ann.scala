@@ -58,6 +58,27 @@ object Ann {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al.): prune the corpus to one representative per
+    * semantic near-duplicate neighborhood — a vector is DROPPED iff some
+    * smaller-id vector in its bucket is a near-duplicate (cosine ≥
+    * threshold on the 4-dp rounded value, [[cosineNearDupPairs]]'s
+    * contract). One deterministic pass, no iteration: the keep set is a
+    * pure function of the pair set, so any engine that agrees on the
+    * pairs agrees on the survivors. (SemDeDup's cluster-then-prune shape:
+    * `bucketCol` is the cluster — a k-means cell at scale, so candidate
+    * pairs stay within-cluster and the join never goes all-pairs.)
+    *
+    * Scale shape: pairs are bucket-local ([[cosineNearDupPairs]]); the
+    * drop list is pair-bounded and distinct-by-id; the final anti-join is
+    * id-keyed. The corpus never self-joins outside its bucket. */
+  def semDedup(corpus: DataFrame, bucketCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dropped = cosineNearDupPairs(corpus, bucketCol, threshold, idCol,
+        vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic Rademacher (±1) hyperplane entries derived from md5 —
     * the same values any engine's `md5()` derives, so LSH bucket
     * assignments are portable and reproducible (no RNG state). Entry

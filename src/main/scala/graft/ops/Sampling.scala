@@ -155,4 +155,102 @@ object Sampling {
       .filter(org.apache.spark.sql.functions.col("__rn") <= nPerClass)
       .drop("__rn")
   }
+
+  /** Per-source SIZE budget (RefinedWeb-style corpus composition): keep
+    * documents, in deterministic md5(id) order, while the source's
+    * RUNNING total of `size` stays within `budget` — "every domain
+    * contributes at most B bytes/tokens", the budget-capped complement
+    * of [[stratifiedBalanced]]'s count cap. A doc is kept iff the
+    * budget was not yet exhausted when its turn came (cumulative size
+    * INCLUDING itself ≤ budget — a doc never straddles the cap).
+    *
+    * Deterministic: the keep set is a pure function of (ids, sizes,
+    * budget) — stable across runs, engines, and partitionings — and
+    * budget-monotone: raising the budget only ever ADDS documents
+    * (the hash order is fixed, so smaller budgets keep a prefix of the
+    * larger budget's keeps per source).
+    *
+    * Scale shape: one window partitioned by source — per-task state is
+    * a running long over ONE source's rows. A head-heavy source serial-
+    * izes its own scan, but the window frame is running-sum (no
+    * buffering); sources parallelize across tasks. */
+  def sourceBudget(df: DataFrame, source: Column, id: Column,
+      size: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"sourceBudget: need budget > 0 ($budget)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy(md5(id.cast("string")), id)
+    df.withColumn("cum_size",
+        sum(size.cast("long")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .filter(col("cum_size") <= budget)
+  }
+
+  /** Deterministic shard assignment + per-shard manifest for the
+    * training-data writer: every row lands in `hashBucket(id, shards)`,
+    * and the manifest row carries the shard's doc count, total payload
+    * size, and id range — the sidecar a downstream loader checks before
+    * streaming a shard. One map-side-combined aggregation; the manifest
+    * is shard-sized (constant) at any corpus scale. */
+  def shardManifest(df: DataFrame, id: Column, size: Column,
+      shards: Int): DataFrame = {
+    require(shards > 0, s"shardManifest: need shards > 0 ($shards)")
+    df.groupBy(hashBucket(id, shards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size.cast("long")).as("tot_size"),
+        min(id).as("min_id"), max(id).as("max_id"))
+  }
+
+  /** DSIR-style hashed-unigram importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its tokens are under the
+    * TARGET distribution (rows satisfying `isTarget`) than under the
+    * RAW corpus distribution. Unigrams hash into `buckets` feature
+    * buckets (the hashed n-gram trick — vocabulary-independent, fixed
+    * memory); per-bucket probabilities are Laplace-smoothed; the doc
+    * weight is Σ_tokens ln(p_target(b)/p_raw(b)). High weight = looks
+    * like the target domain; feed to [[weightedSample]] for the actual
+    * resampling step.
+    *
+    * Deterministic: buckets come from md5 (cross-engine), and the
+    * per-doc sum uses the shared [[graft.expr.Snap]] grid — identical
+    * output under any partitioning or engine.
+    *
+    * Scale shape: one tokenize+count aggregation (map-side combined);
+    * the bucket stats table is `buckets`-sized and broadcast back —
+    * the corpus shuffles once, exactly like the tf-idf/NLL family. */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 1024,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(buckets > 0, s"dsirWeights: need buckets > 0 ($buckets)")
+    // per-(doc, bucket) tf — feeds BOTH the bucket stats and the final
+    // per-doc scoring join; materialized so tokenize+count runs once
+    val docTf = materialize(Fanout.fanout(docs)
+      .select(id.as("doc_id"), isTarget.as("is_target"),
+        explode(graft.expr.TextStats.tokens(text)).as("tok"))
+      .groupBy(col("doc_id"), col("is_target"),
+        hashBucket(col("tok"), buckets).as("b"))
+      .agg(count(lit(1)).as("tf")))
+    // bucket-sized (`buckets` rows) but aggregated FROM the corpus-
+    // sized docTf — materialized because both the ratio table and the
+    // grand totals consume it (otherwise the docTf aggregation runs
+    // twice, once per consumer)
+    val bStats = materialize(docTf.groupBy(col("b"))
+      .agg(sum(col("tf")).as("craw"),
+        sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("ctgt")))
+    val totals = bStats.agg(sum(col("craw")).as("traw"),
+      sum(col("ctgt")).as("ttgt"))
+    val logRatio = bStats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ctgt") + lit(1L)).cast("double") /
+            (col("ttgt") + lit(buckets.toLong)).cast("double")) -
+          log((col("craw") + lit(1L)).cast("double") /
+            (col("traw") + lit(buckets.toLong)).cast("double"))).as("lr"))
+    docTf.join(broadcast(logRatio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(graft.expr.Snap.snappedSum(
+          col("tf").cast("double") * col("lr"), 1e9), 4).as("dsir_w"))
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Analytics, Ann, Graph, Sampling}
+
+/** Round-4 corpus-selection operators: SemDeDup pruning, per-source
+  * budgets, DSIR importance weights, shard manifests, RRF fusion, and
+  * canonical-member selection. */
+class CurationSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    // bucket 0: 1 ≈ 2 ≈ 3 (near-dups), 4 orthogonal
+    (1L, Array(1.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.99f, 0.1f, 0.0f), 0),
+    (3L, Array(0.98f, 0.15f, 0.0f), 0),
+    (4L, Array(0.0f, 1.0f, 0.0f), 0),
+    // bucket 1: same direction as 1 but different bucket — never pruned
+    (5L, Array(1.0f, 0.0f, 0.0f), 1))
+    .toDF("vec_id", "embedding", "label")
+
+  test("semDedup: exactly the smaller-id-neighbor rule, bucket-local") {
+    val kept = Ann.semDedup(vecs, "label", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // 2 and 3 drop (near-dup of 1); 4 orthogonal survives; 5 is in
+    // another bucket so its identical direction to 1 cannot prune it
+    assert(kept == Set(1L, 4L, 5L))
+    // survivors have NO smaller-id near-dup pair left among themselves
+    val pairs = Ann.cosineNearDupPairs(vecs, "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((a, b) <- pairs if kept(b)) assert(!kept(a) || a > b)
+  }
+
+  private lazy val sized = Seq(
+    (1L, "s0", 100L), (2L, "s0", 100L), (3L, "s0", 100L),
+    (4L, "s1", 250L), (5L, "s1", 10L))
+    .toDF("doc_id", "source", "n_chars")
+
+  test("sourceBudget: running total within budget; budget-monotone keeps") {
+    def keeps(b: Long): Set[Long] =
+      Sampling.sourceBudget(sized, col("source"), col("doc_id"),
+        col("n_chars"), b).select("doc_id").as[Long].collect().toSet
+    val k200 = keeps(200L)
+    // per source: docs admitted in md5 order until the budget fills
+    val r = Sampling.sourceBudget(sized, col("source"), col("doc_id"),
+        col("n_chars"), 200L)
+      .collect().map(r => (r.getString(1), r.getLong(3))).groupBy(_._1)
+    for ((_, rows) <- r) assert(rows.map(_._2).max <= 200L)
+    // monotone: every smaller-budget keep survives any larger budget
+    assert(k200.subsetOf(keeps(300L)))
+    assert(keeps(300L).subsetOf(keeps(1000L)))
+    assert(keeps(1000L) == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("dsirWeights: target-domain text scores above off-domain text") {
+    // target (t) docs speak "alpha", raw background speaks "beta"
+    val docs = Seq(
+      (1L, "alpha alpha alpha", true), (2L, "alpha alpha alpha", true),
+      (3L, "beta beta beta", false), (4L, "beta beta beta", false),
+      (5L, "alpha alpha alpha", false), // alpha text OUTSIDE the target
+      (6L, "alpha beta alpha", false))
+      .toDF("doc_id", "text", "is_t")
+    val w = Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+        col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // alpha-speaking docs look like the target regardless of membership
+    assert(w(5L) == w(1L)) // weight is a pure function of the text
+    assert(w(1L) > w(3L))
+    assert(w(6L) > w(3L) && w(6L) < w(1L)) // mixed doc lands between
+  }
+
+  test("shardManifest: shards tile the corpus, ranges and sizes consistent") {
+    val m = Sampling.shardManifest(sized, col("doc_id"), col("n_chars"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.map(_._2).sum == 5L)
+    assert(m.map(_._3).sum == 560L)
+    assert(m.forall(s => s._1 >= 0 && s._1 < 3))
+    assert(m.forall(s => s._4 <= s._5))
+    // assignment matches hashBucket: recompute membership per shard
+    val assign = sized.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((shard, n, _, lo, hi) <- m) {
+      val members = assign.filter(_._2 == shard).map(_._1)
+      assert(members.length.toLong == n)
+      assert(members.min == lo && members.max == hi)
+    }
+  }
+
+  test("rrfFuse: both-list members beat single-list members; exact scores") {
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val b = Seq((11L, 1L), (10L, 2L), (13L, 3L)).toDF("id", "rank")
+    val got = Analytics.rrfFuse(a, b, "id", 60, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // exact two-term scores
+    def s(ra: Option[Long], rb: Option[Long]): Double =
+      math.round((ra.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rb.map(r => 1.0 / (60 + r)).getOrElse(0.0)) * 1e6) / 1e6
+    val want = Map(10L -> s(Some(1L), Some(2L)), 11L -> s(Some(2L), Some(1L)),
+      12L -> s(Some(3L), None), 13L -> s(None, Some(3L)))
+    assert(got.toMap == want)
+    // fused order: both-list docs first (10 and 11 tie by symmetry →
+    // id tiebreak), then the singles
+    assert(got.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L))
+  }
+
+  test("canonical pick: longest member represents its dedup group") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Graph.dedupGroups(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(max(col("group_size")).as("group_size"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("canon_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 2L), (9L, 1L, 9L)))
+  }
+}

@@ -334,4 +334,57 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 2, p.take(1500))
     assert(count(p, "Exchange SinglePartition") == 0, p.take(1500))
   }
+
+  test("q120: semdedup — pair generation stays bucket-local (equi-join " +
+    "on the cluster, no cartesian) and the prune is an anti-join") {
+    val p = plan("q120_semdedup")
+    assert(count(p, "CartesianProduct") == 0, "all-pairs crept in")
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("q121: source budget — ONE window exchange partitioned by " +
+    "source, never a global sort") {
+    val p = plan("q121_source_budget")
+    assert(count(p, "Exchange SinglePartition") == 0,
+      "unpartitioned running sum would funnel the corpus to one task")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1200))
+  }
+
+  test("q122: dsir — bucket stats broadcast back; the corpus-sized " +
+    "docTf aggregates ONCE (both its consumers read the checkpoint)") {
+    val p = plan("q122_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the only SinglePartition reduce is the grand total over the
+    // BUCKET-SIZED stats table (1024 rows), never the corpus
+    assert(count(p, "Exchange SinglePartition") <= 1, p.take(1200))
+    // one corpus-keyed exchange: the final per-doc aggregation (the
+    // bucket-stats agg lives behind its own checkpoint)
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1600))
+  }
+
+  test("q123: shard manifest is ONE map-side-combined aggregation") {
+    val p = plan("q123_shard_manifest")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1200))
+    assert(p.contains("partial_"), "no map-side combine before the exchange")
+  }
+
+  test("q124: rrf — both candidate lists and the fused top-20 plan as " +
+    "TakeOrderedAndProject (k-row heaps); any residual sort is over " +
+    "the k-row lists, not the corpus") {
+    val p = plan("q124_rrf_fusion")
+    assert(count(p, "TakeOrderedAndProject") >= 3, p.take(1500))
+    // the full-outer fusion join may sort — but only BELOW a limit(50),
+    // so every Sort in the plan is k-row; what must NOT appear is a
+    // corpus-sized range exchange
+    assert(count(p, "Exchange rangepartitioning") == 0,
+      "corpus-wide sort exchange crept in")
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("q125: canonical pick — no cartesian; the representative argmax " +
+    "is a hash aggregation, not a window over the corpus") {
+    val p = plan("q125_canonical_pick")
+    assert(count(p, "CartesianProduct") == 0, p.take(800))
+    assert(count(p, "Exchange SinglePartition") == 0, p.take(1200))
+  }
 }
