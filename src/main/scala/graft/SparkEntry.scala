@@ -1743,6 +1743,34 @@ object SparkEntry {
           struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("canon_id"),
         max(col("n_chars")).as("canon_chars"))
 
+  /** Tokenizer-application capstone: train 2 BPE merges on the corpus
+    * (the q112 trajectory), encode the DISTINCT-WORD vocabulary under
+    * them (vocab-sized fold — never a corpus-sized re-encode), and
+    * weight subword counts by per-language word frequencies → fertility
+    * (subwords per word) per language, the standard tokenizer-quality
+    * eval. The corpus is read once for frequencies; everything after is
+    * vocabulary-sized. */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = ops.Bpe.train(docs, col("text"), 2)
+    val wlf = ops.Fanout.fanout(docs)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    // encode each distinct word as its own one-word document: the fold
+    // runs over the vocabulary, and the per-lang stats join back by w
+    val nSub = ops.Bpe.encode(wlf.select(col("w")).distinct(),
+        col("w"), col("w"), merges)
+      .groupBy(col("doc_id").as("w")).agg(count(lit(1)).as("n_sub"))
+    wlf.join(nSub, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 4)
+          .as("fertility"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1870,7 +1898,8 @@ object SparkEntry {
     "q122_dsir_weight" -> (qDsirWeights _),
     "q123_shard_manifest" -> (qShardManifest _),
     "q124_rrf_fusion" -> (qRrfFusion _),
-    "q125_canonical_pick" -> (qCanonicalPick _))
+    "q125_canonical_pick" -> (qCanonicalPick _),
+    "q126_bpe_fertility" -> (qBpeFertility _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3155,5 +3184,37 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY c.group_id ORDER BY d.n_chars DESC, d.doc_id) AS rn " +
         "FROM comp c JOIN sizes s USING (group_id) JOIN documents d ON d.doc_id = c.doc_id) " +
         "SELECT group_id, group_size, doc_id AS canon_id, n_chars AS canon_chars " +
-        "FROM m WHERE rn = 1"))
+        "FROM m WHERE rn = 1"),
+    "q126_bpe_fertility" ->
+      // q112's 2-merge trajectory, then BOTH merges applied (in learned
+      // order) to every distinct word via the same list_reduce greedy
+      // fold; fertility = freq-weighted subwords per word, per language.
+      // Same chr(31)-delimiter caveat as q112 (testdata has no U+001F).
+      ("WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "wlf AS (SELECT lang, w, count(*) AS freq FROM tok WHERE len(w) > 0 GROUP BY 1, 2), " +
+        "wf AS (SELECT w, sum(freq) AS freq FROM wlf GROUP BY 1), " +
+        "sym0 AS (SELECT w, freq, list_append(" +
+        "list_transform(generate_series(1, len(w) - 1), i -> substr(w, i, 1)), " +
+        "substr(w, len(w), 1) || '</w>') AS s FROM wf), " +
+        "p1 AS (SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS n " +
+        "FROM sym0, unnest(generate_series(1, len(s) - 1)) AS t(i) " +
+        "WHERE len(s) >= 2 GROUP BY 1, 2), " +
+        "m1 AS (SELECT a, b FROM p1 ORDER BY n DESC, a, b LIMIT 1), " +
+        "sym1 AS (SELECT w, freq, string_split(list_reduce(s, " +
+        "(acc, x) -> CASE WHEN x = m1.b AND (acc = m1.a OR suffix(acc, chr(31) || m1.a)) " +
+        "THEN acc || m1.b ELSE acc || chr(31) || x END), chr(31)) AS s " +
+        "FROM sym0 CROSS JOIN m1), " +
+        "p2 AS (SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS n " +
+        "FROM sym1, unnest(generate_series(1, len(s) - 1)) AS t(i) " +
+        "WHERE len(s) >= 2 GROUP BY 1, 2), " +
+        "m2 AS (SELECT a, b FROM p2 ORDER BY n DESC, a, b LIMIT 1), " +
+        "sym2 AS (SELECT w, freq, string_split(list_reduce(s, " +
+        "(acc, x) -> CASE WHEN x = m2.b AND (acc = m2.a OR suffix(acc, chr(31) || m2.a)) " +
+        "THEN acc || m2.b ELSE acc || chr(31) || x END), chr(31)) AS s " +
+        "FROM sym1 CROSS JOIN m2), " +
+        "enc AS (SELECT w, len(s) AS n_sub FROM sym2) " +
+        "SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words, " +
+        "CAST(sum(freq * n_sub) AS BIGINT) AS n_subwords, " +
+        "round(CAST(sum(freq * n_sub) AS DOUBLE) / sum(freq), 4) AS fertility " +
+        "FROM wlf JOIN enc USING (w) GROUP BY 1"))
 }

@@ -105,6 +105,28 @@ class CurationSelectSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(10L, 11L, 12L, 13L))
   }
 
+  test("BPE fertility: freq-weighted subwords per word, hand-computed") {
+    // word freqs: aa:3, bb:3, cc:1 → m1=(a,a</w>) (lex tie-break over
+    // (b,b</w>)), m2=(b,b</w>) → encoded lengths aa:1, bb:1, cc:2
+    val docs = Seq(("aa aa aa", "en"), ("bb bb", "en"), ("bb cc", "fr"))
+      .toDF("text", "lang")
+    val merges = graft.ops.Bpe.train(docs, col("text"), 2)
+    assert(merges == Vector(("a", "a</w>"), ("b", "b</w>")))
+    val wlf = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+    val nSub = graft.ops.Bpe.encode(wlf.select(col("w")).distinct(),
+        col("w"), col("w"), merges)
+      .groupBy(col("doc_id").as("w")).agg(count(lit(1)).as("n_sub"))
+    val fert = wlf.join(nSub, Seq("w"))
+      .groupBy(col("lang"))
+      .agg((sum(col("freq") * col("n_sub")).cast("double") /
+        sum(col("freq"))).as("fertility"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // en: (3·1 + 2·1) / 5 = 1.0 ; fr: (1·1 + 1·2) / 2 = 1.5
+    assert(fert == Map("en" -> 1.0, "fr" -> 1.5))
+  }
+
   test("canonical pick: longest member represents its dedup group") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
       .toDF("doc_id", "n_chars")
