@@ -125,26 +125,32 @@ object TextDedup {
     vsCorpus.unionByName(withinNew).distinct()
   }
 
-  /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
-    * equi-join, |A∪B| = |A|+|B|−|A∩B|. Integer arithmetic until the final
-    * division. */
-  def jaccard(candidates: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(shingles.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shingles.as("sb"),
-        col("doc_b") === col("sb.doc_id") &&
-          col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+  /** Exact n-gram Jaccard for candidate pairs: each pair joins to the
+    * two per-doc shingle ARRAYS and counts |A∩B| elementwise with
+    * `array_intersect` — per-pair CPU instead of a pair×shingle row
+    * explode through a join+aggregate (the [[prefixFilterJoin]] verify
+    * shape; at 100 TB the arrays are doc-bounded rows, and AQE
+    * broadcasts the array table when the candidate semi-join has
+    * shrunk it). |A∪B| = |A|+|B|−|A∩B|; integer arithmetic until the
+    * final division. A pair whose doc has NO shingles (shorter than the
+    * n-gram) drops, exactly like the historical sizes inner join. */
+  def jaccard(candidates: DataFrame, shingles: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    // doc-sized; materialized because both pair sides join against it
+    val shArr = materialize(shingles.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset")))
     candidates
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(shArr.select(col("doc_id"), col("shset").as("seta")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(shArr.select(col("doc_id"), col("shset").as("setb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("seta"), col("setb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
-          (col("za.sz") + col("zb.sz") - col("n_inter")), 4).as("jaccard"))
+          (size(col("seta")).cast("long") + size(col("setb")).cast("long") -
+            col("n_inter")), 4).as("jaccard"))
   }
 
   /** Per-document span-duplication signal: what fraction of a doc's
