@@ -170,20 +170,40 @@ object Sampling {
     * (the hash order is fixed, so smaller budgets keep a prefix of the
     * larger budget's keeps per source).
     *
-    * Scale shape: one window partitioned by source — per-task state is
-    * a running long over ONE source's rows. A head-heavy source serial-
-    * izes its own scan, but the window frame is running-sum (no
-    * buffering); sources parallelize across tasks. */
+    * Scale shape: the running total is a DISTRIBUTED two-level prefix
+    * sum (the [[Packing.concatChunk]] pattern), not one per-source
+    * window — a head-heavy source would otherwise serialize its whole
+    * scan through a single task. The first two md5 hex chars bucket
+    * each source's rows into 256 CONTIGUOUS ranges of the admission
+    * order (the bucket is a prefix of the sort key, so bucket-major
+    * order IS the md5 order); per-(source, bucket) totals aggregate
+    * map-side, bucket offsets are a window over the tiny totals table
+    * (≤256 rows per source), and the within-bucket running sum joins
+    * its offset back broadcast — 256-way parallel per source, state
+    * bounded by one bucket's rows. */
   def sourceBudget(df: DataFrame, source: Column, id: Column,
       size: Column, budget: Long): DataFrame = {
     require(budget > 0, s"sourceBudget: need budget > 0 ($budget)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(source).orderBy(md5(id.cast("string")), id)
-    df.withColumn("cum_size",
-        sum(size.cast("long")).over(
-          w.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__h", md5(id.cast("string")))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val bucketTotals = base
+      .groupBy(source.as("__src"), col("__b").as("__bb"))
+      .agg(sum(size.cast("long")).as("__bt"))
+    val wBuckets = W.partitionBy(col("__src")).orderBy(col("__bb"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("__boff", coalesce(sum(col("__bt")).over(wBuckets), lit(0L)))
+      .drop("__bt")
+    val wInBucket = W.partitionBy(source, col("__b"))
+      .orderBy(col("__h"), id).rowsBetween(W.unboundedPreceding, 0)
+    base
+      .join(broadcast(offsets),
+        source <=> col("__src") && col("__b") === col("__bb"))
+      .withColumn("cum_size",
+        col("__boff") + sum(size.cast("long")).over(wInBucket))
       .filter(col("cum_size") <= budget)
+      .drop("__h", "__b", "__src", "__bb", "__boff")
   }
 
   /** Deterministic shard assignment + per-shard manifest for the

@@ -342,12 +342,16 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(800))
   }
 
-  test("q121: source budget — ONE window exchange partitioned by " +
-    "source, never a global sort") {
+  test("q121: source budget — two-level prefix sum: the running-sum " +
+    "window partitions by (source, bucket), offsets broadcast back") {
     val p = plan("q121_source_budget")
     assert(count(p, "Exchange SinglePartition") == 0,
       "unpartitioned running sum would funnel the corpus to one task")
-    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1200))
+    // the corpus-sized window is (source, bucket)-parallel — a head
+    // source spreads over 256 tasks instead of serializing through one
+    assert(p.contains("windowspecdefinition(source"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), "offsets must broadcast back")
+    assert(count(p, "Exchange hashpartitioning") <= 3, p.take(1500))
   }
 
   test("q122: dsir — bucket stats broadcast back; the corpus-sized " +
