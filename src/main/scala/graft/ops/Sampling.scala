@@ -145,15 +145,28 @@ object Sampling {
   }
 
   /** Class-balanced sample: up to `nPerClass` rows per class, chosen by
-    * hash order of the id — deterministic (no rand()), and the per-class
-    * shuffle carries only class-partitioned rows (one window sort). */
+    * hash order of the id — deterministic (no rand()).
+    *
+    * Scale shape: two-phase cap. The final per-class rank would
+    * serialize a head class through one task, so a PRE-CAP window
+    * partitioned by (class, first-two-md5-hex bucket) first cuts each
+    * of the 256 buckets to `nPerClass` rows — since the global keep set
+    * is the first `nPerClass` in md5 order and bucket order is a prefix
+    * of that order, no bucket can contribute more than `nPerClass`
+    * keeps, so the pre-cap is lossless. The final window then ranks
+    * ≤ 256·nPerClass rows per class — bounded by the CAP, not the
+    * corpus. */
   def stratifiedBalanced(df: DataFrame, classCol: Column, id: Column,
       nPerClass: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(classCol).orderBy(md5(id.cast("string")), id)
-    df.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(org.apache.spark.sql.functions.col("__rn") <= nPerClass)
-      .drop("__rn")
+    val W = org.apache.spark.sql.expressions.Window
+    val h = md5(id.cast("string"))
+    val wPre = W.partitionBy(classCol, substring(h, 1, 2)).orderBy(h, id)
+    val wFinal = W.partitionBy(classCol).orderBy(h, id)
+    df.withColumn("__prn", row_number().over(wPre))
+      .filter(col("__prn") <= nPerClass)
+      .withColumn("__rn", row_number().over(wFinal))
+      .filter(col("__rn") <= nPerClass)
+      .drop("__prn", "__rn")
   }
 
   /** Per-source SIZE budget (RefinedWeb-style corpus composition): keep
