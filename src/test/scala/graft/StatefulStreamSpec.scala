@@ -344,4 +344,44 @@ class StatefulStreamSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("sum_measure") == 3.5)
     q.stop()
   }
+
+  test("streaming budget admission: per-source quota, deterministic " +
+    "within batch, exhausted sources stay closed") {
+    implicit val sqlCtx = spark.sqlContext
+    case class D(src: String, id: Long, sz: Long)
+    val ms = MemoryStream[(String, Long, Long)]
+    val admitted = graft.stream.StreamBudget.admitWithinBudget[(String, Long, Long)](
+      ms.toDS(), _._1,
+      r => java.security.MessageDigest.getInstance("MD5")
+        .digest(r._2.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+      _._3, budget = 250L)
+    val q = admitted.writeStream.format("memory").queryName("budget_sink")
+      .outputMode(OutputMode.Append).start()
+    def sink() = spark.table("budget_sink")
+      .as[(String, Long, Long)].collect().toSeq
+
+    // batch 1: s0 has 100+100+100 in md5(id) order — only two fit 250
+    ms.addData(("s0", 1L, 100L), ("s0", 2L, 100L), ("s0", 3L, 100L),
+      ("s1", 4L, 250L))
+    q.processAllAvailable()
+    val b1 = sink()
+    assert(b1.count(_._1 == "s0") == 2, s"got $b1")
+    assert(b1.count(_._1 == "s1") == 1) // exactly fills its budget
+    // the two admitted s0 ids are the FIRST two in md5 order of {1,2,3}
+    def h(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = Seq(1L, 2L, 3L).sortBy(h).take(2).toSet
+    assert(b1.filter(_._1 == "s0").map(_._2).toSet == expect)
+
+    // batch 2: s0 has 50 left of nothing (cum=200, 250-200=50); a 60-size
+    // doc is rejected, a 50-size doc admitted; s1 is exhausted for good
+    ms.addData(("s0", 5L, 60L), ("s0", 6L, 50L), ("s1", 7L, 1L))
+    q.processAllAvailable()
+    val b2 = sink()
+    assert(b2.map(_._2).toSet == b1.map(_._2).toSet + 6L, s"got $b2")
+
+    // state: one row per source, no TTL growth
+    assert(q.lastProgress.stateOperators(0).numRowsTotal == 2L)
+    q.stop()
+  }
 }
