@@ -1771,6 +1771,12 @@ object SparkEntry {
           .as("fertility"))
   }
 
+  /** Gopher-rules document gate: per-rule boolean flags + keep, pure
+    * projection (zero exchanges at any scale). */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextStats.gopherRules(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1899,7 +1905,8 @@ object SparkEntry {
     "q123_shard_manifest" -> (qShardManifest _),
     "q124_rrf_fusion" -> (qRrfFusion _),
     "q125_canonical_pick" -> (qCanonicalPick _),
-    "q126_bpe_fertility" -> (qBpeFertility _))
+    "q126_bpe_fertility" -> (qBpeFertility _),
+    "q127_gopher_rules" -> (qGopherRules _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3216,5 +3223,23 @@ object SparkEntry {
         "SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words, " +
         "CAST(sum(freq * n_sub) AS BIGINT) AS n_subwords, " +
         "round(CAST(sum(freq * n_sub) AS DOUBLE) / sum(freq), 4) AS fertility " +
-        "FROM wlf JOIN enc USING (w) GROUP BY 1"))
+        "FROM wlf JOIN enc USING (w) GROUP BY 1"),
+    "q127_gopher_rules" ->
+      // integer-only rule comparisons (cross-multiplied rationals)
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "m AS (SELECT doc_id, len(tk) AS n, " +
+        "list_sum(list_transform(tk, x -> length(x))) AS sumlen, " +
+        "len(list_distinct(tk)) AS dst, " +
+        "list_max(list_transform(tk, x -> length(x))) AS mx, " +
+        "len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS stp " +
+        "FROM s) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        "(n >= 25 AND n <= 80) AS r_len, " +
+        "(sumlen >= n * 4 AND sumlen <= n * 5) AS r_wordlen, " +
+        "(dst * 2 >= n) AS r_distinct, " +
+        "(stp >= 1) AS r_stop, " +
+        "(mx <= 7) AS r_longest, " +
+        "((n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
+        "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7)) AS keep " +
+        "FROM m"))
 }

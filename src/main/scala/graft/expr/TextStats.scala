@@ -270,6 +270,44 @@ object TextStats {
     *
     * One explode + two aggregations, both keyed by (doc, gram) / doc with
     * map-side combine; shuffles carry gram strings, not documents. */
+  /** Gopher-style rule filter (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher" §A1.1): the
+    * classic composite document-quality gate as PER-RULE boolean flags
+    * plus the conjunction — emit the flags, not just the verdict, so a
+    * curation dashboard can attribute removals to rules. Every
+    * comparison is integer arithmetic (cross-multiplied rationals) —
+    * no float in any keep/drop decision, bit-stable across engines.
+    *
+    * Rules (thresholds as parameters of the classic shape):
+    * token count in [minTokens, maxTokens]; mean token length in
+    * [minAvgLen, maxAvgLen] (integers — the bound is avgLen·n vs
+    * sumLen); distinct-token ratio ≥ 1/2 (the repetition gate); ≥1
+    * stopword (the gibberish gate); longest token ≤ maxTokenLen (the
+    * markup/URL gate).
+    *
+    * Scale shape: a PURE PROJECTION — every statistic is a higher-order
+    * array function over the token split, zero exchanges at any corpus
+    * size. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, minTokens: Int = 25, maxTokens: Int = 80,
+      minAvgLen: Int = 4, maxAvgLen: Int = 5, maxTokenLen: Int = 7)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val maxLen = array_max(transform(toks, t => length(t))).cast("long")
+    val stop = stopwordCount(text).cast("long")
+    docs.select(id.as("doc_id"), n.as("n_tokens"),
+      (n >= minTokens && n <= maxTokens).as("r_len"),
+      (sumLen >= n * minAvgLen && sumLen <= n * maxAvgLen).as("r_wordlen"),
+      (nDistinct * 2L >= n).as("r_distinct"),
+      (stop >= 1L).as("r_stop"),
+      (maxLen <= maxTokenLen).as("r_longest"))
+      .withColumn("keep", col("r_len") && col("r_wordlen") &&
+        col("r_distinct") && col("r_stop") && col("r_longest"))
+  }
+
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, explode, lit, max, round, sum}

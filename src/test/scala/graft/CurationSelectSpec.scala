@@ -127,6 +127,29 @@ class CurationSelectSpec extends SparkSpec {
     assert(fert == Map("en" -> 1.0, "fr" -> 1.5))
   }
 
+  test("gopherRules: each rule fires on its designed violation") {
+    val docs = Seq(
+      (1L, "the " + Seq.fill(30)("word").mkString(" ")),       // repetitive
+      (2L, "the " + (1 to 29).map(i => f"wrd$i%02d").mkString(" ")), // clean: 30 toks, avg len 4.93
+      (3L, "the tiny doc"),                                     // too short
+      (4L, (1 to 30).map(i => s"zzz$i").mkString(" ")),         // no stopword
+      (5L, "the " + (1 to 30).map(i => s"verylongtoken$i").mkString(" "))) // long tokens
+      .toDF("doc_id", "text")
+    val r = graft.expr.TextStats.gopherRules(docs, col("doc_id"),
+        col("text"), minTokens = 10, maxTokens = 60)
+      .collect().map(x => x.getLong(0) ->
+        (x.getBoolean(2), x.getBoolean(3), x.getBoolean(4),
+          x.getBoolean(5), x.getBoolean(6), x.getBoolean(7))).toMap
+    assert(!r(1L)._3, "doc 1 must fail the distinct-ratio rule")
+    assert(r(2L) == ((true, true, true, true, true, true)))
+    assert(!r(3L)._1, "doc 3 must fail the length rule")
+    assert(!r(4L)._4, "doc 4 must fail the stopword rule")
+    assert(!r(5L)._5, "doc 5 must fail the longest-token rule")
+    // keep is exactly the conjunction
+    for ((_, f) <- r)
+      assert(f._6 == (f._1 && f._2 && f._3 && f._4 && f._5))
+  }
+
   test("canonical pick: longest member represents its dedup group") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
       .toDF("doc_id", "n_chars")

@@ -385,6 +385,14 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("q127: gopher rules are a PURE PROJECTION — zero exchanges, " +
+    "2 of 5 columns read") {
+    val p = plan("q127_gopher_rules")
+    assert(count(p, "Exchange") == 0, p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(1000))
+  }
+
   test("q125: canonical pick — no cartesian; the representative argmax " +
     "is a hash aggregation, not a window over the corpus") {
     val p = plan("q125_canonical_pick")
