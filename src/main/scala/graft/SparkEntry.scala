@@ -1777,6 +1777,12 @@ object SparkEntry {
     TextStats.gopherRules(t(s, dir, "documents"), col("doc_id"),
       col("text"))
 
+  /** Sort-by-length inference batching manifest: 16 hash shards,
+    * batches of 32, per-batch padding waste. */
+  private def qLengthBatching(s: SparkSession, dir: String): DataFrame =
+    Multimodal.lengthBatchingManifest(t(s, dir, "documents"),
+      col("doc_id"), col("n_chars"), 16, 32)
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1906,7 +1912,8 @@ object SparkEntry {
     "q124_rrf_fusion" -> (qRrfFusion _),
     "q125_canonical_pick" -> (qCanonicalPick _),
     "q126_bpe_fertility" -> (qBpeFertility _),
-    "q127_gopher_rules" -> (qGopherRules _))
+    "q127_gopher_rules" -> (qGopherRules _),
+    "q128_length_batching" -> (qLengthBatching _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3241,5 +3248,14 @@ object SparkEntry {
         "(mx <= 7) AS r_longest, " +
         "((n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
         "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7)) AS keep " +
-        "FROM m"))
+        "FROM m"),
+    "q128_length_batching" ->
+      ("WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard, " +
+        "doc_id, n_chars FROM documents), " +
+        "r AS (SELECT shard, n_chars, " +
+        "CAST((row_number() OVER (PARTITION BY shard ORDER BY n_chars DESC, doc_id) - 1) // 32 AS BIGINT) AS batch_idx FROM b) " +
+        "SELECT shard, batch_idx, count(*) AS n_items, max(n_chars) AS max_len, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_len, " +
+        "CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS padding " +
+        "FROM r GROUP BY 1, 2"))
 }

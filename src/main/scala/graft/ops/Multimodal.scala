@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
@@ -92,6 +92,34 @@ object Multimodal {
     * must not change results — asserted by spec). */
   private def defaultInfer(dim: Int)(batch: Seq[MediaRow]): Seq[Array[Float]] =
     batch.map(r => fakeDecodeFeatures(r.media, dim))
+
+  /** Length-bucketed micro-batch PLANNING for [[batchedInfer]]: sort
+    * items by decreasing payload length within a hash shard, cut into
+    * fixed-size batches, and report each batch's padding waste
+    * (n·max − Σ) — the sort-by-length batching every accelerator
+    * serving stack uses to keep pad tokens off the matmul. The manifest
+    * quantifies what arrival-order batching would have wasted.
+    *
+    * Deterministic (md5 shard + (len desc, id) order) and shard-
+    * parallel: the rank window partitions by shard, and the batch
+    * aggregation REUSES the shard partitioning (its keys extend the
+    * window's) — one exchange total, manifest-sized output. */
+  def lengthBatchingManifest(df: DataFrame, id: Column, len: Column,
+      shards: Int, batchSize: Int): DataFrame = {
+    require(shards > 0 && batchSize > 0,
+      s"lengthBatchingManifest: need shards ($shards), batchSize ($batchSize) > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("len").desc, col("id"))
+    df.select(graft.ops.Sampling.hashBucket(id, shards).as("shard"),
+        id.as("id"), len.cast("long").as("len"))
+      .withColumn("batch_idx",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("shard"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_items"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("padding",
+        col("n_items") * col("max_len") - col("sum_len"))
+  }
 
   /** Frame sampling over an opaque media payload: treat the binary as a
     * stream of fixed-size frames, keep every `stride`-th frame, emit a

@@ -150,6 +150,25 @@ class CurationSelectSpec extends SparkSpec {
       assert(f._6 == (f._1 && f._2 && f._3 && f._4 && f._5))
   }
 
+  test("lengthBatchingManifest: batches tile each shard; sorted batching " +
+    "wastes no padding on equal-length runs") {
+    // one shard (shards=1): lengths 8,8,8,8,4,4 in desc order, batch=4
+    // → batch 0 = four 8s (padding 0), batch 1 = two 4s (padding 0);
+    // arrival-order batching of the same rows could mix 8s and 4s
+    val df = Seq((1L, 4L), (2L, 8L), (3L, 8L), (4L, 4L), (5L, 8L),
+      (6L, 8L)).toDF("id", "len")
+    val m = graft.ops.Multimodal.lengthBatchingManifest(df, col("id"),
+        col("len"), 1, 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(m.toSet == Set((0L, 4L, 8L, 32L, 0L), (1L, 2L, 4L, 8L, 0L)))
+    // multi-shard: every row lands in exactly one batch; sizes ≤ batch
+    val m2 = graft.ops.Multimodal.lengthBatchingManifest(df, col("id"),
+      col("len"), 3, 4).collect()
+    assert(m2.map(_.getLong(2)).sum == 6L)
+    assert(m2.forall(_.getLong(2) <= 4L))
+  }
+
   test("canonical pick: longest member represents its dedup group") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
       .toDF("doc_id", "n_chars")

@@ -393,6 +393,14 @@ class PlanContractSpec extends SparkSpec {
       p.take(1000))
   }
 
+  test("q128: length batching — ONE exchange: the batch aggregation " +
+    "reuses the shard window's partitioning") {
+    val p = plan("q128_length_batching")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1500))
+    assert(count(p, "Exchange SinglePartition") == 0, p.take(1500))
+    assert(p.contains("windowspecdefinition(shard"), p.take(1500))
+  }
+
   test("q125: canonical pick — no cartesian; the representative argmax " +
     "is a hash aggregation, not a window over the corpus") {
     val p = plan("q125_canonical_pick")
