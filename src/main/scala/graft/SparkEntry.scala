@@ -1444,13 +1444,23 @@ object SparkEntry {
   private def qSkewGini(s: SparkSession, dir: String): DataFrame = {
     val k = t(s, dir, "events")
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt"), col("user_id"))
-    k.withColumn("r", row_number().over(w).cast("long"))
-      .agg(count(lit(1)).as("n_keys"),
-        sum(col("cnt")).as("total_rows"),
+    // Gini's Σ rank·cnt is TIE-INVARIANT (ranks within a tie group sum
+    // to a constant), so no per-key global rank is needed: group keys
+    // by their count — the tie group occupies ranks [off+1, off+m] and
+    // contributes cnt·(m·off + m(m+1)/2) in closed form. The only
+    // unpartitioned window runs over the DISTINCT-COUNT table
+    // (heavy-tailed key distributions make it tiny — ≤ max_cnt rows —
+    // where a per-key rank would single-task the whole key table).
+    val g = k.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("off", coalesce(sum(col("m")).over(w), lit(0L)))
+      .agg(sum(col("m")).as("n_keys"),
+        sum(col("cnt") * col("m")).as("total_rows"),
         max(col("cnt")).as("max_cnt"),
-        sum(col("r") * col("cnt")).as("src"))
+        sum(col("cnt") * (col("m") * col("off") +
+          col("m") * (col("m") + 1L) / lit(2L))).as("src"))
       .select(col("n_keys"), col("total_rows"), col("max_cnt"),
         round(col("max_cnt").cast("double") / col("total_rows").cast("double"),
           6).as("top_share"),
