@@ -1787,6 +1787,11 @@ object SparkEntry {
     TextStats.gopherRules(t(s, dir, "documents"), col("doc_id"),
       col("text"))
 
+  /** Bucketed self-KNN graph: top-3 cosine neighbors per vector
+    * within its label cluster. */
+  private def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Ann.knnGraph(t(s, dir, "embeddings"), "label", 3)
+
   /** Sort-by-length inference batching manifest: 16 hash shards,
     * batches of 32, per-batch padding waste. */
   private def qLengthBatching(s: SparkSession, dir: String): DataFrame =
@@ -1923,7 +1928,8 @@ object SparkEntry {
     "q125_canonical_pick" -> (qCanonicalPick _),
     "q126_bpe_fertility" -> (qBpeFertility _),
     "q127_gopher_rules" -> (qGopherRules _),
-    "q128_length_batching" -> (qLengthBatching _))
+    "q128_length_batching" -> (qLengthBatching _),
+    "q129_knn_graph" -> (qKnnGraph _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3267,5 +3273,14 @@ object SparkEntry {
         "SELECT shard, batch_idx, count(*) AS n_items, max(n_chars) AS max_len, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_len, " +
         "CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS padding " +
-        "FROM r GROUP BY 1, 2"))
+        "FROM r GROUP BY 1, 2"),
+    "q129_knn_graph" ->
+      ("WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        "round(list_dot_product(a.e, b.e) / " +
+        "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) AS cos " +
+        "FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id) " +
+        "SELECT src, dst, cos, " +
+        "CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank " +
+        "FROM p QUALIFY rank <= 3"))
 }

@@ -79,6 +79,31 @@ object Ann {
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Bucketed self-KNN GRAPH: every vector's top-`k` neighbors within
+    * its blocking bucket by cosine (desc, id tiebreak) — the input
+    * structure for graph-based near-dup clustering, kNN classification,
+    * and hubness diagnostics. Candidate pairs are bucket-local (an
+    * equi-join, as [[cosineNearDupPairs]]); the per-vector top-k is a
+    * rank window that Spark plans as WindowGroupLimit — each task keeps
+    * a k-row heap per source vector, so the full |bucket|² score set
+    * never materializes past the partial limit. */
+  def knnGraph(corpus: DataFrame, bucketCol: String, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"knnGraph: need k > 0 ($k)")
+    val a = corpus.select(col(bucketCol).as("bucket"),
+      col(idCol).as("src"), col(vecCol).as("va"))
+    val b = corpus.select(col(bucketCol).as("bucket"),
+      col(idCol).as("dst"), col(vecCol).as("vb"))
+    val scored = Fanout.fanout(
+        a.join(b, Seq("bucket")).filter(col("src") =!= col("dst")))
+      .select(col("src"), col("dst"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic Rademacher (±1) hyperplane entries derived from md5 —
     * the same values any engine's `md5()` derives, so LSH bucket
     * assignments are portable and reproducible (no RNG state). Entry

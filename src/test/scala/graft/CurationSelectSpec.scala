@@ -169,6 +169,18 @@ class CurationSelectSpec extends SparkSpec {
     assert(m2.forall(_.getLong(2) <= 4L))
   }
 
+  test("knnGraph: exact bucket-local neighbors, k rows per source") {
+    val g = graft.ops.Ann.knnGraph(vecs, "label", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // bucket 1 has one vector (5): no pairs, no rows
+    assert(!g.exists(r => r._1 == 5L || r._2 == 5L))
+    // bucket 0: every source emits min(k, |bucket|-1) = 2 neighbors
+    for (src <- Seq(1L, 2L, 3L, 4L))
+      assert(g.count(_._1 == src) == 2, s"src $src")
+    // 1's nearest is 2 (cos(1,2) > cos(1,3) > cos(1,4))
+    assert(g.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq == Seq(2L, 3L))
+  }
+
   test("canonical pick: longest member represents its dedup group") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
       .toDF("doc_id", "n_chars")

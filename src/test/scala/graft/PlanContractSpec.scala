@@ -401,6 +401,13 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(shard"), p.take(1500))
   }
 
+  test("q129: knn graph — bucket-local equi-join (no cartesian), " +
+    "top-k pushed down as WindowGroupLimit") {
+    val p = plan("q129_knn_graph")
+    assert(count(p, "CartesianProduct") == 0, "all-pairs crept in")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("q125: canonical pick — no cartesian; the representative argmax " +
     "is a hash aggregation, not a window over the corpus") {
     val p = plan("q125_canonical_pick")
