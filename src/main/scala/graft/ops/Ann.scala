@@ -79,6 +79,35 @@ object Ann {
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Incremental SemDeDup: near-duplicate PAIRS for a NEW vector batch
+    * against a maintained corpus index (the bucketed corpus itself),
+    * plus within-batch pairs — the corpus never re-pairs against
+    * itself, the shape that admits a daily embedding shard into a
+    * 100 TB index ([[graft.ops.TextDedup.incrementalCandidates]]'s
+    * contract for the semantic side). Pair orientation is normalized
+    * (doc_a < doc_b), so `semDedup`'s smaller-id-wins policy composes:
+    * a new vector joins the survivors iff no smaller-id near-dup exists
+    * in EITHER the corpus or its own batch. ≡-tested against the full
+    * [[cosineNearDupPairs]] on the unioned corpus (restricted to pairs
+    * touching the batch). */
+  def incrementalCosinePairs(newBatch: DataFrame, corpus: DataFrame,
+      bucketCol: String, threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = newBatch.select(col(bucketCol).as("bucket"),
+      col(idCol).as("id_n"), col(vecCol).as("vec_n"))
+    val c = corpus.select(col(bucketCol).as("bucket"),
+      col(idCol).as("id_c"), col(vecCol).as("vec_c"))
+    val vsCorpus = Fanout.fanout(
+        n.join(c, Seq("bucket")).filter(col("id_n") =!= col("id_c")))
+      .select(least(col("id_n"), col("id_c")).as("id_a"),
+        greatest(col("id_n"), col("id_c")).as("id_b"),
+        round(Similarity.cosine(col("vec_n"), col("vec_c")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+    val withinNew = cosineNearDupPairs(newBatch, bucketCol, threshold,
+      idCol, vecCol)
+    vsCorpus.unionByName(withinNew).distinct()
+  }
+
   /** Bucketed self-KNN GRAPH: every vector's top-`k` neighbors within
     * its blocking bucket by cosine (desc, id tiebreak) — the input
     * structure for graph-based near-dup clustering, kNN classification,

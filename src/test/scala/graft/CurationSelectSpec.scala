@@ -181,6 +181,19 @@ class CurationSelectSpec extends SparkSpec {
     assert(g.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq == Seq(2L, 3L))
   }
 
+  test("incrementalCosinePairs ≡ full pair detection restricted to the batch") {
+    // split vecs into corpus {1,2,4,5} and new batch {3}
+    val batch = vecs.filter(col("vec_id") === 3L)
+    val corpus = vecs.filter(col("vec_id") =!= 3L)
+    val inc = graft.ops.Ann.incrementalCosinePairs(batch, corpus, "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.Ann.cosineNearDupPairs(vecs, "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touching = full.filter(p => p._1 == 3L || p._2 == 3L)
+    assert(inc == touching, s"inc=$inc touching=$touching")
+    assert(inc.nonEmpty) // 3 is a near-dup of 1 and 2
+  }
+
   test("canonical pick: longest member represents its dedup group") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
       .toDF("doc_id", "n_chars")
