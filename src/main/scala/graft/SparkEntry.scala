@@ -1787,6 +1787,12 @@ object SparkEntry {
     TextStats.gopherRules(t(s, dir, "documents"), col("doc_id"),
       col("text"))
 
+  /** Exact 1M-token budget apportionment across sources (Hamilton
+    * largest-remainder over sqrt-temperature weights). */
+  private def qTokenApportion(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.apportionBudget(t(s, dir, "documents"), col("source"),
+      col("n_chars"), 1000000L)
+
   /** Bucketed self-KNN graph: top-3 cosine neighbors per vector
     * within its label cluster. */
   private def qKnnGraph(s: SparkSession, dir: String): DataFrame =
@@ -1929,7 +1935,8 @@ object SparkEntry {
     "q126_bpe_fertility" -> (qBpeFertility _),
     "q127_gopher_rules" -> (qGopherRules _),
     "q128_length_batching" -> (qLengthBatching _),
-    "q129_knn_graph" -> (qKnnGraph _))
+    "q129_knn_graph" -> (qKnnGraph _),
+    "q130_token_apportion" -> (qTokenApportion _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3282,5 +3289,21 @@ object SparkEntry {
         "FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id) " +
         "SELECT src, dst, cos, " +
         "CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS BIGINT) AS rank " +
-        "FROM p QUALIFY rank <= 3"))
+        "FROM p QUALIFY rank <= 3"),
+    "q130_token_apportion" ->
+      // Hamilton apportionment: floor quotas + largest-remainder top-up;
+      // sqrt weights (IEEE-exact), Snap-snapped normalizer
+      ("WITH s AS (SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS sz " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(CAST(floor(sqrt(CAST(sz AS DOUBLE)) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS tot FROM s), " +
+        "q AS (SELECT stratum, sz, " +
+        "1000000 * sqrt(CAST(sz AS DOUBLE)) / tot AS quota FROM s CROSS JOIN t), " +
+        "q2 AS (SELECT stratum, sz, CAST(floor(quota) AS BIGINT) AS base, " +
+        "quota - floor(quota) AS frac FROM q), " +
+        "r AS (SELECT stratum, sz, base, " +
+        "row_number() OVER (ORDER BY frac DESC, stratum) AS rk, " +
+        "(SELECT 1000000 - sum(base) FROM q2) AS rem FROM q2) " +
+        "SELECT stratum, sz, " +
+        "CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r"))
 }

@@ -234,6 +234,48 @@ object Sampling {
         min(id).as("min_id"), max(id).as("max_id"))
   }
 
+  /** Exact integer budget apportionment across strata (Hamilton /
+    * largest-remainder method) over temperature-flattened weights:
+    * allocate `budget` tokens so stratum i gets ⌊budget·w_i⌋ plus one
+    * of the leftover units by largest fractional part — Σ alloc ==
+    * budget EXACTLY, the property a batch-composition planner needs
+    * (rates alone under- or over-shoot by rounding). Weights are
+    * √size (temperature τ = 0.5, the [[temperatureRates]] flattening),
+    * normalized by a [[graft.expr.Snap]]-snapped total so the quota
+    * doubles are identical on any engine or partitioning; IEEE sqrt is
+    * correctly rounded everywhere, so no pow() portability hazard.
+    *
+    * Scale shape: one map-side-combined aggregation to stratum sizes;
+    * everything after (quota, ranks, remainder) runs on the
+    * strata-sized table — the only unpartitioned window frames are
+    * strata-count rows. */
+  def apportionBudget(df: DataFrame, strata: Column, size: Column,
+      budget: Long,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(budget > 0, s"apportionBudget: need budget > 0 ($budget)")
+    val W = org.apache.spark.sql.expressions.Window
+    // strata-sized but corpus-aggregated — materialized because the
+    // normalizer and the quota projection both consume it
+    val s = materialize(df.groupBy(strata.as("stratum"))
+      .agg(sum(size.cast("long")).as("sz")))
+    val tot = s.agg(graft.expr.Snap
+      .snappedSum(sqrt(col("sz").cast("double")), 1e9).as("tot"))
+    val q = s.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        lit(budget) * sqrt(col("sz").cast("double")) / col("tot"))
+      .withColumn("base", floor(col("quota")).cast("long"))
+      .withColumn("frac", col("quota") - floor(col("quota")))
+    q.withColumn("rk",
+        row_number().over(W.orderBy(col("frac").desc, col("stratum"))))
+      .withColumn("rem", lit(budget) - sum(col("base")).over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding,
+          W.unboundedFollowing)))
+      .select(col("stratum"), col("sz"),
+        (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** DSIR-style hashed-unigram importance weights (Xie et al., "Data
     * Selection for Language Models via Importance Resampling"): score
     * every document by how much more likely its tokens are under the

@@ -194,6 +194,21 @@ class CurationSelectSpec extends SparkSpec {
     assert(inc.nonEmpty) // 3 is a near-dup of 1 and 2
   }
 
+  test("apportionBudget: allocations sum EXACTLY to the budget; " +
+    "largest remainders win the leftover units") {
+    val df = Seq(("a", 100L), ("a", 300L), ("b", 100L), ("c", 100L))
+      .toDF("src", "sz")
+    for (budget <- Seq(7L, 100L, 999L, 1000000L)) {
+      val r = graft.ops.Sampling.apportionBudget(df, col("src"),
+          col("sz"), budget)
+        .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+      assert(r.values.sum == budget, s"budget $budget: $r")
+      // a has 4x the sz of b/c → sqrt weights 2:1:1 → a gets ~half
+      assert(r("a") >= r("b") && r("a") >= r("c"))
+      assert(math.abs(r("b") - r("c")) <= 1L) // equal weights differ ≤1
+    }
+  }
+
   test("canonical pick: longest member represents its dedup group") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
       .toDF("doc_id", "n_chars")

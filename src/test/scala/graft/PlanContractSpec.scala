@@ -408,6 +408,15 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("q130: apportionment — one corpus aggregation; every window " +
+    "after it runs on the strata-sized table") {
+    val p = plan("q130_token_apportion")
+    // the corpus touches exactly one exchange (the stratum-size agg,
+    // map-side combined); the rank/remainder windows are strata-sized
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1500))
+    assert(p.contains("partial_sum"), "no map-side combine")
+  }
+
   test("q125: canonical pick — no cartesian; the representative argmax " +
     "is a hash aggregation, not a window over the corpus") {
     val p = plan("q125_canonical_pick")
