@@ -1787,6 +1787,23 @@ object SparkEntry {
     TextStats.gopherRules(t(s, dir, "documents"), col("doc_id"),
       col("text"))
 
+  /** Inter-source duplication matrix: LSH near-dup candidate pairs
+    * rolled up by (source_a, source_b) — which sources mirror each
+    * other's content, the provenance analysis behind domain-level
+    * dedup decisions. Pair table is LSH-selective (small); the source
+    * lookup joins broadcast; output is a ≤|sources|² matrix. */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    qMinhashLsh(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact 1M-token budget apportionment across sources (Hamilton
     * largest-remainder over sqrt-temperature weights). */
   private def qTokenApportion(s: SparkSession, dir: String): DataFrame =
@@ -1936,7 +1953,8 @@ object SparkEntry {
     "q127_gopher_rules" -> (qGopherRules _),
     "q128_length_batching" -> (qLengthBatching _),
     "q129_knn_graph" -> (qKnnGraph _),
-    "q130_token_apportion" -> (qTokenApportion _))
+    "q130_token_apportion" -> (qTokenApportion _),
+    "q131_source_overlap" -> (qSourceOverlap _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3305,5 +3323,12 @@ object SparkEntry {
         "row_number() OVER (ORDER BY frac DESC, stratum) AS rk, " +
         "(SELECT 1000000 - sum(base) FROM q2) AS rem FROM q2) " +
         "SELECT stratum, sz, " +
-        "CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r"))
+        "CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r"),
+    "q131_source_overlap" ->
+      (s"WITH $shingleCte, " +
+        "j AS (SELECT c.doc_a, c.doc_b, da.source AS sa, db.source AS sb " +
+        "FROM cands c JOIN documents da ON c.doc_a = da.doc_id " +
+        "JOIN documents db ON c.doc_b = db.doc_id) " +
+        "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
+        "count(*) AS n_pairs FROM j GROUP BY 1, 2"))
 }

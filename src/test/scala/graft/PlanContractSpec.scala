@@ -417,6 +417,13 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "no map-side combine")
   }
 
+  test("q131: source overlap — the source lookups broadcast into the " +
+    "pair-sized table; no cartesian") {
+    val p = plan("q131_source_overlap")
+    assert(count(p, "CartesianProduct") == 0)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("q125: canonical pick — no cartesian; the representative argmax " +
     "is a hash aggregation, not a window over the corpus") {
     val p = plan("q125_canonical_pick")
