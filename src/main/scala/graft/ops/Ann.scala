@@ -119,12 +119,19 @@ object Ann {
   def knnGraph(corpus: DataFrame, bucketCol: String, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k > 0, s"knnGraph: need k > 0 ($k)")
-    val a = corpus.select(col(bucketCol).as("bucket"),
-      col(idCol).as("src"), col(vecCol).as("va"))
+    // fanout the PROBE side before the join (vector-sized rows), never
+    // the joined pairs after it (pair-sized × two vectors): when stats
+    // pick a broadcast join (small/few-bucket corpora) the output
+    // parallelism follows the pre-spread probe side, and when the
+    // corpus is big the bucket count is big too (k-means cells), so
+    // the shuffle join parallelizes by bucket — in neither regime do
+    // the |bucket|² pair rows ever cross an exchange
+    val a = Fanout.fanout(corpus.select(col(bucketCol).as("bucket"),
+      col(idCol).as("src"), col(vecCol).as("va")))
     val b = corpus.select(col(bucketCol).as("bucket"),
       col(idCol).as("dst"), col(vecCol).as("vb"))
-    val scored = Fanout.fanout(
-        a.join(b, Seq("bucket")).filter(col("src") =!= col("dst")))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
