@@ -43,16 +43,18 @@ object Ann {
   def cosineNearDupPairs(corpus: DataFrame, bucketCol: String,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(bucketCol).as("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    // fanout the PROBE side before the join, never the joined pairs
+    // after it (pair-sized rows × two vectors): when stats pick a
+    // broadcast join the output parallelism follows the pre-spread
+    // probe side, and when the corpus is big the bucket count is big
+    // too (k-means cells at scale), so the shuffle join parallelizes by
+    // bucket — the |bucket|² pair rows never cross an exchange
+    val a = Fanout.fanout(corpus.select(col(bucketCol).as("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a")))
     val b = corpus.select(col(bucketCol).as("bucket"),
       col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    // score AFTER spreading the pair blow-up: the bucket join's output
-    // parallelism is bounded by the number of distinct buckets (10 labels
-    // → ≤10 busy tasks), while scoring cost is O(pairs × dim) — round-
-    // robin the pairs first so every core scores (per-row op, order-free)
-    Fanout.fanout(a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b")))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
@@ -93,12 +95,14 @@ object Ann {
   def incrementalCosinePairs(newBatch: DataFrame, corpus: DataFrame,
       bucketCol: String, threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val n = newBatch.select(col(bucketCol).as("bucket"),
-      col(idCol).as("id_n"), col(vecCol).as("vec_n"))
+    // probe-side fanout (as cosineNearDupPairs) — pair rows never
+    // cross an exchange
+    val n = Fanout.fanout(newBatch.select(col(bucketCol).as("bucket"),
+      col(idCol).as("id_n"), col(vecCol).as("vec_n")))
     val c = corpus.select(col(bucketCol).as("bucket"),
       col(idCol).as("id_c"), col(vecCol).as("vec_c"))
-    val vsCorpus = Fanout.fanout(
-        n.join(c, Seq("bucket")).filter(col("id_n") =!= col("id_c")))
+    val vsCorpus = n.join(c, Seq("bucket"))
+      .filter(col("id_n") =!= col("id_c"))
       .select(least(col("id_n"), col("id_c")).as("id_a"),
         greatest(col("id_n"), col("id_c")).as("id_b"),
         round(Similarity.cosine(col("vec_n"), col("vec_c")), 4).as("cos"))
