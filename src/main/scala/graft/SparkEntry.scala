@@ -1787,6 +1787,12 @@ object SparkEntry {
     TextStats.gopherRules(t(s, dir, "documents"), col("doc_id"),
       col("text"))
 
+  /** Exact substring dedup APPLY (5-token grams, canonical-first-
+    * occurrence retention): cleaned-text hashes + removal counts. */
+  private def qSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactSubstringDedup(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 5)
+
   /** Inter-source duplication matrix: LSH near-dup candidate pairs
     * rolled up by (source_a, source_b) — which sources mirror each
     * other's content, the provenance analysis behind domain-level
@@ -1954,7 +1960,8 @@ object SparkEntry {
     "q128_length_batching" -> (qLengthBatching _),
     "q129_knn_graph" -> (qKnnGraph _),
     "q130_token_apportion" -> (qTokenApportion _),
-    "q131_source_overlap" -> (qSourceOverlap _))
+    "q131_source_overlap" -> (qSourceOverlap _),
+    "q132_substring_dedup" -> (qSubstringDedup _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3330,5 +3337,26 @@ object SparkEntry {
         "FROM cands c JOIN documents da ON c.doc_a = da.doc_id " +
         "JOIN documents db ON c.doc_b = db.doc_id) " +
         "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
-        "count(*) AS n_pairs FROM j GROUP BY 1, 2"))
+        "count(*) AS n_pairs FROM j GROUP BY 1, 2"),
+    "q132_substring_dedup" ->
+      // canonical = global min (doc, pos) per 5-gram, packed doc*1024+pos
+      // (docs < 1024 tokens); every token of a non-canonical duplicated
+      // window drops; cleaned text reassembled positionally
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram " +
+        "FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i) WHERE len(t) >= 5), " +
+        "st AS (SELECT gram, count(*) AS cnt, min(doc_id * 1024 + pos) AS canon FROM g GROUP BY 1), " +
+        "rem AS (SELECT doc_id, pos FROM g JOIN st USING (gram) " +
+        "WHERE cnt >= 2 AND doc_id * 1024 + pos <> canon), " +
+        "rpos AS (SELECT DISTINCT doc_id, pos + o AS tokpos " +
+        "FROM rem, unnest(generate_series(0, 4)) AS v(o)), " +
+        "rl AS (SELECT doc_id, list(tokpos) AS rlist FROM rpos GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(len(rlist), 0) AS BIGINT) AS n_removed, " +
+        // array_to_string([]) is NULL in DuckDB (Spark's array_join
+        // gives '') — coalesce so a fully-removed doc hashes md5('')
+        "md5(coalesce(array_to_string(list_filter(list_transform(generate_series(1, len(t)), " +
+        "i -> CASE WHEN rlist IS NOT NULL AND list_contains(rlist, i) THEN NULL ELSE t[i] END), " +
+        "x -> x IS NOT NULL), ' '), '')) AS clean_hash " +
+        "FROM toks d LEFT JOIN rl USING (doc_id)"))
 }

@@ -331,4 +331,63 @@ object TextDedup {
         (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j))
           .otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
+  /** Exact substring DEDUP APPLY (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): remove every token covered by
+    * a duplicated `l`-token gram whose occurrence is not the corpus's
+    * canonical FIRST occurrence (global min (doc_id, pos) per gram) —
+    * the token-level approximation of suffix-array substring dedup,
+    * taken through to the cleaned text (q52's spanDupStats is the
+    * signal; this is the surgery). Emits per doc: token counts, removed
+    * count, and the md5 of the reassembled cleaned text.
+    *
+    * Deterministic: the keep set is a pure function of the corpus (the
+    * canonical occurrence is an integer argmin; no hashing in any
+    * decision), so every engine removes the same spans.
+    *
+    * Scale shape: the gram table is corpus-sized but every stage over
+    * it is an equi-keyed aggregation or join (gram stats map-side
+    * combine; removal join keyed by gram; position explode bounded by
+    * l× the removal windows); reassembly is a doc-keyed array op over
+    * each doc's own tokens — no corpus-wide sort or window anywhere.
+    * `canon` packs (doc_id, pos) as doc_id·1024 + pos — valid while
+    * docs stay under 1024 tokens (this corpus: ≤ 99; widen the shift
+    * for longer documents). */
+  def exactSubstringDedup(docs: DataFrame, id: Column, text: Column,
+      l: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(l >= 2, s"exactSubstringDedup: need l >= 2 ($l)")
+    val toks = docs.select(id.as("doc_id"),
+      graft.expr.TextStats.tokens(text).as("t"))
+    val withN = toks.withColumn("n", size(col("t")))
+    // (doc, pos, gram) occurrences — feeds the stats agg AND the
+    // removal join; materialized so the explode runs once
+    val grams = materialize(fanout(withN).filter(col("n") >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram")))
+    val st = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * 1024L + col("pos")).as("canon"))
+    val removedPos = grams.join(st, Seq("gram"))
+      .filter(col("cnt") >= 2L &&
+        col("doc_id") * 1024L + col("pos") =!= col("canon"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("tokpos"))
+      .distinct()
+    val rl = removedPos.groupBy(col("doc_id"))
+      .agg(collect_set(col("tokpos")).as("rlist"))
+    withN.join(rl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        // size(NULL) is -1 in non-ANSI Spark — guard on the array itself
+        when(col("rlist").isNull, lit(0L))
+          .otherwise(size(col("rlist")).cast("long")).as("n_removed"),
+        md5(array_join(filter(
+          transform(col("t"), (x, i) =>
+            when(array_contains(col("rlist"), i + 1), lit(null)
+              .cast("string")).otherwise(x)),
+          x => x.isNotNull), " ")).as("clean_hash"))
+  }
 }

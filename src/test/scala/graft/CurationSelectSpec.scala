@@ -209,6 +209,32 @@ class CurationSelectSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstringDedup: duplicated spans removed, first occurrence " +
+    "kept, unique docs untouched") {
+    val dup = "alpha beta gamma delta epsilon" // a shared 5-gram
+    val docs = Seq(
+      (1L, dup + " one two three four five"),   // canonical (min doc)
+      (2L, dup + " six seven eight nine ten"),  // loses the shared span
+      (3L, "unique tokens only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextDedup.exactSubstringDedup(docs, col("doc_id"),
+        col("text"), 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getString(3))).toMap
+    // doc 1 holds the canonical occurrence: nothing removed
+    assert(r(1L)._2 == 0L)
+    assert(r(1L)._3 == md5Hex(dup + " one two three four five"))
+    // doc 2 loses exactly the 5 shared tokens; the rest survives
+    assert(r(2L)._2 == 5L)
+    assert(r(2L)._3 == md5Hex("six seven eight nine ten"))
+    // untouched doc keeps its original text hash
+    assert(r(3L)._2 == 0L)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("canonical pick: longest member represents its dedup group") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
       .toDF("doc_id", "n_chars")

@@ -424,6 +424,14 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("q132: substring dedup — gram-keyed joins only; no corpus-wide " +
+    "sort or single-partition funnel") {
+    val p = plan("q132_substring_dedup")
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "Exchange SinglePartition") == 0, p.take(1200))
+    assert(count(p, "Exchange rangepartitioning") == 0, p.take(1200))
+  }
+
   test("q125: canonical pick — no cartesian; the representative argmax " +
     "is a hash aggregation, not a window over the corpus") {
     val p = plan("q125_canonical_pick")
