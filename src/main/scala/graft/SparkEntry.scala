@@ -1459,8 +1459,10 @@ object SparkEntry {
       .agg(sum(col("m")).as("n_keys"),
         sum(col("cnt") * col("m")).as("total_rows"),
         max(col("cnt")).as("max_cnt"),
+        // m·(m+1) is even — shiftright keeps the whole term a LONG
+        // (Column./ is double division, which would order-poison the sum)
         sum(col("cnt") * (col("m") * col("off") +
-          col("m") * (col("m") + 1L) / lit(2L))).as("src"))
+          shiftright(col("m") * (col("m") + 1L), 1))).as("src"))
       .select(col("n_keys"), col("total_rows"), col("max_cnt"),
         round(col("max_cnt").cast("double") / col("total_rows").cast("double"),
           6).as("top_share"),

@@ -9,14 +9,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * drop everything after (quota enforcement at ingest, before any
   * storage or downstream compute is spent on over-quota domains).
   *
-  * Semantics: admission order is ARRIVAL order across batches (the
-  * online setting has no global md5 order to replay), made
-  * deterministic within a batch by sorting the buffered group on
-  * (md5(id), id) — so a replay of the same batches admits the same
-  * documents, the effectively-once property the checkpointed state
-  * store needs. A document is admitted iff the post-admission total
-  * stays ≤ budget (never straddles the cap), exactly the batch
-  * operator's rule.
+  * Semantics: the batch operator's PREFIX-CUT rule, applied in
+  * arrival order across batches (the online setting has no global md5
+  * order to replay): the running total charges EVERY document seen —
+  * admitted or not — and a document is admitted iff the total
+  * including it stays ≤ budget. Once a source overflows, everything
+  * after drops (no greedy back-fill with smaller documents), exactly
+  * like [[graft.ops.Sampling.sourceBudget]]'s cumulative filter.
+  * Within a batch the buffered group sorts on (ordKey, row.toString) —
+  * a deterministic total order — so a checkpointed replay of the same
+  * batches admits the same documents.
   *
   * Scale shape: state is ONE long per source (the running total) —
   * bounded by the number of sources, not stream history, with no TTL
@@ -40,10 +42,12 @@ object StreamBudget {
         GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[T], state: GroupState[Long]) =>
           var cum = state.getOption.getOrElse(0L)
-          val admitted = rows.toSeq.sortBy(ordKey).flatMap { r =>
-            if (cum + size(r) <= budget) { cum += size(r); Some(r) }
-            else None
-          }
+          val admitted = rows.toSeq
+            .sortBy(r => (ordKey(r), r.toString))
+            .flatMap { r =>
+              cum += size(r) // charge every arrival: prefix-cut, not greedy
+              if (cum <= budget) Some(r) else None
+            }
           state.update(cum)
           admitted.iterator
       }

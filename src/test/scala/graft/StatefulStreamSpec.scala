@@ -373,12 +373,13 @@ class StatefulStreamSpec extends SparkSpec {
     val expect = Seq(1L, 2L, 3L).sortBy(h).take(2).toSet
     assert(b1.filter(_._1 == "s0").map(_._2).toSet == expect)
 
-    // batch 2: s0 has 50 left of nothing (cum=200, 250-200=50); a 60-size
-    // doc is rejected, a 50-size doc admitted; s1 is exhausted for good
+    // batch 2: s0 overflowed in batch 1 (cum charged to 300 by the
+    // prefix-cut rule), so NOTHING later is admitted — not even docs
+    // that would individually fit; s1 is exhausted for good
     ms.addData(("s0", 5L, 60L), ("s0", 6L, 50L), ("s1", 7L, 1L))
     q.processAllAvailable()
     val b2 = sink()
-    assert(b2.map(_._2).toSet == b1.map(_._2).toSet + 6L, s"got $b2")
+    assert(b2.map(_._2).toSet == b1.map(_._2).toSet, s"got $b2")
 
     // state: one row per source, no TTL growth
     assert(q.lastProgress.stateOperators(0).numRowsTotal == 2L)
