@@ -1829,6 +1829,24 @@ object SparkEntry {
     Multimodal.lengthBatchingManifest(t(s, dir, "documents"),
       col("doc_id"), col("n_chars"), 16, 32)
 
+  /** Product-quantization ANN with asymmetric distance: 4 subspaces of
+    * 16 dims, 4-entry codebooks (2 Lloyd rounds each, the q76/q85
+    * trajectory contract per subspace), queries = vec_id < 5, top-10 by
+    * exact-integer snapped ADC score. The memory-bound ANN path — the
+    * corpus scans as m positional codes per vector. */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.pqAdcTopK(emb, emb.filter(col("vec_id") < 5), m = 4, kCodes = 4,
+      iters = 2, k = 10)
+  }
+
+  /** Tokenizer-coverage eval: per-language OOV rate against the
+    * corpus-global top-16 vocabulary (the synthetic corpus has 31
+    * distinct tokens, so ~half the type space is OOV and the rate
+    * genuinely varies by language). */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame =
+    TextStats.oovRate(t(s, dir, "documents"), col("lang"), col("text"), 16)
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1963,7 +1981,9 @@ object SparkEntry {
     "q129_knn_graph" -> (qKnnGraph _),
     "q130_token_apportion" -> (qTokenApportion _),
     "q131_source_overlap" -> (qSourceOverlap _),
-    "q132_substring_dedup" -> (qSubstringDedup _))
+    "q132_substring_dedup" -> (qSubstringDedup _),
+    "q133_pq_adc" -> (qPqAdc _),
+    "q134_oov_rate" -> (qOovRate _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3360,5 +3380,50 @@ object SparkEntry {
         "md5(coalesce(array_to_string(list_filter(list_transform(generate_series(1, len(t)), " +
         "i -> CASE WHEN rlist IS NOT NULL AND list_contains(rlist, i) THEN NULL ELSE t[i] END), " +
         "x -> x IS NOT NULL), ' '), '')) AS clean_hash " +
-        "FROM toks d LEFT JOIN rl USING (doc_id)"))
+        "FROM toks d LEFT JOIN rl USING (doc_id)"),
+    "q133_pq_adc" ->
+      // the q76 Lloyd replay PARTITIONED BY SUBSPACE j (4 × 16 dims,
+      // init = sub-vectors of vec_id<4, one update round → c1 = trained
+      // codebooks), positional codes, per-query snapped-long ADC tables,
+      // exact-integer score sum (CAST: sum(BIGINT) is HUGEINT in DuckDB)
+      ("WITH sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "v AS (SELECT vec_id, j, CAST(embedding AS DOUBLE[])[j*16+1:j*16+16] AS e " +
+        "FROM embeddings CROSS JOIN sp), " +
+        "c0 AS (SELECT j, vec_id AS cell, e AS c FROM v WHERE vec_id < 4), " +
+        "d1 AS (SELECT v.j, v.vec_id, v.e, c0.cell, list_sum(list_transform(" +
+        "list_zip(v.e, c0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v JOIN c0 ON v.j = c0.j), " +
+        "a1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "m1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM a1) GROUP BY 1, 2, 3), " +
+        "c1 AS (SELECT j, cell, list(m ORDER BY i) AS c FROM m1 GROUP BY 1, 2), " +
+        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM c1), " +
+        "d2 AS (SELECT v.j, v.vec_id, bk.pos, list_sum(list_transform(" +
+        "list_zip(v.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v JOIN bk ON v.j = bk.j), " +
+        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM d2) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS q_id, j, e AS qe FROM v WHERE vec_id < 5), " +
+        "dtab AS (SELECT q.q_id, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(q.qe, bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM q JOIN bk ON q.j = bk.j), " +
+        "sc AS (SELECT t.q_id, c.vec_id AS n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+        "FROM code c JOIN dtab t ON c.j = t.j AND c.pos = t.pos " +
+        "WHERE c.vec_id <> t.q_id GROUP BY 1, 2), " +
+        "r AS (SELECT q_id, n_id, s, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM sc) " +
+        "SELECT q_id, rank, n_id, round(CAST(s AS DOUBLE)/1000000, 4) AS adc " +
+        "FROM r WHERE rank <= 10"),
+    "q134_oov_rate" ->
+      // vocab = global top-16 tokens (count desc, token asc); per-lang
+      // token-occurrence OOV rate (sum(BIGINT) → HUGEINT: cast back)
+      ("WITH wc AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "cnt AS (SELECT grp, token, count(*) AS n FROM wc GROUP BY 1, 2), " +
+        "vocab AS (SELECT token FROM (SELECT token, sum(n) AS tn FROM cnt GROUP BY 1) " +
+        "ORDER BY tn DESC, token ASC LIMIT 16) " +
+        "SELECT grp, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "round(CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(n) AS DOUBLE), 6) AS oov_rate " +
+        "FROM cnt c LEFT JOIN vocab v ON c.token = v.token GROUP BY 1"))
 }

@@ -372,6 +372,40 @@ object TextStats {
       round(r2num / r2den, 4).as("r2"))
   }
 
+  /** Per-group out-of-vocabulary rate against the corpus-global
+    * top-`vocabSize` vocabulary (frequency desc, token asc ties —
+    * [[buildVocab]]'s order): the tokenizer-coverage eval that decides
+    * whether a vocabulary serves every language/source in the mix —
+    * a high-OOV slice trains badly no matter how much of it you keep.
+    *
+    * Scale shape: ONE exploded tokenization pass feeds both sides — the
+    * (group, token) count table is the only corpus-sized aggregation;
+    * the vocabulary derives from it by a second distinct-token-sized
+    * rollup (never re-reading the corpus), and membership is a
+    * broadcast left join (vocabularies are bounded by construction).
+    * Shuffles carry counts, not text. `materialize` snapshots the
+    * shared count table (two consumers), eager self-releasing
+    * localCheckpoint by default — the [[invertedIndex]] contract. */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column, vocabSize: Int,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, round, sum, when}
+    val wc = materialize(graft.ops.Fanout.fanout(docs)
+      .select(group.as("grp"), explode(tokens(text)).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("n")))
+    val vocab = wc.groupBy(col("token")).agg(sum(col("n")).as("tn"))
+      .orderBy(col("tn").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1L).as("__in"))
+    wc.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("n")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("grp"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Polynomial rolling hash over the character stream (Rabin-Karp
     * base-31 mod 1e9+7): the classic cheap content fingerprint; folds
     * left-to-right inside codegen, no UDF. */

@@ -280,6 +280,90 @@ object Ann {
       .withColumn("cluster", nearestCell(col("__v"), cents)))
   }
 
+  /** 1-based POSITION of the nearest codebook entry (not its cell id):
+    * argmin over literal centroids, ties to the first (= lowest-cell,
+    * since codebooks are cell-ordered) position — the positional code
+    * [[pqAdcTopK]] stores, so ADC can index a per-query distance table
+    * with `element_at`. */
+  private def nearestCellPos(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val dists = array(cents.map { c =>
+      aggregate(
+        zip_with(v, typedLit(c), (x, y) => { val d = x - y; d * d }),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    array_position(dists, array_min(dists)).cast("int")
+  }
+
+  /** Squared L2 distance to a literal centroid, snapped half-up to the
+    * 1e-6 grid as a long — the exact-integer ADC term ([[pqAdcTopK]]):
+    * once each subspace distance is a long, the m-term sum and the
+    * (distance, id) ranking are integer comparisons, deterministic
+    * under any partitioning and bit-identical in the oracle. */
+  private def snappedD2(v: Column, cent: Seq[Double]): Column =
+    floor(aggregate(
+      zip_with(v, typedLit(cent), (x, y) => { val d = x - y; d * d }),
+      lit(0.0), (acc, x) => acc + x) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) with asymmetric distance
+    * computation (ADC): split each `dim`-vector into `m` subspaces of
+    * dim/m, train an independent `kCodes`-entry codebook per subspace
+    * (the SAME deterministic Lloyd loop/contract as [[ivfTrainedTopK]] —
+    * smallest-id init, 1e-6 snap, lowest-cell ties), store each corpus
+    * vector as m small positional codes, and rank corpus vectors for a
+    * query by the sum of per-subspace distances from the query's
+    * PRECOMPUTED distance table to each codebook entry.
+    *
+    * Scale design — the memory-bound ANN path: the corpus collapses to
+    * m codes per vector (m bytes at kCodes ≤ 256 vs dim floats — 32×
+    * smaller at 64-dim/4-subspace), so a 100 TB embedding corpus scans
+    * as ~3 TB of codes. Encoding is a zero-shuffle literal-argmin
+    * projection (codebooks are m·kCodes·(dim/m) driver doubles, folded
+    * into the plan); each query's m×kCodes distance table is computed
+    * once on the broadcast side; scoring a candidate is m `element_at`
+    * lookups + an integer sum — no per-pair O(dim) arithmetic anywhere.
+    *
+    * Determinism: ADC terms are 1e-6-snapped longs ([[snappedD2]]), so
+    * scores and the (score, id) ranking are exact integer comparisons;
+    * the Lloyd trajectory is the [[kmeansCentroids]] contract. The
+    * oracle replays all m codebooks in one partitioned-by-subspace CTE.
+    * Returns (q_id, rank, n_id, adc) with adc = score/1e6 rounded 4 dp. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, m: Int, kCodes: Int,
+      iters: Int, k: Int, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"pqAdcTopK: dim=$dim not divisible by m=$m")
+    require(k > 0 && kCodes > 0 && iters > 0,
+      s"pqAdcTopK: k=$k, kCodes=$kCodes, iters=$iters")
+    val sub = dim / m
+    def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // independent per-subspace codebooks over the sliced sub-vectors,
+    // cell-ordered (kmeansCentroids sorts by cell) → positional codes
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      kmeansCentroids(src.select(col(idCol), subv(col("__v"), j).as("__sv")),
+        kCodes, iters, idCol, "__sv").map(_._2)
+    }
+    val codes = src.select(col(idCol).as("n_id") +: (0 until m).map(j =>
+      nearestCellPos(subv(col("__v"), j), books(j)).as(s"__c$j")): _*)
+    // per-query ADC distance tables: one snapped-long entry per
+    // (subspace, codebook position), built on the broadcast side
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .select(col("q_id") +: (0 until m).map(j =>
+        array(books(j).map(c => snappedD2(subv(col("__qv"), j), c)): _*)
+          .as(s"__dt$j")): _*))
+    val scored = codes.crossJoin(q)
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(j => element_at(col(s"__dt$j"), col(s"__c$j")))
+          .reduce(_ + _).as("__s"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__s").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("__s").cast("double") / lit(1e6), 4).as("adc"))
+  }
+
   /** End-to-end trained IVF: Lloyd codebook → joinless literal-argmin
     * cell assignment over the corpus → probed exact search
     * ([[ivfTopK]]). The full production ANN path in one call — train,

@@ -105,4 +105,51 @@ class AnnSpec extends SparkSpec {
     // every per-cluster mean stays in the silhouette range
     assert(out.values.forall(v => v._2 >= -1.0 && v._2 <= 1.0))
   }
+
+  test("pqAdcTopK: codebook ≥ corpus → ADC ≡ exact snapped-L2 ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val q = emb.filter(col("vec_id") < 3)
+    // kCodes = N, iters = 1: the codebook IS the corpus sub-vectors, so
+    // every vector's code is its own entry and ADC = the true squared L2
+    // distance (per-subspace snapped) — PQ degenerates to exact search
+    val pq = Ann.pqAdcTopK(emb, q, m = 4, kCodes = 40, iters = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def adc(a: Array[Double], b: Array[Double]): Long =
+      (0 until 4).map { j =>
+        val d2 = (j * 16 until (j + 1) * 16).map { i =>
+          val d = a(i) - b(i); d * d
+        }.sum
+        math.floor(d2 * 1e6 + 0.5).toLong
+      }.sum
+    val expected = (0L until 3L).flatMap { qid =>
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, v) => (adc(vecs(qid), v), nid) }
+        .sorted.take(10).zipWithIndex
+        .map { case ((_, nid), i) => (qid, (i + 1).toLong, nid) }
+    }.sorted
+    assert(pq.toSeq == expected)
+  }
+
+  test("pqAdcTopK: partition-invariant; finer codebooks raise recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Ann.pqAdcTopK(emb, q, m = 4, kCodes = 4, iters = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Ann.pqAdcTopK(emb.repartition(7), q, m = 4, kCodes = 4,
+        iters = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // recall@10 vs exact cosine (unit vectors: L2-rank ≡ cosine-rank)
+    val exact = topkSet(Ann.bruteForceTopK(emb, q, 10))
+    def recall(kCodes: Int): Double =
+      topkSet(Ann.pqAdcTopK(emb, q, m = 4, kCodes = kCodes, iters = 2, k = 10))
+        .intersect(exact).size.toDouble / exact.size
+    val coarse = recall(1) // 1 code/subspace: ADC constant, rank = id order
+    val fine = recall(16)
+    assert(fine >= coarse, s"$fine < $coarse")
+    assert(fine >= 0.3, s"16^4-cell PQ recall collapsed: $fine")
+  }
 }

@@ -468,4 +468,34 @@ class TextOpsSpec extends SparkSpec {
     assert(split.filter(col("split").isNull).isEmpty)
     assert(split.count() == 4L)
   }
+
+  test("oovRate: full vocab → 0, oov monotone in vocab size, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a a a b b c"),
+      (2L, "de", "x y z a"),
+      (3L, "de", "a b x q")).toDF("doc_id", "lang", "text")
+    def run(v: Int) = graft.expr.TextStats
+      .oovRate(docs, col("lang"), col("text"), v)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // vocab covers every type → zero OOV everywhere
+    val full = run(100)
+    assert(full.values.forall(v => v._2 == 0L && v._3 == 0.0))
+    assert(full("en")._1 == 6L && full("de")._1 == 8L)
+    // top-2 vocab = {a, b} (freq desc: a=6, b=3) → en misses only c;
+    // de misses x(2) y z q = 5 of its 8 occurrences
+    val top2 = run(2)
+    assert(top2("en") == ((6L, 1L, math.rint(1.0 / 6 * 1e6) / 1e6)))
+    assert(top2("de") == ((8L, 5L, 0.625)))
+    // monotone: growing the vocab never raises any group's OOV count
+    val counts = (1 to 7).map(v => run(v).view.mapValues(_._2).toMap)
+    counts.sliding(2).foreach { case Seq(big, small) =>
+      assert(big.forall { case (g, n) => small(g) <= n }) }
+    // partitioning cannot move a rate
+    val re = graft.expr.TextStats.oovRate(docs.repartition(5), col("lang"),
+      col("text"), 2).collect().map(_.toString).sorted.toSeq
+    assert(re == graft.expr.TextStats.oovRate(docs, col("lang"),
+      col("text"), 2).collect().map(_.toString).sorted.toSeq)
+  }
 }
