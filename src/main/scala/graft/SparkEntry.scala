@@ -1830,10 +1830,11 @@ object SparkEntry {
       col("doc_id"), col("n_chars"), 16, 32)
 
   /** Product-quantization ANN with asymmetric distance: 4 subspaces of
-    * 16 dims, 4-entry codebooks (2 Lloyd rounds each, the q76/q85
-    * trajectory contract per subspace), queries = vec_id < 5, top-10 by
-    * exact-integer snapped ADC score. The memory-bound ANN path — the
-    * corpus scans as m positional codes per vector. */
+    * 16 dims, 4-entry codebooks (iters=2, i.e. one centroid update —
+    * the q76/q85 trajectory contract per subspace), queries =
+    * vec_id < 5, top-10 by exact-integer snapped ADC score. The
+    * memory-bound ANN path — the corpus scans as m positional codes
+    * per vector. */
   private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.pqAdcTopK(emb, emb.filter(col("vec_id") < 5), m = 4, kCodes = 4,
@@ -3361,15 +3362,15 @@ object SparkEntry {
         "SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b, " +
         "count(*) AS n_pairs FROM j GROUP BY 1, 2"),
     "q132_substring_dedup" ->
-      // canonical = global min (doc, pos) per 5-gram, packed doc*1024+pos
-      // (docs < 1024 tokens); every token of a non-canonical duplicated
-      // window drops; cleaned text reassembled positionally
+      // canonical = global min (doc, pos) per 5-gram via lexicographic
+      // row() argmin (any doc length); every token of a non-canonical
+      // duplicated window drops; cleaned text reassembled positionally
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
         "g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram " +
         "FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i) WHERE len(t) >= 5), " +
-        "st AS (SELECT gram, count(*) AS cnt, min(doc_id * 1024 + pos) AS canon FROM g GROUP BY 1), " +
+        "st AS (SELECT gram, count(*) AS cnt, min(row(doc_id, pos)) AS canon FROM g GROUP BY 1), " +
         "rem AS (SELECT doc_id, pos FROM g JOIN st USING (gram) " +
-        "WHERE cnt >= 2 AND doc_id * 1024 + pos <> canon), " +
+        "WHERE cnt >= 2 AND row(doc_id, pos) <> canon), " +
         "rpos AS (SELECT DISTINCT doc_id, pos + o AS tokpos " +
         "FROM rem, unnest(generate_series(0, 4)) AS v(o)), " +
         "rl AS (SELECT doc_id, list(tokpos) AS rlist FROM rpos GROUP BY 1) " +

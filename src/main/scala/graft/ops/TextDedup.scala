@@ -349,9 +349,9 @@ object TextDedup {
     * combine; removal join keyed by gram; position explode bounded by
     * l× the removal windows); reassembly is a doc-keyed array op over
     * each doc's own tokens — no corpus-wide sort or window anywhere.
-    * `canon` packs (doc_id, pos) as doc_id·1024 + pos — valid while
-    * docs stay under 1024 tokens (this corpus: ≤ 99; widen the shift
-    * for longer documents). */
+    * `canon` is min(struct(doc_id, pos)) — a lexicographic struct
+    * argmin, correct for ANY document length (no packing shift to
+    * overflow). */
   def exactSubstringDedup(docs: DataFrame, id: Column, text: Column,
       l: Int,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
@@ -370,10 +370,10 @@ object TextDedup {
         array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram")))
     val st = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"),
-        min(col("doc_id") * 1024L + col("pos")).as("canon"))
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
     val removedPos = grams.join(st, Seq("gram"))
       .filter(col("cnt") >= 2L &&
-        col("doc_id") * 1024L + col("pos") =!= col("canon"))
+        !(struct(col("doc_id"), col("pos")) === col("canon")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("tokpos"))
       .distinct()

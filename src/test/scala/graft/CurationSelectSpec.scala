@@ -231,6 +231,26 @@ class CurationSelectSpec extends SparkSpec {
     assert(r(3L)._2 == 0L)
   }
 
+  test("exactSubstringDedup: canonical argmin is exact past 1024 tokens " +
+    "(struct min, no packing-shift overflow)") {
+    // doc 1 holds the true canonical occurrence at pos 1051 — under the
+    // old doc_id*1024+pos packing, 1*1024+1051 > 2*1024+2 would have
+    // flipped the canonical to doc 2. struct min must keep doc 1.
+    val filler = (0 until 1050).map(i => s"f$i").mkString(" ")
+    val dup = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, filler + " " + dup),
+      (2L, "pad " + dup + " tail1 tail2 tail3 tail4"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextDedup.exactSubstringDedup(docs, col("doc_id"),
+        col("text"), 5)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        x.getString(3))).toMap
+    assert(r(1L)._1 == 1055L && r(1L)._2 == 0L) // canonical: intact
+    assert(r(2L)._2 == 5L)                      // loses the shared span
+    assert(r(2L)._3 == md5Hex("pad tail1 tail2 tail3 tail4"))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
