@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,27 +29,63 @@ object Bench {
         org.apache.spark.sql.functions.lit(1700000000L + 1999L * 60L)
           .cast("timestamp")).count()
     } catch { case _: Throwable => }
-    // best-of-N per query (N=3 default): first execution pays per-plan
-    // codegen compilation; the repeats measure steady-state. N=3 because
-    // this host's memory reclaim adds multi-second stalls at random —
-    // one repeat is not enough for a stable minimum. Failures report -1.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "3").toInt.max(1)
+
+    // This host's memory reclaim adds multi-second stalls at random, and
+    // a stall window can poison EVERY back-to-back repeat of one query
+    // (round-4 record: 3-4x inflation surviving best-of-3). Two defenses:
+    //  1. converge-within-pass: repeat until the two fastest samples
+    //     agree within 25% (min 2, max SPARK_GRAFT_BENCH_REPEAT=6 runs)
+    //     instead of a blind fixed count — scattered stalls buy extra
+    //     clean samples, steady queries still stop at 2-3;
+    //  2. a time-separated second pass over the whole suite — a stall is
+    //     a point event, so a sample taken a full suite later is
+    //     decorrelated; the reported value is the min across both
+    //     passes (plus one confirm run when pass 2 improves the min by
+    //     >25%, i.e. pass 1 was entirely inside a stall window).
+    // Failures report -1 immediately (deterministic, no retry value).
+    val maxRep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "6").toInt.max(2)
     // local-iteration filter, same contract as Verify's: unset = all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      // drop persisted intermediates between runs: queries that
+      // persist() (q22/q46) would otherwise cache-hit the previous
+      // run and the min would time a cache read, not the query
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    // two fastest samples within 25% of each other = a stable minimum
+    def converged(ts: Seq[Double]): Boolean = ts.size >= 2 && {
+      val s = ts.sorted; s(1) <= s(0) * 1.25
+    }
+
+    val bench = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
-        // drop persisted intermediates between runs: queries that
-        // persist() (q22/q46) would otherwise cache-hit the previous
-        // run and the min would time a cache read, not the query
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+    val pass1 = bench.map { case (name, fn) =>
+      var ts = Vector(timeOnce(fn))
+      if (ts.head >= 0) {
+        while (!converged(ts) && ts.size < maxRep) ts :+= timeOnce(fn)
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> ts
+    }
+    val results = bench.map { case (name, fn) =>
+      val ts1 = pass1(name)
+      if (ts1.exists(_ < 0)) name -> -1.0
+      else {
+        val m1 = ts1.min
+        val t2 = timeOnce(fn)
+        val best =
+          if (t2 < 0) m1
+          else if (t2 < m1 / 1.25) { // pass 1 was stall-poisoned
+            val t3 = timeOnce(fn)
+            if (t3 < 0) math.min(m1, t2) else math.min(m1, math.min(t2, t3))
+          } else math.min(m1, t2)
+        name -> best
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
