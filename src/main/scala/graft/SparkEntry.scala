@@ -1841,6 +1841,19 @@ object SparkEntry {
       iters = 2, k = 10)
   }
 
+  /** IVF·PQ composed ANN — the 100 TB serving shape: the q85 coarse
+    * quantizer (4 cells, q76 Lloyd trajectory) prunes each query to its
+    * nprobe=2 nearest cells by snapped L2, then the q133 PQ-ADC
+    * machinery (4×16-dim subspaces, 4-entry codebooks) scores ONLY the
+    * probed cells' codes. Identical codebooks and scoring to q133, but
+    * the corpus×queries nested-loop becomes a broadcast hash equi-join
+    * on the cell key. */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), kCells = 4,
+      nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10)
+  }
+
   /** Tokenizer-coverage eval: per-language OOV rate against the
     * corpus-global top-16 vocabulary (the synthetic corpus has 31
     * distinct tokens, so ~half the type space is OOV and the rate
@@ -1984,7 +1997,8 @@ object SparkEntry {
     "q131_source_overlap" -> (qSourceOverlap _),
     "q132_substring_dedup" -> (qSubstringDedup _),
     "q133_pq_adc" -> (qPqAdc _),
-    "q134_oov_rate" -> (qOovRate _))
+    "q134_oov_rate" -> (qOovRate _),
+    "q135_ivf_pq" -> (qIvfPq _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3426,5 +3440,45 @@ object SparkEntry {
         "CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov, " +
         "round(CAST(sum(CASE WHEN v.token IS NULL THEN n ELSE 0 END) AS DOUBLE) / " +
         "CAST(sum(n) AS DOUBLE), 6) AS oov_rate " +
-        "FROM cnt c LEFT JOIN vocab v ON c.token = v.token GROUP BY 1"))
+        "FROM cnt c LEFT JOIN vocab v ON c.token = v.token GROUP BY 1"),
+    "q135_ivf_pq" ->
+      // IVF·PQ: the q76 coarse replay (c1 = trained 4-cell codebook,
+      // a2 = corpus assignment) + the q133 subspace replay (s-prefixed
+      // CTEs, bk/code/dtab) — candidates restricted to each query's 2
+      // nearest coarse cells by snapped-long L2 (ties to lowest cell)
+      (kmeansReplayCte +
+        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "sv AS (SELECT vec_id, j, e[j*16+1:j*16+16] AS e FROM v CROSS JOIN sp), " +
+        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
+        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
+        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
+        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
+        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
+        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
+        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
+        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
+        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
+        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM pq CROSS JOIN c1), " +
+        "probe AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 2), " +
+        "qs AS (SELECT vec_id AS q_id, j, e AS qe FROM sv WHERE vec_id < 5), " +
+        "dtab AS (SELECT qs.q_id, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qs.qe, bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM qs JOIN bk ON qs.j = bk.j), " +
+        "cand AS (SELECT p.q_id, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
+        "WHERE a2.vec_id <> p.q_id), " +
+        "adc AS (SELECT cand.q_id, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+        "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
+        "JOIN dtab t ON t.q_id = cand.q_id AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2), " +
+        "r AS (SELECT q_id, n_id, s, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM adc) " +
+        "SELECT q_id, rank, n_id, round(CAST(s AS DOUBLE)/1000000, 4) AS adc " +
+        "FROM r WHERE rank <= 10"))
 }

@@ -364,6 +364,74 @@ object Ann {
         round(col("__s").cast("double") / lit(1e6), 4).as("adc"))
   }
 
+  /** IVF·PQ composed ANN (Jégou et al., TPAMI 2011 §IV — the IVFADC
+    * system): a coarse quantizer prunes each query to its `nprobe`
+    * nearest cells, and PQ asymmetric distance scores ONLY the probed
+    * cells' codes. This is the 100 TB serving shape: [[pqAdcTopK]]'s
+    * exhaustive corpus×queries scan becomes a cell equi-join, touching
+    * nprobe/kCells of the code table per query.
+    *
+    * Scale design: the corpus is read ONCE into an inverted code list —
+    * (cell, id, m positional codes) — by a single zero-join projection
+    * (coarse centroids AND all m codebooks are driver literals folded
+    * into the plan). The query side (probed cells + m ADC distance
+    * tables) is queries×nprobe rows, broadcast; candidate scoring is a
+    * broadcast HASH join on the cell key — no nested-loop join
+    * anywhere (PlanContractSpec-enforced). Training costs are the
+    * [[kmeansCentroids]] contract: k×dim driver state, one
+    * map-side-combined exchange per Lloyd iteration.
+    *
+    * Determinism: probe ordering uses 1e-6-snapped-long L2 with ties to
+    * the lowest cell; ADC terms are [[snappedD2]] longs; the Lloyd
+    * trajectories (coarse and per-subspace) are the q76/q133 replay
+    * contracts. At nprobe = kCells every cell is probed and the result
+    * is IDENTICAL to [[pqAdcTopK]] (asserted in AnnSpec).
+    * Returns (q_id, rank, n_id, adc) with adc = score/1e6 rounded 4 dp. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, kCells: Int,
+      nprobe: Int, m: Int, kCodes: Int, iters: Int, k: Int, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
+    require(k > 0 && kCells > 0 && kCodes > 0 && iters > 0 && nprobe > 0,
+      s"ivfPqTopK: k=$k, kCells=$kCells, kCodes=$kCodes, iters=$iters, nprobe=$nprobe")
+    val sub = dim / m
+    def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      kmeansCentroids(src.select(col(idCol), subv(col("__v"), j).as("__sv")),
+        kCodes, iters, idCol, "__sv").map(_._2)
+    }
+    // inverted code lists: coarse cell + m positional codes, one
+    // zero-join projection over the corpus scan
+    val codes = src.select(nearestCell(col("__v"), coarse).as("__cell") +:
+      col(idCol).as("n_id") +:
+      (0 until m).map(j =>
+        nearestCellPos(subv(col("__v"), j), books(j)).as(s"__c$j")): _*)
+    // top-nprobe coarse cells by (snapped L2, cell): a literal
+    // struct-array sort on the query side — no centroid join
+    val probeCells = slice(array_sort(array(coarse.map { case (cell, c) =>
+      struct(snappedD2(col("__qv"), c).as("d"), lit(cell).as("cell"))
+    }: _*)), 1, nprobe)
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .select(col("q_id") +: explode(probeCells).as("__pc") +:
+        (0 until m).map(j =>
+          array(books(j).map(c => snappedD2(subv(col("__qv"), j), c)): _*)
+            .as(s"__dt$j")): _*)
+      .select(col("q_id") +: col("__pc").getField("cell").as("__cell") +:
+        (0 until m).map(j => col(s"__dt$j")): _*))
+    val scored = codes.join(q, Seq("__cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (0 until m).map(j => element_at(col(s"__dt$j"), col(s"__c$j")))
+          .reduce(_ + _).as("__s"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__s").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("__s").cast("double") / lit(1e6), 4).as("adc"))
+  }
+
   /** End-to-end trained IVF: Lloyd codebook → joinless literal-argmin
     * cell assignment over the corpus → probed exact search
     * ([[ivfTopK]]). The full production ANN path in one call — train,

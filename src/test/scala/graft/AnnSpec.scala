@@ -152,4 +152,30 @@ class AnnSpec extends SparkSpec {
     assert(fine >= coarse, s"$fine < $coarse")
     assert(fine >= 0.3, s"16^4-cell PQ recall collapsed: $fine")
   }
+
+  test("ivfPqTopK: recall monotone in nprobe; nprobe=kCells ≡ full " +
+    "PQ-ADC scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    // the full-scan ADC ranking is the recall baseline: IVF pruning can
+    // only lose candidates relative to it, never re-rank survivors
+    val full = topkSet(Ann.pqAdcTopK(emb, q, m = 4, kCodes = 4,
+      iters = 2, k = 10))
+    def recall(np: Int): Double =
+      topkSet(Ann.ivfPqTopK(emb, q, kCells = 4, nprobe = np, m = 4,
+        kCodes = 4, iters = 2, k = 10))
+        .intersect(full).size.toDouble / full.size
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r1 <= r2 + 1e-9, s"recall not monotone: $r1 / $r2")
+    assert(r1 > 0.0, s"nprobe=1 found nothing: $r1")
+    // probing every cell reproduces the exhaustive scan EXACTLY (same
+    // codebooks, same snapped-integer scores, same tie-breaks)
+    val all = Ann.ivfPqTopK(emb, q, kCells = 4, nprobe = 4, m = 4,
+      kCodes = 4, iters = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val scan = Ann.pqAdcTopK(emb, q, m = 4, kCodes = 4, iters = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(all == scan)
+  }
 }

@@ -311,6 +311,19 @@ class PlanContractSpec extends SparkSpec {
     assert(count(full, "CartesianProduct") == 0, "cartesian crept in")
   }
 
+  test("q135: IVF·PQ — ADC scoring is a broadcast hash equi-join on the " +
+    "probed cell, NOT the exhaustive corpus×queries nested loop") {
+    val p = plan("q135_ivf_pq")
+    // q133's exhaustive ADC scan is a documented BroadcastNestedLoopJoin;
+    // the IVF composition exists to kill exactly that — at 100 TB the
+    // code table is only ever joined on the cell key
+    assert(count(p, "BroadcastNestedLoopJoin") == 0,
+      "IVF pruning lost: ADC scan degenerated to a full nested loop")
+    assert(count(p, "CartesianProduct") == 0, "cartesian crept in")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"probed-cell candidate join is not a broadcast hash join:\n${p.take(1200)}")
+  }
+
   test("q117: CDC chunking — every window is partitioned (no single-" +
     "partition funnel) and the scan reads only (doc_id, text)") {
     val p = plan("q117_cdc_chunks")
