@@ -311,6 +311,42 @@ class PlanContractSpec extends SparkSpec {
     assert(count(full, "CartesianProduct") == 0, "cartesian crept in")
   }
 
+  test("q113: bigram NLL — corpus scanned ONCE in the scoring plan " +
+    "(uni/bigram tables are checkpointed vocabulary-sized inputs); " +
+    "model joins broadcast; no nested loop") {
+    val p = plan("q113_bigram_nll")
+    // the three corpus explode passes: uni + bigram counts ran at
+    // checkpoint time (vocab-sized ExistingRDD scans here); only the
+    // doc-bigram scoring pass reads parquet in THIS plan
+    assert(count(p, "FileScan parquet") == 1,
+      s"scoring plan re-reads the corpus:\n${p.take(1200)}")
+    assert(count(p, "ExistingRDD") >= 2, "checkpointed count tables missing")
+    // ctx + unigram model tables are forced broadcasts (vocab-sized)
+    assert(count(p, "BroadcastExchange") >= 2, p.take(1200))
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, "non-equi join crept in")
+    // exchanges: fanout round-robin + (doc,bigram) agg + ctx agg + final
+    // per-doc agg — nothing else may shuffle
+    assert(count(p, "Exchange hashpartitioning") <= 3,
+      s"extra shuffle crept into the scoring DAG:\n${p.take(1200)}")
+  }
+
+  test("q85: trained IVF — probed search is a broadcast hash join on the " +
+    "cell key; corpus rows never cross an exchange; top-k is group-limited") {
+    val p = plan("q85_ivf_trained")
+    // the ONLY nested loop is queries × k-centroid aggregate (both
+    // broadcast-tiny); the corpus-side candidate join must be hash
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p.take(1200))
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "probed-cell search is not a broadcast hash join")
+    assert(count(p, "SortMergeJoin") == 0, "corpus-side join de-broadcast")
+    // rank-window top-k prunes per-partition BEFORE its exchange
+    assert(count(p, "WindowGroupLimit") >= 2, p.take(1200))
+    // scans read only (vec_id, embedding)
+    assert(p.contains("struct<vec_id:bigint,embedding:array<float>>"),
+      p.take(1200))
+  }
+
   test("q135: IVF·PQ — ADC scoring is a broadcast hash equi-join on the " +
     "probed cell, NOT the exhaustive corpus×queries nested loop") {
     val p = plan("q135_ivf_pq")
