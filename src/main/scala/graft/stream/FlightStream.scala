@@ -24,18 +24,36 @@ object FlightStream {
   val KeepStatuses: Seq[String] =
     Seq("active", "landed", "arrived", "en-route", "enroute")
 
+  /** The exact source format + options of the reference's subscription
+    * (flight_stream.py:93-100), factored as data so the contract is
+    * spec-assertable without a broker (KafkaContractSpec): latest
+    * offsets, tolerate data loss. */
+  val KafkaSourceFormat = "kafka"
+  def kafkaSourceOptions(bootstrap: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false")
+
+  /** The configured-but-not-loaded reader — the single code path
+    * [[fromKafka]] loads from, exposed so a spec can assert the built
+    * reader's format/options with no kafka jars on the classpath. */
+  def kafkaReader(spark: org.apache.spark.sql.SparkSession, bootstrap: String,
+      topic: String): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format(KafkaSourceFormat)
+      .options(kafkaSourceOptions(bootstrap, topic))
+
   /** S3: the Kafka streaming source exactly as the reference subscribes
-    * (flight_stream.py:93-100): latest offsets, tolerate data loss, value
-    * bytes → `json` string column ready for [[parse]]. Not exercisable in
-    * this environment (no broker) — covered by the MemoryStream specs,
-    * which feed the identical `json`-column contract. */
+    * (flight_stream.py:93-100): value bytes → `json` string column ready
+    * for [[parse]]. Broker I/O is not exercisable in this environment
+    * (no kafka connector jars) — the reader CONTRACT is asserted by
+    * KafkaContractSpec, and everything downstream of the `json` column
+    * is covered by the MemoryStream specs, which feed the identical
+    * `json`-column contract. */
   def fromKafka(spark: org.apache.spark.sql.SparkSession, bootstrap: String,
       topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .option("failOnDataLoss", "false")
+    kafkaReader(spark, bootstrap, topic)
       .load()
       .select(col("value").cast("string").as("json"))
 
