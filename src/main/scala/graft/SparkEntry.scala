@@ -201,11 +201,15 @@ object SparkEntry {
     val ssn = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
       .select(col("s_suppkey"), col("supp_nation"))
-    // no broadcast hint on the enriched sides: supplier/orders scale
-    // with SF, so size stats + AQE pick broadcast only while they fit
+    // the fact⋈orders join MUST be a shuffle join at scale (orders is
+    // fact-sized) — and without the hint, size stats INVERT here: the
+    // pruned 4-column lineitem scan estimates below the post-join ocn
+    // estimate, so the planner broadcasts the FACT (measured 2.4s at
+    // sf0.1 vs 0.9s hinted; would OOM the driver at any real SF). The
+    // supplier side is a genuine broadcast dim (q09's star pattern).
     val grouped = t(s, dir, "lineitem")
-      .join(ocn, col("l_orderkey") === col("o_orderkey"))
-      .join(ssn, col("l_suppkey") === col("s_suppkey"))
+      .join(ocn.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(ssn), col("l_suppkey") === col("s_suppkey"))
       .groupBy(concat_ws("->", col("cust_nation"), col("supp_nation")).as("route"))
       .agg(count(lit(1)).as("n"),
         round(sum(revenue).cast("double") / count(lit(1)), 4).as("avg_rev"))

@@ -50,7 +50,10 @@ class PlanContractSpec extends SparkSpec {
   test("q14: top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q14_topk_routes")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
-    assert(!p.contains("Sort ["), "global sort materialization crept in")
+    // a global sort would plan as a rangepartitioning exchange + Sort;
+    // the merge-join's partition-LOCAL sorts (global=false) are fine
+    assert(!p.contains("rangepartitioning"),
+      "global sort materialization crept in")
   }
 
   test("q25: ANN corpus side scores in place — queries broadcast, no corpus shuffle before scoring") {
@@ -309,6 +312,16 @@ class PlanContractSpec extends SparkSpec {
     // rarest-first order
     assert(full.contains("windowspecdefinition(doc_id"), full.take(1500))
     assert(count(full, "CartesianProduct") == 0, "cartesian crept in")
+  }
+
+  test("q14: route top-k — the fact joins orders by SHUFFLE (stats " +
+    "otherwise invert and broadcast the fact); top-k never global-sorts") {
+    val p = plan("q14_topk_routes")
+    // the merge hint pins the fact⋈orders join to a shuffle join: orders
+    // is fact-sized at scale, and the un-hinted planner broadcast the
+    // pruned lineitem scan (driver-fatal at real SF)
+    assert(p.contains("SortMergeJoin [l_orderkey"),
+      s"fact join is not a shuffle join:\n${p.take(1200)}")
   }
 
   test("q113: bigram NLL — corpus scanned ONCE in the scoring plan " +
