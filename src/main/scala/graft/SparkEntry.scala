@@ -133,7 +133,11 @@ object SparkEntry {
 
   private def qStarRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(orderDims(s, dir), col("l_orderkey") === col("o_orderkey"))
+      // merge hint: orders is fact-sized at scale, so this join must
+      // shuffle — without it the size stats invert (pruned fact scan <
+      // post-join dim estimate) and the planner broadcasts the FACT
+      .join(orderDims(s, dir).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(revenue).cast("double"), 4).as("revenue"))
@@ -481,7 +485,10 @@ object SparkEntry {
     * region, region+nation, grand total in one pass). */
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(orderDims(s, dir), col("l_orderkey") === col("o_orderkey"))
+      // merge hint: same stat-inversion guard as q09/q14 — never
+      // broadcast the fact
+      .join(orderDims(s, dir).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_items"),
         // grand-total magnitude ~3e9: 1 double-ulp (~5e-7) exceeds the

@@ -37,14 +37,16 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(value)"), p.take(800))
   }
 
-  test("q09: star revenue — dims broadcast, fact never re-shuffled by custkey") {
+  test("q09: star revenue — dims broadcast, fact joins the enriched " +
+    "order side by SHUFFLE (never broadcast, never joined per-dim)") {
     val p = plan("q09_star_revenue")
-    assert(p.contains("BroadcastHashJoin"), p.take(500))
-    // the enriched-dim-side shape: lineitem participates in exactly one
-    // join, so no Exchange hashpartitioning on c_custkey downstream of it
-    assert(!p.contains("hashpartitioning(o_custkey") ||
-      !p.contains("hashpartitioning(l_orderkey") ||
-      count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") <= 2, p.take(500))
+    // customer/nation/region enrich the orders side via broadcasts;
+    // the fact participates in exactly ONE join, pinned to shuffle
+    // (orders is fact-sized at scale; un-hinted stats invert and
+    // broadcast the pruned fact scan)
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(800))
+    assert(p.contains("SortMergeJoin [l_orderkey"),
+      s"fact join is not a shuffle join:\n${p.take(800)}")
   }
 
   test("q14: top-k plans as TakeOrderedAndProject, never a global sort") {
@@ -322,6 +324,16 @@ class PlanContractSpec extends SparkSpec {
     // pruned lineitem scan (driver-fatal at real SF)
     assert(p.contains("SortMergeJoin [l_orderkey"),
       s"fact join is not a shuffle join:\n${p.take(1200)}")
+  }
+
+  test("q37: rollup — fact joins the order side by SHUFFLE; one Expand " +
+    "feeding one aggregation exchange") {
+    val p = plan("q37_rollup")
+    assert(p.contains("SortMergeJoin [l_orderkey"),
+      s"fact join is not a shuffle join:\n${p.take(800)}")
+    // ROLLUP = Expand (3 grouping sets) then ONE map-side-combined agg
+    assert(count(p, "Expand") >= 1 && count(p, "partial_count") >= 1,
+      p.take(800))
   }
 
   test("q113: bigram NLL — corpus scanned ONCE in the scoring plan " +
