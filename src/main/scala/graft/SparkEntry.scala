@@ -1865,6 +1865,32 @@ object SparkEntry {
       nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10)
   }
 
+  /** Per-doc trigram novelty: fraction of a doc's gram occurrences
+    * whose gram first appears (min doc_id) in this doc — the
+    * vocabulary-growth / marginal-contribution curation signal. */
+  private def qNgramNovelty(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramNovelty(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 3)
+
+  /** CCNet-style per-source perplexity gate over the q73 unigram NLL:
+    * each source cut at its OWN p75 NLL (style differs by source, so a
+    * global threshold over/under-prunes); per-source admission stats. */
+  private def qPerplexityGate(s: SparkSession, dir: String): DataFrame = {
+    val nll = qUnigramLogprob(s, dir).select(col("doc_id"), col("nll"))
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    ops.Sampling.perplexityGate(src.join(nll, "doc_id"), col("source"),
+      col("nll"), 0.75)
+  }
+
+  /** Matryoshka/truncation retrieval eval: recall@10 of brute-force
+    * cosine under 16- and 32-dim prefix truncation vs the full 64-dim
+    * ranking — the storage/compute-tier measurement for embedding
+    * serving. */
+  private def qTruncationEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.truncationEval(emb, emb.filter(col("vec_id") < 5), Seq(16, 32), 10)
+  }
+
   /** Tokenizer-coverage eval: per-language OOV rate against the
     * corpus-global top-16 vocabulary (the synthetic corpus has 31
     * distinct tokens, so ~half the type space is OOV and the rate
@@ -2009,7 +2035,10 @@ object SparkEntry {
     "q132_substring_dedup" -> (qSubstringDedup _),
     "q133_pq_adc" -> (qPqAdc _),
     "q134_oov_rate" -> (qOovRate _),
-    "q135_ivf_pq" -> (qIvfPq _))
+    "q135_ivf_pq" -> (qIvfPq _),
+    "q136_ngram_novelty" -> (qNgramNovelty _),
+    "q137_perplexity_gate" -> (qPerplexityGate _),
+    "q138_truncation_eval" -> (qTruncationEval _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3491,5 +3520,61 @@ object SparkEntry {
         "r AS (SELECT q_id, n_id, s, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM adc) " +
         "SELECT q_id, rank, n_id, round(CAST(s AS DOUBLE)/1000000, 4) AS adc " +
-        "FROM r WHERE rank <= 10"))
+        "FROM r WHERE rank <= 10"),
+    "q136_ngram_novelty" ->
+      // novelty = fraction of a doc's trigram occurrences whose gram
+      // first appears (min doc_id) in this doc
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "g AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram " +
+        "FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i) WHERE len(t) >= 3), " +
+        "f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS novelty " +
+        "FROM g JOIN f USING (gram) GROUP BY 1"),
+    "q137_perplexity_gate" ->
+      // the q73 NLL replay, then per-source p75 threshold (rounded 4 dp
+      // BEFORE the keep comparison) and admission stats
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot, g), " +
+        "nll AS (SELECT doc_id, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS score " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "sc AS (SELECT d.source, n.score FROM documents d JOIN nll n USING (doc_id)), " +
+        "th AS (SELECT source, round(quantile_cont(score, 0.75), 4) AS threshold " +
+        "FROM sc GROUP BY 1) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN score <= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "threshold FROM sc JOIN th USING (source) GROUP BY 1, threshold"),
+    "q138_truncation_eval" ->
+      // brute-force cosine top-10 (q25 contract) at full dim vs 16/32-dim
+      // prefixes; overlap per (query, tier)
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+        "sc AS (SELECT q_id, n_id, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM q JOIN c ON n_id <> q_id), " +
+        "rf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) WHERE rank <= 10), " +
+        "sc16 AS (SELECT q_id, n_id, round(list_dot_product(cv[1:16], qv[1:16]) / " +
+        "nullif(sqrt(list_dot_product(cv[1:16], cv[1:16])) * sqrt(list_dot_product(qv[1:16], qv[1:16])), 0), 6) AS cos " +
+        "FROM q JOIN c ON n_id <> q_id), " +
+        "r16 AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc16) WHERE rank <= 10), " +
+        "sc32 AS (SELECT q_id, n_id, round(list_dot_product(cv[1:32], qv[1:32]) / " +
+        "nullif(sqrt(list_dot_product(cv[1:32], cv[1:32])) * sqrt(list_dot_product(qv[1:32], qv[1:32])), 0), 6) AS cos " +
+        "FROM q JOIN c ON n_id <> q_id), " +
+        "r32 AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc32) WHERE rank <= 10), " +
+        "o AS (SELECT f.q_id, 16 AS dim, count(t.n_id) AS n_overlap " +
+        "FROM rf f LEFT JOIN r16 t USING (q_id, n_id) GROUP BY 1 " +
+        "UNION ALL SELECT f.q_id, 32 AS dim, count(t.n_id) AS n_overlap " +
+        "FROM rf f LEFT JOIN r32 t USING (q_id, n_id) GROUP BY 1) " +
+        "SELECT q_id, dim, n_overlap, " +
+        "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"))
 }

@@ -531,4 +531,37 @@ object Ann {
         round(graft.expr.Snap.snappedSum(col("s"), 1e9) /
           count(lit(1)).cast("double"), 4).as("silhouette"))
   }
+
+  /** Matryoshka/truncation retrieval eval: overlap@k of the brute-force
+    * cosine top-k under PREFIX-truncated embeddings against the full-dim
+    * ranking — the "how many dims can serving drop" measurement behind
+    * MRL-style embeddings (each dim count is a candidate storage/compute
+    * tier; recall@k vs the full ranking is the price). Emits one row per
+    * (query, dim): (q_id, dim, n_overlap, recall).
+    *
+    * Scale shape: each tier is one [[bruteForceTopK]] pass (corpus
+    * scores in place, queries broadcast, WindowGroupLimit top-k), and
+    * the overlap join runs on k×|Q| rows per tier — corpus cost is
+    * |dims|+1 scans, pair work is top-k-sized. Determinism: both
+    * rankings use the 6-dp-rounded cosine with id tie-break (the q25
+    * contract), so overlap counting is exact set intersection. */
+  def truncationEval(corpus: DataFrame, queries: DataFrame, dims: Seq[Int],
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(dims.nonEmpty && k > 0, s"truncationEval: dims=$dims, k=$k")
+    val full = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    def tr(df: DataFrame, d: Int) = df.select(col(idCol),
+      slice(col(vecCol), 1, d).as(vecCol))
+    dims.map { d =>
+      val t = bruteForceTopK(tr(corpus, d), tr(queries, d), k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      full.join(t, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .select(col("q_id"), lit(d).as("dim"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
+            .as("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -328,4 +328,34 @@ object Sampling {
         round(graft.expr.Snap.snappedSum(
           col("tf").cast("double") * col("lr"), 1e9), 4).as("dsir_w"))
   }
+
+  /** CCNet-style per-source perplexity gate: cut each source at its OWN
+    * score quantile instead of a global threshold (sources differ in
+    * style, so one global LM-score cut over-prunes formal sources and
+    * under-prunes noisy ones — the reason CCNet buckets per snapshot/
+    * language). Input is any per-doc score table (the q73 unigram NLL or
+    * q113 bigram NLL); emits per-source admission stats:
+    * (source, n_docs, n_kept, threshold).
+    *
+    * Determinism: the threshold is the exact interpolated percentile
+    * over 4-dp-rounded scores, itself rounded to 4 dp BEFORE the keep
+    * comparison — the decision is a comparison of two 4-dp quantities,
+    * replayable in any engine. Exact percentile buffers one source's
+    * score multiset per task — fine for per-source thresholds over
+    * rounded scores (bounded distinct values); swap `approx_percentile`
+    * into the same shape for unbounded score domains at extreme scale
+    * (the q41 pattern, error-bounded). */
+  def perplexityGate(scored: DataFrame, sourceCol: Column, scoreCol: Column,
+      q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"perplexityGate: quantile q=$q outside (0,1)")
+    val s = scored.select(sourceCol.as("source"), scoreCol.as("score"))
+    val thr = s.groupBy(col("source"))
+      .agg(round(expr(s"percentile(score, $q)"), 4).as("threshold"))
+    s.join(broadcast(thr), "source")
+      .groupBy(col("source"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("threshold"))
+  }
 }

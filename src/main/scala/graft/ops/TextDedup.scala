@@ -390,4 +390,46 @@ object TextDedup {
               .cast("string")).otherwise(x)),
           x => x.isNotNull), " ")).as("clean_hash"))
   }
+
+  /** Per-document l-gram novelty (growth/contribution profiling — the
+    * data-ordering signal of dedup-aware curation): the fraction of a
+    * document's gram occurrences whose gram FIRST appears (min doc_id
+    * over the corpus) in this document. A doc whose grams are all
+    * corpus-first contributes new text; one whose grams all premiered in
+    * earlier docs is derivative even when no single span repeats
+    * verbatim (the q132 criterion) — the vocabulary-growth view of
+    * redundancy (Heaps' law, doc-granular).
+    *
+    * Deterministic: first-occurrence is an integer min per gram; the
+    * novelty ratio is one double division on exact longs.
+    *
+    * Scale shape: the gram table is corpus-sized but checkpointed ONCE
+    * for its two consumers (first-occurrence aggregation and the rollup
+    * join); the (gram → min doc_id) aggregation is map-side combined;
+    * the join back is keyed by gram; the final rollup is per-doc. No
+    * windows, no sorts, no pair joins. Docs shorter than l tokens have
+    * no grams and are absent. */
+  def ngramNovelty(docs: DataFrame, id: Column, text: Column, l: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(l >= 1, s"ngramNovelty: need l >= 1 ($l)")
+    val toks = docs.select(id.as("doc_id"),
+      graft.expr.TextStats.tokens(text).as("t"))
+    val grams = materialize(fanout(toks.withColumn("n", size(col("t"))))
+      .filter(col("n") >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"), col("t"))
+      .select(col("doc_id"),
+        array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram")))
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+  }
 }

@@ -178,4 +178,21 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(all == scan)
   }
+
+  test("truncationEval: full-width prefix is the identity ranking " +
+    "(recall 1.0); truncated tiers stay in [0, 1] with one row per " +
+    "(query, tier)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val r = Ann.truncationEval(emb, q, Seq(16, 64), 10)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.size == 10) // 5 queries × 2 tiers
+    // dim = the full 64: truncation is the identity, overlap is exact
+    (0L until 5L).foreach { qid =>
+      assert(r((qid, 64)) == ((10L, 1.0)), s"q$qid full-dim: ${r((qid, 64))}")
+      val (n16, rec16) = r((qid, 16))
+      assert(n16 >= 0L && n16 <= 10L && rec16 >= 0.0 && rec16 <= 1.0)
+    }
+  }
 }

@@ -251,6 +251,36 @@ class CurationSelectSpec extends SparkSpec {
     assert(r(2L)._3 == md5Hex("pad tail1 tail2 tail3 tail4"))
   }
 
+  test("ngramNovelty: corpus-first grams count as novel; derivative " +
+    "docs score low; sub-l docs absent") {
+    val docs = Seq(
+      (1L, "a b c d"),     // trigrams "a b c","b c d" — both corpus-first
+      (2L, "a b c x"),     // "a b c" premiered in doc 1; "b c x" novel
+      (3L, "hi"))          // < 3 tokens: no grams
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextDedup.ngramNovelty(docs, col("doc_id"),
+        col("text"), 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(!r.contains(3L))
+  }
+
+  test("perplexityGate: per-source quantile cut — each source keeps its " +
+    "own fraction regardless of scale differences") {
+    val scored = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), // p75 = 3.25
+      ("b", 10.0), ("b", 20.0))                       // p75 = 17.5
+      .toDF("source", "score")
+    val r = graft.ops.Sampling.perplexityGate(scored, col("source"),
+        col("score"), 0.75)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3)))).toMap
+    assert(r("a") == ((4L, 3L, 3.25))) // 1,2,3 pass; 4 > 3.25 cut
+    assert(r("b") == ((2L, 1L, 17.5))) // a global cut would keep ALL of a
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
