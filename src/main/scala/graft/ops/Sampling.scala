@@ -346,9 +346,15 @@ object Sampling {
     * into the same shape for unbounded score domains at extreme scale
     * (the q41 pattern, error-bounded). */
   def perplexityGate(scored: DataFrame, sourceCol: Column, scoreCol: Column,
-      q: Double): DataFrame = {
+      q: Double,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
     require(q > 0 && q < 1, s"perplexityGate: quantile q=$q outside (0,1)")
-    val s = scored.select(sourceCol.as("source"), scoreCol.as("score"))
+    // (source, score) feeds BOTH the threshold aggregation and the keep
+    // join — materialized (doc-sized, 2 narrow columns) so an expensive
+    // upstream scorer (the q73/q113 NLL DAG) runs once, not twice
+    val s = materialize(
+      scored.select(sourceCol.as("source"), scoreCol.as("score")))
     val thr = s.groupBy(col("source"))
       .agg(round(expr(s"percentile(score, $q)"), 4).as("threshold"))
     s.join(broadcast(thr), "source")
