@@ -294,6 +294,48 @@ object Ann {
     array_position(dists, array_min(dists)).cast("int")
   }
 
+  /** All m per-subspace PQ codebooks in ONE corpus pass per Lloyd
+    * iteration: the m independent [[kmeansCentroids]] trajectories
+    * (same smallest-id init, same per-iteration 1e-6 snap, same
+    * (distance, cell) tie-breaks) computed from a single aggregation
+    * keyed by (subspace, cell, dim) — bit-identical codebooks, m× fewer
+    * corpus scans (the AnnSpec exact-ADC and partition-invariance tests
+    * pin the equivalence). Returns cell-ordered (cell, centroid) per
+    * subspace; empty cells drop out, as in the per-subspace loop. */
+  private def pqBooks(src: DataFrame, idCol: String, m: Int, sub: Int,
+      kCodes: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    var books: Seq[Seq[(Long, Seq[Double])]] = {
+      val rows = src.orderBy(col(idCol)).limit(kCodes)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      (0 until m).map(j => rows.map { case (id, v) =>
+        (id, v.slice(j * sub, (j + 1) * sub)) })
+    }
+    for (_ <- 1 until iters) {
+      // per vector: m (subspace, assigned cell, sub-vector) structs —
+      // assignment is the literal argmin against each subspace's current
+      // book; the exploded rows feed one map-side-combined mean
+      val perSub = array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          nearestCell(slice(col("__v"), j * sub + 1, sub), books(j)).as("cell"),
+          slice(col("__v"), j * sub + 1, sub).as("sv"))
+      }: _*)
+      val agg = src.select(explode(perSub).as("s"))
+        .select(col("s.j").as("j"), col("s.cell").as("cell"),
+          posexplode(col("s.sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("cell"), col("pos"))
+        .agg(r6(avg(col("x"))).as("mval"))
+        .collect()
+      books = (0 until m).map { j =>
+        agg.filter(_.getInt(0) == j)
+          .groupBy(_.getLong(1))
+          .map { case (cell, rows) =>
+            (cell, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq) }
+          .toSeq.sortBy(_._1)
+      }
+    }
+    books
+  }
+
   /** Squared L2 distance to a literal centroid, snapped half-up to the
     * 1e-6 grid as a long — the exact-integer ADC term ([[pqAdcTopK]]):
     * once each subspace distance is a long, the m-term sum and the
@@ -338,11 +380,10 @@ object Ann {
     def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     // independent per-subspace codebooks over the sliced sub-vectors,
-    // cell-ordered (kmeansCentroids sorts by cell) → positional codes
-    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      kmeansCentroids(src.select(col(idCol), subv(col("__v"), j).as("__sv")),
-        kCodes, iters, idCol, "__sv").map(_._2)
-    }
+    // cell-ordered → positional codes; trained by the FUSED loop (one
+    // corpus pass per iteration for all m trajectories)
+    val books: Seq[Seq[Seq[Double]]] =
+      pqBooks(src, idCol, m, sub, kCodes, iters).map(_.map(_._2))
     val codes = src.select(col(idCol).as("n_id") +: (0 until m).map(j =>
       nearestCellPos(subv(col("__v"), j), books(j)).as(s"__c$j")): _*)
     // per-query ADC distance tables: one snapped-long entry per
@@ -397,10 +438,8 @@ object Ann {
     def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
-    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      kmeansCentroids(src.select(col(idCol), subv(col("__v"), j).as("__sv")),
-        kCodes, iters, idCol, "__sv").map(_._2)
-    }
+    val books: Seq[Seq[Seq[Double]]] =
+      pqBooks(src, idCol, m, sub, kCodes, iters).map(_.map(_._2))
     // inverted code lists: coarse cell + m positional codes, one
     // zero-join projection over the corpus scan
     val codes = src.select(nearestCell(col("__v"), coarse).as("__cell") +:
