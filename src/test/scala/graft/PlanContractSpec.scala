@@ -385,6 +385,37 @@ class PlanContractSpec extends SparkSpec {
       s"probed-cell candidate join is not a broadcast hash join:\n${p.take(1200)}")
   }
 
+  test("q136: n-gram novelty — gram table checkpointed once (ExistingRDD " +
+    "feeds both consumers); shuffles carry keys+counts, no windows") {
+    val p = plan("q136_ngram_novelty")
+    assert(count(p, "FileScan parquet") == 0 && count(p, "ExistingRDD") >= 2,
+      s"gram table not shared via checkpoint:\n${p.take(1000)}")
+    assert(count(p, "Window") == 0 && count(p, "CartesianProduct") == 0,
+      p.take(1000))
+  }
+
+  test("q137: perplexity gate — score table checkpointed once; the " +
+    "threshold table joins back by BROADCAST") {
+    val p = plan("q137_perplexity_gate")
+    assert(count(p, "ExistingRDD") >= 2,
+      s"score table not shared via checkpoint:\n${p.take(1000)}")
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      "per-source threshold join is not broadcast")
+    assert(count(p, "Exchange SinglePartition") == 0, p.take(1000))
+  }
+
+  test("q138: truncation eval — per-tier brute passes keep the q25 " +
+    "shape: corpus scores in place, top-k group-limited, no corpus " +
+    "shuffle before scoring") {
+    val p = plan("q138_truncation_eval")
+    assert(count(p, "WindowGroupLimit") >= 2, p.take(1000))
+    assert(count(p, "CartesianProduct") == 0, p.take(1000))
+    // exchanges: only the per-query rank windows + final overlap aggs —
+    // corpus rows never hash-shuffle (scoring is against broadcasts)
+    assert(p.contains("struct<vec_id:bigint,embedding:array<float>>"),
+      p.take(1000))
+  }
+
   test("q117: CDC chunking — every window is partitioned (no single-" +
     "partition funnel) and the scan reads only (doc_id, text)") {
     val p = plan("q117_cdc_chunks")
