@@ -1891,6 +1891,29 @@ object SparkEntry {
     Ann.truncationEval(emb, emb.filter(col("vec_id") < 5), Seq(16, 32), 10)
   }
 
+  /** Dedup-chain audit: per CC dedup group (with ≥1 candidate edge),
+    * the weakest/mean exact Jaccard over its edges and a `chained` flag
+    * (min < 0.5) marking groups merged only transitively — the groups a
+    * keep-one-per-group policy would over-delete from. */
+  private def qDedupChainAudit(s: SparkSession, dir: String): DataFrame = {
+    val jac = qNgramJaccard(s, dir).persist()
+    val groups = ops.Graph.dedupGroups(t(s, dir, "documents"), "doc_id",
+      jac, "doc_a", "doc_b")
+    ops.Graph.dedupChainAudit(groups, jac, 0.5)
+  }
+
+  /** Score-vs-length bias diagnostic: per-source Pearson correlation of
+    * n_chars against the q73 unigram NLL — a strong correlation means
+    * the perplexity gate is a length filter in disguise. */
+  private def qLengthBias(s: SparkSession, dir: String): DataFrame = {
+    val nll = qUnigramLogprob(s, dir).select(col("doc_id"), col("nll"))
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("n_chars"))
+    ops.Quality.groupedCorr(d.join(nll, "doc_id"), col("source"),
+        col("n_chars"), col("nll"))
+      .withColumnRenamed("grp", "source")
+  }
+
   /** Tokenizer-coverage eval: per-language OOV rate against the
     * corpus-global top-16 vocabulary (the synthetic corpus has 31
     * distinct tokens, so ~half the type space is OOV and the rate
@@ -2038,7 +2061,9 @@ object SparkEntry {
     "q135_ivf_pq" -> (qIvfPq _),
     "q136_ngram_novelty" -> (qNgramNovelty _),
     "q137_perplexity_gate" -> (qPerplexityGate _),
-    "q138_truncation_eval" -> (qTruncationEval _))
+    "q138_truncation_eval" -> (qTruncationEval _),
+    "q139_dedup_audit" -> (qDedupChainAudit _),
+    "q140_length_bias" -> (qLengthBias _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3576,5 +3601,53 @@ object SparkEntry {
         "UNION ALL SELECT f.q_id, 32 AS dim, count(t.n_id) AS n_overlap " +
         "FROM rf f LEFT JOIN r32 t USING (q_id, n_id) GROUP BY 1) " +
         "SELECT q_id, dim, n_overlap, " +
-        "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"))
+        "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"),
+    "q139_dedup_audit" ->
+      // q22's exact-jaccard edges + q63's recursive-CTE components,
+      // rolled up per group: weakest/mean edge and the chained flag
+      (s"WITH RECURSIVE $shingleCte, " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
+        "JOIN sh sa ON c.doc_a = sa.doc_id " +
+        "JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle GROUP BY 1, 2), " +
+        "jac AS (SELECT c.doc_a, c.doc_b, " +
+        "round(CAST(coalesce(n_inter, 0) AS DOUBLE) / (za.sz + zb.sz - coalesce(n_inter, 0)), 4) AS j " +
+        "FROM cands c LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b " +
+        "JOIN sz za ON c.doc_a = za.doc_id JOIN sz zb ON c.doc_b = zb.doc_id), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r " +
+        "JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1) " +
+        "SELECT c.group_id, s.group_size, count(*) AS n_edges, " +
+        "min(j) AS min_jaccard, " +
+        "round(CAST(sum(CAST(floor(j * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / count(*), 4) AS avg_jaccard, " +
+        "min(j) < 0.5 AS chained " +
+        "FROM jac JOIN comp c ON jac.doc_a = c.doc_id " +
+        "JOIN sizes s USING (group_id) GROUP BY 1, 2"),
+    "q140_length_bias" ->
+      // q73 NLL replay, then per-source Pearson r over snapped-decimal
+      // moment sums (x = n_chars on the 1e6 grid, y/NLL on 1e9)
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot, g), " +
+        "nll AS (SELECT doc_id, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS y " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "b AS (SELECT d.source AS grp, CAST(d.n_chars AS DOUBLE) AS x, n.y " +
+        "FROM documents d JOIN nll n USING (doc_id)), " +
+        "a AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, " +
+        "CAST(sum(CAST(floor(x * 1000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000 AS sx, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy, " +
+        "CAST(sum(CAST(floor(x * x * 1000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000 AS sxx, " +
+        "CAST(sum(CAST(floor(y * y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS syy, " +
+        "CAST(sum(CAST(floor(x * y * 1000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000 AS sxy " +
+        "FROM b GROUP BY 1) " +
+        "SELECT grp AS source, CAST(n AS BIGINT) AS n_rows, " +
+        "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr " +
+        "FROM a"))
 }

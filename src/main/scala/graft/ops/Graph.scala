@@ -303,4 +303,31 @@ object Graph {
       .select(col(idCol), col("group_id"), col("group_size"),
         (col(idCol) === col("group_id")).as("keep"))
   }
+
+  /** Dedup-chain audit: connected-component dedup groups merge
+    * TRANSITIVELY — A~B and B~C put A and C in one group even when
+    * jaccard(A, C) is low (the chaining failure of LSH dedup, which
+    * silently deletes non-duplicates once a `keep`-only policy applies).
+    * Per group with at least one candidate edge: edge count, the
+    * weakest and mean exact Jaccard over its edges, and a `chained`
+    * flag when the weakest edge sits below `minJaccard` — the groups a
+    * pipeline should split or re-verify before dropping members.
+    *
+    * Deterministic: min is exact on the 4-dp jaccard; the mean uses the
+    * snapped-decimal sum. Scale shape: `pairs` is LSH-candidate-sized,
+    * `groups` doc-sized; one join keyed by doc id, one group-keyed
+    * rollup — the corpus text is never touched. */
+  def dedupChainAudit(groups: DataFrame, pairs: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val g = groups.select(col("doc_id"), col("group_id"), col("group_size"))
+    pairs.join(g, pairs("doc_a") === g("doc_id"))
+      .groupBy(col("group_id"), col("group_size"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("min_jaccard"),
+        round(graft.expr.Snap.snappedSum(col("jaccard"), 1e9) /
+          count(lit(1)).cast("double"), 4).as("avg_jaccard"))
+      .select(col("group_id"), col("group_size"), col("n_edges"),
+        col("min_jaccard"), col("avg_jaccard"),
+        (col("min_jaccard") < lit(minJaccard)).as("chained"))
+  }
 }

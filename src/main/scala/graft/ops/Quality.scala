@@ -70,4 +70,35 @@ object Quality {
       .agg(count(lit(1)).as("violations"))
       .select(lit(name).as("constraint"), col("violations"),
         (col("violations") === 0L).as("pass"))
+
+  /** Per-group Pearson correlation of two per-row quantities — the bias
+    * diagnostic of a scored pipeline (does a quality/perplexity score
+    * secretly track document LENGTH within a source? a strong
+    * correlation means the filter is a length filter in disguise, the
+    * known failure mode of perplexity gating).
+    *
+    * Deterministic: the five moment sums use the [[graft.expr.Snap]]
+    * snapped-decimal contract (x on the 1e6 grid, y and its products on
+    * 1e9), so r is a closed form over order-independent exact sums —
+    * identical under any partitioning/engine. One map-side-combined
+    * aggregation pass; output is |groups| rows. Groups where either
+    * variance is zero yield NULL (division by zero → NULL in non-ANSI
+    * mode, same as SQL). */
+  def groupedCorr(df: DataFrame, groupCol: Column, x: Column, y: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val b = df.select(groupCol.as("grp"), x.cast("double").as("x"),
+      y.cast("double").as("y"))
+    b.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        Snap.snappedSum(col("x"), 1e6).as("sx"),
+        Snap.snappedSum(col("y"), 1e9).as("sy"),
+        Snap.snappedSum(col("x") * col("x"), 1e6).as("sxx"),
+        Snap.snappedSum(col("y") * col("y"), 1e9).as("syy"),
+        Snap.snappedSum(col("x") * col("y"), 1e6).as("sxy"))
+      .select(col("grp"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr"))
+  }
 }

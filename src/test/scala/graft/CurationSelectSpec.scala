@@ -281,6 +281,39 @@ class CurationSelectSpec extends SparkSpec {
     assert(r("b") == ((2L, 1L, 17.5))) // a global cut would keep ALL of a
   }
 
+  test("dedupChainAudit: transitively-merged groups flagged by their " +
+    "weakest edge; tight groups pass; singletons absent") {
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.3), (5L, 6L, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val groups = Graph.dedupGroups(docs, "doc_id", pairs, "doc_a", "doc_b")
+    val r = Graph.dedupChainAudit(groups, pairs, 0.5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getBoolean(5)))).toMap
+    // group 1 = {1,2,3}: 1~3 only via chaining, weakest edge 0.3
+    assert(r(1L) == ((3L, 2L, 0.3, 0.6, true)))
+    // group 5 = {5,6}: genuinely similar
+    assert(r(5L) == ((2L, 1L, 0.8, 0.8, false)))
+    assert(!r.contains(9L)) // no edges, nothing to audit
+  }
+
+  test("groupedCorr: exact ±1 on linear data; NULL when a variance is " +
+    "zero; snapped sums make it partition-invariant") {
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+      ("down", 1.0, 3.0), ("down", 2.0, 2.0), ("down", 3.0, 1.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0), ("flat", 3.0, 5.0))
+      .toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Quality.groupedCorr(d, col("g"), col("x"), col("y"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val r = run(df)
+    assert(r("up") == Some(1.0) && r("down") == Some(-1.0))
+    assert(r("flat").isEmpty) // zero y-variance: correlation undefined
+    assert(run(df.repartition(7)) == r)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
