@@ -1914,6 +1914,32 @@ object SparkEntry {
       .withColumnRenamed("grp", "source")
   }
 
+  /** Malformed-record accounting for a NULL-on-fail JSON ingest (the
+    * reference's P8 semantics lifted to corpus scale): synthesize one
+    * JSON line per document (identical string construction in the
+    * oracle), corrupt every 7th by truncation, parse with the explicit
+    * schema, and account the failures per language — the ingest-health
+    * dashboard a permissive pipeline needs, one projection + one
+    * map-side-combined rollup. */
+  private def qCorruptIngest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .withColumn("j", concat(lit("{\"doc_id\":"),
+        col("doc_id").cast("string"), lit(",\"lang\":\""), col("lang"),
+        lit("\"}")))
+      .withColumn("line", when(col("doc_id") % 7 === 0,
+        expr("substring(j, 1, length(j) - 2)")).otherwise(col("j")))
+    d.withColumn("p", from_json(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p").isNull || col("p.doc_id").isNull, 1L)
+          .otherwise(0L)).as("n_bad"))
+      .select(col("lang"), col("n_rows"), col("n_bad"),
+        round(col("n_bad").cast("double") / col("n_rows").cast("double"), 6)
+          .as("bad_rate"))
+  }
+
   /** Tokenizer-coverage eval: per-language OOV rate against the
     * corpus-global top-16 vocabulary (the synthetic corpus has 31
     * distinct tokens, so ~half the type space is OOV and the rate
@@ -2063,7 +2089,8 @@ object SparkEntry {
     "q137_perplexity_gate" -> (qPerplexityGate _),
     "q138_truncation_eval" -> (qTruncationEval _),
     "q139_dedup_audit" -> (qDedupChainAudit _),
-    "q140_length_bias" -> (qLengthBias _))
+    "q140_length_bias" -> (qLengthBias _),
+    "q141_corrupt_ingest" -> (qCorruptIngest _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3649,5 +3676,16 @@ object SparkEntry {
         "FROM b GROUP BY 1) " +
         "SELECT grp AS source, CAST(n AS BIGINT) AS n_rows, " +
         "round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr " +
-        "FROM a"))
+        "FROM a"),
+    "q141_corrupt_ingest" ->
+      // identical line synthesis + truncation corruption; bad = not
+      // valid JSON (Spark side: NULL-on-fail from_json)
+      ("WITH d AS (SELECT doc_id, lang, " +
+        "'{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang || '\"}' AS j FROM documents), " +
+        "l AS (SELECT lang, CASE WHEN doc_id % 7 = 0 THEN substr(j, 1, length(j) - 2) " +
+        "ELSE j END AS line FROM d) " +
+        "SELECT lang, count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS BIGINT) AS n_bad, " +
+        "round(CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS bad_rate FROM l GROUP BY 1"))
 }

@@ -53,4 +53,21 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(1) == 1L) // only the 9 — NULL is exempt
     assert(!r.getBoolean(2))
   }
+
+  test("q141 corrupt-ingest accounting: NULL-on-fail parse counts " +
+    "exactly the truncated lines, per language") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q141_corrupt_ingest")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // cross-check against the source table: bad == docs with id % 7 == 0
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L)).as("bad"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == expected)
+    assert(out.values.map(_._2).sum > 0L) // the corruption really fired
+  }
 }
