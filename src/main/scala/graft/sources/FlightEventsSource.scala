@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources
@@ -40,7 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * - the micro-batch stream advances a row-count offset by
   *   `rowsPerBatch` per trigger — bounded, replayable batches keyed by
   *   (start, end] offsets, the exactly-once contract Structured
-  *   Streaming expects from a source (same offset range ⇒ same rows).
+  *   Streaming expects from a source (same offset range ⇒ same rows);
+  * - global COUNT/MIN/MAX over `event_id`/`ts` push COMPLETELY into the
+  *   source ([[SupportsPushDownAggregates]]): the generator knows its
+  *   own (filter-clamped) range, so the answer is O(1) driver
+  *   arithmetic and the plan has no aggregation or exchange at all —
+  *   the v2 analog of parquet's metadata-only count.
   *
   * Options: `rows` (total, default 1000), `partitions` (batch split,
   * default 8), `rowsPerBatch` (streaming, default 100),
@@ -105,12 +111,14 @@ class FlightEventsTable extends Table with SupportsRead {
 
 class FlightScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = FlightSynth.schema
   private var limit: Long = Long.MaxValue
   private var fLo: Long = 0L
   private var fHi: Long = Long.MaxValue
   private var accepted: Array[sources.Filter] = Array.empty
+  private var pushedAgg: Option[Seq[String]] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     // the engine passes a subset of schema() in source field order
     required = requiredSchema
@@ -195,6 +203,40 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
     residual
   }
   override def pushedFilters(): Array[sources.Filter] = accepted
+
+  // COUNT(*)/MIN/MAX over event_id/ts answer from the (filter-clamped)
+  // generation range itself — event_id IS the index and ts is strictly
+  // monotone in it, so a global aggregate over a billion-row topic is
+  // O(1) arithmetic, the source-side analog of parquet's metadata-only
+  // count. Complete pushdown only (no group-by, no partial rows): the
+  // scan then emits ONE row in the aggregate schema and Spark plans no
+  // aggregation at all (PlanContractSpec/FlightSourceSpec-asserted).
+  private def parseAgg(agg: aggregate.Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+        if f.fieldNames.length == 1 => Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some("count")
+      case m: aggregate.Min =>
+        colOf(m.column).collect { case c @ ("event_id" | "ts") => s"min:$c" }
+      case m: aggregate.Max =>
+        colOf(m.column).collect { case c @ ("event_id" | "ts") => s"max:$c" }
+      case _ => None
+    }
+    if (kinds.forall(_.isDefined)) Some(kinds.map(_.get)) else None
+  }
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    parseAgg(agg).isDefined
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    val parsed = parseAgg(agg)
+    pushedAgg = parsed
+    parsed.isDefined
+  }
+
   override def build(): Scan = {
     val rows = options.getLong("rows", 1000L)
     val partitions = options.getInt("partitions", 8)
@@ -211,15 +253,68 @@ class FlightScanBuilder(options: CaseInsensitiveStringMap)
     val hi0 = math.max(lo, math.min(rows, fHi))
     val hi = if (limit == Long.MaxValue || lo + limit < 0) hi0
       else math.min(hi0, lo + limit)
-    new FlightScan(
-      lo = lo,
-      hi = hi,
-      partitions = partitions,
-      rowsPerBatch = rowsPerBatch,
-      startTs = options.getLong("startTs", 1700000000L),
-      stepSec = stepSec,
-      required = required)
+    pushedAgg match {
+      case Some(kinds) =>
+        // aggregates push after filters, never under a limit — the agg
+        // scan answers from the clamped range [lo, hi0)
+        new FlightAggScan(lo, hi0, kinds,
+          options.getLong("startTs", 1700000000L), stepSec)
+      case None => new FlightScan(
+        lo = lo,
+        hi = hi,
+        partitions = partitions,
+        rowsPerBatch = rowsPerBatch,
+        startTs = options.getLong("startTs", 1700000000L),
+        stepSec = stepSec,
+        required = required)
+    }
   }
+}
+
+/** Completely-pushed global aggregate over the topic: one partition, one
+  * row, O(1) arithmetic on the generation range. Empty range follows SQL
+  * global-agg semantics (count 0, min/max NULL). */
+class FlightAggScan(lo: Long, hi: Long, kinds: Seq[String],
+    startTs: Long, stepSec: Long) extends Scan {
+  override def readSchema(): StructType = StructType(kinds.zipWithIndex.map {
+    case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (k, i) if k.endsWith(":ts") =>
+      StructField(s"agg_$i", TimestampType, nullable = true)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def description(): String =
+    s"flight_events AGG range=[$lo,$hi) ${kinds.mkString(",")}"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(FlightRange(lo, hi))
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val empty = hi <= lo
+      val values: Array[Any] = kinds.toArray.map {
+        case "count" => (hi - lo).max(0L)
+        case _ if empty => null
+        case "min:event_id" => lo
+        case "max:event_id" => hi - 1
+        case "min:ts" => FlightSynth.tsMicros(lo, startTs, stepSec)
+        case "max:ts" => FlightSynth.tsMicros(hi - 1, startTs, stepSec)
+      }
+      new FlightAggReaderFactory(values)
+    }
+  }
+}
+
+/** Serializable single-row factory for the pushed-aggregate scan: the
+  * answer is computed on the DRIVER (range arithmetic) and shipped as
+  * literals; the one task just emits it. */
+class FlightAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
 }
 
 case class FlightRange(start: Long, end: Long) extends InputPartition

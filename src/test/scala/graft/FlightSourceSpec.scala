@@ -104,6 +104,37 @@ class FlightSourceSpec extends SparkSpec {
     assert(off.isEmpty)
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answer from range arithmetic — " +
+    "no aggregation in the plan, one metadata-only row") {
+    // correctness first: values match the unpushed computation
+    val df = read(1000)
+    val agg = df.agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+      max(col("event_id")).as("hi"), min(col("ts")).as("t0"),
+      max(col("ts")).as("t1"))
+    val r = agg.collect().head
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 0L && r.getLong(2) == 999L)
+    assert(r.getTimestamp(3).getTime == 1700000000L * 1000L)
+    assert(r.getTimestamp(4).getTime == (1700000000L + 999L * 60L) * 1000L)
+    // the plan: completely pushed — the scan reports the AGG range and
+    // Spark plans NO exchange (a non-pushed global agg needs one)
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("flight_events AGG"), p.take(800))
+    assert(!p.contains("Exchange"), s"pushed agg still shuffles:\n${p.take(800)}")
+    // composes with filter pushdown: the clamped range answers the agg
+    val f = df.filter(col("event_id") >= 100 && col("event_id") < 200)
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id")))
+      .collect().head
+    assert(f.getLong(0) == 100L && f.getLong(1) == 100L && f.getLong(2) == 199L)
+    // empty range: SQL global-agg semantics
+    val e = df.filter(col("event_id") < 0)
+      .agg(count(lit(1)), min(col("event_id"))).collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    // group-by stays UNPUSHED (only global aggregates qualify)
+    val g = df.groupBy((col("event_id") % 2).as("k")).count()
+    assert(!g.queryExecution.executedPlan.toString.contains("flight_events AGG"))
+    assert(g.collect().map(_.getLong(1)).sorted.toSeq == Seq(500L, 500L))
+  }
+
   test("reported statistics drive broadcast join planning without a hint") {
     val small = read(50).select(col("event_id").as("sid"), col("ts"))
     val big = spark.read
