@@ -430,10 +430,31 @@ object Ann {
     * Returns (q_id, rank, n_id, adc) with adc = score/1e6 rounded 4 dp. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, kCells: Int,
       nprobe: Int, m: Int, kCodes: Int, iters: Int, k: Int, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(m > 0 && dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
-    require(k > 0 && kCells > 0 && kCodes > 0 && iters > 0 && nprobe > 0,
-      s"ivfPqTopK: k=$k, kCells=$kCells, kCodes=$kCodes, iters=$iters, nprobe=$nprobe")
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqSearch(ivfPqIndex(corpus, kCells, m, kCodes, iters, dim,
+      idCol, vecCol), queries, nprobe, k, idCol, vecCol)
+
+  /** A trained, encoded IVF·PQ index: the train-once half of the
+    * serving split. `codes` is the inverted code list (coarse cell +
+    * m positional codes per corpus vector — persist it for repeated or
+    * streaming search); `coarse`/`books` are the driver-literal
+    * codebooks every query folds into its plan. */
+  final case class IvfPqIndex(codes: DataFrame,
+      coarse: Seq[(Long, Seq[Double])], books: Seq[Seq[Seq[Double]]],
+      m: Int, sub: Int)
+
+  /** Train + encode (the expensive, corpus-touching half): coarse
+    * quantizer and all m PQ codebooks ([[pqBooks]], one pass per Lloyd
+    * iteration), then ONE zero-join projection encodes the corpus.
+    * Serve with [[ivfPqSearch]] — once per batch query set, or per
+    * micro-batch on a stream (the index is static state, shared by
+    * every batch; see graft.stream.StreamingAnn). */
+  def ivfPqIndex(corpus: DataFrame, kCells: Int, m: Int, kCodes: Int,
+      iters: Int, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): IvfPqIndex = {
+    require(m > 0 && dim % m == 0, s"ivfPqIndex: dim=$dim not divisible by m=$m")
+    require(kCells > 0 && kCodes > 0 && iters > 0,
+      s"ivfPqIndex: kCells=$kCells, kCodes=$kCodes, iters=$iters")
     val sub = dim / m
     def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
@@ -446,6 +467,19 @@ object Ann {
       col(idCol).as("n_id") +:
       (0 until m).map(j =>
         nearestCellPos(subv(col("__v"), j), books(j)).as(s"__c$j")): _*)
+    IvfPqIndex(codes, coarse, books, m, sub)
+  }
+
+  /** Probe + ADC-score a query set against a prepared [[IvfPqIndex]]
+    * (the serve-many half — touches nprobe/kCells of the code table,
+    * never the raw corpus). Same plan shape and determinism contract as
+    * [[ivfPqTopK]]. */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, nprobe: Int,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(k > 0 && nprobe > 0, s"ivfPqSearch: k=$k, nprobe=$nprobe")
+    val IvfPqIndex(codes, coarse, books, m, sub) = index
+    def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     // top-nprobe coarse cells by (snapped L2, cell): a literal
     // struct-array sort on the query side — no centroid join
     val probeCells = slice(array_sort(array(coarse.map { case (cell, c) =>

@@ -1,0 +1,44 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import graft.ops.Ann
+
+/** Streaming ANN serving over a static, pre-trained IVF·PQ index — the
+  * online half of the q135 pipeline: the index ([[Ann.ivfPqIndex]]) is
+  * trained and encoded ONCE (persist its `codes` table), and each
+  * micro-batch of query vectors probes + ADC-scores against it in
+  * `foreachBatch` (per-batch batch semantics — the per-query top-k is a
+  * rank over THIS batch's candidates, which no streaming output mode
+  * expresses natively).
+  *
+  * State story: the only long-lived state is the static index — shared
+  * by every batch, bounded by corpus size, zero per-stream state. A
+  * batch's cost is the q135 contract: nprobe/kCells of the code table
+  * per query, broadcast probe tables, no nested loop. Results are
+  * bit-identical to calling [[Ann.ivfPqSearch]] on the same rows as a
+  * batch (asserted by StreamingAnnSpec) — the batch/streaming
+  * same-semantics claim the rest of the library makes, extended to ANN.
+  */
+object StreamingAnn {
+
+  /** Start a query-vector stream against `index`: each micro-batch is
+    * searched (top-`k` within `nprobe` probed cells) and handed to
+    * `sink` with its epoch id. Empty batches skip the search (the S7
+    * guard). */
+  def startIvfPqSink(index: Ann.IvfPqIndex, queryStream: DataFrame,
+      nprobe: Int, k: Int, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(Ann.ivfPqSearch(index, batch, nprobe, k, idCol, vecCol),
+            epochId)
+        }
+      }
+      .start()
+}

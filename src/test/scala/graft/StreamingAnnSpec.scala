@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.Ann
+import graft.stream.StreamingAnn
+
+case class QVec(vec_id: Long, embedding: Array[Float])
+
+/** Streaming ANN serving: a static IVF·PQ index answers micro-batches
+  * of query vectors with results bit-identical to the batch search on
+  * the same rows — the train-once/serve-many split of q135, online. */
+class StreamingAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("startIvfPqSink: per-batch results ≡ batch ivfPqSearch; empty " +
+    "batches skipped; index state is static across batches") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4, iters = 2)
+    index.codes.persist().count() // encode ONCE, serve many
+
+    val queryRows = emb.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .filter(col("vec_id") < 6)
+      .as[QVec].collect().sortBy(_.vec_id)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[QVec]
+    val results = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = StreamingAnn.startIvfPqSink(index, ms.toDF(), nprobe = 2,
+      k = 10, Files.createTempDirectory("ann-ckpt").toString,
+      (df, epoch) => results.synchronized {
+        results(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(queryRows.take(3).toSeq) // batch 1: queries 0,1,2
+      q.processAllAvailable()
+      ms.addData(queryRows.drop(3).toSeq) // batch 2: queries 3,4,5
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = results.synchronized(results.values.flatten.toSeq.sorted)
+    // the SAME rows searched as one batch give bit-identical results
+    val expected = Ann.ivfPqSearch(index,
+        emb.filter(col("vec_id") < 6), nprobe = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(results.synchronized(results.size) == 2) // one sink call per batch
+  }
+}
