@@ -1081,7 +1081,8 @@ object SparkEntry {
         round(col("__target"), 6).as("target"),
         round(col("__keep_rate"), 6).as("keep_rate"))
 
-  /** The full production ANN path — train (2 Lloyd rounds), index
+  /** The full production ANN path — train (iters=2, i.e. ONE centroid
+    * update past the smallest-id init — the q76 trajectory), index
     * (joinless literal-argmin assignment), search (nprobe=2 probed
     * exact cosine) — in one call; the oracle composes the q76
     * trajectory replay with the q27 probe/rank. */
@@ -1852,17 +1853,19 @@ object SparkEntry {
       iters = 2, k = 10)
   }
 
-  /** IVF·PQ composed ANN — the 100 TB serving shape: the q85 coarse
-    * quantizer (4 cells, q76 Lloyd trajectory) prunes each query to its
-    * nprobe=2 nearest cells by snapped L2, then the q133 PQ-ADC
-    * machinery (4×16-dim subspaces, 4-entry codebooks) scores ONLY the
-    * probed cells' codes. Identical codebooks and scoring to q133, but
-    * the corpus×queries nested-loop becomes a broadcast hash equi-join
-    * on the cell key. */
+  /** IVF·PQ composed ANN — IVFADC proper (Jégou et al., TPAMI 2011
+    * §IV.A) and the 100 TB serving shape: the q85 coarse quantizer
+    * (4 cells, q76 Lloyd trajectory) prunes each query to its nprobe=2
+    * nearest cells by snapped L2, and the q133 PQ-ADC machinery
+    * (4×16-dim subspaces, 4-entry codebooks) scores ONLY the probed
+    * cells' codes — with books trained on, and codes encoding, the
+    * RESIDUAL x − coarse_centroid(x), so ADC tables are built from the
+    * per-probed-cell query residual. The corpus×queries nested-loop of
+    * a flat scan becomes a broadcast hash equi-join on the cell key. */
   private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), kCells = 4,
-      nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10)
+      nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10, residual = true)
   }
 
   /** Per-doc trigram novelty: fraction of a doc's gram occurrences
@@ -1946,6 +1949,18 @@ object SparkEntry {
     * genuinely varies by language). */
   private def qOovRate(s: SparkSession, dir: String): DataFrame =
     TextStats.oovRate(t(s, dir, "documents"), col("lang"), col("text"), 16)
+
+  /** IVF·PQ recall operating curve, hash-checked: overlap@10 of the
+    * q135 machinery — BOTH the raw (IVF-Flat-style) and residual
+    * (IVFADC) encodings — against the q25 exact cosine ranking, at
+    * nprobe ∈ {1, 2, 4} (4 = every cell). Turns the residual-beats-raw
+    * recall claim and the nprobe cost/recall trade into driver-oracle
+    * rows instead of spec-only assertions. */
+  private def qIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfPqRecall(emb, emb.filter(col("vec_id") < 5), kCells = 4,
+      nprobes = Seq(1, 2, 4), m = 4, kCodes = 4, iters = 2, k = 10)
+  }
 
   // =====================================================================
 
@@ -2090,7 +2105,8 @@ object SparkEntry {
     "q138_truncation_eval" -> (qTruncationEval _),
     "q139_dedup_audit" -> (qDedupChainAudit _),
     "q140_length_bias" -> (qLengthBias _),
-    "q141_corrupt_ingest" -> (qCorruptIngest _))
+    "q141_corrupt_ingest" -> (qCorruptIngest _),
+    "q142_ivfpq_recall" -> (qIvfPqRecall _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3534,13 +3550,17 @@ object SparkEntry {
         "CAST(sum(n) AS DOUBLE), 6) AS oov_rate " +
         "FROM cnt c LEFT JOIN vocab v ON c.token = v.token GROUP BY 1"),
     "q135_ivf_pq" ->
-      // IVF·PQ: the q76 coarse replay (c1 = trained 4-cell codebook,
-      // a2 = corpus assignment) + the q133 subspace replay (s-prefixed
-      // CTEs, bk/code/dtab) — candidates restricted to each query's 2
-      // nearest coarse cells by snapped-long L2 (ties to lowest cell)
+      // IVFADC: the q76 coarse replay (c1 = trained 4-cell codebook,
+      // a2 = corpus assignment), then the q133 subspace replay run in
+      // RESIDUAL space (rv = e − assigned trained centroid; s-prefixed
+      // CTEs, bk/code) — candidates restricted to each query's 2
+      // nearest coarse cells by snapped-long L2 (ties to lowest cell),
+      // ADC tables from the per-probed-cell query residual
       (kmeansReplayCte +
         ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
-        "sv AS (SELECT vec_id, j, e[j*16+1:j*16+16] AS e FROM v CROSS JOIN sp), " +
+        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
+        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
         "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
         "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
         "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
@@ -3560,15 +3580,18 @@ object SparkEntry {
         "FROM pq CROSS JOIN c1), " +
         "probe AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 2), " +
-        "qs AS (SELECT vec_id AS q_id, j, e AS qe FROM sv WHERE vec_id < 5), " +
-        "dtab AS (SELECT qs.q_id, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
-        "list_zip(qs.qe, bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
-        "FROM qs JOIN bk ON qs.j = bk.j), " +
-        "cand AS (SELECT p.q_id, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
+        "qr AS (SELECT p.q_id, p.cell, list_transform(list_zip(pq.qv, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM probe p JOIN pq USING (q_id) " +
+        "JOIN c1 ON c1.cell = p.cell), " +
+        "dtab AS (SELECT qr.q_id, qr.cell, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qr.r[bk.j*16+1:bk.j*16+16], bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM qr CROSS JOIN bk), " +
+        "cand AS (SELECT p.q_id, p.cell, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
         "WHERE a2.vec_id <> p.q_id), " +
         "adc AS (SELECT cand.q_id, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
         "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
-        "JOIN dtab t ON t.q_id = cand.q_id AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2), " +
+        "JOIN dtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
+        "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2), " +
         "r AS (SELECT q_id, n_id, s, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM adc) " +
         "SELECT q_id, rank, n_id, round(CAST(s AS DOUBLE)/1000000, 4) AS adc " +
@@ -3687,5 +3710,92 @@ object SparkEntry {
         "SELECT lang, count(*) AS n_rows, " +
         "CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS BIGINT) AS n_bad, " +
         "round(CAST(sum(CASE WHEN json_valid(line) THEN 0 ELSE 1 END) AS DOUBLE) / " +
-        "CAST(count(*) AS DOUBLE), 6) AS bad_rate FROM l GROUP BY 1"))
+        "CAST(count(*) AS DOUBLE), 6) AS bad_rate FROM l GROUP BY 1"),
+    "q142_ivfpq_recall" ->
+      // the q135 replay run TWICE — w-prefix: raw sub-vector books
+      // (q133), s-prefix: residual books (IVFADC) — searched at nprobe
+      // tiers {1,2,4}, overlap-counted against the q25 exact cosine
+      // top-10 (left join from the baseline, so 0-overlap rows survive)
+      (kmeansReplayCte +
+        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        // raw subspace training + codes (q133)
+        "wsv AS (SELECT vec_id, j, e[j*16+1:j*16+16] AS e FROM v CROSS JOIN sp), " +
+        "wc0 AS (SELECT j, vec_id AS cell, e AS c FROM wsv WHERE vec_id < 4), " +
+        "wd1 AS (SELECT wsv.j, wsv.vec_id, wsv.e, wc0.cell, list_sum(list_transform(" +
+        "list_zip(wsv.e, wc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM wsv JOIN wc0 ON wsv.j = wc0.j), " +
+        "wa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM wd1) WHERE rn = 1), " +
+        "wm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM wa1) GROUP BY 1, 2, 3), " +
+        "wmc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM wm1 GROUP BY 1, 2), " +
+        "wbk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM wmc), " +
+        "wd2 AS (SELECT wsv.j, wsv.vec_id, wbk.pos, list_sum(list_transform(" +
+        "list_zip(wsv.e, wbk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM wsv JOIN wbk ON wsv.j = wbk.j), " +
+        "wcode AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM wd2) WHERE rn = 1), " +
+        // residual subspace training + codes (the q135 IVFADC replay)
+        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
+        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
+        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
+        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
+        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
+        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
+        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
+        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
+        "sbk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
+        "sd2 AS (SELECT sv.j, sv.vec_id, sbk.pos, list_sum(list_transform(" +
+        "list_zip(sv.e, sbk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sbk ON sv.j = sbk.j), " +
+        "scode AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        // probes (full query vs trained coarse, all ranks) + tiers
+        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM pq CROSS JOIN c1), " +
+        "prk AS (SELECT q_id, cell, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd), " +
+        "tiers AS (SELECT unnest([1, 2, 4]) AS np), " +
+        // ADC tables: raw = per query; residual = per (query, cell)
+        "wqs AS (SELECT vec_id AS q_id, j, e AS qe FROM wsv WHERE vec_id < 5), " +
+        "wdtab AS (SELECT wqs.q_id, wbk.j, wbk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(wqs.qe, wbk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM wqs JOIN wbk ON wqs.j = wbk.j), " +
+        "qr AS (SELECT p.q_id, p.cell, list_transform(list_zip(pq.qv, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM prk p JOIN pq USING (q_id) " +
+        "JOIN c1 ON c1.cell = p.cell), " +
+        "sdtab AS (SELECT qr.q_id, qr.cell, sbk.j, sbk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qr.r[sbk.j*16+1:sbk.j*16+16], sbk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM qr CROSS JOIN sbk), " +
+        // candidates per tier, scored per variant, top-10
+        "cand AS (SELECT t.np, p.q_id, p.cell, a2.vec_id AS n_id FROM tiers t " +
+        "JOIN prk p ON p.pr <= t.np JOIN a2 ON a2.cell = p.cell " +
+        "WHERE a2.vec_id <> p.q_id), " +
+        "wadc AS (SELECT cand.np, cand.q_id, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+        "FROM cand JOIN wcode c ON c.vec_id = cand.n_id " +
+        "JOIN wdtab t ON t.q_id = cand.q_id AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2, 3), " +
+        "wtop AS (SELECT np, q_id, n_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY np, q_id ORDER BY s, n_id) AS rank FROM wadc) WHERE rank <= 10), " +
+        "sadc AS (SELECT cand.np, cand.q_id, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+        "FROM cand JOIN scode c ON c.vec_id = cand.n_id " +
+        "JOIN sdtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
+        "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2, 3), " +
+        "rtop AS (SELECT np, q_id, n_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY np, q_id ORDER BY s, n_id) AS rank FROM sadc) WHERE rank <= 10), " +
+        // exact cosine baseline (the q25 contract) + overlap counting
+        "bsc AS (SELECT b.q_id, v.vec_id AS n_id, round(list_dot_product(v.e, b.qv) / " +
+        "nullif(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(b.qv, b.qv)), 0), 6) AS cos " +
+        "FROM pq b JOIN v ON v.vec_id <> b.q_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bsc) WHERE rank <= 10), " +
+        "o AS (SELECT 'raw' AS variant, t.np, b.q_id, count(w.n_id) AS n_overlap " +
+        "FROM bf b CROSS JOIN tiers t LEFT JOIN wtop w " +
+        "ON w.np = t.np AND w.q_id = b.q_id AND w.n_id = b.n_id GROUP BY 1, 2, 3 " +
+        "UNION ALL SELECT 'residual' AS variant, t.np, b.q_id, count(r.n_id) AS n_overlap " +
+        "FROM bf b CROSS JOIN tiers t LEFT JOIN rtop r " +
+        "ON r.np = t.np AND r.q_id = b.q_id AND r.n_id = b.n_id GROUP BY 1, 2, 3) " +
+        "SELECT q_id, variant, CAST(np AS BIGINT) AS nprobe, n_overlap, " +
+        "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"))
 }

@@ -412,6 +412,18 @@ object Ann {
     * exhaustive corpus×queries scan becomes a cell equi-join, touching
     * nprobe/kCells of the code table per query.
     *
+    * `residual = true` is IVFADC proper (Jégou §IV.A): PQ codebooks are
+    * trained on, and codes encode, the RESIDUAL x − coarse_centroid(x)
+    * rather than the raw sub-vector — residuals concentrate around the
+    * origin, so the same m/kCodes code budget quantizes finer and buys
+    * recall (AnnSpec pins residual recall@10 ≥ raw on the test corpus).
+    * ADC tables then depend on the probed cell (the query's residual
+    * differs per cell), so the broadcast side carries queries×nprobe
+    * table sets instead of queries — still query-sized, never
+    * corpus-sized. `residual = false` keeps the IVF-Flat-style raw
+    * encoding whose nprobe=kCells ranking is bit-identical to
+    * [[pqAdcTopK]] (asserted in AnnSpec).
+    *
     * Scale design: the corpus is read ONCE into an inverted code list —
     * (cell, id, m positional codes) — by a single zero-join projection
     * (coarse centroids AND all m codebooks are driver literals folded
@@ -425,74 +437,135 @@ object Ann {
     * Determinism: probe ordering uses 1e-6-snapped-long L2 with ties to
     * the lowest cell; ADC terms are [[snappedD2]] longs; the Lloyd
     * trajectories (coarse and per-subspace) are the q76/q133 replay
-    * contracts. At nprobe = kCells every cell is probed and the result
-    * is IDENTICAL to [[pqAdcTopK]] (asserted in AnnSpec).
+    * contracts; residuals subtract 1e-6-snapped centroids (exact IEEE
+    * subtraction, replayed identically by the oracle).
     * Returns (q_id, rank, n_id, adc) with adc = score/1e6 rounded 4 dp. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, kCells: Int,
       nprobe: Int, m: Int, kCodes: Int, iters: Int, k: Int, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residual: Boolean = false): DataFrame =
     ivfPqSearch(ivfPqIndex(corpus, kCells, m, kCodes, iters, dim,
-      idCol, vecCol), queries, nprobe, k, idCol, vecCol)
+      idCol, vecCol, residual), queries, nprobe, k, idCol, vecCol)
 
   /** A trained, encoded IVF·PQ index: the train-once half of the
     * serving split. `codes` is the inverted code list (coarse cell +
     * m positional codes per corpus vector — persist it for repeated or
     * streaming search); `coarse`/`books` are the driver-literal
-    * codebooks every query folds into its plan. */
+    * codebooks every query folds into its plan; `residual` records
+    * whether books/codes live in residual space (IVFADC) or raw
+    * sub-vector space. */
   final case class IvfPqIndex(codes: DataFrame,
       coarse: Seq[(Long, Seq[Double])], books: Seq[Seq[Seq[Double]]],
-      m: Int, sub: Int)
+      m: Int, sub: Int, residual: Boolean = false)
+
+  /** The assigned coarse centroid as a literal-map lookup — cell ids
+    * and centroids are driver state, so residualization is a zero-join
+    * codegen'd projection. */
+  private def cellCentroid(coarse: Seq[(Long, Seq[Double])])(cell: Column)
+      : Column =
+    element_at(
+      map(coarse.flatMap { case (id, c) =>
+        Seq(lit(id), typedLit(c)) }: _*), cell)
+
+  /** Encode a vector batch against FROZEN codebooks: coarse cell +
+    * m positional PQ codes per row, one zero-join projection (centroids
+    * and books are plan literals). The shared encoder behind
+    * [[ivfPqIndex]] and [[ivfPqAppend]]. */
+  private def ivfPqEncode(vecs: DataFrame, coarse: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]], m: Int, sub: Int, residual: Boolean,
+      idCol: String, vecCol: String): DataFrame = {
+    def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    val assigned = vecs
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__cell", nearestCell(col("__v"), coarse))
+    val enc = if (residual)
+      assigned.withColumn("__v", zip_with(col("__v"),
+        cellCentroid(coarse)(col("__cell")), (x, y) => x - y))
+    else assigned
+    enc.select(col("__cell") +: col(idCol).as("n_id") +:
+      (0 until m).map(j =>
+        nearestCellPos(subv(col("__v"), j), books(j)).as(s"__c$j")): _*)
+  }
 
   /** Train + encode (the expensive, corpus-touching half): coarse
     * quantizer and all m PQ codebooks ([[pqBooks]], one pass per Lloyd
-    * iteration), then ONE zero-join projection encodes the corpus.
+    * iteration — over residuals when `residual`, the IVFADC training
+    * space), then ONE zero-join projection encodes the corpus.
     * Serve with [[ivfPqSearch]] — once per batch query set, or per
     * micro-batch on a stream (the index is static state, shared by
-    * every batch; see graft.stream.StreamingAnn). */
+    * every batch; see graft.stream.StreamingAnn). Grow it with
+    * [[ivfPqAppend]] — frozen books, per-row encoding. */
   def ivfPqIndex(corpus: DataFrame, kCells: Int, m: Int, kCodes: Int,
       iters: Int, dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding"): IvfPqIndex = {
+      vecCol: String = "embedding", residual: Boolean = false): IvfPqIndex = {
     require(m > 0 && dim % m == 0, s"ivfPqIndex: dim=$dim not divisible by m=$m")
     require(kCells > 0 && kCodes > 0 && iters > 0,
       s"ivfPqIndex: kCells=$kCells, kCodes=$kCodes, iters=$iters")
     val sub = dim / m
-    def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    // PQ training space: raw vectors, or residuals against the trained
+    // coarse centroids (assignment + subtraction are literal
+    // projections — the training scan stays zero-join)
+    val trainSrc = if (residual)
+      src.select(col(idCol), zip_with(col("__v"),
+          cellCentroid(coarse)(nearestCell(col("__v"), coarse)),
+          (x, y) => x - y).as("__v"))
+    else src
     val books: Seq[Seq[Seq[Double]]] =
-      pqBooks(src, idCol, m, sub, kCodes, iters).map(_.map(_._2))
-    // inverted code lists: coarse cell + m positional codes, one
-    // zero-join projection over the corpus scan
-    val codes = src.select(nearestCell(col("__v"), coarse).as("__cell") +:
-      col(idCol).as("n_id") +:
-      (0 until m).map(j =>
-        nearestCellPos(subv(col("__v"), j), books(j)).as(s"__c$j")): _*)
-    IvfPqIndex(codes, coarse, books, m, sub)
+      pqBooks(trainSrc, idCol, m, sub, kCodes, iters).map(_.map(_._2))
+    IvfPqIndex(
+      ivfPqEncode(corpus, coarse, books, m, sub, residual, idCol, vecCol),
+      coarse, books, m, sub, residual)
   }
+
+  /** Append a new-vector batch to an existing index under FROZEN
+    * codebooks — the serving-side analog of incremental LSH candidate
+    * maintenance: the corpus is never re-encoded, the batch is one
+    * zero-join projection, and the result is bit-identical to encoding
+    * the unioned corpus against the same books (encoding is per-row;
+    * asserted in AnnSpec). Re-train ([[ivfPqIndex]]) only when drift
+    * degrades recall — the standard IVF serving policy. */
+  def ivfPqAppend(index: IvfPqIndex, newBatch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(ivfPqEncode(newBatch,
+      index.coarse, index.books, index.m, index.sub, index.residual,
+      idCol, vecCol)))
 
   /** Probe + ADC-score a query set against a prepared [[IvfPqIndex]]
     * (the serve-many half — touches nprobe/kCells of the code table,
     * never the raw corpus). Same plan shape and determinism contract as
-    * [[ivfPqTopK]]. */
+    * [[ivfPqTopK]]; for a residual index the ADC tables are built from
+    * the per-probed-cell query residual (queries×nprobe broadcast rows,
+    * each with its own m tables). */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, nprobe: Int,
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     require(k > 0 && nprobe > 0, s"ivfPqSearch: k=$k, nprobe=$nprobe")
-    val IvfPqIndex(codes, coarse, books, m, sub) = index
+    val IvfPqIndex(codes, coarse, books, m, sub, residual) = index
     def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
     // top-nprobe coarse cells by (snapped L2, cell): a literal
     // struct-array sort on the query side — no centroid join
     val probeCells = slice(array_sort(array(coarse.map { case (cell, c) =>
       struct(snappedD2(col("__qv"), c).as("d"), lit(cell).as("cell"))
     }: _*)), 1, nprobe)
-    val q = broadcast(queries
+    // per (query, probed cell): the ADC vector is the query itself
+    // (raw books) or the query's residual against THAT cell's centroid
+    // (IVFADC) — either way the tables are built on the broadcast side
+    val probed = queries
       .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("__qv"))
-      .select(col("q_id") +: explode(probeCells).as("__pc") +:
+      .select(col("q_id"), explode(probeCells).as("__pc"), col("__qv"))
+      .select(col("q_id"), col("__pc").getField("cell").as("__cell"),
+        col("__qv"))
+    val adcVec = if (residual)
+      probed.withColumn("__qv", zip_with(col("__qv"),
+        cellCentroid(coarse)(col("__cell")), (x, y) => x - y))
+    else probed
+    val q = broadcast(adcVec
+      .select(col("q_id") +: col("__cell") +:
         (0 until m).map(j =>
           array(books(j).map(c => snappedD2(subv(col("__qv"), j), c)): _*)
-            .as(s"__dt$j")): _*)
-      .select(col("q_id") +: col("__pc").getField("cell").as("__cell") +:
-        (0 until m).map(j => col(s"__dt$j")): _*))
+            .as(s"__dt$j")): _*))
     val scored = codes.join(q, Seq("__cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
@@ -605,6 +678,48 @@ object Ann {
           count(lit(1)).cast("double"), 4).as("silhouette"))
   }
 
+  /** IVF·PQ recall eval, hash-checked: overlap@k of [[ivfPqTopK]]
+    * (BOTH encodings — raw IVF-Flat-style PQ and residual IVFADC)
+    * against the exact brute-force cosine ranking, per nprobe tier —
+    * the (recall, cost) operating curve that picks production nprobe,
+    * and the oracle-checked form of the residual-beats-raw claim.
+    * Emits (q_id, variant ∈ {raw, residual}, nprobe, n_overlap, recall).
+    *
+    * Scale shape: ONE exact baseline pass (materialized — default
+    * localCheckpoint — so the |variants|×|nprobes| overlap branches
+    * read it, not recompute it), one training + encode per variant
+    * (codes materialized once, searched |nprobes| times), and each
+    * search is the [[ivfPqSearch]] contract: probed-cell equi-join,
+    * broadcast query tables. Overlap joins run on k×|Q| rows per
+    * branch. Determinism: both rankings are the q25/q135 contracts, so
+    * overlap counting is exact set intersection. */
+  def ivfPqRecall(corpus: DataFrame, queries: DataFrame, kCells: Int,
+      nprobes: Seq[Int], m: Int, kCodes: Int, iters: Int, k: Int,
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(nprobes.nonEmpty && k > 0, s"ivfPqRecall: nprobes=$nprobes, k=$k")
+    val exact = materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id")))
+    Seq(false, true).map { res =>
+      val idx = ivfPqIndex(corpus, kCells, m, kCodes, iters, dim,
+        idCol, vecCol, res)
+      val served = idx.copy(codes = materialize(idx.codes))
+      nprobes.map { np =>
+        val t = ivfPqSearch(served, queries, np, k, idCol, vecCol)
+          .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+        exact.join(t, Seq("q_id", "n_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+          .select(col("q_id"),
+            lit(if (res) "residual" else "raw").as("variant"),
+            lit(np).cast("long").as("nprobe"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
+              .as("recall"))
+      }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Matryoshka/truncation retrieval eval: overlap@k of the brute-force
     * cosine top-k under PREFIX-truncated embeddings against the full-dim
     * ranking — the "how many dims can serving drop" measurement behind
@@ -614,16 +729,19 @@ object Ann {
     *
     * Scale shape: each tier is one [[bruteForceTopK]] pass (corpus
     * scores in place, queries broadcast, WindowGroupLimit top-k), and
-    * the overlap join runs on k×|Q| rows per tier — corpus cost is
-    * |dims|+1 scans, pair work is top-k-sized. Determinism: both
-    * rankings use the 6-dp-rounded cosine with id tie-break (the q25
-    * contract), so overlap counting is exact set intersection. */
+    * the overlap join runs on k×|Q| rows per tier — the full-dim
+    * baseline is materialized ONCE (default localCheckpoint, the
+    * perplexityGate pattern), so corpus cost is |dims|+1 scans, pair
+    * work is top-k-sized. Determinism: both rankings use the
+    * 6-dp-rounded cosine with id tie-break (the q25 contract), so
+    * overlap counting is exact set intersection. */
   def truncationEval(corpus: DataFrame, queries: DataFrame, dims: Seq[Int],
-      k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
     require(dims.nonEmpty && k > 0, s"truncationEval: dims=$dims, k=$k")
-    val full = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("q_id"), col("n_id"))
+    val full = materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id")))
     def tr(df: DataFrame, d: Int) = df.select(col(idCol),
       slice(col(vecCol), 1, d).as(vecCol))
     dims.map { d =>

@@ -41,4 +41,29 @@ object StreamingAnn {
         }
       }
       .start()
+
+  /** Streaming INDEX maintenance — the [[Ann.ivfPqAppend]] contract on
+    * a vector stream: each micro-batch of new corpus vectors is encoded
+    * under the index's FROZEN codebooks (one zero-join projection per
+    * batch; the existing code table is never touched) and the code
+    * batch is handed to `sink` to append to wherever the serving code
+    * table lives. The union of all emitted batches is bit-identical to
+    * a frozen-book encode of the unioned vectors (StreamingAnnSpec) —
+    * so a restart replays idempotently onto an append-dedup sink, and
+    * re-training stays an offline decision ([[Ann.ivfPqIndex]]). Empty
+    * batches skip the encode (the S7 guard). */
+  def startIvfPqIndexSink(index: Ann.IvfPqIndex, vecStream: DataFrame,
+      checkpointDir: String, sink: (DataFrame, Long) => Unit,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : StreamingQuery =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(Ann.ivfPqAppend(index.copy(codes = index.codes.limit(0)),
+            batch, idCol, vecCol).codes, epochId)
+        }
+      }
+      .start()
 }

@@ -179,6 +179,57 @@ class AnnSpec extends SparkSpec {
     assert(all == scan)
   }
 
+  test("ivfPqTopK residual (IVFADC): recall@10 ≥ raw encoding at the " +
+    "same m/kCodes/nprobe; deterministic under repartition") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = topkSet(Ann.bruteForceTopK(emb, q, 10))
+    def recall(residual: Boolean): Double =
+      topkSet(Ann.ivfPqTopK(emb, q, kCells = 4, nprobe = 2, m = 4,
+        kCodes = 4, iters = 2, k = 10, residual = residual))
+        .intersect(exact).size.toDouble / exact.size
+    val raw = recall(residual = false)
+    val res = recall(residual = true)
+    // residuals concentrate around the origin, so the same code budget
+    // quantizes finer — the whole point of IVFADC vs IVF-Flat-style PQ
+    assert(res >= raw, s"residual recall $res < raw $raw")
+    assert(res > 0.0, s"residual IVF-PQ found nothing")
+    // partition-invariant (driver-literal books, snapped-integer ADC)
+    val a = Ann.ivfPqTopK(emb, q, kCells = 4, nprobe = 2, m = 4,
+      kCodes = 4, iters = 2, k = 10, residual = true)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Ann.ivfPqTopK(emb.repartition(7), q, kCells = 4, nprobe = 2,
+      m = 4, kCodes = 4, iters = 2, k = 10, residual = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("ivfPqAppend: frozen-book append ≡ encoding the unioned corpus; " +
+    "search over the appended index ≡ search over a full frozen-book " +
+    "encode (both residual and raw)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    for (residual <- Seq(false, true)) {
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val batch = emb.filter(col("vec_id") % 3 === 0)
+      val idx = Ann.ivfPqIndex(base, kCells = 4, m = 4, kCodes = 4,
+        iters = 2, residual = residual)
+      val appended = Ann.ivfPqAppend(idx, batch)
+      // encoding is per-row under frozen books: appending the batch is
+      // bit-identical to encoding the unioned corpus in one pass
+      val rebuilt = Ann.ivfPqAppend(idx.copy(codes = idx.codes.limit(0)), emb)
+      assert(appended.codes.collect().map(_.toString).sorted.toSeq ==
+        rebuilt.codes.collect().map(_.toString).sorted.toSeq,
+        s"residual=$residual: appended codes differ from full encode")
+      // and the served ranking agrees
+      val sa = Ann.ivfPqSearch(appended, q, nprobe = 2, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+      val sr = Ann.ivfPqSearch(rebuilt, q, nprobe = 2, k = 10)
+        .collect().map(_.toString).sorted.toSeq
+      assert(sa == sr, s"residual=$residual: served rankings differ")
+    }
+  }
+
   test("truncationEval: full-width prefix is the identity ranking " +
     "(recall 1.0); truncated tiers stay in [0, 1] with one row per " +
     "(query, tier)") {

@@ -48,4 +48,39 @@ class StreamingAnnSpec extends SparkSpec {
     assert(got == expected)
     assert(results.synchronized(results.size) == 2) // one sink call per batch
   }
+
+  test("startIvfPqIndexSink: streamed frozen-book encoding — union of " +
+    "emitted code batches ≡ batch ivfPqAppend of the same vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 3 === 0)
+    val index = Ann.ivfPqIndex(base, kCells = 4, m = 4, kCodes = 4,
+      iters = 2, residual = true)
+
+    val vecRows = arriving.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .as[QVec].collect().sortBy(_.vec_id)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[QVec]
+    val batches = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = StreamingAnn.startIvfPqIndexSink(index, ms.toDF(),
+      Files.createTempDirectory("ann-idx-ckpt").toString,
+      (df, epoch) => batches.synchronized {
+        batches(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(vecRows.take(vecRows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(vecRows.drop(vecRows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = batches.synchronized(batches.values.flatten.toSeq.sorted)
+    // the appended half of a batch ivfPqAppend on the same vectors
+    val expected = Ann.ivfPqAppend(
+        index.copy(codes = index.codes.limit(0)), arriving)
+      .codes.collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(batches.synchronized(batches.size) == 2)
+  }
 }
