@@ -494,23 +494,37 @@ object Ann {
     * Serve with [[ivfPqSearch]] — once per batch query set, or per
     * micro-batch on a stream (the index is static state, shared by
     * every batch; see graft.stream.StreamingAnn). Grow it with
-    * [[ivfPqAppend]] — frozen books, per-row encoding. */
+    * [[ivfPqAppend]] — frozen books, per-row encoding. `coarse0`
+    * supplies an already-trained coarse quantizer (e.g. when building
+    * raw and residual variants over one corpus — [[ivfPqRecall]] —
+    * the coarse trajectory is identical and trains once). */
   def ivfPqIndex(corpus: DataFrame, kCells: Int, m: Int, kCodes: Int,
       iters: Int, dim: Int = 64, idCol: String = "vec_id",
-      vecCol: String = "embedding", residual: Boolean = false): IvfPqIndex = {
+      vecCol: String = "embedding", residual: Boolean = false,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      coarse0: Option[Seq[(Long, Seq[Double])]] = None)
+      : IvfPqIndex = {
     require(m > 0 && dim % m == 0, s"ivfPqIndex: dim=$dim not divisible by m=$m")
     require(kCells > 0 && kCodes > 0 && iters > 0,
       s"ivfPqIndex: kCells=$kCells, kCodes=$kCodes, iters=$iters")
     val sub = dim / m
     val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    val coarse = coarse0.getOrElse(
+      kmeansCentroids(corpus, kCells, iters, idCol, vecCol))
     // PQ training space: raw vectors, or residuals against the trained
     // coarse centroids (assignment + subtraction are literal
-    // projections — the training scan stays zero-join)
+    // projections — zero-join). The residual TRAINING set is
+    // materialized once (default localCheckpoint): pqBooks scans it
+    // 1 + (iters−1) times, and re-deriving the argmin+subtract tree in
+    // every pass bloats codegen for no reuse. At 100 TB the training
+    // set is a sample anyway (the standard PQ practice — books need
+    // ~100k vectors, not the corpus), so the materialization is
+    // sample-sized; ENCODING still derives residuals in one fused
+    // corpus pass ([[ivfPqEncode]]), never materialized. */
     val trainSrc = if (residual)
-      src.select(col(idCol), zip_with(col("__v"),
-          cellCentroid(coarse)(nearestCell(col("__v"), coarse)),
-          (x, y) => x - y).as("__v"))
+      materialize(src.select(col(idCol), zip_with(col("__v"),
+        cellCentroid(coarse)(nearestCell(col("__v"), coarse)),
+        (x, y) => x - y).as("__v")))
     else src
     val books: Seq[Seq[Seq[Double]]] =
       pqBooks(trainSrc, idCol, m, sub, kCodes, iters).map(_.map(_._2))
@@ -701,9 +715,12 @@ object Ann {
     require(nprobes.nonEmpty && k > 0, s"ivfPqRecall: nprobes=$nprobes, k=$k")
     val exact = materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
       .select(col("q_id"), col("n_id")))
+    // both variants share one coarse quantizer — the trajectory is a
+    // pure function of (corpus, kCells, iters), so train it once
+    val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
     Seq(false, true).map { res =>
       val idx = ivfPqIndex(corpus, kCells, m, kCodes, iters, dim,
-        idCol, vecCol, res)
+        idCol, vecCol, res, materialize, Some(coarse))
       val served = idx.copy(codes = materialize(idx.codes))
       nprobes.map { np =>
         val t = ivfPqSearch(served, queries, np, k, idCol, vecCol)
