@@ -557,13 +557,17 @@ object SparkEntry {
     * surrogate ids ([[graft.expr.Flags.surrogateId]]) make the whole
     * cycle SQL-replayable, staging included. */
   private def qWarehouseCycle(s: SparkSession, dir: String): DataFrame = {
-    // staging is a materialized table in the reference — persist, or the
-    // load cycle's ~6 consumers re-run the whole synth+parse pipeline
-    val staging = qStreamPipeline(s, dir).persist()
+    // staging is a materialized TABLE in the reference — localCheckpoint
+    // (not persist): the cycle's ~6 consumers then plan against a
+    // LogicalRDD instead of each re-optimizing + re-codegenning the
+    // whole synth + 25-field-parse subtree (the plans, not the data,
+    // were the cost: runtime reads were cached either way)
+    val staging = qStreamPipeline(s, dir).localCheckpoint(true)
     val cutoff = staging.agg(max(col("ingest_time"))).first().getTimestamp(0)
-    // dims are multi-consumer inside the cycle — persist each once
+    // dims are multi-consumer inside the cycle — materialize each once,
+    // same plan-cutting story (broadcast-sized by construction)
     ops.LoadCycle.run(ops.LoadCycle.emptyWarehouse(staging), lit(cutoff),
-      materialize = _.persist()).fact
+      materialize = _.localCheckpoint(true)).fact
   }
 
   /** Range join: events against synthesized half-day [06:00,18:00]

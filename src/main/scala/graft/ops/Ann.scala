@@ -298,9 +298,11 @@ object Ann {
     * iteration: the m independent [[kmeansCentroids]] trajectories
     * (same smallest-id init, same per-iteration 1e-6 snap, same
     * (distance, cell) tie-breaks) computed from a single aggregation
-    * keyed by (subspace, cell, dim) — bit-identical codebooks, m× fewer
-    * corpus scans (the AnnSpec exact-ADC and partition-invariance tests
-    * pin the equivalence). Returns cell-ordered (cell, centroid) per
+    * keyed by (subspace, cell, dim). The independent pin on this
+    * trajectory is the DuckDB oracle replay (q133/q135/q142 rebuild
+    * the per-subspace Lloyd loop from scratch in SQL and the hashes
+    * must match); AnnSpec adds partition-invariance and the exact-ADC
+    * degenerate case on top. Returns cell-ordered (cell, centroid) per
     * subspace; empty cells drop out, as in the per-subspace loop. */
   private def pqBooks(src: DataFrame, idCol: String, m: Int, sub: Int,
       kCodes: Int, iters: Int): Seq[Seq[(Long, Seq[Double])]] = {

@@ -342,21 +342,34 @@ object Sampling {
     * comparison — the decision is a comparison of two 4-dp quantities,
     * replayable in any engine. Exact percentile buffers one source's
     * score multiset per task — fine for per-source thresholds over
-    * rounded scores (bounded distinct values); swap `approx_percentile`
-    * into the same shape for unbounded score domains at extreme scale
-    * (the q41 pattern, error-bounded). */
+    * rounded scores (bounded distinct values). For unbounded score
+    * domains at extreme scale pass `approxAccuracy = Some(a)`: the
+    * threshold becomes `approx_percentile(score, q, a)` (the q41
+    * pattern — a GK sketch with rank error ≤ 1/a, constant memory per
+    * source regardless of distinct-score count). The approx threshold
+    * is an actual element of the score multiset (no interpolation), so
+    * when the quantile lands on an exact rank the two paths agree
+    * bit-for-bit (CurationSelectSpec pins this on the bounded test
+    * domain). */
   def perplexityGate(scored: DataFrame, sourceCol: Column, scoreCol: Column,
       q: Double,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      approxAccuracy: Option[Int] = None)
       : DataFrame = {
     require(q > 0 && q < 1, s"perplexityGate: quantile q=$q outside (0,1)")
+    require(approxAccuracy.forall(_ > 0),
+      s"perplexityGate: approxAccuracy=$approxAccuracy must be positive")
     // (source, score) feeds BOTH the threshold aggregation and the keep
     // join — materialized (doc-sized, 2 narrow columns) so an expensive
     // upstream scorer (the q73/q113 NLL DAG) runs once, not twice
     val s = materialize(
       scored.select(sourceCol.as("source"), scoreCol.as("score")))
+    val thrExpr = approxAccuracy match {
+      case Some(acc) => expr(s"approx_percentile(score, $q, $acc)")
+      case None      => expr(s"percentile(score, $q)")
+    }
     val thr = s.groupBy(col("source"))
-      .agg(round(expr(s"percentile(score, $q)"), 4).as("threshold"))
+      .agg(round(thrExpr, 4).as("threshold"))
     s.join(broadcast(thr), "source")
       .groupBy(col("source"), col("threshold"))
       .agg(count(lit(1)).as("n_docs"),

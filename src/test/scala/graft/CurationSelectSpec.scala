@@ -281,6 +281,24 @@ class CurationSelectSpec extends SparkSpec {
     assert(r("b") == ((2L, 1L, 17.5))) // a global cut would keep ALL of a
   }
 
+  test("perplexityGate: approx_percentile scale path ≡ exact on an " +
+    "exact-rank domain (5 scores/source → p75 is an element, no " +
+    "interpolation)") {
+    val scored = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 9.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0), ("b", 90.0))
+      .toDF("source", "score")
+    def rows(acc: Option[Int]) =
+      graft.ops.Sampling.perplexityGate(scored, col("source"),
+          col("score"), 0.75, approxAccuracy = acc)
+        .collect().map(_.toString).sorted.toSeq
+    val exact = rows(None)
+    val approx = rows(Some(10000))
+    assert(exact == approx, s"exact $exact vs approx $approx")
+    // and the decision is the right one: p75 of 5 = the 4th element
+    assert(exact.exists(_.contains("[a,5,4,4.0]")), exact.toString)
+  }
+
   test("dedupChainAudit: transitively-merged groups flagged by their " +
     "weakest edge; tight groups pass; singletons absent") {
     val docs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")

@@ -25,12 +25,18 @@ class KafkaContractSpec extends SparkSpec {
     "exactly the contract options (reflection on the reader state)") {
     val r = FlightStream.kafkaReader(spark, "broker:9092", "flights")
     // DataStreamReader doesn't expose its config; walk the class
-    // hierarchy for the `source` and `extraOptions` fields
+    // hierarchy for the `source` and `extraOptions` fields. These are
+    // PRIVATE SPARK INTERNALS: if a Spark upgrade renames either, this
+    // test is what broke — the contract itself is still proven by the
+    // kafkaSourceOptions + fromKafka tests; update the field names here.
     def field(name: String): Any = {
       var c: Class[_] = r.getClass
       while (c != null && !c.getDeclaredFields.exists(_.getName == name))
         c = c.getSuperclass
-      assert(c != null, s"DataStreamReader field $name not found")
+      assert(c != null, s"DataStreamReader no longer has a `$name` field — " +
+        "Spark internals renamed (not a contract regression); fix this " +
+        "test's reflection, the options/format contract is covered by the " +
+        "kafkaSourceOptions and fromKafka tests")
       val f = c.getDeclaredField(name)
       f.setAccessible(true)
       f.get(r)
