@@ -1997,6 +1997,18 @@ object SparkEntry {
       nprobes = Seq(1, 2, 4), m = 4, kCodes = 4, iters = 2, k = 10)
   }
 
+  /** IVFADC+R (Jégou §V): the q135 residual index serves a top-20 ADC
+    * shortlist (nprobe=2), exact 6-dp cosine re-ranks it, top-10 out —
+    * the two-stage serving shape where quantization error only affects
+    * WHICH 20 candidates are rescored, never the served ordering. */
+  private def qIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val idx = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4,
+      iters = 2, residual = true)
+    Ann.ivfPqRerank(idx, emb, emb.filter(col("vec_id") < 5), nprobe = 2,
+      shortlist = 20, k = 10)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2141,7 +2153,8 @@ object SparkEntry {
     "q139_dedup_audit" -> (qDedupChainAudit _),
     "q140_length_bias" -> (qLengthBias _),
     "q141_corrupt_ingest" -> (qCorruptIngest _),
-    "q142_ivfpq_recall" -> (qIvfPqRecall _))
+    "q142_ivfpq_recall" -> (qIvfPqRecall _),
+    "q143_ivfpq_rerank" -> (qIvfPqRerank _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2241,6 +2254,50 @@ object SparkEntry {
       "list_zip(v.e, c1.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c1), " +
       "a2 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d2) WHERE rn = 1) "
+
+  /** The q135 IVFADC construction replayed through the per-candidate
+    * snapped-ADC score table `adc` — shared by q135 (rank over ADC) and
+    * q143 (shortlist + exact re-rank). Binds: v (corpus), c1/a2 (trained
+    * coarse + assignment), bk/code (residual PQ books + codes), pq
+    * (queries), probe (top-nprobe cells), dtab (per-cell residual ADC
+    * tables), adc (candidate scores). */
+  private lazy val ivfAdcResidualCte =
+      (kmeansReplayCte +
+        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
+        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
+        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
+        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
+        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
+        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
+        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
+        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
+        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
+        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
+        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
+        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM pq CROSS JOIN c1), " +
+        "probe AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 2), " +
+        "qr AS (SELECT p.q_id, p.cell, list_transform(list_zip(pq.qv, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM probe p JOIN pq USING (q_id) " +
+        "JOIN c1 ON c1.cell = p.cell), " +
+        "dtab AS (SELECT qr.q_id, qr.cell, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qr.r[bk.j*16+1:bk.j*16+16], bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM qr CROSS JOIN bk), " +
+        "cand AS (SELECT p.q_id, p.cell, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
+        "WHERE a2.vec_id <> p.q_id), " +
+        "adc AS (SELECT cand.q_id, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+        "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
+        "JOIN dtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
+        "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2)")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3591,46 +3648,26 @@ object SparkEntry {
       // CTEs, bk/code) — candidates restricted to each query's 2
       // nearest coarse cells by snapped-long L2 (ties to lowest cell),
       // ADC tables from the per-probed-cell query residual
-      (kmeansReplayCte +
-        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
-        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
-        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
-        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
-        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
-        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
-        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
-        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
-        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
-        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
-        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
-        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
-        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
-        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
-        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
-        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
-        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
-        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
-        "FROM pq CROSS JOIN c1), " +
-        "probe AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 2), " +
-        "qr AS (SELECT p.q_id, p.cell, list_transform(list_zip(pq.qv, c1.c), " +
-        "t -> t[1]-t[2]) AS r FROM probe p JOIN pq USING (q_id) " +
-        "JOIN c1 ON c1.cell = p.cell), " +
-        "dtab AS (SELECT qr.q_id, qr.cell, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
-        "list_zip(qr.r[bk.j*16+1:bk.j*16+16], bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
-        "FROM qr CROSS JOIN bk), " +
-        "cand AS (SELECT p.q_id, p.cell, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
-        "WHERE a2.vec_id <> p.q_id), " +
-        "adc AS (SELECT cand.q_id, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
-        "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
-        "JOIN dtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
-        "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2), " +
-        "r AS (SELECT q_id, n_id, s, row_number() OVER " +
+      (ivfAdcResidualCte +
+        ", r AS (SELECT q_id, n_id, s, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM adc) " +
         "SELECT q_id, rank, n_id, round(CAST(s AS DOUBLE)/1000000, 4) AS adc " +
         "FROM r WHERE rank <= 10"),
+    "q143_ivfpq_rerank" ->
+      // IVFADC+R: the q135 replay through `adc`, shortlist = top-20 by
+      // ADC, exact 6-dp cosine re-rank of the shortlist (q25 contract),
+      // serve top-10
+      (ivfAdcResidualCte +
+        ", r AS (SELECT q_id, n_id, s, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM adc), " +
+        "sl AS (SELECT q_id, n_id FROM r WHERE rank <= 20), " +
+        "rr AS (SELECT sl.q_id, sl.n_id, " +
+        "round(list_dot_product(nv.e, pq.qv) / " +
+        "nullif(sqrt(list_dot_product(nv.e, nv.e)) * sqrt(list_dot_product(pq.qv, pq.qv)), 0), 6) AS cos " +
+        "FROM sl JOIN v nv ON nv.vec_id = sl.n_id JOIN pq ON pq.q_id = sl.q_id), " +
+        "rr2 AS (SELECT q_id, n_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM rr) " +
+        "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM rr2 WHERE rank <= 10"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -694,6 +694,45 @@ object Ann {
           count(lit(1)).cast("double"), 4).as("silhouette"))
   }
 
+  /** IVFADC with re-ranking (Jégou et al., TPAMI 2011 §V — the "IVFADC+R"
+    * refinement): the PQ shortlist (top-`shortlist` by ADC within the
+    * probed cells) is re-scored with EXACT cosine against the raw
+    * vectors, and the top-`k` of the re-scored shortlist is served.
+    * This is the standard two-stage serving shape: the cheap quantized
+    * stage bounds how much of the corpus is touched, and the exact
+    * stage bounds the quantization error's effect on the final ranking
+    * — recall@k approaches the probed-cell exact search as `shortlist`
+    * grows (AnnSpec: shortlist = |corpus| reproduces q25's ranking
+    * restricted to the probed cells).
+    *
+    * Scale shape: stage 1 is the [[ivfPqSearch]] contract (cell-keyed
+    * broadcast hash join over the code table). Stage 2 joins the
+    * shortlist — |Q|×shortlist rows, NOT corpus-sized — back to the
+    * raw vectors by vector id (at 100 TB: a point-lookup join against
+    * the vector store, shortlist-sized I/O per query) and re-ranks with
+    * the q25 6-dp cosine contract. The corpus is never scanned raw;
+    * only shortlist rows fetch their vectors. */
+  def ivfPqRerank(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      nprobe: Int, shortlist: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k && k > 0,
+      s"ivfPqRerank: shortlist=$shortlist must be ≥ k=$k > 0")
+    val short = ivfPqSearch(index, queries, nprobe, shortlist, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    val vecs = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("__nv"))
+    val qv = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("__qv")))
+    val scored = short.join(vecs, Seq("n_id")).join(qv, Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(Similarity.cosine(col("__nv"), col("__qv")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** IVF·PQ recall eval, hash-checked: overlap@k of [[ivfPqTopK]]
     * (BOTH encodings — raw IVF-Flat-style PQ and residual IVFADC)
     * against the exact brute-force cosine ranking, per nprobe tier —

@@ -230,6 +230,31 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerank (IVFADC+R): nprobe=all + shortlist=corpus ≡ exact " +
+    "brute force; finite shortlist recall ≥ the unrefined ADC ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val idx = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4, iters = 2,
+      residual = true)
+    // probe everything, rescore everything → quantization fully cancels
+    val all = Ann.ivfPqRerank(idx, emb, q, nprobe = 4, shortlist = n, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val brute = Ann.bruteForceTopK(emb, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(all == brute)
+    // the two-stage point: rescoring a 20-deep shortlist can only help
+    // recall vs serving the raw ADC order at the same probe budget
+    val exact = topkSet(Ann.bruteForceTopK(emb, q, 10))
+    def recall(s: Set[(Long, Long)]) =
+      s.intersect(exact).size.toDouble / exact.size
+    val reranked = recall(topkSet(
+      Ann.ivfPqRerank(idx, emb, q, nprobe = 2, shortlist = 20, k = 10)))
+    val adcOnly = recall(topkSet(
+      Ann.ivfPqSearch(idx, q, nprobe = 2, k = 10)))
+    assert(reranked >= adcOnly, s"rerank $reranked < adc $adcOnly")
+  }
+
   test("truncationEval: full-width prefix is the identity ranking " +
     "(recall 1.0); truncated tiers stay in [0, 1] with one row per " +
     "(query, tier)") {

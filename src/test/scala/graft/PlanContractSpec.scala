@@ -543,4 +543,15 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0, p.take(800))
     assert(count(p, "Exchange SinglePartition") == 0, p.take(1200))
   }
+
+  test("q142: recall eval — every tiered search is a broadcast hash " +
+    "join on the probed cell; no nested loop or cartesian anywhere in " +
+    "the union (the baseline and code tables are materialized, so the " +
+    "q25 BNLJ shape never reaches this plan)") {
+    val p = plan("q142_ivfpq_recall")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // 6 searches (2 variants × 3 nprobe tiers), each a cell-keyed BHJ
+    assert(count(p, "BroadcastHashJoin") >= 6, p.take(1500))
+  }
 }
