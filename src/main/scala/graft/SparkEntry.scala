@@ -314,17 +314,38 @@ object SparkEntry {
     * parity with this oracle is covered by PropertySpec's ≡ test. */
   private def ngramJaccardBuild(s: SparkSession, dir: String): DataFrame = {
     val cands = sharedLshCandidates(s, dir)
-    // verification touches ONLY candidate docs: semi-join the corpus to
-    // the candidate id set BEFORE the shingle-set explode+distinct —
-    // at 100 TB that exchange covers LSH survivors, not the corpus.
-    // (Candidate ids are LSH-selective → broadcast; drop the hint if a
-    // workload's candidate set outgrows the broadcast threshold.)
+    TextDedup.jaccard(cands, candidateShingles(s, dir, cands))
+  }
+
+  /** Shingle sets of CANDIDATE docs only: semi-join the corpus to the
+    * candidate id set BEFORE the shingle-set explode+distinct — at
+    * 100 TB that exchange covers LSH survivors, not the corpus.
+    * (Candidate ids are LSH-selective → broadcast; drop the hint if a
+    * workload's candidate set outgrows the broadcast threshold.)
+    * Persisted: sizes + intersection = two consumers per verify. */
+  private def candidateShingles(s: SparkSession, dir: String,
+      cands: DataFrame): DataFrame = {
     val ids = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = TextDedup.shingleSet(
+    TextDedup.shingleSet(
       t(s, dir, "documents").join(broadcast(ids), Seq("doc_id"), "left_semi"),
       col("doc_id"), col("text"), 3).persist()
-    TextDedup.jaccard(cands, sh)
+  }
+
+  /** Asymmetric containment verify on the LSH candidates: |A∩B|/|A|
+    * and /|B| — flags sub-document copies (quotation/boilerplate) that
+    * Jaccard resemblance under-scores because the union is large. */
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val cands = sharedLshCandidates(s, dir)
+    TextDedup.containment(cands, candidateShingles(s, dir, cands))
+  }
+
+  /** SQ8 scalar-quantized ANN: per-dim corpus-trained 8-bit codes,
+    * decode-at-score asymmetric L2, top-10 — the third compression
+    * point next to PQ (q133/q135) and raw brute force (q25). */
+  private def qSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.sq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
   /** Edit-distance verification on the LSH candidate pairs — the third
@@ -2154,7 +2175,9 @@ object SparkEntry {
     "q140_length_bias" -> (qLengthBias _),
     "q141_corrupt_ingest" -> (qCorruptIngest _),
     "q142_ivfpq_recall" -> (qIvfPqRecall _),
-    "q143_ivfpq_rerank" -> (qIvfPqRerank _))
+    "q143_ivfpq_rerank" -> (qIvfPqRerank _),
+    "q144_containment" -> (qContainment _),
+    "q145_sq8_ann" -> (qSq8 _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3668,6 +3691,42 @@ object SparkEntry {
         "rr2 AS (SELECT q_id, n_id, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM rr) " +
         "SELECT q_id, rank, n_id, round(cos, 4) AS cos FROM rr2 WHERE rank <= 10"),
+    "q144_containment" ->
+      // asymmetric containment over the LSH candidates: |A∩B|/|A| and
+      // /|B| (q139's sz/inter pattern; no-shingle docs drop via the
+      // inner sz join, as the Spark array join)
+      (s"WITH $shingleCte, " +
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
+        "JOIN sh sa ON c.doc_a = sa.doc_id " +
+        "JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle GROUP BY 1, 2) " +
+        "SELECT c.doc_a, c.doc_b, " +
+        "round(CAST(coalesce(n_inter, 0) AS DOUBLE) / za.sz, 4) AS containment_a, " +
+        "round(CAST(coalesce(n_inter, 0) AS DOUBLE) / zb.sz, 4) AS containment_b " +
+        "FROM cands c LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b " +
+        "JOIN sz za ON c.doc_a = za.doc_id JOIN sz zb ON c.doc_b = zb.doc_id"),
+    "q145_sq8_ann" ->
+      // SQ8 replay: per-dim corpus min/max → 8-bit codes (clamped
+      // floor) → midpoint reconstruction → snapped-long asymmetric L2
+      // (list_sum over list_zip = Spark's left-to-right aggregate fold)
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM " +
+        "(SELECT unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v) GROUP BY 1), " +
+        "sc AS (SELECT list(mn ORDER BY i) AS mnl, " +
+        "list(CASE WHEN mx > mn THEN (mx - mn)/255 ELSE 0 END ORDER BY i) AS scl FROM st), " +
+        "rec AS (SELECT vec_id, list_transform(list_zip(e, mnl, scl), " +
+        "t -> CASE WHEN t[3] = 0 THEN t[2] ELSE t[2] + " +
+        "(CAST(least(greatest(floor((t[1] - t[2]) / t[3]), 0), 255) AS INTEGER) + 0.5) * t[3] END) AS r " +
+        "FROM v CROSS JOIN sc), " +
+        "q AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "d AS (SELECT q.q_id, rec.vec_id AS n_id, " +
+        "CAST(floor(list_sum(list_transform(list_zip(rec.r, q.qv), " +
+        "t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM rec JOIN q ON rec.vec_id <> q.q_id), " +
+        "r AS (SELECT q_id, n_id, dl, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, n_id) AS rank FROM d) " +
+        "SELECT q_id, rank, n_id, round(CAST(dl AS DOUBLE)/1000000, 4) AS d2 " +
+        "FROM r WHERE rank <= 10"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

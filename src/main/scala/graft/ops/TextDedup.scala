@@ -153,6 +153,37 @@ object TextDedup {
             col("n_inter")), 4).as("jaccard"))
   }
 
+  /** Exact shingle CONTAINMENT for candidate pairs — |A∩B|/|A| and
+    * |A∩B|/|B| — the asymmetric near-dup signal Jaccard resemblance
+    * misses: a short document wholly quoted inside a long one has low
+    * Jaccard (the union is big) but containment ≈ 1 on the short side,
+    * which is exactly the "boilerplate/quotation/sub-document copy"
+    * case a corpus-curation policy treats differently from a mirror.
+    * Same verify shape and scale contract as [[jaccard]]: per-pair
+    * `array_intersect` over the two doc-bounded shingle arrays
+    * (materialized once for both join sides), never a pair×shingle
+    * explode; pairs whose doc has no shingles drop with the inner
+    * join. Integer arithmetic until the two final divisions, both
+    * rounded 4 dp (engine-replayable). */
+  def containment(candidates: DataFrame, shingles: DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val shArr = materialize(shingles.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shset")))
+    candidates
+      .join(shArr.select(col("doc_id"), col("shset").as("seta")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(shArr.select(col("doc_id"), col("shset").as("setb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("seta"), col("setb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          size(col("seta")).cast("long"), 4).as("containment_a"),
+        round(col("n_inter").cast("double") /
+          size(col("setb")).cast("long"), 4).as("containment_b"))
+  }
+
   /** Per-document span-duplication signal: what fraction of a doc's
     * distinct n-gram spans also appear in at least one other document.
     * The practical approximation of suffix-array substring dedup — the

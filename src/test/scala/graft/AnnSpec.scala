@@ -230,6 +230,33 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("sq8TopK: near-exact recall vs brute force (unit vectors: " +
+    "L2-rank ≡ cosine-rank); partition-invariant; constant dims " +
+    "reconstruct exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = topkSet(Ann.bruteForceTopK(emb, q, 10))
+    val sq = Ann.sq8TopK(emb, q, 10)
+    val recall = topkSet(sq).intersect(exact).size.toDouble / exact.size
+    // 8 bits/dim on bounded data: error ≤ scale/2 per dim — recall
+    // should be near-exact, far above any coded ANN at the same k
+    assert(recall >= 0.9, s"SQ8 recall collapsed: $recall")
+    val a = sq.collect().map(_.toString).sorted.toSeq
+    val b = Ann.sq8TopK(emb.repartition(7), q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // constant dimension: scale 0 must reconstruct the exact value,
+    // so a corpus whose vectors differ only in non-constant dims ranks
+    // identically to brute force
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.5)), (2L, Seq(1.0, 1.0)),
+      (3L, Seq(1.0, 0.1))).toDF("vec_id", "embedding")
+    val r = Ann.sq8TopK(tiny, tiny.filter(col("vec_id") === 0L), 3)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(r == Seq((1L, 3L), (2L, 1L), (3L, 2L)), r.toString)
+  }
+
   test("ivfPqRerank (IVFADC+R): nprobe=all + shortlist=corpus ≡ exact " +
     "brute force; finite shortlist recall ≥ the unrefined ADC ranking") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

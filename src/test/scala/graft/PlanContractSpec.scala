@@ -544,6 +544,29 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Exchange SinglePartition") == 0, p.take(1200))
   }
 
+  test("q143: rerank — the ADC stage is a cell-keyed broadcast hash " +
+    "join and the exact stage joins only the shortlist; no nested " +
+    "loop or cartesian") {
+    val p = plan("q143_ivfpq_rerank")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // stage-1 cell join + stage-2 vector/query lookups are all hash joins
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(1500))
+  }
+
+  test("q144: containment — candidates come from the materialized " +
+    "artifact (no re-mining: zero band-aggregation in this plan); " +
+    "verify is per-pair array work behind hash joins") {
+    val p = plan("q144_containment")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    assert(p.contains("array_intersect"), "per-pair verify missing")
+    // the LSH mining DAG (minhash signature aggregation) must NOT be
+    // in this plan — it reads the localCheckpoint'd candidate table
+    assert(!p.contains("minhashsig") && !p.contains("graft_minhash"),
+      "candidate mining re-ran inside the consumer plan")
+  }
+
   test("q142: recall eval — every tiered search is a broadcast hash " +
     "join on the probed cell; no nested loop or cartesian anywhere in " +
     "the union (the baseline and code tables are materialized, so the " +

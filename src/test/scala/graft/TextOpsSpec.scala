@@ -114,6 +114,30 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L) > 0.0 && r(2L) < 1.0)   // near-dup: partial overlap
   }
 
+  test("containment: a doc quoted inside a longer one scores ~1 on its " +
+    "side while Jaccard under-scores the pair; symmetric for mirrors") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),                     // 2 trigrams
+      (2L, "alpha beta gamma delta x1 x2 x3 x4 x5 x6 x7 x8"), // superset
+      (3L, "alpha beta gamma delta"))                     // mirror of 1
+      .toDF("doc_id", "text")
+    val sh = TextDedup.shingleSet(d, col("doc_id"), col("text"), 3)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val c = TextDedup.containment(pairs, sh, identity).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getDouble(2), x.getDouble(3)))).toMap
+    // doc 1 wholly inside doc 2: containment_a = 1, but b-side is low
+    val (ca, cb) = c((1L, 2L))
+    assert(ca == 1.0 && cb < 0.5, s"$ca / $cb")
+    // Jaccard on the same pair is the small cb-side value — the signal
+    // containment exists to recover
+    val j = TextDedup.jaccard(pairs, sh, identity)
+      .filter(col("doc_b") === 2L).collect()(0).getDouble(2)
+    assert(j < 0.5, s"jaccard $j")
+    // exact mirror: both sides 1
+    assert(c((1L, 3L)) == ((1.0, 1.0)))
+  }
+
   test("contamination: only docs sharing a benchmark span are flagged") {
     val sh = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3)
     val bench = sh.filter(col("doc_id") === 1L)   // doc 1 = the eval set
