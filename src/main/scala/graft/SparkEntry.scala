@@ -348,6 +348,26 @@ object SparkEntry {
     Ann.sq8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
   }
 
+  /** IVF·SQ8 composed ANN (nprobe=2 of 4 trained cells): SQ8's
+    * exhaustive scan becomes a cell equi-join — completes the ANN
+    * matrix {flat, SQ8, PQ} × {exhaustive, IVF-pruned}. */
+  private def qIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), kCells = 4,
+      nprobe = 2, iters = 2, k = 10)
+  }
+
+  /** Index-staleness drift: recall@10 of the frozen-book APPENDED
+    * index (trained on vec_id%3≠0, grown with the rest) vs a fully
+    * RETRAINED index, both against exact — the hash-checked
+    * "when to re-train" diagnostic behind ivfPqAppend. */
+  private def qIndexDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfPqDriftEval(emb.filter(col("vec_id") % 3 =!= 0),
+      emb.filter(col("vec_id") % 3 === 0), emb.filter(col("vec_id") < 5),
+      kCells = 4, nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10)
+  }
+
   /** Edit-distance verification on the LSH candidate pairs — the third
     * near-dup signal next to Jaccard and cosine. */
   private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
@@ -2177,7 +2197,9 @@ object SparkEntry {
     "q142_ivfpq_recall" -> (qIvfPqRecall _),
     "q143_ivfpq_rerank" -> (qIvfPqRerank _),
     "q144_containment" -> (qContainment _),
-    "q145_sq8_ann" -> (qSq8 _))
+    "q145_sq8_ann" -> (qSq8 _),
+    "q146_ivf_sq8" -> (qIvfSq8 _),
+    "q147_index_drift" -> (qIndexDrift _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2321,6 +2343,69 @@ object SparkEntry {
         "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
         "JOIN dtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
         "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2)")
+
+  /** The residual-IVFADC replay PARAMETERIZED by CTE-name prefix `p`
+    * and a training predicate over `vec_id` — training aggregates
+    * (coarse init/M-step, book init/M-step) see only rows satisfying
+    * `pred`, while assignment/encoding cover the WHOLE corpus: exactly
+    * the [[graft.ops.Ann.ivfPqAppend]] frozen-book semantics when
+    * `pred` selects the base split, and the q135 construction when
+    * `pred` is TRUE. Expects shared CTEs `v` (corpus), `sp`
+    * (subspaces), `pq` (queries) to be in scope; emits `${p}top` =
+    * the served top-10 per query. Used twice by q147 (appended vs
+    * retrained) with disjoint prefixes. */
+  private def ivfAdcReplayFor(p: String, pred: String): String =
+    s"${p}c0 AS (SELECT vec_id AS cell, e AS c FROM " +
+      s"(SELECT vec_id, e FROM v WHERE $pred ORDER BY vec_id LIMIT 4)), " +
+      s"${p}d1 AS (SELECT v.vec_id, v.e, ${p}c0.cell, list_sum(list_transform(" +
+      s"list_zip(v.e, ${p}c0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d " +
+      s"FROM v CROSS JOIN ${p}c0 WHERE $pred), " +
+      s"${p}a1 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ${p}d1) WHERE rn = 1), " +
+      s"${p}m1 AS (SELECT cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+      s"(SELECT cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM ${p}a1) GROUP BY 1, 2), " +
+      s"${p}c1 AS (SELECT cell, list(m ORDER BY i) AS c FROM ${p}m1 GROUP BY 1), " +
+      s"${p}d2 AS (SELECT v.vec_id, v.e, c.cell, list_sum(list_transform(" +
+      s"list_zip(v.e, c.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN ${p}c1 c), " +
+      s"${p}a2 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ${p}d2) WHERE rn = 1), " +
+      s"${p}rv AS (SELECT a.vec_id, list_transform(list_zip(a.e, c.c), " +
+      s"t -> t[1]-t[2]) AS r FROM ${p}a2 a JOIN ${p}c1 c USING (cell)), " +
+      s"${p}sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM ${p}rv CROSS JOIN sp), " +
+      s"${p}init AS (SELECT vec_id FROM v WHERE $pred ORDER BY vec_id LIMIT 4), " +
+      s"${p}sc0 AS (SELECT j, vec_id AS cell, e AS c FROM ${p}sv JOIN ${p}init USING (vec_id)), " +
+      s"${p}sd1 AS (SELECT s.j, s.vec_id, s.e, s0.cell, list_sum(list_transform(" +
+      s"list_zip(s.e, s0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d " +
+      s"FROM ${p}sv s JOIN ${p}sc0 s0 ON s.j = s0.j WHERE $pred), " +
+      s"${p}sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM ${p}sd1) WHERE rn = 1), " +
+      s"${p}sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+      s"(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM ${p}sa1) GROUP BY 1, 2, 3), " +
+      s"${p}smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM ${p}sm1 GROUP BY 1, 2), " +
+      s"${p}bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM ${p}smc), " +
+      s"${p}sd2 AS (SELECT s.j, s.vec_id, b.pos, list_sum(list_transform(" +
+      s"list_zip(s.e, b.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM ${p}sv s JOIN ${p}bk b ON s.j = b.j), " +
+      s"${p}code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM ${p}sd2) WHERE rn = 1), " +
+      s"${p}pd AS (SELECT q_id, c.cell, CAST(floor(list_sum(list_transform(" +
+      s"list_zip(qv, c.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+      s"FROM pq CROSS JOIN ${p}c1 c), " +
+      s"${p}probe AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM ${p}pd) WHERE pr <= 2), " +
+      s"${p}qr AS (SELECT p2.q_id, p2.cell, list_transform(list_zip(pq.qv, c.c), " +
+      s"t -> t[1]-t[2]) AS r FROM ${p}probe p2 JOIN pq USING (q_id) " +
+      s"JOIN ${p}c1 c ON c.cell = p2.cell), " +
+      s"${p}dtab AS (SELECT q2.q_id, q2.cell, b.j, b.pos, CAST(floor(list_sum(list_transform(" +
+      s"list_zip(q2.r[b.j*16+1:b.j*16+16], b.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+      s"FROM ${p}qr q2 CROSS JOIN ${p}bk b), " +
+      s"${p}cand AS (SELECT p2.q_id, p2.cell, a.vec_id AS n_id FROM ${p}probe p2 " +
+      s"JOIN ${p}a2 a ON a.cell = p2.cell WHERE a.vec_id <> p2.q_id), " +
+      s"${p}adc AS (SELECT cd.q_id, cd.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+      s"FROM ${p}cand cd JOIN ${p}code c2 ON c2.vec_id = cd.n_id " +
+      s"JOIN ${p}dtab t ON t.q_id = cd.q_id AND t.cell = cd.cell " +
+      s"AND t.j = c2.j AND t.pos = c2.pos GROUP BY 1, 2), " +
+      s"${p}top AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+      s"(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM ${p}adc) WHERE rank <= 10)"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3727,6 +3812,56 @@ object SparkEntry {
         "(PARTITION BY q_id ORDER BY dl, n_id) AS rank FROM d) " +
         "SELECT q_id, rank, n_id, round(CAST(dl AS DOUBLE)/1000000, 4) AS d2 " +
         "FROM r WHERE rank <= 10"),
+    "q146_ivf_sq8" ->
+      // IVF·SQ8: the q76 coarse replay (c1 trained cells, a2 corpus
+      // assignment) + the q145 SQ8 replay, candidates restricted to
+      // each query's 2 nearest cells by snapped-long L2
+      (kmeansReplayCte +
+        ", st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM " +
+        "(SELECT unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v) GROUP BY 1), " +
+        "sc AS (SELECT list(mn ORDER BY i) AS mnl, " +
+        "list(CASE WHEN mx > mn THEN (mx - mn)/255 ELSE 0 END ORDER BY i) AS scl FROM st), " +
+        "rec AS (SELECT a2.vec_id, a2.cell, list_transform(list_zip(a2.e, mnl, scl), " +
+        "t -> CASE WHEN t[3] = 0 THEN t[2] ELSE t[2] + " +
+        "(CAST(least(greatest(floor((t[1] - t[2]) / t[3]), 0), 255) AS INTEGER) + 0.5) * t[3] END) AS r " +
+        "FROM a2 CROSS JOIN sc), " +
+        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM pq CROSS JOIN c1), " +
+        "probe AS (SELECT q_id, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 2), " +
+        "cand AS (SELECT p.q_id, rec.vec_id AS n_id, rec.r FROM probe p " +
+        "JOIN rec ON rec.cell = p.cell WHERE rec.vec_id <> p.q_id), " +
+        "d AS (SELECT cand.q_id, cand.n_id, " +
+        "CAST(floor(list_sum(list_transform(list_zip(cand.r, pq.qv), " +
+        "t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM cand JOIN pq USING (q_id)), " +
+        "r2 AS (SELECT q_id, n_id, dl, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, n_id) AS rank FROM d) " +
+        "SELECT q_id, rank, n_id, round(CAST(dl AS DOUBLE)/1000000, 4) AS d2 " +
+        "FROM r2 WHERE rank <= 10"),
+    "q147_index_drift" ->
+      // two full residual-IVFADC replays sharing v/sp/pq: `ap` trains
+      // on the base split only (frozen-book append semantics — coarse
+      // AND book aggregates see base rows, assignment/encoding cover
+      // everything), `rt` trains on all; overlap vs exact per variant
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        ivfAdcReplayFor("ap", "vec_id % 3 <> 0") + ", " +
+        ivfAdcReplayFor("rt", "TRUE") + ", " +
+        "bsc AS (SELECT b.q_id, v.vec_id AS n_id, round(list_dot_product(v.e, b.qv) / " +
+        "nullif(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(b.qv, b.qv)), 0), 6) AS cos " +
+        "FROM pq b JOIN v ON v.vec_id <> b.q_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bsc) WHERE rank <= 10), " +
+        "o AS (SELECT 'appended' AS variant, b.q_id, count(t.n_id) AS n_overlap " +
+        "FROM bf b LEFT JOIN aptop t USING (q_id, n_id) GROUP BY 1, 2 " +
+        "UNION ALL SELECT 'retrained' AS variant, b.q_id, count(t.n_id) AS n_overlap " +
+        "FROM bf b LEFT JOIN rttop t USING (q_id, n_id) GROUP BY 1, 2) " +
+        "SELECT q_id, variant, n_overlap, " +
+        "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

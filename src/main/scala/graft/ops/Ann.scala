@@ -718,36 +718,107 @@ object Ann {
     * left-to-right and 1e-6-snapped to a long (the [[snappedD2]]
     * contract) — bit-replayable in the oracle.
     * Returns (q_id, rank, n_id, d2) with d2 = snapped L2² / 1e6, 4 dp. */
-  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k > 0, s"sq8TopK: k=$k")
-    val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+  /** Per-dim corpus (min, scale) for SQ8: ONE map-side-combined
+    * aggregation collapsing to dim-sized driver state. */
+  private def sq8Bounds(src: DataFrame): (Seq[Double], Seq[Double]) = {
     val bounds = src.select(posexplode(col("__v")).as(Seq("pos", "x")))
       .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
-    val mins: Seq[Double] = bounds.map(_._2).toSeq
-    val scales: Seq[Double] = bounds.map { case (_, mn, mx) =>
-      if (mx > mn) (mx - mn) / 255d else 0d }.toSeq
-    def mnAt(i: Column) = element_at(typedLit(mins), i + 1)
-    def scAt(i: Column) = element_at(typedLit(scales), i + 1)
-    // the stored form: 1 byte/dim (int-typed here; tinyint at rest)
+    (bounds.map(_._2).toSeq,
+      bounds.map { case (_, mn, mx) =>
+        if (mx > mn) (mx - mn) / 255d else 0d }.toSeq)
+  }
+
+  /** SQ8 encode: clamp(floor((x − min_d)/scale_d), 0, 255) per dim —
+    * the stored 1-byte/dim form (int-typed here; tinyint at rest). */
+  private def sq8Encode(mins: Seq[Double], scales: Seq[Double])(v: Column)
+      : Column =
+    transform(v, (x, i) =>
+      when(element_at(typedLit(scales), i + 1) === 0d, lit(0))
+        .otherwise(least(greatest(
+          floor((x - element_at(typedLit(mins), i + 1)) /
+            element_at(typedLit(scales), i + 1)), lit(0d)),
+          lit(255d)).cast("int")))
+
+  /** SQ8 decode-at-score reconstruction: min_d + (code + 0.5)·scale_d
+    * (the midpoint; constant dims reconstruct exactly). */
+  private def sq8Recon(mins: Seq[Double], scales: Seq[Double])(c: Column)
+      : Column =
+    transform(c, (x, i) =>
+      when(element_at(typedLit(scales), i + 1) === 0d,
+        element_at(typedLit(mins), i + 1))
+        .otherwise(element_at(typedLit(mins), i + 1) +
+          (x + lit(0.5d)) * element_at(typedLit(scales), i + 1)))
+
+  /** Snapped-long asymmetric L2 between a reconstructed array and the
+    * raw query — left-to-right fold, the [[snappedD2]] contract. */
+  private def sq8Dist(recon: Column, qv: Column): Column =
+    floor(aggregate(zip_with(recon, qv, (r, qx) => { val d = r - qx; d * d }),
+      lit(0.0), (acc, x) => acc + x) * lit(1e6) + lit(0.5)).cast("long")
+
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"sq8TopK: k=$k")
+    val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val (mins, scales) = sq8Bounds(src)
     val codes = src.select(col(idCol).as("n_id"),
-      transform(col("__v"), (x, i) =>
-        when(scAt(i) === 0d, lit(0))
-          .otherwise(least(greatest(floor((x - mnAt(i)) / scAt(i)), lit(0d)),
-            lit(255d)).cast("int"))).as("__c"))
-    val recon = transform(col("__c"), (c, i) =>
-      when(scAt(i) === 0d, mnAt(i))
-        .otherwise(mnAt(i) + (c + lit(0.5d)) * scAt(i)))
+      sq8Encode(mins, scales)(col("__v")).as("__c"))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("__qv")))
     val scored = codes.crossJoin(q).filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-        floor(aggregate(zip_with(recon, col("__qv"),
-            (r, qx) => { val d = r - qx; d * d }),
-          lit(0.0), (acc, x) => acc + x) * lit(1e6) + lit(0.5))
-          .cast("long").as("__s"))
+        sq8Dist(sq8Recon(mins, scales)(col("__c")), col("__qv")).as("__s"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("__s").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("__s").cast("double") / lit(1e6), 4).as("d2"))
+  }
+
+  /** IVF·SQ8 composed ANN (the FAISS "IVF…,SQ8" index family): the
+    * trained coarse quantizer ([[kmeansCentroids]], the q76/q85
+    * trajectory) prunes each query to its `nprobe` nearest cells by
+    * snapped L2, and SQ8 decode-at-score ranks ONLY the probed cells'
+    * codes — [[sq8TopK]]'s exhaustive scan becomes a cell equi-join,
+    * exactly as [[ivfPqTopK]] does for PQ. Completes the ANN matrix:
+    * {flat, SQ8, PQ} × {exhaustive, IVF-pruned}, every cell of which
+    * is oracle-checked (q25/q145/q133 × q27·q85/q146/q135).
+    *
+    * Scale shape: the corpus is read ONCE into (cell, id, dim byte
+    * codes) by a zero-join projection (coarse centroids and SQ bounds
+    * are driver literals); the broadcast side is queries×nprobe rows;
+    * scoring is a broadcast hash join on the cell key, O(dim) decode
+    * arithmetic per candidate. SQ8 vs PQ inside the cells: 8× (not
+    * 64×) compression but near-exact in-cell ranking — the
+    * middle ground when recall matters more than scan size.
+    *
+    * Determinism: the coarse trajectory, probe ordering, bounds,
+    * codes, and snapped distances are all the established contracts;
+    * at nprobe = kCells the ranking is IDENTICAL to [[sq8TopK]]
+    * (asserted in AnnSpec — same bounds, same codes, same ties). */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, kCells: Int,
+      nprobe: Int, iters: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && nprobe > 0 && kCells > 0 && iters > 0,
+      s"ivfSq8TopK: k=$k, nprobe=$nprobe, kCells=$kCells, iters=$iters")
+    val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    val (mins, scales) = sq8Bounds(src)
+    val codes = src.select(nearestCell(col("__v"), coarse).as("__cell"),
+      col(idCol).as("n_id"), sq8Encode(mins, scales)(col("__v")).as("__c"))
+    val probeCells = slice(array_sort(array(coarse.map { case (cell, c) =>
+      struct(snappedD2(col("__qv"), c).as("d"), lit(cell).as("cell"))
+    }: _*)), 1, nprobe)
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .select(col("q_id"), explode(probeCells).as("__pc"), col("__qv"))
+      .select(col("q_id"), col("__pc").getField("cell").as("__cell"),
+        col("__qv")))
+    val scored = codes.join(q, Seq("__cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        sq8Dist(sq8Recon(mins, scales)(col("__c")), col("__qv")).as("__s"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("__s").asc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -836,6 +907,48 @@ object Ann {
             round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
               .as("recall"))
       }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Index-staleness drift eval — the "when to re-train" diagnostic
+    * behind [[ivfPqAppend]]'s frozen-book policy: recall@k of (a) an
+    * index TRAINED on the base corpus only, grown to the full corpus by
+    * frozen-book append, vs (b) an index re-trained on the full corpus
+    * — both against the exact ranking over the full corpus. The recall
+    * gap per query is the price of staleness at this batch fraction;
+    * re-train when it crosses the serving budget. Emits
+    * (q_id, variant ∈ {appended, retrained}, n_overlap, recall).
+    *
+    * Scale shape: one exact baseline pass (materialized); one training
+    * per variant (the append variant trains on the BASE only — that is
+    * the point); each search is the [[ivfPqSearch]] contract. The
+    * appended index's codes are one extra zero-join batch projection
+    * ([[ivfPqAppend]]); nothing re-encodes. */
+  def ivfPqDriftEval(base: DataFrame, batch: DataFrame, queries: DataFrame,
+      kCells: Int, nprobe: Int, m: Int, kCodes: Int, iters: Int, k: Int,
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(k > 0 && nprobe > 0, s"ivfPqDriftEval: k=$k, nprobe=$nprobe")
+    val full = base.unionByName(batch)
+    val exact = materialize(bruteForceTopK(full, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id")))
+    val variants = Seq(
+      "appended" -> ivfPqAppend(ivfPqIndex(base, kCells, m, kCodes, iters,
+        dim, idCol, vecCol, residual = true, materialize), batch,
+        idCol, vecCol),
+      "retrained" -> ivfPqIndex(full, kCells, m, kCodes, iters,
+        dim, idCol, vecCol, residual = true, materialize))
+    variants.map { case (name, idx) =>
+      val served = idx.copy(codes = materialize(idx.codes))
+      val t = ivfPqSearch(served, queries, nprobe, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(t, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .select(col("q_id"), lit(name).as("variant"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
+            .as("recall"))
     }.reduce(_.unionByName(_))
   }
 

@@ -257,6 +257,42 @@ class AnnSpec extends SparkSpec {
     assert(r == Seq((1L, 3L), (2L, 1L), (3L, 2L)), r.toString)
   }
 
+  test("ivfSq8TopK: recall monotone in nprobe; nprobe=kCells ≡ full " +
+    "SQ8 scan bit-exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val full = topkSet(Ann.sq8TopK(emb, q, 10))
+    def recall(np: Int): Double =
+      topkSet(Ann.ivfSq8TopK(emb, q, kCells = 4, nprobe = np, iters = 2,
+        k = 10)).intersect(full).size.toDouble / full.size
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r1 <= r2 + 1e-9, s"recall not monotone: $r1 / $r2")
+    assert(r1 > 0.0)
+    // probing every cell reproduces the exhaustive SQ8 scan exactly
+    // (same bounds, same codes, same snapped distances and ties)
+    val all = Ann.ivfSq8TopK(emb, q, kCells = 4, nprobe = 4, iters = 2,
+      k = 10).collect().map(_.toString).sorted.toSeq
+    val scan = Ann.sq8TopK(emb, q, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(all == scan)
+  }
+
+  test("ivfPqDriftEval: empty append batch → the appended and " +
+    "retrained variants are row-identical (no phantom drift)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val r = Ann.ivfPqDriftEval(emb, emb.limit(0), q, kCells = 4,
+        nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10)
+      .collect().map(x => (x.getString(1), x.getLong(0)) -> x.getLong(2))
+      .toMap
+    val (ap, rt) = (r.filter(_._1._1 == "appended"),
+      r.filter(_._1._1 == "retrained"))
+    assert(ap.size == 5 && rt.size == 5)
+    assert(ap.map { case ((_, q2), n) => q2 -> n } ==
+      rt.map { case ((_, q2), n) => q2 -> n })
+  }
+
   test("ivfPqRerank (IVFADC+R): nprobe=all + shortlist=corpus ≡ exact " +
     "brute force; finite shortlist recall ≥ the unrefined ADC ranking") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

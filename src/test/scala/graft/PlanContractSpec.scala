@@ -567,6 +567,16 @@ class PlanContractSpec extends SparkSpec {
       "candidate mining re-ran inside the consumer plan")
   }
 
+  test("q146: IVF-SQ8 — probed scoring is a cell-keyed broadcast hash " +
+    "join; no nested loop; corpus read once") {
+    val p = plan("q146_ivf_sq8")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(count(p, "Scan parquet") <= 2, // corpus + broadcast query side
+      s"extra corpus scans:\n${p.take(1200)}")
+  }
+
   test("q142: recall eval — every tiered search is a broadcast hash " +
     "join on the probed cell; no nested loop or cartesian anywhere in " +
     "the union (the baseline and code tables are materialized, so the " +
