@@ -306,6 +306,52 @@ object SparkEntry {
     jacMemo.getOrElseUpdate((s, dir),
       ngramJaccardBuild(s, dir).localCheckpoint(true))
 
+  /** Session-scoped ANN artifacts — the retrieval-side analog of the
+    * dedup artifact pair above. Production serves MANY query batches
+    * and MANY evals against ONE trained index and ONE frozen eval
+    * baseline; these memos are that shape in-session:
+    *
+    *  - [[sharedExactTopK]]: the exact brute-force ranking (the q25
+    *    contract: 6-dp cosine, id tie-break). q25 serves it; q138's
+    *    truncation tiers, q142's recall curve, and q147's drift eval
+    *    all measure AGAINST it instead of re-scanning the corpus.
+    *  - [[sharedCoarse]]: the (kCells=4, iters=2) coarse quantizer —
+    *    one q76 Lloyd trajectory shared by q85/q135/q142/q143/q146/
+    *    q147 (a pure, snap-stable function of the corpus, so every
+    *    consumer trains to the identical codebook).
+    *  - [[sharedIvfPqIndex]]: the residual (IVFADC) index — codes
+    *    materialized once; q135 and q143 serve it, q142 scores it,
+    *    q147 uses it as the "retrained" variant (its base ∪ batch IS
+    *    this corpus).
+    *
+    * First consumer in a session pays each build; the trainers' own
+    * plan shapes stay covered by q142/q147 (which still construct the
+    * raw-variant and appended-variant training DAGs in full). */
+  private val exactMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedExactTopK(s: SparkSession, dir: String): DataFrame =
+    exactMemo.getOrElseUpdate((s, dir), {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .localCheckpoint(true)
+    })
+
+  private val coarseMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Seq[Double])]]
+  private def sharedCoarse(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    coarseMemo.getOrElseUpdate((s, dir),
+      Ann.kmeansCentroids(t(s, dir, "embeddings"), 4, 2))
+
+  private val ivfPqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Ann.IvfPqIndex]
+  private def sharedIvfPqIndex(s: SparkSession, dir: String): Ann.IvfPqIndex =
+    ivfPqMemo.getOrElseUpdate((s, dir), {
+      val idx = Ann.ivfPqIndex(t(s, dir, "embeddings"), kCells = 4, m = 4,
+        kCodes = 4, iters = 2, residual = true,
+        coarse0 = Some(sharedCoarse(s, dir)))
+      idx.copy(codes = idx.codes.localCheckpoint(true))
+    })
+
   /** Exact n-gram Jaccard on the LSH candidates — the build behind
     * [[sharedVerifiedJaccard]]. Candidates come from the shared
     * materialized table ([[sharedLshCandidates]]); the exploded shingle
@@ -354,7 +400,8 @@ object SparkEntry {
   private def qIvfSq8(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), kCells = 4,
-      nprobe = 2, iters = 2, k = 10)
+      nprobe = 2, iters = 2, k = 10,
+      coarse0 = Some(sharedCoarse(s, dir)))
   }
 
   /** Index-staleness drift: recall@10 of the frozen-book APPENDED
@@ -363,9 +410,13 @@ object SparkEntry {
     * "when to re-train" diagnostic behind ivfPqAppend. */
   private def qIndexDrift(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // base ∪ batch is exactly the embeddings corpus, so the exact
+    // baseline and the retrained variant ARE the shared artifacts
     Ann.ivfPqDriftEval(emb.filter(col("vec_id") % 3 =!= 0),
       emb.filter(col("vec_id") % 3 === 0), emb.filter(col("vec_id") < 5),
-      kCells = 4, nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10)
+      kCells = 4, nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10,
+      exact0 = Some(sharedExactTopK(s, dir).select(col("q_id"), col("n_id"))),
+      retrained0 = Some(sharedIvfPqIndex(s, dir)))
   }
 
   /** Edit-distance verification on the LSH candidate pairs — the third
@@ -399,11 +450,10 @@ object SparkEntry {
       TextStats.qualityScore(txt).as("quality"))
   }
 
-  /** Brute-force cosine top-k ANN (exact baseline). */
-  private def qAnnCosine(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
-  }
+  /** Brute-force cosine top-k ANN (exact baseline) — serves the shared
+    * materialized ranking every retrieval eval measures against. */
+  private def qAnnCosine(s: SparkSession, dir: String): DataFrame =
+    sharedExactTopK(s, dir)
 
   /** IVF-bucketed ANN — the scale path (no SQL oracle: rows-only check). */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -1162,7 +1212,8 @@ object SparkEntry {
   private def qIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.ivfTrainedTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-      kCells = 4, iters = 2, nprobe = 2)
+      kCells = 4, iters = 2, nprobe = 2,
+      coarse0 = Some(sharedCoarse(s, dir)))
   }
 
   /** Equal-frequency binning (ntile) per group — quantile-bucket
@@ -1937,8 +1988,10 @@ object SparkEntry {
     * a flat scan becomes a broadcast hash equi-join on the cell key. */
   private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), kCells = 4,
-      nprobe = 2, m = 4, kCodes = 4, iters = 2, k = 10, residual = true)
+    // serve-many against the shared session index — identical by
+    // construction to ivfPqTopK (which IS ivfPqIndex ∘ ivfPqSearch)
+    Ann.ivfPqSearch(sharedIvfPqIndex(s, dir),
+      emb.filter(col("vec_id") < 5), nprobe = 2, k = 10)
   }
 
   /** Per-doc trigram novelty: fraction of a doc's gram occurrences
@@ -1964,7 +2017,8 @@ object SparkEntry {
     * serving. */
   private def qTruncationEval(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Ann.truncationEval(emb, emb.filter(col("vec_id") < 5), Seq(16, 32), 10)
+    Ann.truncationEval(emb, emb.filter(col("vec_id") < 5), Seq(16, 32), 10,
+      full0 = Some(sharedExactTopK(s, dir).select(col("q_id"), col("n_id"))))
   }
 
   /** Dedup-chain audit: per CC dedup group (with ≥1 candidate edge),
@@ -2035,7 +2089,10 @@ object SparkEntry {
   private def qIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.ivfPqRecall(emb, emb.filter(col("vec_id") < 5), kCells = 4,
-      nprobes = Seq(1, 2, 4), m = 4, kCodes = 4, iters = 2, k = 10)
+      nprobes = Seq(1, 2, 4), m = 4, kCodes = 4, iters = 2, k = 10,
+      coarse0 = Some(sharedCoarse(s, dir)),
+      exact0 = Some(sharedExactTopK(s, dir).select(col("q_id"), col("n_id"))),
+      residualIdx0 = Some(sharedIvfPqIndex(s, dir)))
   }
 
   /** IVFADC+R (Jégou §V): the q135 residual index serves a top-20 ADC
@@ -2044,10 +2101,8 @@ object SparkEntry {
     * WHICH 20 candidates are rescored, never the served ordering. */
   private def qIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4,
-      iters = 2, residual = true)
-    Ann.ivfPqRerank(idx, emb, emb.filter(col("vec_id") < 5), nprobe = 2,
-      shortlist = 20, k = 10)
+    Ann.ivfPqRerank(sharedIvfPqIndex(s, dir), emb,
+      emb.filter(col("vec_id") < 5), nprobe = 2, shortlist = 20, k = 10)
   }
 
   // =====================================================================

@@ -602,8 +602,10 @@ object Ann {
     * literals) and search touches only the probed cells. */
   def ivfTrainedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kCells: Int, iters: Int, nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      coarse0: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
+    val cents = coarse0.getOrElse(
+      kmeansCentroids(corpus, kCells, iters, idCol, vecCol))
     val assigned = corpus.withColumn("__cell",
       nearestCell(col(vecCol).cast("array<double>"), cents))
     ivfTopK(assigned, queries, "__cell", k, idCol, vecCol, nprobe)
@@ -799,11 +801,13 @@ object Ann {
     * (asserted in AnnSpec — same bounds, same codes, same ties). */
   def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, kCells: Int,
       nprobe: Int, iters: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      coarse0: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     require(k > 0 && nprobe > 0 && kCells > 0 && iters > 0,
       s"ivfSq8TopK: k=$k, nprobe=$nprobe, kCells=$kCells, iters=$iters")
     val src = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    val coarse = coarse0.getOrElse(
+      kmeansCentroids(corpus, kCells, iters, idCol, vecCol))
     val (mins, scales) = sq8Bounds(src)
     val codes = src.select(nearestCell(col("__v"), coarse).as("__cell"),
       col(idCol).as("n_id"), sq8Encode(mins, scales)(col("__v")).as("__c"))
@@ -883,18 +887,31 @@ object Ann {
   def ivfPqRecall(corpus: DataFrame, queries: DataFrame, kCells: Int,
       nprobes: Seq[Int], m: Int, kCodes: Int, iters: Int, k: Int,
       dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      coarse0: Option[Seq[(Long, Seq[Double])]] = None,
+      exact0: Option[DataFrame] = None,
+      residualIdx0: Option[IvfPqIndex] = None)
       : DataFrame = {
     require(nprobes.nonEmpty && k > 0, s"ivfPqRecall: nprobes=$nprobes, k=$k")
-    val exact = materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("q_id"), col("n_id")))
+    require(residualIdx0.forall(i => i.residual && i.m == m),
+      "ivfPqRecall: residualIdx0 must be a residual index with matching m")
+    // exact0/coarse0/residualIdx0: already-materialized session
+    // artifacts (the q25 ranking, the q76-trajectory coarse quantizer,
+    // the served q135 index) — evals reuse them instead of re-deriving;
+    // the trajectory is a pure function of (corpus, params) either way.
+    val exact = exact0.getOrElse(
+      materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
     // both variants share one coarse quantizer — the trajectory is a
     // pure function of (corpus, kCells, iters), so train it once
-    val coarse = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    val coarse = coarse0.getOrElse(
+      kmeansCentroids(corpus, kCells, iters, idCol, vecCol))
     Seq(false, true).map { res =>
-      val idx = ivfPqIndex(corpus, kCells, m, kCodes, iters, dim,
-        idCol, vecCol, res, materialize, Some(coarse))
-      val served = idx.copy(codes = materialize(idx.codes))
+      val served = (if (res) residualIdx0 else None).getOrElse {
+        val idx = ivfPqIndex(corpus, kCells, m, kCodes, iters, dim,
+          idCol, vecCol, res, materialize, Some(coarse))
+        idx.copy(codes = materialize(idx.codes))
+      }
       nprobes.map { np =>
         val t = ivfPqSearch(served, queries, np, k, idCol, vecCol)
           .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
@@ -927,20 +944,30 @@ object Ann {
   def ivfPqDriftEval(base: DataFrame, batch: DataFrame, queries: DataFrame,
       kCells: Int, nprobe: Int, m: Int, kCodes: Int, iters: Int, k: Int,
       dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      exact0: Option[DataFrame] = None,
+      retrained0: Option[IvfPqIndex] = None)
       : DataFrame = {
     require(k > 0 && nprobe > 0, s"ivfPqDriftEval: k=$k, nprobe=$nprobe")
+    require(retrained0.forall(i => i.residual && i.m == m),
+      "ivfPqDriftEval: retrained0 must be a residual index with matching m")
     val full = base.unionByName(batch)
-    val exact = materialize(bruteForceTopK(full, queries, k, idCol, vecCol)
-      .select(col("q_id"), col("n_id")))
+    // exact0/retrained0: already-materialized session artifacts — valid
+    // whenever base ∪ batch is exactly the corpus those artifacts were
+    // built on (training is a pure, snap-stable function of the row
+    // multiset, so the union plan retrains to the identical index).
+    val exact = exact0.getOrElse(
+      materialize(bruteForceTopK(full, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
+    def serve(idx: IvfPqIndex) = idx.copy(codes = materialize(idx.codes))
     val variants = Seq(
-      "appended" -> ivfPqAppend(ivfPqIndex(base, kCells, m, kCodes, iters,
-        dim, idCol, vecCol, residual = true, materialize), batch,
-        idCol, vecCol),
-      "retrained" -> ivfPqIndex(full, kCells, m, kCodes, iters,
-        dim, idCol, vecCol, residual = true, materialize))
-    variants.map { case (name, idx) =>
-      val served = idx.copy(codes = materialize(idx.codes))
+      "appended" -> serve(ivfPqAppend(ivfPqIndex(base, kCells, m, kCodes,
+        iters, dim, idCol, vecCol, residual = true, materialize), batch,
+        idCol, vecCol)),
+      "retrained" -> retrained0.getOrElse(
+        serve(ivfPqIndex(full, kCells, m, kCodes, iters,
+          dim, idCol, vecCol, residual = true, materialize))))
+    variants.map { case (name, served) =>
       val t = ivfPqSearch(served, queries, nprobe, k, idCol, vecCol)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(t, Seq("q_id", "n_id"), "left")
@@ -969,11 +996,15 @@ object Ann {
     * overlap counting is exact set intersection. */
   def truncationEval(corpus: DataFrame, queries: DataFrame, dims: Seq[Int],
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      full0: Option[DataFrame] = None)
       : DataFrame = {
     require(dims.nonEmpty && k > 0, s"truncationEval: dims=$dims, k=$k")
-    val full = materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .select(col("q_id"), col("n_id")))
+    // full0: the already-materialized exact (q_id, n_id) ranking — the
+    // session artifact every retrieval eval shares (see SparkEntry).
+    val full = full0.getOrElse(
+      materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
     def tr(df: DataFrame, d: Int) = df.select(col(idCol),
       slice(col(vecCol), 1, d).as(vecCol))
     dims.map { d =>

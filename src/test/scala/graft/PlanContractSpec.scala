@@ -59,11 +59,20 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("q25: ANN corpus side scores in place — queries broadcast, no corpus shuffle before scoring") {
-    val p = plan("q25_ann_cosine")
+    // q25 now SERVES the shared materialized exact ranking (every
+    // retrieval eval measures against it), so the brute-force BUILD
+    // shape is asserted on the builder itself
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(500))
     // the only exchange is the per-query top-k window, after scoring
     assert(count(p, "Exchange hashpartitioning") <= 1, p.take(800))
+    // and the query itself reads the artifact, not the corpus
+    assert(!plan("q25_ann_cosine").contains("Scan parquet"),
+      "q25 re-derived the exact ranking instead of serving the artifact")
   }
 
   test("q55: rank<=k filter plans as WindowGroupLimit (partial top-k pushdown)") {
