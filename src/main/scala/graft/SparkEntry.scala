@@ -2105,6 +2105,34 @@ object SparkEntry {
       emb.filter(col("vec_id") < 5), nprobe = 2, shortlist = 20, k = 10)
   }
 
+  /** Eval-set decontamination in embedding space: every 10th vector
+    * plays the held-out benchmark; corpus vectors whose nearest
+    * benchmark item reaches cosine 0.28 (the q32 near-dup bar) are
+    * flagged with their nearest eval item — the leakage n-gram
+    * contamination (q54) can't see. */
+  private def qSemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.semanticDecontam(emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0), 0.28)
+  }
+
+  /** LSH banding planner over the observed verified-pair similarity
+    * distribution: expected true-pair yield and S-curve threshold for
+    * every power-of-two (bands, rows) split of the 8-hash signature —
+    * the measurement that justifies q21's banding choice. */
+  private def qLshPlanner(s: SparkSession, dir: String): DataFrame =
+    TextDedup.lshPlanner(sharedVerifiedJaccard(s, dir), 8)
+
+  /** MinHash estimator calibration: signature-agreement Jaccard vs the
+    * exact shingle-set Jaccard per candidate pair — the spread at n=8
+    * permutations that the planner's S-curve assumes away. */
+  private def qMinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sigs = TextDedup.minhashSignaturesNative(t(s, dir, "documents"),
+      col("doc_id"), col("text"), 3, 8)
+    TextDedup.minhashCalibration(sharedLshCandidates(s, dir), sigs,
+      sharedVerifiedJaccard(s, dir), 8)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2254,7 +2282,10 @@ object SparkEntry {
     "q144_containment" -> (qContainment _),
     "q145_sq8_ann" -> (qSq8 _),
     "q146_ivf_sq8" -> (qIvfSq8 _),
-    "q147_index_drift" -> (qIndexDrift _))
+    "q147_index_drift" -> (qIndexDrift _),
+    "q148_semantic_decontam" -> (qSemanticDecontam _),
+    "q149_lsh_planner" -> (qLshPlanner _),
+    "q150_minhash_calibration" -> (qMinhashCalibration _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2300,6 +2331,19 @@ object SparkEntry {
       "FROM sigs GROUP BY 1, 2), " +
       "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"
+
+  /** The exact-Jaccard verify stage over the LSH candidates as a `jac`
+    * CTE (composes after [[shingleCte]]) — shared by q22 and the
+    * planner/calibration evals built on the verified-pair table. */
+  private val jaccardCte =
+    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
+      "JOIN sh sa ON c.doc_a = sa.doc_id " +
+      "JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle GROUP BY 1, 2), " +
+      "jac AS (SELECT c.doc_a, c.doc_b, " +
+      "round(CAST(coalesce(n_inter, 0) AS DOUBLE) / (za.sz + zb.sz - coalesce(n_inter, 0)), 4) AS jaccard " +
+      "FROM cands c LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b " +
+      "JOIN sz za ON c.doc_a = za.doc_id JOIN sz zb ON c.doc_b = zb.doc_id)"
 
   /** DuckDB replay of the `flight_events` topic through the ENTIRE
     * ingest pipeline (payload is a pure function of the row index —
@@ -2575,15 +2619,7 @@ object SparkEntry {
     "q21_minhash_lsh" ->
       s"WITH $shingleCte SELECT doc_a, doc_b FROM cands",
     "q22_ngram_jaccard" ->
-      (s"WITH $shingleCte, " +
-        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
-        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
-        "JOIN sh sa ON c.doc_a = sa.doc_id " +
-        "JOIN sh sb ON c.doc_b = sb.doc_id AND sa.shingle = sb.shingle GROUP BY 1, 2) " +
-        "SELECT c.doc_a, c.doc_b, " +
-        "round(CAST(coalesce(n_inter, 0) AS DOUBLE) / (za.sz + zb.sz - coalesce(n_inter, 0)), 4) AS jaccard " +
-        "FROM cands c LEFT JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b " +
-        "JOIN sz za ON c.doc_a = za.doc_id JOIN sz zb ON c.doc_b = zb.doc_id"),
+      (s"WITH $shingleCte, $jaccardCte SELECT doc_a, doc_b, jaccard FROM jac"),
     "q23_simhash" -> simhashSql,
     "q24_text_stats" ->
       ("SELECT doc_id, " +
@@ -3917,6 +3953,54 @@ object SparkEntry {
         "FROM bf b LEFT JOIN rttop t USING (q_id, n_id) GROUP BY 1, 2) " +
         "SELECT q_id, variant, n_overlap, " +
         "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"),
+    "q148_semantic_decontam" ->
+      // nearest benchmark item per corpus vector (6-dp cos, id
+      // tie-break), flagged at the 4-dp 0.28 bar
+      ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings WHERE vec_id % 10 <> 0), " +
+        "b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv " +
+        "FROM embeddings WHERE vec_id % 10 = 0), " +
+        "sc AS (SELECT c.vec_id, bench_id, round(list_dot_product(v, bv) / " +
+        "nullif(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(bv, bv)), 0), 6) AS cos " +
+        "FROM c JOIN b ON c.vec_id <> bench_id), " +
+        "r AS (SELECT vec_id, bench_id, cos, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn FROM sc) " +
+        "SELECT vec_id, bench_id, round(cos, 4) AS cos FROM r " +
+        "WHERE rn = 1 AND round(cos, 4) >= 0.28"),
+    "q149_lsh_planner" ->
+      // S-curve p = 1 − (1 − s^r)^b over the verified-pair Jaccards;
+      // powers are the SAME squaring chains as the engine (no libm pow),
+      // s* the same sqrt chain; per-pair p snapped 6 dp before the sum
+      (s"WITH $shingleCte, $jaccardCte, " +
+        "g AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(8 AS BIGINT)), " +
+        "(2, 4), (4, 2), (8, 1)) AS t(bands, rows_per_band)), " +
+        "x AS (SELECT bands, rows_per_band, jaccard FROM jac CROSS JOIN g), " +
+        "t1 AS (SELECT bands, rows_per_band, CASE rows_per_band WHEN 1 THEN jaccard " +
+        "WHEN 2 THEN jaccard*jaccard WHEN 4 THEN (jaccard*jaccard)*(jaccard*jaccard) " +
+        "ELSE ((jaccard*jaccard)*(jaccard*jaccard))*((jaccard*jaccard)*(jaccard*jaccard)) END AS jr FROM x), " +
+        "t2 AS (SELECT bands, rows_per_band, 1 - jr AS qq FROM t1), " +
+        "t3 AS (SELECT bands, rows_per_band, round(1 - CASE bands WHEN 1 THEN qq " +
+        "WHEN 2 THEN qq*qq WHEN 4 THEN (qq*qq)*(qq*qq) " +
+        "ELSE ((qq*qq)*(qq*qq))*((qq*qq)*(qq*qq)) END, 6) AS p FROM t2) " +
+        "SELECT bands, rows_per_band, " +
+        "round(CASE rows_per_band WHEN 1 THEN CAST(1 AS DOUBLE)/CAST(bands AS DOUBLE) " +
+        "WHEN 2 THEN sqrt(CAST(1 AS DOUBLE)/CAST(bands AS DOUBLE)) " +
+        "WHEN 4 THEN sqrt(sqrt(CAST(1 AS DOUBLE)/CAST(bands AS DOUBLE))) " +
+        "ELSE sqrt(sqrt(sqrt(CAST(1 AS DOUBLE)/CAST(bands AS DOUBLE)))) END, 4) AS s_star, " +
+        "count(*) AS n_pairs, round(sum(p), 4) AS expected_pairs, " +
+        "round(sum(p) / CAST(count(*) AS DOUBLE), 4) AS expected_rate " +
+        "FROM t3 GROUP BY 1, 2"),
+    "q150_minhash_calibration" ->
+      // signature-agreement estimate (matches/8) vs exact Jaccard per
+      // candidate pair — sigs and jac replayed from the shared CTEs
+      (s"WITH $shingleCte, $jaccardCte, " +
+        "est AS (SELECT c.doc_a, c.doc_b, " +
+        "CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS e " +
+        "FROM cands c JOIN sigs sa ON c.doc_a = sa.doc_id " +
+        "JOIN sigs sb ON c.doc_b = sb.doc_id AND sa.h = sb.h GROUP BY 1, 2) " +
+        "SELECT est.doc_a, est.doc_b, round(e, 4) AS est_jaccard, jaccard, " +
+        "round(abs(e - jaccard), 4) AS abs_err FROM est " +
+        "JOIN jac ON est.doc_a = jac.doc_a AND est.doc_b = jac.doc_b"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -60,6 +60,36 @@ object Ann {
       .filter(col("cos") >= threshold)
   }
 
+  /** Eval-set (semantic) decontamination: flag corpus vectors whose
+    * nearest benchmark/eval vector by cosine meets `tau` — the
+    * embedding-space counterpart of n-gram benchmark contamination
+    * (q54): a train document that embeds onto an eval item leaks the
+    * benchmark even when no 13-gram matches. Emits one row per flagged
+    * corpus vector: (vec_id, bench_id = its nearest benchmark item with
+    * lowest-id tie-break at 6 dp, cos at 4 dp).
+    *
+    * Scale shape: the benchmark is eval-set-sized — ALWAYS broadcast;
+    * the corpus is scanned once and scored in place, and the per-vector
+    * argmax is one map-side-combinable `max_by` aggregation (no window,
+    * no corpus shuffle beyond the final id-keyed agg). Threshold is
+    * applied to the 4-dp-rounded value ([[cosineNearDupPairs]]'s
+    * float-order-independence contract). */
+  def semanticDecontam(corpus: DataFrame, benchmark: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).as("b_vec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(b, col(idCol) =!= col("bench_id"))
+      .select(col(idCol).as("vec_id"), col("bench_id"),
+        round(Similarity.cosine(col(vecCol), col("b_vec")), 6).as("cos"))
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("bench_id"), col("cos")),
+        struct(col("cos"), (lit(0L) - col("bench_id")).as("nb"))).as("m"))
+      .select(col("vec_id"), col("m.bench_id").as("bench_id"),
+        round(col("m.cos"), 4).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** SemDeDup (Abbas et al.): prune the corpus to one representative per
     * semantic near-duplicate neighborhood — a vector is DROPPED iff some
     * smaller-id vector in its bucket is a near-duplicate (cosine ≥

@@ -463,4 +463,82 @@ object TextDedup {
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6)
           .as("novelty"))
   }
+
+  /** x^e for power-of-two e as an explicit squaring chain — plain IEEE
+    * multiplications, so any engine replays it bit-identically (general
+    * `pow` is NOT correctly rounded in the JDK and may differ from
+    * another engine's libm in the last ulp). */
+  private def ipow(x: Column, e: Column, maxLog: Int): Column = {
+    val sq = Iterator.iterate(x)(c => c * c).take(maxLog + 1).toSeq
+    (1 to maxLog).foldLeft(when(e === 1L, sq(0))) { (c, i) =>
+      c.when(e === (1L << i).toLong, sq(i)) }
+  }
+
+  /** LSH banding planner, grounded on the OBSERVED pair-similarity
+    * distribution: for every power-of-two (bands b, rows-per-band r)
+    * split of the signature, the S-curve detection probability
+    * p(s) = 1 − (1 − s^r)^b is evaluated at each verified pair's exact
+    * Jaccard, giving the EXPECTED number of true near-dup pairs that
+    * (b, r) would surface as candidates — plus the curve's threshold
+    * s* = (1/b)^(1/r) (the similarity at ~50% detection). The query
+    * that justifies q21's (b=4, r=2) instead of hand-waving it.
+    *
+    * Determinism: s^r and (·)^b are squaring chains ([[ipow]]) and s*
+    * a sqrt chain — no libm `pow` anywhere; per-pair probabilities are
+    * 6-dp-snapped before the sum, the sum rounded to 4.
+    *
+    * Scale shape: input is the (LSH-selective) verified-pair table —
+    * pair-sized, not corpus-sized; the grid is a literal-array explode
+    * (|pairs|×|grid| rows, no join); output is |grid| rows. */
+  def lshPlanner(verified: DataFrame, numHashes: Int): DataFrame = {
+    require(numHashes > 0 && (numHashes & (numHashes - 1)) == 0,
+      s"lshPlanner: numHashes=$numHashes must be a power of two")
+    val maxLog = 31 - Integer.numberOfLeadingZeros(numHashes)
+    val grid: Seq[(Long, Long)] = (0 to maxLog)
+      .map(i => (1L << i, (numHashes >> i).toLong))
+    val g = verified.select(col("jaccard"), explode(typedLit(grid)).as("g"))
+      .select(col("jaccard"), col("g._1").as("bands"),
+        col("g._2").as("rows_per_band"))
+    val p = lit(1.0) -
+      ipow(lit(1.0) - ipow(col("jaccard"), col("rows_per_band"), maxLog),
+        col("bands"), maxLog)
+    val inv = lit(1.0) / col("bands").cast("double")
+    val sStar = (1 to maxLog).foldLeft(when(col("rows_per_band") === 1L, inv)) {
+      (c, i) => c.when(col("rows_per_band") === (1L << i).toLong,
+        Iterator.iterate(inv)(sqrt).drop(i).next()) }
+    g.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(p, 6)).as("e"))
+      .select(col("bands"), col("rows_per_band"),
+        round(sStar, 4).as("s_star"), col("n_pairs"),
+        round(col("e"), 4).as("expected_pairs"),
+        round(col("e") / col("n_pairs").cast("double"), 4)
+          .as("expected_rate"))
+  }
+
+  /** MinHash estimator calibration: per candidate pair, the signature-
+    * agreement estimate of Jaccard (matching components / numHashes)
+    * against the exact shingle-set Jaccard, with the absolute error —
+    * the query that measures whether `numHashes` permutations are
+    * enough for the banding decisions downstream (the estimator is
+    * unbiased; its per-pair spread at n=8 is what this surfaces).
+    *
+    * Scale shape: candidates and the verified table are pair-sized;
+    * the signature join fans each pair to numHashes rows (bounded);
+    * everything is equi-joined and map-side aggregable. */
+  def minhashCalibration(candidates: DataFrame, signatures: DataFrame,
+      verified: DataFrame, numHashes: Int): DataFrame = {
+    require(numHashes > 0, s"minhashCalibration: numHashes=$numHashes")
+    val sa = signatures.select(col("doc_id").as("doc_a"), col("h"),
+      col("minhash").as("ma"))
+    val sb = signatures.select(col("doc_id").as("doc_b"), col("h"),
+      col("minhash").as("mb"))
+    val est = candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+        .cast("double") / lit(numHashes.toDouble)).as("e"))
+    est.join(verified, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(col("e"), 4).as("est_jaccard"),
+        col("jaccard"), round(abs(col("e") - col("jaccard")), 4).as("abs_err"))
+  }
 }

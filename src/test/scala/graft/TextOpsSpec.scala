@@ -522,4 +522,68 @@ class TextOpsSpec extends SparkSpec {
     assert(re == graft.expr.TextStats.oovRate(docs, col("lang"),
       col("text"), 2).collect().map(_.toString).sorted.toSeq)
   }
+
+  test("lshPlanner: closed-form S-curve over a known pair distribution, " +
+    "monotone in bands, exact s* anchors") {
+    val verified = Seq((1L, 2L, 1.0), (3L, 4L, 0.5), (5L, 6L, 0.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val r = TextDedup.lshPlanner(verified, 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getDouble(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r.keySet == Set((1L, 8L), (2L, 4L), (4L, 2L), (8L, 1L)))
+    // s* anchors: (1/b)^(1/r) with exact values at three of four points
+    assert(r((1L, 8L))._1 == 1.0)
+    assert(r((4L, 2L))._1 == 0.5)
+    assert(r((8L, 1L))._1 == 0.125)
+    assert(r((2L, 4L))._1 == 0.8409) // 0.5^0.25 to 4 dp
+    // every (b,r) sees all 3 pairs; j=1 contributes p=1, j=0 p=0, so
+    // expected ∈ (1, 2) with the j=0.5 term the only variable:
+    // (8,1): 1 + (1-(1-0.5)^8) = 1.996094; (1,8): 1 + 0.5^8 = 1.003906
+    assert(r.values.forall(_._2 == 3L))
+    assert(math.abs(r((8L, 1L))._3 - 1.996094) < 1e-4)
+    assert(math.abs(r((1L, 8L))._3 - 1.003906) < 1e-4)
+    // more bands (fewer rows) is strictly more permissive
+    val e = Seq((1L, 8L), (2L, 4L), (4L, 2L), (8L, 1L)).map(r(_)._3)
+    assert(e == e.sorted)
+  }
+
+  test("minhashCalibration: est is matches/n on the signature table; " +
+    "exact dups calibrate to est=1, jac=1, err=0") {
+    val sh = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 3)
+    val sigs = TextDedup.minhashSignatures(sh, 8)
+    val cands = TextDedup.lshCandidates(sigs)
+    val exact = TextDedup.jaccard(cands, sh)
+    val r = TextDedup.minhashCalibration(cands, sigs, exact, 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    // every estimate is a multiple of 1/8 in [0,1]
+    assert(r.values.forall { case (e, _, _) =>
+      e >= 0 && e <= 1 && math.abs(e * 8 - math.round(e * 8)) < 1e-9 })
+    // docs 1 and 4 are identical: signatures agree on all 8 slots
+    assert(r((1L, 4L)) == (1.0, 1.0, 0.0))
+    // err is |est − jac| for every pair
+    assert(r.values.forall { case (e, j, err) =>
+      math.abs(err - math.abs(e - j)) < 1e-3 })
+  }
+
+  test("semanticDecontam: flags exactly the corpus vectors whose best " +
+    "benchmark cosine clears tau, with lowest-id argmax tie-break") {
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)),
+      (10L, Array(1f, 0f)), (20L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < 10)
+    val bench = emb.filter(col("vec_id") >= 10)
+    val r = graft.ops.Ann.semanticDecontam(corpus, bench, 0.9)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    // vec 1: cos(10)=1.0, cos(20)=0.6 → flagged via 10
+    // vec 2: cos(10)=0, cos(20)=0.8 → below tau, not flagged
+    // vec 3: cos(10)=0.7071, cos(20)=0.9899 → flagged via 20
+    assert(r.keySet == Set(1L, 3L))
+    assert(r(1L) == (10L, 1.0))
+    assert(r(3L)._1 == 20L && math.abs(r(3L)._2 - 0.9899) < 1e-4)
+    // tau below -1 flags the whole corpus (argmax always exists)
+    assert(graft.ops.Ann.semanticDecontam(corpus, bench, -2).count() == 3)
+  }
 }
