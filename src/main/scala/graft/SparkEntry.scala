@@ -1062,21 +1062,37 @@ object SparkEntry {
     * contract); the probability table is vocabulary-sized and
     * broadcast; per-doc sums are map-side combinable. The corpus
     * shuffles once at any scale. */
-  private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
-    val tf = termFreqs(t(s, dir, "documents"))
-    val totals = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
-    val grand = totals.agg(sum(col("ctf")).cast("double").as("gt"))
-    val probs = totals.crossJoin(broadcast(grand))
-      .select(col("term"), (col("ctf") / col("gt")).as("p"))
-    // NLL terms via the shared order-independent Snap sum (the
-    // q104/q113/q115 contract)
-    tf.join(broadcast(probs), "term")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        round(-graft.expr.Snap.snappedSum(
-            col("tf").cast("double") * log(col("p")), 1e9) /
-          sum(col("tf")).cast("double"), 4).as("nll"))
-  }
+  private def qUnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    sharedUnigramNll(s, dir)
+
+  /** Session-scoped MATERIALIZED unigram-NLL score table — the third
+    * artifact family next to the dedup pair and the ANN trio: a corpus
+    * is SCORED once, then every admission/diagnostic consumer (q73
+    * serves it; q137's perplexity gate and q140's length-bias
+    * correlation read it) works off the doc-sized score table instead
+    * of re-running tokenize + tf + probability join. The build
+    * unpersists its tf intermediate once the checkpoint is cut. */
+  private val nllMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedUnigramNll(s: SparkSession, dir: String): DataFrame =
+    nllMemo.getOrElseUpdate((s, dir), {
+      val tf = termFreqs(t(s, dir, "documents"))
+      val totals = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      val grand = totals.agg(sum(col("ctf")).cast("double").as("gt"))
+      val probs = totals.crossJoin(broadcast(grand))
+        .select(col("term"), (col("ctf") / col("gt")).as("p"))
+      // NLL terms via the shared order-independent Snap sum (the
+      // q104/q113/q115 contract)
+      val nll = tf.join(broadcast(probs), "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          round(-graft.expr.Snap.snappedSum(
+              col("tf").cast("double") * log(col("p")), 1e9) /
+            sum(col("tf")).cast("double"), 4).as("nll"))
+        .localCheckpoint(true)
+      tf.unpersist()
+      nll
+    })
 
   /** Per-label embedding centroids (mean pooling): the k-means E-step /
     * IVF codebook computation, in the relational form that scales —

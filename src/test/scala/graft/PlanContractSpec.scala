@@ -596,4 +596,39 @@ class PlanContractSpec extends SparkSpec {
     // 6 searches (2 variants × 3 nprobe tiers), each a cell-keyed BHJ
     assert(count(p, "BroadcastHashJoin") >= 6, p.take(1500))
   }
+
+  test("q148: semantic decontam — benchmark broadcast, corpus scored " +
+    "in place, argmax is ONE partial-aggregated exchange, no window") {
+    val p = plan("q148_semantic_decontam")
+    assert(count(p, "CartesianProduct") == 0, p.take(1000))
+    // the only exchange is the vec_id argmax agg (map-side combined)
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1200))
+    assert(count(p, "Window") == 0, "argmax degenerated to a window")
+    assert(p.contains("max_by") || p.contains("MaxBy"), p.take(1200))
+  }
+
+  test("q149: LSH planner — reads the materialized verified-pair " +
+    "artifact (no re-mining, no parquet), grid is a literal explode " +
+    "(zero joins)") {
+    val p = plan("q149_lsh_planner")
+    assert(count(p, "Scan parquet") == 0 && count(p, "FileScan parquet") == 0,
+      s"planner re-derived the pair table from the corpus:\n${p.take(1000)}")
+    assert(!p.contains("Join"), s"grid explode became a join:\n${p.take(1000)}")
+    assert(!p.contains("minhashsig") && !p.contains("graft_minhash"),
+      "candidate mining re-ran inside the planner plan")
+  }
+
+  test("q150: minhash calibration — candidates and exact Jaccard come " +
+    "from the artifacts; the signature fan-join is hash-only") {
+    val p = plan("q150_minhash_calibration")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    // signatures ARE in this plan (native single-pass expression)…
+    assert(p.contains("minhashsig") || p.contains("graft_minhash"),
+      p.take(1200))
+    // …but band-aggregation/verify are not: both pair tables are
+    // materialized artifacts (ExistingRDD), so no shingle explode
+    assert(count(p, "ExistingRDD") >= 2,
+      s"pair artifacts not read from checkpoint:\n${p.take(1200)}")
+  }
 }
