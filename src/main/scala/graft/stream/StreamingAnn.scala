@@ -66,4 +66,29 @@ object StreamingAnn {
         }
       }
       .start()
+
+  /** Streaming ingest-time decontamination — [[Ann.semanticDecontam]]
+    * on an arriving corpus-vector stream: each micro-batch is scored
+    * against the static (broadcast, eval-set-sized) benchmark and its
+    * flagged rows handed to `sink` — the admission-control shape where
+    * leaked training vectors are caught BEFORE they land in the corpus
+    * rather than by a later sweep. Per-row decision (a vector's flag
+    * depends only on itself and the benchmark), so the union of batch
+    * outputs is bit-identical to the batch decontam of the unioned
+    * vectors (StreamingAnnSpec) and restarts replay idempotently. Empty
+    * batches skip the scan (the S7 guard). */
+  def startDecontamSink(benchmark: DataFrame, vecStream: DataFrame,
+      tau: Double, checkpointDir: String, sink: (DataFrame, Long) => Unit,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : StreamingQuery =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(Ann.semanticDecontam(batch, benchmark, tau, idCol, vecCol),
+            epochId)
+        }
+      }
+      .start()
 }

@@ -83,4 +83,36 @@ class StreamingAnnSpec extends SparkSpec {
     assert(got == expected)
     assert(batches.synchronized(batches.size) == 2)
   }
+
+  test("startDecontamSink: streamed admission-time decontam — union of " +
+    "per-batch flags ≡ batch semanticDecontam of the unioned vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    val arriving = emb.filter(col("vec_id") % 10 =!= 0)
+
+    val vecRows = arriving.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .as[QVec].collect().sortBy(_.vec_id)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[QVec]
+    val flags = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = StreamingAnn.startDecontamSink(bench, ms.toDF(), 0.28,
+      Files.createTempDirectory("decontam-ckpt").toString,
+      (df, epoch) => flags.synchronized {
+        flags(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(vecRows.take(vecRows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(vecRows.drop(vecRows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = flags.synchronized(flags.values.flatten.toSeq.sorted)
+    val expected = Ann.semanticDecontam(arriving, bench, 0.28)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(got.nonEmpty) // the bar actually flags rows at this SF
+    assert(flags.synchronized(flags.size) == 2)
+  }
 }
