@@ -2167,6 +2167,41 @@ object SparkEntry {
       sharedVerifiedJaccard(s, dir), 8)
   }
 
+  /** Block-level global-frequency boilerplate removal (CCNet/Dolma
+    * paragraph dedup over aligned 8-token blocks): any block occurring
+    * more than once corpus-wide drops from EVERY document. */
+  private def qBlockDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.blockBoilerplate(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 8, 1L)
+
+  /** Incremental dedup-group maintenance: the candidate-pair stream is
+    * split deterministically into history ((a+b)%4 ≠ 0) and a new batch
+    * ((a+b)%4 = 0); history is labeled with the full star fixpoint,
+    * then the batch folds in via [[Graph.incrementalComponents]] —
+    * batch-bounded work, no re-run over history. Output exposes the
+    * maintenance semantics: the merged label plus whether the batch
+    * changed this doc's label. */
+  private def qIncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val cands = sharedLshCandidates(s, dir)
+    val batchPred = (col("doc_a") + col("doc_b")) % 4 === 0
+    val baseComps = ops.Graph.connectedComponents(
+      cands.filter(!batchPred), "doc_a", "doc_b")
+    // every doc labeled (singletons = self) — the maintained artifact;
+    // materialized once for its three consumers (two remap joins in
+    // incrementalComponents + the changed-flag comparison)
+    val baseLabels = t(s, dir, "documents").select(col("doc_id"))
+      .join(baseComps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id").as("node"),
+        coalesce(col("comp"), col("doc_id")).cast("long").as("comp"))
+      .localCheckpoint(true)
+    val upd = ops.Graph.incrementalComponents(baseLabels,
+      cands.filter(batchPred), "doc_a", "doc_b")
+    baseLabels.select(col("node"), col("comp").as("base_comp"))
+      .join(upd.withColumnRenamed("comp", "group_id"), Seq("node"))
+      .select(col("node").as("doc_id"), col("group_id"),
+        (col("group_id") =!= col("base_comp")).as("changed"))
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2319,7 +2354,9 @@ object SparkEntry {
     "q147_index_drift" -> (qIndexDrift _),
     "q148_semantic_decontam" -> (qSemanticDecontam _),
     "q149_lsh_planner" -> (qLshPlanner _),
-    "q150_minhash_calibration" -> (qMinhashCalibration _))
+    "q150_minhash_calibration" -> (qMinhashCalibration _),
+    "q151_block_dedup" -> (qBlockDedup _),
+    "q152_incremental_cc" -> (qIncrementalCc _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4035,6 +4072,38 @@ object SparkEntry {
         "SELECT est.doc_a, est.doc_b, round(e, 4) AS est_jaccard, jaccard, " +
         "round(abs(e - jaccard), 4) AS abs_err FROM est " +
         "JOIN jac ON est.doc_a = jac.doc_a AND est.doc_b = jac.doc_b"),
+    "q151_block_dedup" ->
+      // aligned 8-token blocks; any block with global count >= 2 drops
+      // everywhere; cleaned text reassembled positionally and hashed
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1), " +
+        "blocks AS (SELECT doc_id, bi, array_to_string(t[bi*8+1:bi*8+8], ' ') AS blk " +
+        "FROM nn, unnest(generate_series(0, CAST(ceil(n / 8.0) AS INT) - 1)) AS u(bi)), " +
+        "freq AS (SELECT blk, count(*) AS cnt FROM blocks GROUP BY 1), " +
+        "kept AS (SELECT doc_id, count(*) AS n_kept, " +
+        "string_agg(blk, ' ' ORDER BY bi) AS clean_text " +
+        "FROM blocks JOIN freq USING (blk) WHERE cnt <= 1 GROUP BY 1) " +
+        "SELECT nn.doc_id, CAST(ceil(n / 8.0) AS BIGINT) AS n_blocks, " +
+        "CAST(ceil(n / 8.0) AS BIGINT) - coalesce(n_kept, 0) AS n_dropped, " +
+        "md5(coalesce(clean_text, '')) AS clean_hash " +
+        "FROM nn LEFT JOIN kept USING (doc_id)"),
+    "q152_incremental_cc" ->
+      // base labeling = CC over history edges ((a+b)%4 <> 0); merged
+      // labeling = CC over ALL candidate edges (incremental ≡ full
+      // recompute is the operator's contract); changed = label moved
+      (s"WITH RECURSIVE $shingleCte, " +
+        "eb AS (SELECT doc_a AS a, doc_b AS b FROM cands WHERE (doc_a + doc_b) % 4 <> 0 " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands WHERE (doc_a + doc_b) % 4 <> 0), " +
+        "ef AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "rb AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM rb r JOIN eb e ON e.a = r.node), " +
+        "rf AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM rf r JOIN ef e ON e.a = r.node), " +
+        "cb AS (SELECT node, min(comp) AS base_comp FROM rb GROUP BY 1), " +
+        "cf AS (SELECT node, min(comp) AS group_id FROM rf GROUP BY 1) " +
+        "SELECT cb.node AS doc_id, group_id, group_id <> base_comp AS changed " +
+        "FROM cb JOIN cf USING (node)"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -287,6 +287,57 @@ object Graph {
     * with its duplicate-cluster id (`group_id` = smallest doc id in the
     * cluster), cluster size, and a `keep` flag marking the canonical
     * member. Documents with no near-duplicate form singleton groups. */
+  /** Incremental connected-components maintenance — the dedup-index
+    * analog of [[graft.ops.Ann]]'s frozen-book append: a NEW batch of
+    * candidate edges updates an EXISTING labeling without re-running
+    * the star fixpoint over the full edge history. Labels follow the
+    * [[connectedComponents]] contract (comp = min node id in the
+    * component); `labels` rows are (node, comp), `newEdges` the batch.
+    *
+    * Algorithm (contract-and-relabel): each batch endpoint maps through
+    * the existing labeling (unlabeled endpoints stand for themselves),
+    * giving a CONTRACTED graph whose nodes are old component ids and
+    * new nodes; [[connectedComponents]] runs on that graph — bounded by
+    * the BATCH size, never the corpus — and the resulting mapping
+    * relabels only the components the batch touched. Exact: the
+    * contracted minimum over {old component minima, new node ids} IS
+    * the merged component's true minimum (old component ids are minima
+    * by contract), so the result is identical to a full recompute over
+    * history ∪ batch (GraphSpec pins this).
+    *
+    * Scale shape: two broadcast-or-hash joins keyed on the batch
+    * endpoints, a batch-bounded CC fixpoint (which hits the union-find
+    * endgame immediately for any sane batch), and ONE label-keyed join
+    * to remap the big labeling — the only corpus-sized exchange. */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+      src: String, dst: String): DataFrame = {
+    val l = labels.select(col("node").cast("long").as("node"),
+      col("comp").cast("long").as("comp"))
+    val e = newEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val contracted = e
+      .join(l.select(col("node").as("u"), col("comp").as("cu")), Seq("u"), "left")
+      .join(l.select(col("node").as("v"), col("comp").as("cv")), Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("u"),
+        coalesce(col("cv"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // (old label | new node) -> merged label, batch-touched entries only
+    val m = connectedComponents(contracted, "u", "v")
+      .select(col("node").as("old_comp"), col("comp").as("new_comp"))
+    val remapped = l
+      .join(m.withColumnRenamed("old_comp", "comp"), Seq("comp"), "left")
+      .select(col("node"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    // batch endpoints the existing labeling has never seen
+    val newNodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .join(l.select(col("node")), Seq("node"), "left_anti")
+    remapped.union(newNodes
+      .join(m.withColumnRenamed("old_comp", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("new_comp"), col("node")).as("comp")))
+  }
+
   def dedupGroups(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)

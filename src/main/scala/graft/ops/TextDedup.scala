@@ -516,6 +516,64 @@ object TextDedup {
           .as("expected_rate"))
   }
 
+  /** Block-level global-frequency boilerplate removal (the CCNet /
+    * Dolma paragraph-dedup shape, Wenzek et al. 2020 §3.1): the corpus
+    * is cut into aligned `b`-token blocks (the token-stream stand-in
+    * for paragraphs — this corpus has no newline structure), every
+    * block's GLOBAL occurrence count is measured, and every occurrence
+    * of a block seen more than `maxFreq` times is dropped from every
+    * document — headers, navigation chrome, license banners: text
+    * whose duplication is corpus-wide, not pairwise (q22's near-dup
+    * view) and not canonical-first (q132's substring view; this one
+    * keeps NO copy once a block is over the bar). Emits per doc the
+    * block counts and the md5 of the reassembled cleaned text.
+    *
+    * Deterministic: the drop decision is a pure integer count on exact
+    * block text (no hashing, no sampling); reassembly is positional.
+    *
+    * Scale shape: blocks are a narrow projection of the corpus (n/b
+    * rows per doc — SMALLER than the token stream, vs l× for shingle
+    * explodes), materialized once for its two consumers (frequency agg
+    * and removal join); the frequency aggregation is map-side combined
+    * on the block text; the removal join is keyed by block text; the
+    * rebuild is one doc-keyed aggregation. At 100 TB every stage is an
+    * equi-keyed exchange over at-most-corpus-sized rows — the frequency
+    * table is the only global structure and it shrinks with dedup. */
+  def blockBoilerplate(docs: DataFrame, id: Column, text: Column,
+      b: Int, maxFreq: Long = 1L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(b >= 1 && maxFreq >= 1, s"blockBoilerplate: b=$b maxFreq=$maxFreq")
+    val toks = docs.select(id.as("doc_id"),
+      graft.expr.TextStats.tokens(text).as("t"))
+      .withColumn("n", size(col("t")))
+    val blocks = materialize(fanout(toks).filter(col("n") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          ceil(col("n").cast("double") / lit(b.toDouble)).cast("int") - 1))
+          .as("bi"),
+        col("t"))
+      .select(col("doc_id"), col("bi"),
+        array_join(slice(col("t"), col("bi") * lit(b) + 1, lit(b)), " ")
+          .as("blk")))
+    val freq = blocks.groupBy(col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+    val kept = blocks.join(freq, Seq("blk"))
+      .filter(col("cnt") <= maxFreq)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("bi"), col("blk")))),
+          x => x.getField("blk")), " ").as("clean_text"))
+    toks.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        ceil(col("n").cast("double") / lit(b.toDouble)).cast("long")
+          .as("n_blocks"),
+        (ceil(col("n").cast("double") / lit(b.toDouble)).cast("long") -
+          coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_hash"))
+  }
+
   /** MinHash estimator calibration: per candidate pair, the signature-
     * agreement estimate of Jaccard (matching components / numHashes)
     * against the exact shingle-set Jaccard, with the absolute error —

@@ -198,4 +198,50 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) == 0.075) // 0.15/2, teleport only
     assert(got(2L) == 0.075 + 0.85 * 0.5)
   }
+
+  // ---- incremental maintenance ----------------------------------------
+
+  private def fullLabels(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val n = (nodes ++ edges.flatMap(e => Seq(e._1, e._2))).max.toInt + 1
+    val uf = unionFind(n, edges)
+    nodes.map(nd => nd -> uf(nd)).toMap
+  }
+
+  test("incrementalComponents ≡ full recompute over history ∪ batch " +
+    "(randomized, incl. merges across old components and brand-new nodes)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val nNodes = 30
+      val all = Seq.fill(40)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(e => e._1 != e._2)
+      val (history, batch0) = all.splitAt(all.size * 2 / 3)
+      // force some batch edges to touch nodes history never saw
+      val batch = batch0 ++ Seq((nNodes.toLong + 1, 0L), (nNodes + 2L, nNodes + 3L))
+      val histNodes = (0L until nNodes.toLong)
+      val base = fullLabels(histNodes, history)
+      val labels = base.toSeq.toDF("node", "comp")
+      val got = Graph.incrementalComponents(labels,
+        batch.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      val want = fullLabels(histNodes ++ Seq(nNodes + 1L, nNodes + 2L, nNodes + 3L),
+        history ++ batch)
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("incrementalComponents: empty batch is the identity") {
+    val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("node", "comp")
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = Graph.incrementalComponents(labels, empty, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("incrementalComponents: batch-only components among unseen nodes") {
+    val labels = Seq((1L, 1L)).toDF("node", "comp")
+    val batch = Seq((10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val got = Graph.incrementalComponents(labels, batch, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
 }

@@ -586,4 +586,40 @@ class TextOpsSpec extends SparkSpec {
     // tau below -1 flags the whole corpus (argmax always exists)
     assert(graft.ops.Ann.semanticDecontam(corpus, bench, -2).count() == 3)
   }
+
+  test("blockBoilerplate: corpus-frequent blocks drop from EVERY doc, " +
+    "rare blocks survive, fully-boilerplate doc hashes md5('')") {
+    // b=2 blocks; "nav bar" opens three docs (freq 3 → drop everywhere,
+    // including all its occurrences); "body one"/"body two" are unique
+    val docs = Seq(
+      (1L, "nav bar body one"),
+      (2L, "nav bar body two"),
+      (3L, "nav bar"),          // nothing left after removal
+      (4L, "plain text only"))  // 2 blocks: "plain text" + short tail "only"
+      .toDF("doc_id", "text")
+    val r = TextDedup.blockBoilerplate(docs, col("doc_id"), col("text"), 2, 1L)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(1L) == (2L, 1L, md5s("body one")))
+    assert(r(2L) == (2L, 1L, md5s("body two")))
+    assert(r(3L) == (1L, 1L, md5s("")))
+    assert(r(4L) == (2L, 0L, md5s("plain text only")))
+  }
+
+  test("blockBoilerplate: maxFreq raises the bar; partition-invariant") {
+    val docs = Seq(
+      (1L, "a b x"), (2L, "a b y"), (3L, "c d z"))
+      .toDF("doc_id", "text")
+    // maxFreq=2 keeps the twice-seen "a b"
+    val keep2 = TextDedup.blockBoilerplate(docs, col("doc_id"), col("text"), 2, 2L)
+      .agg(sum(col("n_dropped"))).head().getLong(0)
+    assert(keep2 == 0L)
+    val once = TextDedup.blockBoilerplate(docs, col("doc_id"), col("text"), 2, 1L)
+    val rep = TextDedup.blockBoilerplate(docs.repartition(7), col("doc_id"),
+      col("text"), 2, 1L)
+    assert(once.orderBy("doc_id").collect().toSeq ==
+      rep.orderBy("doc_id").collect().toSeq)
+  }
 }
