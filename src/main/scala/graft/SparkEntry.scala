@@ -2202,6 +2202,15 @@ object SparkEntry {
         (col("group_id") =!= col("base_comp")).as("changed"))
   }
 
+  /** Cell-quota diversified top-k serving: exact cosine, at most 2
+    * results per shared-coarse cell, global top-5 — one semantic
+    * neighborhood can't monopolize a result page. */
+  private def qDiverseTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.diverseTopK(emb, emb.filter(col("vec_id") < 5),
+      sharedCoarse(s, dir), 5, 2)
+  }
+
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2356,7 +2365,8 @@ object SparkEntry {
     "q149_lsh_planner" -> (qLshPlanner _),
     "q150_minhash_calibration" -> (qMinhashCalibration _),
     "q151_block_dedup" -> (qBlockDedup _),
-    "q152_incremental_cc" -> (qIncrementalCc _))
+    "q152_incremental_cc" -> (qIncrementalCc _),
+    "q153_diverse_topk" -> (qDiverseTopK _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4104,6 +4114,23 @@ object SparkEntry {
         "cf AS (SELECT node, min(comp) AS group_id FROM rf GROUP BY 1) " +
         "SELECT cb.node AS doc_id, group_id, group_id <> base_comp AS changed " +
         "FROM cb JOIN cf USING (node)"),
+    "q153_diverse_topk" ->
+      // trained-coarse cell assignment (a2), exact cosine, ≤2 per cell
+      // then global top-5 — quota window before rank window
+      (kmeansReplayCte +
+        ", q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "sc AS (SELECT q_id, a2.vec_id AS n_id, a2.cell, " +
+        "round(list_dot_product(a2.e, qv) / " +
+        "nullif(sqrt(list_dot_product(a2.e, a2.e)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM q JOIN a2 ON a2.vec_id <> q_id), " +
+        "cr AS (SELECT *, row_number() OVER (PARTITION BY q_id, cell " +
+        "ORDER BY cos DESC, n_id) AS cell_rank FROM sc), " +
+        "gr AS (SELECT q_id, n_id, cell, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM cr " +
+        "WHERE cell_rank <= 2) " +
+        "SELECT q_id, rank, n_id, cell, round(cos, 4) AS cos FROM gr " +
+        "WHERE rank <= 5"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

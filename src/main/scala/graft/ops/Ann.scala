@@ -174,6 +174,49 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Cell-quota diversified top-k (the retrieval-diversity shape — MMR's
+    * scalable relational cousin): exact cosine ranking, but at most
+    * `perCell` results per coarse-quantizer cell before the global
+    * top-k, so one dense semantic neighborhood cannot monopolize a
+    * result page — the serving-side counterpart of cluster-balanced
+    * SELECTION (q130's token apportionment), applied per query.
+    *
+    * Determinism: cell assignment is the shared coarse argmin ((d, cell)
+    * tie-break), cosine the 6-dp snap, both windows (cos desc, id)
+    * ordered — the oracle replays assignment, quota, and rank.
+    *
+    * Scale shape: queries broadcast; the corpus is scored in ONE pass;
+    * both rank windows plan as WindowGroupLimit (a perCell-row heap per
+    * (query, cell) task-side, then a k-row heap per query over the
+    * ≤|cells|·perCell quota survivors — the global window's input is
+    * quota-sized, not corpus-sized). For 100 TB serving compose the
+    * same two windows over [[ivfPqSearch]]'s shortlist instead of the
+    * exact scores: the quota/rank plan is identical, only the scoring
+    * stage swaps. */
+  def diverseTopK(corpus: DataFrame, queries: DataFrame,
+      coarse: Seq[(Long, Seq[Double])], k: Int, perCell: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && perCell > 0, s"diverseTopK: k=$k, perCell=$perCell")
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), coarse))
+      .join(q, col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"), col("cell"),
+        round(Similarity.cosine(col("cv"), col("q_vec")), 6).as("cos"))
+    val wc = Window.partitionBy(col("q_id"), col("cell"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val wg = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("cell_rank", row_number().over(wc))
+      .filter(col("cell_rank") <= perCell)
+      .withColumn("rank", row_number().over(wg))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        col("cell"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplane entries derived from md5 —
     * the same values any engine's `md5()` derives, so LSH bucket
     * assignments are portable and reproducible (no RNG state). Entry

@@ -334,4 +334,28 @@ class AnnSpec extends SparkSpec {
       assert(n16 >= 0L && n16 <= 10L && rec16 >= 0.0 && rec16 <= 1.0)
     }
   }
+
+  test("diverseTopK: per-cell quota binds (≤perCell per (query, cell)), " +
+    "slack quota degenerates to the brute-force ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val coarse = Ann.kmeansCentroids(emb, 4, 2)
+    val div = Ann.diverseTopK(emb, q, coarse, k = 5, perCell = 2).collect()
+    // quota: never more than 2 results from one cell for one query
+    val perCellCounts = div.groupBy(r => (r.getLong(0), r.getLong(3)))
+      .view.mapValues(_.length)
+    assert(perCellCounts.values.forall(_ <= 2), perCellCounts.toMap.toString)
+    assert(div.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    // ranks are 1..n dense per query, ordered by (cos desc, n_id)
+    div.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // perCell ≥ k: the quota never binds — identical to brute force
+    val slack = Ann.diverseTopK(emb, q, coarse, k = 5, perCell = 5)
+      .select("q_id", "rank", "n_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val brute = Ann.bruteForceTopK(emb, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(slack == brute)
+  }
 }
