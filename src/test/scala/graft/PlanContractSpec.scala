@@ -631,4 +631,37 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "ExistingRDD") >= 2,
       s"pair artifacts not read from checkpoint:\n${p.take(1200)}")
   }
+
+  test("q151: block boilerplate — no windows, no pair joins; the " +
+    "frequency/removal stages hash-join on the block key") {
+    val p = plan("q151_block_dedup")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    assert(count(p, "Window") == 0,
+      "positional rebuild degenerated to a window")
+    // block table is materialized ONCE for its two consumers
+    assert(count(p, "ExistingRDD") >= 1,
+      s"block table rebuilt per consumer:\n${p.take(1200)}")
+  }
+
+  test("q152: incremental CC — the remap of the maintained labeling is " +
+    "hash-joined (no cartesian, no BNLJ); the labeling artifact is " +
+    "read from checkpoint, not re-derived") {
+    val p = plan("q152_incremental_cc")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    assert(count(p, "ExistingRDD") >= 2,
+      s"labeling artifact re-derived inside the query:\n${p.take(1200)}")
+  }
+
+  test("q153: diverse top-k — queries broadcast, corpus scored in one " +
+    "pass, BOTH rank windows plan as WindowGroupLimit") {
+    val p = plan("q153_diverse_topk")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"quota/rank windows lost partial top-k pushdown:\n${p.take(1200)}")
+    // one corpus scan + one query scan feed scoring; the quota window's
+    // input is the scored stream, the global one's is quota-sized
+    assert(count(p, "FileScan parquet") <= 2, p.take(1200))
+  }
 }
