@@ -2,6 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 /** Streaming exact deduplication — the streaming-native form of
   * [[graft.ops.Dedup.exactDedup]] for at-least-once ingest (the
@@ -60,5 +61,41 @@ object StreamDedup {
         col("__b.band").as("band"), col("__b.band_sig").as("band_sig"))
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(Seq("band", "band_sig"))
+  }
+
+  /** Streaming dedup-GROUP maintenance — the online half of q152: a
+    * maintained (node, comp) labeling folds in each micro-batch of new
+    * candidate edges via [[graft.ops.Graph.incrementalComponents]]
+    * (contract-and-relabel: batch-bounded CC on the contracted graph,
+    * ONE label-keyed remap join), and the updated labeling goes to
+    * `sink`. The batch pipeline mines candidates; this keeps the
+    * cluster view current between re-mines — the graph analog of
+    * [[StreamingAnn.startIvfPqIndexSink]]'s frozen-book append.
+    *
+    * State story: the only long-lived state is the labeling itself —
+    * node-sized (grows only with nodes seen, never with edge history),
+    * re-materialized per batch with truncated lineage so plans stay
+    * batch-shaped. Replay is IDEMPOTENT by construction: re-folding
+    * already-merged edges contracts every endpoint to the same label
+    * and changes nothing (GraphSpec) — so at-least-once delivery and
+    * restart-with-reseed (pass the sink's last persisted labeling as
+    * `initialLabels`) are both safe. Empty batches skip (S7 guard). */
+  def startDedupGroupSink(initialLabels: DataFrame, edgeStream: DataFrame,
+      srcCol: String, dstCol: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      initialLabels.localCheckpoint(true))
+    edgeStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val next = graft.ops.Graph.incrementalComponents(
+            state.get(), batch, srcCol, dstCol).localCheckpoint(true)
+          state.set(next)
+          sink(next, epochId)
+        }
+      }
+      .start()
   }
 }

@@ -244,4 +244,40 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
+
+  test("incrementalComponents: re-folding already-merged edges is a " +
+    "no-op (at-least-once replay safety)") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "comp")
+    val replay = Seq((1L, 2L)).toDF("src", "dst") // already merged
+    val got = Graph.incrementalComponents(labels, replay, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("startDedupGroupSink: labeling after streamed edge batches ≡ " +
+    "full CC over initial ∪ all batches; one sink call per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val initial = (0L until 12L).map(n => (n, n)).toDF("node", "comp")
+    val b1 = Seq((0L, 1L), (1L, 2L), (5L, 6L))
+    val b2 = Seq((2L, 5L), (9L, 10L)) // merges {0,1,2} with {5,6}
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val snaps = scala.collection.mutable.Map[Long, Map[Long, Long]]()
+    val q = graft.stream.StreamDedup.startDedupGroupSink(initial,
+      ms.toDF().toDF("src", "dst"), "src", "dst",
+      java.nio.file.Files.createTempDirectory("cc-ckpt").toString,
+      (df, epoch) => snaps.synchronized {
+        snaps(epoch) = df.as[(Long, Long)].collect().toMap
+      })
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val want = fullLabels(0L until 12L, b1 ++ b2)
+    assert(snaps.synchronized(snaps.size) == 2)
+    val last = snaps.synchronized(snaps(snaps.keys.max))
+    assert(last == want)
+    // the final label view merged the two chains through batch 2's edge
+    assert(last(6L) == 0L && last(10L) == 9L)
+  }
 }
