@@ -2202,6 +2202,13 @@ object SparkEntry {
         (col("group_id") =!= col("base_comp")).as("changed"))
   }
 
+  /** Multinomial NB language classifier, trained in-engine and
+    * self-evaluated as a (lang, pred_lang, n_docs) confusion matrix —
+    * the fastText-style curation-classifier analog. */
+  private def qNbConfusion(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang"))
+
   /** Cell-quota diversified top-k serving: exact cosine, at most 2
     * results per shared-coarse cell, global top-5 — one semantic
     * neighborhood can't monopolize a result page. */
@@ -2366,7 +2373,8 @@ object SparkEntry {
     "q150_minhash_calibration" -> (qMinhashCalibration _),
     "q151_block_dedup" -> (qBlockDedup _),
     "q152_incremental_cc" -> (qIncrementalCc _),
-    "q153_diverse_topk" -> (qDiverseTopK _))
+    "q153_diverse_topk" -> (qDiverseTopK _),
+    "q154_nb_confusion" -> (qNbConfusion _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4131,6 +4139,32 @@ object SparkEntry {
         "WHERE cell_rank <= 2) " +
         "SELECT q_id, rank, n_id, cell, round(cos, 4) AS cos FROM gr " +
         "WHERE rank <= 5"),
+    "q154_nb_confusion" ->
+      // Laplace-smoothed multinomial NB trained on (lang, term) counts,
+      // scored sparsely (unseen-term mass folded into n_tok·lp0),
+      // 4-dp-rounded argmax with label-asc tie-break, confusion rollup
+      ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "dt AS (SELECT doc_id, lang AS lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+        "ct AS (SELECT lab, term, sum(tf) AS ctf FROM dt GROUP BY 1, 2), " +
+        "vv AS (SELECT count(DISTINCT term) AS v FROM ct), " +
+        "cs AS (SELECT lab, sum(ctf) AS ctot FROM ct GROUP BY 1), " +
+        "pr AS (SELECT lang AS lab, count(*) AS nd FROM documents GROUP BY 1), " +
+        "nt AS (SELECT count(*) AS ntot FROM documents), " +
+        "ls AS (SELECT cs.lab AS clab, " +
+        "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
+        "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
+        "FROM cs JOIN pr USING (lab) CROSS JOIN vv CROSS JOIN nt), " +
+        "seen AS (SELECT dt.doc_id, ct.lab AS clab, " +
+        "CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE)) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1 " +
+        "FROM dt JOIN ct ON dt.term = ct.term GROUP BY 1, 2), " +
+        "dn AS (SELECT doc_id, lab, sum(tf) AS n_tok FROM dt GROUP BY 1, 2), " +
+        "sc AS (SELECT dn.doc_id, dn.lab, ls.clab, " +
+        "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
+        "FROM dn CROSS JOIN ls LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
+        "best AS (SELECT doc_id, lab, clab FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1) " +
+        "SELECT lab AS lang, clab AS pred_lang, count(*) AS n_docs FROM best GROUP BY 1, 2"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

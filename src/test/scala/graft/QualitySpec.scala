@@ -70,4 +70,42 @@ class QualitySpec extends SparkSpec {
     assert(out == expected)
     assert(out.values.map(_._2).sum > 0L) // the corruption really fired
   }
+
+  test("nbConfusion: separable classes classify to the diagonal; an " +
+    "ambiguous doc follows the stronger class evidence; rows sum to " +
+    "the doc count") {
+    import graft.ops.Quality
+    // class 'aa' speaks {foo bar}, class 'bb' speaks {baz qux}; doc 5
+    // is labeled bb but speaks pure aa → off-diagonal (bb, aa)
+    val docs = Seq(
+      (1L, "foo bar foo", "aa"), (2L, "bar foo bar", "aa"),
+      (3L, "baz qux baz", "bb"), (4L, "qux baz qux", "bb"),
+      (5L, "foo bar foo bar", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val r = Quality.nbConfusion(docs, col("doc_id"), col("text"), col("lang"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(("aa", "aa") -> 2L, ("bb", "bb") -> 2L,
+      ("bb", "aa") -> 1L))
+    assert(r.values.sum == 5L)
+    // partition-invariance: the snapped sums make the argmax stable
+    val r7 = Quality.nbConfusion(docs.repartition(7), col("doc_id"),
+      col("text"), col("lang"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r7 == r)
+  }
+
+  test("nbConfusion: symmetric evidence ties break label-ascending") {
+    // both classes have identical token statistics and priors: every
+    // score ties, so every doc predicts the lexicographically first lab
+    val docs = Seq(
+      (1L, "tok tok", "xx"), (2L, "tok tok", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val r = graft.ops.Quality.nbConfusion(docs, col("doc_id"),
+      col("text"), col("lang"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(("xx", "xx") -> 1L, ("yy", "xx") -> 1L))
+  }
 }
