@@ -2209,6 +2209,14 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** Greedy MMR re-ranking proper over a 10-deep shortlist: 4 picks at
+    * λ=0.7 — the iterative relevance/novelty trade-off q153's quota
+    * approximates. */
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.mmrRerank(emb, emb.filter(col("vec_id") < 5), 10, 4, 0.7)
+  }
+
   /** Cell-quota diversified top-k serving: exact cosine, at most 2
     * results per shared-coarse cell, global top-5 — one semantic
     * neighborhood can't monopolize a result page. */
@@ -2374,7 +2382,8 @@ object SparkEntry {
     "q151_block_dedup" -> (qBlockDedup _),
     "q152_incremental_cc" -> (qIncrementalCc _),
     "q153_diverse_topk" -> (qDiverseTopK _),
-    "q154_nb_confusion" -> (qNbConfusion _))
+    "q154_nb_confusion" -> (qNbConfusion _),
+    "q155_mmr_rerank" -> (qMmrRerank _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4165,6 +4174,46 @@ object SparkEntry {
         "best AS (SELECT doc_id, lab, clab FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1) " +
         "SELECT lab AS lang, clab AS pred_lang, count(*) AS n_docs FROM best GROUP BY 1, 2"),
+    "q155_mmr_rerank" -> {
+      // greedy MMR unrolled: shortlist (6-dp rank, 4-dp rel), pairwise
+      // 6-dp sims, then 4 argmax stages; (1.0 - 0.7) spelled as the
+      // same IEEE subtraction the Spark literal performs
+      def sel(n: Int) = (1 to n).map(i => s"SELECT q_id, n_id FROM p$i")
+        .mkString("(", " UNION ALL ", ")")
+      def stage(t: Int) =
+        s"r$t AS (SELECT sl.q_id, sl.n_id, sl.rel FROM sl WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM ${sel(t - 1)} s WHERE s.q_id = sl.q_id AND s.n_id = sl.n_id)), " +
+          s"m$t AS (SELECT s.q_id, s.i AS n_id, max(s.sim) AS maxsim FROM sims s " +
+          s"JOIN ${sel(t - 1)} p ON p.q_id = s.q_id AND p.n_id = s.j GROUP BY 1, 2), " +
+          s"s$t AS (SELECT r.q_id, r.n_id, r.rel, coalesce(m.maxsim, CAST(0.0 AS DOUBLE)) AS maxsim, " +
+          s"round(0.7 * r.rel - (1.0 - 0.7) * coalesce(m.maxsim, CAST(0.0 AS DOUBLE)), 6) AS score " +
+          s"FROM r$t r LEFT JOIN m$t m ON m.q_id = r.q_id AND m.n_id = r.n_id), " +
+          s"p$t AS (SELECT q_id, CAST($t AS BIGINT) AS pos, n_id, rel, maxsim, score AS mmr " +
+          s"FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn " +
+          s"FROM s$t) WHERE rn = 1), "
+      "WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+        "sc0 AS (SELECT q_id, n_id, cv, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM q JOIN c ON n_id <> q_id), " +
+        "sl AS (SELECT q_id, n_id, round(cos, 4) AS rel, cv FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc0) " +
+        "WHERE rank <= 10), " +
+        "sims AS (SELECT a.q_id, a.n_id AS i, b.n_id AS j, " +
+        "round(list_dot_product(a.cv, b.cv) / " +
+        "nullif(sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)), 0), 6) AS sim " +
+        "FROM sl a JOIN sl b ON a.q_id = b.q_id AND a.n_id <> b.n_id), " +
+        "s1 AS (SELECT q_id, n_id, rel, CAST(0.0 AS DOUBLE) AS maxsim, " +
+        "round(0.7 * rel, 6) AS score FROM sl), " +
+        "p1 AS (SELECT q_id, CAST(1 AS BIGINT) AS pos, n_id, rel, maxsim, score AS mmr " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn " +
+        "FROM s1) WHERE rn = 1), " +
+        stage(2) + stage(3) + stage(4) +
+        "out AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+        "UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4) " +
+        "SELECT q_id, pos, n_id, rel, maxsim, mmr FROM out"
+    },
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

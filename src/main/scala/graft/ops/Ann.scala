@@ -217,6 +217,72 @@ object Ann {
         col("cell"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Greedy MMR re-ranking proper (Carbonell & Goldstein 1998): from a
+    * per-query shortlist, repeatedly pick
+    * argmax λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j) — the iterative
+    * relevance/novelty trade-off that [[diverseTopK]]'s cell quota
+    * approximates in one pass. Same execution shape as the other
+    * iterative ML in this library (k-means, BPE, PageRank): a driver
+    * loop of `k` fixed steps where every step is joins + one
+    * lexicographic struct-min aggregation over CANDIDATE-bounded tables
+    * — after the shortlist stage nothing corpus-sized moves.
+    *
+    * Determinism: rel is the 4-dp shortlist cosine, pairwise sims snap
+    * to 6 dp, the MMR score to 6 dp BEFORE each argmax, ties break
+    * id-ascending; λ enters as the same literal the oracle writes.
+    *
+    * Scale shape: the shortlist is the one corpus pass ([[bruteForceTopK]]
+    * here; swap [[ivfPqSearch]] at 100 TB — the greedy stages are
+    * agnostic to how the shortlist was produced); the pairwise sim
+    * table is |Q|·shortlist² rows, materialized once; each greedy step
+    * is one anti-join + one max-agg + one argmax-agg on (q_id-keyed)
+    * pair rows. Output: (q_id, pos, n_id, rel, maxsim, mmr). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlist: Int,
+      k: Int, lambda: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(shortlist >= k && k >= 1, s"mmrRerank: shortlist=$shortlist k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrRerank: lambda=$lambda")
+    val short = materialize(
+      bruteForceTopK(corpus, queries, shortlist, idCol, vecCol)
+        .select(col("q_id"), col("n_id"), col("cos").as("rel")))
+    val vecs = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val sv = materialize(short.join(vecs, Seq("n_id"))
+      .select(col("q_id"), col("n_id"), col("rel"), col("v")))
+    val sims = materialize(sv.select(col("q_id"), col("n_id").as("i"), col("v").as("va"))
+      .join(sv.select(col("q_id"), col("n_id").as("j"), col("v").as("vb")), Seq("q_id"))
+      .filter(col("i") =!= col("j"))
+      .select(col("q_id"), col("i"), col("j"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")))
+    def pickMin(df: DataFrame, score: Column, pos: Int): DataFrame = df
+      .groupBy(col("q_id"))
+      .agg(min(struct((-score).as("ns"), col("n_id"), col("rel"),
+        col("maxsim"))).as("b"))
+      .select(col("q_id"), lit(pos.toLong).as("pos"), col("b.n_id").as("n_id"),
+        col("b.rel").as("rel"), col("b.maxsim").as("maxsim"),
+        round(lit(lambda) * col("b.rel") - lit(1.0 - lambda) * col("b.maxsim"), 6)
+          .as("mmr"))
+    var selected = materialize(pickMin(
+      short.withColumn("maxsim", lit(0.0)),
+      round(lit(lambda) * col("rel"), 6), 1))
+    for (step <- 2 to k) {
+      val rem = short.join(selected.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+      val pen = sims
+        .join(selected.select(col("q_id"), col("n_id").as("j")), Seq("q_id", "j"))
+        .groupBy(col("q_id"), col("i").as("n_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = rem.join(pen, Seq("q_id", "n_id"), "left")
+        .withColumn("maxsim", coalesce(col("maxsim"), lit(0.0)))
+      selected = materialize(selected.unionByName(pickMin(scored,
+        round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"), 6),
+        step)))
+    }
+    selected
+  }
+
   /** Deterministic Rademacher (±1) hyperplane entries derived from md5 —
     * the same values any engine's `md5()` derives, so LSH bucket
     * assignments are portable and reproducible (no RNG state). Entry

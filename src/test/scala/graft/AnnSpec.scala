@@ -358,4 +358,31 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(slack == brute)
   }
+
+  test("mmrRerank: λ=1 degenerates to the relevance ranking; λ<1 " +
+    "penalizes picks by their similarity to already-selected results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    // λ=1: the novelty term vanishes — picks are the brute-force order
+    val pure = Ann.mmrRerank(emb, q, shortlist = 10, k = 4, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = Ann.bruteForceTopK(emb, q, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pure == brute)
+    // λ=0.7: every non-first pick carries the max-sim penalty it was
+    // charged, computed against the selected set at its pick time
+    val div = Ann.mmrRerank(emb, q, shortlist = 10, k = 4, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    div.foreach { case ((qid, pos), (nid, rel, maxsim, mmr)) =>
+      if (pos == 1L) assert(maxsim == 0.0)
+      assert(math.abs(mmr - BigDecimal(0.7 * rel - (1.0 - 0.7) * maxsim)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"($qid,$pos)")
+    }
+    // picks are distinct per query
+    assert(div.keys.groupBy(_._1).forall { case (qid, ks) =>
+      ks.map(k => div(k)._1).toSet.size == 4 })
+  }
 }
