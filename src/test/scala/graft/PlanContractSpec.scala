@@ -654,6 +654,35 @@ class PlanContractSpec extends SparkSpec {
       s"labeling artifact re-derived inside the query:\n${p.take(1200)}")
   }
 
+  test("q154: NB confusion — model tables broadcast, argmax is a " +
+    "struct-min aggregation (no window), no cartesian beyond the " +
+    "label-sized broadcast cross") {
+    val p = plan("q154_nb_confusion")
+    assert(count(p, "Window") == 0, "argmax degenerated to a window")
+    // the scoring join and the label-stats cross are all broadcast;
+    // the only cartesian-shaped node is the |labels|-sized cross
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(1500))
+    // doc-term table materialized once for model + scoring consumers
+    assert(count(p, "ExistingRDD") >= 1, p.take(1500))
+  }
+
+  test("q155: MMR — the greedy stages' BUILD shapes are hash-joined " +
+    "and candidate-bounded (no cartesian in the sim table; the pick " +
+    "union serves materialized steps)") {
+    val p = plan("q155_mmr_rerank")
+    // each greedy step re-materializes the running pick set, so the
+    // final plan serves ONE checkpointed frame (no k-deep lineage)
+    assert(count(p, "ExistingRDD") >= 1, p.take(1200))
+    // the sims build: pair join keyed on q_id, never a cartesian
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bp = graft.ops.Ann.mmrRerank(emb, emb.filter(col("vec_id") < 3),
+      10, 2, 0.7, materialize = identity)
+      .queryExecution.executedPlan.toString
+    assert(count(bp, "CartesianProduct") == 0, bp.take(1500))
+  }
+
   test("q153: diverse top-k — queries broadcast, corpus scored in one " +
     "pass, BOTH rank windows plan as WindowGroupLimit") {
     val p = plan("q153_diverse_topk")
