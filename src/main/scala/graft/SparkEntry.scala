@@ -2209,6 +2209,23 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** Held-out NB eval — train on doc_id%3≠0, classify the held-out
+    * third, confusion vs actual lang: the TRUE generalization measure
+    * (q154 is the self-eval diagnostic), built from the
+    * train-once/serve-many split ([[ops.Quality.nbTrain]]/
+    * [[ops.Quality.nbClassify]]) that the streaming routing sink
+    * serves online. */
+  private def qNbHoldout(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = ops.Quality.nbTrain(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), col("lang"))
+    ops.Quality.nbClassify(model, docs.filter(col("doc_id") % 3 === 0),
+      col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lab").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Greedy MMR re-ranking proper over a 10-deep shortlist: 4 picks at
     * λ=0.7 — the iterative relevance/novelty trade-off q153's quota
     * approximates. */
@@ -2383,7 +2400,8 @@ object SparkEntry {
     "q152_incremental_cc" -> (qIncrementalCc _),
     "q153_diverse_topk" -> (qDiverseTopK _),
     "q154_nb_confusion" -> (qNbConfusion _),
-    "q155_mmr_rerank" -> (qMmrRerank _))
+    "q155_mmr_rerank" -> (qMmrRerank _),
+    "q156_nb_holdout" -> (qNbHoldout _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4214,6 +4232,36 @@ object SparkEntry {
         "UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4) " +
         "SELECT q_id, pos, n_id, rel, maxsim, mmr FROM out"
     },
+    "q156_nb_holdout" ->
+      // the q154 NB replay, trained on doc_id%3<>0 only, scored on the
+      // held-out third, confusion vs actual lang
+      ("WITH tr AS (SELECT * FROM documents WHERE doc_id % 3 <> 0), " +
+        "te AS (SELECT * FROM documents WHERE doc_id % 3 = 0), " +
+        "tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM tr), " +
+        "dt AS (SELECT doc_id, lang AS lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+        "ct AS (SELECT lab, term, sum(tf) AS ctf FROM dt GROUP BY 1, 2), " +
+        "vv AS (SELECT count(DISTINCT term) AS v FROM ct), " +
+        "cs AS (SELECT lab, sum(ctf) AS ctot FROM ct GROUP BY 1), " +
+        "pr AS (SELECT lang AS lab, count(*) AS nd FROM tr GROUP BY 1), " +
+        "nt AS (SELECT count(*) AS ntot FROM tr), " +
+        "ls AS (SELECT cs.lab AS clab, " +
+        "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
+        "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
+        "FROM cs JOIN pr USING (lab) CROSS JOIN vv CROSS JOIN nt), " +
+        "ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM te), " +
+        "tdt AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2), " +
+        "seen AS (SELECT tdt.doc_id, ct.lab AS clab, " +
+        "CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE)) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1 " +
+        "FROM tdt JOIN ct ON tdt.term = ct.term GROUP BY 1, 2), " +
+        "dn AS (SELECT doc_id, sum(tf) AS n_tok FROM tdt GROUP BY 1), " +
+        "sc AS (SELECT dn.doc_id, ls.clab, " +
+        "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
+        "FROM dn CROSS JOIN ls LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
+        "best AS (SELECT doc_id, clab FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1) " +
+        "SELECT te.lang, best.clab AS pred_lang, count(*) AS n_docs " +
+        "FROM best JOIN te USING (doc_id) GROUP BY 1, 2"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

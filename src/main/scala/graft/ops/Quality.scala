@@ -129,6 +129,73 @@ object Quality {
     * label) score frame is |docs|·|labels| narrow rows via a broadcast
     * cross of the label-sized stats table; one doc-keyed argmax
     * aggregation; output is |labels|² rows. */
+  /** A trained multinomial NB model, split train-once/serve-many (the
+    * IVF·PQ index pattern for classifiers): `labStats` is |labels| rows
+    * of (clab, prior_ln, lp0); `terms` is the (clab, term, lterm)
+    * log-likelihood table — (labels × seen-vocab)-bounded, broadcast at
+    * classify time. Both materialized so serving never re-aggregates
+    * the training corpus. */
+  case class NbModel(labStats: DataFrame, terms: DataFrame)
+
+  /** Train the [[nbConfusion]] model alone — same counts, smoothing,
+    * and closed forms (QualitySpec pins classify∘train ≡ nbConfusion's
+    * matrix); one tokenize+count pass, model-sized output. */
+  def nbTrain(docs: DataFrame, id: Column, text: Column, label: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : NbModel = {
+    val docTf = materialize(Fanout.fanout(docs)
+      .select(id.as("doc_id"), label.as("lab"),
+        explode(graft.expr.TextStats.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("lab"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val ct = materialize(docTf.groupBy(col("lab"), col("term"))
+      .agg(sum(col("tf")).as("ctf")))
+    val classStats = ct.groupBy(col("lab")).agg(sum(col("ctf")).as("ctot"))
+      .join(broadcast(ct.select(countDistinct(col("term")).as("v"))))
+    val priors = docs.groupBy(label.as("lab"))
+      .agg(count(lit(1)).as("nd"))
+      .join(broadcast(docs.agg(count(lit(1)).as("ntot"))))
+    val labStats = materialize(classStats.join(priors, Seq("lab"))
+      .select(col("lab").as("clab"),
+        log(col("nd").cast("double") / col("ntot").cast("double")).as("prior_ln"),
+        log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0")))
+    val terms = materialize(ct.select(col("lab").as("clab"), col("term"),
+      log((col("ctf") + lit(1L)).cast("double")).as("lterm")))
+    NbModel(labStats, terms)
+  }
+
+  /** Classify docs against a trained [[NbModel]]: per-doc 4-dp argmax
+    * with label-ascending ties (the [[nbConfusion]] contract). Per-row
+    * decision given the static model — so batch and streaming
+    * classification agree row-for-row, and replay is idempotent.
+    * Returns (doc_id, pred_lab, score). */
+  def nbClassify(model: NbModel, docs: DataFrame, id: Column, text: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    // materialized: BOTH the scoring join and the length rollup read it
+    // (streaming batches pass `identity` — a micro-batch re-tokenize is
+    // cheaper than a checkpoint per epoch)
+    val docTf = materialize(docs
+      .select(id.as("doc_id"), explode(graft.expr.TextStats.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val seen = docTf.join(broadcast(model.terms), Seq("term"))
+      .groupBy(col("doc_id"), col("clab"))
+      .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
+        .as("s1"))
+    val docN = docTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tok"))
+    docN.crossJoin(broadcast(model.labStats))
+      .join(seen, Seq("doc_id", "clab"), "left")
+      .select(col("doc_id"), col("clab"),
+        round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
+          coalesce(col("s1"), lit(0.0)), 4).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("clab"))).as("best"))
+      .select(col("doc_id"), col("best.clab").as("pred_lab"),
+        (-col("best.ns")).as("score"))
+  }
+
   def nbConfusion(docs: DataFrame, id: Column, text: Column, label: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {

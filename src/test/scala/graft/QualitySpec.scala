@@ -96,6 +96,56 @@ class QualitySpec extends SparkSpec {
     assert(r7 == r)
   }
 
+  test("nbClassify ∘ nbTrain reproduces nbConfusion's matrix (the " +
+    "split-model serving path scores identically to the fused query)") {
+    import graft.ops.Quality
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Quality.nbTrain(docs, col("doc_id"), col("text"), col("lang"))
+    val viaSplit = Quality.nbClassify(model, docs, col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lab").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    val fused = Quality.nbConfusion(docs, col("doc_id"), col("text"),
+      col("lang"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(viaSplit == fused)
+  }
+
+  test("startLangRouteSink: union of per-batch routings ≡ batch " +
+    "classification of the unioned docs; empty batches skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Quality
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Quality.nbTrain(docs, col("doc_id"), col("text"), col("lang"))
+    val arriving = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val routed = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = graft.stream.StreamClassify.startLangRouteSink(model,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("nb-ckpt").toString,
+      (df, epoch) => routed.synchronized {
+        routed(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(arriving.take(arriving.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(arriving.drop(arriving.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = routed.synchronized(routed.values.flatten.toSeq.sorted)
+    val expected = Quality.nbClassify(model,
+        docs.filter(col("doc_id") < 40), col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(routed.synchronized(routed.size) == 2)
+  }
+
   test("nbConfusion: symmetric evidence ties break label-ascending") {
     // both classes have identical token statistics and priors: every
     // score ties, so every doc predicts the lexicographically first lab
