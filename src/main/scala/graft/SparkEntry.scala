@@ -2209,6 +2209,16 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** nDCG@10 of the served residual IVF·PQ index vs the exact ranking,
+    * per nprobe tier — the rank-weighted complement to q142's recall
+    * curve, measured on the shared session artifacts. */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ndcgEval(emb, emb.filter(col("vec_id") < 5),
+      sharedIvfPqIndex(s, dir), Seq(1, 2, 4), 10,
+      exact0 = Some(sharedExactTopK(s, dir).select(col("q_id"), col("n_id"))))
+  }
+
   /** Held-out NB eval — train on doc_id%3≠0, classify the held-out
     * third, confusion vs actual lang: the TRUE generalization measure
     * (q154 is the self-eval diagnostic), built from the
@@ -2401,7 +2411,8 @@ object SparkEntry {
     "q153_diverse_topk" -> (qDiverseTopK _),
     "q154_nb_confusion" -> (qNbConfusion _),
     "q155_mmr_rerank" -> (qMmrRerank _),
-    "q156_nb_holdout" -> (qNbHoldout _))
+    "q156_nb_holdout" -> (qNbHoldout _),
+    "q157_ndcg" -> (qNdcg _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4262,6 +4273,69 @@ object SparkEntry {
         "(PARTITION BY doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1) " +
         "SELECT te.lang, best.clab AS pred_lang, count(*) AS n_docs " +
         "FROM best JOIN te USING (doc_id) GROUP BY 1, 2"),
+    "q157_ndcg" ->
+      // the q135 residual-IVFADC replay with probe RANKS retained, a
+      // tier join (np ∈ {1,2,4}) re-ranking each tier's candidate set,
+      // then binary-relevance nDCG vs the exact cosine top-10: per-hit
+      // gain ln(2)/ln(rank+1) snapped to the 1e9 grid; IDCG is the same
+      // snapped sum over ideal positions, computed relationally
+      (kmeansReplayCte +
+        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
+        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
+        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
+        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
+        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
+        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
+        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
+        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
+        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
+        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
+        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
+        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM pq CROSS JOIN c1), " +
+        "probe AS (SELECT q_id, cell, pr FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 4), " +
+        "qr AS (SELECT p.q_id, p.cell, list_transform(list_zip(pq.qv, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM probe p JOIN pq USING (q_id) " +
+        "JOIN c1 ON c1.cell = p.cell), " +
+        "dtab AS (SELECT qr.q_id, qr.cell, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qr.r[bk.j*16+1:bk.j*16+16], bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM qr CROSS JOIN bk), " +
+        "cand AS (SELECT p.q_id, p.cell, p.pr, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
+        "WHERE a2.vec_id <> p.q_id), " +
+        "adc AS (SELECT cand.q_id, cand.pr, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+        "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
+        "JOIN dtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
+        "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2, 3), " +
+        "tiers AS (SELECT unnest([1, 2, 4]) AS np), " +
+        "rtop AS (SELECT np, q_id, n_id, rank FROM (SELECT t.np, a.q_id, a.n_id, " +
+        "row_number() OVER (PARTITION BY t.np, a.q_id ORDER BY a.s, a.n_id) AS rank " +
+        "FROM tiers t JOIN adc a ON a.pr <= t.np) WHERE rank <= 10), " +
+        "bsc AS (SELECT b.q_id, v.vec_id AS n_id, round(list_dot_product(v.e, b.qv) / " +
+        "nullif(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(b.qv, b.qv)), 0), 6) AS cos " +
+        "FROM pq b JOIN v ON v.vec_id <> b.q_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bsc) WHERE rank <= 10), " +
+        "gain AS (SELECT r.np, r.q_id, CAST(floor((ln(2.0) / ln(CAST(r.rank AS DOUBLE) + 1.0)) " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0)) AS gd " +
+        "FROM rtop r JOIN bf b ON b.q_id = r.q_id AND b.n_id = r.n_id), " +
+        "dcg AS (SELECT t.np, b.q_id, " +
+        "coalesce(CAST(sum(g.gd) AS DOUBLE) / 1000000000, CAST(0.0 AS DOUBLE)) AS dcg " +
+        "FROM (SELECT DISTINCT q_id FROM bf) b CROSS JOIN tiers t " +
+        "LEFT JOIN gain g ON g.np = t.np AND g.q_id = b.q_id GROUP BY 1, 2), " +
+        "idcg AS (SELECT CAST(sum(CAST(floor((ln(2.0) / ln(CAST(rank AS DOUBLE) + 1.0)) " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS idcg " +
+        "FROM (SELECT unnest(generate_series(1, 10)) AS rank)) " +
+        "SELECT q_id, CAST(np AS BIGINT) AS nprobe, round(dcg, 4) AS dcg, " +
+        "round(dcg / idcg, 4) AS ndcg FROM dcg CROSS JOIN idcg"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -174,6 +174,51 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** nDCG@k of an IVF·PQ serving ranking vs the exact cosine baseline,
+    * per query and nprobe tier — the RANK-WEIGHTED complement to
+    * [[ivfPqRecall]]: recall counts how many of the true top-k an index
+    * returns; nDCG also charges WHERE it puts them (a true neighbor
+    * served at position 10 earns 1/log2(11) of one served at 1 —
+    * Järvelin & Kekäläinen 2002, binary relevance on the exact top-k).
+    *
+    * Determinism: each position gain ln(2)/ln(pos+1) snaps to the
+    * shared [[graft.expr.Snap]] 1e9 grid before summation (order-free);
+    * IDCG is the same snapped sum over the ideal positions 1..k,
+    * computed relationally in BOTH engines (no baked-in constant that
+    * one engine computed and the other parsed); dcg and ndcg round to
+    * 4 dp from the raw sums.
+    *
+    * Scale shape: each tier is one [[ivfPqSearch]] (the q135 serving
+    * contract) plus a baseline-keyed hit join and a per-query
+    * aggregation over ≤k rows; the exact baseline is the shared
+    * materialized artifact. Output: |Q|·|tiers| rows. */
+  def ndcgEval(corpus: DataFrame, queries: DataFrame, index: IvfPqIndex,
+      nprobes: Seq[Int], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      exact0: Option[DataFrame] = None): DataFrame = {
+    require(nprobes.nonEmpty && k > 0, s"ndcgEval: nprobes=$nprobes, k=$k")
+    import graft.expr.Snap
+    val exact = exact0.getOrElse(
+      materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
+    def gain(rank: Column): Column =
+      log(lit(2.0)) / log(rank.cast("double") + lit(1.0))
+    val idcg = broadcast(queries.sparkSession.range(1, k + 1L)
+      .agg(Snap.snappedSum(gain(col("id")), 1e9).as("idcg")))
+    val qIds = exact.select(col("q_id")).distinct()
+    nprobes.map { np =>
+      val hits = ivfPqSearch(index, queries, np, k, idCol, vecCol)
+        .join(exact, Seq("q_id", "n_id"))
+        .groupBy(col("q_id"))
+        .agg(Snap.snappedSum(gain(col("rank")), 1e9).as("dcg"))
+      qIds.join(hits, Seq("q_id"), "left").crossJoin(idcg)
+        .select(col("q_id"), lit(np).cast("long").as("nprobe"),
+          round(coalesce(col("dcg"), lit(0.0)), 4).as("dcg"),
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4).as("ndcg"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Cell-quota diversified top-k (the retrieval-diversity shape — MMR's
     * scalable relational cousin): exact cosine ranking, but at most
     * `perCell` results per coarse-quantizer cell before the global

@@ -359,6 +359,35 @@ class AnnSpec extends SparkSpec {
     assert(slack == brute)
   }
 
+  test("ndcgEval: matches a hand-computed snapped DCG over the served " +
+    "ranking; bounded in [0, 1]; one row per (query, tier)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4, iters = 2,
+      residual = true)
+    val got = Ann.ndcgEval(emb, q, idx, Seq(1, 2, 4), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == 15)
+    assert(got.values.forall { case (d, n) => d >= 0 && n >= 0 && n <= 1 })
+    // independent recomputation for nprobe=2
+    def snap9(x: Double) = math.floor(x * 1e9 + 0.5)
+    val exact = Ann.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Ann.ivfPqSearch(idx, q, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val idcg = (1 to 10).map(p => snap9(math.log(2.0) / math.log(p + 1.0))).sum / 1e9
+    val byQ = served.groupBy(_._1)
+    (0L until 5L).foreach { qid =>
+      val dcgRaw = byQ.getOrElse(qid, Array.empty[(Long, Long, Long)])
+        .filter(t => exact.contains((qid, t._3)))
+        .map(t => snap9(math.log(2.0) / math.log(t._2 + 1.0))).sum / 1e9
+      val want = (BigDecimal(dcgRaw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(dcgRaw / idcg).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got((qid, 2L)) == want, s"q$qid")
+    }
+  }
+
   test("mmrRerank: λ=1 degenerates to the relevance ranking; λ<1 " +
     "penalizes picks by their similarity to already-selected results") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
