@@ -2209,6 +2209,16 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** Bloom-staged decontamination: the q54 split (bench = doc_id < 20)
+    * checked through a broadcast 4096-bit mask first, exact-verified on
+    * the survivors — with the realized false-positive accounting. */
+  private def qBloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val g = TextDedup.shingleSet(t(s, dir, "documents"),
+      col("doc_id"), col("text"), 5)
+    TextDedup.bloomStagedContamination(
+      g.filter(col("doc_id") >= 20), g.filter(col("doc_id") < 20))
+  }
+
   /** nDCG@10 of the served residual IVF·PQ index vs the exact ranking,
     * per nprobe tier — the rank-weighted complement to q142's recall
     * curve, measured on the shared session artifacts. */
@@ -2412,7 +2422,8 @@ object SparkEntry {
     "q154_nb_confusion" -> (qNbConfusion _),
     "q155_mmr_rerank" -> (qMmrRerank _),
     "q156_nb_holdout" -> (qNbHoldout _),
-    "q157_ndcg" -> (qNdcg _))
+    "q157_ndcg" -> (qNdcg _),
+    "q158_bloom_decontam" -> (qBloomDecontam _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4336,6 +4347,29 @@ object SparkEntry {
         "FROM (SELECT unnest(generate_series(1, 10)) AS rank)) " +
         "SELECT q_id, CAST(np AS BIGINT) AS nprobe, round(dcg, 4) AS dcg, " +
         "round(dcg / idcg, 4) AS ndcg FROM dcg CROSS JOIN idcg"),
+    "q158_bloom_decontam" -> {
+      // md5-derived bloom positions (the q62 replay) over the q54 gram
+      // split; exact verify on bloom survivors; FP accounting per doc
+      def bb(i: Int) =
+        s"CAST(CAST(('0x' || substr(md5('$i' || '|' || shingle), 1, 8)) AS BIGINT) % 4096 AS BIGINT)"
+      ("WITH toks5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "g0 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN " +
+        "list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS shingle FROM toks5), " +
+        "g AS (SELECT DISTINCT doc_id, shingle FROM g0), " +
+        "bench AS (SELECT DISTINCT shingle FROM g WHERE doc_id < 20), " +
+        "bits AS (SELECT DISTINCT " +
+        "CAST(CAST(('0x' || substr(md5(i || '|' || shingle), 1, 8)) AS BIGINT) % 4096 AS BIGINT) AS bit " +
+        "FROM bench CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)), " +
+        "pass AS (SELECT doc_id, shingle FROM g WHERE doc_id >= 20 AND " +
+        (0 until 3).map(i => s"${bb(i)} IN (SELECT bit FROM bits)").mkString(" AND ") + "), " +
+        "nb AS (SELECT doc_id, count(*) AS n_bloom_hits FROM pass GROUP BY 1), " +
+        "ne AS (SELECT doc_id, count(*) AS n_exact_hits FROM pass " +
+        "WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1) " +
+        "SELECT nb.doc_id, n_bloom_hits, coalesce(n_exact_hits, 0) AS n_exact_hits, " +
+        "n_bloom_hits - coalesce(n_exact_hits, 0) AS n_false_pos, " +
+        "coalesce(n_exact_hits, 0) > 0 AS contaminated FROM nb LEFT JOIN ne USING (doc_id)")
+    },
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -516,6 +516,44 @@ object TextDedup {
           .as("expected_rate"))
   }
 
+  /** Bloom-STAGED n-gram decontamination — the 100 TB shape of q54's
+    * exact check: stage 1 broadcasts a [[Sketch.bloomMask]] of the
+    * benchmark gram set (bits/8 BYTES — a fixed-size bitmask instead of
+    * the full gram-string set) and drops non-matching corpus grams
+    * inside ONE codegen'd filter (no join on the probe path); stage 2
+    * exact-verifies only the bloom SURVIVORS against the true gram set.
+    * No false negatives by construction, so the contaminated verdict is
+    * EXACT; the per-doc accounting (bloom hits vs exact hits) also
+    * surfaces the filter's realized false-positive cost — the number
+    * the bits/k sizing decision needs.
+    *
+    * Scale: when the benchmark gram set outgrows broadcast comfort
+    * (eval suites × paraphrase expansions), the mask stays constant-
+    * size; stage 2's semi-join then runs over survivor-sized input
+    * (FP-rate × corpus grams), not the corpus. Deterministic: bloom
+    * positions are md5-derived ([[Sketch.cmBucket]]), both stages
+    * integer-exact. */
+  def bloomStagedContamination(corpusShingles: DataFrame,
+      benchShingles: DataFrame, bits: Int = 4096, k: Int = 3,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val bench = benchShingles.select(col("shingle")).distinct()
+    val mask = Sketch.bloomMask(bench, col("shingle"), bits, k)
+    // survivor-sized; materialized for its two consumers (bloom count,
+    // exact verify)
+    val pruned = materialize(
+      Sketch.bloomPruneMask(corpusShingles, col("shingle"), mask, bits, k))
+    val exact = pruned.join(broadcast(bench), Seq("shingle"), "left_semi")
+    val nb = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom_hits"))
+    val ne = exact.groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact_hits"))
+    nb.join(ne, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bloom_hits"),
+        coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+        (col("n_bloom_hits") - coalesce(col("n_exact_hits"), lit(0L)))
+          .as("n_false_pos"),
+        (coalesce(col("n_exact_hits"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Block-level global-frequency boilerplate removal (the CCNet /
     * Dolma paragraph-dedup shape, Wenzek et al. 2020 §3.1): the corpus
     * is cut into aligned `b`-token blocks (the token-stream stand-in

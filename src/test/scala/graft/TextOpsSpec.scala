@@ -587,6 +587,31 @@ class TextOpsSpec extends SparkSpec {
     assert(graft.ops.Ann.semanticDecontam(corpus, bench, -2).count() == 3)
   }
 
+  test("bloomStagedContamination: verdicts exactly match the one-stage " +
+    "exact check (no false negatives); FP accounting is non-negative " +
+    "and shrinks with more bits") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val g = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 5)
+    val corpus = g.filter(col("doc_id") >= 20)
+    val bench = g.filter(col("doc_id") < 20)
+    val staged = TextDedup.bloomStagedContamination(corpus, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val exact = TextDedup.contamination(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stage 2 makes the verdict exact: per-doc exact-hit counts agree
+    assert(staged.filter(_._2._4).view.mapValues(_._2).toMap == exact)
+    staged.values.foreach { case (nb, nex, nfp, _) =>
+      assert(nfp == nb - nex && nfp >= 0L && nex >= 0L)
+    }
+    // a bigger filter can only lower the bloom-hit count (fewer FPs)
+    val wide = TextDedup.bloomStagedContamination(corpus, bench, bits = 65536)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    staged.foreach { case (d, (nb, _, _, _)) =>
+      assert(wide.getOrElse(d, 0L) <= nb, s"doc $d")
+    }
+  }
+
   test("blockBoilerplate: corpus-frequent blocks drop from EVERY doc, " +
     "rare blocks survive, fully-boilerplate doc hashes md5('')") {
     // b=2 blocks; "nav bar" opens three docs (freq 3 → drop everywhere,
