@@ -2209,6 +2209,13 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** Hard-negative mining: top-5 most-similar OTHER-label vectors per
+    * anchor — the contrastive-training data-construction step. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.hardNegatives(emb, emb.filter(col("vec_id") < 5), 5)
+  }
+
   /** Bloom-staged decontamination: the q54 split (bench = doc_id < 20)
     * checked through a broadcast 4096-bit mask first, exact-verified on
     * the survivors — with the realized false-positive accounting. */
@@ -2423,7 +2430,8 @@ object SparkEntry {
     "q155_mmr_rerank" -> (qMmrRerank _),
     "q156_nb_holdout" -> (qNbHoldout _),
     "q157_ndcg" -> (qNdcg _),
-    "q158_bloom_decontam" -> (qBloomDecontam _))
+    "q158_bloom_decontam" -> (qBloomDecontam _),
+    "q159_hard_negatives" -> (qHardNegatives _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4370,6 +4378,18 @@ object SparkEntry {
         "n_bloom_hits - coalesce(n_exact_hits, 0) AS n_false_pos, " +
         "coalesce(n_exact_hits, 0) > 0 AS contaminated FROM nb LEFT JOIN ne USING (doc_id)")
     },
+    "q159_hard_negatives" ->
+      // top-5 most-similar other-label vectors per anchor; 6-dp rank,
+      // id tie-break, 4-dp output (the q25 contract + label mismatch)
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv, label AS n_label FROM embeddings), " +
+        "sc AS (SELECT q_id, n_id, n_label, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM q JOIN c ON n_id <> q_id AND n_label <> ql), " +
+        "r AS (SELECT q_id, n_id, n_label, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) " +
+        "SELECT q_id, rank, n_id, n_label, round(cos, 4) AS cos FROM r WHERE rank <= 5"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

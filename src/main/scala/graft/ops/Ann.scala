@@ -174,6 +174,37 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-construction step, Karpukhin et al. 2020 §3.2): for each
+    * anchor, the top-k most-SIMILAR vectors with a DIFFERENT label —
+    * the negatives that actually move a metric-learning loss (random
+    * negatives are trivially far; these sit just across the boundary).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — anchors broadcast,
+    * corpus scored in one pass with the label-mismatch predicate fused
+    * into the join, per-anchor top-k via WindowGroupLimit; at corpus
+    * scale swap the scoring stage for an [[ivfPqSearch]] shortlist and
+    * filter labels on the survivors. Deterministic: 6-dp cosine rank,
+    * id tie-break, 4-dp output. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0, s"hardNegatives: k=$k")
+    val q = broadcast(anchors.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol), col(labelCol).as("n_label"))
+      .join(q, col(idCol) =!= col("q_id") && col("n_label") =!= col("q_label"))
+      .select(col("q_id"), col(idCol).as("n_id"), col("n_label"),
+        round(Similarity.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** nDCG@k of an IVF·PQ serving ranking vs the exact cosine baseline,
     * per query and nprobe tier — the RANK-WEIGHTED complement to
     * [[ivfPqRecall]]: recall counts how many of the true top-k an index

@@ -359,6 +359,28 @@ class AnnSpec extends SparkSpec {
     assert(slack == brute)
   }
 
+  test("hardNegatives: every mined negative has a different label; " +
+    "ranking equals brute force over the other-label sub-corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") < 3)
+    val mined = Ann.hardNegatives(emb, anchors, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    mined.foreach { case (q, _, n, nl, _) =>
+      assert(nl != labels(q) && nl == labels(n), s"anchor $q neg $n")
+    }
+    // per anchor: ≡ brute-force top-5 over the corpus minus its label
+    anchors.select("vec_id", "label").collect().foreach { a =>
+      val (qid, ql) = (a.getLong(0), a.getInt(1))
+      val want = Ann.bruteForceTopK(emb.filter(col("label") =!= ql),
+          emb.filter(col("vec_id") === qid), 5)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val got = mined.filter(_._1 == qid).map(t => (t._2, t._3, t._5)).toSet
+      assert(got == want, s"anchor $qid")
+    }
+  }
+
   test("ndcgEval: matches a hand-computed snapped DCG over the served " +
     "ranking; bounded in [0, 1]; one row per (query, tier)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

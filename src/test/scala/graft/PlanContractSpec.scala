@@ -683,6 +683,48 @@ class PlanContractSpec extends SparkSpec {
     assert(count(bp, "CartesianProduct") == 0, bp.take(1500))
   }
 
+  test("q156: NB holdout — serving plan: model tables are materialized " +
+    "artifacts, scoring joins broadcast, argmax is a struct-min agg") {
+    val p = plan("q156_nb_holdout")
+    assert(count(p, "Window") == 0, "argmax degenerated to a window")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // nbTrain materializes its model tables: classify reads artifacts
+    assert(count(p, "ExistingRDD") >= 2,
+      s"model re-derived at classify time:\n${p.take(1500)}")
+  }
+
+  test("q157: nDCG — serves the shared index and exact baseline (no " +
+    "corpus re-scan for the baseline), per-tier searches are hash-" +
+    "joined with no cartesian") {
+    val p = plan("q157_ndcg")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // the only nested-loop shapes are the ONE-ROW idcg broadcast
+    // crosses (one per tier) — never a corpus-sized pairing
+    assert(count(p, "BroadcastNestedLoopJoin") <= 3, p.take(1500))
+    // exact baseline + index codes come from the session artifacts
+    assert(count(p, "ExistingRDD") >= 2, p.take(1500))
+  }
+
+  test("q158: bloom decontam — the probe path is a FILTER, not a join " +
+    "(mask broadcast as one row); exact verify joins only survivors") {
+    val p = plan("q158_bloom_decontam")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // stage 1 materialized once; both counting consumers read it
+    assert(count(p, "ExistingRDD") >= 1, p.take(1500))
+    // the k-probe membership test must NOT plan as k semi-joins
+    assert(count(p, "LeftSemi") <= 1,
+      s"bloom degenerated to per-probe semi-joins:\n${p.take(1500)}")
+  }
+
+  test("q159: hard negatives — anchors broadcast with the label-" +
+    "mismatch predicate fused into the join; top-k is WindowGroupLimit") {
+    val p = plan("q159_hard_negatives")
+    assert(count(p, "WindowGroupLimit") >= 1, p.take(1000))
+    assert(count(p, "Exchange hashpartitioning") <= 1, p.take(1000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1000))
+  }
+
   test("q153: diverse top-k — queries broadcast, corpus scored in one " +
     "pass, BOTH rank windows plan as WindowGroupLimit") {
     val p = plan("q153_diverse_topk")
