@@ -4224,8 +4224,11 @@ object SparkEntry {
         "SELECT lab AS lang, clab AS pred_lang, count(*) AS n_docs FROM best GROUP BY 1, 2"),
     "q155_mmr_rerank" -> {
       // greedy MMR unrolled: shortlist (6-dp rank, 4-dp rel), pairwise
-      // 6-dp sims, then 4 argmax stages; (1.0 - 0.7) spelled as the
-      // same IEEE subtraction the Spark literal performs
+      // 6-dp sims, then 4 argmax stages. The (1−λ) factor must be the
+      // IEEE double subtraction Spark's lit(1.0 - lambda) performs —
+      // DuckDB types a bare `1.0 - 0.7` as DECIMAL (exactly 0.3, which
+      // casts to a DIFFERENT double), so both operands are CAST to
+      // DOUBLE before the subtraction
       def sel(n: Int) = (1 to n).map(i => s"SELECT q_id, n_id FROM p$i")
         .mkString("(", " UNION ALL ", ")")
       def stage(t: Int) =
@@ -4234,7 +4237,7 @@ object SparkEntry {
           s"m$t AS (SELECT s.q_id, s.i AS n_id, max(s.sim) AS maxsim FROM sims s " +
           s"JOIN ${sel(t - 1)} p ON p.q_id = s.q_id AND p.n_id = s.j GROUP BY 1, 2), " +
           s"s$t AS (SELECT r.q_id, r.n_id, r.rel, coalesce(m.maxsim, CAST(0.0 AS DOUBLE)) AS maxsim, " +
-          s"round(0.7 * r.rel - (1.0 - 0.7) * coalesce(m.maxsim, CAST(0.0 AS DOUBLE)), 6) AS score " +
+          s"round(0.7 * r.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * coalesce(m.maxsim, CAST(0.0 AS DOUBLE)), 6) AS score " +
           s"FROM r$t r LEFT JOIN m$t m ON m.q_id = r.q_id AND m.n_id = r.n_id), " +
           s"p$t AS (SELECT q_id, CAST($t AS BIGINT) AS pos, n_id, rel, maxsim, score AS mmr " +
           s"FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rn " +

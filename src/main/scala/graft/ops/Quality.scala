@@ -102,33 +102,6 @@ object Quality {
             (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr"))
   }
 
-  /** Multinomial Naive Bayes trained IN the engine, self-evaluated as a
-    * confusion matrix — the relational stand-in for the fastText-style
-    * classifier curation pipelines train for language/quality routing
-    * (CCNet trains fastText; the multinomial NB over the same unigram
-    * features is the aggregation-expressible analog). One pass trains
-    * (per-(label, term) counts with Laplace smoothing), one pass scores
-    * every doc against every label, the per-doc argmax folds into
-    * (label, predicted, n_docs) — model training as a GROUP BY, no
-    * iterative solver, no driver-side model state.
-    *
-    * Scoring identity (keeps the join sparse): with lp0(c) =
-    * ln(1/(ctot_c + V)) the unseen-term likelihood,
-    *   score(d, c) = ln(prior_c) + n_d·lp0(c) + Σ_{t seen in c} tf·ln(ctf+1)
-    * so the scoring join only touches (term, label) pairs the TRAINING
-    * data contains — never the dense doc×vocab×label cross.
-    *
-    * Deterministic: the Σ uses the shared [[graft.expr.Snap]] 1e9 grid;
-    * the two closed-form terms are plain IEEE ops in the same order the
-    * oracle writes; scores round to 4 dp BEFORE the argmax, whose
-    * tie-break is label-ascending (a lexicographic struct min).
-    *
-    * Scale shape: the doc-term table is materialized once for its two
-    * consumers (model aggregation, scoring join); the model is
-    * (labels × seen-vocab)-bounded and BROADCAST; the dense (doc,
-    * label) score frame is |docs|·|labels| narrow rows via a broadcast
-    * cross of the label-sized stats table; one doc-keyed argmax
-    * aggregation; output is |labels|² rows. */
   /** A trained multinomial NB model, split train-once/serve-many (the
     * IVF·PQ index pattern for classifiers): `labStats` is |labels| rows
     * of (clab, prior_ln, lp0); `terms` is the (clab, term, lterm)
@@ -137,9 +110,10 @@ object Quality {
     * the training corpus. */
   case class NbModel(labStats: DataFrame, terms: DataFrame)
 
-  /** Train the [[nbConfusion]] model alone — same counts, smoothing,
-    * and closed forms (QualitySpec pins classify∘train ≡ nbConfusion's
-    * matrix); one tokenize+count pass, model-sized output. */
+  /** Train the multinomial NB model (the single definition of the
+    * counts/smoothing/closed-form contract — [[nbConfusion]], the q156
+    * holdout eval, and the streaming routing sink all compose this with
+    * [[nbClassify]]); one tokenize+count pass, model-sized output. */
   def nbTrain(docs: DataFrame, id: Column, text: Column, label: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : NbModel = {
@@ -196,44 +170,40 @@ object Quality {
         (-col("best.ns")).as("score"))
   }
 
+  /** Multinomial Naive Bayes trained IN the engine, self-evaluated as a
+    * confusion matrix — the relational stand-in for the fastText-style
+    * classifier curation pipelines train for language/quality routing
+    * (CCNet trains fastText; the multinomial NB over the same unigram
+    * features is the aggregation-expressible analog). Model training is
+    * a GROUP BY ([[nbTrain]]: per-(label, term) counts with Laplace
+    * smoothing, no iterative solver, no driver-side model state);
+    * scoring ([[nbClassify]]) uses the sparse identity — with
+    * lp0(c) = ln(1/(ctot_c + V)) the unseen-term likelihood,
+    *   score(d, c) = ln(prior_c) + n_d·lp0(c) + Σ_{t seen in c} tf·ln(ctf+1)
+    * — so the scoring join only touches (term, label) pairs the
+    * TRAINING data contains, never the dense doc×vocab×label cross.
+    * ONE definition of the model math: this is literally
+    * classify ∘ train + a confusion rollup (the q156 holdout eval and
+    * the streaming routing sink share the same two functions).
+    *
+    * Deterministic: the Σ uses the shared [[graft.expr.Snap]] 1e9 grid;
+    * the closed-form terms are plain IEEE ops in the same order the
+    * oracle writes; scores round to 4 dp BEFORE the argmax, whose
+    * tie-break is label-ascending (a lexicographic struct min).
+    *
+    * Scale shape: model (labels × seen-vocab)-bounded and BROADCAST;
+    * the dense (doc, label) score frame is |docs|·|labels| narrow rows;
+    * one doc-keyed argmax aggregation; output is |labels|² rows. The
+    * cost vs a fused form is one extra tokenize+count pass over `docs`
+    * (train and classify each scan once) — paid willingly for a single
+    * definition of the smoothing/tie-break contract. */
   def nbConfusion(docs: DataFrame, id: Column, text: Column, label: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
-    import graft.expr.Snap
-    val docTf = materialize(Fanout.fanout(docs)
-      .select(id.as("doc_id"), label.as("lab"),
-        explode(graft.expr.TextStats.tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("lab"), col("term"))
-      .agg(count(lit(1)).as("tf")))
-    // model: per-(label, term) counts; label totals; seen-vocab size
-    val ct = materialize(docTf.groupBy(col("lab"), col("term"))
-      .agg(sum(col("tf")).as("ctf")))
-    val classStats = ct.groupBy(col("lab")).agg(sum(col("ctf")).as("ctot"))
-      .join(broadcast(ct.select(countDistinct(col("term")).as("v"))))
-    val priors = docs.groupBy(label.as("lab"))
-      .agg(count(lit(1)).as("nd"))
-      .join(broadcast(docs.agg(count(lit(1)).as("ntot"))))
-    val labStats = broadcast(classStats.join(priors, Seq("lab"))
-      .select(col("lab").as("clab"),
-        log(col("nd").cast("double") / col("ntot").cast("double")).as("prior_ln"),
-        log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0")))
-    // sparse Σ tf·ln(ctf+1) over (doc, label) pairs sharing a term
-    val seen = docTf
-      .join(broadcast(ct.select(col("lab").as("clab"), col("term"),
-        log((col("ctf") + lit(1L)).cast("double")).as("lterm"))), Seq("term"))
-      .groupBy(col("doc_id"), col("clab"))
-      .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
-        .as("s1"))
-    val docN = docTf.groupBy(col("doc_id"), col("lab"))
-      .agg(sum(col("tf")).as("n_tok"))
-    val scored = docN.crossJoin(labStats)
-      .join(seen, Seq("doc_id", "clab"), "left")
-      .select(col("doc_id"), col("lab"), col("clab"),
-        round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
-          coalesce(col("s1"), lit(0.0)), 4).as("score"))
-    scored.groupBy(col("doc_id"), col("lab"))
-      .agg(min(struct((-col("score")).as("ns"), col("clab"))).as("best"))
-      .groupBy(col("lab").as("lang"), col("best.clab").as("pred_lang"))
+    val model = nbTrain(docs, id, text, label, materialize)
+    nbClassify(model, docs, id, text, materialize)
+      .join(docs.select(id.as("doc_id"), label.as("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lab").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
   }
 }
