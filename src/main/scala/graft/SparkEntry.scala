@@ -2209,6 +2209,16 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** SEMANTIC leakage-safe split: the q114 group-granular hash split
+    * driven by embedding-cosine near-dup groups (q32's pairs) instead
+    * of shingle LSH — paraphrase-level leakage that n-gram grouping
+    * can't see never straddles train/eval. Per-vector assignment. */
+  private def qSemanticSplit(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.leakageSafeSplit(t(s, dir, "embeddings"), "vec_id",
+        Ann.cosineNearDupPairs(t(s, dir, "embeddings"), "label", 0.28),
+        "id_a", "id_b", Seq(10 -> "val", 20 -> "test", 100 -> "train"))
+      .select(col("vec_id"), col("group_id"), col("split"))
+
   /** Hard-negative mining: top-5 most-similar OTHER-label vectors per
     * anchor — the contrastive-training data-construction step. */
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
@@ -2431,7 +2441,8 @@ object SparkEntry {
     "q156_nb_holdout" -> (qNbHoldout _),
     "q157_ndcg" -> (qNdcg _),
     "q158_bloom_decontam" -> (qBloomDecontam _),
-    "q159_hard_negatives" -> (qHardNegatives _))
+    "q159_hard_negatives" -> (qHardNegatives _),
+    "q160_semantic_split" -> (qSemanticSplit _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4393,6 +4404,22 @@ object SparkEntry {
         "r AS (SELECT q_id, n_id, n_label, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc) " +
         "SELECT q_id, rank, n_id, n_label, round(cos, 4) AS cos FROM r WHERE rank <= 5"),
+    "q160_semantic_split" ->
+      // q32's cosine near-dup pairs → recursive-CTE components → the
+      // q42/q114 md5 split keyed on group_id; per-vector assignment
+      ("WITH RECURSIVE v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id AND " +
+        "round(list_dot_product(a.e, b.e) / " +
+        "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) >= 0.28), " +
+        "edges AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b AS a, id_a AS b FROM p), " +
+        "reach AS (SELECT vec_id AS node, vec_id AS comp FROM embeddings " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS vec_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "b AS (SELECT vec_id, group_id, " +
+        "CAST(CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bkt FROM comp) " +
+        "SELECT vec_id, group_id, CASE WHEN bkt < 10 THEN 'val' " +
+        "WHEN bkt < 20 THEN 'test' ELSE 'train' END AS split FROM b"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -359,6 +359,23 @@ class AnnSpec extends SparkSpec {
     assert(slack == brute)
   }
 
+  test("semantic leakage-safe split: cosine near-dup pairs never " +
+    "straddle splits; every vector is assigned exactly once") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Ann.cosineNearDupPairs(emb, "label", 0.28)
+    val split = graft.ops.Sampling.leakageSafeSplit(emb, "vec_id",
+        pairs, "id_a", "id_b", Seq(10 -> "val", 20 -> "test", 100 -> "train"))
+      .select(col("vec_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == emb.count())
+    val p = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.nonEmpty, "threshold found no near-dup pairs — test is vacuous")
+    p.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a, $b) straddles splits")
+    }
+  }
+
   test("hardNegatives: every mined negative has a different label; " +
     "ranking equals brute force over the other-label sub-corpus") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
