@@ -2209,6 +2209,32 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** Curriculum interleave (Bengio et al. 2009's easy-first ordering ×
+    * source balance): within each source, docs rank easy-first by the
+    * shared unigram-NLL score; the GLOBAL training position is the
+    * CLOSED-FORM round-robin (rank−1)·|sources| + source_index — no
+    * global sort, no single-partition window; the total order falls out
+    * of per-source windows plus arithmetic over two broadcast scalars.
+    * The order-construction step a data pipeline runs right before the
+    * shard write (q123). */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val score = sharedUnigramNll(s, dir).select(col("doc_id"), col("nll"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("si", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source")))
+        .cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    val ranked = docs.join(score, Seq("doc_id"))
+      .withColumn("src_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("nll").asc, col("doc_id").asc)).cast("long"))
+    ranked.join(broadcast(srcIdx), Seq("source")).crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        ((col("src_rank") - 1L) * col("n_src") + (col("si") - 1L))
+          .as("global_pos"))
+  }
+
   /** SEMANTIC leakage-safe split: the q114 group-granular hash split
     * driven by embedding-cosine near-dup groups (q32's pairs) instead
     * of shingle LSH — paraphrase-level leakage that n-gram grouping
@@ -2442,7 +2468,8 @@ object SparkEntry {
     "q157_ndcg" -> (qNdcg _),
     "q158_bloom_decontam" -> (qBloomDecontam _),
     "q159_hard_negatives" -> (qHardNegatives _),
-    "q160_semantic_split" -> (qSemanticSplit _))
+    "q160_semantic_split" -> (qSemanticSplit _),
+    "q161_curriculum" -> (qCurriculum _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4420,6 +4447,26 @@ object SparkEntry {
         "CAST(CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS BIGINT) AS bkt FROM comp) " +
         "SELECT vec_id, group_id, CASE WHEN bkt < 10 THEN 'val' " +
         "WHEN bkt < 20 THEN 'test' ELSE 'train' END AS split FROM b"),
+    "q161_curriculum" ->
+      // the q73 NLL replay, easy-first rank per source, closed-form
+      // round-robin global position (rank-1)*n_sources + source_index
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot, g), " +
+        "nll AS (SELECT doc_id, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "src AS (SELECT source, row_number() OVER (ORDER BY source) AS si " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "ns AS (SELECT count(*) AS n_src FROM src), " +
+        "rk AS (SELECT d.doc_id, d.source, row_number() OVER " +
+        "(PARTITION BY d.source ORDER BY n.nll, d.doc_id) AS src_rank " +
+        "FROM documents d JOIN nll n USING (doc_id)) " +
+        "SELECT doc_id, source, src_rank, " +
+        "(src_rank - 1) * n_src + (si - 1) AS global_pos " +
+        "FROM rk JOIN src USING (source) CROSS JOIN ns"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

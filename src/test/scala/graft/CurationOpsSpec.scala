@@ -103,4 +103,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - math.log(24.0)) < 1e-3)
     assert(math.abs(r.getDouble(5) - 1.0) < 1e-3, s"r2 ${r.getDouble(5)}")
   }
+
+  test("q161 curriculum: global positions are a strict total order, " +
+    "round-robin interleaves sources, within-source order is easy-first") {
+    val rows = SparkEntry.queries("q161_curriculum")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // strict total order: no two docs share a global position
+    assert(rows.map(_._4).distinct.length == rows.length)
+    // round-robin: the first |sources| positions are each source's
+    // rank-1 doc, one per source
+    val nSrc = rows.map(_._2).distinct.length
+    val head = rows.filter(_._4 < nSrc)
+    assert(head.length == nSrc && head.map(_._2).distinct.length == nSrc)
+    assert(head.forall(_._3 == 1L))
+    // within a source, global position is strictly increasing in rank
+    rows.groupBy(_._2).values.foreach { g =>
+      val pos = g.sortBy(_._3).map(_._4).toSeq
+      assert(pos == pos.sorted)
+    }
+  }
 }
