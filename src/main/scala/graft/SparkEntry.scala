@@ -2209,6 +2209,13 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** T5 span-corruption example construction: deterministic md5 span
+    * starts (~5% of positions, 3-token windows, overlaps merged), one
+    * sentinel per masked run, input/target hashed. */
+  private def qSpanCorruption(s: SparkSession, dir: String): DataFrame =
+    ops.Packing.spanCorruption(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 5, 3)
+
   /** Curriculum interleave (Bengio et al. 2009's easy-first ordering ×
     * source balance): within each source, docs rank easy-first by the
     * shared unigram-NLL score; the GLOBAL training position is the
@@ -2469,7 +2476,8 @@ object SparkEntry {
     "q158_bloom_decontam" -> (qBloomDecontam _),
     "q159_hard_negatives" -> (qHardNegatives _),
     "q160_semantic_split" -> (qSemanticSplit _),
-    "q161_curriculum" -> (qCurriculum _))
+    "q161_curriculum" -> (qCurriculum _),
+    "q162_span_corruption" -> (qSpanCorruption _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4467,6 +4475,44 @@ object SparkEntry {
         "SELECT doc_id, source, src_rank, " +
         "(src_rank - 1) * n_src + (si - 1) AS global_pos " +
         "FROM rk JOIN src USING (source) CROSS JOIN ns"),
+    "q162_span_corruption" ->
+      // md5-derived span starts (5% of positions, 3-token windows,
+      // overlaps merged via gaps-and-islands), sentinel per run,
+      // positional input/target rebuild, both md5-hashed
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "base AS (SELECT doc_id, t, len(t) AS n FROM toks), " +
+        "tok AS (SELECT doc_id, n, i AS pos, t[i] AS tok " +
+        "FROM base, unnest(generate_series(1, n)) AS u(i)), " +
+        "starts AS (SELECT doc_id, pos AS s, n FROM tok WHERE " +
+        "CAST(('0x' || substr(md5(doc_id || '|' || pos), 1, 8)) AS BIGINT) % 100 < 5), " +
+        "masked AS (SELECT DISTINCT doc_id, mp FROM (SELECT doc_id, " +
+        "unnest(generate_series(s, least(s + 2, n))) AS mp FROM starts)), " +
+        "runs0 AS (SELECT doc_id, mp, mp - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY mp) AS island FROM masked), " +
+        "runs AS (SELECT doc_id, island, min(mp) AS run_start, count(*) AS run_len " +
+        "FROM runs0 GROUP BY 1, 2), " +
+        "rk AS (SELECT doc_id, run_start, run_len, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY run_start) AS k FROM runs), " +
+        "flags AS (SELECT tok.doc_id, tok.pos, " +
+        "CASE WHEN m.mp IS NULL THEN tok.tok " +
+        "WHEN rk.k IS NOT NULL THEN '<extra_id_' || CAST(rk.k - 1 AS VARCHAR) || '>' " +
+        "ELSE NULL END AS out FROM tok " +
+        "LEFT JOIN masked m ON m.doc_id = tok.doc_id AND m.mp = tok.pos " +
+        "LEFT JOIN rk ON rk.doc_id = tok.doc_id AND rk.run_start = tok.pos), " +
+        "inp AS (SELECT doc_id, md5(string_agg(out, ' ' ORDER BY pos)) AS input_hash " +
+        "FROM flags WHERE out IS NOT NULL GROUP BY 1), " +
+        "tgt AS (SELECT rk.doc_id, count(*) AS n_spans, " +
+        "md5(string_agg('<extra_id_' || CAST(k - 1 AS VARCHAR) || '> ' || " +
+        "array_to_string(t[run_start:run_start+run_len-1], ' '), ' ' ORDER BY k)) AS target_hash " +
+        "FROM rk JOIN base ON base.doc_id = rk.doc_id GROUP BY 1), " +
+        "cnt AS (SELECT doc_id, count(*) AS n_masked FROM masked GROUP BY 1) " +
+        "SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens, " +
+        "coalesce(n_masked, 0) AS n_masked, coalesce(n_spans, 0) AS n_spans, " +
+        "coalesce(input_hash, md5('')) AS input_hash, " +
+        "coalesce(target_hash, md5('')) AS target_hash " +
+        "FROM base b LEFT JOIN cnt ON cnt.doc_id = b.doc_id " +
+        "LEFT JOIN inp ON inp.doc_id = b.doc_id " +
+        "LEFT JOIN tgt ON tgt.doc_id = b.doc_id"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -122,4 +122,91 @@ object Packing {
     hashed.withColumn("n_copies",
       count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective EXAMPLE CONSTRUCTION step: deterministic span
+    * starts (md5 of (doc, pos), ~`startPct`% of positions) each mask a
+    * `spanLen`-token window (clipped at the doc end; overlapping
+    * windows merge), every maximal masked RUN is replaced by one
+    * sentinel `<extra_id_k>` in the input and emits `sentinel + its
+    * tokens` to the target — input/target reassembled positionally and
+    * md5-hashed, with token/mask/span counts.
+    *
+    * Deterministic: start decisions are md5-derived (reproducible
+    * across engines/runs/retries — the masking a pipeline must replay
+    * to regenerate an example on demand); run numbering is positional.
+    *
+    * Scale shape: every stage is doc-keyed — the start/window explode
+    * is ≤spanLen× the start rows; run detection is the gaps-and-islands
+    * window per doc (pos − row_number, partitioned by doc); input and
+    * target rebuilds are per-doc ordered aggregations (the q132/q151
+    * reassembly shape). No corpus-global structure at all: this
+    * pipeline runs embarrassingly parallel over docs. */
+  def spanCorruption(docs: DataFrame, id: Column, text: Column,
+      startPct: Int = 5, spanLen: Int = 3): DataFrame = {
+    require(startPct >= 0 && startPct <= 100 && spanLen >= 1,
+      s"spanCorruption: startPct=$startPct spanLen=$spanLen")
+    val base = Fanout.fanout(docs).select(id.as("doc_id"),
+      graft.expr.TextStats.tokens(text).as("t"))
+      .withColumn("n", size(col("t")))
+    val tok = base.select(col("doc_id"), col("n"),
+      posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"), col("tok"))
+    val starts = tok.filter(
+      Sampling.hashBucket(concat_ws("|", col("doc_id"), col("pos")), 100)
+        < startPct)
+      .select(col("doc_id"), col("pos").as("s"), col("n"))
+    val masked = starts
+      .select(col("doc_id"),
+        explode(sequence(col("s"),
+          least(col("s") + lit(spanLen - 1), col("n")))).as("mp"))
+      .distinct()
+    // gaps-and-islands: contiguous masked runs; k = per-doc run index
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("mp"))
+    val runs = masked
+      .withColumn("island", col("mp") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("mp")).as("run_start"), count(lit(1)).as("run_len"))
+      .withColumn("k", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("run_start")))
+        .cast("long"))
+    val sentinel = concat(lit("<extra_id_"), (col("k") - 1L), lit(">"))
+    // positional rebuild: unmasked token | run-start sentinel | dropped
+    val flags = tok
+      .join(masked.select(col("doc_id"), col("mp").as("pos"),
+        lit(1).as("m")), Seq("doc_id", "pos"), "left")
+      .join(runs.select(col("doc_id"), col("run_start").as("pos"),
+        col("k")), Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("m").isNull, col("tok"))
+          .when(col("k").isNotNull,
+            concat(lit("<extra_id_"), (col("k") - 1L), lit(">")))
+          .otherwise(lit(null).cast("string")).as("out"))
+    val input = flags.filter(col("out").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("out")))),
+        x => x.getField("out")), " ")).as("input_hash"))
+    val target = runs.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("k"),
+        concat(sentinel, lit(" "),
+          array_join(slice(col("t"), col("run_start").cast("int"),
+            col("run_len").cast("int")), " ")).as("span_text"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("k"), col("span_text")))),
+          x => x.getField("span_text")), " ")).as("target_hash"))
+    val counts = masked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_masked"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(input, Seq("doc_id"), "left")
+      .join(target, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("input_hash"), md5(lit(""))).as("input_hash"),
+        coalesce(col("target_hash"), md5(lit(""))).as("target_hash"))
+  }
 }

@@ -104,6 +104,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 1.0) < 1e-3, s"r2 ${r.getDouble(5)}")
   }
 
+  test("spanCorruption: startPct=0 is the identity (no masking); " +
+    "startPct=100 masks everything into ONE sentinel run; counts are " +
+    "consistent and partition-invariant") {
+    import graft.ops.Packing
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y")).toDF("doc_id", "text")
+    val none = Packing.spanCorruption(docs, col("doc_id"), col("text"), 0, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(none(1L) == (8L, 0L, 0L, md5s("a b c d e f g h"), md5s("")))
+    assert(none(2L) == (2L, 0L, 0L, md5s("x y"), md5s("")))
+    val all = Packing.spanCorruption(docs, col("doc_id"), col("text"), 100, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(all(1L) == (8L, 8L, 1L, md5s("<extra_id_0>"),
+      md5s("<extra_id_0> a b c d e f g h")))
+    assert(all(2L) == (2L, 2L, 1L, md5s("<extra_id_0>"),
+      md5s("<extra_id_0> x y")))
+    // real corpus: counts consistent, deterministic under repartition
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r1 = Packing.spanCorruption(corpus, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().toSeq
+    r1.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3) && r.getLong(2) <= r.getLong(1))
+    }
+    assert(r1.exists(_.getLong(3) > 0L), "masking never fired — vacuous")
+    val r2 = Packing.spanCorruption(corpus.repartition(7), col("doc_id"),
+      col("text")).orderBy("doc_id").collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("q161 curriculum: global positions are a strict total order, " +
     "round-robin interleaves sources, within-source order is easy-first") {
     val rows = SparkEntry.queries("q161_curriculum")(
