@@ -2209,6 +2209,18 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** One DoReMi exponentiated-gradient step: per-source excess loss
+    * over the shared NLL artifact → reweighted training mixture. */
+  private def qDoremi(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.doremiStep(t(s, dir, "documents"), col("doc_id"),
+      col("source"), sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")))
+
+  /** Dictionary phrase tagging: controlled-vocabulary annotation with
+    * hit counts and first positions, matched in-scan. */
+  private def qPhraseTags(s: SparkSession, dir: String): DataFrame =
+    TextStats.phraseTags(t(s, dir, "documents"), col("doc_id"), col("text"),
+      Seq("hash join", "table scan", "window agg", "merge sort", "stream"))
+
   /** T5 span-corruption example construction: deterministic md5 span
     * starts (~5% of positions, 3-token windows, overlaps merged), one
     * sentinel per masked run, input/target hashed. */
@@ -2477,7 +2489,9 @@ object SparkEntry {
     "q159_hard_negatives" -> (qHardNegatives _),
     "q160_semantic_split" -> (qSemanticSplit _),
     "q161_curriculum" -> (qCurriculum _),
-    "q162_span_corruption" -> (qSpanCorruption _))
+    "q162_span_corruption" -> (qSpanCorruption _),
+    "q163_doremi_step" -> (qDoremi _),
+    "q164_phrase_tags" -> (qPhraseTags _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4513,6 +4527,42 @@ object SparkEntry {
         "FROM base b LEFT JOIN cnt ON cnt.doc_id = b.doc_id " +
         "LEFT JOIN inp ON inp.doc_id = b.doc_id " +
         "LEFT JOIN tgt ON tgt.doc_id = b.doc_id"),
+    "q163_doremi_step" ->
+      // the q73 NLL replay; per-source snapped mean, doc-weighted
+      // baseline, snapped exp(excess) lift, normalized 4-dp weights
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot, g), " +
+        "nll AS (SELECT doc_id, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "ps AS (SELECT d.source, count(*) AS n_docs, " +
+        "round(CAST(sum(CAST(floor(n.nll * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / count(*), 6) AS mean_nll " +
+        "FROM documents d JOIN nll n ON n.doc_id = d.doc_id GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS ntot, " +
+        "round(CAST(sum(CAST(floor(mean_nll * n_docs * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / sum(n_docs), 6) AS baseline FROM ps), " +
+        "wr AS (SELECT source, n_docs, mean_nll, " +
+        "round(mean_nll - baseline, 6) AS excess, n_docs / ntot AS w0, " +
+        "(n_docs / ntot) * (floor(exp(1.0 * round(mean_nll - baseline, 6)) * 1000000000 + 0.5) / 1000000000) AS wraw " +
+        "FROM ps CROSS JOIN tt), " +
+        "z AS (SELECT CAST(sum(CAST(floor(wraw * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM wr) " +
+        "SELECT source, n_docs, mean_nll, excess, round(w0, 4) AS weight0, " +
+        "round(wraw / z, 4) AS weight FROM wr CROSS JOIN z"),
+    "q164_phrase_tags" ->
+      // 1- and 2-gram streams, literal IN-list dictionary, per-(doc,
+      // phrase) hit count + first position
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "g1 AS (SELECT doc_id, i AS pos, t[i] AS gram " +
+        "FROM toks, unnest(generate_series(1, len(t))) AS u(i)), " +
+        "g2 AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+1], ' ') AS gram " +
+        "FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i) WHERE len(t) >= 2), " +
+        "gg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2) " +
+        "SELECT doc_id, gram AS phrase, count(*) AS n_hits, " +
+        "CAST(min(pos) AS BIGINT) AS first_pos FROM gg " +
+        "WHERE gram IN ('hash join', 'table scan', 'window agg', 'merge sort', 'stream') " +
+        "GROUP BY 1, 2"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -422,4 +422,40 @@ object TextStats {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Dictionary phrase tagging (the FlashText / taxonomy-annotation
+    * step of curation — tag every document with the controlled-
+    * vocabulary phrases it contains, with hit counts and first
+    * positions): token n-grams are generated only for the PHRASE
+    * LENGTHS the dictionary actually contains, and matching is a
+    * literal IN-list that evaluates inside the scan projection — no
+    * dictionary join, no broadcast, nothing but a filter on the gram
+    * stream (the relational Aho-Corasick stand-in: the dictionary is
+    * compiled into the plan).
+    *
+    * Scale shape: Σ_l (n − l + 1) gram rows per doc for each distinct
+    * phrase length l — bounded by |lens|·n, narrow rows; one
+    * map-side-combined (doc, phrase) aggregation. Output only docs
+    * with hits. Deterministic: exact string match, integer positions. */
+  def phraseTags(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, phrases: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
+      "phraseTags: empty dictionary")
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("t"))
+      .withColumn("n", size(col("t")))
+    val grams = lens.map { l =>
+      toks.filter(col("n") >= l)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"),
+          col("t"))
+        .select(col("doc_id"), col("pos"),
+          array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram"))
+    }.reduce(_ unionByName _)
+    grams.filter(col("gram").isin(phrases: _*))
+      .groupBy(col("doc_id"), col("gram").as("phrase"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
 }

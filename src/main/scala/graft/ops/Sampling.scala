@@ -98,6 +98,55 @@ object Sampling {
           .as("__keep_rate")): _*)
   }
 
+  /** One exponentiated-gradient step of domain reweighting (the DoReMi
+    * update rule, Xie et al. 2023 §3, collapsed to a single closed-form
+    * step over measured losses): sources whose mean LM loss EXCEEDS the
+    * corpus baseline get upweighted — w_s ∝ share_s · exp(η·excess_s) —
+    * the "train more where the model is worst" mixture correction,
+    * computed entirely from a per-doc score table (the shared q73 NLL
+    * artifact; DoReMi proper iterates this with proxy-model retraining
+    * between steps — the BETWEEN-steps data math is exactly this).
+    *
+    * Deterministic: per-source mean losses are [[graft.expr.Snap]]
+    * snapped sums over the 4-dp doc scores (rounded to 6 dp); the
+    * exp(η·excess) factor is snapped to the 1e9 grid BEFORE the
+    * multiply (libm exp is not correctly rounded — one snapped grid
+    * keeps both engines identical); final weights round to 4 dp after
+    * the |sources|-sized normalization.
+    *
+    * Scale shape: one doc-keyed join (docs → scores), one
+    * map-side-combined per-source aggregation, then arithmetic over a
+    * |sources|-row table with a one-row broadcast total — the corpus
+    * moves through exactly one exchange. */
+  def doremiStep(docs: DataFrame, id: Column, source: Column,
+      scores: DataFrame, eta: Double = 1.0): DataFrame = {
+    import graft.expr.Snap
+    def snap9(c: Column): Column =
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    val perSrc = docs.select(id.as("doc_id"), source.as("source"))
+      .join(scores, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(Snap.snappedSum(col("nll"), 1e9) /
+          count(lit(1)).cast("double"), 6).as("mean_nll"))
+    val tot = perSrc.agg(sum(col("n_docs")).cast("double").as("ntot"),
+      // corpus baseline = doc-weighted mean of the source means (6-dp
+      // inputs, snapped sum) — source-count-independent
+      round(Snap.snappedSum(col("mean_nll") *
+          col("n_docs").cast("double"), 1e9) /
+        sum(col("n_docs")).cast("double"), 6).as("baseline"))
+    val lifted = perSrc.crossJoin(broadcast(tot))
+      .withColumn("excess", round(col("mean_nll") - col("baseline"), 6))
+      .withColumn("w0", col("n_docs").cast("double") / col("ntot"))
+      .withColumn("wraw", col("w0") * snap9(exp(lit(eta) * col("excess"))))
+    lifted
+      .crossJoin(broadcast(lifted.agg(
+        Snap.snappedSum(col("wraw"), 1e9).as("z"))))
+      .select(col("source"), col("n_docs"), col("mean_nll"), col("excess"),
+        round(col("w0"), 4).as("weight0"),
+        round(col("wraw") / col("z"), 4).as("weight"))
+  }
+
   /** Temperature-based mixture rates (the T5/mT5 mixing rule): target
     * share of stratum i ∝ share_i^alpha — alpha=1 keeps the natural
     * mix, alpha→0 flattens toward uniform, lifting low-resource strata.

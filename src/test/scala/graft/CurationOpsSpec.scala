@@ -104,6 +104,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 1.0) < 1e-3, s"r2 ${r.getDouble(5)}")
   }
 
+  test("doremiStep: high-loss sources upweight, eta=0 is the identity " +
+    "mixture, weights normalize to 1") {
+    import graft.ops.Sampling
+    // source 'hard' scores twice the loss of 'easy', equal sizes
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 5) "easy" else "hard")).toDF("doc_id", "source")
+    val scores = (1L to 10L).map(i =>
+      (i, if (i <= 5) 2.0 else 4.0)).toDF("doc_id", "nll")
+    val r = Sampling.doremiStep(docs, col("doc_id"), col("source"), scores)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    val (_, meanH, excessH, w0H, wH) = r("hard")
+    val (_, meanE, excessE, w0E, wE) = r("easy")
+    assert(meanH == 4.0 && meanE == 2.0)
+    assert(excessH == 1.0 && excessE == -1.0) // baseline = 3.0
+    assert(w0H == 0.5 && w0E == 0.5)
+    assert(wH > w0H && wE < w0E, s"hard $wH easy $wE")
+    assert(math.abs(wH + wE - 1.0) < 2e-4)
+    // eta = 0: exp(0) = 1 for every source — the mixture is unchanged
+    val id0 = Sampling.doremiStep(docs, col("doc_id"), col("source"),
+        scores, eta = 0.0)
+      .collect().map(x => x.getString(0) -> (x.getDouble(4), x.getDouble(5)))
+      .toMap
+    id0.values.foreach { case (w0, w) => assert(w == w0) }
+  }
+
+  test("phraseTags: exact counts and first positions; hit-free docs " +
+    "absent; 1- and 2-gram phrases both match") {
+    import graft.expr.TextStats
+    val docs = Seq(
+      (1L, "a hash join beats a hash join here"),
+      (2L, "stream stream table scan"),
+      (3L, "nothing to see")).toDF("doc_id", "text")
+    val r = TextStats.phraseTags(docs, col("doc_id"), col("text"),
+        Seq("hash join", "table scan", "stream"))
+      .collect().map(x => (x.getLong(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      (1L, "hash join") -> ((2L, 2L)),
+      (2L, "stream") -> ((2L, 1L)),
+      (2L, "table scan") -> ((1L, 3L))))
+  }
+
   test("spanCorruption: startPct=0 is the identity (no masking); " +
     "startPct=100 masks everything into ONE sentinel run; counts are " +
     "consistent and partition-invariant") {
