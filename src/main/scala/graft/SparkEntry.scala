@@ -2209,6 +2209,15 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** Decontamination surgery over the q54 split: benchmark (doc_id<20)
+    * 5-grams excise their covering tokens from every corpus doc; the
+    * cleaned text reassembles positionally and hashes. */
+  private def qDecontamApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextDedup.decontamApply(docs.filter(col("doc_id") >= 20),
+      docs.filter(col("doc_id") < 20), col("doc_id"), col("text"), 5)
+  }
+
   /** One DoReMi exponentiated-gradient step: per-source excess loss
     * over the shared NLL artifact → reweighted training mixture. */
   private def qDoremi(s: SparkSession, dir: String): DataFrame =
@@ -2491,7 +2500,8 @@ object SparkEntry {
     "q161_curriculum" -> (qCurriculum _),
     "q162_span_corruption" -> (qSpanCorruption _),
     "q163_doremi_step" -> (qDoremi _),
-    "q164_phrase_tags" -> (qPhraseTags _))
+    "q164_phrase_tags" -> (qPhraseTags _),
+    "q165_decontam_apply" -> (qDecontamApply _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4563,6 +4573,26 @@ object SparkEntry {
         "CAST(min(pos) AS BIGINT) AS first_pos FROM gg " +
         "WHERE gram IN ('hash join', 'table scan', 'window agg', 'merge sort', 'stream') " +
         "GROUP BY 1, 2"),
+    "q165_decontam_apply" ->
+      // benchmark 5-grams (doc_id < 20, global DISTINCT — matches the
+      // engine broadcast set) excise their covering token windows from
+      // every corpus doc; q132's positional rebuild + md5
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "bg AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram " +
+        "FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i) " +
+        "WHERE doc_id < 20 AND len(t) >= 5), " +
+        "corp AS (SELECT doc_id, t FROM toks WHERE doc_id >= 20), " +
+        "g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS gram " +
+        "FROM corp, unnest(generate_series(1, len(t) - 4)) AS u(i) WHERE len(t) >= 5), " +
+        "rpos AS (SELECT DISTINCT doc_id, pos + o AS tokpos FROM g, " +
+        "unnest(generate_series(0, 4)) AS v(o) WHERE gram IN (SELECT gram FROM bg)), " +
+        "rl AS (SELECT doc_id, list(tokpos) AS rlist FROM rpos GROUP BY 1) " +
+        "SELECT c.doc_id, CAST(len(t) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(len(rlist), 0) AS BIGINT) AS n_removed, " +
+        "md5(coalesce(array_to_string(list_filter(list_transform(generate_series(1, len(t)), " +
+        "i -> CASE WHEN rlist IS NOT NULL AND list_contains(rlist, i) THEN NULL ELSE t[i] END), " +
+        "x -> x IS NOT NULL), ' '), '')) AS clean_hash " +
+        "FROM corp c LEFT JOIN rl USING (doc_id)"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -516,6 +516,53 @@ object TextDedup {
           .as("expected_rate"))
   }
 
+  /** Decontamination SURGERY — q54 detects, this removes: every corpus
+    * token covered by an `l`-gram that appears in the benchmark set is
+    * excised (ALL occurrences — eval text has no canonical copy to
+    * keep, unlike [[exactSubstringDedup]]'s first-occurrence rule), and
+    * the cleaned text is reassembled positionally and hashed. The
+    * "remove eval overlap, keep the rest of the document" policy — a
+    * doc quoting one benchmark sentence loses that sentence, not its
+    * training value.
+    *
+    * Scale shape: the benchmark gram set is eval-sized and BROADCAST
+    * (swap in the q158 bloom mask when it outgrows broadcast comfort —
+    * identical downstream shape); the corpus gram stream is l-windowed
+    * narrow rows; removal is one broadcast semi-join; the token-window
+    * explode is bounded by l× the matched grams; reassembly is the
+    * doc-keyed array rebuild of q132. Deterministic: exact membership,
+    * integer positions. */
+  def decontamApply(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, l: Int): DataFrame = {
+    require(l >= 1, s"decontamApply: l=$l")
+    val benchGrams = broadcast(bench
+      .select(explode(graft.expr.TextStats.shingles(text, l)).as("gram"))
+      .distinct())
+    val toks = corpus.select(id.as("doc_id"),
+      graft.expr.TextStats.tokens(text).as("t"))
+      .withColumn("n", size(col("t")))
+    val grams = fanout(toks).filter(col("n") >= l)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram"))
+    val removedPos = grams.join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("tokpos"))
+      .distinct()
+    val rl = removedPos.groupBy(col("doc_id"))
+      .agg(collect_set(col("tokpos")).as("rlist"))
+    toks.join(rl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        when(col("rlist").isNull, lit(0L))
+          .otherwise(size(col("rlist")).cast("long")).as("n_removed"),
+        md5(array_join(filter(
+          transform(col("t"), (x, i) =>
+            when(array_contains(col("rlist"), i + 1), lit(null)
+              .cast("string")).otherwise(x)),
+          x => x.isNotNull), " ")).as("clean_hash"))
+  }
+
   /** Bloom-STAGED n-gram decontamination — the 100 TB shape of q54's
     * exact check: stage 1 broadcasts a [[Sketch.bloomMask]] of the
     * benchmark gram set (bits/8 BYTES — a fixed-size bitmask instead of

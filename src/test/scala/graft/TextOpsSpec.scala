@@ -587,6 +587,36 @@ class TextOpsSpec extends SparkSpec {
     assert(graft.ops.Ann.semanticDecontam(corpus, bench, -2).count() == 3)
   }
 
+  test("decontamApply: benchmark-covered windows excise from every " +
+    "occurrence; clean docs untouched; short docs pass through") {
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bench = Seq((1L, "q w e r t")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (20L, "x q w e r t y q w e r t"), // two occurrences, both excised
+      (21L, "clean text with no overlap at all"),
+      (22L, "q w e")) // shorter than l — no grams, untouched
+      .toDF("doc_id", "text")
+    val r = TextDedup.decontamApply(corpus, bench, col("doc_id"),
+        col("text"), 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(20L) == (12L, 10L, md5s("x y")))
+    assert(r(21L) == (7L, 0L, md5s("clean text with no overlap at all")))
+    assert(r(22L) == (3L, 0L, md5s("q w e")))
+    // agreement with detection (q54): removal fires exactly on the
+    // docs the contamination check flags
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val g = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 5)
+    val flagged = TextDedup.contamination(
+      g.filter(col("doc_id") >= 20), g.filter(col("doc_id") < 20))
+      .collect().map(_.getLong(0)).toSet
+    val removed = TextDedup.decontamApply(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), col("doc_id"), col("text"), 5)
+      .filter(col("n_removed") > 0).collect().map(_.getLong(0)).toSet
+    assert(removed == flagged)
+  }
+
   test("bloomStagedContamination: verdicts exactly match the one-stage " +
     "exact check (no false negatives); FP accounting is non-negative " +
     "and shrinks with more bits") {
