@@ -2209,6 +2209,34 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** Per-source corpus DATASHEET (the release-documentation rollup of
+    * Gebru et al.'s "Datasheets for Datasets", computed, not written):
+    * doc/token counts, near-dup incidence (docs in any verified pair
+    * with jaccard ≥ 0.5), and mean LM loss — every metric read from a
+    * shared session artifact (the verified-pair table, the NLL score
+    * table), so the datasheet costs ONE doc-keyed join pass + one
+    * per-source aggregation, not a pipeline re-run. */
+  private def qDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val nll = sharedUnigramNll(s, dir)
+    val dupDocs = {
+      val p = sharedVerifiedJaccard(s, dir).filter(col("jaccard") >= 0.5)
+      p.select(col("doc_a").as("doc_id"))
+        .union(p.select(col("doc_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+    }
+    docs.join(nll, Seq("doc_id")).join(dupDocs, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_near_dup_docs"),
+        round(graft.expr.Snap.snappedSum(col("nll"), 1e9) /
+          count(lit(1)).cast("double"), 6).as("mean_nll"))
+      .withColumn("dup_rate",
+        round(col("n_near_dup_docs").cast("double") /
+          col("n_docs").cast("double"), 4))
+  }
+
   /** Decontamination surgery over the q54 split: benchmark (doc_id<20)
     * 5-grams excise their covering tokens from every corpus doc; the
     * cleaned text reassembles positionally and hashes. */
@@ -2501,7 +2529,8 @@ object SparkEntry {
     "q162_span_corruption" -> (qSpanCorruption _),
     "q163_doremi_step" -> (qDoremi _),
     "q164_phrase_tags" -> (qPhraseTags _),
-    "q165_decontam_apply" -> (qDecontamApply _))
+    "q165_decontam_apply" -> (qDecontamApply _),
+    "q166_datasheet" -> (qDatasheet _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4593,6 +4622,29 @@ object SparkEntry {
         "i -> CASE WHEN rlist IS NOT NULL AND list_contains(rlist, i) THEN NULL ELSE t[i] END), " +
         "x -> x IS NOT NULL), ' '), '')) AS clean_hash " +
         "FROM corp c LEFT JOIN rl USING (doc_id)"),
+    "q166_datasheet" ->
+      // verified-pair replay (jaccard ≥ 0.5 bar) + the q73 NLL replay,
+      // rolled into per-source release metrics
+      (s"WITH $shingleCte, $jaccardCte, " +
+        "dup AS (SELECT DISTINCT doc_id FROM (SELECT doc_a AS doc_id FROM jac " +
+        "WHERE jaccard >= 0.5 UNION ALL SELECT doc_b AS doc_id FROM jac WHERE jaccard >= 0.5)), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot, g), " +
+        "nll AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "ds AS (SELECT d.source, n.n_tokens, n.nll, " +
+        "CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isdup " +
+        "FROM documents d JOIN nll n ON n.doc_id = d.doc_id " +
+        "LEFT JOIN dup dp ON dp.doc_id = d.doc_id) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(isdup) AS BIGINT) AS n_near_dup_docs, " +
+        "round(CAST(sum(CAST(floor(nll * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / count(*), 6) AS mean_nll, " +
+        "round(CAST(sum(isdup) AS DOUBLE) / count(*), 4) AS dup_rate " +
+        "FROM ds GROUP BY 1"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -110,4 +110,31 @@ class CurationPipelineSpec extends SparkSpec {
       .filter(col("sa") =!= col("sb"))
     assert(straddled.isEmpty, "a near-dup pair straddles train/test")
   }
+
+  test("q166 datasheet cross-checks against its component artifacts") {
+    val dir = "/root/testdata/sf0.001"
+    val sheet = SparkEntry.queries("q166_datasheet")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // doc counts straight off the raw table
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sheet.view.mapValues(_._1).toMap == counts)
+    // near-dup incidence straight off the q22 output at the same bar
+    val pairs = SparkEntry.queries("q22_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") >= 0.5).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantDup = pairs.groupBy(srcOf).view.mapValues(_.size.toLong).toMap
+    sheet.foreach { case (src, (_, _, nd, _)) =>
+      assert(nd == wantDup.getOrElse(src, 0L), s"source $src")
+    }
+    // totals: every doc appears in exactly one source row
+    assert(sheet.values.map(_._1).sum == docs.count())
+    sheet.values.foreach { case (ndocs, _, ndup, rate) =>
+      assert(ndup <= ndocs && rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
