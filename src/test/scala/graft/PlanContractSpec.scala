@@ -725,6 +725,30 @@ class PlanContractSpec extends SparkSpec {
       p.take(1000))
   }
 
+  test("q160-q166: the curation batch — no cartesians anywhere; " +
+    "artifact consumers read checkpoints; q164's dictionary is a " +
+    "joinless in-scan filter") {
+    for (q <- Seq("q160_semantic_split", "q161_curriculum",
+        "q162_span_corruption", "q163_doremi_step", "q165_decontam_apply",
+        "q166_datasheet")) {
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") == 0, s"$q:\n${p.take(1000)}")
+    }
+    // q161/q163/q166 serve the materialized NLL artifact
+    for (q <- Seq("q161_curriculum", "q163_doremi_step", "q166_datasheet"))
+      assert(count(plan(q), "ExistingRDD") >= 1,
+        s"$q re-derived the score table")
+    // q164: dictionary matching is a literal IN-list inside the scan
+    // projection — the plan has no join operator at all
+    val p164 = plan("q164_phrase_tags")
+    assert(!p164.contains("Join"), s"q164 dictionary became a join:\n${p164.take(1000)}")
+    assert(count(p164, "FileScan parquet") <= 2, p164.take(800))
+    // q165: removal is ONE broadcast semi-join against the gram set
+    val p165 = plan("q165_decontam_apply")
+    assert(p165.contains("LeftSemi"), p165.take(1000))
+    assert(count(p165, "BroadcastNestedLoopJoin") == 0, p165.take(1000))
+  }
+
   test("q153: diverse top-k — queries broadcast, corpus scored in one " +
     "pass, BOTH rank windows plan as WindowGroupLimit") {
     val p = plan("q153_diverse_topk")
