@@ -2209,6 +2209,15 @@ object SparkEntry {
     ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
       col("text"), col("lang"))
 
+  /** JL sign-projection retrieval eval at 8/16 dims vs the exact
+    * full-dim ranking — the truncation eval's cousin for embeddings
+    * without matryoshka structure. */
+  private def qJlEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.jlEval(emb, emb.filter(col("vec_id") < 5), Seq(8, 16), 10,
+      exact0 = Some(sharedExactTopK(s, dir).select(col("q_id"), col("n_id"))))
+  }
+
   /** Per-source corpus DATASHEET (the release-documentation rollup of
     * Gebru et al.'s "Datasheets for Datasets", computed, not written):
     * doc/token counts, near-dup incidence (docs in any verified pair
@@ -2530,7 +2539,8 @@ object SparkEntry {
     "q163_doremi_step" -> (qDoremi _),
     "q164_phrase_tags" -> (qPhraseTags _),
     "q165_decontam_apply" -> (qDecontamApply _),
-    "q166_datasheet" -> (qDatasheet _))
+    "q166_datasheet" -> (qDatasheet _),
+    "q167_jl_eval" -> (qJlEval _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4645,6 +4655,45 @@ object SparkEntry {
         "round(CAST(sum(CAST(floor(nll * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / count(*), 6) AS mean_nll, " +
         "round(CAST(sum(isdup) AS DOUBLE) / count(*), 4) AS dup_rate " +
         "FROM ds GROUP BY 1"),
+    "q167_jl_eval" ->
+      // md5-Rademacher sign rows (j|i parity), 6-dp projected
+      // components (the 8-dim tier is the PREFIX of the 16 sign rows),
+      // q25-contract cosine top-10 per tier, overlap vs the exact
+      // full-dim baseline
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "sg AS (SELECT j, list(s ORDER BY i) AS srow FROM (" +
+        "SELECT j, i, CASE WHEN CAST(('0x' || substr(md5(j || '|' || i), 1, 1)) AS BIGINT) % 2 = 0 " +
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s " +
+        "FROM (SELECT unnest(generate_series(0, 15)) AS j), " +
+        "(SELECT unnest(generate_series(0, 63)) AS i)) GROUP BY 1), " +
+        "pv AS (SELECT v.vec_id, sg.j, round(list_dot_product(v.e, sg.srow), 6) AS c " +
+        "FROM v CROSS JOIN sg), " +
+        "pr8 AS (SELECT vec_id, list(c ORDER BY j) AS e FROM pv WHERE j < 8 GROUP BY 1), " +
+        "pr16 AS (SELECT vec_id, list(c ORDER BY j) AS e FROM pv GROUP BY 1), " +
+        "sc8 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        "round(list_dot_product(c.e, q.e) / " +
+        "nullif(sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e)), 0), 6) AS cos " +
+        "FROM pr8 q JOIN pr8 c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5), " +
+        "t8 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc8) WHERE rank <= 10), " +
+        "sc16 AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+        "round(list_dot_product(c.e, q.e) / " +
+        "nullif(sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.e, q.e)), 0), 6) AS cos " +
+        "FROM pr16 q JOIN pr16 c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5), " +
+        "t16 AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sc16) WHERE rank <= 10), " +
+        "bq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "bsc AS (SELECT b.q_id, v.vec_id AS n_id, round(list_dot_product(v.e, b.qv) / " +
+        "nullif(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(b.qv, b.qv)), 0), 6) AS cos " +
+        "FROM bq b JOIN v ON v.vec_id <> b.q_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bsc) WHERE rank <= 10), " +
+        "o AS (SELECT b.q_id, CAST(8 AS BIGINT) AS proj_dim, count(t.n_id) AS n_overlap " +
+        "FROM bf b LEFT JOIN t8 t ON t.q_id = b.q_id AND t.n_id = b.n_id GROUP BY 1 " +
+        "UNION ALL SELECT b.q_id, CAST(16 AS BIGINT) AS proj_dim, count(t.n_id) AS n_overlap " +
+        "FROM bf b LEFT JOIN t16 t ON t.q_id = b.q_id AND t.n_id = b.n_id GROUP BY 1) " +
+        "SELECT q_id, proj_dim, n_overlap, " +
+        "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -174,6 +174,53 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Johnson–Lindenstrauss sign-projection retrieval eval: project the
+    * corpus to `projDims` dimensions with the deterministic Rademacher
+    * hyperplanes ([[hyperplaneSigns]] — Achlioptas 2003's ±1 database-
+    * friendly JL variant), then measure recall@k of the projected
+    * brute-force ranking against the exact full-dim baseline per tier.
+    * The cousin of the truncation eval (q138) for embeddings WITHOUT
+    * matryoshka structure: truncation keeps a prefix, JL mixes ALL
+    * input dims into each output dim, so it works on any embedding —
+    * this query measures what that buys at the same dim budget.
+    *
+    * Deterministic: signs are md5-derived (engine-portable), projected
+    * components round to 6 dp before scoring, scoring is the q25
+    * contract on the projected vectors.
+    *
+    * Scale shape: projection is a narrow per-row map (projDims fused
+    * dot products, zero shuffle); each tier then follows the
+    * [[bruteForceTopK]] shape; the exact baseline is the shared
+    * artifact. Output: |Q|·|tiers| rows. */
+  def jlEval(corpus: DataFrame, queries: DataFrame, projDims: Seq[Int],
+      k: Int, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      exact0: Option[DataFrame] = None): DataFrame = {
+    require(projDims.nonEmpty && k > 0, s"jlEval: projDims=$projDims k=$k")
+    val exact = exact0.getOrElse(
+      materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
+    projDims.map { d =>
+      val signs = hyperplaneSigns(d, dim)
+      def proj(df: DataFrame): DataFrame = df.select(col(idCol),
+        array(signs.map { s =>
+          round(aggregate(
+            zip_with(col(vecCol).cast("array<double>"),
+              typedLit(s.toSeq), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x), 6)
+        }: _*).as(vecCol))
+      val t = bruteForceTopK(proj(corpus), proj(queries), k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(t, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .select(col("q_id"), lit(d.toLong).as("proj_dim"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
+            .as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-construction step, Karpukhin et al. 2020 §3.2): for each
     * anchor, the top-k most-SIMILAR vectors with a DIFFERENT label —

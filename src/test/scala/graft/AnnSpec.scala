@@ -359,6 +359,49 @@ class AnnSpec extends SparkSpec {
     assert(slack == brute)
   }
 
+  test("jlEval: one row per (query, tier), recall bounded, sign rows " +
+    "deterministic (partition-invariant), overlap matches a driver-side " +
+    "recount for the 16-dim tier") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val r = Ann.jlEval(emb, q, Seq(8, 16), 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.size == 10)
+    r.values.foreach { case (n, rec) =>
+      assert(n >= 0L && n <= 10L && rec >= 0.0 && rec <= 1.0)
+    }
+    val r2 = Ann.jlEval(emb.repartition(7), q, Seq(8, 16), 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(r2 == r)
+    // independent recount: project driver-side with the same signs,
+    // rank by cosine, intersect with the exact baseline
+    val signs = Ann.hyperplaneSigns(16, 64)
+    val vecs = emb.collect().map(x =>
+      x.getLong(0) -> x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def proj(v: Array[Double]) = signs.map(s =>
+      BigDecimal(s.zip(v).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).toArray
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pv = vecs.view.mapValues(proj).toMap
+    val exact = Ann.bruteForceTopK(emb, q, 10).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    (0L until 5L).foreach { qid =>
+      val top = vecs.keys.filter(_ != qid).toSeq
+        .map(n => (n, cos(pv(n), pv(qid))))
+        .sortBy { case (n, c) => (-c, n) }.take(10).map(_._1).toSet
+      val overlap = top.count(n => exact.contains((qid, n))).toLong
+      assert(r((qid, 16L))._1 == overlap, s"q$qid")
+    }
+  }
+
   test("semantic leakage-safe split: cosine near-dup pairs never " +
     "straddle splits; every vector is assigned exactly once") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
