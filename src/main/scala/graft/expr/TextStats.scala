@@ -440,20 +440,29 @@ object TextStats {
   def phraseTags(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, phrases: Seq[String])
       : org.apache.spark.sql.DataFrame = {
-    require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
-      "phraseTags: empty dictionary")
+    // a doubled/leading/trailing space in a dictionary entry can never
+    // match a single-space-joined gram — reject it loudly instead of
+    // silently tagging nothing
+    require(phrases.nonEmpty &&
+      phrases.forall(p => p.split(" ", -1).forall(_.nonEmpty)),
+      s"phraseTags: dictionary entries must be single-space token " +
+        s"phrases; offending: ${phrases.filterNot(p => p.split(" ", -1).forall(_.nonEmpty))}")
     val lens = phrases.map(_.split(" ").length).distinct.sorted
     val toks = docs.select(id.as("doc_id"), tokens(text).as("t"))
-      .withColumn("n", size(col("t")))
-    val grams = lens.map { l =>
-      toks.filter(col("n") >= l)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"),
-          col("t"))
-        .select(col("doc_id"), col("pos"),
-          array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram"))
-    }.reduce(_ unionByName _)
-    grams.filter(col("gram").isin(phrases: _*))
+    // ONE tokenization pass for every phrase length: per-length
+    // (pos, gram) struct arrays flattened into a single explode — a
+    // dictionary with many lengths still costs one corpus scan
+    val gramType = "array<struct<pos:int,gram:string>>"
+    val perLen = lens.map { l =>
+      when(size(col("t")) >= l,
+        transform(sequence(lit(1), size(col("t")) - lit(l - 1)),
+          i => struct(i.as("pos"),
+            array_join(slice(col("t"), i, lit(l)), " ").as("gram"))))
+        .otherwise(array().cast(gramType))
+    }
+    toks.select(col("doc_id"), explode(flatten(array(perLen: _*))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .filter(col("gram").isin(phrases: _*))
       .groupBy(col("doc_id"), col("gram").as("phrase"))
       .agg(count(lit(1)).as("n_hits"),
         min(col("pos")).cast("long").as("first_pos"))

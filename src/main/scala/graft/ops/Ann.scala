@@ -198,19 +198,36 @@ object Ann {
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
       exact0: Option[DataFrame] = None): DataFrame = {
     require(projDims.nonEmpty && k > 0, s"jlEval: projDims=$projDims k=$k")
+    // a wrong dim would NULL every projection (zip_with pads with
+    // nulls) and reduce 'recall' to id-order noise — fail loudly on the
+    // first corpus row instead (the lshTopK guard)
+    corpus.select(col(vecCol)).limit(1).collect().foreach { r =>
+      val actual = r.getSeq[Any](0).length
+      require(actual == dim,
+        s"jlEval: embeddings are $actual-dimensional but dim=$dim — " +
+          "projections would silently NULL")
+    }
     val exact = exact0.getOrElse(
       materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
         .select(col("q_id"), col("n_id"))))
+    // project ONCE at the widest tier: lower tiers are component
+    // PREFIXES of the same sign family (hyperplaneSigns(d) is a prefix
+    // of hyperplaneSigns(maxD)), so they slice the projected vector
+    // instead of re-running dot products per tier
+    val signs = hyperplaneSigns(projDims.max, dim)
+    def proj(df: DataFrame): DataFrame = df.select(col(idCol),
+      array(signs.map { s =>
+        round(aggregate(
+          zip_with(col(vecCol).cast("array<double>"),
+            typedLit(s.toSeq), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x), 6)
+      }: _*).as(vecCol))
+    val pc = materialize(proj(corpus))
+    val pq = proj(queries)
     projDims.map { d =>
-      val signs = hyperplaneSigns(d, dim)
-      def proj(df: DataFrame): DataFrame = df.select(col(idCol),
-        array(signs.map { s =>
-          round(aggregate(
-            zip_with(col(vecCol).cast("array<double>"),
-              typedLit(s.toSeq), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x), 6)
-        }: _*).as(vecCol))
-      val t = bruteForceTopK(proj(corpus), proj(queries), k, idCol, vecCol)
+      def tier(df: DataFrame): DataFrame = df.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val t = bruteForceTopK(tier(pc), tier(pq), k, idCol, vecCol)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(t, Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))

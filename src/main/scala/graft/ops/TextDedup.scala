@@ -383,34 +383,31 @@ object TextDedup {
     * `canon` is min(struct(doc_id, pos)) — a lexicographic struct
     * argmin, correct for ANY document length (no packing shift to
     * overflow). */
-  def exactSubstringDedup(docs: DataFrame, id: Column, text: Column,
-      l: Int,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : DataFrame = {
-    require(l >= 2, s"exactSubstringDedup: need l >= 2 ($l)")
-    val toks = docs.select(id.as("doc_id"),
-      graft.expr.TextStats.tokens(text).as("t"))
-    val withN = toks.withColumn("n", size(col("t")))
-    // (doc, pos, gram) occurrences — feeds the stats agg AND the
-    // removal join; materialized so the explode runs once
-    val grams = materialize(fanout(withN).filter(col("n") >= l)
+  /** Positional l-gram stream (doc_id, pos, gram) over a
+    * (doc_id, t, n) token frame — the shared stanza behind
+    * [[exactSubstringDedup]], [[decontamApply]], and [[ngramNovelty]]. */
+  private def positionalGrams(toks: DataFrame, l: Int): DataFrame =
+    fanout(toks).filter(col("n") >= l)
       .select(col("doc_id"),
         explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"),
         col("t"))
       .select(col("doc_id"), col("pos"),
-        array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram")))
-    val st = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("canon"))
-    val removedPos = grams.join(st, Seq("gram"))
-      .filter(col("cnt") >= 2L &&
-        !(struct(col("doc_id"), col("pos")) === col("canon")))
+        array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram"))
+
+  /** Excise the l-token windows starting at `removedStarts`
+    * (doc_id, pos) from a (doc_id, t, n) token frame: union the
+    * covered positions, rebuild the cleaned text positionally, hash —
+    * the single definition of the surgery tail shared by
+    * [[exactSubstringDedup]] and [[decontamApply]]. */
+  private def exciseWindows(toks: DataFrame, removedStarts: DataFrame,
+      l: Int): DataFrame = {
+    val removedPos = removedStarts
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("tokpos"))
       .distinct()
     val rl = removedPos.groupBy(col("doc_id"))
       .agg(collect_set(col("tokpos")).as("rlist"))
-    withN.join(rl, Seq("doc_id"), "left")
+    toks.join(rl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
         // size(NULL) is -1 in non-ANSI Spark — guard on the array itself
         when(col("rlist").isNull, lit(0L))
@@ -420,6 +417,27 @@ object TextDedup {
             when(array_contains(col("rlist"), i + 1), lit(null)
               .cast("string")).otherwise(x)),
           x => x.isNotNull), " ")).as("clean_hash"))
+  }
+
+  def exactSubstringDedup(docs: DataFrame, id: Column, text: Column,
+      l: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(l >= 2, s"exactSubstringDedup: need l >= 2 ($l)")
+    val withN = docs.select(id.as("doc_id"),
+      graft.expr.TextStats.tokens(text).as("t"))
+      .withColumn("n", size(col("t")))
+    // (doc, pos, gram) occurrences — feeds the stats agg AND the
+    // removal join; materialized so the explode runs once
+    val grams = materialize(positionalGrams(withN, l))
+    val st = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+    val removedStarts = grams.join(st, Seq("gram"))
+      .filter(col("cnt") >= 2L &&
+        !(struct(col("doc_id"), col("pos")) === col("canon")))
+      .select(col("doc_id"), col("pos"))
+    exciseWindows(withN, removedStarts, l)
   }
 
   /** Per-document l-gram novelty (growth/contribution profiling — the
@@ -446,12 +464,9 @@ object TextDedup {
     require(l >= 1, s"ngramNovelty: need l >= 1 ($l)")
     val toks = docs.select(id.as("doc_id"),
       graft.expr.TextStats.tokens(text).as("t"))
-    val grams = materialize(fanout(toks.withColumn("n", size(col("t"))))
-      .filter(col("n") >= l)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"), col("t"))
-      .select(col("doc_id"),
-        array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram")))
+      .withColumn("n", size(col("t")))
+    val grams = materialize(positionalGrams(toks, l)
+      .select(col("doc_id"), col("gram")))
     val first = grams.groupBy(col("gram"))
       .agg(min(col("doc_id")).as("first_doc"))
     grams.join(first, Seq("gram"))
@@ -541,26 +556,10 @@ object TextDedup {
     val toks = corpus.select(id.as("doc_id"),
       graft.expr.TextStats.tokens(text).as("t"))
       .withColumn("n", size(col("t")))
-    val grams = fanout(toks).filter(col("n") >= l)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), col("n") - lit(l - 1))).as("pos"), col("t"))
-      .select(col("doc_id"), col("pos"),
-        array_join(slice(col("t"), col("pos"), lit(l)), " ").as("gram"))
-    val removedPos = grams.join(benchGrams, Seq("gram"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("tokpos"))
-      .distinct()
-    val rl = removedPos.groupBy(col("doc_id"))
-      .agg(collect_set(col("tokpos")).as("rlist"))
-    toks.join(rl, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
-        when(col("rlist").isNull, lit(0L))
-          .otherwise(size(col("rlist")).cast("long")).as("n_removed"),
-        md5(array_join(filter(
-          transform(col("t"), (x, i) =>
-            when(array_contains(col("rlist"), i + 1), lit(null)
-              .cast("string")).otherwise(x)),
-          x => x.isNotNull), " ")).as("clean_hash"))
+    val removedStarts = positionalGrams(toks, l)
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    exciseWindows(toks, removedStarts, l)
   }
 
   /** Bloom-STAGED n-gram decontamination — the 100 TB shape of q54's

@@ -749,6 +749,16 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p165, "BroadcastNestedLoopJoin") == 0, p165.take(1000))
   }
 
+  test("q167: JL eval — the corpus is projected ONCE (tiers slice the " +
+    "materialized projection); per-tier top-k keeps WindowGroupLimit; " +
+    "no cartesian") {
+    val p = plan("q167_jl_eval")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    // projected corpus + shared exact baseline are both artifacts
+    assert(count(p, "ExistingRDD") >= 2, p.take(1200))
+    assert(count(p, "WindowGroupLimit") >= 2, p.take(1200))
+  }
+
   test("q153: diverse top-k — queries broadcast, corpus scored in one " +
     "pass, BOTH rank windows plan as WindowGroupLimit") {
     val p = plan("q153_diverse_topk")
