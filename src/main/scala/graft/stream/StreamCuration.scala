@@ -1,0 +1,33 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming example construction — [[graft.ops.Packing.spanCorruption]]
+  * on an arriving document stream: each micro-batch of new documents is
+  * masked into (input, target) denoising examples at ingest time. The
+  * masking is a pure per-document function of (doc, startPct, spanLen)
+  * — md5-derived span starts, no RNG state, no cross-document
+  * dependence — so the union of batch outputs is bit-identical to the
+  * batch construction over the unioned docs (CurationOpsSpec) and
+  * at-least-once replay is idempotent. Zero long-lived state; empty
+  * batches skip (the S7 guard). The same split as every serving sink
+  * here: parameters decided offline, per-batch work purely functional.
+  */
+object StreamCuration {
+
+  def startSpanCorruptionSink(docStream: DataFrame, idCol: String,
+      textCol: String, startPct: Int, spanLen: Int, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.ops.Packing.spanCorruption(batch, col(idCol),
+            col(textCol), startPct, spanLen), epochId)
+        }
+      }
+      .start()
+}
