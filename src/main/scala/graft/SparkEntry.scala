@@ -2373,6 +2373,55 @@ object SparkEntry {
 
   // =====================================================================
 
+  /** Per-source one-vs-rest ROC-AUC of the shared unigram-NLL score —
+    * the standard validation of a perplexity gate (q137): does the
+    * score actually SEPARATE each source from the rest, or would the
+    * gate cut uniformly? AUC_src > 0.5 means the source's documents
+    * score HIGHER NLL (more surprising) than the rest; one global
+    * tie-aware ranking ([[ops.Quality.rankAuc]]) serves all sources,
+    * and the cumulative pass runs over the 4-dp score grid, not the
+    * corpus. Reads the shared materialized score table. */
+  private def qScoreAuc(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.rankAuc(
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")),
+          "doc_id"),
+      col("source"), col("nll"))
+    .withColumnRenamed("grp", "source")
+
+  /** Reliability diagram of the held-out NB classifier (q156's split):
+    * softmax posteriors over the SAME dense score frame the argmax
+    * reads ([[ops.Quality.nbPosteriors]] ∘ [[ops.Quality.nbScores]]),
+    * confidence = posterior of the PREDICTED label (the q156 argmax —
+    * one prediction definition), bucketed into 10 equal-width bins
+    * with per-bin count / mean confidence / accuracy / |gap|. The
+    * overconfidence audit every router needs before its threshold
+    * means anything; ECE is the n-weighted gap sum over these rows. */
+  private def qNbCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val test = docs.filter(col("doc_id") % 3 === 0)
+    val model = ops.Quality.nbTrain(docs.filter(col("doc_id") % 3 =!= 0),
+      col("doc_id"), col("text"), col("lang"))
+    // the dense score frame is computed ONCE; argmax and softmax share it
+    val sc = ops.Quality.nbScores(model, test, col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val pred = ops.Quality.nbArgmax(sc)
+    val post = ops.Quality.nbPosteriors(model, test, col("doc_id"),
+      col("text"), scores0 = Some(sc))
+    val conf = pred.join(post,
+        pred("doc_id") === post("doc_id") && pred("pred_lab") === post("clab"))
+      .select(pred("doc_id"), col("pred_lab"), col("prob").as("conf"))
+      .join(test.select(col("doc_id"), col("lang")), "doc_id")
+    ops.Quality.calibrationReport(conf, col("conf"),
+      col("pred_lab") === col("lang"), 10)
+  }
+
+  /** Fill-in-the-middle example construction over the corpus (PSM/SPM
+    * 50/50) — one exchange-free projection; the infilling counterpart
+    * of q162's span corruption. */
+  private def qFimSplit(s: SparkSession, dir: String): DataFrame =
+    ops.Packing.fimSplit(t(s, dir, "documents"), col("doc_id"), col("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
     "q02_latest_per_user" -> (qLatestPerUser _),
@@ -2540,7 +2589,10 @@ object SparkEntry {
     "q164_phrase_tags" -> (qPhraseTags _),
     "q165_decontam_apply" -> (qDecontamApply _),
     "q166_datasheet" -> (qDatasheet _),
-    "q167_jl_eval" -> (qJlEval _))
+    "q167_jl_eval" -> (qJlEval _),
+    "q168_score_auc" -> (qScoreAuc _),
+    "q169_nb_calibration" -> (qNbCalibration _),
+    "q170_fim_split" -> (qFimSplit _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2639,6 +2691,37 @@ object SparkEntry {
   /** DuckDB replay of the 2-round Lloyd trajectory (init = vec_id<4,
     * 6-dp floor-snap at every boundary, smallest-cell tie-break): CTEs
     * through `a2` = the trained assignment. Shared by q76 and q85. */
+  /** Shared oracle stanza (q156/q169): the NB model trained on the
+    * doc_id%3≠0 slice, densely scored on the held-out third — exposes
+    * `te` (the holdout), `sc` (doc_id, clab, 4-dp score) and `best`
+    * (the label-ascending argmax). */
+  private val nbHoldoutCte =
+    "WITH tr AS (SELECT * FROM documents WHERE doc_id % 3 <> 0), " +
+      "te AS (SELECT * FROM documents WHERE doc_id % 3 = 0), " +
+      "tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM tr), " +
+      "dt AS (SELECT doc_id, lang AS lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+      "ct AS (SELECT lab, term, sum(tf) AS ctf FROM dt GROUP BY 1, 2), " +
+      "vv AS (SELECT count(DISTINCT term) AS v FROM ct), " +
+      "cs AS (SELECT lab, sum(ctf) AS ctot FROM ct GROUP BY 1), " +
+      "pr AS (SELECT lang AS lab, count(*) AS nd FROM tr GROUP BY 1), " +
+      "nt AS (SELECT count(*) AS ntot FROM tr), " +
+      "ls AS (SELECT cs.lab AS clab, " +
+      "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
+      "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
+      "FROM cs JOIN pr USING (lab) CROSS JOIN vv CROSS JOIN nt), " +
+      "ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM te), " +
+      "tdt AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2), " +
+      "seen AS (SELECT tdt.doc_id, ct.lab AS clab, " +
+      "CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE)) * 1000000000 + 0.5) " +
+      "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1 " +
+      "FROM tdt JOIN ct ON tdt.term = ct.term GROUP BY 1, 2), " +
+      "dn AS (SELECT doc_id, sum(tf) AS n_tok FROM tdt GROUP BY 1), " +
+      "sc AS (SELECT dn.doc_id, ls.clab, " +
+      "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
+      "FROM dn CROSS JOIN ls LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
+      "best AS (SELECT doc_id, clab FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1)"
+
   private val kmeansReplayCte =
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
       "c0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 4), " +
@@ -4377,33 +4460,34 @@ object SparkEntry {
     "q156_nb_holdout" ->
       // the q154 NB replay, trained on doc_id%3<>0 only, scored on the
       // held-out third, confusion vs actual lang
-      ("WITH tr AS (SELECT * FROM documents WHERE doc_id % 3 <> 0), " +
-        "te AS (SELECT * FROM documents WHERE doc_id % 3 = 0), " +
-        "tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM tr), " +
-        "dt AS (SELECT doc_id, lang AS lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
-        "ct AS (SELECT lab, term, sum(tf) AS ctf FROM dt GROUP BY 1, 2), " +
-        "vv AS (SELECT count(DISTINCT term) AS v FROM ct), " +
-        "cs AS (SELECT lab, sum(ctf) AS ctot FROM ct GROUP BY 1), " +
-        "pr AS (SELECT lang AS lab, count(*) AS nd FROM tr GROUP BY 1), " +
-        "nt AS (SELECT count(*) AS ntot FROM tr), " +
-        "ls AS (SELECT cs.lab AS clab, " +
-        "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
-        "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
-        "FROM cs JOIN pr USING (lab) CROSS JOIN vv CROSS JOIN nt), " +
-        "ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM te), " +
-        "tdt AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2), " +
-        "seen AS (SELECT tdt.doc_id, ct.lab AS clab, " +
-        "CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE)) * 1000000000 + 0.5) " +
-        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1 " +
-        "FROM tdt JOIN ct ON tdt.term = ct.term GROUP BY 1, 2), " +
-        "dn AS (SELECT doc_id, sum(tf) AS n_tok FROM tdt GROUP BY 1), " +
-        "sc AS (SELECT dn.doc_id, ls.clab, " +
-        "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
-        "FROM dn CROSS JOIN ls LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
-        "best AS (SELECT doc_id, clab FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1) " +
-        "SELECT te.lang, best.clab AS pred_lang, count(*) AS n_docs " +
+      (nbHoldoutCte +
+        " SELECT te.lang, best.clab AS pred_lang, count(*) AS n_docs " +
         "FROM best JOIN te USING (doc_id) GROUP BY 1, 2"),
+    "q169_nb_calibration" ->
+      // the q156 dense-score stanza + softmax posteriors (exp of the
+      // 4-dp scores, 1e9-snapped normalizer, 6-dp probs), confidence =
+      // posterior of the argmax label, 10 equal-width bins; gap is
+      // computed FROM the rounded per-bin values
+      (nbHoldoutCte +
+        ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        "ex AS (SELECT sc.doc_id, sc.clab, exp(score - mx) AS ex " +
+        "FROM sc JOIN mx USING (doc_id)), " +
+        "z AS (SELECT doc_id, CAST(sum(CAST(floor(ex * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM ex GROUP BY 1), " +
+        "pp AS (SELECT ex.doc_id, ex.clab, round(ex.ex / z.z, 6) AS prob " +
+        "FROM ex JOIN z USING (doc_id)), " +
+        "cf AS (SELECT b.doc_id, b.clab AS pred_lab, pp.prob AS conf " +
+        "FROM best b JOIN pp ON pp.doc_id = b.doc_id AND pp.clab = b.clab), " +
+        "okt AS (SELECT cf.conf, CASE WHEN cf.pred_lab = te.lang THEN 1 ELSE 0 END AS ok " +
+        "FROM cf JOIN te USING (doc_id)), " +
+        "bb AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, ok FROM okt), " +
+        "agg AS (SELECT bin, count(*) AS n_docs, " +
+        "round(CAST(sum(CAST(floor(conf * 1000000000 + 0.5) AS DECIMAL(38,0))) " +
+        "AS DOUBLE) / 1000000000 / count(*), 6) AS avg_conf, " +
+        "round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS accuracy " +
+        "FROM bb GROUP BY 1) " +
+        "SELECT bin, n_docs, avg_conf, accuracy, " +
+        "round(abs(accuracy - avg_conf), 6) AS gap FROM agg"),
     "q157_ndcg" ->
       // the q135 residual-IVFADC replay with probe RANKS retained, a
       // tier join (np ∈ {1,2,4}) re-ranking each tier's candidate set,
@@ -4694,6 +4778,53 @@ object SparkEntry {
         "FROM bf b LEFT JOIN t16 t ON t.q_id = b.q_id AND t.n_id = b.n_id GROUP BY 1) " +
         "SELECT q_id, proj_dim, n_overlap, " +
         "round(CAST(n_overlap AS DOUBLE) / 10.0, 4) AS recall FROM o"),
+    "q168_score_auc" ->
+      // the q73 NLL replay, then ONE global tie-aware avg-rank pass
+      // (cumulative window over the DISTINCT 4-dp score grid) and the
+      // Mann–Whitney one-vs-rest AUC per source; avg ranks are exact
+      // halves, so every double sum is exact and order-independent
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot, g), " +
+        "nllt AS (SELECT doc_id, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "scq AS (SELECT d.source, n.nll AS score FROM documents d JOIN nllt n USING (doc_id)), " +
+        "gg AS (SELECT score, count(*) AS n_all FROM scq GROUP BY 1), " +
+        "ar AS (SELECT score, coalesce(sum(n_all) OVER (ORDER BY score " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n_all + 1) / 2.0 AS avg_rank FROM gg), " +
+        "per AS (SELECT source, score, count(*) AS n_g FROM scq GROUP BY 1, 2), " +
+        "tt AS (SELECT count(*) AS t FROM scq), " +
+        "ag AS (SELECT source, CAST(sum(n_g) AS BIGINT) AS p, " +
+        "sum(CAST(n_g AS DOUBLE) * avg_rank) AS r FROM per JOIN ar USING (score) GROUP BY 1) " +
+        "SELECT source, p AS n_docs, " +
+        "round((r - CAST(p AS DOUBLE) * (p + 1) / 2.0) / " +
+        "(CAST(p AS DOUBLE) * (t - p)), 6) AS auc FROM ag CROSS JOIN tt"),
+    "q170_fim_split" ->
+      // md5-derived cut points a ∈ [1, n-2], b ∈ [a+1, n-1] (all three
+      // segments non-empty), md5-chosen PSM/SPM coin, md5 of the
+      // reassembled example; <3-token docs pass through as 'plain'
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "tn AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks), " +
+        "c1 AS (SELECT doc_id, t, n, CASE WHEN n >= 3 THEN " +
+        "1 + CAST(('0x' || substr(md5(doc_id || '|a'), 1, 8)) AS BIGINT) % (n - 2) END AS a FROM tn), " +
+        "c2 AS (SELECT *, CASE WHEN n >= 3 THEN " +
+        "a + 1 + CAST(('0x' || substr(md5(doc_id || '|b'), 1, 8)) AS BIGINT) % (n - a - 1) END AS b FROM c1), " +
+        "md AS (SELECT *, CASE WHEN n < 3 THEN 'plain' " +
+        "WHEN CAST(('0x' || substr(md5(doc_id || '|m'), 1, 8)) AS BIGINT) % 100 < 50 THEN 'spm' " +
+        "ELSE 'psm' END AS mode FROM c2), " +
+        "seg AS (SELECT doc_id, n, a, b, mode, " +
+        "array_to_string(t[1:CAST(a AS INT)], ' ') AS p, " +
+        "array_to_string(t[CAST(a + 1 AS INT):CAST(b AS INT)], ' ') AS m, " +
+        "array_to_string(t[CAST(b + 1 AS INT):CAST(n AS INT)], ' ') AS s, " +
+        "array_to_string(t, ' ') AS whole FROM md) " +
+        "SELECT doc_id, n AS n_tokens, coalesce(a, 0) AS a, coalesce(b, 0) AS b, mode, " +
+        "md5(CASE WHEN mode = 'plain' THEN whole " +
+        "WHEN mode = 'spm' THEN concat_ws(' ', '<SUF>', s, '<PRE>', p, '<MID>', m) " +
+        "ELSE concat_ws(' ', '<PRE>', p, '<SUF>', s, '<MID>', m) END) AS fim_hash, " +
+        "coalesce(b - a, 0) AS n_middle FROM seg"),
     "q136_ngram_novelty" ->
       // novelty = fraction of a doc's trigram occurrences whose gram
       // first appears (min doc_id) in this doc

@@ -209,4 +209,58 @@ object Packing {
         coalesce(col("input_hash"), md5(lit(""))).as("input_hash"),
         coalesce(col("target_hash"), md5(lit(""))).as("target_hash"))
   }
+
+  /** Fill-in-the-middle example construction (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the infilling sibling of [[spanCorruption]]: split each document's
+    * token sequence into (prefix, middle, suffix) at two md5-derived
+    * cut points (all three segments non-empty), then rearrange as
+    * PSM `<PRE> p <SUF> s <MID> m` or — for an md5-chosen `spmPct`% of
+    * docs — SPM `<SUF> s <PRE> p <MID> m` (the paper's joint 50/50
+    * mix). Docs under 3 tokens can't split → mode `plain`, untouched.
+    *
+    * Deterministic: cut points and the PSM/SPM coin are md5-derived
+    * from doc_id (reproducible across engines/runs/retries — an
+    * example can be regenerated on demand); the assembled example is
+    * returned as an md5 hash plus the cut coordinates, which fully
+    * determine it given the corpus.
+    *
+    * Scale shape: ONE narrow projection — per-doc arithmetic on the
+    * token array, no explode, no join, no shuffle of any kind; the
+    * construction is embarrassingly parallel over docs (Exchange-free
+    * plan, asserted by the q170 plan contract). */
+  def fimSplit(docs: DataFrame, id: Column, text: Column,
+      spmPct: Int = 50): DataFrame = {
+    require(spmPct >= 0 && spmPct <= 100, s"fimSplit: spmPct=$spmPct")
+    def h(tag: String, m: Column) = pmod(
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("|" + tag))), 1, 8), 16, 10).cast("long"), m)
+    val base = docs.select(id.as("doc_id"),
+        graft.expr.TextStats.tokens(text).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    val cut = base
+      .withColumn("a", when(col("n") >= 3L, lit(1L) + h("a", col("n") - 2L)))
+      .withColumn("b", when(col("n") >= 3L,
+        col("a") + 1L + h("b", col("n") - col("a") - 1L)))
+      .withColumn("mode", when(col("n") < 3L, lit("plain"))
+        .when(Sampling.hashBucket(
+          concat(col("doc_id").cast("string"), lit("|m")), 100) < spmPct,
+          lit("spm"))
+        .otherwise(lit("psm")))
+    val p = array_join(slice(col("t"), lit(1), col("a").cast("int")), " ")
+    val m = array_join(slice(col("t"), (col("a") + 1L).cast("int"),
+      (col("b") - col("a")).cast("int")), " ")
+    val sfx = array_join(slice(col("t"), (col("b") + 1L).cast("int"),
+      (col("n") - col("b")).cast("int")), " ")
+    val fim = when(col("mode") === "plain", array_join(col("t"), " "))
+      .when(col("mode") === "spm", concat_ws(" ",
+        lit("<SUF>"), sfx, lit("<PRE>"), p, lit("<MID>"), m))
+      .otherwise(concat_ws(" ",
+        lit("<PRE>"), p, lit("<SUF>"), sfx, lit("<MID>"), m))
+    cut.select(col("doc_id"), col("n").as("n_tokens"),
+      coalesce(col("a"), lit(0L)).as("a"),
+      coalesce(col("b"), lit(0L)).as("b"),
+      col("mode"), md5(fim).as("fim_hash"),
+      coalesce(col("b") - col("a"), lit(0L)).as("n_middle"))
+  }
 }

@@ -138,12 +138,11 @@ object Quality {
     NbModel(labStats, terms)
   }
 
-  /** Classify docs against a trained [[NbModel]]: per-doc 4-dp argmax
-    * with label-ascending ties (the [[nbConfusion]] contract). Per-row
-    * decision given the static model — so batch and streaming
-    * classification agree row-for-row, and replay is idempotent.
-    * Returns (doc_id, pred_lab, score). */
-  def nbClassify(model: NbModel, docs: DataFrame, id: Column, text: Column,
+  /** The dense per-(doc, label) NB log-score frame — the SINGLE scoring
+    * definition [[nbClassify]] (argmax) and [[nbPosteriors]] (softmax)
+    * both consume: score(d, c) rounded to 4 dp (the [[nbConfusion]]
+    * contract), |docs|·|labels| narrow rows, model broadcast. */
+  def nbScores(model: NbModel, docs: DataFrame, id: Column, text: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
     import graft.expr.Snap
@@ -164,11 +163,28 @@ object Quality {
       .select(col("doc_id"), col("clab"),
         round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
           coalesce(col("s1"), lit(0.0)), 4).as("score"))
+  }
+
+  /** Classify docs against a trained [[NbModel]]: per-doc 4-dp argmax
+    * with label-ascending ties (the [[nbConfusion]] contract). Per-row
+    * decision given the static model — so batch and streaming
+    * classification agree row-for-row, and replay is idempotent.
+    * Returns (doc_id, pred_lab, score). */
+  def nbClassify(model: NbModel, docs: DataFrame, id: Column, text: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame =
+    nbArgmax(nbScores(model, docs, id, text, materialize))
+
+  /** The argmax half of [[nbClassify]] over an existing [[nbScores]]
+    * frame — exposed so consumers that ALSO need the dense scores
+    * (q169's calibration reads posteriors AND predictions) materialize
+    * the score frame once and share it. */
+  def nbArgmax(scores: DataFrame): DataFrame =
+    scores
       .groupBy(col("doc_id"))
       .agg(min(struct((-col("score")).as("ns"), col("clab"))).as("best"))
       .select(col("doc_id"), col("best.clab").as("pred_lab"),
         (-col("best.ns")).as("score"))
-  }
 
   /** Multinomial Naive Bayes trained IN the engine, self-evaluated as a
     * confusion matrix — the relational stand-in for the fastText-style
@@ -205,5 +221,105 @@ object Quality {
       .join(docs.select(id.as("doc_id"), label.as("lang")), Seq("doc_id"))
       .groupBy(col("lang"), col("pred_lab").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Softmax posteriors over the [[nbScores]] frame:
+    * p(c|d) = exp(score − max_c score) / Σ_c exp(·), the normalized
+    * confidence a calibration audit needs (raw NB log-scores are
+    * unnormalized and length-scaled — useless as probabilities).
+    *
+    * Deterministic: scores are already on the 4-dp grid; the max is
+    * exact; each exp term is one IEEE op on grid inputs; the
+    * normalizer Z uses the [[graft.expr.Snap]] 1e9 snapped sum (|labels|
+    * terms, order-independent); p rounds to 6 dp. Scale shape: one
+    * doc-keyed max aggregation joined back (both sides |docs|·|labels|
+    * and |docs| — doc-partitioned, no global structure), then a
+    * per-row closed form. Returns (doc_id, clab, prob). */
+  def nbPosteriors(model: NbModel, docs: DataFrame, id: Column, text: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      scores0: Option[DataFrame] = None): DataFrame = {
+    import graft.expr.Snap
+    // scores0: an already-materialized [[nbScores]] frame shared with
+    // the argmax consumer (the q169 pattern)
+    val sc = scores0.getOrElse(
+      materialize(nbScores(model, docs, id, text, materialize)))
+    val ex = sc.join(
+        sc.groupBy(col("doc_id")).agg(max(col("score")).as("mx")), "doc_id")
+      .select(col("doc_id"), col("clab"),
+        exp(col("score") - col("mx")).as("ex"))
+    val z = ex.groupBy(col("doc_id"))
+      .agg(Snap.snappedSum(col("ex"), 1e9).as("z"))
+    ex.join(z, "doc_id")
+      .select(col("doc_id"), col("clab"),
+        round(col("ex") / col("z"), 6).as("prob"))
+  }
+
+  /** Reliability-diagram rollup (the per-bin body of Expected
+    * Calibration Error, Guo et al. 2017 §2): `preds` carries one row
+    * per example with a 6-dp confidence and a correctness bit; bucket
+    * confidence into `bins` equal-width bins (conf = 1.0 clamps into
+    * the top bin), report per-bin count, mean confidence, accuracy,
+    * and |acc − conf| gap. ECE is Σ n_b/N · gap_b over the output —
+    * left to the caller so the per-bin diagram stays inspectable.
+    *
+    * Deterministic: bin ids are exact floor arithmetic on the 6-dp
+    * confidence grid; mean confidence uses the snapped 1e9 sum;
+    * accuracy is an exact integer ratio; both round to 6 dp and the
+    * gap is computed FROM the rounded values. One map-side-combined
+    * aggregation pass; output is ≤ `bins` rows. */
+  def calibrationReport(preds: DataFrame, conf: Column, correct: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"calibrationReport: bins=$bins")
+    import graft.expr.Snap
+    preds
+      .select(least(floor(conf * lit(bins)).cast("long"),
+          lit(bins - 1L)).as("bin"),
+        conf.as("conf"),
+        when(correct, 1L).otherwise(0L).as("ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(Snap.snappedSum(col("conf"), 1e9) /
+          count(lit(1)).cast("double"), 6).as("avg_conf"),
+        round(sum(col("ok")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("accuracy"))
+      .select(col("bin"), col("n_docs"), col("avg_conf"), col("accuracy"),
+        round(abs(col("accuracy") - col("avg_conf")), 6).as("gap"))
+  }
+
+  /** Per-group one-vs-rest ROC-AUC of a shared score — the standard
+    * validation of a curation scorer (does the perplexity gate's score
+    * actually separate source X from the rest of the corpus?). Uses the
+    * tie-aware Mann–Whitney form: with R_g the sum of average ranks of
+    * group g's members under a single GLOBAL score ranking,
+    *   AUC_g = (R_g − P(P+1)/2) / (P·N),
+    * the probability a random g-member outscores a random rest-member
+    * (ties count ½). One ranking serves ALL groups.
+    *
+    * Deterministic and exact: average ranks are below + (n+1)/2 —
+    * integers and exact halves, so every sum is exact in doubles (no
+    * snapping needed); the final ratio rounds to 6 dp.
+    *
+    * Scale shape: the corpus aggregates to per-(score) and
+    * per-(group, score) counts FIRST (map-side combine), so the one
+    * unpartitioned cumulative window runs over the DISTINCT-score grid
+    * — bounded by the score's rounding grid (the q137 exact-percentile
+    * argument), not by |rows|. Returns (grp, n_docs, auc). */
+  def rankAuc(df: DataFrame, grp: Column, score: Column): DataFrame = {
+    val s = df.select(grp.as("grp"), score.cast("double").as("score"))
+    val g = s.groupBy(col("score")).agg(count(lit(1)).as("n_all"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = g.select(col("score"),
+      (coalesce(sum(col("n_all")).over(w), lit(0L)) +
+        (col("n_all") + lit(1L)) / lit(2.0)).as("avg_rank"))
+    val per = s.groupBy(col("grp"), col("score")).agg(count(lit(1)).as("n_g"))
+    per.join(ranks, "score")
+      .groupBy(col("grp"))
+      .agg(sum(col("n_g")).as("p"),
+        sum(col("n_g").cast("double") * col("avg_rank")).as("r"))
+      .crossJoin(broadcast(s.agg(count(lit(1)).as("t"))))
+      .select(col("grp"), col("p").as("n_docs"),
+        round((col("r") - col("p").cast("double") * (col("p") + lit(1L)).cast("double") / lit(2.0)) /
+          (col("p").cast("double") * (col("t") - col("p")).cast("double")), 6).as("auc"))
   }
 }

@@ -182,6 +182,50 @@ class CurationOpsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("fimSplit: cut points match the md5 derivation by hand; the " +
+    "assembled example hashes to the expected PSM/SPM string; short " +
+    "docs pass through; partition-invariant") {
+    import graft.ops.Packing
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(s: String, m: Long) = BigInt(md5s(s).substring(0, 8), 16).toLong % m
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Packing.fimSplit(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4),
+          x.getString(5), x.getLong(6)))).toMap
+    // doc 1: n=8 → a = 1 + md5("1|a")%6, b = a + 1 + md5("1|b")%(8-a-1)
+    val toks = "a b c d e f g h".split(" ")
+    val n = 8L
+    val a = 1L + h("1|a", n - 2)
+    val b = a + 1L + h("1|b", n - a - 1)
+    val mode = if (h("1|m", 100) < 50) "spm" else "psm"
+    val p = toks.slice(0, a.toInt).mkString(" ")
+    val m = toks.slice(a.toInt, b.toInt).mkString(" ")
+    val sfx = toks.slice(b.toInt, 8).mkString(" ")
+    val expected = if (mode == "spm") s"<SUF> $sfx <PRE> $p <MID> $m"
+      else s"<PRE> $p <SUF> $sfx <MID> $m"
+    assert(r(1L) == ((n, a, b, mode, md5s(expected), b - a)))
+    // doc 2 (n=2) and doc 3 (n=1): too short to split
+    assert(r(2L) == ((2L, 0L, 0L, "plain", md5s("x y"), 0L)))
+    assert(r(3L) == ((1L, 0L, 0L, "plain", md5s("solo"), 0L)))
+    // corpus: every split doc has 1 ≤ a < b ≤ n-1, both modes occur,
+    // and the construction is partition-invariant
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r1 = Packing.fimSplit(corpus, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().toSeq
+    r1.filter(_.getString(4) != "plain").foreach { x =>
+      assert(x.getLong(2) >= 1L && x.getLong(2) < x.getLong(3) &&
+        x.getLong(3) <= x.getLong(1) - 1L, s"bad cuts: $x")
+    }
+    assert(r1.exists(_.getString(4) == "psm") &&
+      r1.exists(_.getString(4) == "spm"), "mode mix never fired")
+    val r2 = Packing.fimSplit(corpus.repartition(7), col("doc_id"),
+      col("text")).orderBy("doc_id").collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("startSpanCorruptionSink: union of streamed example batches ≡ " +
     "batch construction over the unioned docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

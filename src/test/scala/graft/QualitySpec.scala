@@ -158,4 +158,63 @@ class QualitySpec extends SparkSpec {
       .toMap
     assert(r == Map(("xx", "xx") -> 1L, ("yy", "xx") -> 1L))
   }
+
+  test("rankAuc: tie-aware Mann–Whitney by hand; one-vs-rest AUCs of " +
+    "two groups sum to 1; partition-invariant") {
+    // A: 1,2,3  B: 1,2,2 → avg ranks 1.5 / 4 / 6; R_A = 11.5, R_B = 9.5
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 1.0), ("B", 2.0), ("B", 2.0)).toDF("g", "s")
+    val got = Quality.rankAuc(df, col("g"), col("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("A") == ((3L, 0.611111)))
+    assert(got("B") == ((3L, 0.388889)))
+    assert(math.abs(got("A")._2 + got("B")._2 - 1.0) < 1e-9)
+    // perfect separation → exactly 1 and 0
+    val sep = Quality.rankAuc(Seq(("hi", 10.0), ("hi", 20.0),
+        ("lo", 1.0), ("lo", 2.0)).toDF("g", "s"), col("g"), col("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(sep == Map("hi" -> 1.0, "lo" -> 0.0))
+    val got7 = Quality.rankAuc(df.repartition(7), col("g"), col("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got7 == got)
+  }
+
+  test("nbPosteriors: per-doc probs sum to ~1 and the max-prob label " +
+    "is the nbClassify prediction") {
+    val docs = Seq(
+      (1L, "cat cat dog", "aa"), (2L, "dog dog dog", "bb"),
+      (3L, "cat dog cat", "aa"), (4L, "dog cat dog", "bb"),
+      (5L, "cat cat cat", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val model = Quality.nbTrain(docs, col("doc_id"), col("text"), col("lang"))
+    val post = Quality.nbPosteriors(model, docs, col("doc_id"), col("text"))
+      .collect()
+    post.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val z = rows.map(_.getDouble(2)).sum
+      assert(math.abs(z - 1.0) < 1e-4, s"prob sum $z")
+    }
+    val argmaxByProb = post.groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.maxBy(r => (r.getDouble(2), r.getString(1)))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String.reverse))
+        .getString(1)
+    }
+    val pred = Quality.nbClassify(model, docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(argmaxByProb == pred)
+  }
+
+  test("calibrationReport: bins, means, accuracy and gap by hand; " +
+    "conf = 1.0 clamps into the top bin") {
+    val preds = Seq((0.95, true), (0.85, false), (0.85, true), (1.0, true))
+      .toDF("conf", "ok")
+    val rep = Quality.calibrationReport(preds, col("conf"), col("ok"), 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(rep.keySet == Set(8L, 9L))
+    assert(rep(8L) == ((2L, 0.85, 0.5, 0.35)))
+    assert(rep(9L) == ((2L, 0.975, 1.0, 0.025)))
+  }
 }
