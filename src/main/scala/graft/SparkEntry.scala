@@ -2422,6 +2422,31 @@ object SparkEntry {
   private def qFimSplit(s: SparkSession, dir: String): DataFrame =
     ops.Packing.fimSplit(t(s, dir, "documents"), col("doc_id"), col("text"))
 
+  /** Bradley–Terry source strengths from head-to-head quality duels:
+    * consecutive doc pairs (doc_id, doc_id+1) from different sources
+    * duel on the shared unigram NLL (lower NLL = more fluent wins;
+    * ties go to the lower doc_id), aggregated ONCE to the source-pair
+    * win matrix, then 3 MM iterations ([[ops.Pref.bradleyTerry]]) —
+    * the preference-aggregation shape of arena-style data curation. */
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")),
+        "doc_id")
+    val a = d.select(col("doc_id"), col("source").as("src_a"),
+      col("nll").as("nll_a"))
+    val b = d.select((col("doc_id") - 1L).as("doc_id"),
+      col("source").as("src_b"), col("nll").as("nll_b"))
+    val duels = a.join(b, "doc_id")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(
+        when(col("nll_a") <= col("nll_b"), col("src_a"))
+          .otherwise(col("src_b")).as("win"),
+        when(col("nll_a") <= col("nll_b"), col("src_b"))
+          .otherwise(col("src_a")).as("lose"))
+    ops.Pref.bradleyTerry(duels, col("win"), col("lose"))
+      .withColumnRenamed("item", "source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
     "q02_latest_per_user" -> (qLatestPerUser _),
@@ -2592,7 +2617,8 @@ object SparkEntry {
     "q167_jl_eval" -> (qJlEval _),
     "q168_score_auc" -> (qScoreAuc _),
     "q169_nb_calibration" -> (qNbCalibration _),
-    "q170_fim_split" -> (qFimSplit _))
+    "q170_fim_split" -> (qFimSplit _),
+    "q171_bradley_terry" -> (qBradleyTerry _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4802,6 +4828,44 @@ object SparkEntry {
         "SELECT source, p AS n_docs, " +
         "round((r - CAST(p AS DOUBLE) * (p + 1) / 2.0) / " +
         "(CAST(p AS DOUBLE) * (t - p)), 6) AS auc FROM ag CROSS JOIN tt"),
+    "q171_bradley_terry" -> {
+      // the q73 NLL replay → consecutive-doc duels → source-pair win
+      // matrix → 3 unrolled MM iterations (1e9-snapped Σs, 6-dp
+      // normalized strengths each round — the q76 trajectory contract)
+      val snap = (e: String) => s"CAST(sum(CAST(floor($e * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      val iters = (1 to 3).map { k =>
+        s"d$k AS (SELECT nij.i, ${snap(s"CAST(nij AS DOUBLE) / (wa.w + wb.w)")} AS d " +
+          s"FROM nij JOIN w${k - 1} wa ON wa.i = nij.i " +
+          s"JOIN w${k - 1} wb ON wb.i = nij.j GROUP BY 1), " +
+          s"u$k AS (SELECT tot.i, CAST(tot.wi AS DOUBLE) / d$k.d AS w0 " +
+          s"FROM tot JOIN d$k ON d$k.i = tot.i), " +
+          s"z$k AS (SELECT ${snap("w0")} AS z FROM u$k), " +
+          s"w$k AS (SELECT i, round(w0 / z, 6) AS w FROM u$k CROSS JOIN z$k)"
+      }.mkString(", ")
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot0 AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot0), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot0, g), " +
+        "nllt AS (SELECT doc_id, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "dd AS (SELECT d.doc_id, d.source, n.nll FROM documents d JOIN nllt n USING (doc_id)), " +
+        "du AS (SELECT CASE WHEN a.nll <= b.nll THEN a.source ELSE b.source END AS win, " +
+        "CASE WHEN a.nll <= b.nll THEN b.source ELSE a.source END AS lose " +
+        "FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1 AND a.source <> b.source), " +
+        "pw AS (SELECT win AS i, lose AS j, count(*) AS wij FROM du GROUP BY 1, 2), " +
+        "nij AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM " +
+        "(SELECT i, j, wij AS n FROM pw UNION ALL SELECT j AS i, i AS j, wij AS n FROM pw) GROUP BY 1, 2), " +
+        "tot AS (SELECT nij.i, CAST(sum(nij) AS BIGINT) AS ni, " +
+        "CAST(coalesce(wt.wi, 0) AS BIGINT) AS wi FROM nij LEFT JOIN " +
+        "(SELECT i, sum(wij) AS wi FROM pw GROUP BY 1) wt USING (i) GROUP BY nij.i, wt.wi), " +
+        "w0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM tot), " +
+        iters +
+        " SELECT w3.i AS source, w3.w AS strength, tot.wi AS n_wins, " +
+        "tot.ni AS n_duels FROM w3 JOIN tot USING (i)"
+    },
     "q170_fim_split" ->
       // md5-derived cut points a ∈ [1, n-2], b ∈ [a+1, n-1] (all three
       // segments non-empty), md5-chosen PSM/SPM coin, md5 of the

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference aggregation — the relational core of preference-
+  * data curation (RLHF comparison sets, arena-style evals, reranker
+  * training data): turn a table of duels into per-item strengths.
+  *
+  * Reference scope note: the reference pipeline has no preference
+  * surface; this extends the engine for LLM-training data work the way
+  * q121–q167 do (SURVEY §2 extension family).
+  */
+object Pref {
+
+  /** Bradley–Terry strengths via Hunter (2004)'s MM iteration
+    * ("MM algorithms for generalized Bradley–Terry models", Ann.
+    * Statist. 32(1) §1, eq. 2), unrolled `iters` times from the
+    * uniform start:
+    *
+    *   w_i ← W_i / Σ_{j≠i} n_ij / (w_i + w_j),  then normalize Σ w = 1
+    *
+    * where W_i is i's total wins and n_ij the number of i-vs-j duels.
+    * `duels` carries one row per duel (`win`, `lose`) with optional
+    * multiplicity `weight`. Returns (item, strength, n_wins, n_duels).
+    *
+    * Deterministic: both Σs use the [[graft.expr.Snap]] 1e9 snapped sum
+    * (order-independent) and each iteration's normalized strengths snap
+    * to the 6-dp grid (the q76 k-means trajectory contract), so the
+    * whole MM trajectory is bit-identical across engines/partitionings
+    * and an oracle can replay it as unrolled SQL. Winless items get
+    * strength 0 (the MM fixed point for W_i = 0), not a dropped row.
+    *
+    * Scale shape: the duel table aggregates ONCE to the (item, item)
+    * win matrix (map-side combine, then materialized — iterations must
+    * not re-scan the duel source); every MM step joins the matrix
+    * against the BROADCAST strength vector (|items| rows) and reduces
+    * back to |items| rows. Cost per iteration: one broadcast join over
+    * |item-pairs| ≤ |items|² rows + one |items|-row exchange — at
+    * corpus scale items are sources/domains/policies, so the matrix is
+    * dim-sized while the duel table can be arbitrarily large. */
+  def bradleyTerry(duels: DataFrame, win: Column, lose: Column,
+      weight: Column = lit(1L), iters: Int = 3,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(iters >= 1, s"bradleyTerry: iters=$iters")
+    import graft.expr.Snap
+    // one pass over the duel table → ordered-pair win counts
+    val pw = materialize(duels
+      .select(win.as("i"), lose.as("j"), weight.cast("long").as("nw"))
+      .groupBy(col("i"), col("j")).agg(sum(col("nw")).as("wij")))
+    // symmetric duel counts n_ij and per-item totals
+    val nij = pw.select(col("i"), col("j"), col("wij").as("n"))
+      .unionByName(pw.select(col("j").as("i"), col("i").as("j"),
+        col("wij").as("n")))
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("nij"))
+    val wins = pw.groupBy(col("i")).agg(sum(col("wij")).as("wi"))
+    val totals = materialize(nij.groupBy(col("i"))
+      .agg(sum(col("nij")).as("ni"))
+      .join(wins, Seq("i"), "left")
+      .select(col("i"), col("ni"), coalesce(col("wi"), lit(0L)).as("wi")))
+    var w = totals.select(col("i"), lit(1.0).as("w"))
+    for (_ <- 1 to iters) {
+      val wb = broadcast(w)
+      val denom = nij
+        .join(wb.select(col("i"), col("w").as("wa")), "i")
+        .join(wb.select(col("i").as("j"), col("w").as("wb")), "j")
+        .groupBy(col("i"))
+        .agg(Snap.snappedSum(
+          col("nij").cast("double") / (col("wa") + col("wb")), 1e9).as("d"))
+      val upd = totals.join(denom, "i")
+        .select(col("i"), (col("wi").cast("double") / col("d")).as("w0"))
+      val z = upd.agg(Snap.snappedSum(col("w0"), 1e9).as("z"))
+      w = upd.crossJoin(broadcast(z))
+        .select(col("i"), round(col("w0") / col("z"), 6).as("w"))
+    }
+    w.join(totals, "i")
+      .select(col("i").as("item"), col("w").as("strength"),
+        col("wi").as("n_wins"), col("ni").as("n_duels"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Pref
+
+/** Bradley–Terry preference aggregation: closed-form two-player case,
+  * strength/win-rate ordering, winless fixed point, normalization and
+  * partition invariance. */
+class PrefSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("two evenly-matched players land exactly on 0.5/0.5 (closed form " +
+    "of the MM step)") {
+    val duels = Seq(("A", "B"), ("B", "A")).toDF("w", "l")
+    val r = Pref.bradleyTerry(duels, col("w"), col("l"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("A") == ((0.5, 1L, 2L)))
+    assert(r("B") == ((0.5, 1L, 2L)))
+  }
+
+  test("strengths order with dominance; a winless player sits at the " +
+    "W_i = 0 fixed point; strengths normalize to ~1; partition-invariant") {
+    // A beats B 3:1, both beat C always → strength A > B > C = 0
+    val duels = Seq(
+      ("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"),
+      ("A", "C"), ("A", "C"), ("B", "C"), ("B", "C"))
+      .toDF("w", "l")
+    val out = Pref.bradleyTerry(duels, col("w"), col("l"))
+    val r = out.collect().map(x => x.getString(0) ->
+      ((x.getDouble(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("A")._1 > r("B")._1 && r("B")._1 > r("C")._1)
+    assert(r("C")._1 == 0.0 && r("C")._2 == 0L && r("C")._3 == 4L)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(r("A")._2 == 5L && r("A")._3 == 6L)
+    val r7 = Pref.bradleyTerry(duels.repartition(7), col("w"), col("l"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r7 == r)
+  }
+
+  test("duel multiplicity via weight ≡ repeated rows") {
+    val rep = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("w", "l")
+    val wtd = Seq(("A", "B", 2L), ("B", "A", 1L)).toDF("w", "l", "n")
+    val a = Pref.bradleyTerry(rep, col("w"), col("l"))
+      .collect().map(_.toString).sorted.toSeq
+    val b = Pref.bradleyTerry(wtd, col("w"), col("l"), col("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}
