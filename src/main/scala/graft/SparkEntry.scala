@@ -2447,6 +2447,27 @@ object SparkEntry {
       .withColumnRenamed("item", "source")
   }
 
+  /** Label propagation over the LSH-bucketed kNN graph: seeds = the
+    * known labels of every 5th vector, 2 diffusion rounds of majority
+    * vote ([[ops.Graph.labelProp]]), scored against the withheld true
+    * labels — semi-supervised label stretching for corpus annotation.
+    * The edge graph buckets by LSH signature (NOT by the label being
+    * propagated — q129's label-bucketed graph would be circular
+    * here). */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val edges = Ann.knnGraph(
+      emb.withColumn("bucket", Ann.lshSignature(col("embedding"), 4, 64)),
+      "bucket", 3).select(col("src"), col("dst"))
+    val seeds = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"))
+    ops.Graph.labelProp(edges, "src", "dst", seeds, "vec_id", "label", 2)
+      .join(emb.select(col("vec_id").as("id"),
+        col("label").as("true_label")), "id")
+      .select(col("id").as("vec_id"), col("label").as("pred_label"),
+        col("round"), (col("label") === col("true_label")).as("correct"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
     "q02_latest_per_user" -> (qLatestPerUser _),
@@ -2618,7 +2639,8 @@ object SparkEntry {
     "q168_score_auc" -> (qScoreAuc _),
     "q169_nb_calibration" -> (qNbCalibration _),
     "q170_fim_split" -> (qFimSplit _),
-    "q171_bradley_terry" -> (qBradleyTerry _))
+    "q171_bradley_terry" -> (qBradleyTerry _),
+    "q172_label_prop" -> (qLabelProp _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4828,6 +4850,40 @@ object SparkEntry {
         "SELECT source, p AS n_docs, " +
         "round((r - CAST(p AS DOUBLE) * (p + 1) / 2.0) / " +
         "(CAST(p AS DOUBLE) * (t - p)), 6) AS auc FROM ag CROSS JOIN tt"),
+    "q172_label_prop" -> {
+      // the q55 LSH-signature stanza → within-bucket top-3 kNN edges
+      // (the q129 ranking contract) → undirected view → 2 unrolled
+      // majority-vote rounds (ties: smaller label), scored vs truth
+      val rounds = (1 to 2).map { r =>
+        s"n$r AS (SELECT und.src, l.label, count(*) AS n FROM und " +
+          s"JOIN lab${r - 1} l ON l.id = und.dst " +
+          s"WHERE und.src NOT IN (SELECT id FROM lab${r - 1}) GROUP BY 1, 2), " +
+          s"a$r AS (SELECT src AS id, label, CAST($r AS BIGINT) AS round FROM " +
+          s"(SELECT src, label, row_number() OVER (PARTITION BY src " +
+          s"ORDER BY n DESC, label) AS rn FROM n$r) WHERE rn = 1), " +
+          s"lab$r AS (SELECT * FROM lab${r - 1} UNION ALL SELECT * FROM a$r)"
+      }.mkString(", ")
+      "WITH pl AS (SELECT p, list_transform(generate_series(0, 63), i -> " +
+        "CASE WHEN strpos('02468ace', substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) > 0 " +
+        "THEN 1.0 ELSE -1.0 END) AS signs FROM (SELECT unnest(generate_series(0, 3)) AS p)), " +
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "sig AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(e, signs) >= 0 " +
+        "THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket FROM v CROSS JOIN pl GROUP BY 1), " +
+        "vb AS (SELECT v.vec_id, v.e, sig.bucket FROM v JOIN sig USING (vec_id)), " +
+        "pr AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        "round(list_dot_product(a.e, b.e) / " +
+        "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) AS cos " +
+        "FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id), " +
+        "kn AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER " +
+        "(PARTITION BY src ORDER BY cos DESC, dst) AS rank FROM pr) WHERE rank <= 3), " +
+        "und AS (SELECT DISTINCT src, dst FROM " +
+        "(SELECT src, dst FROM kn UNION ALL SELECT dst AS src, src AS dst FROM kn)), " +
+        "lab0 AS (SELECT vec_id AS id, label, CAST(0 AS BIGINT) AS round " +
+        "FROM embeddings WHERE vec_id % 5 = 0), " +
+        rounds +
+        " SELECT l.id AS vec_id, l.label AS pred_label, l.round, " +
+        "l.label = e.label AS correct FROM lab2 l JOIN embeddings e ON e.vec_id = l.id"
+    },
     "q171_bradley_terry" -> {
       // the q73 NLL replay → consecutive-doc duels → source-pair win
       // matrix → 3 unrolled MM iterations (1e9-snapped Σs, 6-dp

@@ -449,6 +449,17 @@ object Ann {
     * equi-join on the bucket id. `planes` is the recall/cost knob:
     * each bit halves the expected bucket population. Unlike [[ivfTopK]]
     * there is no training/centroid pass at all. */
+  /** The hyperplane sign signature as a standalone column — the
+    * bucketing half of [[lshTopK]], exposed so graph builders (q172's
+    * label-propagation kNN edges) can bucket a corpus without running
+    * a query join. Per-row codegen'd fold, no shuffle, no state;
+    * planes=0 → the single bucket 0 (exact search). */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+    hyperplaneSigns(planes, dim).zipWithIndex.map { case (s, p) =>
+      val plane = array(s.map(lit).toIndexedSeq: _*)
+      when(Similarity.dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.foldLeft(lit(0L))(_ + _)
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
@@ -461,12 +472,7 @@ object Ann {
         s"lshTopK: embeddings are $actual-dimensional but dim=$dim — " +
           "pass the correct dim or buckets degenerate")
     }
-    val signs = hyperplaneSigns(planes, dim)
-    def signature(vec: Column): Column =
-      signs.zipWithIndex.map { case (s, p) =>
-        val plane = array(s.map(lit).toIndexedSeq: _*)
-        when(Similarity.dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.foldLeft(lit(0L))(_ + _) // planes=0 → single bucket = exact search
+    def signature(vec: Column): Column = lshSignature(vec, planes, dim)
     val c = corpus.select(col(idCol), col(vecCol),
       signature(col(vecCol)).as("bucket"))
     val q = broadcast(queries.select(col(idCol).as("q_id"),

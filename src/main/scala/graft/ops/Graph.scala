@@ -381,4 +381,51 @@ object Graph {
         col("min_jaccard"), col("avg_jaccard"),
         (col("min_jaccard") < lit(minJaccard)).as("chained"))
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * hard-label variant) over an UNDIRECTED view of `edges`: seeds keep
+    * their label forever (round 0); each round, every still-unlabeled
+    * node adjacent to ≥1 labeled node takes the MAJORITY label of its
+    * labeled neighbors (ties: smaller label — the engine's standard
+    * lexicographic-struct argmax). Nodes never reached stay absent.
+    * The cheap way to stretch a small set of human/classifier labels
+    * across a near-duplicate or kNN graph of the whole corpus.
+    *
+    * Deterministic: majority counts are exact integers; the tie-break
+    * totally orders candidates; rounds are a fixed unrolled count — an
+    * oracle replays the trajectory as unrolled SQL.
+    *
+    * Scale shape: per round, ONE edge-sized hash join against the
+    * label table (key: dst), a left_anti to restrict to the frontier,
+    * and two node-keyed aggregations — no global structure, no
+    * iteration-over-collect. The label table is materialized each
+    * round so round r+1 never recomputes rounds 1..r ([[pagerank]]'s
+    * per-iteration contract). Rounds are bounded (diffusion depth is
+    * a curation knob, not a convergence loop). Returns
+    * (id, label, round). */
+  def labelProp(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, idCol: String, labelCol: String, rounds: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(rounds >= 0, s"labelProp: rounds=$rounds")
+    val und = materialize(edges
+      .select(col(src).as("src"), col(dst).as("dst"))
+      .unionByName(edges.select(col(dst).as("src"), col(src).as("dst")))
+      .distinct())
+    var lab = materialize(seeds.select(col(idCol).as("id"),
+      col(labelCol).as("label"), lit(0L).as("round")))
+    for (r <- 1 to rounds) {
+      val newly = und
+        .join(lab.select(col("id").as("dst"), col("label")), "dst")
+        .join(lab.select(col("id").as("src")), Seq("src"), "left_anti")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("n")).as("nn"), col("label"))).as("b"))
+        .select(col("src").as("id"), col("b.label").as("label"),
+          lit(r.toLong).as("round"))
+      lab = materialize(lab.unionByName(newly))
+    }
+    lab
+  }
 }

@@ -280,4 +280,37 @@ class GraphSpec extends SparkSpec {
     // the final label view merged the two chains through batch 2's edge
     assert(last(6L) == 0L && last(10L) == 9L)
   }
+  test("labelProp: chain diffusion per round, majority vote with " +
+    "min-label ties, seeds immutable, undirected, unreached absent") {
+    // 1 -- 2 -- 3, seed only node 1: node 2 at round 1, node 3 at round 2
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds1 = Seq((1L, "x")).toDF("id", "lab")
+    val r = Graph.labelProp(chain, "src", "dst", seeds1, "id", "lab", 2)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2))))
+      .toMap
+    assert(r == Map(1L -> (("x", 0L)), 2L -> (("x", 1L)), 3L -> (("x", 2L))))
+    // majority: node 10 sees x,x,y -> x; tie: node 20 sees x,y -> min label x
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (3L, 20L))
+      .toDF("src", "dst")
+    val seeds2 = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "lab")
+    val r2 = Graph.labelProp(star, "src", "dst", seeds2, "id", "lab", 1)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2))))
+      .toMap
+    assert(r2(10L) == (("x", 1L)))
+    assert(r2(20L) == (("x", 1L))) // 1-1 tie -> lexicographically smaller
+    // seeds never flip even when all neighbors disagree
+    assert(r2(3L) == (("y", 0L)))
+    // edges are undirected: a dst-side seed labels its src neighbor
+    val rev = Graph.labelProp(Seq((5L, 1L)).toDF("src", "dst"), "src", "dst",
+      seeds1, "id", "lab", 1)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(rev(5L) == "x")
+    // unreached nodes are absent, and the result is partition-invariant
+    assert(!r.contains(4L))
+    val r7 = Graph.labelProp(chain.repartition(7), "src", "dst",
+      seeds1.repartition(3), "id", "lab", 2)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2))))
+      .toMap
+    assert(r7 == r)
+  }
 }
