@@ -2345,14 +2345,31 @@ object SparkEntry {
     * serves online. */
   private def qNbHoldout(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val model = ops.Quality.nbTrain(docs.filter(col("doc_id") % 3 =!= 0),
-      col("doc_id"), col("text"), col("lang"))
-    ops.Quality.nbClassify(model, docs.filter(col("doc_id") % 3 === 0),
-      col("doc_id"), col("text"))
+    ops.Quality.nbArgmax(sharedNbHoldoutScores(s, dir)._2)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"), col("pred_lab").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Session-scoped MATERIALIZED holdout NB artifact — the model
+    * trained on the doc_id%3≠0 slice plus the dense holdout score
+    * frame, shared by q156 (argmax confusion) and q169 (calibration):
+    * the classifier trains ONCE per session, the holdout is scored
+    * once, and every eval reads the |holdout|·|labels| score table
+    * (the nllMemo/ANN-trio artifact doctrine). */
+  private val nbHoldoutMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (ops.Quality.NbModel, DataFrame)]
+  private def sharedNbHoldoutScores(s: SparkSession, dir: String)
+      : (ops.Quality.NbModel, DataFrame) =
+    nbHoldoutMemo.getOrElseUpdate((s, dir), {
+      val docs = t(s, dir, "documents")
+      val model = ops.Quality.nbTrain(docs.filter(col("doc_id") % 3 =!= 0),
+        col("doc_id"), col("text"), col("lang"))
+      val sc = ops.Quality.nbScores(model,
+          docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      (model, sc)
+    })
 
   /** Greedy MMR re-ranking proper over a 10-deep shortlist: 4 picks at
     * λ=0.7 — the iterative relevance/novelty trade-off q153's quota
@@ -2400,11 +2417,9 @@ object SparkEntry {
   private def qNbCalibration(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val test = docs.filter(col("doc_id") % 3 === 0)
-    val model = ops.Quality.nbTrain(docs.filter(col("doc_id") % 3 =!= 0),
-      col("doc_id"), col("text"), col("lang"))
-    // the dense score frame is computed ONCE; argmax and softmax share it
-    val sc = ops.Quality.nbScores(model, test, col("doc_id"), col("text"))
-      .localCheckpoint(true)
+    // the shared holdout artifact: model + dense score frame computed
+    // once per session; argmax and softmax read the same frame
+    val (model, sc) = sharedNbHoldoutScores(s, dir)
     val pred = ops.Quality.nbArgmax(sc)
     val post = ops.Quality.nbPosteriors(model, test, col("doc_id"),
       col("text"), scores0 = Some(sc))
