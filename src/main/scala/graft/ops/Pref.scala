@@ -71,8 +71,11 @@ object Pref {
       val upd = totals.join(denom, "i")
         .select(col("i"), (col("wi").cast("double") / col("d")).as("w0"))
       val z = upd.agg(Snap.snappedSum(col("w0"), 1e9).as("z"))
-      w = upd.crossJoin(broadcast(z))
-        .select(col("i"), round(col("w0") / col("z"), 6).as("w"))
+      // materialize the |items|-row vector each round: an unmaterialized
+      // w appears TWICE in the next round's join (wa, wb), so lineage —
+      // and the physical plan — would double per iteration
+      w = materialize(upd.crossJoin(broadcast(z))
+        .select(col("i"), round(col("w0") / col("z"), 6).as("w")))
     }
     w.join(totals, "i")
       .select(col("i").as("item"), col("w").as("strength"),

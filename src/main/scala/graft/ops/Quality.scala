@@ -304,20 +304,26 @@ object Quality {
     * unpartitioned cumulative window runs over the DISTINCT-score grid
     * — bounded by the score's rounding grid (the q137 exact-percentile
     * argument), not by |rows|. Returns (grp, n_docs, auc). */
-  def rankAuc(df: DataFrame, grp: Column, score: Column): DataFrame = {
-    val s = df.select(grp.as("grp"), score.cast("double").as("score"))
-    val g = s.groupBy(col("score")).agg(count(lit(1)).as("n_all"))
+  def rankAuc(df: DataFrame, grp: Column, score: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    // the ONLY corpus pass: one map-side-combined aggregation to the
+    // (group × score-grid)-bounded count table; the global count, the
+    // grid totals, and the rank join all derive from it
+    val per = materialize(df
+      .select(grp.as("grp"), score.cast("double").as("score"))
+      .groupBy(col("grp"), col("score")).agg(count(lit(1)).as("n_g")))
+    val g = per.groupBy(col("score")).agg(sum(col("n_g")).as("n_all"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val ranks = g.select(col("score"),
       (coalesce(sum(col("n_all")).over(w), lit(0L)) +
         (col("n_all") + lit(1L)) / lit(2.0)).as("avg_rank"))
-    val per = s.groupBy(col("grp"), col("score")).agg(count(lit(1)).as("n_g"))
-    per.join(ranks, "score")
+    per.join(broadcast(ranks), "score")
       .groupBy(col("grp"))
       .agg(sum(col("n_g")).as("p"),
         sum(col("n_g").cast("double") * col("avg_rank")).as("r"))
-      .crossJoin(broadcast(s.agg(count(lit(1)).as("t"))))
+      .crossJoin(broadcast(per.agg(sum(col("n_g")).as("t"))))
       .select(col("grp"), col("p").as("n_docs"),
         round((col("r") - col("p").cast("double") * (col("p") + lit(1L)).cast("double") / lit(2.0)) /
           (col("p").cast("double") * (col("t") - col("p")).cast("double")), 6).as("auc"))

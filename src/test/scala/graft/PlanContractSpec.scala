@@ -688,9 +688,12 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q156_nb_holdout")
     assert(count(p, "Window") == 0, "argmax degenerated to a window")
     assert(count(p, "CartesianProduct") == 0, p.take(1500))
-    // nbTrain materializes its model tables: classify reads artifacts
-    assert(count(p, "ExistingRDD") >= 2,
-      s"model re-derived at classify time:\n${p.take(1500)}")
+    // the confusion rollup reads the session NB-holdout artifact (the
+    // materialized dense score frame shared with q169) — neither the
+    // model tables nor the training corpus re-enter the plan
+    assert(count(p, "ExistingRDD") >= 1,
+      s"scores re-derived at serving time:\n${p.take(1500)}")
+    assert(count(p, "FileScan parquet") <= 2, p.take(1500))
   }
 
   test("q157: nDCG — serves the shared index and exact baseline (no " +
@@ -768,5 +771,83 @@ class PlanContractSpec extends SparkSpec {
     // one corpus scan + one query scan feed scoring; the quota window's
     // input is the scored stream, the global one's is quota-sized
     assert(count(p, "FileScan parquet") <= 2, p.take(1200))
+  }
+
+  test("q168: AUC — the corpus never re-enters the rank pass: zero " +
+    "parquet scans (grid table + NLL artifact only), ONE cumulative " +
+    "window whose input is the pre-aggregated score grid, ranks " +
+    "broadcast back") {
+    val p = plan("q168_score_auc")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    // the one corpus pass happened INTO the materialized grid table;
+    // the visible plan only touches bounded frames
+    assert(count(p, "FileScan parquet") == 0, p.take(1200))
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
+    assert(count(p, "Window") == 1, p.take(1200))
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(1200))
+  }
+
+  test("q169: calibration — reads the shared holdout score artifact " +
+    "(no training-corpus scans), lang join broadcast, no cartesian") {
+    val p = plan("q169_nb_calibration")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    // argmax + softmax + normalizer all read the materialized frame
+    assert(count(p, "Scan ExistingRDD") >= 3, p.take(1200))
+    // only the holdout lang projection (plus Spark's own runtime-filter
+    // subquery) touches parquet — never the training corpus text
+    assert(count(p, "FileScan parquet") <= 2, p.take(1600))
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(1200))
+  }
+
+  test("q170: FIM — ZERO exchanges, zero joins, zero windows: one " +
+    "parquet scan through one codegen'd projection") {
+    val p = plan("q170_fim_split")
+    assert(count(p, "Exchange") == 0, p.take(1200))
+    assert(count(p, "Join") == 0 && count(p, "Window") == 0, p.take(1200))
+    assert(count(p, "FileScan parquet") == 1, p.take(1200))
+    // every operator fused into codegen stage 1; no second stage exists
+    assert(p.contains("*(1)") && !p.contains("*(2)"), p.take(400))
+  }
+
+  test("q171: Bradley-Terry — one MM step = two BROADCAST strength-" +
+    "vector joins + ONE one-row normalizer cross; the served plan " +
+    "reads materialized artifacts and scans no parquet") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // materialize = identity exposes the single-step shape in one plan
+    val duels = Seq(("A", "B"), ("B", "A"), ("A", "C")).toDF("w", "l")
+    val step = graft.ops.Pref.bradleyTerry(duels, col("w"), col("l"),
+        iters = 1, materialize = df => df)
+      .queryExecution.executedPlan.toString
+    assert(count(step, "CartesianProduct") == 0, step.take(1200))
+    assert(count(step, "BroadcastNestedLoopJoin") == 1, step.take(1200))
+    assert(count(step, "BroadcastHashJoin") >= 2,
+      s"strength-vector joins de-broadcast:\n${step.take(1200)}")
+    // the served q171: every iteration input is a materialized artifact
+    // — the duel table's parquet/NLL upstream never re-enters the plan
+    val p = plan("q171_bradley_terry")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
+    assert(count(p, "FileScan parquet") == 0, p.take(1200))
+  }
+
+  test("q172: label propagation round = one dst-keyed hash join + one " +
+    "frontier anti-join, label table as materialized artifact, no " +
+    "cartesian (unmaterialized round plan)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, "x")).toDF("id", "lab")
+    // materialize = identity exposes the per-round shape in ONE plan
+    val p = graft.ops.Graph.labelProp(edges, "src", "dst", seeds, "id",
+        "lab", 1, materialize = df => df)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "LeftAnti") >= 1,
+      s"frontier restriction lost its anti-join:\n${p.take(1200)}")
+    val served = plan("q172_label_prop")
+    assert(count(served, "CartesianProduct") == 0, served.take(1200))
+    assert(count(served, "Scan ExistingRDD") >= 1, served.take(1200))
+    assert(count(served, "FileScan parquet") <= 1, served.take(1200))
   }
 }
