@@ -2483,6 +2483,41 @@ object SparkEntry {
         col("round"), (col("label") === col("true_label")).as("correct"))
   }
 
+  /** Robust per-source outlier gate on the shared NLL score: modified
+    * z-score (median/MAD) accounting — the q78 winsorize family's
+    * resistant sibling; reads the materialized score artifact. */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.madOutlierReport(
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")),
+          "doc_id"),
+      col("source"), col("nll"))
+    .withColumnRenamed("grp", "source")
+
+  /** Cohen's kappa of the held-out NB router — chance-corrected
+    * agreement over the q156 confusion (the shared holdout artifact):
+    * the honest single-number summary an imbalanced-language corpus
+    * needs next to raw accuracy. */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    val conf = ops.Quality.nbArgmax(sharedNbHoldoutScores(s, dir)._2)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"), col("pred_lab")).agg(count(lit(1)).as("n"))
+    ops.Quality.cohenKappa(conf, col("lang"), col("pred_lab"), col("n"))
+  }
+
+  /** PSI drift of the per-source NLL distribution between the even and
+    * odd corpus halves — the numeric-score drift monitor (q83 is the
+    * categorical mix monitor); reads the shared score artifact. */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")),
+        "doc_id")
+    ops.Analytics.psiDrift(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1), col("source"), col("nll"))
+      .withColumnRenamed("grp", "source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
     "q02_latest_per_user" -> (qLatestPerUser _),
@@ -2655,7 +2690,10 @@ object SparkEntry {
     "q169_nb_calibration" -> (qNbCalibration _),
     "q170_fim_split" -> (qFimSplit _),
     "q171_bradley_terry" -> (qBradleyTerry _),
-    "q172_label_prop" -> (qLabelProp _))
+    "q172_label_prop" -> (qLabelProp _),
+    "q173_mad_outliers" -> (qMadOutliers _),
+    "q174_kappa" -> (qKappa _),
+    "q175_psi_drift" -> (qPsiDrift _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2754,6 +2792,18 @@ object SparkEntry {
   /** DuckDB replay of the 2-round Lloyd trajectory (init = vec_id<4,
     * 6-dp floor-snap at every boundary, smallest-cell tie-break): CTEs
     * through `a2` = the trained assignment. Shared by q76 and q85. */
+  /** Shared oracle stanza (q173/q174/q175 — q73/q137/q140/q168/q171
+    * carry it inline): the per-doc unigram-NLL score table `nllt`. */
+  private val unigramNllCte =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "tot0 AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+      "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot0), " +
+      "p AS (SELECT term, ctf / gt AS p FROM tot0, g), " +
+      "nllt AS (SELECT doc_id, " +
+      "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
+      "FROM tf JOIN p USING (term) GROUP BY 1)"
+
   /** Shared oracle stanza (q156/q169): the NB model trained on the
     * doc_id%3≠0 slice, densely scored on the held-out third — exposes
     * `te` (the holdout), `sc` (doc_id, clab, 4-dp score) and `best`
@@ -4865,6 +4915,61 @@ object SparkEntry {
         "SELECT source, p AS n_docs, " +
         "round((r - CAST(p AS DOUBLE) * (p + 1) / 2.0) / " +
         "(CAST(p AS DOUBLE) * (t - p)), 6) AS auc FROM ag CROSS JOIN tt"),
+    "q173_mad_outliers" ->
+      // per-source median and MAD (exact interpolated quantile_cont,
+      // 4-dp rounded), modified z-score flag in product form (no
+      // division), MAD=0 groups flag nothing
+      (unigramNllCte +
+        ", dd AS (SELECT d.source, n.nll AS x FROM documents d JOIN nllt n USING (doc_id)), " +
+        "md AS (SELECT source, round(quantile_cont(x, 0.5), 4) AS med FROM dd GROUP BY 1), " +
+        "ad AS (SELECT dd.source, x, abs(x - med) AS ad, med FROM dd JOIN md USING (source)), " +
+        "md2 AS (SELECT source, round(quantile_cont(ad, 0.5), 4) AS mad FROM ad GROUP BY 1) " +
+        "SELECT ad.source, count(*) AS n_docs, max(med) AS med, max(mad) AS mad, " +
+        "CAST(sum(CASE WHEN mad > 0.0 AND CAST(0.6745 AS DOUBLE) * ad > CAST(3.5 AS DOUBLE) * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "round(CAST(sum(CASE WHEN mad > 0.0 AND CAST(0.6745 AS DOUBLE) * ad > CAST(3.5 AS DOUBLE) * mad THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_rate " +
+        "FROM ad JOIN md2 USING (source) GROUP BY 1"),
+    "q174_kappa" ->
+      // the q156 confusion → exact integer marginals → chance-corrected
+      // agreement; kappa computes FROM the 6-dp-rounded po/pe
+      (nbHoldoutCte +
+        ", cf AS (SELECT te.lang AS a, best.clab AS pd, count(*) AS n " +
+        "FROM best JOIN te USING (doc_id) GROUP BY 1, 2), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS t, " +
+        "CAST(sum(CASE WHEN a = pd THEN n ELSE 0 END) AS BIGINT) AS diag FROM cf), " +
+        "rr AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cf GROUP BY 1), " +
+        "cc2 AS (SELECT pd, CAST(sum(n) AS BIGINT) AS ca FROM cf GROUP BY 1), " +
+        "rc AS (SELECT CAST(sum(ra * ca) AS BIGINT) AS rc FROM rr JOIN cc2 ON rr.a = cc2.pd), " +
+        "m AS (SELECT t AS n_docs, round(CAST(diag AS DOUBLE) / CAST(t AS DOUBLE), 6) AS po, " +
+        "round(CAST(rc AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS pe " +
+        "FROM tt CROSS JOIN rc) " +
+        "SELECT n_docs, po, pe, round((po - pe) / (1.0 - pe), 6) AS kappa FROM m"),
+    "q175_psi_drift" ->
+      // global-min/max equal-width bins, full (source × bin) scaffold,
+      // add-half smoothing, 1e9-snapped terms
+      (unigramNllCte +
+        ", dd AS (SELECT d.source AS grp, n.nll AS x, " +
+        "CASE WHEN d.doc_id % 2 = 0 THEN 'e' ELSE 'a' END AS half " +
+        "FROM documents d JOIN nllt n USING (doc_id)), " +
+        "mm AS (SELECT min(x) AS mn, max(x) AS mx FROM dd), " +
+        "bx AS (SELECT grp, half, CASE WHEN mx = mn THEN 0 " +
+        "ELSE least(CAST(floor((x - mn) * 10.0 / (mx - mn)) AS BIGINT), 9) END AS bin " +
+        "FROM dd CROSS JOIN mm), " +
+        "ct AS (SELECT grp, bin, CAST(sum(CASE WHEN half = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS ce, " +
+        "CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca FROM bx GROUP BY 1, 2), " +
+        "sc0 AS (SELECT grp, bin FROM (SELECT DISTINCT grp FROM ct) " +
+        "CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin)), " +
+        "fl AS (SELECT sc0.grp, sc0.bin, coalesce(ce, 0) AS ce, coalesce(ca, 0) AS ca " +
+        "FROM sc0 LEFT JOIN ct USING (grp, bin)), " +
+        "tt AS (SELECT grp, CAST(sum(ce) AS BIGINT) AS te, CAST(sum(ca) AS BIGINT) AS ta FROM fl GROUP BY 1), " +
+        "tm AS (SELECT fl.grp, te, ta, " +
+        "((CAST(ce AS DOUBLE) + 0.5) / (CAST(te AS DOUBLE) + 5.0) - " +
+        "(CAST(ca AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0)) * " +
+        "ln(((CAST(ce AS DOUBLE) + 0.5) / (CAST(te AS DOUBLE) + 5.0)) / " +
+        "((CAST(ca AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 5.0))) AS term " +
+        "FROM fl JOIN tt USING (grp)) " +
+        "SELECT grp AS source, max(te) AS n_expected, max(ta) AS n_actual, " +
+        "round(CAST(sum(CAST(floor(term * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000, 6) AS psi " +
+        "FROM tm GROUP BY 1"),
     "q172_label_prop" -> {
       // the q55 LSH-signature stanza → within-bucket top-3 kNN edges
       // (the q129 ranking contract) → undirected view → 2 unrolled

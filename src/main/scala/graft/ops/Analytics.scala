@@ -154,6 +154,68 @@ object Analytics {
         round(q * log(q / p), 6).as("kl_term"))
   }
 
+  /** Population Stability Index per group between an expected and an
+    * actual snapshot of a SCORE distribution — the numeric complement
+    * of [[distributionDrift]]'s categorical KL (the drift monitor a
+    * scored admission pipeline runs on its own scores: PSI < 0.1 calm,
+    * 0.1–0.25 watch, > 0.25 shifted, the standard credit-scoring
+    * bands): 10 equal-width bins over the GLOBAL [min, max] of the
+    * score, per-group smoothed shares on each side, and
+    * psi = Σ_bins (p_e − p_a)·ln(p_e/p_a).
+    *
+    * Deterministic: bin edges derive from exact global min/max of the
+    * (rounded-grid) score — no quantile estimation; add-half smoothing
+    * ((c + 0.5)/(n + bins/2)) keeps every term finite INCLUDING
+    * scaffolded empty bins (all groups carry all `bins` bins — a bin
+    * empty on one side is exactly the signal PSI must charge for, not
+    * a dropped row); each term snaps to the Snap 1e9 grid before the
+    * order-free sum; psi rounds to 6 dp.
+    *
+    * Scale shape: one global min/max aggregation (broadcast one-row),
+    * one map-side-combined (group, bin, side) count, then all work is
+    * (|groups|·bins)-sized. Returns (grp, n_expected, n_actual, psi). */
+  def psiDrift(expected: DataFrame, actual: DataFrame, grp: Column,
+      x: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"psiDrift: bins=$bins")
+    import graft.expr.Snap
+    val e = expected.select(grp.as("grp"), x.cast("double").as("x"),
+      lit("e").as("half"))
+    val all = e.unionByName(actual.select(grp.as("grp"),
+      x.cast("double").as("x"), lit("a").as("half")))
+    val mm = all.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val binned = all.crossJoin(broadcast(mm))
+      .select(col("grp"), col("half"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) * lit(bins.toDouble) /
+            (col("mx") - col("mn"))), lit(bins - 1L))).as("bin"))
+    val ct = binned.groupBy(col("grp"), col("bin"))
+      .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca"))
+    // scaffold: every group carries all bins, so empty-on-one-side AND
+    // empty-on-both bins contribute their smoothed terms identically
+    // in any engine
+    val scaffold = ct.select(col("grp")).distinct()
+      .crossJoin(broadcast(expected.sparkSession.range(bins)
+        .select(col("id").as("bin"))))
+    val fl = scaffold.join(ct, Seq("grp", "bin"), "left")
+      .select(col("grp"), col("bin"),
+        coalesce(col("ce"), lit(0L)).as("ce"),
+        coalesce(col("ca"), lit(0L)).as("ca"))
+    val tt = fl.groupBy(col("grp"))
+      .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"))
+    val half = lit(bins * 0.5)
+    val pe = (col("ce").cast("double") + lit(0.5)) /
+      (col("te").cast("double") + half)
+    val pa = (col("ca").cast("double") + lit(0.5)) /
+      (col("ta").cast("double") + half)
+    fl.join(tt, "grp")
+      .select(col("grp"), col("te"), col("ta"),
+        ((pe - pa) * log(pe / pa)).as("term"))
+      .groupBy(col("grp"))
+      .agg(max(col("te")).as("n_expected"), max(col("ta")).as("n_actual"),
+        round(Snap.snappedSum(col("term"), 1e9), 6).as("psi"))
+  }
+
   /** Sessionization: split each user's event stream at gaps > `gapSec`,
     * aggregate per session. Integer microsecond arithmetic end-to-end
     * (exact, oracle-comparable). One shuffle on user, one window sort. */

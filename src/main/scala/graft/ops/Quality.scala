@@ -286,6 +286,79 @@ object Quality {
         round(abs(col("accuracy") - col("avg_conf")), 6).as("gap"))
   }
 
+  /** Robust per-group outlier accounting via the modified z-score
+    * (Iglewicz & Hoaglin 1993): a row is an outlier when
+    * 0.6745·|x − median| > cutoff·MAD. Median/MAD resist the very
+    * outliers they hunt — the reason production gates prefer them to
+    * mean/stddev, whose estimate a single corrupt score drags.
+    * Degenerate groups (MAD = 0: over half the rows identical) flag
+    * nothing — the statistic is undefined there, not infinite.
+    *
+    * Deterministic: median and MAD are the exact interpolated
+    * percentile rounded to 4 dp (the q137 exact-percentile contract —
+    * bounded-distinct on a rounded score grid; `approx_percentile` is
+    * the unbounded-domain drop-in); the flag compares products of
+    * rounded doubles (no division), identical IEEE ops in any engine.
+    *
+    * Scale shape: two grouped percentile passes over the (group,
+    * score) projection (the second over |x − med| after a broadcast
+    * join of the |groups|-row medians) + one counting pass — nothing
+    * wider than the score column moves. Returns
+    * (grp, n_docs, med, mad, n_outliers, outlier_rate). */
+  def madOutlierReport(df: DataFrame, grp: Column, x: Column,
+      cutoff: Double = 3.5): DataFrame = {
+    val b = df.select(grp.as("grp"), x.cast("double").as("x"))
+    val med = b.groupBy(col("grp"))
+      .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
+    val d = b.join(broadcast(med), "grp")
+      .withColumn("ad", abs(col("x") - col("med")))
+    val mad = d.groupBy(col("grp"))
+      .agg(round(expr("percentile(ad, 0.5)"), 4).as("mad"))
+    d.join(broadcast(mad), "grp")
+      .withColumn("out", col("mad") > lit(0.0) &&
+        lit(0.6745) * col("ad") > lit(cutoff) * col("mad"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("out"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("grp"), col("n_docs"), col("med"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n_docs").cast("double"), 6).as("outlier_rate"))
+  }
+
+  /** Cohen's kappa over a confusion matrix (Cohen 1960) — chance-
+    * corrected agreement: κ = (p_o − p_e)/(1 − p_e) with p_o the
+    * diagonal share and p_e = Σ_c row_c·col_c / N² the agreement two
+    * independent raters with these margins would reach by luck. The
+    * honest headline for an imbalanced router: 95% accuracy on a 95%-
+    * one-class corpus is κ ≈ 0.
+    *
+    * Exact integer marginals (labels missing from one margin
+    * contribute 0 via the inner margin join); p_o and p_e round to
+    * 6 dp and κ computes FROM the rounded values. All work is
+    * |labels|²-sized — the corpus never appears. Returns one row
+    * (n_docs, po, pe, kappa). */
+  def cohenKappa(conf: DataFrame, actual: Column, pred: Column, n: Column)
+      : DataFrame = {
+    val c = conf.select(actual.as("a"), pred.as("p"), n.cast("long").as("n"))
+    val tot = c.agg(sum(col("n")).as("t"),
+      sum(when(col("a") === col("p"), col("n")).otherwise(0L)).as("diag"))
+    val rc = c.groupBy(col("a")).agg(sum(col("n")).as("ra"))
+      .join(c.groupBy(col("p")).agg(sum(col("n")).as("ca")),
+        col("a") === col("p"))
+      .agg(sum(col("ra") * col("ca")).as("rc"))
+    tot.crossJoin(broadcast(rc))
+      .select(col("t").as("n_docs"),
+        round(col("diag").cast("double") / col("t").cast("double"), 6)
+          .as("po"),
+        round(col("rc").cast("double") /
+          (col("t").cast("double") * col("t").cast("double")), 6).as("pe"))
+      .select(col("n_docs"), col("po"), col("pe"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+          .as("kappa"))
+  }
+
   /** Per-group one-vs-rest ROC-AUC of a shared score — the standard
     * validation of a curation scorer (does the perplexity gate's score
     * actually separate source X from the rest of the corpus?). Uses the

@@ -30,4 +30,23 @@ object StreamCuration {
         }
       }
       .start()
+
+  /** q170's fill-in-the-middle construction at INGEST time: like the
+    * span-corruption sink, the construction is a pure per-document
+    * md5-derived function — union of batch outputs ≡ batch construction
+    * over the unioned docs, at-least-once replay is idempotent, zero
+    * long-lived state. */
+  def startFimSink(docStream: DataFrame, idCol: String, textCol: String,
+      spmPct: Int, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.ops.Packing.fimSplit(batch, col(idCol), col(textCol),
+            spmPct), epochId)
+        }
+      }
+      .start()
 }

@@ -226,6 +226,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("startFimSink: union of streamed FIM batches ≡ batch " +
+    "construction over the unioned docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 30).select(col("doc_id"), col("text"))
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = graft.stream.StreamCuration.startFimSink(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", 50,
+      java.nio.file.Files.createTempDirectory("fim-ckpt").toString,
+      (df, epoch) => out.synchronized {
+        out(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = out.synchronized(out.values.flatten.toSeq.sorted)
+    val expected = graft.ops.Packing.fimSplit(docs, col("doc_id"),
+        col("text"), 50)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(out.synchronized(out.size) == 2)
+  }
+
   test("startSpanCorruptionSink: union of streamed example batches ≡ " +
     "batch construction over the unioned docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

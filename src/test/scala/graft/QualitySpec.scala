@@ -205,6 +205,72 @@ class QualitySpec extends SparkSpec {
     assert(argmaxByProb == pred)
   }
 
+  test("madOutlierReport: modified z by hand — one gross outlier " +
+    "flagged, the median/MAD untouched by it; MAD=0 groups flag " +
+    "nothing; partition-invariant") {
+    val df = Seq("g1" -> 1.0, "g1" -> 2.0, "g1" -> 3.0, "g1" -> 4.0,
+      "g1" -> 100.0, "g2" -> 5.0, "g2" -> 5.0, "g2" -> 5.0, "g2" -> 9.0)
+      .toDF("g", "x")
+    val r = Quality.madOutlierReport(df, col("g"), col("x"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getLong(4), x.getDouble(5)))).toMap
+    // g1: med=3, ads=[2,1,0,1,97], mad=1 → only the 100 flags
+    assert(r("g1") == ((5L, 3.0, 1.0, 1L, 0.2)))
+    // g2: med=5, mad=0 → degenerate, the 9 does NOT flag
+    assert(r("g2") == ((4L, 5.0, 0.0, 0L, 0.0)))
+    val r7 = Quality.madOutlierReport(df.repartition(7), col("g"), col("x"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r7 == r)
+  }
+
+  test("cohenKappa: hand 2x2 case; perfect agreement is 1; the " +
+    "one-class degenerate case yields NULL (pe = 1)") {
+    val conf = Seq(("a", "a", 20L), ("a", "b", 5L), ("b", "a", 10L),
+      ("b", "b", 15L)).toDF("act", "prd", "n")
+    val r = Quality.cohenKappa(conf, col("act"), col("prd"), col("n"))
+      .collect()(0)
+    // N=50, po=35/50=0.7; rows 25/25, cols 30/20 → pe=0.5 → κ=0.4
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 0.7 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.4)
+    val perfect = Quality.cohenKappa(
+      Seq(("a", "a", 7L), ("b", "b", 3L)).toDF("act", "prd", "n"),
+      col("act"), col("prd"), col("n")).collect()(0)
+    assert(perfect.getDouble(3) == 1.0)
+    val oneClass = Quality.cohenKappa(
+      Seq(("a", "a", 9L)).toDF("act", "prd", "n"),
+      col("act"), col("prd"), col("n")).collect()(0)
+    assert(oneClass.isNullAt(3), "pe=1 must yield NULL kappa, not a crash")
+  }
+
+  test("psiDrift: identical halves give psi = 0 exactly; a shifted " +
+    "group crosses the 0.25 alarm; a one-sided group is charged via " +
+    "the scaffold; partition-invariant") {
+    import graft.ops.Analytics
+    val base = (1 to 50).map(i => ("s1", i.toDouble)) ++
+      (1 to 50).map(i => ("s2", i.toDouble))
+    val shifted = (1 to 50).map(i => ("s1", i.toDouble)) ++
+      (1 to 50).map(i => ("s2", i.toDouble + 40.0)) ++
+      Seq.fill(20)(("s3", 10.0))
+    val e = base.toDF("g", "x")
+    val a = shifted.toDF("g", "x")
+    val same = Analytics.psiDrift(e, e.repartition(5), col("g"), col("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(same.values.forall(_ == 0.0), s"identical halves drifted: $same")
+    val r = Analytics.psiDrift(e, a, col("g"), col("x"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("s1")._3 < r("s2")._3, "shifted group must out-drift stable")
+    assert(r("s2")._3 > 0.25, s"40-point shift under the alarm: ${r("s2")}")
+    // s3 exists only in the actual half: expected count 0, psi > 0
+    assert(r("s3")._1 == 0L && r("s3")._2 == 20L && r("s3")._3 > 0.0)
+    val r7 = Analytics.psiDrift(e.repartition(7), a.repartition(3),
+        col("g"), col("x"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r7 == r)
+  }
+
   test("calibrationReport: bins, means, accuracy and gap by hand; " +
     "conf = 1.0 clamps into the top bin") {
     val preds = Seq((0.95, true), (0.85, false), (0.85, true), (1.0, true))
