@@ -2499,10 +2499,14 @@ object SparkEntry {
     * the honest single-number summary an imbalanced-language corpus
     * needs next to raw accuracy. */
   private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    // the |labels|²-row confusion table is materialized: the kappa
+    // algebra reads it three times (totals + both margins) and must
+    // not re-run the argmax + lang join per consumer
     val conf = ops.Quality.nbArgmax(sharedNbHoldoutScores(s, dir)._2)
       .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id")
       .groupBy(col("lang"), col("pred_lab")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     ops.Quality.cohenKappa(conf, col("lang"), col("pred_lab"), col("n"))
   }
 

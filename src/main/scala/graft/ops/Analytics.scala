@@ -175,22 +175,29 @@ object Analytics {
     * one map-side-combined (group, bin, side) count, then all work is
     * (|groups|·bins)-sized. Returns (grp, n_expected, n_actual, psi). */
   def psiDrift(expected: DataFrame, actual: DataFrame, grp: Column,
-      x: Column, bins: Int = 10): DataFrame = {
+      x: Column, bins: Int = 10,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
     require(bins >= 2, s"psiDrift: bins=$bins")
     import graft.expr.Snap
     val e = expected.select(grp.as("grp"), x.cast("double").as("x"),
       lit("e").as("half"))
     val all = e.unionByName(actual.select(grp.as("grp"),
       x.cast("double").as("x"), lit("a").as("half")))
-    val mm = all.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val binned = all.crossJoin(broadcast(mm))
-      .select(col("grp"), col("half"),
+    // the ONLY corpus pass (the rankAuc shape): aggregate both sides to
+    // the (group × side × score-grid)-bounded count table; min/max and
+    // binning derive from it, so the corpora never re-enter the plan
+    val cnt = materialize(all.groupBy(col("grp"), col("half"), col("x"))
+      .agg(count(lit(1)).as("n")))
+    val mm = cnt.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val binned = cnt.crossJoin(broadcast(mm))
+      .select(col("grp"), col("half"), col("n"),
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(least(floor((col("x") - col("mn")) * lit(bins.toDouble) /
             (col("mx") - col("mn"))), lit(bins - 1L))).as("bin"))
     val ct = binned.groupBy(col("grp"), col("bin"))
-      .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
-        sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca"))
+      .agg(sum(when(col("half") === "e", col("n")).otherwise(0L)).as("ce"),
+        sum(when(col("half") === "a", col("n")).otherwise(0L)).as("ca"))
     // scaffold: every group carries all bins, so empty-on-one-side AND
     // empty-on-both bins contribute their smoothed terms identically
     // in any engine

@@ -306,8 +306,13 @@ object Quality {
     * wider than the score column moves. Returns
     * (grp, n_docs, med, mad, n_outliers, outlier_rate). */
   def madOutlierReport(df: DataFrame, grp: Column, x: Column,
-      cutoff: Double = 3.5): DataFrame = {
-    val b = df.select(grp.as("grp"), x.cast("double").as("x"))
+      cutoff: Double = 3.5,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    // materialized once: the median pass, the MAD pass, and the count
+    // pass all read this 2-column projection — the upstream (often a
+    // corpus join) must not re-run per consumer
+    val b = materialize(df.select(grp.as("grp"), x.cast("double").as("x")))
     val med = b.groupBy(col("grp"))
       .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
     val d = b.join(broadcast(med), "grp")

@@ -831,6 +831,41 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "FileScan parquet") == 0, p.take(1200))
   }
 
+  test("q173: MAD gate — score artifact in, median/MAD tables " +
+    "BROADCAST back, one corpus projection at most, no cartesian") {
+    val p = plan("q173_mad_outliers")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    // the (source, score) projection is materialized ONCE; the median,
+    // MAD, and count passes read the artifact — zero parquet re-scans
+    assert(count(p, "Scan ExistingRDD") >= 3, p.take(1200))
+    assert(count(p, "FileScan parquet") == 0, p.take(1200))
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"median/MAD join de-broadcast:\n${p.take(1200)}")
+  }
+
+  test("q174: kappa — |labels|²-sized algebra over the holdout " +
+    "artifact; the corpus appears only as the lang projection") {
+    val p = plan("q174_kappa")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    // the materialized |labels|²-row confusion table feeds totals and
+    // both margins — the corpus never appears in the kappa algebra
+    assert(count(p, "Scan ExistingRDD") >= 3, p.take(1200))
+    assert(count(p, "FileScan parquet") == 0, p.take(1200))
+  }
+
+  test("q175: PSI — one-row min/max and the bin scaffold are the only " +
+    "nested-loop joins; score artifact in; one corpus projection") {
+    val p = plan("q175_psi_drift")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    // both corpora aggregate ONCE into the materialized grid count
+    // table; min/max, binning, scaffold, and terms derive from it —
+    // zero parquet scans; nested loops are only the one-row min/max
+    // and |bins|-row scaffold broadcasts
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
+    assert(count(p, "FileScan parquet") == 0, p.take(1200))
+    assert(count(p, "BroadcastNestedLoopJoin") <= 6, p.take(1200))
+  }
+
   test("q172: label propagation round = one dst-keyed hash join + one " +
     "frontier anti-join, label table as materialized artifact, no " +
     "cartesian (unmaterialized round plan)") {
