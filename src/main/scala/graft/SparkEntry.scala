@@ -2522,6 +2522,38 @@ object SparkEntry {
       .withColumnRenamed("grp", "source")
   }
 
+  /** Canonical-key exact dedup over the corpus + injected case/punct
+    * variants (every 11th doc gains a " !!"-suffixed twin, the q141
+    * corruption-injection pattern): groups invisible to raw-hash dedup
+    * (n_raw_variants > 1) are exactly what normalization buys. */
+  private def qCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val variants = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" !!")).as("text"))
+    ops.TextDedup.canonicalDupGroups(base.unionByName(variants),
+      col("doc_id"), col("text"))
+  }
+
+  /** ROUGE-1 P/R/F1 of each doc against its successor (the consecutive
+    * pairing q171 duels on) — the reference-overlap scorer, exercised
+    * corpus-wide. */
+  private def qRouge1(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    ops.TextDedup.rouge1Prf(d, col("doc_id"), col("text"),
+      d, col("doc_id") - 1L, col("text"))
+  }
+
+  /** MRR@10 of the served residual IVF·PQ index vs the exact ranking,
+    * per nprobe tier — completes the retrieval-eval triptych (q142
+    * recall / q157 nDCG / q178 MRR) on the shared session artifacts. */
+  private def qMrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.mrrEval(emb, emb.filter(col("vec_id") < 5),
+      sharedIvfPqIndex(s, dir), Seq(1, 2, 4), 10,
+      exact0 = Some(sharedExactTopK(s, dir).select(col("q_id"), col("n_id"))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (qPricingSummary _),
     "q02_latest_per_user" -> (qLatestPerUser _),
@@ -2697,7 +2729,10 @@ object SparkEntry {
     "q172_label_prop" -> (qLabelProp _),
     "q173_mad_outliers" -> (qMadOutliers _),
     "q174_kappa" -> (qKappa _),
-    "q175_psi_drift" -> (qPsiDrift _))
+    "q175_psi_drift" -> (qPsiDrift _),
+    "q176_canonical_dedup" -> (qCanonicalDedup _),
+    "q177_rouge1" -> (qRouge1 _),
+    "q178_mrr" -> (qMrr _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2853,6 +2888,56 @@ object SparkEntry {
       "list_zip(v.e, c1.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM v CROSS JOIN c1), " +
       "a2 AS (SELECT vec_id, e, cell FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY vec_id ORDER BY d, cell) AS rn FROM d2) WHERE rn = 1) "
+
+  /** Shared oracle stanza (q157/q178): the full residual-IVFADC
+    * serving replay with probe ranks retained - exposes `tiers`
+    * (np in {1,2,4}), `rtop` (the served top-10 per tier) and `bf`
+    * (the exact cosine top-10 baseline). */
+  private val ivfPqServeCte = kmeansReplayCte +
+        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
+        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
+        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
+        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
+        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
+        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
+        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
+        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
+        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
+        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
+        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
+        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
+        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM pq CROSS JOIN c1), " +
+        "probe AS (SELECT q_id, cell, pr FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 4), " +
+        "qr AS (SELECT p.q_id, p.cell, list_transform(list_zip(pq.qv, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM probe p JOIN pq USING (q_id) " +
+        "JOIN c1 ON c1.cell = p.cell), " +
+        "dtab AS (SELECT qr.q_id, qr.cell, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
+        "list_zip(qr.r[bk.j*16+1:bk.j*16+16], bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM qr CROSS JOIN bk), " +
+        "cand AS (SELECT p.q_id, p.cell, p.pr, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
+        "WHERE a2.vec_id <> p.q_id), " +
+        "adc AS (SELECT cand.q_id, cand.pr, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
+        "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
+        "JOIN dtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
+        "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2, 3), " +
+        "tiers AS (SELECT unnest([1, 2, 4]) AS np), " +
+        "rtop AS (SELECT np, q_id, n_id, rank FROM (SELECT t.np, a.q_id, a.n_id, " +
+        "row_number() OVER (PARTITION BY t.np, a.q_id ORDER BY a.s, a.n_id) AS rank " +
+        "FROM tiers t JOIN adc a ON a.pr <= t.np) WHERE rank <= 10), " +
+        "bsc AS (SELECT b.q_id, v.vec_id AS n_id, round(list_dot_product(v.e, b.qv) / " +
+        "nullif(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(b.qv, b.qv)), 0), 6) AS cos " +
+        "FROM pq b JOIN v ON v.vec_id <> b.q_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bsc) WHERE rank <= 10), "
 
   /** The q135 IVFADC construction replayed through the per-candidate
     * snapped-ADC score table `adc` — shared by q135 (rank over ADC) and
@@ -4611,51 +4696,7 @@ object SparkEntry {
       // then binary-relevance nDCG vs the exact cosine top-10: per-hit
       // gain ln(2)/ln(rank+1) snapped to the 1e9 grid; IDCG is the same
       // snapped sum over ideal positions, computed relationally
-      (kmeansReplayCte +
-        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
-        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
-        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
-        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
-        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
-        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
-        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
-        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
-        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
-        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
-        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
-        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
-        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
-        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
-        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
-        "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
-        "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
-        "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
-        "FROM pq CROSS JOIN c1), " +
-        "probe AS (SELECT q_id, cell, pr FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY dl, cell) AS pr FROM pd) WHERE pr <= 4), " +
-        "qr AS (SELECT p.q_id, p.cell, list_transform(list_zip(pq.qv, c1.c), " +
-        "t -> t[1]-t[2]) AS r FROM probe p JOIN pq USING (q_id) " +
-        "JOIN c1 ON c1.cell = p.cell), " +
-        "dtab AS (SELECT qr.q_id, qr.cell, bk.j, bk.pos, CAST(floor(list_sum(list_transform(" +
-        "list_zip(qr.r[bk.j*16+1:bk.j*16+16], bk.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
-        "FROM qr CROSS JOIN bk), " +
-        "cand AS (SELECT p.q_id, p.cell, p.pr, a2.vec_id AS n_id FROM probe p JOIN a2 ON a2.cell = p.cell " +
-        "WHERE a2.vec_id <> p.q_id), " +
-        "adc AS (SELECT cand.q_id, cand.pr, cand.n_id, CAST(sum(t.dl) AS BIGINT) AS s " +
-        "FROM cand JOIN code c ON c.vec_id = cand.n_id " +
-        "JOIN dtab t ON t.q_id = cand.q_id AND t.cell = cand.cell " +
-        "AND t.j = c.j AND t.pos = c.pos GROUP BY 1, 2, 3), " +
-        "tiers AS (SELECT unnest([1, 2, 4]) AS np), " +
-        "rtop AS (SELECT np, q_id, n_id, rank FROM (SELECT t.np, a.q_id, a.n_id, " +
-        "row_number() OVER (PARTITION BY t.np, a.q_id ORDER BY a.s, a.n_id) AS rank " +
-        "FROM tiers t JOIN adc a ON a.pr <= t.np) WHERE rank <= 10), " +
-        "bsc AS (SELECT b.q_id, v.vec_id AS n_id, round(list_dot_product(v.e, b.qv) / " +
-        "nullif(sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(b.qv, b.qv)), 0), 6) AS cos " +
-        "FROM pq b JOIN v ON v.vec_id <> b.q_id), " +
-        "bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bsc) WHERE rank <= 10), " +
+      (ivfPqServeCte +
         "gain AS (SELECT r.np, r.q_id, CAST(floor((ln(2.0) / ln(CAST(r.rank AS DOUBLE) + 1.0)) " +
         "* 1000000000 + 0.5) AS DECIMAL(38,0)) AS gd " +
         "FROM rtop r JOIN bf b ON b.q_id = r.q_id AND b.n_id = r.n_id), " +
@@ -4668,6 +4709,43 @@ object SparkEntry {
         "FROM (SELECT unnest(generate_series(1, 10)) AS rank)) " +
         "SELECT q_id, CAST(np AS BIGINT) AS nprobe, round(dcg, 4) AS dcg, " +
         "round(dcg / idcg, 4) AS ndcg FROM dcg CROSS JOIN idcg"),
+    "q176_canonical_dedup" ->
+      // lower → non-alnum→space ('g' flag: DuckDB replaces first match
+      // only by default) → collapse runs → trim; md5 group key; every
+      // 11th doc gains a " !!" twin that only the canonical key catches
+      ("WITH base AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, text || ' !!' FROM documents WHERE doc_id % 11 = 0), " +
+        "k AS (SELECT doc_id, md5(text) AS raw_hash, " +
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canon_hash " +
+        "FROM base) " +
+        "SELECT canon_hash, count(*) AS n_docs, " +
+        "CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants, " +
+        "min(doc_id) AS keep_doc FROM k GROUP BY 1 HAVING count(*) > 1"),
+    "q177_rouge1" ->
+      // distinct-unigram overlap of each doc vs its successor; exact
+      // integer counts, 6-dp P/R/F1 (F1 = 2h/(nr+nc))
+      ("WITH ta AS (SELECT doc_id AS pair_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents), " +
+        "tb AS (SELECT doc_id - 1 AS pair_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents), " +
+        "na AS (SELECT pair_id, count(*) AS n_ref FROM ta GROUP BY 1), " +
+        "nb AS (SELECT pair_id, count(*) AS n_cand FROM tb GROUP BY 1), " +
+        "hit AS (SELECT ta.pair_id, count(*) AS n_hit FROM ta JOIN tb " +
+        "ON ta.pair_id = tb.pair_id AND ta.tok = tb.tok GROUP BY 1) " +
+        "SELECT na.pair_id, n_ref, n_cand, coalesce(n_hit, 0) AS n_hit, " +
+        "round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_cand, 6) AS p, " +
+        "round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_ref, 6) AS r, " +
+        "round(CAST(2.0 AS DOUBLE) * coalesce(n_hit, 0) / (n_ref + n_cand), 6) AS f1 " +
+        "FROM na JOIN nb USING (pair_id) LEFT JOIN hit USING (pair_id)"),
+    "q178_mrr" ->
+      // the shared residual-IVFADC serving replay; first true-neighbor
+      // rank per (tier, query), rr = 1/first_rank (0 when the served
+      // list misses the exact top-10 entirely)
+      (ivfPqServeCte +
+        "hit AS (SELECT r.np, r.q_id, min(r.rank) AS fr " +
+        "FROM rtop r JOIN bf b ON b.q_id = r.q_id AND b.n_id = r.n_id GROUP BY 1, 2) " +
+        "SELECT b.q_id, CAST(t.np AS BIGINT) AS nprobe, coalesce(fr, 0) AS first_rank, " +
+        "round(coalesce(CAST(1.0 AS DOUBLE) / fr, 0.0), 6) AS rr " +
+        "FROM (SELECT DISTINCT q_id FROM bf) b CROSS JOIN tiers t " +
+        "LEFT JOIN hit ON hit.np = t.np AND hit.q_id = b.q_id"),
     "q158_bloom_decontam" -> {
       // md5-derived bloom positions (the q62 replay) over the q54 gram
       // split; exact verify on bloom survivors; FP accounting per doc

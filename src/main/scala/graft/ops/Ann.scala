@@ -314,6 +314,38 @@ object Ann {
     }.reduce(_.unionByName(_))
   }
 
+  /** MRR@k of the served index vs the exact ranking, per nprobe tier —
+    * the first-relevant-position summary next to q142's recall (how
+    * many true neighbors return) and q157's nDCG (where they all
+    * rank): MRR answers the "is the TOP result right" question a
+    * retrieval-augmented pipeline lives on. Per tier, one
+    * [[ivfPqSearch]] under the q135 serving contract, one
+    * baseline-keyed hit join, and a per-query integer min — eval cost
+    * is tiers × serving cost. Queries whose served list contains no
+    * true neighbor report first_rank 0 / rr 0 (not a dropped row).
+    * Deterministic: ranks are exact integers; rr = 1/first_rank is one
+    * IEEE division rounded to 6 dp. */
+  def mrrEval(corpus: DataFrame, queries: DataFrame, index: IvfPqIndex,
+      nprobes: Seq[Int], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      exact0: Option[DataFrame] = None): DataFrame = {
+    require(nprobes.nonEmpty && k > 0, s"mrrEval: nprobes=$nprobes, k=$k")
+    val exact = exact0.getOrElse(
+      materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
+    val qIds = exact.select(col("q_id")).distinct()
+    nprobes.map { np =>
+      val first = ivfPqSearch(index, queries, np, k, idCol, vecCol)
+        .join(exact, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(min(col("rank")).as("fr"))
+      qIds.join(first, Seq("q_id"), "left")
+        .select(col("q_id"), lit(np).cast("long").as("nprobe"),
+          coalesce(col("fr"), lit(0L)).as("first_rank"),
+          round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("rr"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Cell-quota diversified top-k (the retrieval-diversity shape — MMR's
     * scalable relational cousin): exact cosine ranking, but at most
     * `perCell` results per coarse-quantizer cell before the global

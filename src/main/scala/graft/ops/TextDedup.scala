@@ -683,4 +683,67 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(col("e"), 4).as("est_jaccard"),
         col("jaccard"), round(abs(col("e") - col("jaccard")), 4).as("abs_err"))
   }
+
+  /** The canonical dedup key: lowercase, non-alphanumerics to spaces,
+    * runs of spaces collapsed, trimmed — the CCNet/C4-style
+    * normalization that makes "Hello, World!" and "hello world"
+    * collide. Exposed so batch dedup and any streaming admission path
+    * share ONE normalization definition. */
+  def canonicalKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup on the CANONICAL key ([[canonicalKey]]) — catches the
+    * case/punctuation/whitespace variants raw-hash dedup (q20) is
+    * blind to, without any similarity machinery: one narrow projection
+    * to (canon-md5, raw-md5), one map-side-combined aggregation,
+    * groups with 2+ members survive. `n_raw_variants > 1` counts the
+    * groups ONLY normalization could see. Keep-doc is the min id (the
+    * q125 canonical-pick tie-break). Scale: the shuffle carries two
+    * 32-char hashes per doc — never text. */
+  def canonicalDupGroups(docs: DataFrame, id: Column, text: Column)
+      : DataFrame =
+    docs.select(id.as("doc_id"), md5(text).as("raw_hash"),
+        md5(canonicalKey(text)).as("canon_hash"))
+      .groupBy(col("canon_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_raw_variants"),
+        min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") > 1)
+
+  /** ROUGE-1 set-overlap precision/recall/F1 between paired texts
+    * (Lin 2004, distinct-unigram form) — the reference-overlap scorer
+    * of summarization/paraphrase data curation, and the asymmetric
+    * complement of exact Jaccard (q22): P charges the candidate's
+    * excess, R the reference's missed content. With set counts the F1
+    * collapses to the exact integer form 2·|A∩B| / (|A| + |B|).
+    *
+    * Scale shape: per side one distinct-token explode (narrow (pair,
+    * token) rows), one equi-join on (pair, token), three map-side-
+    * combined aggregations — all shuffles carry tokens, never texts.
+    * Deterministic: counts are exact integers; P/R/F are single IEEE
+    * divisions rounded to 6 dp. */
+  def rouge1Prf(refs: DataFrame, refId: Column, refText: Column,
+      cands: DataFrame, candId: Column, candText: Column): DataFrame = {
+    def side(df: DataFrame, id: Column, text: Column) =
+      df.select(id.as("pair_id"),
+        explode(array_distinct(TextStats.tokens(text))).as("tok"))
+    val a = side(refs, refId, refText)
+    val b = side(cands, candId, candText)
+    val na = a.groupBy(col("pair_id")).agg(count(lit(1)).as("n_ref"))
+    val nb = b.groupBy(col("pair_id")).agg(count(lit(1)).as("n_cand"))
+    val hit = a.join(b, Seq("pair_id", "tok"))
+      .groupBy(col("pair_id")).agg(count(lit(1)).as("n_hit"))
+    na.join(nb, "pair_id")
+      .join(hit, Seq("pair_id"), "left")
+      .select(col("pair_id"), col("n_ref"), col("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("pair_id"), col("n_ref"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6)
+          .as("p"),
+        round(col("n_hit").cast("double") / col("n_ref").cast("double"), 6)
+          .as("r"),
+        round(lit(2.0) * col("n_hit").cast("double") /
+          (col("n_ref") + col("n_cand")).cast("double"), 6).as("f1"))
+  }
 }

@@ -470,6 +470,36 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("mrrEval: matches an independent first-hit recomputation; " +
+    "rr = 1/first_rank; misses report 0; one row per (query, tier)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4, iters = 2,
+      residual = true)
+    val got = Ann.mrrEval(emb, q, idx, Seq(1, 2, 4), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 15)
+    got.values.foreach { case (fr, rr) =>
+      if (fr == 0L) assert(rr == 0.0)
+      else {
+        assert(fr >= 1L && fr <= 10L)
+        assert(rr == BigDecimal(1.0 / fr)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val exact = Ann.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Ann.ivfPqSearch(idx, q, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0L until 5L).foreach { qid =>
+      val hits = served.filter(t => t._1 == qid &&
+        exact.contains((qid, t._3))).map(_._2)
+      val want = if (hits.isEmpty) 0L else hits.min
+      assert(got((qid, 2L))._1 == want, s"q$qid first rank")
+    }
+  }
+
   test("mmrRerank: λ=1 degenerates to the relevance ranking; λ<1 " +
     "penalizes picks by their similarity to already-selected results") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -677,4 +677,40 @@ class TextOpsSpec extends SparkSpec {
     assert(once.orderBy("doc_id").collect().toSeq ==
       rep.orderBy("doc_id").collect().toSeq)
   }
+  test("canonicalDupGroups: case/punct/whitespace variants collide on " +
+    "the canonical key; raw-identical dups count ONE raw variant; " +
+    "singletons drop") {
+    import spark.implicits._
+    def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  WORLD"),
+      (4L, "same text"), (5L, "same text"), // raw-identical pair
+      (6L, "a singleton")).toDF("doc_id", "text")
+    val r = TextDedup.canonicalDupGroups(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.size == 2)
+    assert(r(md5s("hello world")) == ((3L, 3L, 1L)))
+    assert(r(md5s("same text")) == ((2L, 1L, 4L)))
+  }
+
+  test("rouge1Prf: hand P/R/F1 on distinct-unigram sets; repeated " +
+    "tokens dedup; zero-overlap pairs report zeros") {
+    import spark.implicits._
+    val refs = Seq((10L, "a b c d"), (20L, "x x y"), (30L, "p q"))
+      .toDF("id", "text")
+    val cands = Seq((10L, "a b e"), (20L, "x y y z"), (30L, "zz"))
+      .toDF("id", "text")
+    val r = TextDedup.rouge1Prf(refs, col("id"), col("text"),
+        cands, col("id"), col("text"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4), x.getDouble(5), x.getDouble(6))))
+      .toMap
+    // pair 10: ref {a,b,c,d}, cand {a,b,e}: h=2, P=2/3, R=1/2, F=4/7
+    assert(r(10L) == ((4L, 3L, 2L, 0.666667, 0.5, 0.571429)))
+    // pair 20: ref {x,y} (dedup), cand {x,y,z}: h=2, P=2/3, R=1, F=4/5
+    assert(r(20L) == ((2L, 3L, 2L, 0.666667, 1.0, 0.8)))
+    assert(r(30L) == ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
