@@ -866,6 +866,33 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") <= 6, p.take(1200))
   }
 
+  test("q176: canonical dedup — one aggregation over a hash-only " +
+    "projection: no joins, no windows, shuffles carry md5s not text") {
+    val p = plan("q176_canonical_dedup")
+    assert(count(p, "Join") == 0 && count(p, "Window") == 0, p.take(1200))
+    // base ∪ variant slice = two scans of the same table; the variant
+    // scan reads doc_id+text only, same as the base
+    assert(count(p, "FileScan parquet") <= 2, p.take(1200))
+    assert(count(p, "Exchange") <= 2, p.take(1200))
+  }
+
+  test("q177: ROUGE-1 — token-keyed equi-join only (no cartesian, no " +
+    "window); aggregations are map-side combined") {
+    val p = plan("q177_rouge1")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "Window") == 0, p.take(1200))
+    assert(p.contains("partial_count"),
+      s"pair aggregations lost map-side combine:\n${p.take(1200)}")
+  }
+
+  test("q178: MRR — serves the shared index and exact baseline (no " +
+    "brute-force recompute); per-tier WindowGroupLimit serving plan") {
+    val p = plan("q178_mrr")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
+    assert(count(p, "WindowGroupLimit") >= 1, p.take(1200))
+  }
+
   test("q172: label propagation round = one dst-keyed hash join + one " +
     "frontier anti-join, label table as materialized artifact, no " +
     "cartesian (unmaterialized round plan)") {
