@@ -2544,6 +2544,34 @@ object SparkEntry {
       d, col("doc_id") - 1L, col("text"))
   }
 
+  /** Template detection by shared 8-token affix over the corpus with
+    * injected header/footer families (every 7th doc gains a template
+    * header, every remaining 13th a footer — the q141/q176 injection
+    * pattern): multi-source families are scraped boilerplate,
+    * single-source are site templates. */
+  private def qTemplateAffix(s: SparkSession, dir: String): DataFrame = {
+    val header = "begin template header common tokens here now ok "
+    val footer = " standard footer disclaimer terms apply here end now"
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0, concat(lit(header), col("text")))
+        .when(col("doc_id") % 13 === 0, concat(col("text"), lit(footer)))
+        .otherwise(col("text")).as("text"))
+    ops.TextDedup.templateAffixGroups(d, col("doc_id"), col("text"),
+      col("source"), 8)
+  }
+
+  /** Two-sample KS statistic of the per-source NLL distribution
+    * between the even and odd corpus halves — the binning-free drift
+    * TEST next to q175's PSI; reads the shared score artifact. */
+  private def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")),
+        "doc_id")
+    ops.Analytics.ksDrift(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1), col("source"), col("nll"))
+      .withColumnRenamed("grp", "source")
+  }
+
   /** MRR@10 of the served residual IVF·PQ index vs the exact ranking,
     * per nprobe tier — completes the retrieval-eval triptych (q142
     * recall / q157 nDCG / q178 MRR) on the shared session artifacts. */
@@ -2732,7 +2760,9 @@ object SparkEntry {
     "q175_psi_drift" -> (qPsiDrift _),
     "q176_canonical_dedup" -> (qCanonicalDedup _),
     "q177_rouge1" -> (qRouge1 _),
-    "q178_mrr" -> (qMrr _))
+    "q178_mrr" -> (qMrr _),
+    "q179_template_affix" -> (qTemplateAffix _),
+    "q180_ks_drift" -> (qKsDrift _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4735,6 +4765,44 @@ object SparkEntry {
         "round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_ref, 6) AS r, " +
         "round(CAST(2.0 AS DOUBLE) * coalesce(n_hit, 0) / (n_ref + n_cand), 6) AS f1 " +
         "FROM na JOIN nb USING (pair_id) LEFT JOIN hit USING (pair_id)"),
+    "q179_template_affix" ->
+      // header/footer injection (CASE order matters: %7 wins over %13),
+      // md5 of the first/last 8 tokens, families of 2+
+      ("WITH base AS (SELECT doc_id, source, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'begin template header common tokens here now ok ' || text " +
+        "WHEN doc_id % 13 = 0 THEN text || ' standard footer disclaimer terms apply here end now' " +
+        "ELSE text END AS text FROM documents), " +
+        "tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM base), " +
+        "el AS (SELECT * FROM tok WHERE len(t) >= 8), " +
+        "u AS (SELECT 'prefix' AS kind, md5(array_to_string(t[1:8], ' ')) AS affix_hash, " +
+        "doc_id, source FROM el " +
+        "UNION ALL SELECT 'suffix' AS kind, md5(array_to_string(t[len(t)-7:len(t)], ' ')) AS affix_hash, " +
+        "doc_id, source FROM el) " +
+        "SELECT kind, affix_hash, count(*) AS n_docs, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "min(doc_id) AS example_doc FROM u GROUP BY 1, 2 HAVING count(*) > 1"),
+    "q180_ks_drift" ->
+      // pooled distinct-score grid, exact integer cumulative counts
+      // per source, D = max |ECDF diff|, scaled by sqrt(ne*na/(ne+na))
+      (unigramNllCte +
+        ", dd AS (SELECT d.source AS grp, n.nll AS x, " +
+        "CASE WHEN d.doc_id % 2 = 0 THEN 'e' ELSE 'a' END AS half " +
+        "FROM documents d JOIN nllt n USING (doc_id)), " +
+        "ct AS (SELECT grp, x, CAST(sum(CASE WHEN half = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS ce, " +
+        "CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca FROM dd GROUP BY 1, 2), " +
+        "tt AS (SELECT grp, CAST(sum(ce) AS BIGINT) AS te, CAST(sum(ca) AS BIGINT) AS ta FROM ct GROUP BY 1), " +
+        "cum AS (SELECT grp, sum(ce) OVER (PARTITION BY grp ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cce, " +
+        "sum(ca) OVER (PARTITION BY grp ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca FROM ct), " +
+        "dx AS (SELECT cum.grp, te, ta, " +
+        "abs(CAST(cce AS DOUBLE) / te - CAST(cca AS DOUBLE) / ta) AS dx " +
+        "FROM cum JOIN tt USING (grp)), " +
+        "agg AS (SELECT grp, max(te) AS n_expected, max(ta) AS n_actual, " +
+        "round(max(dx), 6) AS d FROM dx GROUP BY 1) " +
+        "SELECT grp AS source, n_expected, n_actual, d, " +
+        "round(sqrt(CAST(n_expected AS DOUBLE) * CAST(n_actual AS DOUBLE) / " +
+        "(n_expected + n_actual)) * d, 6) AS scaled_d FROM agg"),
     "q178_mrr" ->
       // the shared residual-IVFADC serving replay; first true-neighbor
       // rank per (tier, query), rr = 1/first_rank (0 when the served

@@ -223,6 +223,58 @@ object Analytics {
         round(Snap.snappedSum(col("term"), 1e9), 6).as("psi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * distribution-free drift TEST next to [[psiDrift]]'s banded index:
+    * D = max_x |ECDF_e(x) − ECDF_a(x)|, plus the sample-size-scaled
+    * statistic √(n_e·n_a/(n_e+n_a))·D that the asymptotic K-S
+    * significance bands read (≈1.36 at α=0.05). PSI says "how much
+    * mass moved between bins"; D says "how far apart the CDFs ever
+    * get" with no binning choice at all.
+    *
+    * Exactness: both ECDFs evaluate on the pooled DISTINCT-score grid
+    * (D is attained there — between grid points both CDFs are flat);
+    * cumulative counts are exact integers via a group-partitioned
+    * running window over the grid-bounded count table (the q137/q168
+    * bounded-distinct argument); each |diff| is two exact-integer
+    * divisions; max is order-free. D and the scaled statistic round
+    * to 6 dp.
+    *
+    * Scale shape: identical to [[psiDrift]] — ONE map-side-combined
+    * corpus pass into the materialized (group × side × grid) count
+    * table, then all work is grid-bounded and the running window is
+    * PARTITIONED by group. Returns (grp, n_expected, n_actual, d,
+    * scaled_d). */
+  def ksDrift(expected: DataFrame, actual: DataFrame, grp: Column,
+      x: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val e = expected.select(grp.as("grp"), x.cast("double").as("x"),
+      lit("e").as("half"))
+    val all = e.unionByName(actual.select(grp.as("grp"),
+      x.cast("double").as("x"), lit("a").as("half")))
+    val cnt = materialize(all.groupBy(col("grp"), col("x"))
+      .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca")))
+    val tot = cnt.groupBy(col("grp"))
+      .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cnt.select(col("grp"),
+        sum(col("ce")).over(w).as("cce"), sum(col("ca")).over(w).as("cca"))
+      .join(broadcast(tot), "grp")
+      .select(col("grp"), col("te"), col("ta"),
+        abs(col("cce").cast("double") / col("te").cast("double") -
+          col("cca").cast("double") / col("ta").cast("double")).as("dx"))
+      .groupBy(col("grp"))
+      .agg(max(col("te")).as("n_expected"), max(col("ta")).as("n_actual"),
+        round(max(col("dx")), 6).as("d"))
+      .select(col("grp"), col("n_expected"), col("n_actual"), col("d"),
+        round(sqrt(col("n_expected").cast("double") *
+            col("n_actual").cast("double") /
+            (col("n_expected") + col("n_actual")).cast("double")) *
+          col("d"), 6).as("scaled_d"))
+  }
+
   /** Sessionization: split each user's event stream at gaps > `gapSec`,
     * aggregate per session. Integer microsecond arithmetic end-to-end
     * (exact, oracle-comparable). One shuffle on user, one window sort. */

@@ -711,6 +711,40 @@ object TextDedup {
         min(col("doc_id")).as("keep_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Template detection by shared affix: docs whose first (or last)
+    * `k` tokens are IDENTICAL — the boilerplate-header/footer and
+    * template-spam signal that similarity dedup underweights (a shared
+    * 8-token header is a tiny Jaccard fraction of a long doc but marks
+    * machine-generated families precisely). Only docs with ≥ k tokens
+    * participate (shorter docs would alias whole-doc equality, which
+    * is q20/q176's job). Output one row per (kind, affix) family with
+    * 2+ members: member and distinct-source counts (a multi-source
+    * template is scraped boilerplate; single-source is a site
+    * template) and the min-id example.
+    *
+    * Scale shape: one narrow projection to (kind, affix-md5) — the
+    * shuffle carries md5s, never text — and one map-side-combined
+    * aggregation; both affixes come from the SAME scan (union of two
+    * projections of one cached read at worst). */
+  def templateAffixGroups(docs: DataFrame, id: Column, text: Column,
+      source: Column, k: Int = 8): DataFrame = {
+    require(k >= 1, s"templateAffixGroups: k=$k")
+    val base = docs.select(id.as("doc_id"), source.as("src"),
+        TextStats.tokens(text).as("t"))
+      .filter(size(col("t")) >= k)
+    def grouped(kind: String, affix: Column) =
+      base.select(lit(kind).as("kind"),
+          md5(array_join(affix, " ")).as("affix_hash"),
+          col("doc_id"), col("src"))
+        .groupBy(col("kind"), col("affix_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("src")).as("n_sources"),
+          min(col("doc_id")).as("example_doc"))
+        .filter(col("n_docs") > 1)
+    grouped("prefix", slice(col("t"), 1, k))
+      .unionByName(grouped("suffix", slice(col("t"), -k, k)))
+  }
+
   /** ROUGE-1 set-overlap precision/recall/F1 between paired texts
     * (Lin 2004, distinct-unigram form) — the reference-overlap scorer
     * of summarization/paraphrase data curation, and the asymmetric

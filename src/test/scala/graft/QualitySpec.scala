@@ -271,6 +271,25 @@ class QualitySpec extends SparkSpec {
     assert(r7 == r)
   }
 
+  test("ksDrift: hand ECDF case (D=0.5 on half-shifted supports); " +
+    "identical halves give D=0; partition-invariant") {
+    import graft.ops.Analytics
+    val e = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("g", "x")
+    val a = Seq(("g", 3.0), ("g", 4.0), ("g", 5.0), ("g", 6.0)).toDF("g", "x")
+    val r = Analytics.ksDrift(e, a, col("g"), col("x")).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.5)
+    // sqrt(4*4/8) * 0.5 = sqrt(2)/2
+    assert(r.getDouble(4) == BigDecimal(math.sqrt(2.0) * 0.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val same = Analytics.ksDrift(e, e.repartition(3), col("g"), col("x"))
+      .collect()(0)
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0)
+    val r7 = Analytics.ksDrift(e.repartition(7), a.repartition(2),
+      col("g"), col("x")).collect()(0)
+    assert(r7.toString == r.toString)
+  }
+
   test("calibrationReport: bins, means, accuracy and gap by hand; " +
     "conf = 1.0 clamps into the top bin") {
     val preds = Seq((0.95, true), (0.85, false), (0.85, true), (1.0, true))

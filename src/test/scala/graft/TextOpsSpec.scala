@@ -713,4 +713,26 @@ class TextOpsSpec extends SparkSpec {
     assert(r(20L) == ((2L, 3L, 2L, 0.666667, 1.0, 0.8)))
     assert(r(30L) == ((2L, 1L, 0L, 0.0, 0.0, 0.0)))
   }
+  test("templateAffixGroups: shared 8-token prefixes and suffixes " +
+    "group; multi-source counted; <8-token docs and singletons drop") {
+    import spark.implicits._
+    val h = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val f = "f1 f2 f3 f4 f5 f6 f7 f8"
+    val docs = Seq(
+      (1L, "sa", s"$h alpha beta"), (2L, "sb", s"$h gamma"),
+      (3L, "sa", s"$h delta epsilon zeta"),
+      (4L, "sa", s"opening words first $f"), (5L, "sa", s"other start $f"),
+      (6L, "sa", "too short"),
+      (7L, "sa", "a lone document with eight plus tokens in it"))
+      .toDF("doc_id", "src", "text")
+    val r = graft.ops.TextDedup.templateAffixGroups(docs, col("doc_id"),
+        col("text"), col("src"), 8)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    def md5s(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.size == 2)
+    assert(r(("prefix", md5s(h))) == ((3L, 2L, 1L)))
+    assert(r(("suffix", md5s(f))) == ((2L, 1L, 4L)))
+  }
 }
