@@ -36,6 +36,32 @@ object StreamCuration {
     * md5-derived function — union of batch outputs ≡ batch construction
     * over the unioned docs, at-least-once replay is idempotent, zero
     * long-lived state. */
+  /** Per-epoch PSI drift of an arriving score stream against a STATIC
+    * reference corpus (q175's monitor at ingest time): each micro-batch
+    * reports, per group, how far its score distribution sits from the
+    * reference — the alarm a scored admission pipeline needs while the
+    * gate is live. The reference is an offline decision (the same
+    * train-once/serve-many split as the NB model and the IVF·PQ
+    * index); per-batch work is one psiDrift over (reference, batch).
+    * Bin edges derive from reference ∪ batch min/max, so each epoch is
+    * a self-contained diagnostic (documented: a batch extending the
+    * score range re-bins its own epoch, never past ones). Uses
+    * `identity` materialization inside the batch — micro-batches are
+    * small and a checkpoint per epoch would dominate. */
+  def startPsiDriftSink(reference: DataFrame, scoreStream: DataFrame,
+      grpCol: String, xCol: String, bins: Int, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    scoreStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.ops.Analytics.psiDrift(reference, batch,
+            col(grpCol), col(xCol), bins, materialize = df => df), epochId)
+        }
+      }
+      .start()
+
   def startFimSink(docStream: DataFrame, idCol: String, textCol: String,
       spmPct: Int, checkpointDir: String,
       sink: (DataFrame, Long) => Unit): StreamingQuery =

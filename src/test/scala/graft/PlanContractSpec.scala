@@ -893,6 +893,26 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "WindowGroupLimit") >= 1, p.take(1200))
   }
 
+  test("q179: template affix — no joins at all: two hash-only " +
+    "projections unioned into map-side-combined aggregations") {
+    val p = plan("q179_template_affix")
+    assert(count(p, "Join") == 0, p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+    // prefix and suffix sides each scan the 3-column projection once
+    assert(count(p, "FileScan parquet") <= 2, p.take(1200))
+  }
+
+  test("q180: KS — grid count table materialized, cumulative window " +
+    "PARTITIONED by source, totals broadcast, zero parquet scans") {
+    val p = plan("q180_ks_drift")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "FileScan parquet") == 0, p.take(1200))
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
+    assert(p.contains("windowspecdefinition(grp"),
+      s"running ECDF window lost its partitioning:\n${p.take(1200)}")
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(1200))
+  }
+
   test("q172: label propagation round = one dst-keyed hash join + one " +
     "frontier anti-join, label table as materialized artifact, no " +
     "cartesian (unmaterialized round plan)") {

@@ -290,6 +290,36 @@ class QualitySpec extends SparkSpec {
     assert(r7.toString == r.toString)
   }
 
+  test("startPsiDriftSink: each epoch's report ≡ batch psiDrift of " +
+    "(reference, that batch); empty batches skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Analytics
+    val reference = (1 to 40).map(i => ("s1", (i % 10).toDouble)).toDF("g", "x")
+    val b1 = (1 to 10).map(i => ("s1", (i % 10).toDouble + 3.0))
+    val b2 = (1 to 10).map(i => ("s1", (i % 5).toDouble))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+    val out = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = graft.stream.StreamCuration.startPsiDriftSink(reference,
+      ms.toDF().toDF("g", "x"), "g", "x", 10,
+      java.nio.file.Files.createTempDirectory("psi-ckpt").toString,
+      (df, epoch) => out.synchronized {
+        out(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val epochs = out.synchronized(out.toMap)
+    assert(epochs.size == 2)
+    val want1 = Analytics.psiDrift(reference, b1.toDF("g", "x"),
+      col("g"), col("x")).collect().map(_.toString).sorted.toSeq
+    val want2 = Analytics.psiDrift(reference, b2.toDF("g", "x"),
+      col("g"), col("x")).collect().map(_.toString).sorted.toSeq
+    assert(epochs(epochs.keys.min) == want1)
+    assert(epochs(epochs.keys.max) == want2)
+  }
+
   test("calibrationReport: bins, means, accuracy and gap by hand; " +
     "conf = 1.0 clamps into the top bin") {
     val preds = Seq((0.95, true), (0.85, false), (0.85, true), (1.0, true))
