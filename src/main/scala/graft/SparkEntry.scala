@@ -2205,9 +2205,16 @@ object SparkEntry {
   /** Multinomial NB language classifier, trained in-engine and
     * self-evaluated as a (lang, pred_lang, n_docs) confusion matrix —
     * the fastText-style curation-classifier analog. */
-  private def qNbConfusion(s: SparkSession, dir: String): DataFrame =
-    ops.Quality.nbConfusion(t(s, dir, "documents"), col("doc_id"),
-      col("text"), col("lang"))
+  private def qNbConfusion(s: SparkSession, dir: String): DataFrame = {
+    // both the training counts and the scoring counts derive from the
+    // session TF artifact — the corpus is never re-tokenized here
+    val tf = sharedTermFreqs(s, dir)
+    val docs = t(s, dir, "documents")
+    ops.Quality.nbConfusion(docs, col("doc_id"), col("text"), col("lang"),
+      trainTf0 = Some(tf.join(
+        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")),
+      classifyTf0 = Some(tf))
+  }
 
   /** JL sign-projection retrieval eval at 8/16 dims vs the exact
     * full-dim ranking — the truncation eval's cousin for embeddings
@@ -2363,10 +2370,16 @@ object SparkEntry {
       : (ops.Quality.NbModel, DataFrame) =
     nbHoldoutMemo.getOrElseUpdate((s, dir), {
       val docs = t(s, dir, "documents")
+      // both halves' term counts slice the session TF artifact — the
+      // corpus is tokenized once per session, not once per model
+      val tf = sharedTermFreqs(s, dir)
       val model = ops.Quality.nbTrain(docs.filter(col("doc_id") % 3 =!= 0),
-        col("doc_id"), col("text"), col("lang"))
+        col("doc_id"), col("text"), col("lang"),
+        docTf0 = Some(tf.filter(col("doc_id") % 3 =!= 0).join(
+          docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
       val sc = ops.Quality.nbScores(model,
-          docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
+          docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"),
+          docTf0 = Some(tf.filter(col("doc_id") % 3 === 0)))
         .localCheckpoint(true)
       (model, sc)
     })

@@ -113,15 +113,18 @@ object Quality {
   /** Train the multinomial NB model (the single definition of the
     * counts/smoothing/closed-form contract — [[nbConfusion]], the q156
     * holdout eval, and the streaming routing sink all compose this with
-    * [[nbClassify]]); one tokenize+count pass, model-sized output. */
+    * [[nbClassify]]); one tokenize+count pass, model-sized output.
+    * `docTf0`: an already-materialized (doc_id, lab, term, tf) table
+    * (e.g. the session TF artifact joined to labels) — training then
+    * skips its tokenize+count pass entirely. */
   def nbTrain(docs: DataFrame, id: Column, text: Column, label: Column,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : NbModel = {
-    val docTf = materialize(Fanout.fanout(docs)
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      docTf0: Option[DataFrame] = None): NbModel = {
+    val docTf = docTf0.getOrElse(materialize(Fanout.fanout(docs)
       .select(id.as("doc_id"), label.as("lab"),
         explode(graft.expr.TextStats.tokens(text)).as("term"))
       .groupBy(col("doc_id"), col("lab"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))))
     val ct = materialize(docTf.groupBy(col("lab"), col("term"))
       .agg(sum(col("tf")).as("ctf")))
     val classStats = ct.groupBy(col("lab")).agg(sum(col("ctf")).as("ctot"))
@@ -143,16 +146,17 @@ object Quality {
     * both consume: score(d, c) rounded to 4 dp (the [[nbConfusion]]
     * contract), |docs|·|labels| narrow rows, model broadcast. */
   def nbScores(model: NbModel, docs: DataFrame, id: Column, text: Column,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : DataFrame = {
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      docTf0: Option[DataFrame] = None): DataFrame = {
     import graft.expr.Snap
     // materialized: BOTH the scoring join and the length rollup read it
     // (streaming batches pass `identity` — a micro-batch re-tokenize is
-    // cheaper than a checkpoint per epoch)
-    val docTf = materialize(docs
+    // cheaper than a checkpoint per epoch); docTf0 = an already-
+    // materialized (doc_id, term, tf) table, e.g. the session artifact
+    val docTf = docTf0.getOrElse(materialize(docs
       .select(id.as("doc_id"), explode(graft.expr.TextStats.tokens(text)).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))))
     val seen = docTf.join(broadcast(model.terms), Seq("term"))
       .groupBy(col("doc_id"), col("clab"))
       .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
@@ -171,9 +175,9 @@ object Quality {
     * classification agree row-for-row, and replay is idempotent.
     * Returns (doc_id, pred_lab, score). */
   def nbClassify(model: NbModel, docs: DataFrame, id: Column, text: Column,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : DataFrame =
-    nbArgmax(nbScores(model, docs, id, text, materialize))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      docTf0: Option[DataFrame] = None): DataFrame =
+    nbArgmax(nbScores(model, docs, id, text, materialize, docTf0))
 
   /** The argmax half of [[nbClassify]] over an existing [[nbScores]]
     * frame — exposed so consumers that ALSO need the dense scores
@@ -214,10 +218,11 @@ object Quality {
     * (train and classify each scan once) — paid willingly for a single
     * definition of the smoothing/tie-break contract. */
   def nbConfusion(docs: DataFrame, id: Column, text: Column, label: Column,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : DataFrame = {
-    val model = nbTrain(docs, id, text, label, materialize)
-    nbClassify(model, docs, id, text, materialize)
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      trainTf0: Option[DataFrame] = None,
+      classifyTf0: Option[DataFrame] = None): DataFrame = {
+    val model = nbTrain(docs, id, text, label, materialize, trainTf0)
+    nbClassify(model, docs, id, text, materialize, classifyTf0)
       .join(docs.select(id.as("doc_id"), label.as("lang")), Seq("doc_id"))
       .groupBy(col("lang"), col("pred_lab").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
