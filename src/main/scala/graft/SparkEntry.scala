@@ -2585,6 +2585,16 @@ object SparkEntry {
       .withColumnRenamed("grp", "source")
   }
 
+  /** Pairwise source-vocabulary Jaccard over each source's top-200
+    * terms (by tf, from the session TF artifact) — the domain-
+    * similarity matrix of the mixture. */
+  private def qVocabOverlap(s: SparkSession, dir: String): DataFrame =
+    ops.TextDedup.topVocabOverlap(
+      sharedTermFreqs(s, dir).join(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id"),
+      col("source"), col("term"), col("tf"), 200)
+
   /** MRR@10 of the served residual IVF·PQ index vs the exact ranking,
     * per nprobe tier — completes the retrieval-eval triptych (q142
     * recall / q157 nDCG / q178 MRR) on the shared session artifacts. */
@@ -2775,7 +2785,8 @@ object SparkEntry {
     "q177_rouge1" -> (qRouge1 _),
     "q178_mrr" -> (qMrr _),
     "q179_template_affix" -> (qTemplateAffix _),
-    "q180_ks_drift" -> (qKsDrift _))
+    "q180_ks_drift" -> (qKsDrift _),
+    "q181_vocab_overlap" -> (qVocabOverlap _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4794,6 +4805,23 @@ object SparkEntry {
         "SELECT kind, affix_hash, count(*) AS n_docs, " +
         "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
         "min(doc_id) AS example_doc FROM u GROUP BY 1, 2 HAVING count(*) > 1"),
+    "q181_vocab_overlap" ->
+      // per-source top-200 terms (tf desc, term tie-break), pairwise
+      // common-term counts over the a<b scaffold, exact Jaccard
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "st AS (SELECT d.source AS grp, tf.term, CAST(sum(tf.tf) AS BIGINT) AS w " +
+        "FROM tf JOIN documents d USING (doc_id) GROUP BY 1, 2), " +
+        "top AS (SELECT grp, term FROM (SELECT grp, term, row_number() OVER " +
+        "(PARTITION BY grp ORDER BY w DESC, term) AS rk FROM st) WHERE rk <= 200), " +
+        "sz AS (SELECT grp, count(*) AS n FROM top GROUP BY 1), " +
+        "sc0 AS (SELECT a.grp AS src_a, a.n AS n_a, b.grp AS src_b, b.n AS n_b " +
+        "FROM sz a JOIN sz b ON a.grp < b.grp), " +
+        "cm AS (SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS nc " +
+        "FROM top a JOIN top b ON a.term = b.term AND a.grp < b.grp GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_a, n_b, coalesce(nc, 0) AS n_common, " +
+        "round(CAST(coalesce(nc, 0) AS DOUBLE) / (n_a + n_b - coalesce(nc, 0)), 6) AS jaccard " +
+        "FROM sc0 LEFT JOIN cm USING (src_a, src_b)"),
     "q180_ks_drift" ->
       // pooled distinct-score grid, exact integer cumulative counts
       // per source, D = max |ECDF diff|, scaled by sqrt(ne*na/(ne+na))

@@ -711,6 +711,54 @@ object TextDedup {
         min(col("doc_id")).as("keep_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Pairwise top-k-vocabulary Jaccard between groups (sources) — the
+    * domain-similarity matrix of a mixture: two sources sharing most
+    * of their head vocabulary are near-duplicate DOMAINS (budget them
+    * jointly in q121/q130-style apportionment), while low overlap
+    * flags genuinely novel data. The group-level cousin of doc-level
+    * MinHash — computed exactly, because the per-group object is the
+    * k-term head, not the corpus.
+    *
+    * Scale shape: one (group, term) weight aggregation (map-side
+    * combined — or free when fed the session TF artifact), a per-group
+    * top-k window (WindowGroupLimit, (w desc, term) deterministic
+    * order), then ALL work is (|groups|·k)-sized: the pair join is an
+    * equi-join on term over top-k rows, and the full a<b pair scaffold
+    * keeps zero-overlap pairs as rows (the diagnostic's most
+    * interesting output), not gaps. Returns
+    * (src_a, src_b, n_a, n_b, n_common, jaccard). */
+  def topVocabOverlap(termsByGrp: DataFrame, grp: Column, term: Column,
+      weight: Column, k: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(k >= 1, s"topVocabOverlap: k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val agg = termsByGrp.select(grp.as("grp"), term.as("term"),
+        weight.cast("long").as("w"))
+      .groupBy(col("grp"), col("term")).agg(sum(col("w")).as("w"))
+    val top = materialize(agg.withColumn("rk",
+        row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("w").desc, col("term"))))
+      .filter(col("rk") <= k).select(col("grp"), col("term")))
+    val sz = top.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val grps = sz.select(col("grp"), col("n"))
+    val scaffold = grps.select(col("grp").as("src_a"), col("n").as("n_a"))
+      .join(grps.select(col("grp").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val common = top.as("a").join(top.as("b"),
+        col("a.term") === col("b.term") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("src_a"), col("b.grp").as("src_b"))
+      .agg(count(lit(1)).as("nc"))
+    scaffold.join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("nc"), lit(0L)).as("n_common"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Template detection by shared affix: docs whose first (or last)
     * `k` tokens are IDENTICAL — the boilerplate-header/footer and
     * template-spam signal that similarity dedup underweights (a shared

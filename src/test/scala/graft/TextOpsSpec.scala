@@ -735,4 +735,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r(("prefix", md5s(h))) == ((3L, 2L, 1L)))
     assert(r(("suffix", md5s(f))) == ((2L, 1L, 4L)))
   }
+  test("topVocabOverlap: top-k by (weight desc, term) with ties pinned; " +
+    "exact pair Jaccard; zero-overlap pairs present; k-truncation") {
+    import spark.implicits._
+    val d = Seq(
+      ("A", "t1", 5L), ("A", "t2", 4L), ("A", "t3", 3L),
+      ("B", "t2", 9L), ("B", "t3", 1L), ("B", "t4", 1L),
+      ("C", "zz", 1L)).toDF("g", "term", "w")
+    val r = graft.ops.TextDedup.topVocabOverlap(d, col("g"), col("term"),
+        col("w"), 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    // top-2: A={t1,t2}; B={t2,t3} (w tie t3/t4 breaks to t3); C={zz}
+    assert(r.size == 3)
+    assert(r(("A", "B")) == ((2L, 2L, 1L, 0.333333)))
+    assert(r(("A", "C")) == ((2L, 1L, 0L, 0.0)))
+    assert(r(("B", "C")) == ((2L, 1L, 0L, 0.0)))
+  }
 }
