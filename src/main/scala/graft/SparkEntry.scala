@@ -2595,6 +2595,77 @@ object SparkEntry {
         "doc_id"),
       col("source"), col("term"), col("tf"), 200)
 
+  /** The five-stage curation FUNNEL — the attrition report every
+    * released corpus ships (how many docs/tokens each gate costs):
+    * ingest → Gopher rules (q127) → near-dup canonical-only (q21/q63/
+    * q125's LSH→CC→longest-member chain) → per-source p75 perplexity
+    * gate (q137) → 5-gram decontamination (q54). Pure COMPOSITION of
+    * audited parts: every per-doc flag derives from a shared session
+    * artifact (TF table for token counts, LSH candidate pairs, NLL
+    * scores), the flag table is materialized ONCE, and each stage
+    * rollup is one aggregation over it with the cumulative flag
+    * conjunction — the funnel costs flag-derivation + 5 tiny scans,
+    * not 5 pipeline re-runs. Gate parameters/membership are computed
+    * on the FULL corpus (the artifact semantic, matching each
+    * component query), then applied cumulatively. keep_rate is
+    * stage-over-previous-stage (ingest = 1.0). */
+  private def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val ntok = sharedTermFreqs(s, dir).groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"))
+    val gopher = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep").as("f2"))
+    val grp = ops.Graph.dedupGroups(docs, "doc_id",
+      sharedLshCandidates(s, dir), "doc_a", "doc_b")
+    val canon = grp.join(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("group_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("canon_id"))
+    val kd = grp.select(col("doc_id"), col("group_id"))
+      .join(canon, "group_id")
+      .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("f3"))
+    val nll = sharedUnigramNll(s, dir).select(col("doc_id"), col("nll"))
+    val thr = docs.select(col("doc_id"), col("source")).join(nll, "doc_id")
+      .groupBy(col("source"))
+      .agg(round(expr("percentile(nll, 0.75)"), 4).as("threshold"))
+    val gAll = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 5)
+    val contam = TextDedup.contamination(gAll,
+      gAll.filter(col("doc_id") < 20))
+    val flags = docs.select(col("doc_id"), col("source"))
+      .join(ntok, "doc_id")
+      .join(gopher, "doc_id")
+      .join(kd, Seq("doc_id"), "left")
+      .join(nll, "doc_id")
+      .join(broadcast(thr), "source")
+      .join(contam.select(col("doc_id"), lit(true).as("bad")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("f2"),
+        coalesce(col("f3"), lit(true)).as("f3"),
+        (col("nll") <= col("threshold")).as("f4"),
+        col("bad").isNull.as("f5"))
+      .localCheckpoint(true)
+    val stages: Seq[(Long, String, Column)] = Seq(
+      (1L, "ingest", lit(true)),
+      (2L, "gopher", col("f2")),
+      (3L, "dedup", col("f2") && col("f3")),
+      (4L, "perplexity", col("f2") && col("f3") && col("f4")),
+      (5L, "decontam", col("f2") && col("f3") && col("f4") && col("f5")))
+    val rows = stages.map { case (i, nm, pred) =>
+      flags.filter(pred)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(lit(i).as("stage_idx"), lit(nm).as("stage"),
+          col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("stage_idx"))
+    rows.select(col("stage_idx"), col("stage"), col("n_docs"),
+      col("n_tokens"),
+      coalesce(round(col("n_docs").cast("double") /
+        lag(col("n_docs").cast("double"), 1).over(w), 6), lit(1.0))
+        .as("keep_rate"))
+  }
+
   /** MRR@10 of the served residual IVF·PQ index vs the exact ranking,
     * per nprobe tier — completes the retrieval-eval triptych (q142
     * recall / q157 nDCG / q178 MRR) on the shared session artifacts. */
@@ -2786,7 +2857,8 @@ object SparkEntry {
     "q178_mrr" -> (qMrr _),
     "q179_template_affix" -> (qTemplateAffix _),
     "q180_ks_drift" -> (qKsDrift _),
-    "q181_vocab_overlap" -> (qVocabOverlap _))
+    "q181_vocab_overlap" -> (qVocabOverlap _),
+    "q182_curation_funnel" -> (qCurationFunnel _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4805,6 +4877,53 @@ object SparkEntry {
         "SELECT kind, affix_hash, count(*) AS n_docs, " +
         "CAST(count(DISTINCT source) AS BIGINT) AS n_sources, " +
         "min(doc_id) AS example_doc FROM u GROUP BY 1, 2 HAVING count(*) > 1"),
+    "q182_curation_funnel" ->
+      // composition of the q21 LSH chain (cands), the q73 NLL, the q127
+      // gopher rules, the q125 canonical pick, the q137 p75 gate, and
+      // the q54 gram decontam into one per-doc flag table + five
+      // cumulative-conjunction rollups; keep_rate = stage/prev via lag
+      (s"WITH RECURSIVE $shingleCte, " +
+        unigramNllCte.stripPrefix("WITH ") + ", " +
+        "ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
+        "gs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "gm AS (SELECT doc_id, len(tk) AS n, " +
+        "list_sum(list_transform(tk, x -> length(x))) AS sumlen, " +
+        "len(list_distinct(tk)) AS dst, " +
+        "list_max(list_transform(tk, x -> length(x))) AS mx, " +
+        "len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS stp FROM gs), " +
+        "gk AS (SELECT doc_id, ((n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) " +
+        "AND (dst * 2 >= n) AND (stp >= 1) AND (mx <= 7)) AS f2 FROM gm), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "cn AS (SELECT group_id, doc_id AS canon_id FROM (SELECT c.group_id, d.doc_id, " +
+        "row_number() OVER (PARTITION BY c.group_id ORDER BY d.n_chars DESC, d.doc_id) AS rn " +
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1), " +
+        "dk AS (SELECT c.doc_id, (c.doc_id = cn.canon_id) AS f3 FROM comp c JOIN cn USING (group_id)), " +
+        "thr AS (SELECT d.source, round(quantile_cont(n.nll, 0.75), 4) AS threshold " +
+        "FROM documents d JOIN nllt n USING (doc_id) GROUP BY 1), " +
+        "ct5 AS (SELECT doc_id, string_split(text, ' ') AS t5 FROM documents), " +
+        "cg0 AS (SELECT doc_id, unnest(CASE WHEN len(t5) >= 5 THEN " +
+        "list_transform(generate_series(1, len(t5) - 4), i -> array_to_string(t5[i:i+4], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS shg FROM ct5), " +
+        "cg AS (SELECT DISTINCT doc_id, shg FROM cg0), " +
+        "bnch AS (SELECT DISTINCT shg FROM cg WHERE doc_id < 20), " +
+        "bad AS (SELECT DISTINCT doc_id FROM cg WHERE shg IN (SELECT shg FROM bnch)), " +
+        "flags AS (SELECT d.doc_id, nt.n_tok, gk.f2, dk.f3, " +
+        "(n.nll <= th.threshold) AS f4, (b.doc_id IS NULL) AS f5 " +
+        "FROM documents d JOIN ntok nt USING (doc_id) JOIN gk USING (doc_id) " +
+        "JOIN dk USING (doc_id) JOIN nllt n USING (doc_id) " +
+        "JOIN thr th ON th.source = d.source LEFT JOIN bad b ON b.doc_id = d.doc_id), " +
+        "fin AS (SELECT 1 AS stage_idx, 'ingest' AS stage, count(*) AS n_docs, " +
+        "CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM flags " +
+        "UNION ALL SELECT 2, 'gopher', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM flags WHERE f2 " +
+        "UNION ALL SELECT 3, 'dedup', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM flags WHERE f2 AND f3 " +
+        "UNION ALL SELECT 4, 'perplexity', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM flags WHERE f2 AND f3 AND f4 " +
+        "UNION ALL SELECT 5, 'decontam', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM flags WHERE f2 AND f3 AND f4 AND f5) " +
+        "SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_docs, n_tokens, " +
+        "coalesce(round(CAST(n_docs AS DOUBLE) / lag(CAST(n_docs AS DOUBLE)) OVER (ORDER BY stage_idx), 6), 1.0) AS keep_rate FROM fin"),
     "q181_vocab_overlap" ->
       // per-source top-200 terms (tf desc, term tie-break), pairwise
       // common-term counts over the a<b scaffold, exact Jaccard

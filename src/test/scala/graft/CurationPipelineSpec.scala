@@ -137,4 +137,30 @@ class CurationPipelineSpec extends SparkSpec {
       assert(ndup <= ndocs && rate >= 0.0 && rate <= 1.0)
     }
   }
+  test("q182 funnel: ingest matches the corpus, stages are monotone, " +
+    "the gopher stage count equals the component query, and keep_rate " +
+    "is the stage-over-stage ratio") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q182_curation_funnel")(spark, dir)
+      .orderBy("stage_idx").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("ingest", "gopher", "dedup", "perplexity", "decontam"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows(0).getLong(2) == docs.count())
+    val nd = rows.map(_.getLong(2))
+    val nt = rows.map(_.getLong(3))
+    assert(nd.zip(nd.tail).forall { case (a, b) => b <= a })
+    assert(nt.zip(nt.tail).forall { case (a, b) => b <= a })
+    val gopherKeep = graft.expr.TextStats.gopherRules(docs,
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(rows(1).getLong(2) == gopherKeep)
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val want = BigDecimal(cur.getLong(2).toDouble / prev.getLong(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cur.getDouble(4) == want, s"keep_rate at ${cur.getString(1)}")
+    }
+    assert(rows(0).getDouble(4) == 1.0)
+  }
 }
