@@ -2609,50 +2609,63 @@ object SparkEntry {
     * on the FULL corpus (the artifact semantic, matching each
     * component query), then applied cumulatively. keep_rate is
     * stage-over-previous-stage (ingest = 1.0). */
+  /** Session-scoped MATERIALIZED per-doc funnel flag table — the
+    * (doc_id, source, n_tok, f2..f5) gate decisions q182's corpus
+    * rollup and q183's per-source breakdown both read: the gates
+    * evaluate once per session. */
+  private val funnelMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def sharedFunnelFlags(s: SparkSession, dir: String): DataFrame =
+    funnelMemo.getOrElseUpdate((s, dir), {
+      val docs = t(s, dir, "documents")
+      val ntok = sharedTermFreqs(s, dir).groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tok"))
+      val gopher = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("keep").as("f2"))
+      val grp = ops.Graph.dedupGroups(docs, "doc_id",
+        sharedLshCandidates(s, dir), "doc_a", "doc_b")
+      val canon = grp.join(docs.select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("group_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("canon_id"))
+      val kd = grp.select(col("doc_id"), col("group_id"))
+        .join(canon, "group_id")
+        .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("f3"))
+      val nll = sharedUnigramNll(s, dir).select(col("doc_id"), col("nll"))
+      val thr = docs.select(col("doc_id"), col("source")).join(nll, "doc_id")
+        .groupBy(col("source"))
+        .agg(round(expr("percentile(nll, 0.75)"), 4).as("threshold"))
+      val gAll = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 5)
+      val contam = TextDedup.contamination(gAll,
+        gAll.filter(col("doc_id") < 20))
+      docs.select(col("doc_id"), col("source"))
+        .join(ntok, "doc_id")
+        .join(gopher, "doc_id")
+        .join(kd, Seq("doc_id"), "left")
+        .join(nll, "doc_id")
+        .join(broadcast(thr), "source")
+        .join(contam.select(col("doc_id"), lit(true).as("bad")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("f2"),
+          coalesce(col("f3"), lit(true)).as("f3"),
+          (col("nll") <= col("threshold")).as("f4"),
+          col("bad").isNull.as("f5"))
+        .localCheckpoint(true)
+    })
+
+  /** The q182/q183 stage ladder: cumulative conjunction of the gates. */
+  private def funnelStages: Seq[(Long, String, Column)] = Seq(
+    (1L, "ingest", lit(true)),
+    (2L, "gopher", col("f2")),
+    (3L, "dedup", col("f2") && col("f3")),
+    (4L, "perplexity", col("f2") && col("f3") && col("f4")),
+    (5L, "decontam", col("f2") && col("f3") && col("f4") && col("f5")))
+
   private def qCurationFunnel(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents")
-    val ntok = sharedTermFreqs(s, dir).groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tok"))
-    val gopher = TextStats.gopherRules(docs, col("doc_id"), col("text"))
-      .select(col("doc_id"), col("keep").as("f2"))
-    val grp = ops.Graph.dedupGroups(docs, "doc_id",
-      sharedLshCandidates(s, dir), "doc_a", "doc_b")
-    val canon = grp.join(docs.select(col("doc_id"), col("n_chars")),
-        "doc_id")
-      .groupBy(col("group_id"))
-      .agg(max_by(col("doc_id"),
-        struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("canon_id"))
-    val kd = grp.select(col("doc_id"), col("group_id"))
-      .join(canon, "group_id")
-      .select(col("doc_id"), (col("doc_id") === col("canon_id")).as("f3"))
-    val nll = sharedUnigramNll(s, dir).select(col("doc_id"), col("nll"))
-    val thr = docs.select(col("doc_id"), col("source")).join(nll, "doc_id")
-      .groupBy(col("source"))
-      .agg(round(expr("percentile(nll, 0.75)"), 4).as("threshold"))
-    val gAll = TextDedup.shingleSet(docs, col("doc_id"), col("text"), 5)
-    val contam = TextDedup.contamination(gAll,
-      gAll.filter(col("doc_id") < 20))
-    val flags = docs.select(col("doc_id"), col("source"))
-      .join(ntok, "doc_id")
-      .join(gopher, "doc_id")
-      .join(kd, Seq("doc_id"), "left")
-      .join(nll, "doc_id")
-      .join(broadcast(thr), "source")
-      .join(contam.select(col("doc_id"), lit(true).as("bad")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok"), col("f2"),
-        coalesce(col("f3"), lit(true)).as("f3"),
-        (col("nll") <= col("threshold")).as("f4"),
-        col("bad").isNull.as("f5"))
-      .localCheckpoint(true)
-    val stages: Seq[(Long, String, Column)] = Seq(
-      (1L, "ingest", lit(true)),
-      (2L, "gopher", col("f2")),
-      (3L, "dedup", col("f2") && col("f3")),
-      (4L, "perplexity", col("f2") && col("f3") && col("f4")),
-      (5L, "decontam", col("f2") && col("f3") && col("f4") && col("f5")))
-    val rows = stages.map { case (i, nm, pred) =>
+    val flags = sharedFunnelFlags(s, dir)
+    val rows = funnelStages.map { case (i, nm, pred) =>
       flags.filter(pred)
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .select(lit(i).as("stage_idx"), lit(nm).as("stage"),
@@ -2665,6 +2678,20 @@ object SparkEntry {
         lag(col("n_docs").cast("double"), 1).over(w), 6), lit(1.0))
         .as("keep_rate"))
   }
+
+  /** The funnel per SOURCE — which sources the gates cut and which
+    * survive (the mixture-shift audit q163's reweighting needs next to
+    * the corpus-level attrition): per (source, stage) surviving doc
+    * counts over the same shared flag table. Only non-empty cells are
+    * rows. */
+  private def qFunnelBySource(s: SparkSession, dir: String): DataFrame =
+    funnelStages.map { case (i, nm, pred) =>
+      sharedFunnelFlags(s, dir).filter(pred)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(col("source"), lit(i).as("stage_idx"), lit(nm).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    }.reduce(_.unionByName(_))
 
   /** MRR@10 of the served residual IVF·PQ index vs the exact ranking,
     * per nprobe tier — completes the retrieval-eval triptych (q142
@@ -2858,7 +2885,8 @@ object SparkEntry {
     "q179_template_affix" -> (qTemplateAffix _),
     "q180_ks_drift" -> (qKsDrift _),
     "q181_vocab_overlap" -> (qVocabOverlap _),
-    "q182_curation_funnel" -> (qCurationFunnel _))
+    "q182_curation_funnel" -> (qCurationFunnel _),
+    "q183_funnel_by_source" -> (qFunnelBySource _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -2999,6 +3027,45 @@ object SparkEntry {
       "FROM dn CROSS JOIN ls LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
       "best AS (SELECT doc_id, clab FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1)"
+
+
+  /** Shared oracle stanza (q182/q183): the full funnel-flag chain —
+    * LSH cands + NLL + gopher + canonical pick + p75 threshold +
+    * gram decontam composed into a per-doc `flags` table. */
+  private val funnelFlagsCte = s"WITH RECURSIVE $shingleCte, " +
+        unigramNllCte.stripPrefix("WITH ") + ", " +
+        "ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
+        "gs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "gm AS (SELECT doc_id, len(tk) AS n, " +
+        "list_sum(list_transform(tk, x -> length(x))) AS sumlen, " +
+        "len(list_distinct(tk)) AS dst, " +
+        "list_max(list_transform(tk, x -> length(x))) AS mx, " +
+        "len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS stp FROM gs), " +
+        "gk AS (SELECT doc_id, ((n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) " +
+        "AND (dst * 2 >= n) AND (stp >= 1) AND (mx <= 7)) AS f2 FROM gm), " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "cn AS (SELECT group_id, doc_id AS canon_id FROM (SELECT c.group_id, d.doc_id, " +
+        "row_number() OVER (PARTITION BY c.group_id ORDER BY d.n_chars DESC, d.doc_id) AS rn " +
+        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1), " +
+        "dk AS (SELECT c.doc_id, (c.doc_id = cn.canon_id) AS f3 FROM comp c JOIN cn USING (group_id)), " +
+        "thr AS (SELECT d.source, round(quantile_cont(n.nll, 0.75), 4) AS threshold " +
+        "FROM documents d JOIN nllt n USING (doc_id) GROUP BY 1), " +
+        "ct5 AS (SELECT doc_id, string_split(text, ' ') AS t5 FROM documents), " +
+        "cg0 AS (SELECT doc_id, unnest(CASE WHEN len(t5) >= 5 THEN " +
+        "list_transform(generate_series(1, len(t5) - 4), i -> array_to_string(t5[i:i+4], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS shg FROM ct5), " +
+        "cg AS (SELECT DISTINCT doc_id, shg FROM cg0), " +
+        "bnch AS (SELECT DISTINCT shg FROM cg WHERE doc_id < 20), " +
+        "bad AS (SELECT DISTINCT doc_id FROM cg WHERE shg IN (SELECT shg FROM bnch)), " +
+        "flags AS (SELECT d.doc_id, nt.n_tok, gk.f2, dk.f3, " +
+        "(n.nll <= th.threshold) AS f4, (b.doc_id IS NULL) AS f5 " +
+        "FROM documents d JOIN ntok nt USING (doc_id) JOIN gk USING (doc_id) " +
+        "JOIN dk USING (doc_id) JOIN nllt n USING (doc_id) " +
+        "JOIN thr th ON th.source = d.source LEFT JOIN bad b ON b.doc_id = d.doc_id), "
 
   private val kmeansReplayCte =
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
@@ -4882,40 +4949,7 @@ object SparkEntry {
       // gopher rules, the q125 canonical pick, the q137 p75 gate, and
       // the q54 gram decontam into one per-doc flag table + five
       // cumulative-conjunction rollups; keep_rate = stage/prev via lag
-      (s"WITH RECURSIVE $shingleCte, " +
-        unigramNllCte.stripPrefix("WITH ") + ", " +
-        "ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
-        "gs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-        "gm AS (SELECT doc_id, len(tk) AS n, " +
-        "list_sum(list_transform(tk, x -> length(x))) AS sumlen, " +
-        "len(list_distinct(tk)) AS dst, " +
-        "list_max(list_transform(tk, x -> length(x))) AS mx, " +
-        "len(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS stp FROM gs), " +
-        "gk AS (SELECT doc_id, ((n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) " +
-        "AND (dst * 2 >= n) AND (stp >= 1) AND (mx <= 7)) AS f2 FROM gm), " +
-        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
-        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
-        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
-        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r JOIN edges e ON e.a = r.node), " +
-        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
-        "cn AS (SELECT group_id, doc_id AS canon_id FROM (SELECT c.group_id, d.doc_id, " +
-        "row_number() OVER (PARTITION BY c.group_id ORDER BY d.n_chars DESC, d.doc_id) AS rn " +
-        "FROM comp c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1), " +
-        "dk AS (SELECT c.doc_id, (c.doc_id = cn.canon_id) AS f3 FROM comp c JOIN cn USING (group_id)), " +
-        "thr AS (SELECT d.source, round(quantile_cont(n.nll, 0.75), 4) AS threshold " +
-        "FROM documents d JOIN nllt n USING (doc_id) GROUP BY 1), " +
-        "ct5 AS (SELECT doc_id, string_split(text, ' ') AS t5 FROM documents), " +
-        "cg0 AS (SELECT doc_id, unnest(CASE WHEN len(t5) >= 5 THEN " +
-        "list_transform(generate_series(1, len(t5) - 4), i -> array_to_string(t5[i:i+4], ' ')) " +
-        "ELSE []::VARCHAR[] END) AS shg FROM ct5), " +
-        "cg AS (SELECT DISTINCT doc_id, shg FROM cg0), " +
-        "bnch AS (SELECT DISTINCT shg FROM cg WHERE doc_id < 20), " +
-        "bad AS (SELECT DISTINCT doc_id FROM cg WHERE shg IN (SELECT shg FROM bnch)), " +
-        "flags AS (SELECT d.doc_id, nt.n_tok, gk.f2, dk.f3, " +
-        "(n.nll <= th.threshold) AS f4, (b.doc_id IS NULL) AS f5 " +
-        "FROM documents d JOIN ntok nt USING (doc_id) JOIN gk USING (doc_id) " +
-        "JOIN dk USING (doc_id) JOIN nllt n USING (doc_id) " +
-        "JOIN thr th ON th.source = d.source LEFT JOIN bad b ON b.doc_id = d.doc_id), " +
+      (funnelFlagsCte +
         "fin AS (SELECT 1 AS stage_idx, 'ingest' AS stage, count(*) AS n_docs, " +
         "CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM flags " +
         "UNION ALL SELECT 2, 'gopher', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM flags WHERE f2 " +
@@ -4924,6 +4958,22 @@ object SparkEntry {
         "UNION ALL SELECT 5, 'decontam', count(*), CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM flags WHERE f2 AND f3 AND f4 AND f5) " +
         "SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_docs, n_tokens, " +
         "coalesce(round(CAST(n_docs AS DOUBLE) / lag(CAST(n_docs AS DOUBLE)) OVER (ORDER BY stage_idx), 6), 1.0) AS keep_rate FROM fin"),
+    "q183_funnel_by_source" ->
+      // the shared funnel-flag chain, rolled up per (source, stage);
+      // only non-empty cells emit rows
+      (funnelFlagsCte +
+        "fin AS (SELECT source, 1 AS stage_idx, 'ingest' AS stage, " +
+        "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
+        "FROM (SELECT d.source, f.n_tok FROM flags f JOIN documents d USING (doc_id)) GROUP BY 1 " +
+        "UNION ALL SELECT source, 2, 'gopher', count(*), CAST(sum(n_tok) AS BIGINT) " +
+        "FROM (SELECT d.source, f.n_tok FROM flags f JOIN documents d USING (doc_id) WHERE f2) GROUP BY 1 " +
+        "UNION ALL SELECT source, 3, 'dedup', count(*), CAST(sum(n_tok) AS BIGINT) " +
+        "FROM (SELECT d.source, f.n_tok FROM flags f JOIN documents d USING (doc_id) WHERE f2 AND f3) GROUP BY 1 " +
+        "UNION ALL SELECT source, 4, 'perplexity', count(*), CAST(sum(n_tok) AS BIGINT) " +
+        "FROM (SELECT d.source, f.n_tok FROM flags f JOIN documents d USING (doc_id) WHERE f2 AND f3 AND f4) GROUP BY 1 " +
+        "UNION ALL SELECT source, 5, 'decontam', count(*), CAST(sum(n_tok) AS BIGINT) " +
+        "FROM (SELECT d.source, f.n_tok FROM flags f JOIN documents d USING (doc_id) WHERE f2 AND f3 AND f4 AND f5) GROUP BY 1) " +
+        "SELECT source, CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_docs, n_tokens FROM fin"),
     "q181_vocab_overlap" ->
       // per-source top-200 terms (tf desc, term tie-break), pairwise
       // common-term counts over the a<b scaffold, exact Jaccard

@@ -163,4 +163,16 @@ class CurationPipelineSpec extends SparkSpec {
     }
     assert(rows(0).getDouble(4) == 1.0)
   }
+  test("q183 per-source funnel sums to the q182 corpus funnel at every " +
+    "stage") {
+    val dir = "/root/testdata/sf0.001"
+    val total = SparkEntry.queries("q182_curation_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val bySrc = SparkEntry.queries("q183_funnel_by_source")(spark, dir)
+      .collect().groupBy(_.getLong(1))
+      .map { case (st, rows) =>
+        st -> ((rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)) }
+    assert(bySrc == total)
+  }
 }

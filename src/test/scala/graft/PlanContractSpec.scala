@@ -913,6 +913,16 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 1, p.take(1200))
   }
 
+  test("q182/q183: funnel rollups read ONLY the materialized flag " +
+    "table — zero parquet scans, one ExistingRDD scan per stage") {
+    for (q <- Seq("q182_curation_funnel", "q183_funnel_by_source")) {
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") == 0, s"$q:\n${p.take(1200)}")
+      assert(count(p, "FileScan parquet") == 0, s"$q:\n${p.take(1200)}")
+      assert(count(p, "Scan ExistingRDD") >= 5, s"$q:\n${p.take(1200)}")
+    }
+  }
+
   test("q172: label propagation round = one dst-keyed hash join + one " +
     "frontier anti-join, label table as materialized artifact, no " +
     "cartesian (unmaterialized round plan)") {
