@@ -754,7 +754,7 @@ object SparkEntry {
   /** Gopher-style repetition signal: top-2-gram share per document. */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     TextStats.repetitionStats(t(s, dir, "documents"), col("doc_id"),
-      col("text"))
+      col("text"), docBig0 = Some(sharedDocBigrams(s, dir)))
 
   /** Concat-then-chunk sequence packing: global token offsets via a
     * distributed prefix sum, 512-token context windows. */
@@ -845,6 +845,37 @@ object SparkEntry {
   private def sharedTermFreqs(s: SparkSession, dir: String): DataFrame =
     tfMemo.getOrElseUpdate((s, dir),
       termFreqs(t(s, dir, "documents")).localCheckpoint(true))
+
+  /** Session-scoped MATERIALIZED bigram tables — the 2-gram siblings of
+    * the TF artifact: the per-doc (doc_id, bigram, k) counts and their
+    * global (bigram, bc) rollup, shared by q58 (repetition), q91 (PMI)
+    * and q113 (bigram NLL) — the corpus's bigram stream explodes once
+    * per session. The unigram (tok, uc) rollup derives from the TF
+    * artifact (no extra corpus pass at all). */
+  private val docBigramMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def sharedDocBigrams(s: SparkSession, dir: String): DataFrame =
+    docBigramMemo.getOrElseUpdate((s, dir),
+      ops.Fanout.fanout(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(TextStats.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint(true))
+  private val bigramMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def sharedBigramCounts(s: SparkSession, dir: String): DataFrame =
+    bigramMemo.getOrElseUpdate((s, dir),
+      sharedDocBigrams(s, dir).groupBy(col("bigram"))
+        .agg(sum(col("k")).as("bc"))
+        .localCheckpoint(true))
+  private val uniMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def sharedUnigramCounts(s: SparkSession, dir: String): DataFrame =
+    uniMemo.getOrElseUpdate((s, dir),
+      sharedTermFreqs(s, dir).groupBy(col("term").as("tok"))
+        .agg(sum(col("tf")).as("uc"))
+        .localCheckpoint(true))
 
   /** Session-scoped BPE merge list (driver state): ONE q112 training
     * trajectory serves q112's emission and q126's fertility encode —
@@ -1320,7 +1351,7 @@ object SparkEntry {
     * oracle gate; the library form keeps the typed array. */
   private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
     TextStats.invertedIndex(t(s, dir, "documents"), col("doc_id"),
-        col("text"), 32)
+        col("text"), 32, tf0 = Some(sharedTermFreqs(s, dir)))
       .select(col("term"), col("df"), col("cf"),
         array_join(col("postings"), ",").as("postings"))
 
@@ -1328,7 +1359,8 @@ object SparkEntry {
     * min support 5 (rare-pair PMI is noise). */
   private def qPmi(s: SparkSession, dir: String): DataFrame =
     TextStats.pmiCollocations(t(s, dir, "documents"), col("doc_id"),
-      col("text"), 5L)
+      col("text"), 5L, uni0 = Some(sharedUnigramCounts(s, dir)),
+      big0 = Some(sharedBigramCounts(s, dir)))
 
   /** Normal-equation sufficient statistics: upper triangle of the Gram
     * matrix of [1 | x_1..x_4 | y] over the embedding column (features =
@@ -1807,7 +1839,10 @@ object SparkEntry {
     * representable, so both engines write literal 0.5 for λ and 1−λ):
     * the perplexity quality filter. */
   private def qBigramNll(s: SparkSession, dir: String): DataFrame =
-    TextStats.bigramNll(t(s, dir, "documents"), col("doc_id"), col("text"), 0.5)
+    TextStats.bigramNll(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 0.5, uni0 = Some(sharedUnigramCounts(s, dir)),
+      big0 = Some(sharedBigramCounts(s, dir)),
+      docBig0 = Some(sharedDocBigrams(s, dir)))
 
   /** Leakage-safe split counts: split assigned per dedup GROUP (q63's
     * connected components over the q21 LSH pairs), so near-duplicates

@@ -105,12 +105,15 @@ object TextStats {
   def invertedIndex(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, maxPostings: Int,
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
+        _.localCheckpoint(true),
+      tf0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, explode, lit,
       row_number, sort_array, collect_list, sum}
-    val tf = materialize(graft.ops.Fanout.fanout(docs)
+    // tf0: the session (doc_id, term, tf) artifact
+    val tf = tf0.getOrElse(materialize(graft.ops.Fanout.fanout(docs)
       .select(id.as("doc_id"), explode(tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
     val stats = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val w = org.apache.spark.sql.expressions.Window
@@ -147,14 +150,20 @@ object TextStats {
   def pmiCollocations(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, minCount: Long,
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
+        _.localCheckpoint(true),
+      uni0: Option[org.apache.spark.sql.DataFrame] = None,
+      big0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, explode,
       lit, log, round, split, sum}
-    val fanned = graft.ops.Fanout.fanout(docs)
-    val uni = materialize(fanned.select(explode(tokens(text)).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("uc")))
-    val bigAll = materialize(fanned.select(explode(shingles(text, 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("bc")))
+    // uni0/big0: session artifacts — (tok, uc) and (bigram, bc)
+    lazy val fanned = graft.ops.Fanout.fanout(docs)
+    val uni = uni0.getOrElse(
+      materialize(fanned.select(explode(tokens(text)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("uc"))))
+    val bigAll = big0.getOrElse(
+      materialize(fanned.select(explode(shingles(text, 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
     val bi = bigAll.filter(col("bc") >= minCount)
     // sum() of an empty table is one NULL row — default the totals (any
     // finite value works: the scored output is empty regardless)
@@ -204,20 +213,28 @@ object TextStats {
   def bigramNll(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, lam: Double,
       materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-        _.localCheckpoint(true)): org.apache.spark.sql.DataFrame = {
+        _.localCheckpoint(true),
+      uni0: Option[org.apache.spark.sql.DataFrame] = None,
+      big0: Option[org.apache.spark.sql.DataFrame] = None,
+      docBig0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, explode,
       lit, log, round, split, sum}
     // the corpus stream is NOT materialized: its three consumers are
     // each one narrow explode+partial-agg pass over the source scan,
     // and a corpus-sized checkpoint write costs more than the rescans
-    // (callers with an expensive derived `docs` pre-materialize it)
-    val fanned = graft.ops.Fanout.fanout(docs)
+    // (callers with an expensive derived `docs` pre-materialize it).
+    // uni0/big0/docBig0: session artifacts — (tok, uc), (bigram, bc),
+    // (doc_id, bigram, k) — with all three supplied the corpus is
+    // never scanned at all
+    lazy val fanned = graft.ops.Fanout.fanout(docs)
       .select(id.as("doc_id"), text.as("__t"))
-    val uni = materialize(fanned.select(explode(tokens(col("__t"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("uc")))
-    val big = materialize(fanned
+    val uni = uni0.getOrElse(
+      materialize(fanned.select(explode(tokens(col("__t"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("uc"))))
+    val big = big0.getOrElse(materialize(fanned
       .select(explode(shingles(col("__t"), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("bc")))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
     val tTot = {
       val r = uni.agg(sum(col("uc"))).first()
       if (r.isNullAt(0)) 1.0 else r.getLong(0).toDouble
@@ -235,9 +252,9 @@ object TextStats {
           lit(1.0 - lam) * (col("uc2").cast("double") / lit(tTot))).as("p"))
     // per-doc NLL terms via the shared order-independent [[Snap]] sum:
     // the mean is identical under any partitioning/engine/retry
-    fanned.select(col("doc_id"),
+    docBig0.getOrElse(fanned.select(col("doc_id"),
         explode(shingles(col("__t"), 2)).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k")))
       .join(probs, "bigram")
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
@@ -309,12 +326,17 @@ object TextStats {
   }
 
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, id: Column,
-      text: Column): org.apache.spark.sql.DataFrame = {
+      text: Column,
+      docBig0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, explode, lit, max, round, sum}
-    graft.ops.Fanout.fanout(docs)
-      .select(id.as("doc_id"), explode(shingles(text, 2)).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("n"))
+    // docBig0: the session (doc_id, bigram, k) artifact
+    docBig0.map(_.select(col("doc_id"), col("bigram").as("gram"),
+        col("k").as("n")))
+      .getOrElse(graft.ops.Fanout.fanout(docs)
+        .select(id.as("doc_id"), explode(shingles(text, 2)).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("n")))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("total_2grams"), max(col("n")).as("top_2gram_n"))
       .select(col("doc_id"), col("total_2grams"), col("top_2gram_n"),

@@ -349,12 +349,12 @@ class PlanContractSpec extends SparkSpec {
     "(uni/bigram tables are checkpointed vocabulary-sized inputs); " +
     "model joins broadcast; no nested loop") {
     val p = plan("q113_bigram_nll")
-    // the three corpus explode passes: uni + bigram counts ran at
-    // checkpoint time (vocab-sized ExistingRDD scans here); only the
-    // doc-bigram scoring pass reads parquet in THIS plan
-    assert(count(p, "FileScan parquet") == 1,
+    // ALL THREE inputs are session artifacts now (unigram counts from
+    // the TF artifact, global bigram counts, per-doc bigram counts):
+    // the served plan touches no parquet at all
+    assert(count(p, "FileScan parquet") == 0,
       s"scoring plan re-reads the corpus:\n${p.take(1200)}")
-    assert(count(p, "ExistingRDD") >= 2, "checkpointed count tables missing")
+    assert(count(p, "ExistingRDD") >= 3, "artifact count tables missing")
     // ctx + unigram model tables are forced broadcasts (vocab-sized)
     assert(count(p, "BroadcastExchange") >= 2, p.take(1200))
     assert(count(p, "CartesianProduct") == 0 &&
