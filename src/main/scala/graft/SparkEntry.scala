@@ -780,13 +780,16 @@ object SparkEntry {
     * md5-bucketed rows of width 64); `ok` asserts the CM lower-bound
     * guarantee (estimate never undercounts) in-plan. */
   private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    // tok feeds 4 aggregations (exact + 3 sketch rows) and the matrix 3
-    // broadcast joins — persist both, per the multi-consumer convention
-    val tok = ops.Fanout.fanout(t(s, dir, "documents"))
-      .select(explode(TextStats.tokens(col("text"))).as("token")).persist()
-    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 50)
-    val matrix = ops.Sketch.countMinMatrix(tok, col("token"), 3, 64).persist()
+    // the raw token stream is gone: exact counts ARE the unigram
+    // artifact, and the CM matrix sums the artifact's counts as
+    // weights — identical cells, zero corpus passes
+    val uc = sharedUnigramCounts(s, dir)
+    val exact = uc.filter(col("uc") >= 50)
+      .select(col("tok").as("token"), col("uc").as("n"))
+    // matrix feeds 3 broadcast joins — persist per the multi-consumer
+    // convention (Verify/Bench clear cache between queries)
+    val matrix = ops.Sketch.countMinMatrix(uc, col("tok"), 3, 64,
+      weight = col("uc")).persist()
     ops.Sketch.countMinEstimate(exact, col("token"), matrix, 3, 64)
       .select(col("token"), col("n"), col("cm_est"),
         (col("cm_est") >= col("n")).as("ok"))

@@ -36,11 +36,14 @@ object Sketch {
 
   /** The sketch matrix: (row, bucket, cnt) — depth aggregations over the
     * item stream, each shuffling at most `width` combined rows per task. */
+  /** `weight` lets a pre-aggregated (item, count) table stand in for
+    * the raw item stream — the matrix is identical (cells sum the
+    * weights) and the corpus never re-explodes. */
   def countMinMatrix(items: DataFrame, item: Column, depth: Int,
-      width: Int): DataFrame =
+      width: Int, weight: Column = lit(1L)): DataFrame =
     (0 until depth).map { i =>
       items.groupBy(cmBucket(i, item, width).as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(weight).as("cnt"))
         .select(lit(i).as("row"), col("bucket"), col("cnt"))
     }.reduce(_ unionByName _)
 
