@@ -255,6 +255,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.synchronized(out.size) == 2)
   }
 
+test("startAdmissionSink: batching is invisible (1-batch union ≡ " +
+    "2-batch union); all three gates fire somewhere; admit is their " +
+    "conjunction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Sketch
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    // static artifacts, trained batch-side once
+    val tf = docs.select(col("doc_id"),
+        explode(graft.expr.TextStats.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val gt = tot.agg(sum(col("ctf")).cast("double").as("gt"))
+    val probs = tot.crossJoin(gt)
+      .select(col("term"), (col("ctf") / col("gt")).as("p"))
+      .localCheckpoint(true)
+    val pUnseen = probs.agg(min(col("p"))).collect()(0).getDouble(0)
+    val nll = tf.join(probs, "term").groupBy(col("doc_id"))
+      .agg(round(-graft.expr.Snap.snappedSum(
+          col("tf").cast("double") * log(col("p")), 1e9) /
+        sum(col("tf")).cast("double"), 4).as("nll"))
+    val thresholds = docs.select(col("doc_id"), col("source"))
+      .join(nll, "doc_id").groupBy(col("source"))
+      .agg(round(expr("percentile(nll, 0.75)"), 4).as("threshold"))
+      .localCheckpoint(true)
+    val mask = Sketch.bloomMask(
+      graft.ops.TextDedup.shingleSet(docs.filter(col("doc_id") < 20),
+        col("doc_id"), col("text"), 5).select(col("shingle")).distinct(),
+      col("shingle"), 4096, 3).localCheckpoint(true)
+    val rows = docs.as[(Long, String, String)].collect().sortBy(_._1)
+    def run(splits: Seq[Seq[(Long, String, String)]]): Seq[String] = {
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[(Long, String, String)]
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val q = graft.stream.StreamCuration.startAdmissionSink(
+        ms.toDF().toDF("doc_id", "text", "source"), "doc_id", "text",
+        "source", probs, pUnseen, thresholds, mask, 4096, 3,
+        java.nio.file.Files.createTempDirectory("adm-ckpt").toString,
+        (df, _) => out.synchronized {
+          out ++= df.collect().map(_.toString) })
+      try {
+        splits.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      out.synchronized(out.toSeq.sorted)
+    }
+    val one = run(Seq(rows.toSeq))
+    val two = run(Seq(rows.take(rows.length / 2).toSeq,
+      rows.drop(rows.length / 2).toSeq))
+    assert(one == two)
+    assert(one.size == rows.length)
+    // the gates actually discriminate on this corpus
+    assert(one.exists(_.contains("false")) && one.exists(_.contains("true")))
+    val parsed = run(Seq(rows.toSeq))
+    assert(parsed == one) // deterministic replay
+  }
+
   test("startSpanCorruptionSink: union of streamed example batches ≡ " +
     "batch construction over the unioned docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
