@@ -317,4 +317,61 @@ class PropertySpec extends SparkSpec {
     assert(Dedup.latestPerKeyTotal(df, Seq("k"), Seq("ts")).columns.toSeq ==
       Seq("k", "ts", "a", "b"))
   }
+  test("rankAuc one-vs-rest AUCs obey the weighted-mean identity " +
+    "Σ P_g·AUC_g = T/2-ish on random scored groups") {
+    // identity: Σ_g R_g = T(T+1)/2 exactly (every avg rank counted
+    // once), so Σ_g [AUC_g·P_g·(T−P_g)] = Σ_g [R_g − P_g(P_g+1)/2];
+    // check the raw-sum identity on random data (pre-rounding error
+    // bounded by the 6-dp output grid × groups)
+    val rows = Gen.listOfN(500, Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+      Gen.chooseNum(0, 40).map(_ / 10.0))).sample.get
+    val df = rows.toDF("g", "x")
+    val got = graft.ops.Quality.rankAuc(df, col("g"), col("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val t = rows.size.toDouble
+    val lhs = got.map { case (_, p, auc) => auc * p * (t - p) }.sum
+    val rhs = got.map { case (_, p, _) => -p * (p + 1) / 2.0 }.sum +
+      t * (t + 1) / 2.0
+    assert(math.abs(lhs - rhs) < 1e-4 * t * t,
+      s"rank-sum identity violated: $lhs vs $rhs")
+    // and every AUC is a probability
+    got.foreach { case (g, _, auc) =>
+      assert(auc >= 0.0 && auc <= 1.0, s"$g: $auc") }
+  }
+
+  test("psiDrift is zero on identical snapshots and positive on any " +
+    "genuinely shifted one, for random distributions") {
+    val base = Gen.listOfN(300, Gen.zip(Gen.oneOf("p", "q"),
+      Gen.chooseNum(0, 100).map(_ / 10.0))).sample.get
+    val df = base.toDF("g", "x")
+    val same = graft.ops.Analytics.psiDrift(df, df.repartition(5),
+        col("g"), col("x"))
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0))
+    val shifted = base.map { case (g, x) => (g, x + 50.0) }.toDF("g", "x")
+    val moved = graft.ops.Analytics.psiDrift(df, shifted, col("g"), col("x"))
+      .collect().map(_.getDouble(3))
+    assert(moved.forall(_ > 0.25), s"disjoint supports under alarm: ${moved.toSeq}")
+  }
+
+  test("rouge1Prf swap symmetry: swapping refs and cands swaps P and R " +
+    "and preserves F1, on random token bags") {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.listOfN(8, wordGen).map(_.mkString(" "))
+    val pairs = (1L to 40L).map(i => (i, docGen.sample.get, docGen.sample.get))
+    val refs = pairs.map(p => (p._1, p._2)).toDF("id", "text")
+    val cands = pairs.map(p => (p._1, p._3)).toDF("id", "text")
+    def runPrf(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextDedup.rouge1Prf(a, col("id"), col("text"),
+          b, col("id"), col("text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val fwd = runPrf(refs, cands)
+    val rev = runPrf(cands, refs)
+    fwd.foreach { case (id, (p, r, f)) =>
+      val (p2, r2, f2) = rev(id)
+      assert(p2 == r && r2 == p && f2 == f, s"pair $id")
+    }
+  }
 }
