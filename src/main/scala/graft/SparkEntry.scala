@@ -2740,6 +2740,15 @@ object SparkEntry {
           col("n_docs"), col("n_tokens"))
     }.reduce(_.unionByName(_))
 
+  /** Contrastive triplets (anchor, hardest positive, hardest negative)
+    * with margins — the metric-learning example constructor composing
+    * q159's boundary-negative mining with its same-label dual in ONE
+    * corpus pass. */
+  private def qTriplets(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.contrastiveTriplets(emb, emb.filter(col("vec_id") < 10))
+  }
+
   /** MRR@10 of the served residual IVF·PQ index vs the exact ranking,
     * per nprobe tier — completes the retrieval-eval triptych (q142
     * recall / q157 nDCG / q178 MRR) on the shared session artifacts. */
@@ -2933,7 +2942,8 @@ object SparkEntry {
     "q180_ks_drift" -> (qKsDrift _),
     "q181_vocab_overlap" -> (qVocabOverlap _),
     "q182_curation_funnel" -> (qCurationFunnel _),
-    "q183_funnel_by_source" -> (qFunnelBySource _))
+    "q183_funnel_by_source" -> (qFunnelBySource _),
+    "q184_triplets" -> (qTriplets _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -5094,6 +5104,26 @@ object SparkEntry {
         "n_bloom_hits - coalesce(n_exact_hits, 0) AS n_false_pos, " +
         "coalesce(n_exact_hits, 0) > 0 AS contaminated FROM nb LEFT JOIN ne USING (doc_id)")
     },
+    "q184_triplets" ->
+      // one scored pass with the label-match flag; top-1 per
+      // (anchor, side); anchors missing either leg drop; margin from
+      // the 4-dp outputs
+      ("WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql " +
+        "FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv, label AS n_label FROM embeddings), " +
+        "sc AS (SELECT q_id, n_id, (n_label = ql) AS same, " +
+        "round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM q JOIN c ON n_id <> q_id), " +
+        "r AS (SELECT q_id, n_id, same, cos, row_number() OVER " +
+        "(PARTITION BY q_id, same ORDER BY cos DESC, n_id) AS rank FROM sc), " +
+        "t1 AS (SELECT q_id, n_id, same, cos FROM r WHERE rank = 1), " +
+        "pv AS (SELECT p.q_id, p.n_id AS pos_id, round(p.cos, 4) AS pos_cos, " +
+        "n.n_id AS neg_id, round(n.cos, 4) AS neg_cos " +
+        "FROM (SELECT * FROM t1 WHERE same) p " +
+        "JOIN (SELECT * FROM t1 WHERE NOT same) n USING (q_id)) " +
+        "SELECT q_id, pos_id, pos_cos, neg_id, neg_cos, " +
+        "round(pos_cos - neg_cos, 4) AS margin FROM pv"),
     "q159_hard_negatives" ->
       // top-5 most-similar other-label vectors per anchor; 6-dp rank,
       // id tie-break, 4-dp output (the q25 contract + label mismatch)

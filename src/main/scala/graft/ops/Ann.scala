@@ -269,6 +269,54 @@ object Ann {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Contrastive TRIPLET construction — the (anchor, positive,
+    * negative) example builder of metric-learning data pipelines
+    * (SimCSE/DPR-style): per anchor, the most-similar SAME-label
+    * vector (hardest positive worth pulling closer) and the most-
+    * similar OTHER-label vector ([[hardNegatives]]'s top-1 — the
+    * negative just across the boundary), plus the margin
+    * cos_pos − cos_neg the triplet loss would see (≤ 0 flags anchors
+    * whose nearest other-label neighbor already out-scores their best
+    * positive — the examples that actually move the loss).
+    *
+    * Scale shape: ONE corpus pass scores both sides — anchors
+    * broadcast, the label-match flag computed inside the join
+    * projection, and the two top-1s come from a single window
+    * PARTITIONED on (anchor, same_label) (WindowGroupLimit on both
+    * branches); the pivot to one row per anchor is an anchor-keyed
+    * aggregation over ≤ 2 rows each. Anchors missing a positive or a
+    * negative (singleton labels) are dropped by the inner pivot —
+    * a triplet needs all three legs. Determinism: the q25 contract
+    * (6-dp rank cosine, id tie-break, 4-dp output; margin from the
+    * 4-dp outputs). */
+  def contrastiveTriplets(corpus: DataFrame, anchors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol), col(labelCol).as("n_label"))
+      .join(q, col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        (col("n_label") === col("q_label")).as("same"),
+        round(Similarity.cosine(col(vecCol), col("q_vec")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"), col("same"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+    top.groupBy(col("q_id"))
+      .agg(
+        max(when(col("same"), struct(col("n_id"), col("cos")))).as("p"),
+        max(when(!col("same"), struct(col("n_id"), col("cos")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("q_id"), col("p.n_id").as("pos_id"),
+        round(col("p.cos"), 4).as("pos_cos"),
+        col("n.n_id").as("neg_id"), round(col("n.cos"), 4).as("neg_cos"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos"), col("neg_id"),
+        col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+  }
+
   /** nDCG@k of an IVF·PQ serving ranking vs the exact cosine baseline,
     * per query and nprobe tier — the RANK-WEIGHTED complement to
     * [[ivfPqRecall]]: recall counts how many of the true top-k an index

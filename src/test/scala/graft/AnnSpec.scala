@@ -500,6 +500,40 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("contrastiveTriplets: positive = best same-label, negative = " +
+    "hardNegatives top-1, margin identity, singleton-label anchors " +
+    "dropped") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") < 10)
+    val got = Ann.contrastiveTriplets(emb, anchors)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // negative leg ≡ hardNegatives at k=1
+    val hn = Ann.hardNegatives(emb, anchors, 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(4))))
+      .toMap
+    got.foreach { case (q, (posId, posCos, negId, negCos, margin)) =>
+      assert(labels(posId) == labels(q), s"q$q positive crosses labels")
+      assert(labels(negId) != labels(q), s"q$q negative shares the label")
+      assert(hn(q) == ((negId, negCos)), s"q$q negative != hardNegatives")
+      assert(margin == BigDecimal(posCos - negCos)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // positive leg ≡ brute force restricted to the anchor's label
+    (0L until 3L).foreach { qid =>
+      val sub = emb.filter(col("label") === labels(qid) ||
+        col("vec_id") === qid)
+      val bf = Ann.bruteForceTopK(sub, anchors.filter(col("vec_id") === qid), 1)
+        .collect().head
+      assert((got(qid)._1, got(qid)._2) == ((bf.getLong(2), bf.getDouble(3))),
+        s"q$qid positive != same-label brute force")
+    }
+    assert(got.size == 10)
+  }
+
   test("mmrRerank: λ=1 degenerates to the relevance ranking; λ<1 " +
     "penalizes picks by their similarity to already-selected results") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
