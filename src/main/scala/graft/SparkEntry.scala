@@ -2740,6 +2740,42 @@ object SparkEntry {
           col("n_docs"), col("n_tokens"))
     }.reduce(_.unionByName(_))
 
+  /** Release-over-release DATASHEET DIFF: q166's per-source rollup
+    * computed on the even/odd snapshot halves (the q72/q83/q175
+    * convention) and differenced — the "what changed since the last
+    * release" audit (doc/token deltas, mean-loss drift) a corpus
+    * CHANGELOG needs next to the datasheet itself. One pass over the
+    * shared score artifact (it already carries n_tokens); per-half
+    * conditional aggregates, means guarded for empty halves, deltas
+    * from the rounded means. */
+  private def qDatasheetDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.expr.Snap
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(sharedUnigramNll(s, dir), "doc_id")
+      .withColumn("old", col("doc_id") % 2 === 0)
+    base.groupBy(col("source"))
+      .agg(
+        sum(when(col("old"), 1L).otherwise(0L)).as("docs_old"),
+        sum(when(!col("old"), 1L).otherwise(0L)).as("docs_new"),
+        sum(when(col("old"), col("n_tokens")).otherwise(0L)).as("tokens_old"),
+        sum(when(!col("old"), col("n_tokens")).otherwise(0L)).as("tokens_new"),
+        Snap.snappedSum(when(col("old"), col("nll")).otherwise(lit(0.0)), 1e9)
+          .as("s_old"),
+        Snap.snappedSum(when(!col("old"), col("nll")).otherwise(lit(0.0)), 1e9)
+          .as("s_new"))
+      .select(col("source"), col("docs_old"), col("docs_new"),
+        (col("docs_new") - col("docs_old")).as("delta_docs"),
+        col("tokens_old"), col("tokens_new"),
+        when(col("docs_old") > 0,
+          round(col("s_old") / col("docs_old").cast("double"), 6))
+          .as("mean_nll_old"),
+        when(col("docs_new") > 0,
+          round(col("s_new") / col("docs_new").cast("double"), 6))
+          .as("mean_nll_new"))
+      .withColumn("delta_nll",
+        round(col("mean_nll_new") - col("mean_nll_old"), 6))
+  }
+
   /** Contrastive triplets (anchor, hardest positive, hardest negative)
     * with margins — the metric-learning example constructor composing
     * q159's boundary-negative mining with its same-label dual in ONE
@@ -2943,7 +2979,8 @@ object SparkEntry {
     "q181_vocab_overlap" -> (qVocabOverlap _),
     "q182_curation_funnel" -> (qCurationFunnel _),
     "q183_funnel_by_source" -> (qFunnelBySource _),
-    "q184_triplets" -> (qTriplets _))
+    "q184_triplets" -> (qTriplets _),
+    "q185_datasheet_diff" -> (qDatasheetDiff _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -5104,6 +5141,29 @@ object SparkEntry {
         "n_bloom_hits - coalesce(n_exact_hits, 0) AS n_false_pos, " +
         "coalesce(n_exact_hits, 0) > 0 AS contaminated FROM nb LEFT JOIN ne USING (doc_id)")
     },
+    "q185_datasheet_diff" ->
+      // per-source even/odd-half rollup over the NLL score table:
+      // snapped mean per half (guarded for empty halves), deltas from
+      // the rounded means
+      (unigramNllCte +
+        ", ntk AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1), " +
+        "dd AS (SELECT d.source, n.doc_id, ntk.n_tokens, n.nll, " +
+        "(n.doc_id % 2 = 0) AS old FROM documents d JOIN nllt n USING (doc_id) " +
+        "JOIN ntk USING (doc_id)), " +
+        "ag AS (SELECT source, " +
+        "CAST(sum(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT) AS docs_old, " +
+        "CAST(sum(CASE WHEN NOT old THEN 1 ELSE 0 END) AS BIGINT) AS docs_new, " +
+        "CAST(sum(CASE WHEN old THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_old, " +
+        "CAST(sum(CASE WHEN NOT old THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_new, " +
+        "CAST(sum(CAST(floor(CASE WHEN old THEN nll ELSE 0.0 END * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s_old, " +
+        "CAST(sum(CAST(floor(CASE WHEN NOT old THEN nll ELSE 0.0 END * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s_new " +
+        "FROM dd GROUP BY 1), " +
+        "m AS (SELECT source, docs_old, docs_new, docs_new - docs_old AS delta_docs, " +
+        "tokens_old, tokens_new, " +
+        "CASE WHEN docs_old > 0 THEN round(s_old / CAST(docs_old AS DOUBLE), 6) END AS mean_nll_old, " +
+        "CASE WHEN docs_new > 0 THEN round(s_new / CAST(docs_new AS DOUBLE), 6) END AS mean_nll_new FROM ag) " +
+        "SELECT source, docs_old, docs_new, delta_docs, tokens_old, tokens_new, " +
+        "mean_nll_old, mean_nll_new, round(mean_nll_new - mean_nll_old, 6) AS delta_nll FROM m"),
     "q184_triplets" ->
       // one scored pass with the label-match flag; top-1 per
       // (anchor, side); anchors missing either leg drop; margin from

@@ -175,4 +175,20 @@ class CurationPipelineSpec extends SparkSpec {
         st -> ((rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)) }
     assert(bySrc == total)
   }
+  test("q185 datasheet diff: per-half counts sum to the corpus, deltas " +
+    "are the differences of the rounded means, empty-half guard") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q185_datasheet_diff")(spark, dir)
+      .collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+      if (!r.isNullAt(6) && !r.isNullAt(7)) {
+        val want = BigDecimal(r.getDouble(7) - r.getDouble(6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(8) == want, s"${r.getString(0)} delta")
+      } else assert(r.isNullAt(8), "delta must null-propagate")
+    }
+  }
 }

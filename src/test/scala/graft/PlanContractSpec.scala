@@ -923,6 +923,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q184: triplets — anchors broadcast, ONE scored corpus pass " +
+    "feeds both legs, the per-side top-1 keeps WindowGroupLimit") {
+    val p = plan("q184_triplets")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "BroadcastHashJoin") + count(p, "BroadcastNestedLoopJoin") >= 1,
+      p.take(1200))
+    assert(count(p, "FileScan parquet") <= 2, p.take(1200))
+    assert(count(p, "WindowGroupLimit") >= 1,
+      s"per-side top-1 lost partial pushdown:\n${p.take(1200)}")
+  }
+
   test("q172: label propagation round = one dst-keyed hash join + one " +
     "frontier anti-join, label table as materialized artifact, no " +
     "cartesian (unmaterialized round plan)") {
