@@ -171,9 +171,13 @@ object Analytics {
     * a dropped row); each term snaps to the Snap 1e9 grid before the
     * order-free sum; psi rounds to 6 dp.
     *
-    * Scale shape: one global min/max aggregation (broadcast one-row),
-    * one map-side-combined (group, bin, side) count, then all work is
-    * (|groups|·bins)-sized. Returns (grp, n_expected, n_actual, psi). */
+    * Scale shape: ONE map-side-combined corpus pass into the
+    * MATERIALIZED (group × side × score-grid) count table (the rankAuc
+    * shape — the grid is bounded by the score's rounding, not |rows|);
+    * global min/max, binning, the scaffold, and the terms all derive
+    * from it, so the corpora never re-enter the plan (the q175
+    * contract asserts zero parquet scans). Returns
+    * (grp, n_expected, n_actual, psi). */
   def psiDrift(expected: DataFrame, actual: DataFrame, grp: Column,
       x: Column, bins: Int = 10,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))

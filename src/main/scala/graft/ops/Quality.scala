@@ -305,10 +305,12 @@ object Quality {
     * the unbounded-domain drop-in); the flag compares products of
     * rounded doubles (no division), identical IEEE ops in any engine.
     *
-    * Scale shape: two grouped percentile passes over the (group,
-    * score) projection (the second over |x − med| after a broadcast
-    * join of the |groups|-row medians) + one counting pass — nothing
-    * wider than the score column moves. Returns
+    * Scale shape: the (group, score) projection is MATERIALIZED once
+    * and the median pass, the MAD pass (over |x − med| after a
+    * broadcast join of the |groups|-row medians) and the counting pass
+    * all read the artifact — the upstream scorer never re-runs, and
+    * nothing wider than the score column moves (the q173 contract
+    * asserts zero parquet scans). Returns
     * (grp, n_docs, med, mad, n_outliers, outlier_rate). */
   def madOutlierReport(df: DataFrame, grp: Column, x: Column,
       cutoff: Double = 3.5,

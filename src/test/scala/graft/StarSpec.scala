@@ -161,4 +161,7 @@ class StarSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out.map(_.getAs[Long]("n_id")).toSet == Set(1L, 2L)) // same cell only
   }
+  test("SparkEntry.entry: the driver smoke contract — rows > 0") {
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
 }
