@@ -2740,6 +2740,43 @@ object SparkEntry {
           col("n_docs"), col("n_tokens"))
     }.reduce(_.unionByName(_))
 
+  /** Gate OVERLAP audit over the funnel flag artifact — which gates
+    * are redundant and which do exclusive work: for every gate pair
+    * the joint-failure count, and per gate the failures no other gate
+    * would have caught (`n_exclusive`, diagonal rows only) — the
+    * number that says whether a gate earns its runtime. ONE aggregation
+    * pass over the materialized flag table (the q103 stack pattern:
+    * one agg row exploded to long format in-plan), zero joins. */
+  private def qGateOverlap(s: SparkSession, dir: String): DataFrame = {
+    val flags = sharedFunnelFlags(s, dir)
+    val gates = Seq("gopher" -> col("f2"), "dedup" -> col("f3"),
+      "perplexity" -> col("f4"), "decontam" -> col("f5"))
+    def cnt(pred: Column) = sum(when(pred, 1L).otherwise(0L))
+    val aggs = (for {
+      (i, (na, fa)) <- gates.zipWithIndex.map(_.swap)
+      (j, (nb, fb)) <- gates.zipWithIndex.map(_.swap) if i <= j
+    } yield {
+      val key = s"p_${i}_$j"
+      (key, na, nb,
+        if (i == j) cnt(!fa) else cnt(!fa && !fb),
+        if (i == j) Some(cnt(gates.zipWithIndex.map { case ((_, f), k) =>
+          if (k == i) !f else f }.reduce(_ && _))) else None)
+    })
+    val exprs = aggs.flatMap { case (key, _, _, both, excl) =>
+      Seq(both.as(key)) ++ excl.map(_.as(key + "_x"))
+    }
+    val row = flags.agg(exprs.head, exprs.tail: _*)
+    val structs = aggs.map { case (key, na, nb, _, excl) =>
+      struct(lit(na).as("gate_a"), lit(nb).as("gate_b"),
+        col(key).as("n_fail_both"),
+        (if (excl.isDefined) col(key + "_x")
+         else lit(null).cast("long")).as("n_exclusive"))
+    }
+    row.select(explode(array(structs: _*)).as("kv"))
+      .select(col("kv.gate_a"), col("kv.gate_b"), col("kv.n_fail_both"),
+        col("kv.n_exclusive"))
+  }
+
   /** Release-over-release DATASHEET DIFF: q166's per-source rollup
     * computed on the even/odd snapshot halves (the q72/q83/q175
     * convention) and differenced — the "what changed since the last
@@ -2980,7 +3017,8 @@ object SparkEntry {
     "q182_curation_funnel" -> (qCurationFunnel _),
     "q183_funnel_by_source" -> (qFunnelBySource _),
     "q184_triplets" -> (qTriplets _),
-    "q185_datasheet_diff" -> (qDatasheetDiff _))
+    "q185_datasheet_diff" -> (qDatasheetDiff _),
+    "q186_gate_overlap" -> (qGateOverlap _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -5141,6 +5179,12 @@ object SparkEntry {
         "n_bloom_hits - coalesce(n_exact_hits, 0) AS n_false_pos, " +
         "coalesce(n_exact_hits, 0) > 0 AS contaminated FROM nb LEFT JOIN ne USING (doc_id)")
     },
+    "q186_gate_overlap" ->
+      // joint/exclusive failure counts over the shared funnel-flag
+      // chain; diagonal rows carry the exclusive count
+      (funnelFlagsCte +
+        "fin AS (SELECT 'gopher' AS gate_a, 'gopher' AS gate_b, CAST(sum(CASE WHEN NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags UNION ALL SELECT 'gopher', 'dedup', CAST(sum(CASE WHEN NOT f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'gopher', 'perplexity', CAST(sum(CASE WHEN NOT f2 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'gopher', 'decontam', CAST(sum(CASE WHEN NOT f2 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'dedup' AS gate_a, 'dedup' AS gate_b, CAST(sum(CASE WHEN NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f3 AND f2 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags UNION ALL SELECT 'dedup', 'perplexity', CAST(sum(CASE WHEN NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'dedup', 'decontam', CAST(sum(CASE WHEN NOT f3 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'perplexity' AS gate_a, 'perplexity' AS gate_b, CAST(sum(CASE WHEN NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f4 AND f2 AND f3 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags UNION ALL SELECT 'perplexity', 'decontam', CAST(sum(CASE WHEN NOT f4 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'decontam' AS gate_a, 'decontam' AS gate_b, CAST(sum(CASE WHEN NOT f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f5 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags) " +
+        "SELECT gate_a, gate_b, n_fail_both, n_exclusive FROM fin"),
     "q185_datasheet_diff" ->
       // per-source even/odd-half rollup over the NLL score table:
       // snapped mean per half (guarded for empty halves), deltas from

@@ -191,4 +191,25 @@ class CurationPipelineSpec extends SparkSpec {
       } else assert(r.isNullAt(8), "delta must null-propagate")
     }
   }
+  test("q186 gate overlap: diagonal consistency with the funnel, joint " +
+    "counts bounded by marginals, exclusives bounded by diagonals") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q186_gate_overlap")(spark, dir)
+      .collect()
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(diag.keySet ==
+      Set("gopher", "dedup", "perplexity", "decontam"))
+    diag.values.foreach { case (f, x) => assert(x >= 0L && x <= f) }
+    rows.filter(r => r.getString(0) != r.getString(1)).foreach { r =>
+      val both = r.getLong(2)
+      assert(both <= diag(r.getString(0))._1 &&
+        both <= diag(r.getString(1))._1, r.toString)
+      assert(r.isNullAt(3))
+    }
+    // the gopher diagonal ties to the q182 funnel: ingest − gopher stage
+    val funnel = SparkEntry.queries("q182_curation_funnel")(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(diag("gopher")._1 == funnel("ingest") - funnel("gopher"))
+  }
 }
