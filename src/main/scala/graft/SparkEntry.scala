@@ -2777,6 +2777,13 @@ object SparkEntry {
         col("kv.n_exclusive"))
   }
 
+  /** Media near-dup pairs by keyframe-fingerprint overlap (32-byte
+    * frames, stride 1, Jaccard ≥ 0.3) — the multimodal MinHash analog:
+    * candidates from the frame-hash equi-join, never all-pairs. */
+  private def qMediaNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaNearDup(
+      Multimodal.asMediaTable(t(s, dir, "documents")), 0.3, 32, 1)
+
   /** Release-over-release DATASHEET DIFF: q166's per-source rollup
     * computed on the even/odd snapshot halves (the q72/q83/q175
     * convention) and differenced — the "what changed since the last
@@ -3018,7 +3025,8 @@ object SparkEntry {
     "q183_funnel_by_source" -> (qFunnelBySource _),
     "q184_triplets" -> (qTriplets _),
     "q185_datasheet_diff" -> (qDatasheetDiff _),
-    "q186_gate_overlap" -> (qGateOverlap _))
+    "q186_gate_overlap" -> (qGateOverlap _),
+    "q187_media_neardup" -> (qMediaNearDup _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -5185,6 +5193,20 @@ object SparkEntry {
       (funnelFlagsCte +
         "fin AS (SELECT 'gopher' AS gate_a, 'gopher' AS gate_b, CAST(sum(CASE WHEN NOT f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags UNION ALL SELECT 'gopher', 'dedup', CAST(sum(CASE WHEN NOT f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'gopher', 'perplexity', CAST(sum(CASE WHEN NOT f2 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'gopher', 'decontam', CAST(sum(CASE WHEN NOT f2 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'dedup' AS gate_a, 'dedup' AS gate_b, CAST(sum(CASE WHEN NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f3 AND f2 AND f4 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags UNION ALL SELECT 'dedup', 'perplexity', CAST(sum(CASE WHEN NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'dedup', 'decontam', CAST(sum(CASE WHEN NOT f3 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'perplexity' AS gate_a, 'perplexity' AS gate_b, CAST(sum(CASE WHEN NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f4 AND f2 AND f3 AND f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags UNION ALL SELECT 'perplexity', 'decontam', CAST(sum(CASE WHEN NOT f4 AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT), CAST(NULL AS BIGINT) FROM flags UNION ALL SELECT 'decontam' AS gate_a, 'decontam' AS gate_b, CAST(sum(CASE WHEN NOT f5 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_both, CAST(sum(CASE WHEN NOT f5 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive FROM flags) " +
         "SELECT gate_a, gate_b, n_fail_both, n_exclusive FROM fin"),
+    "q187_media_neardup" ->
+      // the q56 framer at 32 bytes/stride 1, distinct per-doc hash
+      // sets, shared-frame equi-join candidates, exact Jaccard >= 0.3
+      ("WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents), " +
+        "fr0 AS (SELECT doc_id, md5(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS h " +
+        "FROM (SELECT doc_id, text, unnest(range(0, nb // 32, 1)) AS i FROM m WHERE nb // 32 > 0)), " +
+        "fr AS (SELECT DISTINCT doc_id, h FROM fr0), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM fr GROUP BY 1), " +
+        "sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared " +
+        "FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "j AS (SELECT doc_a, doc_b, n_shared, za.n AS n_a, zb.n AS n_b, " +
+        "round(CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared), 4) AS jaccard " +
+        "FROM sh JOIN sz za ON za.doc_id = doc_a JOIN sz zb ON zb.doc_id = doc_b) " +
+        "SELECT doc_a, doc_b, n_shared, n_a, n_b, jaccard FROM j WHERE jaccard >= 0.3"),
     "q185_datasheet_diff" ->
       // per-source even/odd-half rollup over the NLL score table:
       // snapped mean per half (guarded for empty halves), deltas from

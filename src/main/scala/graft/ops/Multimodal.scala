@@ -142,6 +142,45 @@ object Multimodal {
           .as("frame_hash"))
   }
 
+  /** Media NEAR-dup detection by keyframe-fingerprint overlap — the
+    * multimodal analog of text MinHash (q21): two media payloads are
+    * near-duplicates when their sampled-frame hash SETS overlap (the
+    * video-dedup shape: re-encodes, container changes, and trailing
+    * edits keep most keyframes bit-identical while the file hash
+    * changes completely). Candidates come from an equi-join on the
+    * frame hash — a doc pair is enumerated ONLY if it shares at least
+    * one frame (never all-pairs; shared-frame counts aggregate from
+    * the join), then exact Jaccard over the distinct-hash sets keeps
+    * pairs ≥ `minJaccard`.
+    *
+    * Scale shape: the frame table is [[frameSample]]'s narrow
+    * (doc, hash) stream; the candidate join keys on the 32-char hash
+    * and the shuffles carry hashes, never media bytes; set sizes come
+    * from one map-side-combined count. The decode boundary stays
+    * where [[frameSample]] put it — swap the substring framer for a
+    * real keyframe extractor and nothing downstream changes. Returns
+    * (doc_a, doc_b, n_shared, n_a, n_b, jaccard). */
+  def mediaNearDup(media: DataFrame, minJaccard: Double,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val fr = frameSample(media, frameBytes, stride)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+    val sz = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = fr.as("a").join(fr.as("b"),
+        col("a.frame_hash") === col("b.frame_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   case class Thumb(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
 
   /** Resize/transcode shape: per-partition batched transform of the

@@ -83,4 +83,35 @@ class MultimodalSpec extends SparkSpec {
     assert(m(0).getAs[Long]("n_chunks") == 3L) // ceil(11/4)
     assert(m(2).getAs[Long]("n_chunks") == 0L)
   }
+  test("mediaNearDup: shared-frame Jaccard by hand; sub-frame payloads " +
+    "absent; threshold filters; exact-dup payloads hit 1.0 on the " +
+    "real corpus") {
+    import graft.ops.Multimodal
+    // 8-byte frames, stride 1: a = [AAAAAAAA][BBBBBBBB][CCCCCCCC],
+    // b shares two of a's three frames, c shares none, d is too short
+    val docs = Seq(
+      (1L, "AAAAAAAA" + "BBBBBBBB" + "CCCCCCCC"),
+      (2L, "AAAAAAAA" + "BBBBBBBB" + "DDDDDDDD"),
+      (3L, "EEEEEEEE" + "FFFFFFFF" + "GGGGGGGG"),
+      (4L, "short")).toDF("doc_id", "text")
+    val r = Multimodal.mediaNearDup(Multimodal.asMediaTable(docs),
+        0.3, 8, 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    assert(r == Map((1L, 2L) -> ((2L, 3L, 3L, 0.5))))
+    // real corpus at the q187 parameters: bounds hold and exact text
+    // dups surface as jaccard-1.0 media pairs
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Multimodal.mediaNearDup(Multimodal.asMediaTable(corpus),
+      0.3, 32, 1).collect()
+    got.foreach { x =>
+      assert(x.getDouble(5) >= 0.3 && x.getDouble(5) <= 1.0)
+      assert(x.getLong(2) <= math.min(x.getLong(3), x.getLong(4)))
+    }
+    val exactDups = corpus.groupBy(col("text")).count()
+      .filter(col("count") > 1).count()
+    if (exactDups > 0)
+      assert(got.exists(_.getDouble(5) == 1.0),
+        "exact payload dups must score 1.0")
+  }
 }
