@@ -5146,7 +5146,8 @@ object SparkEntry {
         "sum(ca) OVER (PARTITION BY grp ORDER BY x " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca FROM ct), " +
         "dx AS (SELECT cum.grp, te, ta, " +
-        "abs(CAST(cce AS DOUBLE) / te - CAST(cca AS DOUBLE) / ta) AS dx " +
+        "CASE WHEN te > 0 AND ta > 0 THEN " +
+        "abs(CAST(cce AS DOUBLE) / te - CAST(cca AS DOUBLE) / ta) END AS dx " +
         "FROM cum JOIN tt USING (grp)), " +
         "agg AS (SELECT grp, max(te) AS n_expected, max(ta) AS n_actual, " +
         "round(max(dx), 6) AS d FROM dx GROUP BY 1) " +

@@ -266,9 +266,12 @@ object Analytics {
     cnt.select(col("grp"),
         sum(col("ce")).over(w).as("cce"), sum(col("ca")).over(w).as("cca"))
       .join(broadcast(tot), "grp")
+      // a group present in only ONE half has no second ECDF: 0/0 would
+      // be IEEE NaN, not a statistic — guard to NULL (D is undefined)
       .select(col("grp"), col("te"), col("ta"),
-        abs(col("cce").cast("double") / col("te").cast("double") -
-          col("cca").cast("double") / col("ta").cast("double")).as("dx"))
+        when(col("te") > 0L && col("ta") > 0L,
+          abs(col("cce").cast("double") / col("te").cast("double") -
+            col("cca").cast("double") / col("ta").cast("double"))).as("dx"))
       .groupBy(col("grp"))
       .agg(max(col("te")).as("n_expected"), max(col("ta")).as("n_actual"),
         round(max(col("dx")), 6).as("d"))

@@ -288,6 +288,12 @@ class QualitySpec extends SparkSpec {
     val r7 = Analytics.ksDrift(e.repartition(7), a.repartition(2),
       col("g"), col("x")).collect()(0)
     assert(r7.toString == r.toString)
+    // a group with rows in only one half: D is undefined -> NULL, not NaN
+    val oneSided = Analytics.ksDrift(e,
+        e.unionByName(Seq(("h", 1.0)).toDF("g", "x")), col("g"), col("x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(oneSided("h").isNullAt(3) && oneSided("h").isNullAt(4))
+    assert(oneSided("g").getDouble(3) == 0.0) // identical halves stay 0
   }
 
   test("startPsiDriftSink: each epoch's report ≡ batch psiDrift of " +
