@@ -2503,7 +2503,9 @@ object SparkEntry {
     * ties go to the lower doc_id), aggregated ONCE to the source-pair
     * win matrix, then 3 MM iterations ([[ops.Pref.bradleyTerry]]) —
     * the preference-aggregation shape of arena-style data curation. */
-  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+  /** The q171/q188 duel table: consecutive doc pairs from different
+    * sources duel on the shared NLL (lower wins, lower-id ties). */
+  private def btDuels(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
       .join(sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")),
         "doc_id")
@@ -2511,15 +2513,26 @@ object SparkEntry {
       col("nll").as("nll_a"))
     val b = d.select((col("doc_id") - 1L).as("doc_id"),
       col("source").as("src_b"), col("nll").as("nll_b"))
-    val duels = a.join(b, "doc_id")
+    a.join(b, "doc_id")
       .filter(col("src_a") =!= col("src_b"))
       .select(
         when(col("nll_a") <= col("nll_b"), col("src_a"))
           .otherwise(col("src_b")).as("win"),
         when(col("nll_a") <= col("nll_b"), col("src_b"))
           .otherwise(col("src_a")).as("lose"))
-    ops.Pref.bradleyTerry(duels, col("win"), col("lose"))
+  }
+
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame =
+    ops.Pref.bradleyTerry(btDuels(s, dir), col("win"), col("lose"))
       .withColumnRenamed("item", "source")
+
+  /** BT fit calibration: per source pair, the model's predicted win
+    * rate vs the observed one — q171's goodness-of-fit. */
+  private def qBtCalibration(s: SparkSession, dir: String): DataFrame = {
+    val duels = btDuels(s, dir).localCheckpoint(true)
+    val strengths = ops.Pref.bradleyTerry(duels, col("win"), col("lose"))
+      .select(col("item"), col("strength"))
+    ops.Pref.btCalibration(duels, col("win"), col("lose"), strengths)
   }
 
   /** Label propagation over the LSH-bucketed kNN graph: seeds = the
@@ -3026,7 +3039,8 @@ object SparkEntry {
     "q184_triplets" -> (qTriplets _),
     "q185_datasheet_diff" -> (qDatasheetDiff _),
     "q186_gate_overlap" -> (qGateOverlap _),
-    "q187_media_neardup" -> (qMediaNearDup _))
+    "q187_media_neardup" -> (qMediaNearDup _),
+    "q188_bt_calibration" -> (qBtCalibration _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3378,6 +3392,47 @@ object SparkEntry {
       s"AND t.j = c2.j AND t.pos = c2.pos GROUP BY 1, 2), " +
       s"${p}top AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
       s"(PARTITION BY q_id ORDER BY s, n_id) AS rank FROM ${p}adc) WHERE rank <= 10)"
+
+  /** Shared oracle stanza (q171/q188): the consecutive-duel win
+    * matrix and the 3-round MM replay - exposes `pw` (ordered-pair
+    * wins), `nij`, `tot`, and `w3` (final strengths). */
+  private val btReplayCte: String = {
+
+      // the q73 NLL replay → consecutive-doc duels → source-pair win
+      // matrix → 3 unrolled MM iterations (1e9-snapped Σs, 6-dp
+      // normalized strengths each round — the q76 trajectory contract)
+      val snap = (e: String) => s"CAST(sum(CAST(floor($e * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      val iters = (1 to 3).map { k =>
+        s"d$k AS (SELECT nij.i, ${snap(s"CAST(nij AS DOUBLE) / (wa.w + wb.w)")} AS d " +
+          s"FROM nij JOIN w${k - 1} wa ON wa.i = nij.i " +
+          s"JOIN w${k - 1} wb ON wb.i = nij.j GROUP BY 1), " +
+          s"u$k AS (SELECT tot.i, CAST(tot.wi AS DOUBLE) / d$k.d AS w0 " +
+          s"FROM tot JOIN d$k ON d$k.i = tot.i), " +
+          s"z$k AS (SELECT ${snap("w0")} AS z FROM u$k), " +
+          s"w$k AS (SELECT i, round(w0 / z, 6) AS w FROM u$k CROSS JOIN z$k)"
+      }.mkString(", ")
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot0 AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot0), " +
+        "p AS (SELECT term, ctf / gt AS p FROM tot0, g), " +
+        "nllt AS (SELECT doc_id, " +
+        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
+        "FROM tf JOIN p USING (term) GROUP BY 1), " +
+        "dd AS (SELECT d.doc_id, d.source, n.nll FROM documents d JOIN nllt n USING (doc_id)), " +
+        "du AS (SELECT CASE WHEN a.nll <= b.nll THEN a.source ELSE b.source END AS win, " +
+        "CASE WHEN a.nll <= b.nll THEN b.source ELSE a.source END AS lose " +
+        "FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1 AND a.source <> b.source), " +
+        "pw AS (SELECT win AS i, lose AS j, count(*) AS wij FROM du GROUP BY 1, 2), " +
+        "nij AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM " +
+        "(SELECT i, j, wij AS n FROM pw UNION ALL SELECT j AS i, i AS j, wij AS n FROM pw) GROUP BY 1, 2), " +
+        "tot AS (SELECT nij.i, CAST(sum(nij) AS BIGINT) AS ni, " +
+        "CAST(coalesce(wt.wi, 0) AS BIGINT) AS wi FROM nij LEFT JOIN " +
+        "(SELECT i, sum(wij) AS wi FROM pw GROUP BY 1) wt USING (i) GROUP BY nij.i, wt.wi), " +
+        "w0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM tot), " +
+        iters
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5568,44 +5623,24 @@ object SparkEntry {
         " SELECT l.id AS vec_id, l.label AS pred_label, l.round, " +
         "l.label = e.label AS correct FROM lab2 l JOIN embeddings e ON e.vec_id = l.id"
     },
-    "q171_bradley_terry" -> {
-      // the q73 NLL replay → consecutive-doc duels → source-pair win
-      // matrix → 3 unrolled MM iterations (1e9-snapped Σs, 6-dp
-      // normalized strengths each round — the q76 trajectory contract)
-      val snap = (e: String) => s"CAST(sum(CAST(floor($e * 1000000000 + 0.5) " +
-        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
-      val iters = (1 to 3).map { k =>
-        s"d$k AS (SELECT nij.i, ${snap(s"CAST(nij AS DOUBLE) / (wa.w + wb.w)")} AS d " +
-          s"FROM nij JOIN w${k - 1} wa ON wa.i = nij.i " +
-          s"JOIN w${k - 1} wb ON wb.i = nij.j GROUP BY 1), " +
-          s"u$k AS (SELECT tot.i, CAST(tot.wi AS DOUBLE) / d$k.d AS w0 " +
-          s"FROM tot JOIN d$k ON d$k.i = tot.i), " +
-          s"z$k AS (SELECT ${snap("w0")} AS z FROM u$k), " +
-          s"w$k AS (SELECT i, round(w0 / z, 6) AS w FROM u$k CROSS JOIN z$k)"
-      }.mkString(", ")
-      "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
-        "tot0 AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
-        "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot0), " +
-        "p AS (SELECT term, ctf / gt AS p FROM tot0, g), " +
-        "nllt AS (SELECT doc_id, " +
-        "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
-        "FROM tf JOIN p USING (term) GROUP BY 1), " +
-        "dd AS (SELECT d.doc_id, d.source, n.nll FROM documents d JOIN nllt n USING (doc_id)), " +
-        "du AS (SELECT CASE WHEN a.nll <= b.nll THEN a.source ELSE b.source END AS win, " +
-        "CASE WHEN a.nll <= b.nll THEN b.source ELSE a.source END AS lose " +
-        "FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1 AND a.source <> b.source), " +
-        "pw AS (SELECT win AS i, lose AS j, count(*) AS wij FROM du GROUP BY 1, 2), " +
-        "nij AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM " +
-        "(SELECT i, j, wij AS n FROM pw UNION ALL SELECT j AS i, i AS j, wij AS n FROM pw) GROUP BY 1, 2), " +
-        "tot AS (SELECT nij.i, CAST(sum(nij) AS BIGINT) AS ni, " +
-        "CAST(coalesce(wt.wi, 0) AS BIGINT) AS wi FROM nij LEFT JOIN " +
-        "(SELECT i, sum(wij) AS wi FROM pw GROUP BY 1) wt USING (i) GROUP BY nij.i, wt.wi), " +
-        "w0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM tot), " +
-        iters +
+    "q188_bt_calibration" ->
+      // the shared BT replay; unordered-pair observed rates vs the
+      // w3 strengths' predicted w_a/(w_a+w_b); errors on rounded rates
+      (btReplayCte +
+        ", sym AS (SELECT least(i, j) AS a, greatest(i, j) AS b, " +
+        "CAST(sum(CASE WHEN i < j THEN wij ELSE 0 END) AS BIGINT) AS wins_a, " +
+        "CAST(sum(wij) AS BIGINT) AS n_duels FROM pw GROUP BY 1, 2), " +
+        "mm2 AS (SELECT a, b, n_duels, wins_a, " +
+        "round(CAST(wins_a AS DOUBLE) / n_duels, 6) AS observed, " +
+        "round(wa.w / (wa.w + wb.w), 6) AS predicted " +
+        "FROM sym JOIN w3 wa ON wa.i = sym.a JOIN w3 wb ON wb.i = sym.b) " +
+        "SELECT a AS src_a, b AS src_b, n_duels, wins_a, observed, predicted, " +
+        "round(abs(observed - predicted), 6) AS abs_err FROM mm2"),
+    "q171_bradley_terry" ->
+      (btReplayCte +
         " SELECT w3.i AS source, w3.w AS strength, tot.wi AS n_wins, " +
-        "tot.ni AS n_duels FROM w3 JOIN tot USING (i)"
-    },
+        "tot.ni AS n_duels FROM w3 JOIN tot USING (i)"),
+
     "q170_fim_split" ->
       // md5-derived cut points a ∈ [1, n-2], b ∈ [a+1, n-1] (all three
       // segments non-empty), md5-chosen PSM/SPM coin, md5 of the

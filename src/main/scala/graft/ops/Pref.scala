@@ -81,4 +81,40 @@ object Pref {
       .select(col("i").as("item"), col("w").as("strength"),
         col("wi").as("n_wins"), col("ni").as("n_duels"))
   }
+
+  /** Bradley–Terry FIT calibration — predicted vs observed win rate per
+    * unordered pair: the model says p(a beats b) = w_a/(w_a + w_b);
+    * the duel table says wins_a/n — their gap per pair is the
+    * goodness-of-fit a preference aggregate needs before its strengths
+    * mean anything (a pair with a large |err| is evidence of
+    * intransitivity or context-dependence the scalar model cannot
+    * express). One duel-table aggregation to the unordered-pair win
+    * matrix, two broadcast joins against the |items|-row strength
+    * vector; all error arithmetic on the 6-dp rounded rates. Returns
+    * (src_a, src_b, n_duels, wins_a, observed, predicted, abs_err). */
+  def btCalibration(duels: DataFrame, win: Column, lose: Column,
+      strengths: DataFrame, weight: Column = lit(1L)): DataFrame = {
+    val pw = duels.select(win.as("i"), lose.as("j"),
+        weight.cast("long").as("nw"))
+      .groupBy(col("i"), col("j")).agg(sum(col("nw")).as("wij"))
+    val sym = pw.select(least(col("i"), col("j")).as("a"),
+        greatest(col("i"), col("j")).as("b"),
+        when(col("i") < col("j"), col("wij")).otherwise(lit(0L)).as("wa"),
+        col("wij").as("n"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wa")).as("wins_a"), sum(col("n")).as("n_duels"))
+    sym
+      .join(broadcast(strengths.select(col("item").as("a"),
+        col("strength").as("sa"))), "a")
+      .join(broadcast(strengths.select(col("item").as("b"),
+        col("strength").as("sb"))), "b")
+      .select(col("a").as("src_a"), col("b").as("src_b"),
+        col("n_duels"), col("wins_a"),
+        round(col("wins_a").cast("double") /
+          col("n_duels").cast("double"), 6).as("observed"),
+        round(col("sa") / (col("sa") + col("sb")), 6).as("predicted"))
+      .select(col("src_a"), col("src_b"), col("n_duels"), col("wins_a"),
+        col("observed"), col("predicted"),
+        round(abs(col("observed") - col("predicted")), 6).as("abs_err"))
+  }
 }

@@ -49,4 +49,27 @@ class PrefSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+  test("btCalibration: observed rates by hand, perfect fit on the " +
+    "symmetric two-player case, abs_err identity") {
+    val even = Seq(("A", "B"), ("B", "A")).toDF("w", "l")
+    val st = Pref.bradleyTerry(even, col("w"), col("l"))
+      .select(col("item"), col("strength"))
+    val r = Pref.btCalibration(even, col("w"), col("l"), st).collect()(0)
+    // observed 1/2, predicted 0.5/(0.5+0.5) = 0.5 -> err 0
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5 &&
+      r.getDouble(6) == 0.0)
+    val skew = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+      .toDF("w", "l")
+    val st2 = Pref.bradleyTerry(skew, col("w"), col("l"))
+      .select(col("item"), col("strength"))
+    val r2 = Pref.btCalibration(skew, col("w"), col("l"), st2).collect()(0)
+    assert(r2.getDouble(4) == 0.75) // observed 3/4
+    assert(r2.getDouble(6) == BigDecimal(
+      math.abs(r2.getDouble(4) - r2.getDouble(5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // two players: the BT fixed point reproduces the observed rate
+    assert(math.abs(r2.getDouble(5) - 0.75) < 0.02, r2.toString)
+  }
 }
