@@ -2842,6 +2842,17 @@ object SparkEntry {
     Ann.contrastiveTriplets(emb, emb.filter(col("vec_id") < 10))
   }
 
+  /** Miss attribution for the served IVF·PQ index: per (query, tier),
+    * exact-top-10 misses split into probe losses (cell not probed) vs
+    * quantization losses (cell probed, ADC outranked) — the "why"
+    * behind q142's recall, on the shared artifacts. */
+  private def qMissAttribution(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.missAttribution(emb, emb.filter(col("vec_id") < 5),
+      sharedIvfPqIndex(s, dir), Seq(1, 2, 4), 10,
+      exact0 = Some(sharedExactTopK(s, dir).select(col("q_id"), col("n_id"))))
+  }
+
   /** MRR@10 of the served residual IVF·PQ index vs the exact ranking,
     * per nprobe tier — completes the retrieval-eval triptych (q142
     * recall / q157 nDCG / q178 MRR) on the shared session artifacts. */
@@ -3040,7 +3051,8 @@ object SparkEntry {
     "q185_datasheet_diff" -> (qDatasheetDiff _),
     "q186_gate_overlap" -> (qGateOverlap _),
     "q187_media_neardup" -> (qMediaNearDup _),
-    "q188_bt_calibration" -> (qBtCalibration _))
+    "q188_bt_calibration" -> (qBtCalibration _),
+    "q189_miss_attribution" -> (qMissAttribution _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -5209,6 +5221,26 @@ object SparkEntry {
         "SELECT grp AS source, n_expected, n_actual, d, " +
         "round(sqrt(CAST(n_expected AS DOUBLE) * CAST(n_actual AS DOUBLE) / " +
         "(n_expected + n_actual)) * d, 6) AS scaled_d FROM agg"),
+    "q189_miss_attribution" ->
+      // misses = exact top-10 minus the served tier list; attribution
+      // by whether the miss's cell sits in the tier's probe set
+      (ivfPqServeCte +
+        "ms AS (SELECT t.np, b.q_id, b.n_id FROM bf b CROSS JOIN tiers t " +
+        "WHERE NOT EXISTS (SELECT 1 FROM rtop r WHERE r.np = t.np " +
+        "AND r.q_id = b.q_id AND r.n_id = b.n_id)), " +
+        "mc AS (SELECT ms.np, ms.q_id, ms.n_id, a2.cell FROM ms " +
+        "JOIN a2 ON a2.vec_id = ms.n_id), " +
+        "att AS (SELECT mc.np, mc.q_id, count(*) AS n_missed, " +
+        "CAST(sum(CASE WHEN p.cell IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_quant_loss, " +
+        "CAST(sum(CASE WHEN p.cell IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_loss " +
+        "FROM mc LEFT JOIN probe p ON p.q_id = mc.q_id AND p.cell = mc.cell " +
+        "AND p.pr <= mc.np GROUP BY 1, 2) " +
+        "SELECT b.q_id, CAST(t.np AS BIGINT) AS nprobe, " +
+        "coalesce(n_missed, 0) AS n_missed, " +
+        "coalesce(n_quant_loss, 0) AS n_quant_loss, " +
+        "coalesce(n_probe_loss, 0) AS n_probe_loss " +
+        "FROM (SELECT DISTINCT q_id FROM bf) b CROSS JOIN tiers t " +
+        "LEFT JOIN att ON att.np = t.np AND att.q_id = b.q_id"),
     "q178_mrr" ->
       // the shared residual-IVFADC serving replay; first true-neighbor
       // rank per (tier, query), rr = 1/first_rank (0 when the served

@@ -394,6 +394,56 @@ object Ann {
     }.reduce(_.unionByName(_))
   }
 
+  /** Retrieval MISS ATTRIBUTION — the "why" behind the recall curve
+    * (q142 counts the misses; this names them): for every exact-top-k
+    * neighbor the served list dropped, was its CELL even probed?
+    * cell-not-probed → `probe_loss` (buy recall with nprobe);
+    * cell-probed-but-outranked → `quant_loss` (buy recall with more
+    * codebooks/residual encoding or an +R re-rank). The two counts
+    * point at DIFFERENT knobs, which is the whole value of splitting
+    * them. Per (query, tier): one serve, one anti-join against the
+    * exact baseline, one join to the code table's cell assignment,
+    * and one broadcast probe-set join — eval cost is tiers × serving
+    * cost. Queries with no misses report zeros, not gaps. */
+  def missAttribution(corpus: DataFrame, queries: DataFrame,
+      index: IvfPqIndex, nprobes: Seq[Int], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      exact0: Option[DataFrame] = None): DataFrame = {
+    require(nprobes.nonEmpty && k > 0, s"missAttribution: $nprobes, k=$k")
+    val exact = exact0.getOrElse(
+      materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
+    val qIds = exact.select(col("q_id")).distinct()
+    val cellOf = index.codes.select(col("n_id"), col("__cell").as("n_cell"))
+    nprobes.map { np =>
+      val served = ivfPqSearch(index, queries, np, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))
+      val missed = exact.join(served, Seq("q_id", "n_id"), "left_anti")
+      val probeCells = slice(array_sort(array(index.coarse.map {
+        case (cell, c) =>
+          struct(snappedD2(col("__qv"), c).as("d"), lit(cell).as("cell"))
+      }: _*)), 1, np)
+      val probed = queries
+        .select(col(idCol).as("q_id"),
+          col(vecCol).cast("array<double>").as("__qv"))
+        .select(col("q_id"), explode(probeCells).as("pc"))
+        .select(col("q_id"), col("pc.cell").as("n_cell"),
+          lit(true).as("hit"))
+      val att = missed.join(cellOf, "n_id")
+        .join(broadcast(probed), Seq("q_id", "n_cell"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_missed"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_quant_loss"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_probe_loss"))
+      qIds.join(att, Seq("q_id"), "left")
+        .select(col("q_id"), lit(np).cast("long").as("nprobe"),
+          coalesce(col("n_missed"), lit(0L)).as("n_missed"),
+          coalesce(col("n_quant_loss"), lit(0L)).as("n_quant_loss"),
+          coalesce(col("n_probe_loss"), lit(0L)).as("n_probe_loss"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Cell-quota diversified top-k (the retrieval-diversity shape — MMR's
     * scalable relational cousin): exact cosine ranking, but at most
     * `perCell` results per coarse-quantizer cell before the global

@@ -534,6 +534,32 @@ class AnnSpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("missAttribution: partition identity, recall tie-out, and " +
+    "zero probe loss when every cell is probed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4, iters = 2,
+      residual = true)
+    val got = Ann.missAttribution(emb, q, idx, Seq(1, 2, 4), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 15)
+    got.foreach { case (k0, (m, qu, pr)) =>
+      assert(m == qu + pr, s"$k0 partition broken") }
+    // recall tie-out at nprobe=2: misses = 10 − |served ∩ exact|
+    val exact = Ann.bruteForceTopK(emb, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Ann.ivfPqSearch(idx, q, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    (0L until 5L).foreach { qid =>
+      val overlap = exact.count(e => e._1 == qid && served.contains(e))
+      assert(got((qid, 2L))._1 == 10L - overlap, s"q$qid miss count")
+    }
+    // probing all 4 cells leaves only quantization losses
+    got.filter(_._1._2 == 4L).values.foreach { case (_, _, pr) =>
+      assert(pr == 0L, "probe loss with every cell probed") }
+  }
+
   test("mmrRerank: λ=1 degenerates to the relevance ranking; λ<1 " +
     "penalizes picks by their similarity to already-selected results") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
