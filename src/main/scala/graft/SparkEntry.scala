@@ -2842,6 +2842,11 @@ object SparkEntry {
     Ann.contrastiveTriplets(emb, emb.filter(col("vec_id") < 10))
   }
 
+  /** Per-cell PQ reconstruction error of the served index — the
+    * index-quality table predicting q189's quantization losses. */
+  private def qQuantError(s: SparkSession, dir: String): DataFrame =
+    Ann.pqQuantError(t(s, dir, "embeddings"), sharedIvfPqIndex(s, dir))
+
   /** Miss attribution for the served IVF·PQ index: per (query, tier),
     * exact-top-10 misses split into probe losses (cell not probed) vs
     * quantization losses (cell probed, ADC outranked) — the "why"
@@ -3052,7 +3057,8 @@ object SparkEntry {
     "q186_gate_overlap" -> (qGateOverlap _),
     "q187_media_neardup" -> (qMediaNearDup _),
     "q188_bt_calibration" -> (qBtCalibration _),
-    "q189_miss_attribution" -> (qMissAttribution _))
+    "q189_miss_attribution" -> (qMissAttribution _),
+    "q190_quant_error" -> (qQuantError _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -5221,6 +5227,17 @@ object SparkEntry {
         "SELECT grp AS source, n_expected, n_actual, d, " +
         "round(sqrt(CAST(n_expected AS DOUBLE) * CAST(n_actual AS DOUBLE) / " +
         "(n_expected + n_actual)) * d, 6) AS scaled_d FROM agg"),
+    "q190_quant_error" ->
+      // chosen-codeword distances (snapped to the ADC 1e6 grid) summed
+      // over the m subspaces, rolled up per coarse cell
+      (ivfPqServeCte +
+        "ce AS (SELECT c.vec_id, c.j, CAST(floor(s.d * 1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM code c JOIN sd2 s ON s.j = c.j AND s.vec_id = c.vec_id AND s.pos = c.pos), " +
+        "pe AS (SELECT vec_id, CAST(sum(dl) AS BIGINT) AS err FROM ce GROUP BY 1) " +
+        "SELECT a2.cell, count(*) AS n_vectors, " +
+        "round(CAST(sum(err) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS mean_err, " +
+        "round(CAST(max(err) AS DOUBLE) / 1000000, 6) AS max_err " +
+        "FROM pe JOIN a2 ON a2.vec_id = pe.vec_id GROUP BY 1"),
     "q189_miss_attribution" ->
       // misses = exact top-10 minus the served tier list; attribution
       // by whether the miss's cell sits in the tier's probe set

@@ -394,6 +394,45 @@ object Ann {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-cell PQ RECONSTRUCTION error — the index-quality table that
+    * predicts q189's quantization losses before any query runs: for
+    * every encoded vector, the squared distance between its (residual)
+    * subvectors and the codewords its codes name, summed over the m
+    * subspaces and rolled up per coarse cell. A cell with outsized
+    * mean error is where ADC rankings go wrong — re-train books, raise
+    * kCodes, or re-rank exactly there. One zero-join corpus projection
+    * (assignment, residual, and codeword lookups are all literal maps)
+    * + one code-table join + one map-side-combined rollup; |cells|
+    * output rows. Deterministic: per-subspace errors snap to the 1e6
+    * grid (the ADC table contract) so sums are exact longs; means are
+    * one division rounded to 6 dp. */
+  def pqQuantError(corpus: DataFrame, index: IvfPqIndex,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val IvfPqIndex(codes, coarse, books, m, sub, residual) = index
+    def subv(v: Column, j: Int): Column = slice(v, j * sub + 1, sub)
+    val assigned = corpus
+      .select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__cell", nearestCell(col("__v"), coarse))
+    val res = if (residual)
+      assigned.withColumn("__v", zip_with(col("__v"),
+        cellCentroid(coarse)(col("__cell")), (x, y) => x - y))
+    else assigned
+    val errJ = (0 until m).map { j =>
+      val cw = element_at(typedLit(books(j)), col(s"__c$j"))
+      floor(aggregate(zip_with(subv(col("__v"), j), cw,
+        (x, y) => { val d = x - y; d * d }), lit(0.0), (a, x) => a + x) *
+        lit(1e6) + lit(0.5)).cast("long")
+    }.reduce(_ + _)
+    res.join(codes.drop("__cell"), "n_id")
+      .select(col("__cell").as("cell"), errJ.as("err"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("err")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6)), 6).as("mean_err"),
+        round(max(col("err")).cast("double") / lit(1e6), 6).as("max_err"))
+  }
+
   /** Retrieval MISS ATTRIBUTION — the "why" behind the recall curve
     * (q142 counts the misses; this names them): for every exact-top-k
     * neighbor the served list dropped, was its CELL even probed?

@@ -560,6 +560,26 @@ class AnnSpec extends SparkSpec {
       assert(pr == 0L, "probe loss with every cell probed") }
   }
 
+  test("pqQuantError: counts cover the corpus, errors nonnegative, " +
+    "and residual encoding reconstructs strictly better overall than " +
+    "raw (the IVFADC claim, measured)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def overallMean(residual: Boolean): (Long, Double) = {
+      val idx = Ann.ivfPqIndex(emb, kCells = 4, m = 4, kCodes = 4,
+        iters = 2, residual = residual)
+      val rows = Ann.pqQuantError(emb, idx).collect()
+      val n = rows.map(_.getLong(1)).sum
+      rows.foreach { r =>
+        assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= r.getDouble(2)) }
+      (n, rows.map(r => r.getLong(1) * r.getDouble(2)).sum / n)
+    }
+    val (nRes, meanRes) = overallMean(residual = true)
+    val (nRaw, meanRaw) = overallMean(residual = false)
+    assert(nRes == emb.count() && nRaw == nRes)
+    assert(meanRes < meanRaw,
+      s"residual books must reconstruct better: $meanRes vs $meanRaw")
+  }
+
   test("mmrRerank: λ=1 degenerates to the relevance ranking; λ<1 " +
     "penalizes picks by their similarity to already-selected results") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
