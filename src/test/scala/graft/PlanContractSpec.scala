@@ -934,6 +934,23 @@ class PlanContractSpec extends SparkSpec {
       s"per-side top-1 lost partial pushdown:\n${p.take(1200)}")
   }
 
+  test("q188/q189/q190: the eval closers serve from artifacts — no " +
+    "cartesian, materialized inputs present, broadcast model joins") {
+    for (q <- Seq("q188_bt_calibration", "q189_miss_attribution",
+        "q190_quant_error")) {
+      val p = plan(q)
+      assert(count(p, "CartesianProduct") == 0, s"$q:\n${p.take(1200)}")
+      assert(count(p, "Scan ExistingRDD") >= 1, s"$q:\n${p.take(1200)}")
+    }
+    // q190's encode/assign/codeword lookups are literal maps: the only
+    // join is code-table ⋈ corpus — no window, no exchange explosion
+    val p190 = plan("q190_quant_error")
+    assert(count(p190, "Window") == 0, p190.take(1200))
+    // q188's strength vector joins broadcast (items are dim-sized)
+    val p188 = plan("q188_bt_calibration")
+    assert(count(p188, "BroadcastHashJoin") >= 2, p188.take(1200))
+  }
+
   test("q172: label propagation round = one dst-keyed hash join + one " +
     "frontier anti-join, label table as materialized artifact, no " +
     "cartesian (unmaterialized round plan)") {
