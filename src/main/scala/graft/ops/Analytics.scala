@@ -176,7 +176,9 @@ object Analytics {
     * shape — the grid is bounded by the score's rounding, not |rows|);
     * global min/max, binning, the scaffold, and the terms all derive
     * from it, so the corpora never re-enter the plan (the q175
-    * contract asserts zero parquet scans). Returns
+    * contract asserts zero parquet scans). A group present in only one
+    * half gets psi = NULL (undefined — same convention as [[ksDrift]];
+    * smoothing must not silently score it against uniform). Returns
     * (grp, n_expected, n_actual, psi). */
   def psiDrift(expected: DataFrame, actual: DataFrame, grp: Column,
       x: Column, bins: Int = 10,
@@ -223,8 +225,12 @@ object Analytics {
       .select(col("grp"), col("te"), col("ta"),
         ((pe - pa) * log(pe / pa)).as("term"))
       .groupBy(col("grp"))
+      // the ksDrift guard, mirrored: a group present in only ONE half
+      // has no second distribution — smoothing would silently score it
+      // against implicit-uniform, so PSI is undefined → NULL
       .agg(max(col("te")).as("n_expected"), max(col("ta")).as("n_actual"),
-        round(Snap.snappedSum(col("term"), 1e9), 6).as("psi"))
+        when(max(col("te")) > 0L && max(col("ta")) > 0L,
+          round(Snap.snappedSum(col("term"), 1e9), 6)).as("psi"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic per group — the

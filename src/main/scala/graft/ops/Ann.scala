@@ -607,17 +607,6 @@ object Ann {
     }
   }
 
-  /** Random-hyperplane LSH ANN (SimHash for vectors): bucket = the
-    * `planes`-bit sign pattern of the vector's projections onto
-    * hash-derived ±1 hyperplanes; each query searches ONLY its own
-    * bucket, exact cosine re-ranks within it.
-    *
-    * Scale design: the signature is a per-row projection (codegen'd
-    * fold over the array — no shuffle, no model state), so bucketing a
-    * 100 TB corpus is a single narrow pass; the candidate join is an
-    * equi-join on the bucket id. `planes` is the recall/cost knob:
-    * each bit halves the expected bucket population. Unlike [[ivfTopK]]
-    * there is no training/centroid pass at all. */
   /** The hyperplane sign signature as a standalone column — the
     * bucketing half of [[lshTopK]], exposed so graph builders (q172's
     * label-propagation kNN edges) can bucket a corpus without running
@@ -629,6 +618,17 @@ object Ann {
       when(Similarity.dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.foldLeft(lit(0L))(_ + _)
 
+  /** Random-hyperplane LSH ANN (SimHash for vectors): bucket = the
+    * `planes`-bit sign pattern of the vector's projections onto
+    * hash-derived ±1 hyperplanes; each query searches ONLY its own
+    * bucket, exact cosine re-ranks within it.
+    *
+    * Scale design: the signature is a per-row projection (codegen'd
+    * fold over the array — no shuffle, no model state), so bucketing a
+    * 100 TB corpus is a single narrow pass; the candidate join is an
+    * equi-join on the bucket id. `planes` is the recall/cost knob:
+    * each bit halves the expected bucket population. Unlike [[ivfTopK]]
+    * there is no training/centroid pass at all. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
@@ -1047,6 +1047,95 @@ object Ann {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("__s").cast("double") / lit(1e6), 4).as("adc"))
   }
+
+  /** Balanced-energy coordinate permutation — a cheap OPQ variant
+    * (Ge et al., "Optimized Product Quantization for Approximate
+    * Nearest Neighbor Search", CVPR 2013: their eigenvalue-allocation
+    * initialization, approximated with per-dimension residual ENERGY
+    * instead of PCA eigenvalues, and restricted to a PERMUTATION
+    * instead of a rotation so encode/search stay zero-join literal
+    * projections): rank dimensions by residual second moment (Σx²,
+    * 1e9-snapped — exact and order-free), then deal them to the m
+    * subspaces in boustrophedon (snake) order, so every subspace
+    * receives an equal share of high- and low-energy coordinates. PQ
+    * quantization error concentrates in whichever subspace carries
+    * outsized energy; balancing it is the recall lever at fixed
+    * m/kCodes (q191 measures the win against the unpermuted residual
+    * index on identical tiers).
+    *
+    * Scale shape: learning is ONE corpus pass (residualization is a
+    * literal-map projection, the energy aggregation map-side-combines
+    * to dim rows of driver state); applying it is a column reorder
+    * fused into the encode projection — zero joins, zero shuffles.
+    * Deterministic: snapped energies, ties to the lower dimension
+    * index — the DuckDB oracle replays the exact permutation.
+    * Returns perm with perm(p) = 0-based source index of permuted
+    * position p, grouped subspace-major. */
+  def opqPermutation(corpus: DataFrame, coarse: Seq[(Long, Seq[Double])],
+      m: Int, idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Int] = {
+    require(m > 0, s"opqPermutation: m=$m")
+    import graft.expr.Snap
+    val res = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__cell", nearestCell(col("__v"), coarse))
+      .select(zip_with(col("__v"), cellCentroid(coarse)(col("__cell")),
+        (x, y) => x - y).as("__r"))
+    val en = res.select(posexplode(col("__r")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(Snap.snappedSum(col("x") * col("x"), 1e9).as("en"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val ranked = en.sortBy { case (pos, e) => (-e, pos) }.map(_._1)
+    val bySub = Array.fill(m)(Vector.empty[Int])
+    for ((pos, r) <- ranked.zipWithIndex) {
+      val w = r % m
+      val j = if ((r / m) % 2 == 0) w else m - 1 - w
+      bySub(j) = bySub(j) :+ pos
+    }
+    bySub.toSeq.flatten
+  }
+
+  /** Reorder an array column by `perm` (0-based source indices) — the
+    * zero-join application of [[opqPermutation]]. */
+  def permuteVec(perm: Seq[Int], v: Column): Column =
+    array(perm.map(i => element_at(v, i + 1)): _*)
+
+  /** Residual IVF·PQ (IVFADC) trained in the PERMUTED coordinate
+    * space — [[ivfPqIndex]] composed with [[opqPermutation]]: a global
+    * coordinate permutation leaves every L2 distance, the coarse
+    * geometry, and the residuals semantically unchanged; the ONLY
+    * thing it moves is which coordinates land in which PQ subspace —
+    * exactly the OPQ degree of freedom. The coarse quantizer is NOT
+    * retrained: its centroids are permuted alongside the corpus
+    * (`coarse0` supplies the shared raw-space trajectory). Search with
+    * [[opqSearch]], which applies the same permutation to each query
+    * batch. Returns (perm, index); all of [[ivfPqSearch]]'s serving
+    * machinery (probe, per-cell residual ADC tables, append under
+    * frozen books) works on the returned index unchanged. */
+  def opqIvfPqIndex(corpus: DataFrame, kCells: Int, m: Int, kCodes: Int,
+      iters: Int, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      coarse0: Option[Seq[(Long, Seq[Double])]] = None)
+      : (Seq[Int], IvfPqIndex) = {
+    val coarse = coarse0.getOrElse(
+      kmeansCentroids(corpus, kCells, iters, idCol, vecCol))
+    val perm = opqPermutation(corpus, coarse, m, idCol, vecCol)
+    val pCorpus = corpus.select(col(idCol),
+      permuteVec(perm, col(vecCol).cast("array<double>")).as(vecCol))
+    val pCoarse = coarse.map { case (id, c) => (id, perm.map(c)) }
+    (perm, ivfPqIndex(pCorpus, kCells, m, kCodes, iters, dim, idCol,
+      vecCol, residual = true, materialize, Some(pCoarse)))
+  }
+
+  /** Serve an [[opqIvfPqIndex]]: permute the query batch into the
+    * index's coordinate space, then the standard IVFADC probe+ADC
+    * ([[ivfPqSearch]]) — same plan shape, same determinism contract. */
+  def opqSearch(index: IvfPqIndex, perm: Seq[Int], queries: DataFrame,
+      nprobe: Int, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfPqSearch(index, queries.select(col(idCol),
+      permuteVec(perm, col(vecCol).cast("array<double>")).as(vecCol)),
+      nprobe, k, idCol, vecCol)
 
   /** End-to-end trained IVF: Lloyd codebook → joinless literal-argmin
     * cell assignment over the corpus → probed exact search

@@ -22,7 +22,10 @@ object Pref {
     *
     * where W_i is i's total wins and n_ij the number of i-vs-j duels.
     * `duels` carries one row per duel (`win`, `lose`) with optional
-    * multiplicity `weight`. Returns (item, strength, n_wins, n_duels).
+    * multiplicity `weight` — FRACTIONAL weights are honored (the
+    * common draw convention credits each side a 0.5-weight win), so
+    * counts flow as doubles end-to-end. Returns
+    * (item, strength, n_wins, n_duels) with double counts.
     *
     * Deterministic: both Σs use the [[graft.expr.Snap]] 1e9 snapped sum
     * (order-independent) and each iteration's normalized strengths snap
@@ -45,20 +48,25 @@ object Pref {
       : DataFrame = {
     require(iters >= 1, s"bradleyTerry: iters=$iters")
     import graft.expr.Snap
-    // one pass over the duel table → ordered-pair win counts
+    // one pass over the duel table → ordered-pair win counts; weights
+    // stay double (snapped Σ, order-free) so fractional multiplicities
+    // — e.g. 0.5-weight draws — are not truncated away
     val pw = materialize(duels
-      .select(win.as("i"), lose.as("j"), weight.cast("long").as("nw"))
-      .groupBy(col("i"), col("j")).agg(sum(col("nw")).as("wij")))
+      .select(win.as("i"), lose.as("j"), weight.cast("double").as("nw"))
+      .groupBy(col("i"), col("j"))
+      .agg(Snap.snappedSum(col("nw"), 1e9).as("wij")))
     // symmetric duel counts n_ij and per-item totals
     val nij = pw.select(col("i"), col("j"), col("wij").as("n"))
       .unionByName(pw.select(col("j").as("i"), col("i").as("j"),
         col("wij").as("n")))
-      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("nij"))
-    val wins = pw.groupBy(col("i")).agg(sum(col("wij")).as("wi"))
+      .groupBy(col("i"), col("j"))
+      .agg(Snap.snappedSum(col("n"), 1e9).as("nij"))
+    val wins = pw.groupBy(col("i"))
+      .agg(Snap.snappedSum(col("wij"), 1e9).as("wi"))
     val totals = materialize(nij.groupBy(col("i"))
-      .agg(sum(col("nij")).as("ni"))
+      .agg(Snap.snappedSum(col("nij"), 1e9).as("ni"))
       .join(wins, Seq("i"), "left")
-      .select(col("i"), col("ni"), coalesce(col("wi"), lit(0L)).as("wi")))
+      .select(col("i"), col("ni"), coalesce(col("wi"), lit(0.0)).as("wi")))
     var w = totals.select(col("i"), lit(1.0).as("w"))
     for (_ <- 1 to iters) {
       val wb = broadcast(w)
@@ -94,15 +102,18 @@ object Pref {
     * (src_a, src_b, n_duels, wins_a, observed, predicted, abs_err). */
   def btCalibration(duels: DataFrame, win: Column, lose: Column,
       strengths: DataFrame, weight: Column = lit(1L)): DataFrame = {
+    import graft.expr.Snap
     val pw = duels.select(win.as("i"), lose.as("j"),
-        weight.cast("long").as("nw"))
-      .groupBy(col("i"), col("j")).agg(sum(col("nw")).as("wij"))
+        weight.cast("double").as("nw"))
+      .groupBy(col("i"), col("j"))
+      .agg(Snap.snappedSum(col("nw"), 1e9).as("wij"))
     val sym = pw.select(least(col("i"), col("j")).as("a"),
         greatest(col("i"), col("j")).as("b"),
-        when(col("i") < col("j"), col("wij")).otherwise(lit(0L)).as("wa"),
+        when(col("i") < col("j"), col("wij")).otherwise(lit(0.0)).as("wa"),
         col("wij").as("n"))
       .groupBy(col("a"), col("b"))
-      .agg(sum(col("wa")).as("wins_a"), sum(col("n")).as("n_duels"))
+      .agg(Snap.snappedSum(col("wa"), 1e9).as("wins_a"),
+        Snap.snappedSum(col("n"), 1e9).as("n_duels"))
     sym
       .join(broadcast(strengths.select(col("item").as("a"),
         col("strength").as("sa"))), "a")

@@ -366,8 +366,12 @@ object Quality {
           .as("po"),
         round(col("rc").cast("double") /
           (col("t").cast("double") * col("t").cast("double")), 6).as("pe"))
+      // degenerate margins (all mass in one (label,label) cell) give
+      // pe = 1.0 and a 0/0 — kappa is undefined there → explicit NULL
+      // (the ksDrift NULL-for-undefined convention), not NaN
       .select(col("n_docs"), col("po"), col("pe"),
-        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
           .as("kappa"))
   }
 

@@ -244,8 +244,8 @@ class QualitySpec extends SparkSpec {
   }
 
   test("psiDrift: identical halves give psi = 0 exactly; a shifted " +
-    "group crosses the 0.25 alarm; a one-sided group is charged via " +
-    "the scaffold; partition-invariant") {
+    "group crosses the 0.25 alarm; a one-sided group is NULL (the " +
+    "ksDrift undefined convention); partition-invariant") {
     import graft.ops.Analytics
     val base = (1 to 50).map(i => ("s1", i.toDouble)) ++
       (1 to 50).map(i => ("s2", i.toDouble))
@@ -259,15 +259,20 @@ class QualitySpec extends SparkSpec {
     assert(same.values.forall(_ == 0.0), s"identical halves drifted: $same")
     val r = Analytics.psiDrift(e, a, col("g"), col("x"))
       .collect().map(x => x.getString(0) ->
-        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
-    assert(r("s1")._3 < r("s2")._3, "shifted group must out-drift stable")
-    assert(r("s2")._3 > 0.25, s"40-point shift under the alarm: ${r("s2")}")
-    // s3 exists only in the actual half: expected count 0, psi > 0
-    assert(r("s3")._1 == 0L && r("s3")._2 == 20L && r("s3")._3 > 0.0)
+        ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) None else Some(x.getDouble(3))))).toMap
+    assert(r("s1")._3.get < r("s2")._3.get,
+      "shifted group must out-drift stable")
+    assert(r("s2")._3.get > 0.25, s"40-point shift under the alarm: ${r("s2")}")
+    // s3 exists ONLY in the actual half: no expected distribution, so
+    // PSI is undefined -> NULL (pre-guard, smoothing scored it against
+    // an implicit uniform and reported a finite, misleading number)
+    assert(r("s3")._1 == 0L && r("s3")._2 == 20L && r("s3")._3.isEmpty)
     val r7 = Analytics.psiDrift(e.repartition(7), a.repartition(3),
         col("g"), col("x"))
       .collect().map(x => x.getString(0) ->
-        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+        ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) None else Some(x.getDouble(3))))).toMap
     assert(r7 == r)
   }
 
