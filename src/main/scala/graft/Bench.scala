@@ -72,32 +72,51 @@ object Bench {
       }
       name -> ts
     }
+    // per query: (reported min, p50 of ALL clean samples both passes).
+    // The min is the stall-resistant headline; the p50 makes noise vs
+    // regression readable round-over-round without a re-run.
     val results = bench.map { case (name, fn) =>
       val ts1 = pass1(name)
-      if (ts1.exists(_ < 0)) name -> -1.0
+      if (ts1.exists(_ < 0)) name -> ((-1.0, -1.0))
       else {
         val m1 = ts1.min
         val t2 = timeOnce(fn)
-        val best =
-          if (t2 < 0) m1
+        val extra =
+          if (t2 < 0) Vector.empty[Double]
           else if (t2 < m1 / 1.25) { // pass 1 was stall-poisoned
             val t3 = timeOnce(fn)
-            if (t3 < 0) math.min(m1, t2) else math.min(m1, math.min(t2, t3))
-          } else math.min(m1, t2)
-        name -> best
+            if (t3 < 0) Vector(t2) else Vector(t2, t3)
+          } else Vector(t2)
+        val all = (ts1 ++ extra).sorted
+        val p50 =
+          if (all.size % 2 == 1) all(all.size / 2)
+          else (all(all.size / 2 - 1) + all(all.size / 2)) / 2.0
+        name -> ((all.min, p50))
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double) =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val p50s = results.map { case (k, (_, p)) => s"\"" + k + "\":" + r3(p) }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"sf":"$sfDir"}"""
+    println(full)
+    // The driver artifact tail-truncates long stdout (BENCH_r06 lost its
+    // head 38 timings) — always write the COMPLETE line to a file too.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     // The harness captures only the LAST ~2000 chars of output; the full
     // per-query line above outgrows that with 60+ queries and its head
     // (the parseable prefix) gets truncated. Emit a compact duplicate
     // LAST — short keys (q01…), 3-dp values — that always fits whole.
-    val compact = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + BigDecimal(v)
-        .setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+    val compact = results.map { case (k, (v, _)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()

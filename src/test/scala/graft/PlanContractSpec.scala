@@ -245,13 +245,14 @@ class PlanContractSpec extends SparkSpec {
       p.take(1200))
   }
 
-  test("q109: the register grid broadcasts; rolling merge reads the CACHED registers") {
+  test("q109: the register grid broadcasts; rolling merge reads the " +
+    "MATERIALIZED registers") {
     val p = plan("q109_rolling_distinct")
-    // both consumers (day domain + rolling merge) read the persisted
-    // register table — the raw events feed the register build only
-    // (InMemoryRelation prints its child scan per consumer, so the
-    // witness is the InMemoryTableScan, not a text count of the file)
-    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    // both consumers (day domain + rolling merge) read the
+    // localCheckpoint'd register table — the raw events feed the
+    // register build only, so the served plan carries ZERO parquet scans
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1500))
+    assert(count(p, "FileScan parquet") == 0, p.take(1500))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "bucket grid must broadcast")
   }
@@ -969,5 +970,30 @@ class PlanContractSpec extends SparkSpec {
     assert(count(served, "CartesianProduct") == 0, served.take(1200))
     assert(count(served, "Scan ExistingRDD") >= 1, served.take(1200))
     assert(count(served, "FileScan parquet") <= 1, served.take(1200))
+  }
+
+  test("q191: OPQ recall — 3 tiered searches over the materialized " +
+    "permuted-space code table, each a cell-keyed broadcast hash join; " +
+    "no nested loop or cartesian; the training DAG never re-runs in " +
+    "the served plan") {
+    val p = plan("q191_opq_recall")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(1500))
+    // codes + exact baseline are session artifacts (Scan ExistingRDD);
+    // the only parquet reads are the 3 query-batch permute projections
+    assert(count(p, "Scan ExistingRDD") >= 4, p.take(1500))
+  }
+
+  test("q192: gate cost/benefit — the benefit side reads the " +
+    "materialized flag artifact (one pass, no joins back to the " +
+    "corpus); the cost side is count-only aggregations; no cartesian " +
+    "beyond the 4-row broadcast") {
+    val p = plan("q192_gate_cost")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    // flags + tf + 5-gram artifacts are materialized; parquet scans are
+    // only the two un-memoized cost counts (docs, 3-gram shingles)
+    assert(count(p, "Scan ExistingRDD") >= 3, p.take(1200))
   }
 }
