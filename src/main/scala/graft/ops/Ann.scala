@@ -545,17 +545,24 @@ object Ann {
     * agnostic to how the shortlist was produced); the pairwise sim
     * table is |Q|·shortlist² rows, materialized once; each greedy step
     * is one anti-join + one max-agg + one argmax-agg on (q_id-keyed)
-    * pair rows. Output: (q_id, pos, n_id, rel, maxsim, mmr). */
+    * pair rows. `short0` supplies an already-materialized shortlist
+    * (q_id, n_id, cos) — e.g. the session exact-ranking artifact —
+    * skipping the corpus pass entirely.
+    * Output: (q_id, pos, n_id, rel, maxsim, mmr). */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlist: Int,
       k: Int, lambda: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      short0: Option[DataFrame] = None)
       : DataFrame = {
     require(shortlist >= k && k >= 1, s"mmrRerank: shortlist=$shortlist k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"mmrRerank: lambda=$lambda")
-    val short = materialize(
-      bruteForceTopK(corpus, queries, shortlist, idCol, vecCol)
-        .select(col("q_id"), col("n_id"), col("cos").as("rel")))
+    val short = short0
+      .map(df => materialize(df.select(col("q_id"), col("n_id"),
+        col("cos").as("rel"))))
+      .getOrElse(materialize(
+        bruteForceTopK(corpus, queries, shortlist, idCol, vecCol)
+          .select(col("q_id"), col("n_id"), col("cos").as("rel"))))
     val vecs = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("v"))
     val sv = materialize(short.join(vecs, Seq("n_id"))

@@ -938,7 +938,7 @@ class PlanContractSpec extends SparkSpec {
   test("q188/q189/q190: the eval closers serve from artifacts — no " +
     "cartesian, materialized inputs present, broadcast model joins") {
     for (q <- Seq("q188_bt_calibration", "q189_miss_attribution",
-        "q190_quant_error")) {
+        "q190_quant_error", "q193_opq_quant_error")) {
       val p = plan(q)
       assert(count(p, "CartesianProduct") == 0, s"$q:\n${p.take(1200)}")
       assert(count(p, "Scan ExistingRDD") >= 1, s"$q:\n${p.take(1200)}")
