@@ -1158,6 +1158,17 @@ object Ann {
       permuteVec(perm, col(vecCol).cast("array<double>")).as(vecCol)),
       nprobe, k, idCol, vecCol)
 
+  /** Grow an [[opqIvfPqIndex]] under frozen books AND frozen
+    * permutation: permute the batch into the index's coordinate space,
+    * then [[ivfPqAppend]]. (Appending an UN-permuted batch to a
+    * permuted index would silently encode garbage — this is the only
+    * correct append for an OPQ index, spec-pinned ≡ a full re-encode.) */
+  def opqAppend(index: IvfPqIndex, perm: Seq[Int], newBatch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex =
+    ivfPqAppend(index, newBatch.select(col(idCol),
+      permuteVec(perm, col(vecCol).cast("array<double>")).as(vecCol)),
+      idCol, vecCol)
+
   /** End-to-end trained IVF: Lloyd codebook → joinless literal-argmin
     * cell assignment over the corpus → probed exact search
     * ([[ivfTopK]]). The full production ANN path in one call — train,

@@ -253,6 +253,27 @@ class AnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("opqAppend: frozen-book + frozen-permutation append ≡ one full " +
+    "encode of the union; served rankings agree") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val (perm, idx) = Ann.opqIvfPqIndex(base, kCells = 4, m = 4,
+      kCodes = 4, iters = 2)
+    val appended = Ann.opqAppend(idx, perm, batch)
+    val rebuilt = Ann.opqAppend(idx.copy(codes = idx.codes.limit(0)),
+      perm, emb)
+    assert(appended.codes.collect().map(_.toString).sorted.toSeq ==
+      rebuilt.codes.collect().map(_.toString).sorted.toSeq,
+      "appended codes differ from full frozen-book encode")
+    val sa = Ann.opqSearch(appended, perm, q, nprobe = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val sr = Ann.opqSearch(rebuilt, perm, q, nprobe = 2, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sa == sr, "served rankings differ after opq append")
+  }
+
   test("ivfPqAppend: frozen-book append ≡ encoding the unioned corpus; " +
     "search over the appended index ≡ search over a full frozen-book " +
     "encode (both residual and raw)") {
