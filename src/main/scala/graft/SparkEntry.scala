@@ -2160,6 +2160,24 @@ object SparkEntry {
       .withColumnRenamed("grp", "source")
   }
 
+  /** Encoding-corruption gate (q194) — the mojibake/control-char
+    * health rule of CCNet-family curation, next to q141's JSON-ingest
+    * accounting: synthesize deterministic corruption (every 7th doc
+    * gains a U+FFFD replacement-char fragment, every 11th a BEL
+    * control byte — identical string construction in the oracle, the
+    * q141/q24 synthesis pattern), then account per source: flagged-doc
+    * rate and per-kchar densities of replacement and control
+    * characters ([[TextStats.mojibakeStats]] — one projection, one
+    * map-side-combined rollup). */
+  private def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val aug = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" x\uFFFDy")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("\u0007")).otherwise(lit("")))
+    TextStats.mojibakeStats(d, aug, col("source"))
+  }
+
   /** Malformed-record accounting for a NULL-on-fail JSON ingest (the
     * reference's P8 semantics lifted to corpus scale): synthesize one
     * JSON line per document (identical string construction in the
@@ -3202,7 +3220,8 @@ object SparkEntry {
     "q190_quant_error" -> (qQuantError _),
     "q191_opq_recall" -> (qOpqRecall _),
     "q192_gate_cost" -> (qGateCost _),
-    "q193_opq_quant_error" -> (qOpqQuantError _))
+    "q193_opq_quant_error" -> (qOpqQuantError _),
+    "q194_mojibake_gate" -> (qMojibake _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6177,6 +6196,23 @@ object SparkEntry {
         "round(CAST(sum(err) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS mean_err, " +
         "round(CAST(max(err) AS DOUBLE) / 1000000, 6) AS max_err " +
         "FROM ope JOIN oza ON oza.vec_id = ope.vec_id GROUP BY 1, 2"),
+    "q194_mojibake_gate" ->
+      // identical corruption synthesis (chr(65533) fragment on every
+      // 7th doc, chr(7) on every 11th), exact length-delta counts
+      // under global char-class deletion, one rollup per source
+      ("WITH a AS (SELECT doc_id, source, text || " +
+        "CASE WHEN doc_id % 7 = 0 THEN ' x' || chr(65533) || 'y' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS t FROM documents), " +
+        "m AS (SELECT source, length(t) AS nc, " +
+        "length(t) - length(regexp_replace(t, chr(65533), '', 'g')) AS nr, " +
+        "length(t) - length(regexp_replace(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS nx FROM a) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN nr > 0 OR nx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "round(CAST(sum(CASE WHEN nr > 0 OR nx > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS flag_rate, " +
+        "CAST(sum(nr) AS BIGINT) AS n_repl, CAST(sum(nx) AS BIGINT) AS n_ctrl, " +
+        "round(CAST(sum(nr) AS DOUBLE) * 1000 / CAST(sum(nc) AS DOUBLE), 4) AS repl_per_kchar, " +
+        "round(CAST(sum(nx) AS DOUBLE) * 1000 / CAST(sum(nc) AS DOUBLE), 4) AS ctrl_per_kchar " +
+        "FROM m GROUP BY 1"),
     "q192_gate_cost" ->
       // benefit from the shared flag chain (the q186 diagonal), cost =
       // deterministic input-row counts of each gate's machinery: docs

@@ -305,6 +305,43 @@ object TextStats {
     * Scale shape: a PURE PROJECTION — every statistic is a higher-order
     * array function over the token split, zero exchanges at any corpus
     * size. */
+  /** Encoding-corruption accounting (the mojibake gate — CCNet-family
+    * encoding-health rule next to [[gopherRules]]'s content rules):
+    * per group, how much of the text carries U+FFFD replacement
+    * characters (the universal transcoding-failure tombstone) or
+    * C0 control characters other than tab/newline/CR (binary bleed,
+    * broken escapes). Counts are length deltas under global
+    * char-class deletion — exact integers, engine-portable; rates
+    * round once at the end (flag rate 6 dp, per-kchar densities 4 dp).
+    *
+    * Scale shape: one pure projection (two regexp deletions + three
+    * lengths per row) into one map-side-combined group rollup — the
+    * corpus is never shuffled, output is |groups| rows. */
+  def mojibakeStats(docs: org.apache.spark.sql.DataFrame, text: Column,
+      grp: Column): org.apache.spark.sql.DataFrame = {
+    val nRepl = (length(text) -
+      length(regexp_replace(text, "\uFFFD", ""))).cast("long")
+    val nCtrl = (length(text) - length(regexp_replace(text,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    docs
+      .select(grp.as("grp"), length(text).cast("long").as("nc"),
+        nRepl.as("nr"), nCtrl.as("nx"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nr") > 0 || col("nx") > 0, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("nc")).as("ncs"), sum(col("nr")).as("n_repl"),
+        sum(col("nx")).as("n_ctrl"))
+      .select(col("grp").as("source"), col("n_docs"), col("n_flagged"),
+        round(col("n_flagged").cast("double") /
+          col("n_docs").cast("double"), 6).as("flag_rate"),
+        col("n_repl"), col("n_ctrl"),
+        round(col("n_repl").cast("double") * lit(1000.0) /
+          col("ncs").cast("double"), 4).as("repl_per_kchar"),
+        round(col("n_ctrl").cast("double") * lit(1000.0) /
+          col("ncs").cast("double"), 4).as("ctrl_per_kchar"))
+  }
+
   def gopherRules(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, minTokens: Int = 25, maxTokens: Int = 80,
       minAvgLen: Int = 4, maxAvgLen: Int = 5, maxTokenLen: Int = 7)

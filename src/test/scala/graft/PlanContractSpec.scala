@@ -985,6 +985,19 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 4, p.take(1500))
   }
 
+  test("q194: mojibake gate — pure projection into one map-side-" +
+    "combined rollup: no joins, a single hash exchange, pruned scan") {
+    val p = plan("q194_mojibake_gate")
+    assert(!p.contains("Join"), p.take(1000))
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "rollup lost its map-side combine")
+    assert(p.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,source:string>") ||
+      p.contains("ReadSchema: struct<doc_id:bigint,source:string,text:string>"),
+      s"column pruning lost:\n${p.take(1000)}")
+  }
+
   test("q192: gate cost/benefit — the benefit side reads the " +
     "materialized flag artifact (one pass, no joins back to the " +
     "corpus); the cost side is count-only aggregations; no cartesian " +

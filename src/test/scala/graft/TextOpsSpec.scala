@@ -752,4 +752,28 @@ class TextOpsSpec extends SparkSpec {
     assert(r(("A", "C")) == ((2L, 1L, 0L, 0.0)))
     assert(r(("B", "C")) == ((2L, 1L, 0L, 0.0)))
   }
+
+  test("mojibakeStats: hand counts for replacement/control chars; " +
+    "tab/newline/CR are NOT flagged; clean text is all-zero; " +
+    "partition-invariant") {
+    import graft.expr.TextStats
+    // s1 doc 1: 2 replacement chars + 1 BEL in 10 chars; doc 2 clean;
+    // s2: tab+newline+CR only -> legitimately clean
+    val df = Seq(
+      ("s1", "ab\uFFFDc\uFFFDdef\u0007g"),
+      ("s1", "clean text"),
+      ("s2", "a\tb\nc\rd")).toDF("src", "txt")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextStats.mojibakeStats(d, col("txt"), col("src"))
+        .collect().map(x => x.getString(0) ->
+          ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4),
+            x.getLong(5), x.getDouble(6), x.getDouble(7)))).toMap
+    val r = run(df)
+    // repl density: 2 per (10 + 10) chars = 100/kchar; ctrl: 50/kchar
+    assert(r("s1") == ((2L, 1L, 0.5, 2L, 1L, 100.0, 50.0)),
+      r("s1").toString)
+    assert(r("s2") == ((1L, 0L, 0.0, 0L, 0L, 0.0, 0.0)),
+      r("s2").toString)
+    assert(run(df.repartition(7)) == r)
+  }
 }
