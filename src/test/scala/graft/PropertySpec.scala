@@ -374,4 +374,36 @@ class PropertySpec extends SparkSpec {
       assert(p2 == r && r2 == p && f2 == f, s"pair $id")
     }
   }
+
+  test("bradleyTerry: global duel-weight scaling leaves strengths " +
+    "invariant (the BT scale-freeness), generated duel tables") {
+    // w_i <- W_i / SUM n_ij/(w_i+w_j): scaling every weight by c scales
+    // numerator and denominator alike, and the per-round normalization
+    // cancels the rest. Exact up to the 1e9 snap grid interacting with
+    // the scale (floor(2x+0.5) != 2*floor(x+0.5) at grid edges), so the
+    // pin is a 1e-5 tolerance on the 6-dp strengths.
+    val players = Seq("A", "B", "C", "D")
+    val duelGen = Gen.listOfN(60, Gen.zip(
+      Gen.oneOf(players), Gen.oneOf(players)))
+      .map(_.filter { case (w, l) => w != l })
+      .retryUntil(_.nonEmpty)
+    val duels = duelGen.sample.get.toDF("w", "l")
+    def strengths(weight: org.apache.spark.sql.Column) =
+      graft.ops.Pref.bradleyTerry(duels, col("w"), col("l"), weight)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val base = strengths(lit(1.0))
+    for (c <- Seq(2.0, 0.5, 10.0)) {
+      val scaled = strengths(lit(c))
+      base.foreach { case (item, w) =>
+        assert(math.abs(scaled(item) - w) <= 1e-5,
+          s"c=$c, $item: $w vs ${scaled(item)}") }
+      // counts DO scale: n_duels multiplies by exactly c
+      val nd = graft.ops.Pref.bradleyTerry(duels, col("w"), col("l"),
+          lit(c)).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val nd1 = graft.ops.Pref.bradleyTerry(duels, col("w"), col("l"),
+          lit(1.0)).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      nd1.foreach { case (item, n) =>
+        assert(math.abs(nd(item) - c * n) <= 1e-6, s"c=$c, $item") }
+    }
+  }
 }
