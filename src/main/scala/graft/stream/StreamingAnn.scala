@@ -67,6 +67,31 @@ object StreamingAnn {
       }
       .start()
 
+  /** [[startIvfPqIndexSink]] for an OPQ index ([[Ann.opqIvfPqIndex]]):
+    * each micro-batch permutes into the index's coordinate space
+    * before the frozen-book encode ([[Ann.opqAppend]]). Appending
+    * UN-permuted vectors to a permuted-space index would silently
+    * encode garbage, so the permutation is part of the sink — not a
+    * caller obligation. Same identity as the plain sink: the union of
+    * emitted batches ≡ one batch [[Ann.opqAppend]] of the unioned
+    * vectors (StreamingAnnSpec), restarts replay idempotently, empty
+    * batches skip (the S7 guard). */
+  def startOpqIndexSink(index: Ann.IvfPqIndex, perm: Seq[Int],
+      vecStream: DataFrame, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : StreamingQuery =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(Ann.opqAppend(index.copy(codes = index.codes.limit(0)),
+            perm, batch, idCol, vecCol).codes, epochId)
+        }
+      }
+      .start()
+
   /** Streaming ingest-time decontamination — [[Ann.semanticDecontam]]
     * on an arriving corpus-vector stream: each micro-batch is scored
     * against the static (broadcast, eval-set-sized) benchmark and its

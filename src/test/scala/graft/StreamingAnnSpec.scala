@@ -84,6 +84,40 @@ class StreamingAnnSpec extends SparkSpec {
     assert(batches.synchronized(batches.size) == 2)
   }
 
+  test("startOpqIndexSink: streamed permuted-space encoding — union of " +
+    "emitted code batches ≡ batch opqAppend of the same vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 3 === 0)
+    val (perm, index) = Ann.opqIvfPqIndex(base, kCells = 4, m = 4,
+      kCodes = 4, iters = 2)
+
+    val vecRows = arriving.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .as[QVec].collect().sortBy(_.vec_id)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[QVec]
+    val batches = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = StreamingAnn.startOpqIndexSink(index, perm, ms.toDF(),
+      Files.createTempDirectory("ann-opq-ckpt").toString,
+      (df, epoch) => batches.synchronized {
+        batches(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(vecRows.take(vecRows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(vecRows.drop(vecRows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = batches.synchronized(batches.values.flatten.toSeq.sorted)
+    val expected = Ann.opqAppend(
+        index.copy(codes = index.codes.limit(0)), perm, arriving)
+      .codes.collect().map(_.toString).sorted.toSeq
+    assert(got == expected)
+    assert(batches.synchronized(batches.size) == 2)
+  }
+
   test("startDecontamSink: streamed admission-time decontam — union of " +
     "per-batch flags ≡ batch semanticDecontam of the unioned vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
