@@ -2735,6 +2735,17 @@ object SparkEntry {
       d, col("doc_id") - 1L, col("text"))
   }
 
+  /** BLEU-2 of each doc against its successor (the q177 ROUGE pairing
+    * — recall side there, clipped precision + brevity penalty here):
+    * the generated-vs-reference scorer of distillation filtering,
+    * exercised corpus-wide ([[ops.TextDedup.bleu2Pairs]]). */
+  private def qBleu2(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    ops.TextDedup.bleu2Pairs(
+      d, col("doc_id") - 1L, col("text"),
+      d, col("doc_id"), col("text"))
+  }
+
   /** Template detection by shared 8-token affix over the corpus with
     * injected header/footer families (every 7th doc gains a template
     * header, every remaining 13th a footer — the q141/q176 injection
@@ -3221,7 +3232,8 @@ object SparkEntry {
     "q191_opq_recall" -> (qOpqRecall _),
     "q192_gate_cost" -> (qGateCost _),
     "q193_opq_quant_error" -> (qOpqQuantError _),
-    "q194_mojibake_gate" -> (qMojibake _))
+    "q194_mojibake_gate" -> (qMojibake _),
+    "q195_bleu2" -> (qBleu2 _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6196,6 +6208,36 @@ object SparkEntry {
         "round(CAST(sum(err) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS mean_err, " +
         "round(CAST(max(err) AS DOUBLE) / 1000000, 6) AS max_err " +
         "FROM ope JOIN oza ON oza.vec_id = ope.vec_id GROUP BY 1, 2"),
+    "q195_bleu2" ->
+      // clipped multiset n-gram precisions (n=1,2) over the
+      // consecutive-doc pairing, 6-dp bp straight off the exp, bleu2
+      // from the rounded pieces; <2-token candidates -> NULL p2/bleu2
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "cu AS (SELECT doc_id AS pair_id, 1 AS n, unnest(t) AS gram FROM tk), " +
+        "cb AS (SELECT doc_id AS pair_id, 2 AS n, unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1])) AS gram FROM tk WHERE len(t) >= 2), " +
+        "cg AS (SELECT pair_id, n, gram, count(*) AS c FROM " +
+        "(SELECT * FROM cu UNION ALL SELECT * FROM cb) GROUP BY 1, 2, 3), " +
+        "ru AS (SELECT doc_id - 1 AS pair_id, 1 AS n, unnest(t) AS gram FROM tk), " +
+        "rb AS (SELECT doc_id - 1 AS pair_id, 2 AS n, unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1])) AS gram FROM tk WHERE len(t) >= 2), " +
+        "rg AS (SELECT pair_id, n, gram, count(*) AS cr FROM " +
+        "(SELECT * FROM ru UNION ALL SELECT * FROM rb) GROUP BY 1, 2, 3), " +
+        "cl AS (SELECT cg.pair_id, cg.n, CAST(sum(cg.c) AS BIGINT) AS tot, " +
+        "CAST(sum(least(cg.c, coalesce(rg.cr, 0))) AS BIGINT) AS hit " +
+        "FROM cg LEFT JOIN rg ON rg.pair_id = cg.pair_id AND rg.n = cg.n AND rg.gram = cg.gram GROUP BY 1, 2), " +
+        "pp AS (SELECT pair_id, " +
+        "round(CAST(sum(CASE WHEN n = 1 THEN hit END) AS DOUBLE) / CAST(sum(CASE WHEN n = 1 THEN tot END) AS DOUBLE), 6) AS p1, " +
+        "round(CAST(sum(CASE WHEN n = 2 THEN hit END) AS DOUBLE) / CAST(sum(CASE WHEN n = 2 THEN tot END) AS DOUBLE), 6) AS p2 " +
+        "FROM cl GROUP BY 1), " +
+        "ln0 AS (SELECT c.doc_id AS pair_id, CAST(len(c.t) AS BIGINT) AS len_cand, " +
+        "CAST(len(r.t) AS BIGINT) AS len_ref FROM tk c JOIN tk r ON r.doc_id = c.doc_id + 1), " +
+        "f AS (SELECT l.pair_id, len_cand, len_ref, p1, p2, " +
+        "CASE WHEN len_cand >= len_ref THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE round(exp(CAST(1.0 AS DOUBLE) - CAST(len_ref AS DOUBLE) / CAST(len_cand AS DOUBLE)), 6) END AS bp " +
+        "FROM ln0 l JOIN pp USING (pair_id)) " +
+        "SELECT pair_id, len_cand, len_ref, p1, p2, bp, " +
+        "CASE WHEN p2 IS NOT NULL THEN round(bp * sqrt(p1 * p2), 6) END AS bleu2 FROM f"),
     "q194_mojibake_gate" ->
       // identical corruption synthesis (chr(65533) fragment on every
       // 7th doc, chr(7) on every 11th), exact length-delta counts

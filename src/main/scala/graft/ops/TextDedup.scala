@@ -805,6 +805,72 @@ object TextDedup {
     * combined aggregations — all shuffles carry tokens, never texts.
     * Deterministic: counts are exact integers; P/R/F are single IEEE
     * divisions rounded to 6 dp. */
+  /** BLEU-2 with brevity penalty between paired texts (Papineni et al.
+    * 2002) — the PRECISION-side complement of [[rouge1Prf]] and the
+    * standard scorer of generated-vs-reference data (distillation
+    * filtering, paraphrase mining): per pair, CLIPPED n-gram precision
+    * p_n = Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_g cnt_cand(g) for
+    * n ∈ {1, 2} over token MULTISETS (clipping is what stops "the the
+    * the" from scoring), brevity penalty
+    * bp = 1 if len_c ≥ len_r else e^(1 − len_r/len_c), and
+    * bleu2 = bp · √(p1·p2). A candidate with < 2 tokens has no bigram
+    * precision — p2 and bleu2 are NULL (the ksDrift undefined
+    * convention), not a silent zero.
+    *
+    * Determinism: all counts are exact integers; p1/p2 round to 6 dp,
+    * bp rounds to 6 dp straight off the one exp() call, and bleu2
+    * computes FROM the rounded pieces (a last-ulp libm divergence
+    * would have to land exactly on a rounding boundary to surface).
+    *
+    * Scale shape: per side one n-gram explode to (pair, n, gram, cnt)
+    * rows (map-side combined), ONE equi-join on (pair, n, gram) for
+    * the clip, two conditional-sum rollups — every shuffle carries
+    * grams, never texts. */
+  def bleu2Pairs(refs: DataFrame, refId: Column, refText: Column,
+      cands: DataFrame, candId: Column, candText: Column): DataFrame = {
+    def grams(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val tk = TextStats.tokens(text)
+      val uni = df.select(id.as("pair_id"), lit(1).as("n"),
+        explode(tk).as("gram"))
+      val bi = df.select(id.as("pair_id"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("pair_id"), lit(2).as("n"),
+          explode(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", element_at(col("tk"), i),
+              element_at(col("tk"), i + 1)))).as("gram"))
+      uni.unionByName(bi)
+        .groupBy(col("pair_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val cg = grams(cands, candId, candText)
+    val rg = grams(refs, refId, refText)
+      .select(col("pair_id"), col("n"), col("gram"), col("c").as("cr"))
+    val clip = cg.join(rg, Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(col("c")).as("tot"),
+        sum(least(col("c"), coalesce(col("cr"), lit(0L)))).as("hit"))
+    val lens = cands
+      .select(candId.as("pair_id"),
+        size(TextStats.tokens(candText)).cast("long").as("len_cand"))
+      .join(refs.select(refId.as("pair_id"),
+        size(TextStats.tokens(refText)).cast("long").as("len_ref")),
+        "pair_id")
+    val p = clip.groupBy(col("pair_id"))
+      .agg(
+        round(sum(when(col("n") === 1, col("hit"))).cast("double") /
+          sum(when(col("n") === 1, col("tot"))).cast("double"), 6).as("p1"),
+        round(sum(when(col("n") === 2, col("hit"))).cast("double") /
+          sum(when(col("n") === 2, col("tot"))).cast("double"), 6).as("p2"))
+    lens.join(p, "pair_id")
+      .withColumn("bp", when(col("len_cand") >= col("len_ref"), lit(1.0))
+        .otherwise(round(exp(lit(1.0) - col("len_ref").cast("double") /
+          col("len_cand").cast("double")), 6)))
+      .select(col("pair_id"), col("len_cand"), col("len_ref"),
+        col("p1"), col("p2"), col("bp"),
+        when(col("p2").isNotNull,
+          round(col("bp") * sqrt(col("p1") * col("p2")), 6)).as("bleu2"))
+  }
+
   def rouge1Prf(refs: DataFrame, refId: Column, refText: Column,
       cands: DataFrame, candId: Column, candText: Column): DataFrame = {
     def side(df: DataFrame, id: Column, text: Column) =

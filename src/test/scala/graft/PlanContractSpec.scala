@@ -985,6 +985,15 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 4, p.take(1500))
   }
 
+  test("q195: BLEU-2 — the clip is ONE equi-join on (pair, n, gram); " +
+    "no cartesian, no nested loop; rollups map-side combine") {
+    val p = plan("q195_bleu2")
+    assert(count(p, "CartesianProduct") == 0, p.take(1200))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "gram counts lost their map-side combine")
+  }
+
   test("q194: mojibake gate — pure projection into one map-side-" +
     "combined rollup: no joins, a single hash exchange, pruned scan") {
     val p = plan("q194_mojibake_gate")

@@ -753,6 +753,41 @@ class TextOpsSpec extends SparkSpec {
     assert(r(("B", "C")) == ((2L, 1L, 0L, 0.0)))
   }
 
+  test("bleu2Pairs: hand clipped precisions, identity = 1, repetition " +
+    "is clipped, short candidate -> NULL p2/bleu2 with brevity penalty") {
+    import graft.ops.TextDedup
+    val refs = Seq((1L, "a b c"), (2L, "x y z"), (3L, "the cat"),
+      (4L, "same text here")).toDF("id", "txt")
+    val cands = Seq((1L, "a a b"), (2L, "x"), (3L, "the the the the"),
+      (4L, "same text here")).toDF("id", "txt")
+    val r = TextDedup.bleu2Pairs(refs, col("id"), col("txt"),
+        cands, col("id"), col("txt"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def d6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pair 1: p1 = 2/3 (clip a to 1), p2 = 1/2 ("a b" hits), bp = 1
+    assert(r(1L).getDouble(3) == d6(2.0 / 3.0))
+    assert(r(1L).getDouble(4) == 0.5)
+    assert(r(1L).getDouble(5) == 1.0)
+    assert(r(1L).getDouble(6) == d6(1.0 * math.sqrt(d6(2.0 / 3.0) * 0.5)))
+    // pair 2: 1-token candidate -> p2/bleu2 NULL, bp = e^(1-3)
+    assert(r(2L).getDouble(3) == 1.0)
+    assert(r(2L).isNullAt(4) && r(2L).isNullAt(6))
+    assert(r(2L).getDouble(5) == d6(math.exp(-2.0)))
+    // pair 3: repetition clipped — p1 = min(4,1)/4
+    assert(r(3L).getDouble(3) == 0.25)
+    assert(r(3L).getDouble(4) == 0.0)
+    assert(r(3L).getDouble(6) == 0.0)
+    // pair 4: identity scores exactly 1
+    assert(r(4L).getDouble(3) == 1.0 && r(4L).getDouble(4) == 1.0 &&
+      r(4L).getDouble(5) == 1.0 && r(4L).getDouble(6) == 1.0)
+    // partition invariance
+    val r7 = TextDedup.bleu2Pairs(refs.repartition(7), col("id"),
+        col("txt"), cands.repartition(3), col("id"), col("txt"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(r7 == r.values.map(_.toString).toSeq.sorted)
+  }
+
   test("mojibakeStats: hand counts for replacement/control chars; " +
     "tab/newline/CR are NOT flagged; clean text is all-zero; " +
     "partition-invariant") {
