@@ -87,11 +87,17 @@ object Bench {
             val t3 = timeOnce(fn)
             if (t3 < 0) Vector(t2) else Vector(t2, t3)
           } else Vector(t2)
-        val all = (ts1 ++ extra).sorted
+        // p50 basis: when pass 2 exposed pass 1 as stall-poisoned, the
+        // poisoned samples must not enter the median — otherwise the
+        // p50 column reports the stall as steady-state and a later
+        // clean round reads as a phantom recovery
+        val basis =
+          if (t2 >= 0 && t2 < m1 / 1.25) extra else ts1 ++ extra
+        val all = basis.sorted
         val p50 =
           if (all.size % 2 == 1) all(all.size / 2)
           else (all(all.size / 2 - 1) + all(all.size / 2)) / 2.0
-        name -> ((all.min, p50))
+        name -> ((math.min(m1, all.min), p50))
       }
     }
     def r3(v: Double) =
@@ -106,7 +112,11 @@ object Bench {
     println(full)
     // The driver artifact tail-truncates long stdout (BENCH_r06 lost its
     // head 38 timings) — always write the COMPLETE line to a file too.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // A SPARK_GRAFT_ONLY-filtered run must NOT clobber the full-suite
+    // record: partial runs land in BENCH_PARTIAL.json unless an output
+    // path is given explicitly.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -3433,11 +3433,14 @@ object SparkEntry {
     * serving replay with probe ranks retained - exposes `tiers`
     * (np in {1,2,4}), `rtop` (the served top-10 per tier) and `bf`
     * (the exact cosine top-10 baseline). */
-  private val ivfPqServeCte = kmeansReplayCte +
-        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
-        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
-        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
-        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
+  /** The residual-PQ subspace-training replay (init = vec_id<4, one
+    * snapped M-step, positional codebook `bk`, final codes `code`) —
+    * expects `rv` (per-vector residuals) and `sp` (subspaces) in
+    * scope. ONE definition shared by ivfPqServeCte, ivfAdcResidualCte
+    * and the q193 oracle, so a change to the PQ training replay (snap
+    * grid, tie-break, init) cannot silently diverge between them. */
+  private val residualPqTrainCte =
+    "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
         "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
         "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
         "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
@@ -3451,6 +3454,13 @@ object SparkEntry {
         "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
         "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        ""
+
+  private val ivfPqServeCte = kmeansReplayCte +
+        ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
+        "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
+        "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
+        residualPqTrainCte +
         "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
         "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
         "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
@@ -3490,20 +3500,7 @@ object SparkEntry {
         ", sp AS (SELECT unnest(generate_series(0, 3)) AS j), " +
         "rv AS (SELECT a2.vec_id, list_transform(list_zip(a2.e, c1.c), " +
         "t -> t[1]-t[2]) AS r FROM a2 JOIN c1 USING (cell)), " +
-        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
-        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
-        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
-        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
-        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
-        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
-        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
-        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
-        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
-        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
-        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
-        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        residualPqTrainCte +
         "pq AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
         "pd AS (SELECT q_id, c1.cell, CAST(floor(list_sum(list_transform(" +
         "list_zip(qv, c1.c), t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
@@ -6180,20 +6177,7 @@ object SparkEntry {
       // residual subspace training (rv is already in scope), then the
       // q190 chosen-code error rollup per variant, per coarse cell
       (opqReplayCte +
-        "sv AS (SELECT vec_id, j, r[j*16+1:j*16+16] AS e FROM rv CROSS JOIN sp), " +
-        "sc0 AS (SELECT j, vec_id AS cell, e AS c FROM sv WHERE vec_id < 4), " +
-        "sd1 AS (SELECT sv.j, sv.vec_id, sv.e, sc0.cell, list_sum(list_transform(" +
-        "list_zip(sv.e, sc0.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN sc0 ON sv.j = sc0.j), " +
-        "sa1 AS (SELECT j, vec_id, e, cell FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, cell) AS rn FROM sd1) WHERE rn = 1), " +
-        "sm1 AS (SELECT j, cell, i, floor(avg(x)*1000000 + 0.5)/1000000 AS m FROM " +
-        "(SELECT j, cell, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM sa1) GROUP BY 1, 2, 3), " +
-        "smc AS (SELECT j, cell, list(m ORDER BY i) AS c FROM sm1 GROUP BY 1, 2), " +
-        "bk AS (SELECT j, cell, c, CAST(row_number() OVER (PARTITION BY j ORDER BY cell) AS INT) AS pos FROM smc), " +
-        "sd2 AS (SELECT sv.j, sv.vec_id, bk.pos, list_sum(list_transform(" +
-        "list_zip(sv.e, bk.c), t -> (t[1]-t[2])*(t[1]-t[2]))) AS d FROM sv JOIN bk ON sv.j = bk.j), " +
-        "code AS (SELECT j, vec_id, pos FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY j, vec_id ORDER BY d, pos) AS rn FROM sd2) WHERE rn = 1), " +
+        residualPqTrainCte +
         "rce AS (SELECT c.vec_id, CAST(floor(s.d * 1000000 + 0.5) AS BIGINT) AS dl " +
         "FROM code c JOIN sd2 s ON s.j = c.j AND s.vec_id = c.vec_id AND s.pos = c.pos), " +
         "rpe AS (SELECT vec_id, CAST(sum(dl) AS BIGINT) AS err FROM rce GROUP BY 1), " +
