@@ -6236,8 +6236,8 @@ object SparkEntry {
         "CAST(sum(CASE WHEN nr > 0 OR nx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
         "round(CAST(sum(CASE WHEN nr > 0 OR nx > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS flag_rate, " +
         "CAST(sum(nr) AS BIGINT) AS n_repl, CAST(sum(nx) AS BIGINT) AS n_ctrl, " +
-        "round(CAST(sum(nr) AS DOUBLE) * 1000 / CAST(sum(nc) AS DOUBLE), 4) AS repl_per_kchar, " +
-        "round(CAST(sum(nx) AS DOUBLE) * 1000 / CAST(sum(nc) AS DOUBLE), 4) AS ctrl_per_kchar " +
+        "CASE WHEN sum(nc) > 0 THEN round(CAST(sum(nr) AS DOUBLE) * 1000 / CAST(sum(nc) AS DOUBLE), 4) END AS repl_per_kchar, " +
+        "CASE WHEN sum(nc) > 0 THEN round(CAST(sum(nx) AS DOUBLE) * 1000 / CAST(sum(nc) AS DOUBLE), 4) END AS ctrl_per_kchar " +
         "FROM m GROUP BY 1"),
     "q192_gate_cost" ->
       // benefit from the shared flag chain (the q186 diagonal), cost =

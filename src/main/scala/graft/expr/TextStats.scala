@@ -336,10 +336,15 @@ object TextStats {
         round(col("n_flagged").cast("double") /
           col("n_docs").cast("double"), 6).as("flag_rate"),
         col("n_repl"), col("n_ctrl"),
-        round(col("n_repl").cast("double") * lit(1000.0) /
-          col("ncs").cast("double"), 4).as("repl_per_kchar"),
-        round(col("n_ctrl").cast("double") * lit(1000.0) /
-          col("ncs").cast("double"), 4).as("ctrl_per_kchar"))
+        // NULL-for-undefined when the group holds only empty texts
+        // (0/0 is NULL in Spark non-ANSI but NaN in DuckDB IEEE ops —
+        // guard both engines onto the psi/kappa NULL convention)
+        when(col("ncs") > 0L, round(col("n_repl").cast("double") *
+          lit(1000.0) / col("ncs").cast("double"), 4))
+          .as("repl_per_kchar"),
+        when(col("ncs") > 0L, round(col("n_ctrl").cast("double") *
+          lit(1000.0) / col("ncs").cast("double"), 4))
+          .as("ctrl_per_kchar"))
   }
 
   def gopherRules(docs: org.apache.spark.sql.DataFrame, id: Column,

@@ -547,7 +547,11 @@ object Ann {
     * is one anti-join + one max-agg + one argmax-agg on (q_id-keyed)
     * pair rows. `short0` supplies an already-materialized shortlist
     * (q_id, n_id, cos) — e.g. the session exact-ranking artifact —
-    * skipping the corpus pass entirely.
+    * skipping the corpus pass entirely. On that path the `shortlist`
+    * parameter is IGNORED (the supplied table's own depth governs);
+    * the caller owns supplying a table ≥ k deep per query — a
+    * shallower artifact yields fewer than k reranked rows for the
+    * affected queries (greedy steps past the depth select nothing).
     * Output: (q_id, pos, n_id, rel, maxsim, mmr). */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, shortlist: Int,
       k: Int, lambda: Double,
@@ -555,7 +559,11 @@ object Ann {
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
       short0: Option[DataFrame] = None)
       : DataFrame = {
-    require(shortlist >= k && k >= 1, s"mmrRerank: shortlist=$shortlist k=$k")
+    // shortlist only governs the internally-built corpus pass; when
+    // short0 carries its own depth the bound would be misleading
+    require(short0.isDefined || shortlist >= k,
+      s"mmrRerank: shortlist=$shortlist k=$k")
+    require(k >= 1, s"mmrRerank: k=$k")
     require(lambda >= 0.0 && lambda <= 1.0, s"mmrRerank: lambda=$lambda")
     val short = short0
       .map(df => materialize(df.select(col("q_id"), col("n_id"),

@@ -677,4 +677,31 @@ class AnnSpec extends SparkSpec {
     assert(div.keys.groupBy(_._1).forall { case (qid, ks) =>
       ks.map(k => div(k)._1).toSet.size == 4 })
   }
+
+  test("mmrRerank: short0 path ignores the shortlist parameter (no " +
+    "require), matches the internally-built shortlist result, and a " +
+    "shallow artifact yields fewer than k rows for affected queries") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val art = Ann.bruteForceTopK(emb, q, 10)
+      .select(col("q_id"), col("n_id"), col("cos"))
+    // shortlist=0 < k would fail the internal-path require; with
+    // short0 the parameter is documented-ignored
+    val viaArt = Ann.mmrRerank(emb, q, shortlist = 0, k = 4,
+        lambda = 0.7, short0 = Some(art))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val internal = Ann.mmrRerank(emb, q, shortlist = 10, k = 4,
+        lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(viaArt == internal)
+    // a 2-deep artifact can serve at most 2 picks per query
+    val shallow = Ann.bruteForceTopK(emb, q, 2)
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val picked = Ann.mmrRerank(emb, q, shortlist = 0, k = 4,
+        lambda = 0.7, short0 = Some(shallow))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(picked.values.forall(_ == 2), picked.toString)
+  }
 }

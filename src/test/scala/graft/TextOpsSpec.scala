@@ -811,4 +811,15 @@ class TextOpsSpec extends SparkSpec {
       r("s2").toString)
     assert(run(df.repartition(7)) == r)
   }
+
+  test("mojibakeStats: a group of only-empty texts gives NULL " +
+    "per-kchar densities (the 0/0 guard), not NaN") {
+    import graft.expr.TextStats
+    val df = Seq(("e", ""), ("e", ""), ("s", "ok")).toDF("src", "txt")
+    val r = TextStats.mojibakeStats(df, col("txt"), col("src"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("e").getLong(1) == 2L && r("e").getDouble(3) == 0.0)
+    assert(r("e").isNullAt(6) && r("e").isNullAt(7), r("e").toString)
+    assert(r("s").getDouble(6) == 0.0 && r("s").getDouble(7) == 0.0)
+  }
 }
