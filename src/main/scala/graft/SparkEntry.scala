@@ -1874,6 +1874,16 @@ object SparkEntry {
       big0 = Some(sharedBigramCounts(s, dir)),
       docBig0 = Some(sharedDocBigrams(s, dir)))
 
+  /** Kneser–Ney smoothed bigram NLL (q113's production-grade sibling:
+    * continuation-diversity backoff instead of raw unigram frequency —
+    * the smoothing CCNet's KenLM perplexity gate runs); reads the same
+    * shared bigram/doc-bigram artifacts, so the marginal cost is the
+    * vocabulary-sized model tables + one scoring join. */
+  private def qKnBigramNll(s: SparkSession, dir: String): DataFrame =
+    TextStats.knBigramNll(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 0.75, big0 = Some(sharedBigramCounts(s, dir)),
+      docBig0 = Some(sharedDocBigrams(s, dir)))
+
   /** Leakage-safe split counts: split assigned per dedup GROUP (q63's
     * connected components over the q21 LSH pairs), so near-duplicates
     * never straddle train/eval. Emits per-split doc and group counts. */
@@ -2746,6 +2756,36 @@ object SparkEntry {
       d, col("doc_id"), col("text"))
   }
 
+  /** chrF over the same consecutive-doc pairing as q195/q177 — the
+    * character-level, tokenizer-free third member of the generated-text
+    * scorer family ([[ops.TextDedup.chrfPairs]]). */
+  private def qChrf(s: SparkSession, dir: String): DataFrame =
+    ops.TextDedup.chrfSelfPairs(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+
+  /** Distinct-n diversity per source (corpus-level distinct-1/2/3
+    * ratios — the mode-collapse / template-heaviness monitor next to
+    * q136's sequence novelty and q58's within-doc repetition). */
+  private def qDistinctNgrams(s: SparkSession, dir: String): DataFrame =
+    TextStats.distinctNgrams(t(s, dir, "documents"), col("source"),
+      col("text")).withColumnRenamed("grp", "source")
+
+  /** Token-blocklist gate per source: exact word-boundary membership
+    * (common "slow", rare "dup", absent "junk"), integer-only flag
+    * decision, per-source rate + hits-per-kilotoken. */
+  private def qBlocklistGate(s: SparkSession, dir: String): DataFrame =
+    TextStats.blocklistGate(t(s, dir, "documents"), col("text"),
+      col("source"), Seq("slow", "dup", "junk"))
+
+  /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
+    * (SentencePiece-style inference — completes the tokenizer family
+    * next to the BPE merge loop): integer bit-length costs, packed
+    * (cost, pieces) DP state, per-doc optimal piece count + total cost
+    * ([[ops.Bpe.unigramSegment]]). */
+  private def qUnigramSegment(s: SparkSession, dir: String): DataFrame =
+    ops.Bpe.unigramSegment(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+
   /** Template detection by shared 8-token affix over the corpus with
     * injected header/footer families (every 7th doc gains a template
     * header, every remaining 13th a footer — the q141/q176 injection
@@ -3233,7 +3273,12 @@ object SparkEntry {
     "q192_gate_cost" -> (qGateCost _),
     "q193_opq_quant_error" -> (qOpqQuantError _),
     "q194_mojibake_gate" -> (qMojibake _),
-    "q195_bleu2" -> (qBleu2 _))
+    "q195_bleu2" -> (qBleu2 _),
+    "q196_kn_bigram" -> (qKnBigramNll _),
+    "q197_chrf" -> (qChrf _),
+    "q198_distinct_ngrams" -> (qDistinctNgrams _),
+    "q199_blocklist_gate" -> (qBlocklistGate _),
+    "q200_unigram_segment" -> (qUnigramSegment _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6260,5 +6305,108 @@ object SparkEntry {
         "UNION ALL SELECT 'decontam', CAST(count(*) AS BIGINT) FROM cg) " +
         "SELECT b.gate, c.n_input_rows, b.n_fail, b.n_exclusive, " +
         "round(CAST(b.n_exclusive AS DOUBLE) * 1000000 / CAST(c.n_input_rows AS DOUBLE), 4) AS exclusive_per_mrow " +
-        "FROM ben b JOIN cost c ON c.gate = b.gate"))
+        "FROM ben b JOIN cost c ON c.gate = b.gate"),
+    "q196_kn_bigram" ->
+      // interpolated KN (Chen & Goodman eq. 18, D = 0.75): every factor
+      // a ratio of exact integer counts, fixed parenthesization both
+      // sides; same snapped per-doc NLL sum as q113
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN " +
+        "list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS bigram FROM d), " +
+        "big AS (SELECT bigram, count(*) AS bc FROM bg GROUP BY 1), " +
+        "ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(bc) AS ctx, count(*) AS nfollow FROM big GROUP BY 1), " +
+        "prec AS (SELECT string_split(bigram, ' ')[2] AS w2, count(*) AS nprec FROM big GROUP BY 1), " +
+        "nt AS (SELECT CAST(greatest(count(*), 1) AS DOUBLE) AS nt FROM big), " +
+        "p AS (SELECT bigram, " +
+        "(greatest(CAST(bc AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(ctx AS DOUBLE)) + " +
+        "(CAST(0.75 AS DOUBLE) * CAST(nfollow AS DOUBLE) / CAST(ctx AS DOUBLE)) * (CAST(nprec AS DOUBLE) / nt) AS p " +
+        "FROM big JOIN ctx ON string_split(bigram, ' ')[1] = ctx.w1 " +
+        "JOIN prec ON string_split(bigram, ' ')[2] = prec.w2 CROSS JOIN nt), " +
+        "db AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams, " +
+        "round(-(CAST(sum(CAST(floor(CAST(k AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(k), 4) AS nll " +
+        "FROM db JOIN p USING (bigram) GROUP BY 1"),
+    "q197_chrf" ->
+      // whitespace-stripped char n-grams n=1..3, clipped hits both ways,
+      // F_(beta^2=4) per n from 6-dp-rounded P/R pieces' formula in one
+      // fixed parenthesization; chrf = mean of the ROUNDED per-n F
+      ("WITH s0 AS (SELECT doc_id, replace(text, ' ', '') AS s FROM documents), " +
+        "gr AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, length(s) - n + 1), " +
+        "i -> substr(s, i, n))) AS gram FROM s0 CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) " +
+        "WHERE length(s) >= n), " +
+        "cg AS (SELECT doc_id AS pair_id, n, gram, count(*) AS c FROM gr GROUP BY 1, 2, 3), " +
+        "rg AS (SELECT doc_id - 1 AS pair_id, n, gram, count(*) AS cr FROM gr GROUP BY 1, 2, 3), " +
+        "totc AS (SELECT pair_id, n, sum(c) AS totc FROM cg GROUP BY 1, 2), " +
+        "totr AS (SELECT pair_id, n, sum(cr) AS totr FROM rg GROUP BY 1, 2), " +
+        "hits AS (SELECT cg.pair_id, cg.n, sum(least(c, cr)) AS hit " +
+        "FROM cg JOIN rg ON rg.pair_id = cg.pair_id AND rg.n = cg.n AND rg.gram = cg.gram GROUP BY 1, 2), " +
+        "pern AS (SELECT pair_id, n, CASE WHEN coalesce(hit, 0) > 0 THEN " +
+        "round((CAST(5 AS DOUBLE) * (CAST(hit AS DOUBLE) / CAST(totc AS DOUBLE)) * (CAST(hit AS DOUBLE) / CAST(totr AS DOUBLE))) / " +
+        "(CAST(4 AS DOUBLE) * (CAST(hit AS DOUBLE) / CAST(totc AS DOUBLE)) + (CAST(hit AS DOUBLE) / CAST(totr AS DOUBLE))), 6) " +
+        "ELSE CAST(0 AS DOUBLE) END AS f " +
+        "FROM totc JOIN totr USING (pair_id, n) LEFT JOIN hits USING (pair_id, n)), " +
+        "pp AS (SELECT pair_id, max(CASE WHEN n = 1 THEN f END) AS f1, " +
+        "max(CASE WHEN n = 2 THEN f END) AS f2, max(CASE WHEN n = 3 THEN f END) AS f3 " +
+        "FROM pern GROUP BY 1) " +
+        "SELECT pair_id, f1, f2, f3, CASE WHEN f1 IS NOT NULL AND f2 IS NOT NULL AND f3 IS NOT NULL " +
+        "THEN round((f1 + f2 + f3) / CAST(3 AS DOUBLE), 6) END AS chrf FROM pp"),
+    "q198_distinct_ngrams" ->
+      // distinct token n-grams / total n-grams per source, n=1..3;
+      // distinct counted over the pre-grouped gram table (no expand)
+      ("WITH d AS (SELECT source, string_split(text, ' ') AS tk FROM documents), " +
+        "g AS (SELECT source, n, unnest(list_transform(generate_series(1, len(tk) - n + 1), " +
+        "i -> array_to_string(tk[i:i+n-1], ' '))) AS gram FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) " +
+        "WHERE len(tk) >= n), " +
+        "gc AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3), " +
+        "cnt AS (SELECT source, n, CAST(sum(c) AS BIGINT) AS total, count(*) AS dn FROM gc GROUP BY 1, 2) " +
+        "SELECT source, max(CASE WHEN n = 1 THEN total END) AS n_tokens, " +
+        "round(CAST(max(CASE WHEN n = 1 THEN dn END) AS DOUBLE) / CAST(max(CASE WHEN n = 1 THEN total END) AS DOUBLE), 6) AS d1, " +
+        "round(CAST(max(CASE WHEN n = 2 THEN dn END) AS DOUBLE) / CAST(max(CASE WHEN n = 2 THEN total END) AS DOUBLE), 6) AS d2, " +
+        "round(CAST(max(CASE WHEN n = 3 THEN dn END) AS DOUBLE) / CAST(max(CASE WHEN n = 3 THEN total END) AS DOUBLE), 6) AS d3 " +
+        "FROM cnt GROUP BY 1"),
+    "q199_blocklist_gate" ->
+      // exact token membership, integer-only flag decision
+      // (nh >= 3 OR nh*20 >= nt), per-source rollup
+      ("WITH m AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, " +
+        "CAST(len(list_filter(string_split(text, ' '), tok -> tok IN ('slow', 'dup', 'junk'))) AS BIGINT) AS nh " +
+        "FROM documents), " +
+        "f AS (SELECT source, nt, nh, CASE WHEN nh >= 3 OR nh * 20 >= nt THEN 1 ELSE 0 END AS fl FROM m) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(fl) AS BIGINT) AS n_flagged, " +
+        "round(CAST(sum(fl) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS flag_rate, " +
+        "CAST(sum(nh) AS BIGINT) AS n_hits, " +
+        "CASE WHEN sum(nt) > 0 THEN round(CAST(sum(nh) AS DOUBLE) * 1000 / CAST(sum(nt) AS DOUBLE), 4) END AS hits_per_ktok " +
+        "FROM f GROUP BY 1"),
+    "q200_unigram_segment" ->
+      // identical integer Viterbi: substring bit-costs len(bin(T//f)),
+      // packed cost*64+pieces state, recursive CTE advancing one char
+      // per iteration with a maxPiece-wide carried window
+      ("WITH RECURSIVE doc AS (SELECT doc_id, substr(text, 1, 48) AS s, " +
+        "length(substr(text, 1, 48)) AS L FROM documents WHERE length(text) >= 1), " +
+        "sub AS (SELECT unnest(list_transform(generate_series(1, length(text) - l + 1), " +
+        "i -> substr(text, i, l))) AS piece FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) " +
+        "WHERE length(text) >= l), " +
+        "voc AS (SELECT piece, count(*) AS f FROM sub GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(f) AS BIGINT) AS T FROM voc), " +
+        "cost AS (SELECT piece, CAST(length(bin(T // f)) AS BIGINT) AS c FROM voc CROSS JOIN tt), " +
+        "pr AS (SELECT d.doc_id, t.ii AS i, ls.l, substr(d.s, t.ii - ls.l + 1, ls.l) AS piece " +
+        "FROM doc d, (SELECT unnest([1, 2, 3, 4]) AS l) ls, " +
+        "unnest(generate_series(ls.l, d.L)) AS t(ii)), " +
+        "cr AS (SELECT pr.doc_id, pr.i, pr.l, cost.c FROM pr JOIN cost USING (piece)), " +
+        "cp AS (SELECT doc_id, i, " +
+        "max(CASE WHEN l = 1 THEN c END) AS c1, max(CASE WHEN l = 2 THEN c END) AS c2, " +
+        "max(CASE WHEN l = 3 THEN c END) AS c3, max(CASE WHEN l = 4 THEN c END) AS c4 " +
+        "FROM cr GROUP BY 1, 2), " +
+        "st AS (SELECT doc_id, 0 AS i, CAST(1000000000000 AS BIGINT) AS b0, " +
+        "CAST(1000000000000 AS BIGINT) AS b1, CAST(1000000000000 AS BIGINT) AS b2, " +
+        "CAST(0 AS BIGINT) AS b3 FROM doc " +
+        "UNION ALL SELECT r.doc_id, r.i + 1, r.b1, r.b2, r.b3, " +
+        "least(r.b3 + coalesce(c.c1, 1000000000000) * 64 + 1, " +
+        "r.b2 + coalesce(c.c2, 1000000000000) * 64 + 1, " +
+        "r.b1 + coalesce(c.c3, 1000000000000) * 64 + 1, " +
+        "r.b0 + coalesce(c.c4, 1000000000000) * 64 + 1) AS b3 " +
+        "FROM st r JOIN cp c ON c.doc_id = r.doc_id AND c.i = r.i + 1) " +
+        "SELECT d.doc_id, CAST(d.L AS BIGINT) AS n_chars, " +
+        "CAST(s.b3 // 64 AS BIGINT) AS cost_bits, CAST(s.b3 % 64 AS BIGINT) AS n_pieces " +
+        "FROM st s JOIN doc d ON d.doc_id = s.doc_id AND s.i = d.L"))
 }

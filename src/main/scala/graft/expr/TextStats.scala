@@ -262,6 +262,140 @@ object TextStats {
           sum(col("k")).cast("double"), 4).as("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram NLL per document — the smoothing
+    * the production perplexity filters actually run (CCNet's KenLM
+    * gate is KN-smoothed; [[bigramNll]]'s Jelinek-Mercer backs off to
+    * raw unigram FREQUENCY, which over-scores tokens that are frequent
+    * but promiscuous — KN backs off to continuation DIVERSITY):
+    * `P_KN(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) ·
+    * N1+(·w2)/N1+(··)` (Kneser & Ney 1995; Chen & Goodman 1999 eq. 18
+    * with the single-discount interpolated form). Every factor is a
+    * ratio of exact integer type/token counts plus the literal `D`,
+    * evaluated in a FIXED parenthesization so any engine replays
+    * bit-identical doubles; observed bigrams always score `p > 0`
+    * (`N1+(w1·) ≥ 1` whenever `c(w1·) > 0`).
+    *
+    * Scale shape: identical to [[bigramNll]] — the three model tables
+    * (bigram counts, per-`w1` context totals + follower-type counts,
+    * per-`w2` predecessor-type counts) are vocabulary-sized map-side
+    * combined aggregations off ONE bigram-count table; `N1+(··)` is a
+    * single driver scalar; the scoring join keys the doc-bigram table
+    * on `bigram` (one exchange) and the per-doc NLL is a snapped
+    * order-independent sum. Pass `big0`/`docBig0` session artifacts to
+    * skip the corpus scan entirely. Use an exactly-representable
+    * discount (0.75 = 3/2^2) so the oracle's literal matches. */
+  def knBigramNll(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, discount: Double,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true),
+      big0: Option[org.apache.spark.sql.DataFrame] = None,
+      docBig0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      greatest, lit, log, round, split, sum}
+    lazy val fanned = graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), text.as("__t"))
+    val big = big0.getOrElse(materialize(fanned
+      .select(explode(shingles(col("__t"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
+    val w1 = split(col("bigram"), " ").getItem(0)
+    val w2 = split(col("bigram"), " ").getItem(1)
+    // ctx(w1) = Σ_w c(w1,w); nfollow(w1) = N1+(w1,·) — one pass over
+    // the (already vocabulary-sized) bigram table, not the corpus
+    val ctx = big.groupBy(w1.as("w1"))
+      .agg(sum(col("bc")).as("ctx"), count(lit(1)).as("nfollow"))
+    // nprec(w2) = N1+(·,w2), the continuation numerator
+    val prec = big.groupBy(w2.as("w2")).agg(count(lit(1)).as("nprec"))
+    // N1+(··): distinct bigram types — one driver scalar (≥ 1 floor
+    // only guards the empty corpus, where the output is empty anyway)
+    val nTypes = math.max(big.count(), 1L).toDouble
+    val probs = big.withColumn("w1", w1).withColumn("w2", w2)
+      .join(broadcast(ctx), "w1")
+      .join(broadcast(prec), "w2")
+      .select(col("bigram"),
+        ((greatest(col("bc").cast("double") - lit(discount), lit(0.0)) /
+          col("ctx").cast("double")) +
+          (lit(discount) * col("nfollow").cast("double") /
+            col("ctx").cast("double")) *
+            (col("nprec").cast("double") / lit(nTypes))).as("p"))
+    docBig0.getOrElse(fanned.select(col("doc_id"),
+        explode(shingles(col("__t"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k")))
+      .join(probs, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        round(-Snap.snappedSum(col("k").cast("double") * log(col("p")), 1e9) /
+          sum(col("k")).cast("double"), 4).as("nll"))
+  }
+
+  /** Distinct-n corpus diversity per group (the distinct-1/distinct-2
+    * diversity ratios of Li et al. 2016, corpus-level): distinct token
+    * n-grams over total n-grams for n = 1..`maxN`, one row per group.
+    * Low distinct-n marks template-heavy or mode-collapsed sources —
+    * the diversity complement to q136's per-doc novelty and q58's
+    * within-doc repetition.
+    *
+    * Scale shape: the corpus explodes once per n into (group, n, gram)
+    * and is immediately map-side combined to gram counts; the second
+    * aggregation is gram-type-sized, the output group-sized. No
+    * distinct-expand: countDistinct is computed as COUNT over the
+    * already-grouped gram table. All ratios are exact-integer
+    * divisions rounded at 6 dp. */
+  def distinctNgrams(docs: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column, maxN: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, max,
+      round, sum, when}
+    val g = (1 to maxN).map { n =>
+      graft.ops.Fanout.fanout(docs).select(group.as("grp"),
+        lit(n).as("n"), explode(shingles(text, n)).as("gram"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val cnt = g.groupBy(col("grp"), col("n"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("dn"))
+    def tot(n: Int) = max(when(col("n") === n, col("total")))
+    def dn(n: Int) = max(when(col("n") === n, col("dn")))
+    def ratio(n: Int) =
+      round(dn(n).cast("double") / tot(n).cast("double"), 6)
+    cnt.groupBy(col("grp")).agg(
+      tot(1).as("n_tokens"),
+      (ratio(1).as("d1") +: (2 to maxN).map(n => ratio(n).as(s"d$n"))): _*)
+  }
+
+  /** Token blocklist gate per source (the word-boundary "bad word"
+    * filter of C4/RefinedWeb-style pipelines, expressed as exact token
+    * membership rather than regex so the decision is engine-portable):
+    * a doc is flagged when it has ≥ `minHits` blocklisted tokens OR
+    * the blocklisted fraction reaches 1/`rateDen` — both comparisons
+    * stay in INTEGER arithmetic (`nh·rateDen ≥ nt`), so no float
+    * threshold can flip cross-engine. Emits per-source doc counts,
+    * flag rate, and hits-per-kilotoken.
+    *
+    * Scale shape: one narrow map over the corpus (split + filter +
+    * size — no explode, no shuffle before the source-sized rollup). */
+  def blocklistGate(docs: org.apache.spark.sql.DataFrame, text: Column,
+      source: Column, words: Seq[String], minHits: Int = 3,
+      rateDen: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, filter, lit, round,
+      size, sum, when}
+    val tk = tokens(text)
+    val d = graft.ops.Fanout.fanout(docs).select(source.as("source"),
+      size(tk).cast("long").as("nt"),
+      size(filter(tk, t => t.isin(words: _*))).cast("long").as("nh"))
+    d.select(col("source"), col("nt"), col("nh"),
+        when(col("nh") >= minHits ||
+          col("nh") * rateDen >= col("nt"), 1L).otherwise(0L).as("fl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fl")).as("n_flagged"),
+        round(sum(col("fl")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("flag_rate"),
+        sum(col("nh")).as("n_hits"),
+        when(sum(col("nt")) > 0,
+          round(sum(col("nh")).cast("double") * lit(1000) /
+            sum(col("nt")).cast("double"), 4)).as("hits_per_ktok"))
+  }
+
   /** Dictionary-encode a corpus against a vocabulary (the
     * tokenize-to-ids step before packing/training): one posexplode, one
     * broadcast join (vocabularies are bounded — [[buildVocab]]'s top-N),

@@ -108,6 +108,93 @@ object Bpe {
   /** Tokenize text under a learned merge list (training-consistent
     * greedy application in merge order), one (doc, pos, token) row per
     * subword unit. */
+  /** Unigram-LM Viterbi segmentation (the SentencePiece-style
+    * INFERENCE step — the tokenizer family's second member next to the
+    * BPE merge loop): segment each document's first `prefixLen` chars
+    * into pieces of length 1..`maxPiece` minimizing total piece cost
+    * under a corpus-trained substring unigram model. The cost is the
+    * INTEGER bit-length `len(bin(T div f))` = ⌊log₂(T/f)⌋+1 (a
+    * log₂-quantized −log p surrogate): integer DP is bit-exact across
+    * engines, where a float-cost argmin could flip on a libm ulp and
+    * change the piece count. Ties resolve inside the packed value —
+    * state = cost·64 + pieces (pieces ≤ 48 < 64), so min() orders by
+    * cost, then by piece count, deterministically.
+    *
+    * Scale shape: the model is a substring-frequency table bounded by
+    * |Σ|^maxPiece (alphabet-bounded, broadcast-safe — NOT corpus-
+    * bounded); the corpus explodes once per piece length into
+    * map-side-combined counts. Scoring is one broadcast join from the
+    * (doc, end-pos, len) piece table, one pivot aggregation, and a
+    * per-doc `aggregate` fold over ≤ `prefixLen` steps — the Viterbi
+    * recurrence b(i) = min_l b(i−l) + cost(piece ending at i, len l)
+    * carries only a maxPiece-wide window, O(prefixLen) work per doc,
+    * no shuffle after the pivot. Every substring of a scored prefix
+    * exists in the model by construction (trained on the same corpus's
+    * full texts), so the DP never strands. Docs with empty text are
+    * excluded (no segmentable prefix). */
+  def unigramSegment(docs: DataFrame, id: Column, text: Column,
+      prefixLen: Int = 48, maxPiece: Int = 4): DataFrame = {
+    // the DP window (acc width, c1..c4 slots) is fixed at 4
+    require(maxPiece == 4, "unigramSegment: the Viterbi window is fixed at 4")
+    val BIG = 1000000000000L
+    val fanned = Fanout.fanout(docs).select(id.as("doc_id"), text.as("__t"))
+    // substring unigram model over FULL texts, all lengths
+    // 1..maxPiece in ONE corpus pass (nested HOF, one explode)
+    val subs = fanned.select(explode(flatten(transform(
+      sequence(lit(1), lit(maxPiece)),
+      l => when(length(col("__t")) >= l,
+        transform(sequence(lit(1), length(col("__t")) - l + lit(1)),
+          i => col("__t").substr(i, l)))
+        .otherwise(array().cast("array<string>"))))).as("piece"))
+    val voc = subs.groupBy(col("piece")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // 2 consumers: total + cost table
+    val tTot = {
+      val r = voc.agg(sum(col("f"))).first()
+      if (r.isNullAt(0)) 1L else r.getLong(0)
+    }
+    val costTab = voc.select(col("piece"),
+      length(bin(expr(s"${tTot}L DIV f"))).cast("long").as("c"))
+    // (doc, end-pos i) scoring rows over the prefix: the maxPiece
+    // candidate pieces are COLUMNS (null where i < l), resolved by
+    // maxPiece broadcast hash joins — all map-side, so the only
+    // shuffle in the scoring half is the final per-doc collect
+    val pf = fanned.filter(length(col("__t")) >= 1)
+      .select(col("doc_id"),
+        col("__t").substr(lit(1), lit(prefixLen)).as("s"))
+    val base = pf.select(col("doc_id"),
+        explode(sequence(lit(1), length(col("s")))).as("i"), col("s"))
+      .select(col("doc_id") +: col("i") +:
+        (1 to maxPiece).map { l =>
+          when(col("i") >= l,
+            col("s").substr(col("i") - (l - 1), lit(l))).as(s"p$l")
+        }: _*)
+    val cp = (1 to maxPiece).foldLeft(base) { (df, l) =>
+      df.join(broadcast(costTab.select(col("piece").as(s"p$l"),
+        col("c").as(s"c$l"))), Seq(s"p$l"), "left")
+    }.select(col("doc_id"), col("i"),
+      col("c1"), col("c2"), col("c3"), col("c4"))
+    // Viterbi fold: acc = [b(i-4), b(i-3), b(i-2), b(i-1)] packed as
+    // cost*64+pieces; steps arrive i-ascending via sort_array on the
+    // distinct-i struct array
+    val folded = cp.groupBy(col("doc_id"))
+      .agg(max(col("i")).cast("long").as("n_chars"),
+        sort_array(collect_list(struct(col("i"), col("c1"), col("c2"),
+          col("c3"), col("c4")))).as("steps"))
+      .select(col("doc_id"), col("n_chars"),
+        element_at(aggregate(col("steps"),
+          array(lit(BIG), lit(BIG), lit(BIG), lit(0L)),
+          (acc, x) => array(element_at(acc, 2), element_at(acc, 3),
+            element_at(acc, 4),
+            least(
+              element_at(acc, 4) + coalesce(x.getField("c1"), lit(BIG)) * 64 + 1,
+              element_at(acc, 3) + coalesce(x.getField("c2"), lit(BIG)) * 64 + 1,
+              element_at(acc, 2) + coalesce(x.getField("c3"), lit(BIG)) * 64 + 1,
+              element_at(acc, 1) + coalesce(x.getField("c4"), lit(BIG)) * 64 + 1))),
+          4).as("b"))
+    folded.select(col("doc_id"), col("n_chars"),
+      expr("b DIV 64").as("cost_bits"), pmod(col("b"), lit(64L)).as("n_pieces"))
+  }
+
   def encode(docs: DataFrame, id: Column, text: Column,
       merges: Merges): DataFrame = {
     val words = docs.select(id.as("doc_id"),

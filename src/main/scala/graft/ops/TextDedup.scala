@@ -894,4 +894,103 @@ object TextDedup {
         round(lit(2.0) * col("n_hit").cast("double") /
           (col("n_ref") + col("n_cand")).cast("double"), 6).as("f1"))
   }
+
+  /** chrF over id-aligned (candidate, reference) pairs (Popović 2015):
+    * whitespace-stripped CHARACTER n-grams n = 1..3, clipped multiset
+    * hits both directions, per-n F_β with β² = 4 (recall-weighted, the
+    * paper's chrF3-style balance), and the macro-average `chrf` of the
+    * ROUNDED per-n pieces (the q195 discipline — downstream doubles
+    * derive from already-snapped 6-dp values, so any engine replays
+    * them). A per-n row with zero shared grams scores F = 0 (standard);
+    * a side too short for n (impossible at n ≤ 3 on this corpus but
+    * guarded anyway) leaves F_n and `chrf` NULL.
+    *
+    * Character grams complement the token-level q195/q177 scorers:
+    * morphology-robust, tokenizer-free — the generated-text eval used
+    * where word tokenization is unreliable. Scale shape identical to
+    * [[bleu2Pairs]]: grams explode once per side, one (pair, n, gram)
+    * exchange, everything after is pair-count-sized. */
+  /** Char n-gram multiset counts (pair_id, n, gram, c) for one chrF
+    * side, n = 1..`maxN`, whitespace stripped. */
+  private def chrfGrams(df: DataFrame, id: Column, text: Column,
+      maxN: Int): DataFrame = {
+    val s = regexp_replace(text, " ", "")
+    (1 to maxN).map { n =>
+      df.select(id.as("pair_id"), s.as("__s"))
+        .filter(length(col("__s")) >= n)
+        .select(col("pair_id"), lit(n).as("n"),
+          explode(transform(sequence(lit(1), length(col("__s")) - (n - 1)),
+            i => col("__s").substr(i, lit(n)))).as("gram"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-(pair, n) TOTAL char n-gram counts by pure arithmetic —
+    * `Σ_gram c = len − n + 1` counting multiplicity — so the chrF
+    * denominators never touch the exploded gram table (which then has
+    * exactly one consumer per side: the clip join). */
+  private def chrfTotals(df: DataFrame, id: Column, text: Column,
+      maxN: Int, totName: String): DataFrame =
+    df.select(id.as("pair_id"),
+        length(regexp_replace(text, " ", "")).as("__len"))
+      .select(col("pair_id"), col("__len"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+      .filter(col("__len") >= col("n"))
+      .select(col("pair_id"), col("n"),
+        (col("__len") - col("n") + 1).cast("long").as(totName))
+
+  def chrfPairs(refs: DataFrame, refId: Column, refText: Column,
+      cands: DataFrame, candId: Column, candText: Column): DataFrame = {
+    val cg = chrfGrams(cands, candId, candText, 3)
+    val rg = chrfGrams(refs, refId, refText, 3)
+      .select(col("pair_id"), col("n"), col("gram"), col("c").as("cr"))
+    chrfFromGrams(cg, rg, chrfTotals(cands, candId, candText, 3, "totc"),
+      chrfTotals(refs, refId, refText, 3, "totr"))
+  }
+
+  /** [[chrfPairs]] for the self-pairing corpus sweep (candidate doc i
+    * scored against reference doc i+`shift`): both clip-join sides are
+    * id-shifted projections of ONE gram aggregation — the aggregation
+    * exchange is identical on both sides, so AQE's exchange reuse
+    * computes the corpus explode once; the totals are arithmetic
+    * (`len − n + 1`), never a gram-table scan. */
+  def chrfSelfPairs(docs: DataFrame, id: Column, text: Column,
+      shift: Int = 1): DataFrame = {
+    val g = chrfGrams(docs, id, text, 3)
+    val rg = g.select((col("pair_id") - shift).as("pair_id"), col("n"),
+      col("gram"), col("c").as("cr"))
+    val tc = chrfTotals(docs, id, text, 3, "totc")
+    val tr = tc.select((col("pair_id") - shift).as("pair_id"), col("n"),
+      col("totc").as("totr"))
+    chrfFromGrams(g, rg, tc, tr)
+  }
+
+  private def chrfFromGrams(cg: DataFrame, rg: DataFrame,
+      totc: DataFrame, totr: DataFrame): DataFrame = {
+    val hits = cg.join(rg, Seq("pair_id", "n", "gram"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("c"), col("cr"))).as("hit"))
+    // base rows exist only where BOTH sides have n-grams; clipped hit
+    // defaults to 0 (disjoint gram sets), F = 0 there by convention
+    val p = col("hit").cast("double") / col("totc").cast("double")
+    val r = col("hit").cast("double") / col("totr").cast("double")
+    val perN = totc.join(totr, Seq("pair_id", "n"))
+      .join(hits, Seq("pair_id", "n"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .select(col("pair_id"), col("n"),
+        when(col("hit") > 0,
+          round((lit(5.0) * p * r) / (lit(4.0) * p + r), 6))
+          .otherwise(lit(0.0)).as("f"))
+    perN.groupBy(col("pair_id"))
+      .agg(
+        max(when(col("n") === 1, col("f"))).as("f1"),
+        max(when(col("n") === 2, col("f"))).as("f2"),
+        max(when(col("n") === 3, col("f"))).as("f3"))
+      .select(col("pair_id"), col("f1"), col("f2"), col("f3"),
+        when(col("f1").isNotNull && col("f2").isNotNull &&
+          col("f3").isNotNull,
+          round((col("f1") + col("f2") + col("f3")) / lit(3.0), 6))
+          .as("chrf"))
+  }
 }

@@ -36,6 +36,36 @@ class BpeSpec extends SparkSpec {
     assert(enc.toSeq == Seq("aa", "a</w>"))
   }
 
+  test("unigramSegment: hand-derived Viterbi on a one-doc model") {
+    // "abab": substr freqs a:2 b:2 ab:2 ba:1 aba:1 bab:1 abab:1, T=10;
+    // bit-costs len(bin(10//f)): f=2 → bin(5)=101 → 3; f=1 → bin(10) → 4.
+    // Whole-word "abab" (4 bits, 1 piece) beats "ab"+"ab" (6 bits, 2).
+    val d = Seq((1L, "abab")).toDF("doc_id", "text")
+    val r = Bpe.unigramSegment(d, col("doc_id"), col("text")).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L && r.getLong(3) == 1L)
+  }
+
+  test("unigramSegment: packed-state tie-break prefers fewer pieces") {
+    // "aaaa": costs a=2, aa=2, aaa=3, aaaa=4 → "aaaa" (4 bits, 1 piece)
+    // TIES "aa"+"aa" (4 bits, 2 pieces) on cost; the cost·64+pieces
+    // packing must resolve to 1 piece
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val r = Bpe.unigramSegment(d, col("doc_id"), col("text")).collect().head
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1L)
+  }
+
+  test("unigramSegment: prefix truncation and empty-doc exclusion") {
+    val d = Seq((1L, "abab"), (2L, "")).toDF("doc_id", "text")
+    val out = Bpe.unigramSegment(d, col("doc_id"), col("text"),
+      prefixLen = 2).collect()
+    assert(out.length == 1) // the empty doc has no segmentable prefix
+    val r = out.head
+    // model still trains on the FULL text; only scoring truncates:
+    // "ab" → one 3-bit piece
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(2) == 3L && r.getLong(3) == 1L)
+  }
+
   test("compression: subword count strictly below char count on real docs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)

@@ -1018,4 +1018,36 @@ class PlanContractSpec extends SparkSpec {
     // only the two un-memoized cost counts (docs, 3-gram shingles)
     assert(count(p, "Scan ExistingRDD") >= 3, p.take(1200))
   }
+
+  test("q196: KN scoring — vocabulary-sized model tables broadcast onto " +
+    "the shared doc-bigram artifact; zero parquet, no sort-merge") {
+    val p = plan("q196_kn_bigram")
+    // the corpus is never rescanned: both count tables are session
+    // artifacts and every model join is a broadcast hash join
+    assert(!p.contains("FileScan parquet"), p.take(1200))
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(1200))
+    assert(count(p, "SortMergeJoin") == 0 &&
+      count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+  }
+
+  test("q197: chrF — the clip is an equi-join on (pair, n, gram); the " +
+    "totals are length arithmetic, never a gram-table scan") {
+    val p = plan("q197_chrf")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+    // denominators come from len − n + 1 off the pruned (doc_id, text)
+    // scan — the exploded gram table has exactly one consumer per side
+    assert(p.contains("__len"), p.take(1200))
+  }
+
+  test("q200: Viterbi scoring — 4 broadcast cost lookups, ONE hash " +
+    "exchange (the per-doc collect); the fold is in-plan") {
+    val p = plan("q200_unigram_segment")
+    assert(count(p, "BroadcastHashJoin") == 4, p.take(1500))
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(1500))
+    assert(count(p, "SortMergeJoin") == 0 &&
+      count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+  }
 }

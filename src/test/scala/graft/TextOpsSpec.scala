@@ -474,6 +474,78 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L)._2 < out(2L)._2)
   }
 
+  test("knBigramNll: hand-computed KN, continuation diversity beats frequency") {
+    // m follows 5 distinct contexts (u×2, a1..a4×1); n follows only v
+    // (×2). The "u m" and "v n" docs have IDENTICAL surface statistics
+    // (bc=2 within ctx=2, nfollow=1) — only the continuation diversity
+    // of the second token differs, so KN must rank p(m|u) > p(n|v).
+    val docs = Seq((1L, "u m"), (2L, "u m"), (3L, "a1 m"), (4L, "a2 m"),
+      (5L, "a3 m"), (6L, "a4 m"), (7L, "v n"), (8L, "v n"))
+      .toDF("doc_id", "text")
+    val out = TextStats.knBigramNll(docs, col("doc_id"), col("text"), 0.75)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // bigram types: (u,m),(a1..a4,m),(v,n) → nt=6; nprec(m)=5, nprec(n)=1
+    val pUm = (2.0 - 0.75) / 2 + (0.75 * 1 / 2) * (5.0 / 6)
+    val pVn = (2.0 - 0.75) / 2 + (0.75 * 1 / 2) * (1.0 / 6)
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - (-math.log(pUm))) < 1e-3)
+    assert(out(7L)._1 == 1L && math.abs(out(7L)._2 - (-math.log(pVn))) < 1e-3)
+    assert(out(1L)._2 < out(7L)._2)
+    // single-bigram docs only: every doc with >= 2 tokens is present
+    assert(out.size == 8)
+  }
+
+  test("chrfPairs: hand-computed F_beta2=4, zero-overlap and short-side edges") {
+    // identical pair → every F = 1; recall-weighted pair: cand "a" vs
+    // ref "aa" has P1=1, R1=1/2 → F1 = 5·1·.5/(4·1+.5) = 5/9
+    val refs = Seq((1L, "a b c"), (2L, "a a"), (3L, "b a")).toDF("doc_id", "text")
+    val cands = Seq((1L, "a b c"), (2L, "a"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextDedup.chrfPairs(refs, col("doc_id"), col("text"),
+        cands, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out(1L) == ((Some(1.0), Some(1.0), Some(1.0), Some(1.0))))
+    // pair 2: cand too short for n=2,3 → no base row → NULL f2/f3/chrf
+    assert(out(2L)._1 == Some(math.round(5.0 / 9 * 1e6) / 1e6))
+    assert(out(2L)._2.isEmpty && out(2L)._4.isEmpty)
+    // pair 3: chars {a,b} match (f1=1) but bigrams "ab" vs "ba" are
+    // disjoint → f2 = 0 by convention, f3 NULL (2 chars)
+    assert(out(3L)._1 == Some(1.0) && out(3L)._2 == Some(0.0))
+    assert(out(3L)._3.isEmpty && out(3L)._4.isEmpty)
+  }
+
+  test("chrfSelfPairs ≡ chrfPairs on the shifted self-pairing") {
+    val two = TextDedup.chrfPairs(docs, col("doc_id") - 1L, col("text"),
+      docs, col("doc_id"), col("text")).collect().map(_.toSeq).toSet
+    val one = TextDedup.chrfSelfPairs(docs, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    assert(one == two && one.nonEmpty)
+  }
+
+  test("distinctNgrams: hand-computed diversity ratios") {
+    // s1: unigrams 6 total/2 distinct, bigrams 4/2, trigrams 2/2
+    val d = Seq(("s1", "a b a b"), ("s1", "a b")).toDF("source", "text")
+    val r = TextStats.distinctNgrams(d, col("source"), col("text"))
+      .collect().head
+    assert(r.getString(0) == "s1" && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 0.333333 && r.getDouble(3) == 0.5 &&
+      r.getDouble(4) == 1.0)
+  }
+
+  test("blocklistGate: count and rate triggers, integer-only decision") {
+    val d = Seq(
+      ("s1", "slow slow slow x"), // 3 hits → count trigger
+      ("s1", "x y z"), // clean
+      ("s2", "slow a b c d e f g h i j k l m n o p q r"), // 1/19 → 20≥19 rate trigger
+      ("s2", "slow a b c d e f g h i j k l m n o p q r s") // 1/20 → 20≥20 rate trigger (boundary)
+    ).toDF("source", "text")
+    val out = TextStats.blocklistGate(d, col("text"), col("source"),
+        Seq("slow", "dup", "junk"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(out("s1") == ((2L, 1L, 3L)))
+    assert(out("s2") == ((2L, 2L, 2L)))
+  }
+
   test("leakageSafeSplit: near-dup groups never straddle splits") {
     import graft.ops.{Sampling, TextDedup}
     val pairs = TextDedup.lshCandidates(TextDedup.minhashSignatures(
