@@ -2777,6 +2777,34 @@ object SparkEntry {
     TextStats.blocklistGate(t(s, dir, "documents"), col("text"),
       col("source"), Seq("slow", "dup", "junk"))
 
+  /** Logistic-regression DISTILLATION of the Gopher gate (q127):
+    * hashed bag-of-words features, two deterministic snapped gradient
+    * steps — the cheap-classifier-from-expensive-gate move production
+    * pipelines run ([[ops.Quality.logregDistill]]). */
+  private def qLogregDistill(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        when(col("keep"), 1.0).otherwise(0.0).as("y"))
+    ops.Quality.logregDistill(docs, col("doc_id"), col("text"), labels)
+  }
+
+  /** Top-PC projection by power iteration (never materializing the
+    * Gram matrix — G·v computed as Σ x·(x·v), O(d) per row): the
+    * data-driven dimensionality reduction next to q167's random JL
+    * projection ([[ops.LinAlg.pcaPowerProject]]). */
+  private def qPcaPower(s: SparkSession, dir: String): DataFrame =
+    ops.LinAlg.pcaPowerProject(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"))
+
+  /** KMV distinct sketch of active user-days per event type + the
+    * `__union` row — the theta-sketch set-operation story next to
+    * q31/q68's HLL ([[ops.Sketch.kmvDistinct]]). */
+  private def qKmvSketch(s: SparkSession, dir: String): DataFrame =
+    ops.Sketch.kmvDistinct(t(s, dir, "events"), col("event_type"),
+      concat(col("user_id").cast("string"), lit("|"),
+        date_format(col("ts"), "yyyy-MM-dd")))
+
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family
     * next to the BPE merge loop): integer bit-length costs, packed
@@ -3278,7 +3306,10 @@ object SparkEntry {
     "q197_chrf" -> (qChrf _),
     "q198_distinct_ngrams" -> (qDistinctNgrams _),
     "q199_blocklist_gate" -> (qBlocklistGate _),
-    "q200_unigram_segment" -> (qUnigramSegment _))
+    "q200_unigram_segment" -> (qUnigramSegment _),
+    "q201_logreg_distill" -> (qLogregDistill _),
+    "q202_pca_power" -> (qPcaPower _),
+    "q203_kmv_sketch" -> (qKmvSketch _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6408,5 +6439,63 @@ object SparkEntry {
         "FROM st r JOIN cp c ON c.doc_id = r.doc_id AND c.i = r.i + 1) " +
         "SELECT d.doc_id, CAST(d.L AS BIGINT) AS n_chars, " +
         "CAST(s.b3 // 64 AS BIGINT) AS cost_bits, CAST(s.b3 % 64 AS BIGINT) AS n_pieces " +
-        "FROM st s JOIN doc d ON d.doc_id = s.doc_id AND s.i = d.L"))
+        "FROM st s JOIN doc d ON d.doc_id = s.doc_id AND s.i = d.L"),
+    "q201_logreg_distill" ->
+      // identical trajectory: q127's keep as the label, md5 % 32
+      // hashed features, step-1 gradient exact halves, step-2 via
+      // snapped margins/gradient, per-step 1e6-snapped weights
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "m AS (SELECT doc_id, len(tk) AS n, " +
+        "list_sum(list_transform(tk, t -> length(t))) AS sumlen, " +
+        "len(list_distinct(tk)) AS dst, " +
+        "list_max(list_transform(tk, t -> length(t))) AS mx, " +
+        "len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS stp FROM s), " +
+        "y AS (SELECT doc_id, CASE WHEN (n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
+        "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y FROM m), " +
+        "x AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS bucket, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM (SELECT doc_id, unnest(tk) AS tok FROM s) GROUP BY 1, 2), " +
+        "nn AS (SELECT CAST(greatest(count(*), 1) AS DOUBLE) AS n FROM y), " +
+        "g1 AS (SELECT bucket, sum(x * (y - CAST(0.5 AS DOUBLE))) AS g FROM x JOIN y USING (doc_id) GROUP BY 1), " +
+        "w1 AS (SELECT bucket, floor((CAST(0.5 AS DOUBLE) * g / n) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS w1 " +
+        "FROM g1 CROSS JOIN nn), " +
+        "mg AS (SELECT doc_id, CAST(sum(CAST(floor(x * w1 * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS m " +
+        "FROM x JOIN w1 USING (bucket) GROUP BY 1), " +
+        "p AS (SELECT doc_id, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-m)) AS p FROM mg), " +
+        "g2 AS (SELECT bucket, CAST(sum(CAST(floor(x * (y - p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS g " +
+        "FROM x JOIN y USING (doc_id) JOIN p USING (doc_id) GROUP BY 1), " +
+        "w2 AS (SELECT g2.bucket, floor((w1 + CAST(0.5 AS DOUBLE) * g / n) * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS w2 " +
+        "FROM g2 JOIN w1 USING (bucket) CROSS JOIN nn) " +
+        "SELECT w1.bucket, w1, w2 FROM w1 JOIN w2 USING (bucket)"),
+    "q202_pca_power" ->
+      // identical trajectory: v0 = 1/sqrt(d) (correctly-rounded IEEE),
+      // per-row dots as left-to-right list folds, accumulations
+      // 1e9-snapped, per-iteration coordinates 1e6-snapped
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "d0 AS (SELECT CAST(1 AS DOUBLE) / sqrt(CAST(len(e) AS DOUBLE)) AS v0 FROM v LIMIT 1), " +
+        "s1 AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x * v0)) AS s FROM v CROSS JOIN d0), " +
+        "u1 AS (SELECT pos, CAST(sum(CAST(floor(xv * s * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS u " +
+        "FROM (SELECT s, unnest(e) AS xv, generate_subscripts(e, 1) AS pos FROM s1) GROUP BY 1), " +
+        "n1 AS (SELECT sqrt(list_sum(list_transform(list(u ORDER BY pos), x -> x * x))) AS nrm FROM u1), " +
+        "w1 AS (SELECT list(floor(u / nrm * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) ORDER BY pos) AS wl FROM u1 CROSS JOIN n1), " +
+        "s2 AS (SELECT vec_id, e, list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * wl[i])) AS s FROM v CROSS JOIN w1), " +
+        "u2 AS (SELECT pos, CAST(sum(CAST(floor(xv * s * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS u " +
+        "FROM (SELECT s, unnest(e) AS xv, generate_subscripts(e, 1) AS pos FROM s2) GROUP BY 1), " +
+        "n2 AS (SELECT sqrt(list_sum(list_transform(list(u ORDER BY pos), x -> x * x))) AS nrm FROM u2), " +
+        "w2 AS (SELECT list(floor(u / nrm * 1000000 + 0.5) / CAST(1000000 AS DOUBLE) ORDER BY pos) AS wl FROM u2 CROSS JOIN n2) " +
+        "SELECT vec_id, round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * wl[i])), 4) AS pc1 " +
+        "FROM v CROSS JOIN w2"),
+    "q203_kmv_sketch" ->
+      // identical 60-bit md5 hashes, k = 64 smallest per group +
+      // __union row, est = 63·2^60/h_k; below-k groups report exact
+      ("WITH e AS (SELECT event_type AS grp, " +
+        "CAST(('0x' || substr(md5(user_id || '|' || strftime(ts, '%Y-%m-%d')), 1, 15)) AS BIGINT) AS h FROM events), " +
+        "d AS (SELECT DISTINCT grp, h FROM e), " +
+        "a AS (SELECT * FROM d UNION ALL SELECT DISTINCT '__union' AS grp, h FROM d), " +
+        "r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM a), " +
+        "kth AS (SELECT grp, max(CASE WHEN rn = 64 THEN h END) AS kth FROM r WHERE rn <= 64 GROUP BY 1), " +
+        "cnt AS (SELECT grp, count(*) AS n_exact FROM a GROUP BY 1) " +
+        "SELECT cnt.grp, CAST(n_exact AS BIGINT) AS n_exact, kth, " +
+        "CASE WHEN kth IS NOT NULL THEN round((CAST(63 AS DOUBLE) * 1152921504606846976) / CAST(kth AS DOUBLE), 4) " +
+        "ELSE CAST(n_exact AS DOUBLE) END AS est " +
+        "FROM cnt JOIN kth USING (grp)"))
 }

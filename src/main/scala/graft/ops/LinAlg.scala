@@ -52,6 +52,52 @@ object LinAlg {
         count(lit(1)).as("n"))
   }
 
+  /** Top principal direction by POWER ITERATION, never materializing
+    * the Gram matrix: each iteration is two corpus passes computing
+    * G·v = Σ_rows x·(x·v) directly — O(d) work per row instead of the
+    * O(d²) cell expansion of [[gramMatrix]], which is the move that
+    * matters when d is embedding-sized (64+) and the corpus is 100 TB.
+    * The learned direction is the data-driven complement to the q167
+    * random (JL) projection: same output shape, maximal retained
+    * variance instead of distributional guarantees.
+    *
+    * Determinism (every step engine-replayable):
+    *  - v₀ = 1/√d in every coordinate (√ and ÷ are correctly rounded
+    *    IEEE ops — both engines produce the identical double);
+    *  - per-row dots fold LEFT-TO-RIGHT in index order (`aggregate`
+    *    over `zip_with` here ≡ DuckDB's `list_sum∘list_transform`);
+    *  - the d accumulations Σ x_i·(x·v) are 1e9-snapped
+    *    order-independent sums;
+    *  - the driver normalizes in index order and snaps each new
+    *    coordinate to the 1e6 grid before it re-enters the plan as a
+    *    literal (the [[Ann.kmeansLloyd]] driver-state contract — d
+    *    doubles, two collects per iteration).
+    * Returns (vec_id, pc1 = x·v_final rounded 4 dp); the sign is an
+    * artifact of the deterministic trajectory, stable across engines. */
+  def pcaPowerProject(vecs: DataFrame, id: Column, vec: Column,
+      iters: Int = 2): DataFrame = {
+    import graft.expr.Snap
+    val base = Fanout.fanout(vecs).select(id.as("vec_id"),
+      transform(vec, _.cast("double")).as("e"))
+    val d = base.select(size(col("e"))).first().getInt(0)
+    require(d > 0, "pcaPowerProject: empty vectors")
+    def dot(v: Array[Double]): Column =
+      aggregate(zip_with(col("e"), array(v.map(lit): _*), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val u = base.select(col("vec_id"), dot(v).as("s"),
+          posexplode(col("e")).as(Seq("pos", "xv")))
+        .groupBy(col("pos"))
+        .agg(Snap.snappedSum(col("xv") * col("s"), 1e9).as("u"))
+        .orderBy(col("pos"))
+        .collect().map(_.getDouble(1))
+      val nrm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))
+      v = u.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
+    }
+    base.select(col("vec_id"), round(dot(v), 4).as("pc1"))
+  }
+
   /** Solve the normal equations from a collected [[gramMatrix]] result:
     * β = (X^T X)^{-1} X^T y via Gaussian elimination with partial
     * pivoting on the driver ((d+1)×(d+1) — trivial). `cells` maps

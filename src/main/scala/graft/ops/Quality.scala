@@ -417,4 +417,73 @@ object Quality {
         round((col("r") - col("p").cast("double") * (col("p") + lit(1L)).cast("double") / lit(2.0)) /
           (col("p").cast("double") * (col("t") - col("p")).cast("double")), 6).as("auc"))
   }
+
+  /** Distill an expensive quality gate into a cheap linear model — the
+    * classifier-distillation step production pipelines run (GPT-3's
+    * WebText quality classifier, RefinedWeb's filters): logistic
+    * regression on a HASHED bag-of-words (md5(token) % nBuckets — the
+    * hashing trick, so the feature space is fixed-width regardless of
+    * vocabulary), trained by two deterministic full-batch gradient
+    * steps from w = 0 with per-step snapped weights.
+    *
+    * Determinism: step 1's p_i = σ(0) is EXACTLY ½, so its gradient is
+    * a sum of exact binary halves (order-free without snapping); the
+    * step-2 margins and gradient are 1e9-snapped order-independent
+    * sums; each weight update snaps to the 1e6 grid before use (the
+    * q171 Bradley–Terry iterate discipline), so both engines replay
+    * the identical trajectory. `labels` = (doc_id, y ∈ {0.0, 1.0}).
+    *
+    * Scale shape: the hashed feature table is (docs × ≤nBuckets) rows,
+    * materialized once for its three consumers; every per-bucket
+    * aggregation is map-side combined to nBuckets rows; the weight
+    * vector broadcasts. One corpus-sized equi-join per step against
+    * the label table. Returns (bucket, w1, w2) — the trajectory, not
+    * just the endpoint, so drift between steps is visible. */
+  def logregDistill(docs: DataFrame, id: Column, text: Column,
+      labels: DataFrame, nBuckets: Int = 32, eta: Double = 0.5,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    // hashed bag-of-words: md5(token) % nBuckets (the q42 md5-derived
+    // convention — any engine replays the bucket)
+    val x = materialize(Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(graft.expr.TextStats.tokens(text))
+        .as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("x")))
+    val y = labels.select(col("doc_id"), col("y"))
+    val n = {
+      val r = y.agg(count(lit(1))).first()
+      math.max(r.getLong(0), 1L).toDouble
+    }
+    // step 1 from w = 0: every p_i is EXACTLY 0.5, so the gradient
+    // Σ x·(y − ½) is a sum of exact binary halves — exact in any
+    // summation order, no snap needed
+    val w1 = x.join(y, "doc_id")
+      .groupBy(col("bucket"))
+      .agg(sum(col("x") * (col("y") - lit(0.5))).as("g"))
+      .select(col("bucket"),
+        (floor((lit(eta) * col("g") / lit(n)) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("w1"))
+    // step 2: margins and the gradient are order-free snapped sums;
+    // the single transcendental (exp) feeds a snapped update, the
+    // q171 Bradley–Terry discipline
+    val margins = x.join(broadcast(w1), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(Snap.snappedSum(col("x") * col("w1"), 1e9).as("m"))
+    val p = margins.select(col("doc_id"),
+      (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+    val w2 = x.join(y, "doc_id").join(p, "doc_id")
+      .groupBy(col("bucket"))
+      .agg(Snap.snappedSum(col("x") * (col("y") - col("p")), 1e9).as("g"))
+      .join(broadcast(w1), "bucket")
+      .select(col("bucket"),
+        (floor((col("w1") + lit(eta) * col("g") / lit(n)) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("w2"))
+    w1.join(w2, "bucket").select(col("bucket"), col("w1"), col("w2"))
+  }
+
 }

@@ -245,4 +245,50 @@ object Sketch {
     }
     withEst.withColumnRenamed("__est", "cm_est")
   }
+
+  /** KMV (k minimum values) distinct sketch per group — the theta-
+    * sketch family's simplest member (Bar-Yossef et al. 2002; Beyer et
+    * al. "Distinct-Value Synopses" 2007), next to the HLL register
+    * table (q68): keep the k SMALLEST 60-bit md5 hashes of the keys;
+    * if the kth smallest maps to fraction R of the hash space, about
+    * k/R distinct keys exist — est = (k−1)·2⁶⁰/h_k (the unbiased
+    * form). Unlike HLL, the sketch supports SET OPERATIONS by
+    * construction: the union sketch is the k smallest of the merged
+    * hash sets (spec-pinned mergeability), which is why theta sketches
+    * are the audience-overlap tool. Emits one row per group plus the
+    * `__union` row over all groups; a group with fewer than k distinct
+    * hashes reports its EXACT count (the sketch is lossless below k).
+    *
+    * Deterministic: md5-derived hashes (no seeds), integer ranks, one
+    * double division at the end. Scale shape: one distinct-aggregation
+    * shuffle of (group, hash) rows, then the rank ≤ k filter plans as
+    * WindowGroupLimit (partial per-partition top-k — a group never
+    * ships more than k·partitions hashes); the exact count is an
+    * audit column this synthetic gate can afford, not part of the
+    * sketch contract. */
+  def kmvDistinct(df: DataFrame, grp: Column, key: Column, k: Int = 64,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val d = materialize(Fanout.fanout(df)
+      .select(grp.as("grp"), h.as("h")).distinct())
+    val all = d.unionByName(
+      d.select(lit("__union").as("grp"), col("h")).distinct())
+    val topk = all
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("grp"))
+      .agg(max(when(col("rn") === k, col("h"))).as("kth"))
+    val cnt = all.groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
+    cnt.join(topk, "grp")
+      .select(col("grp"), col("n_exact"), col("kth"),
+        when(col("kth").isNotNull,
+          round(lit((k - 1).toDouble * 1152921504606846976.0) /
+            col("kth").cast("double"), 4))
+          .otherwise(col("n_exact").cast("double")).as("est"))
+  }
 }
+

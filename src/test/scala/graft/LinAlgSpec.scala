@@ -69,4 +69,26 @@ class LinAlgSpec extends SparkSpec {
     for (k <- gAll.keys)
       assert(math.abs(gAll(k) - (gA(k) + gB(k))) < 1e-9, s"cell $k")
   }
+
+  test("pcaPowerProject: recovers the dominant axis, deterministic") {
+    // variance concentrated on axis 0; axis 1 is small noise
+    val vecs = Seq(
+      (1L, Seq(10.0f, 1.0f)), (2L, Seq(8.0f, -1.0f)),
+      (3L, Seq(-9.0f, 0.5f)), (4L, Seq(-10.0f, -0.5f)),
+      (5L, Seq(0.1f, 1.0f)))
+      .toDF("vec_id", "e")
+    val p = LinAlg.pcaPowerProject(vecs, col("vec_id"), col("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // opposite-x0 vectors project with opposite signs; the
+    // small-x0 vector projects near zero relative to the big ones
+    assert(p(1L) * p(3L) < 0 && p(2L) * p(4L) < 0)
+    assert(math.abs(p(5L)) < math.abs(p(1L)) / 5)
+    // |projection| ordering follows |x0| for the dominant vectors
+    assert(math.abs(p(1L)) > math.abs(p(2L)))
+    // deterministic under repartition (driver trajectory is snapped)
+    val p2 = LinAlg.pcaPowerProject(vecs.repartition(5), col("vec_id"),
+      col("e")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p2 == p)
+  }
 }
+

@@ -1041,6 +1041,23 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("__len"), p.take(1200))
   }
 
+  test("q201: logreg distillation — the hashed feature table is " +
+    "materialized once (three consumers), weight vectors broadcast, " +
+    "no cartesian") {
+    val p = plan("q201_logreg_distill")
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+  }
+
+  test("q203: KMV — the rank ≤ k filter plans as WindowGroupLimit " +
+    "(a group never ships more than k hashes per partition)") {
+    val p = plan("q203_kmv_sketch")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1200))
+  }
+
   test("q200: Viterbi scoring — 4 broadcast cost lookups, ONE hash " +
     "exchange (the per-doc collect); the fold is in-plan") {
     val p = plan("q200_unigram_segment")

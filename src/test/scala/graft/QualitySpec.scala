@@ -343,4 +343,59 @@ class QualitySpec extends SparkSpec {
     assert(rep(8L) == ((2L, 0.85, 0.5, 0.35)))
     assert(rep(9L) == ((2L, 0.975, 1.0, 0.025)))
   }
+
+  test("logregDistill: step-1 closed form, loss decreases, determinism") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "good stuff here ok"), (2L, "bad junk there no"),
+      (3L, "good more words yes"), (4L, "bad other token no"))
+      .toDF("doc_id", "text")
+    val labels = docs.select(col("doc_id"),
+      when(col("text").contains("good"), 1.0).otherwise(0.0).as("y"))
+    val w = Quality.logregDistill(docs, col("doc_id"), col("text"),
+        labels, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // independent replay in plain Scala: md5-hex bucket, x counts,
+    // w1 = snap6(eta/N * sum x(y - 1/2)) — the exact-halves gradient
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 8
+    }
+    val rows = Seq(
+      (1L, "good stuff here ok", 1.0), (2L, "bad junk there no", 0.0),
+      (3L, "good more words yes", 1.0), (4L, "bad other token no", 0.0))
+    val x = rows.flatMap { case (d, t, y) =>
+      t.split(" ").map(tok => (d, bucket(tok), y)) }
+      .groupBy { case (d, b, _) => (d, b) }
+      .map { case ((d, b), g) => (d, b, g.size.toDouble, g.head._3) }
+    val g1 = x.groupBy(_._2).map { case (b, g) =>
+      b -> g.map { case (_, _, xc, y) => xc * (y - 0.5) }.sum }
+    val w1Exp = g1.map { case (b, g) =>
+      b -> math.floor((0.5 * g / 4.0) * 1e6 + 0.5) / 1e6 }
+    assert(w.keySet == w1Exp.keySet)
+    w1Exp.foreach { case (b, v) => assert(w(b)._1 == v, s"bucket $b") }
+    // training moves predictions toward labels: mean log-loss under w2
+    // < under w1 < ln 2 (the w = 0 loss)
+    def loss(wsel: Long => Double): Double = {
+      val ms = x.groupBy(_._1).map { case (d, g) =>
+        d -> g.map { case (_, b, xc, _) => xc * wsel(b) }.sum }
+      val ys = rows.map(r => r._1 -> r._3).toMap
+      val ls = ms.map { case (d, m) =>
+        val p = 1.0 / (1.0 + math.exp(-m))
+        -(ys(d) * math.log(p) + (1 - ys(d)) * math.log(1 - p)) }
+      ls.sum / ls.size
+    }
+    assert(loss(b => w(b)._2) < loss(b => w(b)._1))
+    assert(loss(b => w(b)._1) < math.log(2.0))
+    // deterministic under repartition
+    val w9 = Quality.logregDistill(docs.repartition(7), col("doc_id"),
+        col("text"), labels, nBuckets = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(w9 == w)
+  }
 }
+

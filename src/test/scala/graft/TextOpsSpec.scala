@@ -894,4 +894,35 @@ class TextOpsSpec extends SparkSpec {
     assert(r("e").isNullAt(6) && r("e").isNullAt(7), r("e").toString)
     assert(r("s").getDouble(6) == 0.0 && r("s").getDouble(7) == 0.0)
   }
+
+  test("kmvDistinct: below-k exactness, estimate sanity, sketch mergeability") {
+    import graft.ops.Sketch
+    // group "big": 500 distinct keys (sketched, k=64); group "small":
+    // 10 distinct keys (below k -> exact count reported as est)
+    val rows = (1 to 500).map(i => ("big", s"k$i")) ++
+      (1 to 10).map(i => ("small", s"s$i")) ++
+      (1 to 10).map(i => ("small", s"s$i")) // duplicates collapse
+    val df = rows.toDF("g", "key")
+    val out = Sketch.kmvDistinct(df, col("g"), col("key"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getDouble(3)))).toMap
+    assert(out("small")._1 == 10L && out("small")._2.isEmpty &&
+      out("small")._3 == 10.0)
+    assert(out("big")._1 == 500L)
+    // KMV with k=64 on 500 distinct: relative error ~ 1/sqrt(k-1) ~ 13%;
+    // allow 3 sigma
+    assert(math.abs(out("big")._3 - 500.0) < 200.0, out("big").toString)
+    // the __union row sketches the merged hash set
+    assert(out("__union")._1 == 510L)
+    // mergeability: the union sketch's kth equals the kth of the
+    // merged per-group hash sets — recompute by relabeling all rows
+    // into one group and comparing (kth, est)
+    val one = Sketch.kmvDistinct(df.select(lit("all").as("g"), col("key")),
+        col("g"), col("key"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)), r.getDouble(3)))).toMap
+    assert(one("all")._1 == out("__union")._2 &&
+      one("all")._2 == out("__union")._3)
+  }
 }
+
