@@ -2805,6 +2805,36 @@ object SparkEntry {
       concat(col("user_id").cast("string"), lit("|"),
         date_format(col("ts"), "yyyy-MM-dd")))
 
+  /** Unbiased pass@k per problem (Chen et al. 2021 eq. 1) — the
+    * best-of-n eval of generated candidates: problems = 8-doc groups,
+    * a candidate "passes" when it clears the Gopher gate
+    * ([[ops.Quality.passAtK]]). */
+  private def qPassAtK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    ops.Quality.passAtK(keep, expr("doc_id div 8"), col("keep"))
+  }
+
+  /** Wilson 95% interval on the per-source Gopher pass rate — the
+    * small-sample-honest error bar a curation dashboard puts on a
+    * gate's rate ([[ops.Quality.rateWilson]]). */
+  private def qWilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val flagged = docs.select(col("doc_id"), col("source"))
+      .join(TextStats.gopherRules(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("keep")), "doc_id")
+    ops.Quality.rateWilson(flagged, col("source"), col("keep"))
+      .withColumnRenamed("grp", "source")
+  }
+
+  /** Chao1 bigram-vocabulary richness per source — "how much
+    * vocabulary has this source NOT yet shown us": the corpus-growth
+    * coverage estimate ([[TextStats.chao1Richness]]). */
+  private def qChao1(s: SparkSession, dir: String): DataFrame =
+    TextStats.chao1Richness(t(s, dir, "documents"), col("source"),
+      col("text")).withColumnRenamed("grp", "source")
+
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family
     * next to the BPE merge loop): integer bit-length costs, packed
@@ -3309,7 +3339,10 @@ object SparkEntry {
     "q200_unigram_segment" -> (qUnigramSegment _),
     "q201_logreg_distill" -> (qLogregDistill _),
     "q202_pca_power" -> (qPcaPower _),
-    "q203_kmv_sketch" -> (qKmvSketch _))
+    "q203_kmv_sketch" -> (qKmvSketch _),
+    "q204_pass_at_k" -> (qPassAtK _),
+    "q205_wilson_ci" -> (qWilsonCi _),
+    "q206_chao1" -> (qChao1 _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6497,5 +6530,66 @@ object SparkEntry {
         "SELECT cnt.grp, CAST(n_exact AS BIGINT) AS n_exact, kth, " +
         "CASE WHEN kth IS NOT NULL THEN round((CAST(63 AS DOUBLE) * 1152921504606846976) / CAST(kth AS DOUBLE), 4) " +
         "ELSE CAST(n_exact AS DOUBLE) END AS est " +
-        "FROM cnt JOIN kth USING (grp)"))
+        "FROM cnt JOIN kth USING (grp)"),
+    "q204_pass_at_k" ->
+      // q127's keep as the pass bit, 8-doc problems, the unbiased
+      // 1 − Π (n−c−i)/(n−i) product in the same fixed order
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "m AS (SELECT doc_id, len(tk) AS n, " +
+        "list_sum(list_transform(tk, t -> length(t))) AS sumlen, " +
+        "len(list_distinct(tk)) AS dst, " +
+        "list_max(list_transform(tk, t -> length(t))) AS mx, " +
+        "len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS stp FROM s), " +
+        "g AS (SELECT doc_id // 8 AS problem_id, " +
+        "CASE WHEN (n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
+        "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7) THEN 1 ELSE 0 END AS p FROM m), " +
+        "a AS (SELECT problem_id, count(*) AS n, CAST(sum(p) AS BIGINT) AS c FROM g GROUP BY 1) " +
+        "SELECT problem_id, n, c, " +
+        "CASE WHEN n < 1 THEN NULL WHEN c > n - 1 THEN CAST(1 AS DOUBLE) " +
+        "ELSE round(CAST(1 AS DOUBLE) - (CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE)), 6) END AS pass1, " +
+        "CASE WHEN n < 2 THEN NULL WHEN c > n - 2 THEN CAST(1 AS DOUBLE) " +
+        "ELSE round(CAST(1 AS DOUBLE) - (CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE)) * " +
+        "(CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6) END AS pass2, " +
+        "CASE WHEN n < 4 THEN NULL WHEN c > n - 4 THEN CAST(1 AS DOUBLE) " +
+        "ELSE round(CAST(1 AS DOUBLE) - (CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE)) * " +
+        "(CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * " +
+        "(CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)) * " +
+        "(CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE)), 6) END AS pass4 " +
+        "FROM a"),
+    "q205_wilson_ci" ->
+      // Wilson score interval over exact integer counts, z = 1.96,
+      // one fixed parenthesization; q127's keep as the success bit
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+        "m AS (SELECT doc_id, len(tk) AS n, " +
+        "list_sum(list_transform(tk, t -> length(t))) AS sumlen, " +
+        "len(list_distinct(tk)) AS dst, " +
+        "list_max(list_transform(tk, t -> length(t))) AS mx, " +
+        "len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS stp FROM s), " +
+        "f AS (SELECT doc_id, CASE WHEN (n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
+        "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7) THEN 1 ELSE 0 END AS ok FROM m), " +
+        "a AS (SELECT source, count(*) AS n_rows, CAST(sum(ok) AS BIGINT) AS n_pass " +
+        "FROM documents JOIN f USING (doc_id) GROUP BY 1), " +
+        "b AS (SELECT source, n_rows, n_pass, " +
+        "CAST(n_pass AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ph, " +
+        "CAST(n_rows AS DOUBLE) AS n, CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2 FROM a), " +
+        "c AS (SELECT source, n_rows, n_pass, ph, " +
+        "(ph + z2 / (n * CAST(2 AS DOUBLE))) / (CAST(1 AS DOUBLE) + z2 / n) AS center, " +
+        "(CAST(1.96 AS DOUBLE) / (CAST(1 AS DOUBLE) + z2 / n)) * " +
+        "sqrt(ph * (CAST(1 AS DOUBLE) - ph) / n + z2 / (n * n * CAST(4 AS DOUBLE))) AS half FROM b) " +
+        "SELECT source, n_rows, n_pass, round(ph, 6) AS rate, " +
+        "round(center - half, 6) AS lo, round(center + half, 6) AS hi FROM c"),
+    "q206_chao1" ->
+      // counts-of-counts over per-source bigram types; chao1 =
+      // D + F1(F1-1)/(2(F2+1)), all-integer inputs
+      ("WITH d0 AS (SELECT source, string_split(text, ' ') AS tk FROM documents), " +
+        "g AS (SELECT source, unnest(CASE WHEN len(tk) >= 2 THEN " +
+        "list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS gram FROM d0), " +
+        "k AS (SELECT source, gram, count(*) AS k FROM g GROUP BY 1, 2), " +
+        "a AS (SELECT source, count(*) AS d, " +
+        "CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, " +
+        "CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 FROM k GROUP BY 1) " +
+        "SELECT source, d, f1, f2, " +
+        "round(CAST(d AS DOUBLE) + (CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)) / CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1 " +
+        "FROM a"))
 }

@@ -396,6 +396,35 @@ object TextStats {
             sum(col("nt")).cast("double"), 4)).as("hits_per_ktok"))
   }
 
+  /** Chao1 vocabulary-richness estimate per group (Chao 1984,
+    * bias-corrected form): with D observed n-gram types, F1 singletons
+    * and F2 doubletons, the UNSEEN-type mass is estimated as
+    * F1(F1−1)/(2(F2+1)) — "how much vocabulary has this source not yet
+    * shown us", the coverage question behind corpus-growth decisions
+    * (a source whose chao1 ≈ D is exhausted; one whose chao1 ≫ D keeps
+    * paying). Bigram types by default (unigram vocabularies saturate).
+    * All-integer inputs, one fixed-parenthesization double expression.
+    *
+    * Scale shape: one explode to map-side-combined (group, gram, k)
+    * counts, one counts-of-counts rollup to |groups| rows. */
+  def chao1Richness(docs: org.apache.spark.sql.DataFrame, group: Column,
+      text: Column, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit,
+      round, sum, when}
+    graft.ops.Fanout.fanout(docs)
+      .select(group.as("grp"), explode(shingles(text, n)).as("gram"))
+      .groupBy(col("grp"), col("gram")).agg(count(lit(1)).as("k"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("d"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("k") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("grp"), col("d"), col("f1"), col("f2"),
+        round(col("d").cast("double") +
+          (col("f1").cast("double") * (col("f1") - lit(1L)).cast("double")) /
+            (lit(2L) * (col("f2") + lit(1L))).cast("double"), 4)
+          .as("chao1"))
+  }
+
   /** Dictionary-encode a corpus against a vocabulary (the
     * tokenize-to-ids step before packing/training): one posexplode, one
     * broadcast join (vocabularies are bounded — [[buildVocab]]'s top-N),

@@ -418,6 +418,44 @@ object Quality {
           (col("p").cast("double") * (col("t") - col("p")).cast("double")), 6).as("auc"))
   }
 
+  /** The hashed bag-of-words feature table (doc_id, bucket, x) —
+    * md5(token) % nBuckets, the q42 md5-derived convention so any
+    * engine replays the bucket. The ONE feature definition
+    * [[logregDistill]] (training) and [[logregScore]] (serving, incl.
+    * the streaming gate sink) both use — train/serve feature skew is
+    * structurally impossible. */
+  def logregFeatures(docs: DataFrame, id: Column, text: Column,
+      nBuckets: Int): DataFrame =
+    Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(graft.expr.TextStats.tokens(text))
+        .as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("x"))
+
+  /** Serve a trained [[logregDistill]] weight vector: per doc the
+    * snapped margin, σ(margin), and the admit bit. The decision is the
+    * SIGN of the margin — no transcendental in the gate itself, so the
+    * admit bit can never flip on an exp ulp. Buckets unseen in
+    * training score 0 (left join). Weights broadcast; one narrow
+    * feature pass per batch, zero state. */
+  def logregScore(weights: DataFrame, docs: DataFrame, id: Column,
+      text: Column, nBuckets: Int = 32): DataFrame = {
+    import graft.expr.Snap
+    logregFeatures(docs, id, text, nBuckets)
+      .join(broadcast(weights.select(col("bucket"), col("w"))),
+        Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(Snap.snappedSum(col("x") * coalesce(col("w"), lit(0.0)), 1e9)
+        .as("m"))
+      .select(col("doc_id"), col("m"),
+        (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"),
+        (col("m") >= 0).as("admit"))
+  }
+
+
   /** Distill an expensive quality gate into a cheap linear model — the
     * classifier-distillation step production pipelines run (GPT-3's
     * WebText quality classifier, RefinedWeb's filters): logistic
@@ -444,16 +482,7 @@ object Quality {
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
     import graft.expr.Snap
-    // hashed bag-of-words: md5(token) % nBuckets (the q42 md5-derived
-    // convention — any engine replays the bucket)
-    val x = materialize(Fanout.fanout(docs)
-      .select(id.as("doc_id"), explode(graft.expr.TextStats.tokens(text))
-        .as("tok"))
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
-          lit(nBuckets.toLong)).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).cast("double").as("x")))
+    val x = materialize(logregFeatures(docs, id, text, nBuckets))
     val y = labels.select(col("doc_id"), col("y"))
     val n = {
       val r = y.agg(count(lit(1))).first()
@@ -486,4 +515,62 @@ object Quality {
     w1.join(w2, "bucket").select(col("bucket"), col("w1"), col("w2"))
   }
 
+
+  /** Unbiased pass@k (Chen et al. "Evaluating LLMs Trained on Code",
+    * 2021, eq. 1) per problem: with n candidates of which c pass,
+    * pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i<k} (n−c−i)/(n−i) — the
+    * expected probability that at least one of k drawn candidates
+    * passes, the standard best-of-n eval of generated code/data.
+    * Computed as the fixed-order product of k integer-ratio factors
+    * (each a ratio of exact counts — any engine replays the identical
+    * doubles); the degenerate branches are integer decisions:
+    * n < k → NULL (undefined), c > n − k → 1 (every k-subset hits).
+    *
+    * Scale shape: ONE map-side-combined aggregation to |problems|
+    * rows; the estimator is a pure projection. */
+  def passAtK(candidates: DataFrame, problem: Column, pass: Column,
+      ks: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val agged = candidates
+      .select(problem.as("problem_id"), pass.cast("long").as("p"))
+      .groupBy(col("problem_id"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("c"))
+    val outs = ks.map { k =>
+      val prod = (0 until k)
+        .map(i => (col("n") - col("c") - lit(i)).cast("double") /
+          (col("n") - lit(i)).cast("double"))
+        .reduce(_ * _)
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("c") > col("n") - lit(k), lit(1.0))
+        .otherwise(round(lit(1.0) - prod, 6)).as(s"pass$k")
+    }
+    agged.select(col("problem_id") +: col("n") +: col("c") +: outs: _*)
+  }
+
+  /** Per-group success rate with the WILSON score interval (Wilson
+    * 1927) — the small-sample-honest error bar every curation
+    * dashboard should put on a gate's pass rate (the normal-approx
+    * interval lies at the rates gates actually produce: p̂ near 0 or 1
+    * on few docs). Closed form over exact integer counts and the
+    * literal z — one fixed parenthesization, √ correctly rounded, so
+    * both engines replay identical bounds. One map-side-combined
+    * aggregation to |groups| rows. */
+  def rateWilson(df: DataFrame, grp: Column, success: Column,
+      z: Double = 1.96): DataFrame = {
+    val agged = df
+      .select(grp.as("grp"), when(success, 1L).otherwise(0L).as("s"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("s")).as("n_pass"))
+    val n = col("n_rows").cast("double")
+    val ph = col("n_pass").cast("double") / n
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / n
+    val center = (ph + z2 / (n * lit(2.0))) / denom
+    val half = (lit(z) / denom) *
+      sqrt(ph * (lit(1.0) - ph) / n + z2 / (n * n * lit(4.0)))
+    agged.select(col("grp"), col("n_rows"), col("n_pass"),
+      round(ph, 6).as("rate"),
+      round(center - half, 6).as("lo"),
+      round(center + half, 6).as("hi"))
+  }
 }
+

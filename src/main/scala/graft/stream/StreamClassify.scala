@@ -37,4 +37,30 @@ object StreamClassify {
         }
       }
       .start()
+
+  /** Streaming admission via the DISTILLED gate ([[Quality
+    * .logregDistill]] trained offline on the expensive rule gate, its
+    * (bucket, w) vector served here): each arriving doc gets its
+    * snapped margin, σ(margin), and the admit bit — the production
+    * point of distillation, where the cheap model replaces the
+    * expensive gate AT INGEST. Same state story as the NB router: the
+    * only long-lived state is the broadcast-sized weight vector; a
+    * decision depends only on (doc, weights), so batch boundaries are
+    * invisible (union-of-batches ≡ batch scoring, QualitySpec) and
+    * replay is idempotent. The admit DECISION is the margin's sign —
+    * no transcendental can flip it. Re-training is an offline weight
+    * swap between restarts, the IVF·PQ / NB artifact convention. */
+  def startLogregGateSink(weights: DataFrame, docStream: DataFrame,
+      idCol: String, textCol: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit, nBuckets: Int = 32): StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          sink(Quality.logregScore(weights, batch, col(idCol),
+            col(textCol), nBuckets), epochId)
+        }
+      }
+      .start()
 }

@@ -397,5 +397,96 @@ class QualitySpec extends SparkSpec {
       .toMap
     assert(w9 == w)
   }
+
+  test("passAtK: hand combinatorics, degenerate branches, monotone in k") {
+    import org.apache.spark.sql.functions._
+    // problem 1: n=4, c=1 -> pass1 = 1/4, pass2 = 1 - (3/4)(2/3) = 1/2,
+    // pass4 = 1 (c > n - 4); problem 2: c=0 -> all zero;
+    // problem 3: n=2 -> pass4 undefined (NULL)
+    val cands = Seq(
+      (1L, true), (1L, false), (1L, false), (1L, false),
+      (2L, false), (2L, false), (2L, false), (2L, false),
+      (3L, true), (3L, true))
+      .toDF("pid", "ok")
+    val out = Quality.passAtK(cands, col("pid"), col("ok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(out(1L) == ((4L, 1L, Some(0.25), Some(0.5), Some(1.0))))
+    assert(out(2L) == ((4L, 0L, Some(0.0), Some(0.0), Some(0.0))))
+    assert(out(3L) == ((2L, 2L, Some(1.0), Some(1.0), None)))
+    // pass@k is monotone nondecreasing in k wherever defined
+    def d(o: Option[Any]) = o.map(_.asInstanceOf[Double])
+    for ((_, (_, _, p1, p2, _)) <- out; a <- d(p1); b <- d(p2))
+      assert(a <= b)
+    for ((_, (_, _, _, p2, p4)) <- out; a <- d(p2); b <- d(p4))
+      assert(a <= b)
+  }
+
+  test("startLogregGateSink: union of per-batch scorings ≡ batch " +
+    "scoring of the unioned docs; admit = margin sign; unseen buckets 0") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val labels = graft.expr.TextStats.gopherRules(docs, col("doc_id"),
+      col("text")).select(col("doc_id"),
+      when(col("keep"), 1.0).otherwise(0.0).as("y"))
+    val weights = Quality.logregDistill(docs, col("doc_id"), col("text"),
+      labels).select(col("bucket"), col("w2").as("w")).localCheckpoint(true)
+    val arriving = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val gated = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = graft.stream.StreamClassify.startLogregGateSink(weights,
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      java.nio.file.Files.createTempDirectory("lr-ckpt").toString,
+      (df, epoch) => gated.synchronized {
+        gated(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    try {
+      ms.addData(arriving.take(arriving.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(arriving.drop(arriving.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = gated.synchronized(gated.values.flatten.toSeq.sorted)
+    val batch = Quality.logregScore(weights,
+      docs.filter(col("doc_id") < 40), col("doc_id"), col("text"))
+    val expected = batch.collect().map(_.toString).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    assert(gated.synchronized(gated.size) == 2)
+    // the admit bit is exactly the margin's sign
+    assert(batch.filter((col("m") >= 0) =!= col("admit")).isEmpty)
+    // buckets missing from the weight table score 0 (left join +
+    // coalesce): under an empty weight table every margin is 0
+    val probe = Seq((999L, "zzqq wwrr")).toDF("doc_id", "text")
+    val r = Quality.logregScore(weights.filter(lit(false)), probe,
+      col("doc_id"), col("text")).collect().head
+    assert(r.getDouble(1) == 0.0 && r.getBoolean(3))
+  }
+
+  test("rateWilson: hand-computed interval, exact-zero lower bound at c=0") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 10).map(i => ("g1", i <= 3)) ++
+      (1 to 5).map(_ => ("g0", false))
+    val out = Quality.rateWilson(df.toDF("g", "ok"), col("g"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // independent replay of the closed form for n=10, c=3
+    val (n, ph, z) = (10.0, 0.3, 1.96)
+    val z2 = z * z
+    val denom = 1.0 + z2 / n
+    val center = (ph + z2 / (n * 2.0)) / denom
+    val half = (z / denom) * math.sqrt(ph * (1.0 - ph) / n + z2 / (n * n * 4.0))
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out("g1") == ((10L, 3L, 0.3, r6(center - half), r6(center + half))))
+    assert(out("g1")._4 > 0.0 && out("g1")._5 < 1.0)
+    // c = 0: the Wilson lower bound is EXACTLY zero (center == half)
+    assert(out("g0")._3 == 0.0 && out("g0")._4 == 0.0)
+    assert(out("g0")._5 > 0.0) // but the upper bound is honest, not 0
+  }
 }
 

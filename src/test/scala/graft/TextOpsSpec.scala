@@ -924,5 +924,19 @@ class TextOpsSpec extends SparkSpec {
     assert(one("all")._1 == out("__union")._2 &&
       one("all")._2 == out("__union")._3)
   }
+
+  test("chao1Richness: hand counts-of-counts and the exhausted-source case") {
+    // s1 bigrams: "a b" x2, "b a" x1, "c d" x1 -> D=3, F1=2, F2=1,
+    // chao1 = 3 + 2*1/(2*2) = 3.5
+    val d = Seq(("s1", "a b a b"), ("s1", "c d"),
+      ("s2", "x y x y x y")).toDF("source", "text")
+    val out = TextStats.chao1Richness(d, col("source"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("s1") == ((3L, 2L, 1L, 3.5)))
+    // s2: "x y" x3, "y x" x2 -> no singletons -> chao1 == D exactly
+    // (the source has shown us everything it has)
+    assert(out("s2") == ((2L, 0L, 1L, 2.0)))
+  }
 }
 
