@@ -2835,6 +2835,24 @@ object SparkEntry {
     TextStats.chao1Richness(t(s, dir, "documents"), col("source"),
       col("text")).withColumnRenamed("grp", "source")
 
+  /** Deleted-interpolation λ learned by held-out EM — what the corpus
+    * says q113's hard-coded Jelinek–Mercer λ should be
+    * ([[TextStats.jmLambdaEm]]). */
+  private def qJmLambda(s: SparkSession, dir: String): DataFrame =
+    TextStats.jmLambdaEm(t(s, dir, "documents"), col("doc_id"),
+      col("text"), docTf0 = Some(sharedTermFreqs(s, dir)),
+      docBig0 = Some(sharedDocBigrams(s, dir)))
+
+  /** Sample-ratio mismatch guardrail per event type — the check that
+    * must pass before q110's z-test means anything
+    * ([[ops.Analytics.srmCheck]]); arms via the q42 md5 convention. */
+  private def qSrmCheck(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.srmCheck(t(s, dir, "events"), col("event_type"),
+      col("user_id"),
+      pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(100L)) < 50)
+      .withColumnRenamed("grp", "event_type")
+
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family
     * next to the BPE merge loop): integer bit-length costs, packed
@@ -3342,7 +3360,9 @@ object SparkEntry {
     "q203_kmv_sketch" -> (qKmvSketch _),
     "q204_pass_at_k" -> (qPassAtK _),
     "q205_wilson_ci" -> (qWilsonCi _),
-    "q206_chao1" -> (qChao1 _))
+    "q206_chao1" -> (qChao1 _),
+    "q207_jm_lambda" -> (qJmLambda _),
+    "q208_srm_check" -> (qSrmCheck _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3488,6 +3508,21 @@ object SparkEntry {
   /** Shared oracle stanza (q182/q183): the full funnel-flag chain —
     * LSH cands + NLL + gopher + canonical pick + p75 threshold +
     * gram decontam composed into a per-doc `flags` table. */
+  /** The q127 Gopher token-stats stanza (s + m CTEs) and its keep
+    * predicate — ONE definition shared by the q201/q204/q205 oracles
+    * (q127 itself emits the per-rule columns; funnelFlagsCte carries a
+    * namespaced copy). A rule change edits exactly one string. */
+  private val gopherStatsCte =
+    "s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+    "m AS (SELECT doc_id, len(tk) AS n, " +
+    "list_sum(list_transform(tk, t -> length(t))) AS sumlen, " +
+    "len(list_distinct(tk)) AS dst, " +
+    "list_max(list_transform(tk, t -> length(t))) AS mx, " +
+    "len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS stp FROM s)"
+  private val gopherKeepPred =
+    "(n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
+    "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7)"
+
   private val funnelFlagsCte = s"WITH RECURSIVE $shingleCte, " +
         unigramNllCte.stripPrefix("WITH ") + ", " +
         "ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
@@ -6477,14 +6512,8 @@ object SparkEntry {
       // identical trajectory: q127's keep as the label, md5 % 32
       // hashed features, step-1 gradient exact halves, step-2 via
       // snapped margins/gradient, per-step 1e6-snapped weights
-      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-        "m AS (SELECT doc_id, len(tk) AS n, " +
-        "list_sum(list_transform(tk, t -> length(t))) AS sumlen, " +
-        "len(list_distinct(tk)) AS dst, " +
-        "list_max(list_transform(tk, t -> length(t))) AS mx, " +
-        "len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS stp FROM s), " +
-        "y AS (SELECT doc_id, CASE WHEN (n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
-        "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7) THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y FROM m), " +
+      (s"WITH $gopherStatsCte, " +
+        s"y AS (SELECT doc_id, CASE WHEN $gopherKeepPred THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y FROM m), " +
         "x AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 32 AS bucket, " +
         "CAST(count(*) AS DOUBLE) AS x FROM (SELECT doc_id, unnest(tk) AS tok FROM s) GROUP BY 1, 2), " +
         "nn AS (SELECT CAST(greatest(count(*), 1) AS DOUBLE) AS n FROM y), " +
@@ -6534,15 +6563,9 @@ object SparkEntry {
     "q204_pass_at_k" ->
       // q127's keep as the pass bit, 8-doc problems, the unbiased
       // 1 − Π (n−c−i)/(n−i) product in the same fixed order
-      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-        "m AS (SELECT doc_id, len(tk) AS n, " +
-        "list_sum(list_transform(tk, t -> length(t))) AS sumlen, " +
-        "len(list_distinct(tk)) AS dst, " +
-        "list_max(list_transform(tk, t -> length(t))) AS mx, " +
-        "len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS stp FROM s), " +
+      (s"WITH $gopherStatsCte, " +
         "g AS (SELECT doc_id // 8 AS problem_id, " +
-        "CASE WHEN (n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
-        "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7) THEN 1 ELSE 0 END AS p FROM m), " +
+        s"CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END AS p FROM m), " +
         "a AS (SELECT problem_id, count(*) AS n, CAST(sum(p) AS BIGINT) AS c FROM g GROUP BY 1) " +
         "SELECT problem_id, n, c, " +
         "CASE WHEN n < 1 THEN NULL WHEN c > n - 1 THEN CAST(1 AS DOUBLE) " +
@@ -6559,14 +6582,8 @@ object SparkEntry {
     "q205_wilson_ci" ->
       // Wilson score interval over exact integer counts, z = 1.96,
       // one fixed parenthesization; q127's keep as the success bit
-      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-        "m AS (SELECT doc_id, len(tk) AS n, " +
-        "list_sum(list_transform(tk, t -> length(t))) AS sumlen, " +
-        "len(list_distinct(tk)) AS dst, " +
-        "list_max(list_transform(tk, t -> length(t))) AS mx, " +
-        "len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS stp FROM s), " +
-        "f AS (SELECT doc_id, CASE WHEN (n >= 25 AND n <= 80) AND (sumlen >= n * 4 AND sumlen <= n * 5) AND " +
-        "(dst * 2 >= n) AND (stp >= 1) AND (mx <= 7) THEN 1 ELSE 0 END AS ok FROM m), " +
+      (s"WITH $gopherStatsCte, " +
+        s"f AS (SELECT doc_id, CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END AS ok FROM m), " +
         "a AS (SELECT source, count(*) AS n_rows, CAST(sum(ok) AS BIGINT) AS n_pass " +
         "FROM documents JOIN f USING (doc_id) GROUP BY 1), " +
         "b AS (SELECT source, n_rows, n_pass, " +
@@ -6591,5 +6608,44 @@ object SparkEntry {
         "CAST(sum(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 FROM k GROUP BY 1) " +
         "SELECT source, d, f1, f2, " +
         "round(CAST(d AS DOUBLE) + (CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)) / CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1 " +
-        "FROM a"))
+        "FROM a"),
+    "q207_jm_lambda" ->
+      // identical EM trajectory: train on even docs, E-step posterior
+      // w = lam*pb / (lam*pb + (1-lam)*pu) over the held-out bigram
+      // events, snapped num at 1e9, lam snapped at 1e6 per iteration
+      ("WITH tr AS (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 2 = 0), " +
+        "ho AS (SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 2 <> 0), " +
+        "uni AS (SELECT tok, count(*) AS uc FROM (SELECT unnest(tk) AS tok FROM tr) GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(uc) AS DOUBLE) AS t FROM uni), " +
+        "big AS (SELECT bigram, count(*) AS bc FROM (SELECT array_to_string(tk[i:i+1], ' ') AS bigram " +
+        "FROM tr, unnest(generate_series(1, len(tk) - 1)) AS s1(i) WHERE len(tk) >= 2) GROUP BY 1), " +
+        "ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(bc) AS ctx FROM big GROUP BY 1), " +
+        "hb AS (SELECT bigram, count(*) AS k FROM (SELECT array_to_string(tk[i:i+1], ' ') AS bigram " +
+        "FROM ho, unnest(generate_series(1, len(tk) - 1)) AS s2(i) WHERE len(tk) >= 2) GROUP BY 1), " +
+        "ev AS (SELECT k, coalesce(CAST(bc AS DOUBLE) / CAST(ctx AS DOUBLE), CAST(0 AS DOUBLE)) AS pb, " +
+        "CAST(uc AS DOUBLE) / t AS pu FROM hb " +
+        "JOIN uni ON uni.tok = string_split(bigram, ' ')[2] " +
+        "LEFT JOIN big USING (bigram) " +
+        "LEFT JOIN ctx ON ctx.w1 = string_split(bigram, ' ')[1] CROSS JOIN tt), " +
+        "l1 AS (SELECT floor(CAST(sum(CAST(floor(CAST(k AS DOUBLE) * " +
+        "((CAST(0.5 AS DOUBLE) * pb) / (CAST(0.5 AS DOUBLE) * pb + CAST(0.5 AS DOUBLE) * pu)) " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / CAST(sum(k) AS DOUBLE) " +
+        "* 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS lam FROM ev), " +
+        "l2 AS (SELECT floor(CAST(sum(CAST(floor(CAST(k AS DOUBLE) * " +
+        "((lam * pb) / (lam * pb + (CAST(1 AS DOUBLE) - lam) * pu)) " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / CAST(sum(k) AS DOUBLE) " +
+        "* 1000000 + 0.5) / CAST(1000000 AS DOUBLE) AS lam2 FROM ev CROSS JOIN l1) " +
+        "SELECT CAST((SELECT sum(k) FROM ev) AS BIGINT) AS n_events, " +
+        "l1.lam AS lambda1, l2.lam2 AS lambda2 FROM l1 CROSS JOIN l2"),
+    "q208_srm_check" ->
+      // 50/50 two-cell chi-square collapses to (n_a-n_b)^2/(n_a+n_b);
+      // arm = q42 md5 bucket < 50, distinct (type, user) exposure
+      ("WITH u AS (SELECT DISTINCT event_type, user_id, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a FROM events), " +
+        "c AS (SELECT event_type, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM u GROUP BY 1) " +
+        "SELECT event_type, n_a, n_b, " +
+        "round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6) AS chi2, " +
+        "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > CAST(3.841 AS DOUBLE) AS srm " +
+        "FROM c"))
 }

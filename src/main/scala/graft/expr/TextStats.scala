@@ -425,6 +425,89 @@ object TextStats {
           .as("chao1"))
   }
 
+  /** Deleted-interpolation λ for Jelinek-Mercer smoothing (Jelinek &
+    * Mercer 1980), learned by EM on HELD-OUT data — the step [[
+    * bigramNll]] hard-codes away (its λ is a parameter; this measures
+    * what the corpus says it should be, the classic LM-tuning move):
+    * train bigram/unigram tables on the even-doc half (the q83/q175
+    * snapshot convention), then on the odd half iterate
+    * `λ' = Σ k·w / Σ k` with `w = λ·p_big / (λ·p_big + (1−λ)·p_uni)`
+    * — the posterior that a held-out bigram came from the bigram
+    * mixture component. Held-out bigrams unseen in training have
+    * p_big = 0 (they are the evidence FOR interpolation); held-out
+    * events whose w2 is out of training vocabulary drop (both
+    * components zero — no posterior exists).
+    *
+    * Determinism: the E-step aggregates on the 1e9-snapped
+    * order-free sum, λ snaps to the 1e6 grid between iterations
+    * before re-entering the plan as a literal (the kmeans/BT/PCA
+    * driver-iterate contract). Scale shape: the held-out events
+    * aggregate to a BIGRAM-TYPE-sized table once (not per iteration
+    * — materialized), every model join is a broadcast of
+    * vocabulary-sized tables, each EM step is one aggregation to a
+    * single row. Returns one row (n_events, lambda1, lambda2). */
+  def jmLambdaEm(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, iters: Int = 2, lam0: Double = 0.5,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true),
+      docTf0: Option[org.apache.spark.sql.DataFrame] = None,
+      docBig0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
+      explode, lit, split, sum}
+    // docTf0 (doc_id, term, tf) / docBig0 (doc_id, bigram, k): session
+    // artifacts — both halves' model tables are ROLLUPS of the per-doc
+    // counts, so with artifacts supplied the corpus is never scanned
+    lazy val fanned = graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), text.as("__t"))
+    val docTf = docTf0.getOrElse(fanned
+      .select(col("doc_id"), explode(tokens(col("__t"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val docBig = docBig0.getOrElse(fanned
+      .select(col("doc_id"), explode(shingles(col("__t"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)) // 2 consumers: train + held halves
+    val uni = docTf.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("term").as("tok")).agg(sum(col("tf")).as("uc"))
+    val big = docBig.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("bigram")).agg(sum(col("k")).as("bc"))
+      .localCheckpoint(true) // 2 consumers: p_big + ctx
+    val w1 = split(col("bigram"), " ").getItem(0)
+    val ctx = big.groupBy(w1.as("w1")).agg(sum(col("bc")).as("ctx"))
+    val tTot = {
+      val r = uni.agg(sum(col("uc"))).first()
+      if (r.isNullAt(0)) 1.0 else r.getLong(0).toDouble
+    }
+    val ev = materialize(docBig.filter(col("doc_id") % 2 =!= 0)
+      .groupBy(col("bigram")).agg(sum(col("k")).as("k"))
+      .withColumn("w1", w1)
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("uc", "uc2")), "w2")
+      .join(broadcast(big), Seq("bigram"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .select(col("k"),
+        coalesce(col("bc").cast("double") / col("ctx").cast("double"),
+          lit(0.0)).as("pb"),
+        (col("uc2").cast("double") / lit(tTot)).as("pu")))
+    var lam = lam0
+    val lams = (1 to iters).map { _ =>
+      val w = (lit(lam) * col("pb")) /
+        (lit(lam) * col("pb") + lit(1.0 - lam) * col("pu"))
+      val r = ev.agg(
+        Snap.snappedSum(col("k").cast("double") * w, 1e9).as("num"),
+        sum(col("k")).as("den")).first()
+      lam =
+        if (r.isNullAt(1) || r.getLong(1) == 0L) lam
+        else math.floor(r.getDouble(0) / r.getLong(1).toDouble * 1e6 +
+          0.5) / 1e6
+      lam
+    }
+    ev.agg(coalesce(sum(col("k")), lit(0L)).as("n_events"))
+      .select(col("n_events"), lit(lams.head).as("lambda1"),
+        lit(lams.last).as("lambda2"))
+  }
+
   /** Dictionary-encode a corpus against a vocabulary (the
     * tokenize-to-ids step before packing/training): one posexplode, one
     * broadcast join (vocabularies are bounded — [[buildVocab]]'s top-N),

@@ -339,4 +339,27 @@ object Analytics {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Sample-ratio mismatch check per group (the A/B-test guardrail
+    * that runs BEFORE q110's z-test is allowed to mean anything: a
+    * nominal 50/50 assignment that lands 48/52 under a buggy bucketer
+    * silently biases every downstream metric). For a two-cell 50/50
+    * design the chi-square statistic collapses to the exact rational
+    * `(n_a − n_b)² / (n_a + n_b)` — integer-derived, engine-exact —
+    * flagged against the df=1 α=0.05 critical value (3.841). One
+    * distinct pass over (group, unit, arm) + one group-sized rollup;
+    * units with a NULL arm count in neither cell (both negated-when
+    * branches miss), mirroring q110's cohort semantics. */
+  def srmCheck(df: DataFrame, grp: Column, unit: Column, isA: Column,
+      critical: Double = 3.841): DataFrame = {
+    val u = df.select(grp.as("grp"), unit.as("u"), isA.as("a")).distinct()
+    val c = u.groupBy(col("grp")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"))
+    val chi = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast("double") / (col("n_a") + col("n_b")).cast("double")
+    c.select(col("grp"), col("n_a"), col("n_b"),
+      round(chi, 6).as("chi2"), (chi > lit(critical)).as("srm"))
+  }
 }
+

@@ -105,9 +105,6 @@ object Bpe {
     merges
   }
 
-  /** Tokenize text under a learned merge list (training-consistent
-    * greedy application in merge order), one (doc, pos, token) row per
-    * subword unit. */
   /** Unigram-LM Viterbi segmentation (the SentencePiece-style
     * INFERENCE step — the tokenizer family's second member next to the
     * BPE merge loop): segment each document's first `prefixLen` chars
@@ -195,6 +192,9 @@ object Bpe {
       expr("b DIV 64").as("cost_bits"), pmod(col("b"), lit(64L)).as("n_pieces"))
   }
 
+  /** Tokenize text under a learned merge list (training-consistent
+    * greedy application in merge order), one (doc, pos, token) row per
+    * subword unit. */
   def encode(docs: DataFrame, id: Column, text: Column,
       merges: Merges): DataFrame = {
     val words = docs.select(id.as("doc_id"),

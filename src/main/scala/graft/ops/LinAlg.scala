@@ -79,8 +79,12 @@ object LinAlg {
     import graft.expr.Snap
     val base = Fanout.fanout(vecs).select(id.as("vec_id"),
       transform(vec, _.cast("double")).as("e"))
-    val d = base.select(size(col("e"))).first().getInt(0)
-    require(d > 0, "pcaPowerProject: empty vectors")
+    // dim probe on the RAW input (one row, no fanout shuffle paid
+    // just to read a length) with an honest empty-table error
+    val probe = vecs.select(size(vec).as("d")).limit(1).collect()
+    require(probe.nonEmpty && probe.head.getInt(0) > 0,
+      "pcaPowerProject: empty vectors")
+    val d = probe.head.getInt(0)
     def dot(v: Array[Double]): Column =
       aggregate(zip_with(col("e"), array(v.map(lit): _*), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)

@@ -444,7 +444,17 @@ object Quality {
   def logregScore(weights: DataFrame, docs: DataFrame, id: Column,
       text: Column, nBuckets: Int = 32): DataFrame = {
     import graft.expr.Snap
-    logregFeatures(docs, id, text, nBuckets)
+    // the weight table must come from the SAME bucket width — a %32
+    // model served at %64 scores silent garbage; the probe is one
+    // driver read of the broadcast-sized table
+    val maxB = weights.agg(max(col("bucket"))).first()
+    require(maxB.isNullAt(0) || maxB.getLong(0) < nBuckets,
+      s"logregScore: weight bucket ${maxB.get(0)} >= nBuckets $nBuckets " +
+        "— trained and served bucket widths differ")
+    // NULL text still gets a decision row (coalesce to empty — one
+    // empty-token bucket, margin from whatever weight it carries):
+    // an admission gate must answer for EVERY doc, never drop one
+    logregFeatures(docs, id, coalesce(text, lit("")), nBuckets)
       .join(broadcast(weights.select(col("bucket"), col("w"))),
         Seq("bucket"), "left")
       .groupBy(col("doc_id"))
@@ -454,7 +464,6 @@ object Quality {
         (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"),
         (col("m") >= 0).as("admit"))
   }
-
 
   /** Distill an expensive quality gate into a cheap linear model — the
     * classifier-distillation step production pipelines run (GPT-3's
@@ -573,4 +582,3 @@ object Quality {
       round(center + half, 6).as("hi"))
   }
 }
-

@@ -291,4 +291,3 @@ object Sketch {
           .otherwise(col("n_exact").cast("double")).as("est"))
   }
 }
-

@@ -91,4 +91,3 @@ class LinAlgSpec extends SparkSpec {
     assert(p2 == p)
   }
 }
-

@@ -488,5 +488,25 @@ class QualitySpec extends SparkSpec {
     assert(out("g0")._3 == 0.0 && out("g0")._4 == 0.0)
     assert(out("g0")._5 > 0.0) // but the upper bound is honest, not 0
   }
+
+  test("logregScore: bucket-width mismatch rejected; NULL text still decided") {
+    import org.apache.spark.sql.functions._
+    // a %64-trained table (bucket 40 exists) served at %32 must throw,
+    // not silently score a different feature space
+    val w64 = Seq((40L, 0.5)).toDF("bucket", "w")
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Quality.logregScore(w64, docs, col("doc_id"), col("text"))
+    }
+    assert(e.getMessage.contains("bucket widths differ"))
+    // an admission gate answers for EVERY doc: NULL text coalesces to
+    // empty and still emits a decision row
+    val w = Seq((0L, 0.5)).toDF("bucket", "w")
+    val mixed = Seq((1L, Some("a b")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Quality.logregScore(w, mixed, col("doc_id"), col("text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
 }
 

@@ -938,5 +938,45 @@ class TextOpsSpec extends SparkSpec {
     // (the source has shown us everything it has)
     assert(out("s2") == ((2L, 0L, 1L, 2.0)))
   }
+
+  test("jmLambdaEm: hand EM trajectory on a two-doc corpus") {
+    // train (even): "x y x y" -> uni x:2 y:2 T=4; big "x y":2 "y x":1;
+    // ctx(x)=2 ctx(y)=1. held (odd): "x y z x" -> events:
+    //   "x y": pb=2/2=1, pu=2/4=0.5; "y z": w2 unseen -> dropped;
+    //   "z x": pb=0 (unseen bigram), pu=0.5
+    val d = Seq((0L, "x y x y"), (1L, "x y z x")).toDF("doc_id", "text")
+    val r = TextStats.jmLambdaEm(d, col("doc_id"), col("text"))
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    // replay the snapped trajectory in plain Scala
+    def snap9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def step(lam: Double): Double = {
+      val w1 = (lam * 1.0) / (lam * 1.0 + (1.0 - lam) * 0.5) // "x y"
+      val w2 = 0.0                                            // "z x"
+      val num = snap9(1.0 * w1) + snap9(1.0 * w2)
+      math.floor(num / 2.0 * 1e6 + 0.5) / 1e6
+    }
+    val l1 = step(0.5)
+    assert(r.getDouble(1) == l1 && l1 == 0.333333)
+    assert(r.getDouble(2) == step(l1))
+    // the unseen held-out bigram ("z x") is exactly the evidence that
+    // pulls lambda DOWN from 0.5 toward the unigram component
+    assert(r.getDouble(2) < 0.5)
+  }
+
+  test("srmCheck: hand chi-square, duplicate exposures collapse") {
+    import graft.ops.Analytics
+    // g: 4 vs 6 -> chi2 = 4/10 = 0.4, fine; h: 40 vs 10 -> 900/50 = 18, SRM
+    val rows = (1 to 10).map(u => ("g", u.toLong, u <= 4)) ++
+      (1 to 50).map(u => ("h", u.toLong, u <= 40)) ++
+      Seq(("g", 1L, true)) // duplicate exposure of the same unit
+    val out = Analytics.srmCheck(rows.toDF("t", "u", "a"),
+        col("t"), col("u"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out("g") == ((4L, 6L, 0.4, false)))
+    assert(out("h") == ((40L, 10L, 18.0, true)))
+  }
 }
 
