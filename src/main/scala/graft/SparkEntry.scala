@@ -2853,6 +2853,37 @@ object SparkEntry {
         16, 10).cast("long"), lit(100L)) < 50)
       .withColumnRenamed("grp", "event_type")
 
+  /** Heaps'-law vocabulary-growth curve + fit — the tokenizer-sizing
+    * diagnostic next to q119's Zipf fit ([[TextStats.heapsLawFit]];
+    * reads the shared TF artifact, so the corpus is not rescanned). */
+  private def qHeapsFit(s: SparkSession, dir: String): DataFrame =
+    TextStats.heapsLawFit(t(s, dir, "documents"), col("doc_id"),
+      col("text"), docTf0 = Some(sharedTermFreqs(s, dir)))
+
+  /** Fleiss' kappa across three admission gates treated as raters
+    * (gopher keep, length band, English lang) — the statistical
+    * summary of q186's gate-overlap audit ([[ops.Quality.fleissKappa]]). */
+  private def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    val items = docs.join(keep, "doc_id")
+      .select(col("keep").as("r1"),
+        col("n_chars").between(100L, 600L).as("r2"),
+        (col("lang") === "en").as("r3"))
+    ops.Quality.fleissKappa(items,
+      Seq(col("r1"), col("r2"), col("r3")))
+  }
+
+  /** Per-event-type A/B experiment sizing at 2-point absolute MDE —
+    * the pre-test guardrail pairing q208's SRM check
+    * ([[ops.Analytics.abSampleSize]]); conversion = value > 50 per
+    * exposure, units = events. */
+  private def qAbSizing(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.abSampleSize(t(s, dir, "events"), col("event_type"),
+      col("event_id"), col("value") > 50.0)
+      .withColumnRenamed("grp", "event_type")
+
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family
     * next to the BPE merge loop): integer bit-length costs, packed
@@ -3362,7 +3393,10 @@ object SparkEntry {
     "q205_wilson_ci" -> (qWilsonCi _),
     "q206_chao1" -> (qChao1 _),
     "q207_jm_lambda" -> (qJmLambda _),
-    "q208_srm_check" -> (qSrmCheck _))
+    "q208_srm_check" -> (qSrmCheck _),
+    "q209_heaps_fit" -> (qHeapsFit _),
+    "q210_fleiss_kappa" -> (qFleissKappa _),
+    "q211_ab_sizing" -> (qAbSizing _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6647,5 +6681,61 @@ object SparkEntry {
         "SELECT event_type, n_a, n_b, " +
         "round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6) AS chi2, " +
         "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > CAST(3.841 AS DOUBLE) AS srm " +
-        "FROM c"))
+        "FROM c"),
+    "q209_heaps_fit" ->
+      // powers-of-two checkpoints over pos = doc_id + 1; V(2^j) by
+      // cumulative first-occurrence counts; snapped 1e9 Σ + the q119
+      // closed-form log-log OLS
+      ("WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "f AS (SELECT term, min(doc_id) AS fd FROM tf GROUP BY 1), " +
+        "jj AS (SELECT CAST(ceil(log2(CAST(fd AS DOUBLE) + CAST(1 AS DOUBLE))) AS INT) AS j, count(*) AS c FROM f GROUP BY 1), " +
+        "nn AS (SELECT CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT) AS jmax FROM documents), " +
+        "grid AS (SELECT CAST(g.i AS INT) AS j FROM generate_series(0, 40) AS g(i), nn WHERE g.i <= jmax), " +
+        "v AS (SELECT j, sum(coalesce(c, 0)) OVER (ORDER BY j) AS v FROM grid LEFT JOIN jj USING (j)), " +
+        "pts AS (SELECT CAST(pow(CAST(2 AS DOUBLE), CAST(j AS DOUBLE)) AS BIGINT) AS n, CAST(v AS BIGINT) AS v, " +
+        "ln(pow(CAST(2 AS DOUBLE), CAST(j AS DOUBLE))) AS x, ln(CAST(v AS DOUBLE)) AS y FROM v WHERE v > 0), " +
+        "s AS (SELECT count(*) AS k, " +
+        "CAST(sum(CAST(floor(x * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sx, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy, " +
+        "CAST(sum(CAST(floor(x * x * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxx, " +
+        "CAST(sum(CAST(floor(x * y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxy " +
+        "FROM pts) " +
+        "SELECT n, v, " +
+        "round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS beta, " +
+        "round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) AS lnk " +
+        "FROM pts CROSS JOIN s"),
+    "q210_fleiss_kappa" ->
+      // three binary raters (gopher keep / length band / lang = en);
+      // all formula inputs exact integer counts, NULL kappa when
+      // chance agreement saturates
+      (s"WITH $gopherStatsCte, " +
+        s"c AS (SELECT (CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN d.n_chars BETWEEN 100 AND 600 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS c1 " +
+        "FROM m JOIN documents d USING (doc_id)), " +
+        "a AS (SELECT count(*) AS n_items, CAST(sum(c1) AS BIGINT) AS tot1, " +
+        "CAST(sum(c1 * (c1 - 1) + (3 - c1) * (3 - c1 - 1)) AS BIGINT) AS agree FROM c) " +
+        "SELECT n_items, " +
+        "round(CAST(agree AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(6 AS DOUBLE)), 6) AS p_bar, " +
+        "round((CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) + " +
+        "(CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))), 6) AS p_e, " +
+        "CASE WHEN (CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) + " +
+        "(CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) < CAST(1 AS DOUBLE) " +
+        "THEN round((CAST(agree AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(6 AS DOUBLE)) - " +
+        "((CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) + " +
+        "(CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))))) / " +
+        "(CAST(1 AS DOUBLE) - ((CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) + " +
+        "(CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))) * (CAST(1 AS DOUBLE) - CAST(tot1 AS DOUBLE) / (CAST(n_items AS DOUBLE) * CAST(3 AS DOUBLE))))), 6) END AS kappa " +
+        "FROM a"),
+    "q211_ab_sizing" ->
+      // two-proportion sizing n = ceil((za+zb)^2 * 2p(1-p) / d^2);
+      // exposure = event, any-converted collapse, fixed literals
+      ("WITH u AS (SELECT event_type, event_id, " +
+        "max(CASE WHEN value > CAST(50 AS DOUBLE) THEN 1 ELSE 0 END) AS c FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, count(*) AS n_units, CAST(sum(c) AS BIGINT) AS n_conv FROM u GROUP BY 1), " +
+        "p AS (SELECT event_type, n_units, n_conv, CAST(n_conv AS DOUBLE) / CAST(n_units AS DOUBLE) AS ph FROM a) " +
+        "SELECT event_type, n_units, n_conv, round(ph, 6) AS p_hat, " +
+        "CAST(ceil((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) * CAST(2 AS DOUBLE) * ph * (CAST(1 AS DOUBLE) - ph) / " +
+        "(CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE))) AS BIGINT) AS n_per_arm " +
+        "FROM p"))
 }

@@ -682,6 +682,74 @@ object TextStats {
       round(r2num / r2den, 4).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978): V(n) ≈ K·n^β,
+    * the companion diagnostic to [[zipfFit]] — Zipf reads the
+    * frequency-rank SHAPE of a fixed corpus, Heaps reads how the
+    * vocabulary GROWS as the corpus does (natural text sits near
+    * β ≈ 0.5; β → 1 flags id-like/unbounded vocabularies that will
+    * blow up any tokenizer, β → 0 flags templated text that stops
+    * yielding new types). Checkpoints are the powers of two over the
+    * doc sequence (pos = doc_id + 1): V(2^j) = #{terms whose FIRST
+    * occurrence sits at pos ≤ 2^j}, then the closed-form log-log OLS
+    * for (β, ln K) over the checkpoint points.
+    *
+    * Scale shape: one term-level aggregation (min first-doc per term
+    * — map-side-combined, shuffles carry (term, doc_id) pairs), then
+    * each term maps to its checkpoint bucket j = ⌈log2(pos)⌉ and the
+    * REST of the plan is checkpoint-grid-sized: a ≤ log2(N)-row
+    * cumulative window, a single-row OLS aggregate, one broadcast
+    * cross join to stamp the fit onto the curve rows. The ln terms
+    * snap to the 1e9 grid ([[Snap.snappedSum]]) so every Σ is
+    * order-independent. Returns one row per checkpoint:
+    * (n, v, beta, lnk). */
+  def heapsLawFit(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column,
+      docTf0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, ceil, coalesce, col,
+      count, explode, lit, log => ln, log2, min, pow, round, sum}
+    val tf = docTf0.getOrElse(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    // driver scalar: the checkpoint-grid extent (the kmeans/BPE
+    // driver-state convention — a count, not data)
+    val nDocs = docs.count()
+    require(nDocs > 0, "heapsLawFit: empty corpus")
+    val jmax = math.ceil(math.log(nDocs.toDouble) / math.log(2.0)).toInt
+    // pos = fd + 1; smallest checkpoint covering pos is 2^⌈log2(pos)⌉
+    // (exact: log2 of a power-of-two double is exact, ceil absorbs
+    // the rest — fd = 0 lands on j = 0 with no special case)
+    val perJ = tf.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+      .select(ceil(log2(col("fd").cast("double") + lit(1.0)))
+        .cast("int").as("j"))
+      .groupBy(col("j")).agg(count(lit(1)).as("c"))
+    val grid = docs.sparkSession.range(0L, jmax + 1L)
+      .select(col("id").cast("int").as("j"))
+    // single-partition window is fine: the frame is the ≤ log2(N)-row
+    // checkpoint grid, never corpus-sized
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("j"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pts = grid.join(perJ, Seq("j"), "left")
+      .withColumn("v", sum(coalesce(col("c"), lit(0L))).over(w))
+      .filter(col("v") > 0L)
+      .select(pow(lit(2.0), col("j").cast("double")).cast("long").as("n"),
+        col("v"),
+        ln(pow(lit(2.0), col("j").cast("double"))).as("x"),
+        ln(col("v").cast("double")).as("y"))
+    val g = 1e9
+    val fit = pts.agg(count(lit(1)).as("k"),
+      Snap.snappedSum(col("x"), g).as("sx"),
+      Snap.snappedSum(col("y"), g).as("sy"),
+      Snap.snappedSum(col("x") * col("x"), g).as("sxx"),
+      Snap.snappedSum(col("x") * col("y"), g).as("sxy"))
+    val k = col("k").cast("double")
+    val beta = (k * col("sxy") - col("sx") * col("sy")) /
+      (k * col("sxx") - col("sx") * col("sx"))
+    pts.select(col("n"), col("v"))
+      .crossJoin(broadcast(fit.select(round(beta, 6).as("beta"),
+        round((col("sy") - beta * col("sx")) / k, 6).as("lnk"))))
+  }
+
   /** Per-group out-of-vocabulary rate against the corpus-global
     * top-`vocabSize` vocabulary (frequency desc, token asc ties —
     * [[buildVocab]]'s order): the tokenizer-coverage eval that decides

@@ -361,5 +361,33 @@ object Analytics {
     c.select(col("grp"), col("n_a"), col("n_b"),
       round(chi, 6).as("chi2"), (chi > lit(critical)).as("srm"))
   }
+
+  /** A/B experiment sizing per group — the OTHER pre-test guardrail
+    * next to [[srmCheck]]: given the observed baseline conversion
+    * rate p̂, the per-arm sample size needed to detect an absolute
+    * lift `delta` at two-sided level α and the given power, via the
+    * standard two-proportion normal approximation
+    * n = ⌈(z_α/2 + z_β)² · 2p̂(1−p̂) / δ²⌉. A unit converts if ANY of
+    * its rows satisfies `converted` (exposure-level dupes collapse,
+    * the q208 distinct-exposure semantics). The z literals are fixed
+    * constants (1.96, 0.8416 ≈ 80% power), every input an exact
+    * integer count, one fixed evaluation order — both engines replay
+    * identical sizes. Two map-side-combined aggregations: exposures →
+    * units → |groups| rows. */
+  def abSampleSize(df: DataFrame, grp: Column, unit: Column,
+      converted: Column, delta: Double = 0.02, zAlpha: Double = 1.96,
+      zBeta: Double = 0.8416): DataFrame = {
+    val u = df.select(grp.as("grp"), unit.as("u"), converted.as("cv"))
+      .groupBy(col("grp"), col("u"))
+      .agg(max(when(col("cv"), 1L).otherwise(0L)).as("c"))
+    val c = u.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_units"), sum(col("c")).as("n_conv"))
+    val p = col("n_conv").cast("double") / col("n_units").cast("double")
+    val zz = (zAlpha + zBeta) * (zAlpha + zBeta) // driver double, = SQL literal fold
+    c.select(col("grp"), col("n_units"), col("n_conv"),
+      round(p, 6).as("p_hat"),
+      ceil(lit(zz) * lit(2.0) * p * (lit(1.0) - p) /
+        lit(delta * delta)).cast("long").as("n_per_arm"))
+  }
 }
 

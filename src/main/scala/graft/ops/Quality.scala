@@ -581,4 +581,40 @@ object Quality {
       round(center - half, 6).as("lo"),
       round(center + half, 6).as("hi"))
   }
+
+  /** Fleiss' kappa (Fleiss 1971) across m ≥ 2 binary raters — the
+    * multi-rater generalization of [[cohenKappa]]: when a corpus runs
+    * SEVERAL admission gates (or several annotators label the same
+    * docs), kappa reads whether their agreement beats what their
+    * marginal rates alone would produce — near-zero kappa means the
+    * gates are independent filters (union them), high kappa means they
+    * are redundant (drop the expensive one; the q186 gate-overlap
+    * audit's statistical summary).
+    *
+    * Every input to the formula is an exact integer count (per-item
+    * positive-vote count c₁, its pairwise-agreement sum Σ c(c−1)), so
+    * both engines replay identical digits: P̄ = Σᵢ Pᵢ / n with
+    * Pᵢ = (c₁(c₁−1) + c₀(c₀−1)) / (m(m−1)), P̄ₑ = p₁² + p₀², κ =
+    * (P̄ − P̄ₑ)/(1 − P̄ₑ), NULL when every rating agrees (P̄ₑ = 1 —
+    * chance agreement saturates, κ undefined; the psi/kappa NULL
+    * convention). One map-side-combined aggregation to a single row:
+    * (n_items, p_bar, p_e, kappa). */
+  def fleissKappa(items: DataFrame, raters: Seq[Column]): DataFrame = {
+    val m = raters.size.toLong
+    require(m >= 2, "fleissKappa: need at least two raters")
+    val c1 = raters.map(r => when(r, 1L).otherwise(0L)).reduce(_ + _)
+    val a = items.select(c1.as("c1"))
+      .agg(count(lit(1)).as("n_items"), sum(col("c1")).as("tot1"),
+        sum(col("c1") * (col("c1") - 1L) +
+          (lit(m) - col("c1")) * (lit(m) - col("c1") - 1L)).as("agree"))
+    val n = col("n_items").cast("double")
+    val mm = (m * (m - 1)).toDouble
+    val pbar = col("agree").cast("double") / (n * lit(mm))
+    val p1 = col("tot1").cast("double") / (n * lit(m.toDouble))
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    a.select(col("n_items"), round(pbar, 6).as("p_bar"),
+      round(pe, 6).as("p_e"),
+      when(pe < 1.0, round((pbar - pe) / (lit(1.0) - pe), 6))
+        .as("kappa"))
+  }
 }

@@ -508,5 +508,27 @@ class QualitySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(1L, 2L))
   }
+
+  test("fleissKappa: hand 3-rater table; unanimous table -> NULL kappa") {
+    import org.apache.spark.sql.functions._
+    // items (r1, r2, r3): c1 = 3, 2, 0, 1 -> agree = 6+2+6+2 = 16
+    // pbar = 16/24; p1 = 6/12 -> pe = .5; kappa = (2/3 - .5)/.5 = 1/3
+    val items = Seq((true, true, true), (true, true, false),
+      (false, false, false), (true, false, false))
+      .toDF("r1", "r2", "r3")
+    val r = Quality.fleissKappa(items,
+      Seq(col("r1"), col("r2"), col("r3"))).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == math.floor(16.0 / 24.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    // every rating in one category: p1 = 1, pe = 1, kappa undefined
+    val unan = Seq((true, true, true), (true, true, true))
+      .toDF("r1", "r2", "r3")
+    val r2 = Quality.fleissKappa(unan,
+      Seq(col("r1"), col("r2"), col("r3"))).collect().head
+    assert(r2.getDouble(1) == 1.0 && r2.getDouble(2) == 1.0)
+    assert(r2.isNullAt(3))
+  }
 }
 

@@ -978,5 +978,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out("g") == ((4L, 6L, 0.4, false)))
     assert(out("h") == ((40L, 10L, 18.0, true)))
   }
+
+  test("heapsLawFit: hand curve + exact-power-law fit recovery") {
+    // 4 docs (pos 1..4, checkpoints 1,2,4): vocabulary doubles with
+    // corpus size -> V(n) = 2 * n^1 exactly, so the log-log OLS must
+    // return beta = 1, lnk = ln 2 (up to the 1e6 round)
+    val d = Seq(
+      (0L, "a b"),         // V(1) = 2
+      (1L, "a c d"),       // V(2) = 4
+      (2L, "e f b"),       // ...
+      (3L, "g h")          // V(4) = 8
+    ).toDF("doc_id", "text")
+    val out = TextStats.heapsLawFit(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L)._1 == 2L && out(2L)._1 == 4L && out(4L)._1 == 8L)
+    val (_, beta, lnk) = out(1L)
+    assert(beta == 1.0)
+    assert(math.abs(lnk - math.log(2.0)) < 1e-6)
+    // fit columns are constant across curve rows
+    assert(out.values.map(v => (v._2, v._3)).toSet.size == 1)
+  }
+
+  test("abSampleSize: hand formula, any-converted unit collapse") {
+    import graft.ops.Analytics
+    // group g: units 1..4, unit 1 converts via its SECOND exposure ->
+    // p = 1/4; n = ceil((1.96+0.8416)^2 * 2 * .25 * .75 / 0.0004)
+    val rows = Seq(("g", 1L, false), ("g", 1L, true), ("g", 2L, false),
+      ("g", 3L, false), ("g", 4L, false))
+    val out = Analytics.abSampleSize(rows.toDF("t", "u", "c"),
+        col("t"), col("u"), col("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).head
+    val zz = (1.96 + 0.8416) * (1.96 + 0.8416)
+    val expect = math.ceil(zz * 2.0 * 0.25 * 0.75 / 0.0004).toLong
+    assert(out == ((4L, 1L, 0.25, expect)))
+    assert(expect == 7359L) // pin the digit the formula should give
+  }
 }
 
