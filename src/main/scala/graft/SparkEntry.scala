@@ -2587,7 +2587,10 @@ object SparkEntry {
     * with per-bin count / mean confidence / accuracy / |gap|. The
     * overconfidence audit every router needs before its threshold
     * means anything; ECE is the n-weighted gap sum over these rows. */
-  private def qNbCalibration(s: SparkSession, dir: String): DataFrame = {
+  /** Holdout confidence frame (doc_id, pred_lab, conf, lang) — the
+    * q169/q214 shared input: argmax label + its softmax posterior over
+    * the session's dense NB score artifact. */
+  private def nbConfidence(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val test = docs.filter(col("doc_id") % 3 === 0)
     // the shared holdout artifact: model + dense score frame computed
@@ -2596,13 +2599,15 @@ object SparkEntry {
     val pred = ops.Quality.nbArgmax(sc)
     val post = ops.Quality.nbPosteriors(model, test, col("doc_id"),
       col("text"), scores0 = Some(sc))
-    val conf = pred.join(post,
+    pred.join(post,
         pred("doc_id") === post("doc_id") && pred("pred_lab") === post("clab"))
       .select(pred("doc_id"), col("pred_lab"), col("prob").as("conf"))
       .join(test.select(col("doc_id"), col("lang")), "doc_id")
-    ops.Quality.calibrationReport(conf, col("conf"),
-      col("pred_lab") === col("lang"), 10)
   }
+
+  private def qNbCalibration(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.calibrationReport(nbConfidence(s, dir), col("conf"),
+      col("pred_lab") === col("lang"), 10)
 
   /** Fill-in-the-middle example construction over the corpus (PSM/SPM
     * 50/50) — one exchange-free projection; the infilling counterpart
@@ -2883,6 +2888,59 @@ object SparkEntry {
     ops.Analytics.abSampleSize(t(s, dir, "events"), col("event_type"),
       col("event_id"), col("value") > 50.0)
       .withColumnRenamed("grp", "event_type")
+
+  /** BH-FDR-corrected per-source gopher-rate z-tests — the
+    * multiple-comparisons layer over the q175-style slice monitors
+    * ([[ops.Analytics.bhFdr]], [[ops.Analytics.normalPValue2]]):
+    * which sources' keep rates differ from the corpus at 10% FDR. */
+  private def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val per = docs.select(col("doc_id"), col("source")).join(keep, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("n", sum(col("n_docs")).over(all))
+      .withColumn("kall", sum(col("n_keep")).over(all))
+    val pg = col("kall").cast("double") / col("n").cast("double")
+    val ps = col("n_keep").cast("double") / col("n_docs").cast("double")
+    val se = sqrt(pg * (lit(1.0) - pg) *
+      (lit(1.0) / col("n_docs").cast("double") +
+        lit(1.0) / col("n").cast("double")))
+    val z = (ps - pg) / se
+    // p snaps to the 1e9 grid BEFORE the BH comparisons — the rank
+    // thresholds compare identical doubles in any engine
+    val pv = floor(ops.Analytics.normalPValue2(z) * lit(1e9) + lit(0.5))
+      .cast("double") / lit(1e9)
+    // test table consumed twice (BH pass + stat join-back)
+    val tests = per.select(col("source"), col("n_docs"), col("n_keep"),
+      round(z, 4).as("z"), when(se > 0.0, pv).as("p"))
+      .localCheckpoint(true)
+    val bh = ops.Analytics.bhFdr(tests, col("source"), col("p"), 0.1)
+      .withColumnRenamed("grp", "source")
+    tests.select(col("source"), col("n_docs"), col("n_keep"), col("z"))
+      .join(broadcast(bh), "source")
+      .select(col("source"), col("n_docs"), col("n_keep"), col("z"),
+        round(col("p"), 6).as("p_value"), col("rnk").cast("long").as("rnk"),
+        col("reject"))
+  }
+
+  /** Corpus concentration datasheet over source token share — Gini /
+    * HHI / entropy / top-share in one row
+    * ([[ops.Analytics.concentrationReport]]). */
+  private def qConcentration(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.concentrationReport(t(s, dir, "documents"),
+      col("source"), size(TextStats.tokens(col("text"))).cast("long"))
+
+  /** Murphy decomposition of the NB router's Brier score on the shared
+    * holdout confidence frame — reliability / resolution / uncertainty
+    * next to q169's ECE ([[ops.Quality.brierDecomposition]]). */
+  private def qBrier(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.brierDecomposition(nbConfidence(s, dir), col("conf"),
+      col("pred_lab") === col("lang"), 10)
 
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family
@@ -3396,7 +3454,10 @@ object SparkEntry {
     "q208_srm_check" -> (qSrmCheck _),
     "q209_heaps_fit" -> (qHeapsFit _),
     "q210_fleiss_kappa" -> (qFleissKappa _),
-    "q211_ab_sizing" -> (qAbSizing _))
+    "q211_ab_sizing" -> (qAbSizing _),
+    "q212_bh_fdr" -> (qBhFdr _),
+    "q213_concentration" -> (qConcentration _),
+    "q214_brier" -> (qBrier _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6737,5 +6798,77 @@ object SparkEntry {
         "SELECT event_type, n_units, n_conv, round(ph, 6) AS p_hat, " +
         "CAST(ceil((CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE)) * CAST(2 AS DOUBLE) * ph * (CAST(1 AS DOUBLE) - ph) / " +
         "(CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE))) AS BIGINT) AS n_per_arm " +
-        "FROM p"))
+        "FROM p"),
+    "q212_bh_fdr" ->
+      // per-source two-proportion z vs the pooled rate, A&S 7.1.26
+      // erfc p-values snapped to the 1e9 grid BEFORE the BH rank
+      // comparisons, step-up k* via scalar windows
+      (s"WITH $gopherStatsCte, " +
+        s"kk AS (SELECT d.source, count(*) AS n_docs, CAST(sum(CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END) AS BIGINT) AS n_keep " +
+        "FROM m JOIN documents d USING (doc_id) GROUP BY 1), " +
+        "gg AS (SELECT source, n_docs, n_keep, CAST(sum(n_docs) OVER () AS BIGINT) AS n, CAST(sum(n_keep) OVER () AS BIGINT) AS kall FROM kk), " +
+        "st AS (SELECT source, n_docs, n_keep, " +
+        "sqrt(CAST(kall AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(kall AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(1 AS DOUBLE) / CAST(n_docs AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n AS DOUBLE))) AS se, " +
+        "(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) - CAST(kall AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "sqrt(CAST(kall AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(kall AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(1 AS DOUBLE) / CAST(n_docs AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z FROM gg), " +
+        "yy AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS y FROM st), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS t FROM yy), " +
+        "pv AS (SELECT *, floor(t * (CAST(0.254829592 AS DOUBLE) + t * (CAST(-0.284496736 AS DOUBLE) + t * (CAST(1.421413741 AS DOUBLE) + " +
+        "t * (CAST(-1.453152027 AS DOUBLE) + t * CAST(1.061405429 AS DOUBLE))))) * exp(-(y * y)) " +
+        "* CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000000 AS DOUBLE) AS praw FROM tt), " +
+        "rr AS (SELECT source, n_docs, n_keep, round(z, 4) AS z, CASE WHEN se > CAST(0 AS DOUBLE) THEN praw END AS p FROM pv), " +
+        "bh AS (SELECT source, p, row_number() OVER (ORDER BY p, source) AS rnk, count(*) OVER () AS mm FROM rr), " +
+        "ok AS (SELECT *, CASE WHEN p <= CAST(rnk AS DOUBLE) * CAST(0.1 AS DOUBLE) / CAST(mm AS DOUBLE) THEN rnk END AS okr FROM bh), " +
+        "ks AS (SELECT *, coalesce(max(okr) OVER (), 0) AS kstar FROM ok) " +
+        "SELECT r.source, r.n_docs, r.n_keep, r.z, round(k.p, 6) AS p_value, " +
+        "CAST(k.rnk AS BIGINT) AS rnk, k.rnk <= k.kstar AS reject " +
+        "FROM rr r JOIN ks k USING (source)"),
+    "q213_concentration" ->
+      // exact-integer Gini numerators via the sorted-rank identity;
+      // HHI / entropy as 1e9-snapped share sums
+      ("WITH x AS (SELECT source AS grp, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x FROM documents GROUP BY 1), " +
+        "r AS (SELECT grp, x, row_number() OVER (ORDER BY x, grp) AS i, CAST(sum(x) OVER () AS BIGINT) AS tot FROM x), " +
+        "a AS (SELECT count(*) AS n, CAST(max(tot) AS BIGINT) AS total, CAST(sum(i * x) AS BIGINT) AS six, " +
+        "CAST(sum(CAST(floor((CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS hhi, " +
+        "CAST(sum(CAST(floor((-(CAST(x AS DOUBLE) / CAST(tot AS DOUBLE))) * ln(CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS ent, " +
+        "max(CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) AS top FROM r) " +
+        "SELECT n AS n_groups, total, " +
+        "round(CAST(six AS DOUBLE) * CAST(2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini, " +
+        "round(hhi, 6) AS hhi, round(ent, 6) AS entropy, round(top, 6) AS top_share " +
+        "FROM a"),
+    "q214_brier" ->
+      // the q169 confidence stanza, then Murphy 1973: per-bin exact
+      // outcome rates + snapped forecast means, scalar second pass
+      (nbHoldoutCte +
+        ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        "ex AS (SELECT sc.doc_id, sc.clab, exp(score - mx) AS ex " +
+        "FROM sc JOIN mx USING (doc_id)), " +
+        "z AS (SELECT doc_id, CAST(sum(CAST(floor(ex * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM ex GROUP BY 1), " +
+        "pp AS (SELECT ex.doc_id, ex.clab, round(ex.ex / z.z, 6) AS prob " +
+        "FROM ex JOIN z USING (doc_id)), " +
+        "cf AS (SELECT b.doc_id, b.clab AS pred_lab, pp.prob AS conf " +
+        "FROM best b JOIN pp ON pp.doc_id = b.doc_id AND pp.clab = b.clab), " +
+        "okt AS (SELECT cf.conf, CASE WHEN cf.pred_lab = te.lang THEN 1 ELSE 0 END AS ok " +
+        "FROM cf JOIN te USING (doc_id)), " +
+        "bb AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, ok FROM okt), " +
+        "pb AS (SELECT bin, count(*) AS nk, CAST(sum(ok) AS BIGINT) AS okk, " +
+        "CAST(sum(CAST(floor(conf * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS confsum, " +
+        "CAST(sum(CAST(floor((conf - CASE WHEN ok = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * " +
+        "(conf - CASE WHEN ok = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sqerr " +
+        "FROM bb GROUP BY 1), " +
+        "a AS (SELECT CAST(sum(nk) AS BIGINT) AS n, CAST(sum(okk) AS BIGINT) AS tot_ok, " +
+        "CAST(sum(CAST(floor(sqerr * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS se, " +
+        "CAST(sum(CAST(floor(CAST(nk AS DOUBLE) * (confsum / CAST(nk AS DOUBLE) - CAST(okk AS DOUBLE) / CAST(nk AS DOUBLE)) * " +
+        "(confsum / CAST(nk AS DOUBLE) - CAST(okk AS DOUBLE) / CAST(nk AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS rel, " +
+        "CAST(sum(CAST(floor(CAST(nk AS DOUBLE) * (CAST(okk AS DOUBLE) / CAST(nk AS DOUBLE)) * (CAST(okk AS DOUBLE) / CAST(nk AS DOUBLE)) " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS reso2 FROM pb) " +
+        "SELECT n, round(CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE), 6) AS o_bar, " +
+        "round(se / CAST(n AS DOUBLE), 6) AS brier, " +
+        "round(rel / CAST(n AS DOUBLE), 6) AS reliability, " +
+        "round((reso2 - CAST(n AS DOUBLE) * (CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE), 6) AS resolution, " +
+        "round((CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty " +
+        "FROM a"))
 }

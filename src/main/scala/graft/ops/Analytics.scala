@@ -389,5 +389,97 @@ object Analytics {
       ceil(lit(zz) * lit(2.0) * p * (lit(1.0) - p) /
         lit(delta * delta)).cast("long").as("n_per_arm"))
   }
+
+  /** Two-sided normal p-value 2·(1 − Φ(|z|)) = erfc(|z|/√2) via the
+    * Abramowitz & Stegun 7.1.26 rational approximation (|err| <
+    * 1.5e-7, far below the 1e-6 grid results round to) — the
+    * cluster-side p-value primitive that removes the SciPy driver
+    * round-trip from every significance gate. Pure codegen arithmetic
+    * (one exp, one fixed Horner nesting), so any engine replaying the
+    * same expression reproduces identical bits. */
+  def normalPValue2(z: Column): Column = {
+    val y = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * y)
+    // erfc(y) = t·(a1 + t·(a2 + t·(a3 + t·(a4 + t·a5))))·e^(−y²)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    poly * exp(-(y * y))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a table of test
+    * p-values (Benjamini & Hochberg 1995) — the correction layer a
+    * monitoring suite needs once it runs one z-test PER source/slice
+    * every run: at 1 000 slices, α = 0.05 fires ~50 false alarms per
+    * sweep; BH caps the EXPECTED false-discovery fraction at `q`
+    * instead. Procedure: rank p ascending (group id breaks ties
+    * deterministically), k* = max{i : p(i) ≤ i·q/m}, reject ranks
+    * ≤ k*.
+    *
+    * The input is a per-test table — |tests| rows, one per slice, the
+    * already-aggregated output of a corpus-sized pass — so the
+    * single-partition rank window and the two scalar windows (m, k*)
+    * are test-table-sized, never data-sized. Returns
+    * (grp, p, rnk, reject). */
+  def bhFdr(tests: DataFrame, grp: Column, p: Column,
+      q: Double = 0.1): DataFrame = {
+    // NULLS LAST: an undefined test (NULL p) ranks after every real
+    // p-value in ANY engine (Spark's ASC default is nulls-first,
+    // DuckDB's is nulls-last — pin the portable order)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p").asc_nulls_last, col("grp"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    tests.select(grp.as("grp"), p.as("p"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("ok",
+        col("p") <= col("rnk").cast("double") * lit(q) /
+          col("m").cast("double"))
+      .withColumn("kstar",
+        coalesce(max(when(col("ok"), col("rnk"))).over(all), lit(0)))
+      .select(col("grp"), col("p"), col("rnk"),
+        (col("rnk") <= col("kstar")).as("reject"))
+  }
+
+  /** Corpus concentration datasheet over a weighted group share (the
+    * "how dominated is the mix" panel a datasheet prints next to the
+    * q83/q183 per-source breakdowns): exact Gini via the sorted-rank
+    * identity G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n (integer numerators —
+    * engine-exact), Herfindahl–Hirschman Σ share², Shannon entropy
+    * −Σ share·ln share (both 1e9-snapped sums), and the top group's
+    * share. Everything after the one map-side-combined weight rollup
+    * is |groups|-sized: the rank window, the scalar windows, the
+    * single-row aggregate. Returns one row:
+    * (n_groups, total, gini, hhi, entropy, top_share). */
+  def concentrationReport(df: DataFrame, grp: Column, weight: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val x = df.groupBy(grp.as("grp")).agg(sum(weight).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x"), col("grp"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ranked = x.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("tot", sum(col("x")).over(all))
+    val share = col("x").cast("double") / col("tot").cast("double")
+    val a = ranked.agg(count(lit(1)).as("n"), max(col("tot")).as("total"),
+      sum(col("i") * col("x")).as("six"),
+      Snap.snappedSum(share * share, 1e9).as("hhi"),
+      Snap.snappedSum(-share * log(share), 1e9).as("ent"),
+      max(share).as("top"))
+    a.select(col("n").as("n_groups"), col("total"),
+      round(col("six").cast("double") * lit(2.0) /
+          (col("n").cast("double") * col("total").cast("double")) -
+        (col("n") + lit(1L)).cast("double") / col("n").cast("double"), 6)
+        .as("gini"),
+      round(col("hhi"), 6).as("hhi"),
+      round(col("ent"), 6).as("entropy"),
+      round(col("top"), 6).as("top_share"))
+  }
 }
 

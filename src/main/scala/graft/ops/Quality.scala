@@ -582,6 +582,55 @@ object Quality {
       round(center + half, 6).as("hi"))
   }
 
+  /** Murphy (1973) decomposition of the Brier score over binned
+    * forecasts — the companion to [[calibrationReport]]: ECE reads the
+    * calibration GAP per bin; this splits the squared-error score into
+    * reliability (calibration error — lower is better), resolution
+    * (how much the forecasts separate outcomes — higher is better) and
+    * the outcome's irreducible uncertainty ō(1−ō), so "is the
+    * classifier bad or is the task hard" becomes a number. Also emits
+    * the measured Brier score Σ(conf−ok)²/N itself (the decomposition
+    * identity holds exactly only for bin-constant forecasts; both are
+    * reported, neither is derived from the other).
+    *
+    * Deterministic: outcome rates are exact integer ratios, every
+    * forecast sum snaps to the 1e9 grid before the order-free decimal
+    * Σ, and the bin-term sums (≤ `bins` values) snap the same way.
+    * Two aggregations: corpus → `bins` rows → one row:
+    * (n, o_bar, brier, reliability, resolution, uncertainty). */
+  def brierDecomposition(preds: DataFrame, conf: Column, correct: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"brierDecomposition: bins=$bins")
+    import graft.expr.Snap
+    val g = 1e9
+    val b = preds.select(
+      least(floor(conf * lit(bins)).cast("long"), lit(bins - 1L)).as("bin"),
+      conf.as("conf"), when(correct, 1L).otherwise(0L).as("ok"))
+    val perBin = b.groupBy(col("bin")).agg(
+      count(lit(1)).as("nk"), sum(col("ok")).as("okk"),
+      Snap.snappedSum(col("conf"), g).as("confsum"),
+      Snap.snappedSum((col("conf") - when(col("ok") === 1L, lit(1.0))
+        .otherwise(lit(0.0))) *
+        (col("conf") - when(col("ok") === 1L, lit(1.0))
+          .otherwise(lit(0.0))), g).as("sqerr"))
+    val nk = col("nk").cast("double")
+    val obark = col("okk").cast("double") / nk
+    val pbark = col("confsum") / nk
+    val a = perBin.agg(sum(col("nk")).as("n"), sum(col("okk")).as("tot_ok"),
+      Snap.snappedSum(col("sqerr"), g).as("se"),
+      Snap.snappedSum(nk * (pbark - obark) * (pbark - obark), g).as("rel"),
+      Snap.snappedSum(nk * obark * obark, g).as("reso2"))
+    val n = col("n").cast("double")
+    val obar = col("tot_ok").cast("double") / n
+    // Σ nk(ōk − ō)² = Σ nk ōk² − n ō² (the per-bin ōk are exact
+    // rationals; the expansion keeps the global ō out of the bin pass)
+    a.select(col("n"), round(obar, 6).as("o_bar"),
+      round(col("se") / n, 6).as("brier"),
+      round(col("rel") / n, 6).as("reliability"),
+      round((col("reso2") - n * obar * obar) / n, 6).as("resolution"),
+      round(obar * (lit(1.0) - obar), 6).as("uncertainty"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) across m ≥ 2 binary raters — the
     * multi-rater generalization of [[cohenKappa]]: when a corpus runs
     * SEVERAL admission gates (or several annotators label the same

@@ -530,5 +530,22 @@ class QualitySpec extends SparkSpec {
     assert(r2.getDouble(1) == 1.0 && r2.getDouble(2) == 1.0)
     assert(r2.isNullAt(3))
   }
+
+  test("brierDecomposition: hand bins satisfy the Murphy identity") {
+    import org.apache.spark.sql.functions._
+    // bin 8: conf .8 on {T,F}; bin 3: conf .3 on {F,F}
+    val preds = Seq((0.8, true), (0.8, false), (0.3, false), (0.3, false))
+      .toDF("conf", "ok")
+    val r = Quality.brierDecomposition(preds, col("conf"), col("ok"))
+      .collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.25)     // o_bar
+    assert(r.getDouble(2) == 0.215)    // (0.68 + 0.18) / 4
+    assert(r.getDouble(3) == 0.09)     // reliability
+    assert(r.getDouble(4) == 0.0625)   // resolution
+    assert(r.getDouble(5) == 0.1875)   // uncertainty = .25 * .75
+    // bin-constant forecasts: brier = rel - res + unc exactly
+    assert(r.getDouble(2) == r.getDouble(3) - r.getDouble(4) + r.getDouble(5))
+  }
 }
 

@@ -1016,5 +1016,52 @@ class TextOpsSpec extends SparkSpec {
     assert(out == ((4L, 1L, 0.25, expect)))
     assert(expect == 7359L) // pin the digit the formula should give
   }
+
+  test("normalPValue2: A&S approximation hits the classic quantiles") {
+    import graft.ops.Analytics
+    val d = Seq(0.0, 1.96, -1.96, 2.5758).toDF("z")
+    val out = d.select(Analytics.normalPValue2(col("z")).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 2e-7)        // z = 0 -> p = 1
+    assert(math.abs(out(1) - 0.05) < 1e-5)       // the 95% two-sided z
+    assert(out(1) == out(2))                     // symmetric in z
+    assert(math.abs(out(3) - 0.01) < 1e-5)       // the 99% two-sided z
+  }
+
+  test("bhFdr: step-up rejects below-k* ranks even past a local miss") {
+    import graft.ops.Analytics
+    // m = 3, q = 0.1 -> thresholds 1/30, 2/30, 3/30: p(1) = .04 fails
+    // ITS OWN threshold but p(2) = .065 passes -> k* = 2, so BOTH
+    // rank-1 and rank-2 reject (the step-up property naive per-rank
+    // thresholding gets wrong)
+    val tests = Seq(("a", 0.04), ("b", 0.065), ("c", 0.2)).toDF("g", "p")
+    val out = Analytics.bhFdr(tests, col("g"), col("p"), 0.1)
+      .collect().map(r => r.getString(0) -> ((r.getInt(2), r.getBoolean(3))))
+      .toMap
+    assert(out("a") == ((1, true)) && out("b") == ((2, true)))
+    assert(out("c") == ((3, false)))
+    // nothing significant -> k* = 0, zero rejections
+    val none = Analytics.bhFdr(Seq(("a", 0.5), ("b", 0.9)).toDF("g", "p"),
+      col("g"), col("p"), 0.1).collect()
+    assert(none.forall(!_.getBoolean(3)))
+  }
+
+  test("concentrationReport: hand Gini/HHI/entropy; uniform -> gini 0") {
+    import graft.ops.Analytics
+    // weights a:1 b:1 c:2 -> sorted ranks 1,2,3; gini = 2*9/(3*4) - 4/3
+    val d = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("g", "w")
+    val r = Analytics.concentrationReport(d, col("g"), col("w"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == math.floor((18.0 / 12.0 - 4.0 / 3.0) * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(3) == 0.375) // .25^2 + .25^2 + .5^2
+    assert(math.abs(r.getDouble(4) - 1.5 * math.log(2.0)) < 1e-6)
+    assert(r.getDouble(5) == 0.5)
+    // equal shares: gini exactly 0, top = 1/n
+    val u = Seq(("a", 5L), ("b", 5L)).toDF("g", "w")
+    val r2 = Analytics.concentrationReport(u, col("g"), col("w"))
+      .collect().head
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.5)
+  }
 }
 
