@@ -2942,6 +2942,114 @@ object SparkEntry {
     ops.Quality.brierDecomposition(nbConfidence(s, dir), col("conf"),
       col("pred_lab") === col("lang"), 10)
 
+  /** CUSUM drift alarms over the daily event-rate series per type —
+    * the slow-creep sequential monitor next to the q83/q175
+    * snapshot-pair drift tests ([[ops.Analytics.cusumDrift]]). */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    ops.Analytics.cusumDrift(daily, col("event_type"), col("day"),
+      col("n"))
+      .withColumnRenamed("grp", "event_type")
+      .withColumnRenamed("step", "day")
+      .withColumnRenamed("x", "n_events")
+  }
+
+  /** Ordered view → click → purchase conversion funnel per user over
+    * the events stream — strictly-after stage semantics, one
+    * timestamp of state per (user, stage)
+    * ([[ops.Analytics.funnel]]). */
+  private def qEventFunnel(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.funnel(t(s, dir, "events"), col("user_id"), col("ts"),
+      col("event_type"), Seq("view", "click", "purchase"))
+
+  /** Mann–Whitney U per event type between the q208 hash arms — the
+    * nonparametric "did the value distribution shift" sibling of the
+    * parametric z-test ([[ops.Analytics.mannWhitneyU]]); exact
+    * tie-averaged doubled ranks via the bounded-distinct value grid. */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.mannWhitneyU(t(s, dir, "events"), col("event_type"),
+      pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(100L)) < 50, col("value"))
+      .withColumnRenamed("grp", "event_type")
+
+  /** EWMA control chart over the daily event-rate series per type —
+    * the small-persistent-shift monitor between q215's CUSUM
+    * accumulator and a raw per-day z-test
+    * ([[ops.Analytics.ewmaDrift]]). */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    ops.Analytics.ewmaDrift(daily, col("event_type"), col("day"),
+      col("n"))
+      .withColumnRenamed("grp", "event_type")
+      .withColumnRenamed("step", "day")
+      .withColumnRenamed("x", "n_events")
+  }
+
+  /** Chi-squared homogeneity test of each source's language mix
+    * between the even/odd corpus halves (the q83 snapshot convention)
+    * — χ², Cramér's V effect size, Wilson–Hilferty p
+    * ([[ops.Analytics.chi2Drift]]). */
+  private def qChi2Drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ops.Analytics.chi2Drift(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), col("source"), col("lang"))
+      .withColumnRenamed("grp", "source")
+  }
+
+  /** Jensen–Shannon divergence of the language composition between the
+    * even/odd corpus halves — q83's KL made symmetric and bounded
+    * ([[ops.Analytics.jsDivergence]]). */
+  private def qJsd(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ops.Analytics.jsDivergence(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), col("lang"))
+      .withColumnRenamed("stratum", "lang")
+  }
+
+  /** Spearman rank correlation of event value against event time per
+    * type — the outlier-proof "is this metric monotonically trending"
+    * monitor ([[ops.Analytics.spearmanCorr]]); exact doubled-rank
+    * integer moments. */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.spearmanCorr(t(s, dir, "events"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")), col("value"))
+      .withColumnRenamed("grp", "event_type")
+
+  /** Wald SPRT per event type over the daily success series
+    * (success = value above the corpus-median-scale 35.0 cut): the
+    * early-stopping sequential test next to q211's fixed-horizon
+    * sizing ([[ops.Analytics.sprtAb]]). */
+  private def qSprt(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.sprtAb(
+      t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+      col("event_type"), col("day"), col("value") > 35.0)
+      .withColumnRenamed("grp", "event_type")
+      .withColumnRenamed("step", "day")
+
+  /** 5-fold cross-validated NB accuracy — the variance answer q156's
+    * single holdout can't give; all five models train in ONE plan over
+    * the session TF artifact ([[ops.Quality.kfoldNbEval]]). */
+  private def qKfoldNb(s: SparkSession, dir: String): DataFrame = {
+    val tf = sharedTermFreqs(s, dir)
+    val docs = t(s, dir, "documents")
+    ops.Quality.kfoldNbEval(docs, col("doc_id"), col("text"),
+      col("lang"), k = 5, docTf0 = Some(tf.join(
+        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
+  }
+
+  /** Dirichlet-prior query-likelihood top-20 (Zhai & Lafferty) for a
+    * fixed 3-term query over the session TF artifact — the LM-retrieval
+    * scorer beside BM25/TF-IDF, serving the smoothing family q207
+    * tunes ([[graft.expr.TextStats.dirichletQl]]). */
+  private def qDirichletQl(s: SparkSession, dir: String): DataFrame =
+    graft.expr.TextStats.dirichletQl(t(s, dir, "documents"),
+      col("doc_id"), col("text"), Seq("join", "filter", "scan"),
+      mu = 2000.0, topK = 20, tf0 = Some(sharedTermFreqs(s, dir)))
+
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family
     * next to the BPE merge loop): integer bit-length costs, packed
@@ -3457,7 +3565,17 @@ object SparkEntry {
     "q211_ab_sizing" -> (qAbSizing _),
     "q212_bh_fdr" -> (qBhFdr _),
     "q213_concentration" -> (qConcentration _),
-    "q214_brier" -> (qBrier _))
+    "q214_brier" -> (qBrier _),
+    "q215_cusum" -> (qCusum _),
+    "q216_event_funnel" -> (qEventFunnel _),
+    "q217_mann_whitney" -> (qMannWhitney _),
+    "q218_ewma" -> (qEwma _),
+    "q219_chi2_drift" -> (qChi2Drift _),
+    "q220_jsd" -> (qJsd _),
+    "q221_spearman" -> (qSpearman _),
+    "q222_sprt" -> (qSprt _),
+    "q223_kfold_nb" -> (qKfoldNb _),
+    "q224_dirichlet_ql" -> (qDirichletQl _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -6870,5 +6988,229 @@ object SparkEntry {
         "round(rel / CAST(n AS DOUBLE), 6) AS reliability, " +
         "round((reso2 - CAST(n AS DOUBLE) * (CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE))) / CAST(n AS DOUBLE), 6) AS resolution, " +
         "round((CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(tot_ok AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS uncertainty " +
-        "FROM a"))
+        "FROM a"),
+    "q215_cusum" ->
+      // S_t = C_t − min(0, prefix-min C) with C the running sum of
+      // 1e9-snapped INTEGER deviations (window engines may
+      // re-associate double partials — the q99 decimal lesson)
+      ("WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "m1 AS (SELECT event_type, day, n, CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) / " +
+        "CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS mu FROM dd), " +
+        "d1 AS (SELECT *, CAST(floor((CAST(n AS DOUBLE) - mu * CAST(1.1 AS DOUBLE)) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS di FROM m1), " +
+        "c1 AS (SELECT *, CAST(sum(di) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c FROM d1), " +
+        "c2 AS (SELECT *, CAST(min(c) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m FROM c1), " +
+        "c3 AS (SELECT event_type, day, n, mu, c - least(m, 0) AS s FROM c2) " +
+        "SELECT event_type, day, n AS n_events, " +
+        "round(CAST(s AS DOUBLE) / CAST(1000000000 AS DOUBLE), 6) AS cusum, " +
+        "CAST(s AS DOUBLE) / CAST(1000000000 AS DOUBLE) > mu * CAST(0.5 AS DOUBLE) AS alarm " +
+        "FROM c3"),
+    "q216_event_funnel" ->
+      // stage k = a stage-k event strictly after the unit's first
+      // stage-(k−1) arrival; one min-timestamp per (user, stage),
+      // never an event list
+      ("WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u " +
+        "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1), " +
+        "c AS (SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_units FROM s1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2 " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3) " +
+        "SELECT stage_idx, stage, n_units, " +
+        "round(CAST(n_units AS DOUBLE) / CAST(lag(n_units) OVER (ORDER BY stage_idx) AS DOUBLE), 6) AS conv_prev, " +
+        "round(CAST(n_units AS DOUBLE) / CAST(first_value(n_units) OVER (ORDER BY stage_idx) AS DOUBLE), 6) AS conv_first " +
+        "FROM c"),
+    "q217_mann_whitney" ->
+      // exact integer doubled rank sums over the distinct-value grid
+      // (2·rankavg = 2(cum−n) + n + 1), tie-corrected variance,
+      // A&S 7.1.26 erfc p; arm = the q208 md5 hash bucket
+      ("WITH b AS (SELECT event_type AS grp, value AS v, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a FROM events), " +
+        "c AS (SELECT grp, v, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM b GROUP BY 1, 2), " +
+        "r AS (SELECT *, na + nb AS n, CAST(sum(na + nb) OVER (PARTITION BY grp ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM c), " +
+        "s AS (SELECT grp, CAST(sum(na) AS BIGINT) AS na_tot, CAST(sum(nb) AS BIGINT) AS nb_tot, " +
+        "CAST(sum(na * (2 * (cum - n) + n + 1)) AS BIGINT) AS r2a, " +
+        "CAST(sum(n * n * n - n) AS BIGINT) AS ties FROM r GROUP BY 1), " +
+        "t0 AS (SELECT grp, na_tot, nb_tot, r2a - na_tot * (na_tot + 1) AS u2, " +
+        "CAST(na_tot AS DOUBLE) AS nad, CAST(nb_tot AS DOUBLE) AS nbd, " +
+        "CAST(na_tot + nb_tot AS DOUBLE) AS nd, CAST(ties AS DOUBLE) AS tiesd FROM s), " +
+        "t1 AS (SELECT *, nad * nbd / CAST(12 AS DOUBLE) * ((nd + CAST(1 AS DOUBLE)) - tiesd / (nd * (nd - CAST(1 AS DOUBLE)))) AS variance FROM t0), " +
+        "t2 AS (SELECT *, (CAST(u2 AS DOUBLE) - nad * nbd) / CAST(2 AS DOUBLE) / sqrt(variance) AS z FROM t1), " +
+        "yy AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS y FROM t2), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS t FROM yy) " +
+        "SELECT grp AS event_type, na_tot AS n_a, nb_tot AS n_b, " +
+        "CAST(u2 AS DOUBLE) / CAST(2 AS DOUBLE) AS u, round(z, 4) AS z, " +
+        "round(t * (CAST(0.254829592 AS DOUBLE) + t * (CAST(-0.284496736 AS DOUBLE) + t * (CAST(1.421413741 AS DOUBLE) + " +
+        "t * (CAST(-1.453152027 AS DOUBLE) + t * CAST(1.061405429 AS DOUBLE))))) * exp(-(y * y)), 6) AS p_value " +
+        "FROM tt"),
+    "q218_ewma" ->
+      // z_t = r^t·μ + λ·Σ_{j≤t} r^{t−j}·x_j over the day grid: each z_t
+      // its own 1e9-snapped weighted sum (the grid self-join is
+      // calendar-bounded); r replayed as the same IEEE subtraction
+      ("WITH dd AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "ix AS (SELECT event_type, day, CAST(n AS DOUBLE) AS x, " +
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i FROM dd), " +
+        "rr AS (SELECT CAST(1.0 AS DOUBLE) - CAST(0.2 AS DOUBLE) AS r, " +
+        "CAST(0.2 AS DOUBLE) / (CAST(2.0 AS DOUBLE) - CAST(0.2 AS DOUBLE)) AS lf), " +
+        "st AS (SELECT event_type, sum(x) / CAST(count(*) AS DOUBLE) AS mu, " +
+        "CASE WHEN count(*) > 1 THEN sqrt((sum(x * x) - sum(x) * sum(x) / CAST(count(*) AS DOUBLE)) / CAST(count(*) - 1 AS DOUBLE)) " +
+        "ELSE CAST(0.0 AS DOUBLE) END AS sigma FROM ix GROUP BY 1), " +
+        "zt AS (SELECT a.event_type, a.day, a.x, a.i, " +
+        "CAST(sum(CAST(floor(CAST(0.2 AS DOUBLE) * power(r, CAST(a.i - b.i AS DOUBLE)) * b.x " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS zsum " +
+        "FROM ix a JOIN ix b ON b.event_type = a.event_type AND b.i <= a.i CROSS JOIN rr GROUP BY 1, 2, 3, 4), " +
+        "o AS (SELECT zt.event_type, day, x, " +
+        "round(power(r, CAST(i AS DOUBLE)) * mu + zsum, 6) AS ewma, " +
+        "round(mu - CAST(3.0 AS DOUBLE) * sigma * sqrt(lf * (CAST(1.0 AS DOUBLE) - power(r, CAST(i AS DOUBLE) * 2.0))), 6) AS lcl, " +
+        "round(mu + CAST(3.0 AS DOUBLE) * sigma * sqrt(lf * (CAST(1.0 AS DOUBLE) - power(r, CAST(i AS DOUBLE) * 2.0))), 6) AS ucl " +
+        "FROM zt JOIN st ON st.event_type = zt.event_type CROSS JOIN rr) " +
+        "SELECT event_type, day, x AS n_events, ewma, lcl, ucl, " +
+        "ewma < lcl OR ewma > ucl AS alarm FROM o"),
+    "q219_chi2_drift" ->
+      // per-source lang contingency between the even/odd halves:
+      // χ² from exact cell counts (1e9-snapped term sum), Cramér's V,
+      // Wilson–Hilferty cube-root normal p (the A&S erfc replay)
+      ("WITH b AS (SELECT source, lang AS cat, CASE WHEN doc_id % 2 = 0 THEN 'e' ELSE 'a' END AS half FROM documents), " +
+        "cnt AS (SELECT source, cat, CAST(sum(CASE WHEN half = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS ce, " +
+        "CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca FROM b GROUP BY 1, 2), " +
+        "tot AS (SELECT source, CAST(sum(ce) AS BIGINT) AS te, CAST(sum(ca) AS BIGINT) AS ta, count(*) AS k FROM cnt GROUP BY 1), " +
+        "tm AS (SELECT cnt.source, ce, ca, te, ta, k, " +
+        "CAST(te AS DOUBLE) * CAST(ce + ca AS DOUBLE) / CAST(te + ta AS DOUBLE) AS ee, " +
+        "CAST(ta AS DOUBLE) * CAST(ce + ca AS DOUBLE) / CAST(te + ta AS DOUBLE) AS ea " +
+        "FROM cnt JOIN tot ON tot.source = cnt.source), " +
+        "s AS (SELECT source, max(te) AS n_e, max(ta) AS n_a, max(k) - 1 AS df, " +
+        "CAST(sum(CAST(floor(((CAST(ce AS DOUBLE) - ee) * (CAST(ce AS DOUBLE) - ee) / ee + " +
+        "(CAST(ca AS DOUBLE) - ea) * (CAST(ca AS DOUBLE) - ea) / ea) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS chi2raw FROM tm GROUP BY 1), " +
+        "z0 AS (SELECT *, (power(chi2raw / CAST(df AS DOUBLE), CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) - " +
+        "(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / (CAST(9.0 AS DOUBLE) * CAST(df AS DOUBLE)))) / " +
+        "sqrt(CAST(2.0 AS DOUBLE) / (CAST(9.0 AS DOUBLE) * CAST(df AS DOUBLE))) AS zwh, " +
+        "n_e > 0 AND n_a > 0 AND df > 0 AS ok FROM s), " +
+        "yy AS (SELECT *, abs(zwh) / sqrt(CAST(2 AS DOUBLE)) AS y FROM z0), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS t FROM yy), " +
+        "pv AS (SELECT *, t * (CAST(0.254829592 AS DOUBLE) + t * (CAST(-0.284496736 AS DOUBLE) + t * (CAST(1.421413741 AS DOUBLE) + " +
+        "t * (CAST(-1.453152027 AS DOUBLE) + t * CAST(1.061405429 AS DOUBLE))))) * exp(-(y * y)) AS p2 FROM tt) " +
+        "SELECT source, n_e, n_a, CASE WHEN ok THEN df END AS df, " +
+        "CASE WHEN ok THEN round(chi2raw, 6) END AS chi2, " +
+        "CASE WHEN ok THEN round(sqrt(chi2raw / CAST(n_e + n_a AS DOUBLE)), 6) END AS cramers_v, " +
+        "CASE WHEN ok THEN round(CASE WHEN zwh >= 0 THEN p2 / CAST(2.0 AS DOUBLE) " +
+        "ELSE CAST(1.0 AS DOUBLE) - p2 / CAST(2.0 AS DOUBLE) END, 6) END AS p_value FROM pv"),
+    "q220_jsd" ->
+      // the q83 Laplace-smoothed shares, JSD form: with m = (p+q)/2,
+      // term = (p·ln(p/m) + q·ln(q/m)) / 2 — symmetric, ≤ ln 2
+      ("WITH o AS (SELECT lang AS stratum, count(*) AS n_old FROM documents " +
+        "WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "n AS (SELECT lang AS stratum, count(*) AS n_new FROM documents " +
+        "WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "j AS (SELECT coalesce(o.stratum, n.stratum) AS stratum, " +
+        "coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new " +
+        "FROM o FULL JOIN n ON o.stratum = n.stratum), " +
+        "t AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new, count(*) AS s FROM j), " +
+        "pq AS (SELECT stratum, n_old, n_new, " +
+        "round(n_old / t_old, 4) AS share_old, round(n_new / t_new, 4) AS share_new, " +
+        "(n_old + 1.0) / (t_old + s) AS p, (n_new + 1.0) / (t_new + s) AS q " +
+        "FROM j CROSS JOIN t) " +
+        "SELECT stratum AS lang, n_old, n_new, share_old, share_new, " +
+        "round((p * ln(p / ((p + q) / CAST(2.0 AS DOUBLE))) + " +
+        "q * ln(q / ((p + q) / CAST(2.0 AS DOUBLE)))) / CAST(2.0 AS DOUBLE), 6) AS jsd_term FROM pq"),
+    "q221_spearman" ->
+      // Pearson over tie-averaged DOUBLED ranks (exact integers from
+      // the per-group distinct-value grids, q217's 2·rankavg identity);
+      // moments as exact HUGEINT sums cast once to double
+      ("WITH b AS (SELECT event_type AS grp, epoch_us(ts) AS vx, value AS vy FROM events), " +
+        "cx AS (SELECT grp, vx, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "rx AS (SELECT grp, vx, 2 * (CAST(sum(n) OVER (PARTITION BY grp ORDER BY vx " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n) + n + 1 AS r_x FROM cx), " +
+        "cy AS (SELECT grp, vy, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "ry AS (SELECT grp, vy, 2 * (CAST(sum(n) OVER (PARTITION BY grp ORDER BY vy " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n) + n + 1 AS r_y FROM cy), " +
+        "rows0 AS (SELECT b.grp, r_x, r_y FROM b " +
+        "JOIN rx ON rx.grp = b.grp AND rx.vx = b.vx " +
+        "JOIN ry ON ry.grp = b.grp AND ry.vy = b.vy), " +
+        "s AS (SELECT grp, count(*) AS n_rows, " +
+        "CAST(sum(CAST(r_x AS HUGEINT)) AS DOUBLE) AS sx, CAST(sum(CAST(r_y AS HUGEINT)) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS DOUBLE) AS sxx, CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS DOUBLE) AS syy, " +
+        "CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS DOUBLE) AS sxy FROM rows0 GROUP BY 1), " +
+        "f AS (SELECT *, CAST(n_rows AS DOUBLE) AS nn, " +
+        "sqrt((CAST(n_rows AS DOUBLE) * sxx - sx * sx) * (CAST(n_rows AS DOUBLE) * syy - sy * sy)) AS den FROM s) " +
+        "SELECT grp AS event_type, n_rows, " +
+        "CASE WHEN den > 0.0 THEN round((nn * sxy - sx * sy) / den, 6) END AS rho FROM f"),
+    "q222_sprt" -> {
+      // Wald boundaries baked as round-trip double literals (the same
+      // driver doubles Spark compares against); per-day LLR terms snap
+      // to 1e9 integers BEFORE the cumulative window (exact addition);
+      // first crossing freezes the decision
+      val up = math.log((1.0 - 0.05) / 0.05)
+      val lo = math.log(0.05 / (1.0 - 0.05))
+      "WITH dd AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "CAST(sum(CASE WHEN value > 35.0 THEN 1 ELSE 0 END) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT *, CAST(sum(c) OVER (PARTITION BY grp) AS DOUBLE) / " +
+        "CAST(sum(n) OVER (PARTITION BY grp) AS DOUBLE) AS p0 FROM dd), " +
+        "p1t AS (SELECT *, least(p0 * CAST(1.25 AS DOUBLE), CAST(0.999 AS DOUBLE)) AS p1, " +
+        "p0 > 0.0 AND p0 < 1.0 AS ok FROM p), " +
+        "ti AS (SELECT *, CASE WHEN ok THEN CAST(floor((CAST(c AS DOUBLE) * ln(p1 / p0) + " +
+        "CAST(n - c AS DOUBLE) * ln((CAST(1.0 AS DOUBLE) - p1) / (CAST(1.0 AS DOUBLE) - p0))) " +
+        "* 1000000000 + 0.5) AS BIGINT) ELSE 0 END AS ti FROM p1t), " +
+        "cum AS (SELECT *, CASE WHEN ok THEN CAST(CAST(sum(ti) OVER (PARTITION BY grp ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 1000000000 END AS llr FROM ti), " +
+        s"fz AS (SELECT *, min(CASE WHEN llr >= CAST($up AS DOUBLE) THEN day END) OVER (PARTITION BY grp) AS fu, " +
+        s"min(CASE WHEN llr <= CAST($lo AS DOUBLE) THEN day END) OVER (PARTITION BY grp) AS fl FROM cum) " +
+        "SELECT grp AS event_type, day, n, c, round(llr, 6) AS llr, " +
+        "CASE WHEN llr IS NULL THEN NULL " +
+        "WHEN fu IS NOT NULL AND (fl IS NULL OR fu <= fl) AND day >= fu THEN 'accept_h1' " +
+        "WHEN fl IS NOT NULL AND (fu IS NULL OR fl < fu) AND day >= fl THEN 'accept_h0' " +
+        "ELSE 'continue' END AS decision FROM fz"
+    },
+    "q223_kfold_nb" ->
+      // the q154 NB replay with a fold axis: all 5 models train in one
+      // statement (counts over fold <> f), each doc scores against ITS
+      // fold's model, 4-dp argmax with label-asc ties, per-fold rollup
+      ("WITH folds AS (SELECT range AS f FROM range(5)), " +
+        "tok AS (SELECT doc_id, lang AS lab, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "dt AS (SELECT doc_id, doc_id % 5 AS fold, lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3, 4), " +
+        "ct AS (SELECT f, lab, term, sum(tf) AS ctf FROM dt CROSS JOIN folds WHERE fold <> f GROUP BY 1, 2, 3), " +
+        "vv AS (SELECT f, count(DISTINCT term) AS v FROM ct GROUP BY 1), " +
+        "cs AS (SELECT f, lab, sum(ctf) AS ctot FROM ct GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, lang AS lab, doc_id % 5 AS fold FROM documents), " +
+        "pr AS (SELECT f, lab, count(*) AS nd FROM dl CROSS JOIN folds WHERE fold <> f GROUP BY 1, 2), " +
+        "nt AS (SELECT f, sum(nd) AS ntot FROM pr GROUP BY 1), " +
+        "ls AS (SELECT cs.f, cs.lab AS clab, " +
+        "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
+        "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
+        "FROM cs JOIN pr ON pr.f = cs.f AND pr.lab = cs.lab " +
+        "JOIN nt ON nt.f = cs.f JOIN vv ON vv.f = cs.f), " +
+        "seen AS (SELECT dt.fold AS f, dt.doc_id, ct.lab AS clab, " +
+        "CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE)) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1 " +
+        "FROM dt JOIN ct ON ct.f = dt.fold AND ct.term = dt.term GROUP BY 1, 2, 3), " +
+        "dn AS (SELECT fold AS f, doc_id, lab, sum(tf) AS n_tok FROM dt GROUP BY 1, 2, 3), " +
+        "sc AS (SELECT dn.f, dn.doc_id, dn.lab, ls.clab, " +
+        "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
+        "FROM dn JOIN ls ON ls.f = dn.f " +
+        "LEFT JOIN seen ON seen.f = dn.f AND seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
+        "best AS (SELECT f, doc_id, lab, clab FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY f, doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1) " +
+        "SELECT CAST(f AS BIGINT) AS fold, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN clab = lab THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+        "round(CAST(sum(CASE WHEN clab = lab THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy " +
+        "FROM best GROUP BY 1"),
+    "q224_dirichlet_ql" ->
+      // Dirichlet QL: score = Σ_q ln((tf + μ·cf/T)/(len + μ)), every
+      // doc scores (missing term = pure background), 1e9-snapped
+      // per-doc sum, top-20 by (score DESC, doc_id)
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
+        "cf AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ('join', 'filter', 'scan') GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf), " +
+        "j AS (SELECT dl.doc_id, dl.n_tok, cf.cf, tf.tf FROM dl CROSS JOIN cf " +
+        "LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term), " +
+        "s AS (SELECT doc_id, n_tok, CAST(sum(CAST(floor(ln(" +
+        "(CAST(coalesce(tf, 0) AS DOUBLE) + CAST(2000.0 AS DOUBLE) * (CAST(cf AS DOUBLE) / t)) / " +
+        "(CAST(n_tok AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s " +
+        "FROM j CROSS JOIN tt GROUP BY 1, 2) " +
+        "SELECT doc_id, n_tok, round(s, 6) AS score FROM s " +
+        "ORDER BY score DESC, doc_id LIMIT 20"))
 }

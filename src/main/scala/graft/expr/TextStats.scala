@@ -191,6 +191,62 @@ object TextStats {
           .as("pmi"))
   }
 
+  /** Dirichlet-prior query-likelihood ranking (Zhai & Lafferty 2001) —
+    * the LM-retrieval scorer next to the BM25/TF-IDF pair, and the
+    * serving-side use of the smoothing family [[jmLambdaEm]] tunes:
+    * score(q, d) = Σ_{w∈q} ln((tf_{w,d} + μ·cf_w/T) / (len_d + μ)).
+    * Dirichlet smoothing length-normalizes implicitly (long docs lean
+    * on their own counts, short docs on the corpus LM) — the standard
+    * one-knob alternative to JM's λ.
+    *
+    * Query terms absent from the corpus drop before scoring (their
+    * contribution is an equal −∞ for every doc — no ranking
+    * information). Every doc scores (a doc missing a term takes the
+    * pure-background ln(μ·cf/T / (len+μ)) — that's the smoothing
+    * working, not a dropped row); per-doc sums 1e9-snap (order-free),
+    * final order ties break doc_id-ascending.
+    *
+    * Scale shape: corpus LM stats are |q|-row (cf) + one scalar (T);
+    * the scoring frame is docLen × |q| rows LEFT-joined against the
+    * |q|-filtered TF slice — all broadcast-keyed, the corpus is scanned
+    * only for the TF artifact (never with `tf0` supplied); final top-k
+    * is TakeOrdered. Returns (doc_id, n_tok, score). */
+  def dirichletQl(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, queryTerms: Seq[String], mu: Double = 2000.0,
+      topK: Int = 20,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true),
+      tf0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count,
+      explode, lit, log, round, sum}
+    require(queryTerms.nonEmpty && mu > 0 && topK > 0,
+      s"dirichletQl: query=${queryTerms.size}, mu=$mu, topK=$topK")
+    // tf0: the session (doc_id, term, tf) artifact — 4 consumers here
+    val tf = tf0.getOrElse(materialize(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tok"))
+    val cf = tf.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val tTot = {
+      val r = tf.agg(sum(col("tf"))).first()
+      if (r.isNullAt(0)) 1.0 else r.getLong(0).toDouble
+    }
+    val termScore = log(
+      (coalesce(col("tf"), lit(0L)).cast("double") +
+        lit(mu) * (col("cf").cast("double") / lit(tTot))) /
+        (col("n_tok").cast("double") + lit(mu)))
+    docLen.crossJoin(broadcast(cf))
+      .join(tf.filter(col("term").isin(queryTerms: _*)),
+        Seq("doc_id", "term"), "left")
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(graft.expr.Snap.snappedSum(termScore, 1e9).as("s"))
+      .select(col("doc_id"), col("n_tok"), round(col("s"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Interpolated bigram language-model score per document — the
     * perplexity-filter quality signal of an LLM data pipeline (docs
     * whose mean NLL under a corpus-trained LM is an outlier are

@@ -481,5 +481,374 @@ object Analytics {
       round(col("ent"), 6).as("entropy"),
       round(col("top"), 6).as("top_share"))
   }
+
+  /** One-sided upper CUSUM change detector (Page 1954) over a
+    * per-(group, step) series — the sequential drift monitor that
+    * catches SLOW rate creep a per-step z-test never sees (each step
+    * looks fine; the accumulated excess doesn't). The textbook
+    * recursion S_t = max(0, S_{t−1} + x_t − k) looks like a serial
+    * fold, but the prefix identity S_t = C_t − min(0, min_{j≤t} C_j)
+    * (C = running sum of x − k) turns it into two window functions —
+    * fully parallel across groups, deterministic because a window
+    * cumulative sum is an ordered left fold in any engine. Reference
+    * k = μ·(1+slack), alarm at S > μ·hMult, both from the group's own
+    * mean (exact rational). Returns one row per (grp, step):
+    * (grp, step, x, cusum, alarm). */
+  def cusumDrift(counts: DataFrame, grp: Column, step: Column, x: Column,
+      slack: Double = 0.1, hMult: Double = 0.5): DataFrame = {
+    val g = Window.partitionBy(col("grp"))
+    val run = Window.partitionBy(col("grp")).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = counts.select(grp.as("grp"), step.as("step"), x.as("x"))
+      .withColumn("mu", sum(col("x")).over(g).cast("double") /
+        count(lit(1)).over(g).cast("double"))
+    // the running sums stay on 1e9-snapped INTEGERS: a window engine
+    // is free to re-associate its segment-tree partials (the q99
+    // decimal-rolling-sum lesson), which integer addition shrugs off
+    val dI = floor((col("x").cast("double") -
+      col("mu") * lit(1.0 + slack)) * lit(1e9) + lit(0.5)).cast("long")
+    val s = base.withColumn("c", sum(dI).over(run))
+      .withColumn("m", min(col("c")).over(run))
+      .withColumn("s", col("c") - least(col("m"), lit(0L)))
+    s.select(col("grp"), col("step"), col("x"),
+      round(col("s").cast("double") / lit(1e9), 6).as("cusum"),
+      (col("s").cast("double") / lit(1e9) > col("mu") * lit(hMult))
+        .as("alarm"))
+  }
+
+  /** Ordered-funnel conversion (view → click → purchase …): a unit
+    * reaches stage k when it has a stage-k event STRICTLY AFTER its
+    * first stage-(k−1) arrival — the product-analytics operator whose
+    * naive form (per-user event-list collect) doesn't distribute.
+    * Here each stage is one conditional-min aggregation plus one
+    * unit-keyed join against the previous stage's arrival table — all
+    * shuffles on the unit key (co-partitioned chain), state per unit
+    * is ONE timestamp per stage, never an event list. The per-stage
+    * counts are a |stages|-row frame; rates derive via a lag window
+    * there. Returns (stage_idx, stage, n_units, conv_prev,
+    * conv_first). */
+  def funnel(df: DataFrame, unit: Column, ts: Column, stage: Column,
+      stages: Seq[String],
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(stages.nonEmpty, "funnel: no stages")
+    val ev = df.select(unit.as("u"), ts.as("ts"), stage.as("st"))
+    // each arrival table has TWO consumers (next stage's join + its
+    // own count row) — materialize so the chain never re-aggregates
+    val arrivals = stages.tail.scanLeft(
+      materialize(ev.filter(col("st") === stages.head).groupBy(col("u"))
+        .agg(min(col("ts")).as("t")))) { (prev, st) =>
+      materialize(ev.filter(col("st") === st)
+        .join(prev.select(col("u"), col("t").as("tp")), "u")
+        .filter(col("ts") > col("tp"))
+        .groupBy(col("u")).agg(min(col("ts")).as("t")))
+    }
+    val counts = arrivals.zip(stages).zipWithIndex.map {
+      case ((a, st), i) => a.agg(count(lit(1)).as("n_units"))
+        .select(lit(i + 1L).as("stage_idx"), lit(st).as("stage"),
+          col("n_units"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("stage_idx")) // |stages|-row frame
+    counts.withColumn("prev", lag(col("n_units"), 1).over(w))
+      .withColumn("first", first(col("n_units")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("stage_idx"), col("stage"), col("n_units"),
+        round(col("n_units").cast("double") / col("prev").cast("double"), 6)
+          .as("conv_prev"),
+        round(col("n_units").cast("double") / col("first").cast("double"), 6)
+          .as("conv_first"))
+  }
+
+  /** Mann–Whitney U rank-sum test per group (Mann & Whitney 1947) —
+    * the nonparametric two-sample location test for "did arm B's value
+    * distribution shift" when nothing says the metric is normal (the
+    * parametric q110 z-test's robust sibling). Everything up to the
+    * final z is EXACT integer arithmetic via the bounded-distinct
+    * trick ([[q137]]'s percentile contract): counts per (group,
+    * distinct value), tie-averaged ranks from a cumulative window over
+    * the VALUE-GROUP table (never the raw rows), doubled rank sums so
+    * the ½-steps stay integral (2·rankavg = 2·(cum−n) + n + 1), the
+    * tie correction Σ(t³−t) likewise integral. Normal approximation
+    * with tie-corrected variance, p via [[normalPValue2]]. Returns
+    * (grp, n_a, n_b, u, z, p_value). */
+  def mannWhitneyU(df: DataFrame, grp: Column, isA: Column, value: Column)
+      : DataFrame = {
+    val c = df.select(grp.as("grp"), value.as("v"), isA.as("a"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val run = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = col("na") + col("nb")
+    val r = c.withColumn("n", n).withColumn("cum", sum(n).over(run))
+    val s = r.groupBy(col("grp")).agg(
+      sum(col("na")).as("na_tot"), sum(col("nb")).as("nb_tot"),
+      // Σ na · 2·rankavg, rankavg = (cum − n) + (n+1)/2
+      sum(col("na") * (lit(2L) * (col("cum") - col("n")) + col("n") +
+        lit(1L))).as("r2a"),
+      sum(col("n") * col("n") * col("n") - col("n")).as("ties"))
+    val naD = col("na_tot").cast("double")
+    val nbD = col("nb_tot").cast("double")
+    val nD = (col("na_tot") + col("nb_tot")).cast("double")
+    val u2 = col("r2a") - col("na_tot") * (col("na_tot") + 1L) // = 2U
+    val variance = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - col("ties").cast("double") /
+        (nD * (nD - lit(1.0))))
+    val z = (u2.cast("double") - naD * nbD) / lit(2.0) / sqrt(variance)
+    s.select(col("grp"), col("na_tot").as("n_a"), col("nb_tot").as("n_b"),
+      (u2.cast("double") / lit(2.0)).as("u"), round(z, 4).as("z"),
+      round(normalPValue2(z), 6).as("p_value"))
+  }
+
+  /** EWMA control chart (Roberts 1959) over a per-(group, step) series —
+    * the small-persistent-shift monitor between [[cusumDrift]]'s
+    * accumulator and a raw per-step z-test: z_t = λ·x_t + (1−λ)·z_{t−1},
+    * z_0 = μ, flagged outside μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})) (the
+    * exact time-varying limits, not the asymptote — early steps get the
+    * tighter band).
+    *
+    * The recursion unrolls to z_t = r^t·μ + λ·Σ_{j≤t} r^{t−j}·x_j
+    * (r = 1−λ). Rather than a serial fold or an exploding cumsum of
+    * x_j·r^{−j} (r^{−j} overflows past ~10³ steps), each z_t is its own
+    * 1e9-snapped weighted sum over the step GRID: the corpus first
+    * aggregates to the (grp, step)-bounded series (that part is the only
+    * corpus pass — callers hand the already-bounded daily table), and the
+    * triangular grid self-join is |steps|² per group — calendar-bounded,
+    * independent of corpus size, embarrassingly parallel across groups.
+    * μ and σ (sample) are the group's own exact-rational moments.
+    * Returns (grp, step, x, ewma, lcl, ucl, alarm), 6 dp. */
+  def ewmaDrift(counts: DataFrame, grp: Column, step: Column, x: Column,
+      lambda: Double = 0.2, lMult: Double = 3.0,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(lambda > 0 && lambda < 1, s"ewmaDrift: lambda=$lambda")
+    import graft.expr.Snap
+    val r = 1.0 - lambda
+    val w = Window.partitionBy(col("grp")).orderBy(col("step"))
+    // 3 consumers (stats, both join sides) of the indexed series grid
+    val base = materialize(counts
+      .select(grp.as("grp"), step.as("step"), x.cast("double").as("x"))
+      .withColumn("i", row_number().over(w).cast("long")))
+    val stats = base.groupBy(col("grp")).agg(
+      (sum(col("x")) / count(lit(1))).as("mu"),
+      count(lit(1)).as("n"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x")).as("sx"))
+      .select(col("grp"), col("mu"),
+        when(col("n") > 1L, sqrt((col("sxx") - col("sx") * col("sx") /
+          col("n").cast("double")) / (col("n") - 1L).cast("double")))
+          .otherwise(lit(0.0)).as("sigma"))
+    val j = base.select(col("grp"), col("i").as("j"), col("x").as("xj"))
+    val zt = base.join(j, Seq("grp"))
+      .filter(col("j") <= col("i"))
+      .groupBy(col("grp"), col("step"), col("x"), col("i"))
+      // fixed-exponent integer powers: both engines evaluate the same
+      // pow(r, i−j) literals; the 1e9 snap absorbs any last-ulp libm skew
+      .agg(Snap.snappedSum(lit(lambda) * pow(lit(r), (col("i") - col("j"))
+        .cast("double")) * col("xj"), 1e9).as("zsum"))
+    zt.join(broadcast(stats), "grp")
+      .select(col("grp"), col("step"), col("x"),
+        round(pow(lit(r), col("i").cast("double")) * col("mu") +
+          col("zsum"), 6).as("ewma"),
+        round(col("mu") - lit(lMult) * col("sigma") *
+          sqrt(lit(lambda / (2.0 - lambda)) *
+            (lit(1.0) - pow(lit(r), col("i").cast("double") * 2.0))), 6)
+          .as("lcl"),
+        round(col("mu") + lit(lMult) * col("sigma") *
+          sqrt(lit(lambda / (2.0 - lambda)) *
+            (lit(1.0) - pow(lit(r), col("i").cast("double") * 2.0))), 6)
+          .as("ucl"))
+      .withColumn("alarm", col("ewma") < col("lcl") || col("ewma") > col("ucl"))
+  }
+
+  /** Pearson chi-squared test of homogeneity per group between two
+    * categorical snapshots (the TEST companion of [[distributionDrift]]'s
+    * KL accounting): cells (side × category), χ² = Σ (o−e)²/e with
+    * e = row·col/N, effect size Cramér's V = √(χ²/(N·(min(r,c)−1))),
+    * p-value via the Wilson–Hilferty cube-root normal approximation
+    * (χ²/df)^⅓ ≈ N(1−2/(9df), 2/(9df)) — pure codegen arithmetic, no
+    * driver SciPy (the [[normalPValue2]] discipline; one-sided upper
+    * tail, so p = erfc(z/√2)/2 for z > 0 — expressed as half the
+    * two-sided value on |z| with a sign flip for the lower tail).
+    *
+    * Scale shape: one map-side-combined pass to the (grp × side ×
+    * category) count table, category-grid-sized rollups after. Groups
+    * with a side missing or df = 0 (single category) get NULL stats
+    * (the [[ksDrift]] undefined convention). Returns
+    * (grp, n_e, n_a, df, chi2, cramers_v, p_value). */
+  def chi2Drift(expected: DataFrame, actual: DataFrame, grp: Column,
+      category: Column): DataFrame = {
+    val e = expected.select(grp.as("grp"), category.as("cat"),
+      lit("e").as("half"))
+    val all = e.unionByName(actual.select(grp.as("grp"),
+      category.as("cat"), lit("a").as("half")))
+    val cnt = all.groupBy(col("grp"), col("cat"))
+      .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca"))
+    val tot = cnt.groupBy(col("grp"))
+      .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"),
+        count(lit(1)).as("k"))
+    // (o−e)²/e summed over BOTH cells of each category row — a fixed
+    // two-term expression per category, then a snapped order-free sum
+    val n = (col("te") + col("ta")).cast("double")
+    val ee = col("te").cast("double") * (col("ce") + col("ca")).cast("double") / n
+    val ea = col("ta").cast("double") * (col("ce") + col("ca")).cast("double") / n
+    val term = (col("ce").cast("double") - ee) * (col("ce").cast("double") - ee) / ee +
+      (col("ca").cast("double") - ea) * (col("ca").cast("double") - ea) / ea
+    import graft.expr.Snap
+    val s = cnt.join(broadcast(tot), "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("te")).as("n_e"), max(col("ta")).as("n_a"),
+        (max(col("k")) - 1L).as("df"),
+        Snap.snappedSum(term, 1e9).as("chi2raw"))
+    val dfd = col("df").cast("double")
+    val nd = (col("n_e") + col("n_a")).cast("double")
+    // Wilson–Hilferty: z = ((χ²/df)^⅓ − (1 − 2/(9df))) / √(2/(9df))
+    val zwh = (pow(col("chi2raw") / dfd, lit(1.0 / 3.0)) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * dfd))) / sqrt(lit(2.0) / (lit(9.0) * dfd))
+    val ok = col("n_e") > 0L && col("n_a") > 0L && col("df") > 0L
+    s.select(col("grp"), col("n_e"), col("n_a"),
+      when(ok, col("df")).as("df"),
+      when(ok, round(col("chi2raw"), 6)).as("chi2"),
+      when(ok, round(sqrt(col("chi2raw") / nd), 6)).as("cramers_v"),
+      when(ok, round(
+        when(zwh >= 0, normalPValue2(zwh) / lit(2.0))
+          .otherwise(lit(1.0) - normalPValue2(zwh) / lit(2.0)), 6))
+        .as("p_value"))
+  }
+
+  /** Jensen–Shannon divergence between two corpus snapshots per stratum
+    * (Lin 1991) — [[distributionDrift]]'s KL made symmetric and bounded
+    * ([0, ln 2]): with m = (p+q)/2, JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m).
+    * Same Laplace smoothing and scale shape as the KL version (two
+    * map-side-combined counts, one strata-sized join, totals broadcast);
+    * per-stratum term emitted so total JSD = Σ jsd_term is auditable to
+    * the stratum that moved. Returns (stratum, n_old, n_new, share_old,
+    * share_new, jsd_term). */
+  def jsDivergence(oldDf: DataFrame, newDf: DataFrame,
+      stratum: Column): DataFrame = {
+    val o = oldDf.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_old"))
+    val n = newDf.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_new"))
+    val joined = o.join(n, Seq("stratum"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val tot = joined.agg(sum(col("n_old")).as("t_old"),
+      sum(col("n_new")).as("t_new"), count(lit(1)).as("s"))
+    val p = (col("n_old") + 1d) / (col("t_old") + col("s")) // Laplace
+    val q = (col("n_new") + 1d) / (col("t_new") + col("s"))
+    val m = (p + q) / lit(2.0)
+    joined.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_old"), col("n_new"),
+        round(col("n_old") / col("t_old"), 4).as("share_old"),
+        round(col("n_new") / col("t_new"), 4).as("share_new"),
+        round((p * log(p / m) + q * log(q / m)) / lit(2.0), 6).as("jsd_term"))
+  }
+
+  /** Spearman rank correlation per group (Spearman 1904) — "is this
+    * metric monotonically trending / co-moving", the rank sibling of
+    * [[graft.ops.Quality.groupedCorr]]'s Pearson that no outlier can
+    * drag: Pearson over tie-averaged ranks. Ranks come from the
+    * [[mannWhitneyU]] doubled-rank trick (2·rankavg = 2(cum−n)+n+1 over
+    * the per-group distinct-value grid — exact integers, no ½-steps),
+    * joined back to rows by (grp, value); every moment of the doubled
+    * ranks is then an exact DECIMAL(38,0) sum (products reach ~8n³ —
+    * long would wrap at ~10⁶ rows/group), and ρ is one double ratio at
+    * the end. Two grid-bounded rank tables + two equi-joins + one
+    * map-side-combined moment pass; no per-row window over the corpus.
+    * Returns (grp, n_rows, rho). */
+  def spearmanCorr(df: DataFrame, grp: Column, x: Column, y: Column)
+      : DataFrame = {
+    def ranks2(v: Column, tag: String): DataFrame = {
+      val c = df.select(grp.as("grp"), v.as("v"))
+        .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("n"))
+      val run = Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      c.withColumn("cum", sum(col("n")).over(run))
+        .select(col("grp"), col("v").as(s"v_$tag"),
+          (lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L))
+            .as(s"r_$tag"))
+    }
+    val rows = df.select(grp.as("grp"), x.as("v_x"), y.as("v_y"))
+      .join(ranks2(x, "x"), Seq("grp", "v_x"))
+      .join(ranks2(y, "y"), Seq("grp", "v_y"))
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    val s = rows.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_rows"), dsum(col("r_x")).as("sx"),
+      dsum(col("r_y")).as("sy"),
+      dsum(col("r_x") * col("r_x")).as("sxx"),
+      dsum(col("r_y") * col("r_y")).as("syy"),
+      dsum(col("r_x") * col("r_y")).as("sxy"))
+    val nn = col("n_rows").cast("double")
+    val den = sqrt((nn * col("sxx") - col("sx") * col("sx")) *
+      (nn * col("syy") - col("sy") * col("sy")))
+    s.select(col("grp"), col("n_rows"),
+      // a constant column on either side (denominator 0) has no rank
+      // variance — ρ undefined → NULL, the ksDrift convention
+      when(den > 0.0, round((nn * col("sxy") - col("sx") * col("sy")) /
+        den, 6)).as("rho"))
+  }
+
+  /** Sequential probability ratio test per group over an ordered
+    * conversion series (Wald 1945) — the EARLY-STOPPING layer on top of
+    * [[abSampleSize]]'s fixed-horizon sizing: after each step the
+    * cumulative log-likelihood ratio between H1: p = p0·liftMult and
+    * H0: p = p0 is checked against ln((1−β)/α) (accept H1) and
+    * ln(β/(1−α)) (accept H0); the FIRST crossing freezes the decision
+    * (a sequential test that keeps sampling after crossing forfeits its
+    * error guarantee). p0 is the group's own overall success rate
+    * (exact rational) — the self-calibrated "did the rate lift above
+    * its own average" monitor shape, same convention as [[cusumDrift]].
+    *
+    * LLR terms are per-step fixed expressions on exact integer (c, n);
+    * the running sum 1e9-snaps each term and accumulates as
+    * DECIMAL(38,0) over the step window (integer addition — window
+    * re-association safe); first-crossing freeze is two windowed "min
+    * step where crossed" marks. All windows run on the (grp × step)
+    * series grid, never the corpus. Returns (grp, step, n, c, llr,
+    * decision). */
+  def sprtAb(df: DataFrame, grp: Column, step: Column, success: Column,
+      liftMult: Double = 1.25, alpha: Double = 0.05, beta: Double = 0.05)
+      : DataFrame = {
+    val series = df.select(grp.as("grp"), step.as("step"),
+      success.cast("long").as("s"))
+      .groupBy(col("grp"), col("step"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("c"))
+    val g = Window.partitionBy(col("grp"))
+    val run = Window.partitionBy(col("grp")).orderBy(col("step"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val p0 = sum(col("c")).over(g).cast("double") /
+      sum(col("n")).over(g).cast("double")
+    val base = series.withColumn("p0", p0)
+      .withColumn("p1", least(col("p0") * lit(liftMult), lit(0.999)))
+    // per-step LLR term: c·ln(p1/p0) + (n−c)·ln((1−p1)/(1−p0)),
+    // snapped to 1e9 integers BEFORE the window sum (exact addition)
+    val term = col("c").cast("double") * log(col("p1") / col("p0")) +
+      (col("n") - col("c")).cast("double") *
+        log((lit(1.0) - col("p1")) / (lit(1.0) - col("p0")))
+    val up = math.log((1.0 - beta) / alpha)
+    val lo = math.log(beta / (1.0 - alpha))
+    // a group at p0 = 0 or 1 has no likelihood ratio (ln 0 terms):
+    // LLR/decision are undefined → NULL, the ksDrift convention; p0 is
+    // group-constant so the whole group nulls together
+    val ok = col("p0") > 0.0 && col("p0") < 1.0
+    val cum = base
+      .withColumn("ti", when(ok,
+        floor(term * lit(1e9) + lit(0.5)).cast("long")).otherwise(0L))
+      .withColumn("llr9", sum(col("ti")).over(run))
+      .withColumn("llr", when(ok,
+        col("llr9").cast("double") / lit(1e9)))
+    // freeze at first crossing: min step whose running LLR crossed
+    val firstUp = min(when(col("llr") >= lit(up), col("step"))).over(g)
+    val firstLo = min(when(col("llr") <= lit(lo), col("step"))).over(g)
+    cum.withColumn("fu", firstUp).withColumn("fl", firstLo)
+      .select(col("grp"), col("step"), col("n"), col("c"),
+        round(col("llr"), 6).as("llr"),
+        when(col("llr").isNull, lit(null).cast("string"))
+          .when(col("fu").isNotNull &&
+          (col("fl").isNull || col("fu") <= col("fl")) &&
+          col("step") >= col("fu"), lit("accept_h1"))
+          .when(col("fl").isNotNull &&
+            (col("fu").isNull || col("fl") < col("fu")) &&
+            col("step") >= col("fl"), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
 }
 

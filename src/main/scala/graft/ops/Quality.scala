@@ -666,4 +666,82 @@ object Quality {
       when(pe < 1.0, round((pbar - pe) / (lit(1.0) - pe), 6))
         .as("kappa"))
   }
+
+  /** k-fold cross-validated accuracy of the [[nbTrain]]/[[nbClassify]]
+    * multinomial NB — the variance answer q156's single holdout can't
+    * give (one split = one accuracy sample; k folds show whether the
+    * classifier's quality is stable or split-lucky). Folds are
+    * `pmod(doc_id, k)` (deterministic, engine-replayable — the q156
+    * doc_id%3 convention generalized).
+    *
+    * NOT a k-iteration driver loop: the fold axis is a broadcast k-row
+    * grid crossed into the model aggregations, so all k models train in
+    * ONE plan — counts group by (fold, lab, term) over `fold ≠ f` rows,
+    * smoothing/priors/scoring replicate [[nbTrain]]/[[nbScores]] exactly
+    * per fold (same Laplace vocab-size smoothing, 1e9-snapped seen-term
+    * sums, 4-dp argmax with label-asc ties). Model tables are k× the
+    * (labels × vocab) size — still vocabulary-bounded, broadcast at
+    * scoring. `docTf0`: the session (doc_id, lab, term, tf) artifact —
+    * with it supplied the corpus is never re-tokenized. Returns one row
+    * per fold: (fold, n_docs, n_correct, accuracy). */
+  def kfoldNbEval(docs: DataFrame, id: Column, text: Column, label: Column,
+      k: Int = 5,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      docTf0: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2, s"kfoldNbEval: k=$k")
+    import graft.expr.Snap
+    val docTf = docTf0.getOrElse(materialize(Fanout.fanout(docs)
+      .select(id.as("doc_id"), label.as("lab"),
+        explode(graft.expr.TextStats.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("lab"), col("term"))
+      .agg(count(lit(1)).as("tf"))))
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+    val folds = broadcast(docs.sparkSession.range(k)
+      .select(col("id").as("f")))
+    // all k training count tables in one pass: (f, lab, term, ctf) over
+    // the k−1 in-fold shards (fold ≠ f)
+    val ct = materialize(docTf.crossJoin(folds)
+      .filter(col("fold") =!= col("f"))
+      .groupBy(col("f"), col("lab"), col("term"))
+      .agg(sum(col("tf")).as("ctf")))
+    val vv = ct.groupBy(col("f"))
+      .agg(countDistinct(col("term")).as("v"))
+    val cs = ct.groupBy(col("f"), col("lab")).agg(sum(col("ctf")).as("ctot"))
+    val dl = docs.select(id.as("doc_id"), label.as("lab"))
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+    val pr = dl.crossJoin(folds).filter(col("fold") =!= col("f"))
+      .groupBy(col("f"), col("lab")).agg(count(lit(1)).as("nd"))
+    val nt = pr.groupBy(col("f")).agg(sum(col("nd")).as("ntot"))
+    val labStats = cs.join(pr, Seq("f", "lab")).join(broadcast(nt), "f")
+      .join(broadcast(vv), "f")
+      .select(col("f"), col("lab").as("clab"),
+        log(col("nd").cast("double") / col("ntot").cast("double"))
+          .as("prior_ln"),
+        log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0"))
+    val terms = ct.select(col("f"), col("lab").as("clab"), col("term"),
+      log((col("ctf") + lit(1L)).cast("double")).as("lterm"))
+    // score each doc against ITS fold's model (fold == f)
+    val serveTf = docTf.withColumnRenamed("fold", "f")
+    val seen = serveTf.join(broadcast(terms), Seq("f", "term"))
+      .groupBy(col("f"), col("doc_id"), col("clab"))
+      .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
+        .as("s1"))
+    val docN = serveTf.groupBy(col("f"), col("doc_id"), col("lab"))
+      .agg(sum(col("tf")).as("n_tok"))
+    val sc = docN.join(broadcast(labStats), Seq("f"))
+      .join(seen, Seq("f", "doc_id", "clab"), "left")
+      .select(col("f"), col("doc_id"), col("lab"), col("clab"),
+        round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
+          coalesce(col("s1"), lit(0.0)), 4).as("score"))
+    val best = sc.groupBy(col("f"), col("doc_id"), col("lab"))
+      .agg(min(struct((-col("score")).as("ns"), col("clab"))).as("best"))
+      .select(col("f"), col("lab"), col("best.clab").as("pred"))
+    best.groupBy(col("f").as("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lab"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_docs").cast("double"), 6).as("accuracy"))
+  }
 }

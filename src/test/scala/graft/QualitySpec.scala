@@ -547,5 +547,202 @@ class QualitySpec extends SparkSpec {
     // bin-constant forecasts: brier = rel - res + unc exactly
     assert(r.getDouble(2) == r.getDouble(3) - r.getDouble(4) + r.getDouble(5))
   }
+
+  test("cusumDrift: hand series alarms only after the burst; a flat " +
+    "series never accumulates; partition-invariant") {
+    import graft.ops.Analytics
+    // mu = 12, k = 13.2: four quiet steps drain to the floor, the
+    // step-5 burst jumps S to 6.8 > h = mu/2 = 6
+    val df = (Seq((1, 10L), (2, 10L), (3, 10L), (4, 10L), (5, 20L))
+      .map { case (s, x) => ("g", s, x) } ++
+      Seq((1, 7L), (2, 7L), (3, 7L), (4, 7L), (5, 7L))
+        .map { case (s, x) => ("flat", s, x) })
+      .toDF("grp", "step", "x")
+    val r = Analytics.cusumDrift(df, col("grp"), col("step"), col("x"))
+      .collect().map(x => (x.getString(0), x.getInt(1)) ->
+        ((x.getDouble(3), x.getBoolean(4)))).toMap
+    for (s <- 1 to 4) assert(r(("g", s)) == ((0.0, false)), s"step $s")
+    assert(r(("g", 5)) == ((6.8, true)))
+    for (s <- 1 to 5) assert(r(("flat", s)) == ((0.0, false)))
+    val r5 = Analytics.cusumDrift(df.repartition(5), col("grp"),
+      col("step"), col("x")).collect().map(x =>
+        (x.getString(0), x.getInt(1)) ->
+        ((x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r5 == r)
+  }
+
+  test("funnel: strictly-after stage semantics (pre-view click and " +
+    "same-instant click don't convert); conv columns") {
+    import graft.ops.Analytics
+    val ev = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "purchase"),
+      ("u2", 1L, "click"), ("u2", 2L, "view"),    // click BEFORE view
+      ("u3", 1L, "view"), ("u3", 2L, "click"),
+      ("u4", 5L, "purchase"),                      // never viewed
+      ("u5", 1L, "view"), ("u5", 1L, "click"))     // same instant
+      .toDF("u", "ts", "st")
+    val r = Analytics.funnel(ev, col("u"), col("ts"), col("st"),
+      Seq("view", "click", "purchase")).collect()
+      .map(x => x.getString(1) -> ((x.getLong(0), x.getLong(2),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)),
+        x.getDouble(4)))).toMap
+    assert(r("view") == ((1L, 4L, None, 1.0)))
+    assert(r("click") == ((2L, 2L, Some(0.5), 0.5)))
+    assert(r("purchase") == ((3L, 1L, Some(0.5), 0.25)))
+  }
+
+  test("mannWhitneyU: separated arms give U=0 and the hand z; " +
+    "identical arms give U = nm/2, z = 0, p = 1; partition-invariant") {
+    import graft.ops.Analytics
+    val sep = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 3.0, false), ("g", 4.0, false)).toDF("g", "v", "a")
+    val r = Analytics.mannWhitneyU(sep, col("g"), col("a"), col("v"))
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.0) // all of A below all of B
+    // z = (0 - 2) / sqrt(2*2*5/12), rounded to 4
+    assert(r.getDouble(4) == BigDecimal(-2.0 / math.sqrt(5.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 0.2)
+    val same = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 1.0, false), ("g", 2.0, false)).toDF("g", "v", "a")
+    val rs = Analytics.mannWhitneyU(same, col("g"), col("a"), col("v"))
+      .collect().head
+    assert(rs.getDouble(3) == 2.0) // U = na*nb/2 under H0 symmetry
+    assert(rs.getDouble(4) == 0.0 && rs.getDouble(5) == 1.0)
+    val r3 = Analytics.mannWhitneyU(sep.repartition(3), col("g"),
+      col("a"), col("v")).collect().head
+    assert(r3 == r)
+  }
+
+  test("ewmaDrift: matches the serial recursion z_t = λx + (1−λ)z; " +
+    "flat series pins ewma = mu with zero-width limits and no alarm; " +
+    "alarm ≡ outside [lcl, ucl]; partition-invariant") {
+    import graft.ops.Analytics
+    val xs = Seq(10L, 10L, 10L, 10L, 20L)
+    val df = (xs.zipWithIndex.map { case (x, i) => ("g", i + 1, x) } ++
+      (1 to 5).map(i => ("flat", i, 7L))).toDF("grp", "step", "x")
+    val r = Analytics.ewmaDrift(df, col("grp"), col("step"), col("x"))
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x).toMap
+    // driver-side serial replay of the textbook recursion, z0 = mu
+    val mu = xs.sum.toDouble / xs.size
+    var z = mu
+    xs.zipWithIndex.foreach { case (x, i) =>
+      z = 0.2 * x + 0.8 * z
+      val row = r(("g", i + 1))
+      assert(math.abs(row.getDouble(3) - z) < 1e-6, s"step ${i + 1}")
+      // alarm column is exactly the rounded-band exceedance
+      assert(row.getBoolean(6) ==
+        (row.getDouble(3) < row.getDouble(4) ||
+          row.getDouble(3) > row.getDouble(5)))
+    }
+    for (i <- 1 to 5) {
+      val row = r(("flat", i))
+      assert(row.getDouble(3) == 7.0 && row.getDouble(4) == 7.0 &&
+        row.getDouble(5) == 7.0 && !row.getBoolean(6))
+    }
+    val r5 = Analytics.ewmaDrift(df.repartition(5), col("grp"),
+      col("step"), col("x")).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getDouble(3)).toMap
+    assert(r5 == r.map { case (k, v) => k -> v.getDouble(3) })
+  }
+
+  test("chi2Drift: hand 2x2 gives chi2 = 20, V = 0.5, tiny p; " +
+    "identical halves give chi2 = 0; single-category group is NULL") {
+    import graft.ops.Analytics
+    def half(rows: Seq[(String, String)]) = rows.toDF("src", "cat")
+    val e = half(Seq.fill(30)(("g", "A")) ++ Seq.fill(10)(("g", "B")) ++
+      Seq.fill(5)(("one", "A")) ++ Seq.fill(6)(("same", "A")) ++
+      Seq.fill(6)(("same", "B")))
+    val a = half(Seq.fill(10)(("g", "A")) ++ Seq.fill(30)(("g", "B")) ++
+      Seq.fill(7)(("one", "A")) ++ Seq.fill(6)(("same", "A")) ++
+      Seq.fill(6)(("same", "B")))
+    val r = Analytics.chi2Drift(e, a, col("src"), col("cat"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val g = r("g")
+    assert(g.getLong(1) == 40L && g.getLong(2) == 40L && g.getLong(3) == 1L)
+    assert(g.getDouble(4) == 20.0 && g.getDouble(5) == 0.5)
+    assert(g.getDouble(6) < 0.001)
+    // same composition both halves: chi2 exactly 0 (WH p is the
+    // approximation's value at 0, far from significance)
+    assert(r("same").getDouble(4) == 0.0 && r("same").getDouble(6) > 0.9)
+    // one category: df = 0, all stats undefined
+    assert(r("one").isNullAt(3) && r("one").isNullAt(4) &&
+      r("one").isNullAt(5) && r("one").isNullAt(6))
+  }
+
+  test("jsDivergence: identical snapshots give 0 terms; symmetric in " +
+    "old/new; disjoint strata are positive and total ≤ ln 2") {
+    import graft.ops.Analytics
+    val o = (Seq.fill(6)("x") ++ Seq.fill(4)("y")).toDF("s")
+    val r0 = Analytics.jsDivergence(o, o, col("s")).collect()
+    assert(r0.forall(_.getDouble(5) == 0.0))
+    val n = (Seq.fill(2)("y") ++ Seq.fill(8)("z")).toDF("s")
+    val fwd = Analytics.jsDivergence(o, n, col("s")).collect()
+      .map(x => x.getString(0) -> x.getDouble(5)).toMap
+    val bwd = Analytics.jsDivergence(n, o, col("s")).collect()
+      .map(x => x.getString(0) -> x.getDouble(5)).toMap
+    assert(fwd == bwd) // JSD is symmetric, term by term
+    assert(fwd("x") > 0.0 && fwd("z") > 0.0)
+    assert(fwd.values.sum <= math.log(2.0) + 1e-9)
+  }
+
+  test("spearmanCorr: monotone -> 1, reversed -> -1, hand tie case, " +
+    "constant side NULL, outlier-proof, partition-invariant") {
+    import graft.ops.Analytics
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.spearmanCorr(d, col("g"), col("x"), col("y")).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val d = (Seq(("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 1e9),
+      ("down", 1.0, 3.0), ("down", 2.0, 2.0), ("down", 3.0, 1.0),
+      ("tie", 1.0, 1.0), ("tie", 2.0, 1.0), ("tie", 3.0, 2.0),
+      ("const", 1.0, 5.0), ("const", 2.0, 5.0)))
+      .toDF("g", "x", "y")
+    val r = run(d)
+    // the 1e9 outlier can't drag rank correlation off exactly 1
+    assert(r("up") == Some(1.0) && r("down") == Some(-1.0))
+    assert(r("tie") == Some(0.866025)) // 6/sqrt(48), hand-computed
+    assert(r("const") == None)
+    assert(run(d.repartition(5)) == r)
+  }
+
+  test("sprtAb: steady at-baseline series drifts to accept_h0 at the " +
+    "hand-computed day and freezes; degenerate p0 yields NULLs") {
+    import graft.ops.Analytics
+    // 12 days of 5/10 at p0 = 0.5 exactly: per-day LLR term
+    // 5·ln(1.25) + 5·ln(0.75) = −0.322693; crosses ln(0.05/0.95) =
+    // −2.944439 at day 10
+    val rows = (1 to 12).flatMap(d => (1 to 10).map(i =>
+      ("g", d, i <= 5))) ++
+      (1 to 3).flatMap(d => (1 to 4).map(_ => ("allwin", d, true)))
+    val df = rows.toDF("grp", "day", "s")
+    val r = Analytics.sprtAb(df, col("grp"), col("day"), col("s"))
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x).toMap
+    for (d <- 1 to 9)
+      assert(r(("g", d)).getString(5) == "continue", s"day $d")
+    for (d <- 10 to 12)
+      assert(r(("g", d)).getString(5) == "accept_h0", s"day $d")
+    val llr10 = r(("g", 10)).getDouble(4)
+    assert(math.abs(llr10 - 10 * (5 * math.log(1.25) +
+      5 * math.log(0.75))) < 1e-6)
+    for (d <- 1 to 3) {
+      assert(r(("allwin", d)).isNullAt(4) && r(("allwin", d)).isNullAt(5))
+    }
+  }
+
+  test("kfoldNbEval: separable classes give accuracy 1.0 on every " +
+    "fold; fold sizes partition the corpus") {
+    val docs = (0 until 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "aa aa" else "bb bb",
+        if (i % 2 == 0) "A" else "B")).toDF("id", "text", "lab")
+    val r = Quality.kfoldNbEval(docs, col("id"), col("text"), col("lab"),
+      k = 5).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == (0L to 4L).toSet)
+    r.values.foreach { row =>
+      assert(row.getLong(1) == 4L && row.getLong(2) == 4L &&
+        row.getDouble(3) == 1.0)
+    }
+  }
 }
 

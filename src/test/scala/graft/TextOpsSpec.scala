@@ -1063,5 +1063,23 @@ class TextOpsSpec extends SparkSpec {
       .collect().head
     assert(r2.getDouble(2) == 0.0 && r2.getDouble(5) == 0.5)
   }
+
+  test("dirichletQl: hand scores ln((tf + mu·cf/T)/(len + mu)), every " +
+    "doc scores via the background model, OOV query terms drop, topK " +
+    "cuts with doc_id ties") {
+    val d = Seq((1L, "a b"), (2L, "a a"), (3L, "c c")).toDF("id", "t")
+    // T = 6, cf(a) = 3, mu = 2: score = ln((tf + 1)/(len + 2))
+    def run(q: Seq[String], k: Int) =
+      TextStats.dirichletQl(d, col("id"), col("t"), q, mu = 2.0,
+        topK = k).collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val r = run(Seq("a"), 3)
+    assert(r.map(_._1).toSeq == Seq(2L, 1L, 3L)) // by score desc
+    val hand = Map(2L -> math.log(3.0 / 4.0), 1L -> math.log(2.0 / 4.0),
+      3L -> math.log(1.0 / 4.0))
+    r.foreach { case (id, s) => assert(math.abs(s - hand(id)) < 1e-6) }
+    // an out-of-corpus query term contributes no ranking information
+    assert(run(Seq("a", "zzz"), 3).toSeq == r.toSeq)
+    assert(run(Seq("a"), 2).map(_._1).toSeq == Seq(2L, 1L))
+  }
 }
 
