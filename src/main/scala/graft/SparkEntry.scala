@@ -3050,6 +3050,39 @@ object SparkEntry {
       col("doc_id"), col("text"), Seq("join", "filter", "scan"),
       mu = 2000.0, topK = 20, tf0 = Some(sharedTermFreqs(s, dir)))
 
+  /** Poisson-bootstrap 95% CI for the mean event value per type
+    * (Chamandy et al.) — all 100 replicates in ONE map-side-combined
+    * pass via per-row md5-derived Poisson(1) weights
+    * ([[ops.Analytics.bootstrapCiMean]]). */
+  private def qBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.bootstrapCiMean(t(s, dir, "events"), col("event_type"),
+      col("event_id"), col("value"))
+      .withColumnRenamed("grp", "event_type")
+
+  /** RM1 pseudo-relevance-feedback expansion terms over q224's
+    * Dirichlet-QL top-10 (Lavrenko & Croft) — the query-expansion
+    * second pass of an LM retrieval stack, on the session TF artifact
+    * ([[graft.expr.TextStats.rmExpansion]]). */
+  private def qRmExpansion(s: SparkSession, dir: String): DataFrame =
+    graft.expr.TextStats.rmExpansion(t(s, dir, "documents"),
+      col("doc_id"), col("text"), Seq("join", "filter", "scan"),
+      mu = 2000.0, fbDocs = 10, fbTerms = 15,
+      tf0 = Some(sharedTermFreqs(s, dir)))
+
+  /** Confident-learning label-noise audit of the lang labels
+    * (Northcutt et al.): per-class self-confidence thresholds over the
+    * NB posteriors, off-diagonal suspected-error matrix — the label
+    * gate before training on weak labels
+    * ([[ops.Quality.labelNoise]]). */
+  private def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val tf = sharedTermFreqs(s, dir)
+    val docs = t(s, dir, "documents")
+    ops.Quality.labelNoise(docs, col("doc_id"), col("text"), col("lang"),
+      trainTf0 = Some(tf.join(
+        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")),
+      classifyTf0 = Some(tf))
+  }
+
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family
     * next to the BPE merge loop): integer bit-length costs, packed
@@ -3575,7 +3608,10 @@ object SparkEntry {
     "q221_spearman" -> (qSpearman _),
     "q222_sprt" -> (qSprt _),
     "q223_kfold_nb" -> (qKfoldNb _),
-    "q224_dirichlet_ql" -> (qDirichletQl _))
+    "q224_dirichlet_ql" -> (qDirichletQl _),
+    "q225_bootstrap_ci" -> (qBootstrapCi _),
+    "q226_rm_expansion" -> (qRmExpansion _),
+    "q227_label_noise" -> (qLabelNoise _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7212,5 +7248,101 @@ object SparkEntry {
         "(CAST(n_tok AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s " +
         "FROM j CROSS JOIN tt GROUP BY 1, 2) " +
         "SELECT doc_id, n_tok, round(s, 6) AS score FROM s " +
-        "ORDER BY score DESC, doc_id LIMIT 20"))
+        "ORDER BY score DESC, doc_id LIMIT 20"),
+    "q225_bootstrap_ci" -> {
+      // Poisson(1) weights from the md5 uniform via the inverse-CDF
+      // ladder (cut points are the driver's round-trip doubles); 100
+      // replicate means in one pass; CI = empirical order statistics
+      val cuts = ops.Analytics.poisson1Cuts
+      val ladder = cuts.zipWithIndex.map { case (c, i) =>
+        s"WHEN u < CAST($c AS DOUBLE) THEN $i"
+      }.mkString("CASE ", " ", s" ELSE ${cuts.length} END")
+      val loQ = 0.05 / 2.0
+      val hiQ = 1.0 - 0.05 / 2.0
+      "WITH rep AS (SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS k, value AS x, r " +
+        "FROM events CROSS JOIN (SELECT range + 1 AS r FROM range(100))), " +
+        "uu AS (SELECT grp, r, x, CAST(CAST(('0x' || substr(md5(k || ':' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(4294967296.0 AS DOUBLE) AS u FROM rep), " +
+        s"wt AS (SELECT grp, r, x, $ladder AS w FROM uu), " +
+        "means AS (SELECT grp, r, CAST(sum(CAST(floor(CAST(w AS DOUBLE) * x * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS num, CAST(sum(w) AS BIGINT) AS den " +
+        "FROM wt GROUP BY 1, 2), " +
+        "m2 AS (SELECT grp, r, num / CAST(den AS DOUBLE) AS m FROM means WHERE den > 0), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY m, r) AS rk, " +
+        "count(*) OVER (PARTITION BY grp) AS beff FROM m2), " +
+        s"ci AS (SELECT grp, max(beff) AS b_eff, " +
+        s"min(CASE WHEN rk = CAST(ceil(CAST(beff AS DOUBLE) * CAST($loQ AS DOUBLE)) AS BIGINT) THEN m END) AS lo, " +
+        s"min(CASE WHEN rk = CAST(ceil(CAST(beff AS DOUBLE) * CAST($hiQ AS DOUBLE)) AS BIGINT) THEN m END) AS hi " +
+        "FROM rk GROUP BY 1), " +
+        "ov AS (SELECT event_type AS grp, count(*) AS n_rows, " +
+        "CAST(sum(CAST(floor(value * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 " +
+        "/ CAST(count(*) AS DOUBLE) AS mean FROM events GROUP BY 1) " +
+        "SELECT ov.grp AS event_type, n_rows, round(mean, 6) AS mean, " +
+        "round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi, coalesce(b_eff, 0) AS b_eff " +
+        "FROM ov LEFT JOIN ci ON ci.grp = ov.grp"
+    },
+    "q226_rm_expansion" ->
+      // the q224 replay LIMIT 10 as the feedback set, softmaxed
+      // (q169's exp(score−max) with snapped normalizer) into p(d|q),
+      // relevance model p(w|R) = Σ_d p(d|q)·tf/len over non-query terms
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
+        "cf AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ('join', 'filter', 'scan') GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf), " +
+        "j AS (SELECT dl.doc_id, dl.n_tok, cf.cf, tf.tf FROM dl CROSS JOIN cf " +
+        "LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term), " +
+        "s AS (SELECT doc_id, n_tok, CAST(sum(CAST(floor(ln(" +
+        "(CAST(coalesce(tf, 0) AS DOUBLE) + CAST(2000.0 AS DOUBLE) * (CAST(cf AS DOUBLE) / t)) / " +
+        "(CAST(n_tok AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s " +
+        "FROM j CROSS JOIN tt GROUP BY 1, 2), " +
+        "fb AS (SELECT doc_id, n_tok, round(s, 6) AS score FROM s " +
+        "ORDER BY score DESC, doc_id LIMIT 10), " +
+        "mx AS (SELECT max(score) AS mx FROM fb), " +
+        "wgt AS (SELECT doc_id, n_tok, exp(score - mx) AS w FROM fb CROSS JOIN mx), " +
+        "z AS (SELECT CAST(sum(CAST(floor(w * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM wgt), " +
+        "pd AS (SELECT doc_id, n_tok, w / z AS pd FROM wgt CROSS JOIN z), " +
+        "rm AS (SELECT t2.term, CAST(sum(CAST(floor(pd * (CAST(t2.tf AS DOUBLE) / CAST(pd.n_tok AS DOUBLE)) " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS w " +
+        "FROM pd JOIN tf t2 ON t2.doc_id = pd.doc_id " +
+        "WHERE t2.term NOT IN ('join', 'filter', 'scan') GROUP BY 1) " +
+        "SELECT term, round(w, 6) AS weight FROM rm " +
+        "ORDER BY weight DESC, term LIMIT 15"),
+    "q227_label_noise" ->
+      // the q154 full-corpus NB + q169 softmax; per-class thresholds
+      // t_j = mean self-confidence (snapped-sum / count); a doc is
+      // suspected as its max-prob OFF-label class with prob ≥ t_j
+      ("WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "dt AS (SELECT doc_id, lang AS lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+        "ct AS (SELECT lab, term, sum(tf) AS ctf FROM dt GROUP BY 1, 2), " +
+        "vv AS (SELECT count(DISTINCT term) AS v FROM ct), " +
+        "cs AS (SELECT lab, sum(ctf) AS ctot FROM ct GROUP BY 1), " +
+        "pr AS (SELECT lang AS lab, count(*) AS nd FROM documents GROUP BY 1), " +
+        "nt AS (SELECT count(*) AS ntot FROM documents), " +
+        "ls AS (SELECT cs.lab AS clab, " +
+        "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
+        "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
+        "FROM cs JOIN pr USING (lab) CROSS JOIN vv CROSS JOIN nt), " +
+        "seen AS (SELECT dt.doc_id, ct.lab AS clab, " +
+        "CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE)) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1 " +
+        "FROM dt JOIN ct ON dt.term = ct.term GROUP BY 1, 2), " +
+        "dn AS (SELECT doc_id, lab, sum(tf) AS n_tok FROM dt GROUP BY 1, 2), " +
+        "sc AS (SELECT dn.doc_id, dn.lab, ls.clab, " +
+        "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
+        "FROM dn CROSS JOIN ls LEFT JOIN seen ON seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
+        "mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        "ex AS (SELECT sc.doc_id, sc.lab, sc.clab, exp(score - mx) AS ex " +
+        "FROM sc JOIN mx USING (doc_id)), " +
+        "z AS (SELECT doc_id, CAST(sum(CAST(floor(ex * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM ex GROUP BY 1), " +
+        "pp AS (SELECT ex.doc_id, ex.lab, ex.clab, round(ex.ex / z.z, 6) AS prob " +
+        "FROM ex JOIN z USING (doc_id)), " +
+        "th AS (SELECT clab, CAST(sum(CAST(floor(prob * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) " +
+        "/ 1000000000 / CAST(count(*) AS DOUBLE) AS t FROM pp WHERE clab = lab GROUP BY 1), " +
+        "cand AS (SELECT pp.doc_id, pp.lab, pp.clab, pp.prob FROM pp " +
+        "JOIN th ON th.clab = pp.clab WHERE pp.prob >= th.t AND pp.clab <> pp.lab), " +
+        "sus AS (SELECT doc_id, lab, clab FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY prob DESC, clab) AS rn FROM cand) WHERE rn = 1) " +
+        "SELECT lab, clab AS suspect_lab, count(*) AS n_docs FROM sus GROUP BY 1, 2"))
 }

@@ -247,6 +247,54 @@ object TextStats {
       .limit(topK)
   }
 
+  /** RM1 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
+    * 2001; the expansion half of RM3): run [[dirichletQl]], treat its
+    * top-`fbDocs` as the relevance sample, estimate the relevance model
+    * p(w|R) = Σ_d p(d|q)·p_ML(w|d) with p(d|q) = softmax of the
+    * retrieval log-scores (the q169 softmax discipline: exp(score−max),
+    * 1e9-snapped normalizer), and emit the top-`fbTerms` NON-query
+    * terms — the terms a second-pass query should add.
+    *
+    * Scale shape: the feedback set is fbDocs rows (never corpus-sized);
+    * its TF slice arrives by one doc-keyed equi-join against the TF
+    * artifact; the relevance model is bounded by the feedback docs'
+    * vocabulary. Per-term mixture sums 1e9-snap (order-free); final
+    * order ties break term-ascending. Returns (term, weight). */
+  def rmExpansion(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, queryTerms: Seq[String], mu: Double = 2000.0,
+      fbDocs: Int = 10, fbTerms: Int = 10,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true),
+      tf0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, exp,
+      explode, lit, max, round, sum}
+    require(fbDocs > 0 && fbTerms > 0,
+      s"rmExpansion: fbDocs=$fbDocs, fbTerms=$fbTerms")
+    val tf = tf0.getOrElse(materialize(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
+    // the feedback set: fbDocs rows — materialized, 3 consumers
+    val fb = materialize(dirichletQl(docs, id, text, queryTerms, mu,
+      fbDocs, materialize, Some(tf)))
+    val mx = fb.agg(max(col("score")).as("mx"))
+    val wgt = fb.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("n_tok"),
+        exp(col("score") - col("mx")).as("w"))
+    val z = wgt.agg(graft.expr.Snap.snappedSum(col("w"), 1e9).as("z"))
+    val pd = wgt.crossJoin(broadcast(z))
+      .select(col("doc_id"), col("n_tok"), (col("w") / col("z")).as("pd"))
+    pd.join(tf, "doc_id")
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy(col("term"))
+      .agg(graft.expr.Snap.snappedSum(
+        col("pd") * (col("tf").cast("double") / col("n_tok").cast("double")),
+        1e9).as("w"))
+      .select(col("term"), round(col("w"), 6).as("weight"))
+      .orderBy(col("weight").desc, col("term"))
+      .limit(fbTerms)
+  }
+
   /** Interpolated bigram language-model score per document — the
     * perplexity-filter quality signal of an LLM data pipeline (docs
     * whose mean NLL under a corpus-trained LM is an outlier are

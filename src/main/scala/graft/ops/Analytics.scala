@@ -786,6 +786,83 @@ object Analytics {
         den, 6)).as("rho"))
   }
 
+  /** Poisson-bootstrap confidence interval for a per-group mean
+    * (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    * Streams" — THE distributed bootstrap: classical resampling needs
+    * the whole sample on one machine; Poissonization makes each
+    * replicate's weight a PER-ROW independent draw, so all B replicates
+    * compute in one map-side-combined pass). Each (row, replicate)
+    * weight is Poisson(1) via the inverse-CDF ladder on a deterministic
+    * md5-derived uniform (the q208 hash-arm construction — replayable
+    * in any engine, no RNG state); replicate means are snapped-sum /
+    * exact-count; the CI is the empirical [⌈B·α/2⌉, ⌈B·(1−α/2)⌉]-th
+    * order statistics of the B means (rank ties broken by replicate id).
+    *
+    * Scale shape: the corpus expands ×B (B bounded, default 100) into
+    * ONE aggregation to the (grp × B)-sized replicate table; ranking
+    * and the CI rollup run on that bounded table. Replicates that draw
+    * total weight 0 (tiny groups) have no mean and drop from the order
+    * statistics (B_eff counts the rest). Returns
+    * (grp, n_rows, mean, ci_lo, ci_hi, b_eff). */
+  def bootstrapCiMean(df: DataFrame, grp: Column, id: Column, x: Column,
+      b: Int = 100, alpha: Double = 0.05): DataFrame = {
+    require(b >= 10 && alpha > 0 && alpha < 1,
+      s"bootstrapCiMean: b=$b, alpha=$alpha")
+    import graft.expr.Snap
+    // Poisson(1) inverse-CDF cut points: cum_k = e^{-1}·Σ_{j≤k} 1/j!,
+    // computed ONCE on the driver and baked as literals (the oracle
+    // bakes the identical round-trip doubles)
+    val cuts = poisson1Cuts
+    val base = df.select(grp.as("grp"), id.cast("string").as("k"),
+      x.cast("double").as("x"))
+    val rep = base.select(col("grp"), col("k"), col("x"),
+      explode(sequence(lit(1), lit(b))).as("r"))
+    val u = conv(substring(md5(concat_ws(":", col("k"), col("r"))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val w = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+      case ((c, i), rest) => when(u < lit(c), lit(i)).otherwise(rest)
+    }.cast("long")
+    val means = rep.withColumn("w", w)
+      .groupBy(col("grp"), col("r"))
+      .agg(Snap.snappedSum(col("w").cast("double") * col("x"), 1e9)
+        .as("num"), sum(col("w")).as("den"))
+      .filter(col("den") > 0L)
+      .select(col("grp"), col("r"),
+        (col("num") / col("den").cast("double")).as("m"))
+    val wr = Window.partitionBy(col("grp")).orderBy(col("m"), col("r"))
+    val g = Window.partitionBy(col("grp"))
+    val ranked = means.withColumn("rk", row_number().over(wr))
+      .withColumn("beff", count(lit(1)).over(g))
+    val loRk = ceil(col("beff").cast("double") * lit(alpha / 2.0))
+    val hiRk = ceil(col("beff").cast("double") * lit(1.0 - alpha / 2.0))
+    val ci = ranked.groupBy(col("grp"))
+      .agg(max(col("beff")).as("b_eff"),
+        min(when(col("rk") === loRk, col("m"))).as("lo"),
+        min(when(col("rk") === hiRk, col("m"))).as("hi"))
+    val overall = df.select(grp.as("grp"), x.cast("double").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        (Snap.snappedSum(col("x"), 1e9) / count(lit(1)).cast("double"))
+          .as("mean"))
+    overall.join(ci, Seq("grp"), "left")
+      .select(col("grp"), col("n_rows"), round(col("mean"), 6).as("mean"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"),
+        coalesce(col("b_eff"), lit(0L)).as("b_eff"))
+  }
+
+  /** The Poisson(1) inverse-CDF cut points cum_k = e^{-1}·Σ_{j≤k} 1/j!
+    * for k = 0..7 (beyond 7 the tail mass is < 1e-8 — the ladder's ELSE
+    * arm). Driver-computed; [[bootstrapCiMean]] and its oracle bake the
+    * same round-trip doubles. */
+  def poisson1Cuts: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    (0 to 7).map { k =>
+      e1 * (0 to k).map { j =>
+        var f = 1.0; (1 to j).foreach(f *= _); 1.0 / f
+      }.sum
+    }
+  }
+
   /** Sequential probability ratio test per group over an ordered
     * conversion series (Wald 1945) — the EARLY-STOPPING layer on top of
     * [[abSampleSize]]'s fixed-horizon sizing: after each step the

@@ -667,6 +667,48 @@ object Quality {
         .as("kappa"))
   }
 
+  /** Confident-learning label-noise detection (Northcutt et al. 2021):
+    * count docs whose own label looks WRONG under the corpus-trained
+    * classifier — the label-audit gate a curation pipeline runs on its
+    * weak labels before training on them. Per class j, the confidence
+    * threshold t_j is the mean self-confidence E[p(ŷ=j|x) | label=j]
+    * (means of 6-dp [[nbPosteriors]] probs via snapped sums — engine-
+    * exact); a doc labeled i is SUSPECTED as j when p_j ≥ t_j for some
+    * j ≠ i, taking the argmax-probability candidate (ties
+    * label-ascending). The thresholds are what make this better than
+    * "argmax disagrees": an under-confident class doesn't mass-flag
+    * its own docs.
+    *
+    * Scale shape: one [[nbScores]] pass (model broadcast), posteriors
+    * and thresholds are |docs|·|labels|- and |labels|-sized rollups,
+    * the flag join keys on clab against the broadcast threshold table.
+    * Returns the off-diagonal suspected-error matrix
+    * (lab, suspect_lab, n_docs). */
+  def labelNoise(docs: DataFrame, id: Column, text: Column, label: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      trainTf0: Option[DataFrame] = None,
+      classifyTf0: Option[DataFrame] = None): DataFrame = {
+    import graft.expr.Snap
+    val model = nbTrain(docs, id, text, label, materialize, trainTf0)
+    val post = materialize(nbPosteriors(model, docs, id, text,
+      materialize, scores0 = Some(materialize(
+        nbScores(model, docs, id, text, materialize, classifyTf0)))))
+    val labs = docs.select(id.as("doc_id"), label.as("lab"))
+    val th = post.join(labs, "doc_id")
+      .filter(col("clab") === col("lab"))
+      .groupBy(col("clab"))
+      .agg((Snap.snappedSum(col("prob"), 1e9) /
+        count(lit(1)).cast("double")).as("t"))
+    val cand = post.join(labs, "doc_id")
+      .join(broadcast(th), "clab")
+      .filter(col("prob") >= col("t") && col("clab") =!= col("lab"))
+    cand.groupBy(col("doc_id"), col("lab"))
+      .agg(min(struct((-col("prob")).as("np"), col("clab"))).as("best"))
+      .select(col("lab"), col("best.clab").as("suspect_lab"))
+      .groupBy(col("lab"), col("suspect_lab"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** k-fold cross-validated accuracy of the [[nbTrain]]/[[nbClassify]]
     * multinomial NB — the variance answer q156's single holdout can't
     * give (one split = one accuracy sample; k folds show whether the

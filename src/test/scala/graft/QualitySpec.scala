@@ -731,6 +731,47 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("bootstrapCiMean: constant series collapses the CI to the " +
+    "mean; spread series brackets it within the data range; " +
+    "deterministic and partition-invariant") {
+    import graft.ops.Analytics
+    val d = ((1 to 40).map(i => ("const", i.toLong, 5.0)) ++
+      (1 to 40).map(i => ("spread", i.toLong,
+        if (i % 2 == 0) 0.0 else 100.0))).toDF("g", "id", "x")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.bootstrapCiMean(df, col("g"), col("id"), col("x"),
+        b = 50).collect().map(r => r.getString(0) -> r).toMap
+    val r = run(d)
+    val c = r("const")
+    assert(c.getLong(1) == 40L && c.getDouble(2) == 5.0)
+    assert(c.getDouble(3) == 5.0 && c.getDouble(4) == 5.0) // every
+    // replicate mean of a constant column is the constant
+    assert(c.getLong(5) == 50L)
+    val s = r("spread")
+    assert(s.getDouble(2) == 50.0)
+    assert(s.getDouble(3) < s.getDouble(4))
+    assert(s.getDouble(3) >= 0.0 && s.getDouble(4) <= 100.0)
+    // deterministic hash weights: a re-run and a repartition agree
+    val r2 = run(d.repartition(7))
+    assert(r2("spread").getDouble(3) == s.getDouble(3) &&
+      r2("spread").getDouble(4) == s.getDouble(4))
+  }
+
+  test("labelNoise: a planted flipped label is the only suspected " +
+    "error; clean corpus flags nothing") {
+    val clean = ((0 until 10).map(i => (i.toLong, "aa aa", "A")) ++
+      (10 until 20).map(i => (i.toLong, "bb bb", "B")))
+    val r = Quality.labelNoise(
+      (clean :+ ((20L, "bb bb", "A"))).toDF("id", "text", "lab"),
+      col("id"), col("text"), col("lab")).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "A" && r.head.getString(1) == "B" &&
+      r.head.getLong(2) == 1L)
+    val r0 = Quality.labelNoise(clean.toDF("id", "text", "lab"),
+      col("id"), col("text"), col("lab")).collect()
+    assert(r0.isEmpty)
+  }
+
   test("kfoldNbEval: separable classes give accuracy 1.0 on every " +
     "fold; fold sizes partition the corpus") {
     val docs = (0 until 20).map(i =>

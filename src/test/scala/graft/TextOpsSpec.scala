@@ -1081,5 +1081,18 @@ class TextOpsSpec extends SparkSpec {
     assert(run(Seq("a", "zzz"), 3).toSeq == r.toSeq)
     assert(run(Seq("a"), 2).map(_._1).toSeq == Seq(2L, 1L))
   }
+
+  test("rmExpansion: single-doc feedback set yields p_ML(w|d) weights " +
+    "for non-query terms only; fbTerms cuts") {
+    val d = Seq((1L, "a x x y"), (2L, "b b b b")).toDF("id", "t")
+    def run(k: Int) = TextStats.rmExpansion(d, col("id"), col("t"),
+      Seq("a"), mu = 2.0, fbDocs = 1, fbTerms = k).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val r = run(5)
+    // fb = {d1} (only doc containing 'a'), p(d1|q) = 1: weights are
+    // d1's MLE term probs, query term excluded
+    assert(r.toSeq == Seq(("x", 0.5), ("y", 0.25)))
+    assert(run(1).toSeq == Seq(("x", 0.5)))
+  }
 }
 
