@@ -3069,6 +3069,41 @@ object SparkEntry {
       mu = 2000.0, fbDocs = 10, fbTerms = 15,
       tf0 = Some(sharedTermFreqs(s, dir)))
 
+  /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
+    * the daily event-rate series per type — the outlier-proof
+    * rate-of-change readout next to q221's rank correlation
+    * ([[ops.Analytics.theilSenTrend]]); day-grid pair table, exact
+    * integer S and tie correction. */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    ops.Analytics.theilSenTrend(daily, col("event_type"),
+      datediff(col("day"), lit("1970-01-01").cast("date")), col("n"))
+      .withColumnRenamed("grp", "event_type")
+  }
+
+  /** Diagonal-Fréchet distance between the even/odd embedding
+    * snapshots — "did the embedding distribution move", the
+    * embedding-space drift monitor next to q83/q175
+    * ([[ops.Analytics.embeddingFrechet]]). */
+  private def qEmbeddingFrechet(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ops.Analytics.embeddingFrechet(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0), col("embedding"))
+  }
+
+  /** Temperature-scaling scan (Guo et al.) over the shared NB holdout
+    * score artifact: mean true-label NLL per grid temperature, argmin
+    * flagged — `best ≠ 1.0` is the one-number miscalibration verdict
+    * next to q169's ECE ([[ops.Quality.temperatureScan]]). */
+  private def qTemperatureScan(s: SparkSession, dir: String): DataFrame = {
+    val sc = sharedNbHoldoutScores(s, dir)._2
+    val labels = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang").as("lab"))
+    ops.Quality.temperatureScan(sc, labels)
+  }
+
   /** Confident-learning label-noise audit of the lang labels
     * (Northcutt et al.): per-class self-confidence thresholds over the
     * NB posteriors, off-diagonal suspected-error matrix — the label
@@ -3611,7 +3646,10 @@ object SparkEntry {
     "q224_dirichlet_ql" -> (qDirichletQl _),
     "q225_bootstrap_ci" -> (qBootstrapCi _),
     "q226_rm_expansion" -> (qRmExpansion _),
-    "q227_label_noise" -> (qLabelNoise _))
+    "q227_label_noise" -> (qLabelNoise _),
+    "q228_theil_sen" -> (qTheilSen _),
+    "q229_embedding_frechet" -> (qEmbeddingFrechet _),
+    "q230_temperature_scan" -> (qTemperatureScan _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7344,5 +7382,85 @@ object SparkEntry {
         "JOIN th ON th.clab = pp.clab WHERE pp.prob >= th.t AND pp.clab <> pp.lab), " +
         "sus AS (SELECT doc_id, lab, clab FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY doc_id ORDER BY prob DESC, clab) AS rn FROM cand) WHERE rn = 1) " +
-        "SELECT lab, clab AS suspect_lab, count(*) AS n_docs FROM sus GROUP BY 1, 2"))
+        "SELECT lab, clab AS suspect_lab, count(*) AS n_docs FROM sus GROUP BY 1, 2"),
+    "q228_theil_sen" ->
+      // day-grid pair table: S = Σ sign, Sen slope = avg of the two
+      // middle order statistics, MK tie-corrected variance, z with
+      // continuity correction, A&S erfc p
+      ("WITH dd AS (SELECT event_type AS grp, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "base AS (SELECT grp, CAST(datediff('day', DATE '1970-01-01', day) AS DOUBLE) AS d, " +
+        "CAST(n AS DOUBLE) AS x FROM dd), " +
+        "pairs AS (SELECT a.grp, CAST(sign(b.x - a.x) AS BIGINT) AS sgn, " +
+        "(b.x - a.x) / (b.d - a.d) AS slope " +
+        "FROM base a JOIN base b ON b.grp = a.grp AND b.d > a.d), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY slope, sgn) AS rk, " +
+        "count(*) OVER (PARTITION BY grp) AS m FROM pairs), " +
+        "md AS (SELECT grp, (min(slope) + max(slope)) / CAST(2.0 AS DOUBLE) AS sen FROM rk " +
+        "WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2 GROUP BY 1), " +
+        "sagg AS (SELECT grp, CAST(sum(sgn) AS BIGINT) AS s, count(*) AS n_pairs FROM pairs GROUP BY 1), " +
+        "tg AS (SELECT grp, x, count(*) AS t FROM base GROUP BY 1, 2), " +
+        "ts AS (SELECT grp, CAST(sum(t) AS BIGINT) AS n_steps, " +
+        "CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum FROM tg GROUP BY 1), " +
+        "f AS (SELECT sagg.grp, n_steps, n_pairs, s, sen, " +
+        "(CAST(n_steps AS DOUBLE) * (CAST(n_steps AS DOUBLE) - CAST(1.0 AS DOUBLE)) * " +
+        "(CAST(2.0 AS DOUBLE) * CAST(n_steps AS DOUBLE) + CAST(5.0 AS DOUBLE)) - CAST(tsum AS DOUBLE)) " +
+        "/ CAST(18.0 AS DOUBLE) AS vars " +
+        "FROM sagg JOIN ts ON ts.grp = sagg.grp LEFT JOIN md ON md.grp = sagg.grp), " +
+        "zz AS (SELECT *, CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vars) " +
+        "WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vars) ELSE CAST(0.0 AS DOUBLE) END AS z FROM f), " +
+        "yy AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS y FROM zz), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS t FROM yy) " +
+        "SELECT grp AS event_type, n_steps, n_pairs, s AS s_stat, " +
+        "CASE WHEN vars > 0.0 THEN round(z, 4) END AS z, " +
+        "CASE WHEN vars > 0.0 THEN round(t * (CAST(0.254829592 AS DOUBLE) + t * (CAST(-0.284496736 AS DOUBLE) + " +
+        "t * (CAST(1.421413741 AS DOUBLE) + t * (CAST(-1.453152027 AS DOUBLE) + t * CAST(1.061405429 AS DOUBLE))))) " +
+        "* exp(-(y * y)), 6) END AS p_value, " +
+        "round(sen, 6) AS sen_slope FROM tt"),
+    "q229_embedding_frechet" ->
+      // per-dim moments from 1e9-snapped sums over DOUBLE-cast arrays,
+      // population sigma clamped at 0, dim rollup snapped again
+      ("WITH o AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 0), " +
+        "nn AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 <> 0), " +
+        "ao AS (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM o), " +
+        "an AS (SELECT unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM nn), " +
+        "mo AS (SELECT pos, count(*) AS n_o, " +
+        "CAST(sum(CAST(floor(v * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s_o, " +
+        "CAST(sum(CAST(floor(v * v * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS ss_o " +
+        "FROM ao GROUP BY 1), " +
+        "mn AS (SELECT pos, count(*) AS n_n, " +
+        "CAST(sum(CAST(floor(v * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s_n, " +
+        "CAST(sum(CAST(floor(v * v * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS ss_n " +
+        "FROM an GROUP BY 1), " +
+        "m1 AS (SELECT pos, n_o, n_n, s_o / CAST(n_o AS DOUBLE) AS muo, s_n / CAST(n_n AS DOUBLE) AS mun, " +
+        "ss_o, ss_n FROM mo JOIN mn USING (pos)), " +
+        "m2 AS (SELECT pos, n_o, n_n, (muo - mun) * (muo - mun) AS t1, " +
+        "(sqrt(greatest(ss_o / CAST(n_o AS DOUBLE) - muo * muo, CAST(0.0 AS DOUBLE))) - " +
+        "sqrt(greatest(ss_n / CAST(n_n AS DOUBLE) - mun * mun, CAST(0.0 AS DOUBLE)))) AS ds FROM m1), " +
+        "ag AS (SELECT count(*) AS dim, max(n_o) AS n_old, max(n_n) AS n_new, " +
+        "CAST(sum(CAST(floor(t1 * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS m2s, " +
+        "CAST(sum(CAST(floor(ds * ds * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS c2s FROM m2) " +
+        "SELECT dim, n_old, n_new, round(m2s, 6) AS mean_dist2, " +
+        "round(c2s, 6) AS cov_dist, round(m2s + c2s, 6) AS frechet FROM ag"),
+    "q230_temperature_scan" -> {
+      // the q156 holdout stanza + per-(doc, T) log-sum-exp:
+      // nll_doc = ln Σ exp((s−mx)/T) − (s_true−mx)/T, snapped sums,
+      // grid argmin with smaller-T ties
+      val grid = (1 to 16).map(_ * 0.25)
+        .map(t => s"CAST($t AS DOUBLE)").mkString("[", ", ", "]")
+      nbHoldoutCte +
+        ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        s"grid AS (SELECT unnest($grid) AS temp), " +
+        "zt AS (SELECT sc.doc_id, g.temp, " +
+        "CAST(sum(CAST(floor(exp((score - mx) / g.temp) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z " +
+        "FROM sc JOIN mx USING (doc_id) CROSS JOIN grid g GROUP BY 1, 2), " +
+        "tru AS (SELECT sc.doc_id, sc.score AS st, mx.mx FROM sc " +
+        "JOIN mx USING (doc_id) JOIN te ON te.doc_id = sc.doc_id AND sc.clab = te.lang), " +
+        "nl AS (SELECT temp, " +
+        "CAST(sum(CAST(floor((ln(z) - (st - mx) / temp) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / CAST(count(*) AS DOUBLE) AS nll0 " +
+        "FROM zt JOIN tru USING (doc_id) GROUP BY 1) " +
+        "SELECT temp, round(nll0, 6) AS nll, " +
+        "row_number() OVER (ORDER BY nll0, temp) = 1 AS best FROM nl"
+    })
 }

@@ -786,6 +786,121 @@ object Analytics {
         den, 6)).as("rho"))
   }
 
+  /** Diagonal-covariance Fréchet distance between two embedding
+    * snapshots (the FID construction of Heusel et al. 2017 restricted
+    * to per-dimension moments — the full matrix square root needs an
+    * SVD the cluster shouldn't do, and for DRIFT MONITORING the
+    * diagonal term answers the question): d² = ‖μ₁−μ₂‖² +
+    * Σ_d (σ₁d − σ₂d)² — "did the embedding distribution move" after a
+    * model update or corpus swap, the embedding-space sibling of
+    * [[psiDrift]].
+    *
+    * One posexplode per side into a map-side-combined (dim, n, Σv,
+    * Σv²) table (each task emits ≤ dims partial rows regardless of
+    * corpus size — the q76 centroid shape); moments are 1e9-snapped
+    * sums, population σ² = Σv²/n − μ² clamped at 0 (the snap can leave
+    * a −1e−15 residue on constant dims), the dim rollup snaps again.
+    * Returns one row: (dim, n_old, n_new, mean_dist2, cov_dist,
+    * frechet). */
+  def embeddingFrechet(oldDf: DataFrame, newDf: DataFrame, vec: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    def moments(df: DataFrame, tag: String): DataFrame =
+      df.select(posexplode(vec).as(Seq("pos", "v")))
+        .select(col("pos"), col("v").cast("double").as("v"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          Snap.snappedSum(col("v"), 1e9).as(s"s_$tag"),
+          Snap.snappedSum(col("v") * col("v"), 1e9).as(s"ss_$tag"))
+    def mu(tag: String) = col(s"s_$tag") / col(s"n_$tag").cast("double")
+    def sig(tag: String) = sqrt(greatest(
+      col(s"ss_$tag") / col(s"n_$tag").cast("double") - mu(tag) * mu(tag),
+      lit(0.0)))
+    moments(oldDf, "o").join(moments(newDf, "n"), "pos")
+      .select(col("pos"), col("n_o"), col("n_n"),
+        ((mu("o") - mu("n")) * (mu("o") - mu("n"))).as("t1"),
+        ((sig("o") - sig("n")) * (sig("o") - sig("n"))).as("t2"))
+      .agg(count(lit(1)).as("dim"),
+        (max(col("n_o"))).as("n_old"), (max(col("n_n"))).as("n_new"),
+        Snap.snappedSum(col("t1"), 1e9).as("m2"),
+        Snap.snappedSum(col("t2"), 1e9).as("c2"))
+      .select(col("dim"), col("n_old"), col("n_new"),
+        round(col("m2"), 6).as("mean_dist2"),
+        round(col("c2"), 6).as("cov_dist"),
+        round(col("m2") + col("c2"), 6).as("frechet"))
+  }
+
+  /** Mann–Kendall trend test + Theil–Sen slope per group over a
+    * (step, x) series (Mann 1945; Sen 1968) — the ROBUST trend readout
+    * next to [[spearmanCorr]]'s rank correlation: MK asks "is there a
+    * monotone trend" from pair signs alone (S = Σ_{i<j} sign(x_j−x_i),
+    * tie-corrected variance, z = (S∓1)/√Var, p via [[normalPValue2]]);
+    * Sen's slope is the MEDIAN of all pairwise slopes — one wild day
+    * can't drag it (the estimator behind robust rate-of-change
+    * dashboards).
+    *
+    * The corpus first aggregates to the per-(group, step) series; the
+    * triangular pair table is |steps|²/2 per group — calendar-bounded,
+    * independent of corpus size (the [[ewmaDrift]] grid argument). S
+    * and the tie counts are exact integers; slopes are single double
+    * divisions of integer-derived values; the median is the average of
+    * the two middle order statistics (rank window over the bounded
+    * pair table, slope-then-pair-id ordered). Steps are day indices —
+    * slope is per STEP-UNIT as given by `stepNum`. Returns (grp,
+    * n_steps, n_pairs, s_stat, z, p_value, sen_slope). */
+  def theilSenTrend(counts: DataFrame, grp: Column, stepNum: Column,
+      x: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    // 3 consumers of the series grid: both pair-join sides + tie counts
+    val base = materialize(counts.select(grp.as("grp"),
+      stepNum.cast("double").as("d"), x.cast("double").as("x")))
+    val pairs = materialize(base
+      .join(base.select(col("grp"), col("d").as("d2"), col("x").as("x2")),
+        Seq("grp"))
+      .filter(col("d2") > col("d"))
+      .select(col("grp"),
+        signum(col("x2") - col("x")).cast("long").as("sgn"),
+        ((col("x2") - col("x")) / (col("d2") - col("d"))).as("slope")))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("slope"), col("sgn"))
+    val g = Window.partitionBy(col("grp"))
+    val med = pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(g))
+      // Spark `/` on longs is fractional — floor back to the integer
+      // middle ranks (the oracle's `//`)
+      .filter(col("rk") === floor((col("m") + 1L) / 2L).cast("long") ||
+        col("rk") === floor((col("m") + 2L) / 2L).cast("long"))
+      .groupBy(col("grp"))
+      // odd m: both ranks hit the same row — avg of min/max, not a
+      // count-dependent sum, stays exact
+      .agg(((min(col("slope")) + max(col("slope"))) / lit(2.0))
+        .as("sen_slope"))
+    val sAgg = pairs.groupBy(col("grp"))
+      .agg(sum(col("sgn")).as("s"), count(lit(1)).as("n_pairs"))
+    // tie groups over the VALUE grid: Σ t(t−1)(2t+5)
+    val ties = base.groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_vals"), sum(col("t")).as("n_steps"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tsum"))
+    val nD = col("n_steps").cast("double")
+    val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      col("tsum").cast("double")) / lit(18.0)
+    val z = when(col("s") > 0L, (col("s") - 1L).cast("double") / sqrt(varS))
+      .when(col("s") < 0L, (col("s") + 1L).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sAgg.join(ties, "grp").join(med, Seq("grp"), "left")
+      .select(col("grp"), col("n_steps"), col("n_pairs"),
+        col("s").as("s_stat"),
+        // a fully-tied series has Var = 0 only when every step shares
+        // one value AND n ≤ 2 effectively — guard the 0/0 to NULL
+        when(varS > 0.0, round(z, 4)).as("z"),
+        when(varS > 0.0, round(normalPValue2(z), 6)).as("p_value"),
+        round(col("sen_slope"), 6).as("sen_slope"))
+  }
+
   /** Poisson-bootstrap confidence interval for a per-group mean
     * (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
     * Streams" — THE distributed bootstrap: classical resampling needs

@@ -667,6 +667,56 @@ object Quality {
         .as("kappa"))
   }
 
+  /** Temperature scaling scan (Guo et al. 2017 §4.2 — the one-knob
+    * post-hoc calibration fix): for each T on a fixed grid, the mean
+    * NLL of the true label under the temperature-softened softmax,
+    * nll_doc(T) = ln Σ_c exp((s_c − s_max)/T) − (s_true − s_max)/T —
+    * the algebraic form that never materializes probabilities (no
+    * underflow, one ln per doc). `best` marks the grid argmin
+    * (ties → smaller T; with T=1 on the grid, `best ≠ 1` IS the
+    * miscalibration verdict — the companion number to q169's ECE).
+    *
+    * The grid is a broadcast |T|-row frame crossed into the scoring
+    * frame: |docs|·|labels|·|T| narrow rows, two map-side-combined
+    * aggregations (per-doc normalizer with snapped sums, per-T snapped
+    * mean). Dyadic grid steps (k·0.25) replay exactly in any engine.
+    * `scores` is a [[nbScores]]-shaped (doc_id, clab, score) frame;
+    * `labels` is (doc_id, lab). Returns (temp, nll, best). */
+  def temperatureScan(scores: DataFrame, labels: DataFrame,
+      temps: Seq[Double] = (1 to 16).map(_ * 0.25),
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(temps.nonEmpty && temps.forall(_ > 0),
+      s"temperatureScan: temps=$temps")
+    import graft.expr.Snap
+    val sc = materialize(scores
+      .join(scores.groupBy(col("doc_id")).agg(max(col("score")).as("mx")),
+        "doc_id"))
+    val grid = {
+      val s2 = scores.sparkSession
+      import s2.implicits._
+      broadcast(temps.toDF("temp"))
+    }
+    val z = sc.crossJoin(grid)
+      .groupBy(col("doc_id"), col("temp"))
+      .agg(Snap.snappedSum(exp((col("score") - col("mx")) / col("temp")),
+        1e9).as("z"))
+    val tru = sc.join(labels.select(col("doc_id"), col("lab")), "doc_id")
+      .filter(col("clab") === col("lab"))
+      .select(col("doc_id"), col("score").as("st"), col("mx"))
+    val nll = z.join(tru, "doc_id")
+      .select(col("temp"),
+        (log(col("z")) - (col("st") - col("mx")) / col("temp")).as("l"))
+      .groupBy(col("temp"))
+      .agg((Snap.snappedSum(col("l"), 1e9) /
+        count(lit(1)).cast("double")).as("nll0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll0"), col("temp")) // |T|-row frame
+    nll.withColumn("rn", row_number().over(w))
+      .select(col("temp"), round(col("nll0"), 6).as("nll"),
+        (col("rn") === 1).as("best"))
+  }
+
   /** Confident-learning label-noise detection (Northcutt et al. 2021):
     * count docs whose own label looks WRONG under the corpus-trained
     * classifier — the label-audit gate a curation pipeline runs on its

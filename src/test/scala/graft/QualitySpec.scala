@@ -731,6 +731,56 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("theilSenTrend: hand even-pair median; linear series gives " +
+    "exact slope and max S; constant series nulls z/p via zero " +
+    "variance") {
+    import graft.ops.Analytics
+    val d = (Seq((0, 0L), (1, 1L), (2, 4L), (3, 5L)).map {
+      case (t, x) => ("mix", t, x) } ++
+      (0 to 4).map(t => ("lin", t, 2L * t)) ++
+      (0 to 4).map(t => ("const", t, 9L))).toDF("g", "t", "x")
+    val r = Analytics.theilSenTrend(d, col("g"), col("t"), col("x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // slopes [1,1,5/3,2,2,3]: median = (5/3 + 2)/2 = 11/6
+    assert(r("mix").getDouble(6) ==
+      math.floor(11.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(r("mix").getLong(3) == 6L) // all pairs increasing
+    val lin = r("lin")
+    assert(lin.getLong(1) == 5L && lin.getLong(2) == 10L &&
+      lin.getLong(3) == 10L && lin.getDouble(6) == 2.0)
+    assert(lin.getDouble(4) > 0 && lin.getDouble(5) < 0.05)
+    val c = r("const")
+    assert(c.getLong(3) == 0L && c.isNullAt(4) && c.isNullAt(5) &&
+      c.getDouble(6) == 0.0)
+  }
+
+  test("embeddingFrechet: identical snapshots give 0; a pure mean " +
+    "shift lands entirely in mean_dist2") {
+    import graft.ops.Analytics
+    val o = Seq(Seq(0f, 0f), Seq(2f, 2f)).map(Tuple1(_)).toDF("embedding")
+    val n = Seq(Seq(1f, 1f), Seq(3f, 3f)).map(Tuple1(_)).toDF("embedding")
+    val same = Analytics.embeddingFrechet(o, o, col("embedding"))
+      .collect().head
+    assert(same.getLong(0) == 2L && same.getDouble(3) == 0.0 &&
+      same.getDouble(4) == 0.0 && same.getDouble(5) == 0.0)
+    val r = Analytics.embeddingFrechet(o, n, col("embedding"))
+      .collect().head
+    // means shift by 1 per dim, sigmas equal (1) on both sides
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 2.0)
+  }
+
+  test("temperatureScan: confident-correct scores prefer the coldest " +
+    "grid T; a confidently-wrong model prefers the hottest") {
+    val scores = Seq((1L, "a", 0.0), (1L, "b", -2.0),
+      (2L, "a", 0.0), (2L, "b", -2.0)).toDF("doc_id", "clab", "score")
+    def best(lab: String) = Quality.temperatureScan(scores,
+      Seq((1L, lab), (2L, lab)).toDF("doc_id", "lab"))
+      .filter(col("best")).collect().head.getDouble(0)
+    assert(best("a") == 0.25) // NLL = ln(1+e^(-2/T)) shrinks as T -> 0
+    assert(best("b") == 4.0)  // + 2/T term flips the argmin to hot
+  }
+
   test("bootstrapCiMean: constant series collapses the CI to the " +
     "mean; spread series brackets it within the data range; " +
     "deterministic and partition-invariant") {
