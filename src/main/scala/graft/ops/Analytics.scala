@@ -495,13 +495,18 @@ object Analytics {
     * mean (exact rational). Returns one row per (grp, step):
     * (grp, step, x, cusum, alarm). */
   def cusumDrift(counts: DataFrame, grp: Column, step: Column, x: Column,
-      slack: Double = 0.1, hMult: Double = 0.5): DataFrame = {
+      slack: Double = 0.1, hMult: Double = 0.5,
+      mu0: Option[Double] = None): DataFrame = {
     val g = Window.partitionBy(col("grp"))
     val run = Window.partitionBy(col("grp")).orderBy(col("step"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // mu0: an OFFLINE reference rate (the train-once/serve-many split
+    // [[graft.stream.StreamCuration.startCusumSink]] monitors against);
+    // None = self-calibrate on the series' own mean
     val base = counts.select(grp.as("grp"), step.as("step"), x.as("x"))
-      .withColumn("mu", sum(col("x")).over(g).cast("double") /
-        count(lit(1)).over(g).cast("double"))
+      .withColumn("mu", mu0.map(lit(_)).getOrElse(
+        sum(col("x")).over(g).cast("double") /
+          count(lit(1)).over(g).cast("double")))
     // the running sums stay on 1e9-snapped INTEGERS: a window engine
     // is free to re-associate its segment-tree partials (the q99
     // decimal-rolling-sum lesson), which integer addition shrugs off

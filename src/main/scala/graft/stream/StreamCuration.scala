@@ -127,6 +127,67 @@ object StreamCuration {
       }
       .start()
 
+  /** Streaming one-sided CUSUM monitor — the SEQUENTIAL drift alarm
+    * ([[graft.ops.Analytics.cusumDrift]]) run where it naturally lives:
+    * each micro-batch is one step of the recursion per group,
+    * S ← max(0, S + Σx − k), against an OFFLINE reference rate `mu`
+    * (k = mu·(1+slack), alarm at S > mu·hMult — the train-once/
+    * serve-many split; a self-calibrating stream monitor would dilute
+    * the very drift it must catch into its own baseline). State is one
+    * (c, m) integer pair per group — the running 1e9-snapped deviation
+    * sum and its prefix-min, the same prefix identity the batch
+    * operator uses, so stream state after N epochs ≡ batch cusumDrift
+    * row N with `mu0 = Some(mu)` (QualitySpec pins this). Groups
+    * absent from a batch take no step; new groups start their own
+    * recursion. State is group-count-sized, re-materialized per batch
+    * with truncated lineage. */
+  def startCusumSink(countStream: DataFrame, grpCol: String, xCol: String,
+      mu: Double, slack: Double, hMult: Double, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = countStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.LongType))))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      empty.localCheckpoint(true))
+    countStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          // one step per group: the batch's total x, snapped deviation
+          // (the cusumDrift dI expression with mu as the fixed literal)
+          val stepX = batch.groupBy(col(grpCol).as("grp"))
+            .agg(sum(col(xCol)).as("x"))
+            .withColumn("d", floor((col("x").cast("double") -
+              lit(mu) * lit(1.0 + slack)) * lit(1e9) + lit(0.5))
+              .cast("long"))
+          val upd = stepX.join(state.get(), Seq("grp"), "left")
+            .withColumn("cn", coalesce(col("c"), lit(0L)) + col("d"))
+            .withColumn("mn", least(coalesce(col("m"), col("cn")),
+              col("cn")))
+          val keep = state.get().join(stepX.select(col("grp")),
+            Seq("grp"), "left_anti")
+          val next = upd.select(col("grp"), col("cn").as("c"),
+            col("mn").as("m")).unionByName(keep).localCheckpoint(true)
+          state.set(next)
+          sink(upd.select(col("grp"), col("x"),
+            round((col("cn") - least(col("mn"), lit(0L))).cast("double") /
+              lit(1e9), 6).as("cusum"),
+            ((col("cn") - least(col("mn"), lit(0L))).cast("double") /
+              lit(1e9) > lit(mu) * lit(hMult)).as("alarm")), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q170's fill-in-the-middle construction at INGEST time: like the
     * span-corruption sink, the construction is a pure per-document
     * md5-derived function — union of batch outputs ≡ batch construction

@@ -331,6 +331,46 @@ class QualitySpec extends SparkSpec {
     assert(epochs(epochs.keys.max) == want2)
   }
 
+  test("startCusumSink: stream state after N epochs ≡ batch cusumDrift " +
+    "step N under the same fixed reference rate; absent groups take " +
+    "no step") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val out = scala.collection.mutable.Map[Long, Map[String, (Double, Boolean)]]()
+    val q = graft.stream.StreamCuration.startCusumSink(
+      ms.toDF().toDF("g", "n"), "g", "n", mu = 10.0, slack = 0.1,
+      hMult = 0.5,
+      java.nio.file.Files.createTempDirectory("cusum-ckpt").toString,
+      (df, epoch) => out.synchronized {
+        out(epoch) = df.collect().map(r => r.getString(0) ->
+          ((r.getDouble(2), r.getBoolean(3)))).toMap
+      })
+    try {
+      // epoch 1: g quiet, h bursts; epoch 2: g bursts, h absent
+      ms.addData(Seq(("g", 4L), ("g", 6L), ("h", 30L)))
+      q.processAllAvailable()
+      ms.addData(Seq(("g", 25L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val epochs = out.synchronized(out.toMap)
+    assert(epochs.size == 2)
+    val e1 = epochs(epochs.keys.min); val e2 = epochs(epochs.keys.max)
+    assert(e2.keySet == Set("g")) // h absent -> no step, no report
+    // batch replay over the union with the SAME offline reference
+    val batch = Analytics.cusumDrift(
+      Seq(("g", 1, 10L), ("g", 2, 25L), ("h", 1, 30L))
+        .toDF("grp", "step", "x"),
+      col("grp"), col("step"), col("x"), mu0 = Some(10.0))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(e1("g") == batch(("g", 1)) && e1("h") == batch(("h", 1)))
+    assert(e2("g") == batch(("g", 2)))
+    // the burst actually alarms (h epoch 1, g epoch 2)
+    assert(e1("h")._2 && e2("g")._2 && !e1("g")._2)
+  }
+
   test("calibrationReport: bins, means, accuracy and gap by hand; " +
     "conf = 1.0 clamps into the top bin") {
     val preds = Seq((0.95, true), (0.85, false), (0.85, true), (1.0, true))
