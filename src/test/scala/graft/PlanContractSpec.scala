@@ -1067,4 +1067,40 @@ class PlanContractSpec extends SparkSpec {
       count(p, "CartesianProduct") == 0 &&
       count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
   }
+
+  test("q225: Poisson bootstrap — the ×B expansion is an in-task " +
+    "Generate (never a join); all B replicate means reduce in one " +
+    "map-side-combined aggregation, no cartesian anywhere") {
+    val p = plan("q225_bootstrap_ci")
+    // sequence(1, B) constant-folds to a literal array — the Generate
+    // is the witness that the fanout is in-task, not a join
+    assert(p.contains("Generate explode("), p.take(1500))
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+    // partial_sum before the (grp, r) exchange = map-side combine of
+    // the replicate sums (the one-pass bootstrap claim)
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      p.take(2000))
+  }
+
+  test("q223: k-fold NB — the fold axis is a broadcast k-row nested " +
+    "loop (bounded fanout), model joins broadcast, no cartesian") {
+    val p = plan("q223_kfold_nb")
+    // the ONLY nested-loop joins are against the broadcast 5-row fold
+    // grid (a bounded fanout, the explode-equivalent); everything
+    // model-sized joins as broadcast hash
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(1500))
+  }
+
+  test("q228: Theil–Sen — the pair table builds AFTER the corpus " +
+    "collapses to the day grid (aggregates below the self-join), " +
+    "no cartesian/BNLJ") {
+    val p = plan("q228_theil_sen")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+    // both join inputs are ExistingRDD scans of the materialized grid,
+    // not parquet: the corpus never enters the pair join
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1500))
+  }
 }
