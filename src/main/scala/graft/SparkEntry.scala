@@ -2312,16 +2312,32 @@ object SparkEntry {
   /** Multinomial NB language classifier, trained in-engine and
     * self-evaluated as a (lang, pred_lang, n_docs) confusion matrix —
     * the fastText-style curation-classifier analog. */
-  private def qNbConfusion(s: SparkSession, dir: String): DataFrame = {
-    // both the training counts and the scoring counts derive from the
-    // session TF artifact — the corpus is never re-tokenized here
-    val tf = sharedTermFreqs(s, dir)
-    val docs = t(s, dir, "documents")
-    ops.Quality.nbConfusion(docs, col("doc_id"), col("text"), col("lang"),
-      trainTf0 = Some(tf.join(
-        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")),
-      classifyTf0 = Some(tf))
-  }
+  private def qNbConfusion(s: SparkSession, dir: String): DataFrame =
+    // the 4-dp argmax + label join over the shared full-corpus score
+    // artifact (q227 reads the same frame — the classifier trains once
+    // per session for both)
+    ops.Quality.nbArgmax(sharedNbFullScores(s, dir))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lab").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Session-scoped MATERIALIZED full-corpus NB score frame — the
+    * self-eval sibling of [[sharedNbHoldoutScores]]: trained on ALL
+    * docs off the TF artifact, scored on all docs, shared by q154
+    * (confusion) and q227 (confident-learning label audit). */
+  private val nbFullMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def sharedNbFullScores(s: SparkSession, dir: String): DataFrame =
+    nbFullMemo.getOrElseUpdate((s, dir), {
+      val docs = t(s, dir, "documents")
+      val tf = sharedTermFreqs(s, dir)
+      val model = ops.Quality.nbTrain(docs, col("doc_id"), col("text"),
+        col("lang"), docTf0 = Some(tf.join(
+          docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
+      ops.Quality.nbScores(model, docs, col("doc_id"), col("text"),
+        docTf0 = Some(tf)).localCheckpoint(true)
+    })
 
   /** JL sign-projection retrieval eval at 8/16 dims vs the exact
     * full-dim ranking — the truncation eval's cousin for embeddings
@@ -3109,14 +3125,10 @@ object SparkEntry {
     * NB posteriors, off-diagonal suspected-error matrix — the label
     * gate before training on weak labels
     * ([[ops.Quality.labelNoise]]). */
-  private def qLabelNoise(s: SparkSession, dir: String): DataFrame = {
-    val tf = sharedTermFreqs(s, dir)
-    val docs = t(s, dir, "documents")
-    ops.Quality.labelNoise(docs, col("doc_id"), col("text"), col("lang"),
-      trainTf0 = Some(tf.join(
-        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")),
-      classifyTf0 = Some(tf))
-  }
+  private def qLabelNoise(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.labelNoise(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang"),
+      scores0 = Some(sharedNbFullScores(s, dir)))
 
   /** Unigram-LM Viterbi segmentation over each doc's 48-char prefix
     * (SentencePiece-style inference — completes the tokenizer family

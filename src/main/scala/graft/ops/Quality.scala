@@ -242,12 +242,18 @@ object Quality {
     * per-row closed form. Returns (doc_id, clab, prob). */
   def nbPosteriors(model: NbModel, docs: DataFrame, id: Column, text: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
-      scores0: Option[DataFrame] = None): DataFrame = {
-    import graft.expr.Snap
+      scores0: Option[DataFrame] = None): DataFrame =
     // scores0: an already-materialized [[nbScores]] frame shared with
     // the argmax consumer (the q169 pattern)
-    val sc = scores0.getOrElse(
-      materialize(nbScores(model, docs, id, text, materialize)))
+    softmaxPosteriors(scores0.getOrElse(
+      materialize(nbScores(model, docs, id, text, materialize))))
+
+  /** The softmax half of [[nbPosteriors]] over an existing [[nbScores]]
+    * frame — exposed (the [[nbArgmax]] symmetry) so consumers that
+    * already hold a shared score artifact ([[labelNoise]]'s scores0)
+    * need no model handle at all. */
+  def softmaxPosteriors(sc: DataFrame): DataFrame = {
+    import graft.expr.Snap
     val ex = sc.join(
         sc.groupBy(col("doc_id")).agg(max(col("score")).as("mx")), "doc_id")
       .select(col("doc_id"), col("clab"),
@@ -737,12 +743,17 @@ object Quality {
   def labelNoise(docs: DataFrame, id: Column, text: Column, label: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
       trainTf0: Option[DataFrame] = None,
-      classifyTf0: Option[DataFrame] = None): DataFrame = {
+      classifyTf0: Option[DataFrame] = None,
+      scores0: Option[DataFrame] = None): DataFrame = {
     import graft.expr.Snap
-    val model = nbTrain(docs, id, text, label, materialize, trainTf0)
-    val post = materialize(nbPosteriors(model, docs, id, text,
-      materialize, scores0 = Some(materialize(
-        nbScores(model, docs, id, text, materialize, classifyTf0)))))
+    // scores0: the SESSION full-corpus score artifact (q154 shares it)
+    // — with it supplied this audit never trains or tokenizes at all
+    val sc = scores0.getOrElse {
+      val model = nbTrain(docs, id, text, label, materialize, trainTf0)
+      materialize(nbScores(model, docs, id, text, materialize,
+        classifyTf0))
+    }
+    val post = materialize(softmaxPosteriors(sc))
     val labs = docs.select(id.as("doc_id"), label.as("lab"))
     val th = post.join(labs, "doc_id")
       .filter(col("clab") === col("lab"))
