@@ -3085,6 +3085,34 @@ object SparkEntry {
       mu = 2000.0, fbDocs = 10, fbTerms = 15,
       tf0 = Some(sharedTermFreqs(s, dir)))
 
+  /** Binary (sign) quantization Hamming top-10 recall vs the shared
+    * exact cosine ranking — the 1-bit bottom rung of the quantization
+    * ladder (flat → SQ8 → PQ → binary; XOR+popcount distance), the
+    * coarse pre-filter tier in front of a re-ranker
+    * ([[ops.Ann.binaryHammingEval]]). */
+  private def qBinaryHamming(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.binaryHammingEval(emb, emb.filter(col("vec_id") < 5), 10,
+      exact0 = Some(sharedExactTopK(s, dir)
+        .select(col("q_id"), col("n_id"))))
+  }
+
+  /** Krippendorff's alpha over the q210 gate panel WITH abstention:
+    * the lang gate returns no verdict on short docs (n_chars < 200) —
+    * the missing-data agreement statistic Fleiss structurally can't
+    * compute ([[ops.Quality.krippendorffAlpha]]). */
+  private def qKrippendorff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    val items = docs.join(keep, "doc_id")
+      .select(col("keep").as("r1"),
+        col("n_chars").between(100L, 600L).as("r2"),
+        when(col("n_chars") >= 200L, col("lang") === "en").as("r3"))
+    ops.Quality.krippendorffAlpha(items,
+      Seq(col("r1"), col("r2"), col("r3")))
+  }
+
   /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
     * the daily event-rate series per type — the outlier-proof
     * rate-of-change readout next to q221's rank correlation
@@ -3661,7 +3689,9 @@ object SparkEntry {
     "q227_label_noise" -> (qLabelNoise _),
     "q228_theil_sen" -> (qTheilSen _),
     "q229_embedding_frechet" -> (qEmbeddingFrechet _),
-    "q230_temperature_scan" -> (qTemperatureScan _))
+    "q230_temperature_scan" -> (qTemperatureScan _),
+    "q231_binary_hamming" -> (qBinaryHamming _),
+    "q232_krippendorff" -> (qKrippendorff _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7474,5 +7504,52 @@ object SparkEntry {
         "FROM zt JOIN tru USING (doc_id) GROUP BY 1) " +
         "SELECT temp, round(nll0, 6) AS nll, " +
         "row_number() OVER (ORDER BY nll0, temp) = 1 AS best FROM nl"
-    })
+    },
+    "q231_binary_hamming" ->
+      // sign bits packed into two 32-bit words (sums stay inside
+      // signed-64 on any engine), hamming = popcount(xor) per half,
+      // top-10 by (hamming, id), overlap vs the exact cosine ranking
+      ("WITH v AS (SELECT vec_id, embedding AS e FROM embeddings), " +
+        "b AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v), " +
+        "wd AS (SELECT vec_id, " +
+        "CAST(sum(CASE WHEN x > 0 AND i <= 32 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS w0, " +
+        "CAST(sum(CASE WHEN x > 0 AND i > 32 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT) AS w1 " +
+        "FROM b GROUP BY 1), " +
+        "qw AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM wd WHERE vec_id < 5), " +
+        "hs AS (SELECT q.q_id, c.vec_id AS n_id, " +
+        "bit_count(xor(c.w0, q.q0)) + bit_count(xor(c.w1, q.q1)) AS hamming " +
+        "FROM wd c JOIN qw q ON c.vec_id <> q.q_id), " +
+        "tp AS (SELECT q_id, n_id FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY hamming, n_id) AS rank FROM hs) WHERE rank <= 10), " +
+        "v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "bq AS (SELECT vec_id AS q_id, e AS qv FROM v2 WHERE vec_id < 5), " +
+        "bsc AS (SELECT b2.q_id, v2.vec_id AS n_id, round(list_dot_product(v2.e, b2.qv) / " +
+        "nullif(sqrt(list_dot_product(v2.e, v2.e)) * sqrt(list_dot_product(b2.qv, b2.qv)), 0), 6) AS cos " +
+        "FROM bq b2 JOIN v2 ON v2.vec_id <> b2.q_id), " +
+        "bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bsc) WHERE rank <= 10) " +
+        "SELECT b3.q_id, CAST(count(t.n_id) AS BIGINT) AS n_overlap, " +
+        "round(CAST(count(t.n_id) AS DOUBLE) / 10.0, 4) AS recall " +
+        "FROM bf b3 LEFT JOIN tp t ON t.q_id = b3.q_id AND t.n_id = b3.n_id GROUP BY 1"),
+    "q232_krippendorff" ->
+      // binary-nominal Krippendorff with abstention: the lang rater is
+      // NULL below 200 chars; D_o from per-item exact rationals
+      // (snapped sum), D_e from pooled totals, alpha from the RAW
+      // (unrounded) pair
+      (s"WITH $gopherStatsCte, " +
+        s"it AS (SELECT (CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN d.n_chars BETWEEN 100 AND 600 THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN d.n_chars >= 200 AND d.lang = 'en' THEN 1 ELSE 0 END) AS c, " +
+        "2 + (CASE WHEN d.n_chars >= 200 THEN 1 ELSE 0 END) AS mr " +
+        "FROM m JOIN documents d USING (doc_id)), " +
+        "f AS (SELECT count(*) AS n_items, CAST(sum(mr) AS BIGINT) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS n1, " +
+        "CAST(sum(CAST(floor(CAST(2.0 AS DOUBLE) * CAST(c AS DOUBLE) * CAST(mr - c AS DOUBLE) " +
+        "/ CAST(mr - 1 AS DOUBLE) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS dsum " +
+        "FROM it WHERE mr >= 2), " +
+        "g AS (SELECT n_items, n, dsum / CAST(n AS DOUBLE) AS do0, " +
+        "CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS de0 FROM f) " +
+        "SELECT n_items, n AS n_ratings, round(do0, 6) AS d_o, round(de0, 6) AS d_e, " +
+        "CASE WHEN de0 > 0.0 THEN round(CAST(1.0 AS DOUBLE) - do0 / de0, 6) END AS alpha FROM g"))
 }

@@ -238,6 +238,61 @@ object Ann {
     }.reduce(_.unionByName(_))
   }
 
+  /** Binary (sign) quantization + Hamming top-k, with recall against
+    * the exact cosine ranking — the 1-bit bottom rung of the
+    * quantization ladder (flat → SQ8 → PQ → binary: 32× smaller than
+    * float32, and Hamming distance is XOR + popcount — the cheapest
+    * distance a CPU can compute; the standard coarse pre-filter tier
+    * in front of a re-ranker). Bit d is set when v_d > 0; vectors pack
+    * into two 32-bit words carried as longs (32-bit halves keep every
+    * engine's packed SUM inside signed-64 range — no sign-bit
+    * ambiguity cross-engine); distance = popcount(w0⊕q0) +
+    * popcount(w1⊕q1), top-k by (hamming asc, id asc).
+    *
+    * Scale shape: packing is one posexplode into a map-side-combined
+    * per-id two-word aggregation (done ONCE, the index artifact);
+    * queries broadcast as words; scoring is pure integer codegen per
+    * corpus row, top-k via the window rank. Returns per query
+    * (q_id, n_overlap, recall) vs `exact0` (or the exact cosine
+    * ranking computed here). */
+  def binaryHammingEval(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      exact0: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"binaryHammingEval: k=$k")
+    val exact = exact0.getOrElse(
+      materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
+        .select(col("q_id"), col("n_id"))))
+    def words(df: DataFrame): DataFrame = df
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("v") > 0 && col("pos") < 32,
+          expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(0L))
+          .as("w0"),
+        sum(when(col("v") > 0 && col("pos") >= 32,
+          expr("shiftleft(CAST(1 AS BIGINT), pos - 32)")).otherwise(0L))
+          .as("w1"))
+    val cw = words(corpus)
+    val qw = broadcast(words(queries).select(col(idCol).as("q_id"),
+      col("w0").as("q0"), col("w1").as("q1")))
+    val scored = cw.join(qw, col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+          bit_count(col("w1").bitwiseXOR(col("q1")))).as("hamming"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("n_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(top, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(k.toDouble), 4)
+          .as("recall"))
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-construction step, Karpukhin et al. 2020 §3.2): for each
     * anchor, the top-k most-SIMILAR vectors with a DIFFERENT label —

@@ -770,6 +770,45 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Krippendorff's alpha for binary nominal ratings with MISSING
+    * values (Krippendorff 2004) — the generalization [[fleissKappa]]
+    * can't make: Fleiss needs every rater on every item; real gate
+    * panels abstain (a language gate has no verdict on a 10-char doc).
+    * Observed disagreement D_o = (1/n)·Σ_i 2c_i(m_i−c_i)/(m_i−1) over
+    * items with m_i ≥ 2 pairable ratings; expected D_e =
+    * 2·n₁·n₀/(n(n−1)) from the pooled value counts; α = 1 − D_o/D_e.
+    * Every input is an exact integer (c_i, m_i, the pooled totals);
+    * the one division chain is fixed-parenthesization doubles — both
+    * engines replay identical digits; a unanimous pool (D_e = 0)
+    * yields NULL (the kappa undefined convention). One map-side-
+    * combined aggregation to a single row: `raters` are nullable
+    * boolean columns (NULL = abstained). Returns
+    * (n_items, n_ratings, d_o, d_e, alpha). */
+  def krippendorffAlpha(items: DataFrame, raters: Seq[Column])
+      : DataFrame = {
+    require(raters.size >= 2, "krippendorffAlpha: need two raters")
+    import graft.expr.Snap
+    val m = raters.map(r => when(r.isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val c = raters.map(r => when(r === true, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val a = items.select(m.as("m"), c.as("c")).filter(col("m") >= 2L)
+      .agg(count(lit(1)).as("n_items"), sum(col("m")).as("n"),
+        sum(col("c")).as("n1"),
+        // Σ 2c(m−c)/(m−1): an exact rational per item — snapped so the
+        // Σ is order-free even when (m−1) ∤ 2c(m−c)
+        Snap.snappedSum(lit(2.0) * col("c").cast("double") *
+          (col("m") - col("c")).cast("double") /
+          (col("m") - 1L).cast("double"), 1e9).as("dsum"))
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val dO = col("dsum") / nD
+    val dE = lit(2.0) * n1D * (nD - n1D) / (nD * (nD - lit(1.0)))
+    a.select(col("n_items"), col("n").as("n_ratings"),
+      round(dO, 6).as("d_o"), round(dE, 6).as("d_e"),
+      when(dE > 0.0, round(lit(1.0) - dO / dE, 6)).as("alpha"))
+  }
+
   /** k-fold cross-validated accuracy of the [[nbTrain]]/[[nbClassify]]
     * multinomial NB — the variance answer q156's single holdout can't
     * give (one split = one accuracy sample; k folds show whether the

@@ -704,4 +704,36 @@ class AnnSpec extends SparkSpec {
       .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(picked.values.forall(_ == 2), picked.toString)
   }
+
+  test("binaryHammingEval: sign-separable clusters give recall 1; " +
+    "both 32-bit packing halves carry bits (a high-dim sign flip " +
+    "changes the distance)") {
+    import graft.ops.Ann
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two sign-clusters in 64 dims: first half positive vs negative;
+    // magnitudes vary so cosine and sign agree on the grouping
+    def vec(sign: Float, mag: Float): Seq[Float] =
+      Seq.tabulate(64)(d => if (d < 32) sign * mag else -sign * mag)
+    val corpus = Seq(
+      (0L, vec(1f, 1f)), (1L, vec(1f, 2f)), (2L, vec(1f, 3f)),
+      (10L, vec(-1f, 1f)), (11L, vec(-1f, 2f)), (12L, vec(-1f, 3f)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.binaryHammingEval(corpus,
+      corpus.filter(col("vec_id") === 0L), 2)
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getDouble(2) == 1.0)
+    // flip ONE high-half dim (pos 35) of an otherwise-identical pair:
+    // hamming must separate them via the w1 word
+    val hi = Seq(
+      (0L, Seq.tabulate(64)(d => if (d == 35) 1f else -1f)),
+      (1L, Seq.tabulate(64)(_ => -1f)),
+      (2L, Seq.tabulate(64)(d => if (d == 35) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Ann.binaryHammingEval(hi, hi.filter(col("vec_id") === 0L), 1)
+      .collect().head
+    // exact cosine top-1 of q0 is v2 (identical); hamming's top-1 must
+    // be v2 too (distance 0 beats distance 1) -> recall 1
+    assert(r2.getDouble(2) == 1.0)
+  }
 }

@@ -862,6 +862,27 @@ class QualitySpec extends SparkSpec {
     assert(r0.isEmpty)
   }
 
+  test("krippendorffAlpha: hand case with abstention (unpairable " +
+    "single-rating item drops); unanimous pool yields NULL alpha") {
+    val items = Seq(
+      (Some(true), Some(true), Some(true)),    // agree, m=3
+      (Some(true), Some(false), None),         // disagree, m=2
+      (Some(false), Some(false), Some(false)), // agree, m=3
+      (Some(true), None, None))                // m=1: unpairable, drops
+      .toDF("r1", "r2", "r3")
+    val r = Quality.krippendorffAlpha(items,
+      Seq(col("r1"), col("r2"), col("r3"))).collect().head
+    // n_items=3, n=8, n1=4, dsum=2: D_o=0.25, D_e=32/56, alpha=0.5625
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 0.25)
+    assert(r.getDouble(3) == math.floor(32.0 / 56.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getDouble(4) == 0.5625)
+    val unanimous = Seq((true, true), (true, true)).toDF("r1", "r2")
+    val ru = Quality.krippendorffAlpha(unanimous,
+      Seq(col("r1"), col("r2"))).collect().head
+    assert(ru.getDouble(2) == 0.0 && ru.isNullAt(4))
+  }
+
   test("kfoldNbEval: separable classes give accuracy 1.0 on every " +
     "fold; fold sizes partition the corpus") {
     val docs = (0 until 20).map(i =>
