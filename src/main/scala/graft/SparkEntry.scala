@@ -3113,6 +3113,25 @@ object SparkEntry {
       Seq(col("r1"), col("r2"), col("r3")))
   }
 
+  /** Shuffle-skew advisor on the events user key — which users would
+    * hot-spot a user-keyed join and the salt factor that levels them
+    * ([[ops.Analytics.skewAdvisor]]); the 100 TB ops question asked as
+    * a query. */
+  private def qSkewAdvisor(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.skewAdvisor(t(s, dir, "events"), col("event_type"),
+      targetRowsPerTask = 500L, topK = 20)
+      .withColumnRenamed("key", "event_type")
+
+  /** k-anonymity audit of the documents table under the
+    * (lang, source, n_chars-century) quasi-identifier — the
+    * re-identification gate before a dataset release
+    * ([[ops.Quality.kAnonymity]]). */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.kAnonymity(t(s, dir, "documents"),
+      Seq("lang" -> col("lang"), "source" -> col("source"),
+        "chars_bin" -> (col("n_chars") / lit(100L)).cast("long")),
+      k = 5L)
+
   /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
     * the daily event-rate series per type — the outlier-proof
     * rate-of-change readout next to q221's rank correlation
@@ -3691,7 +3710,9 @@ object SparkEntry {
     "q229_embedding_frechet" -> (qEmbeddingFrechet _),
     "q230_temperature_scan" -> (qTemperatureScan _),
     "q231_binary_hamming" -> (qBinaryHamming _),
-    "q232_krippendorff" -> (qKrippendorff _))
+    "q232_krippendorff" -> (qKrippendorff _),
+    "q233_skew_advisor" -> (qSkewAdvisor _),
+    "q234_k_anonymity" -> (qKAnonymity _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7551,5 +7572,17 @@ object SparkEntry {
         "CAST(2.0 AS DOUBLE) * CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) / " +
         "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) AS de0 FROM f) " +
         "SELECT n_items, n AS n_ratings, round(do0, 6) AS d_o, round(de0, 6) AS d_e, " +
-        "CASE WHEN de0 > 0.0 THEN round(CAST(1.0 AS DOUBLE) - do0 / de0, 6) END AS alpha FROM g"))
+        "CASE WHEN de0 > 0.0 THEN round(CAST(1.0 AS DOUBLE) - do0 / de0, 6) END AS alpha FROM g"),
+    "q233_skew_advisor" ->
+      ("WITH c AS (SELECT event_type AS key, count(*) AS n_rows FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t, count(*) AS n_keys FROM c) " +
+        "SELECT key AS event_type, n_rows, " +
+        "round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share, " +
+        "round(CAST(n_rows AS DOUBLE) / (CAST(t AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4) AS skew_ratio, " +
+        "CAST(ceil(CAST(n_rows AS DOUBLE) / CAST(500.0 AS DOUBLE)) AS BIGINT) AS salt " +
+        "FROM c CROSS JOIN t ORDER BY n_rows DESC, key LIMIT 20"),
+    "q234_k_anonymity" ->
+      ("SELECT lang, source, n_chars // 100 AS chars_bin, " +
+        "count(*) AS n_rows, count(*) < 5 AS at_risk " +
+        "FROM documents GROUP BY 1, 2, 3"))
 }

@@ -791,6 +791,37 @@ object Analytics {
         den, 6)).as("rho"))
   }
 
+  /** Join/shuffle skew advisor over a key column — the 100 TB ops
+    * question asked AS A QUERY: which keys would hot-spot a shuffle on
+    * this column, and how many salts would level them. For the top
+    * `topK` keys by row count: share of the table, skew ratio
+    * n/mean(n) (a ratio ≫ 1 is the straggler task), and the salt
+    * recommendation ⌈n/targetRowsPerTask⌉ — the fan-out factor a
+    * salted join ([[graft.ops.Star.saltedJoin]]) or AQE skew split
+    * needs to keep every task under the target. One map-side-combined
+    * key count, |keys|-sized stats, TakeOrdered top-k — the advisor
+    * costs one aggregation pass regardless of table size. Returns
+    * (key, n_rows, share, skew_ratio, salt). */
+  def skewAdvisor(df: DataFrame, key: Column, targetRowsPerTask: Long,
+      topK: Int = 20): DataFrame = {
+    require(targetRowsPerTask > 0 && topK > 0,
+      s"skewAdvisor: target=$targetRowsPerTask topK=$topK")
+    val c = df.groupBy(key.as("key")).agg(count(lit(1)).as("n_rows"))
+    val tot = c.agg(sum(col("n_rows")).as("t"),
+      count(lit(1)).as("n_keys"))
+    c.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("t").cast("double"), 6)
+          .as("share"),
+        round(col("n_rows").cast("double") /
+          (col("t").cast("double") / col("n_keys").cast("double")), 4)
+          .as("skew_ratio"),
+        ceil(col("n_rows").cast("double") / lit(targetRowsPerTask.toDouble))
+          .cast("long").as("salt"))
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   /** Diagonal-covariance Fréchet distance between two embedding
     * snapshots (the FID construction of Heusel et al. 2017 restricted
     * to per-dimension moments — the full matrix square root needs an

@@ -770,6 +770,25 @@ object Quality {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** k-anonymity audit over a quasi-identifier combination (Sweeney
+    * 2002) — the re-identification gate a dataset RELEASE runs before
+    * publishing: any QI cell with fewer than k rows singles its
+    * members out (the linkage-attack surface). Emits every occupied QI
+    * cell with its count and the at-risk flag, so the caller can
+    * suppress or generalize exactly the failing cells; the summary
+    * numbers (cells at risk, rows at risk) are one rollup away. One
+    * map-side-combined aggregation to the QI-grid-sized cell table —
+    * table size never matters, grid size does (the caller's
+    * generalization choice, e.g. bucketing a numeric QI, IS the knob).
+    * Returns (quasi…, n_rows, at_risk). */
+  def kAnonymity(df: DataFrame, quasi: Seq[(String, Column)], k: Long)
+      : DataFrame = {
+    require(quasi.nonEmpty && k >= 2, s"kAnonymity: k=$k")
+    df.groupBy(quasi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
   /** Krippendorff's alpha for binary nominal ratings with MISSING
     * values (Krippendorff 2004) — the generalization [[fleissKappa]]
     * can't make: Fleiss needs every rater on every item; real gate

@@ -862,6 +862,28 @@ class QualitySpec extends SparkSpec {
     assert(r0.isEmpty)
   }
 
+  test("skewAdvisor: hand shares/ratios/salts; topK keeps the heavy " +
+    "keys only") {
+    import graft.ops.Analytics
+    val d = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val r = Analytics.skewAdvisor(d, col("k"), targetRowsPerTask = 2L,
+      topK = 2).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = r.head
+    // total 9, mean 3: share 6/9, ratio 2.0, salt ceil(6/2) = 3
+    assert(a.getLong(1) == 6L && a.getDouble(2) == 0.666667 &&
+      a.getDouble(3) == 2.0 && a.getLong(4) == 3L)
+    assert(r(1).getLong(4) == 1L) // b: 2 rows fit one task
+  }
+
+  test("kAnonymity: cells below k flag at_risk; cells at k pass") {
+    val d = (Seq.fill(5)(("en", "s1")) :+ (("fr", "s1"))).toDF("l", "s")
+    val r = Quality.kAnonymity(d, Seq("l" -> col("l"), "s" -> col("s")),
+      k = 5L).collect().map(x => x.getString(0) ->
+        ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r("en") == ((5L, false)) && r("fr") == ((1L, true)))
+  }
+
   test("krippendorffAlpha: hand case with abstention (unpairable " +
     "single-rating item drops); unanimous pool yields NULL alpha") {
     val items = Seq(
