@@ -3132,6 +3132,21 @@ object SparkEntry {
         "chars_bin" -> (col("n_chars") / lit(100L)).cast("long")),
       k = 5L)
 
+  /** Greedy k-center coreset (k = 5) over the embeddings — the
+    * diverse-subset selector next to q130's stratified and q121's
+    * budget samplers: farthest-point coverage of the embedding space
+    * ([[ops.Ann.kCenterCoreset]]); the dist column is the k-center
+    * objective trajectory. */
+  private def qKCenter(s: SparkSession, dir: String): DataFrame =
+    Ann.kCenterCoreset(t(s, dir, "embeddings"), k = 5)
+
+  /** Exact phrase search ("table hash") over the positional index —
+    * the adjacency query the bag-of-words retrieval stack can't
+    * express ([[graft.expr.TextStats.phraseSearch]]). */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    TextStats.phraseSearch(t(s, dir, "documents"), col("doc_id"),
+      col("text"), Seq("table", "hash"))
+
   /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
     * the daily event-rate series per type — the outlier-proof
     * rate-of-change readout next to q221's rank correlation
@@ -3712,7 +3727,9 @@ object SparkEntry {
     "q231_binary_hamming" -> (qBinaryHamming _),
     "q232_krippendorff" -> (qKrippendorff _),
     "q233_skew_advisor" -> (qSkewAdvisor _),
-    "q234_k_anonymity" -> (qKAnonymity _))
+    "q234_k_anonymity" -> (qKAnonymity _),
+    "q235_k_center" -> (qKCenter _),
+    "q236_phrase_search" -> (qPhraseSearch _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7584,5 +7601,39 @@ object SparkEntry {
     "q234_k_anonymity" ->
       ("SELECT lang, source, n_chars // 100 AS chars_bin, " +
         "count(*) AS n_rows, count(*) < 5 AS at_risk " +
-        "FROM documents GROUP BY 1, 2, 3"))
+        "FROM documents GROUP BY 1, 2, 3"),
+    "q235_k_center" -> {
+      // the greedy farthest-point trajectory unrolled: seed = min id,
+      // each round folds the new center into the running 6-dp
+      // min-distance, argmax ties id-ascending
+      def cos(a: String, b: String) =
+        s"(list_dot_product($a, $b) / " +
+          s"nullif(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)), 0))"
+      def round(i: Int) =
+        s"p$i AS (SELECT vid, e, mind FROM d${i - 1} ORDER BY mind DESC, vid LIMIT 1), " +
+          s"d$i AS (SELECT d.vid, d.e, least(d.mind, " +
+          s"round(CAST(1.0 AS DOUBLE) - ${cos("d.e", "p.e")}, 6)) AS mind " +
+          s"FROM d${i - 1} d CROSS JOIN p$i p), "
+      "WITH v AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "p1 AS (SELECT vid, e FROM v ORDER BY vid LIMIT 1), " +
+        "d1 AS (SELECT v.vid, v.e, " +
+        s"round(CAST(1.0 AS DOUBLE) - ${cos("v.e", "p.e")}, 6) AS mind " +
+        "FROM v CROSS JOIN p1 p), " +
+        round(2) + round(3) + round(4) +
+        "p5 AS (SELECT vid, e, mind FROM d4 ORDER BY mind DESC, vid LIMIT 1) " +
+        "SELECT CAST(1 AS BIGINT) AS pos, vid AS vec_id, CAST(NULL AS DOUBLE) AS dist FROM p1 " +
+        "UNION ALL SELECT 2, vid, mind FROM p2 " +
+        "UNION ALL SELECT 3, vid, mind FROM p3 " +
+        "UNION ALL SELECT 4, vid, mind FROM p4 " +
+        "UNION ALL SELECT 5, vid, mind FROM p5"
+    },
+    "q236_phrase_search" ->
+      // positional adjacency: both engines' positions are per-doc
+      // token indices (base offset cancels in the +1 join)
+      ("WITH tokp AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS p FROM documents), " +
+        "m AS (SELECT a.doc_id, a.p FROM tokp a JOIN tokp b " +
+        "ON b.doc_id = a.doc_id AND b.p = a.p + 1 " +
+        "AND a.term = 'table' AND b.term = 'hash') " +
+        "SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1"))
 }

@@ -247,6 +247,37 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Exact phrase search over a POSITIONAL index — the retrieval
+    * operator the bag-of-words stack (TF-IDF/BM25/QL) structurally
+    * cannot express: "table hash" as adjacent tokens, not co-occurring
+    * ones. The corpus tokenizes ONCE into the phrase-term posting
+    * slice (doc, pos, term) — filtered to the query's terms before
+    * materializing, so the index slice is |postings-of-query-terms|,
+    * not corpus-sized — and the phrase resolves as |phrase|−1
+    * adjacency equi-joins on (doc, pos+offset): every join key carries
+    * (doc_id, position), the classic positional-intersection plan.
+    * Returns (doc_id, n_matches) for matching docs. */
+  def phraseSearch(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, phrase: Seq[String],
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, posexplode}
+    require(phrase.size >= 2, s"phraseSearch: phrase=$phrase")
+    val post = materialize(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("p", "term")))
+      .filter(col("term").isin(phrase: _*)))
+    val base = post.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("p"))
+    phrase.tail.zipWithIndex.foldLeft(base) { case (acc, (w, i)) =>
+      acc.join(post.filter(col("term") === w)
+          .select(col("doc_id"), (col("p") - lit(i + 1)).as("p")),
+        Seq("doc_id", "p"))
+    }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** RM1 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
     * 2001; the expansion half of RM3): run [[dirichletQl]], treat its
     * top-`fbDocs` as the relevance sample, estimate the relevance model

@@ -293,6 +293,52 @@ object Ann {
           .as("recall"))
   }
 
+  /** Greedy k-center coreset (farthest-point / Gonzalez 1985
+    * 2-approximation) over cosine distance — the DIVERSE-subset
+    * selector of a training-data pipeline (random sampling over-picks
+    * dense regions; farthest-point covers the embedding space, the
+    * construction behind coreset-based data selection à la Sener &
+    * Savarese 2018). Seed = the minimum id (deterministic); each round
+    * picks the point FARTHEST from the chosen set (ties id-ascending)
+    * and folds the new center into the running min-distance column —
+    * so round i is ONE corpus pass of a single fused least(), never a
+    * |corpus|×|centers| re-scores.
+    *
+    * Driver state is k (id, vector) pairs — the kmeansLloyd contract:
+    * each selected vector re-enters the plan as a literal; distances
+    * round to 6 dp at the fold (engine-replayable argmax). The emitted
+    * `dist` is the selection-time distance to the previous set — the
+    * k-center objective's trajectory (dist of pick k+1 bounds the
+    * covering radius of the first k). Returns k rows
+    * (pos, vec_id, dist); the seed's dist is NULL. */
+  def kCenterCoreset(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(k >= 2, s"kCenterCoreset: k=$k")
+    val spark0 = corpus.sparkSession
+    val v = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("e"))
+    def vecOf(vid: Long): Seq[Double] =
+      v.filter(col("vid") === vid).head().getSeq[Double](1)
+    def dist(center: Seq[Double]): Column =
+      round(lit(1.0) - graft.expr.Similarity.cosine(col("e"),
+        typedLit(center)), 6)
+    val seedId = v.orderBy(col("vid")).select(col("vid")).head().getLong(0)
+    val picks = scala.collection.mutable.ListBuffer[(Long, Long,
+      Option[Double])]((1L, seedId, None))
+    var md = materialize(v.select(col("vid"), col("e"),
+      dist(vecOf(seedId)).as("mind")))
+    (2 to k).foreach { i =>
+      val far = md.orderBy(col("mind").desc, col("vid").asc).head()
+      picks += ((i.toLong, far.getLong(0), Some(far.getDouble(2))))
+      if (i < k) md = materialize(md.select(col("vid"), col("e"),
+        least(col("mind"), dist(vecOf(far.getLong(0)))).as("mind")))
+    }
+    import spark0.implicits._
+    picks.toSeq.toDF("pos", "vec_id", "dist")
+  }
+
   /** Hard-negative mining for contrastive training (the DPR/SimCSE
     * data-construction step, Karpukhin et al. 2020 §3.2): for each
     * anchor, the top-k most-SIMILAR vectors with a DIFFERENT label —

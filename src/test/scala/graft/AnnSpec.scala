@@ -736,4 +736,26 @@ class AnnSpec extends SparkSpec {
     // be v2 too (distance 0 beats distance 1) -> recall 1
     assert(r2.getDouble(2) == 1.0)
   }
+
+  test("kCenterCoreset: min-id seed, farthest-first picks with " +
+    "id-ascending ties, nonincreasing objective trajectory") {
+    import graft.ops.Ann
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // v0 ~ v30 (cos ≈ 0.994), v10 ⊥ v20 ⊥ v0: seed v0, then the two
+    // orthogonals (dist 1.0 each, id tie -> 10 before 20), then v30
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (10L, Seq(0f, 1f, 0f, 0f)),
+      (20L, Seq(0f, 0f, 1f, 0f)), (30L, Seq(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.kCenterCoreset(corpus, k = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+    assert(r.map(_._2).toSeq == Seq(0L, 10L, 20L, 30L))
+    assert(r(0)._3 == None && r(1)._3 == Some(1.0) &&
+      r(2)._3 == Some(1.0))
+    assert(r(3)._3.get < 0.01) // the near-duplicate picked last, tiny
+    // farthest-first distances never increase
+    assert(r(2)._3.get >= r(3)._3.get)
+  }
 }

@@ -1094,5 +1094,16 @@ class TextOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("x", 0.5), ("y", 0.25)))
     assert(run(1).toSeq == Seq(("x", 0.5)))
   }
+
+  test("phraseSearch: adjacency only (reversed and gapped pairs don't " +
+    "match); overlapping repeats each count; 3-term chain") {
+    val d = Seq((1L, "a b c a b"), (2L, "b a"), (3L, "a c b"),
+      (4L, "x y z x y z"), (5L, "a a b"))
+      .toDF("id", "t")
+    def run(p: Seq[String]) = TextStats.phraseSearch(d, col("id"),
+      col("t"), p).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Seq("a", "b")) == Map(1L -> 2L, 5L -> 1L))
+    assert(run(Seq("x", "y", "z")) == Map(4L -> 2L))
+  }
 }
 
