@@ -3147,6 +3147,16 @@ object SparkEntry {
     TextStats.phraseSearch(t(s, dir, "documents"), col("doc_id"),
       col("text"), Seq("table", "hash"))
 
+  /** ε = 1 differentially-private release of the (event_type, day)
+    * histogram — deterministic-replayable Laplace mechanism, the
+    * noise-based release gate next to q234's suppression-based one
+    * ([[ops.Quality.dpNoisyCounts]]). */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.dpNoisyCounts(
+      t(s, dir, "events").withColumn("day", col("ts").cast("date")),
+      Seq("event_type" -> col("event_type"), "day" -> col("day")),
+      epsilon = 1.0, seed = "graft-r8")
+
   /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
     * the daily event-rate series per type — the outlier-proof
     * rate-of-change readout next to q221's rank correlation
@@ -3729,7 +3739,8 @@ object SparkEntry {
     "q233_skew_advisor" -> (qSkewAdvisor _),
     "q234_k_anonymity" -> (qKAnonymity _),
     "q235_k_center" -> (qKCenter _),
-    "q236_phrase_search" -> (qPhraseSearch _))
+    "q236_phrase_search" -> (qPhraseSearch _),
+    "q237_dp_counts" -> (qDpCounts _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7635,5 +7646,18 @@ object SparkEntry {
         "m AS (SELECT a.doc_id, a.p FROM tokp a JOIN tokp b " +
         "ON b.doc_id = a.doc_id AND b.p = a.p + 1 " +
         "AND a.term = 'table' AND b.term = 'hash') " +
-        "SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1"))
+        "SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1"),
+    "q237_dp_counts" ->
+      // Laplace inverse-CDF on the md5-of-(cell, seed) uniform shifted
+      // into the open interval; raw counts deliberately absent
+      ("WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT *, (CAST(CAST(('0x' || substr(md5(" +
+        "CAST(event_type AS VARCHAR) || '|' || CAST(day AS VARCHAR) || '|' || 'graft-r8'" +
+        "), 1, 8)) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(4294967296.0 AS DOUBLE) AS u FROM c) " +
+        "SELECT event_type, day, " +
+        "round(CAST(n AS DOUBLE) + -(CAST(1.0 AS DOUBLE) / CAST(1.0 AS DOUBLE)) * " +
+        "sign(u - CAST(0.5 AS DOUBLE)) * " +
+        "ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))), 4) AS n_noisy " +
+        "FROM u"))
 }

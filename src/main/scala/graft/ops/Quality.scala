@@ -789,6 +789,36 @@ object Quality {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** ε-differentially-private histogram release (Dwork et al. 2006 —
+    * the Laplace mechanism): per-cell counts plus Laplace(1/ε) noise,
+    * the OTHER release gate next to [[kAnonymity]] (k-anonymity
+    * suppresses small cells; DP noises every cell so no single row's
+    * presence is inferable, sensitivity 1 for disjoint-cell counts).
+    * The noise is DETERMINISTIC-replayable — u from the md5 of
+    * (cell, seed) shifted to the open interval ((h+0.5)/2³²), inverse
+    * CDF −(1/ε)·sign(u−½)·ln(1−2|u−½|) — no RNG state, any engine
+    * replays the identical release (and honest DP deployment swaps the
+    * seed per release — the mechanism's privacy rests on the seed's
+    * secrecy here, which is the standard PRG compromise).
+    * One map-side-combined aggregation to the cell grid; noise is pure
+    * projection. Returns (dims…, n_noisy) — the RAW count is
+    * deliberately absent from the release. */
+  def dpNoisyCounts(df: DataFrame, dims: Seq[(String, Column)],
+      epsilon: Double, seed: String): DataFrame = {
+    require(dims.nonEmpty && epsilon > 0, s"dpNoisyCounts: eps=$epsilon")
+    val cells = df.groupBy(dims.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("n"))
+    val key = concat_ws("|",
+      dims.map { case (n, _) => col(n).cast("string") } :+ lit(seed): _*)
+    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val centered = u - lit(0.5)
+    val noise = -(lit(1.0) / lit(epsilon)) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    cells.select(dims.map { case (n, _) => col(n) } :+
+      round(col("n").cast("double") + noise, 4).as("n_noisy"): _*)
+  }
+
   /** Krippendorff's alpha for binary nominal ratings with MISSING
     * values (Krippendorff 2004) — the generalization [[fleissKappa]]
     * can't make: Fleiss needs every rater on every item; real gate

@@ -884,6 +884,60 @@ class QualitySpec extends SparkSpec {
     assert(r("en") == ((5L, false)) && r("fr") == ((1L, true)))
   }
 
+  test("dpNoisyCounts: deterministic under repartition, seed-sensitive, " +
+    "every cell noised, raw counts absent from the schema") {
+    val d = (Seq.fill(40)(("en", "a")) ++ Seq.fill(25)(("fr", "b")))
+      .toDF("l", "s")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Quality.dpNoisyCounts(df, Seq("l" -> col("l"), "s" -> col("s")),
+        epsilon = 1.0, seed = seed).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+    val r = run(d, "s1")
+    assert(r.size == 2)
+    assert(run(d.repartition(7), "s1") == r)
+    assert(run(d, "s2") != r)
+    // Laplace(1) noise is almost surely non-integer: the release never
+    // equals the raw count
+    assert(r(("en", "a")) != 40.0 && r(("fr", "b")) != 25.0)
+    val cols = Quality.dpNoisyCounts(d, Seq("l" -> col("l")),
+      1.0, "s1").columns.toSeq
+    assert(cols == Seq("l", "n_noisy"))
+  }
+
+  test("startFunnelSink: in-order batches reproduce the batch funnel; " +
+    "a unit progressing ACROSS batches converts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, String)]
+    val out = scala.collection.mutable.Map[Long, Seq[String]]()
+    val q = graft.stream.StreamFunnel.startFunnelSink(
+      ms.toDF().toDF("u", "ts", "st"), "u", "ts", "st",
+      Seq("view", "click", "purchase"),
+      java.nio.file.Files.createTempDirectory("funnel-ckpt").toString,
+      (df, epoch) => out.synchronized {
+        out(epoch) = df.collect().map(_.toString).sorted.toSeq
+      })
+    val b1 = Seq(("u1", 1L, "view"), ("u2", 2L, "view"), ("u2", 3L, "click"))
+    val b2 = Seq(("u1", 5L, "click"), ("u1", 6L, "purchase"),
+      ("u3", 7L, "view"))
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val epochs = out.synchronized(out.toMap)
+    assert(epochs.size == 2)
+    def want(rows: Seq[(String, Long, String)]) =
+      Analytics.funnel(rows.toDF("u", "ts", "st"), col("u"), col("ts"),
+        col("st"), Seq("view", "click", "purchase"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(epochs(epochs.keys.min) == want(b1))
+    // u1's click/purchase arrive a batch after its view: the
+    // maintained state still converts it — ≡ batch over the union
+    assert(epochs(epochs.keys.max) == want(b1 ++ b2))
+  }
+
   test("krippendorffAlpha: hand case with abstention (unpairable " +
     "single-rating item drops); unanimous pool yields NULL alpha") {
     val items = Seq(
