@@ -3157,6 +3157,22 @@ object SparkEntry {
       Seq("event_type" -> col("event_type"), "day" -> col("day")),
       epsilon = 1.0, seed = "graft-r8")
 
+  /** Skip-gram (center, context) co-occurrence counts within a ±2
+    * window — the word2vec/GloVe data-prep aggregation; `window` hash
+    * joins over the positional table, never a range join
+    * ([[graft.expr.TextStats.skipgramCounts]]). */
+  private def qSkipgram(s: SparkSession, dir: String): DataFrame =
+    TextStats.skipgramCounts(t(s, dir, "documents"), col("doc_id"),
+      col("text"), window = 2, minCount = 10L)
+
+  /** Dunning log-likelihood collocations — the evidence-mass test that
+    * fixes q91 PMI's rare-pair explosion; margins off the shared
+    * bigram artifact ([[graft.expr.TextStats.dunningCollocations]]). */
+  private def qDunning(s: SparkSession, dir: String): DataFrame =
+    TextStats.dunningCollocations(t(s, dir, "documents"), col("doc_id"),
+      col("text"), minCount = 5L, topK = 20,
+      big0 = Some(sharedBigramCounts(s, dir)))
+
   /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
     * the daily event-rate series per type — the outlier-proof
     * rate-of-change readout next to q221's rank correlation
@@ -3740,7 +3756,9 @@ object SparkEntry {
     "q234_k_anonymity" -> (qKAnonymity _),
     "q235_k_center" -> (qKCenter _),
     "q236_phrase_search" -> (qPhraseSearch _),
-    "q237_dp_counts" -> (qDpCounts _))
+    "q237_dp_counts" -> (qDpCounts _),
+    "q238_skipgram" -> (qSkipgram _),
+    "q239_dunning" -> (qDunning _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7659,5 +7677,43 @@ object SparkEntry {
         "round(CAST(n AS DOUBLE) + -(CAST(1.0 AS DOUBLE) / CAST(1.0 AS DOUBLE)) * " +
         "sign(u - CAST(0.5 AS DOUBLE)) * " +
         "ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))), 4) AS n_noisy " +
-        "FROM u"))
+        "FROM u"),
+    "q238_skipgram" -> {
+      // each offset d is one positional equi-join; both ordered
+      // directions per found adjacency; count grid floored at 10
+      def off(d: Int) =
+        s"SELECT a.term AS center, b.term AS context FROM post a JOIN post b " +
+          s"ON b.doc_id = a.doc_id AND b.p = a.p + $d " +
+          s"UNION ALL SELECT b.term, a.term FROM post a JOIN post b " +
+          s"ON b.doc_id = a.doc_id AND b.p = a.p + $d"
+      "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "post AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM s), " +
+        s"pr AS (${off(1)} UNION ALL ${off(2)}) " +
+        "SELECT center, context, count(*) AS n_cooc FROM pr " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10"
+    },
+    "q239_dunning" ->
+      // 2x2 adjacency contingency per bigram from the bigram table's
+      // own margins; zero cells contribute 0; one fixed-order double
+      // expression per pair
+      ("WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents), " +
+        "big AS (SELECT bigram, count(*) AS bc FROM (SELECT unnest(CASE WHEN len(tk) >= 2 THEN " +
+        "list_transform(generate_series(1, len(tk) - 1), i -> array_to_string(tk[i:i+1], ' ')) " +
+        "ELSE []::VARCHAR[] END) AS bigram FROM d) GROUP BY 1), " +
+        "c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(bc) AS BIGINT) AS c1 FROM big GROUP BY 1), " +
+        "c2 AS (SELECT string_split(bigram, ' ')[2] AS w2, CAST(sum(bc) AS BIGINT) AS c2 FROM big GROUP BY 1), " +
+        "nt AS (SELECT CAST(sum(bc) AS DOUBLE) AS n FROM big), " +
+        "sc AS (SELECT bigram, bc, CAST(bc AS DOUBLE) AS k11, " +
+        "CAST(c1.c1 AS DOUBLE) AS r1, CAST(c2.c2 AS DOUBLE) AS r2, n " +
+        "FROM big JOIN c1 ON c1.w1 = string_split(bigram, ' ')[1] " +
+        "JOIN c2 ON c2.w2 = string_split(bigram, ' ')[2] CROSS JOIN nt " +
+        "WHERE bc >= 5), " +
+        "g AS (SELECT bigram, bc, CAST(2.0 AS DOUBLE) * (" +
+        "(CASE WHEN k11 > 0.0 THEN k11 * ln(k11 / (r1 * r2 / n)) ELSE CAST(0.0 AS DOUBLE) END) + " +
+        "(CASE WHEN r1 - k11 > 0.0 THEN (r1 - k11) * ln((r1 - k11) / (r1 * (n - r2) / n)) ELSE CAST(0.0 AS DOUBLE) END) + " +
+        "(CASE WHEN r2 - k11 > 0.0 THEN (r2 - k11) * ln((r2 - k11) / ((n - r1) * r2 / n)) ELSE CAST(0.0 AS DOUBLE) END) + " +
+        "(CASE WHEN n - r1 - r2 + k11 > 0.0 THEN (n - r1 - r2 + k11) * ln((n - r1 - r2 + k11) / ((n - r1) * (n - r2) / n)) ELSE CAST(0.0 AS DOUBLE) END)) AS g2 " +
+        "FROM sc) " +
+        "SELECT bigram, bc AS n_pair, round(g2, 4) AS g2 FROM g " +
+        "ORDER BY g2 DESC, bigram LIMIT 20"))
 }

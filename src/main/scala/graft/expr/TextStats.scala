@@ -247,6 +247,103 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    * statistically HONEST collocation test next to [[pmiCollocations]]
+    * (PMI explodes on rare pairs: two hapaxes that co-occur once get
+    * maximal PMI; G² weighs the evidence MASS, so "of the" beats a
+    * coincidence of singletons): G² = 2·Σ_cells O·ln(O/E) over the 2×2
+    * adjacency contingency {w₂ follows w₁} × {w₁ precedes}, margins
+    * from the bigram table's own row/column totals. Zero cells
+    * contribute 0 (lim x·ln x = 0 — guarded, not NaN). Every O and
+    * margin is an exact integer; each pair's G² is ONE fixed-order
+    * double expression (no cross-row sums — nothing to snap).
+    *
+    * Scale shape: margins are two vocabulary-sized rollups of the
+    * SHARED bigram artifact (broadcast into the scoring join); N is
+    * one driver scalar; output is top-k by (G², bigram). Returns
+    * (bigram, n_pair, g2). */
+  def dunningCollocations(docs: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column, minCount: Long, topK: Int,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true),
+      big0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode,
+      lit, log, round, split, sum, when}
+    require(minCount >= 1 && topK >= 1,
+      s"dunningCollocations: minCount=$minCount topK=$topK")
+    val big = big0.getOrElse(
+      materialize(graft.ops.Fanout.fanout(docs)
+        .select(explode(shingles(text, 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
+    val w1 = split(col("bigram"), " ").getItem(0)
+    val w2 = split(col("bigram"), " ").getItem(1)
+    val c1 = big.groupBy(w1.as("w1")).agg(sum(col("bc")).as("c1"))
+    val c2 = big.groupBy(w2.as("w2")).agg(sum(col("bc")).as("c2"))
+    val nTot = {
+      val r = big.agg(sum(col("bc"))).first()
+      if (r.isNullAt(0)) 1.0 else r.getLong(0).toDouble
+    }
+    def term(o: Column, e: Column): Column =
+      when(o > 0.0, o * log(o / e)).otherwise(lit(0.0))
+    val k11 = col("bc").cast("double")
+    val r1 = col("c1").cast("double")
+    val r2 = col("c2").cast("double")
+    val n = lit(nTot)
+    val g2 = lit(2.0) * (
+      term(k11, r1 * r2 / n) +
+      term(r1 - k11, r1 * (n - r2) / n) +
+      term(r2 - k11, (n - r1) * r2 / n) +
+      term(n - r1 - r2 + k11, (n - r1) * (n - r2) / n))
+    big.filter(col("bc") >= minCount)
+      .withColumn("w1", w1).withColumn("w2", w2)
+      .join(broadcast(c1), "w1").join(broadcast(c2), "w2")
+      .select(col("bigram"), col("bc").as("n_pair"),
+        round(g2, 4).as("g2"))
+      .orderBy(col("g2").desc, col("bigram"))
+      .limit(topK)
+  }
+
+  /** Skip-gram co-occurrence counts within a ±`window` token window —
+    * the word2vec/GloVe data-prep aggregation (Mikolov et al. 2013):
+    * how often does (center, context) co-occur closer than `window`
+    * positions. Ordered pairs, center ≠ context position. The pair
+    * stream is the positional token table joined to itself ONCE PER
+    * OFFSET (1..window) — each offset join is an equi-join on
+    * (doc, pos+δ), never a range join, and emits both directions —
+    * so the plan is `window` narrow hash joins over the posting
+    * table, map-side combined into the (center, context) count grid.
+    * `minCount` floors output (rare pairs are noise and the grid is
+    * vocabulary²-bounded only after flooring). Returns
+    * (center, context, n_cooc). */
+  def skipgramCounts(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, window: Int, minCount: Long,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, posexplode}
+    require(window >= 1 && minCount >= 1,
+      s"skipgramCounts: window=$window minCount=$minCount")
+    // 2·window consumers of the positional table (both sides of each
+    // offset join) — materialize once
+    val post = materialize(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("p", "term"))))
+    val pairs = (1 to window).map { d =>
+      // (w_i, w_{i+d}) via the equi-join on (doc, p+d); each found
+      // adjacency contributes BOTH ordered directions
+      val base = post.select(col("doc_id"), col("p"), col("term").as("a"))
+        .join(post.select(col("doc_id"), (col("p") - lit(d)).as("p"),
+          col("term").as("b")), Seq("doc_id", "p"))
+        .select(col("a"), col("b"))
+      base.select(col("a").as("center"), col("b").as("context"))
+        .unionByName(
+          base.select(col("b").as("center"), col("a").as("context")))
+    }.reduce(_.unionByName(_))
+    pairs.groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+  }
+
   /** Exact phrase search over a POSITIONAL index — the retrieval
     * operator the bag-of-words stack (TF-IDF/BM25/QL) structurally
     * cannot express: "table hash" as adjacent tokens, not co-occurring

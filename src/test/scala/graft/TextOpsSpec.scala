@@ -1095,6 +1095,58 @@ class TextOpsSpec extends SparkSpec {
     assert(run(1).toSeq == Seq(("x", 0.5)))
   }
 
+  test("skipgramCounts: hand window-2 pair grid (both directions, " +
+    "offset 1 and 2); window 1 drops the skip pairs; minCount floors") {
+    val d = Seq((1L, "a b c")).toDF("id", "t")
+    def run(w: Int, mc: Long) = TextStats.skipgramCounts(d, col("id"),
+      col("t"), window = w, minCount = mc).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val r2 = run(2, 1L)
+    assert(r2 == Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L,
+      ("a", "c") -> 1L, ("c", "a") -> 1L))
+    val r1 = run(1, 1L)
+    assert(r1.keySet == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")))
+    assert(run(2, 2L).isEmpty)
+  }
+
+  test("dunningCollocations: matches a plain-Scala replay of the 2x2 " +
+    "G2; an evidence-heavy pair outranks a rare coincidence") {
+    // "x y" co-occurs 5 times; "p q" once as a COINCIDENCE (p usually
+    // precedes other words, q usually follows other words — the case
+    // PMI over-scores and G2 must not)
+    val texts = Seq("x y x y x y x y x y", "p q",
+      "x m y n x k", "p a p b p c", "w q w q")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val r = TextStats.dunningCollocations(d, col("id"), col("t"),
+      minCount = 1L, topK = 50).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // independent replay from raw bigram counts
+    val bigs = texts
+      .flatMap(_.split(" ").sliding(2).map(_.mkString(" ")).toSeq)
+    val bc = bigs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigs.map(_.split(" ")(0)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val c2 = bigs.map(_.split(" ")(1)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = bigs.size.toDouble
+    def g2(bg: String): Double = {
+      val Array(w1, w2) = bg.split(" ")
+      val k11 = bc(bg).toDouble; val r1 = c1(w1).toDouble
+      val r2v = c2(w2).toDouble
+      def t(o: Double, e: Double) = if (o > 0) o * math.log(o / e) else 0.0
+      val g = 2.0 * (t(k11, r1 * r2v / n) +
+        t(r1 - k11, r1 * (n - r2v) / n) +
+        t(r2v - k11, (n - r1) * r2v / n) +
+        t(n - r1 - r2v + k11, (n - r1) * (n - r2v) / n))
+      math.floor(g * 1e4 + 0.5) / 1e4
+    }
+    assert(r(("x y"))._1 == 5L && r(("x y"))._2 == g2("x y"))
+    assert(r(("p q"))._2 == g2("p q"))
+    assert(r(("x y"))._2 > r(("p q"))._2)
+  }
+
   test("phraseSearch: adjacency only (reversed and gapped pairs don't " +
     "match); overlapping repeats each count; 3-term chain") {
     val d = Seq((1L, "a b c a b"), (2L, "b a"), (3L, "a c b"),
