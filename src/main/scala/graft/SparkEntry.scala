@@ -3173,6 +3173,15 @@ object SparkEntry {
       col("text"), minCount = 5L, topK = 20,
       big0 = Some(sharedBigramCounts(s, dir)))
 
+  /** Time-to-convert percentiles along the q216 funnel — exact p50/p90
+    * dwell from first view to each later stage, on integer micros
+    * through the bounded-distinct quantile discipline
+    * ([[ops.Analytics.funnelTimes]]). */
+  private def qFunnelTimes(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.funnelTimes(t(s, dir, "events"), col("user_id"),
+      unix_micros(col("ts").cast("timestamp")), col("event_type"),
+      Seq("view", "click", "purchase"))
+
   /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
     * the daily event-rate series per type — the outlier-proof
     * rate-of-change readout next to q221's rank correlation
@@ -3758,7 +3767,8 @@ object SparkEntry {
     "q236_phrase_search" -> (qPhraseSearch _),
     "q237_dp_counts" -> (qDpCounts _),
     "q238_skipgram" -> (qSkipgram _),
-    "q239_dunning" -> (qDunning _))
+    "q239_dunning" -> (qDunning _),
+    "q240_funnel_times" -> (qFunnelTimes _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7715,5 +7725,30 @@ object SparkEntry {
         "(CASE WHEN n - r1 - r2 + k11 > 0.0 THEN (n - r1 - r2 + k11) * ln((n - r1 - r2 + k11) / ((n - r1) * (n - r2) / n)) ELSE CAST(0.0 AS DOUBLE) END)) AS g2 " +
         "FROM sc) " +
         "SELECT bigram, bc AS n_pair, round(g2, 4) AS g2 FROM g " +
-        "ORDER BY g2 DESC, bigram LIMIT 20"))
+        "ORDER BY g2 DESC, bigram LIMIT 20"),
+    "q240_funnel_times" -> {
+      // per stage k >= 2: exact type-1 quantiles of (t_k − t_1) micros
+      // over the distinct-dwell grid, seconds at the 3-dp output
+      def stage(k: Int, label: String) =
+        s"d$k AS (SELECT s$k.t - s1.t AS d FROM s$k JOIN s1 USING (u)), " +
+          s"g$k AS (SELECT d, count(*) AS n FROM d$k GROUP BY 1), " +
+          s"c$k AS (SELECT *, CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          s"CAST(sum(n) OVER () AS BIGINT) AS nt FROM g$k), " +
+          s"a$k AS (SELECT max(nt) AS n_units, " +
+          s"min(CASE WHEN cum >= CAST(ceil(CAST(nt AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN d END) AS q50, " +
+          s"min(CASE WHEN cum >= CAST(ceil(CAST(nt AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS BIGINT) THEN d END) AS q90 FROM c$k)"
+      "WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS st FROM events), " +
+        "s1 AS (SELECT u, min(ts) AS t FROM ev WHERE st = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN s1 ON e.u = s1.u " +
+        "WHERE e.st = 'click' AND e.ts > s1.t GROUP BY 1), " +
+        "s3 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN s2 ON e.u = s2.u " +
+        "WHERE e.st = 'purchase' AND e.ts > s2.t GROUP BY 1), " +
+        stage(2, "click") + ", " + stage(3, "purchase") + " " +
+        "SELECT CAST(2 AS BIGINT) AS stage_idx, 'click' AS stage, n_units, " +
+        "round(CAST(q50 AS DOUBLE) / CAST(1000000 AS DOUBLE), 3) AS p50_sec, " +
+        "round(CAST(q90 AS DOUBLE) / CAST(1000000 AS DOUBLE), 3) AS p90_sec FROM a2 " +
+        "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n_units, " +
+        "round(CAST(q50 AS DOUBLE) / CAST(1000000 AS DOUBLE), 3), " +
+        "round(CAST(q90 AS DOUBLE) / CAST(1000000 AS DOUBLE), 3) FROM a3"
+    })
 }

@@ -536,18 +536,7 @@ object Analytics {
       stages: Seq[String],
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
-    require(stages.nonEmpty, "funnel: no stages")
-    val ev = df.select(unit.as("u"), ts.as("ts"), stage.as("st"))
-    // each arrival table has TWO consumers (next stage's join + its
-    // own count row) — materialize so the chain never re-aggregates
-    val arrivals = stages.tail.scanLeft(
-      materialize(ev.filter(col("st") === stages.head).groupBy(col("u"))
-        .agg(min(col("ts")).as("t")))) { (prev, st) =>
-      materialize(ev.filter(col("st") === st)
-        .join(prev.select(col("u"), col("t").as("tp")), "u")
-        .filter(col("ts") > col("tp"))
-        .groupBy(col("u")).agg(min(col("ts")).as("t")))
-    }
+    val arrivals = funnelArrivals(df, unit, ts, stage, stages, materialize)
     val counts = arrivals.zip(stages).zipWithIndex.map {
       case ((a, st), i) => a.agg(count(lit(1)).as("n_units"))
         .select(lit(i + 1L).as("stage_idx"), lit(st).as("stage"),
@@ -562,6 +551,64 @@ object Analytics {
           .as("conv_prev"),
         round(col("n_units").cast("double") / col("first").cast("double"), 6)
           .as("conv_first"))
+  }
+
+  /** The [[funnel]] arrival chain itself — one (u, t) min-arrival
+    * table per stage, each materialized (two consumers: the next
+    * stage's join and whatever the caller aggregates). Exposed so
+    * [[funnelTimes]] (and any dwell-time analysis) reads the SAME
+    * strictly-after semantics the count funnel reports. */
+  def funnelArrivals(df: DataFrame, unit: Column, ts: Column,
+      stage: Column, stages: Seq[String],
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : Seq[DataFrame] = {
+    require(stages.nonEmpty, "funnel: no stages")
+    val ev = df.select(unit.as("u"), ts.as("ts"), stage.as("st"))
+    stages.tail.scanLeft(
+      materialize(ev.filter(col("st") === stages.head).groupBy(col("u"))
+        .agg(min(col("ts")).as("t")))) { (prev, st) =>
+      materialize(ev.filter(col("st") === st)
+        .join(prev.select(col("u"), col("t").as("tp")), "u")
+        .filter(col("ts") > col("tp"))
+        .groupBy(col("u")).agg(min(col("ts")).as("t")))
+    }
+  }
+
+  /** Time-to-convert percentiles over the [[funnelArrivals]] chain —
+    * the "HOW LONG does the funnel take" number next to q216's "how
+    * many convert": for each stage k ≥ 2, exact type-1 quantiles of
+    * (arrival_k − arrival_1) over the units completing stage k. `ts`
+    * must be an integer time (e.g. unix micros — the sessionize
+    * convention): every dwell is an exact integer, the quantile is the
+    * value at rank ⌈q·n⌉ via a cumulative window over the per-stage
+    * DISTINCT-dwell grid (the q137 bounded-distinct discipline — no
+    * approx-percentile estimator), converted to seconds only at the
+    * 3-dp output. Returns (stage_idx, stage, n_units, p50_sec,
+    * p90_sec). */
+  def funnelTimes(df: DataFrame, unit: Column, ts: Column, stage: Column,
+      stages: Seq[String],
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(stages.size >= 2, "funnelTimes: need at least two stages")
+    val arrivals = funnelArrivals(df, unit, ts, stage, stages, materialize)
+    val first = arrivals.head.select(col("u"), col("t").as("t1"))
+    arrivals.zip(stages).zipWithIndex.drop(1).map { case ((a, st), i) =>
+      val d = a.join(first, "u")
+        .select((col("t") - col("t1")).as("d"))
+      val grid = d.groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val run = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid.withColumn("cum", sum(col("n")).over(run))
+        .crossJoin(broadcast(grid.agg(sum(col("n")).as("nt"))))
+      def q(p: Double) = min(when(col("cum") >=
+        ceil(col("nt").cast("double") * lit(p)), col("d")))
+      cum.agg(max(col("nt")).as("n_units"),
+          q(0.5).as("q50"), q(0.9).as("q90"))
+        .select(lit(i + 1L).as("stage_idx"), lit(st).as("stage"),
+          col("n_units"),
+          round(col("q50").cast("double") / lit(1e6), 3).as("p50_sec"),
+          round(col("q90").cast("double") / lit(1e6), 3).as("p90_sec"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Mann–Whitney U rank-sum test per group (Mann & Whitney 1947) —

@@ -631,6 +631,24 @@ class QualitySpec extends SparkSpec {
     assert(r("purchase") == ((3L, 1L, Some(0.5), 0.25)))
   }
 
+  test("funnelTimes: exact type-1 dwell quantiles in seconds over the " +
+    "strictly-after arrival chain") {
+    import graft.ops.Analytics
+    val ev = Seq(
+      ("u1", 0L, "view"), ("u1", 2000000L, "click"),
+      ("u1", 5000000L, "purchase"),
+      ("u2", 0L, "view"), ("u2", 4000000L, "click"),
+      ("u3", 1L, "view"))
+      .toDF("u", "ts", "st")
+    val r = Analytics.funnelTimes(ev, col("u"), col("ts"), col("st"),
+      Seq("view", "click", "purchase")).collect()
+      .map(x => x.getString(1) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    // click dwells {2s, 4s}: p50 = rank ⌈1⌉ = 2.0, p90 = rank ⌈1.8⌉ = 4.0
+    assert(r("click") == ((2L, 2.0, 4.0)))
+    assert(r("purchase") == ((1L, 5.0, 5.0)))
+  }
+
   test("mannWhitneyU: separated arms give U=0 and the hand z; " +
     "identical arms give U = nm/2, z = 0, p = 1; partition-invariant") {
     import graft.ops.Analytics
