@@ -307,39 +307,41 @@ object TextStats {
   /** Skip-gram co-occurrence counts within a ±`window` token window —
     * the word2vec/GloVe data-prep aggregation (Mikolov et al. 2013):
     * how often does (center, context) co-occur closer than `window`
-    * positions. Ordered pairs, center ≠ context position. NO join at
-    * all: a co-occurring pair lives INSIDE one document's token array,
-    * so each offset δ is a per-row array zip-with-shift
-    * (`transform(sequence, i → (tk[i], tk[i+δ]))`) exploded straight
-    * into the map-side-combined count grid — the corpus never shuffles
-    * anything but (center, context) partial counts (the naive
-    * positional self-join was measured 3× slower and shuffles the
-    * whole token stream `window` times). Both ordered directions per
-    * adjacency; `minCount` floors output (rare pairs are noise and the
-    * grid is vocabulary²-bounded only after flooring). Returns
-    * (center, context, n_cooc). */
+    * positions. Ordered pairs, center ≠ context position. NO join, NO
+    * rescan: a co-occurring pair lives INSIDE one document's token
+    * array, so EVERY offset's zip-with-shift — both ordered directions
+    * — builds in a single per-row nested `transform` and explodes ONCE
+    * straight into the map-side-combined count grid. The corpus is
+    * scanned exactly once and shuffles nothing but (center, context)
+    * partial counts (the positional self-join alternative shuffles the
+    * whole token stream `window` times; the per-offset-branch
+    * alternative rescans the corpus 2·window times). `minCount` floors
+    * output (rare pairs are noise and the grid is vocabulary²-bounded
+    * only after flooring). Returns (center, context, n_cooc). */
   def skipgramCounts(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, window: Int, minCount: Long)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, element_at, explode,
-      lit, sequence, size, struct, transform}
+    import org.apache.spark.sql.functions.{array, col, concat, count,
+      element_at, explode, flatten, lit, sequence, size, struct,
+      transform, when}
     require(window >= 1 && minCount >= 1,
       s"skipgramCounts: window=$window minCount=$minCount")
-    val fanned = graft.ops.Fanout.fanout(docs)
-    val pairs = (1 to window).map { d =>
-      val tk = tokens(text)
-      // (tk[i], tk[i+d]) for i = 1..len−d, 1-based element_at
-      val zipped = fanned
-        .filter(size(tk) > d)
-        .select(explode(transform(
-          sequence(lit(1), size(tk) - lit(d)),
-          i => struct(element_at(tk, i).as("a"),
-            element_at(tk, i + lit(d)).as("b")))).as("pr"))
-      zipped.select(col("pr.a").as("center"), col("pr.b").as("context"))
-        .unionByName(zipped.select(col("pr.b").as("center"),
-          col("pr.a").as("context")))
-    }.reduce(_.unionByName(_))
-    pairs.groupBy(col("center"), col("context"))
+    val tk = tokens(text)
+    // per offset d: [ [(tk[i], tk[i+d]), (tk[i+d], tk[i])] | i ] — an
+    // empty array when the doc is shorter than d+1 tokens
+    val perOffset = (1 to window).map { d =>
+      when(size(tk) > d, flatten(transform(
+        sequence(lit(1), size(tk) - lit(d)),
+        i => array(
+          struct(element_at(tk, i).as("a"),
+            element_at(tk, i + lit(d)).as("b")),
+          struct(element_at(tk, i + lit(d)).as("a"),
+            element_at(tk, i).as("b"))))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    }
+    graft.ops.Fanout.fanout(docs)
+      .select(explode(concat(perOffset: _*)).as("pr"))
+      .groupBy(col("pr.a").as("center"), col("pr.b").as("context"))
       .agg(count(lit(1)).as("n_cooc"))
       .filter(col("n_cooc") >= minCount)
   }
