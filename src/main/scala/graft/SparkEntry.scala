@@ -3182,6 +3182,23 @@ object SparkEntry {
       unix_micros(col("ts").cast("timestamp")), col("event_type"),
       Seq("view", "click", "purchase"))
 
+  /** Risk–coverage curve over the shared holdout confidence frame —
+    * the selective-prediction operating point: the smallest confidence
+    * threshold whose answered subset hits 90% accuracy, with the whole
+    * coverage/accuracy curve around it
+    * ([[ops.Quality.riskCoverage]]). */
+  private def qRiskCoverage(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.riskCoverage(nbConfidence(s, dir), col("conf"),
+      col("pred_lab") === col("lang"), targetAcc = 0.9)
+
+  /** Average precision (PR-AUC, step form) of confidence as a
+    * correctness ranker on the holdout — the class-imbalance-honest
+    * summary next to q168's ROC AUC
+    * ([[ops.Quality.averagePrecision]]). */
+  private def qAvgPrecision(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.averagePrecision(nbConfidence(s, dir), col("conf"),
+      col("pred_lab") === col("lang"))
+
   /** Mann–Kendall monotone-trend test + Theil–Sen robust slope over
     * the daily event-rate series per type — the outlier-proof
     * rate-of-change readout next to q221's rank correlation
@@ -3768,7 +3785,9 @@ object SparkEntry {
     "q237_dp_counts" -> (qDpCounts _),
     "q238_skipgram" -> (qSkipgram _),
     "q239_dunning" -> (qDunning _),
-    "q240_funnel_times" -> (qFunnelTimes _))
+    "q240_funnel_times" -> (qFunnelTimes _),
+    "q241_risk_coverage" -> (qRiskCoverage _),
+    "q242_avg_precision" -> (qAvgPrecision _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -3883,6 +3902,23 @@ object SparkEntry {
     * doc_id%3≠0 slice, densely scored on the held-out third — exposes
     * `te` (the holdout), `sc` (doc_id, clab, 4-dp score) and `best`
     * (the label-ascending argmax). */
+  /** The q169/q214 holdout-confidence stanza: [[nbHoldoutCte]] +
+    * softmax posteriors + per-doc (conf, ok) — shared by the Brier
+    * decomposition, the risk–coverage curve, and average precision. */
+  private lazy val nbConfCte =
+    nbHoldoutCte +
+      ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+      "ex AS (SELECT sc.doc_id, sc.clab, exp(score - mx) AS ex " +
+      "FROM sc JOIN mx USING (doc_id)), " +
+      "z AS (SELECT doc_id, CAST(sum(CAST(floor(ex * 1000000000 + 0.5) " +
+      "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM ex GROUP BY 1), " +
+      "pp AS (SELECT ex.doc_id, ex.clab, round(ex.ex / z.z, 6) AS prob " +
+      "FROM ex JOIN z USING (doc_id)), " +
+      "cf AS (SELECT b.doc_id, b.clab AS pred_lab, pp.prob AS conf " +
+      "FROM best b JOIN pp ON pp.doc_id = b.doc_id AND pp.clab = b.clab), " +
+      "okt AS (SELECT cf.conf, CASE WHEN cf.pred_lab = te.lang THEN 1 ELSE 0 END AS ok " +
+      "FROM cf JOIN te USING (doc_id))"
+
   private val nbHoldoutCte =
     "WITH tr AS (SELECT * FROM documents WHERE doc_id % 3 <> 0), " +
       "te AS (SELECT * FROM documents WHERE doc_id % 3 = 0), " +
@@ -7152,19 +7188,8 @@ object SparkEntry {
     "q214_brier" ->
       // the q169 confidence stanza, then Murphy 1973: per-bin exact
       // outcome rates + snapped forecast means, scalar second pass
-      (nbHoldoutCte +
-        ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
-        "ex AS (SELECT sc.doc_id, sc.clab, exp(score - mx) AS ex " +
-        "FROM sc JOIN mx USING (doc_id)), " +
-        "z AS (SELECT doc_id, CAST(sum(CAST(floor(ex * 1000000000 + 0.5) " +
-        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM ex GROUP BY 1), " +
-        "pp AS (SELECT ex.doc_id, ex.clab, round(ex.ex / z.z, 6) AS prob " +
-        "FROM ex JOIN z USING (doc_id)), " +
-        "cf AS (SELECT b.doc_id, b.clab AS pred_lab, pp.prob AS conf " +
-        "FROM best b JOIN pp ON pp.doc_id = b.doc_id AND pp.clab = b.clab), " +
-        "okt AS (SELECT cf.conf, CASE WHEN cf.pred_lab = te.lang THEN 1 ELSE 0 END AS ok " +
-        "FROM cf JOIN te USING (doc_id)), " +
-        "bb AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, ok FROM okt), " +
+      (nbConfCte +
+        ", bb AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, ok FROM okt), " +
         "pb AS (SELECT bin, count(*) AS nk, CAST(sum(ok) AS BIGINT) AS okk, " +
         "CAST(sum(CAST(floor(conf * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS confsum, " +
         "CAST(sum(CAST(floor((conf - CASE WHEN ok = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * " +
@@ -7750,5 +7775,31 @@ object SparkEntry {
         "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n_units, " +
         "round(CAST(q50 AS DOUBLE) / CAST(1000000 AS DOUBLE), 3), " +
         "round(CAST(q90 AS DOUBLE) / CAST(1000000 AS DOUBLE), 3) FROM a3"
-    })
+    },
+    "q241_risk_coverage" ->
+      // the shared confidence stanza, descending cumulative counts
+      // over the 6-dp grid; chosen = smallest threshold at the 0.9
+      // selective-accuracy bar (NULL comparison stays NULL if none)
+      (nbConfCte +
+        ", g AS (SELECT conf AS c, count(*) AS n, CAST(sum(ok) AS BIGINT) AS k FROM okt GROUP BY 1), " +
+        "cum AS (SELECT *, CAST(sum(n) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_covered, " +
+        "CAST(sum(k) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_correct, " +
+        "CAST(sum(n) OVER () AS BIGINT) AS nt FROM g), " +
+        "ch AS (SELECT min(CASE WHEN CAST(n_correct AS DOUBLE) / CAST(n_covered AS DOUBLE) >= CAST(0.9 AS DOUBLE) " +
+        "THEN c END) AS ch FROM cum) " +
+        "SELECT c AS threshold, n_covered, n_correct, " +
+        "round(CAST(n_covered AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS coverage, " +
+        "round(CAST(n_correct AS DOUBLE) / CAST(n_covered AS DOUBLE), 6) AS sel_acc, " +
+        "c = ch AS chosen FROM cum CROSS JOIN ch"),
+    "q242_avg_precision" ->
+      // AP = Σ P(t)·ΔR(t) over the descending grid, snapped sum
+      (nbConfCte +
+        ", g AS (SELECT conf AS c, count(*) AS n, CAST(sum(ok) AS BIGINT) AS k FROM okt GROUP BY 1), " +
+        "cum AS (SELECT *, CAST(sum(n) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn, " +
+        "CAST(sum(k) OVER (ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ck, " +
+        "CAST(sum(n) OVER () AS BIGINT) AS nt, CAST(sum(k) OVER () AS BIGINT) AS kt FROM g) " +
+        "SELECT max(nt) AS n, max(kt) AS n_pos, " +
+        "CASE WHEN max(kt) > 0 THEN round(CAST(sum(CAST(floor(" +
+        "(CAST(ck AS DOUBLE) / CAST(cn AS DOUBLE)) * (CAST(k AS DOUBLE) / CAST(kt AS DOUBLE)) " +
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000, 6) END AS ap FROM cum"))
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraints over a table — the validation
@@ -671,6 +672,74 @@ object Quality {
       round(pe, 6).as("p_e"),
       when(pe < 1.0, round((pbar - pe) / (lit(1.0) - pe), 6))
         .as("kappa"))
+  }
+
+  /** Risk–coverage curve for selective prediction (Geifman &
+    * El-Yaniv 2017) — the OPERATING-POINT picker a gated classifier
+    * needs: answer only when confidence ≥ t; at each candidate t,
+    * coverage (share answered) and selective accuracy (accuracy among
+    * the answered). Candidate thresholds are the DISTINCT 6-dp
+    * confidence grid (bounded by rounding, not |rows| — the q137
+    * discipline); counts come from one descending cumulative window
+    * over the grid; `chosen` marks the SMALLEST threshold whose
+    * selective accuracy meets `targetAcc` (maximal coverage at the
+    * accuracy bar — the deployment answer; no qualifying threshold →
+    * no row marked). Exact integers until the two output divisions.
+    * Returns (threshold, n_covered, n_correct, coverage, sel_acc,
+    * chosen). */
+  def riskCoverage(preds: DataFrame, conf: Column, correct: Column,
+      targetAcc: Double): DataFrame = {
+    val g = preds.select(conf.as("c"), correct.as("ok"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("k"))
+    val desc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val cum = g.withColumn("n_covered", sum(col("n")).over(desc))
+      .withColumn("n_correct", sum(col("k")).over(desc))
+      .withColumn("nt", sum(col("n")).over(all))
+    val selAcc = col("n_correct").cast("double") /
+      col("n_covered").cast("double")
+    val chosen = min(when(selAcc >= lit(targetAcc), col("c"))).over(all)
+    cum.withColumn("ch", chosen)
+      .select(col("c").as("threshold"), col("n_covered"), col("n_correct"),
+        round(col("n_covered").cast("double") / col("nt").cast("double"), 6)
+          .as("coverage"),
+        round(selAcc, 6).as("sel_acc"),
+        (col("c") === col("ch")).as("chosen"))
+  }
+
+  /** Average precision (the area under the precision–recall curve in
+    * its standard step form, AP = Σ_t P(t)·ΔR(t) over DESCENDING
+    * score thresholds) — the PR-side summary next to [[rankAuc]]'s
+    * ROC AUC: ROC-AUC flatters under class imbalance (the curation
+    * regime — most docs fail a gate); AP weighs exactly the positive
+    * class. Thresholds are the distinct 6-dp score grid; P and ΔR are
+    * exact-integer ratios per grid row; the final sum is 1e9-snapped
+    * (order-free). Returns one row (n, n_pos, ap); no positives →
+    * NULL ap. */
+  def averagePrecision(preds: DataFrame, score: Column, positive: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val g = preds.select(score.as("c"), positive.as("p"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("k"))
+    val desc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = Window.partitionBy()
+    val cum = g.withColumn("cn", sum(col("n")).over(desc))
+      .withColumn("ck", sum(col("k")).over(desc))
+      .withColumn("nt", sum(col("n")).over(all))
+      .withColumn("kt", sum(col("k")).over(all))
+    // P(t)·ΔR(t) with ΔR = k_at_this_threshold / total positives
+    val term = (col("ck").cast("double") / col("cn").cast("double")) *
+      (col("k").cast("double") / col("kt").cast("double"))
+    cum.groupBy()
+      .agg(max(col("nt")).as("n"), max(col("kt")).as("n_pos"),
+        when(max(col("kt")) > 0L,
+          round(Snap.snappedSum(term, 1e9), 6)).as("ap"))
   }
 
   /** Temperature scaling scan (Guo et al. 2017 §4.2 — the one-knob

@@ -956,6 +956,36 @@ class QualitySpec extends SparkSpec {
     assert(epochs(epochs.keys.max) == want(b1 ++ b2))
   }
 
+  test("riskCoverage: hand curve; chosen = smallest threshold at the " +
+    "accuracy bar (max coverage); unreachable bar marks nothing") {
+    val preds = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true))
+      .toDF("conf", "ok")
+    def run(bar: Double) = Quality.riskCoverage(preds, col("conf"),
+      col("ok"), bar).collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5))))).toMap
+    val r = run(0.9)
+    assert(r(0.9) == ((1L, 1.0, Some(false))))
+    assert(r(0.8) == ((2L, 1.0, Some(true)))) // max coverage at the bar
+    assert(r(0.7)._2 == math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6)
+    assert(r(0.6) == ((4L, 0.75, Some(false))))
+    assert(run(1.1).values.forall(_._3 == None)) // no qualifying t
+  }
+
+  test("averagePrecision: hand step-form AP; no positives yields NULL") {
+    val preds = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true))
+      .toDF("s", "p")
+    val r = Quality.averagePrecision(preds, col("s"), col("p"))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    // 1·⅓ + 1·⅓ + 0 + ¾·⅓, snapped then 6-dp
+    assert(r.getDouble(2) == 0.916667)
+    val none = Quality.averagePrecision(
+      Seq((0.9, false)).toDF("s", "p"), col("s"), col("p"))
+      .collect().head
+    assert(none.isNullAt(2))
+  }
+
   test("krippendorffAlpha: hand case with abstention (unpairable " +
     "single-rating item drops); unanimous pool yields NULL alpha") {
     val items = Seq(
