@@ -3182,6 +3182,16 @@ object SparkEntry {
       unix_micros(col("ts").cast("timestamp")), col("event_type"),
       Seq("view", "click", "purchase"))
 
+  /** The q216 funnel split by the q208 md5 hash arm — the A/B funnel
+    * readout: does arm B convert differently at any stage
+    * ([[ops.Analytics.funnelBySegment]]); one segment-agnostic arrival
+    * chain, unit-keyed segment joins. */
+  private def qFunnelSegment(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.funnelBySegment(t(s, dir, "events"), col("user_id"),
+      col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+      when(pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(100L)) < 50, lit("a")).otherwise("b"))
+
   /** Risk–coverage curve over the shared holdout confidence frame —
     * the selective-prediction operating point: the smallest confidence
     * threshold whose answered subset hits 90% accuracy, with the whole
@@ -3787,7 +3797,8 @@ object SparkEntry {
     "q239_dunning" -> (qDunning _),
     "q240_funnel_times" -> (qFunnelTimes _),
     "q241_risk_coverage" -> (qRiskCoverage _),
-    "q242_avg_precision" -> (qAvgPrecision _))
+    "q242_avg_precision" -> (qAvgPrecision _),
+    "q243_funnel_segment" -> (qFunnelSegment _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7801,5 +7812,24 @@ object SparkEntry {
         "SELECT max(nt) AS n, max(kt) AS n_pos, " +
         "CASE WHEN max(kt) > 0 THEN round(CAST(sum(CAST(floor(" +
         "(CAST(ck AS DOUBLE) / CAST(cn AS DOUBLE)) * (CAST(k AS DOUBLE) / CAST(kt AS DOUBLE)) " +
-        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000, 6) END AS ap FROM cum"))
+        "* 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000, 6) END AS ap FROM cum"),
+    "q243_funnel_segment" ->
+      // the q216 strictly-after chain, arrivals joined to the q208
+      // hash-arm unit map, conversion windows per segment
+      ("WITH sm AS (SELECT user_id AS u, min(CASE WHEN " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 " +
+        "THEN 'a' ELSE 'b' END) AS seg FROM events GROUP BY 1), " +
+        "s1 AS (SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u " +
+        "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1), " +
+        "c AS (SELECT seg AS segment, CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, count(*) AS n_units " +
+        "FROM s1 JOIN sm USING (u) GROUP BY 1 " +
+        "UNION ALL SELECT seg, CAST(2 AS BIGINT), 'click', count(*) FROM s2 JOIN sm USING (u) GROUP BY 1 " +
+        "UNION ALL SELECT seg, CAST(3 AS BIGINT), 'purchase', count(*) FROM s3 JOIN sm USING (u) GROUP BY 1) " +
+        "SELECT segment, stage_idx, stage, n_units, " +
+        "round(CAST(n_units AS DOUBLE) / CAST(lag(n_units) OVER (PARTITION BY segment ORDER BY stage_idx) AS DOUBLE), 6) AS conv_prev, " +
+        "round(CAST(n_units AS DOUBLE) / CAST(first_value(n_units) OVER (PARTITION BY segment ORDER BY stage_idx) AS DOUBLE), 6) AS conv_first " +
+        "FROM c"))
 }

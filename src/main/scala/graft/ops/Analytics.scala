@@ -574,6 +574,43 @@ object Analytics {
     }
   }
 
+  /** Segmented funnel — the [[funnel]] counts split by a UNIT
+    * attribute (the A/B readout: does arm B's funnel convert
+    * differently?). The arrival chain is computed ONCE,
+    * segment-agnostic (a unit's stage progression doesn't depend on
+    * its segment), then each stage's arrivals join the unit→segment
+    * map (one distinct pass over the corpus, unit-keyed equi-joins)
+    * and roll up per (segment, stage); conversion windows run on the
+    * (|segments|×|stages|)-row count frame. A unit with multiple
+    * segment values takes the MIN (deterministic; honest inputs have
+    * one). Returns (segment, stage_idx, stage, n_units, conv_prev,
+    * conv_first). */
+  def funnelBySegment(df: DataFrame, unit: Column, ts: Column,
+      stage: Column, stages: Seq[String], segment: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val arrivals = funnelArrivals(df, unit, ts, stage, stages, materialize)
+    val segMap = materialize(df.select(unit.as("u"), segment.as("seg"))
+      .groupBy(col("u")).agg(min(col("seg")).as("seg")))
+    val counts = arrivals.zip(stages).zipWithIndex.map {
+      case ((a, st), i) => a.join(segMap, "u")
+        .groupBy(col("seg").as("segment"))
+        .agg(count(lit(1)).as("n_units"))
+        .select(col("segment"), lit(i + 1L).as("stage_idx"),
+          lit(st).as("stage"), col("n_units"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("segment")).orderBy(col("stage_idx"))
+    counts.withColumn("prev", lag(col("n_units"), 1).over(w))
+      .withColumn("first", first(col("n_units")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("segment"), col("stage_idx"), col("stage"),
+        col("n_units"),
+        round(col("n_units").cast("double") / col("prev").cast("double"), 6)
+          .as("conv_prev"),
+        round(col("n_units").cast("double") / col("first").cast("double"), 6)
+          .as("conv_first"))
+  }
+
   /** Time-to-convert percentiles over the [[funnelArrivals]] chain —
     * the "HOW LONG does the funnel take" number next to q216's "how
     * many convert": for each stage k ≥ 2, exact type-1 quantiles of

@@ -631,6 +631,33 @@ class QualitySpec extends SparkSpec {
     assert(r("purchase") == ((3L, 1L, Some(0.5), 0.25)))
   }
 
+  test("funnelBySegment: per-segment counts off ONE arrival chain " +
+    "(sum over segments ≡ unsegmented funnel); per-segment windows") {
+    import graft.ops.Analytics
+    val ev = Seq(
+      ("u1", 1L, "view", "A"), ("u1", 2L, "click", "A"),
+      ("u2", 1L, "view", "A"),
+      ("u3", 1L, "view", "B"), ("u3", 2L, "click", "B"),
+      ("u3", 3L, "purchase", "B"))
+      .toDF("u", "ts", "st", "seg")
+    val r = Analytics.funnelBySegment(ev, col("u"), col("ts"), col("st"),
+      Seq("view", "click", "purchase"), col("seg")).collect()
+      .map(x => (x.getString(0), x.getString(2)) ->
+        ((x.getLong(3), x.getDouble(5)))).toMap
+    assert(r(("A", "view")) == ((2L, 1.0)))
+    assert(r(("A", "click")) == ((1L, 0.5)))
+    assert(!r.contains(("A", "purchase"))) // no A purchasers: no row
+    assert(r(("B", "view")) == ((1L, 1.0)) &&
+      r(("B", "purchase")) == ((1L, 1.0)))
+    // Σ segments ≡ the unsegmented funnel at every stage
+    val whole = Analytics.funnel(ev, col("u"), col("ts"), col("st"),
+      Seq("view", "click", "purchase")).collect()
+      .map(x => x.getString(1) -> x.getLong(2)).toMap
+    val bySeg = r.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._1).sum).toMap
+    assert(bySeg == whole.filter(_._2 > 0))
+  }
+
   test("funnelTimes: exact type-1 dwell quantiles in seconds over the " +
     "strictly-after arrival chain") {
     import graft.ops.Analytics
