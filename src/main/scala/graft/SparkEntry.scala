@@ -3192,6 +3192,20 @@ object SparkEntry {
       when(pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
         16, 10).cast("long"), lit(100L)) < 50, lit("a")).otherwise("b"))
 
+  /** Effective sample size of the q122 DSIR reweighting per source —
+    * "did importance weighting quietly shrink this source to a handful
+    * of docs" ([[ops.Sampling.essReport]]); max-shifted exponentiation,
+    * snapped moments. */
+  private def qEssReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ops.Sampling.essReport(
+      ops.Sampling.dsirWeights(docs, col("doc_id"), col("text"),
+        col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id"),
+      col("source"), col("dsir_w"))
+      .withColumnRenamed("grp", "source")
+  }
+
   /** Risk–coverage curve over the shared holdout confidence frame —
     * the selective-prediction operating point: the smallest confidence
     * threshold whose answered subset hits 90% accuracy, with the whole
@@ -3798,7 +3812,8 @@ object SparkEntry {
     "q240_funnel_times" -> (qFunnelTimes _),
     "q241_risk_coverage" -> (qRiskCoverage _),
     "q242_avg_precision" -> (qAvgPrecision _),
-    "q243_funnel_segment" -> (qFunnelSegment _))
+    "q243_funnel_segment" -> (qFunnelSegment _),
+    "q244_ess_report" -> (qEssReport _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7831,5 +7846,33 @@ object SparkEntry {
         "SELECT segment, stage_idx, stage, n_units, " +
         "round(CAST(n_units AS DOUBLE) / CAST(lag(n_units) OVER (PARTITION BY segment ORDER BY stage_idx) AS DOUBLE), 6) AS conv_prev, " +
         "round(CAST(n_units AS DOUBLE) / CAST(first_value(n_units) OVER (PARTITION BY segment ORDER BY stage_idx) AS DOUBLE), 6) AS conv_first " +
-        "FROM c"))
+        "FROM c"),
+    "q244_ess_report" ->
+      // the q122 DSIR replay joined to sources, per-source max-shifted
+      // exponentiation (ESS is scale-invariant — the shift is free),
+      // snapped moment sums, (Σw)²/Σw²
+      ("WITH tok AS (SELECT doc_id, lang = 'en' AS is_target, " +
+        "unnest(string_split(text, ' ')) AS tk FROM documents), " +
+        "dt AS (SELECT doc_id, is_target, " +
+        "CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 1024 AS b, " +
+        "count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+        "bs AS (SELECT b, sum(tf) AS craw, " +
+        "sum(CASE WHEN is_target THEN tf ELSE 0 END) AS ctgt FROM dt GROUP BY 1), " +
+        "tt AS (SELECT sum(craw) AS traw, sum(ctgt) AS ttgt FROM bs), " +
+        "lr AS (SELECT b, " +
+        "ln(CAST(ctgt + 1 AS DOUBLE) / CAST(ttgt + 1024 AS DOUBLE)) - " +
+        "ln(CAST(craw + 1 AS DOUBLE) / CAST(traw + 1024 AS DOUBLE)) AS lr " +
+        "FROM bs CROSS JOIN tt), " +
+        "wt AS (SELECT doc_id, " +
+        "round(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * lr * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000, 4) AS lw " +
+        "FROM dt JOIN lr USING (b) GROUP BY 1), " +
+        "sw AS (SELECT d.source AS grp, lw FROM wt JOIN documents d USING (doc_id)), " +
+        "mx AS (SELECT grp, max(lw) AS mx FROM sw GROUP BY 1), " +
+        "m AS (SELECT sw.grp, count(*) AS n_docs, " +
+        "CAST(sum(CAST(floor(exp(lw - mx) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1, " +
+        "CAST(sum(CAST(floor(exp(lw - mx) * exp(lw - mx) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s2 " +
+        "FROM sw JOIN mx ON mx.grp = sw.grp GROUP BY 1) " +
+        "SELECT grp AS source, n_docs, round(s1 * s1 / s2, 4) AS ess, " +
+        "round(s1 * s1 / s2 / CAST(n_docs AS DOUBLE), 6) AS ess_ratio FROM m"))
 }

@@ -378,6 +378,33 @@ object Sampling {
           col("tf").cast("double") * col("lr"), 1e9), 4).as("dsir_w"))
   }
 
+  /** Effective sample size of an importance-weighting per group (Kong
+    * 1992; ESS = (Σw)²/Σw²) — the health check [[dsirWeights]] needs
+    * before anyone trains on it: a reweighting that concentrates mass
+    * on a few documents has quietly shrunk the corpus (ess_ratio → 1/n
+    * means ONE doc carries the source). Log-scores exponentiate under
+    * a per-group MAX SHIFT (the q169 softmax discipline — w ∈ (0, 1],
+    * snap-safe, and ESS is scale-invariant so the shift changes
+    * nothing); both moment sums 1e9-snap. One group-max pass broadcast
+    * back + one map-side-combined moment pass. Returns
+    * (grp, n_docs, ess, ess_ratio). */
+  def essReport(weights: DataFrame, grp: Column, logW: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val base = weights.select(grp.as("grp"), logW.as("lw"))
+    val mx = base.groupBy(col("grp")).agg(max(col("lw")).as("mx"))
+    val w = exp(col("lw") - col("mx"))
+    val s = base.join(broadcast(mx), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        Snap.snappedSum(w, 1e9).as("s1"),
+        Snap.snappedSum(w * w, 1e9).as("s2"))
+    s.select(col("grp"), col("n_docs"),
+      round(col("s1") * col("s1") / col("s2"), 4).as("ess"),
+      round(col("s1") * col("s1") / col("s2") /
+        col("n_docs").cast("double"), 6).as("ess_ratio"))
+  }
+
   /** CCNet-style per-source perplexity gate: cut each source at its OWN
     * score quantile instead of a global threshold (sources differ in
     * style, so one global LM-score cut over-prunes formal sources and

@@ -1103,4 +1103,24 @@ class PlanContractSpec extends SparkSpec {
     // not parquet: the corpus never enters the pair join
     assert(count(p, "Scan ExistingRDD") >= 2, p.take(1500))
   }
+
+  test("q238: skip-gram — ONE parquet scan, zero joins; all offsets " +
+    "and directions explode in-task") {
+    val p = plan("q238_skipgram")
+    assert(count(p, "FileScan parquet") == 1, p.take(1500))
+    assert(count(p, "Join") == 0, p.take(1500))
+    assert(count(p, "Generate explode(") == 1, p.take(1500))
+  }
+
+  test("q221: Spearman — rank tables come from grid-bounded windows " +
+    "(partitioned by group), never a corpus-wide single-partition " +
+    "window; no cartesian") {
+    val p = plan("q221_spearman")
+    // every window is PARTITIONED (a global rank over the corpus
+    // would print 'windowspecdefinition(' without the grp prefix and
+    // plan a single-partition exchange)
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+  }
 }

@@ -1013,6 +1013,22 @@ class QualitySpec extends SparkSpec {
     assert(none.isNullAt(2))
   }
 
+  test("essReport: equal weights give ESS = n; a dominant weight " +
+    "collapses toward 1; shift-invariant in the log scores") {
+    import graft.ops.Sampling
+    val d = Seq(("eq", 3.0), ("eq", 3.0), ("eq", 3.0),
+      ("dom", 0.0), ("dom", -20.0)).toDF("g", "lw")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.essReport(df, col("g"), col("lw")).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+        .toMap
+    val r = run(d)
+    assert(r("eq") == ((3.0, 1.0)))
+    assert(r("dom")._1 < 1.01 && r("dom")._2 < 0.51)
+    // ESS is scale-invariant: a constant log-shift changes nothing
+    assert(run(d.withColumn("lw", col("lw") + lit(5.0))) == r)
+  }
+
   test("krippendorffAlpha: hand case with abstention (unpairable " +
     "single-rating item drops); unanimous pool yields NULL alpha") {
     val items = Seq(
