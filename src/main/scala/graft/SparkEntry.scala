@@ -3206,6 +3206,32 @@ object SparkEntry {
       .withColumnRenamed("grp", "source")
   }
 
+  /** Cochran's Q over the q210 gate panel — is any gate
+    * systematically stricter on the same docs (the repeated-measures
+    * rate test the agreement statistics don't answer)
+    * ([[ops.Quality.cochranQ]]). */
+  private def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    val items = docs.join(keep, "doc_id")
+      .select(col("keep").as("r1"),
+        col("n_chars").between(100L, 600L).as("r2"),
+        (col("lang") === "en").as("r3"))
+    ops.Quality.cochranQ(items, Seq(col("r1"), col("r2"), col("r3")))
+  }
+
+  /** McNemar paired comparison of the gopher gate vs the length band
+    * — does one gate pass docs the other fails ASYMMETRICALLY
+    * ([[ops.Quality.mcnemar]]); exact df=1 p through the shared erfc. */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    ops.Quality.mcnemar(docs.join(keep, "doc_id"),
+      col("keep"), col("n_chars").between(100L, 600L))
+  }
+
   /** Risk–coverage curve over the shared holdout confidence frame —
     * the selective-prediction operating point: the smallest confidence
     * threshold whose answered subset hits 90% accuracy, with the whole
@@ -3813,7 +3839,9 @@ object SparkEntry {
     "q241_risk_coverage" -> (qRiskCoverage _),
     "q242_avg_precision" -> (qAvgPrecision _),
     "q243_funnel_segment" -> (qFunnelSegment _),
-    "q244_ess_report" -> (qEssReport _))
+    "q244_ess_report" -> (qEssReport _),
+    "q245_cochran_q" -> (qCochranQ _),
+    "q246_mcnemar" -> (qMcnemar _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7874,5 +7902,50 @@ object SparkEntry {
         "CAST(sum(CAST(floor(exp(lw - mx) * exp(lw - mx) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s2 " +
         "FROM sw JOIN mx ON mx.grp = sw.grp GROUP BY 1) " +
         "SELECT grp AS source, n_docs, round(s1 * s1 / s2, 4) AS ess, " +
-        "round(s1 * s1 / s2 / CAST(n_docs AS DOUBLE), 6) AS ess_ratio FROM m"))
+        "round(s1 * s1 / s2 / CAST(n_docs AS DOUBLE), 6) AS ess_ratio FROM m"),
+    "q245_cochran_q" ->
+      // integer-exact Q = (k−1)(kΣC² − T²)/(kT − ΣR²) over the gate
+      // panel; Wilson–Hilferty p at df = 2 (driver-literal constants)
+      (s"WITH $gopherStatsCte, " +
+        s"it AS (SELECT (CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END) AS r1, " +
+        "(CASE WHEN d.n_chars BETWEEN 100 AND 600 THEN 1 ELSE 0 END) AS r2, " +
+        "(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS r3 " +
+        "FROM m JOIN documents d USING (doc_id)), " +
+        "a AS (SELECT count(*) AS n, CAST(sum(r1) AS BIGINT) AS c1, " +
+        "CAST(sum(r2) AS BIGINT) AS c2, CAST(sum(r3) AS BIGINT) AS c3, " +
+        "CAST(sum(r1 + r2 + r3) AS BIGINT) AS t, " +
+        "CAST(sum((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS rsq FROM it), " +
+        "qq AS (SELECT n, 3 * t - rsq AS den, " +
+        "CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - t * t) AS DOUBLE) / " +
+        "CAST(3 * t - rsq AS DOUBLE) AS q FROM a), " +
+        "zz AS (SELECT *, (power(q / CAST(2.0 AS DOUBLE), CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) - " +
+        "(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) / CAST(18.0 AS DOUBLE))) / " +
+        "sqrt(CAST(2.0 AS DOUBLE) / CAST(18.0 AS DOUBLE)) AS zwh FROM qq), " +
+        "yy AS (SELECT *, abs(zwh) / sqrt(CAST(2 AS DOUBLE)) AS y FROM zz), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS tv FROM yy), " +
+        "pv AS (SELECT *, tv * (CAST(0.254829592 AS DOUBLE) + tv * (CAST(-0.284496736 AS DOUBLE) + tv * (CAST(1.421413741 AS DOUBLE) + " +
+        "tv * (CAST(-1.453152027 AS DOUBLE) + tv * CAST(1.061405429 AS DOUBLE))))) * exp(-(y * y)) AS p2 FROM tt) " +
+        "SELECT n AS n_items, CAST(2 AS BIGINT) AS df, " +
+        "CASE WHEN den > 0 THEN round(q, 4) END AS q_stat, " +
+        "CASE WHEN den > 0 THEN round(CASE WHEN zwh >= 0 THEN p2 / CAST(2.0 AS DOUBLE) " +
+        "ELSE CAST(1.0 AS DOUBLE) - p2 / CAST(2.0 AS DOUBLE) END, 6) END AS p_value FROM pv"),
+    "q246_mcnemar" ->
+      // discordant cells only; Edwards correction clamped at 0; exact
+      // df=1 p = erfc(sqrt(chi2)/sqrt(2)) via the A&S ladder
+      (s"WITH $gopherStatsCte, " +
+        s"it AS (SELECT (CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END) AS a, " +
+        "(CASE WHEN d.n_chars BETWEEN 100 AND 600 THEN 1 ELSE 0 END) AS b " +
+        "FROM m JOIN documents d USING (doc_id)), " +
+        "mcs AS (SELECT count(*) AS n_items, " +
+        "CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ab, " +
+        "CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ba FROM it), " +
+        "c AS (SELECT *, CAST(greatest(abs(n_ab - n_ba) - 1, 0) * greatest(abs(n_ab - n_ba) - 1, 0) AS DOUBLE) / " +
+        "CAST(n_ab + n_ba AS DOUBLE) AS chi2raw FROM mcs), " +
+        "yy AS (SELECT *, sqrt(chi2raw) / sqrt(CAST(2 AS DOUBLE)) AS y FROM c), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS tv FROM yy) " +
+        "SELECT n_items, n_ab, n_ba, " +
+        "CASE WHEN n_ab + n_ba > 0 THEN round(chi2raw, 4) END AS chi2, " +
+        "CASE WHEN n_ab + n_ba > 0 THEN round(tv * (CAST(0.254829592 AS DOUBLE) + tv * (CAST(-0.284496736 AS DOUBLE) + " +
+        "tv * (CAST(1.421413741 AS DOUBLE) + tv * (CAST(-1.453152027 AS DOUBLE) + tv * CAST(1.061405429 AS DOUBLE))))) " +
+        "* exp(-(y * y)), 6) END AS p_value FROM tt"))
 }

@@ -888,6 +888,71 @@ object Quality {
       round(col("n").cast("double") + noise, 4).as("n_noisy"): _*)
   }
 
+  /** Cochran's Q test (Cochran 1950) — do k binary gates pass at the
+    * SAME rate on the same documents? The TEST companion of the
+    * agreement pair ([[fleissKappa]]/[[krippendorffAlpha]] ask "do
+    * they agree"; Q asks "is any gate systematically stricter" —
+    * repeated-measures, so it respects that the gates judge the same
+    * docs, which independent z-tests would not). The integer-exact
+    * form Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²): column totals,
+    * grand total, and per-doc row-total squares — ONE map-side-
+    * combined aggregation to a single row; the only doubles are the
+    * final ratio and the Wilson–Hilferty p at df = k−1 (the q219
+    * discipline). Degenerate denominator (every doc all-pass or
+    * all-fail) → NULL. Returns (n_items, df, q_stat, p_value). */
+  def cochranQ(items: DataFrame, raters: Seq[Column]): DataFrame = {
+    val k = raters.size
+    require(k >= 2, "cochranQ: need at least two gates")
+    val r = raters.map(c => when(c, 1L).otherwise(0L))
+    val row = r.reduce(_ + _)
+    val aggs = r.zipWithIndex.map { case (c, i) => sum(c).as(s"c$i") } ++
+      Seq(count(lit(1)).as("n"), sum(row).as("t"),
+        sum(row * row).as("r2"))
+    val a = items.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = (0 until k).map(i => col(s"c$i") * col(s"c$i"))
+      .reduce(_ + _)
+    val num = lit((k - 1).toLong) * (lit(k.toLong) * sumC2 -
+      col("t") * col("t"))
+    val den = lit(k.toLong) * col("t") - col("r2")
+    val q = num.cast("double") / den.cast("double")
+    val dfv = (k - 1).toDouble
+    // Wilson–Hilferty at df = k−1, upper tail (the q219 construction)
+    val zwh = (pow(q / lit(dfv), lit(1.0 / 3.0)) -
+      (lit(1.0) - lit(2.0) / lit(9.0 * dfv))) /
+      sqrt(lit(2.0) / lit(9.0 * dfv))
+    a.select(col("n").as("n_items"), lit((k - 1).toLong).as("df"),
+      when(den > 0L, round(q, 4)).as("q_stat"),
+      when(den > 0L, round(
+        when(zwh >= 0, Analytics.normalPValue2(zwh) / lit(2.0))
+          .otherwise(lit(1.0) - Analytics.normalPValue2(zwh) / lit(2.0)),
+        6)).as("p_value"))
+  }
+
+  /** McNemar's test with continuity correction (McNemar 1947) — did
+    * gate B pass docs gate A failed ASYMMETRICALLY? The paired
+    * comparison of two classifiers on the same examples (comparing
+    * marginal rates with two independent z-tests throws away the
+    * pairing; McNemar reads only the DISCORDANT cells). With b = #(A
+    * pass, B fail) and c = #(A fail, B pass): χ² = (|b−c|−1)²/(b+c),
+    * and at df = 1 the p-value is EXACT through the shared erfc
+    * primitive — p = 2(1−Φ(√χ²)) — no cube-root approximation needed.
+    * One map-side-combined aggregation; b + c = 0 (no discordance) →
+    * NULL stats. Returns (n_items, n_ab, n_ba, chi2, p_value). */
+  def mcnemar(items: DataFrame, a: Column, b: Column): DataFrame = {
+    val s = items.agg(count(lit(1)).as("n_items"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n_ab"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n_ba"))
+    val d = col("n_ab") + col("n_ba")
+    // Edwards correction clamped at 0: b = c must score χ² = 0, not
+    // the correction's phantom 1/(b+c)
+    val corr = greatest(abs(col("n_ab") - col("n_ba")) - lit(1L), lit(0L))
+    val chi2 = (corr * corr).cast("double") / d.cast("double")
+    s.select(col("n_items"), col("n_ab"), col("n_ba"),
+      when(d > 0L, round(chi2, 4)).as("chi2"),
+      when(d > 0L,
+        round(Analytics.normalPValue2(sqrt(chi2)), 6)).as("p_value"))
+  }
+
   /** Krippendorff's alpha for binary nominal ratings with MISSING
     * values (Krippendorff 2004) — the generalization [[fleissKappa]]
     * can't make: Fleiss needs every rater on every item; real gate

@@ -1029,6 +1029,41 @@ class QualitySpec extends SparkSpec {
     assert(run(d.withColumn("lw", col("lw") + lit(5.0))) == r)
   }
 
+  test("cochranQ: hand integer-exact Q; all-identical rows null out " +
+    "the degenerate denominator") {
+    val items = Seq((true, true, false), (true, false, false),
+      (true, true, true), (true, false, false)).toDF("r1", "r2", "r3")
+    val r = Quality.cochranQ(items,
+      Seq(col("r1"), col("r2"), col("r3"))).collect().head
+    // C = (4,2,1), T = 7, sumR2 = 15: Q = 2(3*21 - 49)/(21 - 15) = 28/6
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == math.floor(28.0 / 6.0 * 1e4 + 0.5) / 1e4)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 0.2)
+    val deg = Seq((true, true, true), (true, true, true))
+      .toDF("r1", "r2", "r3")
+    val rd = Quality.cochranQ(deg,
+      Seq(col("r1"), col("r2"), col("r3"))).collect().head
+    assert(rd.isNullAt(2) && rd.isNullAt(3))
+  }
+
+  test("mcnemar: hand corrected chi2; symmetric discordance scores 0 " +
+    "with p = 1; no discordance nulls out") {
+    def run(ab: Int, ba: Int, cc: Int) = {
+      val rows = Seq.fill(ab)((true, false)) ++
+        Seq.fill(ba)((false, true)) ++ Seq.fill(cc)((true, true))
+      Quality.mcnemar(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+    }
+    val r = run(6, 2, 4)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.125) // (|6-2|-1)^2 / 8
+    assert(r.getDouble(4) > 0.28 && r.getDouble(4) < 0.30)
+    val sym = run(3, 3, 2)
+    assert(sym.getDouble(3) == 0.0 && sym.getDouble(4) == 1.0)
+    val none = run(0, 0, 5)
+    assert(none.isNullAt(3) && none.isNullAt(4))
+  }
+
   test("krippendorffAlpha: hand case with abstention (unpairable " +
     "single-rating item drops); unanimous pool yields NULL alpha") {
     val items = Seq(
