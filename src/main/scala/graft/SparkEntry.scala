@@ -3206,6 +3206,19 @@ object SparkEntry {
       .withColumnRenamed("grp", "source")
   }
 
+  /** Per-decile quantile-shift profile of event value between the
+    * q208 hash arms per type — WHERE in the distribution any shift
+    * lives, the magnitude readout next to q180's KS max-distance
+    * ([[ops.Analytics.quantileShift]]). */
+  private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.quantileShift(ev.filter(arm), ev.filter(!arm),
+      col("event_type"), col("value"))
+      .withColumnRenamed("grp", "event_type")
+  }
+
   /** Cochran's Q over the q210 gate panel — is any gate
     * systematically stricter on the same docs (the repeated-measures
     * rate test the agreement statistics don't answer)
@@ -3841,7 +3854,8 @@ object SparkEntry {
     "q243_funnel_segment" -> (qFunnelSegment _),
     "q244_ess_report" -> (qEssReport _),
     "q245_cochran_q" -> (qCochranQ _),
-    "q246_mcnemar" -> (qMcnemar _))
+    "q246_mcnemar" -> (qMcnemar _),
+    "q247_quantile_shift" -> (qQuantileShift _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7947,5 +7961,22 @@ object SparkEntry {
         "CASE WHEN n_ab + n_ba > 0 THEN round(chi2raw, 4) END AS chi2, " +
         "CASE WHEN n_ab + n_ba > 0 THEN round(tv * (CAST(0.254829592 AS DOUBLE) + tv * (CAST(-0.284496736 AS DOUBLE) + " +
         "tv * (CAST(1.421413741 AS DOUBLE) + tv * (CAST(-1.453152027 AS DOUBLE) + tv * CAST(1.061405429 AS DOUBLE))))) " +
-        "* exp(-(y * y)), 6) END AS p_value FROM tt"))
+        "* exp(-(y * y)), 6) END AS p_value FROM tt"),
+    "q247_quantile_shift" ->
+      // exact type-1 deciles per (grp, arm) off the value-grid
+      // cumulative windows; the 9-row decile axis is a bounded fanout
+      ("WITH b0 AS (SELECT event_type AS grp, value AS x, " +
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 " +
+        "THEN 'e' ELSE 'a' END AS half FROM events), " +
+        "cnt AS (SELECT grp, half, x, count(*) AS n FROM b0 GROUP BY 1, 2, 3), " +
+        "cum AS (SELECT *, CAST(sum(n) OVER (PARTITION BY grp, half ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(n) OVER (PARTITION BY grp, half) AS BIGINT) AS nt FROM cnt), " +
+        "dc AS (SELECT unnest(generate_series(1, 9)) * 10 AS pct), " +
+        "q AS (SELECT grp, half, pct, min(x) AS q FROM cum JOIN dc " +
+        "ON cum >= CAST(ceil(CAST(nt AS DOUBLE) * (CAST(pct AS DOUBLE) / CAST(100.0 AS DOUBLE))) AS BIGINT) " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT e.grp AS event_type, e.pct, e.q AS q_expected, a.q AS q_actual, " +
+        "round(a.q - e.q, 6) AS shift FROM q e JOIN q a " +
+        "ON a.grp = e.grp AND a.pct = e.pct AND e.half = 'e' AND a.half = 'a'"))
 }

@@ -288,6 +288,50 @@ object Analytics {
           col("d"), 6).as("scaled_d"))
   }
 
+  /** Quantile-shift profile between two score snapshots per group —
+    * the drift MAGNITUDE readout next to [[ksDrift]]'s max-distance
+    * test and [[psiDrift]]'s banded index: at each decile p, the exact
+    * type-1 quantile of both sides and their difference — WHERE in the
+    * distribution the shift lives (a tail-only regression and a bulk
+    * shift have the same KS D but opposite fixes). Quantiles are
+    * value-at-rank-⌈p·n⌉ via cumulative windows over the per-(group,
+    * side) DISTINCT-value grid (the q137/q240 bounded-distinct
+    * discipline — no estimator); the decile axis is a broadcast 9-row
+    * frame. Groups present on one side only drop (no second
+    * distribution — the ksDrift convention, via the inner join).
+    * Returns (grp, pct, q_expected, q_actual, shift). */
+  def quantileShift(expected: DataFrame, actual: DataFrame, grp: Column,
+      x: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val all = expected.select(grp.as("grp"), x.cast("double").as("x"),
+      lit("e").as("half"))
+      .unionByName(actual.select(grp.as("grp"), x.cast("double").as("x"),
+        lit("a").as("half")))
+    // the ONLY corpus pass: the (grp × side × value-grid) count table
+    val cnt = materialize(all.groupBy(col("grp"), col("half"), col("x"))
+      .agg(count(lit(1)).as("n")))
+    val run = Window.partitionBy(col("grp"), col("half")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col("grp"), col("half"))
+    val cum = cnt.withColumn("cum", sum(col("n")).over(run))
+      .withColumn("nt", sum(col("n")).over(tot))
+    val deciles = broadcast(expected.sparkSession.range(1, 10)
+      .select((col("id") * 10L).as("pct")))
+    val q = cum.join(deciles,
+        col("cum") >= ceil(col("nt").cast("double") *
+          (col("pct").cast("double") / lit(100.0))))
+      .groupBy(col("grp"), col("half"), col("pct"))
+      .agg(min(col("x")).as("q"))
+    q.filter(col("half") === "e")
+      .select(col("grp"), col("pct"), col("q").as("q_expected"))
+      .join(q.filter(col("half") === "a")
+        .select(col("grp"), col("pct"), col("q").as("q_actual")),
+        Seq("grp", "pct"))
+      .select(col("grp"), col("pct"), col("q_expected"), col("q_actual"),
+        round(col("q_actual") - col("q_expected"), 6).as("shift"))
+  }
+
   /** Sessionization: split each user's event stream at gaps > `gapSec`,
     * aggregate per session. Integer microsecond arithmetic end-to-end
     * (exact, oracle-comparable). One shuffle on user, one window sort. */

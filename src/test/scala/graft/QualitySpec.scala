@@ -1029,6 +1029,23 @@ class QualitySpec extends SparkSpec {
     assert(run(d.withColumn("lw", col("lw") + lit(5.0))) == r)
   }
 
+  test("quantileShift: identical sides shift 0 at every decile; a " +
+    "constant offset shifts every decile by it; one-sided groups drop") {
+    import graft.ops.Analytics
+    val e = ((1 to 10).map(v => ("g", v.toDouble)) ++
+      (1 to 10).map(v => ("solo", v.toDouble))).toDF("g", "x")
+    val a = (1 to 10).map(v => ("g", v.toDouble + 5.0)).toDF("g", "x")
+    val same = Analytics.quantileShift(e, e, col("g"), col("x"))
+      .collect()
+    assert(same.length == 18 && same.forall(_.getDouble(4) == 0.0))
+    val r = Analytics.quantileShift(e, a, col("g"), col("x")).collect()
+    assert(r.length == 9) // 'solo' has no actual side -> dropped
+    assert(r.forall(_.getDouble(4) == 5.0))
+    // type-1 decile check: p50 of 1..10 is the 5th value
+    val p50 = r.find(_.getLong(1) == 50L).get
+    assert(p50.getDouble(2) == 5.0 && p50.getDouble(3) == 10.0)
+  }
+
   test("cochranQ: hand integer-exact Q; all-identical rows null out " +
     "the degenerate denominator") {
     val items = Seq((true, true, false), (true, false, false),
