@@ -716,14 +716,18 @@ object Analytics {
     val r = c.withColumn("n", n).withColumn("cum", sum(n).over(run))
     val s = r.groupBy(col("grp")).agg(
       sum(col("na")).as("na_tot"), sum(col("nb")).as("nb_tot"),
-      // Σ na · 2·rankavg, rankavg = (cum − n) + (n+1)/2
-      sum(col("na") * (lit(2L) * (col("cum") - col("n")) + col("n") +
-        lit(1L))).as("r2a"),
-      sum(col("n") * col("n") * col("n") - col("n")).as("ties"))
+      // Σ na · 2·rankavg, rankavg = (cum − n) + (n+1)/2 — the doubled
+      // rank sum reaches ~2N² (past signed-64 at ~10⁹ rows/group):
+      // exact DECIMAL(38,0) accumulation, the spearmanCorr discipline
+      sum((col("na") * (lit(2L) * (col("cum") - col("n")) + col("n") +
+        lit(1L))).cast("decimal(38,0)")).as("r2a"),
+      sum((col("n") * col("n") * col("n") - col("n"))
+        .cast("decimal(38,0)")).as("ties"))
     val naD = col("na_tot").cast("double")
     val nbD = col("nb_tot").cast("double")
     val nD = (col("na_tot") + col("nb_tot")).cast("double")
-    val u2 = col("r2a") - col("na_tot") * (col("na_tot") + 1L) // = 2U
+    val u2 = col("r2a") - col("na_tot").cast("decimal(38,0)") *
+      (col("na_tot") + 1L) // = 2U, exact decimals end to end
     val variance = naD * nbD / lit(12.0) *
       ((nD + lit(1.0)) - col("ties").cast("double") /
         (nD * (nD - lit(1.0))))

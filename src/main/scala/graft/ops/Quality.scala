@@ -909,10 +909,12 @@ object Quality {
       Seq(count(lit(1)).as("n"), sum(row).as("t"),
         sum(row * row).as("r2"))
     val a = items.agg(aggs.head, aggs.tail: _*)
-    val sumC2 = (0 until k).map(i => col(s"c$i") * col(s"c$i"))
-      .reduce(_ + _)
+    // T² and ΣC² reach k²N² — past signed-64 at ~10⁹ docs: exact
+    // DECIMAL(38,0) arithmetic (the mannWhitneyU discipline)
+    val sumC2 = (0 until k).map(i => col(s"c$i").cast("decimal(38,0)") *
+      col(s"c$i")).reduce(_ + _)
     val num = lit((k - 1).toLong) * (lit(k.toLong) * sumC2 -
-      col("t") * col("t"))
+      col("t").cast("decimal(38,0)") * col("t"))
     val den = lit(k.toLong) * col("t") - col("r2")
     val q = num.cast("double") / den.cast("double")
     val dfv = (k - 1).toDouble
