@@ -551,14 +551,18 @@ object Analytics {
       .withColumn("mu", mu0.map(lit(_)).getOrElse(
         sum(col("x")).over(g).cast("double") /
           count(lit(1)).over(g).cast("double")))
-    // the running sums stay on 1e9-snapped INTEGERS: a window engine
-    // is free to re-associate its segment-tree partials (the q99
-    // decimal-rolling-sum lesson), which integer addition shrugs off
+    // the running sums stay on 1e9-snapped integers carried as
+    // DECIMAL(38,0): a window engine is free to re-associate its
+    // segment-tree partials (the q99 decimal-rolling-sum lesson),
+    // which exact integer addition shrugs off — and decimal width
+    // keeps a 1e9-rate × years series inside range (long caps ~9e18)
     val dI = floor((col("x").cast("double") -
-      col("mu") * lit(1.0 + slack)) * lit(1e9) + lit(0.5)).cast("long")
+      col("mu") * lit(1.0 + slack)) * lit(1e9) + lit(0.5))
+      .cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
     val s = base.withColumn("c", sum(dI).over(run))
       .withColumn("m", min(col("c")).over(run))
-      .withColumn("s", col("c") - least(col("m"), lit(0L)))
+      .withColumn("s", col("c") - least(col("m"), zero))
     s.select(col("grp"), col("step"), col("x"),
       round(col("s").cast("double") / lit(1e9), 6).as("cusum"),
       (col("s").cast("double") / lit(1e9) > col("mu") * lit(hMult))
@@ -1189,9 +1193,12 @@ object Analytics {
     // LLR/decision are undefined → NULL, the ksDrift convention; p0 is
     // group-constant so the whole group nulls together
     val ok = col("p0") > 0.0 && col("p0") < 1.0
+    // snapped-integer accumulation as DECIMAL(38,0) — the cusumDrift
+    // width argument (a 1e9-rate series outgrows long)
     val cum = base
       .withColumn("ti", when(ok,
-        floor(term * lit(1e9) + lit(0.5)).cast("long")).otherwise(0L))
+        floor(term * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
       .withColumn("llr9", sum(col("ti")).over(run))
       .withColumn("llr", when(ok,
         col("llr9").cast("double") / lit(1e9)))

@@ -151,10 +151,12 @@ object StreamCuration {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("grp",
           org.apache.spark.sql.types.StringType),
+        // snapped-integer state as DECIMAL(38,0) — the batch
+        // operator's width argument (a 1e9-rate series outgrows long)
         org.apache.spark.sql.types.StructField("c",
-          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.DecimalType(38, 0)),
         org.apache.spark.sql.types.StructField("m",
-          org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.DecimalType(38, 0)))))
     val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
       empty.localCheckpoint(true))
     countStream.writeStream
@@ -164,13 +166,15 @@ object StreamCuration {
         if (!batch.isEmpty) {
           // one step per group: the batch's total x, snapped deviation
           // (the cusumDrift dI expression with mu as the fixed literal)
+          val dec0 = lit(0).cast("decimal(38,0)")
           val stepX = batch.groupBy(col(grpCol).as("grp"))
             .agg(sum(col(xCol)).as("x"))
             .withColumn("d", floor((col("x").cast("double") -
               lit(mu) * lit(1.0 + slack)) * lit(1e9) + lit(0.5))
-              .cast("long"))
+              .cast("decimal(38,0)"))
           val upd = stepX.join(state.get(), Seq("grp"), "left")
-            .withColumn("cn", coalesce(col("c"), lit(0L)) + col("d"))
+            .withColumn("cn", (coalesce(col("c"), dec0) + col("d"))
+              .cast("decimal(38,0)"))
             .withColumn("mn", least(coalesce(col("m"), col("cn")),
               col("cn")))
           val keep = state.get().join(stepX.select(col("grp")),
@@ -179,9 +183,9 @@ object StreamCuration {
             col("mn").as("m")).unionByName(keep).localCheckpoint(true)
           state.set(next)
           sink(upd.select(col("grp"), col("x"),
-            round((col("cn") - least(col("mn"), lit(0L))).cast("double") /
+            round((col("cn") - least(col("mn"), dec0)).cast("double") /
               lit(1e9), 6).as("cusum"),
-            ((col("cn") - least(col("mn"), lit(0L))).cast("double") /
+            ((col("cn") - least(col("mn"), dec0)).cast("double") /
               lit(1e9) > lit(mu) * lit(hMult)).as("alarm")), epochId)
         }
       }
