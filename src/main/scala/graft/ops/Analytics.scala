@@ -756,7 +756,10 @@ object Analytics {
     * corpus pass — callers hand the already-bounded daily table), and the
     * triangular grid self-join is |steps|² per group — calendar-bounded,
     * independent of corpus size, embarrassingly parallel across groups.
-    * μ and σ (sample) are the group's own exact-rational moments.
+    * μ and σ (sample) are the group's own exact-rational moments
+    * (exact for the integer-valued series this monitors — counts; a
+    * non-integer x would make the raw moment sums order-sensitive,
+    * which the snapped z-sums never are).
     * Returns (grp, step, x, ewma, lcl, ucl, alarm), 6 dp. */
   def ewmaDrift(counts: DataFrame, grp: Column, step: Column, x: Column,
       lambda: Double = 0.2, lMult: Double = 3.0,
