@@ -107,8 +107,18 @@ object Bench {
     val p50s = results.map { case (k, (_, p)) => s"\"" + k + "\":" + r3(p) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // host-drift indicator: the median over queries of p50/min. ~1.0 =
+    // quiet host (medians sit on the mins); >>1 = memory-reclaim stalls
+    // inflated repeat samples — read regressions against THIS, not prose
+    val ratios = results.values.collect {
+      case (v, p) if v > 0 && p > 0 => p / v
+    }.toVector.sorted
+    val driftMedian =
+      if (ratios.isEmpty) 1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}"""
     println(full)
     // The driver artifact tail-truncates long stdout (BENCH_r06 lost its
     // head 38 timings) — always write the COMPLETE line to a file too.

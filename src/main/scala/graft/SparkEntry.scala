@@ -7165,7 +7165,7 @@ object SparkEntry {
       ("WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "f AS (SELECT term, min(doc_id) AS fd FROM tf GROUP BY 1), " +
         "jj AS (SELECT CAST(ceil(log2(CAST(fd AS DOUBLE) + CAST(1 AS DOUBLE))) AS INT) AS j, count(*) AS c FROM f GROUP BY 1), " +
-        "nn AS (SELECT CAST(ceil(log2(CAST(count(*) AS DOUBLE))) AS INT) AS jmax FROM documents), " +
+        "nn AS (SELECT CAST(ceil(log2(CAST(max(doc_id) + 1 AS DOUBLE))) AS INT) AS jmax FROM documents), " +
         "grid AS (SELECT CAST(g.i AS INT) AS j FROM generate_series(0, 40) AS g(i), nn WHERE g.i <= jmax), " +
         "v AS (SELECT j, sum(coalesce(c, 0)) OVER (ORDER BY j) AS v FROM grid LEFT JOIN jj USING (j)), " +
         "pts AS (SELECT CAST(pow(CAST(2 AS DOUBLE), CAST(j AS DOUBLE)) AS BIGINT) AS n, CAST(v AS BIGINT) AS v, " +
@@ -7234,7 +7234,7 @@ object SparkEntry {
         "t * (CAST(-1.453152027 AS DOUBLE) + t * CAST(1.061405429 AS DOUBLE))))) * exp(-(y * y)) " +
         "* CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000000 AS DOUBLE) AS praw FROM tt), " +
         "rr AS (SELECT source, n_docs, n_keep, round(z, 4) AS z, CASE WHEN se > CAST(0 AS DOUBLE) THEN praw END AS p FROM pv), " +
-        "bh AS (SELECT source, p, row_number() OVER (ORDER BY p, source) AS rnk, count(*) OVER () AS mm FROM rr), " +
+        "bh AS (SELECT source, p, row_number() OVER (ORDER BY p, source) AS rnk, count(p) OVER () AS mm FROM rr), " +
         "ok AS (SELECT *, CASE WHEN p <= CAST(rnk AS DOUBLE) * CAST(0.1 AS DOUBLE) / CAST(mm AS DOUBLE) THEN rnk END AS okr FROM bh), " +
         "ks AS (SELECT *, coalesce(max(okr) OVER (), 0) AS kstar FROM ok) " +
         "SELECT r.source, r.n_docs, r.n_keep, r.z, round(k.p, 6) AS p_value, " +
@@ -7323,7 +7323,8 @@ object SparkEntry {
         "CAST(na_tot AS DOUBLE) AS nad, CAST(nb_tot AS DOUBLE) AS nbd, " +
         "CAST(na_tot + nb_tot AS DOUBLE) AS nd, CAST(ties AS DOUBLE) AS tiesd FROM s), " +
         "t1 AS (SELECT *, nad * nbd / CAST(12 AS DOUBLE) * ((nd + CAST(1 AS DOUBLE)) - tiesd / (nd * (nd - CAST(1 AS DOUBLE)))) AS variance FROM t0), " +
-        "t2 AS (SELECT *, (CAST(u2 AS DOUBLE) - nad * nbd) / CAST(2 AS DOUBLE) / sqrt(variance) AS z FROM t1), " +
+        "t2 AS (SELECT *, CASE WHEN variance > CAST(0 AS DOUBLE) THEN " +
+        "(CAST(u2 AS DOUBLE) - nad * nbd) / CAST(2 AS DOUBLE) / sqrt(variance) END AS z FROM t1), " +
         "yy AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS y FROM t2), " +
         "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS t FROM yy) " +
         "SELECT grp AS event_type, na_tot AS n_a, nb_tot AS n_b, " +

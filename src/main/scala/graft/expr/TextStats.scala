@@ -946,10 +946,20 @@ object TextStats {
       .select(id.as("doc_id"), explode(tokens(text)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     // driver scalar: the checkpoint-grid extent (the kmeans/BPE
-    // driver-state convention — a count, not data)
-    val nDocs = docs.count()
-    require(nDocs > 0, "heapsLawFit: empty corpus")
-    val jmax = math.ceil(math.log(nDocs.toDouble) / math.log(2.0)).toInt
+    // driver-state convention — one number, not data). pos = doc_id+1
+    // treats doc_id as a 0-based SEQUENCE POSITION, so the grid must
+    // cover max(doc_id)+1 — deriving it from count(docs) would drop
+    // first-occurrence buckets with j > ⌈log2(count)⌉ whenever ids
+    // are sparse or offset, silently undercounting V at the top
+    // checkpoints. With sparse ids the curve's n axis still reads
+    // "id-space position", not "docs ingested" — dense 0-based ids
+    // are the intended input.
+    val maxIdRow = docs.agg(org.apache.spark.sql.functions
+      .max(id.cast("long"))).head()
+    require(!maxIdRow.isNullAt(0), "heapsLawFit: empty corpus")
+    val nPos = maxIdRow.getLong(0) + 1L
+    require(nPos > 0L, s"heapsLawFit: negative doc ids (max=${nPos - 1L})")
+    val jmax = math.ceil(math.log(nPos.toDouble) / math.log(2.0)).toInt
     // pos = fd + 1; smallest checkpoint covering pos is 2^⌈log2(pos)⌉
     // (exact: log2 of a power-of-two double is exact, ceil absorbs
     // the rest — fd = 0 lands on j = 0 with no special case)

@@ -478,7 +478,10 @@ object Analytics {
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     tests.select(grp.as("grp"), p.as("p"))
       .withColumn("rnk", row_number().over(w))
-      .withColumn("m", count(lit(1)).over(all))
+      // m = the number of ACTUAL tests (BH's m): NULL-p rows are
+      // undefined tests, not evidence — counting them would deflate
+      // every i·q/m threshold and make the procedure conservative
+      .withColumn("m", count(col("p")).over(all))
       .withColumn("ok",
         col("p") <= col("rnk").cast("double") * lit(q) /
           col("m").cast("double"))
@@ -736,9 +739,13 @@ object Analytics {
       ((nD + lit(1.0)) - col("ties").cast("double") /
         (nD * (nD - lit(1.0))))
     val z = (u2.cast("double") - naD * nbD) / lit(2.0) / sqrt(variance)
+    // degenerate variance (one arm empty, or a single distinct value)
+    // makes z undefined: NULL, not NaN/Inf — the theilSenTrend /
+    // spearmanCorr / chi2Drift NULL-for-undefined convention
+    val zDef = when(variance > lit(0.0), round(z, 4))
     s.select(col("grp"), col("na_tot").as("n_a"), col("nb_tot").as("n_b"),
-      (u2.cast("double") / lit(2.0)).as("u"), round(z, 4).as("z"),
-      round(normalPValue2(z), 6).as("p_value"))
+      (u2.cast("double") / lit(2.0)).as("u"), zDef.as("z"),
+      when(variance > lit(0.0), round(normalPValue2(z), 6)).as("p_value"))
   }
 
   /** EWMA control chart (Roberts 1959) over a per-(group, step) series —

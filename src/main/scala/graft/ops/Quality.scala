@@ -396,13 +396,19 @@ object Quality {
     * snapping needed); the final ratio rounds to 6 dp.
     *
     * Scale shape: the corpus aggregates to per-(score) and
-    * per-(group, score) counts FIRST (map-side combine), so the one
-    * unpartitioned cumulative window runs over the DISTINCT-score grid
-    * — bounded by the score's rounding grid (the q137 exact-percentile
-    * argument), not by |rows|. Returns (grp, n_docs, auc). */
+    * per-(group, score) counts FIRST (map-side combine), and the
+    * ranking is TWO-LEVEL distributed: scores quantize into
+    * `bucketWidth`-wide range buckets, per-bucket totals roll up to a
+    * bucket-count-bounded offset table (the only unpartitioned window
+    * — |buckets| = score range / bucketWidth rows, data-independent),
+    * and the within-bucket cumulative window partitions BY bucket. A
+    * continuous score (per-doc NLL — distinct ≈ |docs|) therefore
+    * never funnels the corpus to one task; the single-partition global
+    * ranking this replaced did. Returns (grp, n_docs, auc). */
   def rankAuc(df: DataFrame, grp: Column, score: Column,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : DataFrame = {
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      bucketWidth: Double = 1.0): DataFrame = {
+    require(bucketWidth > 0, s"rankAuc: bucketWidth=$bucketWidth")
     // the ONLY corpus pass: one map-side-combined aggregation to the
     // (group × score-grid)-bounded count table; the global count, the
     // grid totals, and the rank join all derive from it
@@ -410,11 +416,22 @@ object Quality {
       .select(grp.as("grp"), score.cast("double").as("score"))
       .groupBy(col("grp"), col("score")).agg(count(lit(1)).as("n_g")))
     val g = per.groupBy(col("score")).agg(sum(col("n_g")).as("n_all"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .withColumn("b", floor(col("score") / lit(bucketWidth)).cast("long"))
+    // level 1: strictly-below-bucket offsets over the bounded bucket
+    // table (range/bucketWidth rows — constant-bounded, never corpus-)
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ranks = g.select(col("score"),
-      (coalesce(sum(col("n_all")).over(w), lit(0L)) +
-        (col("n_all") + lit(1L)) / lit(2.0)).as("avg_rank"))
+    val offsets = g.groupBy(col("b")).agg(sum(col("n_all")).as("nb"))
+      .select(col("b"),
+        coalesce(sum(col("nb")).over(wb), lit(0L)).as("below_bucket"))
+    // level 2: within-bucket cumulative, partitioned by bucket
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = g.join(broadcast(offsets), "b")
+      .select(col("score"),
+        (col("below_bucket") + coalesce(sum(col("n_all")).over(w), lit(0L)) +
+          (col("n_all") + lit(1L)) / lit(2.0)).as("avg_rank"))
     per.join(broadcast(ranks), "score")
       .groupBy(col("grp"))
       .agg(sum(col("n_g")).as("p"),

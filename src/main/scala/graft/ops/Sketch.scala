@@ -274,6 +274,12 @@ object Sketch {
       .cast("long")
     val d = materialize(Fanout.fanout(df)
       .select(grp.as("grp"), h.as("h")).distinct())
+    // the union row is an IN-BAND sentinel (part of the output
+    // contract); a genuine "__union" group would silently merge into
+    // it and double-count in n_exact — fail loudly instead. Cheap:
+    // `d` is already materialized, this is a checkpoint re-scan.
+    require(d.filter(col("grp") === "__union").limit(1).isEmpty,
+      "kmvDistinct: input contains the reserved group label '__union'")
     val all = d.unionByName(
       d.select(lit("__union").as("grp"), col("h")).distinct())
     val topk = all

@@ -983,6 +983,52 @@ class QualitySpec extends SparkSpec {
     assert(epochs(epochs.keys.max) == want(b1 ++ b2))
   }
 
+  test("startWatermarkFunnelSink: batch ≡ stream under SHUFFLED arrival " +
+    "within the watermark (the out-of-order caveat narrows to beyond-" +
+    "watermark lateness)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    // u1 converts fully but its view ARRIVES after its click (the case
+    // the arrival-order sink documents as lost); u2's click precedes
+    // its view in EVENT time (never converts); u9 is the watermark
+    // pusher that finalizes everything BEFORE it (itself still
+    // buffered: the emission covers finalized events only)
+    val finalized = Seq(("u1", 10L, "view"), ("u1", 20L, "click"),
+      ("u1", 30L, "purchase"), ("u2", 12L, "view"), ("u2", 11L, "click"),
+      ("u3", 15L, "view"))
+    def run(batches: Seq[Seq[(String, Long, String)]]): Seq[String] = {
+      val ms = MemoryStream[(String, Long, String)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamFunnel.startWatermarkFunnelSink(
+        ms.toDF().toDF("u", "ts", "st"), "u", "ts", "st",
+        Seq("view", "click", "purchase"), 50L,
+        java.nio.file.Files.createTempDirectory("wmfunnel-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).sorted.toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = Analytics.funnel(finalized.toDF("u", "ts", "st"), col("u"),
+      col("ts"), col("st"), Seq("view", "click", "purchase"))
+      .collect().map(_.toString).sorted.toSeq
+    // arrival order A: click-before-view across batches
+    val a = run(Seq(
+      Seq(("u1", 20L, "click"), ("u2", 12L, "view")),
+      Seq(("u1", 10L, "view"), ("u2", 11L, "click"),
+        ("u3", 15L, "view"), ("u1", 30L, "purchase")),
+      Seq(("u9", 1000L, "view"))))
+    // arrival order B: a different shuffle of the same events
+    val b = run(Seq(
+      Seq(("u1", 30L, "purchase"), ("u3", 15L, "view")),
+      Seq(("u2", 11L, "click"), ("u1", 20L, "click")),
+      Seq(("u2", 12L, "view"), ("u1", 10L, "view"), ("u9", 1000L, "view"))))
+    assert(a == want, s"order A diverged from batch:\n$a\nvs\n$want")
+    assert(b == want, s"order B diverged from batch:\n$b\nvs\n$want")
+  }
+
   test("riskCoverage: hand curve; chosen = smallest threshold at the " +
     "accuracy bar (max coverage); unreachable bar marks nothing") {
     val preds = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true))

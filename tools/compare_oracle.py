@@ -12,6 +12,13 @@ column types must match between the spark-parquet scan and the oracle
 query (BIGINT vs HUGEINT/DECIMAL is a FAIL even when values are ==), and
 cell values must agree on Python type as well as value (Decimal(5) == 5
 is True under ==, but hashes differently downstream — so it FAILS here).
+
+Besides the human-readable PASS/FAIL lines, writes a driver-schema
+correctness artifact ({"rows_match", "schema_match", "hash_match",
+"spark_rows", "oracle_rows", "err"} per query) to the path given as the
+third argument (default CORRECTNESS_LOCAL.json in the repo root), so the
+repo always carries a machine-readable record of the local gate even if
+a driver run's artifact arrives empty.
 """
 import json
 import math
@@ -23,6 +30,9 @@ import duckdb
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+RECORD_PATH = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "CORRECTNESS_LOCAL.json")
 
 con = duckdb.connect()
 for p in glob.glob(os.path.join(SF_DIR, "*.parquet")):
@@ -40,11 +50,20 @@ def canon(rel):
     out.sort(key=lambda t: tuple((v is None, str(v)) for v in t))
     return [cols[i] for i in order], [types[i] for i in order], out
 
+record = {}
+
+def rec(name, rows_match=False, schema_match=False, hash_match=False,
+        spark_rows=None, oracle_rows=None, err=None):
+    record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "hash_match": hash_match, "spark_rows": spark_rows,
+                    "oracle_rows": oracle_rows, "err": err}
+
 n_pass = n_fail = 0
 for name in sorted(oracle):
     spark_dir = os.path.join(OUT_DIR, name)
     if not os.path.isdir(spark_dir):
         print(f"FAIL {name}: no spark output")
+        rec(name, err="no spark output")
         n_fail += 1
         continue
     try:
@@ -52,21 +71,32 @@ for name in sorted(oracle):
             con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
         du_cols, du_types, du_rows = canon(con.sql(oracle[name]))
     except Exception as e:
-        print(f"FAIL {name}: {str(e).splitlines()[0][:160]}")
+        msg = str(e).splitlines()[0][:160]
+        print(f"FAIL {name}: {msg}")
+        rec(name, err=msg)
         n_fail += 1
         continue
     if sp_cols != du_cols:
         print(f"FAIL {name}: columns {sp_cols} vs {du_cols}")
+        rec(name, spark_rows=len(sp_rows), oracle_rows=len(du_rows),
+            rows_match=len(sp_rows) == len(du_rows),
+            err=f"columns {sp_cols} vs {du_cols}"[:160])
         n_fail += 1
         continue
     if sp_types != du_types:
         diff = [(c, a, b) for c, a, b in zip(sp_cols, sp_types, du_types)
                 if a != b]
         print(f"FAIL {name}: types spark vs duckdb {diff}")
+        rec(name, spark_rows=len(sp_rows), oracle_rows=len(du_rows),
+            rows_match=len(sp_rows) == len(du_rows),
+            err=f"types {diff}"[:160])
         n_fail += 1
         continue
     if len(sp_rows) != len(du_rows):
         print(f"FAIL {name}: rows {len(sp_rows)} vs {len(du_rows)}")
+        rec(name, schema_match=True,
+            spark_rows=len(sp_rows), oracle_rows=len(du_rows),
+            err=f"rows {len(sp_rows)} vs {len(du_rows)}")
         n_fail += 1
         continue
     bad = None
@@ -89,9 +119,14 @@ for name in sorted(oracle):
             break
     if bad:
         print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r} delta={bad[4]}")
+        rec(name, rows_match=True, schema_match=True,
+            spark_rows=len(sp_rows), oracle_rows=len(du_rows),
+            err=f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}"[:160])
         n_fail += 1
     else:
         print(f"PASS {name} ({len(sp_rows)} rows)")
+        rec(name, rows_match=True, schema_match=True, hash_match=True,
+            spark_rows=len(sp_rows), oracle_rows=len(du_rows))
         n_pass += 1
 
 # any spark output without an oracle entry gets the driver's weaker
@@ -104,5 +139,11 @@ for q in extra:
     status = "INFO" if n > 0 else "FAIL"
     if n == 0:
         n_fail += 1
+    rec(q, rows_match=n > 0, spark_rows=n,
+        err=None if n > 0 else "rows-only check: 0 rows")
     print(f"{status} {q}: rows-only, {n} rows")
-print(f"== {n_pass} pass / {n_fail} fail ==")
+
+with open(RECORD_PATH, "w") as f:
+    json.dump(record, f, indent=2, sort_keys=True)
+    f.write("\n")
+print(f"== {n_pass} pass / {n_fail} fail == (record: {RECORD_PATH})")
