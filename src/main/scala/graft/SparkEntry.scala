@@ -3210,6 +3210,69 @@ object SparkEntry {
     * q208 hash arms per type — WHERE in the distribution any shift
     * lives, the magnitude readout next to q180's KS max-distance
     * ([[ops.Analytics.quantileShift]]). */
+  /** CUPED variance-reduced A/B readout over the q208 hash arms
+    * ([[ops.Analytics.cupedAdjust]]): units = users, experiment metric
+    * y = the user's value total in the SECOND half of the window,
+    * covariate x = the same total in the FIRST half (the canonical
+    * pre-period covariate). Both per-user totals are 1e9-snapped
+    * (order-free), the moment pass is one aggregation. */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val units = ev.groupBy(col("user_id")).agg(
+      (graft.expr.Snap.snappedSum(
+        when(col("ts") < cut, col("value")).otherwise(lit(0.0)), 1e9))
+        .as("x"),
+      (graft.expr.Snap.snappedSum(
+        when(col("ts") >= cut, col("value")).otherwise(lit(0.0)), 1e9))
+        .as("y"))
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.cupedAdjust(units, isA, col("x"), col("y"))
+  }
+
+  /** Delete-one-source jackknife CI for revenue-per-event — the error
+    * bar a ratio metric actually needs when numerator and denominator
+    * are correlated within groups ([[ops.Analytics.jackknifeRatio]]);
+    * groups = event types. */
+  private def qJackknife(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.jackknifeRatio(t(s, dir, "events"), col("event_type"),
+      col("value"), lit(1.0))
+
+  /** Benjamini–Yekutieli-corrected per-source gopher-rate z-tests —
+    * q212's BH pass under ARBITRARY dependence (the per-source tests
+    * share the pooled rate, so the PRDS assumption behind plain BH is
+    * not a given; BY's harmonic-number penalty is the assumption-free
+    * fallback). Same test table, same output shape. */
+  private def qByFdr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val per = docs.select(col("doc_id"), col("source")).join(keep, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("n", sum(col("n_docs")).over(all))
+      .withColumn("kall", sum(col("n_keep")).over(all))
+    val pg = col("kall").cast("double") / col("n").cast("double")
+    val ps = col("n_keep").cast("double") / col("n_docs").cast("double")
+    val se = sqrt(pg * (lit(1.0) - pg) *
+      (lit(1.0) / col("n_docs").cast("double") +
+        lit(1.0) / col("n").cast("double")))
+    val z = (ps - pg) / se
+    val pv = floor(ops.Analytics.normalPValue2(z) * lit(1e9) + lit(0.5))
+      .cast("double") / lit(1e9)
+    // single consumer (the BY pass) — no checkpoint needed, unlike q212
+    val tests = per.select(col("source"), col("n_docs"),
+      when(se > 0.0, pv).as("p"))
+    ops.Analytics.bhFdr(tests, col("source"), col("p"), 0.1,
+        yekutieli = true)
+      .select(col("grp").as("source"), round(col("p"), 6).as("p_value"),
+        col("rnk").cast("long").as("rnk"), col("reject"))
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -3855,7 +3918,10 @@ object SparkEntry {
     "q244_ess_report" -> (qEssReport _),
     "q245_cochran_q" -> (qCochranQ _),
     "q246_mcnemar" -> (qMcnemar _),
-    "q247_quantile_shift" -> (qQuantileShift _))
+    "q247_quantile_shift" -> (qQuantileShift _),
+    "q248_cuped" -> (qCuped _),
+    "q249_jackknife_ratio" -> (qJackknife _),
+    "q250_by_fdr" -> (qByFdr _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -7979,5 +8045,92 @@ object SparkEntry {
         "GROUP BY 1, 2, 3) " +
         "SELECT e.grp AS event_type, e.pct, e.q AS q_expected, a.q AS q_actual, " +
         "round(a.q - e.q, 6) AS shift FROM q e JOIN q a " +
-        "ON a.grp = e.grp AND a.pct = e.pct AND e.half = 'e' AND a.half = 'a'"))
+        "ON a.grp = e.grp AND a.pct = e.pct AND e.half = 'e' AND a.half = 'a'"),
+    "q248_cuped" ->
+      // per-user pre/post value totals as 1e9-snapped sums, one pooled
+      // moment pass, θ = Cov/Var(x), Var(y') via the variance identity
+      ("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CAST(floor((CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS x, " +
+        "CAST(sum(CAST(floor((CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS y, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a " +
+        "FROM events GROUP BY 1), " +
+        "m AS (SELECT count(*) AS n, " +
+        "CAST(sum(CAST(floor(x * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sx, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy, " +
+        "CAST(sum(CAST(floor(x * x * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxx, " +
+        "CAST(sum(CAST(floor(x * y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxy, " +
+        "CAST(sum(CAST(floor(y * y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS syy, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN x ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sx_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN x ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sx_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_b " +
+        "FROM u), " +
+        "d AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m), " +
+        "t0 AS (SELECT *, (sxx - sx * sx / nd) / nd AS varx, " +
+        "(sxy - sx * sy / nd) / nd AS covxy, " +
+        "(syy - sy * sy / nd) / nd AS vary, sx / nd AS xbar FROM d), " +
+        "t1 AS (SELECT *, CASE WHEN varx > CAST(0 AS DOUBLE) THEN covxy / varx END AS theta FROM t0), " +
+        "t2 AS (SELECT *, vary - theta * covxy AS varadj FROM t1) " +
+        "SELECT 'treat' AS arm, n_a AS n_units, round(theta, 6) AS theta, " +
+        "round(sy_a / CAST(n_a AS DOUBLE), 6) AS mean_y, " +
+        "round(sy_a / CAST(n_a AS DOUBLE) - theta * (sx_a / CAST(n_a AS DOUBLE) - xbar), 6) AS mean_y_adj, " +
+        "round(vary, 6) AS var_y, round(varadj, 6) AS var_y_adj, " +
+        "CASE WHEN vary > CAST(0 AS DOUBLE) THEN round(CAST(1 AS DOUBLE) - varadj / vary, 6) END AS var_reduction FROM t2 " +
+        "UNION ALL " +
+        "SELECT 'ctrl', n_b, round(theta, 6), " +
+        "round(sy_b / CAST(n_b AS DOUBLE), 6), " +
+        "round(sy_b / CAST(n_b AS DOUBLE) - theta * (sx_b / CAST(n_b AS DOUBLE) - xbar), 6), " +
+        "round(vary, 6), round(varadj, 6), " +
+        "CASE WHEN vary > CAST(0 AS DOUBLE) THEN round(CAST(1 AS DOUBLE) - varadj / vary, 6) END FROM t2"),
+    "q249_jackknife_ratio" ->
+      // per-type snapped (Σvalue, Σ1) sums, leave-one-out ratios, the
+      // (g−1)/g jackknife variance over snapped Σ-moments
+      ("WITH pg AS (SELECT event_type AS grp, " +
+        "CAST(sum(CAST(floor(value * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS n_i, " +
+        "CAST(sum(CAST(floor(1.0 * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS d_i " +
+        "FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(CAST(floor(n_i * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS nt, " +
+        "CAST(sum(CAST(floor(d_i * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS dt, " +
+        "count(*) AS ng FROM pg), " +
+        "loo AS (SELECT ng, nt, dt, CASE WHEN dt - d_i <> CAST(0 AS DOUBLE) THEN (nt - n_i) / (dt - d_i) END AS r_i " +
+        "FROM pg CROSS JOIN tot), " +
+        "s AS (SELECT max(ng) AS n_groups, max(nt) AS nt, max(dt) AS dt, count(r_i) AS k, " +
+        "CAST(sum(CAST(floor(coalesce(r_i, CAST(0 AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sr, " +
+        "CAST(sum(CAST(floor(coalesce(r_i * r_i, CAST(0 AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS srr " +
+        "FROM loo), " +
+        "f AS (SELECT *, CAST(k AS DOUBLE) AS kd FROM s), " +
+        "f2 AS (SELECT *, CASE WHEN k > 1 AND dt <> CAST(0 AS DOUBLE) THEN " +
+        "sqrt(((srr - sr * sr / kd) / kd) * (kd - CAST(1 AS DOUBLE))) END AS se FROM f) " +
+        "SELECT n_groups, round(nt / dt, 6) AS ratio, round(se, 6) AS se_jack, " +
+        "round(nt / dt - CAST(1.96 AS DOUBLE) * se, 6) AS ci_lo, " +
+        "round(nt / dt + CAST(1.96 AS DOUBLE) * se, 6) AS ci_hi FROM f2"),
+    "q250_by_fdr" ->
+      // q212's per-source z-tests under the Benjamini–Yekutieli
+      // harmonic penalty c(m) = Σ 1/i (1e9-snapped decimal sum):
+      // thresholds i·q/(m·c(m)) — valid under arbitrary dependence
+      (s"WITH $gopherStatsCte, " +
+        s"kk AS (SELECT d.source, count(*) AS n_docs, CAST(sum(CASE WHEN $gopherKeepPred THEN 1 ELSE 0 END) AS BIGINT) AS n_keep " +
+        "FROM m JOIN documents d USING (doc_id) GROUP BY 1), " +
+        "gg AS (SELECT source, n_docs, n_keep, CAST(sum(n_docs) OVER () AS BIGINT) AS n, CAST(sum(n_keep) OVER () AS BIGINT) AS kall FROM kk), " +
+        "st AS (SELECT source, n_docs, n_keep, " +
+        "sqrt(CAST(kall AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(kall AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(1 AS DOUBLE) / CAST(n_docs AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n AS DOUBLE))) AS se, " +
+        "(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) - CAST(kall AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "sqrt(CAST(kall AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(kall AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(1 AS DOUBLE) / CAST(n_docs AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z FROM gg), " +
+        "yy AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS y FROM st), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * y) AS t FROM yy), " +
+        "pv AS (SELECT *, floor(t * (CAST(0.254829592 AS DOUBLE) + t * (CAST(-0.284496736 AS DOUBLE) + t * (CAST(1.421413741 AS DOUBLE) + " +
+        "t * (CAST(-1.453152027 AS DOUBLE) + t * CAST(1.061405429 AS DOUBLE))))) * exp(-(y * y)) " +
+        "* CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000000 AS DOUBLE) AS praw FROM tt), " +
+        "rr AS (SELECT source, CASE WHEN se > CAST(0 AS DOUBLE) THEN praw END AS p FROM pv), " +
+        "bh AS (SELECT source, p, row_number() OVER (ORDER BY p, source) AS rnk, count(p) OVER () AS mm FROM rr), " +
+        "cm AS (SELECT *, CAST(sum(CASE WHEN p IS NOT NULL THEN " +
+        "CAST(floor(CAST(1000000000 AS DOUBLE) / CAST(rnk AS DOUBLE) + 0.5) AS DECIMAL(38,0)) END) OVER () AS DOUBLE) / 1000000000 AS cmv FROM bh), " +
+        "ok AS (SELECT *, CASE WHEN p <= CAST(rnk AS DOUBLE) * CAST(0.1 AS DOUBLE) / (CAST(mm AS DOUBLE) * cmv) THEN rnk END AS okr FROM cm), " +
+        "ks AS (SELECT *, coalesce(max(okr) OVER (), 0) AS kstar FROM ok) " +
+        "SELECT source, round(p, 6) AS p_value, CAST(rnk AS BIGINT) AS rnk, " +
+        "rnk <= kstar AS reject FROM ks"))
 }

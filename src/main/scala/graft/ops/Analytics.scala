@@ -466,7 +466,7 @@ object Analytics {
     * are test-table-sized, never data-sized. Returns
     * (grp, p, rnk, reject). */
   def bhFdr(tests: DataFrame, grp: Column, p: Column,
-      q: Double = 0.1): DataFrame = {
+      q: Double = 0.1, yekutieli: Boolean = false): DataFrame = {
     // NULLS LAST: an undefined test (NULL p) ranks after every real
     // p-value in ANY engine (Spark's ASC default is nulls-first,
     // DuckDB's is nulls-last — pin the portable order)
@@ -476,6 +476,19 @@ object Analytics {
       .partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // Benjamini–Yekutieli 2001: divide every threshold by the harmonic
+    // number c(m) = Σ_{i≤m} 1/i — valid under ARBITRARY dependence
+    // between the tests (overlapping slices, shared denominators),
+    // where plain BH assumes positive regression dependence. The
+    // harmonic terms accumulate as 1e9-snapped decimals (order-free);
+    // non-NULL rows rank exactly 1..m, so summing 1/rnk over them IS
+    // c(m). c(m) = 1.0 for plain BH.
+    val cm =
+      if (!yekutieli) lit(1.0)
+      else sum(when(col("p").isNotNull,
+          floor(lit(1e9) / col("rnk").cast("double") + lit(0.5))
+            .cast("decimal(38,0)"))).over(all)
+        .cast("double") / lit(1e9)
     tests.select(grp.as("grp"), p.as("p"))
       .withColumn("rnk", row_number().over(w))
       // m = the number of ACTUAL tests (BH's m): NULL-p rows are
@@ -484,7 +497,7 @@ object Analytics {
       .withColumn("m", count(col("p")).over(all))
       .withColumn("ok",
         col("p") <= col("rnk").cast("double") * lit(q) /
-          col("m").cast("double"))
+          (col("m").cast("double") * cm))
       .withColumn("kstar",
         coalesce(max(when(col("ok"), col("rnk"))).over(all), lit(0)))
       .select(col("grp"), col("p"), col("rnk"),
@@ -1226,6 +1239,127 @@ object Analytics {
             (col("fu").isNull || col("fl") < col("fu")) &&
             col("step") >= col("fl"), lit("accept_h0"))
           .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): adjust each unit's experiment
+    * metric y by its PRE-period covariate x,
+    *   y' = y − θ·(x − x̄),  θ = Cov(x, y) / Var(x)  (pooled),
+    * which leaves every arm-mean difference unbiased (randomization
+    * makes x independent of assignment) while shrinking metric
+    * variance by the factor (1 − ρ²) — the standard way an A/B stack
+    * doubles its effective sample size without running longer.
+    *
+    * `units` is one row per experimental unit: `isA` the arm, `x` the
+    * pre-period covariate, `y` the experiment metric. One map-side-
+    * combined aggregation collects ALL moments (pooled and per-arm) in
+    * a single pass as 1e9-snapped sums (order-free — the q104
+    * contract); θ, means, and the variance identity
+    * Var(y') = Var(y) − 2θ·Cov + θ²·Var(x) are driver-free scalar
+    * arithmetic on that one row. Degenerate Var(x) = 0 → NULL θ and
+    * adjusted columns (NULL-for-undefined). Returns one row per arm:
+    * (arm, n_units, theta, mean_y, mean_y_adj, var_y, var_y_adj,
+    * var_reduction). */
+  def cupedAdjust(units: DataFrame, isA: Column, x: Column, y: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    val g = 1e9
+    val base = units.select(isA.as("a"), x.cast("double").as("x"),
+      y.cast("double").as("y"))
+    def arm(flag: Column, c: Column): Column =
+      Snap.snappedSum(when(flag, c).otherwise(lit(0.0)), g)
+    // the single corpus pass; two consumers (one per arm row)
+    val m = materialize(base.agg(
+      count(lit(1)).as("n"),
+      Snap.snappedSum(col("x"), g).as("sx"),
+      Snap.snappedSum(col("y"), g).as("sy"),
+      Snap.snappedSum(col("x") * col("x"), g).as("sxx"),
+      Snap.snappedSum(col("x") * col("y"), g).as("sxy"),
+      Snap.snappedSum(col("y") * col("y"), g).as("syy"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      arm(col("a"), col("x")).as("sx_a"),
+      arm(col("a"), col("y")).as("sy_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+      arm(!col("a"), col("x")).as("sx_b"),
+      arm(!col("a"), col("y")).as("sy_b")))
+    val n = col("n").cast("double")
+    val varX = (col("sxx") - col("sx") * col("sx") / n) / n
+    val covXY = (col("sxy") - col("sx") * col("sy") / n) / n
+    val varY = (col("syy") - col("sy") * col("sy") / n) / n
+    val theta = when(varX > 0.0, covXY / varX)
+    val xbar = col("sx") / n
+    // Var(y − θx) = Var(y) − 2θCov + θ²Var(x) = Var(y) − Cov²/Var(x)
+    val varAdj = varY - theta * covXY
+    val arms = Seq(("treat", col("n_a"), col("sx_a"), col("sy_a")),
+      ("ctrl", col("n_b"), col("sx_b"), col("sy_b")))
+    arms.map { case (label, na, sxa, sya) =>
+      val nd = na.cast("double")
+      val meanY = sya / nd
+      val meanAdj = meanY - theta * (sxa / nd - xbar)
+      m.select(lit(label).as("arm"), na.as("n_units"),
+        round(theta, 6).as("theta"),
+        round(meanY, 6).as("mean_y"),
+        round(meanAdj, 6).as("mean_y_adj"),
+        round(varY, 6).as("var_y"),
+        round(varAdj, 6).as("var_y_adj"),
+        when(varY > 0.0, round(lit(1.0) - varAdj / varY, 6))
+          .as("var_reduction"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Delete-one-group jackknife for a ratio metric R = Σnum / Σden
+    * (Quenouille 1956; the Tukey jackknife as operationalized for
+    * online-metric ratios — per-user or per-slice leave-one-out is how
+    * large A/B platforms put error bars on ratio metrics whose
+    * numerator and denominator are correlated, where the naive
+    * per-row variance is simply wrong). With g groups and leave-one-
+    * out estimates R_(i) = (N − n_i)/(D − d_i),
+    *   se² = (g−1)/g · Σ_i (R_(i) − R̄_(·))².
+    *
+    * Scale shape: ONE map-side-combined rollup to the per-group sums
+    * (the only corpus pass), the grand totals broadcast back, and the
+    * leave-one-out table is |groups|-sized with snapped Σ-moments —
+    * no window anywhere. A group that holds the ENTIRE denominator
+    * makes its R_(i) undefined → that group is skipped in the moments
+    * (se reflects the defined estimates; g counts all groups). Returns
+    * one row: (n_groups, ratio, se_jack, ci_lo, ci_hi) — 95% normal
+    * interval. */
+  def jackknifeRatio(df: DataFrame, grp: Column, num: Column, den: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    val g = 1e9
+    // the single corpus pass; two consumers (grand totals + LOO table)
+    val pg = materialize(df.select(grp.as("grp"),
+        num.cast("double").as("u"), den.cast("double").as("v"))
+      .groupBy(col("grp"))
+      .agg(Snap.snappedSum(col("u"), g).as("n_i"),
+        Snap.snappedSum(col("v"), g).as("d_i")))
+    val tot = pg.agg(Snap.snappedSum(col("n_i"), g).as("nt"),
+      Snap.snappedSum(col("d_i"), g).as("dt"),
+      count(lit(1)).as("ng"))
+    val loo = pg.crossJoin(broadcast(tot))
+      .select(col("ng"), col("nt"), col("dt"),
+        when(col("dt") - col("d_i") =!= 0.0,
+          (col("nt") - col("n_i")) / (col("dt") - col("d_i"))).as("r_i"))
+    val s = loo.groupBy()
+      .agg(max(col("ng")).as("n_groups"),
+        max(col("nt")).as("nt"), max(col("dt")).as("dt"),
+        count(col("r_i")).as("k"),
+        Snap.snappedSum(coalesce(col("r_i"), lit(0.0)), g).as("sr"),
+        Snap.snappedSum(coalesce(col("r_i") * col("r_i"), lit(0.0)), g)
+          .as("srr"))
+    val k = col("k").cast("double")
+    val ratio = col("nt") / col("dt")
+    val se = sqrt(((col("srr") - col("sr") * col("sr") / k) / k) *
+      (k - lit(1.0)))
+    val seDef = when(col("k") > 1L && col("dt") =!= 0.0, se)
+    s.select(col("n_groups"), round(ratio, 6).as("ratio"),
+      round(seDef, 6).as("se_jack"),
+      round(ratio - lit(1.96) * seDef, 6).as("ci_lo"),
+      round(ratio + lit(1.96) * seDef, 6).as("ci_hi"))
   }
 }
 

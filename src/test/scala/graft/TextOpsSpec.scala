@@ -1046,6 +1046,77 @@ class TextOpsSpec extends SparkSpec {
     assert(none.forall(!_.getBoolean(3)))
   }
 
+  test("bhFdr yekutieli: the harmonic penalty blocks what plain BH " +
+    "passes; NULL p neither counts in m nor in c(m)") {
+    import graft.ops.Analytics
+    // m = 3, c(3) = 1 + 1/2 + 1/3 (snapped) ≈ 1.833333333 →
+    // BY thresholds .018181…, .036363…, .054545… vs BH's .0333/.0667/.1:
+    // p = (.01, .03, .06) rejects ALL THREE under BH (k* = 3) but only
+    // the first two under BY (.06 > .054545 → k* = 2)
+    val tests = Seq(("a", 0.01), ("b", 0.03), ("c", 0.06)).toDF("g", "p")
+    val bh = Analytics.bhFdr(tests, col("g"), col("p"), 0.1)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(bh == Map("a" -> true, "b" -> true, "c" -> true))
+    val by = Analytics.bhFdr(tests, col("g"), col("p"), 0.1,
+      yekutieli = true)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(by == Map("a" -> true, "b" -> true, "c" -> false))
+    // a NULL p ranks last and joins neither m nor the harmonic sum:
+    // identical decisions for the real tests
+    val withNull = Seq(("a", Some(0.01)), ("b", Some(0.03)),
+      ("c", Some(0.06)), ("d", None)).toDF("g", "p")
+    val by2 = Analytics.bhFdr(withNull, col("g"), col("p"), 0.1,
+      yekutieli = true)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(by2 == Map("a" -> true, "b" -> true, "c" -> false,
+      "d" -> false))
+  }
+
+  test("cupedAdjust: exact θ on a y = 2x corpus (variance fully " +
+    "explained); constant covariate → NULL θ") {
+    import graft.ops.Analytics
+    // y = 2x exactly: θ = Cov/Var = 2, Var(y') = 0, both adjusted
+    // arm means collapse onto the pooled ȳ = 5
+    val units = Seq((true, 1.0, 2.0), (true, 3.0, 6.0),
+      (false, 2.0, 4.0), (false, 4.0, 8.0)).toDF("a", "x", "y")
+    val r = Analytics.cupedAdjust(units, col("a"), col("x"), col("y"))
+      .collect().map(row => row.getString(0) -> row).toMap
+    for ((_, row) <- r) {
+      assert(row.getLong(1) == 2L)
+      assert(row.getDouble(2) == 2.0)      // theta
+      assert(row.getDouble(4) == 5.0)      // mean_y_adj
+      assert(row.getDouble(5) == 5.0)      // var_y
+      assert(row.getDouble(6) == 0.0)      // var_y_adj
+      assert(row.getDouble(7) == 1.0)      // var_reduction
+    }
+    assert(r("treat").getDouble(3) == 4.0) // raw treat mean
+    assert(r("ctrl").getDouble(3) == 6.0)  // raw ctrl mean
+    // constant x: Var(x) = 0 → θ and the adjusted columns are NULL
+    val const = Seq((true, 1.0, 2.0), (false, 1.0, 4.0)).toDF("a", "x", "y")
+    val c = Analytics.cupedAdjust(const, col("a"), col("x"), col("y"))
+      .collect()
+    assert(c.forall(_.isNullAt(2)) && c.forall(_.isNullAt(4)))
+  }
+
+  test("jackknifeRatio: hand leave-one-out variance; single group → " +
+    "NULL se (every LOO denominator vanishes)") {
+    import graft.ops.Analytics
+    // groups (num, den): a (2,1), b (4,1), c (6,1) → R = 4,
+    // R_(i) = 5, 4, 3 → se² = (2/3)·Σ(R_i − 4)² = 4/3
+    val d = Seq(("a", 2.0), ("b", 4.0), ("c", 6.0)).toDF("g", "v")
+    val r = Analytics.jackknifeRatio(d, col("g"), col("v"), lit(1.0))
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 1.154701) // sqrt(4/3) @ 6 dp
+    assert(r.getDouble(3) == 1.736787 && r.getDouble(4) == 6.263213)
+    val one = Analytics.jackknifeRatio(
+      Seq(("a", 2.0)).toDF("g", "v"), col("g"), col("v"), lit(1.0))
+      .collect().head
+    assert(one.getLong(0) == 1L && one.getDouble(1) == 2.0)
+    assert(one.isNullAt(2) && one.isNullAt(3) && one.isNullAt(4))
+  }
+
   test("concentrationReport: hand Gini/HHI/entropy; uniform -> gini 0") {
     import graft.ops.Analytics
     // weights a:1 b:1 c:2 -> sorted ranks 1,2,3; gini = 2*9/(3*4) - 4/3

@@ -79,6 +79,7 @@ object WindowContractSpec {
     "q182_curation_funnel" -> "|gates|-row funnel counts",
     "q209_heaps_fit" -> "ceil(log2 corpus) checkpoint grid",
     "q212_bh_fdr" -> "per-test table: one row per source slice",
+    "q250_by_fdr" -> "per-test table: one row per source slice",
     "q213_concentration" -> "|groups|-row share rollup",
     "q216_event_funnel" -> "|stages|-row stage counts",
     "q230_temperature_scan" -> "|T|-row temperature grid",
