@@ -3273,6 +3273,34 @@ object SparkEntry {
         col("rnk").cast("long").as("rnk"), col("reject"))
   }
 
+  /** Delta-method z-test for revenue-per-event between the q208 hash
+    * arms ([[ops.Analytics.deltaMethodRatio]]) — the closed-form
+    * companion to q249's jackknife, and the test q110's per-row z gets
+    * wrong here: randomization is per USER, analysis per EVENT, so the
+    * metric is a ratio of per-user means with correlated numerator and
+    * denominator. Units = users, y = the user's snapped value total,
+    * x = the user's event count. */
+  private def qDeltaMethod(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events").groupBy(col("user_id")).agg(
+      graft.expr.Snap.snappedSum(col("value"), 1e9).as("y"),
+      count(lit(1)).as("x"))
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.deltaMethodRatio(units, isA, col("y"), col("x"))
+  }
+
+  /** Theta-sketch audience overlap between view-users and
+    * purchase-users ([[ops.Sketch.kmvIntersect]]) — the set-operation
+    * payoff of the KMV family next to q203's union mergeability:
+    * estimated intersection / Jaccard from one bounded sketch, with
+    * the exact counts as the synthetic-scale audit columns. */
+  private def qKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ops.Sketch.kmvIntersect(
+      ev.filter(col("event_type") === "view"), col("user_id"),
+      ev.filter(col("event_type") === "purchase"), col("user_id"), 64)
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -3921,7 +3949,9 @@ object SparkEntry {
     "q247_quantile_shift" -> (qQuantileShift _),
     "q248_cuped" -> (qCuped _),
     "q249_jackknife_ratio" -> (qJackknife _),
-    "q250_by_fdr" -> (qByFdr _))
+    "q250_by_fdr" -> (qByFdr _),
+    "q251_delta_method" -> (qDeltaMethod _),
+    "q252_kmv_intersect" -> (qKmvIntersect _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8132,5 +8162,78 @@ object SparkEntry {
         "ok AS (SELECT *, CASE WHEN p <= CAST(rnk AS DOUBLE) * CAST(0.1 AS DOUBLE) / (CAST(mm AS DOUBLE) * cmv) THEN rnk END AS okr FROM cm), " +
         "ks AS (SELECT *, coalesce(max(okr) OVER (), 0) AS kstar FROM ok) " +
         "SELECT source, round(p, 6) AS p_value, CAST(rnk AS BIGINT) AS rnk, " +
-        "rnk <= kstar AS reject FROM ks"))
+        "rnk <= kstar AS reject FROM ks"),
+    "q251_delta_method" ->
+      // per-user (snapped Σvalue, event count) units, one snapped
+      // moment pass per arm, Var(R) by the delta-method formula in the
+      // same operation order, A&S 7.1.26 erfc p
+      ("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CAST(floor(value * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS y, " +
+        "CAST(count(*) AS DOUBLE) AS x, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a " +
+        "FROM events GROUP BY 1), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN x ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sx_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN y * y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS syy_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN x * x ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxx_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN x * y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxy_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN x ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sx_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN y * y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS syy_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN x * x ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxx_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN x * y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sxy_b " +
+        "FROM u), " +
+        "t0 AS (SELECT *, CAST(n_a AS DOUBLE) AS nda, CAST(n_b AS DOUBLE) AS ndb FROM m), " +
+        "t1 AS (SELECT *, " +
+        "CASE WHEN sx_a <> CAST(0 AS DOUBLE) THEN sy_a / sx_a END AS ra, " +
+        "CASE WHEN sx_b <> CAST(0 AS DOUBLE) THEN sy_b / sx_b END AS rb FROM t0), " +
+        "t2 AS (SELECT *, " +
+        "CASE WHEN n_a > 1 AND sx_a <> CAST(0 AS DOUBLE) THEN " +
+        "((syy_a - sy_a * sy_a / nda) / (nda - CAST(1 AS DOUBLE)) - CAST(2 AS DOUBLE) * ra * ((sxy_a - sx_a * sy_a / nda) / (nda - CAST(1 AS DOUBLE))) + ra * ra * ((sxx_a - sx_a * sx_a / nda) / (nda - CAST(1 AS DOUBLE)))) / " +
+        "(nda * (sx_a / nda) * (sx_a / nda)) END AS va, " +
+        "CASE WHEN n_b > 1 AND sx_b <> CAST(0 AS DOUBLE) THEN " +
+        "((syy_b - sy_b * sy_b / ndb) / (ndb - CAST(1 AS DOUBLE)) - CAST(2 AS DOUBLE) * rb * ((sxy_b - sx_b * sy_b / ndb) / (ndb - CAST(1 AS DOUBLE))) + rb * rb * ((sxx_b - sx_b * sx_b / ndb) / (ndb - CAST(1 AS DOUBLE)))) / " +
+        "(ndb * (sx_b / ndb) * (sx_b / ndb)) END AS vb FROM t1), " +
+        "t3 AS (SELECT *, CASE WHEN va + vb > CAST(0 AS DOUBLE) THEN (ra - rb) / sqrt(va + vb) END AS z FROM t2), " +
+        "yy AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM t3), " +
+        "tt AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS t FROM yy) " +
+        "SELECT n_a, n_b, round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b, " +
+        "round(CASE WHEN va + vb > CAST(0 AS DOUBLE) THEN sqrt(va + vb) END, 6) AS se, " +
+        "round(z, 6) AS z, " +
+        "round(CASE WHEN va + vb > CAST(0 AS DOUBLE) THEN " +
+        "t * (CAST(0.254829592 AS DOUBLE) + t * (CAST(-0.284496736 AS DOUBLE) + t * (CAST(1.421413741 AS DOUBLE) + " +
+        "t * (CAST(-1.453152027 AS DOUBLE) + t * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)) END, 6) AS p_value " +
+        "FROM tt"),
+    "q252_kmv_intersect" ->
+      // identical 60-bit md5 hashes; θ = the union sketch's 64th
+      // smallest hash; intersection samples = both-member hashes
+      // STRICTLY below it; est = c·2^60/h_k; below-k → exact
+      ("WITH a AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+        "FROM events WHERE event_type = 'view'), " +
+        "b AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "d AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (" +
+        "SELECT h, true AS ia, false AS ib FROM a " +
+        "UNION ALL SELECT h, false, true FROM b) GROUP BY 1), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY h) AS rn FROM d), " +
+        "st AS (SELECT max(CASE WHEN rn = 64 THEN h END) AS kth, " +
+        "CAST(sum(CASE WHEN ia AND ib AND rn < 64 THEN 1 ELSE 0 END) AS BIGINT) AS c_both " +
+        "FROM r WHERE rn <= 64), " +
+        "ex AS (SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a_exact, " +
+        "CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS n_b_exact, " +
+        "count(*) AS n_union_exact, " +
+        "CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_exact FROM d), " +
+        "f AS (SELECT *, " +
+        "CASE WHEN kth IS NOT NULL THEN round(CAST(63 AS DOUBLE) * 1152921504606846976 / CAST(kth AS DOUBLE), 4) " +
+        "ELSE CAST(n_union_exact AS DOUBLE) END AS est_union, " +
+        "CASE WHEN kth IS NOT NULL THEN round(CAST(c_both AS DOUBLE) * 1152921504606846976 / CAST(kth AS DOUBLE), 4) " +
+        "ELSE CAST(n_inter_exact AS DOUBLE) END AS est_inter " +
+        "FROM ex CROSS JOIN st) " +
+        "SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact, " +
+        "est_union, est_inter, " +
+        "CASE WHEN est_union > CAST(0 AS DOUBLE) THEN round(est_inter / est_union, 6) END AS jaccard_est " +
+        "FROM f"))
 }

@@ -1309,6 +1309,68 @@ object Analytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** Delta-method z-test for a RATIO metric between two arms (Deng,
+    * Knoblich & Lu, KDD 2018, "Applying the Delta Method in Metric
+    * Analytics" — the closed-form alternative to q249's jackknife,
+    * and the correct test where a per-row z-test is biased: the unit
+    * of randomization (user) is coarser than the unit of analysis
+    * (event), so R = Ȳ/X̄ is a ratio of PER-UNIT means with correlated
+    * numerator and denominator). Per arm,
+    *   Var(R) ≈ (Var(y) − 2R·Cov(y,x) + R²·Var(x)) / (n · x̄²),
+    * z = (R_a − R_b)/√(Var_a + Var_b), p via [[normalPValue2]].
+    *
+    * `units` is one row per randomization unit with per-unit totals
+    * (y numerator, x denominator). ONE map-side-combined moment pass
+    * collects both arms' snapped sums (the q104 order-free contract);
+    * everything after is scalar arithmetic on a single row. An arm
+    * with n ≤ 1, x̄ = 0, or zero variance sum → NULL z/p (the
+    * NULL-for-undefined convention). Returns one row:
+    * (n_a, n_b, ratio_a, ratio_b, se, z, p_value). */
+  def deltaMethodRatio(units: DataFrame, isA: Column, num: Column,
+      den: Column): DataFrame = {
+    import graft.expr.Snap
+    val g = 1e9
+    val base = units.select(isA.as("a"), num.cast("double").as("y"),
+      den.cast("double").as("x"))
+    def s(flag: Column, c: Column): Column =
+      Snap.snappedSum(when(flag, c).otherwise(lit(0.0)), g)
+    val m = base.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      s(col("a"), col("y")).as("sy_a"), s(col("a"), col("x")).as("sx_a"),
+      s(col("a"), col("y") * col("y")).as("syy_a"),
+      s(col("a"), col("x") * col("x")).as("sxx_a"),
+      s(col("a"), col("x") * col("y")).as("sxy_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+      s(!col("a"), col("y")).as("sy_b"), s(!col("a"), col("x")).as("sx_b"),
+      s(!col("a"), col("y") * col("y")).as("syy_b"),
+      s(!col("a"), col("x") * col("x")).as("sxx_b"),
+      s(!col("a"), col("x") * col("y")).as("sxy_b"))
+    def stats(n0: Column, sy: Column, sx: Column, syy: Column,
+        sxx: Column, sxy: Column): (Column, Column) = {
+      val n = n0.cast("double")
+      val xbar = sx / n
+      val r = sy / sx
+      val varY = (syy - sy * sy / n) / (n - lit(1.0))
+      val varX = (sxx - sx * sx / n) / (n - lit(1.0))
+      val covYX = (sxy - sx * sy / n) / (n - lit(1.0))
+      val v = (varY - lit(2.0) * r * covYX + r * r * varX) /
+        (n * xbar * xbar)
+      (when(sx =!= 0.0, r), when(n0 > 1L && sx =!= 0.0, v))
+    }
+    val (ra, va) = stats(col("n_a"), col("sy_a"), col("sx_a"),
+      col("syy_a"), col("sxx_a"), col("sxy_a"))
+    val (rb, vb) = stats(col("n_b"), col("sy_b"), col("sx_b"),
+      col("syy_b"), col("sxx_b"), col("sxy_b"))
+    val se = sqrt(va + vb)
+    val z = (ra - rb) / se
+    val zDef = when(va + vb > 0.0, z)
+    m.select(col("n_a"), col("n_b"),
+      round(ra, 6).as("ratio_a"), round(rb, 6).as("ratio_b"),
+      round(when(va + vb > 0.0, se), 6).as("se"),
+      round(zDef, 6).as("z"),
+      round(when(va + vb > 0.0, normalPValue2(z)), 6).as("p_value"))
+  }
+
   /** Delete-one-group jackknife for a ratio metric R = Σnum / Σden
     * (Quenouille 1956; the Tukey jackknife as operationalized for
     * online-metric ratios — per-user or per-slice leave-one-out is how

@@ -296,4 +296,71 @@ object Sketch {
             col("kth").cast("double"), 4))
           .otherwise(col("n_exact").cast("double")).as("est"))
   }
+
+  /** Theta-sketch intersection estimate between two key sets (the
+    * audience-overlap question [[kmvDistinct]]'s union mergeability
+    * exists to answer — Dasgupta, Lang, Rhodes & Thaler, "Theta
+    * Sketches" / the DataSketches intersection rule): θ = the union
+    * sketch's k-th smallest normalized hash; every retained hash
+    * < θ·2⁶⁰ present in BOTH sets is an intersection sample, and
+    *   est∩ = |samples| / θ = |samples| · 2⁶⁰ / h_k.
+    * Also reports est∪ (the [[kmvDistinct]] unbiased form) and the
+    * derived Jaccard estimate. Fewer than k distinct union hashes →
+    * the sketch is lossless: exact counts, est = exact.
+    *
+    * Deterministic: md5-derived 60-bit hashes, integer ranks and
+    * counts, double division only at the end. Scale shape: one
+    * distinct-aggregation shuffle of (hash, inA, inB) rows (the
+    * membership flags OR-combine map-side), the rank ≤ k filter plans
+    * as WindowGroupLimit, and the retained-sample count is a filter
+    * over the ≤ k-row sketch — never a join of the raw sets. Returns
+    * one row: (n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+    * est_union, est_inter, jaccard_est). */
+  def kmvIntersect(dfA: DataFrame, keyA: Column, dfB: DataFrame,
+      keyB: Column, k: Int = 64,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"kmvIntersect: k=$k")
+    def h(key: Column): Column =
+      conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val a = Fanout.fanout(dfA).select(h(keyA).as("h"),
+      lit(true).as("ia"), lit(false).as("ib"))
+    val b = Fanout.fanout(dfB).select(h(keyB).as("h"),
+      lit(false).as("ia"), lit(true).as("ib"))
+    // one distinct-agg shuffle: membership flags OR-combine map-side
+    val d = materialize(a.unionByName(b).groupBy(col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib")))
+    // global k-smallest via orderBy.limit = TakeOrderedAndProject (a
+    // k-row heap per task + driver merge — the q118 contract; an
+    // unpartitioned rank window would funnel the whole distinct-key
+    // table to one task, and InferWindowGroupLimit does not fire on
+    // empty partitionSpec). The ≤ k-row result then ranks trivially.
+    val sk = d.orderBy(col("h")).limit(k)
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+    val stats = sk.agg(
+      max(when(col("rn") === k, col("h"))).as("kth"),
+      // intersection samples STRICTLY below the k-th hash: h_k itself
+      // is the θ boundary, not a sample (the DataSketches convention)
+      sum(when(col("ia") && col("ib") &&
+        (col("rn") < k), 1L).otherwise(0L)).as("c_both"))
+    val ex = d.agg(
+      sum(when(col("ia"), 1L).otherwise(0L)).as("n_a_exact"),
+      sum(when(col("ib"), 1L).otherwise(0L)).as("n_b_exact"),
+      count(lit(1)).as("n_union_exact"),
+      sum(when(col("ia") && col("ib"), 1L).otherwise(0L))
+        .as("n_inter_exact"))
+    val two60 = 1152921504606846976.0
+    val estU = when(col("kth").isNotNull,
+        round(lit((k - 1).toDouble * two60) / col("kth").cast("double"), 4))
+      .otherwise(col("n_union_exact").cast("double"))
+    val estI = when(col("kth").isNotNull,
+        round(col("c_both").cast("double") * lit(two60) /
+          col("kth").cast("double"), 4))
+      .otherwise(col("n_inter_exact").cast("double"))
+    ex.crossJoin(broadcast(stats))
+      .select(col("n_a_exact"), col("n_b_exact"), col("n_union_exact"),
+        col("n_inter_exact"), estU.as("est_union"), estI.as("est_inter"),
+        when(estU > 0.0, round(estI / estU, 6)).as("jaccard_est"))
+  }
 }

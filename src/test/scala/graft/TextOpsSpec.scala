@@ -925,6 +925,60 @@ class TextOpsSpec extends SparkSpec {
       one("all")._2 == out("__union")._3)
   }
 
+  test("kmvIntersect: below-k exactness, symmetry, sketched estimate " +
+    "within sampling error") {
+    import graft.ops.Sketch
+    // union 8 < k -> lossless: est == exact, jaccard = 2/8
+    val a = (1 to 5).map(i => s"u$i").toDF("key")
+    val b = (4 to 8).map(i => s"u$i").toDF("key")
+    val r = Sketch.kmvIntersect(a, col("key"), b, col("key"))
+      .collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 8L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 8.0 && r.getDouble(5) == 2.0)
+    assert(r.getDouble(6) == 0.25)
+    // sketched path (k = 64 < union 600): estimates land within ~3σ of
+    // truth (σ/est ≈ 1/√(k−1) ≈ 13%), and the operator is symmetric
+    // in its set arguments
+    val bigA = (1 to 400).map(i => s"x$i").toDF("key")
+    val bigB = (201 to 600).map(i => s"x$i").toDF("key")
+    val s1 = Sketch.kmvIntersect(bigA, col("key"), bigB, col("key"))
+      .collect().head
+    assert(s1.getLong(2) == 600L && s1.getLong(3) == 200L)
+    assert(math.abs(s1.getDouble(4) - 600.0) < 250.0, s1.toString)
+    assert(math.abs(s1.getDouble(5) - 200.0) < 150.0, s1.toString)
+    val s2 = Sketch.kmvIntersect(bigB, col("key"), bigA, col("key"))
+      .collect().head
+    assert(s2.getDouble(4) == s1.getDouble(4) &&
+      s2.getDouble(5) == s1.getDouble(5) &&
+      s2.getDouble(6) == s1.getDouble(6))
+  }
+
+  test("deltaMethodRatio: with unit denominators it reduces to the " +
+    "two-sample mean z; a perfect ratio metric has zero variance") {
+    import graft.ops.Analytics
+    // x = 1 everywhere -> R = mean(y), Var(R) = Var(y)/n: arm A
+    // y = (1, 5) -> R = 3, v = 8/2 = 4; arm B y = (1, 3) -> R = 2,
+    // v = 2/2 = 1; z = 1/sqrt(5)
+    val units = Seq((true, 1.0, 1L), (true, 5.0, 1L),
+      (false, 1.0, 1L), (false, 3.0, 1L)).toDF("a", "y", "x")
+    val r = Analytics.deltaMethodRatio(units, col("a"), col("y"),
+      col("x")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 2.236068) // sqrt(5) @ 6 dp
+    assert(r.getDouble(5) == 0.447214) // 1/sqrt(5) @ 6 dp
+    assert(r.getDouble(6) > 0.6 && r.getDouble(6) < 0.7)
+    // y = 2x exactly in both arms: the ratio is deterministic, the
+    // delta-method variance vanishes -> z/p NULL (not a fake zero SE)
+    val perfect = Seq((true, 2.0, 1L), (true, 4.0, 2L),
+      (false, 6.0, 3L), (false, 8.0, 4L)).toDF("a", "y", "x")
+    val p = Analytics.deltaMethodRatio(perfect, col("a"), col("y"),
+      col("x")).collect().head
+    assert(p.getDouble(2) == 2.0 && p.getDouble(3) == 2.0)
+    assert(p.isNullAt(4) && p.isNullAt(5) && p.isNullAt(6))
+  }
+
   test("chao1Richness: hand counts-of-counts and the exhausted-source case") {
     // s1 bigrams: "a b" x2, "b a" x1, "c d" x1 -> D=3, F1=2, F2=1,
     // chao1 = 3 + 2*1/(2*2) = 3.5

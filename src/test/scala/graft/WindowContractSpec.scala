@@ -80,6 +80,8 @@ object WindowContractSpec {
     "q209_heaps_fit" -> "ceil(log2 corpus) checkpoint grid",
     "q212_bh_fdr" -> "per-test table: one row per source slice",
     "q250_by_fdr" -> "per-test table: one row per source slice",
+    "q252_kmv_intersect" -> ("post-orderBy.limit(k) frame: " +
+      "TakeOrderedAndProject caps the window input at k rows"),
     "q213_concentration" -> "|groups|-row share rollup",
     "q216_event_funnel" -> "|stages|-row stage counts",
     "q230_temperature_scan" -> "|T|-row temperature grid",
