@@ -192,6 +192,79 @@ object StreamCuration {
       .start()
   }
 
+  /** Streaming CUPED readout — q248 maintained at ingest
+    * ([[graft.ops.Analytics.cupedAdjust]]): per micro-batch, fold the
+    * arriving events into ONE maintained (pre-sum, post-sum) pair per
+    * unit and emit the refreshed variance-reduced A/B table. The
+    * per-unit sums are kept as 1e9-SNAPPED INTEGER decimals — floor
+    * each term once, merge exact decimals — so state after any batch
+    * split is bit-identical to the batch per-unit snapped totals:
+    * stream ≡ batch under ANY arrival order or batching
+    * (CurationPipelineSpec pins shuffled-batch equality), and
+    * the 16th sink keeps the family's bounded-state shape (one row per
+    * unit, never an event list). The pre/post cut and the arm rule are
+    * offline decisions (the train-once/serve-many split); units whose
+    * events all precede the cut still enter with y = 0 — exactly the
+    * batch operator's population. */
+  def startCupedSink(eventStream: DataFrame, unitCol: String,
+      tsCol: String, valueCol: String, cutTs: String,
+      checkpointDir: String, sink: (DataFrame, Long) => Unit,
+      isA: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        u => org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.conv(
+            org.apache.spark.sql.functions.substring(
+              org.apache.spark.sql.functions.md5(u.cast("string")), 1, 8),
+            16, 10).cast("long"),
+          org.apache.spark.sql.functions.lit(100L)) <
+          org.apache.spark.sql.functions.lit(50L)): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = eventStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x9",
+          org.apache.spark.sql.types.DecimalType(38, 0)),
+        org.apache.spark.sql.types.StructField("y9",
+          org.apache.spark.sql.types.DecimalType(38, 0)))))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      empty.localCheckpoint(true))
+    val cut = lit(cutTs).cast("timestamp")
+    eventStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val dec0 = lit(0).cast("decimal(38,0)")
+          def snap9(c: org.apache.spark.sql.Column) =
+            sum(floor(c * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+          val part = batch.select(col(unitCol).cast("string").as("u"),
+              col(tsCol).cast("timestamp").as("ts"),
+              col(valueCol).cast("double").as("v"))
+            .groupBy(col("u"))
+            .agg(snap9(when(col("ts") < cut, col("v")).otherwise(lit(0.0)))
+                .as("dx"),
+              snap9(when(col("ts") >= cut, col("v")).otherwise(lit(0.0)))
+                .as("dy"))
+          val next = state.get().join(part, Seq("u"), "full_outer")
+            .select(col("u"),
+              (coalesce(col("x9"), dec0) + coalesce(col("dx"), dec0))
+                .cast("decimal(38,0)").as("x9"),
+              (coalesce(col("y9"), dec0) + coalesce(col("dy"), dec0))
+                .cast("decimal(38,0)").as("y9"))
+            .localCheckpoint(true) // consumers: next epoch + the readout
+          state.set(next)
+          val units = next.select(col("u"),
+            (col("x9").cast("double") / lit(1e9)).as("x"),
+            (col("y9").cast("double") / lit(1e9)).as("y"))
+          sink(graft.ops.Analytics.cupedAdjust(units, isA(col("u")),
+            col("x"), col("y"), materialize = df => df), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q170's fill-in-the-middle construction at INGEST time: like the
     * span-corruption sink, the construction is a pure per-document
     * md5-derived function — union of batch outputs ≡ batch construction

@@ -331,6 +331,54 @@ class QualitySpec extends SparkSpec {
     assert(epochs(epochs.keys.max) == want2)
   }
 
+  test("startCupedSink: final emission ≡ batch cupedAdjust over all " +
+    "events, under shuffled batch splits (snapped-decimal state merge)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    val cut = "2024-01-16 00:00:00"
+    // (unit, ts, value): pre- and post-cut events per user, values
+    // with fractional parts so the snapping discipline is exercised
+    val all = Seq(
+      ("1", "2024-01-10 00:00:00", 1.25), ("1", "2024-01-20 00:00:00", 2.5),
+      ("2", "2024-01-11 00:00:00", 3.75), ("2", "2024-01-21 00:00:00", 1.1),
+      ("3", "2024-01-12 00:00:00", 2.2), ("3", "2024-01-22 00:00:00", 4.4),
+      ("4", "2024-01-13 00:00:00", 0.9), ("4", "2024-01-23 00:00:00", 3.3))
+    def run(batches: Seq[Seq[(String, String, Double)]]): Seq[String] = {
+      val ms = MemoryStream[(String, String, Double)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startCupedSink(
+        ms.toDF().toDF("u", "ts", "v"), "u", "ts", "v", cut,
+        java.nio.file.Files.createTempDirectory("cuped-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).sorted.toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val units = all.toDF("u", "ts", "v")
+      .groupBy(col("u")).agg(
+        graft.expr.Snap.snappedSum(when(col("ts").cast("timestamp") <
+          lit(cut).cast("timestamp"), col("v")).otherwise(lit(0.0)), 1e9)
+          .as("x"),
+        graft.expr.Snap.snappedSum(when(col("ts").cast("timestamp") >=
+          lit(cut).cast("timestamp"), col("v")).otherwise(lit(0.0)), 1e9)
+          .as("y"))
+    val isA = pmod(conv(substring(md5(col("u").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    val want = Analytics.cupedAdjust(units, isA, col("x"), col("y"))
+      .collect().map(_.toString).sorted.toSeq
+    // a user's pre and post events arriving in DIFFERENT batches, in
+    // different orders — the decimal state merge makes both equal the
+    // one-shot batch computation
+    val a = run(Seq(all.take(3), all.slice(3, 6), all.drop(6)))
+    val b = run(Seq(Seq(all(7), all(0)), Seq(all(5), all(2), all(4)),
+      Seq(all(1), all(6), all(3))))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+  }
+
   test("startCusumSink: stream state after N epochs ≡ batch cusumDrift " +
     "step N under the same fixed reference rate; absent groups take " +
     "no step") {
