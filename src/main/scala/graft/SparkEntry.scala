@@ -3301,6 +3301,15 @@ object SparkEntry {
       ev.filter(col("event_type") === "purchase"), col("user_id"), 64)
   }
 
+  /** 2-core of the LSH candidate graph, fixed 4 synchronous peel
+    * rounds ([[ops.Graph.kCore]]) — the dedup-cluster DENSITY audit
+    * next to q63's connected components: a CC merges a chain of
+    * borderline pairs into one group; the 2-core keeps only docs with
+    * ≥ 2 surviving near-dup neighbors — the clique-ish clusters that
+    * are real duplicate families rather than transitive accidents. */
+  private def qKCore(s: SparkSession, dir: String): DataFrame =
+    ops.Graph.kCore(sharedLshCandidates(s, dir), "doc_a", "doc_b", 2, 4)
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -3951,7 +3960,8 @@ object SparkEntry {
     "q249_jackknife_ratio" -> (qJackknife _),
     "q250_by_fdr" -> (qByFdr _),
     "q251_delta_method" -> (qDeltaMethod _),
-    "q252_kmv_intersect" -> (qKmvIntersect _))
+    "q252_kmv_intersect" -> (qKmvIntersect _),
+    "q253_kcore" -> (qKCore _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8235,5 +8245,29 @@ object SparkEntry {
         "SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact, " +
         "est_union, est_inter, " +
         "CASE WHEN est_union > CAST(0 AS DOUBLE) THEN round(est_inter / est_union, 6) END AS jaccard_est " +
-        "FROM f"))
+        "FROM f"),
+    "q253_kcore" ->
+      // 4 synchronous peel rounds unrolled (the q201 fixed-trajectory
+      // contract): degrees over the shrinking canonical edge set, drop
+      // deg < 2, converged = min(final degree) >= 2. Every CTE is
+      // MATERIALIZED: DuckDB otherwise INLINES multi-referenced CTEs,
+      // re-running the whole shingle pipeline ~3^rounds times
+      // (measured: the un-hinted form did not finish)
+      (s"WITH $shingleCte, " +
+        "ke0 AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b FROM cands WHERE doc_a <> doc_b), " +
+        "kd1 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM ke0 UNION ALL SELECT b FROM ke0) GROUP BY 1), " +
+        "ks1 AS MATERIALIZED (SELECT node FROM kd1 WHERE deg >= 2), " +
+        "ke1 AS MATERIALIZED (SELECT e.a, e.b FROM ke0 e JOIN ks1 x ON x.node = e.a JOIN ks1 y ON y.node = e.b), " +
+        "kd2 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM ke1 UNION ALL SELECT b FROM ke1) GROUP BY 1), " +
+        "ks2 AS MATERIALIZED (SELECT node FROM kd2 WHERE deg >= 2), " +
+        "ke2 AS MATERIALIZED (SELECT e.a, e.b FROM ke1 e JOIN ks2 x ON x.node = e.a JOIN ks2 y ON y.node = e.b), " +
+        "kd3 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM ke2 UNION ALL SELECT b FROM ke2) GROUP BY 1), " +
+        "ks3 AS MATERIALIZED (SELECT node FROM kd3 WHERE deg >= 2), " +
+        "ke3 AS MATERIALIZED (SELECT e.a, e.b FROM ke2 e JOIN ks3 x ON x.node = e.a JOIN ks3 y ON y.node = e.b), " +
+        "kd4 AS MATERIALIZED (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM ke3 UNION ALL SELECT b FROM ke3) GROUP BY 1), " +
+        "ks4 AS MATERIALIZED (SELECT node FROM kd4 WHERE deg >= 2), " +
+        "ke4 AS MATERIALIZED (SELECT e.a, e.b FROM ke3 e JOIN ks4 x ON x.node = e.a JOIN ks4 y ON y.node = e.b), " +
+        "kdf AS MATERIALIZED (SELECT node, count(*) AS degree FROM (SELECT a AS node FROM ke4 UNION ALL SELECT b FROM ke4) GROUP BY 1), " +
+        "kcv AS (SELECT coalesce(min(degree) >= 2, true) AS converged FROM kdf) " +
+        "SELECT node, degree, converged FROM kdf CROSS JOIN kcv"))
 }

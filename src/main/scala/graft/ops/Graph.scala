@@ -428,4 +428,50 @@ object Graph {
     }
     lab
   }
+
+  /** k-core peeling (Seidman 1983) over an undirected simple graph, run
+    * a FIXED number of synchronous rounds — the q201 unrolled-
+    * trajectory contract: a round recomputes every vertex's degree and
+    * drops all sub-k vertices AT ONCE with their incident edges, so
+    * the trajectory (hence the oracle's unrolled replay) is
+    * deterministic, unlike the sequential peel whose order is
+    * implementation-defined. The k-core reads dedup-candidate graphs
+    * the way connected components can't: a CC merges a CHAIN of
+    * borderline pairs into one group, while the 2-core keeps only
+    * vertices with ≥ 2 surviving neighbors — the dense clique-ish
+    * duplicate clusters worth human review vs. transitive accidents.
+    *
+    * Scale shape: edges canonicalize+dedup in one distinct pass; each
+    * round is one map-side-combined degree aggregation + two left-semi
+    * joins, all keyed by vertex id — rounds·3 bounded shuffles over a
+    * monotonically SHRINKING edge set, re-materialized per round
+    * (truncated lineage, the labelProp contract). Fixpoint typically
+    * lands in a few rounds; `converged` reports min(final degree) ≥ k
+    * so a non-converged run is visible, not silent. Returns survivors:
+    * (node, degree, converged). */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      rounds: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(k >= 1, s"kCore: k=$k")
+    require(rounds >= 1, s"kCore: rounds=$rounds")
+    var e = materialize(edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    def degrees(d: DataFrame): DataFrame = d
+      .select(col("a").as("node"))
+      .unionByName(d.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val surv = degrees(e).filter(col("degree") >= k).select(col("node"))
+      e = materialize(e
+        .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("node").as("b")), Seq("b"), "left_semi"))
+    }
+    val degF = degrees(e)
+    val conv = degF.agg(
+      coalesce(min(col("degree")) >= k, lit(true)).as("converged"))
+    degF.crossJoin(broadcast(conv))
+  }
 }

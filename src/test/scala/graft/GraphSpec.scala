@@ -313,4 +313,35 @@ class GraphSpec extends SparkSpec {
       .toMap
     assert(r7 == r)
   }
+
+  test("kCore: triangle survives the 2-core, pendant chain peels off " +
+    "round by round; a pure chain peels to empty (converged)") {
+    import graft.ops.Graph
+    // triangle {1,2,3} + pendant chain 3-4-5, with duplicate and
+    // reversed edges thrown in (canonical dedup must absorb them)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 1L), (3L, 1L)).toDF("s", "d")
+    val r = Graph.kCore(g, "s", "d", 2, 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getBoolean(2)))).toMap
+    // round 1 drops 5 (deg 1), round 2 drops 4 (its degree fell to 1),
+    // round 3 confirms the triangle: all degree 2, converged
+    assert(r == Map(1L -> ((2L, true)), 2L -> ((2L, true)),
+      3L -> ((2L, true))))
+    // a pure chain has no 2-core: peels to EMPTY, converged vacuously
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    assert(Graph.kCore(chain, "s", "d", 2, 3).collect().isEmpty)
+    // too few rounds: survivors with degree < k remain VISIBLE as
+    // converged = false, never silently reported as a core
+    val partial = Graph.kCore(chain, "s", "d", 2, 1)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(partial == Map(2L -> ((1L, false)), 3L -> ((2L, false)),
+      4L -> ((1L, false))))
+    // partition-invariant
+    val r7 = Graph.kCore(g.repartition(7), "s", "d", 2, 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r7 == r)
+  }
 }

@@ -775,16 +775,20 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("q168: AUC — the corpus never re-enters the rank pass: zero " +
-    "parquet scans (grid table + NLL artifact only), ONE cumulative " +
-    "window whose input is the pre-aggregated score grid, ranks " +
-    "broadcast back") {
+    "parquet scans (grid table + NLL artifact only); TWO-LEVEL " +
+    "ranking: the within-bucket window partitions BY bucket, only the " +
+    "bounded bucket-offset window is global; ranks broadcast back") {
     val p = plan("q168_score_auc")
     assert(count(p, "CartesianProduct") == 0, p.take(1200))
     // the one corpus pass happened INTO the materialized grid table;
     // the visible plan only touches bounded frames
     assert(count(p, "FileScan parquet") == 0, p.take(1200))
     assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
-    assert(count(p, "Window") == 1, p.take(1200))
+    // bucket-offset window + within-bucket window — and the big one
+    // (the distinct-score grid) is the PARTITIONED one
+    assert(count(p, "Window") == 2, p.take(1200))
+    assert(p.contains("Window [sum") && p.contains("], [b#"),
+      "within-bucket window lost its bucket partitioning:\n" + p.take(1500))
     assert(count(p, "BroadcastHashJoin") >= 1, p.take(1200))
   }
 
