@@ -3310,6 +3310,46 @@ object SparkEntry {
   private def qKCore(s: SparkSession, dir: String): DataFrame =
     ops.Graph.kCore(sharedLshCandidates(s, dir), "doc_a", "doc_b", 2, 4)
 
+  /** Per-user right-censored view→purchase durations in DAYS — the
+    * shared unit table of the survival pair (q254/q255): t0 = first
+    * view, event = first strictly-later purchase, censoring time =
+    * the user's last activity. Integer epoch-micros DIV keeps the
+    * day quantization exact in any engine. */
+  private def survivalUnits(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") > col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val last = ev.groupBy(col("user_id")).agg(max(col("ts")).as("tl"))
+    v.join(p, Seq("user_id"), "left").join(last, "user_id")
+      .select(col("user_id"),
+        expr("(unix_micros(CAST(coalesce(tp, tl) AS TIMESTAMP)) - " +
+          "unix_micros(CAST(t0 AS TIMESTAMP))) DIV 86400000000")
+          .as("dur_days"),
+        col("tp").isNotNull.as("converted"))
+  }
+
+  /** Kaplan–Meier view→purchase survival curve with right censoring
+    * ([[ops.Survival.kaplanMeier]]) — the time-to-event layer q240's
+    * converter-only percentiles cannot see: a censored user counts as
+    * at-risk until last seen instead of silently vanishing. */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame =
+    ops.Survival.kaplanMeier(survivalUnits(s, dir), col("dur_days"),
+      col("converted"))
+
+  /** Log-rank test between the q208 hash arms over the same censored
+    * durations ([[ops.Survival.logRank]]) — "do the arms share one
+    * hazard trajectory", the survival-side A/B verdict a level-shift
+    * test (q251) misses when the effect is a DELAY. */
+  private def qLogRank(s: SparkSession, dir: String): DataFrame = {
+    val u = survivalUnits(s, dir)
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Survival.logRank(u, col("dur_days"), col("converted"), isA)
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -3961,7 +4001,9 @@ object SparkEntry {
     "q250_by_fdr" -> (qByFdr _),
     "q251_delta_method" -> (qDeltaMethod _),
     "q252_kmv_intersect" -> (qKmvIntersect _),
-    "q253_kcore" -> (qKCore _))
+    "q253_kcore" -> (qKCore _),
+    "q254_kaplan_meier" -> (qKaplanMeier _),
+    "q255_logrank" -> (qLogRank _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4007,6 +4049,22 @@ object SparkEntry {
       "FROM sigs GROUP BY 1, 2), " +
       "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)"
+
+  /** Shared per-user right-censored duration table for the survival
+    * pair (q254/q255), as a `u(user_id, t, e, a)` CTE: t0 = first
+    * view, event = first strictly-later purchase, censoring at last
+    * activity, day quantization via exact integer `//`, arm = the
+    * q208 md5 hash bucket. */
+  private val survivalUnitsCte =
+    "sv AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1), " +
+      "sp AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN sv ON e.user_id = sv.user_id " +
+      "WHERE e.event_type = 'purchase' AND e.ts > sv.t0 GROUP BY 1), " +
+      "sl AS (SELECT user_id, max(ts) AS tl FROM events GROUP BY 1), " +
+      "u AS (SELECT sv.user_id, " +
+      "(epoch_us(coalesce(sp.tp, sl.tl)) - epoch_us(sv.t0)) // 86400000000 AS t, " +
+      "sp.tp IS NOT NULL AS e, " +
+      "CAST(('0x' || substr(md5(CAST(sv.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a " +
+      "FROM sv LEFT JOIN sp ON sp.user_id = sv.user_id JOIN sl ON sl.user_id = sv.user_id)"
 
   /** The exact-Jaccard verify stage over the LSH candidates as a `jac`
     * CTE (composes after [[shingleCte]]) — shared by q22 and the
@@ -8269,5 +8327,49 @@ object SparkEntry {
         "ke4 AS MATERIALIZED (SELECT e.a, e.b FROM ke3 e JOIN ks4 x ON x.node = e.a JOIN ks4 y ON y.node = e.b), " +
         "kdf AS MATERIALIZED (SELECT node, count(*) AS degree FROM (SELECT a AS node FROM ke4 UNION ALL SELECT b FROM ke4) GROUP BY 1), " +
         "kcv AS (SELECT coalesce(min(degree) >= 2, true) AS converged FROM kdf) " +
-        "SELECT node, degree, converged FROM kdf CROSS JOIN kcv"))
+        "SELECT node, degree, converged FROM kdf CROSS JOIN kcv"),
+    "q254_kaplan_meier" ->
+      // right-censored view→purchase day durations; S via exp of the
+      // snapped Σ ln(1−d/n) (order-free), Nelson–Aalen the same way;
+      // the d = n last step carries a zero flag, never ln 0
+      (s"WITH $survivalUnitsCte, " +
+        "kp AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, count(*) AS leave FROM u GROUP BY 1), " +
+        "kg AS (SELECT *, CAST(sum(leave) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM kp), " +
+        "k2 AS (SELECT *, CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS frac FROM kg), " +
+        "k3 AS (SELECT *, CASE WHEN d < n_risk THEN CAST(floor(ln(CAST(1 AS DOUBLE) - frac) * 1000000000 + 0.5) AS DECIMAL(38,0)) " +
+        "ELSE CAST(0 AS DECIMAL(38,0)) END AS lnt, " +
+        "CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS zh FROM k2), " +
+        "k4 AS (SELECT *, CAST(sum(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS lns, " +
+        "max(zh) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z, " +
+        "CAST(sum(CAST(floor(frac * 1000000000 + 0.5) AS DECIMAL(38,0))) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS hh FROM k3) " +
+        "SELECT t, n_risk, d, " +
+        "CASE WHEN z = 1 THEN CAST(0 AS DOUBLE) ELSE round(exp(lns), 6) END AS km_surv, " +
+        "round(hh, 6) AS na_cumhaz FROM k4 WHERE d > 0"),
+    "q255_logrank" ->
+      // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
+      // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p
+      // through the shared erfc primitive
+      (s"WITH $survivalUnitsCte, " +
+        "lp AS (SELECT t, CAST(sum(CASE WHEN e AND a THEN 1 ELSE 0 END) AS BIGINT) AS da, " +
+        "CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS la, count(*) AS l FROM u GROUP BY 1), " +
+        "lg AS (SELECT *, CAST(sum(la) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS na, " +
+        "CAST(sum(l) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n FROM lp), " +
+        "lf AS (SELECT * FROM lg WHERE d > 0), " +
+        "ld AS (SELECT *, CAST(d AS DOUBLE) AS dd, CAST(na AS DOUBLE) AS nad, CAST(n AS DOUBLE) AS nd FROM lf), " +
+        "ls AS (SELECT " +
+        "CAST(sum(CAST(floor((CASE WHEN n > 1 THEN CAST(da AS DOUBLE) - dd * nad / nd ELSE CAST(0 AS DOUBLE) END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS oe, " +
+        "CAST(sum(CAST(floor((CASE WHEN n > 1 THEN dd * (nad / nd) * (CAST(1 AS DOUBLE) - nad / nd) * (nd - dd) / (nd - CAST(1 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS vv " +
+        "FROM ld), " +
+        "lt AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN e AND a THEN 1 ELSE 0 END) AS BIGINT) AS events_a, " +
+        "CAST(sum(CASE WHEN e AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS events_b FROM u), " +
+        "lx AS (SELECT *, CASE WHEN vv > CAST(0 AS DOUBLE) THEN oe * oe / vv END AS chi2 FROM lt CROSS JOIN ls), " +
+        "ly AS (SELECT *, sqrt(chi2) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM lx), " +
+        "lz AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt FROM ly) " +
+        "SELECT n_a, n_b, events_a, events_b, round(chi2, 6) AS chi2, " +
+        "round(tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)), 6) AS p_value " +
+        "FROM lz"))
 }

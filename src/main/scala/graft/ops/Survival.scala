@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Survival analysis over right-censored durations — the time-to-event
+  * layer the funnel family (q216/q240) deliberately truncates: a
+  * time-to-convert percentile only sees units that DID convert, so a
+  * treatment that merely delays conversion beyond the observation
+  * window looks identical to one that prevents it. Kaplan–Meier reads
+  * the censored units as information (at risk until last seen), and
+  * the log-rank test compares two arms' whole hazard trajectories.
+  *
+  * Both operators take durations pre-quantized to a CALENDAR grid
+  * (days, hours — the caller's choice): survival curves are reported
+  * on calendar steps anyway, and it makes every window frame bounded
+  * by the observation window — data-INDEPENDENT, the ewmaDrift
+  * contract — rather than by distinct raw durations (≈ |units|).
+  */
+object Survival {
+
+  /** Kaplan–Meier product-limit estimator (Kaplan & Meier 1958) with
+    * right censoring, plus the Nelson–Aalen cumulative hazard: at each
+    * event step t, n_risk = #{duration ≥ t} (censored units count
+    * until they vanish), d = #events at t,
+    *   S(t) = Π_{j ≤ t} (1 − d_j / n_j),
+    *   H(t) = Σ_{j ≤ t} d_j / n_j.
+    * The product evaluates as exp(Σ ln(1 − d/n)) with each ln term
+    * 1e9-snapped (order-free — the q104 contract; a direct running
+    * product would be order-sensitive in doubles); H snaps the same
+    * way. d = n_risk at the last step makes S exactly 0 via a NULL-safe
+    * ln guard (ln 0 → −∞ is the one case exp must map to 0, not NaN).
+    *
+    * Scale shape: ONE map-side-combined aggregation to per-step
+    * (events, leavers) counts; n_risk derives from a reverse cumulative
+    * window over the CALENDAR-bounded step grid (the only window —
+    * observation-window-sized, never unit-sized). Returns one row per
+    * EVENT step: (t, n_risk, d, km_surv, na_cumhaz), 6 dp. */
+  def kaplanMeier(units: DataFrame, duration: Column, event: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = units.select(duration.cast("long").as("t"),
+        event.cast("boolean").as("e"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    // n_risk(t) = Σ_{t' ≥ t} leavers(t'): reverse cumulative over the
+    // calendar-bounded step grid
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = per.withColumn("n_risk", sum(col("leave")).over(atRisk))
+    val frac = col("d").cast("double") / col("n_risk").cast("double")
+    // snapped ln(1 − d/n); d = n (last step, everyone events) → the
+    // term is −∞: carry a "hit zero" flag instead of snapping −∞
+    val lnTerm = when(col("d") < col("n_risk"),
+      floor(log(lit(1.0) - frac) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)"))
+    val zeroHit = max(when(col("d") >= col("n_risk") && col("d") > 0L,
+      lit(1)).otherwise(lit(0))).over(run)
+    g.withColumn("lnS",
+        sum(lnTerm).over(run).cast("double") / lit(1e9))
+      .withColumn("z", zeroHit)
+      .withColumn("H",
+        sum(floor(frac * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+          .over(run).cast("double") / lit(1e9))
+      .filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("d"),
+        when(col("z") === 1, lit(0.0))
+          .otherwise(round(exp(col("lnS")), 6)).as("km_surv"),
+        round(col("H"), 6).as("na_cumhaz"))
+  }
+
+  /** Two-arm log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
+    * arms share one hazard trajectory", the survival-side A/B verdict
+    * that q251's single-number ratio test cannot give when the effect
+    * is a DELAY rather than a level shift. Per event step t with
+    * pooled deaths d and at-risk n, arm A expects E = d·n_a/n with
+    * hypergeometric variance V = d·(n_a/n)·(1 − n_a/n)·(n − d)/(n − 1);
+    *   χ² = (Σ(d_a − E))² / ΣV,   p = 2(1 − Φ(√χ²))  (df = 1, exact
+    * through the shared erfc primitive — the q246 convention).
+    * Both sums are 1e9-snapped (order-free). Steps with n ≤ 1
+    * contribute nothing (V undefined); ΣV = 0 → NULL χ²/p.
+    *
+    * Scale shape: one aggregation to per-(step, arm) counts, reverse
+    * cumulative at-risk windows over the calendar-bounded step×arm
+    * grid, one single-row aggregate. Returns one row:
+    * (n_a, n_b, events_a, events_b, chi2, p_value). */
+  def logRank(units: DataFrame, duration: Column, event: Column,
+      isA: Column): DataFrame = {
+    import graft.expr.Snap
+    import org.apache.spark.sql.expressions.Window
+    val per = units.select(duration.cast("long").as("t"),
+        event.cast("boolean").as("e"), isA.as("a"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("la"),
+        count(lit(1)).as("l"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = per
+      .withColumn("na", sum(col("la")).over(atRisk))
+      .withColumn("n", sum(col("l")).over(atRisk))
+      .filter(col("d") > 0L)
+    val naD = col("na").cast("double")
+    val nD = col("n").cast("double")
+    val dD = col("d").cast("double")
+    val e = dD * naD / nD
+    val v = dD * (naD / nD) * (lit(1.0) - naD / nD) *
+      (nD - dD) / (nD - lit(1.0))
+    val s = g.agg(
+      Snap.snappedSum(when(col("n") > 1L, col("da").cast("double") - e)
+        .otherwise(lit(0.0)), 1e9).as("oe"),
+      Snap.snappedSum(when(col("n") > 1L, v).otherwise(lit(0.0)), 1e9)
+        .as("vv"))
+    val tot = units.select(event.cast("boolean").as("e"), isA.as("a"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("events_a"),
+        sum(when(col("e") && !col("a"), 1L).otherwise(0L)).as("events_b"))
+    val chi2 = col("oe") * col("oe") / col("vv")
+    tot.crossJoin(broadcast(s))
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        round(when(col("vv") > 0.0, chi2), 6).as("chi2"),
+        round(when(col("vv") > 0.0,
+          Analytics.normalPValue2(sqrt(chi2))), 6).as("p_value"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-derived pins for the survival pair ([[graft.ops.Survival]]):
+  * Kaplan–Meier with right censoring and the two-arm log-rank test. */
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Survival
+
+  test("kaplanMeier: hand product-limit with censoring; exact zero at " +
+    "a full-death last step; censored-only steps emit no row") {
+    // durations (days, event?): events at t=1 (×2) and t=3; censored
+    // at t=2 and t=4. S(1) = 1 − 2/5 = 0.6; at t=3 only {3, 4} remain
+    // → S(3) = 0.6·(1 − 1/2) = 0.3; H = 0.4 then 0.9
+    val u = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("t", "e")
+    val r = Survival.kaplanMeier(u, col("t"), col("e"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    assert(r == Map(1L -> ((5L, 2L, 0.6, 0.4)),
+      3L -> ((2L, 1L, 0.3, 0.9))))
+    // everyone events at the same step: S hits EXACTLY zero (the ln 0
+    // guard), H = 1
+    val z = Survival.kaplanMeier(Seq((1L, true), (1L, true)).toDF("t", "e"),
+      col("t"), col("e")).collect().head
+    assert(z.getLong(1) == 2L && z.getLong(2) == 2L)
+    assert(z.getDouble(3) == 0.0 && z.getDouble(4) == 1.0)
+    // censoring ≠ event: a censored-at-t unit keeps others' n_risk up
+    // but never creates an output row of its own
+    assert(!r.contains(2L) && !r.contains(4L))
+  }
+
+  test("logRank: identical arms score chi2 = 0, p = 1; a single-arm " +
+    "input has zero variance -> NULL (not a fake verdict)") {
+    // two identical arms: O − E = 0 at every step exactly
+    val u = Seq((1L, true, true), (3L, true, true), (5L, false, true),
+      (1L, true, false), (3L, true, false), (5L, false, false))
+      .toDF("t", "e", "a")
+    val r = Survival.logRank(u, col("t"), col("e"), col("a"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 1.0)
+    // all units in one arm: hypergeometric variance is 0 at every
+    // step -> chi2/p NULL
+    val one = Survival.logRank(
+      Seq((1L, true, true), (2L, true, true)).toDF("t", "e", "a"),
+      col("t"), col("e"), col("a")).collect().head
+    assert(one.isNullAt(4) && one.isNullAt(5))
+    // a real separation (arm A events early, arm B late) scores > 0
+    val sep = Survival.logRank(
+      Seq((1L, true, true), (1L, true, true), (9L, true, false),
+        (9L, true, false)).toDF("t", "e", "a"),
+      col("t"), col("e"), col("a")).collect().head
+    assert(sep.getDouble(4) > 0.0 && sep.getDouble(5) < 1.0)
+  }
+}

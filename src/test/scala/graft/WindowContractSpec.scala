@@ -82,6 +82,10 @@ object WindowContractSpec {
     "q250_by_fdr" -> "per-test table: one row per source slice",
     "q252_kmv_intersect" -> ("post-orderBy.limit(k) frame: " +
       "TakeOrderedAndProject caps the window input at k rows"),
+    "q254_kaplan_meier" -> ("calendar-bounded day-step grid (the " +
+      "observation window, data-independent)"),
+    "q255_logrank" -> ("calendar-bounded day-step grid (the " +
+      "observation window, data-independent)"),
     "q213_concentration" -> "|groups|-row share rollup",
     "q216_event_funnel" -> "|stages|-row stage counts",
     "q230_temperature_scan" -> "|T|-row temperature grid",
