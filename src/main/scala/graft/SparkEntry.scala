@@ -3350,6 +3350,19 @@ object SparkEntry {
     ops.Survival.logRank(u, col("dur_days"), col("converted"), isA)
   }
 
+  /** Two-step Newton Cox hazard-ratio fit between the q208 hash arms
+    * over the censored view→purchase durations
+    * ([[ops.Survival.coxHazard]]) — q255 answers "different hazards?",
+    * this answers "by HOW MUCH" (e^β with a Wald interval); step 1
+    * from zero is exactly the log-rank score, so the pair share
+    * scaffolding by mathematics. */
+  private def qCoxHazard(s: SparkSession, dir: String): DataFrame = {
+    val u = survivalUnits(s, dir)
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Survival.coxHazard(u, col("dur_days"), col("converted"), isA)
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4003,7 +4016,8 @@ object SparkEntry {
     "q252_kmv_intersect" -> (qKmvIntersect _),
     "q253_kcore" -> (qKCore _),
     "q254_kaplan_meier" -> (qKaplanMeier _),
-    "q255_logrank" -> (qLogRank _))
+    "q255_logrank" -> (qLogRank _),
+    "q256_cox_hazard" -> (qCoxHazard _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8371,5 +8385,45 @@ object SparkEntry {
         "SELECT n_a, n_b, events_a, events_b, round(chi2, 6) AS chi2, " +
         "round(tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
         "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)), 6) AS p_value " +
-        "FROM lz"))
+        "FROM lz"),
+    "q256_cox_hazard" ->
+      // two unrolled Newton steps from β = 0 (the q201 fixed-
+      // trajectory contract), Breslow ties; β re-enters each pass as
+      // a one-row CROSS JOIN scalar; all Σ 1e9-snapped
+      (s"WITH $survivalUnitsCte, " +
+        "cp AS (SELECT t, CAST(sum(CASE WHEN e AND a THEN 1 ELSE 0 END) AS BIGINT) AS s1, " +
+        "CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS la, count(*) AS l FROM u GROUP BY 1), " +
+        "cg AS (SELECT *, CAST(sum(la) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n1, " +
+        "CAST(sum(l) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n FROM cp), " +
+        "cst AS MATERIALIZED (SELECT CAST(s1 AS DOUBLE) AS s1, CAST(d AS DOUBLE) AS d, " +
+        "CAST(n - n1 AS DOUBLE) AS n0, CAST(n1 AS DOUBLE) AS n1 FROM cg WHERE d > 0), " +
+        "ca0 AS (SELECT " +
+        "CAST(sum(CAST(floor((s1 - d * (n1 * CAST(1 AS DOUBLE)) / (n0 + n1 * CAST(1 AS DOUBLE))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS uu, " +
+        "CAST(sum(CAST(floor((d * (n0 * n1 * CAST(1 AS DOUBLE)) / ((n0 + n1 * CAST(1 AS DOUBLE)) * (n0 + n1 * CAST(1 AS DOUBLE)))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS ii " +
+        "FROM cst), " +
+        "cb1 AS (SELECT CASE WHEN ii > CAST(0 AS DOUBLE) THEN uu / ii END AS beta FROM ca0), " +
+        "ca1 AS (SELECT beta, " +
+        "CAST(sum(CAST(floor((s1 - d * (n1 * exp(beta)) / (n0 + n1 * exp(beta))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS uu, " +
+        "CAST(sum(CAST(floor((d * (n0 * n1 * exp(beta)) / ((n0 + n1 * exp(beta)) * (n0 + n1 * exp(beta)))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS ii " +
+        "FROM cst CROSS JOIN cb1 GROUP BY beta), " +
+        "cb2 AS (SELECT CASE WHEN ii > CAST(0 AS DOUBLE) THEN beta + uu / ii END AS beta FROM ca1), " +
+        "ca2 AS (SELECT beta, " +
+        "CAST(sum(CAST(floor((d * (n0 * n1 * exp(beta)) / ((n0 + n1 * exp(beta)) * (n0 + n1 * exp(beta)))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS i2 " +
+        "FROM cst CROSS JOIN cb2 GROUP BY beta), " +
+        "ct AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN e AND a THEN 1 ELSE 0 END) AS BIGINT) AS events_a, " +
+        "CAST(sum(CASE WHEN e AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS events_b FROM u), " +
+        "cz AS (SELECT *, beta * sqrt(i2) AS z FROM ct CROSS JOIN ca2), " +
+        "cy AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM cz), " +
+        "cw AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt FROM cy) " +
+        "SELECT n_a, n_b, events_a, events_b, round(beta, 6) AS beta, " +
+        "round(exp(beta), 6) AS hazard_ratio, " +
+        "round(CASE WHEN i2 > CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE) / sqrt(i2) END, 6) AS se, " +
+        "round(CASE WHEN i2 > CAST(0 AS DOUBLE) THEN z END, 6) AS z, " +
+        "round(CASE WHEN i2 > CAST(0 AS DOUBLE) THEN " +
+        "tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)) END, 6) AS p_value " +
+        "FROM cw"))
 }

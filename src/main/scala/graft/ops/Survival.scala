@@ -127,4 +127,90 @@ object Survival {
         round(when(col("vv") > 0.0,
           Analytics.normalPValue2(sqrt(chi2))), 6).as("p_value"))
   }
+
+  /** Cox proportional-hazards fit for ONE binary covariate (the arm),
+    * Breslow tie handling, TWO Newton–Raphson steps from β = 0 (Cox
+    * 1972; the fixed-step unrolled trajectory is the q201 contract —
+    * and step 1 from zero IS the log-rank score test, so the pair
+    * q255/q256 share scaffolding by mathematics, not convenience).
+    * Per event step with d deaths (s1 of them in arm A), n1/n0 at
+    * risk per arm, and r = e^β:
+    *   U(β) = Σ s1 − d·(n1·r)/(n0 + n1·r),
+    *   I(β) = Σ d·(n0·n1·r)/(n0 + n1·r)²,
+    *   β ← β + U(β)/I(β).
+    * The data-dependent β re-enters each refinement pass as a
+    * BROADCAST SCALAR COLUMN (cross join of a one-row frame — exp(β)
+    * evaluates in-plan), never a driver collect; every Σ is
+    * 1e9-snapped, so both steps replay exactly in any engine.
+    *
+    * Scale shape: the per-step table materializes ONCE (three
+    * consumers: β₁ pass, β₂ pass, the final information pass);
+    * everything after the one corpus aggregation is
+    * calendar-grid-sized. I(0) = 0 (single arm, no events) → NULL
+    * everything. Returns one row: (n_a, n_b, events_a, events_b,
+    * beta, hazard_ratio, se, z, p_value) — hazard_ratio = e^β, se =
+    * 1/√I(β₂), 6 dp. */
+  def coxHazard(units: DataFrame, duration: Column, event: Column,
+      isA: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = units.select(duration.cast("long").as("t"),
+        event.cast("boolean").as("e"), isA.as("a"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("la"),
+        count(lit(1)).as("l"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val st = materialize(per
+      .withColumn("n1", sum(col("la")).over(atRisk))
+      .withColumn("n", sum(col("l")).over(atRisk))
+      .withColumn("n0", col("n") - col("n1"))
+      .filter(col("d") > 0L)
+      .select(col("s1").cast("double").as("s1"),
+        col("d").cast("double").as("d"),
+        col("n0").cast("double").as("n0"),
+        col("n1").cast("double").as("n1")))
+    def snap9(c: Column): Column =
+      sum(floor(c * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e9)
+    def uTerm(r: Column): Column =
+      col("s1") - col("d") * (col("n1") * r) / (col("n0") + col("n1") * r)
+    def iTerm(r: Column): Column =
+      col("d") * (col("n0") * col("n1") * r) /
+        ((col("n0") + col("n1") * r) * (col("n0") + col("n1") * r))
+    // Newton step 1 from β = 0 (r = 1)
+    val a0 = st.agg(snap9(uTerm(lit(1.0))).as("u"),
+      snap9(iTerm(lit(1.0))).as("i"))
+    val b1 = a0.select(
+      when(col("i") > 0.0, col("u") / col("i")).as("beta"))
+    // Newton step 2 at β₁ (r = e^β₁ evaluates in-plan)
+    val a1 = st.crossJoin(broadcast(b1))
+      .groupBy(col("beta"))
+      .agg(snap9(uTerm(exp(col("beta")))).as("u"),
+        snap9(iTerm(exp(col("beta")))).as("i"))
+    val b2 = a1.select(
+      when(col("i") > 0.0, col("beta") + col("u") / col("i")).as("beta"))
+    // final observed information at β₂ for the Wald se
+    val a2 = st.crossJoin(broadcast(b2))
+      .groupBy(col("beta"))
+      .agg(snap9(iTerm(exp(col("beta")))).as("i2"))
+    val tot = units.select(event.cast("boolean").as("e"), isA.as("a"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("events_a"),
+        sum(when(col("e") && !col("a"), 1L).otherwise(0L)).as("events_b"))
+    val se = lit(1.0) / sqrt(col("i2"))
+    val z = col("beta") * sqrt(col("i2"))
+    tot.crossJoin(broadcast(a2))
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        round(col("beta"), 6).as("beta"),
+        round(exp(col("beta")), 6).as("hazard_ratio"),
+        round(when(col("i2") > 0.0, se), 6).as("se"),
+        round(when(col("i2") > 0.0, z), 6).as("z"),
+        round(when(col("i2") > 0.0,
+          Analytics.normalPValue2(z)), 6).as("p_value"))
+  }
 }

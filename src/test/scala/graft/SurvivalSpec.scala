@@ -32,6 +32,48 @@ class SurvivalSpec extends SparkSpec {
     assert(!r.contains(2L) && !r.contains(4L))
   }
 
+  test("coxHazard: plain-Scala replay of the two snapped Newton steps " +
+    "matches exactly; identical arms fit beta = 0; single arm is NULL") {
+    import graft.ops.Survival
+    // A events at t = 1, 2; B at t = 3, 4 (no censoring) — A's hazard
+    // is clearly higher, so beta > 0 and hr > 1
+    val u = Seq((1L, true, true), (2L, true, true),
+      (3L, true, false), (4L, true, false)).toDF("t", "e", "a")
+    val r = Survival.coxHazard(u, col("t"), col("e"), col("a"))
+      .collect().head
+    // replicate the operator's arithmetic: per-step (s1, d, n0, n1),
+    // terms snapped to the 1e9 grid, exact integer sums
+    val steps = Seq((1.0, 1.0, 2.0, 2.0), (1.0, 1.0, 2.0, 1.0),
+      (0.0, 1.0, 2.0, 0.0), (0.0, 1.0, 1.0, 0.0))
+    def s9(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e9 + 0.5)).sum / 1e9
+    def uu(rr: Double): Double = s9(steps.map { case (s1, d, n0, n1) =>
+      s1 - d * (n1 * rr) / (n0 + n1 * rr) })
+    def ii(rr: Double): Double = s9(steps.map { case (s1, d, n0, n1) =>
+      d * (n0 * n1 * rr) / ((n0 + n1 * rr) * (n0 + n1 * rr)) })
+    val b1 = uu(1.0) / ii(1.0)
+    val b2 = b1 + uu(math.exp(b1)) / ii(math.exp(b1))
+    val i2 = ii(math.exp(b2))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(4) == r6(b2), s"beta ${r.getDouble(4)} vs $b2")
+    assert(r.getDouble(5) == r6(math.exp(b2)))
+    assert(r.getDouble(6) == r6(1.0 / math.sqrt(i2)))
+    assert(r.getDouble(7) == r6(b2 * math.sqrt(i2)))
+    assert(b2 > 0 && r.getDouble(5) > 1.0) // direction: A dies faster
+    // identical arms: U(0) snaps to exactly 0 -> beta stays 0, hr = 1
+    val same = Seq((1L, true, true), (3L, true, true),
+      (1L, true, false), (3L, true, false)).toDF("t", "e", "a")
+    val rs = Survival.coxHazard(same, col("t"), col("e"), col("a"))
+      .collect().head
+    assert(rs.getDouble(4) == 0.0 && rs.getDouble(5) == 1.0)
+    assert(rs.getDouble(8) == 1.0) // p
+    // single arm: information is 0 at every step -> NULL fit
+    val one = Survival.coxHazard(
+      Seq((1L, true, true), (2L, true, true)).toDF("t", "e", "a"),
+      col("t"), col("e"), col("a")).collect().head
+    assert(one.isNullAt(4) && one.isNullAt(8))
+  }
+
   test("logRank: identical arms score chi2 = 0, p = 1; a single-arm " +
     "input has zero variance -> NULL (not a fake verdict)") {
     // two identical arms: O − E = 0 at every step exactly
