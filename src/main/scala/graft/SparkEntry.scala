@@ -3363,6 +3363,48 @@ object SparkEntry {
     ops.Survival.coxHazard(u, col("dur_days"), col("converted"), isA)
   }
 
+  /** Post-stratified A/B readout over the q208 hash arms
+    * ([[ops.Analytics.postStratify]]) — q248 CUPED's categorical
+    * sibling: strata = pre-period activity bands, metric = the
+    * post-period snapped value total; each arm's stratum means
+    * reweight by the POOLED stratum shares. */
+  private def qPostStrat(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val units = ev.groupBy(col("user_id")).agg(
+      sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c"),
+      graft.expr.Snap.snappedSum(
+        when(col("ts") >= cut, col("value")).otherwise(lit(0.0)), 1e9)
+        .as("y"))
+    val stratum = when(col("c") < 20L, "low")
+      .when(col("c") < 40L, "mid").otherwise("high")
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.postStratify(units, isA, stratum, col("y"))
+  }
+
+  /** Restricted-mean-survival-time difference at τ = 30 days between
+    * the q208 hash arms ([[ops.Survival.rmst]]) — the "event-free days
+    * gained within the horizon" A/B number that stays honest when
+    * proportional hazards (q256's assumption) is in doubt or the
+    * curves cross. */
+  private def qRmstDiff(s: SparkSession, dir: String): DataFrame = {
+    val u = survivalUnits(s, dir)
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    val a = ops.Survival.rmst(u.filter(isA), col("dur_days"),
+      col("converted"), 30L)
+    val b = ops.Survival.rmst(u.filter(!isA), col("dur_days"),
+      col("converted"), 30L)
+    a.select(col("tau"), col("n_units").as("n_a"),
+        col("rmst").as("rmst_treat"))
+      .crossJoin(broadcast(b.select(col("n_units").as("n_b"),
+        col("rmst").as("rmst_ctrl"))))
+      .select(col("tau"), col("n_a"), col("n_b"), col("rmst_treat"),
+        col("rmst_ctrl"),
+        round(col("rmst_treat") - col("rmst_ctrl"), 6).as("rmst_diff"))
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4017,7 +4059,9 @@ object SparkEntry {
     "q253_kcore" -> (qKCore _),
     "q254_kaplan_meier" -> (qKaplanMeier _),
     "q255_logrank" -> (qLogRank _),
-    "q256_cox_hazard" -> (qCoxHazard _))
+    "q256_cox_hazard" -> (qCoxHazard _),
+    "q257_poststrat" -> (qPostStrat _),
+    "q258_rmst_diff" -> (qRmstDiff _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8425,5 +8469,76 @@ object SparkEntry {
         "round(CASE WHEN i2 > CAST(0 AS DOUBLE) THEN " +
         "tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
         "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)) END, 6) AS p_value " +
-        "FROM cw"))
+        "FROM cw"),
+    "q257_poststrat" ->
+      // pre-period activity bands as strata; per-(arm, stratum)
+      // snapped moments; arm means reweighted by pooled shares; an
+      // arm-empty stratum -> NULL estimator (min-cell guard)
+      ("WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CAST(floor((CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS y, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a " +
+        "FROM events GROUP BY 1), " +
+        "pb AS (SELECT CASE WHEN c < 20 THEN 'low' WHEN c < 40 THEN 'mid' ELSE 'high' END AS s, a, y FROM pu), " +
+        "pm AS (SELECT s, count(*) AS ns, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CAST(floor((CASE WHEN a THEN y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CAST(floor((CASE WHEN NOT a THEN y ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_b " +
+        "FROM pb GROUP BY 1), " +
+        "pt AS (SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(n_a) AS BIGINT) AS na_tot, CAST(sum(n_b) AS BIGINT) AS nb_tot FROM pm), " +
+        "ra AS (SELECT 'treat' AS arm, max(na_tot) AS n_units, " +
+        "CAST(sum(CAST(floor(sy_a * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_sum, " +
+        "CAST(sum(CAST(floor((CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)) * (CASE WHEN n_a > 0 THEN sy_a / CAST(n_a AS DOUBLE) END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS ps, " +
+        "min(n_a) AS mn FROM pm CROSS JOIN pt), " +
+        "rb AS (SELECT 'ctrl' AS arm, max(nb_tot) AS n_units, " +
+        "CAST(sum(CAST(floor(sy_b * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy_sum, " +
+        "CAST(sum(CAST(floor((CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)) * (CASE WHEN n_b > 0 THEN sy_b / CAST(n_b AS DOUBLE) END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS ps, " +
+        "min(n_b) AS mn FROM pm CROSS JOIN pt) " +
+        "SELECT arm, n_units, " +
+        "round(sy_sum / (CASE WHEN n_units > 0 THEN CAST(n_units AS DOUBLE) END), 6) AS mean_raw, " +
+        "round(CASE WHEN mn > 0 THEN ps END, 6) AS mean_poststrat " +
+        "FROM ra UNION ALL SELECT arm, n_units, " +
+        "round(sy_sum / (CASE WHEN n_units > 0 THEN CAST(n_units AS DOUBLE) END), 6), " +
+        "round(CASE WHEN mn > 0 THEN ps END, 6) FROM rb"),
+    "q258_rmst_diff" ->
+      // per-arm KM step functions integrated exactly on [0, 30]:
+      // segment terms prevS*(min(t,30)-min(prevT,30)) snapped, the
+      // post-last-step tail at the final S; no events -> RMST = 30
+      (s"WITH $survivalUnitsCte, " +
+        "rua AS MATERIALIZED (SELECT * FROM u WHERE a), " +
+        "rub AS MATERIALIZED (SELECT * FROM u WHERE NOT a), " +
+        "rpa AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, count(*) AS leave FROM rua GROUP BY 1), " +
+        "rga AS (SELECT *, CAST(sum(leave) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM rpa), " +
+        "r2a AS (SELECT *, CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS frac FROM rga), " +
+        "r3a AS (SELECT *, CASE WHEN d < n_risk THEN CAST(floor(ln(CAST(1 AS DOUBLE) - frac) * 1000000000 + 0.5) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END AS lnt, " +
+        "CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS zh FROM r2a), " +
+        "r4a AS (SELECT *, CAST(sum(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS lns, " +
+        "max(zh) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z FROM r3a), " +
+        "rka AS (SELECT t, CASE WHEN z = 1 THEN CAST(0 AS DOUBLE) ELSE round(exp(lns), 6) END AS km FROM r4a WHERE d > 0), " +
+        "rsa AS (SELECT coalesce(lag(km) OVER (ORDER BY t), CAST(1 AS DOUBLE)) * " +
+        "CAST(least(t, 30) - coalesce(lag(least(t, 30)) OVER (ORDER BY t), 0) AS DOUBLE) AS seg, t, km FROM rka), " +
+        "raa AS (SELECT CAST(sum(CAST(floor(seg * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS area, " +
+        "max_by(km, t) AS lasts, max(t) AS lastt FROM rsa), " +
+        "rra AS (SELECT round(coalesce(area, CAST(0 AS DOUBLE)) + coalesce(lasts, CAST(1 AS DOUBLE)) * " +
+        "CAST(30 - (CASE WHEN lastt IS NULL THEN 0 ELSE least(lastt, 30) END) AS DOUBLE), 6) AS rmst_treat FROM raa), " +
+        "rpb AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, count(*) AS leave FROM rub GROUP BY 1), " +
+        "rgb AS (SELECT *, CAST(sum(leave) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM rpb), " +
+        "r2b AS (SELECT *, CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS frac FROM rgb), " +
+        "r3b AS (SELECT *, CASE WHEN d < n_risk THEN CAST(floor(ln(CAST(1 AS DOUBLE) - frac) * 1000000000 + 0.5) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END AS lnt, " +
+        "CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS zh FROM r2b), " +
+        "r4b AS (SELECT *, CAST(sum(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS lns, " +
+        "max(zh) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z FROM r3b), " +
+        "rkb AS (SELECT t, CASE WHEN z = 1 THEN CAST(0 AS DOUBLE) ELSE round(exp(lns), 6) END AS km FROM r4b WHERE d > 0), " +
+        "rsb AS (SELECT coalesce(lag(km) OVER (ORDER BY t), CAST(1 AS DOUBLE)) * " +
+        "CAST(least(t, 30) - coalesce(lag(least(t, 30)) OVER (ORDER BY t), 0) AS DOUBLE) AS seg, t, km FROM rkb), " +
+        "rab AS (SELECT CAST(sum(CAST(floor(seg * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS area, " +
+        "max_by(km, t) AS lasts, max(t) AS lastt FROM rsb), " +
+        "rrb AS (SELECT round(coalesce(area, CAST(0 AS DOUBLE)) + coalesce(lasts, CAST(1 AS DOUBLE)) * " +
+        "CAST(30 - (CASE WHEN lastt IS NULL THEN 0 ELSE least(lastt, 30) END) AS DOUBLE), 6) AS rmst_ctrl FROM rab), " +
+        "rc AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM u) " +
+        "SELECT CAST(30 AS BIGINT) AS tau, n_a, n_b, rmst_treat, rmst_ctrl, " +
+        "round(rmst_treat - rmst_ctrl, 6) AS rmst_diff " +
+        "FROM rc CROSS JOIN rra CROSS JOIN rrb"))
 }

@@ -1371,6 +1371,60 @@ object Analytics {
       round(when(va + vb > 0.0, normalPValue2(z)), 6).as("p_value"))
   }
 
+  /** Post-stratified A/B estimator (Miratrix, Sekhon & Yu 2013 —
+    * "Adjusting treatment effect estimates by post-stratification"):
+    * [[cupedAdjust]]'s CATEGORICAL sibling — when the pre-treatment
+    * covariate is a band/segment rather than a number, reweight each
+    * arm's per-stratum means by the POOLED stratum shares,
+    *   ȳ_ps = Σ_s (n_s / n) · ȳ_{arm,s},
+    * which removes the variance contributed by which strata each arm
+    * happened to over-sample. One map-side-combined pass to the
+    * (arm × stratum) moment table (y sums 1e9-snapped); everything
+    * after is |strata|-sized. A stratum absent from one arm makes that
+    * arm's estimator undefined → NULL (NULL-for-undefined — silently
+    * dropping the stratum would bias the comparison). Returns one row
+    * per arm: (arm, n_units, mean_raw, mean_poststrat). */
+  def postStratify(units: DataFrame, isA: Column, stratum: Column,
+      y: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    val g = 1e9
+    val base = units.select(isA.as("a"), stratum.as("s"),
+      y.cast("double").as("y"))
+    // the single corpus pass; consumers: weights + both arm rows
+    val m = materialize(base.groupBy(col("s")).agg(
+      count(lit(1)).as("ns"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      Snap.snappedSum(when(col("a"), col("y")).otherwise(lit(0.0)), g)
+        .as("sy_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+      Snap.snappedSum(when(!col("a"), col("y")).otherwise(lit(0.0)), g)
+        .as("sy_b")))
+    val tot = m.agg(sum(col("ns")).as("n"),
+      sum(col("n_a")).as("na_tot"), sum(col("n_b")).as("nb_tot"))
+    val arms = Seq(("treat", col("n_a"), col("sy_a"), col("na_tot")),
+      ("ctrl", col("n_b"), col("sy_b"), col("nb_tot")))
+    arms.map { case (label, ns, sy, nArm) =>
+      val w = col("ns").cast("double") / col("n").cast("double")
+      val mean = when(ns > 0L, sy / ns.cast("double"))
+      val term = floor(w * mean * lit(g) + lit(0.5)).cast("decimal(38,0)")
+      m.crossJoin(broadcast(tot)).agg(
+        max(nArm).as("n_units"),
+        Snap.snappedSum(sy, g).as("sy_sum"),
+        (sum(term).cast("double") / lit(g)).as("ps"),
+        // a stratum with NO units in this arm makes the estimator
+        // undefined — SQL sum would silently skip the NULL term and
+        // BIAS the reweighting, so track the emptiest cell explicitly
+        min(ns).as("mn"))
+        .select(lit(label).as("arm"), col("n_units"),
+          round(col("sy_sum") /
+            when(col("n_units") > 0L, col("n_units").cast("double")), 6)
+            .as("mean_raw"),
+          round(when(col("mn") > 0L, col("ps")), 6).as("mean_poststrat"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Delete-one-group jackknife for a ratio metric R = Σnum / Σden
     * (Quenouille 1956; the Tukey jackknife as operationalized for
     * online-metric ratios — per-user or per-slice leave-one-out is how

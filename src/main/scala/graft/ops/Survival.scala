@@ -128,6 +128,51 @@ object Survival {
           Analytics.normalPValue2(sqrt(chi2))), 6).as("p_value"))
   }
 
+  /** Restricted mean survival time at horizon `tau` (Royston & Parmar
+    * 2013's recommended reporting scalar; Uno et al. 2014) — the area
+    * under the Kaplan–Meier curve on [0, τ]: the expected number of
+    * event-free DAYS within the horizon, the "days gained" number a
+    * hazard ratio can't give when proportional hazards is in doubt
+    * (and the only honest scalar when curves CROSS). Integrates the
+    * right-continuous KM step function exactly: S = 1 before the
+    * first event step,
+    *   RMST = Σ_j S_{j−1}·(min(t_j, τ) − min(t_{j−1}, τ))
+    *          + S_k·(τ − min(t_k, τ)),
+    * segment terms 1e9-snapped (order-free); no events at all → S ≡ 1
+    * → RMST = τ exactly. All windows run on the calendar-bounded
+    * event-step grid ([[kaplanMeier]]'s contract). Returns one row:
+    * (tau, n_units, n_events, rmst), 6 dp. */
+  def rmst(units: DataFrame, duration: Column, event: Column, tau: Long)
+      : DataFrame = {
+    require(tau > 0L, s"rmst: tau=$tau")
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(units, duration, event)
+    val w = Window.orderBy(col("t"))
+    val clamped = least(col("t"), lit(tau))
+    val prevT = coalesce(lag(least(col("t"), lit(tau)), 1).over(w),
+      lit(0L))
+    val prevS = coalesce(lag(col("km_surv"), 1).over(w), lit(1.0))
+    val seg = km.select(col("t"), col("km_surv"),
+      (prevS * (clamped - prevT).cast("double")).as("seg"))
+    val a = seg.agg(
+      (sum(floor(col("seg") * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+        .cast("double") / lit(1e9)).as("area"),
+      max(struct(col("t"), col("km_surv"))).as("last"))
+    val tot = units.select(event.cast("boolean").as("e"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("n_events"))
+    val lastT = col("last").getField("t")
+    val lastS = col("last").getField("km_surv")
+    // least() IGNORES NULLs (least(NULL, τ) = τ), so an empty curve
+    // needs an explicit isNull branch to clamp to 0, not τ
+    val tail = coalesce(lastS, lit(1.0)) *
+      (lit(tau) - when(lastT.isNull, lit(0L))
+        .otherwise(least(lastT, lit(tau)))).cast("double")
+    tot.crossJoin(broadcast(a))
+      .select(lit(tau).as("tau"), col("n_units"), col("n_events"),
+        round(coalesce(col("area"), lit(0.0)) + tail, 6).as("rmst"))
+  }
+
   /** Cox proportional-hazards fit for ONE binary covariate (the arm),
     * Breslow tie handling, TWO Newton–Raphson steps from β = 0 (Cox
     * 1972; the fixed-step unrolled trajectory is the q201 contract —

@@ -74,6 +74,26 @@ class SurvivalSpec extends SparkSpec {
     assert(one.isNullAt(4) && one.isNullAt(8))
   }
 
+  test("rmst: exact step-function integral with censoring and the " +
+    "post-last-step tail; no events at all gives RMST = tau") {
+    import graft.ops.Survival
+    // events at t=2 (S -> 0.666667) and t=4 (S -> 0.333333), censored
+    // at t=6: area = 1*2 + 0.666667*2 = 3.333334, tail =
+    // 0.333333*(10-4) = 1.999998 -> RMST = 5.333332
+    val u = Seq((2L, true), (4L, true), (6L, false)).toDF("t", "e")
+    val r = Survival.rmst(u, col("t"), col("e"), 10L).collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 5.333332)
+    // all censored: S stays 1 on the whole horizon
+    val none = Survival.rmst(Seq((3L, false), (7L, false)).toDF("t", "e"),
+      col("t"), col("e"), 10L).collect().head
+    assert(none.getLong(2) == 0L && none.getDouble(3) == 10.0)
+    // events beyond the horizon contribute nothing past tau
+    val late = Survival.rmst(Seq((20L, true)).toDF("t", "e"),
+      col("t"), col("e"), 10L).collect().head
+    assert(late.getDouble(3) == 10.0)
+  }
+
   test("logRank: identical arms score chi2 = 0, p = 1; a single-arm " +
     "input has zero variance -> NULL (not a fake verdict)") {
     // two identical arms: O − E = 0 at every step exactly

@@ -979,6 +979,27 @@ class TextOpsSpec extends SparkSpec {
     assert(p.isNullAt(4) && p.isNullAt(5) && p.isNullAt(6))
   }
 
+  test("postStratify: hand pooled-share reweighting; an arm-empty " +
+    "stratum yields NULL, never a silently dropped stratum") {
+    import graft.ops.Analytics
+    // strata s1/s2 each hold half the units (w = 0.5): treat means
+    // (2, 10) -> ps = 6; ctrl means (5, 25) -> ps = 15
+    val u = Seq((true, "s1", 1.0), (true, "s1", 3.0), (false, "s1", 5.0),
+      (true, "s2", 10.0), (false, "s2", 20.0), (false, "s2", 30.0))
+      .toDF("a", "s", "y")
+    val r = Analytics.postStratify(u, col("a"), col("s"), col("y"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r("treat") == ((3L, math.floor(14.0 / 3.0 * 1e6 + 0.5) / 1e6, 6.0)))
+    assert(r("ctrl") == ((3L, math.floor(55.0 / 3.0 * 1e6 + 0.5) / 1e6, 15.0)))
+    // a stratum with no treat units: the treat estimator is undefined
+    val miss = Analytics.postStratify(
+      u.unionByName(Seq((false, "s3", 7.0)).toDF("a", "s", "y")),
+      col("a"), col("s"), col("y")).collect()
+      .map(x => x.getString(0) -> x.isNullAt(3)).toMap
+    assert(miss("treat") && !miss("ctrl"))
+  }
+
   test("chao1Richness: hand counts-of-counts and the exhausted-source case") {
     // s1 bigrams: "a b" x2, "b a" x1, "c d" x1 -> D=3, F1=2, F2=1,
     // chao1 = 3 + 2*1/(2*2) = 3.5

@@ -88,6 +88,8 @@ object WindowContractSpec {
       "observation window, data-independent)"),
     "q256_cox_hazard" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent)"),
+    "q258_rmst_diff" -> ("calendar-bounded day-step grid (the " +
+      "observation window, data-independent)"),
     "q213_concentration" -> "|groups|-row share rollup",
     "q216_event_funnel" -> "|stages|-row stage counts",
     "q230_temperature_scan" -> "|T|-row temperature grid",
