@@ -139,6 +139,12 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
+    // …but at 258 queries even the compact per-query line is ~3 KB and
+    // outgrows the ~2 KB tail. The FINAL line must always fit whole:
+    // a <200-byte summary (no per-query map) printed last, so the
+    // driver's tail parse lands on a complete JSON object regardless of
+    // suite size. Per-query detail lives in BENCH_LAST.json above.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

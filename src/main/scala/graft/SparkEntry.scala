@@ -876,7 +876,7 @@ object SparkEntry {
     docBigramMemo.getOrElseUpdate((s, dir),
       ops.Fanout.fanout(t(s, dir, "documents"))
         .select(col("doc_id"),
-          explode(TextStats.shingles(col("text"), 2)).as("bigram"))
+          TextStats.shingleGen(col("text"), 2).as("bigram"))
         .groupBy(col("doc_id"), col("bigram"))
         .agg(count(lit(1)).as("k"))
         .localCheckpoint(true))
@@ -3339,6 +3339,14 @@ object SparkEntry {
     ops.Survival.kaplanMeier(survivalUnits(s, dir), col("dur_days"),
       col("converted"))
 
+  /** Kaplan–Meier curve with Greenwood 95% confidence bands over the
+    * same censored durations ([[ops.Survival.kaplanMeierGreenwood]]) —
+    * q254's curve made decision-grade: the pointwise se and clamped
+    * linear CI that say whether a day-30 survival gap is signal. */
+  private def qKmGreenwood(s: SparkSession, dir: String): DataFrame =
+    ops.Survival.kaplanMeierGreenwood(survivalUnits(s, dir),
+      col("dur_days"), col("converted"))
+
   /** Log-rank test between the q208 hash arms over the same censored
     * durations ([[ops.Survival.logRank]]) — "do the arms share one
     * hazard trajectory", the survival-side A/B verdict a level-shift
@@ -4061,7 +4069,8 @@ object SparkEntry {
     "q255_logrank" -> (qLogRank _),
     "q256_cox_hazard" -> (qCoxHazard _),
     "q257_poststrat" -> (qPostStrat _),
-    "q258_rmst_diff" -> (qRmstDiff _))
+    "q258_rmst_diff" -> (qRmstDiff _),
+    "q259_km_greenwood" -> (qKmGreenwood _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -4469,36 +4478,41 @@ object SparkEntry {
       // normalized strengths each round — the q76 trajectory contract)
       val snap = (e: String) => s"CAST(sum(CAST(floor($e * 1000000000 + 0.5) " +
         "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // MATERIALIZED on every multi-referenced CTE: DuckDB otherwise
+      // re-INLINES the corpus-derived tf pipeline combinatorially
+      // through the unrolled MM rounds (nij ×20, tot ×13, w0 ×11 —
+      // measured >10 min at sf0.01 un-hinted; seconds hinted). Same
+      // trap the q253/q256 oracles already guard against.
       val iters = (1 to 3).map { k =>
-        s"d$k AS (SELECT nij.i, ${snap(s"CAST(nij AS DOUBLE) / (wa.w + wb.w)")} AS d " +
+        s"d$k AS MATERIALIZED (SELECT nij.i, ${snap(s"CAST(nij AS DOUBLE) / (wa.w + wb.w)")} AS d " +
           s"FROM nij JOIN w${k - 1} wa ON wa.i = nij.i " +
           s"JOIN w${k - 1} wb ON wb.i = nij.j GROUP BY 1), " +
-          s"u$k AS (SELECT tot.i, CAST(tot.wi AS DOUBLE) / d$k.d AS w0 " +
+          s"u$k AS MATERIALIZED (SELECT tot.i, CAST(tot.wi AS DOUBLE) / d$k.d AS w0 " +
           s"FROM tot JOIN d$k ON d$k.i = tot.i), " +
-          s"z$k AS (SELECT ${snap("w0")} AS z FROM u$k), " +
-          s"w$k AS (SELECT i, round(w0 / z, 6) AS w FROM u$k CROSS JOIN z$k)"
+          s"z$k AS MATERIALIZED (SELECT ${snap("w0")} AS z FROM u$k), " +
+          s"w$k AS MATERIALIZED (SELECT i, round(w0 / z, 6) AS w FROM u$k CROSS JOIN z$k)"
       }.mkString(", ")
       "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
-        "tot0 AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+        "tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "tot0 AS MATERIALIZED (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1), " +
         "g AS (SELECT CAST(sum(ctf) AS DOUBLE) AS gt FROM tot0), " +
-        "p AS (SELECT term, ctf / gt AS p FROM tot0, g), " +
-        "nllt AS (SELECT doc_id, " +
+        "p AS MATERIALIZED (SELECT term, ctf / gt AS p FROM tot0, g), " +
+        "nllt AS MATERIALIZED (SELECT doc_id, " +
         "round(-(CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(p) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000) / sum(tf), 4) AS nll " +
         "FROM tf JOIN p USING (term) GROUP BY 1), " +
-        "dd AS (SELECT d.doc_id, d.source, n.nll FROM documents d JOIN nllt n USING (doc_id)), " +
-        "du AS (SELECT CASE WHEN a.nll <= b.nll THEN a.source ELSE b.source END AS win, " +
+        "dd AS MATERIALIZED (SELECT d.doc_id, d.source, n.nll FROM documents d JOIN nllt n USING (doc_id)), " +
+        "du AS MATERIALIZED (SELECT CASE WHEN a.nll <= b.nll THEN a.source ELSE b.source END AS win, " +
         "CASE WHEN a.nll <= b.nll THEN b.source ELSE a.source END AS lose " +
         "FROM dd a JOIN dd b ON b.doc_id = a.doc_id + 1 AND a.source <> b.source), " +
         // counts flow as DOUBLE end-to-end: bradleyTerry honors
         // fractional duel weights, so wij/nij/wi/ni are doubles
-        "pw AS (SELECT win AS i, lose AS j, CAST(count(*) AS DOUBLE) AS wij FROM du GROUP BY 1, 2), " +
-        "nij AS (SELECT i, j, CAST(sum(n) AS DOUBLE) AS nij FROM " +
+        "pw AS MATERIALIZED (SELECT win AS i, lose AS j, CAST(count(*) AS DOUBLE) AS wij FROM du GROUP BY 1, 2), " +
+        "nij AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS DOUBLE) AS nij FROM " +
         "(SELECT i, j, wij AS n FROM pw UNION ALL SELECT j AS i, i AS j, wij AS n FROM pw) GROUP BY 1, 2), " +
-        "tot AS (SELECT nij.i, CAST(sum(nij) AS DOUBLE) AS ni, " +
+        "tot AS MATERIALIZED (SELECT nij.i, CAST(sum(nij) AS DOUBLE) AS ni, " +
         "CAST(coalesce(wt.wi, 0) AS DOUBLE) AS wi FROM nij LEFT JOIN " +
         "(SELECT i, sum(wij) AS wi FROM pw GROUP BY 1) wt USING (i) GROUP BY nij.i, wt.wi), " +
-        "w0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM tot), " +
+        "w0 AS MATERIALIZED (SELECT i, CAST(1.0 AS DOUBLE) AS w FROM tot), " +
         iters
   }
 
@@ -8403,6 +8417,29 @@ object SparkEntry {
         "SELECT t, n_risk, d, " +
         "CASE WHEN z = 1 THEN CAST(0 AS DOUBLE) ELSE round(exp(lns), 6) END AS km_surv, " +
         "round(hh, 6) AS na_cumhaz FROM k4 WHERE d > 0"),
+    "q259_km_greenwood" ->
+      // the q254 replay plus the Greenwood cumulative variance term
+      // d/(n(n−d)) on the 1e12 grid; se = S·√Σ, linear CI clamped to
+      // [0,1]; the d = n zero step NULLs the whole band
+      (s"WITH $survivalUnitsCte, " +
+        "kp AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, count(*) AS leave FROM u GROUP BY 1), " +
+        "kg AS (SELECT *, CAST(sum(leave) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM kp), " +
+        "k2 AS (SELECT *, CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS frac FROM kg), " +
+        "k3 AS (SELECT *, CASE WHEN d < n_risk THEN CAST(floor(ln(CAST(1 AS DOUBLE) - frac) * 1000000000 + 0.5) AS DECIMAL(38,0)) " +
+        "ELSE CAST(0 AS DECIMAL(38,0)) END AS lnt, " +
+        "CASE WHEN d < n_risk THEN CAST(floor(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE)) * 1000000000000 + 0.5) AS DECIMAL(38,0)) " +
+        "ELSE CAST(0 AS DECIMAL(38,0)) END AS gwt, " +
+        "CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS zh FROM k2), " +
+        "k4 AS (SELECT *, CAST(sum(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS lns, " +
+        "max(zh) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z, " +
+        "CAST(sum(gwt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000000 AS gws FROM k3), " +
+        "k5 AS (SELECT *, CASE WHEN z = 1 THEN NULL ELSE exp(lns) * sqrt(gws) END AS ser FROM k4) " +
+        "SELECT t, n_risk, d, " +
+        "CASE WHEN z = 1 THEN CAST(0 AS DOUBLE) ELSE round(exp(lns), 6) END AS km_surv, " +
+        "round(ser, 6) AS se, " +
+        "CASE WHEN ser IS NULL THEN NULL ELSE round(greatest(CAST(0 AS DOUBLE), exp(lns) - CAST(1.959964 AS DOUBLE) * ser), 6) END AS ci_lo, " +
+        "CASE WHEN ser IS NULL THEN NULL ELSE round(least(CAST(1 AS DOUBLE), exp(lns) + CAST(1.959964 AS DOUBLE) * ser), 6) END AS ci_hi " +
+        "FROM k5 WHERE d > 0"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

@@ -162,7 +162,7 @@ object TextStats {
       materialize(fanned.select(explode(tokens(text)).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("uc"))))
     val bigAll = big0.getOrElse(
-      materialize(fanned.select(explode(shingles(text, 2)).as("bigram"))
+      materialize(fanned.select(shingleGen(text, 2).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
     val bi = bigAll.filter(col("bc") >= minCount)
     // sum() of an empty table is one NULL row — default the totals (any
@@ -274,7 +274,7 @@ object TextStats {
       s"dunningCollocations: minCount=$minCount topK=$topK")
     val big = big0.getOrElse(
       materialize(graft.ops.Fanout.fanout(docs)
-        .select(explode(shingles(text, 2)).as("bigram"))
+        .select(shingleGen(text, 2).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
     val w1 = split(col("bigram"), " ").getItem(0)
     val w2 = split(col("bigram"), " ").getItem(1)
@@ -309,38 +309,47 @@ object TextStats {
     * how often does (center, context) co-occur closer than `window`
     * positions. Ordered pairs, center ≠ context position. NO join, NO
     * rescan: a co-occurring pair lives INSIDE one document's token
-    * array, so EVERY offset's zip-with-shift — both ordered directions
-    * — builds in a single per-row nested `transform` and explodes ONCE
-    * straight into the map-side-combined count grid. The corpus is
-    * scanned exactly once and shuffles nothing but (center, context)
-    * partial counts (the positional self-join alternative shuffles the
-    * whole token stream `window` times; the per-offset-branch
-    * alternative rescans the corpus 2·window times). `minCount` floors
-    * output (rare pairs are noise and the grid is vocabulary²-bounded
-    * only after flooring). Returns (center, context, n_cooc). */
+    * array, so the corpus is scanned exactly once and shuffles nothing
+    * but (center, context) partial counts (the positional self-join
+    * alternative shuffles the whole token stream `window` times).
+    * Shaped as TWO codegen Generates (the q200/unigramSegment
+    * template): tokenize ONCE in a staging projection, stream
+    * positions out of `sequence(1, n−1)`, and emit each position's
+    * ≤2·window ordered pairs from a fixed-width `array(when…)` —
+    * nothing per-doc ever materializes. (The earlier
+    * flatten-of-transforms built a 2·Σ(len−d) struct ARRAY per doc
+    * inside an interpreted higher-order chain, re-evaluating
+    * `split(text)` per lambda element — the suite's most expensive
+    * query.) `minCount` floors output (rare pairs are noise and the
+    * grid is vocabulary²-bounded only after flooring). Returns
+    * (center, context, n_cooc). */
   def skipgramCounts(docs: org.apache.spark.sql.DataFrame, id: Column,
       text: Column, window: Int, minCount: Long)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{array, col, concat, count,
-      element_at, explode, flatten, lit, sequence, size, struct,
-      transform, when}
+    import org.apache.spark.sql.functions.{array, col, count,
+      element_at, explode, lit, sequence, size, struct, when}
     require(window >= 1 && minCount >= 1,
       s"skipgramCounts: window=$window minCount=$minCount")
-    val tk = tokens(text)
-    // per offset d: [ [(tk[i], tk[i+d]), (tk[i+d], tk[i])] | i ] — an
-    // empty array when the doc is shorter than d+1 tokens
-    val perOffset = (1 to window).map { d =>
-      when(size(tk) > d, flatten(transform(
-        sequence(lit(1), size(tk) - lit(d)),
-        i => array(
-          struct(element_at(tk, i).as("a"),
-            element_at(tk, i + lit(d)).as("b")),
-          struct(element_at(tk, i + lit(d)).as("a"),
-            element_at(tk, i).as("b"))))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val n = size(col("__tk"))
+    // position i (1-based) pairs with i+d for d ∈ [1, window] where
+    // i+d ≤ n — both ordered directions, null slots filtered post-
+    // explode (Generate + array/when/element_at are all codegen'd)
+    val pairs = (1 to window).flatMap { d =>
+      Seq(
+        when(col("__i") + lit(d) <= n,
+          struct(element_at(col("__tk"), col("__i")).as("a"),
+            element_at(col("__tk"), col("__i") + lit(d)).as("b"))),
+        when(col("__i") + lit(d) <= n,
+          struct(element_at(col("__tk"), col("__i") + lit(d)).as("a"),
+            element_at(col("__tk"), col("__i")).as("b"))))
     }
     graft.ops.Fanout.fanout(docs)
-      .select(explode(concat(perOffset: _*)).as("pr"))
+      .select(tokens(text).as("__tk"))
+      .filter(size(col("__tk")) > 1)
+      .select(col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - 1)).as("__i"))
+      .select(explode(array(pairs: _*)).as("pr"))
+      .filter(col("pr").isNotNull)
       .groupBy(col("pr.a").as("center"), col("pr.b").as("context"))
       .agg(count(lit(1)).as("n_cooc"))
       .filter(col("n_cooc") >= minCount)
@@ -467,7 +476,7 @@ object TextStats {
       materialize(fanned.select(explode(tokens(col("__t"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("uc"))))
     val big = big0.getOrElse(materialize(fanned
-      .select(explode(shingles(col("__t"), 2)).as("bigram"))
+      .select(shingleGen(col("__t"), 2).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
     val tTot = {
       val r = uni.agg(sum(col("uc"))).first()
@@ -487,7 +496,7 @@ object TextStats {
     // per-doc NLL terms via the shared order-independent [[Snap]] sum:
     // the mean is identical under any partitioning/engine/retry
     docBig0.getOrElse(fanned.select(col("doc_id"),
-        explode(shingles(col("__t"), 2)).as("bigram"))
+        shingleGen(col("__t"), 2).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k")))
       .join(probs, "bigram")
       .groupBy(col("doc_id"))
@@ -530,7 +539,7 @@ object TextStats {
     lazy val fanned = graft.ops.Fanout.fanout(docs)
       .select(id.as("doc_id"), text.as("__t"))
     val big = big0.getOrElse(materialize(fanned
-      .select(explode(shingles(col("__t"), 2)).as("bigram"))
+      .select(shingleGen(col("__t"), 2).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))))
     val w1 = split(col("bigram"), " ").getItem(0)
     val w2 = split(col("bigram"), " ").getItem(1)
@@ -553,7 +562,7 @@ object TextStats {
             col("ctx").cast("double")) *
             (col("nprec").cast("double") / lit(nTypes))).as("p"))
     docBig0.getOrElse(fanned.select(col("doc_id"),
-        explode(shingles(col("__t"), 2)).as("bigram"))
+        shingleGen(col("__t"), 2).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k")))
       .join(probs, "bigram")
       .groupBy(col("doc_id"))
@@ -581,7 +590,7 @@ object TextStats {
       round, sum, when}
     val g = (1 to maxN).map { n =>
       graft.ops.Fanout.fanout(docs).select(group.as("grp"),
-        lit(n).as("n"), explode(shingles(text, n)).as("gram"))
+        lit(n).as("n"), shingleGen(text, n).as("gram"))
     }.reduce(_ unionByName _)
       .groupBy(col("grp"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
@@ -646,7 +655,7 @@ object TextStats {
     import org.apache.spark.sql.functions.{col, count, explode, lit,
       round, sum, when}
     graft.ops.Fanout.fanout(docs)
-      .select(group.as("grp"), explode(shingles(text, n)).as("gram"))
+      .select(group.as("grp"), shingleGen(text, n).as("gram"))
       .groupBy(col("grp"), col("gram")).agg(count(lit(1)).as("k"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("d"),
@@ -698,7 +707,7 @@ object TextStats {
       .select(col("doc_id"), explode(tokens(col("__t"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val docBig = docBig0.getOrElse(fanned
-      .select(col("doc_id"), explode(shingles(col("__t"), 2)).as("bigram"))
+      .select(col("doc_id"), shingleGen(col("__t"), 2).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
       .localCheckpoint(true)) // 2 consumers: train + held halves
     val uni = docTf.filter(col("doc_id") % 2 === 0)
@@ -856,7 +865,7 @@ object TextStats {
     docBig0.map(_.select(col("doc_id"), col("bigram").as("gram"),
         col("k").as("n")))
       .getOrElse(graft.ops.Fanout.fanout(docs)
-        .select(id.as("doc_id"), explode(shingles(text, 2)).as("gram"))
+        .select(id.as("doc_id"), shingleGen(text, 2).as("gram"))
         .groupBy(col("doc_id"), col("gram"))
         .agg(count(lit(1)).as("n")))
       .groupBy(col("doc_id"))
@@ -955,8 +964,14 @@ object TextStats {
     // "id-space position", not "docs ingested" — dense 0-based ids
     // are the intended input.
     val maxIdRow = docs.agg(org.apache.spark.sql.functions
-      .max(id.cast("long"))).head()
-    require(!maxIdRow.isNullAt(0), "heapsLawFit: empty corpus")
+        .max(id.cast("long")),
+      count(lit(1))).head()
+    // distinguish "no rows" from "ids cast to all-NULL" — a non-numeric
+    // doc_id column would otherwise fail as a misleading 'empty corpus'
+    require(maxIdRow.getLong(1) > 0L, "heapsLawFit: empty corpus")
+    require(!maxIdRow.isNullAt(0),
+      "heapsLawFit: doc ids cast to all-NULL — ids must be numeric " +
+        "0-based sequence positions")
     val nPos = maxIdRow.getLong(0) + 1L
     require(nPos > 0L, s"heapsLawFit: negative doc ids (max=${nPos - 1L})")
     val jmax = math.ceil(math.log(nPos.toDouble) / math.log(2.0)).toInt
@@ -1035,8 +1050,22 @@ object TextStats {
     aggregate(split(text, ""), lit(0L),
       (h, c) => pmod(h * lit(31L) + ascii(c), lit(1000000007L)))
 
+  /** Shingle ROWS via the native codegen generator
+    * ([[graft.expr.catalyst.ShingleGen]]) — row-for-row ≡
+    * `shingleGen(text, n)` (PropertySpec pins the equivalence)
+    * but streams each shingle straight into the downstream consumer:
+    * no per-document array of ~token-count n-word strings ever
+    * materializes, and the Generate stays inside WholeStageCodegen
+    * instead of an interpreted transform chain. Use in `select()`
+    * exactly like `explode(...)`. */
+  def shingleGen(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.catalyst.ShingleGen(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
   /** Contiguous word n-gram shingles as strings, e.g. n=3. Docs shorter
-    * than n yield an empty array (sequence() would otherwise descend). */
+    * than n yield an empty array (sequence() would otherwise descend).
+    * Prefer [[shingleGen]] when the very next step is an explode. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
@@ -1071,18 +1100,22 @@ object TextStats {
         s"phrases; offending: ${phrases.filterNot(p => p.split(" ", -1).forall(_.nonEmpty))}")
     val lens = phrases.map(_.split(" ").length).distinct.sorted
     val toks = docs.select(id.as("doc_id"), tokens(text).as("t"))
-    // ONE tokenization pass for every phrase length: per-length
-    // (pos, gram) struct arrays flattened into a single explode — a
-    // dictionary with many lengths still costs one corpus scan
-    val gramType = "array<struct<pos:int,gram:string>>"
-    val perLen = lens.map { l =>
-      when(size(col("t")) >= l,
-        transform(sequence(lit(1), size(col("t")) - lit(l - 1)),
-          i => struct(i.as("pos"),
-            array_join(slice(col("t"), i, lit(l)), " ").as("gram"))))
-        .otherwise(array().cast(gramType))
+    // ONE tokenization pass for every phrase length, as TWO codegen
+    // Generates (the q200/q238 template): positions stream out of
+    // sequence(1, |t|), each position emits its ≤|lens| (pos, gram)
+    // candidates from a fixed-width array — nothing per-doc ever
+    // materializes (the earlier flatten-of-transforms built a
+    // Σ(|t|−l+1) struct array per doc in an interpreted HOF chain)
+    val cand = lens.map { l =>
+      when(col("__i") + lit(l - 1) <= size(col("t")),
+        struct(col("__i").as("pos"),
+          array_join(slice(col("t"), col("__i"), lit(l)), " ").as("gram")))
     }
-    toks.select(col("doc_id"), explode(flatten(array(perLen: _*))).as("g"))
+    toks.filter(size(col("t")) >= lens.min)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")))).as("__i"))
+      .select(col("doc_id"), explode(array(cand: _*)).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
       .filter(col("gram").isin(phrases: _*))
       .groupBy(col("doc_id"), col("gram").as("phrase"))

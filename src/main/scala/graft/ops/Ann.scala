@@ -260,15 +260,21 @@ object Ann {
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
       exact0: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"binaryHammingEval: k=$k")
-    // dim probe (one row, like pcaPowerProject): the packing below is
+    // dim probe (one aggregate row): the packing below is
     // contractually two 32-bit words, so shiftleft's mod-64 shift
     // semantics would silently alias bits for d > 64 — fail loudly.
-    val probe = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(probe.nonEmpty, "binaryHammingEval: empty corpus")
-    val dim = probe.head.getInt(0)
-    require(dim > 0 && dim <= 64,
-      s"binaryHammingEval: dim=$dim exceeds the two-32-bit-word packing " +
-        "contract (max 64); use SQ8/PQ tiers for wider vectors")
+    // Probe the MAX width over the whole corpus (a first-row probe
+    // would miss wider rows further in), NULL-safe for NULL vectors.
+    val probe = corpus.agg(
+      max(size(col(vecCol))).as("dmax"),
+      min(size(col(vecCol))).as("dmin")).collect().head
+    require(!probe.isNullAt(0),
+      "binaryHammingEval: empty corpus (or all vectors NULL)")
+    val dim = probe.getInt(0)
+    require(probe.getInt(1) > 0 && dim <= 64,
+      s"binaryHammingEval: vector widths [${probe.getInt(1)}, $dim] " +
+        "violate the two-32-bit-word packing contract (1..64); use " +
+        "SQ8/PQ tiers for wider vectors")
     val exact = exact0.getOrElse(
       materialize(bruteForceTopK(corpus, queries, k, idCol, vecCol)
         .select(col("q_id"), col("n_id"))))

@@ -72,6 +72,74 @@ object Survival {
         round(col("H"), 6).as("na_cumhaz"))
   }
 
+  /** Kaplan–Meier with Greenwood pointwise confidence bands
+    * (Greenwood 1926; the variance formula every survival package
+    * reports alongside the curve — a KM estimate is decision-grade
+    * only with its uncertainty):
+    *   Var(S(t)) = S(t)² · Σ_{j ≤ t} d_j / (n_j·(n_j − d_j)),
+    *   se = √Var,  CI = [max(0, S − z·se), min(1, S + z·se)]
+    * (the plain/linear band, clamped to [0, 1]). Each Greenwood term
+    * snaps to the 1e12 grid (finer than the 1e9 ln grid — the terms
+    * are O(1/n²) and would lose ~1% relative precision at 1e9; the
+    * cumulative Σ stays order-free and engine-exact either way). At
+    * a d = n step (everyone at risk dies) the term is undefined and
+    * S = 0 exactly: se/ci are NULL from that step on (NULL-for-
+    * undefined, never ±Inf), matching the km zero-flag discipline.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one map-side-combined
+    * per-step aggregation, then windows only over the calendar-bounded
+    * step grid. All-censored input has no event steps → zero rows,
+    * like the base curve. Returns one row per EVENT step:
+    * (t, n_risk, d, km_surv, se, ci_lo, ci_hi), 6 dp. */
+  def kaplanMeierGreenwood(units: DataFrame, duration: Column,
+      event: Column, z: Double = 1.959964): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = units.select(duration.cast("long").as("t"),
+        event.cast("boolean").as("e"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = per.withColumn("n_risk", sum(col("leave")).over(atRisk))
+    val frac = col("d").cast("double") / col("n_risk").cast("double")
+    val lnTerm = when(col("d") < col("n_risk"),
+      floor(log(lit(1.0) - frac) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)"))
+    val zeroHit = max(when(col("d") >= col("n_risk") && col("d") > 0L,
+      lit(1)).otherwise(lit(0))).over(run)
+    // Greenwood term d/(n·(n−d)), 1e12-snapped; 0 at the d = n step
+    // (the zero flag NULLs the band there anyway)
+    val gwTerm = when(col("d") < col("n_risk"),
+      floor(col("d").cast("double") /
+          (col("n_risk").cast("double") *
+            (col("n_risk") - col("d")).cast("double")) *
+          lit(1e12) + lit(0.5)).cast("decimal(38,0)"))
+      .otherwise(lit(0).cast("decimal(38,0)"))
+    val surv = when(col("z") === 1, lit(0.0)).otherwise(exp(col("lnS")))
+    val se = when(col("z") === 1, lit(null).cast("double"))
+      .otherwise(surv * sqrt(col("gw")))
+    // Spark's greatest/least SKIP NULLs (greatest(0, NULL) = 0), so
+    // the NULL band must short-circuit before the clamp
+    val lo = when(se.isNull, lit(null).cast("double"))
+      .otherwise(greatest(lit(0.0), surv - lit(z) * se))
+    val hi = when(se.isNull, lit(null).cast("double"))
+      .otherwise(least(lit(1.0), surv + lit(z) * se))
+    g.withColumn("lnS",
+        sum(lnTerm).over(run).cast("double") / lit(1e9))
+      .withColumn("z", zeroHit)
+      .withColumn("gw", sum(gwTerm).over(run).cast("double") / lit(1e12))
+      .filter(col("d") > 0L)
+      .select(col("t"), col("n_risk"), col("d"),
+        when(col("z") === 1, lit(0.0))
+          .otherwise(round(exp(col("lnS")), 6)).as("km_surv"),
+        round(se, 6).as("se"),
+        round(lo, 6).as("ci_lo"),
+        round(hi, 6).as("ci_hi"))
+  }
+
   /** Two-arm log-rank test (Mantel 1966; Peto & Peto 1972) — "do the
     * arms share one hazard trajectory", the survival-side A/B verdict
     * that q251's single-number ratio test cannot give when the effect
@@ -85,12 +153,16 @@ object Survival {
     *
     * Scale shape: one aggregation to per-(step, arm) counts, reverse
     * cumulative at-risk windows over the calendar-bounded step×arm
-    * grid, one single-row aggregate. Returns one row:
-    * (n_a, n_b, events_a, events_b, chi2, p_value). */
-  def logRank(units: DataFrame, duration: Column, event: Column,
+    * grid, one single-row aggregate. Units with a NULL arm are
+    * EXCLUDED up front (from risk sets AND totals): a NULL arm is
+    * membership-unknown, and letting it into the pooled at-risk
+    * counts while appearing in neither arm would skew E = d·n_a/n.
+    * Returns one row: (n_a, n_b, events_a, events_b, chi2, p_value). */
+  def logRank(units0: DataFrame, duration: Column, event: Column,
       isA: Column): DataFrame = {
     import graft.expr.Snap
     import org.apache.spark.sql.expressions.Window
+    val units = units0.filter(isA.isNotNull)
     val per = units.select(duration.cast("long").as("t"),
         event.cast("boolean").as("e"), isA.as("a"))
       .groupBy(col("t"))
@@ -192,14 +264,19 @@ object Survival {
     * consumers: β₁ pass, β₂ pass, the final information pass);
     * everything after the one corpus aggregation is
     * calendar-grid-sized. I(0) = 0 (single arm, no events) → NULL
-    * everything. Returns one row: (n_a, n_b, events_a, events_b,
-    * beta, hazard_ratio, se, z, p_value) — hazard_ratio = e^β, se =
-    * 1/√I(β₂), 6 dp. */
-  def coxHazard(units: DataFrame, duration: Column, event: Column,
+    * everything — including the no-event-step case (empty/all-censored
+    * input), which still emits EXACTLY one row (counts + NULL fit):
+    * the refinement passes aggregate globally, never via a groupBy
+    * that would vanish on empty input. Units with a NULL arm are
+    * excluded up front (same rationale as [[logRank]]). Returns one
+    * row: (n_a, n_b, events_a, events_b, beta, hazard_ratio, se, z,
+    * p_value) — hazard_ratio = e^β, se = 1/√I(β₂), 6 dp. */
+  def coxHazard(units0: DataFrame, duration: Column, event: Column,
       isA: Column,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val units = units0.filter(isA.isNotNull)
     val per = units.select(duration.cast("long").as("t"),
         event.cast("boolean").as("e"), isA.as("a"))
       .groupBy(col("t"))
@@ -231,22 +308,30 @@ object Survival {
       snap9(iTerm(lit(1.0))).as("i"))
     val b1 = a0.select(
       when(col("i") > 0.0, col("u") / col("i")).as("beta"))
-    // Newton step 2 at β₁ (r = e^β₁ evaluates in-plan)
+    // Newton step 2 at β₁ (r = e^β₁ evaluates in-plan). GLOBAL agg
+    // (β recovered by max — it is a broadcast constant per row), NOT
+    // groupBy(beta): a groupBy over an empty step table yields ZERO
+    // rows and the final cross join would drop the totals row,
+    // breaking the one-row contract for all-censored inputs.
     val a1 = st.crossJoin(broadcast(b1))
-      .groupBy(col("beta"))
-      .agg(snap9(uTerm(exp(col("beta")))).as("u"),
+      .agg(max(col("beta")).as("beta"),
+        snap9(uTerm(exp(col("beta")))).as("u"),
         snap9(iTerm(exp(col("beta")))).as("i"))
     val b2 = a1.select(
       when(col("i") > 0.0, col("beta") + col("u") / col("i")).as("beta"))
     // final observed information at β₂ for the Wald se
     val a2 = st.crossJoin(broadcast(b2))
-      .groupBy(col("beta"))
-      .agg(snap9(iTerm(exp(col("beta")))).as("i2"))
+      .agg(max(col("beta")).as("beta"),
+        snap9(iTerm(exp(col("beta")))).as("i2"))
+    // counts coalesce to 0 (a global sum over EMPTY input is NULL —
+    // the one-row contract reports zero units, not unknown units)
     val tot = units.select(event.cast("boolean").as("e"), isA.as("a"))
-      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("events_a"),
-        sum(when(col("e") && !col("a"), 1L).otherwise(0L)).as("events_b"))
+      .agg(coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(!col("a"), 1L).otherwise(0L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(col("e") && col("a"), 1L).otherwise(0L)),
+          lit(0L)).as("events_a"),
+        coalesce(sum(when(col("e") && !col("a"), 1L).otherwise(0L)),
+          lit(0L)).as("events_b"))
     val se = lit(1.0) / sqrt(col("i2"))
     val z = col("beta") * sqrt(col("i2"))
     tot.crossJoin(broadcast(a2))

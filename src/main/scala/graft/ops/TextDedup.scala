@@ -551,7 +551,7 @@ object TextDedup {
       text: Column, l: Int): DataFrame = {
     require(l >= 1, s"decontamApply: l=$l")
     val benchGrams = broadcast(bench
-      .select(explode(graft.expr.TextStats.shingles(text, l)).as("gram"))
+      .select(graft.expr.TextStats.shingleGen(text, l).as("gram"))
       .distinct())
     val toks = corpus.select(id.as("doc_id"),
       graft.expr.TextStats.tokens(text).as("t"))
@@ -832,12 +832,11 @@ object TextDedup {
       val tk = TextStats.tokens(text)
       val uni = df.select(id.as("pair_id"), lit(1).as("n"),
         explode(tk).as("gram"))
-      val bi = df.select(id.as("pair_id"), tk.as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("pair_id"), lit(2).as("n"),
-          explode(transform(sequence(lit(1), size(col("tk")) - 1),
-            i => concat_ws(" ", element_at(col("tk"), i),
-              element_at(col("tk"), i + 1)))).as("gram"))
+      // bigrams stream from the native shingle generator (≡ the old
+      // explode-of-transform, PropertySpec-pinned) — no per-doc
+      // bigram array, no interpreted HOF in the pair hot path
+      val bi = df.select(id.as("pair_id"), lit(2).as("n"),
+        TextStats.shingleGen(text, 2).as("gram"))
       uni.unionByName(bi)
         .groupBy(col("pair_id"), col("n"), col("gram"))
         .agg(count(lit(1)).as("c"))
@@ -914,14 +913,24 @@ object TextDedup {
     * side, n = 1..`maxN`, whitespace stripped. */
   private def chrfGrams(df: DataFrame, id: Column, text: Column,
       maxN: Int): DataFrame = {
+    // TWO codegen Generates in ONE corpus pass for ALL n (the
+    // q200/q238 template): positions stream out of sequence(1, len),
+    // each position emits its ≤maxN (n, gram) candidates from a
+    // fixed-width array — replacing maxN separate scans each running
+    // an interpreted transform that materialized a per-doc gram array
     val s = regexp_replace(text, " ", "")
-    (1 to maxN).map { n =>
-      df.select(id.as("pair_id"), s.as("__s"))
-        .filter(length(col("__s")) >= n)
-        .select(col("pair_id"), lit(n).as("n"),
-          explode(transform(sequence(lit(1), length(col("__s")) - (n - 1)),
-            i => col("__s").substr(i, lit(n)))).as("gram"))
-    }.reduce(_ unionByName _)
+    val cand = (1 to maxN).map { n =>
+      when(col("__i") + lit(n - 1) <= length(col("__s")),
+        struct(lit(n).as("n"),
+          col("__s").substr(col("__i"), lit(n)).as("gram")))
+    }
+    df.select(id.as("pair_id"), s.as("__s"))
+      .filter(length(col("__s")) >= 1)
+      .select(col("pair_id"), col("__s"),
+        explode(sequence(lit(1), length(col("__s")))).as("__i"))
+      .select(col("pair_id"), explode(array(cand: _*)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("pair_id"), col("g.n").as("n"), col("g.gram").as("gram"))
       .groupBy(col("pair_id"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
   }

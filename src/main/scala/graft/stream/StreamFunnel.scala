@@ -167,8 +167,14 @@ object StreamFunnel {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty) {
           val (finalArr, buffer, maxTs) = state.get()
+          // NULL timestamps are dropped AT INGEST, explicitly: without
+          // this filter they would vanish silently anyway (ts <= wm and
+          // ts > wm are both NULL → neither expired nor retained) —
+          // making the drop a documented contract instead of an
+          // accident, matching a batch funnel run on ts-non-null input
           val ev = batch.select(col(unitCol).cast("string").as("u"),
             col(tsCol).cast("long").as("ts"), col(stageCol).as("st"))
+            .filter(col("ts").isNotNull)
           val pooled = buffer.unionByName(ev)
             .localCheckpoint(true) // consumers: max, expired, kept
           val batchMax = pooled.agg(max(col("ts"))).first()

@@ -32,6 +32,43 @@ class SurvivalSpec extends SparkSpec {
     assert(!r.contains(2L) && !r.contains(4L))
   }
 
+  test("kaplanMeierGreenwood: hand-derived se and clamped linear CI; " +
+    "the d = n zero step NULLs the band; all-censored gives zero rows") {
+    val u = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("t", "e")
+    val r = Survival.kaplanMeierGreenwood(u, col("t"), col("e"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // replicate the snapped arithmetic: lnS on the 1e9 grid, Greenwood
+    // terms on the 1e12 grid, se = exp(lnS)·sqrt(Σ), CI clamped
+    def s9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def s12(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ln1 = s9(math.log(1.0 - 2.0 / 5.0))
+    val gw1 = s12(2.0 / (5.0 * 3.0))
+    val se1 = math.exp(ln1) * math.sqrt(gw1)
+    assert(r(1L).getDouble(4) == r6(se1))
+    assert(r(1L).getDouble(5) ==
+      r6(math.max(0.0, math.exp(ln1) - 1.959964 * se1)))
+    assert(r(1L).getDouble(6) ==
+      r6(math.min(1.0, math.exp(ln1) + 1.959964 * se1)))
+    val ln3 = ln1 + s9(math.log(1.0 - 1.0 / 2.0))
+    val gw3 = gw1 + s12(1.0 / (2.0 * 1.0))
+    val se3 = math.exp(ln3) * math.sqrt(gw3)
+    assert(r(3L).getDouble(3) == 0.3 && r(3L).getDouble(4) == r6(se3))
+    // everyone dies at one step: S = 0 exactly, band NULL (the
+    // Greenwood term is undefined at d = n — NULL-for-undefined)
+    val z = Survival.kaplanMeierGreenwood(
+      Seq((1L, true), (1L, true)).toDF("t", "e"), col("t"), col("e"))
+      .collect().head
+    assert(z.getDouble(3) == 0.0)
+    assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6))
+    // all censored: no event steps -> zero rows (the base-curve
+    // contract; the caller reads "no curve", not a fake flat band)
+    assert(Survival.kaplanMeierGreenwood(
+      Seq((2L, false), (5L, false)).toDF("t", "e"),
+      col("t"), col("e")).count() == 0L)
+  }
+
   test("coxHazard: plain-Scala replay of the two snapped Newton steps " +
     "matches exactly; identical arms fit beta = 0; single arm is NULL") {
     import graft.ops.Survival
@@ -118,5 +155,43 @@ class SurvivalSpec extends SparkSpec {
         (9L, true, false)).toDF("t", "e", "a"),
       col("t"), col("e"), col("a")).collect().head
     assert(sep.getDouble(4) > 0.0 && sep.getDouble(5) < 1.0)
+  }
+
+  test("logRank/coxHazard: NULL-arm units are excluded from risk sets " +
+    "AND totals (not half-counted into the pooled n)") {
+    // two identical arms plus a NULL-arm unit that events first: if
+    // the NULL unit leaked into the pooled at-risk counts (the old
+    // behavior), E = d*na/n would shift and chi2 would leave 0
+    val u = Seq((1L, true, Some(true)), (3L, true, Some(true)),
+      (1L, true, Some(false)), (3L, true, Some(false)),
+      (0L, true, Option.empty[Boolean])).toDF("t", "e", "a")
+    val r = Survival.logRank(u, col("t"), col("e"), col("a"))
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L) // NULL not counted
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 1.0)
+    val c = Survival.coxHazard(u, col("t"), col("e"), col("a"))
+      .collect().head
+    assert(c.getLong(0) == 2L && c.getLong(1) == 2L)
+    assert(c.getDouble(4) == 0.0) // identical arms stay beta = 0
+  }
+
+  test("coxHazard: all-censored / empty inputs still emit EXACTLY one " +
+    "row (counts + NULL fit), per the one-row contract") {
+    // all censored: no event steps at all -> the step table is empty;
+    // the global-agg refinement passes must still carry one row through
+    val cen = Survival.coxHazard(
+      Seq((1L, false, true), (2L, false, false)).toDF("t", "e", "a"),
+      col("t"), col("e"), col("a")).collect()
+    assert(cen.length == 1)
+    assert(cen.head.getLong(0) == 1L && cen.head.getLong(1) == 1L)
+    assert(cen.head.getLong(2) == 0L && cen.head.getLong(3) == 0L)
+    (4 to 8).foreach(i => assert(cen.head.isNullAt(i), s"col $i"))
+    // fully empty input: one row of zero counts + NULL fit
+    val emp = Survival.coxHazard(
+      Seq.empty[(Long, Boolean, Boolean)].toDF("t", "e", "a"),
+      col("t"), col("e"), col("a")).collect()
+    assert(emp.length == 1)
+    assert(emp.head.getLong(0) == 0L && emp.head.getLong(2) == 0L)
+    (4 to 8).foreach(i => assert(emp.head.isNullAt(i), s"col $i"))
   }
 }

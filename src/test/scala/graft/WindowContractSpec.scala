@@ -90,6 +90,8 @@ object WindowContractSpec {
       "observation window, data-independent)"),
     "q258_rmst_diff" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent)"),
+    "q259_km_greenwood" -> ("calendar-bounded day-step grid (the " +
+      "observation window, data-independent)"),
     "q213_concentration" -> "|groups|-row share rollup",
     "q216_event_funnel" -> "|stages|-row stage counts",
     "q230_temperature_scan" -> "|T|-row temperature grid",

@@ -25,8 +25,16 @@ import math
 import sys
 import glob
 import os
+import threading
+import time
 
 import duckdb
+
+# Hard per-oracle wall-time ceiling: a single slow DuckDB oracle (the
+# q188 CTE-inlining blow-up, round 8/9) silently ate the driver's whole
+# compare budget and zeroed the round record. Any oracle that exceeds
+# the ceiling is interrupted and FAILS LOUDLY instead.
+ORACLE_CEILING_S = float(os.environ.get("GRAFT_ORACLE_CEILING_S", "30"))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -59,6 +67,7 @@ def rec(name, rows_match=False, schema_match=False, hash_match=False,
                     "oracle_rows": oracle_rows, "err": err}
 
 n_pass = n_fail = 0
+slowest = []  # (oracle_seconds, name) for the end-of-run summary
 for name in sorted(oracle):
     spark_dir = os.path.join(OUT_DIR, name)
     if not os.path.isdir(spark_dir):
@@ -69,9 +78,26 @@ for name in sorted(oracle):
     try:
         sp_cols, sp_types, sp_rows = canon(
             con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
-        du_cols, du_types, du_rows = canon(con.sql(oracle[name]))
+        t0 = time.monotonic()
+        timer = threading.Timer(ORACLE_CEILING_S, con.interrupt)
+        timer.start()
+        try:
+            du_cols, du_types, du_rows = canon(con.sql(oracle[name]))
+        finally:
+            timer.cancel()
+        oracle_s = time.monotonic() - t0
+        if oracle_s > ORACLE_CEILING_S:
+            print(f"FAIL {name}: oracle exceeded {ORACLE_CEILING_S:.0f}s "
+                  f"ceiling ({oracle_s:.1f}s) — hint its CTEs MATERIALIZED")
+            rec(name, err=f"oracle exceeded {ORACLE_CEILING_S:.0f}s ceiling "
+                          f"({oracle_s:.1f}s)")
+            n_fail += 1
+            continue
     except Exception as e:
         msg = str(e).splitlines()[0][:160]
+        if "INTERRUPT" in msg.upper():
+            msg = (f"oracle interrupted at {ORACLE_CEILING_S:.0f}s ceiling "
+                   f"— hint its CTEs MATERIALIZED")
         print(f"FAIL {name}: {msg}")
         rec(name, err=msg)
         n_fail += 1
@@ -124,10 +150,11 @@ for name in sorted(oracle):
             err=f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} duckdb={bad[3]!r}"[:160])
         n_fail += 1
     else:
-        print(f"PASS {name} ({len(sp_rows)} rows)")
+        print(f"PASS {name} ({len(sp_rows)} rows, oracle {oracle_s:.2f}s)")
         rec(name, rows_match=True, schema_match=True, hash_match=True,
             spark_rows=len(sp_rows), oracle_rows=len(du_rows))
         n_pass += 1
+    slowest.append((oracle_s, name))
 
 # any spark output without an oracle entry gets the driver's weaker
 # rows-only check (auto-derived — a hardcoded list silently skips
@@ -146,4 +173,9 @@ for q in extra:
 with open(RECORD_PATH, "w") as f:
     json.dump(record, f, indent=2, sort_keys=True)
     f.write("\n")
+if slowest:
+    top = sorted(slowest, reverse=True)[:5]
+    print("slowest oracles: " +
+          ", ".join(f"{n}={s:.2f}s" for s, n in top) +
+          f" (total oracle time {sum(s for s, _ in slowest):.1f}s)")
 print(f"== {n_pass} pass / {n_fail} fail == (record: {RECORD_PATH})")
