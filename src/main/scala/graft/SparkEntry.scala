@@ -3413,6 +3413,93 @@ object SparkEntry {
         round(col("rmst_treat") - col("rmst_ctrl"), 6).as("rmst_diff"))
   }
 
+  /** Pre-period activity band per user (the q257 stratum rule, shared
+    * by the stratified survival/MH readouts q262/q263). */
+  private def activityBand(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    ev.groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("c"))
+      .select(col("user_id"),
+        when(col("c") < 20L, "low").when(col("c") < 40L, "mid")
+          .otherwise("high").as("stratum"))
+  }
+
+  /** Weibull probability-plot fit over the q254 curve
+    * ([[ops.Survival.weibullFit]]) — the parametric "is the conversion
+    * hazard rising or fading?" scalar (shape ≷ 1) the nonparametric
+    * curve can't give. */
+  private def qWeibullFit(s: SparkSession, dir: String): DataFrame =
+    ops.Survival.weibullFit(survivalUnits(s, dir), col("dur_days"),
+      col("converted"))
+
+  /** Per-user COMPETING first events after the first view: purchase vs
+    * error, whichever strikes first (ties break by (ts, type) struct
+    * order — deterministic); censored at last activity. The unit table
+    * of q261's Aalen–Johansen readout. */
+  private def competingUnits(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val ce = ev.filter(col("event_type").isin("purchase", "error"))
+      .join(v, "user_id").filter(col("ts") > col("t0"))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_type"))).as("fe"))
+    val last = ev.groupBy(col("user_id")).agg(max(col("ts")).as("tl"))
+    v.join(ce, Seq("user_id"), "left").join(last, "user_id")
+      .select(col("user_id"),
+        expr("(unix_micros(CAST(coalesce(fe.ts, tl) AS TIMESTAMP)) - " +
+          "unix_micros(CAST(t0 AS TIMESTAMP))) DIV 86400000000")
+          .as("dur_days"),
+        col("fe.event_type").as("cause"))
+  }
+
+  /** Aalen–Johansen cumulative incidence of purchase vs error as
+    * COMPETING first outcomes ([[ops.Survival.cumulativeIncidence]]) —
+    * the estimand q254's single-cause KM overstates when users can
+    * exit to a competitor cause first. */
+  private def qCifCompeting(s: SparkSession, dir: String): DataFrame =
+    ops.Survival.cumulativeIncidence(competingUnits(s, dir),
+      col("dur_days"), col("cause"))
+
+  /** Stratified log-rank between the hash arms, strata = pre-period
+    * activity bands ([[ops.Survival.logRankStratified]]) — q255 made
+    * confounder-safe: an arm imbalance inside an activity band cannot
+    * fake a hazard difference. */
+  private def qStratLogrank(s: SparkSession, dir: String): DataFrame = {
+    val u = survivalUnits(s, dir).join(activityBand(s, dir), "user_id")
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Survival.logRankStratified(u, col("dur_days"), col("converted"),
+      isA, col("stratum"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + CMH test of arm → converted
+    * across the activity-band strata ([[ops.Analytics.mantelHaenszel]])
+    * — the stratified 2×2 verdict immune to Simpson inversion, with
+    * the RBG log-normal CI. */
+  private def qMantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val u = survivalUnits(s, dir).join(activityBand(s, dir), "user_id")
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.mantelHaenszel(u, isA, col("converted"), col("stratum"))
+  }
+
+  /** Always-valid mixture-SPRT p for the arm difference in per-user
+    * post-period value totals ([[ops.Analytics.msprt]], τ² = 1) — the
+    * peeking-safe batch twin of q222's sequential SPRT. */
+  private def qMsprt(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val units = ev.groupBy(col("user_id")).agg(
+      graft.expr.Snap.snappedSum(
+        when(col("ts") >= cut, col("value")).otherwise(lit(0.0)), 1e9)
+        .as("y"))
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.msprt(units, isA, col("y"), 1.0)
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4070,7 +4157,12 @@ object SparkEntry {
     "q256_cox_hazard" -> (qCoxHazard _),
     "q257_poststrat" -> (qPostStrat _),
     "q258_rmst_diff" -> (qRmstDiff _),
-    "q259_km_greenwood" -> (qKmGreenwood _))
+    "q259_km_greenwood" -> (qKmGreenwood _),
+    "q260_weibull_fit" -> (qWeibullFit _),
+    "q261_cif_competing" -> (qCifCompeting _),
+    "q262_stratified_logrank" -> (qStratLogrank _),
+    "q263_mantel_haenszel" -> (qMantelHaenszel _),
+    "q264_msprt" -> (qMsprt _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8440,6 +8532,151 @@ object SparkEntry {
         "CASE WHEN ser IS NULL THEN NULL ELSE round(greatest(CAST(0 AS DOUBLE), exp(lns) - CAST(1.959964 AS DOUBLE) * ser), 6) END AS ci_lo, " +
         "CASE WHEN ser IS NULL THEN NULL ELSE round(least(CAST(1 AS DOUBLE), exp(lns) + CAST(1.959964 AS DOUBLE) * ser), 6) END AS ci_hi " +
         "FROM k5 WHERE d > 0"),
+    "q260_weibull_fit" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q254 step replay -> Weibull plot points (t>0, z=0) ->
+      // snapped closed-form OLS; slope = shape, exp(-b/k) = scale
+      s"WITH $survivalUnitsCte, " +
+        "kp AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, count(*) AS leave FROM u GROUP BY 1), " +
+        "kg AS (SELECT *, CAST(sum(leave) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM kp), " +
+        "k2 AS (SELECT *, CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS frac FROM kg), " +
+        "k3 AS (SELECT *, CASE WHEN d < n_risk THEN CAST(floor(ln(CAST(1 AS DOUBLE) - frac) * 1000000000 + 0.5) AS DECIMAL(38,0)) " +
+        "ELSE CAST(0 AS DECIMAL(38,0)) END AS lnt, " +
+        "CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS zh FROM k2), " +
+        "k4 AS (SELECT *, CAST(sum(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS lns, " +
+        "max(zh) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z FROM k3), " +
+        "wp AS (SELECT ln(CAST(t AS DOUBLE)) AS x, ln(-lns) AS y FROM k4 WHERE d > 0 AND z = 0 AND t > 0), " +
+        s"wm AS (SELECT count(*) AS n, ${snap("x")} AS sx, ${snap("y")} AS sy, " +
+        s"${snap("x * x")} AS sxx, ${snap("x * y")} AS sxy, ${snap("y * y")} AS syy FROM wp), " +
+        "wf AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx, " +
+        "CAST(n AS DOUBLE) * syy - sy * sy AS vy, " +
+        "CAST(n AS DOUBLE) * sxy - sx * sy AS cov FROM wm), " +
+        "wk AS (SELECT *, CASE WHEN n >= 2 AND vx > CAST(0 AS DOUBLE) THEN cov / vx END AS k FROM wf) " +
+        "SELECT n AS n_points, round(k, 6) AS shape, " +
+        "round(CASE WHEN k IS NOT NULL AND k <> CAST(0 AS DOUBLE) THEN exp(-((sy - k * sx) / CAST(n AS DOUBLE)) / k) END, 6) AS scale, " +
+        "round(CASE WHEN k IS NOT NULL AND vy > CAST(0 AS DOUBLE) THEN cov * cov / (vx * vy) END, 6) AS r2 FROM wk"
+    },
+    "q261_cif_competing" ->
+      // competing first events (purchase vs error) after first view;
+      // all-cause S(t_{j-1}) from the PRIOR-steps frame, per-cause
+      // snapped CIF terms cumulated over a cause-partitioned window
+      ("WITH cv AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "ce0 AS (SELECT e.user_id, e.ts, e.event_type FROM events e JOIN cv ON e.user_id = cv.user_id " +
+        "WHERE e.event_type IN ('purchase', 'error') AND e.ts > cv.t0), " +
+        "cm AS (SELECT user_id, min(ts) AS tm FROM ce0 GROUP BY 1), " +
+        "cc AS (SELECT c0.user_id, min(c0.event_type) AS cause, min(cm.tm) AS tm " +
+        "FROM ce0 c0 JOIN cm ON c0.user_id = cm.user_id AND c0.ts = cm.tm GROUP BY 1), " +
+        "cl AS (SELECT user_id, max(ts) AS tl FROM events GROUP BY 1), " +
+        "cu AS (SELECT cv.user_id, (epoch_us(coalesce(cc.tm, cl.tl)) - epoch_us(cv.t0)) // 86400000000 AS t, cc.cause " +
+        "FROM cv LEFT JOIN cc ON cc.user_id = cv.user_id JOIN cl ON cl.user_id = cv.user_id), " +
+        "ap AS (SELECT t, CAST(sum(CASE WHEN cause IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d, count(*) AS leave FROM cu GROUP BY 1), " +
+        "ag AS (SELECT *, CAST(sum(leave) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk FROM ap), " +
+        "a2 AS (SELECT *, CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS frac FROM ag), " +
+        "a3 AS (SELECT *, CASE WHEN d < n_risk AND d > 0 THEN CAST(floor(ln(CAST(1 AS DOUBLE) - frac) * 1000000000 + 0.5) AS DECIMAL(38,0)) " +
+        "ELSE CAST(0 AS DECIMAL(38,0)) END AS lnt, " +
+        "CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END AS zh FROM a2), " +
+        "a4 AS (SELECT *, coalesce(CAST(sum(lnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE) / 1000000000, CAST(0 AS DOUBLE)) AS lnsp, " +
+        "coalesce(max(zh) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS zp FROM a3), " +
+        "a5 AS (SELECT t, n_risk, CASE WHEN zp = 1 THEN CAST(0 AS DOUBLE) ELSE exp(lnsp) END AS sprev FROM a4), " +
+        "adk AS (SELECT t, cause, count(*) AS dk FROM cu WHERE cause IS NOT NULL GROUP BY 1, 2), " +
+        "atm AS (SELECT adk.t, adk.cause, a5.n_risk, adk.dk, " +
+        "CAST(floor(a5.sprev * CAST(adk.dk AS DOUBLE) / CAST(a5.n_risk AS DOUBLE) * 1000000000 + 0.5) AS DECIMAL(38,0)) AS term " +
+        "FROM adk JOIN a5 ON a5.t = adk.t) " +
+        "SELECT t, cause, n_risk, dk AS d, " +
+        "round(CAST(sum(term) OVER (PARTITION BY cause ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000, 6) AS cif FROM atm"),
+    "q262_stratified_logrank" ->
+      // per-(stratum, step) hypergeometric O-E and V (at-risk windows
+      // PARTITION BY stratum), pooled by snapped summation; q255's
+      // erfc tail
+      (s"WITH $survivalUnitsCte, " +
+        "sb AS (SELECT user_id, CASE WHEN c < 20 THEN 'low' WHEN c < 40 THEN 'mid' ELSE 'high' END AS s FROM " +
+        "(SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS c FROM events GROUP BY 1)), " +
+        "su AS (SELECT u.t, u.e, u.a, sb.s FROM u JOIN sb ON sb.user_id = u.user_id), " +
+        "lp AS (SELECT s, t, CAST(sum(CASE WHEN e AND a THEN 1 ELSE 0 END) AS BIGINT) AS da, " +
+        "CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS la, count(*) AS l FROM su GROUP BY 1, 2), " +
+        "lg AS (SELECT *, CAST(sum(la) OVER (PARTITION BY s ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS na, " +
+        "CAST(sum(l) OVER (PARTITION BY s ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n FROM lp), " +
+        "lf AS (SELECT * FROM lg WHERE d > 0), " +
+        "ld AS (SELECT *, CAST(d AS DOUBLE) AS dd, CAST(na AS DOUBLE) AS nad, CAST(n AS DOUBLE) AS nd FROM lf), " +
+        "ls AS (SELECT " +
+        "CAST(sum(CAST(floor((CASE WHEN n > 1 THEN CAST(da AS DOUBLE) - dd * nad / nd ELSE CAST(0 AS DOUBLE) END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS oe, " +
+        "CAST(sum(CAST(floor((CASE WHEN n > 1 THEN dd * (nad / nd) * (CAST(1 AS DOUBLE) - nad / nd) * (nd - dd) / (nd - CAST(1 AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS vv " +
+        "FROM ld), " +
+        "lt AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_strata, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN e AND a THEN 1 ELSE 0 END) AS BIGINT) AS events_a, " +
+        "CAST(sum(CASE WHEN e AND NOT a THEN 1 ELSE 0 END) AS BIGINT) AS events_b FROM su), " +
+        "lx AS (SELECT *, CASE WHEN vv > CAST(0 AS DOUBLE) THEN oe * oe / vv END AS chi2 FROM lt CROSS JOIN ls), " +
+        "ly AS (SELECT *, sqrt(chi2) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM lx), " +
+        "lz AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt FROM ly) " +
+        "SELECT n_strata, n_a, n_b, events_a, events_b, round(chi2, 6) AS chi2, " +
+        "round(tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)), 6) AS p_value " +
+        "FROM lz"),
+    "q263_mantel_haenszel" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // per-stratum 2x2 of arm x converted; snapped MH/CMH/RBG sums;
+      // erfc p (the q255 tail)
+      s"WITH $survivalUnitsCte, " +
+        "sb AS (SELECT user_id, CASE WHEN c < 20 THEN 'low' WHEN c < 40 THEN 'mid' ELSE 'high' END AS s FROM " +
+        "(SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS c FROM events GROUP BY 1)), " +
+        "mu AS (SELECT u.a AS arm, u.e AS o, sb.s FROM u JOIN sb ON sb.user_id = u.user_id), " +
+        "m2 AS (SELECT s, CAST(sum(CASE WHEN arm AND o THEN 1 ELSE 0 END) AS DOUBLE) AS ad, " +
+        "CAST(sum(CASE WHEN arm AND NOT o THEN 1 ELSE 0 END) AS DOUBLE) AS bd, " +
+        "CAST(sum(CASE WHEN NOT arm AND o THEN 1 ELSE 0 END) AS DOUBLE) AS cd, " +
+        "CAST(sum(CASE WHEN NOT arm AND NOT o THEN 1 ELSE 0 END) AS DOUBLE) AS dd FROM mu GROUP BY 1), " +
+        "mx AS (SELECT *, ad + bd + cd + dd AS n FROM m2), " +
+        s"mm AS (SELECT count(*) AS n_strata, ${snap("ad * dd / n")} AS sr, ${snap("bd * cd / n")} AS ss, " +
+        s"${snap("CASE WHEN n > 1 THEN ad ELSE CAST(0 AS DOUBLE) END")} AS sa, " +
+        s"${snap("CASE WHEN n > 1 THEN (ad + bd) * (ad + cd) / n ELSE CAST(0 AS DOUBLE) END")} AS se_a, " +
+        s"${snap("CASE WHEN n > 1 THEN (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd) / (n * n * (n - 1)) ELSE CAST(0 AS DOUBLE) END")} AS sv, " +
+        s"${snap("((ad + dd) / n) * (ad * dd / n)")} AS spr, " +
+        s"${snap("((ad + dd) / n) * (bd * cd / n) + ((bd + cd) / n) * (ad * dd / n)")} AS spsqr, " +
+        s"${snap("((bd + cd) / n) * (bd * cd / n)")} AS sqs FROM mx), " +
+        "mo AS (SELECT *, CASE WHEN ss > CAST(0 AS DOUBLE) AND sr > CAST(0 AS DOUBLE) THEN sr / ss END AS ormh, " +
+        "CASE WHEN ss > CAST(0 AS DOUBLE) AND sr > CAST(0 AS DOUBLE) THEN " +
+        "spr / (2 * sr * sr) + spsqr / (2 * sr * ss) + sqs / (2 * ss * ss) END AS varln, " +
+        "CASE WHEN sv > CAST(0 AS DOUBLE) THEN (sa - se_a) * (sa - se_a) / sv END AS chi2 FROM mm), " +
+        "my AS (SELECT *, sqrt(chi2) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM mo), " +
+        "mz AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt FROM my) " +
+        "SELECT n_strata, round(ormh, 6) AS or_mh, " +
+        "round(ormh * exp(CAST(-1.959964 AS DOUBLE) * sqrt(varln)), 6) AS ci_lo, " +
+        "round(ormh * exp(CAST(1.959964 AS DOUBLE) * sqrt(varln)), 6) AS ci_hi, " +
+        "round(chi2, 6) AS chi2, " +
+        "round(tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)), 6) AS p_value " +
+        "FROM mz"
+    },
+    "q264_msprt" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // per-user post-period snapped y totals; one moment pass; log-
+      // space mixture likelihood ratio, p = exp(min(0, -lnLambda))
+      "WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CAST(floor((CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS y, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a " +
+        "FROM events GROUP BY 1), " +
+        "mm AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+        s"${snap("CASE WHEN a THEN y ELSE CAST(0 AS DOUBLE) END")} AS sya, " +
+        s"${snap("CASE WHEN a THEN y * y ELSE CAST(0 AS DOUBLE) END")} AS syya, " +
+        s"${snap("CASE WHEN NOT a THEN y ELSE CAST(0 AS DOUBLE) END")} AS syb, " +
+        s"${snap("CASE WHEN NOT a THEN y * y ELSE CAST(0 AS DOUBLE) END")} AS syyb FROM pu), " +
+        "mv AS (SELECT *, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM mm), " +
+        "mw AS (SELECT *, sya / nad - syb / nbd AS diff, " +
+        "((syya - sya * sya / nad) + (syyb - syb * syb / nbd)) / (nad + nbd - 2) * (1 / nad + 1 / nbd) AS v FROM mv), " +
+        "mt AS (SELECT *, 0.5 * ln(v / (v + 1)) + diff * diff * 1 / (2 * v * (v + 1)) AS lnlam, " +
+        "na > 0 AND nb > 0 AND nad + nbd > 2 AND v > CAST(0 AS DOUBLE) AS ok FROM mw) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "round(CASE WHEN ok THEN diff END, 6) AS mean_diff, " +
+        "round(CASE WHEN ok THEN lnlam END, 6) AS log_lambda, " +
+        "round(CASE WHEN ok THEN exp(least(CAST(0 AS DOUBLE), -lnlam)) END, 6) AS p_always_valid " +
+        "FROM mt"
+    },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

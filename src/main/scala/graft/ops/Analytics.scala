@@ -1477,5 +1477,128 @@ object Analytics {
       round(ratio - lit(1.96) * seDef, 6).as("ci_lo"),
       round(ratio + lit(1.96) * seDef, 6).as("ci_hi"))
   }
+
+  /** Mantel–Haenszel pooled odds ratio across strata with the CMH test
+    * and the Robins–Breslow–Greenland variance (Mantel & Haenszel
+    * 1959; Robins, Breslow & Greenland 1986) — the stratified 2×2
+    * verdict: "does the arm move the binary outcome once the stratum
+    * mix is held fixed?" A confounded margin can show an effect the
+    * strata don't have (Simpson's inversion); MH pools the per-stratum
+    * tables without ever forming rates across strata. Per stratum
+    * (a, b | c, d) with n units:
+    *   OR_MH = Σ a·d/n ÷ Σ b·c/n,
+    *   CMH χ² = (Σ a − Σ E[a])² / Σ V,  E = r1·c1/n,
+    *   V = r1·r0·c1·c0 / (n²(n−1))  (no continuity correction),
+    *   Var(ln OR) by RBG: ΣPR/2R² + Σ(PS+QR)/2RS + ΣQS/2S².
+    * Every Σ is a 1e9-snapped term sum. Strata with n ≤ 1 contribute
+    * nothing to the test; ΣV = 0, a zero MH denominator, or a zero
+    * RBG leg → NULL for the affected outputs (NULL-for-undefined).
+    * NULL-arm/-outcome/-stratum units are excluded up front.
+    *
+    * Scale shape: ONE map-side-combined pass to the |strata|-row 2×2
+    * table; everything after is strata-sized arithmetic, no window
+    * anywhere. Returns one row: (n_strata, or_mh, ci_lo, ci_hi,
+    * chi2, p_value) — the CI is the 95% RBG log-normal interval. */
+  def mantelHaenszel(units0: DataFrame, isA: Column, outcome: Column,
+      stratum: Column): DataFrame = {
+    import graft.expr.Snap
+    val g = 1e9
+    val units = units0.filter(
+      isA.isNotNull && outcome.isNotNull && stratum.isNotNull)
+    val t2 = units.select(stratum.cast("string").as("s"),
+        isA.as("arm"), outcome.cast("boolean").as("o"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("arm") && col("o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") && !col("o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("arm") && col("o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("arm") && !col("o"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val aD = col("a").cast("double"); val bD = col("b").cast("double")
+    val cD = col("c").cast("double"); val dD = col("d").cast("double")
+    val r1 = aD + bD; val r0 = cD + dD
+    val c1 = aD + cD; val c0 = bD + dD
+    // RBG legs: P = (a+d)/n, Q = (b+c)/n, R = ad/n, S = bc/n
+    val pT = (aD + dD) / n; val qT = (bD + cD) / n
+    val rT = aD * dD / n;   val sT = bD * cD / n
+    def s9(c: Column): Column = Snap.snappedSum(c, g)
+    val m = t2.agg(count(lit(1)).as("n_strata"),
+      s9(rT).as("sr"), s9(sT).as("ss"),
+      s9(when(n > 1.0, aD).otherwise(lit(0.0))).as("sa"),
+      s9(when(n > 1.0, r1 * c1 / n).otherwise(lit(0.0))).as("se_a"),
+      s9(when(n > 1.0, r1 * r0 * c1 * c0 / (n * n * (n - lit(1.0))))
+        .otherwise(lit(0.0))).as("sv"),
+      s9(pT * rT).as("spr"), s9(pT * sT + qT * rT).as("spsqr"),
+      s9(qT * sT).as("sqs"))
+    val orMh = when(col("ss") > 0.0 && col("sr") > 0.0,
+      col("sr") / col("ss"))
+    val varLn = when(col("sr") > 0.0 && col("ss") > 0.0,
+      col("spr") / (lit(2.0) * col("sr") * col("sr")) +
+        col("spsqr") / (lit(2.0) * col("sr") * col("ss")) +
+        col("sqs") / (lit(2.0) * col("ss") * col("ss")))
+    val chi2 = (col("sa") - col("se_a")) * (col("sa") - col("se_a")) /
+      col("sv")
+    m.select(col("n_strata"),
+      round(orMh, 6).as("or_mh"),
+      round(orMh * exp(lit(-1.959964) * sqrt(varLn)), 6).as("ci_lo"),
+      round(orMh * exp(lit(1.959964) * sqrt(varLn)), 6).as("ci_hi"),
+      round(when(col("sv") > 0.0, chi2), 6).as("chi2"),
+      round(when(col("sv") > 0.0, normalPValue2(sqrt(chi2))), 6)
+        .as("p_value"))
+  }
+
+  /** Two-sample mixture SPRT — the ALWAYS-VALID p-value for a running
+    * A/B mean difference (Johari, Koomen, Pekelis & Walsh 2017/2022,
+    * "Peeking at A/B tests"): a fixed-n z-test's p is only valid at
+    * one pre-registered look, but dashboards are read continuously;
+    * the mSPRT's mixture likelihood ratio against H₀: θ = 0 with a
+    * N(0, τ²) mixing prior,
+    *   Λ = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²))),
+    *   V = s²_pooled·(1/n_a + 1/n_b),  p_av = min(1, 1/Λ),
+    * is a test martingale: P(∃n: Λ_n ≥ 1/α) ≤ α under H₀, so p_av may
+    * be read at EVERY batch without inflating false positives. τ² is
+    * the caller's effect-size prior scale (match it to the MDE).
+    *
+    * Scale shape: ONE map-side-combined moment pass (snapped Σy, Σy²
+    * per arm), single-row arithmetic after — the same shape as
+    * [[deltaMethodRatio]], and the always-valid batch twin of the
+    * q222 sequential SPRT. Λ reports in LOG space (a strong effect at
+    * large n overflows exp to Inf; ln Λ never does, and
+    * p = exp(min(0, −ln Λ)) stays exact) — the no-NaN/Inf discipline.
+    * Degenerate inputs (an empty arm, zero pooled variance, n ≤ 2) →
+    * NULL (NULL-for-undefined). Returns one row:
+    * (n_a, n_b, mean_diff, log_lambda, p_always_valid), 6 dp. */
+  def msprt(units0: DataFrame, isA: Column, y: Column, tau2: Double)
+      : DataFrame = {
+    import graft.expr.Snap
+    require(tau2 > 0.0, s"msprt: tau2=$tau2")
+    val g = 1e9
+    val units = units0.filter(isA.isNotNull)
+    def s9(flag: Column, c: Column): Column =
+      Snap.snappedSum(when(flag, c).otherwise(lit(0.0)), g)
+    val base = units.select(isA.as("a"), y.cast("double").as("y"))
+    val m = base.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      s9(col("a"), col("y")).as("sya"),
+      s9(col("a"), col("y") * col("y")).as("syya"),
+      s9(!col("a"), col("y")).as("syb"),
+      s9(!col("a"), col("y") * col("y")).as("syyb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val diff = col("sya") / naD - col("syb") / nbD
+    // pooled unbiased variance: (Σ(y−ȳ_a)² + Σ(y−ȳ_b)²)/(n−2)
+    val ssA = col("syya") - col("sya") * col("sya") / naD
+    val ssB = col("syyb") - col("syb") * col("syb") / nbD
+    val s2 = (ssA + ssB) / (naD + nbD - lit(2.0))
+    val v = s2 * (lit(1.0) / naD + lit(1.0) / nbD)
+    val lnLam = lit(0.5) * log(v / (v + lit(tau2))) +
+      diff * diff * lit(tau2) / (lit(2.0) * v * (v + lit(tau2)))
+    val ok = col("na") > 0L && col("nb") > 0L &&
+      (naD + nbD) > 2.0 && v > 0.0
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(when(ok, diff), 6).as("mean_diff"),
+      round(when(ok, lnLam), 6).as("log_lambda"),
+      round(when(ok, exp(least(lit(0.0), -lnLam))), 6)
+        .as("p_always_valid"))
+  }
 }
 

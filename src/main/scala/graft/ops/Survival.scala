@@ -37,13 +37,19 @@ object Survival {
     * observation-window-sized, never unit-sized). Returns one row per
     * EVENT step: (t, n_risk, d, km_surv, na_cumhaz), 6 dp. */
   def kaplanMeier(units: DataFrame, duration: Column, event: Column)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val per = units.select(duration.cast("long").as("t"),
+      : DataFrame =
+    kaplanMeierFromCounts(units.select(duration.cast("long").as("t"),
         event.cast("boolean").as("e"))
       .groupBy(col("t"))
       .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
-        count(lit(1)).as("leave"))
+        count(lit(1)).as("leave")))
+
+  /** The counts→curve stage of [[kaplanMeier]]: input is the per-step
+    * (t, d, leave) LONG count table (calendar-grid-sized). Exposed so
+    * a streaming sink can maintain the counts (exact integer state —
+    * additive across any batching) and re-emit the curve per epoch. */
+  private[graft] def kaplanMeierFromCounts(per: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // n_risk(t) = Σ_{t' ≥ t} leavers(t'): reverse cumulative over the
     // calendar-bounded step grid
     val atRisk = Window.orderBy(col("t").desc)
@@ -198,6 +204,196 @@ object Survival {
         round(when(col("vv") > 0.0, chi2), 6).as("chi2"),
         round(when(col("vv") > 0.0,
           Analytics.normalPValue2(sqrt(chi2))), 6).as("p_value"))
+  }
+
+  /** Weibull probability-plot fit over the Kaplan–Meier curve (Weibull
+    * 1951; Nelson 1972's hazard-plotting convention): regress
+    *   y = ln(−ln S(t))  on  x = ln t
+    * by closed-form OLS; the slope IS the Weibull shape k and the
+    * intercept −k·ln η recovers the scale η = exp(−b/k). One number
+    * pair answers "is the conversion hazard rising or fading?"
+    * (k > 1 vs k < 1) — the parametric summary the nonparametric
+    * curve can't give, and the standard graphical-estimation recipe.
+    *
+    * Plot conventions (documented, both engines): t ≤ 0 steps are
+    * excluded (ln t undefined — a same-day conversion step carries no
+    * plot point) and so is the S = 0 zero-hit step (ln(−ln 0) = ∞).
+    * All five OLS Σs snap to the 1e9 grid (order-free); fewer than 2
+    * points, a degenerate x variance, or k = 0 → NULL fit
+    * (NULL-for-undefined). The OLS runs over the CALENDAR-bounded
+    * step grid — single-row output, no corpus-sized state. Returns
+    * one row: (n_points, shape, scale, r2), 6 dp. */
+  def weibullFit(units: DataFrame, duration: Column, event: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val km = kaplanMeierSteps(units, duration, event)
+      .filter(col("d") > 0L && col("z") =!= 1 && col("t") > 0L)
+      .select(log(col("t").cast("double")).as("x"),
+        log(-col("lnS")).as("y"))
+    def s9(c: Column): Column = Snap.snappedSum(c, 1e9)
+    val m = km.agg(count(lit(1)).as("n"), s9(col("x")).as("sx"),
+      s9(col("y")).as("sy"), s9(col("x") * col("x")).as("sxx"),
+      s9(col("x") * col("y")).as("sxy"),
+      s9(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val k = cov / vx
+    val b = (col("sy") - k * col("sx")) / nD
+    val fit = when(col("n") >= 2L && vx > 0.0, k)
+    m.select(col("n").as("n_points"),
+      round(fit, 6).as("shape"),
+      round(when(fit.isNotNull && fit =!= 0.0, exp(-b / k)), 6)
+        .as("scale"),
+      round(when(fit.isNotNull && vy > 0.0, cov * cov / (vx * vy)), 6)
+        .as("r2"))
+  }
+
+  /** Aalen–Johansen cumulative incidence for COMPETING risks
+    * (Kalbfleisch & Prentice 1980 §8; Aalen & Johansen 1978): when a
+    * unit can exit to one of several mutually exclusive causes, the
+    * naive "1 − KM of cause k, censoring the others" OVERSTATES every
+    * cause (it redistributes competitors' mass); the correct estimand
+    * is
+    *   CIF_k(t) = Σ_{j ≤ t} S(t_{j−1}) · d_kj / n_j
+    * with S the ALL-CAUSE Kaplan–Meier. `cause` is a string column,
+    * NULL = censored. Identity Σ_k CIF_k(t) + S(t) = 1 (spec-pinned).
+    * S(t_{j−1}) evaluates as exp of the snapped Σ of PRIOR steps' ln
+    * terms (an unboundedPreceding..−1 frame — empty = S(0) = 1);
+    * per-cause CIF terms snap to the 1e9 grid and cumulate over a
+    * cause-PARTITIONED window on the step grid.
+    *
+    * Scale shape: one aggregation to the all-cause step table, one to
+    * the (step, cause) event counts; every window runs on the
+    * calendar-bounded step grid ([[kaplanMeier]]'s contract), the
+    * cause-cumulative one partitioned by cause. Returns one row per
+    * (event step, cause) with d_k > 0: (t, cause, n_risk, d, cif). */
+  def cumulativeIncidence(units: DataFrame, duration: Column,
+      cause: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = units.select(duration.cast("long").as("t"),
+      cause.cast("string").as("k"))
+    val per = u.groupBy(col("t"))
+      .agg(sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val prior = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = per.withColumn("n_risk", sum(col("leave")).over(atRisk))
+    val frac = col("d").cast("double") / col("n_risk").cast("double")
+    val lnTerm = when(col("d") < col("n_risk") && col("d") > 0L,
+      floor(log(lit(1.0) - frac) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)"))
+    // S(t_{j−1}): prior-steps-only frame; the d = n step poisons only
+    // LATER frames, and no later step exists once everyone is gone
+    val zeroPrior = max(when(col("d") >= col("n_risk") && col("d") > 0L,
+      lit(1)).otherwise(lit(0))).over(prior)
+    val steps = g
+      .withColumn("sPrev", when(coalesce(zeroPrior, lit(0)) === 1, lit(0.0))
+        .otherwise(exp(coalesce(sum(lnTerm).over(prior)
+          .cast("double"), lit(0.0)) / lit(1e9))))
+    val dk = u.filter(col("k").isNotNull)
+      .groupBy(col("t"), col("k")).agg(count(lit(1)).as("dk"))
+    val term = floor(col("sPrev") * col("dk").cast("double") /
+      col("n_risk").cast("double") * lit(1e9) + lit(0.5))
+      .cast("decimal(38,0)")
+    val byCause = Window.partitionBy(col("k")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dk.join(steps, "t")
+      .withColumn("cif",
+        sum(term).over(byCause).cast("double") / lit(1e9))
+      .select(col("t"), col("k").as("cause"), col("n_risk"),
+        col("dk").as("d"), round(col("cif"), 6).as("cif"))
+  }
+
+  /** Stratified two-arm log-rank test (Mantel 1966; Klein &
+    * Moeschberger 2003 §7.5): the q255 verdict made confounder-safe —
+    * each stratum contributes its own per-step hypergeometric O − E
+    * and V (so a stratum-level imbalance in arm mix cannot fake a
+    * hazard difference), and the strata pool by plain summation:
+    *   χ² = (Σ_s Σ_j (O − E))² / Σ_s Σ_j V,  df = 1.
+    * NULL-arm and NULL-stratum units are excluded up front (same
+    * rationale as [[logRank]]). Both Σs 1e9-snapped; ΣV = 0 → NULL.
+    *
+    * Scale shape: one aggregation to the (stratum, step) grid; the
+    * at-risk windows PARTITION BY stratum (parallel across strata,
+    * each frame calendar-bounded); one single-row aggregate. Returns
+    * one row: (n_strata, n_a, n_b, events_a, events_b, chi2,
+    * p_value). */
+  def logRankStratified(units0: DataFrame, duration: Column,
+      event: Column, isA: Column, stratum: Column): DataFrame = {
+    import graft.expr.Snap
+    import org.apache.spark.sql.expressions.Window
+    val units = units0.filter(isA.isNotNull && stratum.isNotNull)
+    val per = units.select(stratum.cast("string").as("s"),
+        duration.cast("long").as("t"),
+        event.cast("boolean").as("e"), isA.as("a"))
+      .groupBy(col("s"), col("t"))
+      .agg(sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("la"),
+        count(lit(1)).as("l"))
+    val atRisk = Window.partitionBy(col("s")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = per
+      .withColumn("na", sum(col("la")).over(atRisk))
+      .withColumn("n", sum(col("l")).over(atRisk))
+      .filter(col("d") > 0L)
+    val naD = col("na").cast("double")
+    val nD = col("n").cast("double")
+    val dD = col("d").cast("double")
+    val e = dD * naD / nD
+    val v = dD * (naD / nD) * (lit(1.0) - naD / nD) *
+      (nD - dD) / (nD - lit(1.0))
+    val sAgg = g.agg(
+      Snap.snappedSum(when(col("n") > 1L, col("da").cast("double") - e)
+        .otherwise(lit(0.0)), 1e9).as("oe"),
+      Snap.snappedSum(when(col("n") > 1L, v).otherwise(lit(0.0)), 1e9)
+        .as("vv"))
+    val tot = units.select(event.cast("boolean").as("e"), isA.as("a"),
+        stratum.cast("string").as("s"))
+      .agg(countDistinct(col("s")).as("n_strata"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("e") && col("a"), 1L).otherwise(0L)).as("events_a"),
+        sum(when(col("e") && !col("a"), 1L).otherwise(0L)).as("events_b"))
+    val chi2 = col("oe") * col("oe") / col("vv")
+    tot.crossJoin(broadcast(sAgg))
+      .select(col("n_strata"), col("n_a"), col("n_b"),
+        col("events_a"), col("events_b"),
+        round(when(col("vv") > 0.0, chi2), 6).as("chi2"),
+        round(when(col("vv") > 0.0,
+          Analytics.normalPValue2(sqrt(chi2))), 6).as("p_value"))
+  }
+
+  /** Shared per-step scaffold: (t, d, leave, n_risk, lnS, z) — the
+    * kaplanMeier internals exposed for derived fits ([[weibullFit]]).
+    * lnS = the snapped cumulative ln-survival INCLUDING step t; z = 1
+    * from the first d = n step on. */
+  private[graft] def kaplanMeierSteps(units: DataFrame, duration: Column,
+      event: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = units.select(duration.cast("long").as("t"),
+        event.cast("boolean").as("e"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("leave"))
+    val atRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val run = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = per.withColumn("n_risk", sum(col("leave")).over(atRisk))
+    val frac = col("d").cast("double") / col("n_risk").cast("double")
+    val lnTerm = when(col("d") < col("n_risk"),
+      floor(log(lit(1.0) - frac) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)"))
+    val zeroHit = max(when(col("d") >= col("n_risk") && col("d") > 0L,
+      lit(1)).otherwise(lit(0))).over(run)
+    g.withColumn("lnS",
+        sum(lnTerm).over(run).cast("double") / lit(1e9))
+      .withColumn("z", zeroHit)
   }
 
   /** Restricted mean survival time at horizon `tau` (Royston & Parmar

@@ -157,6 +157,100 @@ class SurvivalSpec extends SparkSpec {
     assert(sep.getDouble(4) > 0.0 && sep.getDouble(5) < 1.0)
   }
 
+  test("weibullFit: exact recovery on a true-Weibull plot (two-point " +
+    "line); degenerate inputs give NULL (n<2, flat x, k=0)") {
+    // two event steps, no censoring: n=4 at t=2 (1 death), n=3 at t=4
+    // (1 death) — recompute the snapped plot + OLS in plain Scala and
+    // pin bit-equality at the 6-dp grid
+    val u = Seq((2L, true), (4L, true), (5L, false), (6L, false))
+      .toDF("t", "e")
+    val r = Survival.weibullFit(u, col("t"), col("e")).collect().head
+    def s9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val ln1 = s9(math.log(1.0 - 1.0 / 4.0))
+    val ln2 = ln1 + s9(math.log(1.0 - 1.0 / 3.0))
+    val pts = Seq((math.log(2.0), math.log(-ln1)),
+      (math.log(4.0), math.log(-ln2)))
+    val n = pts.size.toDouble
+    // replicate the operator's per-term snapping exactly: Σ of
+    // floor(x·1e9+0.5) terms
+    def snapSum(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e9 + 0.5)).sum / 1e9
+    val sx2 = snapSum(pts.map(_._1)); val sy2 = snapSum(pts.map(_._2))
+    val sxx = snapSum(pts.map(p => p._1 * p._1))
+    val sxy = snapSum(pts.map(p => p._1 * p._2))
+    val syy = snapSum(pts.map(p => p._2 * p._2))
+    val vx = n * sxx - sx2 * sx2; val vy = n * syy - sy2 * sy2
+    val cov = n * sxy - sx2 * sy2
+    val k = cov / vx; val b = (sy2 - k * sx2) / n
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == r6(k))
+    assert(r.getDouble(2) == r6(math.exp(-b / k)))
+    assert(r.getDouble(3) == r6(cov * cov / (vx * vy)))
+    // one plot point -> NULL fit (n < 2)
+    val one = Survival.weibullFit(Seq((3L, true), (5L, false))
+      .toDF("t", "e"), col("t"), col("e")).collect().head
+    assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(2))
+    // t = 0 steps carry no plot point (ln 0 undefined)
+    val zt = Survival.weibullFit(Seq((0L, true), (5L, false))
+      .toDF("t", "e"), col("t"), col("e")).collect().head
+    assert(zt.getLong(0) == 0L && zt.isNullAt(1))
+  }
+
+  test("cumulativeIncidence: hand Aalen–Johansen; sum of CIFs + " +
+    "all-cause S = 1; naive per-cause KM would overstate") {
+    // 4 units: cause X at t=1, cause Y at t=2, censored at t=3,
+    // cause X at t=4.
+    // S(0)=1: CIF_X(1) = 1·1/4 = 0.25; S(1) = 3/4.
+    // CIF_Y(2) = 0.75·1/3 = 0.25; S(2) = 0.75·2/3 = 0.5.
+    // t=3 censored (no CIF row). t=4: n=1, d=1 -> CIF_X(4) = 0.25 +
+    // S(3)=0.5 · 1/1 = 0.75.
+    val u = Seq((1L, Some("x")), (2L, Some("y")),
+      (3L, Option.empty[String]), (4L, Some("x"))).toDF("t", "k")
+    val r = Survival.cumulativeIncidence(u, col("t"), col("k"))
+      .collect().map(x => (x.getLong(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r == Map((1L, "x") -> ((4L, 1L, 0.25)),
+      (2L, "y") -> ((3L, 1L, 0.25)),
+      (4L, "x") -> ((1L, 1L, 0.75))))
+    // identity: final Σ_k CIF_k = 1 − S(final) — here everyone is
+    // gone by t=4 (the last at-risk unit events), so ΣCIF = 1
+    assert(r((4L, "x"))._3 + r((2L, "y"))._3 == 1.0)
+  }
+
+  test("logRankStratified: a single stratum reproduces plain logRank; " +
+    "identical arms inside each stratum score 0 even when the " +
+    "stratum MIX differs by arm (the Simpson guard)") {
+    val u1 = Seq((1L, true, true, "s"), (3L, true, true, "s"),
+      (5L, false, true, "s"), (1L, true, false, "s"),
+      (3L, true, false, "s"), (5L, false, false, "s"))
+      .toDF("t", "e", "a", "s")
+    val rs = Survival.logRankStratified(u1, col("t"), col("e"),
+      col("a"), col("s")).collect().head
+    val rp = Survival.logRank(u1, col("t"), col("e"), col("a"))
+      .collect().head
+    assert(rs.getLong(0) == 1L)
+    assert(rs.getDouble(5) == rp.getDouble(4)) // chi2 equal
+    assert(rs.getDouble(6) == rp.getDouble(5)) // p equal
+    // two strata with very different hazards; per-stratum the arms
+    // carry IDENTICAL duration profiles (arm A = 2 copies in fast,
+    // 1 in slow; B the reverse) — the arm mix differs by stratum but
+    // O = E inside every stratum, so the stratified verdict is 0
+    val prof = (arm: Boolean, s: String, copies: Int,
+        p: Seq[(Long, Boolean)]) =>
+      Seq.fill(copies)(p).flatten.map { case (t, e) => (t, e, arm, s) }
+    val fast = Seq((1L, true), (2L, true))
+    val slow = Seq((9L, true), (10L, false))
+    val mix = (prof(true, "fast", 2, fast) ++ prof(false, "fast", 1, fast)
+      ++ prof(true, "slow", 1, slow) ++ prof(false, "slow", 2, slow))
+      .toDF("t", "e", "a", "s")
+    val strat = Survival.logRankStratified(mix, col("t"), col("e"),
+      col("a"), col("s")).collect().head
+    assert(strat.getLong(0) == 2L)
+    assert(strat.getDouble(5) == 0.0) // O = E inside every stratum
+    assert(strat.getDouble(6) == 1.0)
+  }
+
   test("logRank/coxHazard: NULL-arm units are excluded from risk sets " +
     "AND totals (not half-counted into the pooled n)") {
     // two identical arms plus a NULL-arm unit that events first: if
@@ -173,6 +267,34 @@ class SurvivalSpec extends SparkSpec {
       .collect().head
     assert(c.getLong(0) == 2L && c.getLong(1) == 2L)
     assert(c.getDouble(4) == 0.0) // identical arms stay beta = 0
+  }
+
+  test("startKmSink: final emission ≡ batch kaplanMeier over all " +
+    "units, under shuffled batch splits (exact long-count state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (4L, false), (3L, true), (7L, true), (5L, false))
+    def run(batches: Seq[Seq[(Long, Boolean)]]): Seq[String] = {
+      val ms = MemoryStream[(Long, Boolean)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamSurvival.startKmSink(
+        ms.toDF().toDF("dur", "ev"), "dur", "ev",
+        java.nio.file.Files.createTempDirectory("km-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).sorted.toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = Survival.kaplanMeier(all.toDF("t", "e"), col("t"),
+      col("e")).collect().map(_.toString).sorted.toSeq
+    val a = run(Seq(all.take(3), all.slice(3, 6), all.drop(6)))
+    val b = run(Seq(Seq(all(7), all(0)), Seq(all(5), all(2), all(4)),
+      Seq(all(1), all(6), all(3))))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
   }
 
   test("coxHazard: all-censored / empty inputs still emit EXACTLY one " +

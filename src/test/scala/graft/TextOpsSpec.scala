@@ -1303,5 +1303,115 @@ class TextOpsSpec extends SparkSpec {
     assert(run(Seq("a", "b")) == Map(1L -> 2L, 5L -> 1L))
     assert(run(Seq("x", "y", "z")) == Map(4L -> 2L))
   }
+
+  test("mantelHaenszel: hand two-stratum pooled OR/CMH/RBG replay; " +
+    "within-stratum OR = 1 pools to 1 with chi2 = 0; a single-arm " +
+    "input NULLs out; NULL strata are excluded") {
+    import graft.ops.Analytics
+    def cells(a: Int, b: Int, c: Int, d: Int, s: String) =
+      Seq.fill(a)((true, true, s)) ++ Seq.fill(b)((true, false, s)) ++
+        Seq.fill(c)((false, true, s)) ++ Seq.fill(d)((false, false, s))
+    val u = (cells(3, 1, 2, 4, "s1") ++ cells(1, 3, 2, 2, "s2"))
+      .toDF("arm", "o", "s")
+    val r = Analytics.mantelHaenszel(u, col("arm"), col("o"), col("s"))
+      .collect().head
+    // plain-Scala replay of the snapped pooled sums
+    def sn(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val tabs = Seq((3.0, 1.0, 2.0, 4.0), (1.0, 3.0, 2.0, 2.0))
+    def pool(f: ((Double, Double, Double, Double)) => Double): Double =
+      tabs.map(t => math.floor(f(t) * 1e9 + 0.5)).sum / 1e9
+    val sr = pool { case (a, b, c, d) => a * d / (a + b + c + d) }
+    val ss = pool { case (a, b, c, d) => b * c / (a + b + c + d) }
+    val sa = pool { case (a, _, _, _) => a }
+    val sea = pool { case (a, b, c, d) =>
+      (a + b) * (a + c) / (a + b + c + d) }
+    val sv = pool { case (a, b, c, d) =>
+      val n = a + b + c + d
+      (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1.0)) }
+    val spr = pool { case (a, b, c, d) =>
+      val n = a + b + c + d; ((a + d) / n) * (a * d / n) }
+    val spsqr = pool { case (a, b, c, d) =>
+      val n = a + b + c + d
+      ((a + d) / n) * (b * c / n) + ((b + c) / n) * (a * d / n) }
+    val sqs = pool { case (a, b, c, d) =>
+      val n = a + b + c + d; ((b + c) / n) * (b * c / n) }
+    val or = sr / ss
+    val varLn = spr / (2 * sr * sr) + spsqr / (2 * sr * ss) +
+      sqs / (2 * ss * ss)
+    val chi2 = (sa - sea) * (sa - sea) / sv
+    def p2(z: Double): Double = {
+      val y = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * y)
+      t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+        t * (-1.453152027 + t * 1.061405429)))) * math.exp(-(y * y))
+    }
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == r6(or))
+    assert(r.getDouble(2) == r6(or * math.exp(-1.959964 * math.sqrt(varLn))))
+    assert(r.getDouble(3) == r6(or * math.exp(1.959964 * math.sqrt(varLn))))
+    assert(r.getDouble(4) == r6(chi2))
+    assert(r.getDouble(5) == r6(p2(math.sqrt(chi2))))
+    assert(sn(sr) == sr) // sanity: replay used the snapped grid
+    // OR = 1 inside both strata pools to exactly 1 with chi2 = 0
+    val unit = (cells(4, 1, 4, 1, "s1") ++ cells(1, 4, 1, 4, "s2"))
+      .toDF("arm", "o", "s")
+    val ru = Analytics.mantelHaenszel(unit, col("arm"), col("o"),
+      col("s")).collect().head
+    assert(ru.getDouble(1) == 1.0 && ru.getDouble(4) == 0.0)
+    // single-arm input: both MH legs are one-sided -> NULL verdicts
+    val single = cells(3, 2, 0, 0, "s1").toDF("arm", "o", "s")
+    val rs = Analytics.mantelHaenszel(single, col("arm"), col("o"),
+      col("s")).collect().head
+    assert(rs.isNullAt(1) && rs.isNullAt(4))
+    // NULL stratum rows are excluded, not half-counted
+    val withNull = (cells(3, 1, 2, 4, "s1") ++ cells(1, 3, 2, 2, "s2"))
+      .toDF("arm", "o", "s")
+      .unionByName(Seq((true, true, null.asInstanceOf[String]))
+        .toDF("arm", "o", "s"))
+    val rn = Analytics.mantelHaenszel(withNull, col("arm"), col("o"),
+      col("s")).collect().head
+    assert(rn.getLong(0) == 2L && rn.getDouble(1) == r.getDouble(1))
+  }
+
+  test("msprt: plain-Scala replay of the log-space mixture LR; " +
+    "p <= 1 always; degenerate inputs (empty arm, zero variance) " +
+    "give NULL") {
+    import graft.ops.Analytics
+    val u = Seq((true, 3.0), (true, 5.0), (true, 4.0),
+      (false, 1.0), (false, 2.0), (false, 3.0)).toDF("a", "y")
+    val r = Analytics.msprt(u, col("a"), col("y"), 1.0).collect().head
+    def sn(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def snSum(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e9 + 0.5)).sum / 1e9
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6n(x: Double): Double =
+      if (x < 0) -math.floor(-x * 1e6 + 0.5) / 1e6 else r6(x)
+    val ya = Seq(3.0, 5.0, 4.0); val yb = Seq(1.0, 2.0, 3.0)
+    val sya = snSum(ya); val syya = snSum(ya.map(x => x * x))
+    val syb = snSum(yb); val syyb = snSum(yb.map(x => x * x))
+    val (na, nb) = (3.0, 3.0)
+    val diff = sya / na - syb / nb
+    val s2 = ((syya - sya * sya / na) + (syyb - syb * syb / nb)) /
+      (na + nb - 2.0)
+    val v = s2 * (1.0 / na + 1.0 / nb)
+    val lnLam = 0.5 * math.log(v / (v + 1.0)) +
+      diff * diff / (2.0 * v * (v + 1.0))
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == r6(diff))
+    assert(r.getDouble(3) == r6n(lnLam))
+    assert(r.getDouble(4) ==
+      r6(math.exp(math.min(0.0, -lnLam))))
+    assert(r.getDouble(4) <= 1.0)
+    // empty arm -> NULL
+    val one = Analytics.msprt(Seq((true, 3.0), (true, 4.0)).toDF("a", "y"),
+      col("a"), col("y"), 1.0).collect().head
+    assert(one.isNullAt(2) && one.isNullAt(4))
+    // zero pooled variance (all-constant y) -> NULL, never Inf
+    val const = Analytics.msprt(Seq((true, 2.0), (true, 2.0),
+      (false, 2.0), (false, 2.0)).toDF("a", "y"),
+      col("a"), col("y"), 1.0).collect().head
+    assert(const.isNullAt(3) && const.isNullAt(4))
+  }
 }
 

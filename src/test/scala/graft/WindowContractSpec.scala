@@ -92,6 +92,11 @@ object WindowContractSpec {
       "observation window, data-independent)"),
     "q259_km_greenwood" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent)"),
+    "q260_weibull_fit" -> ("calendar-bounded day-step grid (the " +
+      "observation window, data-independent)"),
+    "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
+      "observation window, data-independent; the per-cause cumulative " +
+      "window partitions by cause)"),
     "q213_concentration" -> "|groups|-row share rollup",
     "q216_event_funnel" -> "|stages|-row stage counts",
     "q230_temperature_scan" -> "|T|-row temperature grid",
