@@ -3500,6 +3500,38 @@ object SparkEntry {
     ops.Analytics.msprt(units, isA, col("y"), 1.0)
   }
 
+  /** Good–Turing / LGT frequency re-estimation with 3-gram SHINGLES as
+    * the species ([[expr.TextStats.goodTuring]]) — the count-spectrum
+    * answer to "how much mass belongs to unseen vocabulary" (p₀ =
+    * N₁/N) next to q196's Kneser–Ney discounts. Shingles, not words:
+    * this corpus's word vocabulary is ~31 types (every count ≫ 50,
+    * spectrum-degenerate), while the 3-gram spectrum is N₁-rich —
+    * exactly the small-count regime Good–Turing exists for. */
+  private def qGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = ops.Fanout.fanout(docs).select(col("doc_id"),
+        graft.expr.TextStats.shingleGen(col("text"), 3).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    graft.expr.TextStats.goodTuring(docs, col("doc_id"), col("text"),
+      50, Some(tf))
+  }
+
+  /** Term burstiness (Church & Gale 1995 VMR) over the shared TF
+    * artifact ([[expr.TextStats.burstiness]]) — separates topical
+    * vocabulary (clumped, VMR ≫ 1) from function words at equal
+    * collection frequency. */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.expr.TextStats.burstiness(t(s, dir, "documents"), col("doc_id"),
+      col("text"), 20, Some(sharedTermFreqs(s, dir)))
+
+  /** Kish design effect of reading event-level value rows under
+    * user-level randomization ([[ops.Analytics.designEffect]]) — the
+    * effective-sample-size deflator every event-metric A/B readout
+    * here (q110/q251/q264) implicitly assumes away. */
+  private def qDesignEffect(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.designEffect(t(s, dir, "events"), col("user_id"),
+      col("value"))
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4162,7 +4194,10 @@ object SparkEntry {
     "q261_cif_competing" -> (qCifCompeting _),
     "q262_stratified_logrank" -> (qStratLogrank _),
     "q263_mantel_haenszel" -> (qMantelHaenszel _),
-    "q264_msprt" -> (qMsprt _))
+    "q264_msprt" -> (qMsprt _),
+    "q265_good_turing" -> (qGoodTuring _),
+    "q266_burstiness" -> (qBurstiness _),
+    "q267_design_effect" -> (qDesignEffect _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8676,6 +8711,72 @@ object SparkEntry {
         "round(CASE WHEN ok THEN lnlam END, 6) AS log_lambda, " +
         "round(CASE WHEN ok THEN exp(least(CAST(0 AS DOUBLE), -lnlam)) END, 6) AS p_always_valid " +
         "FROM mt"
+    },
+    "q265_good_turing" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // 3-gram shingle species; collection count spectrum capped at
+      // r <= 50 (+1 for the lead); Gale-Sampson Z with neighbor
+      // counts; snapped log-log OLS; both the raw Turing estimate
+      // (NULL on spectrum gaps) and the LGT
+      "WITH gtk AS (SELECT doc_id, string_split(text, ' ') AS tt FROM documents), " +
+        "tok AS (SELECT doc_id, array_to_string(tt[i:i+2], ' ') AS term " +
+        "FROM gtk, unnest(generate_series(1, len(tt) - 2)) AS gu(i)), " +
+        "gt0 AS (SELECT term, count(*) AS r FROM tok GROUP BY 1), " +
+        "gtt AS (SELECT CAST(sum(r) AS BIGINT) AS nt, CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM gt0), " +
+        "gs AS (SELECT r, count(*) AS n_r FROM gt0 WHERE r <= 51 GROUP BY 1), " +
+        "gz AS (SELECT *, coalesce(lag(r) OVER (ORDER BY r), 0) AS q, " +
+        "lead(r) OVER (ORDER BY r) AS tn, lead(n_r) OVER (ORDER BY r) AS nn FROM gs), " +
+        "g2 AS (SELECT *, coalesce(tn, 2 * r - q) AS t FROM gz), " +
+        "g3 AS (SELECT *, CAST(n_r AS DOUBLE) / (0.5 * CAST(t - q AS DOUBLE)) AS z FROM g2 WHERE r <= 50), " +
+        s"gf AS (SELECT count(*) AS n, ${snap("ln(CAST(r AS DOUBLE))")} AS sx, ${snap("ln(z)")} AS sy, " +
+        s"${snap("ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))")} AS sxx, " +
+        s"${snap("ln(CAST(r AS DOUBLE)) * ln(z)")} AS sxy FROM g3), " +
+        "gb AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS vx FROM gf), " +
+        "gc AS (SELECT *, (CAST(n AS DOUBLE) * sxy - sx * sy) / vx AS b FROM gb), " +
+        "gd AS (SELECT *, (sy - b * sx) / CAST(n AS DOUBLE) AS a FROM gc) " +
+        "SELECT r, n_r, " +
+        "round(CASE WHEN tn = r + 1 THEN (CAST(r AS DOUBLE) + 1) * CAST(nn AS DOUBLE) / CAST(n_r AS DOUBLE) END, 6) AS r_star, " +
+        "round(CASE WHEN n >= 2 AND vx > CAST(0 AS DOUBLE) THEN " +
+        "(CAST(r AS DOUBLE) + 1) * exp(a + b * ln(CAST(r AS DOUBLE) + 1)) / exp(a + b * ln(CAST(r AS DOUBLE))) END, 6) AS r_star_lgt, " +
+        "round(CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p_unseen " +
+        "FROM g3 CROSS JOIN gd CROSS JOIN gtt"
+    },
+    "q266_burstiness" ->
+      // per-term exact integer moments over per-doc counts (zero docs
+      // count via D in the denominators); top-20 by collection freq
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "bt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "bp AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf, count(*) AS df, " +
+        "CAST(sum(tf * tf) AS BIGINT) AS stf2 FROM bt GROUP BY 1), " +
+        "bd AS (SELECT count(*) AS nd FROM documents) " +
+        "SELECT term, ctf, df, " +
+        "round((CAST(stf2 AS DOUBLE) / CAST(nd AS DOUBLE) - " +
+        "(CAST(ctf AS DOUBLE) / CAST(nd AS DOUBLE)) * (CAST(ctf AS DOUBLE) / CAST(nd AS DOUBLE))) / " +
+        "(CAST(ctf AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS vmr " +
+        "FROM bp CROSS JOIN bd ORDER BY ctf DESC, term LIMIT 20"),
+    "q267_design_effect" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // per-user (m, snapped moment) rollup -> one-way ANOVA -> Kish
+      // deff / ICC / ESS with the NULL-for-undefined guards
+      "WITH dp AS (SELECT user_id AS c, count(*) AS m, " +
+        s"${snap("value")} AS sy, ${snap("value * value")} AS syy FROM events GROUP BY 1), " +
+        "ds AS (SELECT count(*) AS k, CAST(sum(m) AS BIGINT) AS n, CAST(sum(m * m) AS BIGINT) AS smm, " +
+        s"${snap("sy")} AS syt, ${snap("syy")} AS syyt, ${snap("sy * sy / CAST(m AS DOUBLE)")} AS sb FROM dp), " +
+        "de AS (SELECT *, CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd, " +
+        "CAST(smm AS DOUBLE) / CAST(n AS DOUBLE) AS mkish FROM ds), " +
+        "dff AS (SELECT *, (sb - syt * syt / nd) / (kd - 1) AS msb, " +
+        "(syyt - sb) / (nd - kd) AS msw, (nd - mkish) / (kd - 1) AS n0 FROM de), " +
+        "dg AS (SELECT *, (msb - msw) / n0 AS sb2 FROM dff), " +
+        "dh AS (SELECT *, CASE WHEN sb2 + msw <> CAST(0 AS DOUBLE) THEN sb2 / (sb2 + msw) END AS icc, " +
+        "k >= 2 AND n > k AS ok FROM dg), " +
+        "di AS (SELECT *, 1 + (mkish - 1) * icc AS deff FROM dh) " +
+        "SELECT k AS n_clusters, n AS n_units, round(mkish, 6) AS m_kish, " +
+        "round(CASE WHEN ok THEN icc END, 6) AS icc, " +
+        "round(CASE WHEN ok THEN deff END, 6) AS deff, " +
+        "round(CASE WHEN ok AND deff > CAST(0 AS DOUBLE) THEN nd / deff END, 6) AS ess " +
+        "FROM di"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

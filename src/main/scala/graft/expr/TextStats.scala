@@ -925,6 +925,118 @@ object TextStats {
       round(r2num / r2den, 4).as("r2"))
   }
 
+  /** Good–Turing frequency re-estimation over the collection term
+    * spectrum (Good 1953; the LGT smooth of Gale & Sampson 1995,
+    * "Good-Turing frequency estimation without tears"): how much
+    * probability mass should a count-r term REALLY get — and how much
+    * belongs to the unseen vocabulary (p₀ = N₁/N, the LM-smoothing
+    * constant Kneser–Ney's discounts approximate). Per present count
+    * r ≤ `rCap`:
+    *   r*_turing = (r+1)·N_{r+1}/N_r   (NULL when N_{r+1} = 0 — the
+    *     gap problem that motivates the smooth),
+    *   r*_lgt    = (r+1)·S(r+1)/S(r),  S(r) = exp(a + b·ln r) the
+    *     log-log OLS fit of the Gale–Sampson Z_r = N_r/(½(t−q))
+    *     (q/t = neighboring present counts; q = 0 at the low end,
+    *     t = 2r − q at the high end).
+    * The spectrum CAPS at r ≤ rCap (data-independent): Good–Turing is
+    * only ever applied to small counts — for large r the MLE r* = r
+    * is standard (Katz 1987 uses k = 5) — and the cap bounds the one
+    * window frame at rCap+1 rows regardless of corpus size. All OLS
+    * Σs 1e9-snapped.
+    *
+    * Scale shape: one pass over the (doc, term, tf) artifact to
+    * collection counts (map-side combined), one vocab-sized spectrum
+    * aggregation; everything after is ≤ rCap+1 rows. Returns one row
+    * per present r ≤ rCap: (r, n_r, r_star, r_star_lgt, p_unseen),
+    * 6 dp (p_unseen constant across rows). */
+  def goodTuring(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, rCap: Int = 50,
+      tf0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col,
+      count, exp, explode, lag, lead, lit, log => ln, round, sum, when}
+    require(rCap >= 2, s"goodTuring: rCap=$rCap")
+    val g = 1e9
+    val tf = tf0.getOrElse(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("r"))
+    val tot = ctf.agg(sum(col("r")).as("nt"),
+      sum(when(col("r") === 1L, 1L).otherwise(0L)).as("n1"))
+    val spec = ctf.filter(col("r") <= rCap + 1)
+      .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+    val zr = spec
+      .withColumn("q", coalesce(lag(col("r"), 1).over(w), lit(0L)))
+      .withColumn("tn", lead(col("r"), 1).over(w))
+      .withColumn("nn", lead(col("n_r"), 1).over(w))
+      .withColumn("t", coalesce(col("tn"), lit(2L) * col("r") - col("q")))
+      .withColumn("z", col("n_r").cast("double") /
+        (lit(0.5) * (col("t") - col("q")).cast("double")))
+      .filter(col("r") <= rCap)
+    val x = ln(col("r").cast("double"))
+    val fit = zr.agg(count(lit(1)).as("n"),
+      Snap.snappedSum(x, g).as("sx"),
+      Snap.snappedSum(ln(col("z")), g).as("sy"),
+      Snap.snappedSum(x * x, g).as("sxx"),
+      Snap.snappedSum(x * ln(col("z")), g).as("sxy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val b = (nD * col("sxy") - col("sx") * col("sy")) / vx
+    val a = (col("sy") - b * col("sx")) / nD
+    val rD = col("r").cast("double")
+    val lgt = when(col("n") >= 2L && vx > 0.0,
+      (rD + lit(1.0)) * exp(a + b * ln(rD + lit(1.0))) /
+        exp(a + b * ln(rD)))
+    zr.crossJoin(broadcast(fit)).crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        round(when(col("tn") === col("r") + 1L,
+          (rD + lit(1.0)) * col("nn").cast("double") /
+            col("n_r").cast("double")), 6).as("r_star"),
+        round(lgt, 6).as("r_star_lgt"),
+        round(col("n1").cast("double") / col("nt").cast("double"), 6)
+          .as("p_unseen"))
+  }
+
+  /** Term burstiness via the variance-to-mean ratio of per-document
+    * counts (Church & Gale 1995; Fisher's index of dispersion): a
+    * Poisson-scattered term has VMR ≈ 1, a CONTENT term clumps into
+    * the few documents it is about (VMR ≫ 1) — the classic signal
+    * separating topical vocabulary from function words at equal
+    * collection frequency, and a templated-corpus diagnostic (every
+    * term near 1 = text with no topical structure). Zero-occurrence
+    * documents COUNT: mean = ctf/D, E[x²] = Σtf²/D over all D docs,
+    * VMR = (E[x²] − mean²)/mean — population moments, all from exact
+    * INTEGER sums (no snapping needed anywhere).
+    *
+    * Scale shape: one pass over the (doc, term, tf) artifact
+    * (map-side combined — Σtf, Σtf², df per term), one broadcast of
+    * the single-row doc count, top-k by collection frequency plans as
+    * TakeOrderedAndProject (ties break term-ascending). Returns topK
+    * rows: (term, ctf, df, vmr), 6 dp. */
+  def burstiness(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, topK: Int = 20,
+      tf0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      explode, lit, round, sum}
+    require(topK >= 1, s"burstiness: topK=$topK")
+    val tf = tf0.getOrElse(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val d = graft.ops.Fanout.fanout(docs).agg(count(lit(1)).as("nd"))
+    val per = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"),
+      count(lit(1)).as("df"), sum(col("tf") * col("tf")).as("stf2"))
+    val nD = col("nd").cast("double")
+    val mean = col("ctf").cast("double") / nD
+    val vmr = (col("stf2").cast("double") / nD - mean * mean) / mean
+    per.crossJoin(broadcast(d))
+      .select(col("term"), col("ctf"), col("df"),
+        round(vmr, 6).as("vmr"))
+      .orderBy(col("ctf").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Heaps'-law vocabulary-growth fit (Heaps 1978): V(n) ≈ K·n^β,
     * the companion diagnostic to [[zipfFit]] — Zipf reads the
     * frequency-rank SHAPE of a fixed corpus, Heaps reads how the

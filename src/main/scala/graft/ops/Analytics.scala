@@ -1478,6 +1478,59 @@ object Analytics {
       round(ratio + lit(1.96) * seDef, 6).as("ci_hi"))
   }
 
+  /** Cluster design effect for a unit-level metric randomized at the
+    * CLUSTER level (Kish 1965 §8; Donner & Klar 2000): events within a
+    * user are correlated, so an A/B test that randomizes users but
+    * reads event-level rows has an effective sample size N/deff, not
+    * N — ignoring it is the classic false-positive factory. One-way
+    * ANOVA moments over clusters:
+    *   MSB = (Σ(Σy_i)²/m_i − (Σy)²/N)/(k−1),
+    *   MSW = (Σy² − Σ(Σy_i)²/m_i)/(N−k),
+    *   n₀  = (N − Σm²/N)/(k−1)           (the ANOVA size constant),
+    *   σ²_b = (MSB − MSW)/n₀,  ICC = σ²_b/(σ²_b + MSW),
+    *   deff = 1 + (m_kish − 1)·ICC,  m_kish = Σm²/N,  ESS = N/deff.
+    * ICC may legitimately be negative (within-cluster anti-
+    * correlation) — reported raw, never clamped. k < 2, N ≤ k, or a
+    * zero variance denominator → NULL (NULL-for-undefined).
+    *
+    * Scale shape: one map-side-combined pass to per-cluster
+    * (m, Σy, Σy²) — the only corpus-sized work; cluster-table Σs are
+    * 1e9-snapped (m and m² exact longs); single-row output, no window
+    * anywhere. Returns one row: (n_clusters, n_units, m_kish, icc,
+    * deff, ess), 6 dp. */
+  def designEffect(df: DataFrame, cluster: Column, y: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val g = 1e9
+    val per = df.select(cluster.as("c"), y.cast("double").as("y"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("m"),
+        Snap.snappedSum(col("y"), g).as("sy"),
+        Snap.snappedSum(col("y") * col("y"), g).as("syy"))
+    val s = per.agg(count(lit(1)).as("k"), sum(col("m")).as("n"),
+      sum(col("m") * col("m")).as("smm"),
+      Snap.snappedSum(col("sy"), g).as("syt"),
+      Snap.snappedSum(col("syy"), g).as("syyt"),
+      Snap.snappedSum(col("sy") * col("sy") / col("m").cast("double"), g)
+        .as("sb"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val mKish = col("smm").cast("double") / nD
+    val msb = (col("sb") - col("syt") * col("syt") / nD) / (kD - lit(1.0))
+    val msw = (col("syyt") - col("sb")) / (nD - kD)
+    val n0 = (nD - mKish) / (kD - lit(1.0))
+    val sb2 = (msb - msw) / n0
+    val icc = when(sb2 + msw =!= 0.0, sb2 / (sb2 + msw))
+    val ok = col("k") >= 2L && col("n") > col("k")
+    val deff = lit(1.0) + (mKish - lit(1.0)) * icc
+    s.select(col("k").as("n_clusters"), col("n").as("n_units"),
+      round(mKish, 6).as("m_kish"),
+      round(when(ok, icc), 6).as("icc"),
+      round(when(ok, deff), 6).as("deff"),
+      // a strongly negative ICC can drive deff to 0: ESS undefined
+      round(when(ok && deff > 0.0, nD / deff), 6).as("ess"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata with the CMH test
     * and the Robins–Breslow–Greenland variance (Mantel & Haenszel
     * 1959; Robins, Breslow & Greenland 1986) — the stratified 2×2

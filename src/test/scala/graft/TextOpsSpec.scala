@@ -1304,6 +1304,79 @@ class TextOpsSpec extends SparkSpec {
     assert(run(Seq("x", "y", "z")) == Map(4L -> 2L))
   }
 
+  test("goodTuring: hand spectrum — Turing estimates with a gap NULL, " +
+    "LGT from the snapped log-log fit, p_unseen = N1/N") {
+    import graft.expr.TextStats
+    // one doc, word species: counts a=1 b=1 c=2 d=3 ->
+    // spectrum N_1=2, N_2=1, N_3=1; total N=7
+    val docs = Seq((0L, "a b c c d d d")).toDF("doc_id", "text")
+    val r = TextStats.goodTuring(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // raw Turing: r*=(r+1)N_{r+1}/N_r; the r=3 row has N_4=0 -> NULL
+    assert(r(1L).getLong(1) == 2L && r(1L).getDouble(2) == 1.0)
+    assert(r(2L).getDouble(2) == 3.0)
+    assert(r(3L).isNullAt(2))
+    assert(r(1L).getDouble(4) == r6(2.0 / 7.0)) // p_unseen
+    // LGT replay: Z_1 = 2/(0.5*(2-0)) = 2, Z_2 = 1/(0.5*2) = 1,
+    // Z_3 = 1/(0.5*(4-2)) = 1 (t = 2r - q at the high end)
+    def snapSum(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e9 + 0.5)).sum / 1e9
+    val pts = Seq((math.log(1.0), math.log(2.0)),
+      (math.log(2.0), math.log(1.0)), (math.log(3.0), math.log(1.0)))
+    val n = 3.0
+    val sx = snapSum(pts.map(_._1)); val sy = snapSum(pts.map(_._2))
+    val sxx = snapSum(pts.map(p => p._1 * p._1))
+    val sxy = snapSum(pts.map(p => p._1 * p._2))
+    val vx = n * sxx - sx * sx
+    val b = (n * sxy - sx * sy) / vx
+    val a = (sy - b * sx) / n
+    def lgt(rr: Double): Double =
+      (rr + 1.0) * math.exp(a + b * math.log(rr + 1.0)) /
+        math.exp(a + b * math.log(rr))
+    assert(r(1L).getDouble(3) == r6(lgt(1.0)))
+    assert(r(3L).getDouble(3) == r6(lgt(3.0)))
+  }
+
+  test("burstiness: clumped terms score VMR > 0, perfectly uniform " +
+    "terms score 0 (zero-docs count in the moments); top-k by ctf") {
+    import graft.expr.TextStats
+    // x clumps (2,1,0 across 3 docs): mean 1, E[x^2] = 5/3, vmr = 2/3
+    // y is uniform (1,1,1): variance 0
+    val docs = Seq((0L, "x x y"), (1L, "x y"), (2L, "y"))
+      .toDF("doc_id", "text")
+    val r = TextStats.burstiness(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r("x") == ((3L, 2L, r6((5.0 / 3.0 - 1.0) / 1.0))))
+    assert(r("y") == ((3L, 3L, 0.0)))
+    // top-k caps the output by collection frequency, ties term-asc
+    val top1 = TextStats.burstiness(docs, col("doc_id"), col("text"),
+      topK = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "x")
+  }
+
+  test("designEffect: perfectly clustered outcomes give ICC = 1, " +
+    "deff = m_kish; a single cluster gives NULL") {
+    import graft.ops.Analytics
+    // two clusters, outcomes constant within each: all variance is
+    // between -> ICC = 1, deff = 1 + (2-1)*1 = 2, ESS = N/2
+    val u = Seq(("c1", 1.0), ("c1", 1.0), ("c2", 5.0), ("c2", 5.0))
+      .toDF("c", "y")
+    val r = Analytics.designEffect(u, col("c"), col("y"))
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.0) // m_kish = (4+4)/4
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == 2.0) // ESS = 4/2
+    // one cluster: k < 2 -> NULL verdicts, counts still reported
+    val one = Analytics.designEffect(
+      Seq(("c1", 1.0), ("c1", 2.0)).toDF("c", "y"), col("c"), col("y"))
+      .collect().head
+    assert(one.getLong(0) == 1L && one.isNullAt(3) && one.isNullAt(4))
+  }
+
   test("mantelHaenszel: hand two-stratum pooled OR/CMH/RBG replay; " +
     "within-stratum OR = 1 pools to 1 with chi2 = 0; a single-arm " +
     "input NULLs out; NULL strata are excluded") {

@@ -94,6 +94,8 @@ object WindowContractSpec {
       "observation window, data-independent)"),
     "q260_weibull_fit" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent)"),
+    "q265_good_turing" -> ("count spectrum capped at rCap+1 = 51 rows " +
+      "by construction (data-independent)"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
