@@ -3532,6 +3532,26 @@ object SparkEntry {
     ops.Analytics.designEffect(t(s, dir, "events"), col("user_id"),
       col("value"))
 
+  /** MOSS winnowing near-dup candidates over char 8-grams, window 4
+    * ([[ops.TextDedup.winnowNearDup]]) — the guaranteed-coverage
+    * fingerprinting family member next to MinHash (q21, probabilistic)
+    * and exact-substring (q132, exact): any shared run ≥ w+k−1 chars
+    * IS caught. df-capped at 20, ≥5 shared fingerprints. */
+  private def qWinnowing(s: SparkSession, dir: String): DataFrame =
+    ops.TextDedup.winnowNearDup(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+
+  /** Rank-biased overlap (Webber et al. 2010) between the exact cosine
+    * ranking and the SQ8 ranking per query
+    * ([[ops.Ann.rankBiasedOverlap]]) — the rank-SENSITIVE agreement
+    * number next to q142's flat recall: a quantizer that preserves
+    * rank 1 but scrambles ranks 5–10 scores high here, low there. */
+  private def qRbo(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ops.Ann.rankBiasedOverlap(sharedExactTopK(s, dir),
+      ops.Ann.sq8TopK(emb, emb.filter(col("vec_id") < 5), 10))
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4197,7 +4217,9 @@ object SparkEntry {
     "q264_msprt" -> (qMsprt _),
     "q265_good_turing" -> (qGoodTuring _),
     "q266_burstiness" -> (qBurstiness _),
-    "q267_design_effect" -> (qDesignEffect _))
+    "q267_design_effect" -> (qDesignEffect _),
+    "q268_winnowing" -> (qWinnowing _),
+    "q269_rbo" -> (qRbo _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8777,6 +8799,65 @@ object SparkEntry {
         "round(CASE WHEN ok THEN deff END, 6) AS deff, " +
         "round(CASE WHEN ok AND deff > CAST(0 AS DOUBLE) THEN nd / deff END, 6) AS ess " +
         "FROM di"
+    },
+    "q268_winnowing" ->
+      // char-8-gram md5 hashes; per-window-of-4 min with rightmost tie
+      // via the h*2^21 + (2^20 - pos) encoding; df-capped fingerprint
+      // equi-join, >= 5 shared
+      ("WITH wd AS (SELECT doc_id, substr(text, 1, 1048576) AS s FROM documents), " +
+        "wg AS (SELECT doc_id, i, " +
+        "CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 8)) AS BIGINT) * 2097152 + (1048576 - i) AS e " +
+        "FROM wd, unnest(generate_series(1, CAST(length(s) AS BIGINT) - 7)) AS wu(i)), " +
+        "ww AS (SELECT doc_id, " +
+        "min(e) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS me, " +
+        "count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c FROM wg), " +
+        "wf AS (SELECT DISTINCT doc_id, me FROM ww WHERE c = 4), " +
+        "wh AS (SELECT DISTINCT doc_id, me // 2097152 AS h FROM wf), " +
+        "wdf AS (SELECT h, count(*) AS df FROM wh GROUP BY 1), " +
+        "wk AS (SELECT wh.doc_id, wh.h FROM wh JOIN wdf USING (h) WHERE df <= 20) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared " +
+        "FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5"),
+    "q269_rbo" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // both rankings replayed (the q25 exact-cosine and q145 SQ8
+      // stanzas); each shared item contributes the closed tail
+      // constant for depth max(rankA, rankB) — the SAME doubles the
+      // operator uses (exact-decimal p^i, fixed-order sum)
+      val tails = ops.Ann.rboTails(10, 0.9)
+      val tailCase = (1 to 10).map(i =>
+        s"WHEN $i THEN CAST(${tails(i - 1)} AS DOUBLE)")
+        .mkString("CASE m ", " ", " END")
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM " +
+        "(SELECT unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v) GROUP BY 1), " +
+        "sc AS (SELECT list(mn ORDER BY i) AS mnl, " +
+        "list(CASE WHEN mx > mn THEN (mx - mn)/255 ELSE 0 END ORDER BY i) AS scl FROM st), " +
+        "rec AS (SELECT vec_id, list_transform(list_zip(e, mnl, scl), " +
+        "t -> CASE WHEN t[3] = 0 THEN t[2] ELSE t[2] + " +
+        "(CAST(least(greatest(floor((t[1] - t[2]) / t[3]), 0), 255) AS INTEGER) + 0.5) * t[3] END) AS r " +
+        "FROM v CROSS JOIN sc), " +
+        "q8 AS (SELECT vec_id AS q_id, e AS qv FROM v WHERE vec_id < 5), " +
+        "d8 AS (SELECT q8.q_id, rec.vec_id AS n_id, " +
+        "CAST(floor(list_sum(list_transform(list_zip(rec.r, q8.qv), " +
+        "t -> (t[1]-t[2])*(t[1]-t[2])))*1000000 + 0.5) AS BIGINT) AS dl " +
+        "FROM rec JOIN q8 ON rec.vec_id <> q8.q_id), " +
+        "r8 AS (SELECT q_id, n_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dl, n_id) AS rb FROM d8), " +
+        "cq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5), " +
+        "cc AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings), " +
+        "cs AS (SELECT q_id, n_id, round(list_dot_product(cv, qv) / " +
+        "nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 6) AS cos " +
+        "FROM cq JOIN cc ON n_id <> q_id), " +
+        "cr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS ra FROM cs), " +
+        "mm AS (SELECT cr.q_id, greatest(ra, rb) AS m FROM cr JOIN r8 " +
+        "ON cr.q_id = r8.q_id AND cr.n_id = r8.n_id WHERE ra <= 10 AND rb <= 10), " +
+        s"tc AS (SELECT q_id, count(*) AS n_shared, ${snap(tailCase)} AS s FROM mm GROUP BY 1), " +
+        "bq AS (SELECT DISTINCT q_id FROM cr WHERE ra <= 10) " +
+        "SELECT bq.q_id, coalesce(tc.n_shared, 0) AS n_shared, " +
+        s"round(CAST(${(1.0 - 0.9) / 0.9} AS DOUBLE) * coalesce(tc.s, CAST(0 AS DOUBLE)), 6) AS rbo " +
+        "FROM bq LEFT JOIN tc USING (q_id)"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

@@ -1717,4 +1717,53 @@ object Ann {
             .as("recall"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Tail constants for [[rankBiasedOverlap]]: tails(m−1) =
+    * Σ_{i=m..d} pᵢ/i with pᵢ the EXACT-decimal power p^i (0.9^i is
+    * exact in base 10, so both engines start from identical doubles;
+    * the division and sum are fixed-order IEEE ops). Exposed so the
+    * oracle SQL embeds the very same doubles as literals. */
+  private[graft] def rboTails(d: Int, p: Double): Seq[Double] = {
+    val pows = (1 to d).scanLeft(BigDecimal(p.toString)) {
+      (acc, _) => acc * BigDecimal(p.toString)
+    }.take(d).map(_.toDouble) // pows(i-1) = p^i exactly in decimal
+    (1 to d).map(m =>
+      (m to d).foldLeft(0.0)((acc, i) => acc + pows(i - 1) / i))
+  }
+
+  /** Rank-biased overlap at depth `d` (Webber, Moffat & Zobel 2010):
+    * how much do two top-k rankings AGREE, weighted toward the top —
+    * the rank-sensitive companion to plain recall@k (q142's overlap
+    * treats rank 1 and rank 10 alike; RBO discounts depth i by pⁱ).
+    * Truncated prefix form: RBO@d = (1−p)/p · Σ_{i=1..d} pⁱ·|A_i∩B_i|/i
+    * with A_i/B_i the depth-i prefixes. Each shared item contributes
+    * the closed tail Σ_{i≥max(rankA,rankB)} pⁱ/i — a constant lookup,
+    * so the whole measure is ONE equi-join on (q_id, n_id) plus a
+    * snapped per-query sum: no per-depth pass, no window. Queries with
+    * disjoint prefixes score 0 (never NULL — disagreement is an
+    * answer). Returns one row per q_id in `a`: (q_id, n_shared, rbo),
+    * 6 dp. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, d: Int = 10,
+      p: Double = 0.9): DataFrame = {
+    import graft.expr.Snap
+    require(d >= 1 && p > 0.0 && p < 1.0,
+      s"rankBiasedOverlap: d=$d p=$p")
+    val tails = rboTails(d, p)
+    val ra = a.select(col("q_id"), col("n_id"),
+      col("rank").cast("long").as("ra")).filter(col("ra") <= d)
+    val rb = b.select(col("q_id"), col("n_id"),
+      col("rank").cast("long").as("rb")).filter(col("rb") <= d)
+    val m = ra.join(rb, Seq("q_id", "n_id"))
+      .select(col("q_id"), greatest(col("ra"), col("rb")).as("m"))
+    val per = m.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        Snap.snappedSum(element_at(array(tails.map(lit): _*),
+          col("m").cast("int")), 1e9).as("s"))
+    a.select(col("q_id")).distinct()
+      .join(per, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(lit((1.0 - p) / p) * coalesce(col("s"), lit(0.0)), 6)
+          .as("rbo"))
+  }
 }

@@ -1002,4 +1002,77 @@ object TextDedup {
           round((col("f1") + col("f2") + col("f3")) / lit(3.0), 6))
           .as("chrf"))
   }
+
+  /** MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003):
+    * the guaranteed-coverage local fingerprinting scheme behind code-
+    * plagiarism detection — every shared substring of length ≥ w+k−1
+    * is CAUGHT by at least one shared fingerprint (the property random
+    * k-gram sampling can't give), while selecting only ~2/(w+1) of the
+    * gram hashes. Per document: char k-gram hashes (md5-derived, the
+    * repo convention — engine-portable), then in every window of w
+    * consecutive hashes select the minimum, ties to the RIGHTMOST
+    * position (the paper's rule). The (hash, position) pair encodes
+    * into ONE long — h·2²¹ + (2²⁰ − pos) — so a plain min() implements
+    * "min hash, rightmost tie" in any engine; the text caps at 2²⁰
+    * chars to keep the position lane exact. Documents with fewer than
+    * w k-grams yield no fingerprints (the scheme's own precondition).
+    *
+    * Scale shape: one position explode per doc (codegen Generate), the
+    * min/count windows PARTITION BY doc (never global), one distinct.
+    * Returns the fingerprint table (doc_id, pos, h). */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"winnowFingerprints: k=$k w=$w")
+    val HLANE = 2097152L // 2^21
+    val PLANE = 1048576L // 2^20
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    Fanout.fanout(docs)
+      .select(id.as("doc_id"),
+        substring(text, 1, PLANE.toInt).as("__s"))
+      .filter(length(col("__s")) >= k)
+      .select(col("doc_id"), col("__s"),
+        explode(sequence(lit(1), length(col("__s")) - (k - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        (conv(substring(md5(col("__s").substr(col("i"), lit(k))), 1, 8),
+          16, 10).cast("long") * lit(HLANE) +
+          (lit(PLANE) - col("i").cast("long"))).as("e"))
+      .select(col("doc_id"), min(col("e")).over(win).as("me"),
+        count(lit(1)).over(win).as("c"))
+      .filter(col("c") === w)
+      .select(col("doc_id"), col("me")).distinct()
+      .select(col("doc_id"),
+        (lit(PLANE) - pmod(col("me"), lit(HLANE))).as("pos"),
+        // integer DIV, not `/` (double division truncated could slip
+        // an ulp at lane boundaries)
+        expr("me DIV 2097152").as("h"))
+  }
+
+  /** Winnowing near-duplicate candidates: fingerprint-set overlap with
+    * a document-frequency cap. Fingerprints shared by more than
+    * `dfCap` documents are boilerplate (and hot join buckets) — they
+    * carry no dedup signal and are dropped BEFORE the pair join, the
+    * same common-member discipline as the shingle LSH path; remaining
+    * pairs generate by hash equi-join (never all-pairs) and keep
+    * `minShared`+ shared fingerprints. Returns ordered
+    * (doc_a, doc_b, n_shared). */
+  def winnowNearDup(docs: DataFrame, id: Column, text: Column,
+      k: Int = 8, w: Int = 4, dfCap: Int = 20, minShared: Int = 5,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(dfCap >= 1 && minShared >= 1,
+      s"winnowNearDup: dfCap=$dfCap minShared=$minShared")
+    // distinct (doc, h): positions don't matter for set overlap
+    val fp = materialize(winnowFingerprints(docs, id, text, k, w)
+      .select(col("doc_id"), col("h")).distinct())
+    val hd = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val keep = fp.join(hd.filter(col("df") <= dfCap), "h")
+    keep.select(col("h"), col("doc_id").as("doc_a"))
+      .join(keep.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -758,4 +758,33 @@ class AnnSpec extends SparkSpec {
     // farthest-first distances never increase
     assert(r(2)._3.get >= r(3)._3.get)
   }
+
+  test("rankBiasedOverlap: identical rankings score 1 - p^d, disjoint " +
+    "score 0, and a hand partial overlap replays the tail constants") {
+    import spark.implicits._
+    def rk(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("q_id", "n_id", "rank")
+    val d = 3; val p = 0.9
+    val a = rk(Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val tails = Ann.rboTails(d, p)
+    def snapSum(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e9 + 0.5)).sum / 1e9
+    // identical: every item contributes tails(rank); total = sum p^i
+    val same = Ann.rankBiasedOverlap(a, a, d, p).collect().head
+    assert(same.getLong(1) == 3L)
+    assert(same.getDouble(2) ==
+      r6((1.0 - p) / p * snapSum((1 to d).map(i => tails(i - 1)))))
+    // disjoint: zero shared -> rbo exactly 0 (an answer, not NULL)
+    val b = rk(Seq((1L, 20L, 1L), (1L, 21L, 2L), (1L, 22L, 3L)))
+    val none = Ann.rankBiasedOverlap(a, b, d, p).collect().head
+    assert(none.getLong(1) == 0L && none.getDouble(2) == 0.0)
+    // partial: item 10 at ranks (1, 2) -> m = 2; item 12 at (3, 1) ->
+    // m = 3; item 11 unshared
+    val c = rk(Seq((1L, 12L, 1L), (1L, 10L, 2L), (1L, 21L, 3L)))
+    val part = Ann.rankBiasedOverlap(a, c, d, p).collect().head
+    assert(part.getLong(1) == 2L)
+    assert(part.getDouble(2) ==
+      r6((1.0 - p) / p * snapSum(Seq(tails(1), tails(2)))))
+  }
 }

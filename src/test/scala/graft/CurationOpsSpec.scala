@@ -359,4 +359,47 @@ test("startAdmissionSink: batching is invisible (1-batch union ≡ " +
       assert(pos == pos.sorted)
     }
   }
+
+  test("winnowFingerprints: the coverage guarantee (a shared run of " +
+    "w+k-1 chars shares a fingerprint), rightmost min ties, short-doc " +
+    "emptiness; winnowNearDup df-cap drops boilerplate hashes") {
+    // k=4, w=3: any shared substring of length >= 6 must be caught
+    val k = 4; val w = 3
+    val shared = "zqxvbn" // 6 chars, guarantee threshold w+k-1 = 6
+    val docs = Seq((0L, s"aaa${shared}bbb"), (1L, s"ccc${shared}ddd"),
+      (2L, "eeefffggg")).toDF("doc_id", "text")
+    val fp = TextDedup.winnowFingerprints(docs, col("doc_id"),
+      col("text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val h0 = fp.filter(_._1 == 0L).map(_._3).toSet
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert((h0 & h1).nonEmpty, "coverage guarantee violated")
+    assert((h0 & h2).isEmpty && (h1 & h2).isEmpty)
+    // positions are 1-based and in-range
+    assert(fp.forall(p => p._2 >= 1 && p._2 <= 12 - k + 1))
+    // a doc with fewer than w k-grams yields nothing (the scheme's
+    // precondition): 5 chars = 2 grams < w
+    assert(TextDedup.winnowFingerprints(
+      Seq((9L, "abcde")).toDF("doc_id", "text"), col("doc_id"),
+      col("text"), k, w).count() == 0L)
+    // rightmost tie rule: a constant document makes every gram hash
+    // EQUAL, so each window's min must sit at its rightmost position
+    // and the fingerprint set collapses to the last positions only
+    val const = TextDedup.winnowFingerprints(
+      Seq((5L, "aaaaaaaaaa")).toDF("doc_id", "text"), col("doc_id"),
+      col("text"), k, w).collect().map(_.getLong(1)).sorted
+    // 10 chars -> 7 grams -> windows at 1..5 select pos 3..7 (the
+    // rightmost of each window of 3)
+    assert(const.toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    // df-cap: with the shared hash in BOTH docs and dfCap = 1, no
+    // pair survives; with dfCap = 2 the (0,1) pair appears
+    val none = TextDedup.winnowNearDup(docs, col("doc_id"), col("text"),
+      k, w, dfCap = 1, minShared = 1)
+    assert(none.count() == 0L)
+    val pair = TextDedup.winnowNearDup(docs, col("doc_id"), col("text"),
+      k, w, dfCap = 2, minShared = 1).collect()
+    assert(pair.length == 1 &&
+      pair.head.getLong(0) == 0L && pair.head.getLong(1) == 1L)
+  }
 }
