@@ -1108,12 +1108,18 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "Scan ExistingRDD") >= 2, p.take(1500))
   }
 
-  test("q238: skip-gram — ONE parquet scan, zero joins; all offsets " +
-    "and directions explode in-task") {
+  test("q238: skip-gram — ONE parquet scan, zero joins; TWO codegen " +
+    "Generates (positions, then per-position pair candidates) with no " +
+    "interpreted HOF between them") {
     val p = plan("q238_skipgram")
     assert(count(p, "FileScan parquet") == 1, p.take(1500))
     assert(count(p, "Join") == 0, p.take(1500))
-    assert(count(p, "Generate explode(") == 1, p.take(1500))
+    // the q200 template: explode(sequence) streams positions,
+    // explode(array(when…)) emits ≤2·window pairs per position —
+    // nothing per-doc materializes and no transform/flatten survives
+    assert(count(p, "Generate explode(") == 2, p.take(1500))
+    assert(!p.contains("flatten(") && !p.contains("transform("),
+      p.take(1500))
   }
 
   test("q221: Spearman — rank tables come from grid-bounded windows " +
