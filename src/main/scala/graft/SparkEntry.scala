@@ -3552,6 +3552,14 @@ object SparkEntry {
       ops.Ann.sq8TopK(emb, emb.filter(col("vec_id") < 5), 10))
   }
 
+  /** Unbiased best-of-n estimate of event value per event type from an
+    * md5 min-k sample of M = 20 ([[ops.Quality.bestOfN]], Nakano et
+    * al. 2021) — the BoN curve (n = 1, 5, 10) a reward-model eval
+    * reports, from ALL samples instead of a wasteful first-n max. */
+  private def qBestOfN(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.bestOfN(t(s, dir, "events"), col("event_type"),
+      col("event_id"), col("value"))
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4219,7 +4227,8 @@ object SparkEntry {
     "q266_burstiness" -> (qBurstiness _),
     "q267_design_effect" -> (qDesignEffect _),
     "q268_winnowing" -> (qWinnowing _),
-    "q269_rbo" -> (qRbo _))
+    "q269_rbo" -> (qRbo _),
+    "q270_best_of_n" -> (qBestOfN _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8858,6 +8867,29 @@ object SparkEntry {
         "SELECT bq.q_id, coalesce(tc.n_shared, 0) AS n_shared, " +
         s"round(CAST(${(1.0 - 0.9) / 0.9} AS DOUBLE) * coalesce(tc.s, CAST(0 AS DOUBLE)), 6) AS rbo " +
         "FROM bq LEFT JOIN tc USING (q_id)"
+    },
+    "q270_best_of_n" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      def choose(a: Int, b: Int): Long =
+        if (b < 0 || b > a) 0L
+        else (1 to b).foldLeft(1L)((acc, j) => acc * (a - b + j) / j)
+      // md5 min-20 sample per task; order-statistics weights as EXACT
+      // small-long list literals; one snapped weighted sum per (task, n)
+      val blocks = Seq(1, 5, 10).map { n =>
+        val nums = (1 to 20).map(i => choose(i - 1, n - 1)).mkString("[", ", ", "]")
+        val dens = (1 to 20).map(m => choose(m, n)).mkString("[", ", ", "]")
+        s"SELECT t AS grp, $n AS n, m AS n_samples, " +
+          s"round(CASE WHEN m >= $n THEN ${snap(
+            s"CASE WHEN i >= $n THEN CAST(list_extract($nums, CAST(i AS INT)) AS DOUBLE) / " +
+              s"CAST(list_extract($dens, CAST(m AS INT)) AS DOUBLE) * s ELSE CAST(0 AS DOUBLE) END")} END, 6) AS bon_est " +
+          "FROM bp GROUP BY 1, 2, 3"
+      }
+      "WITH bs AS (SELECT event_type AS t, event_id AS id, value AS s, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS hr FROM events), " +
+        "bp AS (SELECT t, id, s, row_number() OVER (PARTITION BY t ORDER BY s, id) AS i, " +
+        "count(*) OVER (PARTITION BY t) AS m FROM bs WHERE hr <= 20) " +
+        blocks.mkString(" UNION ALL ")
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

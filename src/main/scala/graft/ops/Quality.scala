@@ -1088,4 +1088,62 @@ object Quality {
         round(col("n_correct").cast("double") /
           col("n_docs").cast("double"), 6).as("accuracy"))
   }
+
+  /** Unbiased best-of-n estimator from M i.i.d. samples per task
+    * (Nakano et al. 2021, WebGPT appendix; the BoN curve every
+    * reward-model / sampling-strategy eval reports): the naive
+    * "max of the first n" wastes M−n samples and is high-variance;
+    * the order-statistics identity
+    *   E[max of n] = Σ_{i=n..M} C(i−1, n−1)/C(M, n) · s_(i)
+    * (s_(1) ≤ … ≤ s_(M) the sorted scores) uses ALL M samples and is
+    * exactly unbiased. Samples cap at `nCap` per task by md5 order
+    * (the q118 min-k convention — deterministic, engine-portable),
+    * which keeps every binomial an EXACT small long (C(19, 9) tops
+    * out ~92k): the weights are ratios of exact integers, the weighted
+    * Σ snaps at 1e9, so the estimate replays bit-exactly. Ranks break
+    * ties (score, id) — deterministic. n > M → NULL (not enough
+    * samples to ask the question).
+    *
+    * Scale shape: both windows PARTITION BY task (never global); one
+    * map-side pass after the rank; output is |tasks|×|ns| rows.
+    * Returns (grp, n, n_samples, bon_est), 6 dp. */
+  def bestOfN(samples: DataFrame, task: Column, id: Column,
+      score: Column, nCap: Int = 20, ns: Seq[Int] = Seq(1, 5, 10))
+      : DataFrame = {
+    import graft.expr.Snap
+    require(nCap >= 1 && nCap <= 60 && ns.nonEmpty &&
+      ns.forall(n => n >= 1 && n <= nCap),
+      s"bestOfN: nCap=$nCap ns=$ns")
+    def choose(a: Int, b: Int): Long =
+      if (b < 0 || b > a) 0L
+      else (1 to b).foldLeft(1L)((acc, j) => acc * (a - b + j) / j)
+    val byHash = Window.partitionBy(col("__t"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    val byScore = Window.partitionBy(col("__t"))
+      .orderBy(col("__s").asc, col("__id").asc)
+    val samp = samples.select(task.as("__t"), id.as("__id"),
+        score.cast("double").as("__s"))
+      .withColumn("__hr", row_number().over(byHash))
+      .filter(col("__hr") <= nCap)
+      .withColumn("__i", row_number().over(byScore))
+    val withM = samp.withColumn("__m",
+      count(lit(1)).over(Window.partitionBy(col("__t"))))
+    val outs = ns.map { n =>
+      // weight(i) = C(i−1, n−1)/C(M, n): both 1-D literal lookups
+      // over exact longs once n is fixed
+      val num = element_at(
+        array((1 to nCap).map(i => lit(choose(i - 1, n - 1))): _*),
+        col("__i").cast("int")).cast("double")
+      val den = element_at(
+        array((1 to nCap).map(m => lit(choose(m, n))): _*),
+        col("__m").cast("int")).cast("double")
+      withM.groupBy(col("__t"), col("__m"))
+        .agg(Snap.snappedSum(when(col("__i") >= n,
+          num / den * col("__s")).otherwise(lit(0.0)), 1e9).as("est"))
+        .select(col("__t").as("grp"), lit(n).as("n"),
+          col("__m").as("n_samples"),
+          round(when(col("__m") >= n, col("est")), 6).as("bon_est"))
+    }
+    outs.reduce(_.unionByName(_))
+  }
 }

@@ -1209,5 +1209,25 @@ class QualitySpec extends SparkSpec {
         row.getDouble(3) == 1.0)
     }
   }
+  test("bestOfN: n=1 is the mean, n=M is the max, a hand n=2 matches " +
+    "the order-statistics weights; n > M gives NULL; nCap subsamples") {
+    import graft.ops.Quality
+    val u = Seq(("t", 1L, 1.0), ("t", 2L, 2.0), ("t", 3L, 3.0))
+      .toDF("task", "id", "s")
+    val r = Quality.bestOfN(u, col("task"), col("id"), col("s"),
+      nCap = 20, ns = Seq(1, 2, 3, 5))
+      .collect().map(x => x.getInt(1) -> x).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r(1).getLong(2) == 3L && r(1).getDouble(3) == 2.0) // mean
+    assert(r(3).getDouble(3) == 3.0)                          // max
+    // n=2: weights 1/3 on s_(2)=2, 2/3 on s_(3)=3 (snapped terms)
+    val want2 = (math.floor(1.0 / 3.0 * 2.0 * 1e9 + 0.5) +
+      math.floor(2.0 / 3.0 * 3.0 * 1e9 + 0.5)) / 1e9
+    assert(r(2).getDouble(3) == r6(want2))
+    assert(r(5).isNullAt(3)) // not enough samples to ask
+    // nCap = 2: the md5 min-k subsample keeps exactly 2 rows
+    val capped = Quality.bestOfN(u, col("task"), col("id"), col("s"),
+      nCap = 2, ns = Seq(1)).collect().head
+    assert(capped.getLong(2) == 2L)
+  }
 }
-
