@@ -1108,7 +1108,8 @@ object Quality {
     * map-side pass after the rank; output is |tasks|×|ns| rows.
     * Returns (grp, n, n_samples, bon_est), 6 dp. */
   def bestOfN(samples: DataFrame, task: Column, id: Column,
-      score: Column, nCap: Int = 20, ns: Seq[Int] = Seq(1, 5, 10))
+      score: Column, nCap: Int = 20, ns: Seq[Int] = Seq(1, 5, 10),
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
     import graft.expr.Snap
     require(nCap >= 1 && nCap <= 60 && ns.nonEmpty &&
@@ -1126,8 +1127,10 @@ object Quality {
       .withColumn("__hr", row_number().over(byHash))
       .filter(col("__hr") <= nCap)
       .withColumn("__i", row_number().over(byScore))
-    val withM = samp.withColumn("__m",
-      count(lit(1)).over(Window.partitionBy(col("__t"))))
+    // materialized ONCE (tasks×nCap rows): each n-branch would
+    // otherwise replay the corpus scan + both rank windows
+    val withM = materialize(samp.withColumn("__m",
+      count(lit(1)).over(Window.partitionBy(col("__t")))))
     val outs = ns.map { n =>
       // weight(i) = C(i−1, n−1)/C(M, n): both 1-D literal lookups
       // over exact longs once n is fixed

@@ -271,12 +271,24 @@ object Survival {
     * (event step, cause) with d_k > 0: (t, cause, n_risk, d, cif). */
   def cumulativeIncidence(units: DataFrame, duration: Column,
       cause: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val u = units.select(duration.cast("long").as("t"),
       cause.cast("string").as("k"))
     val per = u.groupBy(col("t"))
       .agg(sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("leave"))
+    val dk = u.filter(col("k").isNotNull)
+      .groupBy(col("t"), col("k")).agg(count(lit(1)).as("dk"))
+    cumulativeIncidenceFromCounts(per, dk)
+  }
+
+  /** The counts→curves stage of [[cumulativeIncidence]]: `per` is the
+    * all-cause (t, d, leave) LONG count table, `dk` the per-(t, cause)
+    * event counts — both exact integers, additive across any batching,
+    * so a streaming sink can maintain them and re-emit the CIF curves
+    * per epoch bit-identically to batch. */
+  private[graft] def cumulativeIncidenceFromCounts(per: DataFrame,
+      dk: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val atRisk = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val prior = Window.orderBy(col("t"))
@@ -294,8 +306,6 @@ object Survival {
       .withColumn("sPrev", when(coalesce(zeroPrior, lit(0)) === 1, lit(0.0))
         .otherwise(exp(coalesce(sum(lnTerm).over(prior)
           .cast("double"), lit(0.0)) / lit(1e9))))
-    val dk = u.filter(col("k").isNotNull)
-      .groupBy(col("t"), col("k")).agg(count(lit(1)).as("dk"))
     val term = floor(col("sPrev") * col("dk").cast("double") /
       col("n_risk").cast("double") * lit(1e9) + lit(0.5))
       .cast("decimal(38,0)")

@@ -62,4 +62,64 @@ object StreamSurvival {
       }
       .start()
   }
+
+  /** Streaming Aalen–Johansen cumulative incidence — q261 maintained
+    * at ingest (the 18th sink): the stream carries finalized units
+    * (duration, cause — NULL = censored); state is TWO exact long
+    * count tables, the all-cause per-step (t, d, leave) and the
+    * per-(t, cause) event counts — both additive across any batching,
+    * so each epoch's CIF curves are bit-identical to batch
+    * [[graft.ops.Survival.cumulativeIncidence]] over the union of all
+    * arrived units (SurvivalSpec pins shuffled-split equality). State
+    * is calendar-grid × causes — the q254-sink bounded-state shape
+    * with a |causes| factor. */
+  def startCifSink(unitStream: DataFrame, durationCol: String,
+      causeCol: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark0 = unitStream.sparkSession
+    def empty(fields: (String, org.apache.spark.sql.types.DataType)*) =
+      spark0.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t) }))
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      (DataFrame, DataFrame)]((
+      empty("t" -> LongType, "d" -> LongType, "leave" -> LongType)
+        .localCheckpoint(true),
+      empty("t" -> LongType, "k" -> StringType, "dk" -> LongType)
+        .localCheckpoint(true)))
+    unitStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val (perSt, dkSt) = state.get()
+          val u = batch.select(col(durationCol).cast("long").as("t"),
+              col(causeCol).cast("string").as("k"))
+            .localCheckpoint(true) // consumers: per-step + per-cause
+          val perB = u.groupBy(col("t"))
+            .agg(sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("d"),
+              count(lit(1)).as("leave"))
+          val dkB = u.filter(col("k").isNotNull)
+            .groupBy(col("t"), col("k")).agg(count(lit(1)).as("dk"))
+          val perN = perSt.join(perB, Seq("t"), "full_outer")
+            .select(col("t"),
+              (coalesce(perSt("d"), lit(0L)) +
+                coalesce(perB("d"), lit(0L))).as("d"),
+              (coalesce(perSt("leave"), lit(0L)) +
+                coalesce(perB("leave"), lit(0L))).as("leave"))
+            .localCheckpoint(true)
+          val dkN = dkSt.join(dkB, Seq("t", "k"), "full_outer")
+            .select(col("t"), col("k"),
+              (coalesce(dkSt("dk"), lit(0L)) +
+                coalesce(dkB("dk"), lit(0L))).as("dk"))
+            .localCheckpoint(true)
+          state.set((perN, dkN))
+          sink(graft.ops.Survival.cumulativeIncidenceFromCounts(
+            perN, dkN), epochId)
+        }
+      }
+      .start()
+  }
 }

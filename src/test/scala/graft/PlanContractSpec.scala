@@ -1122,6 +1122,27 @@ class PlanContractSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q268: winnowing — fingerprint pairs come from an equi-join on " +
+    "the hash (never all-pairs), both sides the MATERIALIZED " +
+    "fingerprint table; no cartesian/BNLJ") {
+    val p = plan("q268_winnowing")
+    assert(count(p, "CartesianProduct") == 0 &&
+      count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
+    // the pair join reads the localCheckpointed fingerprint set, not
+    // parquet: the corpus is scanned exactly once (inside the
+    // materialization), zero times in the served plan
+    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1500))
+    assert(count(p, "FileScan parquet") == 0, p.take(1500))
+  }
+
+  test("q270: best-of-n — each n-branch reads the MATERIALIZED sample " +
+    "table (one corpus scan total), zero joins anywhere") {
+    val p = plan("q270_best_of_n")
+    assert(count(p, "Join") == 0, p.take(1500))
+    assert(count(p, "FileScan parquet") == 0, p.take(1500))
+    assert(count(p, "Scan ExistingRDD") >= 3, p.take(1500))
+  }
+
   test("q221: Spearman — rank tables come from grid-bounded windows " +
     "(partitioned by group), never a corpus-wide single-partition " +
     "window; no cartesian") {

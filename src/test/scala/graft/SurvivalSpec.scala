@@ -297,6 +297,35 @@ class SurvivalSpec extends SparkSpec {
     assert(b == want, s"split B diverged:\n$b\nvs\n$want")
   }
 
+  test("startCifSink: final emission ≡ batch cumulativeIncidence over " +
+    "all units, under shuffled batch splits (two long-count tables)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq((1L, Some("x")), (2L, Some("y")),
+      (3L, Option.empty[String]), (4L, Some("x")), (2L, Some("x")),
+      (5L, Option.empty[String]), (1L, Some("y")), (7L, Some("x")))
+    def run(batches: Seq[Seq[(Long, Option[String])]]): Seq[String] = {
+      val ms = MemoryStream[(Long, Option[String])]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamSurvival.startCifSink(
+        ms.toDF().toDF("dur", "cause"), "dur", "cause",
+        java.nio.file.Files.createTempDirectory("cif-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).sorted.toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = Survival.cumulativeIncidence(all.toDF("t", "k"),
+      col("t"), col("k")).collect().map(_.toString).sorted.toSeq
+    val a = run(Seq(all.take(3), all.slice(3, 6), all.drop(6)))
+    val b = run(Seq(Seq(all(7), all(0)), Seq(all(5), all(2), all(4)),
+      Seq(all(1), all(6), all(3))))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+  }
+
   test("coxHazard: all-censored / empty inputs still emit EXACTLY one " +
     "row (counts + NULL fit), per the one-row contract") {
     // all censored: no event steps at all -> the step table is empty;
