@@ -3560,6 +3560,23 @@ object SparkEntry {
     ops.Quality.bestOfN(t(s, dir, "events"), col("event_type"),
       col("event_id"), col("value"))
 
+  /** Shannon entropy rate / redundancy of the corpus token stream
+    * ([[expr.TextStats.entropyRate]], Shannon 1951 F₂) from the shared
+    * unigram + bigram artifacts — how much each next token carries
+    * given the previous one, and how compressible the stream is. */
+  private def qEntropyRate(s: SparkSession, dir: String): DataFrame =
+    graft.expr.TextStats.entropyRate(t(s, dir, "documents"),
+      col("doc_id"), col("text"),
+      Some(sharedUnigramCounts(s, dir)), Some(sharedBigramCounts(s, dir)))
+
+  /** Zone-map pruning advisor over events.value
+    * ([[ops.Layout.zoneMapPruning]]) — "would sorting by the predicate
+    * column help?" quantified: point-lookup scan fraction under the
+    * arrival layout vs a value-sorted layout, 32 zones, 20 md5 probes. */
+  private def qZoneMap(s: SparkSession, dir: String): DataFrame =
+    ops.Layout.zoneMapPruning(t(s, dir, "events"), col("event_id"),
+      col("value"))
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4228,7 +4245,9 @@ object SparkEntry {
     "q267_design_effect" -> (qDesignEffect _),
     "q268_winnowing" -> (qWinnowing _),
     "q269_rbo" -> (qRbo _),
-    "q270_best_of_n" -> (qBestOfN _))
+    "q270_best_of_n" -> (qBestOfN _),
+    "q271_entropy_rate" -> (qEntropyRate _),
+    "q272_zonemap_advisor" -> (qZoneMap _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8891,6 +8910,44 @@ object SparkEntry {
         "count(*) OVER (PARTITION BY t) AS m FROM bs WHERE hr <= 20) " +
         blocks.mkString(" UNION ALL ")
     },
+    "q271_entropy_rate" ->
+      // H = ln N − (Σ c·ln c)/N (the q104 trick, nats) over unigram
+      // and bigram counts; F2 = H2 − H1; redundancy = 1 − F2/ln V
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "eu AS (SELECT term, count(*) AS uc FROM tok GROUP BY 1), " +
+        "etk AS (SELECT doc_id, string_split(text, ' ') AS tt FROM documents), " +
+        "ebg AS (SELECT array_to_string(tt[i:i+1], ' ') AS bigram " +
+        "FROM etk, unnest(generate_series(1, len(tt) - 1)) AS eu2(i)), " +
+        "eb AS (SELECT bigram, count(*) AS bc FROM ebg GROUP BY 1), " +
+        "ua AS (SELECT count(*) AS vocab, CAST(sum(uc) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(floor(CAST(uc AS DOUBLE) * ln(CAST(uc AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s1 FROM eu), " +
+        "ba AS (SELECT CAST(sum(bc) AS BIGINT) AS nb, " +
+        "CAST(sum(CAST(floor(CAST(bc AS DOUBLE) * ln(CAST(bc AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s2 FROM eb), " +
+        "ha AS (SELECT *, ln(CAST(n AS DOUBLE)) - s1 / CAST(n AS DOUBLE) AS h1, " +
+        "ln(CAST(nb AS DOUBLE)) - s2 / CAST(nb AS DOUBLE) AS h2 FROM ua CROSS JOIN ba) " +
+        "SELECT vocab, n AS n_tokens, nb AS n_bigrams, " +
+        "round(h1, 6) AS h_unigram, round(h2, 6) AS h_bigram, " +
+        "round(h2 - h1, 6) AS h_cond, " +
+        "round(CASE WHEN vocab > 1 THEN 1 - (h2 - h1) / ln(CAST(vocab AS DOUBLE)) END, 6) AS redundancy " +
+        "FROM ha"),
+    "q272_zonemap_advisor" ->
+      // equal-width zones under arrival-id vs value-sorted layouts;
+      // md5 min-20 probes on the exact 2-dp integer key; scan_frac =
+      // containment hits / (zones x probes)
+      ("WITH zb AS (SELECT event_id AS aid, value AS v FROM events WHERE value IS NOT NULL), " +
+        "zs AS (SELECT max(aid) AS amax, min(v) AS vmin, max(v) AS vmax FROM zb), " +
+        "za AS (SELECT 'arrival' AS layout, " +
+        "CAST(least(floor(CAST(aid AS DOUBLE) * 32 / (CAST(amax AS DOUBLE) + 1)), 31) AS BIGINT) AS seg, v FROM zb CROSS JOIN zs " +
+        "UNION ALL SELECT 'sorted' AS layout, " +
+        "CAST(CASE WHEN vmax > vmin THEN least(floor((v - vmin) / (vmax - vmin) * 32), 31) ELSE 0 END AS BIGINT) AS seg, v FROM zb CROSS JOIN zs), " +
+        "zz AS (SELECT layout, seg, min(v) AS zmin, max(v) AS zmax FROM za GROUP BY 1, 2), " +
+        "zp AS (SELECT CAST(pk AS DOUBLE) / 100 AS pv FROM " +
+        "(SELECT DISTINCT CAST(floor(v * 100 + 0.5) AS BIGINT) AS pk FROM zb) " +
+        "ORDER BY md5(CAST(pk AS VARCHAR)), pk LIMIT 20) " +
+        "SELECT layout, count(DISTINCT seg) AS n_segments, count(DISTINCT pv) AS n_probes, " +
+        "round(CAST(sum(CASE WHEN pv >= zmin AND pv <= zmax THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(DISTINCT seg) * count(DISTINCT pv) AS DOUBLE), 6) AS scan_frac " +
+        "FROM zz CROSS JOIN zp GROUP BY 1"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

@@ -998,6 +998,57 @@ object TextStats {
           .as("p_unseen"))
   }
 
+  /** Shannon entropy rate / redundancy of the token stream (Shannon
+    * 1951, "Prediction and entropy of printed English"; the F_n
+    * series at n = 2): the conditional entropy
+    *   H(X_n | X_{n−1}) = H(bigram joint) − H(unigram)
+    * measures how much each next token actually carries once the
+    * previous one is known, and redundancy 1 − H_cond/ln V says how
+    * compressible the stream is — near 1 = templated/boilerplate,
+    * near 0 = incompressible. Computed in NATS with the q104 trick
+    * H = ln N − (Σ c·ln c)/N (one snapped term per distinct type, no
+    * per-type division); redundancy is a ratio so the base cancels.
+    * V ≤ 1 or an empty corpus → NULL redundancy (NULL-for-undefined).
+    *
+    * Scale shape: reads the unigram and bigram count artifacts (each
+    * one map-side-combined corpus pass, shared session-wide); the
+    * entropies are two vocabulary-sized aggregations crossed as
+    * one-row broadcasts. Returns one row: (vocab, n_tokens,
+    * n_bigrams, h_unigram, h_bigram, h_cond, redundancy), 6 dp. */
+  def entropyRate(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column,
+      uni0: Option[org.apache.spark.sql.DataFrame] = None,
+      big0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      explode, lit, log => ln, round, sum}
+    val g = 1e9
+    val uni = uni0.getOrElse(graft.ops.Fanout.fanout(docs)
+      .select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc")))
+    val big = big0.getOrElse(graft.ops.Fanout.fanout(docs)
+      .select(shingleGen(text, 2).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bc")))
+    def clnc(c: Column): Column =
+      Snap.snappedSum(c.cast("double") * ln(c.cast("double")), g)
+    val u = uni.agg(count(lit(1)).as("vocab"), sum(col("uc")).as("n"),
+      clnc(col("uc")).as("s1"))
+    val b = big.agg(sum(col("bc")).as("nb"), clnc(col("bc")).as("s2"))
+    val nD = col("n").cast("double")
+    val nbD = col("nb").cast("double")
+    val h1 = ln(nD) - col("s1") / nD
+    val h2 = ln(nbD) - col("s2") / nbD
+    val cond = h2 - h1
+    u.crossJoin(broadcast(b))
+      .select(col("vocab"), col("n").as("n_tokens"),
+        col("nb").as("n_bigrams"),
+        round(h1, 6).as("h_unigram"), round(h2, 6).as("h_bigram"),
+        round(cond, 6).as("h_cond"),
+        round(org.apache.spark.sql.functions.when(col("vocab") > 1L,
+          lit(1.0) - cond / ln(col("vocab").cast("double"))), 6)
+          .as("redundancy"))
+  }
+
   /** Term burstiness via the variance-to-mean ratio of per-document
     * counts (Church & Gale 1995; Fisher's index of dispersion): a
     * Poisson-scattered term has VMR ≈ 1, a CONTENT term clumps into

@@ -74,4 +74,65 @@ object Layout {
         floor(col("__start") / lit(targetBytes.toDouble)).as("bin"): _*)
       .agg(count(lit(1)).as("n_files"), sum(size).as("bytes"))
   }
+
+  /** Zone-map (min/max segment) pruning advisor — "would sorting this
+    * table by the predicate column actually help?" quantified, the
+    * decision every Parquet/Delta/Iceberg layout choice turns on
+    * (Moerkotte 1998 small materialized aggregates; the zone-map /
+    * data-skipping statistic of every modern warehouse): simulate
+    * `nSegments` equal-width zones under BOTH layouts — arrival order
+    * (zones cut the arrival-id space) and key-sorted (zones cut the
+    * key's value range, what a range partitioner produces) — probe
+    * each with `probeK` md5-sampled point predicates, and report the
+    * fraction of zones a point lookup must scan. Sorted layouts
+    * concentrate each value into ~1 zone (scan ≈ 1/nSegments);
+    * arrival layouts leave every zone's [min, max] wide (scan ≈ 1).
+    * Probes key on floor(v·100 + 0.5) (an exact integer — md5 of a
+    * raw double's string rendering is NOT engine-portable).
+    *
+    * Scale shape: one stats pass (broadcast one-row), one map-side
+    * zone assignment + per-zone min/max rollup (2·nSegments rows),
+    * probe selection via orderBy.limit (TakeOrderedAndProject — a
+    * k-row heap, never a global sort), and a zones×probes broadcast
+    * join. No window anywhere. Returns one row per layout:
+    * (layout, n_segments, n_probes, scan_frac). */
+  def zoneMapPruning(df: DataFrame, arrival: Column, key: Column,
+      nSegments: Int = 32, probeK: Int = 20): DataFrame = {
+    require(nSegments >= 2 && probeK >= 1,
+      s"zoneMapPruning: nSegments=$nSegments probeK=$probeK")
+    val base = df.select(arrival.cast("long").as("aid"),
+      key.cast("double").as("v")).filter(col("v").isNotNull)
+    val stats = base.agg(max(col("aid")).as("amax"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val segArr = least(floor(col("aid").cast("double") *
+      lit(nSegments.toDouble) / (col("amax").cast("double") + lit(1.0))),
+      lit(nSegments - 1.0)).cast("long")
+    val segSort = when(col("vmax") > col("vmin"),
+      least(floor((col("v") - col("vmin")) / (col("vmax") - col("vmin")) *
+        lit(nSegments.toDouble)), lit(nSegments - 1.0)).cast("long"))
+      .otherwise(lit(0L))
+    val withStats = base.crossJoin(broadcast(stats))
+    val zones = Seq(("arrival", segArr), ("sorted", segSort)).map {
+      case (name, seg) =>
+        withStats.groupBy(lit(name).as("layout"), seg.as("seg"))
+          .agg(min(col("v")).as("zmin"), max(col("v")).as("zmax"))
+    }.reduce(_.unionByName(_))
+    // md5 min-k probe values over the EXACT integer key (2-dp grid)
+    val probes = base
+      .select(floor(col("v") * lit(100.0) + lit(0.5)).cast("long")
+        .as("pk")).distinct()
+      .orderBy(md5(col("pk").cast("string")), col("pk"))
+      .limit(probeK)
+      .select((col("pk").cast("double") / lit(100.0)).as("pv"))
+    zones.join(broadcast(probes))
+      .groupBy(col("layout"))
+      .agg(countDistinct(col("seg")).as("n_segments"),
+        countDistinct(col("pv")).as("n_probes"),
+        sum(when(col("pv") >= col("zmin") && col("pv") <= col("zmax"),
+          1L).otherwise(0L)).as("hits"))
+      .select(col("layout"), col("n_segments"), col("n_probes"),
+        round(col("hits").cast("double") /
+          (col("n_segments") * col("n_probes")).cast("double"), 6)
+          .as("scan_frac"))
+  }
 }

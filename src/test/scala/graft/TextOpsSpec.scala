@@ -1304,6 +1304,43 @@ class TextOpsSpec extends SparkSpec {
     assert(run(Seq("x", "y", "z")) == Map(4L -> 2L))
   }
 
+  test("entropyRate: hand Shannon F2 on a 3-token corpus; a 1-type " +
+    "corpus has zero conditional entropy and NULL redundancy") {
+    import graft.expr.TextStats
+    val docs = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val r = TextStats.entropyRate(docs, col("doc_id"), col("text"))
+      .collect().head
+    def sn(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // uni: a=2, b=1 -> H1 = ln3 − snap(2·ln2)/3; bigrams "a a","a b"
+    // once each -> H2 = ln2 (s2 = 0); cond = H2 − H1
+    val h1 = math.log(3.0) - sn(2.0 * math.log(2.0)) / 3.0
+    val h2 = math.log(2.0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == r6(h1) && r.getDouble(4) == r6(h2))
+    assert(r.getDouble(5) == r6(h2 - h1))
+    assert(r.getDouble(6) == r6(1.0 - (h2 - h1) / math.log(2.0)))
+    // one type: both entropies 0, cond 0, redundancy undefined
+    val one = TextStats.entropyRate(Seq((0L, "a a a"))
+      .toDF("doc_id", "text"), col("doc_id"), col("text")).collect().head
+    assert(one.getDouble(5) == 0.0 && one.isNullAt(6))
+  }
+
+  test("zoneMapPruning: a shuffled arrival layout scans MORE zones " +
+    "than the value-sorted layout on the same data; exact hand counts") {
+    import graft.ops.Layout
+    // aid->v: 0->4, 1->1, 2->3, 3->2; 2 zones, probe all 4 values.
+    // arrival zones [1,4],[2,3] -> hits 6/8; sorted [1,2],[3,4] -> 4/8
+    val u = Seq((0L, 4.0), (1L, 1.0), (2L, 3.0), (3L, 2.0))
+      .toDF("aid", "v")
+    val r = Layout.zoneMapPruning(u, col("aid"), col("v"),
+      nSegments = 2, probeK = 4)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("arrival") == ((2L, 4L, 0.75)))
+    assert(r("sorted") == ((2L, 4L, 0.5)))
+  }
+
   test("goodTuring: hand spectrum — Turing estimates with a gap NULL, " +
     "LGT from the snapped log-log fit, p_unseen = N1/N") {
     import graft.expr.TextStats
