@@ -3577,6 +3577,32 @@ object SparkEntry {
     ops.Layout.zoneMapPruning(t(s, dir, "events"), col("event_id"),
       col("value"))
 
+  /** Data-constrained scaling forecast per source
+    * ([[ops.Sampling.dataConstrainedForecast]], Muennighoff et al.
+    * 2023): the EFFECTIVE tokens a 100k-token equal-split budget buys
+    * from each source once repeated epochs decay (R* = 15) — the
+    * number q130's apportionment should budget with. */
+  private def qDataConstrained(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.dataConstrainedForecast(t(s, dir, "documents"),
+      col("source"), size(graft.expr.TextStats.tokens(col("text"))),
+      100000L)
+
+  /** Hedges' g effect size (with Cohen's d and the 95% CI) for the
+    * arm difference in per-user post-period value totals
+    * ([[ops.Analytics.hedgesG]]) — the σ-units "how big" next to
+    * q264's always-valid "is it real". */
+  private def qHedgesG(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val units = ev.groupBy(col("user_id")).agg(
+      graft.expr.Snap.snappedSum(
+        when(col("ts") >= cut, col("value")).otherwise(lit(0.0)), 1e9)
+        .as("y"))
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.hedgesG(units, isA, col("y"))
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4247,7 +4273,9 @@ object SparkEntry {
     "q269_rbo" -> (qRbo _),
     "q270_best_of_n" -> (qBestOfN _),
     "q271_entropy_rate" -> (qEntropyRate _),
-    "q272_zonemap_advisor" -> (qZoneMap _))
+    "q272_zonemap_advisor" -> (qZoneMap _),
+    "q273_data_constrained" -> (qDataConstrained _),
+    "q274_hedges_g" -> (qHedgesG _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -8948,6 +8976,53 @@ object SparkEntry {
         "round(CAST(sum(CASE WHEN pv >= zmin AND pv <= zmax THEN 1 ELSE 0 END) AS DOUBLE) / " +
         "CAST(count(DISTINCT seg) * count(DISTINCT pv) AS DOUBLE), 6) AS scan_frac " +
         "FROM zz CROSS JOIN zp GROUP BY 1"),
+    "q273_data_constrained" ->
+      // per-source unique tokens; equal split of 100k; R = epochs
+      // beyond the first; D' = min(U + U·R*(1−exp(−R/R*)), alloc),
+      // R* = 15 (the paper's fitted constant)
+      ("WITH dc AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+        "dp AS (SELECT source, CAST(sum(nt) AS BIGINT) AS u FROM dc GROUP BY 1), " +
+        "dn AS (SELECT count(*) AS k FROM dp), " +
+        "dx AS (SELECT source, u, CAST(100000 AS DOUBLE) / CAST(k AS DOUBLE) AS alloc, " +
+        "CAST(u AS DOUBLE) AS ud FROM dp CROSS JOIN dn), " +
+        "dy AS (SELECT *, greatest(CAST(0 AS DOUBLE), alloc / ud - 1) AS r FROM dx), " +
+        "dz AS (SELECT *, CASE WHEN u > 0 THEN " +
+        "least(ud + ud * 15 * (1 - exp(-r / 15)), alloc) END AS deff FROM dy) " +
+        "SELECT source, u AS unique_tokens, round(alloc, 6) AS budget_tokens, " +
+        "round(CASE WHEN u > 0 THEN r END, 6) AS repeats, " +
+        "round(deff, 6) AS effective_tokens, " +
+        "round(deff / alloc, 6) AS efficiency FROM dz"),
+    "q274_hedges_g" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // one snapped moment pass; d = diff/s_pooled, J small-sample
+      // correction, Borenstein se, 95% CI
+      "WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CAST(floor((CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS y, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a " +
+        "FROM events GROUP BY 1), " +
+        "hm AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+        s"${snap("CASE WHEN a THEN y ELSE CAST(0 AS DOUBLE) END")} AS sya, " +
+        s"${snap("CASE WHEN a THEN y * y ELSE CAST(0 AS DOUBLE) END")} AS syya, " +
+        s"${snap("CASE WHEN NOT a THEN y ELSE CAST(0 AS DOUBLE) END")} AS syb, " +
+        s"${snap("CASE WHEN NOT a THEN y * y ELSE CAST(0 AS DOUBLE) END")} AS syyb FROM pu), " +
+        "hv AS (SELECT *, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM hm), " +
+        "hw AS (SELECT *, sya / nad - syb / nbd AS diff, nad + nbd - 2 AS df, " +
+        "((syya - sya * sya / nad) + (syyb - syb * syb / nbd)) / (nad + nbd - 2) AS s2 FROM hv), " +
+        "hx AS (SELECT *, diff / sqrt(s2) AS d, 1 - 3 / (4 * df - 1) AS j FROM hw), " +
+        "hy AS (SELECT *, j * d AS g FROM hx), " +
+        "hz AS (SELECT *, sqrt((nad + nbd) / (nad * nbd) + g * g / (2 * (nad + nbd))) AS se, " +
+        "na > 0 AND nb > 0 AND df > 0 AND s2 > CAST(0 AS DOUBLE) AS ok FROM hy) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "round(CASE WHEN ok THEN diff END, 6) AS mean_diff, " +
+        "round(CASE WHEN ok THEN d END, 6) AS d_cohen, " +
+        "round(CASE WHEN ok THEN g END, 6) AS g_hedges, " +
+        "round(CASE WHEN ok THEN se END, 6) AS se, " +
+        "round(CASE WHEN ok THEN g - CAST(1.959964 AS DOUBLE) * se END, 6) AS ci_lo, " +
+        "round(CASE WHEN ok THEN g + CAST(1.959964 AS DOUBLE) * se END, 6) AS ci_hi " +
+        "FROM hz"
+    },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

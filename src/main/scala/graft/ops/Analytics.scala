@@ -1478,6 +1478,52 @@ object Analytics {
       round(ratio + lit(1.96) * seDef, 6).as("ci_hi"))
   }
 
+  /** Standardized effect size with the small-sample correction —
+    * Cohen's d and Hedges' g (Cohen 1969; Hedges 1981; CI per
+    * Borenstein et al. 2009 §4): the UNITLESS companion every
+    * significance verdict here (q110 z, q264 mSPRT) needs — a p-value
+    * says "not noise", the effect size says "how big in σ units", and
+    * Hedges' J = 1 − 3/(4·df − 1) removes d's known small-sample
+    * upward bias. se²_g = (n_a+n_b)/(n_a·n_b) + g²/(2(n_a+n_b)),
+    * CI = g ± 1.96·se. One map-side-combined moment pass (snapped
+    * Σy, Σy² per arm), single-row arithmetic after — the
+    * [[deltaMethodRatio]] shape. Empty arm / zero pooled variance /
+    * df ≤ 0 → NULL. Returns one row: (n_a, n_b, mean_diff, d_cohen,
+    * g_hedges, se, ci_lo, ci_hi), 6 dp. */
+  def hedgesG(units0: DataFrame, isA: Column, y: Column): DataFrame = {
+    import graft.expr.Snap
+    val g9 = 1e9
+    val units = units0.filter(isA.isNotNull)
+    def s9(flag: Column, c: Column): Column =
+      Snap.snappedSum(when(flag, c).otherwise(lit(0.0)), g9)
+    val base = units.select(isA.as("a"), y.cast("double").as("y"))
+    val m = base.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      s9(col("a"), col("y")).as("sya"),
+      s9(col("a"), col("y") * col("y")).as("syya"),
+      s9(!col("a"), col("y")).as("syb"),
+      s9(!col("a"), col("y") * col("y")).as("syyb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val diff = col("sya") / naD - col("syb") / nbD
+    val df = naD + nbD - lit(2.0)
+    val s2 = ((col("syya") - col("sya") * col("sya") / naD) +
+      (col("syyb") - col("syb") * col("syb") / nbD)) / df
+    val d = diff / sqrt(s2)
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * df - lit(1.0))
+    val g = j * d
+    val se = sqrt((naD + nbD) / (naD * nbD) +
+      g * g / (lit(2.0) * (naD + nbD)))
+    val ok = col("na") > 0L && col("nb") > 0L && df > 0.0 && s2 > 0.0
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(when(ok, diff), 6).as("mean_diff"),
+      round(when(ok, d), 6).as("d_cohen"),
+      round(when(ok, g), 6).as("g_hedges"),
+      round(when(ok, se), 6).as("se"),
+      round(when(ok, g - lit(1.959964) * se), 6).as("ci_lo"),
+      round(when(ok, g + lit(1.959964) * se), 6).as("ci_hi"))
+  }
+
   /** Cluster design effect for a unit-level metric randomized at the
     * CLUSTER level (Kish 1965 §8; Donner & Klar 2000): events within a
     * user are correlated, so an A/B test that randomizes users but

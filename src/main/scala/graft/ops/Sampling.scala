@@ -453,4 +453,47 @@ object Sampling {
           .as("n_kept"))
       .select(col("source"), col("n_docs"), col("n_kept"), col("threshold"))
   }
+
+  /** Data-constrained scaling forecast (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): when the training
+    * budget exceeds a source's unique tokens, repeated epochs carry
+    * DECAYING value — the paper's fitted form counts
+    *   D' = U + U·R*·(1 − exp(−R/R*)),  R = epochs beyond the first,
+    * with R* ≈ 15 (their fitted repeat half-life constant); beyond
+    * ~4 epochs repeats are nearly free of new signal. Given an equal
+    * per-source split of `budgetTokens`, reports per source the
+    * repeat count the budget forces and the EFFECTIVE tokens it
+    * actually buys — the number a mixture planner (q130/q71) should
+    * budget with instead of raw token counts. R = 0 (enough unique
+    * data) → D' = allocated exactly; efficiency = D'/allocated.
+    *
+    * Scale shape: one map-side-combined pass to per-source token
+    * totals (|sources| rows), then row-local arithmetic — the one
+    * exp() per source rounds at 6 dp (single closed-form call, both
+    * engines' libm agree at that grid). Returns one row per source:
+    * (source, unique_tokens, budget_tokens, repeats, effective_tokens,
+    * efficiency), 6 dp. */
+  def dataConstrainedForecast(docs: DataFrame, source: Column,
+      nTokens: Column, budgetTokens: Long, rStar: Double = 15.0)
+      : DataFrame = {
+    require(budgetTokens > 0 && rStar > 0.0,
+      s"dataConstrainedForecast: budget=$budgetTokens rStar=$rStar")
+    val per = docs.select(source.as("source"),
+        nTokens.cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("u"))
+    val nSrc = org.apache.spark.sql.functions.broadcast(
+      per.agg(count(lit(1)).as("k")))
+    val uD = col("u").cast("double")
+    val alloc = lit(budgetTokens.toDouble) / col("k").cast("double")
+    val r = greatest(lit(0.0), alloc / uD - lit(1.0))
+    val dEff = when(col("u") > 0L,
+      least(uD + uD * lit(rStar) * (lit(1.0) - exp(-r / lit(rStar))),
+        alloc))
+    per.crossJoin(nSrc)
+      .select(col("source"), col("u").as("unique_tokens"),
+        round(alloc, 6).as("budget_tokens"),
+        round(when(col("u") > 0L, r), 6).as("repeats"),
+        round(dEff, 6).as("effective_tokens"),
+        round(dEff / alloc, 6).as("efficiency"))
+  }
 }

@@ -1304,6 +1304,54 @@ class TextOpsSpec extends SparkSpec {
     assert(run(Seq("x", "y", "z")) == Map(4L -> 2L))
   }
 
+  test("dataConstrainedForecast: repeats decay per the fitted form; " +
+    "budget below unique tokens is fully effective (capped at alloc)") {
+    import graft.ops.Sampling
+    // u = {s1: 100, s2: 400}, budget 800 -> alloc 400 each.
+    // s1: R = 3, D' = 100 + 1500·(1 − e^{−0.2}); s2: R = 0, D' = 400
+    val docs = Seq(("s1", 100L), ("s2", 400L)).toDF("src", "nt")
+    val r = Sampling.dataConstrainedForecast(docs, col("src"),
+      col("nt"), 800L)
+      .collect().map(x => x.getString(0) -> x).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val d1 = 100.0 + 100.0 * 15.0 * (1.0 - math.exp(-(3.0) / 15.0))
+    assert(r("s1").getDouble(2) == 400.0 && r("s1").getDouble(3) == 3.0)
+    assert(r("s1").getDouble(4) == r6(d1))
+    assert(r("s1").getDouble(5) == r6(d1 / 400.0))
+    assert(r("s2").getDouble(3) == 0.0 && r("s2").getDouble(4) == 400.0)
+    assert(r("s2").getDouble(5) == 1.0)
+    // plentiful data: alloc 100 < u 400 -> effective = alloc exactly
+    val rich = Sampling.dataConstrainedForecast(
+      Seq(("s", 400L)).toDF("src", "nt"), col("src"), col("nt"), 100L)
+      .collect().head
+    assert(rich.getDouble(3) == 0.0 && rich.getDouble(4) == 100.0 &&
+      rich.getDouble(5) == 1.0)
+  }
+
+  test("hedgesG: hand d/J/g/se replay; degenerate inputs (empty arm, " +
+    "zero variance) give NULL") {
+    import graft.ops.Analytics
+    // arms (3,5,4) vs (1,2,3): diff 2, s2 = 1, d = 2, J = 0.8, g = 1.6
+    val u = Seq((true, 3.0), (true, 5.0), (true, 4.0),
+      (false, 1.0), (false, 2.0), (false, 3.0)).toDF("a", "y")
+    val r = Analytics.hedgesG(u, col("a"), col("y")).collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val se = math.sqrt(6.0 / 9.0 + 1.6 * 1.6 / 12.0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == r6(0.8 * 2.0))
+    assert(r.getDouble(5) == r6(se))
+    assert(r.getDouble(6) == r6(1.6 - 1.959964 * se))
+    assert(r.getDouble(7) == r6(1.6 + 1.959964 * se))
+    val one = Analytics.hedgesG(Seq((true, 1.0), (true, 2.0))
+      .toDF("a", "y"), col("a"), col("y")).collect().head
+    assert(one.isNullAt(3) && one.isNullAt(7))
+    val const = Analytics.hedgesG(Seq((true, 2.0), (true, 2.0),
+      (false, 2.0), (false, 2.0)).toDF("a", "y"),
+      col("a"), col("y")).collect().head
+    assert(const.isNullAt(3) && const.isNullAt(5))
+  }
+
   test("entropyRate: hand Shannon F2 on a 3-token corpus; a 1-type " +
     "corpus has zero conditional entropy and NULL redundancy") {
     import graft.expr.TextStats
