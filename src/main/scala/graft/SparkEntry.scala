@@ -3603,6 +3603,27 @@ object SparkEntry {
     ops.Analytics.hedgesG(units, isA, col("y"))
   }
 
+  /** The shared daily event-count series (epoch-day, count) for the
+    * forecast-skill/changepoint pair q275/q276. */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+        .as("p"))
+      .agg(count(lit(1)).cast("double").as("y"))
+
+  /** Seasonal-naive forecast skill of daily event volume
+    * ([[ops.Analytics.seasonalMase]], Hyndman & Koehler 2006) — is
+    * there weekly structure worth modeling (MASE < 1), measured before
+    * anyone builds a model. */
+  private def qSeasonalMase(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.seasonalMase(dailySeries(s, dir), col("p"), col("y"))
+
+  /** Single CUSUM-normalized changepoint over daily event volume
+    * ([[ops.Analytics.changepoint]]) — WHERE the level shifted, next
+    * to the drift monitors' "somewhere" (q83/q215/q218). */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.changepoint(dailySeries(s, dir), col("p"), col("y"))
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4275,7 +4296,9 @@ object SparkEntry {
     "q271_entropy_rate" -> (qEntropyRate _),
     "q272_zonemap_advisor" -> (qZoneMap _),
     "q273_data_constrained" -> (qDataConstrained _),
-    "q274_hedges_g" -> (qHedgesG _))
+    "q274_hedges_g" -> (qHedgesG _),
+    "q275_seasonal_mase" -> (qSeasonalMase _),
+    "q276_changepoint" -> (qChangepoint _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9022,6 +9045,47 @@ object SparkEntry {
         "round(CASE WHEN ok THEN g - CAST(1.959964 AS DOUBLE) * se END, 6) AS ci_lo, " +
         "round(CASE WHEN ok THEN g + CAST(1.959964 AS DOUBLE) * se END, 6) AS ci_hi " +
         "FROM hz"
+    },
+    "q275_seasonal_mase" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // daily counts; lag-1 vs lag-7 absolute-error pools, snapped;
+      // MASE = MAE(seasonal)/MAE(naive)
+      "WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "sde AS (SELECT p, y, abs(y - lag(y, 1) OVER (ORDER BY p)) AS e1, " +
+        "abs(y - lag(y, 7) OVER (ORDER BY p)) AS es FROM sdy), " +
+        s"sdm AS (SELECT count(*) AS n, count(e1) AS n1, count(es) AS ns, " +
+        s"${snap("coalesce(e1, CAST(0 AS DOUBLE))")} AS s1, ${snap("coalesce(es, CAST(0 AS DOUBLE))")} AS ss FROM sde), " +
+        "sdo AS (SELECT *, CASE WHEN n1 > 0 THEN s1 / CAST(n1 AS DOUBLE) END AS maen, " +
+        "CASE WHEN ns > 0 THEN ss / CAST(ns AS DOUBLE) END AS maes FROM sdm) " +
+        "SELECT n AS n_periods, round(maen, 6) AS mae_naive, round(maes, 6) AS mae_seasonal, " +
+        "round(CASE WHEN maen > CAST(0 AS DOUBLE) THEN maes / maen END, 6) AS mase, " +
+        "round(1 - CASE WHEN maen > CAST(0 AS DOUBLE) THEN maes / maen END, 6) AS skill FROM sdo"
+    },
+    "q276_changepoint" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // CUSUM-normalized binseg: T_s = sqrt(s(n−s)/n)·|meanL−meanR|/sd
+      // over snapped prefix sums; argmax by (T desc, p asc)
+      "WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "cb AS (SELECT p, y, row_number() OVER (ORDER BY p) AS i, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS cs FROM sdy), " +
+        s"ct AS (SELECT count(*) AS n, ${snap("y")} AS sy, ${snap("y * y")} AS syy FROM sdy), " +
+        "cu AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM ct), " +
+        "cv AS (SELECT *, CASE WHEN nd > 1 AND sqrt((syy - sy * sy / nd) / (nd - 1)) > CAST(0 AS DOUBLE) " +
+        "THEN sqrt((syy - sy * sy / nd) / (nd - 1)) END AS sdv FROM cu), " +
+        "cw AS (SELECT cb.p, cb.i, cv.n, " +
+        "round(sqrt(CAST(cb.i AS DOUBLE) * (cv.nd - CAST(cb.i AS DOUBLE)) / cv.nd) * " +
+        "abs(cb.cs / CAST(cb.i AS DOUBLE) - (cv.sy - cb.cs) / (cv.nd - CAST(cb.i AS DOUBLE))) / cv.sdv, 6) AS t, " +
+        "round(cb.cs / CAST(cb.i AS DOUBLE), 6) AS ml, " +
+        "round((cv.sy - cb.cs) / (cv.nd - CAST(cb.i AS DOUBLE)), 6) AS mr " +
+        "FROM cb CROSS JOIN cv WHERE cb.i < cv.n) " +
+        "SELECT n AS n_periods, " +
+        "CASE WHEN n >= 4 AND t IS NOT NULL THEN p END AS split_period, " +
+        "CASE WHEN n >= 4 THEN t END AS t_stat, " +
+        "CASE WHEN n >= 4 AND t IS NOT NULL THEN ml END AS mean_before, " +
+        "CASE WHEN n >= 4 AND t IS NOT NULL THEN mr END AS mean_after " +
+        "FROM (SELECT * FROM cw ORDER BY t DESC NULLS LAST, p LIMIT 1)"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

@@ -1524,6 +1524,101 @@ object Analytics {
       round(when(ok, g + lit(1.959964) * se), 6).as("ci_hi"))
   }
 
+  /** Mean-absolute-scaled-error of the seasonal-naive forecast over a
+    * per-period series (Hyndman & Koehler 2006 — the scale-free
+    * forecast-accuracy standard): MASE = MAE(lag-`season` forecast) /
+    * MAE(lag-1 naive). MASE < 1 says the seasonal pattern beats
+    * last-value carry-forward — the measured answer to "is there
+    * weekly seasonality worth modeling in this metric" before anyone
+    * builds a model. Series rows must be one per period (the caller's
+    * aggregation); lags run over the ORDERED period grid, so both
+    * error pools snap at 1e9 and the ratio is engine-exact. Fewer than
+    * season+1 periods, or a zero naive MAE → NULL (NULL-for-
+    * undefined).
+    *
+    * Scale shape: input is the |periods|-row series (the output of a
+    * corpus-sized aggregation); both lag windows run on that
+    * calendar-bounded grid. Returns one row:
+    * (n_periods, mae_naive, mae_seasonal, mase, skill = 1 − mase). */
+  def seasonalMase(series: DataFrame, period: Column, y: Column,
+      season: Int = 7): DataFrame = {
+    import graft.expr.Snap
+    import org.apache.spark.sql.expressions.Window
+    require(season >= 2, s"seasonalMase: season=$season")
+    val w = Window.orderBy(col("p"))
+    val base = series.select(period.as("p"), y.cast("double").as("y"))
+      .withColumn("e1", abs(col("y") - lag(col("y"), 1).over(w)))
+      .withColumn("es", abs(col("y") - lag(col("y"), season).over(w)))
+    val m = base.agg(count(lit(1)).as("n"),
+      count(col("e1")).as("n1"), count(col("es")).as("ns"),
+      Snap.snappedSum(coalesce(col("e1"), lit(0.0)), 1e9).as("s1"),
+      Snap.snappedSum(coalesce(col("es"), lit(0.0)), 1e9).as("ss"))
+    val maeN = when(col("n1") > 0L, col("s1") / col("n1").cast("double"))
+    val maeS = when(col("ns") > 0L, col("ss") / col("ns").cast("double"))
+    val mase = when(maeN > 0.0, maeS / maeN)
+    m.select(col("n").as("n_periods"),
+      round(maeN, 6).as("mae_naive"),
+      round(maeS, 6).as("mae_seasonal"),
+      round(mase, 6).as("mase"),
+      round(lit(1.0) - mase, 6).as("skill"))
+  }
+
+  /** Single changepoint by CUSUM-normalized binary segmentation over a
+    * per-period series (Page 1954's statistic in the binseg form of
+    * Scott & Knott 1974 / Killick et al.): for every split s,
+    *   T_s = √(s·(n−s)/n) · |ȳ_L − ȳ_R| / σ̂
+    * (σ̂ = the series' overall sd); report the argmax split — WHERE the
+    * level shifted, the question the drift monitors (q83 KS, q215
+    * CUSUM, q218 EWMA) answer only with "somewhere". Ties break to the
+    * earliest period (deterministic); n < 4 or σ̂ = 0 → NULL. Prefix
+    * sums snap at 1e9; the argmax is a max over the packed
+    * (6-dp-snapped T, period) struct — order-free.
+    *
+    * Scale shape: input is the |periods|-row series; one prefix-sum
+    * window over the calendar-bounded grid, one single-row aggregate.
+    * Returns one row: (n_periods, split_period, t_stat, mean_before,
+    * mean_after). */
+  def changepoint(series: DataFrame, period: Column, y: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val base = series.select(period.as("p"), y.cast("double").as("y"))
+      .withColumn("i", row_number().over(Window.orderBy(col("p"))))
+      .withColumn("cs",
+        sum(floor(col("y") * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+          .over(w).cast("double") / lit(1e9))
+    val tot = base.agg(count(lit(1)).as("n"),
+      Snap.snappedSum(col("y"), 1e9).as("sy"),
+      Snap.snappedSum(col("y") * col("y"), 1e9).as("syy"))
+    val nD = col("n").cast("double")
+    val sd = sqrt((col("syy") - col("sy") * col("sy") / nD) /
+      (nD - lit(1.0)))
+    val iD = col("i").cast("double")
+    val mL = col("cs") / iD
+    val mR = (col("sy") - col("cs")) / (nD - iD)
+    val t = sqrt(iD * (nD - iD) / nD) * abs(mL - mR) / col("sd")
+    val scored = base.crossJoin(broadcast(
+        tot.select(col("n"), col("sy"),
+          when(nD > 1.0 && sd > 0.0, sd).as("sd"))))
+      .filter(col("i") < col("n"))
+      .select(col("n"),
+        struct(round(t, 6).as("t"), (-col("p").cast("long")).as("np"),
+          col("p").cast("long").as("sp"), round(mL, 6).as("ml"),
+          round(mR, 6).as("mr")).as("cand"))
+    // global agg (one row even on empty input); a zero-variance series
+    // leaves every candidate's t NULL -> NULL verdict, never Inf
+    val ok = col("n") >= 4L && col("best").getField("t").isNotNull
+    scored.agg(coalesce(max(col("n")), lit(0L)).as("n"),
+        max(col("cand")).as("best"))
+      .select(col("n").as("n_periods"),
+        when(ok, col("best").getField("sp")).as("split_period"),
+        when(ok, col("best").getField("t")).as("t_stat"),
+        when(ok, col("best").getField("ml")).as("mean_before"),
+        when(ok, col("best").getField("mr")).as("mean_after"))
+  }
+
   /** Cluster design effect for a unit-level metric randomized at the
     * CLUSTER level (Kish 1965 §8; Donner & Klar 2000): events within a
     * user are correlated, so an A/B test that randomizes users but

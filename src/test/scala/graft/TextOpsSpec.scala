@@ -1304,6 +1304,53 @@ class TextOpsSpec extends SparkSpec {
     assert(run(Seq("x", "y", "z")) == Map(4L -> 2L))
   }
 
+  test("seasonalMase: a perfectly periodic series scores MASE 0 at " +
+    "its season; a constant series NULLs out (zero naive MAE)") {
+    import graft.ops.Analytics
+    // period-2 alternation: lag-2 errors are all 0, lag-1 all 10
+    val s2 = (1 to 9).map(d => (d.toLong,
+      if (d % 2 == 1) 10.0 else 20.0)).toDF("p", "y")
+    val r = Analytics.seasonalMase(s2, col("p"), col("y"), season = 2)
+      .collect().head
+    assert(r.getLong(0) == 9L)
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
+    // at season 7 the alternation carries over: lag-7 errors are 10
+    // too (odd lag) -> MASE = 1, no skill
+    val r7 = Analytics.seasonalMase(s2, col("p"), col("y"), season = 7)
+      .collect().head
+    assert(r7.getDouble(3) == 1.0 && r7.getDouble(4) == 0.0)
+    // constant series: naive MAE = 0 -> undefined ratio
+    val const = Analytics.seasonalMase(
+      (1 to 5).map(d => (d.toLong, 3.0)).toDF("p", "y"),
+      col("p"), col("y"), season = 2).collect().head
+    assert(const.isNullAt(3) && const.isNullAt(4))
+  }
+
+  test("changepoint: a clean level shift is found at the exact split " +
+    "with the hand CUSUM statistic; constant and short series NULL") {
+    import graft.ops.Analytics
+    val u = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 5.0), (5L, 5.0),
+      (6L, 5.0)).toDF("p", "y")
+    val r = Analytics.changepoint(u, col("p"), col("y")).collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val sd = math.sqrt((78.0 - 18.0 * 18.0 / 6.0) / 5.0)
+    val t3 = math.sqrt(3.0 * 3.0 / 6.0) * math.abs(1.0 - 5.0) / sd
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == r6(t3))
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0)
+    // constant series: zero variance -> NULL verdict, never Inf
+    val const = Analytics.changepoint(
+      (1 to 6).map(d => (d.toLong, 2.0)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(const.getLong(0) == 6L && const.isNullAt(1) && const.isNullAt(2))
+    // n < 4: too short to split
+    val short = Analytics.changepoint(
+      Seq((1L, 1.0), (2L, 9.0), (3L, 1.0)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(short.isNullAt(1))
+  }
+
   test("dataConstrainedForecast: repeats decay per the fitted form; " +
     "budget below unique tokens is fully effective (capped at alloc)") {
     import graft.ops.Sampling

@@ -96,6 +96,10 @@ object WindowContractSpec {
       "observation window, data-independent)"),
     "q265_good_turing" -> ("count spectrum capped at rCap+1 = 51 rows " +
       "by construction (data-independent)"),
+    "q275_seasonal_mase" -> ("calendar-bounded daily-series grid (the " +
+      "observation window, data-independent)"),
+    "q276_changepoint" -> ("calendar-bounded daily-series grid (the " +
+      "observation window, data-independent)"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
