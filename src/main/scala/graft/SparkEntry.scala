@@ -3624,6 +3624,54 @@ object SparkEntry {
   private def qChangepoint(s: SparkSession, dir: String): DataFrame =
     ops.Analytics.changepoint(dailySeries(s, dir), col("p"), col("y"))
 
+  /** HITS hubs & authorities over the DIRECTED part→supplier graph
+    * ([[ops.Graph.hits]], Kleinberg 1999), two unrolled normalized
+    * rounds — the prestige PAIR q93's single PageRank score conflates. */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select((col("l_partkey") * 10).as("src"),
+        (col("l_suppkey") * 10 + 1).as("dst"))
+    ops.Graph.hits(li, "src", "dst", iters = 2)
+  }
+
+  /** Local clustering coefficient on the q94 co-purchase graph
+    * ([[ops.Graph.clusteringCoefficient]], Watts & Strogatz 1998) —
+    * family-vs-chain tightness per node, on the same oriented-wedge
+    * machinery. */
+  private def qClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+    ops.Graph.clusteringCoefficient(e, "src", "dst")
+  }
+
+  /** Kendall's τ-b between per-source document count and total token
+    * volume ([[ops.Analytics.kendallTauB]]) — do bigger sources also
+    * carry more text, read as exact pair concordance over the
+    * |sources|-row aggregate (the bounded-input contract). */
+  private def qKendallTau(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.expr.TextStats.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+    ops.Analytics.kendallTauB(per, col("n_docs"), col("n_tokens"))
+  }
+
+  /** Newcombe method-10 CI for the conversion-rate DIFFERENCE between
+    * the hash arms ([[ops.Analytics.newcombeDiffCi]]) — the two-arm
+    * sibling of q205's Wilson interval. */
+  private def qNewcombe(s: SparkSession, dir: String): DataFrame = {
+    val u = survivalUnits(s, dir)
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.newcombeDiffCi(u, isA, col("converted"))
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4298,7 +4346,11 @@ object SparkEntry {
     "q273_data_constrained" -> (qDataConstrained _),
     "q274_hedges_g" -> (qHedgesG _),
     "q275_seasonal_mase" -> (qSeasonalMase _),
-    "q276_changepoint" -> (qChangepoint _))
+    "q276_changepoint" -> (qChangepoint _),
+    "q277_hits" -> (qHits _),
+    "q278_clustering_coef" -> (qClusteringCoef _),
+    "q279_kendall_tau" -> (qKendallTau _),
+    "q280_newcombe_ci" -> (qNewcombe _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9087,6 +9139,91 @@ object SparkEntry {
         "CASE WHEN n >= 4 AND t IS NOT NULL THEN mr END AS mean_after " +
         "FROM (SELECT * FROM cw ORDER BY t DESC NULLS LAST, p LIMIT 1)"
     },
+    "q277_hits" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // two unrolled HITS rounds from h = 1, each score L1-normalized
+      // on the snapped total and 6-dp-snapped; MATERIALIZED hints on
+      // every multi-referenced CTE (the q188 lesson)
+      def norm(raw: String, prev: String, out: String, keyIn: String,
+          keyOut: String): String =
+        s"${raw}r AS MATERIALIZED (SELECT e.$keyOut AS id, " +
+          s"${snap9(s"$prev.v")} AS s FROM e JOIN $prev ON $prev.id = e.$keyIn GROUP BY 1), " +
+          s"${raw}z AS (SELECT ${snap9("s")} AS z FROM ${raw}r), " +
+          s"$out AS MATERIALIZED (SELECT nodes.id, " +
+          s"floor((CASE WHEN z > CAST(0 AS DOUBLE) THEN coalesce(s, CAST(0 AS DOUBLE)) / z ELSE CAST(0 AS DOUBLE) END) * 1000000 + 0.5) / 1000000 AS v " +
+          s"FROM nodes CROSS JOIN ${raw}z LEFT JOIN ${raw}r ON ${raw}r.id = nodes.id)"
+      "WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey * 10 AS src, l_suppkey * 10 + 1 AS dst FROM lineitem), " +
+        "nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e), " +
+        "h0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS v FROM nodes), " +
+        norm("a1", "h0", "a1", "src", "dst") + ", " +
+        norm("h1", "a1", "h1", "dst", "src") + ", " +
+        norm("a2", "h1", "a2", "src", "dst") + ", " +
+        norm("h2", "a2", "h2", "dst", "src") + " " +
+        "SELECT h2.id, h2.v AS hub, a2.v AS authority FROM h2 JOIN a2 ON a2.id = h2.id"
+    },
+    "q278_clustering_coef" ->
+      // q94's oriented-wedge triangle replay + degree rollup;
+      // coef = tri/(deg(deg−1))·2, NULL when deg < 2
+      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0), " +
+        "e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS MATERIALIZED (SELECT n, count(*) AS d FROM " +
+        "(SELECT lo AS n FROM e UNION ALL SELECT hi FROM e) GROUP BY 1), " +
+        "fwd AS MATERIALIZED (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND lo < hi) THEN lo ELSE hi END AS u, " +
+        "CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND lo < hi) THEN hi ELSE lo END AS v " +
+        "FROM e JOIN deg d1 ON d1.n = e.lo JOIN deg d2 ON d2.n = e.hi), " +
+        "tri AS (SELECT f1.u AS a, f1.v AS b, f2.v AS c FROM fwd f1 " +
+        "JOIN fwd f2 ON f2.u = f1.v " +
+        "WHERE EXISTS (SELECT 1 FROM fwd f3 WHERE f3.u = f1.u AND f3.v = f2.v)), " +
+        "tc AS (SELECT node, count(*) AS triangles FROM " +
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1) " +
+        "SELECT deg.n AS node, deg.d AS degree, coalesce(tc.triangles, 0) AS triangles, " +
+        "round(CASE WHEN deg.d >= 2 THEN CAST(coalesce(tc.triangles, 0) AS DOUBLE) / CAST(deg.d * (deg.d - 1) AS DOUBLE) * 2 END, 6) AS coef " +
+        "FROM deg LEFT JOIN tc ON tc.node = deg.n"),
+    "q279_kendall_tau" ->
+      // weighted distinct-(x,y) groups; unordered distinct-group pairs
+      // once by struct order; tau-b with exact integer tie corrections
+      ("WITH kp AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+        "kg AS (SELECT CAST(n_docs AS DOUBLE) AS x, CAST(n_tokens AS DOUBLE) AS y, count(*) AS w FROM kp " +
+        "WHERE n_docs IS NOT NULL AND n_tokens IS NOT NULL GROUP BY 1, 2), " +
+        "kpr AS (SELECT a.x AS xa, a.y AS ya, a.w AS wa, b.x AS xb, b.y AS yb, b.w AS wb " +
+        "FROM kg a JOIN kg b ON (a.x, a.y) < (b.x, b.y)), " +
+        "km AS (SELECT coalesce(sum(CASE WHEN (xa - xb) * (ya - yb) > CAST(0 AS DOUBLE) THEN wa * wb ELSE 0 END), 0) AS c, " +
+        "coalesce(sum(CASE WHEN (xa - xb) * (ya - yb) < CAST(0 AS DOUBLE) THEN wa * wb ELSE 0 END), 0) AS d, " +
+        "coalesce(sum(CASE WHEN xa = xb THEN wa * wb ELSE 0 END), 0) AS tx, " +
+        "coalesce(sum(CASE WHEN ya = yb THEN wa * wb ELSE 0 END), 0) AS ty FROM kpr), " +
+        "kt AS (SELECT count(*) AS ng, CAST(sum(w) AS BIGINT) AS n, " +
+        "CAST(sum(w * (w - 1) // 2) AS BIGINT) AS txy FROM kg), " +
+        "kx AS (SELECT *, CAST(n * (n - 1) // 2 AS DOUBLE) AS n0, " +
+        "CAST(tx + txy AS DOUBLE) AS n1, CAST(ty + txy AS DOUBLE) AS n2 FROM km CROSS JOIN kt) " +
+        "SELECT n, CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant, " +
+        "round(CASE WHEN sqrt((n0 - n1) * (n0 - n2)) > CAST(0 AS DOUBLE) THEN " +
+        "CAST(c - d AS DOUBLE) / sqrt((n0 - n1) * (n0 - n2)) END, 6) AS tau_b FROM kx"),
+    "q280_newcombe_ci" ->
+      // per-arm Wilson bounds composed by Newcombe's square-and-add
+      (s"WITH $survivalUnitsCte, " +
+        "nm AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN a AND e THEN 1 ELSE 0 END) AS BIGINT) AS sa, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+        "CAST(sum(CASE WHEN NOT a AND e THEN 1 ELSE 0 END) AS BIGINT) AS sb FROM u), " +
+        "nw AS (SELECT *, CAST(1.959964 AS DOUBLE) * CAST(1.959964 AS DOUBLE) AS z2, " +
+        "CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM nm), " +
+        "np AS (SELECT *, CAST(sa AS DOUBLE) / nad AS p1, CAST(sb AS DOUBLE) / nbd AS p2 FROM nw), " +
+        "nc AS (SELECT *, (p1 + z2 / (2 * nad)) / (1 + z2 / nad) AS c1, " +
+        "CAST(1.959964 AS DOUBLE) * sqrt(p1 * (1 - p1) / nad + z2 / (4 * nad * nad)) / (1 + z2 / nad) AS hw1, " +
+        "(p2 + z2 / (2 * nbd)) / (1 + z2 / nbd) AS c2, " +
+        "CAST(1.959964 AS DOUBLE) * sqrt(p2 * (1 - p2) / nbd + z2 / (4 * nbd * nbd)) / (1 + z2 / nbd) AS hw2 FROM np), " +
+        "nb2 AS (SELECT *, c1 - hw1 AS l1, c1 + hw1 AS u1, c2 - hw2 AS l2, c2 + hw2 AS u2, p1 - p2 AS df, " +
+        "na > 0 AND nb > 0 AS ok FROM nc) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "round(CASE WHEN ok THEN p1 END, 6) AS rate_a, " +
+        "round(CASE WHEN ok THEN p2 END, 6) AS rate_b, " +
+        "round(CASE WHEN ok THEN df END, 6) AS diff, " +
+        "round(CASE WHEN ok THEN df - sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2)) END, 6) AS ci_lo, " +
+        "round(CASE WHEN ok THEN df + sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2)) END, 6) AS ci_hi " +
+        "FROM nb2"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

@@ -1524,6 +1524,96 @@ object Analytics {
       round(when(ok, g + lit(1.959964) * se), 6).as("ci_hi"))
   }
 
+  /** Kendall's τ-b rank correlation with tie corrections (Kendall
+    * 1938; the τ-b form of Kendall 1945) over a BOUNDED paired table —
+    * the pair-counting companion to Spearman (q221): τ reads
+    * CONCORDANCE directly (P(agree) − P(disagree)), is robust to any
+    * monotone transform, and τ-b's denominator √((n₀−n₁)(n₀−n₂))
+    * keeps ties from inflating agreement. Exact INTEGER pair counts —
+    * concordant, discordant, x-ties, y-ties from one self-join over
+    * the grid-sized input (the operator REQUIRES a bounded aggregate
+    * table: pairs are O(n²), so corpus-sized inputs belong in q217's
+    * rank-sum machinery instead). All-tied axes → NULL.
+    * Returns one row: (n, concordant, discordant, tau_b), 6 dp. */
+  def kendallTauB(df: DataFrame, x: Column, y: Column): DataFrame = {
+    // duplicate rows collapse to weighted (x, y) groups FIRST: pairs
+    // between two distinct groups count wa·wb; fully-tied pairs are
+    // per-group w(w−1)/2 arithmetic — no self-pair/double-count traps
+    val g = df.select(x.cast("double").as("x"), y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+    val a = g.select(col("x").as("xa"), col("y").as("ya"), col("w").as("wa"))
+    val b = g.select(col("x").as("xb"), col("y").as("yb"), col("w").as("wb"))
+    // each unordered pair of DISTINCT groups exactly once
+    val pairs = a.join(b,
+      struct(col("xa"), col("ya")) < struct(col("xb"), col("yb")))
+    val wgt = col("wa") * col("wb")
+    val sgn = (col("xa") - col("xb")) * (col("ya") - col("yb"))
+    val m = pairs.agg(
+      coalesce(sum(when(sgn > 0.0, wgt).otherwise(0L)), lit(0L)).as("c"),
+      coalesce(sum(when(sgn < 0.0, wgt).otherwise(0L)), lit(0L)).as("d"),
+      coalesce(sum(when(col("xa") === col("xb"), wgt).otherwise(0L)),
+        lit(0L)).as("tx"),
+      coalesce(sum(when(col("ya") === col("yb"), wgt).otherwise(0L)),
+        lit(0L)).as("ty"))
+    val tot = g.agg(count(lit(1)).as("ng"), sum(col("w")).as("n"),
+      sum(col("w") * (col("w") - 1L) / 2L).as("txy"))
+    m.crossJoin(broadcast(tot)).select(col("n"),
+      col("c").as("concordant"), col("d").as("discordant"),
+      round({
+        val n0 = (col("n") * (col("n") - 1L) / 2L).cast("double")
+        val n1 = (col("tx") + col("txy")).cast("double")
+        val n2 = (col("ty") + col("txy")).cast("double")
+        val den = sqrt((n0 - n1) * (n0 - n2))
+        when(den > 0.0, (col("c") - col("d")).cast("double") / den)
+      }, 6).as("tau_b"))
+  }
+
+  /** Newcombe score interval for a DIFFERENCE of proportions
+    * (Newcombe 1998, method 10 — the MOVER/square-and-add composition
+    * of two Wilson intervals): the conversion-rate-diff CI that stays
+    * honest near 0 and 1 where the Wald interval collapses — the
+    * two-arm sibling of q205's single-rate Wilson. With per-arm
+    * Wilson bounds (l, u):
+    *   CI = [d − √((p₁−l₁)² + (u₂−p₂)²), d + √((u₁−p₁)² + (p₂−l₂)²)].
+    * Closed form over exact integer counts and the literal z — one
+    * fixed parenthesization, so both engines replay identical bounds.
+    * One map-side-combined pass; an empty arm → NULL (never a fake
+    * zero-width interval). Returns one row: (n_a, n_b, rate_a,
+    * rate_b, diff, ci_lo, ci_hi), 6 dp. */
+  def newcombeDiffCi(units0: DataFrame, isA: Column, success: Column,
+      z: Double = 1.959964): DataFrame = {
+    val units = units0.filter(isA.isNotNull)
+    val m = units.select(isA.as("a"),
+        success.cast("boolean").as("s"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("a") && col("s"), 1L).otherwise(0L)).as("sa"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("a") && col("s"), 1L).otherwise(0L)).as("sb"))
+    val z2 = lit(z) * lit(z)
+    def wilson(nC: Column, sC: Column): (Column, Column, Column) = {
+      val n = nC.cast("double")
+      val p = sC.cast("double") / n
+      val denom = lit(1.0) + z2 / n
+      val center = (p + z2 / (lit(2.0) * n)) / denom
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+        z2 / (lit(4.0) * n * n)) / denom
+      (p, center - half, center + half)
+    }
+    val (p1, l1, u1) = wilson(col("na"), col("sa"))
+    val (p2, l2, u2) = wilson(col("nb"), col("sb"))
+    val d = p1 - p2
+    val lo = d - sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2))
+    val hi = d + sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2))
+    val ok = col("na") > 0L && col("nb") > 0L
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(when(ok, p1), 6).as("rate_a"),
+      round(when(ok, p2), 6).as("rate_b"),
+      round(when(ok, d), 6).as("diff"),
+      round(when(ok, lo), 6).as("ci_lo"),
+      round(when(ok, hi), 6).as("ci_hi"))
+  }
+
   /** Mean-absolute-scaled-error of the seasonal-naive forecast over a
     * per-period series (Hyndman & Koehler 2006 — the scale-free
     * forecast-accuracy standard): MASE = MAE(lag-`season` forecast) /

@@ -232,6 +232,85 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") — the DIRECTED prestige pair
+    * PageRank's single score conflates: a hub points at good
+    * authorities, an authority is pointed at by good hubs. Fixed
+    * `iters` unrolled mutual-recursion rounds from h = 1 (the q201/
+    * pagerank trajectory contract), each score L1-normalized on the
+    * 1e9-snapped sum and 6-dp-snapped between passes, so the
+    * trajectory replays exactly in any engine. Nodes with no in-edges
+    * (resp. out-edges) carry authority (resp. hub) exactly 0.
+    *
+    * Scale shape: identical to [[pagerank]] — per round one edge-sized
+    * join per direction into a map-side-combined node aggregation,
+    * snapped state materialized between passes (truncated lineage),
+    * the last pass lazy. Returns (id, hub, authority). */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    require(iters >= 1, s"hits: iters=$iters")
+    val e = materialize(edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).distinct())
+    val nodes = materialize(
+      e.select(col("src").as("id")).union(e.select(col("dst"))).distinct())
+    def snap6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    // raw scores L1-normalize on the snapped total; an all-zero side
+    // (structurally impossible on a nonempty edge set, but the guard
+    // keeps the library honest) yields zeros, never NULL/Inf
+    def norm(raw: DataFrame, out: String): DataFrame = {
+      val z = raw.agg(Snap.snappedSum(col("s"), 1e9).as("z"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(z))
+        .select(col("id"), snap6(when(col("z") > 0.0,
+          coalesce(col("s"), lit(0.0)) / col("z")).otherwise(lit(0.0)))
+          .as(out))
+    }
+    var h = nodes.select(col("id"), lit(1.0).as("hub"))
+    var a = nodes.select(col("id"), lit(0.0).as("authority"))
+    for (i <- 1 to iters) {
+      a = materialize(norm(
+        e.join(h.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(Snap.snappedSum(col("hub"), 1e9).as("s")), "authority"))
+      val hNext = norm(
+        e.join(a.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(Snap.snappedSum(col("authority"), 1e9).as("s")), "hub")
+      h = if (i < iters) materialize(hNext) else hNext
+    }
+    h.join(a, "id").select(col("id"), col("hub"), col("authority"))
+  }
+
+  /** Local clustering coefficient (Watts & Strogatz 1998) — per node,
+    * what fraction of its neighbors' possible links exist:
+    * C_v = triangles_v / (deg_v·(deg_v − 1)/2). The small-world /
+    * community-tightness signal next to the raw triangle counts
+    * (q94): a duplicate FAMILY's members sit near C = 1, chain
+    * artifacts near 0. deg < 2 → NULL (no possible wedge, undefined —
+    * never a fake 0). Reuses [[triangleCount]]'s O(E^1.5)
+    * orientation machinery and one degree rollup; everything joins
+    * node-keyed. Returns (node, degree, triangles, coef), 6 dp. */
+  def clusteringCoefficient(edges: DataFrame, src: String, dst: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val e = materialize(edges.select(
+        least(col(src), col(dst)).cast("long").as("lo"),
+        greatest(col(src), col(dst)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct())
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCount(e, "lo", "hi", materialize)
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(when(col("degree") >= 2L,
+          coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double") *
+            lit(2.0)), 6).as("coef"))
+  }
+
   /** Per-node triangle counts of the undirected graph `edges(src, dst)`
     * — the clustering-coefficient / community-density signal over the
     * co-occurrence graphs this library builds. Nodes in no triangle are

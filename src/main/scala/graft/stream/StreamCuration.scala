@@ -127,6 +127,53 @@ object StreamCuration {
       }
       .start()
 
+  /** Streaming changepoint monitor — q276's CUSUM-binseg verdict
+    * maintained at ingest (the 19th sink): WHERE did the per-period
+    * level shift, re-answered on every micro-batch. State is the
+    * per-period LONG count table — calendar-grid-sized and exactly
+    * additive across any batching or arrival order, so each epoch's
+    * verdict is bit-identical to batch
+    * [[graft.ops.Analytics.changepoint]] over the union of all
+    * arrived events (spec-pinned under shuffled splits) — the same
+    * bounded-state shape as the KM/CIF sinks, applied to the monitor
+    * family next to [[startCusumSink]]'s sequential alarm: CUSUM says
+    * "drifting NOW", this says "the level broke THERE". */
+  def startChangepointSink(eventStream: DataFrame, periodCol: String,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = eventStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      empty.localCheckpoint(true))
+    eventStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val st = state.get()
+          val part = batch.select(col(periodCol).cast("long").as("p"))
+            .groupBy(col("p")).agg(count(lit(1)).as("c"))
+          val next = st.join(part, Seq("p"), "full_outer")
+            .select(col("p"),
+              (coalesce(st("c"), lit(0L)) +
+                coalesce(part("c"), lit(0L))).as("c"))
+            .localCheckpoint(true) // consumers: next epoch + verdict
+          state.set(next)
+          sink(graft.ops.Analytics.changepoint(
+            next.select(col("p"), col("c").cast("double").as("y")),
+            col("p"), col("y")), epochId)
+        }
+      }
+      .start()
+  }
+
   /** Streaming one-sided CUSUM monitor — the SEQUENTIAL drift alarm
     * ([[graft.ops.Analytics.cusumDrift]]) run where it naturally lives:
     * each micro-batch is one step of the recursion per group,

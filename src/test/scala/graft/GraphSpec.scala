@@ -344,4 +344,40 @@ class GraphSpec extends SparkSpec {
         ((x.getLong(1), x.getBoolean(2)))).toMap
     assert(r7 == r)
   }
+  test("hits: two hubs pointing at one authority split hub mass " +
+    "evenly; sinks carry hub 0, sources authority 0") {
+    import graft.ops.Graph
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    // round 1: a = {3: 1}, h = {1: .5, 2: .5}; round 2 re-normalizes
+    // to the same fixed point exactly
+    assert(r(1L) == ((0.5, 0.0)))
+    assert(r(2L) == ((0.5, 0.0)))
+    assert(r(3L) == ((0.0, 1.0)))
+    // a chain 1 -> 2 -> 3: node 2 is both hub and authority
+    val chain = Graph.hits(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+      "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(chain(1L)._2 == 0.0 && chain(3L)._1 == 0.0)
+    assert(chain(2L)._1 > 0.0 && chain(2L)._2 > 0.0)
+  }
+
+  test("clusteringCoefficient: a triangle's members score 1 (or the " +
+    "wedge fraction), a pendant node is NULL (deg < 2, undefined)") {
+    import graft.ops.Graph
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.clusteringCoefficient(e, "src", "dst")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) None else Some(x.getDouble(3))))).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r(1L) == ((2L, 1L, Some(1.0))))
+    assert(r(2L) == ((3L, 1L, Some(r6(1.0 / 6.0 * 2.0)))))
+    assert(r(3L) == ((2L, 1L, Some(1.0))))
+    assert(r(4L) == ((1L, 0L, None)))
+  }
 }

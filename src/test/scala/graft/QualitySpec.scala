@@ -1230,4 +1230,36 @@ class QualitySpec extends SparkSpec {
       nCap = 2, ns = Seq(1)).collect().head
     assert(capped.getLong(2) == 2L)
   }
+  test("startChangepointSink: final emission ≡ batch changepoint over " +
+    "all events, under shuffled batch splits (additive count state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Analytics
+    implicit val sqlCtx = spark.sqlContext
+    // periods 1..4 quiet (1-2 events), 5..8 loud (5-6 events)
+    val all = Seq(1L, 2L, 2L, 3L, 4L, 5L, 5L, 5L, 5L, 5L, 6L, 6L, 6L,
+      6L, 6L, 6L, 7L, 7L, 7L, 7L, 7L, 8L, 8L, 8L, 8L, 8L, 8L)
+    def run(batches: Seq[Seq[Long]]): Seq[String] = {
+      val ms = MemoryStream[Long]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startChangepointSink(
+        ms.toDF().toDF("p"), "p",
+        java.nio.file.Files.createTempDirectory("cp-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val counts = all.groupBy(identity).toSeq
+      .map { case (p, xs) => (p, xs.size.toDouble) }
+    val want = Analytics.changepoint(counts.toDF("p", "y"), col("p"),
+      col("y")).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(9), all.slice(9, 18), all.drop(18)))
+    val b = run(Seq(all.reverse.take(13), all.reverse.drop(13)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // and the verdict itself: the level breaks after period 4
+    assert(want.head.contains("4") || want.head.contains("5"))
+  }
 }

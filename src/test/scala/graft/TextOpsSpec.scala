@@ -1304,6 +1304,61 @@ class TextOpsSpec extends SparkSpec {
     assert(run(Seq("x", "y", "z")) == Map(4L -> 2L))
   }
 
+  test("kendallTauB: perfect concordance 1, reversal -1; tie " +
+    "corrections on a hand case; duplicated rows collapse correctly") {
+    import graft.ops.Analytics
+    def tau(rows: Seq[(Double, Double)]): Option[Double] = {
+      val r = Analytics.kendallTauB(rows.toDF("x", "y"), col("x"),
+        col("y")).collect().head
+      if (r.isNullAt(3)) None else Some(r.getDouble(3))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(tau(Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0))) == Some(1.0))
+    assert(tau(Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0))) == Some(-1.0))
+    // x = (1,1,2), y = (1,2,3): c = 2, d = 0, one x-tie pair ->
+    // tau_b = 2/sqrt(3·2) -- wait: n0 = 3, n1 = 1, n2 = 0
+    assert(tau(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0))) ==
+      Some(r6(2.0 / math.sqrt((3.0 - 1.0) * 3.0))))
+    // duplicated fully-tied rows enter n1/n2 via txy, not the joins
+    assert(tau(Seq((1.0, 1.0), (1.0, 1.0), (2.0, 2.0))) == Some(1.0))
+    // all tied on x: denominator 0 -> NULL
+    assert(tau(Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0))) == None)
+  }
+
+  test("newcombeDiffCi: hand Wilson-composed bounds; empty arm NULLs") {
+    import graft.ops.Analytics
+    val u = (Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(4)((false, true)) ++ Seq.fill(6)((false, false)))
+      .toDF("a", "s")
+    val r = Analytics.newcombeDiffCi(u, col("a"), col("s"))
+      .collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r6n(x: Double): Double =
+      if (x < 0) -math.floor(-x * 1e6 + 0.5) / 1e6 else r6(x)
+    val z = 1.959964; val z2 = z * z
+    def wilson(n: Double, s: Double): (Double, Double, Double) = {
+      val p = s / n
+      val den = 1.0 + z2 / n
+      val c = (p + z2 / (2.0 * n)) / den
+      val h = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)) / den
+      (p, c - h, c + h)
+    }
+    val (p1, l1, u1) = wilson(10.0, 8.0)
+    val (p2, l2, u2) = wilson(10.0, 4.0)
+    val d = p1 - p2
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 0.8 && r.getDouble(3) == 0.4)
+    assert(r.getDouble(4) == r6(d))
+    assert(r.getDouble(5) == r6n(d - math.sqrt((p1 - l1) * (p1 - l1) +
+      (u2 - p2) * (u2 - p2))))
+    assert(r.getDouble(6) == r6(d + math.sqrt((u1 - p1) * (u1 - p1) +
+      (p2 - l2) * (p2 - l2))))
+    val one = Analytics.newcombeDiffCi(
+      Seq((true, true), (true, false)).toDF("a", "s"),
+      col("a"), col("s")).collect().head
+    assert(one.isNullAt(4) && one.isNullAt(6))
+  }
+
   test("seasonalMase: a perfectly periodic series scores MASE 0 at " +
     "its season; a constant series NULLs out (zero naive MAE)") {
     import graft.ops.Analytics
