@@ -3672,6 +3672,26 @@ object SparkEntry {
     ops.Analytics.newcombeDiffCi(u, isA, col("converted"))
   }
 
+  /** TextRank keywords ([[expr.TextStats.textRank]], Mihalcea & Tarau
+    * 2004) — PageRank centrality over the ±2 co-occurrence graph, the
+    * graph alternative to frequency keyword ranking. */
+  private def qTextRank(s: SparkSession, dir: String): DataFrame =
+    graft.expr.TextStats.textRank(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+
+  /** Sparse TF-IDF all-pairs cosine over 3-gram shingles
+    * ([[ops.TextDedup.sparseCosinePairs]], Bayardo et al. 2007) — the
+    * term-space near-dup scorer next to set Jaccard (q22) and dense
+    * embedding cosine (q32). */
+  private def qSparseCosine(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = ops.Fanout.fanout(docs).select(col("doc_id"),
+        graft.expr.TextStats.shingleGen(col("text"), 3).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    ops.TextDedup.sparseCosinePairs(docs, col("doc_id"), col("text"),
+      threshold = 0.3, tf0 = Some(tf))
+  }
+
   private def qQuantileShift(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
@@ -4350,7 +4370,9 @@ object SparkEntry {
     "q277_hits" -> (qHits _),
     "q278_clustering_coef" -> (qClusteringCoef _),
     "q279_kendall_tau" -> (qKendallTau _),
-    "q280_newcombe_ci" -> (qNewcombe _))
+    "q280_newcombe_ci" -> (qNewcombe _),
+    "q281_textrank" -> (qTextRank _),
+    "q282_sparse_cosine" -> (qSparseCosine _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9224,6 +9246,54 @@ object SparkEntry {
         "round(CASE WHEN ok THEN df - sqrt((p1 - l1) * (p1 - l1) + (u2 - p2) * (u2 - p2)) END, 6) AS ci_lo, " +
         "round(CASE WHEN ok THEN df + sqrt((u1 - p1) * (u1 - p1) + (p2 - l2) * (p2 - l2)) END, 6) AS ci_hi " +
         "FROM nb2"),
+    "q281_textrank" ->
+      // +-2 co-occurrence edges (the q238 positional joins, floor 10),
+      // words -> 60-bit md5-prefix ids, the q93 two-round pagerank
+      // replay, top-20 by (rank desc, word)
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "post AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM s), " +
+        "prs AS (SELECT a.term AS center, b.term AS context FROM post a JOIN post b ON b.doc_id = a.doc_id AND b.p = a.p + 1 " +
+        "UNION ALL SELECT b.term, a.term FROM post a JOIN post b ON b.doc_id = a.doc_id AND b.p = a.p + 1 " +
+        "UNION ALL SELECT a.term, b.term FROM post a JOIN post b ON b.doc_id = a.doc_id AND b.p = a.p + 2 " +
+        "UNION ALL SELECT b.term, a.term FROM post a JOIN post b ON b.doc_id = a.doc_id AND b.p = a.p + 2), " +
+        "eg AS MATERIALIZED (SELECT center, context FROM prs GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "e AS MATERIALIZED (SELECT DISTINCT CAST(('0x' || substr(md5(center), 1, 15)) AS BIGINT) AS src, " +
+        "CAST(('0x' || substr(md5(context), 1, 15)) AS BIGINT) AS dst FROM eg), " +
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)), " +
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "an AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), " +
+        "r0 AS MATERIALIZED (SELECT id, floor(1.0 / n * 1e6 + 0.5) / 1e6 AS rank FROM an CROSS JOIN nn), " +
+        "c1 AS (SELECT e.dst AS id, sum(CAST(floor(r0.rank / deg.outdeg * 1e12 + 0.5) / 1e12 AS DECIMAL(28,14))) AS mass " +
+        "FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.id = e.src GROUP BY 1), " +
+        "r1 AS MATERIALIZED (SELECT an.id, floor((0.15 / n + 0.85 * CAST(coalesce(c1.mass, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rank " +
+        "FROM an CROSS JOIN nn LEFT JOIN c1 ON c1.id = an.id), " +
+        "c2 AS (SELECT e.dst AS id, sum(CAST(floor(r1.rank / deg.outdeg * 1e12 + 0.5) / 1e12 AS DECIMAL(28,14))) AS mass " +
+        "FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.id = e.src GROUP BY 1), " +
+        "r2 AS (SELECT an.id, floor((0.15 / n + 0.85 * CAST(coalesce(c2.mass, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rank " +
+        "FROM an CROSS JOIN nn LEFT JOIN c2 ON c2.id = an.id), " +
+        "wd AS (SELECT DISTINCT center AS word, CAST(('0x' || substr(md5(center), 1, 15)) AS BIGINT) AS id FROM eg) " +
+        "SELECT wd.word, r2.rank FROM r2 JOIN wd ON wd.id = r2.id " +
+        "ORDER BY r2.rank DESC, wd.word LIMIT 20"),
+    "q282_sparse_cosine" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // 3-gram tf-idf over the df-banded [2, 50] term space; snapped
+      // dots/norms; 4-dp-rounded cosine thresholded at 0.3
+      "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(t) - 2)) AS su(i)), " +
+        "tfx AS MATERIALIZED (SELECT doc_id, g, count(*) AS tf FROM sh GROUP BY 1, 2), " +
+        "dfx AS (SELECT g, count(*) AS df FROM tfx GROUP BY 1), " +
+        "ndx AS (SELECT count(DISTINCT doc_id) AS nd FROM tfx), " +
+        "w AS MATERIALIZED (SELECT tfx.doc_id, tfx.g, CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) AS w " +
+        "FROM tfx JOIN dfx USING (g) CROSS JOIN ndx WHERE df >= 2 AND df <= 50), " +
+        s"nrm AS MATERIALIZED (SELECT doc_id, ${snap("w * w")} AS n2 FROM w GROUP BY 1), " +
+        s"dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, ${snap("a.w * b.w")} AS dot " +
+        "FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT * FROM (SELECT doc_a, doc_b, round(dot / sqrt(x.n2 * y.n2), 4) AS cos " +
+        "FROM dots JOIN nrm x ON x.doc_id = doc_a JOIN nrm y ON y.doc_id = doc_b) " +
+        "WHERE cos >= 0.3"
+    },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

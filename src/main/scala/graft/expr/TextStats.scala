@@ -355,6 +355,43 @@ object TextStats {
       .filter(col("n_cooc") >= minCount)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    * over the word co-occurrence graph: a term matters when it
+    * co-occurs with terms that matter, the graph-centrality
+    * alternative to frequency/tf-idf keyword ranking (a term can be
+    * rare yet central). Edges are the ±`window` co-occurrence pairs
+    * ([[skipgramCounts]], both directions, floored at `minCount` to
+    * drop noise edges); ranks run [[graft.ops.Graph.pagerank]]'s
+    * unrolled snapped trajectory for `iters` rounds. Words map to
+    * node ids by a 60-bit md5 prefix (deterministic, engine-portable;
+    * a collision needs a 60-bit digest-prefix match — the q21 hashed-
+    * shingling regime). Returns the top-`topK` keywords by rank
+    * (ties word-ascending): (word, rank).
+    *
+    * Scale shape: one corpus pass to the co-occurrence grid
+    * (vocabulary²-bounded after the floor), pagerank's node-keyed
+    * joins over the vocab-sized graph, top-k via orderBy.limit. */
+  def textRank(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, window: Int = 2, minCount: Long = 10L,
+      iters: Int = 2, topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, conv, md5,
+      substring}
+    require(topK >= 1, s"textRank: topK=$topK")
+    def wid(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val edges0 = skipgramCounts(docs, id, text, window, minCount)
+      .localCheckpoint(true) // consumers: edges + the word-id map
+    val ranks = graft.ops.Graph.pagerank(
+      edges0.select(wid(col("center")).as("src"),
+        wid(col("context")).as("dst")), "src", "dst", iters)
+    val words = edges0.select(col("center").as("word")).distinct()
+      .select(col("word"), wid(col("word")).as("id"))
+    ranks.join(broadcast(words), "id")
+      .select(col("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Exact phrase search over a POSITIONAL index — the retrieval
     * operator the bag-of-words stack (TF-IDF/BM25/QL) structurally
     * cannot express: "table hash" as adjacent tokens, not co-occurring

@@ -360,6 +360,46 @@ test("startAdmissionSink: batching is invisible (1-batch union ≡ " +
     }
   }
 
+  test("textRank: the hub of a co-occurrence star outranks the " +
+    "spokes; a symmetric pair ranks equal") {
+    val docs = Seq((0L, "hub x"), (1L, "hub y"), (2L, "hub z"))
+      .toDF("doc_id", "text")
+    val r = TextStats.textRank(docs, col("doc_id"), col("text"),
+      window = 1, minCount = 1L, iters = 2, topK = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hub") > r("x"))
+    assert(r("x") == r("y") && r("y") == r("z"))
+    val pair = TextStats.textRank(Seq((0L, "a b a b"))
+      .toDF("doc_id", "text"), col("doc_id"), col("text"),
+      window = 1, minCount = 1L, iters = 2, topK = 10)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(pair("a") == pair("b"))
+  }
+
+  test("sparseCosinePairs: hand tf-idf cosine on the shared-term " +
+    "pair; disjoint docs pair nothing; the df band excludes terms " +
+    "from the SIMILARITY definition, not just the join") {
+    val docs = Seq((1L, "p q r"), (2L, "p q s"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.sparseCosinePairs(docs, col("doc_id"),
+      col("text"), threshold = 0.1, dfMin = 1L, dfCap = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    // N = 3; p/q: idf ln(1.5), r/s/z: ln(3); snapped norms/dot
+    def sn(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e9 + 0.5)).sum / 1e9
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val wpq = math.log(3.0 / 2.0); val w1 = math.log(3.0)
+    val dot = sn(Seq(wpq * wpq, wpq * wpq))
+    val n1 = sn(Seq(wpq * wpq, wpq * wpq, w1 * w1))
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == r4(dot / math.sqrt(n1 * n1)))
+    // dfCap = 1 drops the shared p/q: no candidate pair survives
+    assert(TextDedup.sparseCosinePairs(docs, col("doc_id"),
+      col("text"), threshold = 0.01, dfMin = 1L, dfCap = 1L)
+      .count() == 0L)
+  }
+
   test("winnowFingerprints: the coverage guarantee (a shared run of " +
     "w+k-1 chars shares a fingerprint), rightmost min ties, short-doc " +
     "emptiness; winnowNearDup df-cap drops boilerplate hashes") {
