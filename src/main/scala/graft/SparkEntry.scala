@@ -3624,6 +3624,21 @@ object SparkEntry {
   private def qChangepoint(s: SparkSession, dir: String): DataFrame =
     ops.Analytics.changepoint(dailySeries(s, dir), col("p"), col("y"))
 
+  /** Pettitt rank-based changepoint over daily event volume
+    * ([[ops.Analytics.pettitt]], Pettitt 1979) — the outlier-robust
+    * sibling of q276's mean-based CUSUM binseg: one wild day can drag
+    * a mean split; ranks don't move. */
+  private def qPettitt(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.pettitt(dailySeries(s, dir), col("p"), col("y"))
+
+  /** Jarque–Bera normality monitor per event type over values
+    * ([[ops.Analytics.jarqueBera]], Jarque & Bera 1980) — the
+    * bell-shapedness gate the downstream t-statistics assume, with
+    * the EXACT χ²(2) closed-form p = e^(−JB/2). */
+  private def qJarqueBera(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.jarqueBera(t(s, dir, "events"), col("event_type"),
+      col("value")).withColumnRenamed("grp", "event_type")
+
   /** HITS hubs & authorities over the DIRECTED part→supplier graph
     * ([[ops.Graph.hits]], Kleinberg 1999), two unrolled normalized
     * rounds — the prestige PAIR q93's single PageRank score conflates. */
@@ -3697,6 +3712,32 @@ object SparkEntry {
     val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
       16, 10).cast("long"), lit(100L)) < 50
     ops.Analytics.quantileShift(ev.filter(arm), ev.filter(!arm),
+      col("event_type"), col("value"))
+      .withColumnRenamed("grp", "event_type")
+  }
+
+  /** Two-sample Cramér–von Mises drift over per-type value
+    * distributions between the md5 hash arms
+    * ([[ops.Analytics.cvmDrift]], Anderson 1962) — the INTEGRATED
+    * ECDF discrepancy next to q180's max-distance KS D. */
+  private def qCvmDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.cvmDrift(ev.filter(arm), ev.filter(!arm),
+      col("event_type"), col("value"))
+      .withColumnRenamed("grp", "event_type")
+  }
+
+  /** Exact 1-D Wasserstein-1 distance between the hash arms' per-type
+    * value distributions ([[ops.Analytics.wassersteinDrift]], Ramdas
+    * et al. 2017) — drift MAGNITUDE in value units, next to q175's
+    * banded PSI and q180's unitless D. */
+  private def qWasserstein(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val arm = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.wassersteinDrift(ev.filter(arm), ev.filter(!arm),
       col("event_type"), col("value"))
       .withColumnRenamed("grp", "event_type")
   }
@@ -4372,7 +4413,11 @@ object SparkEntry {
     "q279_kendall_tau" -> (qKendallTau _),
     "q280_newcombe_ci" -> (qNewcombe _),
     "q281_textrank" -> (qTextRank _),
-    "q282_sparse_cosine" -> (qSparseCosine _))
+    "q282_sparse_cosine" -> (qSparseCosine _),
+    "q283_cvm_drift" -> (qCvmDrift _),
+    "q284_wasserstein" -> (qWasserstein _),
+    "q285_pettitt" -> (qPettitt _),
+    "q286_jarque_bera" -> (qJarqueBera _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9293,6 +9338,101 @@ object SparkEntry {
         "SELECT * FROM (SELECT doc_a, doc_b, round(dot / sqrt(x.n2 * y.n2), 4) AS cos " +
         "FROM dots JOIN nrm x ON x.doc_id = doc_a JOIN nrm y ON y.doc_id = doc_b) " +
         "WHERE cos >= 0.3"
+    },
+    "q283_cvm_drift" ->
+      // pooled distinct-value grid per type; T = nm/N² · Σ w·diff²
+      // with diff² snapped at 1e9 times the EXACT integer multiplicity
+      // (DECIMAL(18)×DECIMAL(18) product — both engines' width rule)
+      ("WITH b0 AS (SELECT event_type AS grp, value AS x, " +
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 " +
+        "THEN 'e' ELSE 'a' END AS half FROM events), " +
+        "cnt AS (SELECT grp, x, CAST(sum(CASE WHEN half = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS ce, " +
+        "CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca FROM b0 GROUP BY 1, 2), " +
+        "tt AS (SELECT grp, CAST(sum(ce) AS BIGINT) AS te, CAST(sum(ca) AS BIGINT) AS ta FROM cnt GROUP BY 1), " +
+        "cum AS (SELECT grp, ce, ca, CAST(sum(ce) OVER (PARTITION BY grp ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cce, " +
+        "CAST(sum(ca) OVER (PARTITION BY grp ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cca FROM cnt), " +
+        "dt AS (SELECT cum.grp, ce, ca, te, ta, " +
+        "CAST(cce AS DOUBLE) / CAST(te AS DOUBLE) - CAST(cca AS DOUBLE) / CAST(ta AS DOUBLE) AS d " +
+        "FROM cum JOIN tt USING (grp)), " +
+        "tm AS (SELECT grp, te, ta, CASE WHEN te > 0 AND ta > 0 THEN " +
+        "CAST(ce + ca AS DECIMAL(18,0)) * CAST(floor(d * d * 1000000000 + 0.5) AS DECIMAL(18,0)) END AS term FROM dt), " +
+        "ag AS (SELECT grp, max(te) AS n_expected, max(ta) AS n_actual, sum(term) AS s FROM tm GROUP BY 1), " +
+        "fin AS (SELECT grp, n_expected, n_actual, " +
+        "CASE WHEN n_expected > 0 AND n_actual > 0 THEN " +
+        "CAST(n_expected AS DOUBLE) * CAST(n_actual AS DOUBLE) / " +
+        "((CAST(n_expected AS DOUBLE) + CAST(n_actual AS DOUBLE)) * (CAST(n_expected AS DOUBLE) + CAST(n_actual AS DOUBLE))) * " +
+        "(CAST(s AS DOUBLE) / 1000000000) END AS t FROM ag) " +
+        "SELECT grp AS event_type, n_expected, n_actual, round(t, 6) AS t, " +
+        "CASE WHEN t IS NOT NULL THEN round(t, 6) > CAST(0.461 AS DOUBLE) END AS reject FROM fin"),
+    "q284_wasserstein" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // W1 = Σ_grid |Fe−Fa|·(next_x − x); the last grid point's lead
+      // is NULL (both CDFs are 1 past it) and coalesces to 0
+      "WITH b0 AS (SELECT event_type AS grp, value AS x, " +
+        "CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 " +
+        "THEN 'e' ELSE 'a' END AS half FROM events), " +
+        "cnt AS (SELECT grp, x, CAST(sum(CASE WHEN half = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS ce, " +
+        "CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca FROM b0 GROUP BY 1, 2), " +
+        "tt AS (SELECT grp, CAST(sum(ce) AS BIGINT) AS te, CAST(sum(ca) AS BIGINT) AS ta FROM cnt GROUP BY 1), " +
+        "cum AS (SELECT grp, x, CAST(sum(ce) OVER (PARTITION BY grp ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cce, " +
+        "CAST(sum(ca) OVER (PARTITION BY grp ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cca, " +
+        "lead(x, 1) OVER (PARTITION BY grp ORDER BY x) AS nx FROM cnt), " +
+        "tm AS (SELECT cum.grp, te, ta, CASE WHEN te > 0 AND ta > 0 THEN " +
+        "coalesce(abs(CAST(cce AS DOUBLE) / CAST(te AS DOUBLE) - CAST(cca AS DOUBLE) / CAST(ta AS DOUBLE)) * (nx - x), CAST(0 AS DOUBLE)) END AS term " +
+        "FROM cum JOIN tt USING (grp)) " +
+        s"SELECT grp AS event_type, max(te) AS n_expected, max(ta) AS n_actual, " +
+        s"round(${snap("term")}, 6) AS w1 FROM tm GROUP BY 1"
+    },
+    "q285_pettitt" ->
+      // exact integer U_t via average ranks (2r̄ = 2·#smaller + #equal
+      // + 1); K = max|U_t|, argmax as a packed struct max (ties to the
+      // earliest day); p = min(1, 2e^(−6K²/(n³+n²)))
+      ("WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "pc AS (SELECT y, count(*) AS c FROM sdy GROUP BY 1), " +
+        "ps AS (SELECT y, 2 * coalesce(CAST(sum(c) OVER (ORDER BY y " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + c + 1 AS s2r FROM pc), " +
+        "pt AS (SELECT count(*) AS n FROM sdy), " +
+        "pu AS (SELECT sdy.p, CAST(sum(s2r - (n + 1)) OVER (ORDER BY sdy.p " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS u, " +
+        "row_number() OVER (ORDER BY sdy.p) AS i, n " +
+        "FROM sdy JOIN ps USING (y) CROSS JOIN pt), " +
+        "pv AS (SELECT n, p, abs(u) AS k FROM pu WHERE i < n), " +
+        "pw AS (SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS n0, " +
+        "max(struct_pack(k := k, np := -p, sp := p)) AS best FROM pv) " +
+        "SELECT n0 AS n_periods, " +
+        "CASE WHEN n0 >= 2 THEN best.sp END AS split_period, " +
+        "CASE WHEN n0 >= 2 THEN best.k END AS k_stat, " +
+        "round(CASE WHEN n0 >= 2 THEN least(CAST(1 AS DOUBLE), " +
+        "2 * exp(-6 * CAST(best.k AS DOUBLE) * CAST(best.k AS DOUBLE) / " +
+        "(CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE) + " +
+        "CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)))) END, 6) AS p_value FROM pw"),
+    "q286_jarque_bera" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // two passes: snapped Σy/Σy² → (μ, population σ) scalars, then
+      // snapped Σz³/Σz⁴ (z·z·z association mirrored); p = e^(−JB/2)
+      // is the EXACT χ²(2) survival
+      "WITH b0 AS (SELECT event_type AS grp, value AS y FROM events), " +
+        s"st AS MATERIALIZED (SELECT grp, count(*) AS n, ${snap("y")} AS sy, ${snap("y * y")} AS syy FROM b0 GROUP BY 1), " +
+        "su AS (SELECT grp, n, sy / CAST(n AS DOUBLE) AS mu, " +
+        "sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd FROM st), " +
+        "zs AS (SELECT b0.grp, n, sd, CASE WHEN sd > CAST(0 AS DOUBLE) THEN (y - mu) / sd END AS z " +
+        "FROM b0 JOIN su USING (grp)), " +
+        s"m AS (SELECT grp, max(n) AS n, max(sd) AS sd, ${snap("z * z * z")} AS s3, ${snap("z * z * z * z")} AS s4 FROM zs GROUP BY 1), " +
+        "f AS (SELECT grp, n, sd, s3 / CAST(n AS DOUBLE) AS skew, s4 / CAST(n AS DOUBLE) AS kurt FROM m), " +
+        "g AS (SELECT *, CAST(n AS DOUBLE) / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4) AS jb FROM f), " +
+        "h AS (SELECT *, exp(-jb / 2) AS pv, n >= 2 AND sd > CAST(0 AS DOUBLE) AS ok FROM g) " +
+        "SELECT grp AS event_type, n, " +
+        "round(CASE WHEN ok THEN skew END, 6) AS skew, " +
+        "round(CASE WHEN ok THEN kurt - 3 END, 6) AS kurt_excess, " +
+        "round(CASE WHEN ok THEN jb END, 6) AS jb, " +
+        "round(CASE WHEN ok THEN pv END, 6) AS p_value, " +
+        "CASE WHEN ok THEN round(pv, 6) < CAST(0.05 AS DOUBLE) END AS reject FROM h"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

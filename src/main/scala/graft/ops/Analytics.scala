@@ -1884,5 +1884,221 @@ object Analytics {
       round(when(ok, exp(least(lit(0.0), -lnLam))), 6)
         .as("p_always_valid"))
   }
+
+  /** Two-sample Cramér–von Mises drift statistic per group (Anderson
+    * 1962, "On the distribution of the two-sample Cramér–von Mises
+    * criterion") — the INTEGRATED ECDF discrepancy next to
+    * [[ksDrift]]'s max-distance D: T = (n·m/N²)·Σ_pooled (F−G)², the
+    * sum over every pooled observation (with multiplicity). A
+    * distribution whose CDFs differ a little everywhere (which KS's
+    * single max under-reads) and one that spikes once score the same D
+    * but very different T. `reject` flags T above the asymptotic
+    * α=0.05 critical value 0.461 (Anderson's limiting ω² law).
+    *
+    * Exactness: the ECDFs evaluate on the pooled distinct-value grid
+    * (both are flat between grid points, so the pooled sum is
+    * Σ_grid (ce+ca)·diff² exactly); each diff is a ratio of exact
+    * integers (IEEE-identical in any engine), diff² snaps to 1e9 and
+    * multiplies the integer multiplicity as DECIMAL — an
+    * order-independent exact-integer accumulation whose terms stay
+    * exact at 100 TB counts (w·1e9·diff² ≤ 1e21 « 10³⁸), where a
+    * double-snap of w·diff² would overflow the 2⁶³ floor domain.
+    *
+    * Scale shape: identical to [[ksDrift]] — ONE map-side-combined
+    * corpus pass to the (grp × value-grid) count table, a
+    * grp-PARTITIONED running window over the grid, one grid-sized
+    * rollup. Groups present on one side only → NULL t (undefined).
+    * Returns (grp, n_expected, n_actual, t, reject), 6 dp. */
+  def cvmDrift(expected: DataFrame, actual: DataFrame, grp: Column,
+      x: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val all = expected.select(grp.as("grp"), x.cast("double").as("x"),
+        lit("e").as("half"))
+      .unionByName(actual.select(grp.as("grp"), x.cast("double").as("x"),
+        lit("a").as("half")))
+    val cnt = materialize(all.groupBy(col("grp"), col("x"))
+      .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca")))
+    val tot = cnt.groupBy(col("grp"))
+      .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val diff = col("cce").cast("double") / col("te").cast("double") -
+      col("cca").cast("double") / col("ta").cast("double")
+    // both factors as DECIMAL(18,0): the product rule needs p1+p2(+1)
+    // ≤ 38 in both engines; w ≤ 1e12 rows and snapped diff² ≤ 1e9 both
+    // fit 18 digits, the product ≤ 1e21 fits the 37-digit result
+    val term = (col("ce") + col("ca")).cast("decimal(18,0)") *
+      floor(diff * diff * lit(1e9) + lit(0.5)).cast("decimal(18,0)")
+    val teD = col("te").cast("double"); val taD = col("ta").cast("double")
+    val t = when(col("te") > 0L && col("ta") > 0L,
+      teD * taD / ((teD + taD) * (teD + taD)) *
+        (col("s").cast("double") / lit(1e9)))
+    cnt.select(col("grp"), col("ce"), col("ca"),
+        sum(col("ce")).over(w).as("cce"), sum(col("ca")).over(w).as("cca"))
+      .join(broadcast(tot), "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("te")).as("te"), max(col("ta")).as("ta"),
+        sum(when(col("te") > 0L && col("ta") > 0L, term)).as("s"))
+      .select(col("grp"), col("te").as("n_expected"),
+        col("ta").as("n_actual"), round(t, 6).as("t"),
+        when(t.isNotNull, round(t, 6) > lit(0.461)).as("reject"))
+  }
+
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance per group between
+    * the `expected` and `actual` distributions of `x` (Ramdas,
+    * García Trillos & Cuturi 2017, "On Wasserstein two-sample
+    * testing") — the drift MAGNITUDE in the units of x itself:
+    * W₁ = ∫|F−G| dx, the minimum mass·distance to morph one
+    * distribution into the other. PSI and KS are unitless and
+    * bin/shape-sensitive; W₁ = 0.8 means "the mass moved 0.8 value
+    * units on average", directly comparable across snapshots.
+    *
+    * Exactness: empirical CDFs are step functions flat between pooled
+    * distinct values, so the integral is EXACTLY
+    * Σ_grid |F(x_i)−G(x_i)|·(x_{i+1}−x_i) — no binning, no estimator.
+    * Each |diff| is a ratio of exact integers, each gap a difference
+    * of the raw doubles (both IEEE-identical cross-engine); terms snap
+    * to 1e9 and sum as decimals (order-free).
+    *
+    * Scale shape: identical to [[ksDrift]] — one corpus pass to the
+    * (grp × value-grid) count table, then a grp-partitioned
+    * cumulative + lead window over the grid. One-sided groups → NULL.
+    * Returns (grp, n_expected, n_actual, w1), 6 dp. */
+  def wassersteinDrift(expected: DataFrame, actual: DataFrame,
+      grp: Column, x: Column,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    val all = expected.select(grp.as("grp"), x.cast("double").as("x"),
+        lit("e").as("half"))
+      .unionByName(actual.select(grp.as("grp"), x.cast("double").as("x"),
+        lit("a").as("half")))
+    val cnt = materialize(all.groupBy(col("grp"), col("x"))
+      .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca")))
+    val tot = cnt.groupBy(col("grp"))
+      .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLead = Window.partitionBy(col("grp")).orderBy(col("x"))
+    val diff = abs(col("cce").cast("double") / col("te").cast("double") -
+      col("cca").cast("double") / col("ta").cast("double"))
+    // the gap past the last grid point is where both CDFs are 1 — the
+    // integrand is 0 there; lead() NULL drops it from the snapped sum
+    val term = diff * (lead(col("x"), 1).over(wLead) - col("x"))
+    cnt.select(col("grp"), col("x"),
+        sum(col("ce")).over(wCum).as("cce"),
+        sum(col("ca")).over(wCum).as("cca"))
+      .join(broadcast(tot), "grp")
+      .select(col("grp"), col("te"), col("ta"),
+        when(col("te") > 0L && col("ta") > 0L,
+          coalesce(term, lit(0.0))).as("term"))
+      .groupBy(col("grp"))
+      .agg(max(col("te")).as("n_expected"), max(col("ta")).as("n_actual"),
+        round(Snap.snappedSum(col("term"), 1e9), 6).as("w1"))
+  }
+
+  /** Pettitt rank-based changepoint test (Pettitt 1979, "A
+    * non-parametric approach to the change-point problem") — the
+    * ROBUST sibling of [[changepoint]]'s CUSUM binseg: a single
+    * outlier day drags a mean-based split toward itself, while
+    * Pettitt's Mann–Whitney-flavored statistic only sees ranks.
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(y_i − y_j), computed EXACTLY in
+    * integers via average ranks: Σ_j sgn(y_i − y_j) = 2r̄_i − (n+1)
+    * with 2r̄_i = 2·(#smaller) + (#equal) + 1, and the within-prefix
+    * part cancels by antisymmetry, so U_t is a running integer sum.
+    * K = max_t |U_t| (t < n), p ≈ 2·exp(−6K²/(n³+n²)) capped at 1.
+    * Ties break to the earliest period (packed struct max — the
+    * [[changepoint]] argmax convention). n < 2 → NULL verdict.
+    *
+    * Scale shape: the input is the |periods|-row series; the rank
+    * table is value-grid-bounded, both windows run on the
+    * calendar-bounded grid (whitelisted with that bound), everything
+    * integer until the final p. Returns one row: (n_periods,
+    * split_period, k_stat, p_value). */
+  def pettitt(series: DataFrame, period: Column, y: Column): DataFrame = {
+    val base = series.select(period.cast("long").as("p"),
+      y.cast("double").as("y"))
+    val cnt = base.groupBy(col("y")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s2r = cnt.select(col("y"),
+      (lit(2L) * coalesce(sum(col("c")).over(wv), lit(0L)) +
+        col("c") + lit(1L)).as("s2r"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val wp = Window.orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cand = base.join(s2r, "y").crossJoin(broadcast(tot))
+      .withColumn("u", sum(col("s2r") - (col("n") + lit(1L))).over(wp))
+      .withColumn("i", row_number().over(Window.orderBy(col("p"))))
+      .filter(col("i") < col("n"))
+      .select(col("n"), struct(abs(col("u")).as("k"),
+        (-col("p")).as("np"), col("p").as("sp")).as("cand"))
+    val nD = col("n").cast("double")
+    val kD = col("best").getField("k").cast("double")
+    val p = least(lit(1.0), lit(2.0) *
+      exp(lit(-6.0) * kD * kD / (nD * nD * nD + nD * nD)))
+    val ok = col("n") >= 2L && col("best").isNotNull
+    cand.agg(coalesce(max(col("n")), lit(0L)).as("n"),
+        max(col("cand")).as("best"))
+      .select(col("n").as("n_periods"),
+        when(ok, col("best").getField("sp")).as("split_period"),
+        when(ok, col("best").getField("k")).as("k_stat"),
+        round(when(ok, p), 6).as("p_value"))
+  }
+
+  /** Jarque–Bera normality monitor per group (Jarque & Bera 1980):
+    * JB = n/6·(S² + (K−3)²/4) from the standardized third and fourth
+    * moments — the "is this metric still bell-shaped" gate whose
+    * χ²(2) null has the EXACT closed-form survival p = e^(−JB/2)
+    * (no approximation anywhere). A t-test downstream assumes what
+    * this monitors.
+    *
+    * Exactness: two passes. Pass 1 snaps Σy/Σy² at 1e9 per group →
+    * μ and the population σ are IEEE-identical in any engine; pass 2
+    * standardizes each row with those scalars and snaps Σz³/Σz⁴
+    * (written z·z·z and z·z·z·z — one association, mirrored
+    * token-for-token in the oracle). σ = 0 or n < 2 → NULL
+    * (NULL-for-undefined, never a fake "normal").
+    *
+    * Scale shape: two map-side-combined corpus passes (the scan is
+    * column-pruned to (grp, y) both times), a |groups|-row broadcast
+    * between them; no window, no corpus shuffle beyond the two
+    * group-keyed aggregations. Returns (grp, n, skew, kurt_excess,
+    * jb, p_value, reject), 6 dp. */
+  def jarqueBera(df: DataFrame, grp: Column, y: Column): DataFrame = {
+    import graft.expr.Snap
+    val b = df.select(grp.as("grp"), y.cast("double").as("y"))
+    val nD = col("n").cast("double")
+    val st = b.groupBy(col("grp")).agg(count(lit(1)).as("n"),
+        Snap.snappedSum(col("y"), 1e9).as("sy"),
+        Snap.snappedSum(col("y") * col("y"), 1e9).as("syy"))
+      .select(col("grp"), col("n"),
+        (col("sy") / nD).as("mu"),
+        sqrt((col("syy") - col("sy") * col("sy") / nD) / nD).as("sd"))
+    val z = (col("y") - col("mu")) / col("sd")
+    val m = b.join(broadcast(st), "grp")
+      .select(col("grp"), col("n"), col("sd"),
+        when(col("sd") > 0.0, z).as("z"))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), max(col("sd")).as("sd"),
+        Snap.snappedSum(col("z") * col("z") * col("z"), 1e9).as("s3"),
+        Snap.snappedSum(col("z") * col("z") * col("z") * col("z"), 1e9)
+          .as("s4"))
+    val skew = col("s3") / nD
+    val kurt = col("s4") / nD
+    val jb = nD / lit(6.0) *
+      (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    val pv = exp(-jb / lit(2.0))
+    val ok = col("n") >= 2L && col("sd") > 0.0
+    m.select(col("grp"), col("n"),
+      round(when(ok, skew), 6).as("skew"),
+      round(when(ok, kurt - lit(3.0)), 6).as("kurt_excess"),
+      round(when(ok, jb), 6).as("jb"),
+      round(when(ok, pv), 6).as("p_value"),
+      when(ok, round(pv, 6) < lit(0.05)).as("reject"))
+  }
 }
 

@@ -301,6 +301,49 @@ class QualitySpec extends SparkSpec {
     assert(oneSided("g").getDouble(3) == 0.0) // identical halves stay 0
   }
 
+  test("cvmDrift: hand pooled-ECDF case T=0.34375 on half-shifted " +
+    "supports; identical halves 0; one-sided NULL; partition-invariant") {
+    import graft.ops.Analytics
+    val e = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("g", "x")
+    val a = Seq(("g", 3.0), ("g", 4.0), ("g", 5.0), ("g", 6.0)).toDF("g", "x")
+    val r = Analytics.cvmDrift(e, a, col("g"), col("x")).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    // diffs .25,.5,.5,.5,.25,0 with multiplicities 1,1,2,2,1,1:
+    // Σ w·d² = 1.375; T = (4·4/64)·1.375 = 0.34375 — under the 0.461
+    // α=.05 critical, so reject=false
+    assert(r.getDouble(3) == 0.34375 && !r.getBoolean(4))
+    val same = Analytics.cvmDrift(e, e.repartition(3), col("g"), col("x"))
+      .collect()(0)
+    assert(same.getDouble(3) == 0.0 && !same.getBoolean(4))
+    val r7 = Analytics.cvmDrift(e.repartition(7), a.repartition(2),
+      col("g"), col("x")).collect()(0)
+    assert(r7.toString == r.toString)
+    val oneSided = Analytics.cvmDrift(e,
+        e.unionByName(Seq(("h", 1.0)).toDF("g", "x")), col("g"), col("x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(oneSided("h").isNullAt(3) && oneSided("h").isNullAt(4))
+  }
+
+  test("wassersteinDrift: a constant shift of c has W1 exactly c; " +
+    "identical halves 0; one-sided NULL; partition-invariant") {
+    import graft.ops.Analytics
+    val e = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("g", "x")
+    val a = Seq(("g", 3.0), ("g", 4.0), ("g", 5.0), ("g", 6.0)).toDF("g", "x")
+    val r = Analytics.wassersteinDrift(e, a, col("g"), col("x")).collect()(0)
+    // |CDF diffs| .25,.5,.5,.5,.25 on unit gaps → 2.0 = the shift
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L && r.getDouble(3) == 2.0)
+    val same = Analytics.wassersteinDrift(e, e.repartition(3), col("g"),
+      col("x")).collect()(0)
+    assert(same.getDouble(3) == 0.0)
+    val r7 = Analytics.wassersteinDrift(e.repartition(7), a.repartition(2),
+      col("g"), col("x")).collect()(0)
+    assert(r7.toString == r.toString)
+    val oneSided = Analytics.wassersteinDrift(e,
+        e.unionByName(Seq(("h", 1.0)).toDF("g", "x")), col("g"), col("x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(oneSided("h").isNullAt(3))
+  }
+
   test("startPsiDriftSink: each epoch's report ≡ batch psiDrift of " +
     "(reference, that batch); empty batches skipped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

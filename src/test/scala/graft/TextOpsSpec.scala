@@ -1406,6 +1406,52 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(1))
   }
 
+  test("pettitt: exact integer U trajectory finds a clean shift; " +
+    "constant series K=0 p=1 splitting at the earliest day; n<2 NULL") {
+    import graft.ops.Analytics
+    // distinct values 1,2,3,10,11,12 -> 2r̄ = 2,4,6,8,10,12;
+    // U = -5,-8,-9,-8,-5 -> K = 9 at t = 3
+    val u = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 10.0), (5L, 11.0),
+      (6L, 12.0)).toDF("p", "y")
+    val r = Analytics.pettitt(u, col("p"), col("y")).collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 9L)
+    assert(r.getDouble(3) ==
+      r6(math.min(1.0, 2.0 * math.exp(-6.0 * 81.0 / (216.0 + 36.0)))))
+    // all-tied series: every 2r̄ = n+1, U ≡ 0, K = 0, p capped at 1,
+    // argmax ties resolve to the earliest period
+    val const = Analytics.pettitt(
+      (1 to 6).map(d => (d.toLong, 2.0)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(const.getLong(1) == 1L && const.getLong(2) == 0L &&
+      const.getDouble(3) == 1.0)
+    val one = Analytics.pettitt(Seq((1L, 5.0)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(one.isNullAt(1) && one.isNullAt(2) && one.isNullAt(3))
+  }
+
+  test("jarqueBera: symmetric two-point mass has skew 0, kurtosis 1, " +
+    "JB = n/6, p = e^(-n/12); constant group NULL; partition-invariant") {
+    import graft.ops.Analytics
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val g = (1 to 4).flatMap(_ => Seq(("g", -1.0), ("g", 1.0))) :+
+      (("c", 7.0)) :+ (("c", 7.0))
+    val df = g.toDF("grp", "y")
+    val r = Analytics.jarqueBera(df, col("grp"), col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // g: μ=0, σ=1, z=±1 -> skew 0, kurt 1 (excess -2), JB = 8/6
+    assert(r("g").getLong(1) == 8L && r("g").getDouble(2) == 0.0)
+    assert(r("g").getDouble(3) == -2.0)
+    assert(r("g").getDouble(4) == r6(8.0 / 6.0))
+    assert(r("g").getDouble(5) == r6(math.exp(-8.0 / 12.0)))
+    assert(!r("g").getBoolean(6))
+    // constant group: σ = 0 -> NULL-for-undefined, never "normal"
+    assert(r("c").isNullAt(2) && r("c").isNullAt(4) && r("c").isNullAt(6))
+    val r7 = Analytics.jarqueBera(df.repartition(7), col("grp"), col("y"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r7("g").toString == r("g").toString)
+  }
+
   test("dataConstrainedForecast: repeats decay per the fitted form; " +
     "budget below unique tokens is fully effective (capped at alloc)") {
     import graft.ops.Sampling

@@ -100,6 +100,8 @@ object WindowContractSpec {
       "observation window, data-independent)"),
     "q276_changepoint" -> ("calendar-bounded daily-series grid (the " +
       "observation window, data-independent)"),
+    "q285_pettitt" -> ("calendar-bounded daily-series grid (the rank " +
+      "table is its value grid — both data-independent in length)"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
