@@ -3624,6 +3624,24 @@ object SparkEntry {
   private def qChangepoint(s: SparkSession, dir: String): DataFrame =
     ops.Analytics.changepoint(dailySeries(s, dir), col("p"), col("y"))
 
+  /** Split conformal prediction over per-type values
+    * ([[ops.Quality.splitConformal]], Papadopoulos et al. 2002; Vovk
+    * et al. 2005): md5 3-way split, group-mean predictor, the
+    * finite-sample ⌈(n+1)(1−α)⌉ calibration quantile, held-out
+    * coverage — the distribution-free error bar. */
+  private def qConformal(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.splitConformal(t(s, dir, "events"), col("event_type"),
+      col("value"), col("event_id"))
+      .withColumnRenamed("grp", "event_type")
+
+  /** Isotonic calibration of the q169 NB confidence
+    * ([[ops.Quality.isotonicCalibration]], Ayer et al. 1955; Zadrozny
+    * & Elkan 2002) via PAV's closed-form minimax — the monotone
+    * REPAIR next to q169's diagnosis and q230's parametric scaling. */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.isotonicCalibration(nbConfidence(s, dir), col("conf"),
+      col("pred_lab") === col("lang"), 10)
+
   /** Pettitt rank-based changepoint over daily event volume
     * ([[ops.Analytics.pettitt]], Pettitt 1979) — the outlier-robust
     * sibling of q276's mean-based CUSUM binseg: one wild day can drag
@@ -4417,7 +4435,9 @@ object SparkEntry {
     "q283_cvm_drift" -> (qCvmDrift _),
     "q284_wasserstein" -> (qWasserstein _),
     "q285_pettitt" -> (qPettitt _),
-    "q286_jarque_bera" -> (qJarqueBera _))
+    "q286_jarque_bera" -> (qJarqueBera _),
+    "q287_conformal" -> (qConformal _),
+    "q288_isotonic" -> (qIsotonic _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9433,6 +9453,73 @@ object SparkEntry {
         "round(CASE WHEN ok THEN jb END, 6) AS jb, " +
         "round(CASE WHEN ok THEN pv END, 6) AS p_value, " +
         "CASE WHEN ok THEN round(pv, 6) < CAST(0.05 AS DOUBLE) END AS reject FROM h"
+    },
+    "q287_conformal" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // md5 3-way split; ŷ = snapped train mean; residuals 6-dp-rounded
+      // BEFORE ranking; q̂ = value at exact cum-count rank
+      // ⌈(n_cal+1)(1−α)⌉ (the 1−α multiplier COMPUTED as 1−0.1 so the
+      // IEEE product matches Spark's bit-for-bit); cal-starved groups
+      // → q̂ NULL, coverage 1
+      "WITH cb AS (SELECT event_type AS grp, value AS y, " +
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3 AS role FROM events), " +
+        s"ft AS MATERIALIZED (SELECT grp, count(*) AS n_train, ${snap("y")} / CAST(count(*) AS DOUBLE) AS yhat " +
+        "FROM cb WHERE role = 0 GROUP BY 1), " +
+        "rs AS MATERIALIZED (SELECT cb.grp, role, n_train, round(abs(y - yhat), 6) AS r " +
+        "FROM cb JOIN ft USING (grp) WHERE role > 0), " +
+        "cg AS (SELECT grp, r, count(*) AS c FROM rs WHERE role = 1 GROUP BY 1, 2), " +
+        "cc AS MATERIALIZED (SELECT grp, r, CAST(sum(c) OVER (PARTITION BY grp ORDER BY r " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n_cal FROM cg), " +
+        "qh AS (SELECT grp, min(r) AS q_hat FROM cc " +
+        "WHERE cum >= CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE))) AS BIGINT) GROUP BY 1), " +
+        "na AS (SELECT grp, CAST(max(n_cal) AS BIGINT) AS nc FROM cc GROUP BY 1), " +
+        "tv AS (SELECT rs.grp, n_train, nc, r, q_hat " +
+        "FROM rs JOIN na USING (grp) LEFT JOIN qh USING (grp) WHERE role = 2) " +
+        "SELECT grp AS event_type, CAST(max(n_train) AS BIGINT) AS n_train, " +
+        "CAST(max(nc) AS BIGINT) AS n_cal, count(*) AS n_test, max(q_hat) AS q_hat, " +
+        "round(CAST(sum(CASE WHEN q_hat IS NULL OR r <= q_hat THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS coverage, " +
+        "CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE) AS target FROM tv GROUP BY 1"
+    },
+    "q288_isotonic" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q169 confidence stanza, then PAV via the closed-form
+      // minimax over the occupied-bin lattice: iso_b =
+      // max_{i≤b} min_{j≥b} pooled-rate(i..j) from cumulative
+      // integer (n, k) — exact, iteration-free
+      (nbHoldoutCte +
+        ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        "ex AS (SELECT sc.doc_id, sc.clab, exp(score - mx) AS ex " +
+        "FROM sc JOIN mx USING (doc_id)), " +
+        "z AS (SELECT doc_id, CAST(sum(CAST(floor(ex * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS z FROM ex GROUP BY 1), " +
+        "pp AS (SELECT ex.doc_id, ex.clab, round(ex.ex / z.z, 6) AS prob " +
+        "FROM ex JOIN z USING (doc_id)), " +
+        "cf AS (SELECT b.doc_id, b.clab AS pred_lab, pp.prob AS conf " +
+        "FROM best b JOIN pp ON pp.doc_id = b.doc_id AND pp.clab = b.clab), " +
+        "okt AS (SELECT cf.conf, CASE WHEN cf.pred_lab = te.lang THEN 1 ELSE 0 END AS ok " +
+        "FROM cf JOIN te USING (doc_id)), " +
+        "bb AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, ok FROM okt), " +
+        s"per AS (SELECT bin, count(*) AS n, CAST(sum(ok) AS BIGINT) AS k, ${snap("conf")} AS sc2 FROM bb GROUP BY 1), " +
+        "cum AS MATERIALIZED (SELECT *, CAST(sum(n) OVER (ORDER BY bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn, " +
+        "CAST(sum(k) OVER (ORDER BY bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ck FROM per), " +
+        "lo AS (SELECT bin AS i, cn - n AS cn0, ck - k AS ck0 FROM cum), " +
+        "hi AS (SELECT bin AS j, cn AS cn1, ck AS ck1 FROM cum), " +
+        "pair AS (SELECT i, j, CAST(ck1 - ck0 AS DOUBLE) / CAST(cn1 - cn0 AS DOUBLE) AS m " +
+        "FROM lo JOIN hi ON i <= j), " +
+        "ax AS (SELECT bin AS b FROM cum), " +
+        "inr AS (SELECT b, i, min(m) AS mn FROM pair JOIN ax ON i <= b AND b <= j GROUP BY 1, 2), " +
+        "iso AS (SELECT b, max(mn) AS iso FROM inr GROUP BY 1) " +
+        "SELECT cum.bin, cum.n AS n_docs, " +
+        "round(sc2 / CAST(n AS DOUBLE), 6) AS avg_conf, " +
+        "round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_raw, " +
+        "round(iso.iso, 6) AS rate_iso " +
+        "FROM cum JOIN iso ON iso.b = cum.bin")
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

@@ -1149,4 +1149,133 @@ object Quality {
     }
     outs.reduce(_.unionByName(_))
   }
+
+  /** Isotonic (monotone non-decreasing) calibration of a binary
+    * outcome over confidence bins — the non-parametric repair of
+    * [[calibrationReport]]'s diagnosed miscalibration (Zadrozny &
+    * Elkan 2002; the PAV fit of Ayer et al. 1955). Rather than the
+    * inherently SEQUENTIAL pool-adjacent-violators sweep, this uses
+    * PAV's closed-form minimax characterization
+    *   iso_b = max_{i≤b} min_{j≥b} (Σ_{i..j} k)/(Σ_{i..j} n)
+    * — exact, iteration-free, and order-free, so it parallelizes and
+    * replays identically in any engine. Every candidate mean is a
+    * ratio of exact integer sums (IEEE division is correctly rounded
+    * — identical doubles cross-engine), and min/max over identical
+    * doubles are exact.
+    *
+    * Scale shape: ONE map-side-combined corpus pass to the ≤`bins`-row
+    * (n, k) table; the minimax runs on the bins³-bounded (i, b, j)
+    * lattice (8000 rows at bins=20) via two bounded joins — never on
+    * corpus rows. The unpartitioned cumulative window is bins-bounded
+    * (whitelisted). Returns (bin, n_docs, avg_conf, rate_raw,
+    * rate_iso), 6 dp; rate_iso is non-decreasing in bin by
+    * construction. */
+  def isotonicCalibration(preds: DataFrame, conf: Column, correct: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, s"isotonicCalibration: bins=$bins")
+    import graft.expr.Snap
+    val per = preds
+      .select(least(floor(conf * lit(bins)).cast("long"),
+          lit(bins - 1L)).as("bin"),
+        conf.as("conf"),
+        when(correct, 1L).otherwise(0L).as("ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("ok")).as("k"),
+        Snap.snappedSum(col("conf"), 1e9).as("sc"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per.select(col("bin"), col("n"), col("k"), col("sc"),
+      sum(col("n")).over(w).as("cn"), sum(col("k")).over(w).as("ck"))
+    // interval means over the occupied-bin lattice: (i, j) by
+    // cumulative differences; i/j index by bin id, i ≤ b ≤ j
+    val lo = cum.select(col("bin").as("i"),
+      (col("cn") - col("n")).as("cn0"), (col("ck") - col("k")).as("ck0"))
+    val hi = cum.select(col("bin").as("j"), col("cn").as("cn1"),
+      col("ck").as("ck1"))
+    val pair = lo.join(hi, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("ck1") - col("ck0")).cast("double") /
+          (col("cn1") - col("cn0")).cast("double")).as("m"))
+    val axis = cum.select(col("bin").as("b"))
+    val inner = pair.join(axis, col("i") <= col("b") && col("b") <= col("j"))
+      .groupBy(col("b"), col("i")).agg(min(col("m")).as("mn"))
+    val iso = inner.groupBy(col("b")).agg(max(col("mn")).as("iso"))
+    cum.join(iso, col("bin") === col("b"))
+      .select(col("bin"), col("n").as("n_docs"),
+        round(col("sc") / col("n").cast("double"), 6).as("avg_conf"),
+        round(col("k").cast("double") / col("n").cast("double"), 6)
+          .as("rate_raw"),
+        round(col("iso"), 6).as("rate_iso"))
+  }
+
+  /** Split conformal prediction interval + empirical coverage
+    * (Papadopoulos et al. 2002; Vovk, Gammerman & Shafer 2005;
+    * survey: Angelopoulos & Bates 2021) per group: the
+    * DISTRIBUTION-FREE "how wrong is this predictor, with a
+    * guarantee" wrapper. md5-deterministic 3-way split → fit the
+    * predictor on train (here the group mean — the predictor is
+    * pluggable, the wrapper is the operator), score calibration
+    * residuals r = |y − ŷ|, take q̂ = the ⌈(n_cal+1)(1−α)⌉-th
+    * smallest — the finite-sample-valid quantile, NOT the naive
+    * n·(1−α) one — and report the held-out coverage of ŷ ± q̂.
+    *
+    * Exactness: ŷ is a snapped-sum mean (IEEE-identical); residuals
+    * round to the 6-dp grid BEFORE ranking and coverage (both
+    * engines compare identical doubles); the order statistic reads
+    * off an exact cumulative count over the per-group distinct
+    * residual grid (the q137 bounded-distinct discipline — no
+    * approx_percentile). ⌈(n+1)(1−α)⌉ > n_cal (tiny calibration
+    * sets) → q̂ NULL and coverage 1 by convention (the interval is
+    * the whole line — stated, not hidden).
+    *
+    * Scale shape: one corpus pass per split role (train mean,
+    * calibration grid, test coverage — all map-side-combined,
+    * group-keyed), |groups|-row broadcasts between; the ranking
+    * window partitions by group over the residual grid. Returns
+    * (grp, n_train, n_cal, n_test, q_hat, coverage, target). */
+  def splitConformal(df: DataFrame, grp: Column, y: Column, unit: Column,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"splitConformal: alpha=$alpha")
+    import graft.expr.Snap
+    val role = pmod(conv(substring(md5(unit.cast("string")), 1, 8),
+      16, 10).cast("long"), lit(3L))
+    val b = df.select(grp.as("grp"), y.cast("double").as("y"),
+      role.as("role"))
+    val fit = b.filter(col("role") === 0L).groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_train"),
+        (Snap.snappedSum(col("y"), 1e9) / count(lit(1)).cast("double"))
+          .as("yhat"))
+    val resid = b.filter(col("role") > 0L)
+      .join(broadcast(fit), "grp")
+      .select(col("grp"), col("role"), col("n_train"),
+        round(abs(col("y") - col("yhat")), 6).as("r"))
+    val calGrid = resid.filter(col("role") === 1L)
+      .groupBy(col("grp"), col("r")).agg(count(lit(1)).as("c"))
+    val wr = Window.partitionBy(col("grp")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val calCum = calGrid.select(col("grp"), col("r"),
+      sum(col("c")).over(wr).as("cum"),
+      sum(col("c")).over(Window.partitionBy(col("grp"))).as("n_cal"))
+    // the finite-sample rank ⌈(n+1)(1−α)⌉; above n_cal → q̂ undefined
+    val need = ceil((col("n_cal") + lit(1L)).cast("double") *
+      lit(1.0 - alpha)).cast("long")
+    val qhat = calCum.filter(col("cum") >= need)
+      .groupBy(col("grp"))
+      .agg(max(col("n_cal")).as("n_cal"), min(col("r")).as("q_hat"))
+    val nCalAll = calCum.groupBy(col("grp")).agg(max(col("n_cal")).as("nc"))
+    val test = resid.filter(col("role") === 2L)
+      .join(broadcast(nCalAll), "grp")
+      .join(broadcast(qhat.select(col("grp"), col("q_hat"))), Seq("grp"),
+        "left")
+      .groupBy(col("grp"))
+      .agg(max(col("n_train")).as("n_train"), max(col("nc")).as("n_cal"),
+        count(lit(1)).as("n_test"), max(col("q_hat")).as("q_hat"),
+        sum(when(col("q_hat").isNull || col("r") <= col("q_hat"), 1L)
+          .otherwise(0L)).as("cov"))
+    test.select(col("grp"), col("n_train"), col("n_cal"), col("n_test"),
+      col("q_hat"),
+      round(col("cov").cast("double") / col("n_test").cast("double"), 6)
+        .as("coverage"),
+      lit(1.0 - alpha).as("target"))
+  }
 }

@@ -475,6 +475,67 @@ class QualitySpec extends SparkSpec {
     assert(rep(9L) == ((2L, 0.975, 1.0, 0.025)))
   }
 
+  test("isotonicCalibration: PAV pools the violating bins to the " +
+    "pooled rate; monotone input unchanged; output always monotone") {
+    // 4 bins with raw rates .2, .6, .4, .8 and equal mass: PAV pools
+    // bins 1 and 2 to (3+2)/10 = 0.5
+    val preds = (Seq.fill(1)((0.1, true)) ++ Seq.fill(4)((0.1, false)) ++
+      Seq.fill(3)((0.35, true)) ++ Seq.fill(2)((0.35, false)) ++
+      Seq.fill(2)((0.6, true)) ++ Seq.fill(3)((0.6, false)) ++
+      Seq.fill(4)((0.85, true)) ++ Seq.fill(1)((0.85, false)))
+      .toDF("conf", "ok")
+    val r = Quality.isotonicCalibration(preds, col("conf"), col("ok"), 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(0L) == ((0.2, 0.2)) && r(1L) == ((0.6, 0.5)) &&
+      r(2L) == ((0.4, 0.5)) && r(3L) == ((0.8, 0.8)))
+    // already-monotone input: iso ≡ raw
+    val mono = (Seq.fill(1)((0.1, true)) ++ Seq.fill(4)((0.1, false)) ++
+      Seq.fill(3)((0.6, true)) ++ Seq.fill(2)((0.6, false)))
+      .toDF("conf", "ok")
+    val m = Quality.isotonicCalibration(mono, col("conf"), col("ok"), 4)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(3), x.getDouble(4)))).toMap
+    assert(m(0L) == ((0.2, 0.2)) && m(2L) == ((0.6, 0.6)))
+    // monotonicity is structural: sorted by bin, iso never decreases
+    val seq = Quality.isotonicCalibration(preds.repartition(7),
+        col("conf"), col("ok"), 4)
+      .orderBy(col("bin")).collect().map(_.getDouble(4)).toSeq
+    assert(seq == seq.sorted)
+  }
+
+  test("splitConformal: q̂ is the exact ⌈(n+1)(1−α)⌉-th calibration " +
+    "residual and coverage replays scalar-side; starved cal → NULL " +
+    "q̂, coverage 1") {
+    val df = (1 to 300).map(i => ("g", (i % 23).toDouble, i.toLong))
+      .toDF("grp", "y", "id")
+    val r = Quality.splitConformal(df, col("grp"), col("y"), col("id"),
+      alpha = 0.5).collect().head
+    // independent scalar replay of the whole pipeline
+    val base = df.select(col("grp"), col("y"),
+        pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(3L)).as("role"))
+      .collect().map(x => (x.getDouble(1), x.getLong(2)))
+    val tr = base.filter(_._2 == 0L).map(_._1)
+    val yhat = tr.map(v => math.floor(v * 1e9 + 0.5)).sum / 1e9 / tr.length
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val cal = base.filter(_._2 == 1L).map(v => r6(math.abs(v._1 - yhat)))
+      .sorted
+    val need = math.ceil((cal.length + 1).toDouble * (1.0 - 0.5)).toInt
+    val qhat = cal(need - 1)
+    val te = base.filter(_._2 == 2L).map(v => r6(math.abs(v._1 - yhat)))
+    val cov = te.count(_ <= qhat).toDouble / te.length
+    assert(r.getLong(1) == tr.length.toLong &&
+      r.getLong(2) == cal.length.toLong && r.getLong(3) == te.length.toLong)
+    assert(r.getDouble(4) == qhat)
+    assert(r.getDouble(5) == r6(cov) && r.getDouble(6) == 0.5)
+    // α so strict the finite-sample rank exceeds n_cal: the interval
+    // is the whole line — q̂ NULL, coverage exactly 1
+    val starved = Quality.splitConformal(df, col("grp"), col("y"),
+      col("id"), alpha = 0.001).collect().head
+    assert(starved.isNullAt(4) && starved.getDouble(5) == 1.0)
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

@@ -102,6 +102,8 @@ object WindowContractSpec {
       "observation window, data-independent)"),
     "q285_pettitt" -> ("calendar-bounded daily-series grid (the rank " +
       "table is its value grid — both data-independent in length)"),
+    "q288_isotonic" -> ("≤bins-row (n, k) table (bins = 10, " +
+      "data-independent)"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
