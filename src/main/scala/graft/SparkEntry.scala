@@ -3657,6 +3657,20 @@ object SparkEntry {
     ops.Analytics.jarqueBera(t(s, dir, "events"), col("event_type"),
       col("value")).withColumnRenamed("grp", "event_type")
 
+  /** Ljung–Box autocorrelation test over daily event volume
+    * ([[ops.Analytics.ljungBox]], Ljung & Box 1978) — "is yesterday
+    * informative", the decide-before-you-model companion to q275's
+    * seasonal skill and q290's Holt fit. */
+  private def qLjungBox(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.ljungBox(dailySeries(s, dir), col("p"), col("y"))
+
+  /** Holt linear-trend fit + 7-day forecast of daily event volume
+    * ([[ops.Analytics.holtForecast]], Holt 1957) — the level+slope
+    * model q289's ACF justifies, as one snapped in-plan fold whose
+    * trajectory the oracle replays step-by-step. */
+  private def qHolt(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.holtForecast(dailySeries(s, dir), col("p"), col("y"))
+
   /** HITS hubs & authorities over the DIRECTED part→supplier graph
     * ([[ops.Graph.hits]], Kleinberg 1999), two unrolled normalized
     * rounds — the prestige PAIR q93's single PageRank score conflates. */
@@ -4437,7 +4451,9 @@ object SparkEntry {
     "q285_pettitt" -> (qPettitt _),
     "q286_jarque_bera" -> (qJarqueBera _),
     "q287_conformal" -> (qConformal _),
-    "q288_isotonic" -> (qIsotonic _))
+    "q288_isotonic" -> (qIsotonic _),
+    "q289_ljung_box" -> (qLjungBox _),
+    "q290_holt" -> (qHolt _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9521,6 +9537,61 @@ object SparkEntry {
         "round(iso.iso, 6) AS rate_iso " +
         "FROM cum JOIN iso ON iso.b = cum.bin")
     },
+    "q289_ljung_box" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // standardize first (snapped μ/σ scalars), Σz_t·z_{t+k} snapped
+      // per lag, r = s_k/s_0, Q cumulative over the 7-row lag axis,
+      // published χ² 5% criticals (no CDF approximation)
+      "WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        s"stt AS (SELECT count(*) AS n, ${snap("y")} AS sy, ${snap("y * y")} AS syy FROM sdy), " +
+        "su AS (SELECT n, sy / CAST(n AS DOUBLE) AS mu, " +
+        "sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd FROM stt), " +
+        "zi AS MATERIALIZED (SELECT row_number() OVER (ORDER BY p) AS i, n, " +
+        "CASE WHEN sd > CAST(0 AS DOUBLE) THEN (y - mu) / sd END AS z FROM sdy CROSS JOIN su), " +
+        s"s0 AS (SELECT CAST(max(n) AS BIGINT) AS n, ${snap("z * z")} AS s0 FROM zi), " +
+        "lgx AS (SELECT unnest(generate_series(1, 7)) AS lag), " +
+        s"skx AS (SELECT lag, ${snap("a.z * b.z")} AS sk " +
+        "FROM zi a CROSS JOIN lgx JOIN zi b ON b.i = a.i + lag GROUP BY 1), " +
+        "rr AS (SELECT lag, n, sk / s0 AS r, " +
+        "CASE WHEN n > lag THEN (sk / s0) * (sk / s0) / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) END AS term " +
+        "FROM skx CROSS JOIN s0), " +
+        "qq AS (SELECT lag, r, CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * " +
+        "sum(term) OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q0, " +
+        "CASE lag WHEN 1 THEN CAST(3.841 AS DOUBLE) WHEN 2 THEN CAST(5.991 AS DOUBLE) " +
+        "WHEN 3 THEN CAST(7.815 AS DOUBLE) WHEN 4 THEN CAST(9.488 AS DOUBLE) " +
+        "WHEN 5 THEN CAST(11.07 AS DOUBLE) WHEN 6 THEN CAST(12.592 AS DOUBLE) " +
+        "WHEN 7 THEN CAST(14.067 AS DOUBLE) END AS crit FROM rr) " +
+        "SELECT lag, round(r, 6) AS r, round(q0, 6) AS q, crit, " +
+        "CASE WHEN q0 IS NOT NULL THEN round(q0, 6) > crit END AS reject FROM qq"
+    },
+    "q290_holt" ->
+      // the identical snapped (ℓ, b) trajectory as a recursive CTE
+      // advancing one day per iteration (the q200 unrolled-recurrence
+      // discipline); fpp3 init ℓ₁ = y₁, b₁ = y₂ − y₁; errors from t=3
+      ("WITH RECURSIVE sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "dd AS MATERIALIZED (SELECT row_number() OVER (ORDER BY p) AS i, y FROM sdy), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd), " +
+        "ini AS (SELECT a.y AS y1, b.y AS y2 FROM dd a, dd b WHERE a.i = 1 AND b.i = 2), " +
+        "st AS (" +
+        "SELECT i, l, floor((CAST(0.3 AS DOUBLE) * (l - y1) + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * b1) * 1000000 + 0.5) / 1000000 AS b, CAST(0 AS DOUBLE) AS sae " +
+        "FROM (SELECT CAST(2 AS BIGINT) AS i, y1, b1, " +
+        "floor((CAST(0.5 AS DOUBLE) * y2 + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (y1 + b1)) * 1000000 + 0.5) / 1000000 AS l " +
+        "FROM (SELECT y1, y2, floor((y2 - y1) * 1000000 + 0.5) / 1000000 AS b1 FROM ini)) " +
+        "UNION ALL " +
+        "SELECT i2 AS i, l2 AS l, " +
+        "floor((CAST(0.3 AS DOUBLE) * (l2 - l0) + (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * b0) * 1000000 + 0.5) / 1000000 AS b, sae2 AS sae " +
+        "FROM (SELECT st.i + 1 AS i2, st.l AS l0, st.b AS b0, " +
+        "floor((CAST(0.5 AS DOUBLE) * d.y + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (st.l + st.b)) * 1000000 + 0.5) / 1000000 AS l2, " +
+        "st.sae + floor(abs(d.y - (st.l + st.b)) * 1000000 + 0.5) / 1000000 AS sae2 " +
+        "FROM st JOIN dd d ON d.i = st.i + 1)), " +
+        "fin AS (SELECT st.i, st.l, st.b, st.sae FROM st JOIN nn ON st.i = nn.n) " +
+        "SELECT nn.n AS n_periods, " +
+        "round(CASE WHEN nn.n >= 2 THEN fin.l END, 6) AS level, " +
+        "round(CASE WHEN nn.n >= 2 THEN fin.b END, 6) AS trend, " +
+        "round(CASE WHEN nn.n >= 2 THEN fin.l + 7 * fin.b END, 6) AS forecast, " +
+        "round(CASE WHEN nn.n >= 3 THEN fin.sae / CAST(nn.n - 2 AS DOUBLE) END, 6) AS mae_1step " +
+        "FROM nn LEFT JOIN fin ON true"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

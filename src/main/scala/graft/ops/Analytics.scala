@@ -2049,6 +2049,131 @@ object Analytics {
         round(when(ok, p), 6).as("p_value"))
   }
 
+  /** Ljung–Box portmanteau autocorrelation test (Ljung & Box 1978)
+    * over a per-period series — "is yesterday informative about
+    * today": per lag k ≤ `maxLag`, the autocorrelation r_k of the
+    * standardized series and the cumulative
+    * Q_m = n(n+2)·Σ_{k≤m} r_k²/(n−k) against the χ²(m) 5% critical
+    * (the published constants — no CDF approximation). The
+    * decide-before-you-model companion to q275's seasonal skill: a
+    * flat ACF says the daily series is noise and a forecast layer is
+    * wasted work.
+    *
+    * Exactness: standardize first (the [[jarqueBera]] two-pass
+    * discipline — μ/σ from snapped sums are IEEE-identical scalars),
+    * then each Σ z_t·z_{t+k} snaps at 1e9; r_k = s_k/s_0 is a ratio
+    * of snapped doubles; the ≤maxLag-row cumulative window adds in
+    * lag order in both engines. σ = 0 → NULL everywhere; lags with
+    * no pairs (k ≥ n) are absent.
+    *
+    * Scale shape: the input is the |periods|-row series; pairs
+    * generate via a k-offset equi-join on the bounded grid; all
+    * windows are calendar-bounded (whitelisted). Returns (lag, r, q,
+    * crit, reject). */
+  def ljungBox(series: DataFrame, period: Column, y: Column,
+      maxLag: Int = 7): DataFrame = {
+    import graft.expr.Snap
+    require(maxLag >= 1 && maxLag <= 7, s"ljungBox: maxLag=$maxLag " +
+      "(the χ² 5% critical table carries df 1..7)")
+    val base = series.select(period.cast("long").as("p"),
+      y.cast("double").as("y"))
+    val nD = col("n").cast("double")
+    val st = base.agg(count(lit(1)).as("n"),
+        Snap.snappedSum(col("y"), 1e9).as("sy"),
+        Snap.snappedSum(col("y") * col("y"), 1e9).as("syy"))
+      .select(col("n"), (col("sy") / nD).as("mu"),
+        sqrt((col("syy") - col("sy") * col("sy") / nD) / nD).as("sd"))
+    val zi = base
+      .withColumn("i", row_number().over(Window.orderBy(col("p"))))
+      .crossJoin(broadcast(st))
+      .select(col("i"), col("n"),
+        when(col("sd") > 0.0, (col("y") - col("mu")) / col("sd")).as("z"))
+    val s0 = zi.agg(max(col("n")).as("n"),
+      Snap.snappedSum(col("z") * col("z"), 1e9).as("s0"))
+    val lags = broadcast(series.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag")))
+    val sk = zi.select(col("i"), col("z")).crossJoin(lags)
+      .withColumn("i2", col("i") + col("lag"))
+      .join(zi.select(col("i").as("i2"), col("z").as("z2")), "i2")
+      .groupBy(col("lag"))
+      .agg(Snap.snappedSum(col("z") * col("z2"), 1e9).as("sk"))
+    val crit = element_at(array(lit(3.841), lit(5.991), lit(7.815),
+      lit(9.488), lit(11.07), lit(12.592), lit(14.067)),
+      col("lag").cast("int"))
+    val r = col("sk") / col("s0")
+    val term = when(col("n") > col("lag"), r * r /
+      (nD - col("lag").cast("double")))
+    val wq = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sk.crossJoin(broadcast(s0))
+      .select(col("lag"), col("n"), round(r, 6).as("r"),
+        (nD * (nD + lit(2.0)) * sum(term).over(wq)).as("q0"), crit.as("crit"))
+      .select(col("lag"), col("r"), round(col("q0"), 6).as("q"),
+        col("crit"),
+        when(col("q0").isNotNull, round(col("q0"), 6) > col("crit"))
+          .as("reject"))
+  }
+
+  /** Holt linear-trend (double exponential smoothing) fit + h-step
+    * forecast over a per-period series (Holt 1957; Hyndman &
+    * Athanasopoulos fpp3 §8.2 init: ℓ₁ = y₁, b₁ = y₂ − y₁) — the
+    * first model the q275/q289 diagnostics justify: level AND slope,
+    * each step ℓ_t = α·y_t + (1−α)(ℓ+b), b_t = β(ℓ_t−ℓ) + (1−β)b.
+    * Reports the fitted endpoint state, the h-step-ahead forecast
+    * ℓ_n + h·b_n, and the one-step in-sample MAE (from t = 3 — the
+    * t = 2 error is structurally 0 under this init).
+    *
+    * Exactness: the recurrence is a sequential FOLD, run as ONE
+    * in-plan `aggregate` over the sorted day array with (ℓ, b)
+    * snapped to the 6-dp grid at every step — the identical
+    * trajectory replays as the oracle's recursive CTE (the q200
+    * unrolled-recurrence discipline). The interpreted HOF is the
+    * documented bounded-fold class: the array is the
+    * calendar-bounded day grid, never corpus-sized. n < 2 → NULL
+    * fit. Returns one row: (n_periods, level, trend, forecast,
+    * mae_1step). */
+  def holtForecast(series: DataFrame, period: Column, y: Column,
+      alpha: Double = 0.5, beta: Double = 0.3, h: Int = 7): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0 && beta > 0.0 && beta < 1.0,
+      s"holtForecast: alpha=$alpha beta=$beta")
+    def s6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val steps = series.select(period.cast("long").as("p"),
+        y.cast("double").as("y"))
+      .agg(sort_array(collect_list(struct(col("p"), col("y"))))
+        .as("steps"))
+    val folded = steps.select(size(col("steps")).cast("long").as("n"),
+      aggregate(col("steps"),
+        struct(lit(0L).as("i"), lit(0.0).as("l"), lit(0.0).as("b"),
+          lit(0.0).as("sae")),
+        (acc, x) => {
+          val i = acc.getField("i"); val l = acc.getField("l")
+          val b = acc.getField("b"); val sae = acc.getField("sae")
+          val yt = x.getField("y")
+          // i = 1: ℓ₁ = y₁ held, b₁ = y₂ − y₁ set NOW, then the t = 2
+          // update runs with it (its one-step error is exactly 0)
+          val b1 = s6(yt - l)
+          val l2a = s6(lit(alpha) * yt + lit(1.0 - alpha) * (l + b1))
+          val b2a = s6(lit(beta) * (l2a - l) + lit(1.0 - beta) * b1)
+          val e = abs(yt - (l + b))
+          val l2 = s6(lit(alpha) * yt + lit(1.0 - alpha) * (l + b))
+          val b2 = s6(lit(beta) * (l2 - l) + lit(1.0 - beta) * b)
+          when(i === 0L, struct(lit(1L).as("i"), yt.as("l"),
+              lit(0.0).as("b"), lit(0.0).as("sae")))
+            .when(i === 1L, struct(lit(2L).as("i"), l2a.as("l"),
+              b2a.as("b"), lit(0.0).as("sae")))
+            .otherwise(struct((i + lit(1L)).as("i"), l2.as("l"),
+              b2.as("b"), (sae + s6(e)).as("sae")))
+        }).as("st"))
+    val ok = col("n") >= 2L
+    folded.select(col("n").as("n_periods"),
+      round(when(ok, col("st").getField("l")), 6).as("level"),
+      round(when(ok, col("st").getField("b")), 6).as("trend"),
+      round(when(ok, col("st").getField("l") +
+        lit(h.toDouble) * col("st").getField("b")), 6).as("forecast"),
+      round(when(col("n") >= 3L, col("st").getField("sae") /
+        (col("n") - lit(2L)).cast("double")), 6).as("mae_1step"))
+  }
+
   /** Jarque–Bera normality monitor per group (Jarque & Bera 1980):
     * JB = n/6·(S² + (K−3)²/4) from the standardized third and fourth
     * moments — the "is this metric still bell-shaped" gate whose

@@ -1406,6 +1406,42 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(1))
   }
 
+  test("ljungBox: alternating series has r1=-7/8, r2=6/8 and the " +
+    "hand Q trajectory; constant series all NULL") {
+    import graft.ops.Analytics
+    val alt = (1 to 8).map(t => (t.toLong, if (t % 2 == 1) 1.0 else 2.0))
+      .toDF("p", "y")
+    val r = Analytics.ljungBox(alt, col("p"), col("y"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // z = ±1: r1 = -7/8, r2 = +6/8; Q1 = 80·(7/8)²/7 = 8.75,
+    // Q2 = 80·((7/8)²/7 + (6/8)²/6) = 16.25
+    assert(r(1L).getDouble(1) == -0.875 && r(1L).getDouble(2) == 8.75)
+    assert(r(1L).getDouble(3) == 3.841 && r(1L).getBoolean(4))
+    assert(r(2L).getDouble(1) == 0.75 && r(2L).getDouble(2) == 16.25)
+    assert(r(2L).getBoolean(4))
+    assert(r.keySet == (1L to 7L).toSet)
+    val const = Analytics.ljungBox(
+      (1 to 8).map(t => (t.toLong, 3.0)).toDF("p", "y"),
+      col("p"), col("y")).collect().map(x => x.getLong(0) -> x).toMap
+    assert(const(1L).isNullAt(1) && const(1L).isNullAt(2) &&
+      const(1L).isNullAt(4))
+  }
+
+  test("holtForecast: a perfectly linear series is tracked exactly " +
+    "(level = last y, trend = slope, MAE 0); n<2 NULL fit") {
+    import graft.ops.Analytics
+    val lin = (1 to 6).map(t => (t.toLong, 10.0 + 2.0 * t)).toDF("p", "y")
+    val r = Analytics.holtForecast(lin, col("p"), col("y")).collect().head
+    // ℓ₁=12, b₁=2; every one-step forecast is exact, so the state
+    // rides the line: ℓ=22, b=2, ŷ(+7)=36, MAE=0
+    assert(r.getLong(0) == 6L && r.getDouble(1) == 22.0 &&
+      r.getDouble(2) == 2.0 && r.getDouble(3) == 36.0 &&
+      r.getDouble(4) == 0.0)
+    val one = Analytics.holtForecast(Seq((1L, 5.0)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(3))
+  }
+
   test("pettitt: exact integer U trajectory finds a clean shift; " +
     "constant series K=0 p=1 splitting at the earliest day; n<2 NULL") {
     import graft.ops.Analytics

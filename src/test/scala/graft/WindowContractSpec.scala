@@ -104,6 +104,8 @@ object WindowContractSpec {
       "table is its value grid — both data-independent in length)"),
     "q288_isotonic" -> ("≤bins-row (n, k) table (bins = 10, " +
       "data-independent)"),
+    "q289_ljung_box" -> ("calendar-bounded daily-series grid (day " +
+      "index) and the 7-row lag axis — both data-independent"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
