@@ -3657,6 +3657,27 @@ object SparkEntry {
     ops.Analytics.jarqueBera(t(s, dir, "events"), col("event_type"),
       col("value")).withColumnRenamed("grp", "event_type")
 
+  /** Classical additive seasonal decomposition of daily event volume
+    * ([[ops.Analytics.seasonalDecompose]]) — per day
+    * y = trend + seasonal + remainder: WHICH component carries the
+    * variance, where q275 only scores whether the weekly one exists. */
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.seasonalDecompose(dailySeries(s, dir), col("p"),
+      col("y"))
+
+  /** Dataset cartography over the language-labeled corpus
+    * ([[ops.Quality.cartographyReport]], Swayamdipta et al. 2020) —
+    * per-example confidence/variability/region across the k−1
+    * fold-models that trained on it; `hard` is the label-error
+    * hunting ground, `ambiguous` the curation frontier. */
+  private def qCartography(s: SparkSession, dir: String): DataFrame = {
+    val tf = sharedTermFreqs(s, dir)
+    val docs = t(s, dir, "documents")
+    ops.Quality.cartographyReport(docs, col("doc_id"), col("text"),
+      col("lang"), k = 5, docTf0 = Some(tf.join(
+        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
+  }
+
   /** Ljung–Box autocorrelation test over daily event volume
     * ([[ops.Analytics.ljungBox]], Ljung & Box 1978) — "is yesterday
     * informative", the decide-before-you-model companion to q275's
@@ -4453,7 +4474,9 @@ object SparkEntry {
     "q287_conformal" -> (qConformal _),
     "q288_isotonic" -> (qIsotonic _),
     "q289_ljung_box" -> (qLjungBox _),
-    "q290_holt" -> (qHolt _))
+    "q290_holt" -> (qHolt _),
+    "q291_seasonal_decomp" -> (qSeasonalDecompose _),
+    "q292_cartography" -> (qCartography _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9592,6 +9615,77 @@ object SparkEntry {
         "round(CASE WHEN nn.n >= 2 THEN fin.l + 7 * fin.b END, 6) AS forecast, " +
         "round(CASE WHEN nn.n >= 3 THEN fin.sae / CAST(nn.n - 2 AS DOUBLE) END, 6) AS mae_1step " +
         "FROM nn LEFT JOIN fin ON true"),
+    "q291_seasonal_decomp" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // centered MA(7) as a snapped window sum / 7 (NULL off the full
+      // window); phase means of the detrended series, centered on the
+      // snapped mean of the ≤7 phase means; remainder computed FROM
+      // the UNROUNDED trend and the 6-dp seasonal
+      "WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "tr AS (SELECT p, y, count(*) OVER w AS cnt, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1000000000 / 7 AS ma " +
+        "FROM sdy WINDOW w AS (ORDER BY p ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "td AS MATERIALIZED (SELECT p, y, CASE WHEN cnt = 7 THEN ma END AS trend, p % 7 AS phase FROM tr), " +
+        "ix AS MATERIALIZED (SELECT phase, CASE WHEN count(y - trend) > 0 THEN " +
+        s"${snap("y - trend")} / CAST(count(y - trend) AS DOUBLE) END AS raw FROM td GROUP BY 1), " +
+        s"ce AS (SELECT ${snap("raw")} AS sr, count(raw) AS cr FROM ix), " +
+        "se AS (SELECT phase, round(raw - sr / CAST(cr AS DOUBLE), 6) AS seasonal FROM ix CROSS JOIN ce) " +
+        "SELECT td.p, td.y, round(td.trend, 6) AS trend, td.phase, se.seasonal, " +
+        "round(td.y - td.trend - se.seasonal, 6) AS remainder " +
+        "FROM td LEFT JOIN se USING (phase)"
+    },
+    "q292_cartography" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q223 one-statement 5-model replay, but each doc scores
+      // under the 4 models that TRAINED on it (fold <> f); q169
+      // softmax; per-doc mean/std of the true-label posterior,
+      // argmax-correct fraction, fixed-threshold regions
+      ("WITH folds AS (SELECT range AS f FROM range(5)), " +
+        "tok AS (SELECT doc_id, lang AS lab, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "dt AS MATERIALIZED (SELECT doc_id, doc_id % 5 AS fold, lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3, 4), " +
+        "ct AS MATERIALIZED (SELECT f, lab, term, sum(tf) AS ctf FROM dt CROSS JOIN folds WHERE fold <> f GROUP BY 1, 2, 3), " +
+        "vv AS (SELECT f, count(DISTINCT term) AS v FROM ct GROUP BY 1), " +
+        "cs AS (SELECT f, lab, sum(ctf) AS ctot FROM ct GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, lang AS lab, doc_id % 5 AS fold FROM documents), " +
+        "pr AS (SELECT f, lab, count(*) AS nd FROM dl CROSS JOIN folds WHERE fold <> f GROUP BY 1, 2), " +
+        "nt AS (SELECT f, sum(nd) AS ntot FROM pr GROUP BY 1), " +
+        "ls AS (SELECT cs.f, cs.lab AS clab, " +
+        "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
+        "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
+        "FROM cs JOIN pr ON pr.f = cs.f AND pr.lab = cs.lab " +
+        "JOIN nt ON nt.f = cs.f JOIN vv ON vv.f = cs.f), " +
+        "sv AS MATERIALIZED (SELECT dt.doc_id, dt.lab, dt.term, dt.tf, f FROM dt CROSS JOIN folds WHERE dt.fold <> f), " +
+        "seen AS (SELECT sv.f, sv.doc_id, ct.lab AS clab, " +
+        s"${snap("CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE))")} AS s1 " +
+        "FROM sv JOIN ct ON ct.f = sv.f AND ct.term = sv.term GROUP BY 1, 2, 3), " +
+        "dn AS (SELECT f, doc_id, lab, sum(tf) AS n_tok FROM sv GROUP BY 1, 2, 3), " +
+        "sc AS MATERIALIZED (SELECT dn.f, dn.doc_id, dn.lab, ls.clab, " +
+        "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
+        "FROM dn JOIN ls ON ls.f = dn.f " +
+        "LEFT JOIN seen ON seen.f = dn.f AND seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
+        "mx AS MATERIALIZED (SELECT f, doc_id, max(score) AS mx FROM sc GROUP BY 1, 2), " +
+        s"z AS (SELECT sc.f, sc.doc_id, ${snap("exp(score - mx)")} AS z " +
+        "FROM sc JOIN mx USING (f, doc_id) GROUP BY 1, 2), " +
+        "pt AS (SELECT sc.f, sc.doc_id, sc.lab, round(exp(score - mx) / z, 6) AS p " +
+        "FROM sc JOIN mx USING (f, doc_id) JOIN z USING (f, doc_id) WHERE sc.clab = sc.lab), " +
+        "bs AS (SELECT f, doc_id, CASE WHEN clab = lab THEN 1 ELSE 0 END AS ok " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY f, doc_id ORDER BY score DESC, clab) AS rn FROM sc) WHERE rn = 1), " +
+        "pl AS (SELECT pt.f, pt.doc_id, pt.lab, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS pl " +
+        "FROM pt), " +
+        "per AS (SELECT pl.doc_id, pl.lab, count(*) AS m, CAST(sum(pl) AS BIGINT) AS sp, " +
+        "CAST(sum(pl * pl) AS BIGINT) AS spp, CAST(sum(ok) AS BIGINT) AS nok " +
+        "FROM pl JOIN bs ON bs.f = pl.f AND bs.doc_id = pl.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_id, lab, m AS n_models, " +
+        "floor(CAST(sp AS DOUBLE) / CAST(m AS DOUBLE) + 0.5) / 1000000 AS conf, " +
+        "floor(sqrt(greatest(CAST(0 AS DOUBLE), CAST(m AS DOUBLE) * CAST(spp AS DOUBLE) - " +
+        "CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) / CAST(m AS DOUBLE) + 0.5) / 1000000 AS variability, " +
+        "round(CAST(nok AS DOUBLE) / CAST(m AS DOUBLE), 6) AS correct_frac, " +
+        "CASE WHEN floor(CAST(sp AS DOUBLE) / CAST(m AS DOUBLE) + 0.5) / 1000000 >= CAST(0.67 AS DOUBLE) THEN 'easy' " +
+        "WHEN floor(CAST(sp AS DOUBLE) / CAST(m AS DOUBLE) + 0.5) / 1000000 <= CAST(0.33 AS DOUBLE) THEN 'hard' " +
+        "ELSE 'ambiguous' END AS region FROM per")
+    },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

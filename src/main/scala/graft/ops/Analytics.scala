@@ -2174,6 +2174,60 @@ object Analytics {
         (col("n") - lit(2L)).cast("double")), 6).as("mae_1step"))
   }
 
+  /** Classical additive seasonal decomposition of a per-period series
+    * (Macaulay 1931's moving-average method, the classical mode of
+    * STL's lineage — Cleveland et al. 1990 §1): per day,
+    * y = trend + seasonal + remainder with trend the centered
+    * `season`-point moving average, the seasonal index the centered
+    * per-phase mean of the detrended series, and the remainder what's
+    * left — WHICH component carries the variance, where q275 only
+    * scores whether the seasonal one exists.
+    *
+    * Exactness: the MA is a windowed snapped-decimal sum / season
+    * (order-free); phase means are snapped-sum / exact-count; the
+    * index centers on the snapped mean of the ≤season phase means;
+    * seasonal rounds to 6 dp and the remainder is computed FROM the
+    * rounded value. Edge periods (incomplete MA window) carry NULL
+    * trend/remainder — stated, never extrapolated.
+    *
+    * Scale shape: input is the |periods|-row series; one bounded
+    * window pass, one ≤season-row phase rollup broadcast back.
+    * Returns (p, y, trend, phase, seasonal, remainder). */
+  def seasonalDecompose(series: DataFrame, period: Column, y: Column,
+      season: Int = 7): DataFrame = {
+    import graft.expr.Snap
+    require(season >= 3 && season % 2 == 1,
+      s"seasonalDecompose: season=$season (centered MA needs odd)")
+    val half = season / 2
+    val base = series.select(period.cast("long").as("p"),
+      y.cast("double").as("y"))
+    val wT = Window.orderBy(col("p")).rowsBetween(-half, half)
+    val tr = base
+      .withColumn("cnt", count(lit(1)).over(wT))
+      .withColumn("trend", when(col("cnt") === season.toLong,
+        sum(floor(col("y") * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+          .over(wT).cast("double") / lit(1e9) / lit(season.toDouble)))
+      .withColumn("detr", col("y") - col("trend"))
+      .withColumn("phase", pmod(col("p"), lit(season.toLong)))
+    val idx = tr.groupBy(col("phase"))
+      .agg(Snap.snappedSum(col("detr"), 1e9).as("sd"),
+        count(col("detr")).as("cd"))
+      .select(col("phase"),
+        when(col("cd") > 0L, col("sd") / col("cd").cast("double"))
+          .as("raw"))
+    val center = idx.agg(Snap.snappedSum(col("raw"), 1e9).as("sr"),
+      count(col("raw")).as("cr"))
+    val seas = idx.crossJoin(broadcast(center))
+      .select(col("phase"),
+        round(col("raw") - col("sr") / col("cr").cast("double"), 6)
+          .as("seasonal"))
+    tr.join(broadcast(seas), Seq("phase"), "left")
+      .select(col("p"), col("y"), round(col("trend"), 6).as("trend"),
+        col("phase"), col("seasonal"),
+        round(col("y") - col("trend") - col("seasonal"), 6)
+          .as("remainder"))
+  }
+
   /** Jarque–Bera normality monitor per group (Jarque & Bera 1980):
     * JB = n/6·(S² + (K−3)²/4) from the standardized third and fourth
     * moments — the "is this metric still bell-shaped" gate whose

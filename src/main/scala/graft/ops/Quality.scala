@@ -1150,6 +1150,119 @@ object Quality {
     outs.reduce(_.unionByName(_))
   }
 
+  /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics"), the cross-validation form: for each example, its
+    * TRUE-label confidence statistics across the k−1 fold-models that
+    * trained ON it (fold resampling as the checkpoint ensemble —
+    * the paper's epoch axis needs training dynamics a one-pass
+    * engine doesn't have; model variance over resamples is the
+    * standard proxy). conf = mean true-label posterior, variability
+    * = its population std, correct_frac = how often the argmax is
+    * right; region = easy-to-learn (conf ≥ 0.67) / hard-to-learn
+    * (conf ≤ 0.33, the label-error hunting ground) / ambiguous (the
+    * examples worth curating first).
+    *
+    * Determinism: the q223 one-statement k-model NB replay (4-dp
+    * scores), the q169 softmax convention (6-dp posteriors), snapped
+    * Σp/Σp² per doc, std = √max(0, ·) so a float-epsilon negative
+    * can't NaN; region thresholds compare the ROUNDED conf.
+    *
+    * Scale shape: all k models train in ONE pass over the (doc,
+    * term, tf) artifact (the kfoldNbEval shape); scoring fans each
+    * doc to its k−1 in-training models via the k-row fold axis —
+    * a bounded ×(k−1) blowup, vocabulary-sized broadcasts, zero
+    * windows. Returns (doc_id, lab, n_models, conf, variability,
+    * correct_frac, region). */
+  def cartographyReport(docs: DataFrame, id: Column, text: Column,
+      label: Column, k: Int = 5,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      docTf0: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2, s"cartographyReport: k=$k")
+    import graft.expr.Snap
+    val docTf = docTf0.getOrElse(materialize(Fanout.fanout(docs)
+      .select(id.as("doc_id"), label.as("lab"),
+        explode(graft.expr.TextStats.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("lab"), col("term"))
+      .agg(count(lit(1)).as("tf"))))
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+    val folds = broadcast(docs.sparkSession.range(k)
+      .select(col("id").as("f")))
+    val ct = materialize(docTf.crossJoin(folds)
+      .filter(col("fold") =!= col("f"))
+      .groupBy(col("f"), col("lab"), col("term"))
+      .agg(sum(col("tf")).as("ctf")))
+    val vv = ct.groupBy(col("f"))
+      .agg(countDistinct(col("term")).as("v"))
+    val cs = ct.groupBy(col("f"), col("lab")).agg(sum(col("ctf")).as("ctot"))
+    val dl = docs.select(id.as("doc_id"), label.as("lab"))
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+    val pr = dl.crossJoin(folds).filter(col("fold") =!= col("f"))
+      .groupBy(col("f"), col("lab")).agg(count(lit(1)).as("nd"))
+    val nt = pr.groupBy(col("f")).agg(sum(col("nd")).as("ntot"))
+    val labStats = cs.join(pr, Seq("f", "lab")).join(broadcast(nt), "f")
+      .join(broadcast(vv), "f")
+      .select(col("f"), col("lab").as("clab"),
+        log(col("nd").cast("double") / col("ntot").cast("double"))
+          .as("prior_ln"),
+        log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0"))
+    val terms = ct.select(col("f"), col("lab").as("clab"), col("term"),
+      log((col("ctf") + lit(1L)).cast("double")).as("lterm"))
+    // score each doc under every model that TRAINED on it (fold ≠ f)
+    val serveTf = docTf.crossJoin(folds).filter(col("fold") =!= col("f"))
+    val seen = serveTf.join(broadcast(terms), Seq("f", "term"))
+      .groupBy(col("f"), col("doc_id"), col("clab"))
+      .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
+        .as("s1"))
+    val docN = serveTf.groupBy(col("f"), col("doc_id"), col("lab"))
+      .agg(sum(col("tf")).as("n_tok"))
+    val sc = materialize(docN.join(broadcast(labStats), Seq("f"))
+      .join(seen, Seq("f", "doc_id", "clab"), "left")
+      .select(col("f"), col("doc_id"), col("lab"), col("clab"),
+        round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
+          coalesce(col("s1"), lit(0.0)), 4).as("score")))
+    // q169 softmax convention: exp(score − max), snapped normalizer,
+    // 6-dp posterior; conf = the TRUE label's posterior
+    val mx = sc.groupBy(col("f"), col("doc_id")).agg(max(col("score")).as("mx"))
+    val z = sc.join(mx, Seq("f", "doc_id"))
+      .groupBy(col("f"), col("doc_id"))
+      .agg(Snap.snappedSum(exp(col("score") - col("mx")), 1e9).as("z"))
+    val pTrue = sc.filter(col("clab") === col("lab"))
+      .join(mx, Seq("f", "doc_id")).join(z, Seq("f", "doc_id"))
+      .select(col("f"), col("doc_id"), col("lab"),
+        round(exp(col("score") - col("mx")) / col("z"), 6).as("p"))
+    val correct = sc.groupBy(col("f"), col("doc_id"), col("lab"))
+      .agg(min(struct((-col("score")).as("ns"), col("clab"))).as("best"))
+      .select(col("f"), col("doc_id"),
+        when(col("best").getField("clab") === col("lab"), 1L)
+          .otherwise(0L).as("ok"))
+    // the 6-dp posterior lifts onto the integer 1e6 grid, so Σp/Σp²
+    // are EXACT longs and the population variance m·Σp² − (Σp)² is
+    // exactly 0 for identical posteriors (a 1e9 float snap of p²
+    // leaves ~1e-10 residue that rounds to a phantom 1e-5 std)
+    val per = pTrue.join(correct, Seq("f", "doc_id"))
+      .select(col("doc_id"), col("lab"),
+        floor(col("p") * lit(1e6) + lit(0.5)).cast("long").as("pl"),
+        col("ok"))
+      .groupBy(col("doc_id"), col("lab"))
+      .agg(count(lit(1)).as("m"), sum(col("pl")).as("sp"),
+        sum(col("pl") * col("pl")).as("spp"), sum(col("ok")).as("nok"))
+    val mD = col("m").cast("double")
+    // floor-snap (not round): sp/m hits EXACT 7th-decimal halves
+    // (quarter-integers / 1e6), where Spark's shortest-repr round and
+    // DuckDB's exact-binary round disagree — floor(x + 0.5) does not
+    val conf = floor(col("sp").cast("double") / mD + lit(0.5)) / lit(1e6)
+    val varb = floor(sqrt(greatest(lit(0.0),
+      mD * col("spp").cast("double") -
+        col("sp").cast("double") * col("sp").cast("double"))) / mD +
+      lit(0.5)) / lit(1e6)
+    per.select(col("doc_id"), col("lab"), col("m").as("n_models"),
+      conf.as("conf"), varb.as("variability"),
+      round(col("nok").cast("double") / mD, 6).as("correct_frac"),
+      when(conf >= 0.67, lit("easy")).when(conf <= 0.33, lit("hard"))
+        .otherwise(lit("ambiguous")).as("region"))
+  }
+
   /** Isotonic (monotone non-decreasing) calibration of a binary
     * outcome over confidence bins — the non-parametric repair of
     * [[calibrationReport]]'s diagnosed miscalibration (Zadrozny &

@@ -1406,6 +1406,51 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(1))
   }
 
+  test("seasonalDecompose: linear trend + zero-sum weekly pattern " +
+    "recovers both exactly with remainder 0; edges carry NULL trend") {
+    import graft.ops.Analytics
+    val s = Map(0L -> 3.0, 1L -> -1.0, 2L -> 0.0, 3L -> 2.0, 4L -> -2.0,
+      5L -> 1.0, 6L -> -3.0) // sums to 0
+    val df = (0L to 20L).map(p => (p, p.toDouble + s(p % 7)))
+      .toDF("p", "y")
+    val r = Analytics.seasonalDecompose(df, col("p"), col("y"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // interior day: MA(7) of the periodic part is 0, so trend = p,
+    // seasonal = s(phase), remainder = 0 — exactly
+    for (p <- 3L to 17L) {
+      assert(r(p).getDouble(2) == p.toDouble, s"trend at $p")
+      assert(r(p).getDouble(4) == s(p % 7), s"seasonal at $p")
+      assert(r(p).getDouble(5) == 0.0, s"remainder at $p")
+    }
+    // edge day: incomplete window → NULL trend/remainder, but the
+    // phase's seasonal index still serves
+    assert(r(0L).isNullAt(2) && r(0L).isNullAt(5) &&
+      r(0L).getDouble(4) == s(0L))
+    assert(r(20L).isNullAt(2))
+  }
+
+  test("cartographyReport: a mislabeled example maps to the hard " +
+    "region with correct_frac 0; clean examples easy; k=2 gives one " +
+    "model per doc and variability 0") {
+    import graft.ops.Quality
+    val docs = Seq(
+      (0L, "a", "xx xx xx"), (1L, "a", "xx xx xx"), (2L, "a", "xx xx xx"),
+      (3L, "b", "yy yy yy"), (4L, "b", "yy yy yy"),
+      (5L, "b", "xx xx xx")) // mislabeled: b-text is a-vocabulary
+      .toDF("doc_id", "lang", "text")
+    val r = Quality.cartographyReport(docs, col("doc_id"), col("text"),
+        col("lang"), k = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.values.forall(_.getLong(2) == 1L)) // k−1 = 1 model each
+    assert(r.values.forall(_.getDouble(4) == 0.0)) // std over 1 model
+    assert(r(0L).getString(6) == "easy" &&
+      r(0L).getDouble(5) == 1.0 && r(0L).getDouble(3) > 0.9)
+    assert(r(3L).getString(6) == "easy")
+    // the mislabel: its in-training model still reads xx as a-ish
+    assert(r(5L).getString(6) == "hard" && r(5L).getDouble(5) == 0.0 &&
+      r(5L).getDouble(3) < 0.35)
+  }
+
   test("ljungBox: alternating series has r1=-7/8, r2=6/8 and the " +
     "hand Q trajectory; constant series all NULL") {
     import graft.ops.Analytics

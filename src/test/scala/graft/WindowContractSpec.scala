@@ -106,6 +106,8 @@ object WindowContractSpec {
       "data-independent)"),
     "q289_ljung_box" -> ("calendar-bounded daily-series grid (day " +
       "index) and the 7-row lag axis — both data-independent"),
+    "q291_seasonal_decomp" -> ("calendar-bounded daily-series grid " +
+      "(the centered-MA window and its count run over days)"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
