@@ -1295,6 +1295,15 @@ object Quality {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("ok")).as("k"),
         Snap.snappedSum(col("conf"), 1e9).as("sc"))
+    isotonicFromBins(per)
+  }
+
+  /** The PAV minimax readout over an already-built per-bin
+    * (bin, n, k, sc) table — shared by [[isotonicCalibration]] and the
+    * streaming reliability sink, whose state is exactly this table
+    * (counts and snapped-decimal conf sums are additive, so the
+    * stream's merged state replays the batch computation verbatim). */
+  private[graft] def isotonicFromBins(per: DataFrame): DataFrame = {
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = per.select(col("bin"), col("n"), col("k"), col("sc"),

@@ -312,6 +312,68 @@ object StreamCuration {
       .start()
   }
 
+  /** q288's isotonic calibration maintained at INGEST — the 20th sink:
+    * a reliability monitor over a stream of (confidence, correct)
+    * prediction outcomes. State is the per-bin (n, k, snapped-Σconf)
+    * table — EXACTLY [[graft.ops.Quality.isotonicFromBins]]'s input —
+    * and every component is additive (longs + decimal-snapped sums),
+    * so each epoch's emitted curve is bit-identical to batch
+    * `isotonicCalibration` over the union of all arrived predictions,
+    * under any batch split (spec-pinned). State is ≤`bins` rows —
+    * bounded regardless of stream length. */
+  def startIsotonicSink(predStream: DataFrame, confCol: String,
+      correctCol: String, bins: Int, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(bins > 0, s"startIsotonicSink: bins=$bins")
+    val spark0 = predStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s9",
+          org.apache.spark.sql.types.DecimalType(38, 0)))))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      empty.localCheckpoint(true))
+    predStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val dec0 = lit(0).cast("decimal(38,0)")
+          val part = batch.select(
+              least(floor(col(confCol).cast("double") * lit(bins))
+                .cast("long"), lit(bins - 1L)).as("bin"),
+              col(confCol).cast("double").as("conf"),
+              when(col(correctCol).cast("boolean"), 1L).otherwise(0L)
+                .as("ok"))
+            .groupBy(col("bin"))
+            .agg(count(lit(1)).as("dn"), sum(col("ok")).as("dk"),
+              sum(floor(col("conf") * lit(1e9) + lit(0.5))
+                .cast("decimal(38,0)")).as("ds9"))
+          val next = state.get().join(part, Seq("bin"), "full_outer")
+            .select(col("bin"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n"),
+              (coalesce(col("k"), lit(0L)) + coalesce(col("dk"), lit(0L)))
+                .as("k"),
+              (coalesce(col("s9"), dec0) + coalesce(col("ds9"), dec0))
+                .cast("decimal(38,0)").as("s9"))
+            .localCheckpoint(true)
+          state.set(next)
+          val per = next.select(col("bin"), col("n"), col("k"),
+            (col("s9").cast("double") / lit(1e9)).as("sc"))
+          sink(graft.ops.Quality.isotonicFromBins(per), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q170's fill-in-the-middle construction at INGEST time: like the
     * span-corruption sink, the construction is a pure per-document
     * md5-derived function — union of batch outputs ≡ batch construction

@@ -1366,4 +1366,40 @@ class QualitySpec extends SparkSpec {
     // and the verdict itself: the level breaks after period 4
     assert(want.head.contains("4") || want.head.contains("5"))
   }
+
+  test("startIsotonicSink: each emission ≡ batch isotonicCalibration " +
+    "over all arrived predictions, under shuffled batch splits " +
+    "(additive per-bin state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the PAV-pooling fixture from the batch spec (+ a violation)
+    val all: Seq[(Double, Boolean)] =
+      Seq.fill(1)((0.1, true)) ++ Seq.fill(4)((0.1, false)) ++
+        Seq.fill(3)((0.35, true)) ++ Seq.fill(2)((0.35, false)) ++
+        Seq.fill(2)((0.6, true)) ++ Seq.fill(3)((0.6, false)) ++
+        Seq.fill(4)((0.85, true)) ++ Seq.fill(1)((0.85, false))
+    def run(batches: Seq[Seq[(Double, Boolean)]]): Seq[String] = {
+      val ms = MemoryStream[(Double, Boolean)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startIsotonicSink(
+        ms.toDF().toDF("conf", "ok"), "conf", "ok", 4,
+        java.nio.file.Files.createTempDirectory("iso-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("bin")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = Quality.isotonicCalibration(all.toDF("conf", "ok"),
+        col("conf"), col("ok"), 4)
+      .orderBy(col("bin")).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(7), all.slice(7, 14), all.drop(14)))
+    val b = run(Seq(all.reverse.take(11), all.reverse.drop(11)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // and the curve itself pooled the .6/.4 violation to .5/.5
+    assert(want.exists(_.contains("0.5")))
+  }
 }
