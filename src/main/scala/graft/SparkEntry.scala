@@ -3678,6 +3678,23 @@ object SparkEntry {
         docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
   }
 
+  /** Benford first-digit conformity of event values
+    * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
+    * the cheapest fabricated/truncated-amounts tripwire, with the
+    * digit read from the exact integer-cents string (no log10 near
+    * power-of-10 boundaries). */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.benfordReport(t(s, dir, "events"), col("value"))
+
+  /** Theil T inequality of per-doc token counts decomposed by source
+    * ([[ops.Sampling.theilDecomposition]], Theil 1967; Shorrocks
+    * 1980) — is the token-budget imbalance BETWEEN sources (fix the
+    * mixture) or WITHIN them (fix per-doc caps)? q105's Gini only
+    * says "how unequal". */
+  private def qTheil(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.theilDecomposition(t(s, dir, "documents"),
+      col("source"), size(TextStats.tokens(col("text"))))
+
   /** Ljung–Box autocorrelation test over daily event volume
     * ([[ops.Analytics.ljungBox]], Ljung & Box 1978) — "is yesterday
     * informative", the decide-before-you-model companion to q275's
@@ -4476,7 +4493,9 @@ object SparkEntry {
     "q289_ljung_box" -> (qLjungBox _),
     "q290_holt" -> (qHolt _),
     "q291_seasonal_decomp" -> (qSeasonalDecompose _),
-    "q292_cartography" -> (qCartography _))
+    "q292_cartography" -> (qCartography _),
+    "q293_benford" -> (qBenford _),
+    "q294_theil" -> (qTheil _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9685,6 +9704,51 @@ object SparkEntry {
         "CASE WHEN floor(CAST(sp AS DOUBLE) / CAST(m AS DOUBLE) + 0.5) / 1000000 >= CAST(0.67 AS DOUBLE) THEN 'easy' " +
         "WHEN floor(CAST(sp AS DOUBLE) / CAST(m AS DOUBLE) + 0.5) / 1000000 <= CAST(0.33 AS DOUBLE) THEN 'hard' " +
         "ELSE 'ambiguous' END AS region FROM per")
+    },
+    "q293_benford" ->
+      // first digit from the exact integer-cents STRING (no log10 at
+      // power-of-10 boundaries); expected = ln((d+1)/d)/ln 10; χ²
+      // terms snapped at 1e6; verdict at the χ²(8) 5% critical
+      ("WITH cx AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events), " +
+        "bx AS (SELECT CASE WHEN c > 0 THEN CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) END AS d FROM cx), " +
+        "per AS (SELECT d, count(*) AS o FROM bx GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(CASE WHEN d IS NOT NULL THEN o ELSE 0 END) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN d IS NULL THEN o ELSE 0 END) AS BIGINT) AS n_skipped FROM per), " +
+        "dg AS (SELECT unnest(generate_series(1, 9)) AS digit), " +
+        "rws AS (SELECT digit, coalesce(o, 0) AS n_obs, n, n_skipped, " +
+        "ln((CAST(digit AS DOUBLE) + 1) / CAST(digit AS DOUBLE)) / ln(CAST(10 AS DOUBLE)) AS pe " +
+        "FROM dg LEFT JOIN per ON per.d = dg.digit CROSS JOIN tot), " +
+        "sc2 AS MATERIALIZED (SELECT *, CASE WHEN n > 0 THEN CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) END AS po, " +
+        "CASE WHEN n > 0 THEN (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * pe) * " +
+        "(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * pe) / (CAST(n AS DOUBLE) * pe) END AS term FROM rws), " +
+        "ch AS (SELECT CAST(sum(CAST(floor(term * 1000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000 AS chi2 FROM sc2) " +
+        "SELECT digit, n_obs, round(pe, 6) AS p_expected, round(po, 6) AS p_observed, " +
+        "round(term, 6) AS chi2_term, round(chi2, 6) AS chi2, " +
+        "CASE WHEN chi2 IS NOT NULL THEN round(chi2, 6) > CAST(15.507 AS DOUBLE) END AS reject, " +
+        "n, n_skipped FROM sc2 CROSS JOIN ch"),
+    "q294_theil" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // exact-integer group sizes/sums; per-element entropy terms
+      // snapped at 1e9 against the global and the group mean; the
+      // |sources|-row decomposition re-snapped
+      "WITH bt AS (SELECT source AS g, CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents), " +
+        "per AS MATERIALIZED (SELECT g, count(*) AS ng, CAST(sum(x) AS BIGINT) AS xg FROM bt GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(xg) AS BIGINT) AS xt, count(*) AS k FROM per), " +
+        "wj AS (SELECT bt.g, bt.x, per.ng, per.xg, tot.n, tot.xt FROM bt JOIN per USING (g) CROSS JOIN tot), " +
+        "trm AS MATERIALIZED (SELECT g, " +
+        s"${snap("CASE WHEN x > 0 THEN CAST(x AS DOUBLE) / (CAST(xt AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(x AS DOUBLE) / (CAST(xt AS DOUBLE) / CAST(n AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END")} AS tg, " +
+        s"${snap("CASE WHEN x > 0 THEN CAST(x AS DOUBLE) / (CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE)) * ln(CAST(x AS DOUBLE) / (CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END")} AS tw " +
+        "FROM wj GROUP BY 1), " +
+        "dec AS (SELECT " +
+        s"${snap("tg / CAST(n AS DOUBLE)")} AS t_total, " +
+        s"${snap("CASE WHEN xg > 0 THEN CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE) * ln((CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE)) / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END")} AS t_between, " +
+        s"${snap("CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE) * (tw / CAST(ng AS DOUBLE))")} AS t_within, " +
+        "CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k " +
+        "FROM per JOIN trm USING (g) CROSS JOIN tot) " +
+        "SELECT n, k AS n_groups, round(t_total, 6) AS theil_total, " +
+        "round(t_between, 6) AS theil_between, round(t_within, 6) AS theil_within, " +
+        "round(CASE WHEN t_total > CAST(0 AS DOUBLE) THEN t_between / t_total END, 6) AS between_share FROM dec"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

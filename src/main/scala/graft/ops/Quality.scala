@@ -1150,6 +1150,70 @@ object Quality {
     outs.reduce(_.unionByName(_))
   }
 
+  /** Benford first-significant-digit conformity monitor (Benford
+    * 1938; Nigrini 2012's audit practice): organically-generated
+    * positive amounts follow P(d) = log₁₀(1+1/d); fabricated,
+    * truncated, or systematically-generated ones don't — the
+    * cheapest data-integrity tripwire for a value column. Per digit:
+    * observed vs expected share and the χ² contribution; the overall
+    * χ²(8) verdict at the 5% critical 15.507 rides every row (the
+    * per-digit diagram stays inspectable, the q169 convention).
+    *
+    * Exactness: values lift onto the integer `scale`-units grid
+    * (cents by default) and the FIRST DIGIT is read from the
+    * integer's decimal string — no log10 anywhere near a power-of-10
+    * boundary, where libm ulps flip floor(log10(v)) cross-engine.
+    * Expected shares are ln((d+1)/d)/ln(10) on exact small integers;
+    * χ² terms are IEEE-identical and snap at 1e6 (order-free, and
+    * headroom for the huge-n·gross-deviation corner a 1e9 grid
+    * would overflow). Non-positive/NULL values are excluded and
+    * COUNTED (n_skipped — stated, not hidden).
+    *
+    * Scale shape: one map-side-combined pass to the 9-row digit
+    * table; everything after is 9-row arithmetic with a one-row
+    * broadcast total. Returns (digit, n_obs, p_expected, p_observed,
+    * chi2_term, chi2, reject, n, n_skipped). */
+  def benfordReport(df: DataFrame, value: Column, scale: Int = 100)
+      : DataFrame = {
+    require(scale > 0, s"benfordReport: scale=$scale")
+    import graft.expr.Snap
+    val c = floor(value.cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val b = df.select(when(c > 0L,
+      substring(c.cast("string"), 1, 1).cast("long")).as("d"))
+    val per = b.groupBy(col("d")).agg(count(lit(1)).as("o"))
+    val digits = broadcast(df.sparkSession.range(1, 10)
+      .select(col("id").as("digit")))
+    val tot = per.agg(sum(when(col("d").isNotNull, col("o"))
+        .otherwise(lit(0L))).as("n"),
+      sum(when(col("d").isNull, col("o")).otherwise(lit(0L)))
+        .as("n_skipped"))
+    val nD = col("n").cast("double")
+    val dD = col("digit").cast("double")
+    val pExp = log((dD + lit(1.0)) / dD) / log(lit(10.0))
+    val rows = digits
+      .join(per.withColumnRenamed("d", "digit"), Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("o"), lit(0L)).as("n_obs"),
+        col("n"), col("n_skipped"), pExp.as("pe"))
+    val oD = col("n_obs").cast("double")
+    val term = when(col("n") > 0L,
+      (oD - nD * col("pe")) * (oD - nD * col("pe")) / (nD * col("pe")))
+    val scored = rows.select(col("digit"), col("n_obs"), col("n"),
+      col("n_skipped"), col("pe"),
+      when(col("n") > 0L, oD / nD).as("po"), term.as("term"))
+    val chi2 = scored.agg(Snap.snappedSum(col("term"), 1e6).as("chi2"))
+    scored.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        round(col("pe"), 6).as("p_expected"),
+        round(col("po"), 6).as("p_observed"),
+        round(col("term"), 6).as("chi2_term"),
+        round(col("chi2"), 6).as("chi2"),
+        when(col("chi2").isNotNull,
+          round(col("chi2"), 6) > lit(15.507)).as("reject"),
+        col("n"), col("n_skipped"))
+  }
+
   /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
     * Cartography: Mapping and Diagnosing Datasets with Training
     * Dynamics"), the cross-validation form: for each example, its

@@ -496,4 +496,67 @@ object Sampling {
         round(dEff, 6).as("effective_tokens"),
         round(dEff / alloc, 6).as("efficiency"))
   }
+
+  /** Theil T inequality index of a size measure, decomposed by group
+    * (Theil 1967; Shorrocks 1980 on why Theil and not Gini: T is the
+    * ONE standard index that decomposes ADDITIVELY,
+    * T = T_between + T_within) — for a corpus-token budget: is the
+    * imbalance a few giant SOURCES (between — fix the mixture) or
+    * giant docs inside each source (within — fix per-doc caps)?
+    * q105's Gini says only "how unequal".
+    *
+    *   T        = (1/N)·Σ_i (x_i/μ)·ln(x_i/μ)
+    *   T_between= Σ_g (X_g/X)·ln((X_g/X)/(N_g/N))
+    *   T_within = Σ_g (X_g/X)·T_g
+    *
+    * Exactness: all counts and size sums are exact longs, so every
+    * μ and share is an IEEE-identical ratio; per-element entropy
+    * terms snap at 1e9 (the q104 entropy convention; x = 0
+    * contributes 0 by the x·ln x convention); the group layer is
+    * |groups|-sized exact arithmetic. The additive identity holds to
+    * snap resolution and is spec-asserted.
+    *
+    * Scale shape: ONE map-side-combined corpus pass to per-group
+    * (N_g, X_g) plus one snapped per-group term sum over the same
+    * pass's rows; the decomposition is |groups|-row arithmetic with
+    * the totals as a one-row broadcast. Returns one row: (n, n_groups,
+    * theil_total, theil_between, theil_within, between_share). */
+  def theilDecomposition(df: DataFrame, grp: Column, x: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val b = df.select(grp.as("g"), x.cast("long").as("x"))
+    val per = b.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"))
+    val tot = per.agg(sum(col("ng")).as("n"), sum(col("xg")).as("xt"),
+      count(lit(1)).as("k"))
+    val nD = col("n").cast("double"); val xD = col("xt").cast("double")
+    val mu = xD / nD
+    // per-element terms against the GLOBAL mean (total) and the GROUP
+    // mean (within) in one pass over the corpus rows
+    val wj = b.join(broadcast(per), "g").crossJoin(broadcast(tot))
+    val xE = col("x").cast("double")
+    val muG = col("xg").cast("double") / col("ng").cast("double")
+    val terms = wj.groupBy(col("g"))
+      .agg(Snap.snappedSum(when(col("x") > 0L,
+          xE / mu * log(xE / mu)).otherwise(lit(0.0)), 1e9).as("tg"),
+        Snap.snappedSum(when(col("x") > 0L,
+          xE / muG * log(xE / muG)).otherwise(lit(0.0)), 1e9).as("tw"))
+    val dec = per.join(terms, "g").crossJoin(broadcast(tot))
+      .select(
+        Snap.snappedSum(col("tg") / nD, 1e9).as("t_total"),
+        Snap.snappedSum(when(col("xg") > 0L,
+          col("xg").cast("double") / xD *
+            log((col("xg").cast("double") / xD) /
+              (col("ng").cast("double") / nD))).otherwise(lit(0.0)), 1e9)
+          .as("t_between"),
+        Snap.snappedSum(col("xg").cast("double") / xD *
+          (col("tw") / col("ng").cast("double")), 1e9).as("t_within"),
+        max(col("n")).as("n"), max(col("k")).as("k"))
+    dec.select(col("n"), col("k").as("n_groups"),
+      round(col("t_total"), 6).as("theil_total"),
+      round(col("t_between"), 6).as("theil_between"),
+      round(col("t_within"), 6).as("theil_within"),
+      round(when(col("t_total") > 0.0, col("t_between") / col("t_total")),
+        6).as("between_share"))
+  }
 }

@@ -1406,6 +1406,45 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(1))
   }
 
+  test("benfordReport: digits read from exact integer cents; zeros/" +
+    "negatives counted as skipped; tiny conforming-ish sample keeps " +
+    "the null") {
+    import graft.ops.Quality
+    val df = Seq(1.00, 2.5, 19.99, 0.30, -5.0, 0.0, 900.0).toDF("v")
+    val r = Quality.benfordReport(df, col("v"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r(1L).getLong(7) == 5L && r(1L).getLong(8) == 2L)
+    assert(r(1L).getLong(1) == 2L && r(2L).getLong(1) == 1L &&
+      r(3L).getLong(1) == 1L && r(9L).getLong(1) == 1L &&
+      r(4L).getLong(1) == 0L)
+    assert(r(1L).getDouble(2) == r6(math.log(2.0) / math.log(10.0)))
+    assert(r(1L).getDouble(3) == 0.4)
+    assert(!r(1L).getBoolean(6)) // χ² ≈ 4.8 « 15.507
+    assert(r.keySet == (1L to 9L).toSet)
+  }
+
+  test("theilDecomposition: equal-within groups put ALL inequality " +
+    "between (T_within 0, share 1, T matches the analytic value); " +
+    "uniform corpus has T 0 and NULL share") {
+    import graft.ops.Sampling
+    val df = Seq(("g1", 2L), ("g1", 2L), ("g2", 4L), ("g2", 4L))
+      .toDF("g", "x")
+    val r = Sampling.theilDecomposition(df, col("g"), col("x"))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(4) == 0.0) // within: docs equal inside groups
+    assert(r.getDouble(2) == r.getDouble(3)) // total ≡ between here
+    assert(r.getDouble(5) == 1.0)
+    val want = (1.0 / 3.0) * math.log(2.0 / 3.0) +
+      (2.0 / 3.0) * math.log(4.0 / 3.0)
+    assert(math.abs(r.getDouble(2) - want) < 2e-6)
+    val flat = Sampling.theilDecomposition(
+      Seq(("a", 3L), ("a", 3L), ("b", 3L)).toDF("g", "x"),
+      col("g"), col("x")).collect().head
+    assert(flat.getDouble(2) == 0.0 && flat.isNullAt(5))
+  }
+
   test("seasonalDecompose: linear trend + zero-sum weekly pattern " +
     "recovers both exactly with remainder 0; edges carry NULL trend") {
     import graft.ops.Analytics
