@@ -3678,6 +3678,32 @@ object SparkEntry {
         docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
   }
 
+  /** Chapman capture–recapture estimate of the total near-dup pair
+    * population from the two independent dedup methods' catches —
+    * LSH-Jaccard candidates (q21) vs exact-SimHash collisions (q23)
+    * ([[ops.TextDedup.captureRecapture]], Chapman 1951; Seber 1982):
+    * "how many duplicate pairs did BOTH miss?", the recall question a
+    * dedup pipeline can't answer from inside one method. */
+  private def qChapman(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.simhash16(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+    val pb = sh.join(sh.select(col("doc_id").as("doc_b"), col("simhash")),
+        "simhash")
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    ops.TextDedup.captureRecapture(sharedLshCandidates(s, dir), pb,
+      "doc_a", "doc_b")
+  }
+
+  /** Youden-J optimal accept threshold over the q169 NB confidence
+    * ([[ops.Quality.youdenThreshold]], Youden 1950) — the
+    * selective-prediction router: accept the model's answer at
+    * conf ≥ t*, the operating point q241's risk-coverage curve only
+    * describes. */
+  private def qYouden(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.youdenThreshold(nbConfidence(s, dir), col("conf"),
+      col("pred_lab") === col("lang"))
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4495,7 +4521,9 @@ object SparkEntry {
     "q291_seasonal_decomp" -> (qSeasonalDecompose _),
     "q292_cartography" -> (qCartography _),
     "q293_benford" -> (qBenford _),
-    "q294_theil" -> (qTheil _))
+    "q294_theil" -> (qTheil _),
+    "q295_chapman" -> (qChapman _),
+    "q296_youden" -> (qYouden _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9749,6 +9777,76 @@ object SparkEntry {
         "SELECT n, k AS n_groups, round(t_total, 6) AS theil_total, " +
         "round(t_between, 6) AS theil_between, round(t_within, 6) AS theil_within, " +
         "round(CASE WHEN t_total > CAST(0 AS DOUBLE) THEN t_between / t_total END, 6) AS between_share FROM dec"
+    },
+    "q295_chapman" -> {
+      val bcols = (0 until 16).map(j =>
+        s"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      // catch 1 = the q21 LSH band candidates, catch 2 = exact
+      // 16-bit SimHash collisions; Chapman point + Seber variance
+      // over the three exact integer counts
+      s"WITH $shingleCte, " +
+        "tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tokd AS (SELECT DISTINCT doc_id, tok FROM tok0), " +
+        "hh AS (SELECT doc_id, md5(tok) AS h FROM tokd), " +
+        s"agg2 AS (SELECT doc_id, $bcols FROM hh GROUP BY 1), " +
+        s"sh2 AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg2), " +
+        "pb AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh2 a " +
+        "JOIN sh2 b ON a.simhash = b.simhash AND a.doc_id < b.doc_id), " +
+        "ca2 AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM cands), " +
+        "pbd AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM pb), " +
+        "nax AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM ca2), " +
+        "nbx AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM pbd), " +
+        "mx2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ca2 JOIN pbd USING (doc_a, doc_b)), " +
+        "fx AS (SELECT n1, n2, m, " +
+        "(CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1) / (CAST(m AS DOUBLE) + 1) - 1 AS nh, " +
+        "sqrt((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1) * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE)) * " +
+        "(CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE)) / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 2))) AS se " +
+        "FROM nax CROSS JOIN nbx CROSS JOIN mx2) " +
+        "SELECT n1 AS n_a, n2 AS n_b, m AS overlap, round(nh, 6) AS n_hat, " +
+        "round(se, 6) AS se, " +
+        "round(nh - CAST(1.959964 AS DOUBLE) * se, 6) AS ci_lo, " +
+        "round(nh + CAST(1.959964 AS DOUBLE) * se, 6) AS ci_hi FROM fx"
+    },
+    "q296_youden" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q169 confidence stanza → 6-dp score grid, exact reverse-
+      // cumulative TP/FP, J = TPR − FPR argmax via the (j, −t) struct
+      // max (ties to the LOWEST threshold)
+      (nbHoldoutCte +
+        ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        "ex AS (SELECT sc.doc_id, sc.clab, exp(score - mx) AS ex " +
+        "FROM sc JOIN mx USING (doc_id)), " +
+        s"z AS (SELECT doc_id, ${snap("ex")} AS z FROM ex GROUP BY 1), " +
+        "pp AS (SELECT ex.doc_id, ex.clab, round(ex.ex / z.z, 6) AS prob " +
+        "FROM ex JOIN z USING (doc_id)), " +
+        "cf AS (SELECT b.doc_id, b.clab AS pred_lab, pp.prob AS conf " +
+        "FROM best b JOIN pp ON pp.doc_id = b.doc_id AND pp.clab = b.clab), " +
+        "okt AS (SELECT cf.conf, CASE WHEN cf.pred_lab = te.lang THEN 1 ELSE 0 END AS ok " +
+        "FROM cf JOIN te USING (doc_id)), " +
+        "g2 AS (SELECT round(conf, 6) AS s, CAST(sum(ok) AS BIGINT) AS np, " +
+        "CAST(sum(1 - ok) AS BIGINT) AS nn FROM okt GROUP BY 1), " +
+        "tt2 AS (SELECT coalesce(CAST(sum(np) AS BIGINT), 0) AS p, " +
+        "coalesce(CAST(sum(nn) AS BIGINT), 0) AS n FROM g2), " +
+        "cu2 AS (SELECT s, CAST(sum(np) OVER (ORDER BY s DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp, " +
+        "CAST(sum(nn) OVER (ORDER BY s DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp FROM g2), " +
+        "cd2 AS (SELECT struct_pack(j := CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) - CAST(fp AS DOUBLE) / CAST(n AS DOUBLE), " +
+        "ns := -s, t := s, tp := tp, fp := fp) AS c FROM cu2 CROSS JOIN tt2 " +
+        "WHERE CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) - CAST(fp AS DOUBLE) / CAST(n AS DOUBLE) IS NOT NULL), " +
+        "bb2 AS (SELECT max(c) AS best FROM cd2), " +
+        "fy AS (SELECT p, n, best, p > 0 AND n > 0 AND best IS NOT NULL AS ok FROM tt2 CROSS JOIN bb2) " +
+        "SELECT p AS n_pos, n AS n_neg, " +
+        "CASE WHEN ok THEN best.t END AS threshold, " +
+        "round(CASE WHEN ok THEN CAST(best.tp AS DOUBLE) / CAST(p AS DOUBLE) END, 6) AS tpr, " +
+        "round(CASE WHEN ok THEN CAST(best.fp AS DOUBLE) / CAST(n AS DOUBLE) END, 6) AS fpr, " +
+        "round(CASE WHEN ok THEN best.j END, 6) AS j, " +
+        "round(CASE WHEN ok THEN (CAST(best.tp AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(best.fp AS DOUBLE))) / " +
+        "(CAST(p AS DOUBLE) + CAST(n AS DOUBLE)) END, 6) AS accuracy FROM fy")
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

@@ -1150,6 +1150,56 @@ object Quality {
     outs.reduce(_.unionByName(_))
   }
 
+  /** Youden-J optimal decision threshold (Youden 1950) for a score
+    * that predicts a binary outcome — HERE, the selective-prediction
+    * router next to q241's risk-coverage curve: accept the model's
+    * answer when confidence ≥ t*, where t* maximizes
+    * J(t) = TPR(t) − FPR(t), the threshold with the best
+    * informedness independent of class balance. Reports the operating
+    * point (TPR/FPR/accuracy at t*).
+    *
+    * Exactness: scores round to the 6-dp grid (bounding the distinct
+    * grid at 10⁶+1 — the q241/q242 discipline); TP/FP at each
+    * threshold are exact reverse-cumulative integers; J is a
+    * difference of exact-integer ratios (IEEE-identical), and the
+    * argmax packs (J, −t) into a struct max — ties break to the
+    * LOWEST threshold (accept more), order-free. Either class empty →
+    * NULL verdict. Scale: one corpus pass to the score grid, one
+    * grid-bounded window (whitelisted), one-row output. Returns
+    * (n_pos, n_neg, threshold, tpr, fpr, j, accuracy). */
+  def youdenThreshold(preds: DataFrame, score: Column, positive: Column)
+      : DataFrame = {
+    val b = preds.select(round(score.cast("double"), 6).as("s"),
+      when(positive, 1L).otherwise(0L).as("pos"))
+    val g = b.groupBy(col("s")).agg(sum(col("pos")).as("np"),
+      sum(lit(1L) - col("pos")).as("nn"))
+    val tot = g.agg(coalesce(sum(col("np")), lit(0L)).as("p"),
+      coalesce(sum(col("nn")), lit(0L)).as("n"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.select(col("s"), sum(col("np")).over(w).as("tp"),
+        sum(col("nn")).over(w).as("fp"))
+      .crossJoin(broadcast(tot))
+    val j = col("tp").cast("double") / col("p").cast("double") -
+      col("fp").cast("double") / col("n").cast("double")
+    val cand = cum
+      .select(struct(j.as("j"), (-col("s")).as("ns"), col("s").as("t"),
+        col("tp"), col("fp")).as("c"))
+      .filter(col("c").getField("j").isNotNull)
+    val best = cand.agg(max(col("c")).as("best"))
+    val tp = col("best").getField("tp").cast("double")
+    val fp = col("best").getField("fp").cast("double")
+    val pD = col("p").cast("double"); val nD = col("n").cast("double")
+    val ok = col("p") > 0L && col("n") > 0L && col("best").isNotNull
+    tot.crossJoin(best)
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        when(ok, col("best").getField("t")).as("threshold"),
+        round(when(ok, tp / pD), 6).as("tpr"),
+        round(when(ok, fp / nD), 6).as("fpr"),
+        round(when(ok, col("best").getField("j")), 6).as("j"),
+        round(when(ok, (tp + (nD - fp)) / (pD + nD)), 6).as("accuracy"))
+  }
+
   /** Benford first-significant-digit conformity monitor (Benford
     * 1938; Nigrini 2012's audit practice): organically-generated
     * positive amounts follow P(d) = log₁₀(1+1/d); fabricated,

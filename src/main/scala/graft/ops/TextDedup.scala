@@ -1133,4 +1133,45 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Chapman capture–recapture estimate of the TOTAL duplicate-pair
+    * population from two independent dedup methods' catches (Chapman
+    * 1951's bias-corrected Lincoln–Petersen; Seber 1982 §3.1 for the
+    * variance) — the question every recall-free dedup pipeline can't
+    * otherwise answer: "how many near-dup pairs did BOTH methods
+    * miss?" Catch 1 = method A's pair set, catch 2 = method B's; the
+    * overlap plays the marked-recapture count:
+    *   N̂  = (n₁+1)(n₂+1)/(m+1) − 1
+    *   v̂ar = (n₁+1)(n₂+1)(n₁−m)(n₂−m)/((m+1)²(m+2))
+    * The independence assumption is real (and stated): LSH-Jaccard
+    * and SimHash-Hamming miss DIFFERENT pairs, which is exactly why
+    * the pairing is informative.
+    *
+    * Exactness: three exact integer counts; the estimator is a fixed
+    * parenthesization of their doubles (IEEE-identical); m = 0 is
+    * fine by construction (the +1s are Chapman's point). Scale: two
+    * pair-table distincts + one pair-keyed join + three one-row
+    * aggregates — never touches the corpus. Returns one row:
+    * (n_a, n_b, overlap, n_hat, se, ci_lo, ci_hi). */
+  def captureRecapture(pairsA: DataFrame, pairsB: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val a = pairsA.select(col(aCol).as("pa"), col(bCol).as("pb")).distinct()
+    val b = pairsB.select(col(aCol).as("pa"), col(bCol).as("pb")).distinct()
+    val na = a.agg(count(lit(1)).as("n1"))
+    val nb = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, Seq("pa", "pb")).agg(count(lit(1)).as("m"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val mD = col("m").cast("double")
+    val nHat = (n1D + lit(1.0)) * (n2D + lit(1.0)) / (mD + lit(1.0)) -
+      lit(1.0)
+    val varHat = (n1D + lit(1.0)) * (n2D + lit(1.0)) * (n1D - mD) *
+      (n2D - mD) / ((mD + lit(1.0)) * (mD + lit(1.0)) * (mD + lit(2.0)))
+    val se = sqrt(varHat)
+    na.crossJoin(nb).crossJoin(m)
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        col("m").as("overlap"),
+        round(nHat, 6).as("n_hat"), round(se, 6).as("se"),
+        round(nHat - lit(1.959964) * se, 6).as("ci_lo"),
+        round(nHat + lit(1.959964) * se, 6).as("ci_hi"))
+  }
 }

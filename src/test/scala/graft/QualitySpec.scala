@@ -536,6 +536,44 @@ class QualitySpec extends SparkSpec {
     assert(starved.isNullAt(4) && starved.getDouble(5) == 1.0)
   }
 
+  test("captureRecapture: Chapman point and Seber variance by hand; " +
+    "duplicate rows in a catch don't inflate it") {
+    import graft.ops.TextDedup
+    val a = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 5L))
+      .toDF("doc_a", "doc_b") // dup row collapses
+    val b = Seq((1L, 2L), (4L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val r = TextDedup.captureRecapture(a, b, "doc_a", "doc_b")
+      .collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == r6(5.0 * 4.0 / 3.0 - 1.0))
+    assert(r.getDouble(4) ==
+      r6(math.sqrt(5.0 * 4.0 * 2.0 * 1.0 / (3.0 * 3.0 * 4.0))))
+  }
+
+  test("youdenThreshold: hand ROC sweep picks the J-max operating " +
+    "point; J ties break to the LOWEST threshold; one-class NULL") {
+    val preds = Seq((0.9, true), (0.8, true), (0.6, true),
+      (0.7, false), (0.4, false), (0.3, false), (0.1, false))
+      .toDF("s", "pos")
+    val r = Quality.youdenThreshold(preds, col("s"), col("pos"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.6 && r.getDouble(3) == 1.0 &&
+      r.getDouble(4) == 0.25 && r.getDouble(5) == 0.75)
+    assert(r.getDouble(6) == BigDecimal(6.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // J = 0.5 at both t = 1.0 and t = 0.5: accept-more wins
+    val tie = Quality.youdenThreshold(
+      Seq((1.0, true), (0.5, true), (0.7, false), (0.2, false))
+        .toDF("s", "pos"), col("s"), col("pos")).collect().head
+    assert(tie.getDouble(2) == 0.5)
+    val oneClass = Quality.youdenThreshold(
+      Seq((0.9, true), (0.4, true)).toDF("s", "pos"), col("s"),
+      col("pos")).collect().head
+    assert(oneClass.isNullAt(2) && oneClass.isNullAt(5))
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
