@@ -3704,6 +3704,26 @@ object SparkEntry {
     ops.Quality.youdenThreshold(nbConfidence(s, dir), col("conf"),
       col("pred_lab") === col("lang"))
 
+  /** DeLong AUC confidence interval for the q169 confidence-predicts-
+    * correctness score ([[ops.Quality.delongAuc]], DeLong et al.
+    * 1988) — the distribution-free error bar q168's point AUC lacks,
+    * from placement variances, no bootstrap. */
+  private def qDelong(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.delongAuc(nbConfidence(s, dir), col("conf"),
+      col("pred_lab") === col("lang"))
+
+  /** Fisher randomization test for the arm difference in per-user
+    * value totals ([[ops.Analytics.randomizationTest]], Fisher 1935;
+    * Phipson & Smyth 2010 p-convention), 199 md5-deterministic
+    * relabelings — assumption-free inference under the A/B stack. */
+  private def qRandomization(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(graft.expr.Snap.snappedSum(col("value"), 1e9).as("y"))
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.randomizationTest(units, col("user_id"), col("y"), isA)
+  }
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4523,7 +4543,9 @@ object SparkEntry {
     "q293_benford" -> (qBenford _),
     "q294_theil" -> (qTheil _),
     "q295_chapman" -> (qChapman _),
-    "q296_youden" -> (qYouden _))
+    "q296_youden" -> (qYouden _),
+    "q297_delong_auc" -> (qDelong _),
+    "q298_randomization" -> (qRandomization _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9847,6 +9869,84 @@ object SparkEntry {
         "round(CASE WHEN ok THEN best.j END, 6) AS j, " +
         "round(CASE WHEN ok THEN (CAST(best.tp AS DOUBLE) + (CAST(n AS DOUBLE) - CAST(best.fp AS DOUBLE))) / " +
         "(CAST(p AS DOUBLE) + CAST(n AS DOUBLE)) END, 6) AS accuracy FROM fy")
+    },
+    "q297_delong_auc" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      val snap6 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000"
+      // placements u/(2N) off exclusive cumulative windows on the 6-dp
+      // score grid; weighted moment sums snapped at 1e6; the DeLong
+      // variance S²(V10)/P + S²(V01)/N
+      (nbHoldoutCte +
+        ", mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        "ex AS (SELECT sc.doc_id, sc.clab, exp(score - mx) AS ex " +
+        "FROM sc JOIN mx USING (doc_id)), " +
+        s"z AS (SELECT doc_id, ${snap9("ex")} AS z FROM ex GROUP BY 1), " +
+        "pp AS (SELECT ex.doc_id, ex.clab, round(ex.ex / z.z, 6) AS prob " +
+        "FROM ex JOIN z USING (doc_id)), " +
+        "cf AS (SELECT b.doc_id, b.clab AS pred_lab, pp.prob AS conf " +
+        "FROM best b JOIN pp ON pp.doc_id = b.doc_id AND pp.clab = b.clab), " +
+        "okt AS (SELECT cf.conf, CASE WHEN cf.pred_lab = te.lang THEN 1 ELSE 0 END AS ok " +
+        "FROM cf JOIN te USING (doc_id)), " +
+        "g2 AS (SELECT round(conf, 6) AS s, CAST(sum(ok) AS BIGINT) AS np, " +
+        "CAST(sum(1 - ok) AS BIGINT) AS nn FROM okt GROUP BY 1), " +
+        "tt2 AS (SELECT coalesce(CAST(sum(np) AS BIGINT), 0) AS p, " +
+        "coalesce(CAST(sum(nn) AS BIGINT), 0) AS n FROM g2), " +
+        "cu2 AS (SELECT s, np, nn, " +
+        "coalesce(CAST(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS negbelow, " +
+        "coalesce(CAST(sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS posabove " +
+        "FROM g2), " +
+        "cu3 AS (SELECT np, nn, " +
+        "CAST(2 * negbelow + nn AS DOUBLE) / (2 * CAST(n AS DOUBLE)) AS v10, " +
+        "CAST(2 * posabove + np AS DOUBLE) / (2 * CAST(p AS DOUBLE)) AS v01, p, n " +
+        "FROM cu2 CROSS JOIN tt2), " +
+        "mom AS (SELECT CAST(max(p) AS BIGINT) AS p, CAST(max(n) AS BIGINT) AS n, " +
+        s"${snap6("CAST(np AS DOUBLE) * v10")} AS s1, " +
+        s"${snap6("CAST(np AS DOUBLE) * v10 * v10")} AS s2, " +
+        s"${snap6("CAST(nn AS DOUBLE) * v01")} AS t1, " +
+        s"${snap6("CAST(nn AS DOUBLE) * v01 * v01")} AS t2 FROM cu3), " +
+        "fz AS (SELECT p, n, s1 / CAST(p AS DOUBLE) AS auc, " +
+        "sqrt(greatest(CAST(0 AS DOUBLE), " +
+        "((s2 - s1 * s1 / CAST(p AS DOUBLE)) / (CAST(p AS DOUBLE) - 1)) / CAST(p AS DOUBLE) + " +
+        "((t2 - t1 * t1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) / CAST(n AS DOUBLE))) AS se, " +
+        "p >= 2 AND n >= 2 AS ok FROM mom) " +
+        "SELECT p AS n_pos, n AS n_neg, " +
+        "round(CASE WHEN ok THEN auc END, 6) AS auc, " +
+        "round(CASE WHEN ok THEN se END, 6) AS se, " +
+        "round(CASE WHEN ok THEN auc - CAST(1.959964 AS DOUBLE) * se END, 6) AS ci_lo, " +
+        "round(CASE WHEN ok THEN auc + CAST(1.959964 AS DOUBLE) * se END, 6) AS ci_hi FROM fz")
+    },
+    "q298_randomization" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // 199 md5-deterministic relabelings via the replicate axis;
+      // per-replicate snapped arm sums; p = (1+b)/(R+1)
+      "WITH uy0 AS (SELECT CAST(user_id AS VARCHAR) AS u, " +
+        s"${snap9("value")} AS y FROM events GROUP BY 1), " +
+        "uy AS MATERIALIZED (SELECT u, y, " +
+        "CAST(('0x' || substr(md5(u), 1, 8)) AS BIGINT) % 100 < 50 AS a FROM uy0), " +
+        "ob AS (SELECT count(*) AS nu, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        s"${snap9("CASE WHEN a THEN y ELSE CAST(0 AS DOUBLE) END")} AS sa, " +
+        s"${snap9("CASE WHEN NOT a THEN y ELSE CAST(0 AS DOUBLE) END")} AS sb FROM uy), " +
+        "obd AS (SELECT nu, CASE WHEN na > 0 AND na < nu THEN " +
+        "sa / CAST(na AS DOUBLE) - sb / CAST(nu - na AS DOUBLE) END AS diff_obs FROM ob), " +
+        "rx AS (SELECT unnest(generate_series(0, 198)) AS r), " +
+        "rr2 AS (SELECT r, y, CAST(('0x' || substr(md5(u || '|' || CAST(r AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 AS ra " +
+        "FROM uy CROSS JOIN rx), " +
+        "rd AS (SELECT r, count(*) AS nu, CAST(sum(CASE WHEN ra THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        s"${snap9("CASE WHEN ra THEN y ELSE CAST(0 AS DOUBLE) END")} AS sa, " +
+        s"${snap9("CASE WHEN NOT ra THEN y ELSE CAST(0 AS DOUBLE) END")} AS sb " +
+        "FROM rr2 GROUP BY 1), " +
+        "rdd AS (SELECT r, CASE WHEN na > 0 AND na < nu THEN " +
+        "sa / CAST(na AS DOUBLE) - sb / CAST(nu - na AS DOUBLE) END AS diff FROM rd), " +
+        "exx AS (SELECT CAST(sum(CASE WHEN abs(diff) >= abs(diff_obs) THEN 1 ELSE 0 END) AS BIGINT) AS b " +
+        "FROM rdd CROSS JOIN obd) " +
+        "SELECT CAST(nu AS BIGINT) AS n_units, CAST(199 AS BIGINT) AS n_reps, " +
+        "round(diff_obs, 6) AS diff_obs, b AS n_extreme, " +
+        "round(CASE WHEN diff_obs IS NOT NULL THEN CAST(b + 1 AS DOUBLE) / 200 END, 6) AS p_value, " +
+        "CASE WHEN diff_obs IS NOT NULL THEN round(CAST(b + 1 AS DOUBLE) / 200, 6) <= CAST(0.05 AS DOUBLE) END AS reject " +
+        "FROM obd CROSS JOIN exx"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

@@ -2049,6 +2049,68 @@ object Analytics {
         round(when(ok, p), 6).as("p_value"))
   }
 
+  /** Fisher randomization (permutation) test for an arm difference in
+    * unit-level means (Fisher 1935 §II; p-value convention of Phipson
+    * & Smyth 2010: p = (1+b)/(R+1), never exactly 0) — the
+    * assumption-free inference layer under the A/B stack: no
+    * normality, no variance formula, just "how often does a random
+    * relabeling beat the observed split". Relabelings are
+    * md5-DETERMINISTIC (arm_r = md5(unit|r) parity), so every engine
+    * scores the identical R pseudo-assignments — Monte Carlo without
+    * a random number generator, replayable forever.
+    *
+    * Exactness: per-replicate arm sums snap at 1e9; each diff is a
+    * ratio-difference of snapped doubles; the extremeness comparison
+    * |diff_r| ≥ |diff_obs| compares identical doubles. A replicate
+    * that loses an arm entirely (vanishingly rare under parity
+    * hashing) yields NULL diff and never counts as extreme —
+    * conservative and stated.
+    *
+    * Scale shape: the unit table fans out ×R via the R-row replicate
+    * axis and collapses map-side to R rows — the standard Monte Carlo
+    * compute cost, ZERO extra shuffle width (the aggregation key is
+    * r). Returns one row: (n_units, n_reps, diff_obs, n_extreme,
+    * p_value, reject). */
+  def randomizationTest(units: DataFrame, unit: Column, y: Column,
+      isA: Column, reps: Int = 199): DataFrame = {
+    import graft.expr.Snap
+    require(reps >= 1, s"randomizationTest: reps=$reps")
+    val b = units.select(unit.cast("string").as("u"),
+      y.cast("double").as("y"), isA.as("a"))
+    def diffOf(df: DataFrame, arm: Column, keys: Seq[Column]): DataFrame = {
+      val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys: _*)
+      g.agg(count(lit(1)).as("nu"),
+          sum(when(arm, 1L).otherwise(0L)).as("na"),
+          Snap.snappedSum(when(arm, col("y")).otherwise(lit(0.0)), 1e9)
+            .as("sa"),
+          Snap.snappedSum(when(!arm, col("y")).otherwise(lit(0.0)), 1e9)
+            .as("sb"))
+        .select((keys.map(_ => col("r")) :+ col("nu") :+
+          when(col("na") > 0L && col("na") < col("nu"),
+            col("sa") / col("na").cast("double") -
+              col("sb") / (col("nu") - col("na")).cast("double"))
+            .as("diff")): _*)
+    }
+    val obs = diffOf(b, col("a"), Seq.empty)
+      .select(col("nu").as("n_units"), col("diff").as("diff_obs"))
+    val repAxis = broadcast(units.sparkSession.range(reps)
+      .select(col("id").as("r")))
+    val ra = pmod(conv(substring(md5(concat(col("u"), lit("|"),
+      col("r").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L)) === 0L
+    val diffs = diffOf(b.crossJoin(repAxis), ra, Seq(col("r")))
+    val ext = diffs.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(col("diff")) >= abs(col("diff_obs")), 1L)
+        .otherwise(0L)).as("b"))
+    val p = (col("b") + lit(1L)).cast("double") / lit((reps + 1).toDouble)
+    obs.crossJoin(broadcast(ext))
+      .select(col("n_units"), lit(reps.toLong).as("n_reps"),
+        round(col("diff_obs"), 6).as("diff_obs"),
+        col("b").as("n_extreme"),
+        round(when(col("diff_obs").isNotNull, p), 6).as("p_value"),
+        when(col("diff_obs").isNotNull, round(p, 6) <= lit(0.05))
+          .as("reject"))
+  }
+
   /** Ljung–Box portmanteau autocorrelation test (Ljung & Box 1978)
     * over a per-period series — "is yesterday informative about
     * today": per lag k ≤ `maxLag`, the autocorrelation r_k of the

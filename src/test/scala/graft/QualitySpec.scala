@@ -574,6 +574,49 @@ class QualitySpec extends SparkSpec {
     assert(oneClass.isNullAt(2) && oneClass.isNullAt(5))
   }
 
+  test("delongAuc: tie-aware placements give the hand AUC and DeLong " +
+    "se; perfect separation has se 0; tiny classes NULL") {
+    val preds = Seq((0.8, true), (0.4, true), (0.8, false), (0.2, false))
+      .toDF("s", "pos")
+    val r = Quality.delongAuc(preds, col("s"), col("pos")).collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // V10 = {.75, .5}, V01 = {.25, 1}: AUC = .625,
+    // var = .03125/2 + .28125/2 = .15625
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.625)
+    assert(r.getDouble(3) == r6(math.sqrt(0.15625)))
+    val perfect = Quality.delongAuc(
+      Seq((0.9, true), (0.8, true), (0.7, false), (0.6, false))
+        .toDF("s", "pos"), col("s"), col("pos")).collect().head
+    assert(perfect.getDouble(2) == 1.0 && perfect.getDouble(3) == 0.0 &&
+      perfect.getDouble(4) == 1.0 && perfect.getDouble(5) == 1.0)
+    val tiny = Quality.delongAuc(
+      Seq((0.9, true), (0.7, false), (0.6, false)).toDF("s", "pos"),
+      col("s"), col("pos")).collect().head
+    assert(tiny.isNullAt(2) && tiny.isNullAt(3))
+  }
+
+  test("randomizationTest: a null effect keeps p near 1; an effect " +
+    "aligned with the observed split is never re-beaten (p = 1/(R+1))") {
+    import graft.ops.Analytics
+    val flat = (1 to 16).map(i => (i.toLong, 5.0)).toDF("u", "y")
+    val arm = pmod(conv(substring(md5(col("u").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    val r0 = Analytics.randomizationTest(flat, col("u"), col("y"), arm)
+      .collect().head
+    assert(r0.getLong(1) == 199L && r0.getDouble(2) == 0.0)
+    assert(r0.getDouble(4) >= 0.9 && !r0.getBoolean(5))
+    // y IS the observed arm: no relabeling re-separates it exactly
+    val strong = (1 to 40).map(_.toLong).toDF("u")
+      .select(col("u"), when(pmod(conv(substring(
+        md5(col("u").cast("string")), 1, 8), 16, 10).cast("long"),
+        lit(100L)) < 50, 10.0).otherwise(0.0).as("y"))
+    val r1 = Analytics.randomizationTest(strong, col("u"), col("y"), arm)
+      .collect().head
+    assert(r1.getDouble(2) == 10.0 && r1.getLong(3) == 0L &&
+      r1.getDouble(4) == 0.005 && r1.getBoolean(5))
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

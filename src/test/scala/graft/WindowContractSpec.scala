@@ -110,6 +110,8 @@ object WindowContractSpec {
       "(the centered-MA window and its count run over days)"),
     "q296_youden" -> ("distinct 6-dp confidence grid: hard-capped at " +
       "10^6+1 rows by rounding (scores live in [0,1])"),
+    "q297_delong_auc" -> ("distinct 6-dp confidence grid: hard-capped " +
+      "at 10^6+1 rows by rounding (scores live in [0,1])"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
