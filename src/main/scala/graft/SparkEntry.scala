@@ -3724,6 +3724,35 @@ object SparkEntry {
     ops.Analytics.randomizationTest(units, col("user_id"), col("y"), isA)
   }
 
+  /** Stationary distribution of the q95 event-type transition chain
+    * ([[ops.Graph.stationaryDistribution]], power iteration; Kemeny &
+    * Snell 1960) — the LONG-RUN occupancy the one-step matrix only
+    * hints at, with a total-variation convergence readout. */
+  private def qStationary(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    ops.Graph.stationaryDistribution(pairs, col("event_type"),
+      col("next_type"), col("n"))
+  }
+
+  /** Mutual information (bits) + Cramér's V between source and the
+    * gopher keep verdict ([[ops.Analytics.contingencyAssociation]],
+    * Shannon 1948; Cramér 1946) — the EFFECT-SIZE pair next to q219's
+    * χ² significance: how much does knowing the source tell the gate? */
+  private def qContingency(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keep = TextStats.gopherRules(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("keep"))
+    ops.Analytics.contingencyAssociation(
+      docs.join(keep, "doc_id"), col("source"), col("keep"))
+  }
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4545,7 +4574,9 @@ object SparkEntry {
     "q295_chapman" -> (qChapman _),
     "q296_youden" -> (qYouden _),
     "q297_delong_auc" -> (qDelong _),
-    "q298_randomization" -> (qRandomization _))
+    "q298_randomization" -> (qRandomization _),
+    "q299_stationary" -> (qStationary _),
+    "q300_contingency" -> (qContingency _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9947,6 +9978,63 @@ object SparkEntry {
         "round(CASE WHEN diff_obs IS NOT NULL THEN CAST(b + 1 AS DOUBLE) / 200 END, 6) AS p_value, " +
         "CASE WHEN diff_obs IS NOT NULL THEN round(CAST(b + 1 AS DOUBLE) / 200, 6) <= CAST(0.05 AS DOUBLE) END AS reject " +
         "FROM obd CROSS JOIN exx"
+    },
+    "q299_stationary" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      def round6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000"
+      def step(prev: String, i: Int): String =
+        s"r$i AS (SELECT dst AS state, ${snap9("pi * p")} AS raw " +
+          s"FROM $prev JOIN pm ON $prev.state = pm.src GROUP BY 1), " +
+          s"z$i AS (SELECT ${snap9("raw")} AS z FROM r$i), " +
+          s"p$i AS MATERIALIZED (SELECT st.state, " +
+          s"${round6(s"CASE WHEN z > CAST(0 AS DOUBLE) THEN coalesce(raw, CAST(0 AS DOUBLE)) / z ELSE CAST(0 AS DOUBLE) END")} AS pi " +
+          s"FROM st LEFT JOIN r$i USING (state) CROSS JOIN z$i), "
+      // q95's transition counts → row-stochastic P; three unrolled
+      // snapped+renormalized passes from uniform; TV delta between
+      // the last two iterates rides every row
+      "WITH s0 AS (SELECT user_id, event_type, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), " +
+        "tc AS MATERIALIZED (SELECT event_type AS src, next_type AS dst, count(*) AS n FROM s0 " +
+        "WHERE next_type IS NOT NULL GROUP BY 1, 2), " +
+        "rt AS (SELECT src, CAST(sum(n) AS BIGINT) AS rt FROM tc GROUP BY 1), " +
+        "pm AS MATERIALIZED (SELECT tc.src, tc.dst, CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) AS p FROM tc JOIN rt USING (src)), " +
+        "st AS MATERIALIZED (SELECT src AS state FROM tc UNION SELECT dst FROM tc), " +
+        "kx AS (SELECT count(*) AS k FROM st), " +
+        s"p0 AS MATERIALIZED (SELECT state, ${round6("CAST(1 AS DOUBLE) / CAST(k AS DOUBLE)")} AS pi FROM st CROSS JOIN kx), " +
+        step("p0", 1) + step("p1", 2) + step("p2", 3) +
+        s"tvx AS (SELECT ${snap9("abs(p3.pi - p2.pi)")} / 2 AS tv " +
+        "FROM p3 JOIN p2 ON p3.state = p2.state) " +
+        "SELECT p3.state, p3.pi AS p_stationary, round(tv, 6) AS tv_delta " +
+        "FROM p3 CROSS JOIN tvx"
+    },
+    "q300_contingency" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      val snap6 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000"
+      // full r×c grid (zero cells included — χ² needs their expected
+      // mass; MI drops them by 0·log0 = 0); exact margins; MI bits
+      // snapped at 1e9, χ² at 1e6
+      (s"WITH $gopherStatsCte, " +
+        s"kv AS (SELECT d.source AS r, CAST((CASE WHEN $gopherKeepPred THEN true ELSE false END) AS VARCHAR) AS c " +
+        "FROM m JOIN documents d USING (doc_id)), " +
+        "cell AS MATERIALIZED (SELECT r, c, count(*) AS n FROM kv GROUP BY 1, 2), " +
+        "rm AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cell GROUP BY 1), " +
+        "cm AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cell GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, " +
+        "CAST(count(DISTINCT r) AS BIGINT) AS kr, CAST(count(DISTINCT c) AS BIGINT) AS kc FROM cell), " +
+        "grid AS (SELECT nr, nc, coalesce(n, 0) AS n, nt, kr, kc " +
+        "FROM rm CROSS JOIN cm LEFT JOIN cell USING (r, c) CROSS JOIN tot), " +
+        "mm AS (SELECT max(nt) AS nt, max(kr) AS kr, max(kc) AS kc, " +
+        s"${snap9("CASE WHEN n > 0 THEN CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * (ln(CAST(n AS DOUBLE) * CAST(nt AS DOUBLE) / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE))) / ln(CAST(2 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END")} AS mi, " +
+        s"${snap6("(CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)) / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))")} AS chi2 " +
+        "FROM grid) " +
+        "SELECT nt AS n, kr AS n_rows, kc AS n_cols, " +
+        "round(CASE WHEN nt > 0 THEN mi END, 6) AS mi_bits, " +
+        "round(CASE WHEN nt > 0 THEN chi2 END, 6) AS chi2, " +
+        "round(CASE WHEN nt > 0 AND least(kr, kc) >= 2 THEN " +
+        "sqrt(chi2 / (CAST(nt AS DOUBLE) * (CAST(least(kr, kc) AS DOUBLE) - 1))) END, 6) AS cramers_v FROM mm")
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

@@ -2049,6 +2049,60 @@ object Analytics {
         round(when(ok, p), 6).as("p_value"))
   }
 
+  /** Contingency-table association report: plug-in mutual information
+    * in bits (Shannon 1948; Cover & Thomas 2006 §2.3) plus Cramér's V
+    * (Cramér 1946 §21.9) for two categorical columns — the EFFECT
+    * SIZE pair next to q219's χ² significance test: χ² says "not
+    * independent", MI says how many bits one column reveals about the
+    * other, V puts it on the [0,1] scale comparable across table
+    * shapes.
+    *
+    * Exactness: the full r×c cell grid materializes (zero cells
+    * INCLUDED — χ² needs their expected mass; MI's 0·log 0 = 0
+    * convention drops them); every margin is an exact long; MI terms
+    * (n/N)·log₂(nN/(n_r·n_c)) snap at 1e9, χ² terms at 1e6 (they
+    * scale with N). min(r,c) < 2 → NULL V (undefined).
+    *
+    * Scale shape: one map-side-combined corpus pass to the cell
+    * table; the grid completion is a (distinct-rows × distinct-cols)
+    * bounded fanout; single-row output. Returns (n, n_rows, n_cols,
+    * mi_bits, chi2, cramers_v). */
+  def contingencyAssociation(df: DataFrame, row: Column, colC: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val cell = df.select(row.cast("string").as("r"),
+        colC.cast("string").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+    val rm = cell.groupBy(col("r")).agg(sum(col("n")).as("nr"))
+    val cm = cell.groupBy(col("c")).agg(sum(col("n")).as("nc"))
+    val tot = cell.agg(sum(col("n")).as("nt"),
+      countDistinct(col("r")).as("kr"), countDistinct(col("c")).as("kc"))
+    val grid = rm.crossJoin(cm)
+      .join(cell, Seq("r", "c"), "left")
+      .select(col("nr"), col("nc"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast("double"); val ntD = col("nt").cast("double")
+    val nrD = col("nr").cast("double"); val ncD = col("nc").cast("double")
+    val eCell = nrD * ncD / ntD
+    val miTerm = when(col("n") > 0L,
+      nD / ntD * (log(nD * ntD / (nrD * ncD)) / log(lit(2.0))))
+      .otherwise(lit(0.0))
+    val chiTerm = (nD - eCell) * (nD - eCell) / eCell
+    val m = grid.agg(max(col("nt")).as("nt"), max(col("kr")).as("kr"),
+      max(col("kc")).as("kc"),
+      Snap.snappedSum(miTerm, 1e9).as("mi"),
+      Snap.snappedSum(chiTerm, 1e6).as("chi2"))
+    val minK = least(col("kr"), col("kc")).cast("double")
+    val ok = col("nt") > 0L && least(col("kr"), col("kc")) >= 2L
+    m.select(col("nt").as("n"), col("kr").as("n_rows"),
+      col("kc").as("n_cols"),
+      round(when(col("nt") > 0L, col("mi")), 6).as("mi_bits"),
+      round(when(col("nt") > 0L, col("chi2")), 6).as("chi2"),
+      round(when(ok, sqrt(col("chi2") /
+        (col("nt").cast("double") * (minK - lit(1.0))))), 6)
+        .as("cramers_v"))
+  }
+
   /** Fisher randomization (permutation) test for an arm difference in
     * unit-level means (Fisher 1935 §II; p-value convention of Phipson
     * & Smyth 2010: p = (1+b)/(R+1), never exactly 0) — the

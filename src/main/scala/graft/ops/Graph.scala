@@ -553,4 +553,61 @@ object Graph {
       coalesce(min(col("degree")) >= k, lit(true)).as("converged"))
     degF.crossJoin(broadcast(conv))
   }
+
+  /** Stationary distribution of the Markov chain defined by a weighted
+    * transition-count table (power iteration — von Mises &
+    * Pollaczek-Geiringer 1929; Kemeny & Snell 1960 ch. IV for the
+    * chain reading): π such that π = πP, the LONG-RUN occupancy the
+    * one-step transition matrix (q95) only hints at. Fixed `iters`
+    * unrolled passes from uniform (the q93/q277 fixed-trajectory
+    * contract), each pass 6-dp-snapped and L1-renormalized on the
+    * snapped total — dangling states (no out-edges) shed mass to the
+    * renormalizer rather than silently absorbing it. `tv_delta` (the
+    * total-variation half-L1 between the last two iterates) rides
+    * every row: a convergence READOUT, not a loop condition, so the
+    * trajectory replays exactly in any engine.
+    *
+    * Scale shape: state-keyed joins only — per pass one |edges|-sized
+    * join into a map-side-combined state aggregation; the state and
+    * matrix frames materialize once. Returns (state, p_stationary,
+    * tv_delta). */
+  def stationaryDistribution(trans: DataFrame, src: Column, dst: Column,
+      weight: Column, iters: Int = 3,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    require(iters >= 1, s"stationaryDistribution: iters=$iters")
+    def snap6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val e = materialize(trans.select(src.cast("string").as("src"),
+      dst.cast("string").as("dst"), weight.cast("long").as("n")))
+    val rowTot = e.groupBy(col("src")).agg(sum(col("n")).as("rt"))
+    val pMat = materialize(e.join(rowTot, "src")
+      .select(col("src"), col("dst"),
+        (col("n").cast("double") / col("rt").cast("double")).as("p")))
+    val states = materialize(e.select(col("src").as("state"))
+      .union(e.select(col("dst"))).distinct())
+    val kCnt = states.agg(count(lit(1)).as("k"))
+    var pi = materialize(states.crossJoin(broadcast(kCnt))
+      .select(col("state"),
+        snap6(lit(1.0) / col("k").cast("double")).as("pi")))
+    var prev = pi
+    for (_ <- 1 to iters) {
+      prev = pi
+      val raw = pi.join(pMat, pi("state") === pMat("src"))
+        .groupBy(col("dst").as("state"))
+        .agg(Snap.snappedSum(col("pi") * col("p"), 1e9).as("raw"))
+      val z = raw.agg(Snap.snappedSum(col("raw"), 1e9).as("z"))
+      pi = materialize(states.join(raw, Seq("state"), "left")
+        .crossJoin(broadcast(z))
+        .select(col("state"), snap6(when(col("z") > 0.0,
+          coalesce(col("raw"), lit(0.0)) / col("z")).otherwise(lit(0.0)))
+          .as("pi")))
+    }
+    val tv = pi.join(prev.withColumnRenamed("pi", "pi0"), "state")
+      .agg((Snap.snappedSum(abs(col("pi") - col("pi0")), 1e9) / lit(2.0))
+        .as("tv"))
+    pi.crossJoin(broadcast(tv))
+      .select(col("state"), col("pi").as("p_stationary"),
+        round(col("tv"), 6).as("tv_delta"))
+  }
 }

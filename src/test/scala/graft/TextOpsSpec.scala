@@ -1406,6 +1406,47 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(1))
   }
 
+  test("stationaryDistribution: flip chain keeps uniform with tv 0; " +
+    "biased 2-state chain replays the hand snapped trajectory") {
+    import graft.ops.Graph
+    val flip = Seq(("A", "B", 5L), ("B", "A", 5L)).toDF("s", "d", "n")
+    val r0 = Graph.stationaryDistribution(flip, col("s"), col("d"),
+        col("n")).collect().map(x => x.getString(0) -> x).toMap
+    assert(r0("A").getDouble(1) == 0.5 && r0("B").getDouble(1) == 0.5)
+    assert(r0("A").getDouble(2) == 0.0)
+    // P = [[.75,.25],[.5,.5]]: π₃ = (.664063, .335938) on the 6-dp
+    // grid, tv(π₃, π₂) = .0078125 → .007813
+    val biased = Seq(("A", "A", 3L), ("A", "B", 1L), ("B", "A", 2L),
+      ("B", "B", 2L)).toDF("s", "d", "n")
+    val r1 = Graph.stationaryDistribution(biased, col("s"), col("d"),
+        col("n")).collect().map(x => x.getString(0) -> x).toMap
+    assert(r1("A").getDouble(1) == 0.664063 &&
+      r1("B").getDouble(1) == 0.335938)
+    assert(r1("A").getDouble(2) == 0.007813)
+  }
+
+  test("contingencyAssociation: perfect association scores MI 1 bit " +
+    "and V 1; independence scores 0; single-column V is NULL") {
+    import graft.ops.Analytics
+    val perfect = (Seq.fill(5)(("a", "a")) ++ Seq.fill(5)(("b", "b")))
+      .toDF("r", "c")
+    val r = Analytics.contingencyAssociation(perfect, col("r"), col("c"))
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 10.0 &&
+      r.getDouble(5) == 1.0)
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v");
+      _ <- 1 to 3 } yield (x, y)).toDF("r", "c")
+    val ri = Analytics.contingencyAssociation(indep, col("r"), col("c"))
+      .collect().head
+    assert(ri.getDouble(3) == 0.0 && ri.getDouble(4) == 0.0 &&
+      ri.getDouble(5) == 0.0)
+    val one = Analytics.contingencyAssociation(
+      Seq(("a", "u"), ("b", "u")).toDF("r", "c"), col("r"), col("c"))
+      .collect().head
+    assert(one.getDouble(3) == 0.0 && one.isNullAt(5))
+  }
+
   test("benfordReport: digits read from exact integer cents; zeros/" +
     "negatives counted as skipped; tiny conforming-ish sample keeps " +
     "the null") {
