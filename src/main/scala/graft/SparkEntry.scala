@@ -3753,6 +3753,27 @@ object SparkEntry {
       docs.join(keep, "doc_id"), col("source"), col("keep"))
   }
 
+  /** O'Brien–Fleming 5-look group-sequential monitor of the arm
+    * difference in event values ([[ops.Analytics.obrienFleming]],
+    * O'Brien & Fleming 1979; bounds per Jennison & Turnbull 2000) —
+    * licensed peeking: when could the experiment have STOPPED. */
+  private def qObf(s: SparkSession, dir: String): DataFrame = {
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.obrienFleming(t(s, dir, "events"), col("ts"),
+      col("value"), isA)
+  }
+
+  /** Sample-size planner for a 5%-lift mean test on per-user value
+    * totals ([[ops.Analytics.meanSampleSize]], Cohen 1988; Lehr
+    * 1992) — the continuous sibling of q211, run BEFORE the
+    * experiment on the metric it will read. */
+  private def qMeanPower(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(graft.expr.Snap.snappedSum(col("value"), 1e9).as("y"))
+    ops.Analytics.meanSampleSize(units, col("y"))
+  }
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4576,7 +4597,9 @@ object SparkEntry {
     "q297_delong_auc" -> (qDelong _),
     "q298_randomization" -> (qRandomization _),
     "q299_stationary" -> (qStationary _),
-    "q300_contingency" -> (qContingency _))
+    "q300_contingency" -> (qContingency _),
+    "q301_obrien_fleming" -> (qObf _),
+    "q302_mean_power" -> (qMeanPower _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10035,6 +10058,58 @@ object SparkEntry {
         "round(CASE WHEN nt > 0 THEN chi2 END, 6) AS chi2, " +
         "round(CASE WHEN nt > 0 AND least(kr, kc) >= 2 THEN " +
         "sqrt(chi2 / (CAST(nt AS DOUBLE) * (CAST(least(kr, kc) AS DOUBLE) - 1))) END, 6) AS cramers_v FROM mm")
+    },
+    "q301_obrien_fleming" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // exact integer look cutoffs over the day range; per-look Welch
+      // z from snapped moments; OBF K=5 two-sided bounds (J&T 2000)
+      ("WITH bb AS (SELECT epoch_us(ts) // 86400000000 AS d, value AS y, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS a FROM events), " +
+        "rg AS (SELECT min(d) AS dmin, max(d) AS dmax FROM bb), " +
+        "lk AS (SELECT unnest(generate_series(1, 5)) AS look), " +
+        "fan AS (SELECT look, dmin - 1 + CAST(floor(CAST((dmax - dmin + 1) * look AS DOUBLE) / 5.0) AS BIGINT) AS day_cut, " +
+        "y, a, d FROM bb CROSS JOIN rg CROSS JOIN lk), " +
+        "fl AS (SELECT look, day_cut, y, a FROM fan WHERE d <= day_cut), " +
+        "m AS (SELECT look, day_cut, " +
+        "CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+        s"${snap9("CASE WHEN a THEN y ELSE CAST(0 AS DOUBLE) END")} AS sa, " +
+        s"${snap9("CASE WHEN a THEN y * y ELSE CAST(0 AS DOUBLE) END")} AS saa, " +
+        s"${snap9("CASE WHEN NOT a THEN y ELSE CAST(0 AS DOUBLE) END")} AS sb, " +
+        s"${snap9("CASE WHEN NOT a THEN y * y ELSE CAST(0 AS DOUBLE) END")} AS sbb " +
+        "FROM fl GROUP BY 1, 2), " +
+        "f AS (SELECT *, CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd FROM m), " +
+        "g AS (SELECT *, sa / nad - sb / nbd AS diff, " +
+        "sqrt(((saa - sa * sa / nad) / (nad - 1)) / nad + ((sbb - sb * sb / nbd) / (nbd - 1)) / nbd) AS se, " +
+        "CASE look WHEN 1 THEN CAST(4.562 AS DOUBLE) WHEN 2 THEN CAST(3.226 AS DOUBLE) " +
+        "WHEN 3 THEN CAST(2.634 AS DOUBLE) WHEN 4 THEN CAST(2.281 AS DOUBLE) " +
+        "WHEN 5 THEN CAST(2.04 AS DOUBLE) END AS bound FROM f), " +
+        "h AS (SELECT *, na >= 2 AND nb >= 2 AND se > CAST(0 AS DOUBLE) AS ok FROM g) " +
+        "SELECT look, day_cut, na AS n_a, nb AS n_b, " +
+        "round(CASE WHEN ok THEN diff END, 6) AS mean_diff, " +
+        "round(CASE WHEN ok THEN diff / se END, 6) AS z, bound, " +
+        "CASE WHEN ok THEN abs(round(diff / se, 6)) > bound END AS crossed FROM h")
+    },
+    "q302_mean_power" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // observed per-user variance → n = 2(z_{α/2}+z_β)²σ²/δ² at a 5%
+      // relative MDE, with Lehr's 16σ²/δ² as the cross-check
+      "WITH uy AS (SELECT user_id, " +
+        s"${snap9("value")} AS y FROM events GROUP BY 1), " +
+        s"m AS (SELECT count(*) AS n, ${snap9("y")} AS sy, ${snap9("y * y")} AS syy FROM uy), " +
+        "f AS (SELECT n, sy / CAST(n AS DOUBLE) AS mu, " +
+        "(syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v FROM m), " +
+        "g AS (SELECT *, CAST(0.05 AS DOUBLE) * mu AS delta, " +
+        "n >= 2 AND v > CAST(0 AS DOUBLE) AND mu <> CAST(0 AS DOUBLE) AS ok FROM f) " +
+        "SELECT CAST(n AS BIGINT) AS n_units, " +
+        "round(CASE WHEN ok THEN mu END, 6) AS mean, " +
+        "round(CASE WHEN ok THEN sqrt(v) END, 6) AS sd, " +
+        "round(CASE WHEN ok THEN delta END, 6) AS mde_abs, " +
+        "CAST(CASE WHEN ok THEN ceil(2 * ((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) * " +
+        "(CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))) * v / (delta * delta)) END AS BIGINT) AS n_per_arm, " +
+        "CAST(CASE WHEN ok THEN ceil(16 * v / (delta * delta)) END AS BIGINT) AS lehr_n FROM g"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

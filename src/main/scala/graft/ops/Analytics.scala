@@ -2103,6 +2103,108 @@ object Analytics {
         .as("cramers_v"))
   }
 
+  /** O'Brien–Fleming group-sequential monitoring of an A/B mean
+    * difference (O'Brien & Fleming 1979; two-sided α=0.05 K=5
+    * boundary constants from Jennison & Turnbull 2000, Table 2.3) —
+    * "when could this experiment have STOPPED": K equal-spaced
+    * calendar looks over the observed day range, each look's Welch z
+    * against the conservative-early OBF bound, so peeking is
+    * licensed instead of p-hacked. The sequential companion to
+    * q264's always-valid mSPRT.
+    *
+    * Exactness: look cutoffs are exact integer day arithmetic
+    * (dmin−1 + range·k DIV K, so look K covers everything); per-look
+    * per-arm moments are snapped sums over the look-fanned corpus;
+    * z is a fixed IEEE composition; crossing compares the 6-dp z to
+    * the literal bound. Degenerate looks (an arm missing or zero
+    * variance) → NULL z, never a fake verdict.
+    *
+    * Scale shape: the corpus fans ×K via the K-row look axis and
+    * collapses map-side to (K × arm) rows — the q298 replicate-axis
+    * cost shape. Returns per look: (look, day_cut, n_a, n_b,
+    * mean_diff, z, bound, crossed). */
+  def obrienFleming(df: DataFrame, ts: Column, y: Column, isA: Column,
+      looks: Int = 5): DataFrame = {
+    import graft.expr.Snap
+    require(looks == 5, "obrienFleming: boundary constants carried " +
+      "for K=5 (Jennison & Turnbull 2000, Table 2.3)")
+    // epoch-day via exact floor division (micros ≤ ~2e15 « 2^53, so
+    // the double path is exact and equals integer DIV)
+    val day = floor(unix_micros(ts.cast("timestamp")).cast("double") /
+      lit(86400000000.0))
+    val b = df.select(day.as("d"), y.cast("double").as("y"), isA.as("a"))
+    val rng = b.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val lookAxis = broadcast(df.sparkSession.range(1, looks + 1)
+      .select(col("id").as("look")))
+    // exact integer cutoffs: day values are epoch-days (≤ ~1e5), so
+    // the double floor-division is exact; look K covers the full range
+    val cut = col("dmin") - lit(1L) +
+      floor(((col("dmax") - col("dmin") + lit(1L)) * col("look"))
+        .cast("double") / lit(looks.toDouble))
+    val fanned = b.crossJoin(broadcast(rng)).crossJoin(lookAxis)
+      .filter(col("d") <= cut)
+      .withColumn("day_cut", cut)
+    val s9 = (c: Column, t: Column) =>
+      Snap.snappedSum(when(c, t).otherwise(lit(0.0)), 1e9)
+    val m = fanned.groupBy(col("look"), col("day_cut"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+        s9(col("a"), col("y")).as("sa"),
+        s9(col("a"), col("y") * col("y")).as("saa"),
+        s9(!col("a"), col("y")).as("sb"),
+        s9(!col("a"), col("y") * col("y")).as("sbb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val va = (col("saa") - col("sa") * col("sa") / naD) / (naD - lit(1.0))
+    val vb = (col("sbb") - col("sb") * col("sb") / nbD) / (nbD - lit(1.0))
+    val diff = col("sa") / naD - col("sb") / nbD
+    val se = sqrt(va / naD + vb / nbD)
+    val bound = element_at(array(lit(4.562), lit(3.226), lit(2.634),
+      lit(2.281), lit(2.04)), col("look").cast("int"))
+    val ok = col("na") >= 2L && col("nb") >= 2L && se > 0.0
+    m.select(col("look"), col("day_cut"), col("na").as("n_a"),
+      col("nb").as("n_b"),
+      round(when(ok, diff), 6).as("mean_diff"),
+      round(when(ok, diff / se), 6).as("z"), bound.as("bound"),
+      when(ok, abs(round(diff / se, 6)) > bound).as("crossed"))
+  }
+
+  /** Sample-size / duration planner for a mean-difference A/B test
+    * (Cohen 1988 §2.4; Lehr 1992's 16/Δ² rule as the cross-check):
+    * from the OBSERVED unit-level variance, the per-arm n to detect a
+    * `mdeRel` relative lift at α=0.05 two-sided / 80% power:
+    *   n = 2·(z_{α/2}+z_β)²·σ²/δ²,  δ = mdeRel·μ.
+    * The q211 proportions planner's continuous sibling — run BEFORE
+    * the experiment, on the metric it will read.
+    *
+    * Exactness: snapped moments → μ/σ² as IEEE-identical scalars;
+    * the z constants are the 6-dp literals (1.959964, 0.841621);
+    * ceil at the end. μ = 0 or σ² = 0 or n < 2 → NULL (no MDE to
+    * scale, nothing to power). One map-side pass, one row. Returns
+    * (n_units, mean, sd, mde_abs, n_per_arm, lehr_n). */
+  def meanSampleSize(units: DataFrame, y: Column, mdeRel: Double = 0.05)
+      : DataFrame = {
+    import graft.expr.Snap
+    require(mdeRel > 0.0, s"meanSampleSize: mdeRel=$mdeRel")
+    val b = units.select(y.cast("double").as("y"))
+    val m = b.agg(count(lit(1)).as("n"),
+      Snap.snappedSum(col("y"), 1e9).as("sy"),
+      Snap.snappedSum(col("y") * col("y"), 1e9).as("syy"))
+    val nD = col("n").cast("double")
+    val mu = col("sy") / nD
+    val v = (col("syy") - col("sy") * col("sy") / nD) / (nD - lit(1.0))
+    val delta = lit(mdeRel) * mu
+    val zsum = lit(1.959964) + lit(0.841621)
+    val nArm = ceil(lit(2.0) * (zsum * zsum) * v / (delta * delta))
+    val lehr = ceil(lit(16.0) * v / (delta * delta))
+    val ok = col("n") >= 2L && v > 0.0 && mu =!= 0.0
+    m.select(col("n").as("n_units"),
+      round(when(ok, mu), 6).as("mean"),
+      round(when(ok, sqrt(v)), 6).as("sd"),
+      round(when(ok, delta), 6).as("mde_abs"),
+      when(ok, nArm).cast("long").as("n_per_arm"),
+      when(ok, lehr).cast("long").as("lehr_n"))
+  }
+
   /** Fisher randomization (permutation) test for an arm difference in
     * unit-level means (Fisher 1935 §II; p-value convention of Phipson
     * & Smyth 2010: p = (1+b)/(R+1), never exactly 0) — the

@@ -617,6 +617,51 @@ class QualitySpec extends SparkSpec {
       r1.getDouble(4) == 0.005 && r1.getBoolean(5))
   }
 
+  test("obrienFleming: hand z trajectory z_k = sqrt(2(2k-1)) crosses " +
+    "the OBF bounds exactly where expected; exact day cutoffs") {
+    import graft.ops.Analytics
+    // 5 days, per day 2 A rows (10, 12) and 2 B rows (8, 10):
+    // diff = 2, se_k = sqrt(2/(2k-1))
+    val rows = for {
+      d <- 1 to 5; (y, a) <- Seq((10.0, true), (12.0, true),
+        (8.0, false), (10.0, false))
+    } yield (s"2024-01-0$d 00:00:00", y, a)
+    val df = rows.toDF("ts", "y", "arm")
+      .select(col("ts").cast("timestamp").as("ts"), col("y"), col("arm"))
+    val r = Analytics.obrienFleming(df, col("ts"), col("y"), col("arm"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    for (k <- 1 to 5) {
+      val row = r(k.toLong)
+      assert(row.getLong(1) == 19722L + k, s"day_cut at look $k")
+      assert(row.getLong(2) == 2L * k && row.getLong(3) == 2L * k)
+      assert(row.getDouble(4) == 2.0)
+      assert(row.getDouble(5) == r6(math.sqrt(2.0 * (2 * k - 1))),
+        s"z at look $k")
+    }
+    // sqrt(2)=1.41 < 4.562; sqrt(6)=2.45 < 3.226; sqrt(10)=3.16 > 2.634
+    assert(!r(1L).getBoolean(7) && !r(2L).getBoolean(7))
+    assert(r(3L).getBoolean(7) && r(4L).getBoolean(7) &&
+      r(5L).getBoolean(7))
+  }
+
+  test("meanSampleSize: hand moments give the Cohen n and Lehr " +
+    "cross-check; zero variance NULL") {
+    import graft.ops.Analytics
+    val units = (1 to 16).map(i => if (i % 2 == 0) 12.0 else 8.0)
+      .toDF("y")
+    val r = Analytics.meanSampleSize(units, col("y")).collect().head
+    val v = 64.0 / 15.0
+    val z = 1.959964 + 0.841621
+    assert(r.getLong(0) == 16L && r.getDouble(1) == 10.0)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getLong(4) == math.ceil(2.0 * (z * z) * v / 0.25).toLong)
+    assert(r.getLong(5) == math.ceil(16.0 * v / 0.25).toLong)
+    val const = Analytics.meanSampleSize(
+      Seq(5.0, 5.0, 5.0).toDF("y"), col("y")).collect().head
+    assert(const.isNullAt(4) && const.isNullAt(5))
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
