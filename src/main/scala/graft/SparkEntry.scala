@@ -3830,6 +3830,32 @@ object SparkEntry {
     ops.Graph.clusteringCoefficient(e, "src", "dst")
   }
 
+  /** The q94/q278 co-purchase part graph (parts sharing an order). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+  }
+
+  /** Degree assortativity of the co-purchase graph
+    * ([[ops.Graph.assortativity]], Newman 2002) — hubs-link-to-hubs
+    * or hubs-to-leaves, the one-number structural fingerprint next
+    * to the per-node graph family. */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame =
+    ops.Graph.assortativity(coPurchaseEdges(s, dir), "src", "dst")
+
+  /** Approximate neighborhood function N(v, r≤2) on the co-purchase
+    * graph ([[ops.Graph.neighborhoodFunction]] — ANF, Palmer et al.
+    * 2002; HyperBall, Boldi & Vigna 2011): per-node HLL registers
+    * merged along edges, with n1_exact as the built-in accuracy
+    * readout. */
+  private def qNeighborhood(s: SparkSession, dir: String): DataFrame =
+    ops.Graph.neighborhoodFunction(coPurchaseEdges(s, dir), "src", "dst")
+
   /** Kendall's τ-b between per-source document count and total token
     * volume ([[ops.Analytics.kendallTauB]]) — do bigger sources also
     * carry more text, read as exact pair concordance over the
@@ -4599,7 +4625,9 @@ object SparkEntry {
     "q299_stationary" -> (qStationary _),
     "q300_contingency" -> (qContingency _),
     "q301_obrien_fleming" -> (qObf _),
-    "q302_mean_power" -> (qMeanPower _))
+    "q302_mean_power" -> (qMeanPower _),
+    "q303_assortativity" -> (qAssortativity _),
+    "q304_neighborhood" -> (qNeighborhood _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10110,6 +10138,56 @@ object SparkEntry {
         "CAST(CASE WHEN ok THEN ceil(2 * ((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE)) * " +
         "(CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))) * v / (delta * delta)) END AS BIGINT) AS n_per_arm, " +
         "CAST(CASE WHEN ok THEN ceil(16 * v / (delta * delta)) END AS BIGINT) AS lehr_n FROM g"
+    },
+    "q303_assortativity" ->
+      // both-orientation endpoint-degree pairs; exact DECIMAL moment
+      // sums of integer products; Pearson r in one IEEE composition
+      ("WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0), " +
+        "eg AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "ee AS MATERIALIZED (SELECT u, v FROM eg UNION ALL SELECT v, u FROM eg), " +
+        "deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM ee GROUP BY 1), " +
+        "pr AS (SELECT dx.d AS x, dy.d AS y FROM ee " +
+        "JOIN deg dx ON dx.node = ee.u JOIN deg dy ON dy.node = ee.v), " +
+        "mm AS (SELECT count(*) AS np, CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, " +
+        "CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sxy, " +
+        "CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx, " +
+        "CAST(sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS syy FROM pr), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg) " +
+        "SELECT n_nodes, CAST(np AS BIGINT) AS n_pairs, " +
+        "round(CASE WHEN CAST(np AS DOUBLE) * sxx - sx * sx > CAST(0 AS DOUBLE) " +
+        "AND CAST(np AS DOUBLE) * syy - sy * sy > CAST(0 AS DOUBLE) THEN " +
+        "(CAST(np AS DOUBLE) * sxy - sx * sy) / " +
+        "sqrt((CAST(np AS DOUBLE) * sxx - sx * sx) * (CAST(np AS DOUBLE) * syy - sy * sy)) END, 6) AS r_assortativity " +
+        "FROM mm CROSS JOIN nn"),
+    "q304_neighborhood" -> {
+      def est(s: String, out: String): String =
+        s"e_$out AS (SELECT node, count(*) AS n_buckets, SUM(pow(2.0, -reg)) AS sp FROM $s GROUP BY 1), " +
+          s"x_$out AS (SELECT node, round(CASE WHEN raw <= 160 AND zeros > 0 " +
+          s"THEN 64 * ln(64.0 / zeros) ELSE raw END, 3) AS $out " +
+          s"FROM (SELECT node, 0.709 * 64 * 64 / (sp + (64 - n_buckets)) AS raw, " +
+          s"64 - n_buckets AS zeros FROM e_$out)), "
+      // ANF/HyperBall: q68's register rule per node, merged along
+      // edges by integer max, two rounds; n1_exact = deg+1 rides as
+      // the accuracy readout
+      "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0), " +
+        "eg AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM li a " +
+        "JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "ee AS MATERIALIZED (SELECT u, v FROM eg UNION ALL SELECT v, u FROM eg), " +
+        "deg AS MATERIALIZED (SELECT u AS node, count(*) AS d FROM ee GROUP BY 1), " +
+        "h0 AS (SELECT node, CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8) AS BIGINT) AS hv FROM deg), " +
+        "s0 AS MATERIALIZED (SELECT node, hv & 63 AS bucket, " +
+        "MAX(CASE WHEN (hv >> 6) > 0 THEN 27 - length(bin(hv >> 6)) ELSE 27 END) AS reg FROM h0 GROUP BY 1, 2), " +
+        "m1 AS (SELECT ee.u AS node, s0.bucket, s0.reg FROM ee JOIN s0 ON s0.node = ee.v " +
+        "UNION ALL SELECT node, bucket, reg FROM s0), " +
+        "s1 AS MATERIALIZED (SELECT node, bucket, max(reg) AS reg FROM m1 GROUP BY 1, 2), " +
+        "m2 AS (SELECT ee.u AS node, s1.bucket, s1.reg FROM ee JOIN s1 ON s1.node = ee.v " +
+        "UNION ALL SELECT node, bucket, reg FROM s1), " +
+        "s2 AS MATERIALIZED (SELECT node, bucket, max(reg) AS reg FROM m2 GROUP BY 1, 2), " +
+        est("s1", "est_1hop") + est("s2", "est_2hop") +
+        "dd AS (SELECT node, CAST(d + 1 AS BIGINT) AS n1_exact FROM deg) " +
+        "SELECT dd.node, dd.n1_exact, x_est_1hop.est_1hop, x_est_2hop.est_2hop " +
+        "FROM dd JOIN x_est_1hop USING (node) JOIN x_est_2hop USING (node)"
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

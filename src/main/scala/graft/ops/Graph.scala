@@ -554,6 +554,102 @@ object Graph {
     degF.crossJoin(broadcast(conv))
   }
 
+  /** Degree assortativity coefficient (Newman 2002, "Assortative
+    * mixing in networks"): the Pearson correlation of endpoint
+    * degrees over all DIRECTED edge endpoints — do hubs link to hubs
+    * (r > 0, social-graph shape) or to leaves (r < 0, web/biology
+    * shape)? The one-number structural fingerprint next to the
+    * per-node family (q93/q277/q278/q253): a near-dup FAMILY mesh is
+    * assortative, a template-spine-with-variants is disassortative.
+    *
+    * Exactness: degrees are exact longs; each undirected edge
+    * contributes both orientations; Σx, Σxy, Σx² accumulate as EXACT
+    * DECIMAL sums of integer products (DECIMAL(18)×DECIMAL(18) — the
+    * q283 width rule); r is one fixed IEEE composition of those
+    * integers. Zero degree variance → NULL (undefined, never NaN).
+    *
+    * Scale shape: one degree rollup (node-keyed), one edge-sized
+    * broadcast-degree join, one map-side-combined moment pass; no
+    * window. Returns one row: (n_nodes, n_pairs, r_assortativity). */
+  def assortativity(edges: DataFrame, src: String, dst: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val e0 = edges.select(least(col(src), col(dst)).cast("long").as("u"),
+        greatest(col(src), col(dst)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val e = materialize(e0.unionByName(
+      e0.select(col("v").as("u"), col("u").as("v"))))
+    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val pairs = e
+      .join(deg.select(col("node").as("u"), col("d").as("x")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("y")), "v")
+    def dsum(c: Column) = sum(c).cast("double")
+    val m = pairs.agg(count(lit(1)).as("np"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+        .as("sxy"),
+      dsum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+        .as("sxx"),
+      dsum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+        .as("syy"))
+    val nD = col("np").cast("double")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    m.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("np").as("n_pairs"),
+        round(when(vx > 0.0 && vy > 0.0, cov / sqrt(vx * vy)), 6)
+          .as("r_assortativity"))
+  }
+
+  /** Approximate neighborhood function N(v, r) — how many nodes sit
+    * within r hops of each node — via per-node HLL register vectors
+    * merged along edges (ANF: Palmer, Gibbons & Faloutsos, KDD 2002;
+    * the HyperLogLog form is Boldi & Vigna's HyperBall, 2011). THE
+    * scale answer to reach/diameter questions: exact r-hop
+    * neighborhoods are |V|·|N_r| blowups, while register states are
+    * a CONSTANT ≤2^b rows per node and a round is one edge join —
+    * the same sketch the q62/q68 family already certifies, pointed
+    * at graph distance.
+    *
+    * Determinism: registers are exact integers (md5 bucket +
+    * bin-length rank — [[Sketch.hllRegisters]]); merges are integer
+    * max (order-free); estimates are [[Sketch.hllEstimate]]'s
+    * all-dyadic arithmetic — reproducible to the last bit, and
+    * n1_exact (deg+1) rides along as the built-in accuracy readout
+    * at r = 1.
+    *
+    * Scale shape: per round ONE edge-sized join into a
+    * map-side-combined (node, bucket) max — state never exceeds
+    * 2^b rows/node regardless of neighborhood size. Returns
+    * (node, n1_exact, est_1hop, est_2hop). */
+  def neighborhoodFunction(edges: DataFrame, src: String, dst: String,
+      b: Int = 6,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val e0 = edges.select(least(col(src), col(dst)).cast("long").as("u"),
+        greatest(col(src), col(dst)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val e = materialize(e0.unionByName(
+      e0.select(col("v").as("u"), col("u").as("v"))))
+    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    var state = materialize(Sketch.hllRegisters(
+      deg.select(col("node"), col("node").as("item")),
+      Seq("node"), col("item"), b))
+    val ests = (1 to 2).map { r =>
+      val merged = e.join(state, e("v") === state("node"))
+        .select(e("u").as("node"), col("bucket"), col("reg"))
+        .unionByName(state)
+        .groupBy(col("node"), col("bucket")).agg(max(col("reg")).as("reg"))
+      state = materialize(merged)
+      Sketch.hllEstimate(state, Seq("node"), b)
+        .select(col("node"), col("est_distinct").as(s"est_${r}hop"))
+    }
+    deg.select(col("node"), (col("d") + lit(1L)).as("n1_exact"))
+      .join(ests(0), "node").join(ests(1), "node")
+  }
+
   /** Stationary distribution of the Markov chain defined by a weighted
     * transition-count table (power iteration — von Mises &
     * Pollaczek-Geiringer 1929; Kemeny & Snell 1960 ch. IV for the

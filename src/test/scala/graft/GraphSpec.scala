@@ -380,4 +380,49 @@ class GraphSpec extends SparkSpec {
     assert(r(3L) == ((2L, 1L, Some(1.0))))
     assert(r(4L) == ((1L, 0L, None)))
   }
+
+  test("assortativity: a star is exactly -1, disjoint cliques of " +
+    "distinct degree exactly +1, a regular graph NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val rs = graft.ops.Graph.assortativity(star, "src", "dst")
+      .collect().head
+    assert(rs.getLong(0) == 4L && rs.getLong(1) == 6L &&
+      rs.getDouble(2) == -1.0)
+    // K3 ∪ K2: degree-2 nodes pair with degree-2, degree-1 with 1
+    val cliques = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val rc = graft.ops.Graph.assortativity(cliques, "src", "dst")
+      .collect().head
+    assert(rc.getDouble(2) == 1.0)
+    // C4: every degree 2 — zero variance, undefined, never NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    assert(graft.ops.Graph.assortativity(cyc, "src", "dst")
+      .collect().head.isNullAt(2))
+  }
+
+  test("neighborhoodFunction: n1_exact is deg+1; estimates are " +
+    "round-monotone, near-exact at tiny cardinalities, deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = graft.ops.Graph.neighborhoodFunction(path, "src", "dst")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 2L && r(2L).getLong(1) == 3L &&
+      r(3L).getLong(1) == 3L && r(4L).getLong(1) == 2L)
+    for ((_, row) <- r) {
+      val (n1, e1, e2) = (row.getLong(1).toDouble, row.getDouble(2),
+        row.getDouble(3))
+      assert(e2 >= e1, "register domination ⇒ monotone estimates")
+      assert(math.abs(e1 - n1) / n1 < 0.25, s"r=1 estimate off: $e1 vs $n1")
+    }
+    // node 2 reaches all 4 nodes within 2 hops
+    assert(math.abs(r(2L).getDouble(3) - 4.0) / 4.0 < 0.25)
+    val again = graft.ops.Graph.neighborhoodFunction(
+      path.repartition(5), "src", "dst")
+      .collect().map(x => x.getLong(0) -> x.toString).toMap
+    assert(r.keys.forall(k => again(k) == r(k).toString))
+  }
 }
