@@ -1222,11 +1222,20 @@ object Quality {
     * Returns (n_pos, n_neg, auc, se, ci_lo, ci_hi). */
   def delongAuc(preds: DataFrame, score: Column, positive: Column)
       : DataFrame = {
-    import graft.expr.Snap
     val b = preds.select(round(score.cast("double"), 6).as("s"),
       when(positive, 1L).otherwise(0L).as("pos"))
     val g = b.groupBy(col("s")).agg(sum(col("pos")).as("np"),
       sum(lit(1L) - col("pos")).as("nn"))
+    delongFromGrid(g)
+  }
+
+  /** The DeLong readout over an already-built score-grid (s, np, nn)
+    * table — shared by [[delongAuc]] and the streaming AUC sink,
+    * whose state is exactly this table (per-score class counts are
+    * additive, so the stream's merged state replays the batch
+    * computation verbatim). */
+  private[graft] def delongFromGrid(g: DataFrame): DataFrame = {
+    import graft.expr.Snap
     val tot = g.agg(coalesce(sum(col("np")), lit(0L)).as("p"),
       coalesce(sum(col("nn")), lit(0L)).as("n"))
     val wUp = Window.orderBy(col("s"))
@@ -1286,13 +1295,21 @@ object Quality {
   def benfordReport(df: DataFrame, value: Column, scale: Int = 100)
       : DataFrame = {
     require(scale > 0, s"benfordReport: scale=$scale")
-    import graft.expr.Snap
     val c = floor(value.cast("double") * lit(scale) + lit(0.5))
       .cast("long")
     val b = df.select(when(c > 0L,
       substring(c.cast("string"), 1, 1).cast("long")).as("d"))
     val per = b.groupBy(col("d")).agg(count(lit(1)).as("o"))
-    val digits = broadcast(df.sparkSession.range(1, 10)
+    benfordFromDigits(per)
+  }
+
+  /** The Benford χ² readout over an already-built per-digit (d, o)
+    * count table (d NULL = the skipped bucket) — shared by
+    * [[benfordReport]] and the streaming Benford sink, whose state is
+    * exactly this ≤10-row additive table. */
+  private[graft] def benfordFromDigits(per: DataFrame): DataFrame = {
+    import graft.expr.Snap
+    val digits = broadcast(per.sparkSession.range(1, 10)
       .select(col("id").as("digit")))
     val tot = per.agg(sum(when(col("d").isNotNull, col("o"))
         .otherwise(lit(0L))).as("n"),

@@ -374,6 +374,105 @@ object StreamCuration {
       .start()
   }
 
+  /** q297's DeLong AUC interval maintained at INGEST — the 21st sink:
+    * a live "is the score still discriminative" monitor over a stream
+    * of (score, positive) eval outcomes. State is the 6-dp score-grid
+    * (s, np, nn) class-count table — exactly
+    * [[graft.ops.Quality.delongFromGrid]]'s input — and counts are
+    * additive, so each epoch's (auc, se, ci) is bit-identical to
+    * batch `delongAuc` over the union of all arrived rows under any
+    * batch split (spec-pinned). State is grid-bounded (≤10⁶+1 rows
+    * for [0,1] scores) regardless of stream length. */
+  def startDelongSink(predStream: DataFrame, scoreCol: String,
+      positiveCol: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = predStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("np",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nn",
+          org.apache.spark.sql.types.LongType))))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      empty.localCheckpoint(true))
+    predStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val part = batch.select(
+              round(col(scoreCol).cast("double"), 6).as("s"),
+              when(col(positiveCol).cast("boolean"), 1L).otherwise(0L)
+                .as("pos"))
+            .groupBy(col("s"))
+            .agg(sum(col("pos")).as("dnp"),
+              sum(lit(1L) - col("pos")).as("dnn"))
+          val next = state.get().join(part, Seq("s"), "full_outer")
+            .select(col("s"),
+              (coalesce(col("np"), lit(0L)) + coalesce(col("dnp"), lit(0L)))
+                .as("np"),
+              (coalesce(col("nn"), lit(0L)) + coalesce(col("dnn"), lit(0L)))
+                .as("nn"))
+            .localCheckpoint(true)
+          state.set(next)
+          sink(graft.ops.Quality.delongFromGrid(next), epochId)
+        }
+      }
+      .start()
+  }
+
+  /** q293's Benford conformity maintained at INGEST — the 22nd sink:
+    * the cheapest live fabricated/truncated-amounts tripwire. State
+    * is the ≤10-row per-first-digit count table (NULL digit = the
+    * skipped bucket) — exactly
+    * [[graft.ops.Quality.benfordFromDigits]]'s input — purely
+    * additive, so each epoch's χ²/reject is bit-identical to batch
+    * `benfordReport` over all arrived values under any split
+    * (spec-pinned). */
+  def startBenfordSink(valueStream: DataFrame, valueCol: String,
+      checkpointDir: String, sink: (DataFrame, Long) => Unit,
+      scale: Int = 100): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(scale > 0, s"startBenfordSink: scale=$scale")
+    val spark0 = valueStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o",
+          org.apache.spark.sql.types.LongType))))
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      empty.localCheckpoint(true))
+    valueStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val c = floor(col(valueCol).cast("double") * lit(scale) +
+            lit(0.5)).cast("long")
+          val part = batch.select(when(c > 0L,
+              substring(c.cast("string"), 1, 1).cast("long")).as("d"))
+            .groupBy(col("d")).agg(count(lit(1)).as("dd"))
+          // full_outer on a NULLABLE key: the skipped bucket (d NULL)
+          // must MERGE, not multiply — join on null-safe equality
+          val next = state.get().join(part,
+              state.get()("d") <=> part("d"), "full_outer")
+            .select(coalesce(state.get()("d"), part("d")).as("d"),
+              (coalesce(col("o"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+                .as("o"))
+            .localCheckpoint(true)
+          state.set(next)
+          sink(graft.ops.Quality.benfordFromDigits(next), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q170's fill-in-the-middle construction at INGEST time: like the
     * span-corruption sink, the construction is a pure per-document
     * md5-derived function — union of batch outputs ≡ batch construction

@@ -662,6 +662,64 @@ class QualitySpec extends SparkSpec {
     assert(const.isNullAt(4) && const.isNullAt(5))
   }
 
+  test("startDelongSink: each emission ≡ batch delongAuc over all " +
+    "arrived rows, under shuffled batch splits (additive grid state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all: Seq[(Double, Boolean)] = Seq((0.9, true), (0.8, true),
+      (0.8, false), (0.6, true), (0.4, true), (0.4, false), (0.2, false),
+      (0.1, false), (0.7, true), (0.3, false))
+    def run(batches: Seq[Seq[(Double, Boolean)]]): Seq[String] = {
+      val ms = MemoryStream[(Double, Boolean)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startDelongSink(
+        ms.toDF().toDF("s", "pos"), "s", "pos",
+        java.nio.file.Files.createTempDirectory("dl-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = Quality.delongAuc(all.toDF("s", "pos"), col("s"),
+      col("pos")).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(4), all.slice(4, 7), all.drop(7)))
+    val b = run(Seq(all.reverse.take(6), all.reverse.drop(6)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+  }
+
+  test("startBenfordSink: each emission ≡ batch benfordReport over " +
+    "all arrived values, incl. the NULL skipped bucket, under splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val all: Seq[Double] = Seq(1.0, 2.5, 19.99, 0.3, -5.0, 0.0, 900.0,
+      3.2, 0.11, 77.0, -1.0, 12.0)
+    def run(batches: Seq[Seq[Double]]): Seq[String] = {
+      val ms = MemoryStream[Double]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startBenfordSink(
+        ms.toDF().toDF("v"), "v",
+        java.nio.file.Files.createTempDirectory("bf-ckpt").toString,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("digit")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = Quality.benfordReport(all.toDF("v"), col("v"))
+      .orderBy(col("digit")).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(5), all.slice(5, 9), all.drop(9)))
+    val b = run(Seq(all.reverse.take(7), all.reverse.drop(7)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // the skip accounting survived the merge: 3 non-positive values
+    assert(want.head.contains(",3]"))
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
