@@ -3856,6 +3856,23 @@ object SparkEntry {
   private def qNeighborhood(s: SparkSession, dir: String): DataFrame =
     ops.Graph.neighborhoodFunction(coPurchaseEdges(s, dir), "src", "dst")
 
+  /** Embedding-space anisotropy ([[ops.LinAlg.anisotropyReport]],
+    * Ethayarajh 2019; Mu & Viswanath 2018): the expected random-pair
+    * cosine via the EXACT ‖mean unit vector‖² identity — the constant
+    * offset every cosine threshold (q25/q32) implicitly absorbs,
+    * reported in one pass with no pair sampling. */
+  private def qAnisotropy(s: SparkSession, dir: String): DataFrame =
+    ops.LinAlg.anisotropyReport(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"))
+
+  /** Duplicate-family size spectrum + Hill tail index over the q63
+    * components ([[ops.Graph.familySizeTail]], Hill 1975; Clauset et
+    * al. 2009) — is the removable mass a few mega-families (dedup
+    * pays immediately) or diffuse? */
+  private def qFamilyTail(s: SparkSession, dir: String): DataFrame =
+    ops.Graph.familySizeTail(t(s, dir, "documents"), "doc_id",
+      sharedLshCandidates(s, dir), "doc_a", "doc_b")
+
   /** Kendall's τ-b between per-source document count and total token
     * volume ([[ops.Analytics.kendallTauB]]) — do bigger sources also
     * carry more text, read as exact pair concordance over the
@@ -4627,7 +4644,9 @@ object SparkEntry {
     "q301_obrien_fleming" -> (qObf _),
     "q302_mean_power" -> (qMeanPower _),
     "q303_assortativity" -> (qAssortativity _),
-    "q304_neighborhood" -> (qNeighborhood _))
+    "q304_neighborhood" -> (qNeighborhood _),
+    "q305_anisotropy" -> (qAnisotropy _),
+    "q306_family_tail" -> (qFamilyTail _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10188,6 +10207,53 @@ object SparkEntry {
         "dd AS (SELECT node, CAST(d + 1 AS BIGINT) AS n1_exact FROM deg) " +
         "SELECT dd.node, dd.n1_exact, x_est_1hop.est_1hop, x_est_2hop.est_2hop " +
         "FROM dd JOIN x_est_1hop USING (node) JOIN x_est_2hop USING (node)"
+    },
+    "q305_anisotropy" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // E[random-pair cos] = ||mean unit vector||² exactly — one pass,
+      // dim-sized rollup, snapped norms and unit sums
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "ex AS MATERIALIZED (SELECT vec_id, i, e[i] AS x FROM v, " +
+        "unnest(generate_series(1, len(e))) AS s(i)), " +
+        s"nr AS MATERIALIZED (SELECT vec_id, sqrt(${snap9("x * x")}) AS nrm FROM ex GROUP BY vec_id), " +
+        "ct AS (SELECT CAST(sum(CASE WHEN nrm > CAST(0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN nrm > CAST(0 AS DOUBLE) THEN 0 ELSE 1 END) AS BIGINT) AS nz, " +
+        "(SELECT CAST(max(len(e)) AS BIGINT) FROM v) AS dim, " +
+        s"${snap9("CASE WHEN nrm > CAST(0 AS DOUBLE) THEN nrm ELSE CAST(0 AS DOUBLE) END")} AS snrm FROM nr), " +
+        s"un AS (SELECT i, ${snap9("x / nrm")} AS u FROM ex JOIN nr USING (vec_id) " +
+        "WHERE nrm > CAST(0 AS DOUBLE) GROUP BY i), " +
+        s"an AS (SELECT ${snap9("(u / CAST(n AS DOUBLE)) * (u / CAST(n AS DOUBLE))")} AS a FROM un CROSS JOIN ct) " +
+        "SELECT n AS n_vectors, nz AS n_zero_norm, dim, " +
+        "round(CASE WHEN n > 0 THEN snrm / CAST(n AS DOUBLE) END, 6) AS mean_norm, " +
+        "round(CASE WHEN n > 0 THEN a END, 6) AS anisotropy_cos FROM ct CROSS JOIN an"
+    },
+    "q306_family_tail" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // q63's recursive-CC sizes → ≥2 spectrum + Hill α over the 20
+      // largest against the 21st order statistic
+      (s"WITH RECURSIVE $shingleCte, " +
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cands " +
+        "UNION ALL SELECT doc_b AS a, doc_a AS b FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS comp FROM documents " +
+        "UNION SELECT e.b AS node, r.comp AS comp FROM reach r " +
+        "JOIN edges e ON e.a = r.node), " +
+        "comp AS (SELECT node AS doc_id, min(comp) AS group_id FROM reach GROUP BY 1), " +
+        "sizes AS MATERIALIZED (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY 1), " +
+        "spec AS (SELECT group_size AS size, CAST(count(*) AS BIGINT) AS n_families " +
+        "FROM sizes WHERE group_size >= 2 GROUP BY 1), " +
+        "topx AS MATERIALIZED (SELECT * FROM (SELECT group_id, group_size, " +
+        "row_number() OVER (ORDER BY group_size DESC, group_id) AS rn FROM sizes) WHERE rn <= 21), " +
+        "thr AS (SELECT group_size AS xb FROM topx WHERE rn = 21), " +
+        "fit AS (SELECT count(*) AS k_used, CAST(max(xb) AS BIGINT) AS x_boundary, " +
+        s"${snap9("ln(CAST(group_size AS DOUBLE) / CAST(xb AS DOUBLE))")} AS slog " +
+        "FROM topx CROSS JOIN thr WHERE rn <= 20), " +
+        "fr AS (SELECT CAST(k_used AS BIGINT) AS k_used, x_boundary, " +
+        "round(CASE WHEN k_used = 20 AND x_boundary > 0 AND slog > CAST(0 AS DOUBLE) " +
+        "THEN CAST(k_used AS DOUBLE) / slog END, 6) AS alpha FROM fit) " +
+        "SELECT spec.size, spec.n_families, fr.k_used, fr.x_boundary, fr.alpha " +
+        "FROM spec CROSS JOIN fr")
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

@@ -554,6 +554,53 @@ object Graph {
     degF.crossJoin(broadcast(conv))
   }
 
+  /** Duplicate-family size spectrum + Hill tail-index fit (Hill 1975;
+    * methodology caveats per Clauset, Shalizi & Newman 2009 §3): the
+    * histogram of [[dedupGroups]] component sizes for sizes ≥ 2, and
+    * α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k largest families —
+    * the heaviness of the duplication tail. α near 1–2 means a few
+    * mega-families dominate the removable mass (dedup pays off
+    * immediately); α large means duplication is diffuse. The
+    * spectrum's planning twin is q265's token-count Good–Turing.
+    *
+    * Determinism: family sizes are exact longs; the k+1 order
+    * statistics come off a TakeOrderedAndProject ((size desc, id
+    * asc) — ties at the boundary don't move α because only VALUES
+    * enter the ratio); ln-ratio terms snap at 1e9. Fewer than k+2
+    * families, or a boundary at size ≤ 0, or all-tied top (Σ = 0) →
+    * NULL α. Returns the ≥2 spectrum rows (size, n_families) with
+    * (k_used, x_boundary, alpha) riding every row.
+    *
+    * Scale shape: sizes are [[dedupGroups]]'s group table; the
+    * spectrum is a value-grid rollup; the fit reads k+1 rows. */
+  def familySizeTail(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, k: Int = 20): DataFrame = {
+    import graft.expr.Snap
+    require(k >= 2, s"familySizeTail: k=$k")
+    val sizes = dedupGroups(docs, idCol, pairs, aCol, bCol)
+      .select(col("group_id"), col("group_size")).distinct()
+    val spectrum = sizes.filter(col("group_size") >= 2L)
+      .groupBy(col("group_size").as("size"))
+      .agg(count(lit(1)).as("n_families"))
+    val top = sizes.orderBy(col("group_size").desc, col("group_id"))
+      .limit(k + 1)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("group_size").desc, col("group_id"))))
+    val thr = top.filter(col("rn") === k + 1)
+      .select(col("group_size").as("x_boundary"))
+    val fit = top.filter(col("rn") <= k).crossJoin(broadcast(thr))
+      .agg(count(lit(1)).as("k_used"), max(col("x_boundary")).as("xb"),
+        Snap.snappedSum(log(col("group_size").cast("double") /
+          col("x_boundary").cast("double")), 1e9).as("slog"))
+    val ok = col("k_used") === k.toLong && col("xb") > 0L &&
+      col("slog") > 0.0
+    val fitRow = fit.select(col("k_used"), col("xb").as("x_boundary"),
+      round(when(ok, col("k_used").cast("double") / col("slog")), 6)
+        .as("alpha"))
+    spectrum.crossJoin(broadcast(fitRow))
+  }
+
   /** Degree assortativity coefficient (Newman 2002, "Assortative
     * mixing in networks"): the Pearson correlation of endpoint
     * degrees over all DIRECTED edge endpoints — do hubs link to hubs

@@ -134,4 +134,49 @@ object LinAlg {
     }
     beta
   }
+
+  /** Embedding-space anisotropy report (Ethayarajh 2019, "How
+    * contextual are contextualized word representations?"; Mu &
+    * Viswanath 2018's all-but-the-top diagnosis): the expected cosine
+    * between two RANDOM vectors. In an isotropic space it is ~0; the
+    * ~0.3–0.9 values real encoders produce mean every cosine
+    * similarity (q25/q32's dedup signal) rides a large constant
+    * offset — this is the calibration constant those thresholds
+    * implicitly absorb.
+    *
+    * The scale trick is an identity, not a sample: for unit-normalized
+    * x̂, E_pairs[cos(x, y)] = ‖mean(x̂)‖² EXACTLY — so the report is
+    * one corpus pass + a dim-sized rollup, no pair sampling, no pair
+    * join. Norms and per-dim unit sums snap at 1e9 (order-free);
+    * zero-norm vectors are excluded and counted. Returns one row:
+    * (n_vectors, n_zero_norm, dim, mean_norm, anisotropy_cos). */
+  def anisotropyReport(vecs: DataFrame, id: Column, vec: Column)
+      : DataFrame = {
+    import graft.expr.Snap
+    val ex = vecs.select(id.as("vid"), posexplode(vec).as(Seq("pos", "x0")))
+      .select(col("vid"), col("pos"), col("x0").cast("double").as("x"))
+    val norms = ex.groupBy(col("vid"))
+      .agg(Snap.snappedSum(col("x") * col("x"), 1e9).as("n2"),
+        (max(col("pos")) + lit(1)).as("d"))
+      .select(col("vid"), sqrt(col("n2")).as("nrm"), col("d"))
+    val counts = norms.agg(
+      sum(when(col("nrm") > 0.0, 1L).otherwise(0L)).as("n"),
+      sum(when(col("nrm") > 0.0, 0L).otherwise(1L)).as("nz"),
+      max(col("d")).cast("long").as("dim"),
+      Snap.snappedSum(when(col("nrm") > 0.0, col("nrm"))
+        .otherwise(lit(0.0)), 1e9).as("snrm"))
+    val unit = ex.join(norms.filter(col("nrm") > 0.0), "vid")
+      .groupBy(col("pos"))
+      .agg(Snap.snappedSum(col("x") / col("nrm"), 1e9).as("u"))
+    val aniso = unit.crossJoin(broadcast(counts))
+      .agg(Snap.snappedSum(
+        (col("u") / col("n").cast("double")) *
+          (col("u") / col("n").cast("double")), 1e9).as("a"))
+    val nD = col("n").cast("double")
+    counts.crossJoin(broadcast(aniso))
+      .select(col("n").as("n_vectors"), col("nz").as("n_zero_norm"),
+        col("dim"),
+        round(when(col("n") > 0L, col("snrm") / nD), 6).as("mean_norm"),
+        round(when(col("n") > 0L, col("a")), 6).as("anisotropy_cos"))
+  }
 }

@@ -381,6 +381,51 @@ class GraphSpec extends SparkSpec {
     assert(r(4L) == ((1L, 0L, None)))
   }
 
+  test("familySizeTail: spectrum counts families by size; Hill alpha " +
+    "replays the snapped ln-ratio sum over the top-20 vs the 21st") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 30L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (8L, 9L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val r = graft.ops.Graph.familySizeTail(docs, "doc_id", pairs,
+      "doc_a", "doc_b").collect()
+    val spec = r.map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(spec == Map(4L -> 1L, 3L -> 1L, 2L -> 2L))
+    def s9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // top-20 sizes: 4,3,2,2 then 16 singletons; x_(21) = 1
+    val slog = s9(math.log(4.0)) + s9(math.log(3.0)) +
+      2 * s9(math.log(2.0))
+    val head = r.head
+    assert(head.getLong(2) == 20L && head.getLong(3) == 1L)
+    assert(head.getDouble(4) == r6(20.0 / slog))
+  }
+
+  test("anisotropyReport: identical vectors cos 1, antipodal pair 0, " +
+    "orthogonal pair 1/2; zero vectors excluded and counted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.LinAlg
+    val same = Seq((1L, Seq(2.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = LinAlg.anisotropyReport(same, col("vec_id"),
+      col("embedding")).collect().head
+    assert(r1.getLong(0) == 2L && r1.getLong(2) == 2L &&
+      r1.getDouble(3) == 2.5 && r1.getDouble(4) == 1.0)
+    val anti = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(LinAlg.anisotropyReport(anti, col("vec_id"), col("embedding"))
+      .collect().head.getDouble(4) == 0.0)
+    val orth = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r3 = LinAlg.anisotropyReport(orth, col("vec_id"),
+      col("embedding")).collect().head
+    assert(r3.getLong(0) == 2L && r3.getLong(1) == 1L &&
+      r3.getDouble(4) == 0.5)
+  }
+
   test("assortativity: a star is exactly -1, disjoint cliques of " +
     "distinct degree exactly +1, a regular graph NULL") {
     import org.apache.spark.sql.functions._

@@ -112,6 +112,8 @@ object WindowContractSpec {
       "10^6+1 rows by rounding (scores live in [0,1])"),
     "q297_delong_auc" -> ("distinct 6-dp confidence grid: hard-capped " +
       "at 10^6+1 rows by rounding (scores live in [0,1])"),
+    "q306_family_tail" -> ("post-orderBy.limit(k+1) frame: " +
+      "TakeOrderedAndProject caps the window input at 21 rows"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
