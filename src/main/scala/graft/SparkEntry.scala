@@ -3774,6 +3774,17 @@ object SparkEntry {
     ops.Analytics.meanSampleSize(units, col("y"))
   }
 
+  /** Cohen's h for the arm conversion-rate difference
+    * ([[ops.Quality.cohensH]], Cohen 1988 §6.2) — the
+    * variance-stabilized proportions effect size next to q280's
+    * interval and q274's Hedges g. */
+  private def qCohensH(s: SparkSession, dir: String): DataFrame = {
+    val u = survivalUnits(s, dir)
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Quality.cohensH(u, isA, col("converted"))
+  }
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4646,7 +4657,8 @@ object SparkEntry {
     "q303_assortativity" -> (qAssortativity _),
     "q304_neighborhood" -> (qNeighborhood _),
     "q305_anisotropy" -> (qAnisotropy _),
-    "q306_family_tail" -> (qFamilyTail _))
+    "q306_family_tail" -> (qFamilyTail _),
+    "q307_cohens_h" -> (qCohensH _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10255,6 +10267,22 @@ object SparkEntry {
         "SELECT spec.size, spec.n_families, fr.k_used, fr.x_boundary, fr.alpha " +
         "FROM spec CROSS JOIN fr")
     },
+    "q307_cohens_h" ->
+      // exact integer arm counts; h = 2·asin√p₁ − 2·asin√p₂; Cohen
+      // magnitude labels on the 6-dp-rounded value
+      (s"WITH $survivalUnitsCte, " +
+        "hm AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+        "CAST(sum(CASE WHEN a AND e THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN NOT a AND e THEN 1 ELSE 0 END) AS BIGINT) AS cb FROM u), " +
+        "hp AS (SELECT *, CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa, " +
+        "CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb, na > 0 AND nb > 0 AS ok FROM hm), " +
+        "hh AS (SELECT *, round(CASE WHEN ok THEN 2 * asin(sqrt(pa)) - 2 * asin(sqrt(pb)) END, 6) AS h FROM hp) " +
+        "SELECT na AS n_a, nb AS n_b, " +
+        "round(CASE WHEN ok THEN pa END, 6) AS p_a, round(CASE WHEN ok THEN pb END, 6) AS p_b, h, " +
+        "CASE WHEN ok THEN (CASE WHEN abs(h) >= CAST(0.8 AS DOUBLE) THEN 'large' " +
+        "WHEN abs(h) >= CAST(0.5 AS DOUBLE) THEN 'medium' " +
+        "WHEN abs(h) >= CAST(0.2 AS DOUBLE) THEN 'small' ELSE 'negligible' END) END AS magnitude FROM hh"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

@@ -1200,6 +1200,38 @@ object Quality {
         round(when(ok, (tp + (nD - fp)) / (pD + nD)), 6).as("accuracy"))
   }
 
+  /** Cohen's h effect size for two proportions (Cohen 1988 §6.2):
+    * h = 2·arcsin√p₁ − 2·arcsin√p₂ — the variance-stabilized
+    * difference whose detectability does NOT depend on where the
+    * proportions sit (a 5-point gap at 50% and at 95% are different
+    * amounts of evidence; h says by how much). The proportions
+    * sibling of q274's Hedges g, next to q280's interval. Magnitude
+    * label per Cohen's benchmarks (|h| ≥ .8 large, ≥ .5 medium,
+    * ≥ .2 small, else negligible) on the 6-dp-rounded value.
+    * Exact integer counts; one fixed IEEE composition; empty arm →
+    * NULL. Returns (n_a, n_b, p_a, p_b, h, magnitude). */
+  def cohensH(units: DataFrame, isA: Column, converted: Column)
+      : DataFrame = {
+    val b = units.select(isA.as("a"),
+      when(converted, 1L).otherwise(0L).as("c"))
+    val m = b.agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+      sum(when(col("a"), col("c")).otherwise(0L)).as("ca"),
+      sum(when(!col("a"), col("c")).otherwise(0L)).as("cb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val h = lit(2.0) * asin(sqrt(pa)) - lit(2.0) * asin(sqrt(pb))
+    val ok = col("na") > 0L && col("nb") > 0L
+    val hr = round(when(ok, h), 6)
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(when(ok, pa), 6).as("p_a"), round(when(ok, pb), 6).as("p_b"),
+      hr.as("h"),
+      when(ok, when(abs(hr) >= 0.8, lit("large"))
+        .when(abs(hr) >= 0.5, lit("medium"))
+        .when(abs(hr) >= 0.2, lit("small"))
+        .otherwise(lit("negligible"))).as("magnitude"))
+  }
+
   /** DeLong nonparametric AUC confidence interval (DeLong, DeLong &
     * Clarke-Pearson 1988) — the error bar q168's point AUC lacks:
     * AUC is a two-sample U-statistic, so its variance decomposes

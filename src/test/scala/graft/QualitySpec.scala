@@ -720,6 +720,26 @@ class QualitySpec extends SparkSpec {
     assert(want.head.contains(",3]"))
   }
 
+  test("cohensH: hand 0.5-vs-0.1 case is 'large'; equal arms 0 " +
+    "'negligible'; empty arm NULL") {
+    val u = ((1 to 10).map(i => (true, i <= 5)) ++
+      (1 to 10).map(i => (false, i <= 1))).toDF("a", "conv")
+    val r = Quality.cohensH(u, col("a"), col("conv")).collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.1)
+    assert(r.getDouble(4) ==
+      r6(2.0 * math.asin(math.sqrt(0.5)) - 2.0 * math.asin(math.sqrt(0.1))))
+    assert(r.getString(5) == "large")
+    val eq = ((1 to 5).map(i => (true, i <= 2)) ++
+      (1 to 5).map(i => (false, i <= 2))).toDF("a", "conv")
+    val re = Quality.cohensH(eq, col("a"), col("conv")).collect().head
+    assert(re.getDouble(4) == 0.0 && re.getString(5) == "negligible")
+    val one = (1 to 5).map(i => (true, i <= 2)).toDF("a", "conv")
+    assert(Quality.cohensH(one, col("a"), col("conv"))
+      .collect().head.isNullAt(4))
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
