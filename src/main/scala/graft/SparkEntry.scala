@@ -3785,6 +3785,28 @@ object SparkEntry {
     ops.Quality.cohensH(u, isA, col("converted"))
   }
 
+  /** Changepoint over the DESEASONALIZED daily series — q291's
+    * decomposition feeding q276's binseg: a level shift the weekly
+    * rhythm masks in the raw series stands out once the seasonal
+    * component is subtracted (composition of two certified
+    * operators, no new machinery). */
+  private def qSeasonalChangepoint(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sd = ops.Analytics.seasonalDecompose(dailySeries(s, dir),
+      col("p"), col("y"))
+    ops.Analytics.changepoint(
+      sd.select(col("p"), (col("y") - col("seasonal")).as("y")),
+      col("p"), col("y"))
+  }
+
+  /** Neyman optimal sampling allocation across event types
+    * ([[ops.Analytics.neymanAllocation]], Neyman 1934; Cochran 1977
+    * §5.5) at a 10k-row budget — how much to draw from where, the
+    * planner behind the q49/q57 samplers. */
+  private def qNeyman(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.neymanAllocation(t(s, dir, "events"),
+      col("event_type"), col("value"))
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4658,7 +4680,9 @@ object SparkEntry {
     "q304_neighborhood" -> (qNeighborhood _),
     "q305_anisotropy" -> (qAnisotropy _),
     "q306_family_tail" -> (qFamilyTail _),
-    "q307_cohens_h" -> (qCohensH _))
+    "q307_cohens_h" -> (qCohensH _),
+    "q308_seasonal_cp" -> (qSeasonalChangepoint _),
+    "q309_neyman" -> (qNeyman _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10283,6 +10307,63 @@ object SparkEntry {
         "CASE WHEN ok THEN (CASE WHEN abs(h) >= CAST(0.8 AS DOUBLE) THEN 'large' " +
         "WHEN abs(h) >= CAST(0.5 AS DOUBLE) THEN 'medium' " +
         "WHEN abs(h) >= CAST(0.2 AS DOUBLE) THEN 'small' ELSE 'negligible' END) END AS magnitude FROM hh"),
+    "q308_seasonal_cp" ->
+      // q291's decomposition CTEs feeding q276's binseg over the
+      // deseasonalized series y − seasonal
+      ("WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "tr AS (SELECT p, y, count(*) OVER w AS cnt, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1000000000 / 7 AS ma " +
+        "FROM sdy WINDOW w AS (ORDER BY p ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "td AS MATERIALIZED (SELECT p, y, CASE WHEN cnt = 7 THEN ma END AS trend, p % 7 AS phase FROM tr), " +
+        "ix AS MATERIALIZED (SELECT phase, CASE WHEN count(y - trend) > 0 THEN " +
+        "CAST(sum(CAST(floor((y - trend) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 / CAST(count(y - trend) AS DOUBLE) END AS raw FROM td GROUP BY 1), " +
+        "ce AS (SELECT CAST(sum(CAST(floor(raw * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sr, count(raw) AS cr FROM ix), " +
+        "se AS (SELECT phase, round(raw - sr / CAST(cr AS DOUBLE), 6) AS seasonal FROM ix CROSS JOIN ce), " +
+        "adj AS MATERIALIZED (SELECT td.p, td.y - se.seasonal AS y FROM td LEFT JOIN se USING (phase)), " +
+        "cb AS (SELECT p, y, row_number() OVER (ORDER BY p) AS i, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000000 AS cs FROM adj), " +
+        "ct AS (SELECT count(*) AS n, " +
+        "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS sy, " +
+        "CAST(sum(CAST(floor(y * y * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS syy FROM adj), " +
+        "cu AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM ct), " +
+        "cv AS (SELECT *, CASE WHEN nd > 1 AND sqrt((syy - sy * sy / nd) / (nd - 1)) > CAST(0 AS DOUBLE) " +
+        "THEN sqrt((syy - sy * sy / nd) / (nd - 1)) END AS sdv FROM cu), " +
+        "cw AS (SELECT cb.p, cb.i, cv.n, " +
+        "round(sqrt(CAST(cb.i AS DOUBLE) * (cv.nd - CAST(cb.i AS DOUBLE)) / cv.nd) * " +
+        "abs(cb.cs / CAST(cb.i AS DOUBLE) - (cv.sy - cb.cs) / (cv.nd - CAST(cb.i AS DOUBLE))) / cv.sdv, 6) AS t, " +
+        "round(cb.cs / CAST(cb.i AS DOUBLE), 6) AS ml, " +
+        "round((cv.sy - cb.cs) / (cv.nd - CAST(cb.i AS DOUBLE)), 6) AS mr " +
+        "FROM cb CROSS JOIN cv WHERE cb.i < cv.n) " +
+        "SELECT n AS n_periods, " +
+        "CASE WHEN n >= 4 AND t IS NOT NULL THEN p END AS split_period, " +
+        "CASE WHEN n >= 4 THEN t END AS t_stat, " +
+        "CASE WHEN n >= 4 AND t IS NOT NULL THEN ml END AS mean_before, " +
+        "CASE WHEN n >= 4 AND t IS NOT NULL THEN mr END AS mean_after " +
+        "FROM (SELECT * FROM cw ORDER BY t DESC NULLS LAST, p LIMIT 1)"),
+    "q309_neyman" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      val snap6 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000"
+      // per-stratum snapped moments → population σ_h; Neyman shares
+      // n_h ∝ N_h·σ_h with the variance pair and relative gain
+      "WITH b0 AS (SELECT event_type AS h, value AS y FROM events), " +
+        s"per AS (SELECT h, count(*) AS nh, ${snap9("y")} AS sy, ${snap9("y * y")} AS syy FROM b0 GROUP BY 1), " +
+        "st AS MATERIALIZED (SELECT h, nh, " +
+        "sqrt((syy - sy * sy / CAST(nh AS DOUBLE)) / CAST(nh AS DOUBLE)) AS sd FROM per), " +
+        s"tot AS (SELECT CAST(sum(nh) AS BIGINT) AS nt, ${snap6("CAST(nh AS DOUBLE) * sd")} AS sns, " +
+        s"${snap6("CAST(nh AS DOUBLE) * sd * sd")} AS sns2 FROM st), " +
+        "tr2 AS (SELECT nt, sns, " +
+        "(sns / CAST(nt AS DOUBLE)) * (sns / CAST(nt AS DOUBLE)) / 10000 AS vn, " +
+        "(sns2 / CAST(nt AS DOUBLE)) / 10000 AS vp FROM tot) " +
+        "SELECT st.h AS stratum, CAST(st.nh AS BIGINT) AS n_rows, round(st.sd, 6) AS sd, " +
+        "round(CASE WHEN sns > CAST(0 AS DOUBLE) THEN 10000 * (CAST(nh AS DOUBLE) * sd) / sns END, 6) AS alloc_neyman, " +
+        "round(10000 * CAST(nh AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS alloc_prop, " +
+        "round(CASE WHEN sns > CAST(0 AS DOUBLE) THEN vn END, 9) AS v_neyman, " +
+        "round(CASE WHEN sns > CAST(0 AS DOUBLE) THEN vp END, 9) AS v_prop, " +
+        "round(CASE WHEN sns > CAST(0 AS DOUBLE) THEN (CAST(1 AS DOUBLE) - vn / vp) * 100 END, 6) AS gain_pct " +
+        "FROM st CROSS JOIN tr2"
+    },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

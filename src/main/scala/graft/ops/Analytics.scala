@@ -2205,6 +2205,64 @@ object Analytics {
       when(ok, lehr).cast("long").as("lehr_n"))
   }
 
+  /** Neyman optimal stratified-sampling allocation (Neyman 1934;
+    * Cochran 1977 §5.5): given a total budget of `n` sampled rows,
+    * allocate n_h ∝ N_h·σ_h — big AND noisy strata get the samples —
+    * and report the variance of the stratified mean under Neyman vs
+    * proportional allocation plus the relative gain. The sampling
+    * planner that closes the loop the q49/q57 samplers open: THOSE
+    * draw, this says how much to draw from where.
+    *
+    * Exactness: per-stratum moments are snapped sums (population σ_h
+    * as IEEE-identical scalars); weights are exact-integer ratios;
+    * allocations are REAL-valued shares of n (6 dp — integerizing is
+    * the caller's rounding-rule decision, stated not hidden).
+    * Single-stratum or zero-σ corpora degrade to NULL gains, never
+    * divide-by-zero. Returns per stratum: (stratum, n_rows, sd,
+    * alloc_neyman, alloc_prop) with (v_neyman, v_prop, gain_pct)
+    * riding every row.
+    *
+    * Scale shape: one map-side-combined pass to the |strata|-row
+    * moment table; everything after is strata-table arithmetic with
+    * one-row broadcasts. */
+  def neymanAllocation(df: DataFrame, stratum: Column, y: Column,
+      n: Long = 10000L): DataFrame = {
+    import graft.expr.Snap
+    require(n > 0L, s"neymanAllocation: n=$n")
+    val b = df.select(stratum.as("h"), y.cast("double").as("y"))
+    val per = b.groupBy(col("h")).agg(count(lit(1)).as("nh"),
+      Snap.snappedSum(col("y"), 1e9).as("sy"),
+      Snap.snappedSum(col("y") * col("y"), 1e9).as("syy"))
+    val nhD = col("nh").cast("double")
+    val sd = sqrt((col("syy") - col("sy") * col("sy") / nhD) / nhD)
+    val st = per.select(col("h"), col("nh"), sd.as("sd"))
+    val tot = st.agg(sum(col("nh")).as("nt"),
+      Snap.snappedSum(col("nh").cast("double") * col("sd"), 1e6)
+        .as("sns"),
+      Snap.snappedSum(col("nh").cast("double") * col("sd") * col("sd"),
+        1e6).as("sns2"))
+    val ntD = col("nt").cast("double")
+    // variance of the stratified-mean estimator at total size n:
+    // Neyman (ΣW_hσ_h)²/n, proportional ΣW_hσ_h²/n
+    val vNey = (col("sns") / ntD) * (col("sns") / ntD) / lit(n.toDouble)
+    val vProp = (col("sns2") / ntD) / lit(n.toDouble)
+    val ok = col("sns") > 0.0
+    val totRow = tot.select(col("nt"),
+      round(when(ok, vNey), 9).as("v_neyman"),
+      round(when(ok, vProp), 9).as("v_prop"),
+      round(when(ok, (lit(1.0) - vNey / vProp) * lit(100.0)), 6)
+        .as("gain_pct"), col("sns"))
+    st.crossJoin(broadcast(totRow))
+      .select(col("h").as("stratum"), col("nh").as("n_rows"),
+        round(col("sd"), 6).as("sd"),
+        round(when(col("sns") > 0.0,
+          lit(n.toDouble) * (nhD * col("sd")) / col("sns")), 6)
+          .as("alloc_neyman"),
+        round(lit(n.toDouble) * nhD / col("nt").cast("double"), 6)
+          .as("alloc_prop"),
+        col("v_neyman"), col("v_prop"), col("gain_pct"))
+  }
+
   /** Fisher randomization (permutation) test for an arm difference in
     * unit-level means (Fisher 1935 §II; p-value convention of Phipson
     * & Smyth 2010: p = (1+b)/(R+1), never exactly 0) — the

@@ -1486,6 +1486,42 @@ class TextOpsSpec extends SparkSpec {
     assert(flat.getDouble(2) == 0.0 && flat.isNullAt(5))
   }
 
+  test("deseasonalized changepoint composition: a level shift the " +
+    "weekly rhythm magnitude-dominates is found at the exact day " +
+    "once q291's seasonal component is subtracted") {
+    import graft.ops.Analytics
+    val s = Map(0L -> 10.0, 1L -> -6.0, 2L -> 2.0, 3L -> 4.0,
+      4L -> -8.0, 5L -> 6.0, 6L -> -8.0) // sums to 0, amplitude >> shift
+    val df = (0L to 27L)
+      .map(p => (p, 20.0 + s(p % 7) + (if (p >= 14L) 3.0 else 0.0)))
+      .toDF("p", "y")
+    val dec = Analytics.seasonalDecompose(df, col("p"), col("y"))
+    val r = Analytics.changepoint(
+      dec.select(col("p"), (col("y") - col("seasonal")).as("y")),
+      col("p"), col("y")).collect().head
+    assert(r.getLong(1) == 13L, s"split at ${r.getLong(1)}")
+    assert(r.getDouble(3) < r.getDouble(4)) // level rose
+  }
+
+  test("neymanAllocation: hand two-strata case gives the exact " +
+    "N_h·sigma_h shares, variance pair, and gain") {
+    import graft.ops.Analytics
+    val rows = (1 to 100).map(i => ("A", if (i % 2 == 0) 2.0 else 0.0)) ++
+      (1 to 50).map(i => ("B", if (i % 2 == 0) 6.0 else 0.0))
+    val r = Analytics.neymanAllocation(rows.toDF("h", "y"), col("h"),
+        col("y")).collect().map(x => x.getString(0) -> x).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def r9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    // σ_A = 1, σ_B = 3: N·σ = 100 and 150, Σ = 250 over nt = 150
+    assert(r("A").getDouble(2) == 1.0 && r("B").getDouble(2) == 3.0)
+    assert(r("A").getDouble(3) == 4000.0 && r("B").getDouble(3) == 6000.0)
+    assert(r("A").getDouble(4) == r6(10000.0 * 100 / 150))
+    val vn = (250.0 / 150) * (250.0 / 150) / 10000
+    val vp = (550.0 / 150) / 10000
+    assert(r("A").getDouble(5) == r9(vn) && r("A").getDouble(6) == r9(vp))
+    assert(r("A").getDouble(7) == r6((1.0 - vn / vp) * 100))
+  }
+
   test("seasonalDecompose: linear trend + zero-sum weekly pattern " +
     "recovers both exactly with remainder 0; edges carry NULL trend") {
     import graft.ops.Analytics

@@ -114,6 +114,8 @@ object WindowContractSpec {
       "at 10^6+1 rows by rounding (scores live in [0,1])"),
     "q306_family_tail" -> ("post-orderBy.limit(k+1) frame: " +
       "TakeOrderedAndProject caps the window input at 21 rows"),
+    "q308_seasonal_cp" -> ("calendar-bounded daily-series grid (the " +
+      "q291 decomposition and q276 binseg windows, composed)"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
