@@ -3807,6 +3807,34 @@ object SparkEntry {
     ops.Analytics.neymanAllocation(t(s, dir, "events"),
       col("event_type"), col("value"))
 
+  /** Rank-biased precision of the q224 Dirichlet-QL top-20 against
+    * all-query-terms relevance ([[ops.Quality.rbpScore]], Moffat &
+    * Zobel 2008) — the persistence-model metric with its own honesty
+    * term (the unjudged-tail residual), next to nDCG/MRR/AP/RBO. */
+  private def qRbp(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "filter", "scan")
+    val tf = sharedTermFreqs(s, dir)
+    val ranked = TextStats.dirichletQl(t(s, dir, "documents"),
+        col("doc_id"), col("text"), terms, 2000.0, 20, tf0 = Some(tf))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+    val has3 = tf.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(countDistinct(col("term")).as("nq"))
+    ops.Quality.rbpScore(ranked.join(has3, Seq("doc_id"), "left"),
+      col("rank"), coalesce(col("nq"), lit(0L)) === 3L)
+  }
+
+  /** Query clarity score for the q224 query
+    * ([[TextStats.clarityScore]], Cronen-Townsend et al. 2002) — the
+    * KL bits between the feedback relevance model and the collection
+    * LM: pre-retrieval difficulty prediction in front of the
+    * BM25/QL/RM family. */
+  private def qClarity(s: SparkSession, dir: String): DataFrame =
+    TextStats.clarityScore(t(s, dir, "documents"), col("doc_id"),
+      col("text"), Seq("join", "filter", "scan"),
+      tf0 = Some(sharedTermFreqs(s, dir)))
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4682,7 +4710,9 @@ object SparkEntry {
     "q306_family_tail" -> (qFamilyTail _),
     "q307_cohens_h" -> (qCohensH _),
     "q308_seasonal_cp" -> (qSeasonalChangepoint _),
-    "q309_neyman" -> (qNeyman _))
+    "q309_neyman" -> (qNeyman _),
+    "q310_rbp" -> (qRbp _),
+    "q311_clarity" -> (qClarity _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10363,6 +10393,66 @@ object SparkEntry {
         "round(CASE WHEN sns > CAST(0 AS DOUBLE) THEN vp END, 9) AS v_prop, " +
         "round(CASE WHEN sns > CAST(0 AS DOUBLE) THEN (CAST(1 AS DOUBLE) - vn / vp) * 100 END, 6) AS gain_pct " +
         "FROM st CROSS JOIN tr2"
+    },
+    "q310_rbp" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q224 top-20 ranked by (score desc, doc_id); rel = doc
+      // carries all 3 query terms; RBP at p = 0.8 with the residual
+      // (the 1−0.8 factor COMPUTED so IEEE matches Spark's 1.0−p)
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
+        "cf AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ('join', 'filter', 'scan') GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf), " +
+        "j AS (SELECT dl.doc_id, dl.n_tok, cf.cf, tf.tf FROM dl CROSS JOIN cf " +
+        "LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term), " +
+        "s AS (SELECT doc_id, n_tok, CAST(sum(CAST(floor(ln(" +
+        "(CAST(coalesce(tf, 0) AS DOUBLE) + CAST(2000.0 AS DOUBLE) * (CAST(cf AS DOUBLE) / t)) / " +
+        "(CAST(n_tok AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s " +
+        "FROM j CROSS JOIN tt GROUP BY 1, 2), " +
+        "rk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r " +
+        "FROM (SELECT doc_id, round(s, 6) AS score FROM s ORDER BY score DESC, doc_id LIMIT 20)), " +
+        "hs AS (SELECT doc_id, count(DISTINCT term) AS nq FROM tf " +
+        "WHERE term IN ('join', 'filter', 'scan') GROUP BY 1), " +
+        "rl AS (SELECT rk.r, CASE WHEN coalesce(nq, 0) = 3 THEN 1 ELSE 0 END AS rel " +
+        "FROM rk LEFT JOIN hs USING (doc_id)) " +
+        "SELECT CAST(count(*) AS BIGINT) AS depth, CAST(sum(rel) AS BIGINT) AS n_rel, " +
+        s"round((CAST(1 AS DOUBLE) - CAST(0.8 AS DOUBLE)) * ${snap9("pow(CAST(0.8 AS DOUBLE), CAST(r - 1 AS DOUBLE)) * CAST(rel AS DOUBLE)")}, 6) AS rbp, " +
+        "round(pow(CAST(0.8 AS DOUBLE), CAST(count(*) AS DOUBLE)), 6) AS residual FROM rl")
+    },
+    "q311_clarity" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q226 feedback softmax WITHOUT query-term exclusion or
+      // truncation (the mixture is already a distribution); KL bits
+      // against exact-integer collection probabilities
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf GROUP BY 1), " +
+        "cf AS (SELECT term, sum(tf) AS cf FROM tf WHERE term IN ('join', 'filter', 'scan') GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM tf), " +
+        "j AS (SELECT dl.doc_id, dl.n_tok, cf.cf, tf.tf FROM dl CROSS JOIN cf " +
+        "LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = cf.term), " +
+        "s AS (SELECT doc_id, n_tok, CAST(sum(CAST(floor(ln(" +
+        "(CAST(coalesce(tf, 0) AS DOUBLE) + CAST(2000.0 AS DOUBLE) * (CAST(cf AS DOUBLE) / t)) / " +
+        "(CAST(n_tok AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS s " +
+        "FROM j CROSS JOIN tt GROUP BY 1, 2), " +
+        "fb AS (SELECT doc_id, n_tok, round(s, 6) AS score FROM s " +
+        "ORDER BY score DESC, doc_id LIMIT 10), " +
+        "mx AS (SELECT max(score) AS mx FROM fb), " +
+        "wgt AS (SELECT doc_id, n_tok, exp(score - mx) AS w FROM fb CROSS JOIN mx), " +
+        s"z AS (SELECT ${snap9("w")} AS z, count(*) AS n_fb FROM wgt), " +
+        "pd AS (SELECT doc_id, n_tok, w / z AS pd FROM wgt CROSS JOIN z), " +
+        s"rm AS (SELECT t2.term, ${snap9("pd * (CAST(t2.tf AS DOUBLE) / CAST(pd.n_tok AS DOUBLE))")} AS w " +
+        "FROM pd JOIN tf t2 ON t2.doc_id = pd.doc_id GROUP BY 1), " +
+        "cfa AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1), " +
+        "tta AS (SELECT CAST(sum(cf) AS BIGINT) AS t FROM cfa), " +
+        "cl AS (SELECT count(*) AS n_terms, " +
+        s"${snap9("CASE WHEN w > CAST(0 AS DOUBLE) THEN w * (ln(w / (CAST(cf AS DOUBLE) / CAST(t AS DOUBLE))) / ln(CAST(2 AS DOUBLE))) ELSE CAST(0 AS DOUBLE) END")} AS cl " +
+        "FROM rm JOIN cfa USING (term) CROSS JOIN tta) " +
+        "SELECT (SELECT CAST(n_fb AS BIGINT) FROM z) AS n_fb_docs, " +
+        "CAST(n_terms AS BIGINT) AS n_terms, round(cl, 6) AS clarity_bits FROM cl")
     },
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,

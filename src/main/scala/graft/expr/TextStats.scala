@@ -471,6 +471,65 @@ object TextStats {
       .limit(fbTerms)
   }
 
+  /** Query clarity score (Cronen-Townsend, Zhai & Croft, SIGIR 2002,
+    * "Predicting query performance"): the KL divergence, in bits,
+    * between the relevance model estimated from the query's top-k
+    * feedback docs and the collection language model —
+    * clarity = Σ_w P(w|Q)·log₂(P(w|Q)/P(w|C)). A sharp, topical
+    * query concentrates probability on few terms (high clarity); a
+    * query that retrieves "the collection in miniature" scores ~0 —
+    * the pre-retrieval difficulty predictor in front of the
+    * BM25/QL/RM scoring family (q66/q224/q226).
+    *
+    * The relevance model is [[rmExpansion]]'s softmax-weighted
+    * feedback mixture WITHOUT the query-term exclusion or top-k
+    * truncation — kept whole, it is exactly a probability
+    * distribution (Σ_d p_d·Σ_w tf/len = Σ_d p_d = 1), so no
+    * renormalization and nothing truncated out of the KL. Snapped
+    * per-term mixture weights and KL terms (1e9); exact-integer
+    * collection probabilities. Returns one row:
+    * (n_fb_docs, n_terms, clarity_bits). */
+  def clarityScore(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, queryTerms: Seq[String], mu: Double = 2000.0,
+      fbDocs: Int = 10,
+      materialize: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        _.localCheckpoint(true),
+      tf0: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, exp,
+      explode, lit, log, max, round, sum, when}
+    require(fbDocs > 0, s"clarityScore: fbDocs=$fbDocs")
+    val tf = tf0.getOrElse(materialize(graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
+    val fb = materialize(dirichletQl(docs, id, text, queryTerms, mu,
+      fbDocs, materialize, Some(tf)))
+    val mx = fb.agg(max(col("score")).as("mx"))
+    val wgt = fb.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("n_tok"),
+        exp(col("score") - col("mx")).as("w"))
+    val z = wgt.agg(graft.expr.Snap.snappedSum(col("w"), 1e9).as("z"),
+      count(lit(1)).as("n_fb"))
+    val pd = wgt.crossJoin(broadcast(z))
+      .select(col("doc_id"), col("n_tok"), col("n_fb"),
+        (col("w") / col("z")).as("pd"))
+    val rm = pd.join(tf, "doc_id")
+      .groupBy(col("term"))
+      .agg(graft.expr.Snap.snappedSum(
+        col("pd") * (col("tf").cast("double") / col("n_tok").cast("double")),
+        1e9).as("w"), max(col("n_fb")).as("n_fb"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val tTot = cf.agg(sum(col("cf")).as("t"))
+    val pc = col("cf").cast("double") / col("t").cast("double")
+    rm.join(cf, "term").crossJoin(broadcast(tTot))
+      .agg(max(col("n_fb")).as("n_fb_docs"), count(lit(1)).as("n_terms"),
+        graft.expr.Snap.snappedSum(when(col("w") > 0.0,
+          col("w") * (log(col("w") / pc) / log(lit(2.0))))
+          .otherwise(lit(0.0)), 1e9).as("cl"))
+      .select(col("n_fb_docs"), col("n_terms"),
+        round(col("cl"), 6).as("clarity_bits"))
+  }
+
   /** Interpolated bigram language-model score per document — the
     * perplexity-filter quality signal of an LLM data pipeline (docs
     * whose mean NLL under a corpus-trained LM is an outlier are

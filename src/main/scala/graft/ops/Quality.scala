@@ -1150,6 +1150,34 @@ object Quality {
     outs.reduce(_.unionByName(_))
   }
 
+  /** Rank-biased precision (Moffat & Zobel, TOIS 2008) of a ranked
+    * list against binary relevance: RBP = (1−p)·Σ_r p^(r−1)·rel_r —
+    * the user-model metric (a reader inspects rank r+1 with
+    * persistence p) that, unlike precision@k, needs no cutoff and,
+    * unlike MRR, credits every relevant hit. Also reports the
+    * RESIDUAL (1-ranked-depth uncertainty): p^depth — how much score
+    * an unjudged tail could still add, the metric's own honesty
+    * term. The precision sibling of q269's RBO (same p-weighted
+    * geometry, relevance instead of list overlap).
+    *
+    * Deterministic: ranks are exact ints, p^(r−1) is pow on small
+    * exact ints (IEEE-identical), terms snap at 1e9 over the
+    * ≤depth-row list. Returns one row: (depth, n_rel, rbp,
+    * residual). */
+  def rbpScore(ranked: DataFrame, rank: Column, rel: Column,
+      p: Double = 0.8): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"rbpScore: p=$p")
+    import graft.expr.Snap
+    val b = ranked.select(rank.cast("long").as("r"),
+      when(rel, 1L).otherwise(0L).as("rel"))
+    b.agg(count(lit(1)).as("depth"), sum(col("rel")).as("n_rel"),
+        Snap.snappedSum(pow(lit(p), (col("r") - lit(1L)).cast("double")) *
+          col("rel").cast("double"), 1e9).as("s"))
+      .select(col("depth"), col("n_rel"),
+        round(lit(1.0 - p) * col("s"), 6).as("rbp"),
+        round(pow(lit(p), col("depth").cast("double")), 6).as("residual"))
+  }
+
   /** Youden-J optimal decision threshold (Youden 1950) for a score
     * that predicts a binary outcome — HERE, the selective-prediction
     * router next to q241's risk-coverage curve: accept the model's

@@ -740,6 +740,36 @@ class QualitySpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  test("rbpScore: hand list (rel at ranks 1 and 3, p=0.8) scores " +
+    "0.328 with residual 0.8^5; empty relevance scores 0") {
+    val ranked = Seq((1L, true), (2L, false), (3L, true), (4L, false),
+      (5L, false)).toDF("rank", "rel")
+    val r = Quality.rbpScore(ranked, col("rank"), col("rel")).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.328)
+    assert(r.getDouble(3) == BigDecimal(math.pow(0.8, 5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val none = Quality.rbpScore(
+      Seq((1L, false), (2L, false)).toDF("rank", "rel"),
+      col("rank"), col("rel")).collect().head
+    assert(none.getDouble(2) == 0.0)
+  }
+
+  test("clarityScore: a collection-in-miniature query scores exactly " +
+    "0 bits; a concentrated topical query scores well above 0") {
+    import graft.expr.TextStats
+    val flat = (1L to 4L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val r0 = TextStats.clarityScore(flat, col("doc_id"), col("text"),
+      Seq("a"), fbDocs = 2).collect().head
+    assert(r0.getLong(0) == 2L && r0.getDouble(2) == 0.0)
+    val mixed = ((1L to 4L).map(i => (i, "q q q q")) ++
+      Seq((5L, "a b c d"), (6L, "e f g h"), (7L, "i j k l")))
+      .toDF("doc_id", "text")
+    val r1 = TextStats.clarityScore(mixed, col("doc_id"), col("text"),
+      Seq("q"), fbDocs = 2).collect().head
+    assert(r1.getDouble(2) > 0.5, s"clarity ${r1.getDouble(2)}")
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(

@@ -116,6 +116,8 @@ object WindowContractSpec {
       "TakeOrderedAndProject caps the window input at 21 rows"),
     "q308_seasonal_cp" -> ("calendar-bounded daily-series grid (the " +
       "q291 decomposition and q276 binseg windows, composed)"),
+    "q310_rbp" -> ("post-orderBy.limit(20) frame: " +
+      "TakeOrderedAndProject caps the rank window input at 20 rows"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
