@@ -3835,6 +3835,18 @@ object SparkEntry {
       col("text"), Seq("join", "filter", "scan"),
       tf0 = Some(sharedTermFreqs(s, dir)))
 
+  /** Mann–Kendall monotone-trend test over daily volume
+    * ([[ops.Analytics.mannKendall]], Mann 1945; Kendall 1975) — the
+    * significance companion to q228's Theil–Sen slope. */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.mannKendall(dailySeries(s, dir), col("p"), col("y"))
+
+  /** Wald–Wolfowitz runs test of daily volume around its median
+    * ([[ops.Analytics.runsTest]], Wald & Wolfowitz 1940) — regime
+    * clumping vs alternation that q289's linear ACF can miss. */
+  private def qRunsTest(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.runsTest(dailySeries(s, dir), col("p"), col("y"))
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4712,7 +4724,9 @@ object SparkEntry {
     "q308_seasonal_cp" -> (qSeasonalChangepoint _),
     "q309_neyman" -> (qNeyman _),
     "q310_rbp" -> (qRbp _),
-    "q311_clarity" -> (qClarity _))
+    "q311_clarity" -> (qClarity _),
+    "q312_mann_kendall" -> (qMannKendall _),
+    "q313_runs_test" -> (qRunsTest _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10454,6 +10468,60 @@ object SparkEntry {
         "SELECT (SELECT CAST(n_fb AS BIGINT) FROM z) AS n_fb_docs, " +
         "CAST(n_terms AS BIGINT) AS n_terms, round(cl, 6) AS clarity_bits FROM cl")
     },
+    "q312_mann_kendall" ->
+      // exact integer S over the bounded day-pair join; tie-corrected
+      // variance; continuity-corrected z; the shared erfc p
+      ("WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "pr AS (SELECT a.y AS yi, b.y AS yj FROM sdy a JOIN sdy b ON a.p < b.p), " +
+        "sx AS (SELECT coalesce(CAST(sum(CAST(sign(yj - yi) AS BIGINT)) AS BIGINT), 0) AS s FROM pr), " +
+        "nt AS (SELECT count(*) AS n FROM sdy), " +
+        "tx AS (SELECT coalesce(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tsum " +
+        "FROM (SELECT count(*) AS t FROM sdy GROUP BY y)), " +
+        "vv AS (SELECT n, s, (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1) * (2 * CAST(n AS DOUBLE) + 5) - " +
+        "CAST(tsum AS DOUBLE)) / 18 AS vs FROM sx CROSS JOIN nt CROSS JOIN tx), " +
+        "zz3 AS (SELECT *, CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(vs) " +
+        "WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(vs) ELSE CAST(0 AS DOUBLE) END AS z, " +
+        "n >= 2 AND vs > CAST(0 AS DOUBLE) AS ok FROM vv), " +
+        "yy3 AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM zz3), " +
+        "tt3 AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt FROM yy3), " +
+        "pp3 AS (SELECT *, round(CASE WHEN ok THEN " +
+        "tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)) END, 6) AS p FROM tt3) " +
+        "SELECT n AS n_periods, s, round(CASE WHEN ok THEN vs END, 6) AS var_s, " +
+        "round(CASE WHEN ok THEN z END, 6) AS z, p AS p_value, " +
+        "CASE WHEN ok THEN (CASE WHEN p < CAST(0.05 AS DOUBLE) AND s > 0 THEN 'increasing' " +
+        "WHEN p < CAST(0.05 AS DOUBLE) AND s < 0 THEN 'decreasing' ELSE 'none' END) END AS trend FROM pp3"),
+    "q313_runs_test" ->
+      // low median off the value-grid cum; median-tied days excluded
+      // and counted; runs = 1 + sign changes along the calendar
+      ("WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "ct2 AS (SELECT y, count(*) AS c FROM sdy GROUP BY 1), " +
+        "nt AS (SELECT count(*) AS nt FROM sdy), " +
+        "md AS (SELECT min(y) AS med FROM (SELECT y, CAST(sum(c) OVER (ORDER BY y " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM ct2) CROSS JOIN nt " +
+        "WHERE cum >= CAST(ceil(CAST(nt AS DOUBLE) / 2.0) AS BIGINT)), " +
+        "sg AS (SELECT p, y > med AS up FROM sdy CROSS JOIN md WHERE y <> med), " +
+        "rr3 AS (SELECT coalesce(CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT), 0) AS n1, " +
+        "coalesce(CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT), 0) AS n2, " +
+        "1 + CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> up THEN 1 ELSE 0 END) AS BIGINT) AS r " +
+        "FROM (SELECT up, lag(up) OVER (ORDER BY p) AS prev FROM sg)), " +
+        "td2 AS (SELECT CAST(sum(CASE WHEN y = med THEN 1 ELSE 0 END) AS BIGINT) AS n_tied FROM sdy CROSS JOIN md), " +
+        "mm3 AS (SELECT *, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d FROM rr3), " +
+        "vv3 AS (SELECT *, CAST(1 AS DOUBLE) + 2 * n1d * n2d / (n1d + n2d) AS mu, " +
+        "2 * n1d * n2d * (2 * n1d * n2d - (n1d + n2d)) / " +
+        "((n1d + n2d) * (n1d + n2d) * ((n1d + n2d) - 1)) AS v FROM mm3), " +
+        "zz4 AS (SELECT *, (CAST(r AS DOUBLE) - mu) / sqrt(v) AS z, " +
+        "n1 > 0 AND n2 > 0 AND v > CAST(0 AS DOUBLE) AS ok FROM vv3), " +
+        "yy4 AS (SELECT *, abs(z) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM zz4), " +
+        "tt4 AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt FROM yy4), " +
+        "pp4 AS (SELECT *, round(CASE WHEN ok THEN " +
+        "tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)) END, 6) AS p FROM tt4) " +
+        "SELECT n1 AS n_above, n2 AS n_below, n_tied, r AS runs, " +
+        "round(CASE WHEN ok THEN mu END, 6) AS mu_runs, " +
+        "round(CASE WHEN ok THEN z END, 6) AS z, p AS p_value, " +
+        "CASE WHEN ok THEN NOT (p < CAST(0.05 AS DOUBLE)) END AS random " +
+        "FROM pp4 CROSS JOIN td2"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

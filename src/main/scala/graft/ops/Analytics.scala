@@ -2205,6 +2205,114 @@ object Analytics {
       when(ok, lehr).cast("long").as("lehr_n"))
   }
 
+  /** Mann–Kendall monotone-trend test (Mann 1945; Kendall 1975) over
+    * a per-period series — the SIGNIFICANCE companion to q228's
+    * Theil–Sen slope (that one says how steep, this says whether the
+    * monotone drift is real), robust to outliers and any monotone
+    * transform where a regression-t is not:
+    * S = Σ_{i<j} sgn(y_j − y_i), tie-corrected normal variance,
+    * continuity-corrected z, p via the shared erfc primitive.
+    *
+    * Exactness: S is an exact integer (signum of IEEE-identical
+    * differences); the tie spectrum and variance inputs are exact
+    * longs; z/p are one fixed IEEE composition; the trend label reads
+    * the ROUNDED p. The pair join is O(n²) over the
+    * calendar-bounded series — the q279 bounded-aggregate-input
+    * contract (corpus-sized data belongs in windowed monitors, not
+    * here). Zero variance or n < 2 → NULL verdict. Returns one row:
+    * (n_periods, s, var_s, z, p_value, trend). */
+  def mannKendall(series: DataFrame, period: Column, y: Column)
+      : DataFrame = {
+    val base = series.select(period.cast("long").as("p"),
+      y.cast("double").as("y"))
+    val pairs = base.select(col("p").as("pi"), col("y").as("yi"))
+      .join(base.select(col("p").as("pj"), col("y").as("yj")),
+        col("pi") < col("pj"))
+    val sAgg = pairs.agg(
+      coalesce(sum(signum(col("yj") - col("yi")).cast("long")), lit(0L))
+        .as("s"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val ties = base.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - lit(1L)) *
+        (lit(2L) * col("t") + lit(5L))), lit(0L)).as("tsum"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      col("tsum").cast("double")) / lit(18.0)
+    val sD = col("s").cast("double")
+    val z = when(col("s") > 0L, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s") < 0L, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    val ok = col("n") >= 2L && varS > 0.0
+    val p6 = round(when(ok, normalPValue2(z)), 6)
+    sAgg.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_periods"), col("s"),
+        round(when(ok, varS), 6).as("var_s"),
+        round(when(ok, z), 6).as("z"), p6.as("p_value"),
+        when(ok, when(p6 < 0.05 && col("s") > 0L, lit("increasing"))
+          .when(p6 < 0.05 && col("s") < 0L, lit("decreasing"))
+          .otherwise(lit("none"))).as("trend"))
+  }
+
+  /** Wald–Wolfowitz runs test (Wald & Wolfowitz 1940) for the
+    * randomness of a per-period series around its median — are the
+    * above/below-median days INDEPENDENT, or do they clump (too few
+    * runs: regime persistence — the thing q289's linear ACF can miss
+    * when dependence is nonlinear) or alternate (too many runs)?
+    * Median-tied periods are EXCLUDED (the standard dichotomization;
+    * counted, not hidden). R = 1 + sign changes along the calendar;
+    * μ_R = 1 + 2n₁n₂/n, σ²_R = 2n₁n₂(2n₁n₂−n)/(n²(n−1)); z; p via
+    * the shared erfc primitive.
+    *
+    * Exactness: the low median reads off an exact cumulative count
+    * over the value grid; run counting is integer lag-compare along
+    * the day grid (both windows calendar-bounded, whitelisted);
+    * moments are exact-integer compositions. Either side empty or
+    * σ = 0 → NULL. Returns one row: (n_above, n_below, n_tied, runs,
+    * mu_runs, z, p_value, random). */
+  def runsTest(series: DataFrame, period: Column, y: Column)
+      : DataFrame = {
+    val base = series.select(period.cast("long").as("p"),
+      y.cast("double").as("y"))
+    val cnt = base.groupBy(col("y")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = base.agg(count(lit(1)).as("nt"))
+    val med = cnt.select(col("y"), sum(col("c")).over(wv).as("cum"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= ceil(col("nt").cast("double") / lit(2.0))
+        .cast("long"))
+      .agg(min(col("y")).as("med"))
+    val signed = base.crossJoin(broadcast(med))
+      .filter(col("y") =!= col("med"))
+      .select(col("p"), (col("y") > col("med")).as("up"))
+    val wp = Window.orderBy(col("p"))
+    val runs = signed
+      .select(col("up"), lag(col("up"), 1).over(wp).as("prev"))
+      .agg(coalesce(sum(when(col("up"), 1L).otherwise(0L)), lit(0L))
+          .as("n1"),
+        coalesce(sum(when(!col("up"), 1L).otherwise(0L)), lit(0L))
+          .as("n2"),
+        (lit(1L) + sum(when(col("prev").isNotNull &&
+          col("prev") =!= col("up"), 1L).otherwise(0L))).as("r"))
+    val tied = base.crossJoin(broadcast(med))
+      .agg(sum(when(col("y") === col("med"), 1L).otherwise(0L))
+        .as("n_tied"))
+    val n1D = col("n1").cast("double"); val n2D = col("n2").cast("double")
+    val nD = n1D + n2D
+    val mu = lit(1.0) + lit(2.0) * n1D * n2D / nD
+    val v = lit(2.0) * n1D * n2D * (lit(2.0) * n1D * n2D - nD) /
+      (nD * nD * (nD - lit(1.0)))
+    val z = (col("r").cast("double") - mu) / sqrt(v)
+    val ok = col("n1") > 0L && col("n2") > 0L && v > 0.0
+    val p6 = round(when(ok, normalPValue2(z)), 6)
+    runs.crossJoin(broadcast(tied))
+      .select(col("n1").as("n_above"), col("n2").as("n_below"),
+        col("n_tied"), col("r").as("runs"),
+        round(when(ok, mu), 6).as("mu_runs"),
+        round(when(ok, z), 6).as("z"), p6.as("p_value"),
+        when(ok, !(p6 < 0.05)).as("random"))
+  }
+
   /** Neyman optimal stratified-sampling allocation (Neyman 1934;
     * Cochran 1977 §5.5): given a total budget of `n` sampled rows,
     * allocate n_h ∝ N_h·σ_h — big AND noisy strata get the samples —

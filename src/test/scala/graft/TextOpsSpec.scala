@@ -1486,6 +1486,46 @@ class TextOpsSpec extends SparkSpec {
     assert(flat.getDouble(2) == 0.0 && flat.isNullAt(5))
   }
 
+  test("mannKendall: strictly increasing series has S = n(n-1)/2 and " +
+    "the hand continuity-corrected z; constant series NULL verdict") {
+    import graft.ops.Analytics
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def erfc2(z: Double): Double = {
+      val yv = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * yv)
+      t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+        t * (-1.453152027 + t * 1.061405429)))) * math.exp(-(yv * yv))
+    }
+    val up = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("p", "y")
+    val r = Analytics.mannKendall(up, col("p"), col("y")).collect().head
+    val vs = 8.0 * 7.0 * 21.0 / 18.0
+    assert(r.getLong(0) == 8L && r.getLong(1) == 28L)
+    assert(r.getDouble(2) == r6(vs))
+    assert(r.getDouble(3) == r6(27.0 / math.sqrt(vs)))
+    assert(r.getDouble(4) == r6(erfc2(27.0 / math.sqrt(vs))))
+    assert(r.getString(5) == "increasing")
+    val const = Analytics.mannKendall(
+      (1 to 8).map(i => (i.toLong, 5.0)).toDF("p", "y"),
+      col("p"), col("y")).collect().head
+    assert(const.getLong(1) == 0L && const.isNullAt(3) &&
+      const.isNullAt(5))
+  }
+
+  test("runsTest: hand monotone case (median-tied day excluded and " +
+    "counted, 2 runs over 3-above/2-below) matches the exact moments") {
+    import graft.ops.Analytics
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (5L, 50.0), (6L, 60.0)).toDF("p", "y")
+    val r = Analytics.runsTest(df, col("p"), col("y")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 3.4)
+    assert(r.getDouble(5) == r6(-1.4 / math.sqrt(0.84)))
+    // |z| ≈ 1.53 → p ≈ 0.127: consistent with randomness
+    assert(r.getBoolean(7))
+  }
+
   test("deseasonalized changepoint composition: a level shift the " +
     "weekly rhythm magnitude-dominates is found at the exact day " +
     "once q291's seasonal component is subtracted") {

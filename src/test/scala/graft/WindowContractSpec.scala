@@ -118,6 +118,8 @@ object WindowContractSpec {
       "q291 decomposition and q276 binseg windows, composed)"),
     "q310_rbp" -> ("post-orderBy.limit(20) frame: " +
       "TakeOrderedAndProject caps the rank window input at 20 rows"),
+    "q313_runs_test" -> ("calendar-bounded daily-series grid (the " +
+      "median cum runs on its value grid, the lag on the day grid)"),
     "q261_cif_competing" -> ("calendar-bounded day-step grid (the " +
       "observation window, data-independent; the per-cause cumulative " +
       "window partitions by cause)"),
