@@ -2656,6 +2656,37 @@ object SparkEntry {
           .otherwise(col("src_a")).as("lose"))
   }
 
+  /** Length-bias audit of the q171 duels: Mantel–Haenszel pooled odds
+    * of "the LONGER doc wins" across source-pair strata — the
+    * verbosity-bias check modern pairwise evals require (Zheng et al.
+    * 2023 §3.2's verbosity bias; Dubois et al. 2024's
+    * length-controlled win rates): does length predict duel wins
+    * BEYOND source identity? Pure composition of the certified duel
+    * table and [[ops.Analytics.mantelHaenszel]]; equal-length duels
+    * carry a NULL arm and drop (MH's stated NULL contract). */
+  private def qDuelLengthBias(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("len"))
+      .join(sharedUnigramNll(s, dir).select(col("doc_id"), col("nll")),
+        "doc_id")
+    val a = d.select(col("doc_id"), col("source").as("src_a"),
+      col("nll").as("nll_a"), col("len").as("len_a"))
+    val b = d.select((col("doc_id") - 1L).as("doc_id"),
+      col("source").as("src_b"), col("nll").as("nll_b"),
+      col("len").as("len_b"))
+    val duels = a.join(b, "doc_id")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(
+        when(col("len_a") > col("len_b"), true)
+          .when(col("len_a") < col("len_b"), false).as("longer_a"),
+        (col("nll_a") <= col("nll_b")).as("win_a"),
+        concat(least(col("src_a"), col("src_b")), lit("|"),
+          greatest(col("src_a"), col("src_b"))).as("pair"))
+    ops.Analytics.mantelHaenszel(duels, col("longer_a"), col("win_a"),
+      col("pair"))
+  }
+
   private def qBradleyTerry(s: SparkSession, dir: String): DataFrame =
     ops.Pref.bradleyTerry(btDuels(s, dir), col("win"), col("lose"))
       .withColumnRenamed("item", "source")
@@ -3847,6 +3878,14 @@ object SparkEntry {
   private def qRunsTest(s: SparkSession, dir: String): DataFrame =
     ops.Analytics.runsTest(dailySeries(s, dir), col("p"), col("y"))
 
+  /** Tokenizer-economics table: whitespace vs BPE-ish regex on the
+    * corpus ([[TextStats.tokenizerEconomics]], Rust et al. 2021's
+    * compression/fertility axes) — the choose-the-tokenizer summary
+    * q126/q134 read pointwise. */
+  private def qTokenizerEcon(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenizerEconomics(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4726,7 +4765,9 @@ object SparkEntry {
     "q310_rbp" -> (qRbp _),
     "q311_clarity" -> (qClarity _),
     "q312_mann_kendall" -> (qMannKendall _),
-    "q313_runs_test" -> (qRunsTest _))
+    "q313_runs_test" -> (qRunsTest _),
+    "q314_length_bias" -> (qDuelLengthBias _),
+    "q315_tokenizer_econ" -> (qTokenizerEcon _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10522,6 +10563,59 @@ object SparkEntry {
         "round(CASE WHEN ok THEN z END, 6) AS z, p AS p_value, " +
         "CASE WHEN ok THEN NOT (p < CAST(0.05 AS DOUBLE)) END AS random " +
         "FROM pp4 CROSS JOIN td2"),
+    "q314_length_bias" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q171 duel construction + token lengths; arm = longer side
+      // (equal-length duels NULL → dropped), outcome = A wins,
+      // stratum = unordered source pair; then the q263 MH body
+      (unigramNllCte +
+        ", dd0 AS (SELECT d.doc_id, d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS len, n.nll " +
+        "FROM documents d JOIN nllt n USING (doc_id)), " +
+        "du AS (SELECT CASE WHEN a.len > b.len THEN true WHEN a.len < b.len THEN false END AS arm, " +
+        "a.nll <= b.nll AS o, " +
+        "least(a.source, b.source) || '|' || greatest(a.source, b.source) AS s " +
+        "FROM dd0 a JOIN dd0 b ON b.doc_id = a.doc_id + 1 AND a.source <> b.source), " +
+        "mu AS (SELECT arm, o, s FROM du WHERE arm IS NOT NULL AND o IS NOT NULL AND s IS NOT NULL), " +
+        "m2 AS (SELECT s, CAST(sum(CASE WHEN arm AND o THEN 1 ELSE 0 END) AS DOUBLE) AS ad, " +
+        "CAST(sum(CASE WHEN arm AND NOT o THEN 1 ELSE 0 END) AS DOUBLE) AS bd, " +
+        "CAST(sum(CASE WHEN NOT arm AND o THEN 1 ELSE 0 END) AS DOUBLE) AS cd, " +
+        "CAST(sum(CASE WHEN NOT arm AND NOT o THEN 1 ELSE 0 END) AS DOUBLE) AS dd FROM mu GROUP BY 1), " +
+        "mx AS (SELECT *, ad + bd + cd + dd AS n FROM m2), " +
+        s"mm AS (SELECT count(*) AS n_strata, ${snap("ad * dd / n")} AS sr, ${snap("bd * cd / n")} AS ss, " +
+        s"${snap("CASE WHEN n > 1 THEN ad ELSE CAST(0 AS DOUBLE) END")} AS sa, " +
+        s"${snap("CASE WHEN n > 1 THEN (ad + bd) * (ad + cd) / n ELSE CAST(0 AS DOUBLE) END")} AS se_a, " +
+        s"${snap("CASE WHEN n > 1 THEN (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd) / (n * n * (n - 1)) ELSE CAST(0 AS DOUBLE) END")} AS sv, " +
+        s"${snap("((ad + dd) / n) * (ad * dd / n)")} AS spr, " +
+        s"${snap("((ad + dd) / n) * (bd * cd / n) + ((bd + cd) / n) * (ad * dd / n)")} AS spsqr, " +
+        s"${snap("((bd + cd) / n) * (bd * cd / n)")} AS sqs FROM mx), " +
+        "mo AS (SELECT *, CASE WHEN ss > CAST(0 AS DOUBLE) AND sr > CAST(0 AS DOUBLE) THEN sr / ss END AS ormh, " +
+        "CASE WHEN ss > CAST(0 AS DOUBLE) AND sr > CAST(0 AS DOUBLE) THEN " +
+        "spr / (2 * sr * sr) + spsqr / (2 * sr * ss) + sqs / (2 * ss * ss) END AS varln, " +
+        "CASE WHEN sv > CAST(0 AS DOUBLE) THEN (sa - se_a) * (sa - se_a) / sv END AS chi2 FROM mm), " +
+        "my AS (SELECT *, sqrt(chi2) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM mo), " +
+        "mz AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt FROM my) " +
+        "SELECT n_strata, round(ormh, 6) AS or_mh, " +
+        "round(ormh * exp(CAST(-1.959964 AS DOUBLE) * sqrt(varln)), 6) AS ci_lo, " +
+        "round(ormh * exp(CAST(1.959964 AS DOUBLE) * sqrt(varln)), 6) AS ci_hi, " +
+        "round(chi2, 6) AS chi2, " +
+        "round(tt * (CAST(0.254829592 AS DOUBLE) + tt * (CAST(-0.284496736 AS DOUBLE) + tt * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt * (CAST(-1.453152027 AS DOUBLE) + tt * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)), 6) AS p_value " +
+        "FROM mz")
+    },
+    "q315_tokenizer_econ" ->
+      // whitespace vs the q24 BPE-ish regex, unioned token streams;
+      // exact counts and integer-ratio rates
+      ("WITH ws AS (SELECT 'whitespace' AS tokenizer, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "bp AS (SELECT 'bpeish' AS tokenizer, unnest(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS tok FROM documents), " +
+        "per AS (SELECT tokenizer, count(*) AS total_tokens, count(DISTINCT tok) AS distinct_tokens " +
+        "FROM (SELECT * FROM ws UNION ALL SELECT * FROM bp) GROUP BY 1), " +
+        "base AS (SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars FROM documents) " +
+        "SELECT tokenizer, CAST(n_docs AS BIGINT) AS n_docs, CAST(total_tokens AS BIGINT) AS total_tokens, " +
+        "CAST(distinct_tokens AS BIGINT) AS distinct_tokens, " +
+        "round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS tokens_per_doc, " +
+        "round(CAST(n_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS chars_per_token " +
+        "FROM per CROSS JOIN base"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

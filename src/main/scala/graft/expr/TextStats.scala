@@ -471,6 +471,46 @@ object TextStats {
       .limit(fbTerms)
   }
 
+  /** Tokenizer-economics comparison: the whitespace tokenizer vs the
+    * BPE-ish pre-tokenizer regex, side by side on the same corpus —
+    * total tokens (the training-cost axis), distinct tokens (the
+    * vocabulary-pressure axis), tokens/doc (sequence length) and
+    * chars/token (the compression rate every tokenizer paper leads
+    * with; Rust et al. 2021 call its inverse fertility). The
+    * choose-the-tokenizer table that q126's per-word fertility and
+    * q134's OOV rate read pointwise.
+    *
+    * Exactness: every cell is an exact long or an exact-integer
+    * ratio rounded at 6 dp. Scale: one fanout per tokenizer into a
+    * map-side-combined (tokenizer, token) count — the distinct side
+    * is the only exchange; chars tally rides the first pass. Returns
+    * one row per tokenizer: (tokenizer, n_docs, total_tokens,
+    * distinct_tokens, tokens_per_doc, chars_per_token). */
+  def tokenizerEconomics(docs: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      explode, expr, length, lit, round, sum, broadcast}
+    val fanned = graft.ops.Fanout.fanout(docs)
+      .select(id.as("doc_id"), text.as("__t"))
+    val ws = fanned.select(lit("whitespace").as("tokenizer"),
+      explode(tokens(col("__t"))).as("tok"))
+    val bp = fanned.select(lit("bpeish").as("tokenizer"),
+      explode(expr("regexp_extract_all(__t, " +
+        "'[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("tok"))
+    val per = ws.unionByName(bp).groupBy(col("tokenizer"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("distinct_tokens"))
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum(length(text).cast("long")).as("n_chars"))
+    per.crossJoin(broadcast(base))
+      .select(col("tokenizer"), col("n_docs"), col("total_tokens"),
+        col("distinct_tokens"),
+        round(col("total_tokens").cast("double") /
+          col("n_docs").cast("double"), 6).as("tokens_per_doc"),
+        round(col("n_chars").cast("double") /
+          col("total_tokens").cast("double"), 6).as("chars_per_token"))
+  }
+
   /** Query clarity score (Cronen-Townsend, Zhai & Croft, SIGIR 2002,
     * "Predicting query performance"): the KL divergence, in bits,
     * between the relevance model estimated from the query's top-k

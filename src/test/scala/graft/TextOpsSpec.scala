@@ -1486,6 +1486,25 @@ class TextOpsSpec extends SparkSpec {
     assert(flat.getDouble(2) == 0.0 && flat.isNullAt(5))
   }
 
+  test("tokenizerEconomics: hand corpus counts both token streams " +
+    "exactly (totals, distincts, per-doc and per-char rates)") {
+    import graft.expr.TextStats
+    val docs = Seq((1L, "ab cd"), (2L, "a-b")).toDF("doc_id", "text")
+    val r = TextStats.tokenizerEconomics(docs, col("doc_id"), col("text"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // whitespace: [ab, cd] + [a-b] → 3 total, 3 distinct
+    assert(r("whitespace").getLong(1) == 2L)
+    assert(r("whitespace").getLong(2) == 3L &&
+      r("whitespace").getLong(3) == 3L)
+    assert(r("whitespace").getDouble(4) == 1.5 &&
+      r("whitespace").getDouble(5) == r6(8.0 / 3.0))
+    // bpeish: [ab, cd] + [a, -, b] → 5 total, 5 distinct
+    assert(r("bpeish").getLong(2) == 5L && r("bpeish").getLong(3) == 5L)
+    assert(r("bpeish").getDouble(4) == 2.5 &&
+      r("bpeish").getDouble(5) == 1.6)
+  }
+
   test("mannKendall: strictly increasing series has S = n(n-1)/2 and " +
     "the hand continuity-corrected z; constant series NULL verdict") {
     import graft.ops.Analytics
