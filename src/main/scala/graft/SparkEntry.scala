@@ -3886,6 +3886,27 @@ object SparkEntry {
     TextStats.tokenizerEconomics(t(s, dir, "documents"), col("doc_id"),
       col("text"))
 
+  /** Bloom FPR calibration on a parity-disjoint user split
+    * ([[ops.Sketch.bloomFprCalibration]], Bloom 1970) — the realized
+    * false-positive rate vs the exact finite-m analytic one: the
+    * audit q62's pruning and q158's decontam gate owe their
+    * consumers. */
+  private def qBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val u = t(s, dir, "events").select(col("user_id")).distinct()
+    ops.Sketch.bloomFprCalibration(
+      u.filter(col("user_id") % 2 === 0), col("user_id"),
+      u.filter(col("user_id") % 2 === 1), col("user_id"),
+      bits = 1024, k = 3)
+  }
+
+  /** Dedup-threshold policy sweep over the verified Jaccard pairs
+    * ([[ops.TextDedup.dedupThresholdSweep]]) — pairs fired and docs
+    * touched at every candidate threshold, the curve behind
+    * "dedup at ≥ 0.8". */
+  private def qThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    ops.TextDedup.dedupThresholdSweep(sharedVerifiedJaccard(s, dir),
+      col("doc_a"), col("doc_b"), col("jaccard"))
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4767,7 +4788,9 @@ object SparkEntry {
     "q312_mann_kendall" -> (qMannKendall _),
     "q313_runs_test" -> (qRunsTest _),
     "q314_length_bias" -> (qDuelLengthBias _),
-    "q315_tokenizer_econ" -> (qTokenizerEcon _))
+    "q315_tokenizer_econ" -> (qTokenizerEcon _),
+    "q316_bloom_fpr" -> (qBloomFpr _),
+    "q317_threshold_sweep" -> (qThresholdSweep _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10616,6 +10639,44 @@ object SparkEntry {
         "round(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS tokens_per_doc, " +
         "round(CAST(n_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS chars_per_token " +
         "FROM per CROSS JOIN base"),
+    "q316_bloom_fpr" -> {
+      def bb(i: Int) =
+        s"CAST(CAST(('0x' || substr(md5('$i' || '|' || it), 1, 8)) AS BIGINT) % 1024 AS BIGINT)"
+      // the q62 bucket arithmetic at m=1024, k=3; probes are the odd
+      // parity (disjoint by construction); exact finite-m analytic FPR
+      ("WITH ub AS (SELECT DISTINCT user_id AS it FROM events WHERE user_id % 2 = 0), " +
+        "up AS (SELECT DISTINCT user_id AS it FROM events WHERE user_id % 2 = 1), " +
+        "bits AS MATERIALIZED (SELECT DISTINCT " +
+        "CAST(CAST(('0x' || substr(md5(i || '|' || it), 1, 8)) AS BIGINT) % 1024 AS BIGINT) AS bit " +
+        "FROM ub CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)), " +
+        "fpx AS (SELECT count(*) AS n_false_pos FROM up WHERE " +
+        (0 until 3).map(i => s"${bb(i)} IN (SELECT bit FROM bits)")
+          .mkString(" AND ") + "), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM ub), " +
+        "np AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM up), " +
+        "fx AS (SELECT n_build, n_probe, CAST(n_false_pos AS BIGINT) AS n_false_pos, " +
+        "pow(CAST(1 AS DOUBLE) - pow(CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / 1024, " +
+        "3 * CAST(n_build AS DOUBLE)), CAST(3 AS DOUBLE)) AS theo, " +
+        "CAST(n_false_pos AS DOUBLE) / CAST(n_probe AS DOUBLE) AS meas, n_probe > 0 AS ok " +
+        "FROM nb CROSS JOIN np CROSS JOIN fpx) " +
+        "SELECT n_build, n_probe, n_false_pos, " +
+        "round(CASE WHEN ok THEN meas END, 6) AS fpr_measured, " +
+        "round(theo, 6) AS fpr_theoretical, " +
+        "round(CASE WHEN ok AND theo > CAST(0 AS DOUBLE) THEN meas / theo END, 6) AS ratio FROM fx")
+    },
+    "q317_threshold_sweep" ->
+      // the q22 verified pairs × the 9-row threshold axis; absent
+      // thresholds emit explicit zeros
+      (s"WITH $shingleCte, $jaccardCte, " +
+        "th AS (SELECT CAST(i AS DOUBLE) / 10.0 AS threshold " +
+        "FROM (SELECT unnest(generate_series(1, 9)) AS i)), " +
+        "hit AS (SELECT threshold, doc_a, doc_b FROM jac CROSS JOIN th WHERE jaccard >= threshold), " +
+        "ppx AS (SELECT threshold, count(*) AS np FROM hit GROUP BY 1), " +
+        "ddx AS (SELECT threshold, count(DISTINCT d) AS nd " +
+        "FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM hit) GROUP BY 1) " +
+        "SELECT th.threshold, CAST(coalesce(np, 0) AS BIGINT) AS n_pairs, " +
+        "CAST(coalesce(nd, 0) AS BIGINT) AS n_docs_affected " +
+        "FROM th LEFT JOIN ppx USING (threshold) LEFT JOIN ddx USING (threshold)"),
     "q255_logrank" ->
       // per-day (arm, pooled) deaths + reverse-cumulative at-risk,
       // hypergeometric E/V per step, snapped Σ(O−E) and ΣV, df=1 p

@@ -363,4 +363,45 @@ object Sketch {
         col("n_inter_exact"), estU.as("est_union"), estI.as("est_inter"),
         when(estU > 0.0, round(estI / estU, 6)).as("jaccard_est"))
   }
+
+  /** Bloom-filter false-positive-rate calibration (Bloom 1970; the
+    * exact finite-m FPR form (1−(1−1/m)^{kn})^k per Bose et al. 2008's
+    * analysis) — the AUDIT the sketch family owes its consumers: q62
+    * prunes with a bloom filter and q158 gates decontamination on one;
+    * this measures the realized FPR on a DISJOINT probe set against
+    * the analytic prediction, so "the filter is the size the math
+    * says" is a checked claim, not an assumption. Caller guarantees
+    * probe ∩ build = ∅ (here by parity split) — every pass is a false
+    * positive by construction.
+    *
+    * Determinism: membership is the exact md5 bucket arithmetic of
+    * [[bloomBits]]; counts are exact longs; the analytic FPR is one
+    * pow composition rounded at 6 dp. Scale: the filter is a
+    * single-row broadcast mask; probing is a codegen'd bitwise test
+    * (zero joins); three one-row aggregates. Returns one row:
+    * (n_build, n_probe, n_false_pos, fpr_measured, fpr_theoretical,
+    * ratio). */
+  def bloomFprCalibration(build: DataFrame, buildItem: Column,
+      probe: DataFrame, probeItem: Column, bits: Int, k: Int)
+      : DataFrame = {
+    require(bits > 0 && k > 0, s"bloomFprCalibration: bits=$bits k=$k")
+    val bset = build.select(buildItem.as("it")).distinct()
+    val mask = bloomMask(bset, col("it"), bits, k)
+    val nb = bset.agg(count(lit(1)).as("n_build"))
+    val pset = probe.select(probeItem.as("it")).distinct()
+    val np = pset.agg(count(lit(1)).as("n_probe"))
+    val fp = bloomPruneMask(pset, col("it"), mask, bits, k)
+      .agg(count(lit(1)).as("n_false_pos"))
+    val mD = lit(bits.toDouble)
+    val theo = pow(lit(1.0) - pow(lit(1.0) - lit(1.0) / mD,
+      lit(k.toDouble) * col("n_build").cast("double")), lit(k.toDouble))
+    val meas = col("n_false_pos").cast("double") /
+      col("n_probe").cast("double")
+    val ok = col("n_probe") > 0L
+    nb.crossJoin(np).crossJoin(fp)
+      .select(col("n_build"), col("n_probe"), col("n_false_pos"),
+        round(when(ok, meas), 6).as("fpr_measured"),
+        round(theo, 6).as("fpr_theoretical"),
+        round(when(ok && theo > 0.0, meas / theo), 6).as("ratio"))
+  }
 }

@@ -1134,6 +1134,38 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Dedup-threshold policy sweep over a verified similarity-pair
+    * table: for each candidate threshold t ∈ {0.1 … 0.9}, how many
+    * pairs fire and how many distinct documents get touched — the
+    * tuning curve behind every "dedup at Jaccard ≥ 0.8" decision
+    * (Lee et al. 2022 pick thresholds off exactly this curve). Read
+    * next to q150's calibration (what the MINHASH ESTIMATE does at a
+    * threshold) this is what the EXACT similarity does.
+    *
+    * Deterministic: similarities arrive 4-dp rounded (the q22
+    * contract), thresholds are i/10 doubles computed identically in
+    * both engines, counts exact. Scale: the pair table × the 9-row
+    * threshold axis (bounded fanout of an already-selective pair
+    * set), two map-side-combined rollups; absent thresholds emit 0
+    * rows via the axis left-join, not silence. Returns 9 rows:
+    * (threshold, n_pairs, n_docs_affected). */
+  def dedupThresholdSweep(pairs: DataFrame, a: Column, b: Column,
+      sim: Column): DataFrame = {
+    val ths = broadcast(pairs.sparkSession.range(1, 10)
+      .select((col("id").cast("double") / lit(10.0)).as("threshold")))
+    val p = pairs.select(a.as("a"), b.as("b"), sim.cast("double").as("s"))
+    val hit = p.crossJoin(ths).filter(col("s") >= col("threshold"))
+    val np = hit.groupBy(col("threshold")).agg(count(lit(1)).as("np"))
+    val nd = hit.select(col("threshold"),
+        explode(array(col("a"), col("b"))).as("d"))
+      .groupBy(col("threshold")).agg(countDistinct(col("d")).as("nd"))
+    ths.join(np, Seq("threshold"), "left")
+      .join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_docs_affected"))
+  }
+
   /** Chapman capture–recapture estimate of the TOTAL duplicate-pair
     * population from two independent dedup methods' catches (Chapman
     * 1951's bias-corrected Lincoln–Petersen; Seber 1982 §3.1 for the

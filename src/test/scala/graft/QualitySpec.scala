@@ -770,6 +770,38 @@ class QualitySpec extends SparkSpec {
     assert(r1.getDouble(2) > 0.5, s"clarity ${r1.getDouble(2)}")
   }
 
+  test("bloomFprCalibration: members always pass (measured 1.0 when " +
+    "probing the build set); disjoint probes match the analytic form") {
+    import graft.ops.Sketch
+    val build = (1 to 50).map(i => 2L * i).toDF("id")
+    val probe = (0 to 50).map(i => 2L * i + 1L).toDF("id")
+    val r = Sketch.bloomFprCalibration(build, col("id"), probe, col("id"),
+      bits = 64, k = 2).collect().head
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 50L && r.getLong(1) == 51L)
+    assert(r.getDouble(4) ==
+      r6(math.pow(1.0 - math.pow(1.0 - 1.0 / 64, 2.0 * 50), 2.0)))
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    // no false negatives ever: probing the build set passes everything
+    val self = Sketch.bloomFprCalibration(build, col("id"), build,
+      col("id"), bits = 64, k = 2).collect().head
+    assert(self.getLong(2) == 50L && self.getDouble(3) == 1.0)
+  }
+
+  test("dedupThresholdSweep: hand pair set fires the right pairs and " +
+    "doc counts at every threshold, with explicit zeros") {
+    import graft.ops.TextDedup
+    val pairs = Seq((1L, 2L, 0.95), (2L, 3L, 0.55), (4L, 5L, 0.15))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val r = TextDedup.dedupThresholdSweep(pairs, col("doc_a"),
+        col("doc_b"), col("jaccard"))
+      .collect().map(x => math.round(x.getDouble(0) * 10).toInt ->
+        ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1) == ((3L, 5L)))
+    for (t <- 2 to 5) assert(r(t) == ((2L, 3L)), s"t=0.$t")
+    for (t <- 6 to 9) assert(r(t) == ((1L, 2L)), s"t=0.$t")
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
