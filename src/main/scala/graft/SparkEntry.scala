@@ -3907,6 +3907,14 @@ object SparkEntry {
     ops.TextDedup.dedupThresholdSweep(sharedVerifiedJaccard(s, dir),
       col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Count-Min error calibration over the event user stream
+    * ([[ops.Sketch.cmErrorCalibration]], Cormode & Muthukrishnan
+    * 2005 Thm 1) — realized over-estimation vs the (e/w)·N bound and
+    * its 1−e^(−d) guarantee: the audit behind q61/q96's CM reads. */
+  private def qCmError(s: SparkSession, dir: String): DataFrame =
+    ops.Sketch.cmErrorCalibration(t(s, dir, "events"), col("user_id"),
+      depth = 3, width = 256)
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4790,7 +4798,8 @@ object SparkEntry {
     "q314_length_bias" -> (qDuelLengthBias _),
     "q315_tokenizer_econ" -> (qTokenizerEcon _),
     "q316_bloom_fpr" -> (qBloomFpr _),
-    "q317_threshold_sweep" -> (qThresholdSweep _))
+    "q317_threshold_sweep" -> (qThresholdSweep _),
+    "q318_cm_error" -> (qCmError _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10664,6 +10673,30 @@ object SparkEntry {
         "round(theo, 6) AS fpr_theoretical, " +
         "round(CASE WHEN ok AND theo > CAST(0 AS DOUBLE) THEN meas / theo END, 6) AS ratio FROM fx")
     },
+    "q318_cm_error" ->
+      // raw-stream CM cells at d=3, w=256 via the shared md5 bucket;
+      // exact truth table; e and e^(-d) as closest-double literals
+      ("WITH st0 AS (SELECT user_id AS it FROM events), " +
+        "tr AS MATERIALIZED (SELECT it, CAST(count(*) AS BIGINT) AS tc FROM st0 GROUP BY 1), " +
+        "cm AS MATERIALIZED (SELECT i AS row_, " +
+        "CAST(CAST(('0x' || substr(md5(i || '|' || it), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM st0 CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) GROUP BY 1, 2), " +
+        "es AS (SELECT tr.it, min(cnt) AS est FROM tr CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) x " +
+        "JOIN cm ON cm.row_ = x.i AND cm.bucket = " +
+        "CAST(CAST(('0x' || substr(md5(x.i || '|' || tr.it), 1, 8)) AS BIGINT) % 256 AS BIGINT) GROUP BY 1), " +
+        "nt AS (SELECT CAST(sum(tc) AS BIGINT) AS n_total FROM tr), " +
+        "jd AS (SELECT est - tc AS err FROM tr JOIN es USING (it)), " +
+        "mm AS (SELECT count(*) AS n_items, CAST(sum(err) AS BIGINT) AS serr, CAST(max(err) AS BIGINT) AS max_err, " +
+        "CAST(sum(CASE WHEN CAST(err AS DOUBLE) > CAST(2.718281828459045 AS DOUBLE) / 256 * CAST(n_total AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_over " +
+        "FROM jd CROSS JOIN nt) " +
+        "SELECT CAST(n_items AS BIGINT) AS n_items, (SELECT n_total FROM nt) AS n_total, " +
+        "round(CAST(serr AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS mean_err, max_err, " +
+        "round(CAST(2.718281828459045 AS DOUBLE) / 256 * CAST((SELECT n_total FROM nt) AS DOUBLE), 6) AS eps_bound, " +
+        "n_over AS n_over_bound, " +
+        "round(CAST(n_over AS DOUBLE) / CAST(n_items AS DOUBLE), 6) AS frac_over, " +
+        "round(exp(CAST(-3 AS DOUBLE)), 6) AS bound_prob, " +
+        "round(CAST(n_over AS DOUBLE) / CAST(n_items AS DOUBLE), 6) <= round(exp(CAST(-3 AS DOUBLE)), 6) AS guarantee_met " +
+        "FROM mm"),
     "q317_threshold_sweep" ->
       // the q22 verified pairs × the 9-row threshold axis; absent
       // thresholds emit explicit zeros

@@ -364,6 +364,62 @@ object Sketch {
         when(estU > 0.0, round(estI / estU, 6)).as("jaccard_est"))
   }
 
+  /** Count-Min point-estimate error calibration (Cormode &
+    * Muthukrishnan 2005 Theorem 1: err ≤ (e/w)·N with probability
+    * ≥ 1 − e^(−d) per query) — the q316 audit story pointed at the
+    * OTHER workhorse sketch: q61's heavy hitters and q96's join-size
+    * estimate read CM cells as counts; this measures the realized
+    * over-estimation against the exact truth table and reports how
+    * often the analytic (e/w)·N bound held. Over-estimation only —
+    * a negative error here would falsify the sketch itself (the spec
+    * asserts err ≥ 0 structurally).
+    *
+    * Determinism: cells and truth are exact longs off the shared md5
+    * bucket arithmetic; the e and e^(−d) constants enter as their
+    * closest-double literals in both engines; mean error is an
+    * exact-integer ratio. Scale: the matrix is (d × w) rows; the
+    * estimate join fans the DISTINCT item table ×d against the
+    * w-bounded cells — never the raw stream. Returns one row:
+    * (n_items, n_total, mean_err, max_err, eps_bound, n_over_bound,
+    * frac_over, bound_prob, guarantee_met). */
+  def cmErrorCalibration(items: DataFrame, item: Column, depth: Int,
+      width: Int,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(depth > 0 && width > 0,
+      s"cmErrorCalibration: depth=$depth width=$width")
+    val b = items.select(item.as("it"))
+    val truth = materialize(b.groupBy(col("it"))
+      .agg(count(lit(1)).as("tc")))
+    val cm = countMinMatrix(b, col("it"), depth, width)
+    val est = (0 until depth).map { i =>
+        truth.select(col("it"), lit(i).as("row"),
+          cmBucket(i, col("it"), width).as("bucket"))
+      }.reduce(_ unionByName _)
+      .join(cm, Seq("row", "bucket"))
+      .groupBy(col("it")).agg(min(col("cnt")).as("est"))
+    val nTot = truth.agg(sum(col("tc")).as("n_total"))
+    val e = lit(2.718281828459045)
+    val bound = e / lit(width.toDouble) * col("n_total").cast("double")
+    val joined = truth.join(est, "it")
+      .select((col("est") - col("tc")).as("err"))
+      .crossJoin(broadcast(nTot))
+    val m = joined.agg(count(lit(1)).as("n_items"),
+      max(col("n_total")).as("n_total"),
+      sum(col("err")).as("serr"), max(col("err")).as("max_err"),
+      sum(when(col("err").cast("double") > bound, 1L).otherwise(0L))
+        .as("n_over_bound"))
+    val frac = round(col("n_over_bound").cast("double") /
+      col("n_items").cast("double"), 6)
+    val bp = round(exp(lit(-depth.toDouble)), 6)
+    m.select(col("n_items"), col("n_total"),
+      round(col("serr").cast("double") / col("n_items").cast("double"), 6)
+        .as("mean_err"),
+      col("max_err"), round(bound, 6).as("eps_bound"),
+      col("n_over_bound"), frac.as("frac_over"), bp.as("bound_prob"),
+      (frac <= bp).as("guarantee_met"))
+  }
+
   /** Bloom-filter false-positive-rate calibration (Bloom 1970; the
     * exact finite-m FPR form (1−(1−1/m)^{kn})^k per Bose et al. 2008's
     * analysis) — the AUDIT the sketch family owes its consumers: q62

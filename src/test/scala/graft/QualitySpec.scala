@@ -802,6 +802,23 @@ class QualitySpec extends SparkSpec {
     for (t <- 6 to 9) assert(r(t) == ((1L, 2L)), s"t=0.$t")
   }
 
+  test("cmErrorCalibration: errors are never negative; a width far " +
+    "above the item count gives zero error and a met guarantee") {
+    import graft.ops.Sketch
+    val items = (1 to 40).flatMap(i => Seq.fill(i % 4 + 1)(i.toLong))
+      .toDF("id")
+    val wide = Sketch.cmErrorCalibration(items, col("id"), depth = 3,
+      width = 4096).collect().head
+    assert(wide.getLong(0) == 40L)
+    assert(wide.getDouble(2) == 0.0 && wide.getLong(3) == 0L)
+    assert(wide.getBoolean(8))
+    // a tight sketch still never under-counts (max_err ≥ mean_err ≥ 0)
+    val tight = Sketch.cmErrorCalibration(items, col("id"), depth = 2,
+      width = 8).collect().head
+    assert(tight.getDouble(2) >= 0.0 && tight.getLong(3) >= 0L)
+    assert(tight.getLong(1) == items.count())
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
