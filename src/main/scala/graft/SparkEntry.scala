@@ -3915,6 +3915,16 @@ object SparkEntry {
     ops.Sketch.cmErrorCalibration(t(s, dir, "events"), col("user_id"),
       depth = 3, width = 256)
 
+  /** Markov removal-effect attribution over user journeys
+    * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
+    * data-driven "who do conversions actually flow through" next to
+    * q107's positional rules; reach = P¹⁶[START→purchase] via four
+    * snapped matrix squarings per removal variant. */
+  private def qMarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.markovAttribution(t(s, dir, "events"), col("user_id"),
+      col("ts"), col("event_id"), col("event_type"), "purchase",
+      removable0 = Some(Seq("click", "error", "signup", "view")))
+
   /** Benford first-digit conformity of event values
     * ([[ops.Quality.benfordReport]], Benford 1938; Nigrini 2012) —
     * the cheapest fabricated/truncated-amounts tripwire, with the
@@ -4799,7 +4809,8 @@ object SparkEntry {
     "q315_tokenizer_econ" -> (qTokenizerEcon _),
     "q316_bloom_fpr" -> (qBloomFpr _),
     "q317_threshold_sweep" -> (qThresholdSweep _),
-    "q318_cm_error" -> (qCmError _))
+    "q318_cm_error" -> (qCmError _),
+    "q319_markov_attrib" -> (qMarkovAttribution _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10672,6 +10683,59 @@ object SparkEntry {
         "round(CASE WHEN ok THEN meas END, 6) AS fpr_measured, " +
         "round(theo, 6) AS fpr_theoretical, " +
         "round(CASE WHEN ok AND theo > CAST(0 AS DOUBLE) THEN meas / theo END, 6) AS ratio FROM fx")
+    },
+    "q319_markov_attrib" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      def snap6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000"
+      val states = Seq("click", "error", "signup", "view")
+      // variant v: base matrix (vb_v) → closed with absorbing
+      // self-loops (v0) → four snapped squarings (v1..v4) → reach
+      def chain(tag: String, baseSel: String): String = {
+        def sq(from: String, to: String) =
+          s"$to AS MATERIALIZED (SELECT * FROM (SELECT a.src, b.dst, " +
+            s"${snap6(snap9("a.p * b.p"))} AS p " +
+            s"FROM $from a JOIN $from b ON a.dst = b.src GROUP BY 1, 2) " +
+            "WHERE p > CAST(0 AS DOUBLE)), "
+        s"${tag}0 AS ($baseSel UNION ALL SELECT 'purchase', 'purchase', CAST(1 AS DOUBLE) " +
+          "UNION ALL SELECT 'END', 'END', CAST(1 AS DOUBLE)), " +
+          sq(s"${tag}0", s"${tag}1") + sq(s"${tag}1", s"${tag}2") +
+          sq(s"${tag}2", s"${tag}3") + sq(s"${tag}3", s"${tag}4") +
+          s"${tag}r AS (SELECT coalesce(max(p), CAST(0 AS DOUBLE)) AS reach " +
+          s"FROM ${tag}4 WHERE src = 'START' AND dst = 'purchase'), "
+      }
+      val variants = states.zipWithIndex.map { case (s, i) =>
+        chain(s"v$i",
+          s"SELECT src, CASE WHEN dst = '$s' THEN 'END' ELSE dst END AS dst, " +
+            s"${snap6(snap9("p"))} AS p FROM p0f WHERE src <> '$s' GROUP BY 1, 2")
+      }.mkString
+      val effRows = states.zipWithIndex.map { case (s, i) =>
+        s"SELECT '$s' AS state, (SELECT reach FROM fullr) AS rf, " +
+          s"(SELECT reach FROM v${i}r) AS rr"
+      }.mkString(" UNION ALL ")
+      // journeys truncate at the FIRST purchase; START/END framing;
+      // exact-ratio row-stochastic matrix snapped to 6 dp
+      ("WITH b0 AS (SELECT user_id AS u, ts AS t, event_id AS i, CAST(event_type AS VARCHAR) AS e FROM events), " +
+        "b1 AS (SELECT *, sum(CASE WHEN e = 'purchase' THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY u ORDER BY t, i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np FROM b0), " +
+        "b2 AS (SELECT u, t, i, e FROM b1 WHERE coalesce(np, 0) = 0), " +
+        "stx AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY u ORDER BY t, i) AS rn, " +
+        "lead(e) OVER (PARTITION BY u ORDER BY t, i) AS nxt FROM b2), " +
+        "ed AS MATERIALIZED (SELECT 'START' AS src, e AS dst, count(*) AS n FROM stx WHERE rn = 1 GROUP BY 1, 2 " +
+        "UNION ALL SELECT e, nxt, count(*) FROM stx WHERE nxt IS NOT NULL GROUP BY 1, 2 " +
+        "UNION ALL SELECT e, 'END', count(*) FROM stx WHERE nxt IS NULL AND e <> 'purchase' GROUP BY 1, 2), " +
+        "rt AS (SELECT src, CAST(sum(n) AS BIGINT) AS rt FROM ed GROUP BY 1), " +
+        s"p0f AS MATERIALIZED (SELECT ed.src, ed.dst, ${snap6("CAST(n AS DOUBLE) / CAST(rt AS DOUBLE)")} AS p " +
+        "FROM ed JOIN rt USING (src)), " +
+        chain("full", s"SELECT src, dst, p FROM p0f") +
+        variants +
+        s"ef AS (SELECT state, rf, rr, ${snap6("CASE WHEN rf > CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE) - rr / rf ELSE CAST(0 AS DOUBLE) END")} AS eff " +
+        s"FROM ($effRows)), " +
+        s"tx AS (SELECT ${snap9("eff")} AS teff FROM ef) " +
+        "SELECT state, round(rf, 6) AS reach_full, round(rr, 6) AS reach_removed, " +
+        "round(eff, 6) AS removal_effect, " +
+        "round(CASE WHEN teff > CAST(0 AS DOUBLE) THEN eff / teff END, 6) AS attribution_share " +
+        "FROM ef CROSS JOIN tx")
     },
     "q318_cm_error" ->
       // raw-stream CM cells at d=3, w=256 via the shared md5 bucket;

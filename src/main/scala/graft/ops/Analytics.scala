@@ -2205,6 +2205,112 @@ object Analytics {
       when(ok, lehr).cast("long").as("lehr_n"))
   }
 
+  /** Markov removal-effect attribution (Anderl, Becker, von Wangenheim
+    * & Schumann 2016, "Mapping the customer journey") — the
+    * data-driven alternative to q107's positional rules: model user
+    * journeys as a first-order chain START → events → {purchase, END},
+    * score each event type by how much total conversion REACH
+    * disappears when every transition into it is redirected to END
+    * (the removal effect), and normalize into attribution shares.
+    * Position rules answer "who touched the converter"; this answers
+    * "who the conversions actually flow through".
+    *
+    * Mechanics: journeys truncate at the FIRST purchase ((ts, id)
+    * order); purchase and END are absorbing; reach = P¹⁶[START,
+    * purchase] computed by FOUR snapped matrix squarings (the q93/
+    * q299 fixed-trajectory contract — a convergence loop would not
+    * replay), one matrix per removal variant. Transition
+    * probabilities are exact-integer ratios; every squaring snaps
+    * cell sums at 1e9 and cells to the 6-dp grid, so the whole
+    * trajectory replays bit-for-bit in any engine.
+    *
+    * Scale shape: ONE corpus pass builds the journey transition
+    * counts (user-partitioned windows); everything after runs on
+    * |states|²-bounded matrices — (variants × 4) tiny join-aggs.
+    * Returns per removable state: (state, reach_full, reach_removed,
+    * removal_effect, attribution_share), 6 dp. */
+  def markovAttribution(events: DataFrame, user: Column, ts: Column,
+      id: Column, eventType: Column, conversion: String,
+      removable0: Option[Seq[String]] = None,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.Snap
+    def snap6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("i"))
+    val base = events.select(user.as("u"), ts.as("t"), id.as("i"),
+        eventType.cast("string").as("e"))
+      .withColumn("np", sum(when(col("e") === conversion, 1L)
+        .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("np"), lit(0L)) === 0L) // ≤ first conversion
+    val steps = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("e"), 1).over(w))
+    val edges = materialize(
+      steps.filter(col("rn") === 1)
+        .select(lit("START").as("src"), col("e").as("dst"))
+      .unionByName(steps.filter(col("nxt").isNotNull)
+        .select(col("e").as("src"), col("nxt").as("dst")))
+      .unionByName(steps.filter(col("nxt").isNull &&
+          col("e") =!= conversion)
+        .select(col("e").as("src"), lit("END").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n")))
+    val rowTot = edges.groupBy(col("src")).agg(sum(col("n")).as("rt"))
+    val pFull = materialize(edges.join(rowTot, "src")
+      .select(col("src"), col("dst"),
+        snap6(col("n").cast("double") / col("rt").cast("double")).as("p")))
+    // absorbing self-loops so P^k keeps absorbed mass where it landed
+    val absorb = events.sparkSession
+      .createDataFrame(Seq((conversion, conversion, 1.0), ("END", "END", 1.0)))
+      .toDF("src", "dst", "p")
+    def close(m: DataFrame): DataFrame = m.unionByName(absorb)
+    def square(m: DataFrame): DataFrame = {
+      val a = m.select(col("src").as("i"), col("dst").as("k"),
+        col("p").as("pa"))
+      val b = m.select(col("src").as("k"), col("dst").as("j"),
+        col("p").as("pb"))
+      materialize(a.join(b, "k")
+        .groupBy(col("i").as("src"), col("j").as("dst"))
+        .agg(snap6(Snap.snappedSum(col("pa") * col("pb"), 1e9)).as("p"))
+        .filter(col("p") > 0.0))
+    }
+    def reach(m0: DataFrame): DataFrame = {
+      val p16 = square(square(square(square(close(m0)))))
+      p16.filter(col("src") === "START" && col("dst") === conversion)
+        .agg(coalesce(max(col("p")), lit(0.0)).as("reach"))
+    }
+    val full = reach(pFull)
+    // removable states: caller-pinned (oracle-replayable), or
+    // discovered — a bounded |event types|-sized driver read
+    val removable = removable0.map(_.sorted).getOrElse(
+      pFull.select(col("src").as("state")).distinct()
+        .filter(col("state") =!= "START" && col("state") =!= conversion &&
+          col("state") =!= "END")
+        .collect().map(_.getString(0)).sorted.toSeq)
+    val rows = removable.map { s =>
+      // redirect every transition INTO s to END (row sums stay 1)
+      val variant = pFull.select(col("src"),
+        when(col("dst") === s, lit("END")).otherwise(col("dst")).as("dst"),
+        col("p"))
+        .filter(col("src") =!= s)
+        .groupBy(col("src"), col("dst"))
+        .agg(snap6(Snap.snappedSum(col("p"), 1e9)).as("p"))
+      reach(variant).select(lit(s).as("state"),
+        col("reach").as("reach_removed"))
+    }.reduce(_ unionByName _)
+    val joined = rows.crossJoin(broadcast(full))
+      .select(col("state"), round(col("reach"), 6).as("reach_full"),
+        round(col("reach_removed"), 6).as("reach_removed"),
+        snap6(when(col("reach") > 0.0,
+          lit(1.0) - col("reach_removed") / col("reach"))
+          .otherwise(lit(0.0))).as("eff"))
+    val tot = joined.agg(Snap.snappedSum(col("eff"), 1e9).as("teff"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("state"), col("reach_full"), col("reach_removed"),
+        round(col("eff"), 6).as("removal_effect"),
+        round(when(col("teff") > 0.0, col("eff") / col("teff")), 6)
+          .as("attribution_share"))
+  }
+
   /** Mann–Kendall monotone-trend test (Mann 1945; Kendall 1975) over
     * a per-period series — the SIGNIFICANCE companion to q228's
     * Theil–Sen slope (that one says how steep, this says whether the

@@ -819,6 +819,32 @@ class QualitySpec extends SparkSpec {
     assert(tight.getLong(1) == items.count())
   }
 
+  test("markovAttribution: hand journey set gives reach 0.5 and the " +
+    "expected removal effects/shares (view 0.75, click 0.5)") {
+    import graft.ops.Analytics
+    // u1: view→purchase; u2: view→click→purchase; u3: click;
+    // u4: view  ⇒ reach = .75·(⅓ + ⅓·.5) + .25·.5 = 0.5
+    val ev = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "view"), (2L, 2L, 4L, "click"), (2L, 3L, 5L, "purchase"),
+      (3L, 1L, 6L, "click"),
+      (4L, 1L, 7L, "view")).toDF("u", "t", "i", "e")
+    val r = Analytics.markovAttribution(ev, col("u"), col("t"), col("i"),
+        col("e"), "purchase", removable0 = Some(Seq("click", "view")))
+      .collect().map(x => x.getString(0) -> x).toMap
+    def near(a: Double, b: Double, tol: Double = 1e-3) =
+      math.abs(a - b) < tol
+    assert(near(r("view").getDouble(1), 0.5, 1e-4)) // reach_full
+    // removing view leaves START→click→purchase = .125: effect .75
+    assert(near(r("view").getDouble(3), 0.75))
+    // removing click leaves START→view→purchase = .25: effect .5
+    assert(near(r("click").getDouble(3), 0.5))
+    assert(near(r("view").getDouble(4), 0.6) &&
+      near(r("click").getDouble(4), 0.4))
+    // shares over the removable set sum to 1 (up to rounding)
+    assert(near(r.values.map(_.getDouble(4)).sum, 1.0, 1e-5))
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
