@@ -3915,6 +3915,15 @@ object SparkEntry {
     ops.Sketch.cmErrorCalibration(t(s, dir, "events"), col("user_id"),
       depth = 3, width = 256)
 
+  /** Energy distance between the parity-label embedding groups
+    * ([[ops.LinAlg.energyDistance]], Székely & Rizzo 2004) on
+    * md5-deterministic min-40 samples — the MULTIVARIATE
+    * distribution-shift test next to the per-coordinate drift
+    * family. */
+  private def qEnergyDistance(s: SparkSession, dir: String): DataFrame =
+    ops.LinAlg.energyDistance(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), col("label") % 2 === 0)
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4810,7 +4819,8 @@ object SparkEntry {
     "q316_bloom_fpr" -> (qBloomFpr _),
     "q317_threshold_sweep" -> (qThresholdSweep _),
     "q318_cm_error" -> (qCmError _),
-    "q319_markov_attrib" -> (qMarkovAttribution _))
+    "q319_markov_attrib" -> (qMarkovAttribution _),
+    "q320_energy_dist" -> (qEnergyDistance _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10683,6 +10693,34 @@ object SparkEntry {
         "round(CASE WHEN ok THEN meas END, 6) AS fpr_measured, " +
         "round(theo, 6) AS fpr_theoretical, " +
         "round(CASE WHEN ok AND theo > CAST(0 AS DOUBLE) THEN meas / theo END, 6) AS ratio FROM fx")
+    },
+    "q320_energy_dist" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // md5 min-40 samples per parity group; the q32 list_dot_product
+      // decomposition for distances; snapped leg sums, exact counts
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label % 2 = 0 AS a FROM embeddings), " +
+        "sx AS MATERIALIZED (SELECT vec_id, e FROM v WHERE a ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40), " +
+        "sy AS MATERIALIZED (SELECT vec_id, e FROM v WHERE NOT a ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40), " +
+        s"xy AS (SELECT count(*) AS nxy, ${snap9("sqrt(greatest(CAST(0 AS DOUBLE), list_dot_product(x.e, x.e) - 2 * list_dot_product(x.e, y.e) + list_dot_product(y.e, y.e)))")} AS sxy " +
+        "FROM sx x CROSS JOIN sy y), " +
+        s"xx AS (SELECT count(*) AS nxx, ${snap9("sqrt(greatest(CAST(0 AS DOUBLE), list_dot_product(x1.e, x1.e) - 2 * list_dot_product(x1.e, x2.e) + list_dot_product(x2.e, x2.e)))")} AS sxx " +
+        "FROM sx x1 CROSS JOIN sx x2), " +
+        s"yy AS (SELECT count(*) AS nyy, ${snap9("sqrt(greatest(CAST(0 AS DOUBLE), list_dot_product(y1.e, y1.e) - 2 * list_dot_product(y1.e, y2.e) + list_dot_product(y2.e, y2.e)))")} AS syy " +
+        "FROM sy y1 CROSS JOIN sy y2), " +
+        "na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sx), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sy), " +
+        "fz AS (SELECT n_a, n_b, nxy, nxx, nyy, " +
+        "sxy / CAST(nxy AS DOUBLE) AS mxy, sxx / CAST(nxx AS DOUBLE) AS mxx, syy / CAST(nyy AS DOUBLE) AS myy, " +
+        "nxy > 0 AND nxx > 0 AND nyy > 0 AS ok " +
+        "FROM na CROSS JOIN nb CROSS JOIN xy CROSS JOIN xx CROSS JOIN yy) " +
+        "SELECT n_a, n_b, " +
+        "round(CASE WHEN ok THEN mxy END, 6) AS mean_cross, " +
+        "round(CASE WHEN ok THEN mxx END, 6) AS mean_within_a, " +
+        "round(CASE WHEN ok THEN myy END, 6) AS mean_within_b, " +
+        "round(CASE WHEN ok THEN 2 * mxy - mxx - myy END, 6) AS energy_dist, " +
+        "round(CASE WHEN ok THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * (2 * mxy - mxx - myy) END, 6) AS t_stat " +
+        "FROM fz"
     },
     "q319_markov_attrib" -> {
       val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +

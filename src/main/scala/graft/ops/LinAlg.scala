@@ -135,6 +135,72 @@ object LinAlg {
     beta
   }
 
+  /** Energy-distance two-sample statistic between embedding groups
+    * (Székely & Rizzo 2004, "Testing for equal distributions in high
+    * dimension"): E = 2·E‖X−Y‖ − E‖X−X′‖ − E‖Y−Y′‖ — zero iff the
+    * DISTRIBUTIONS match, sensitive to any difference (mean, scale,
+    * shape) where the per-coordinate drift family (q83/q180/q284) sees
+    * only marginals. Evaluated on md5-deterministic min-k samples per
+    * group — the estimand is the sampled-pair statistic, stated
+    * up-front: exact all-pairs is a corpus² join, while two k-row
+    * samples bound every pair leg at k² regardless of corpus size.
+    *
+    * Determinism: sample membership is an md5 order + limit
+    * (TakeOrderedAndProject); distances use the q32-certified dot
+    * decomposition ‖a−b‖² = a·a − 2a·b + b·b (the HOF fold and
+    * DuckDB's list_dot_product sum in the same element order);
+    * per-leg sums snap at 1e9; exact pair counts. Within-group legs
+    * use the V-statistic form (all ordered pairs, zero self-terms,
+    * n² denominator), so E ≥ 0 always and E = 0 exactly on identical
+    * samples. Returns one row: (n_a, n_b, mean_cross, mean_within_a,
+    * mean_within_b, energy_dist, t_stat). */
+  def energyDistance(vecs: DataFrame, id: Column, vec: Column,
+      isA: Column, k: Int = 40,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    import graft.expr.{Similarity, Snap}
+    require(k >= 2, s"energyDistance: k=$k")
+    val b = vecs.select(id.cast("long").as("vid"), vec.as("v"),
+      isA.as("a"))
+    def samp(side: Boolean) = materialize(
+      b.filter(col("a") === side)
+        .orderBy(md5(col("vid").cast("string")), col("vid")).limit(k)
+        .select(col("vid"), col("v")))
+    val sx = samp(true); val sy = samp(false)
+    def dist(va: Column, vb: Column): Column =
+      sqrt(greatest(lit(0.0), Similarity.dot(va, va) -
+        lit(2.0) * Similarity.dot(va, vb) + Similarity.dot(vb, vb)))
+    val xy = sx.select(col("v").as("va"))
+      .crossJoin(sy.select(col("v").as("vb")))
+      .agg(count(lit(1)).as("nxy"),
+        Snap.snappedSum(dist(col("va"), col("vb")), 1e9).as("sxy"))
+    // V-statistic form: ALL ordered pairs including i = j (zero
+    // self-terms, n² denominator) — E is then ≥ 0 and EXACTLY 0 on
+    // identical samples, where the i<j U-form goes negative
+    def within(s: DataFrame, nOut: String, sOut: String) =
+      s.select(col("v").as("va"))
+        .crossJoin(s.select(col("v").as("vb")))
+        .agg(count(lit(1)).as(nOut),
+          Snap.snappedSum(dist(col("va"), col("vb")), 1e9).as(sOut))
+    val xx = within(sx, "nxx", "sxx")
+    val yy = within(sy, "nyy", "syy")
+    val na = sx.agg(count(lit(1)).as("n_a"))
+    val nb = sy.agg(count(lit(1)).as("n_b"))
+    val mXY = col("sxy") / col("nxy").cast("double")
+    val mXX = col("sxx") / col("nxx").cast("double")
+    val mYY = col("syy") / col("nyy").cast("double")
+    val e = lit(2.0) * mXY - mXX - mYY
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val ok = col("nxy") > 0L && col("nxx") > 0L && col("nyy") > 0L
+    na.crossJoin(nb).crossJoin(xy).crossJoin(xx).crossJoin(yy)
+      .select(col("n_a"), col("n_b"),
+        round(when(ok, mXY), 6).as("mean_cross"),
+        round(when(ok, mXX), 6).as("mean_within_a"),
+        round(when(ok, mYY), 6).as("mean_within_b"),
+        round(when(ok, e), 6).as("energy_dist"),
+        round(when(ok, naD * nbD / (naD + nbD) * e), 6).as("t_stat"))
+  }
+
   /** Embedding-space anisotropy report (Ethayarajh 2019, "How
     * contextual are contextualized word representations?"; Mu &
     * Viswanath 2018's all-but-the-top diagnosis): the expected cosine

@@ -426,6 +426,34 @@ class GraphSpec extends SparkSpec {
       r3.getDouble(4) == 0.5)
   }
 
+  test("energyDistance: separated clusters score the hand V-statistic " +
+    "value; identical groups score exactly 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.LinAlg
+    def s9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val sep = Seq(
+      (1L, Seq(0.0f, 0.0f), true), (2L, Seq(0.0f, 2.0f), true),
+      (3L, Seq(10.0f, 0.0f), false), (4L, Seq(10.0f, 2.0f), false))
+      .toDF("vec_id", "embedding", "grp")
+    val r = LinAlg.energyDistance(sep, col("vec_id"), col("embedding"),
+      col("grp")).collect().head
+    // cross distances {10, √104, √104, 10}; within means (0+0+2+2)/4=1
+    val mxy = (2 * 10.0 + 2 * s9(math.sqrt(104.0))) / 4.0
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == r6(mxy))
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == r6(2.0 * mxy - 2.0))
+    assert(r.getDouble(6) == r6(2.0 * 2.0 / 4.0 * (2.0 * mxy - 2.0)))
+    val same = Seq(
+      (1L, Seq(0.0f, 0.0f), true), (2L, Seq(0.0f, 2.0f), true),
+      (3L, Seq(0.0f, 0.0f), false), (4L, Seq(0.0f, 2.0f), false))
+      .toDF("vec_id", "embedding", "grp")
+    assert(LinAlg.energyDistance(same, col("vec_id"), col("embedding"),
+      col("grp")).collect().head.getDouble(5) == 0.0)
+  }
+
   test("assortativity: a star is exactly -1, disjoint cliques of " +
     "distinct degree exactly +1, a regular graph NULL") {
     import org.apache.spark.sql.functions._
