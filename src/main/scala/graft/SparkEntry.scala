@@ -3924,6 +3924,26 @@ object SparkEntry {
     ops.LinAlg.energyDistance(t(s, dir, "embeddings"), col("vec_id"),
       col("embedding"), col("label") % 2 === 0)
 
+  /** Distribution-free median CI per event type
+    * ([[ops.Analytics.medianCI]], Hahn & Meeker 1991; Conover 1999)
+    * — order-statistic bounds, honest on the skewed value metric
+    * where mean ± 1.96·se is fiction. */
+  private def qMedianCI(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.medianCI(t(s, dir, "events"), col("event_type"),
+      col("value")).withColumnRenamed("grp", "event_type")
+
+  /** Yuen 20%-trimmed-means A/B test on per-user value totals
+    * ([[ops.Analytics.yuenTest]], Yuen 1974; Wilcox 2012) — the
+    * robust middle ground between q110's fragile means t and q217's
+    * mean-free ranks. */
+  private def qYuen(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(graft.expr.Snap.snappedSum(col("value"), 1e9).as("y"))
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.yuenTest(units, isA, col("y"))
+  }
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4820,7 +4840,9 @@ object SparkEntry {
     "q317_threshold_sweep" -> (qThresholdSweep _),
     "q318_cm_error" -> (qCmError _),
     "q319_markov_attrib" -> (qMarkovAttribution _),
-    "q320_energy_dist" -> (qEnergyDistance _))
+    "q320_energy_dist" -> (qEnergyDistance _),
+    "q321_median_ci" -> (qMedianCI _),
+    "q322_yuen" -> (qYuen _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -10693,6 +10715,71 @@ object SparkEntry {
         "round(CASE WHEN ok THEN meas END, 6) AS fpr_measured, " +
         "round(theo, 6) AS fpr_theoretical, " +
         "round(CASE WHEN ok AND theo > CAST(0 AS DOUBLE) THEN meas / theo END, 6) AS ratio FROM fx")
+    },
+    "q321_median_ci" ->
+      // order-statistic median + 95% CI at the normal-approximation
+      // ranks, read off exact per-group cumulative value-grid counts
+      ("WITH b0 AS (SELECT event_type AS grp, value AS x FROM events), " +
+        "cnt AS (SELECT grp, x, count(*) AS c FROM b0 GROUP BY 1, 2), " +
+        "tt AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1), " +
+        "cum AS MATERIALIZED (SELECT cnt.grp, x, CAST(sum(c) OVER (PARTITION BY cnt.grp ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM cnt), " +
+        "rk AS MATERIALIZED (SELECT grp, n, CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT) AS rmed, " +
+        "CAST(floor((CAST(n AS DOUBLE) - CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) AS rlo, " +
+        "least(n, CAST(ceil((CAST(n AS DOUBLE) + CAST(1.959964 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) / 2.0) + 1.0 AS BIGINT)) AS rhi FROM tt), " +
+        "md2 AS (SELECT cum.grp, min(x) AS median FROM cum JOIN rk USING (grp) WHERE cum >= rmed GROUP BY 1), " +
+        "lo2 AS (SELECT cum.grp, min(x) AS ci_lo FROM cum JOIN rk USING (grp) WHERE cum >= greatest(rlo, 1) GROUP BY 1), " +
+        "hi2 AS (SELECT cum.grp, min(x) AS ci_hi FROM cum JOIN rk USING (grp) WHERE cum >= rhi GROUP BY 1) " +
+        "SELECT rk.grp AS event_type, n, md2.median, " +
+        "CASE WHEN n >= 2 AND rlo >= 1 THEN lo2.ci_lo END AS ci_lo, " +
+        "CASE WHEN n >= 2 AND rlo >= 1 THEN hi2.ci_hi END AS ci_hi " +
+        "FROM rk JOIN md2 USING (grp) LEFT JOIN lo2 USING (grp) LEFT JOIN hi2 USING (grp)"),
+    "q322_yuen" -> {
+      val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // per-arm value-grid interior multiplicities, winsorized tails
+      // as g-weighted order stats, Welch df; normal-approx p through
+      // the shared erfc
+      "WITH uy0 AS (SELECT user_id, " +
+        s"${snap9("value")} AS y FROM events GROUP BY 1), " +
+        "uy AS (SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 " +
+        "THEN 'a' ELSE 'b' END AS arm, y AS x FROM uy0), " +
+        "cnt AS (SELECT arm, x, count(*) AS c FROM uy GROUP BY 1, 2), " +
+        "tt AS (SELECT arm, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(floor(CAST(0.2 AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS BIGINT) AS g FROM cnt GROUP BY 1), " +
+        "cum AS MATERIALIZED (SELECT cnt.arm, x, c, CAST(sum(c) OVER (PARTITION BY cnt.arm ORDER BY x " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, n, g " +
+        "FROM cnt JOIN tt USING (arm)), " +
+        "lox AS (SELECT arm, min(x) AS xlo FROM cum WHERE cum >= g + 1 GROUP BY 1), " +
+        "hix AS (SELECT arm, min(x) AS xhi FROM cum WHERE cum >= n - g GROUP BY 1), " +
+        "sms AS (SELECT arm, " +
+        s"${snap9("x * CAST(greatest(CAST(0 AS BIGINT), least(cum, n - g) - greatest(cum - c, g)) AS DOUBLE)")} AS s1, " +
+        s"${snap9("x * x * CAST(greatest(CAST(0 AS BIGINT), least(cum, n - g) - greatest(cum - c, g)) AS DOUBLE)")} AS s2 " +
+        "FROM cum GROUP BY 1), " +
+        "per AS (SELECT tt.arm, n, g, n - 2 * g AS h, s1, s2, xlo, xhi " +
+        "FROM tt JOIN sms USING (arm) JOIN lox USING (arm) JOIN hix USING (arm)), " +
+        "calc AS (SELECT arm, n, h, " +
+        "round(CASE WHEN h >= 2 THEN s1 / CAST(h AS DOUBLE) END, 6) AS tm, " +
+        "CASE WHEN h >= 2 THEN " +
+        "((s2 + CAST(g AS DOUBLE) * (xlo * xlo) + CAST(g AS DOUBLE) * (xhi * xhi)) - " +
+        "(s1 + CAST(g AS DOUBLE) * xlo + CAST(g AS DOUBLE) * xhi) * " +
+        "(s1 + CAST(g AS DOUBLE) * xlo + CAST(g AS DOUBLE) * xhi) / CAST(n AS DOUBLE)) / " +
+        "(CAST(h AS DOUBLE) * (CAST(h AS DOUBLE) - 1)) END AS d FROM per), " +
+        "ax AS (SELECT n AS n_a, h AS h_a, tm AS tm_a, d AS d_a FROM calc WHERE arm = 'a'), " +
+        "bx AS (SELECT n AS n_b, h AS h_b, tm AS tm_b, d AS d_b FROM calc WHERE arm = 'b'), " +
+        "fz AS (SELECT *, d_a + d_b AS ds, (tm_a - tm_b) / sqrt(d_a + d_b) AS tst, " +
+        "(d_a + d_b) * (d_a + d_b) / (d_a * d_a / (CAST(h_a AS DOUBLE) - 1) + d_b * d_b / (CAST(h_b AS DOUBLE) - 1)) AS dfy, " +
+        "h_a >= 2 AND h_b >= 2 AND d_a + d_b > CAST(0 AS DOUBLE) AS ok FROM ax CROSS JOIN bx), " +
+        "fy AS (SELECT *, abs(tst) / sqrt(CAST(2 AS DOUBLE)) AS yv FROM fz), " +
+        "fw AS (SELECT *, CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * yv) AS tt2 FROM fy) " +
+        "SELECT n_a, n_b, h_a, h_b, tm_a, tm_b, " +
+        "round(CASE WHEN ok THEN tm_a - tm_b END, 6) AS diff, " +
+        "round(CASE WHEN ok THEN tst END, 6) AS t, " +
+        "round(CASE WHEN ok THEN dfy END, 6) AS df, " +
+        "round(CASE WHEN ok THEN " +
+        "tt2 * (CAST(0.254829592 AS DOUBLE) + tt2 * (CAST(-0.284496736 AS DOUBLE) + tt2 * (CAST(1.421413741 AS DOUBLE) + " +
+        "tt2 * (CAST(-1.453152027 AS DOUBLE) + tt2 * CAST(1.061405429 AS DOUBLE))))) * exp(-(yv * yv)) END, 6) AS p_value " +
+        "FROM fw"
     },
     "q320_energy_dist" -> {
       val snap9 = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +

@@ -2311,6 +2311,132 @@ object Analytics {
           .as("attribution_share"))
   }
 
+  /** Distribution-free median confidence interval per group (the
+    * order-statistic interval of Hahn & Meeker 1991 §5.2 with the
+    * normal-approximation ranks; Conover 1999 §3.2): the median is
+    * the value at rank ⌈n/2⌉ and its 95% CI is the pair of order
+    * statistics at ranks
+    *   l = ⌊(n − z√n)/2⌋,  u = ⌈(n + z√n)/2⌉ + 1 (capped at n)
+    * — no variance formula, no distributional assumption, valid for
+    * the skewed/heavy-tailed metrics where a mean ± 1.96·se interval
+    * is fiction. The interval q173's MAD outlier gate and q247's
+    * quantile shifts implicitly rely on, made explicit.
+    *
+    * Exactness: ranks are one fixed IEEE composition of (n, z);
+    * values read off exact cumulative counts over the per-group
+    * value grid (the q137 bounded-distinct discipline). n < 2 or a
+    * lower rank under 1 → NULL bounds (the interval is not
+    * guaranteed — stated). Returns (grp, n, median, ci_lo, ci_hi). */
+  def medianCI(df: DataFrame, grp: Column, x: Column,
+      z: Double = 1.959964): DataFrame = {
+    val b = df.select(grp.as("grp"), x.cast("double").as("x"))
+    val cnt = b.groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = cnt.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val cum = cnt.select(col("grp"), col("x"),
+        sum(col("c")).over(w).as("cum"))
+      .join(broadcast(tot), "grp")
+    val nD = col("n").cast("double")
+    val rMed = ceil(nD / lit(2.0)).cast("long")
+    val rLo = floor((nD - lit(z) * sqrt(nD)) / lit(2.0)).cast("long")
+    val rHi = least(col("n"),
+      (ceil((nD + lit(z) * sqrt(nD)) / lit(2.0)) + lit(1.0)).cast("long"))
+    def valueAt(r: Column, out: String): DataFrame =
+      cum.filter(col("cum") >= r).groupBy(col("grp"))
+        .agg(min(col("x")).as(out))
+    val med = valueAt(rMed, "median")
+    val lo = valueAt(greatest(rLo, lit(1L)), "ci_lo")
+    val hi = valueAt(rHi, "ci_hi")
+    val ok = col("n") >= 2L && rLo >= 1L
+    tot.join(med, "grp").join(lo, Seq("grp"), "left")
+      .join(hi, Seq("grp"), "left")
+      .select(col("grp"), col("n"), col("median"),
+        when(ok, col("ci_lo")).as("ci_lo"),
+        when(ok, col("ci_hi")).as("ci_hi"))
+  }
+
+  /** Yuen's trimmed-means test (Yuen 1974, "The two-sample trimmed t
+    * for unequal population variances"; Wilcox 2012 §5.3 as the
+    * modern default for heavy tails): compare 20%-interior means with
+    * winsorized variances and Welch degrees of freedom — the robust
+    * middle ground between q110's means t (outlier-fragile) and
+    * q217's rank test (abandons the mean entirely): a few whale users
+    * move a Yuen verdict by bounded amounts instead of owning it.
+    *
+    *   tm = mean of x_(g+1..n−g),  g = ⌊trim·n⌋,  h = n − 2g
+    *   d  = SS_winsorized / (h(h−1)),  t = (tm₁−tm₂)/√(d₁+d₂)
+    *
+    * Exactness: order statistics and interior sums read off exact
+    * cumulative counts over the per-arm value grid — each grid
+    * value's interior multiplicity is an exact integer overlap
+    * max(0, min(cum, n−g) − max(cum−c, g)); x·m and x²·m terms snap
+    * at 1e9; winsorized tails enter as g·x_(g+1) and g·x_(n−g)
+    * exactly. p is the two-sided NORMAL approximation through the
+    * shared erfc primitive (stated — exact t quantiles are not
+    * engine-portable; at the h this targets the gap is < 1e-3).
+    * h < 2 in either arm or zero variance → NULL verdict. Returns
+    * (n_a, n_b, h_a, h_b, tm_a, tm_b, diff, t, df, p_value). */
+  def yuenTest(units: DataFrame, isA: Column, y: Column,
+      trim: Double = 0.2): DataFrame = {
+    import graft.expr.Snap
+    require(trim > 0.0 && trim < 0.5, s"yuenTest: trim=$trim")
+    val b = units.select(when(isA, lit("a")).otherwise(lit("b")).as("arm"),
+      y.cast("double").as("x"))
+    val cnt = b.groupBy(col("arm"), col("x")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = cnt.groupBy(col("arm")).agg(sum(col("c")).as("n"))
+      .select(col("arm"), col("n"),
+        floor(lit(trim) * col("n").cast("double")).cast("long").as("g"))
+    val cum = cnt.select(col("arm"), col("x"), col("c"),
+        sum(col("c")).over(w).as("cum"))
+      .join(broadcast(tot), "arm")
+    // interior multiplicity of each grid value in ranks (g, n−g]
+    val mid = greatest(lit(0L), least(col("cum"), col("n") - col("g")) -
+      greatest(col("cum") - col("c"), col("g")))
+    val lo = cum.filter(col("cum") >= col("g") + lit(1L))
+      .groupBy(col("arm")).agg(min(col("x")).as("xlo"))
+    val hi = cum.filter(col("cum") >= col("n") - col("g"))
+      .groupBy(col("arm")).agg(min(col("x")).as("xhi"))
+    val sums = cum.groupBy(col("arm"))
+      .agg(Snap.snappedSum(col("x") * mid.cast("double"), 1e9).as("s1"),
+        Snap.snappedSum(col("x") * col("x") * mid.cast("double"), 1e9)
+          .as("s2"))
+    val per = tot.join(sums, "arm").join(lo, "arm").join(hi, "arm")
+    val gD = col("g").cast("double"); val nD = col("n").cast("double")
+    val h = col("n") - lit(2L) * col("g")
+    val hD = h.cast("double")
+    val tm = col("s1") / hD
+    val ws = col("s1") + gD * col("xlo") + gD * col("xhi")
+    val ws2 = col("s2") + gD * (col("xlo") * col("xlo")) +
+      gD * (col("xhi") * col("xhi"))
+    val ssw = ws2 - ws * ws / nD
+    val d = ssw / (hD * (hD - lit(1.0)))
+    val side = per.select(col("arm"), col("n"), h.as("h"),
+      round(when(h >= 2L, tm), 6).as("tm"),
+      when(h >= 2L, d).as("d"))
+    val a = side.filter(col("arm") === "a")
+      .select(col("n").as("n_a"), col("h").as("h_a"),
+        col("tm").as("tm_a"), col("d").as("d_a"))
+    val bb = side.filter(col("arm") === "b")
+      .select(col("n").as("n_b"), col("h").as("h_b"),
+        col("tm").as("tm_b"), col("d").as("d_b"))
+    val dSum = col("d_a") + col("d_b")
+    val tStat = (col("tm_a") - col("tm_b")) / sqrt(dSum)
+    val dfY = dSum * dSum / (col("d_a") * col("d_a") /
+      (col("h_a").cast("double") - lit(1.0)) +
+      col("d_b") * col("d_b") / (col("h_b").cast("double") - lit(1.0)))
+    val ok = col("h_a") >= 2L && col("h_b") >= 2L && dSum > 0.0
+    a.crossJoin(bb)
+      .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+        col("tm_a"), col("tm_b"),
+        round(when(ok, col("tm_a") - col("tm_b")), 6).as("diff"),
+        round(when(ok, tStat), 6).as("t"),
+        round(when(ok, dfY), 6).as("df"),
+        round(when(ok, normalPValue2(tStat)), 6).as("p_value"))
+  }
+
   /** Mann–Kendall monotone-trend test (Mann 1945; Kendall 1975) over
     * a per-period series — the SIGNIFICANCE companion to q228's
     * Theil–Sen slope (that one says how steep, this says whether the

@@ -845,6 +845,38 @@ class QualitySpec extends SparkSpec {
     assert(near(r.values.map(_.getDouble(4)).sum, 1.0, 1e-5))
   }
 
+  test("medianCI: n=25 uniform grid gives median 13 with CI [7, 19] " +
+    "at the hand normal-approximation ranks; tiny groups NULL bounds") {
+    import graft.ops.Analytics
+    val df = ((1 to 25).map(i => ("g", i.toDouble)) ++
+      Seq(("t", 1.0), ("t", 2.0), ("t", 3.0))).toDF("grp", "x")
+    val r = Analytics.medianCI(df, col("grp"), col("x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // rmed=13; rlo=⌊(25−1.959964·5)/2⌋=7; rhi=min(25,⌈17.4⌉+1)=19
+    assert(r("g").getLong(1) == 25L && r("g").getDouble(2) == 13.0)
+    assert(r("g").getDouble(3) == 7.0 && r("g").getDouble(4) == 19.0)
+    // n=3: rlo < 1 → the distribution-free interval is not available
+    assert(r("t").getDouble(2) == 2.0 && r("t").isNullAt(3) &&
+      r("t").isNullAt(4))
+  }
+
+  test("yuenTest: shifted uniform arms give the hand trimmed means, " +
+    "exactly df=10 under equal winsorized variances, and p=0") {
+    import graft.ops.Analytics
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val u = ((1 to 10).map(i => (true, i.toDouble)) ++
+      (1 to 10).map(i => (false, i.toDouble + 100.0))).toDF("a", "y")
+    val r = Analytics.yuenTest(u, col("a"), col("y")).collect().head
+    // g=2, h=6: interior 3..8 → tm_a=5.5; SSw=42.5 → d=42.5/30 each
+    assert(r.getLong(2) == 6L && r.getLong(3) == 6L)
+    assert(r.getDouble(4) == 5.5 && r.getDouble(5) == 105.5)
+    assert(r.getDouble(6) == -100.0)
+    val d = 42.5 / 30.0
+    assert(r.getDouble(7) == r6(-100.0 / math.sqrt(2 * d)))
+    assert(r.getDouble(8) == 10.0) // equal d ⇒ Welch df = 10 exactly
+    assert(r.getDouble(9) == 0.0)
+  }
+
   test("logregDistill: step-1 closed form, loss decreases, determinism") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
