@@ -30,3 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // multi-second page-commit stalls under the host's memory reclaim
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The round-robin driver parses the LAST stdout line of the bench step as
+// JSON; sbt's "[success] Total time: Ns" epilogue was landing after
+// Bench's summary line and breaking that parse (BENCH_r10.json
+// "parsed": null). Suppress the epilogue globally — exit codes are
+// unaffected, so test/compile success detection still works.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked `run` output must reach stdout RAW (no "[info] " logger prefix):
+// the driver json-parses the last stdout line of the bench step verbatim.
+run / outputStrategy := Some(StdoutOutput)

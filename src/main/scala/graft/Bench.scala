@@ -119,32 +119,27 @@ object Bench {
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}"""
-    println(full)
     // The driver artifact tail-truncates long stdout (BENCH_r06 lost its
-    // head 38 timings) — always write the COMPLETE line to a file too.
-    // A SPARK_GRAFT_ONLY-filtered run must NOT clobber the full-suite
-    // record: partial runs land in BENCH_PARTIAL.json unless an output
-    // path is given explicitly.
+    // head 38 timings) and its last-line parse must land on a COMPLETE
+    // JSON object — so the per-query detail goes ONLY to a file, never
+    // to stdout. A SPARK_GRAFT_ONLY-filtered run must NOT clobber the
+    // full-suite record: partial runs land in BENCH_PARTIAL.json unless
+    // an output path is given explicitly.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
       if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_LAST.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
-    // The harness captures only the LAST ~2000 chars of output; the full
-    // per-query line above outgrows that with 60+ queries and its head
-    // (the parseable prefix) gets truncated. Emit a compact duplicate
-    // LAST — short keys (q01…), 3-dp values — that always fits whole.
-    val compact = results.map { case (k, (v, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
-    // …but at 258 queries even the compact per-query line is ~3 KB and
-    // outgrows the ~2 KB tail. The FINAL line must always fit whole:
-    // a <200-byte summary (no per-query map) printed last, so the
-    // driver's tail parse lands on a complete JSON object regardless of
-    // suite size. Per-query detail lives in BENCH_LAST.json above.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}""")
+    // Stop Spark BEFORE the final print: spark.stop() can emit log lines
+    // and must not follow the line the driver's tail parse reads.
     spark.stop()
+    // The ONLY stdout JSON this program emits, printed as its very last
+    // act: a <200-byte summary (no per-query map) that always fits whole
+    // inside the driver's ~2 KB tail capture. sbt's own "[success] Total
+    // time" epilogue is suppressed via showSuccess := false in build.sbt
+    // so this line IS the last stdout line of the bench step.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
