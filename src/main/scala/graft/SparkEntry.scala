@@ -3642,6 +3642,19 @@ object SparkEntry {
         .as("p"))
       .agg(count(lit(1)).cast("double").as("y"))
 
+  /** [[dailySeries]] densified onto the CONTIGUOUS day grid (zero-event
+    * days count 0): the lag-indexed operators (q289 Ljung-Box row
+    * pairing, q290 Holt consecutive fold, q291/q308 centered-MA
+    * window) read "one row = one day", so a calendar gap would
+    * silently turn "lag 1 day" into row neighbors (ADVICE r10). */
+  private def dailySeriesDense(s: SparkSession, dir: String): DataFrame = {
+    val obs = dailySeries(s, dir)
+    val span = obs.agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+    span.select(explode(sequence(col("lo"), col("hi"))).as("p"))
+      .join(obs, Seq("p"), "left")
+      .select(col("p"), coalesce(col("y"), lit(0.0)).as("y"))
+  }
+
   /** Seasonal-naive forecast skill of daily event volume
     * ([[ops.Analytics.seasonalMase]], Hyndman & Koehler 2006) — is
     * there weekly structure worth modeling (MASE < 1), measured before
@@ -3693,7 +3706,7 @@ object SparkEntry {
     * y = trend + seasonal + remainder: WHICH component carries the
     * variance, where q275 only scores whether the weekly one exists. */
   private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
-    ops.Analytics.seasonalDecompose(dailySeries(s, dir), col("p"),
+    ops.Analytics.seasonalDecompose(dailySeriesDense(s, dir), col("p"),
       col("y"))
 
   /** Dataset cartography over the language-labeled corpus
@@ -3823,7 +3836,7 @@ object SparkEntry {
     * operators, no new machinery). */
   private def qSeasonalChangepoint(s: SparkSession, dir: String)
       : DataFrame = {
-    val sd = ops.Analytics.seasonalDecompose(dailySeries(s, dir),
+    val sd = ops.Analytics.seasonalDecompose(dailySeriesDense(s, dir),
       col("p"), col("y"))
     ops.Analytics.changepoint(
       sd.select(col("p"), (col("y") - col("seasonal")).as("y")),
@@ -3976,14 +3989,14 @@ object SparkEntry {
     * informative", the decide-before-you-model companion to q275's
     * seasonal skill and q290's Holt fit. */
   private def qLjungBox(s: SparkSession, dir: String): DataFrame =
-    ops.Analytics.ljungBox(dailySeries(s, dir), col("p"), col("y"))
+    ops.Analytics.ljungBox(dailySeriesDense(s, dir), col("p"), col("y"))
 
   /** Holt linear-trend fit + 7-day forecast of daily event volume
     * ([[ops.Analytics.holtForecast]], Holt 1957) — the level+slope
     * model q289's ACF justifies, as one snapped in-plan fold whose
     * trajectory the oracle replays step-by-step. */
   private def qHolt(s: SparkSession, dir: String): DataFrame =
-    ops.Analytics.holtForecast(dailySeries(s, dir), col("p"), col("y"))
+    ops.Analytics.holtForecast(dailySeriesDense(s, dir), col("p"), col("y"))
 
   /** HITS hubs & authorities over the DIRECTED part→supplier graph
     * ([[ops.Graph.hits]], Kleinberg 1999), two unrolled normalized
@@ -9932,7 +9945,10 @@ object SparkEntry {
       // standardize first (snapped μ/σ scalars), Σz_t·z_{t+k} snapped
       // per lag, r = s_k/s_0, Q cumulative over the 7-row lag axis,
       // published χ² 5% criticals (no CDF approximation)
-      "WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+      "WITH sdy0 AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "spx AS (SELECT min(p) AS lo, max(p) AS hi FROM sdy0), " +
+        "sdy AS MATERIALIZED (SELECT gx.p, coalesce(y, CAST(0 AS DOUBLE)) AS y " +
+        "FROM (SELECT unnest(generate_series(lo, hi)) AS p FROM spx) gx LEFT JOIN sdy0 USING (p)), " +
         s"stt AS (SELECT count(*) AS n, ${snap("y")} AS sy, ${snap("y * y")} AS syy FROM sdy), " +
         "su AS (SELECT n, sy / CAST(n AS DOUBLE) AS mu, " +
         "sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd FROM stt), " +
@@ -9958,7 +9974,10 @@ object SparkEntry {
       // the identical snapped (ℓ, b) trajectory as a recursive CTE
       // advancing one day per iteration (the q200 unrolled-recurrence
       // discipline); fpp3 init ℓ₁ = y₁, b₁ = y₂ − y₁; errors from t=3
-      ("WITH RECURSIVE sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+      ("WITH RECURSIVE sdy0 AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "spx AS (SELECT min(p) AS lo, max(p) AS hi FROM sdy0), " +
+        "sdy AS MATERIALIZED (SELECT gx.p, coalesce(y, CAST(0 AS DOUBLE)) AS y " +
+        "FROM (SELECT unnest(generate_series(lo, hi)) AS p FROM spx) gx LEFT JOIN sdy0 USING (p)), " +
         "dd AS MATERIALIZED (SELECT row_number() OVER (ORDER BY p) AS i, y FROM sdy), " +
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd), " +
         "ini AS (SELECT a.y AS y1, b.y AS y2 FROM dd a, dd b WHERE a.i = 1 AND b.i = 2), " +
@@ -9988,7 +10007,10 @@ object SparkEntry {
       // window); phase means of the detrended series, centered on the
       // snapped mean of the ≤7 phase means; remainder computed FROM
       // the UNROUNDED trend and the 6-dp seasonal
-      "WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+      "WITH sdy0 AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "spx AS (SELECT min(p) AS lo, max(p) AS hi FROM sdy0), " +
+        "sdy AS MATERIALIZED (SELECT gx.p, coalesce(y, CAST(0 AS DOUBLE)) AS y " +
+        "FROM (SELECT unnest(generate_series(lo, hi)) AS p FROM spx) gx LEFT JOIN sdy0 USING (p)), " +
         "tr AS (SELECT p, y, count(*) OVER w AS cnt, " +
         "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1000000000 / 7 AS ma " +
         "FROM sdy WINDOW w AS (ORDER BY p ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
@@ -10470,7 +10492,10 @@ object SparkEntry {
     "q308_seasonal_cp" ->
       // q291's decomposition CTEs feeding q276's binseg over the
       // deseasonalized series y − seasonal
-      ("WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+      ("WITH sdy0 AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "spx AS (SELECT min(p) AS lo, max(p) AS hi FROM sdy0), " +
+        "sdy AS MATERIALIZED (SELECT gx.p, coalesce(y, CAST(0 AS DOUBLE)) AS y " +
+        "FROM (SELECT unnest(generate_series(lo, hi)) AS p FROM spx) gx LEFT JOIN sdy0 USING (p)), " +
         "tr AS (SELECT p, y, count(*) OVER w AS cnt, " +
         "CAST(sum(CAST(floor(y * 1000000000 + 0.5) AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1000000000 / 7 AS ma " +
         "FROM sdy WINDOW w AS (ORDER BY p ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
@@ -10826,8 +10851,9 @@ object SparkEntry {
           "UNION ALL SELECT 'END', 'END', CAST(1 AS DOUBLE)), " +
           sq(s"${tag}0", s"${tag}1") + sq(s"${tag}1", s"${tag}2") +
           sq(s"${tag}2", s"${tag}3") + sq(s"${tag}3", s"${tag}4") +
-          s"${tag}r AS (SELECT coalesce(max(p), CAST(0 AS DOUBLE)) AS reach " +
-          s"FROM ${tag}4 WHERE src = 'START' AND dst = 'purchase'), "
+          s"${tag}r AS (SELECT coalesce(max(CASE WHEN dst = 'purchase' THEN p END), CAST(0 AS DOUBLE)) AS reach, " +
+          "coalesce(sum(p), CAST(0 AS DOUBLE)) AS absorbed " +
+          s"FROM ${tag}4 WHERE src = 'START' AND dst IN ('purchase', 'END')), "
       }
       val variants = states.zipWithIndex.map { case (s, i) =>
         chain(s"v$i",
@@ -10836,7 +10862,8 @@ object SparkEntry {
       }.mkString
       val effRows = states.zipWithIndex.map { case (s, i) =>
         s"SELECT '$s' AS state, (SELECT reach FROM fullr) AS rf, " +
-          s"(SELECT reach FROM v${i}r) AS rr"
+          s"(SELECT reach FROM v${i}r) AS rr, " +
+          s"(SELECT absorbed FROM v${i}r) AS ab"
       }.mkString(" UNION ALL ")
       // journeys truncate at the FIRST purchase; START/END framing;
       // exact-ratio row-stochastic matrix snapped to 6 dp
@@ -10854,12 +10881,13 @@ object SparkEntry {
         "FROM ed JOIN rt USING (src)), " +
         chain("full", s"SELECT src, dst, p FROM p0f") +
         variants +
-        s"ef AS (SELECT state, rf, rr, ${snap6("CASE WHEN rf > CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE) - rr / rf ELSE CAST(0 AS DOUBLE) END")} AS eff " +
+        s"ef AS (SELECT state, rf, rr, ab, ${snap6("CASE WHEN rf > CAST(0 AS DOUBLE) THEN CAST(1 AS DOUBLE) - rr / rf ELSE CAST(0 AS DOUBLE) END")} AS eff " +
         s"FROM ($effRows)), " +
         s"tx AS (SELECT ${snap9("eff")} AS teff FROM ef) " +
         "SELECT state, round(rf, 6) AS reach_full, round(rr, 6) AS reach_removed, " +
         "round(eff, 6) AS removal_effect, " +
-        "round(CASE WHEN teff > CAST(0 AS DOUBLE) THEN eff / teff END, 6) AS attribution_share " +
+        "round(CASE WHEN teff > CAST(0 AS DOUBLE) THEN eff / teff END, 6) AS attribution_share, " +
+        "round(CAST(1 AS DOUBLE) - ab, 6) AS unabsorbed " +
         "FROM ef CROSS JOIN tx")
     },
     "q318_cm_error" ->

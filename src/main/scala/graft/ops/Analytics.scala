@@ -2273,12 +2273,20 @@ object Analytics {
         .agg(snap6(Snap.snappedSum(col("pa") * col("pb"), 1e9)).as("p"))
         .filter(col("p") > 0.0))
     }
+    // reach = P^16[START→conversion]; absorbed = P^16[START→{conv,END}].
+    // 1 − absorbed is the UNABSORBED residual: mass still in transient
+    // states after 16 transitions — the visible readout of the fixed
+    // four-squaring truncation (journeys needing >16 steps), mirroring
+    // stationaryDistribution's tv_delta convergence convention.
     def reach(m0: DataFrame): DataFrame = {
       val p16 = square(square(square(square(close(m0)))))
-      p16.filter(col("src") === "START" && col("dst") === conversion)
-        .agg(coalesce(max(col("p")), lit(0.0)).as("reach"))
+      p16.filter(col("src") === "START" &&
+          (col("dst") === conversion || col("dst") === "END"))
+        .agg(coalesce(max(when(col("dst") === conversion, col("p"))),
+            lit(0.0)).as("reach"),
+          coalesce(sum(col("p")), lit(0.0)).as("absorbed"))
     }
-    val full = reach(pFull)
+    val full = reach(pFull).select(col("reach"))
     // removable states: caller-pinned (oracle-replayable), or
     // discovered — a bounded |event types|-sized driver read
     val removable = removable0.map(_.sorted).getOrElse(
@@ -2286,6 +2294,11 @@ object Analytics {
         .filter(col("state") =!= "START" && col("state") =!= conversion &&
           col("state") =!= "END")
         .collect().map(_.getString(0)).sorted.toSeq)
+    require(removable.nonEmpty,
+      "markovAttribution: no removable intermediate states — every " +
+        s"journey goes directly START→$conversion/END, so there is " +
+        "nothing to attribute; pass removable0 explicitly if the state " +
+        "set is known")
     val rows = removable.map { s =>
       // redirect every transition INTO s to END (row sums stay 1)
       val variant = pFull.select(col("src"),
@@ -2295,20 +2308,23 @@ object Analytics {
         .groupBy(col("src"), col("dst"))
         .agg(snap6(Snap.snappedSum(col("p"), 1e9)).as("p"))
       reach(variant).select(lit(s).as("state"),
-        col("reach").as("reach_removed"))
+        col("reach").as("reach_removed"),
+        round(lit(1.0) - col("absorbed"), 6).as("unabsorbed"))
     }.reduce(_ unionByName _)
     val joined = rows.crossJoin(broadcast(full))
       .select(col("state"), round(col("reach"), 6).as("reach_full"),
         round(col("reach_removed"), 6).as("reach_removed"),
         snap6(when(col("reach") > 0.0,
           lit(1.0) - col("reach_removed") / col("reach"))
-          .otherwise(lit(0.0))).as("eff"))
+          .otherwise(lit(0.0))).as("eff"),
+        col("unabsorbed"))
     val tot = joined.agg(Snap.snappedSum(col("eff"), 1e9).as("teff"))
     joined.crossJoin(broadcast(tot))
       .select(col("state"), col("reach_full"), col("reach_removed"),
         round(col("eff"), 6).as("removal_effect"),
         round(when(col("teff") > 0.0, col("eff") / col("teff")), 6)
-          .as("attribution_share"))
+          .as("attribution_share"),
+        col("unabsorbed"))
   }
 
   /** Distribution-free median confidence interval per group (the

@@ -79,12 +79,22 @@ object LinAlg {
     import graft.expr.Snap
     val base = Fanout.fanout(vecs).select(id.as("vec_id"),
       transform(vec, _.cast("double")).as("e"))
-    // dim probe on the RAW input (one row, no fanout shuffle paid
-    // just to read a length) with an honest empty-table error
-    val probe = vecs.select(size(vec).as("d")).limit(1).collect()
-    require(probe.nonEmpty && probe.head.getInt(0) > 0,
-      "pcaPowerProject: empty vectors")
-    val d = probe.head.getInt(0)
+    // dim probe on the RAW input (one aggregate row, no fanout shuffle
+    // paid just to read lengths). Probe min AND max over the WHOLE
+    // corpus — a first-row probe would let a ragged corpus slip
+    // through, where zip_with pads the short side with NULLs and the
+    // dot products silently go NULL (the binaryHammingEval contract,
+    // Ann.scala). NULL-safe: all-NULL vectors probe as NULL.
+    val probe = vecs.agg(
+      max(size(vec)).as("dmax"), min(size(vec)).as("dmin"))
+      .collect().head
+    require(!probe.isNullAt(0),
+      "pcaPowerProject: empty vectors (or all vectors NULL)")
+    val d = probe.getInt(0)
+    require(probe.getInt(1) == d && d > 0,
+      s"pcaPowerProject: ragged vector widths [${probe.getInt(1)}, $d]" +
+        " — zip_with would NULL-pad the short rows; fix the corpus " +
+        "width upstream")
     def dot(v: Array[Double]): Column =
       aggregate(zip_with(col("e"), array(v.map(lit): _*), (a, b) => a * b),
         lit(0.0), (acc, x) => acc + x)

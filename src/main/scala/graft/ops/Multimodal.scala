@@ -212,4 +212,148 @@ object Multimodal {
       octet_length(col("text")).cast("long").as("byte_len"),
       ceil(octet_length(col("text")) / lit(chunkBytes.toDouble)).cast("long")
         .as("n_chunks"))
+
+  /** The md5-derived "decoded pixel" at grid cell `idx` of a payload —
+    * the cell-level twin of [[fakeDecodeFeatures]] (same md5(i + "|" +
+    * payload) vocabulary, so any engine with md5 replays the grid). A
+    * real decoder replaces this one expression with a resampled
+    * grayscale read of the same cell; every consumer below is
+    * unchanged. */
+  private def gridCell(idx: Column, payload: Column): Column =
+    pmod(conv(substring(md5(concat(idx.cast("string"), lit("|"), payload)),
+      1, 8), 16, 10).cast("long"), lit(256L))
+
+  /** dHash perceptual fingerprint BITS (Krawetz's difference hash — the
+    * standard gradient perceptual hash): decode to an 8-row × 9-column
+    * grid, bit b (row r = b div 8, col c = b mod 8) = cell(r,c) >
+    * cell(r,c+1). Gradient direction survives brightness/contrast
+    * shifts that break byte-exact hashing — the media twin of q23's
+    * text SimHash. One codegen pass: 64 exploded rows per doc, both
+    * cells evaluated inline (the decode boundary is [[gridCell]]).
+    * Returns (doc_id, b ∈ 0..63, bit). */
+  def dhashBits(media: DataFrame, id: Column, payload: Column): DataFrame =
+    graft.ops.Fanout.fanout(media)
+      .select(id.as("doc_id"), payload.as("__p"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .select(col("doc_id"), col("b"),
+        (gridCell(floor(col("b") / lit(8)).cast("int") * 9 +
+            pmod(col("b"), lit(8)), col("__p")) >
+          gridCell(floor(col("b") / lit(8)).cast("int") * 9 +
+            pmod(col("b"), lit(8)) + 1, col("__p"))).as("bit"))
+
+  /** Perceptual-hash near-duplicates by LSH BANDING over the 64 dHash
+    * bits: the hash splits into four 16-bit bands; a pair is a
+    * CANDIDATE iff some band matches exactly (pigeonhole: every pair
+    * with Hamming distance ≤ 3 shares a band — guaranteed; larger
+    * distances are caught with the usual LSH recall falloff), then the
+    * EXACT 64-bit Hamming distance is verified over the candidates and
+    * pairs ≤ `maxHamming` survive. The estimand is "banded candidates
+    * at ≤ maxHamming" — the q21/q150 candidates-only-through-the-index
+    * discipline, stated, never all-pairs.
+    *
+    * Scale shape: band values aggregate map-side (4 rows/doc); the
+    * candidate join is a (band, value) equi-join; the Hamming verify
+    * joins 64 bit-rows per side ONLY for candidate pairs. Returns
+    * ordered (doc_a, doc_b, hamming ≤ maxHamming). */
+  def dhashNearDup(media: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = 6,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"dhashNearDup: maxHamming=$maxHamming")
+    val bits = materialize(dhashBits(media, id, payload))
+    val bands = bits.groupBy(col("doc_id"),
+      floor(col("b") / lit(16)).cast("int").as("band"))
+      .agg(sum(when(col("bit"),
+        pow(lit(2.0), pmod(col("b"), lit(16)).cast("double")).cast("long"))
+        .otherwise(0L)).as("v"))
+    val cand = bands.select(col("band"), col("v"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("v"), col("doc_id").as("doc_b")),
+        Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(bits.select(col("doc_id").as("doc_a"), col("b"),
+        col("bit").as("bit_a")), "doc_a")
+      .join(bits.select(col("doc_id").as("doc_b"), col("b"),
+        col("bit").as("bit_b")), Seq("doc_b", "b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("bit_a") =!= col("bit_b"), 1L).otherwise(0L))
+        .as("hamming"))
+      .filter(col("hamming") <= maxHamming.toLong)
+  }
+
+  /** Media metadata quality gates — the Gopher rules of images: decode
+    * NOTHING, read the typed metadata (here the stub geometry
+    * width = n_bytes mod 640, height = n_bytes mod 480 — [[decodeFeatures]]'s
+    * convention; a real EXIF/container parser fills the same columns)
+    * and gate on (a) minimum dimensions, (b) aspect ratio in
+    * [1/maxAspect, maxAspect] — banners and scanlines out, (c) bytes
+    * per pixel in [bppLo, bppHi] — both the truncated-payload and the
+    * padded-junk tails. Pure per-row projection: predicate-pushdown
+    * friendly, zero shuffle. Returns per doc the geometry, the three
+    * flags, and the conjunctive `admit`. */
+  def mediaQualityGates(media: DataFrame, minDim: Int = 16,
+      maxAspect: Double = 4.0, bppLo: Double = 0.05,
+      bppHi: Double = 10.0): DataFrame = {
+    require(minDim > 0 && maxAspect >= 1.0 && bppLo > 0.0 && bppHi > bppLo,
+      s"mediaQualityGates: minDim=$minDim maxAspect=$maxAspect " +
+        s"bpp=[$bppLo,$bppHi]")
+    val w = pmod(col("n_bytes"), lit(640L))
+    val h = pmod(col("n_bytes"), lit(480L))
+    val aspect = when(col("height") > 0L,
+      round(col("width").cast("double") / col("height").cast("double"), 4))
+    val bpp = when(col("width") > 0L && col("height") > 0L,
+      round(col("n_bytes").cast("double") /
+        (col("width") * col("height")).cast("double"), 4))
+    media.select(col("doc_id"), col("n_bytes"), w.as("width"), h.as("height"))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        aspect.as("aspect"), bpp.as("bytes_per_pixel"))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        col("aspect"), col("bytes_per_pixel"),
+        (col("width") >= minDim.toLong && col("height") >= minDim.toLong)
+          .as("f_dims"),
+        coalesce(col("aspect") >= lit(1.0 / maxAspect) &&
+          col("aspect") <= lit(maxAspect), lit(false)).as("f_aspect"),
+        coalesce(col("bytes_per_pixel") >= bppLo &&
+          col("bytes_per_pixel") <= bppHi, lit(false)).as("f_density"))
+      .withColumn("admit",
+        col("f_dims") && col("f_aspect") && col("f_density"))
+  }
+
+  /** The [[fakeDecodeFeatures]] vector as ONE in-plan array expression
+    * (no Dataset hop): feature j = md5(j + "|" + payload) bucket / 1000
+    * — bit-identical to the mapPartitions stub, but consumable by the
+    * embedding operators (SemDeDup, ANN) directly inside codegen. */
+  def mediaFeatureArray(payload: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), payload)),
+        1, 8), 16, 10).cast("long"), lit(1000L)).cast("double") /
+        lit(1000.0)).cast("float"))
+
+  /** SemDeDup over the MEDIA modality (Abbas et al., the q32 regime on
+    * decoded-media features instead of text embeddings): feature
+    * vectors from [[mediaFeatureArray]], blocking bucket = the 4-bit
+    * sign pattern of the first four features around 0.5 (16 cells —
+    * the quantized-embedding bucketing of q120), candidate pairs
+    * bucket-local via [[graft.ops.Ann.cosineNearDupPairs]], smaller-id
+    * survivor policy via [[graft.ops.Ann.semDedup]]. Returns the
+    * surviving (doc_id, bucket) rows — the kept corpus.
+    *
+    * Scale shape: inherited from semDedup — the corpus never
+    * self-joins outside its bucket; everything before the pair join is
+    * one codegen projection. */
+  def mediaSemDedup(media: DataFrame, id: Column, payload: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"mediaSemDedup: threshold=$threshold")
+    val feats = media.select(id.as("doc_id"),
+      mediaFeatureArray(payload).as("feat"))
+    val bucketed = feats.withColumn("bucket",
+      (0 until 4).map(j => when(element_at(col("feat"), j + 1) >= 0.5f,
+        lit(1L << j)).otherwise(lit(0L))).reduce(_ + _))
+    graft.ops.Ann.semDedup(bucketed, "bucket", threshold,
+        idCol = "doc_id", vecCol = "feat")
+      .select(col("doc_id"), col("bucket"))
+  }
 }

@@ -1599,7 +1599,12 @@ object Quality {
     * residual grid (the q137 bounded-distinct discipline — no
     * approx_percentile). ⌈(n+1)(1−α)⌉ > n_cal (tiny calibration
     * sets) → q̂ NULL and coverage 1 by convention (the interval is
-    * the whole line — stated, not hidden).
+    * the whole line — stated, not hidden). The SAME convention holds
+    * when the md5 split leaves a role EMPTY: every input group is
+    * emitted (the final select drives off the full group set with
+    * left joins, never inner-join-dropped) — empty calibration or
+    * train → q̂ NULL and coverage 1 over the test rows; empty test →
+    * n_test 0 and coverage NULL (nothing to measure).
     *
     * Scale shape: one corpus pass per split role (train mean,
     * calibration grid, test coverage — all map-side-combined,
@@ -1635,20 +1640,30 @@ object Quality {
     val qhat = calCum.filter(col("cum") >= need)
       .groupBy(col("grp"))
       .agg(max(col("n_cal")).as("n_cal"), min(col("r")).as("q_hat"))
-    val nCalAll = calCum.groupBy(col("grp")).agg(max(col("n_cal")).as("nc"))
-    val test = resid.filter(col("role") === 2L)
-      .join(broadcast(nCalAll), "grp")
+    // the FULL group set — a role left empty by the md5 split must
+    // surface with the stated convention, never drop the group
+    val counts = b.groupBy(col("grp")).agg(
+      sum(when(col("role") === 0L, 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("role") === 1L, 1L).otherwise(0L)).as("n_cal"),
+      sum(when(col("role") === 2L, 1L).otherwise(0L)).as("n_test"))
+    val testCov = resid.filter(col("role") === 2L)
       .join(broadcast(qhat.select(col("grp"), col("q_hat"))), Seq("grp"),
         "left")
       .groupBy(col("grp"))
-      .agg(max(col("n_train")).as("n_train"), max(col("nc")).as("n_cal"),
-        count(lit(1)).as("n_test"), max(col("q_hat")).as("q_hat"),
-        sum(when(col("q_hat").isNull || col("r") <= col("q_hat"), 1L)
-          .otherwise(0L)).as("cov"))
-    test.select(col("grp"), col("n_train"), col("n_cal"), col("n_test"),
-      col("q_hat"),
-      round(col("cov").cast("double") / col("n_test").cast("double"), 6)
-        .as("coverage"),
-      lit(1.0 - alpha).as("target"))
+      .agg(sum(when(col("q_hat").isNull || col("r") <= col("q_hat"), 1L)
+        .otherwise(0L)).as("cov"))
+    counts
+      .join(broadcast(qhat.select(col("grp"), col("q_hat"))), Seq("grp"),
+        "left")
+      .join(broadcast(testCov), Seq("grp"), "left")
+      .select(col("grp"), col("n_train"), col("n_cal"), col("n_test"),
+        col("q_hat"),
+        // cov NULL with test rows present ⇔ no residuals existed (train
+        // role empty → no predictor → whole-line interval): coverage 1
+        round(when(col("n_test") === 0L, lit(null).cast("double"))
+          .when(col("cov").isNotNull,
+            col("cov").cast("double") / col("n_test").cast("double"))
+          .otherwise(lit(1.0)), 6).as("coverage"),
+        lit(1.0 - alpha).as("target"))
   }
 }

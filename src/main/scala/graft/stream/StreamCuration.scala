@@ -137,7 +137,12 @@ object StreamCuration {
     * arrived events (spec-pinned under shuffled splits) — the same
     * bounded-state shape as the KM/CIF sinks, applied to the monitor
     * family next to [[startCusumSink]]'s sequential alarm: CUSUM says
-    * "drifting NOW", this says "the level broke THERE". */
+    * "drifting NOW", this says "the level broke THERE". State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): a restarted
+    * query RESUMES the merged state instead of resetting while offsets
+    * advance, and a failure-replayed epoch is detected by id and
+    * re-emitted without re-merging (at-least-once → effectively-once).
+    * */
   def startChangepointSink(eventStream: DataFrame, periodCol: String,
       checkpointDir: String,
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
@@ -150,25 +155,28 @@ object StreamCuration {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("c",
           org.apache.spark.sql.types.LongType))))
-    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      empty.localCheckpoint(true))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    def readout(st: DataFrame) = graft.ops.Analytics.changepoint(
+      st.select(col("p"), col("c").cast("double").as("y")),
+      col("p"), col("y"))
     eventStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
-          val st = state.get()
+        if (state.alreadyMerged(epochId)) {
+          // at-least-once replay: state already holds this epoch —
+          // re-emit its readout idempotently, never re-merge
+          if (state.isLast(epochId)) sink(readout(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val st = state.get
           val part = batch.select(col(periodCol).cast("long").as("p"))
             .groupBy(col("p")).agg(count(lit(1)).as("c"))
           val next = st.join(part, Seq("p"), "full_outer")
             .select(col("p"),
               (coalesce(st("c"), lit(0L)) +
                 coalesce(part("c"), lit(0L))).as("c"))
-            .localCheckpoint(true) // consumers: next epoch + verdict
-          state.set(next)
-          sink(graft.ops.Analytics.changepoint(
-            next.select(col("p"), col("c").cast("double").as("y")),
-            col("p"), col("y")), epochId)
+          sink(readout(state.commit(next, epochId)), epochId)
         }
       }
       .start()
@@ -187,7 +195,12 @@ object StreamCuration {
     * row N with `mu0 = Some(mu)` (QualitySpec pins this). Groups
     * absent from a batch take no step; new groups start their own
     * recursion. State is group-count-sized, re-materialized per batch
-    * with truncated lineage. */
+    * with truncated lineage. State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): a restarted
+    * query RESUMES the merged state instead of resetting while offsets
+    * advance, and a failure-replayed epoch is detected by id and
+    * re-emitted without re-merging (at-least-once → effectively-once).
+    * */
   def startCusumSink(countStream: DataFrame, grpCol: String, xCol: String,
       mu: Double, slack: Double, hMult: Double, checkpointDir: String,
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
@@ -204,36 +217,54 @@ object StreamCuration {
           org.apache.spark.sql.types.DecimalType(38, 0)),
         org.apache.spark.sql.types.StructField("m",
           org.apache.spark.sql.types.DecimalType(38, 0)))))
-    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      empty.localCheckpoint(true))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    val dec0 = lit(0).cast("decimal(38,0)")
+    def stepOf(batch: DataFrame) = batch.groupBy(col(grpCol).as("grp"))
+      .agg(sum(col(xCol)).as("x"))
+      .withColumn("d", floor((col("x").cast("double") -
+        lit(mu) * lit(1.0 + slack)) * lit(1e9) + lit(0.5))
+        .cast("decimal(38,0)"))
+    def emit(rows: DataFrame, epochId: Long): Unit =
+      sink(rows.select(col("grp"), col("x"),
+        round((col("cn") - least(col("mn"), dec0)).cast("double") /
+          lit(1e9), 6).as("cusum"),
+        ((col("cn") - least(col("mn"), dec0)).cast("double") /
+          lit(1e9) > lit(mu) * lit(hMult)).as("alarm")), epochId)
     countStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
+        if (state.alreadyMerged(epochId)) {
+          // at-least-once replay: the state already took this epoch's
+          // step — the original emission's (cn, mn) ARE the post-merge
+          // (c, m), so rebuild it from batch groups × current state
+          // without stepping again
+          if (state.isLast(epochId) && !batch.isEmpty) {
+            emit(stepOf(batch).drop("d")
+              .join(state.get, Seq("grp"), "inner")
+              .withColumnRenamed("c", "cn").withColumnRenamed("m", "mn"),
+              epochId)
+          }
+        } else if (!batch.isEmpty) {
           // one step per group: the batch's total x, snapped deviation
           // (the cusumDrift dI expression with mu as the fixed literal)
-          val dec0 = lit(0).cast("decimal(38,0)")
-          val stepX = batch.groupBy(col(grpCol).as("grp"))
-            .agg(sum(col(xCol)).as("x"))
-            .withColumn("d", floor((col("x").cast("double") -
-              lit(mu) * lit(1.0 + slack)) * lit(1e9) + lit(0.5))
-              .cast("decimal(38,0)"))
-          val upd = stepX.join(state.get(), Seq("grp"), "left")
+          val stepX = stepOf(batch)
+          val upd = stepX.join(state.get, Seq("grp"), "left")
             .withColumn("cn", (coalesce(col("c"), dec0) + col("d"))
               .cast("decimal(38,0)"))
             .withColumn("mn", least(coalesce(col("m"), col("cn")),
               col("cn")))
-          val keep = state.get().join(stepX.select(col("grp")),
+          val keep = state.get.join(stepX.select(col("grp")),
             Seq("grp"), "left_anti")
           val next = upd.select(col("grp"), col("cn").as("c"),
-            col("mn").as("m")).unionByName(keep).localCheckpoint(true)
-          state.set(next)
-          sink(upd.select(col("grp"), col("x"),
-            round((col("cn") - least(col("mn"), dec0)).cast("double") /
-              lit(1e9), 6).as("cusum"),
-            ((col("cn") - least(col("mn"), dec0)).cast("double") /
-              lit(1e9) > lit(mu) * lit(hMult)).as("alarm")), epochId)
+            col("mn").as("m")).unionByName(keep)
+          // materialize the emission's inputs BEFORE commit replaces
+          // the state dir the lineage reads from
+          val out = upd.select(col("grp"), col("x"), col("cn"),
+            col("mn")).localCheckpoint(true)
+          state.commit(next, epochId)
+          emit(out, epochId)
         }
       }
       .start()
@@ -252,7 +283,12 @@ object StreamCuration {
     * unit, never an event list). The pre/post cut and the arm rule are
     * offline decisions (the train-once/serve-many split); units whose
     * events all precede the cut still enter with y = 0 — exactly the
-    * batch operator's population. */
+    * batch operator's population. State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): a restarted
+    * query RESUMES the merged state instead of resetting while offsets
+    * advance, and a failure-replayed epoch is detected by id and
+    * re-emitted without re-merging (at-least-once → effectively-once).
+    * */
   def startCupedSink(eventStream: DataFrame, unitCol: String,
       tsCol: String, valueCol: String, cutTs: String,
       checkpointDir: String, sink: (DataFrame, Long) => Unit,
@@ -275,14 +311,21 @@ object StreamCuration {
           org.apache.spark.sql.types.DecimalType(38, 0)),
         org.apache.spark.sql.types.StructField("y9",
           org.apache.spark.sql.types.DecimalType(38, 0)))))
-    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      empty.localCheckpoint(true))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
     val cut = lit(cutTs).cast("timestamp")
+    def readout(st: DataFrame) = graft.ops.Analytics.cupedAdjust(
+      st.select(col("u"),
+        (col("x9").cast("double") / lit(1e9)).as("x"),
+        (col("y9").cast("double") / lit(1e9)).as("y")),
+      isA(col("u")), col("x"), col("y"), materialize = df => df)
     eventStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId)) sink(readout(state.get), epochId)
+        } else if (!batch.isEmpty) {
           val dec0 = lit(0).cast("decimal(38,0)")
           def snap9(c: org.apache.spark.sql.Column) =
             sum(floor(c * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
@@ -294,19 +337,13 @@ object StreamCuration {
                 .as("dx"),
               snap9(when(col("ts") >= cut, col("v")).otherwise(lit(0.0)))
                 .as("dy"))
-          val next = state.get().join(part, Seq("u"), "full_outer")
+          val next = state.get.join(part, Seq("u"), "full_outer")
             .select(col("u"),
               (coalesce(col("x9"), dec0) + coalesce(col("dx"), dec0))
                 .cast("decimal(38,0)").as("x9"),
               (coalesce(col("y9"), dec0) + coalesce(col("dy"), dec0))
                 .cast("decimal(38,0)").as("y9"))
-            .localCheckpoint(true) // consumers: next epoch + the readout
-          state.set(next)
-          val units = next.select(col("u"),
-            (col("x9").cast("double") / lit(1e9)).as("x"),
-            (col("y9").cast("double") / lit(1e9)).as("y"))
-          sink(graft.ops.Analytics.cupedAdjust(units, isA(col("u")),
-            col("x"), col("y"), materialize = df => df), epochId)
+          sink(readout(state.commit(next, epochId)), epochId)
         }
       }
       .start()
@@ -320,7 +357,12 @@ object StreamCuration {
     * so each epoch's emitted curve is bit-identical to batch
     * `isotonicCalibration` over the union of all arrived predictions,
     * under any batch split (spec-pinned). State is ≤`bins` rows —
-    * bounded regardless of stream length. */
+    * bounded regardless of stream length. State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): a restarted
+    * query RESUMES the merged state instead of resetting while offsets
+    * advance, and a failure-replayed epoch is detected by id and
+    * re-emitted without re-merging (at-least-once → effectively-once).
+    * */
   def startIsotonicSink(predStream: DataFrame, confCol: String,
       correctCol: String, bins: Int, checkpointDir: String,
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
@@ -338,13 +380,18 @@ object StreamCuration {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("s9",
           org.apache.spark.sql.types.DecimalType(38, 0)))))
-    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      empty.localCheckpoint(true))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    def readout(st: DataFrame) = graft.ops.Quality.isotonicFromBins(
+      st.select(col("bin"), col("n"), col("k"),
+        (col("s9").cast("double") / lit(1e9)).as("sc")))
     predStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId)) sink(readout(state.get), epochId)
+        } else if (!batch.isEmpty) {
           val dec0 = lit(0).cast("decimal(38,0)")
           val part = batch.select(
               least(floor(col(confCol).cast("double") * lit(bins))
@@ -356,7 +403,7 @@ object StreamCuration {
             .agg(count(lit(1)).as("dn"), sum(col("ok")).as("dk"),
               sum(floor(col("conf") * lit(1e9) + lit(0.5))
                 .cast("decimal(38,0)")).as("ds9"))
-          val next = state.get().join(part, Seq("bin"), "full_outer")
+          val next = state.get.join(part, Seq("bin"), "full_outer")
             .select(col("bin"),
               (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
                 .as("n"),
@@ -364,11 +411,7 @@ object StreamCuration {
                 .as("k"),
               (coalesce(col("s9"), dec0) + coalesce(col("ds9"), dec0))
                 .cast("decimal(38,0)").as("s9"))
-            .localCheckpoint(true)
-          state.set(next)
-          val per = next.select(col("bin"), col("n"), col("k"),
-            (col("s9").cast("double") / lit(1e9)).as("sc"))
-          sink(graft.ops.Quality.isotonicFromBins(per), epochId)
+          sink(readout(state.commit(next, epochId)), epochId)
         }
       }
       .start()
@@ -382,7 +425,12 @@ object StreamCuration {
     * additive, so each epoch's (auc, se, ci) is bit-identical to
     * batch `delongAuc` over the union of all arrived rows under any
     * batch split (spec-pinned). State is grid-bounded (≤10⁶+1 rows
-    * for [0,1] scores) regardless of stream length. */
+    * for [0,1] scores) regardless of stream length. State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): a restarted
+    * query RESUMES the merged state instead of resetting while offsets
+    * advance, and a failure-replayed epoch is detected by id and
+    * re-emitted without re-merging (at-least-once → effectively-once).
+    * */
   def startDelongSink(predStream: DataFrame, scoreCol: String,
       positiveCol: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
@@ -397,13 +445,16 @@ object StreamCuration {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("nn",
           org.apache.spark.sql.types.LongType))))
-    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      empty.localCheckpoint(true))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
     predStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId))
+            sink(graft.ops.Quality.delongFromGrid(state.get), epochId)
+        } else if (!batch.isEmpty) {
           val part = batch.select(
               round(col(scoreCol).cast("double"), 6).as("s"),
               when(col(positiveCol).cast("boolean"), 1L).otherwise(0L)
@@ -411,15 +462,14 @@ object StreamCuration {
             .groupBy(col("s"))
             .agg(sum(col("pos")).as("dnp"),
               sum(lit(1L) - col("pos")).as("dnn"))
-          val next = state.get().join(part, Seq("s"), "full_outer")
+          val next = state.get.join(part, Seq("s"), "full_outer")
             .select(col("s"),
               (coalesce(col("np"), lit(0L)) + coalesce(col("dnp"), lit(0L)))
                 .as("np"),
               (coalesce(col("nn"), lit(0L)) + coalesce(col("dnn"), lit(0L)))
                 .as("nn"))
-            .localCheckpoint(true)
-          state.set(next)
-          sink(graft.ops.Quality.delongFromGrid(next), epochId)
+          sink(graft.ops.Quality.delongFromGrid(
+            state.commit(next, epochId)), epochId)
         }
       }
       .start()
@@ -432,7 +482,12 @@ object StreamCuration {
     * [[graft.ops.Quality.benfordFromDigits]]'s input — purely
     * additive, so each epoch's χ²/reject is bit-identical to batch
     * `benfordReport` over all arrived values under any split
-    * (spec-pinned). */
+    * (spec-pinned). State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): a restarted
+    * query RESUMES the merged state instead of resetting while offsets
+    * advance, and a failure-replayed epoch is detected by id and
+    * re-emitted without re-merging (at-least-once → effectively-once).
+    * */
   def startBenfordSink(valueStream: DataFrame, valueCol: String,
       checkpointDir: String, sink: (DataFrame, Long) => Unit,
       scale: Int = 100): StreamingQuery = {
@@ -446,28 +501,30 @@ object StreamCuration {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("o",
           org.apache.spark.sql.types.LongType))))
-    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      empty.localCheckpoint(true))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
     valueStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId))
+            sink(graft.ops.Quality.benfordFromDigits(state.get), epochId)
+        } else if (!batch.isEmpty) {
           val c = floor(col(valueCol).cast("double") * lit(scale) +
             lit(0.5)).cast("long")
           val part = batch.select(when(c > 0L,
               substring(c.cast("string"), 1, 1).cast("long")).as("d"))
             .groupBy(col("d")).agg(count(lit(1)).as("dd"))
+          val st = state.get
           // full_outer on a NULLABLE key: the skipped bucket (d NULL)
           // must MERGE, not multiply — join on null-safe equality
-          val next = state.get().join(part,
-              state.get()("d") <=> part("d"), "full_outer")
-            .select(coalesce(state.get()("d"), part("d")).as("d"),
+          val next = st.join(part, st("d") <=> part("d"), "full_outer")
+            .select(coalesce(st("d"), part("d")).as("d"),
               (coalesce(col("o"), lit(0L)) + coalesce(col("dd"), lit(0L)))
                 .as("o"))
-            .localCheckpoint(true)
-          state.set(next)
-          sink(graft.ops.Quality.benfordFromDigits(next), epochId)
+          sink(graft.ops.Quality.benfordFromDigits(
+            state.commit(next, epochId)), epochId)
         }
       }
       .start()

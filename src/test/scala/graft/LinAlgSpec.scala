@@ -90,4 +90,15 @@ class LinAlgSpec extends SparkSpec {
       col("e")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(p2 == p)
   }
+  test("pcaPowerProject: a RAGGED corpus fails loudly (whole-corpus " +
+    "min/max dim probe), not with silent NULL dots") {
+    val ragged = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f, 5.0f)))
+      .toDF("vec_id", "e")
+    val ex = intercept[IllegalArgumentException] {
+      LinAlg.pcaPowerProject(ragged, col("vec_id"), col("e"))
+    }
+    assert(ex.getMessage.contains("ragged"), ex.getMessage)
+  }
+
 }

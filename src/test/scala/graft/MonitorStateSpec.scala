@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The durable-monitor-state contract (ADVICE r10): the cumulative
+  * foreachBatch sinks must survive a query RESTART (offsets resume →
+  * state must resume too, not reset) and absorb an at-least-once epoch
+  * REPLAY (merge exactly once). */
+class MonitorStateSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("MonitorState: commit/reload round-trip, replay guard, pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("monstate").toString
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+    val st = new graft.stream.MonitorState(spark, dir, empty)
+    assert(!st.alreadyMerged(0L) && st.get.count() == 0L)
+    import spark.implicits._
+    st.commit(Seq((1L, 2L)).toDF("k", "c"), 0L)
+    st.commit(Seq((1L, 5L), (2L, 1L)).toDF("k", "c"), 1L)
+    st.commit(Seq((1L, 6L), (2L, 2L)).toDF("k", "c"), 2L)
+    assert(st.alreadyMerged(2L) && st.isLast(2L) && !st.alreadyMerged(3L))
+    // double-merge is structurally impossible
+    intercept[IllegalArgumentException] {
+      st.commit(Seq((9L, 9L)).toDF("k", "c"), 2L)
+    }
+    // a FRESH handle over the same dir resumes the last committed state
+    val st2 = new graft.stream.MonitorState(spark, dir, empty)
+    assert(st2.alreadyMerged(2L) && st2.isLast(2L))
+    assert(st2.get.orderBy("k").collect().map(_.toString).toSeq ==
+      Seq("[1,6]", "[2,2]"))
+    // pruning keeps {prev, last} only
+    val kept = new java.io.File(dir).list().filter(_.startsWith("e="))
+    assert(kept.sorted.toSeq == Seq("e=1", "e=2"), kept.mkString(","))
+  }
+
+  test("startIsotonicSink: restart with the same checkpoint RESUMES the " +
+    "merged state — final readout ≡ batch over ALL arrived rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all: Seq[(Double, Boolean)] =
+      Seq.fill(1)((0.1, true)) ++ Seq.fill(4)((0.1, false)) ++
+        Seq.fill(3)((0.35, true)) ++ Seq.fill(2)((0.35, false)) ++
+        Seq.fill(2)((0.6, true)) ++ Seq.fill(3)((0.6, false)) ++
+        Seq.fill(4)((0.85, true)) ++ Seq.fill(1)((0.85, false))
+    val ckpt = java.nio.file.Files.createTempDirectory("iso-restart")
+      .toString
+    val out = scala.collection.mutable.Map[Long, Seq[String]]()
+    def sinkFn(df: org.apache.spark.sql.DataFrame, epoch: Long): Unit =
+      out.synchronized {
+        out(epoch) = df.orderBy(col("bin")).collect()
+          .map(_.toString).toSeq
+      }
+    // run 1: two batches, then stop — offsets AND state are committed
+    val ms1 = MemoryStream[(Double, Boolean)]
+    val q1 = graft.stream.StreamCuration.startIsotonicSink(
+      ms1.toDF().toDF("conf", "ok"), "conf", "ok", 4, ckpt, sinkFn)
+    try {
+      ms1.addData(all.take(7)); q1.processAllAvailable()
+      ms1.addData(all.slice(7, 14)); q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: a brand-new QUERY (fresh sink call → fresh in-memory
+    // reference — exactly the reset scenario under test) over the SAME
+    // source and the SAME checkpoint dir: offsets resume past run-1
+    // data, so only a durable state reload can see the first 14 rows
+    val q2 = graft.stream.StreamCuration.startIsotonicSink(
+      ms1.toDF().toDF("conf", "ok"), "conf", "ok", 4, ckpt, sinkFn)
+    val epochsBefore = out.synchronized(out.keys.toSet)
+    try { ms1.addData(all.drop(14)); q2.processAllAvailable() }
+    finally q2.stop()
+    val finalEpoch = out.synchronized(
+      (out.keys.toSet -- epochsBefore)).max
+    val got = out.synchronized(out(finalEpoch))
+    val want = ops.Quality.isotonicCalibration(
+      spark.createDataFrame(all).toDF("conf", "ok"),
+      col("conf"), col("ok"), 4)
+      .orderBy(col("bin")).collect().map(_.toString).toSeq
+    assert(got == want, s"restart lost state:\n$got\nvs\n$want")
+  }
+
+  test("startBenfordSink: replayed epoch is merged exactly once " +
+    "(at-least-once foreachBatch → effectively-once state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vals = Seq(1.23, 1.9, 2.5, 3.1, 9.9, 1.1, 4.2, 8.8)
+    val ckpt = java.nio.file.Files.createTempDirectory("benford-replay")
+      .toString
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val ms = MemoryStream[Double]
+    val q = graft.stream.StreamCuration.startBenfordSink(
+      ms.toDF().toDF("v"), "v", ckpt,
+      (df, epoch) => out.synchronized {
+        out += ((epoch,
+          df.orderBy(col("digit")).collect().map(_.toString).mkString("|")))
+      })
+    try { ms.addData(vals); q.processAllAvailable() }
+    finally q.stop()
+    val afterFirst = out.synchronized(out.toVector)
+    assert(afterFirst.nonEmpty)
+    // simulate the at-least-once replay of the LAST epoch directly
+    // against the durable state: a fresh handle over the same dir must
+    // refuse the merge and the re-emitted readout must be unchanged
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o",
+          org.apache.spark.sql.types.LongType))))
+    val st = new graft.stream.MonitorState(spark,
+      ckpt + "/graft-monitor-state", empty)
+    val lastEpoch = afterFirst.map(_._1).max
+    assert(st.alreadyMerged(lastEpoch),
+      "replayed epoch must be recognized as merged")
+    val reEmit = ops.Quality.benfordFromDigits(st.get)
+      .orderBy(col("digit")).collect().map(_.toString).mkString("|")
+    assert(reEmit == afterFirst.last._2,
+      "re-emitted readout must equal the original epoch's")
+    // and the state total equals the arrived row count: merged ONCE
+    val totalObs = st.get.agg(sum(col("o"))).collect()(0).getLong(0)
+    assert(totalObs == vals.size.toLong,
+      s"state double-merged: $totalObs != ${vals.size}")
+  }
+}

@@ -1743,4 +1743,57 @@ class QualitySpec extends SparkSpec {
     // and the curve itself pooled the .6/.4 violation to .5/.5
     assert(want.exists(_.contains("0.5")))
   }
+  test("markovAttribution: journeys with NO intermediate states and no " +
+    "pinned removable set fail with a real message, not a reduce crash; " +
+    "unabsorbed residual is emitted per variant") {
+    import graft.ops.Analytics
+    val direct = Seq(
+      (1L, 1L, 1L, "purchase"), (2L, 1L, 2L, "purchase"))
+      .toDF("u", "t", "i", "e")
+    val ex = intercept[IllegalArgumentException] {
+      Analytics.markovAttribution(direct, col("u"), col("t"), col("i"),
+        col("e"), "purchase", removable0 = None)
+    }
+    assert(ex.getMessage.contains("no removable"), ex.getMessage)
+    // the hand fixture: after 16 transitions every path is absorbed,
+    // so the truncation readout must be exactly 0 for each variant
+    val ev = Seq(
+      (1L, 1L, 1L, "view"), (1L, 2L, 2L, "purchase"),
+      (2L, 1L, 3L, "view"), (2L, 2L, 4L, "click"), (2L, 3L, 5L, "purchase"),
+      (3L, 1L, 6L, "click"),
+      (4L, 1L, 7L, "view")).toDF("u", "t", "i", "e")
+    val r = Analytics.markovAttribution(ev, col("u"), col("t"), col("i"),
+      col("e"), "purchase", removable0 = Some(Seq("click", "view")))
+    assert(r.columns.last == "unabsorbed")
+    val ua = r.collect().map(_.getDouble(5))
+    assert(ua.forall(v => v >= 0.0 && v < 1e-4), ua.mkString(","))
+  }
+
+  test("splitConformal: a group whose md5 split leaves a role EMPTY is " +
+    "still emitted — NULL q-hat / coverage-1 convention, never dropped") {
+    // pick unit ids by their actual md5 role so group "starv" has NO
+    // calibration (role 1) rows but several train + test rows
+    val roles = (1L to 400L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      i -> java.lang.Long.parseLong(h, 16) % 3L
+    }
+    val noCal = roles.filter(_._2 != 1L).map(_._1).take(20)
+    assert(noCal.exists(i => roles.toMap.apply(i) == 0L) &&
+      noCal.exists(i => roles.toMap.apply(i) == 2L))
+    val df = noCal.map(i => ("starv", i.toDouble, i))
+      .toDF("grp", "y", "id")
+      .unionByName((1L to 60L).map(i => ("ok", (i % 7).toDouble, i + 1000L))
+        .toDF("grp", "y", "id"))
+    val out = Quality.splitConformal(df, col("grp"), col("y"), col("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.contains("starv"), "calibration-starved group dropped")
+    val s = out("starv")
+    assert(s.getLong(2) == 0L, "n_cal must be 0")
+    assert(s.isNullAt(4), "q_hat must be NULL")
+    assert(s.getDouble(5) == 1.0, "coverage-1 convention")
+    assert(out.contains("ok") && !out("ok").isNullAt(4))
+  }
+
 }
