@@ -3957,6 +3957,32 @@ object SparkEntry {
     ops.Analytics.yuenTest(units, isA, col("y"))
   }
 
+  /** dHash perceptual near-duplicates over the media payload
+    * ([[ops.Multimodal.dhashNearDup]], Krawetz's difference hash +
+    * 16-bit LSH banding) — the media twin of q23's text SimHash:
+    * candidates ONLY through the band equi-join, exact 64-bit Hamming
+    * verified over candidates. The decode is the md5 grid stub
+    * (engine-replayable); a real decoder swaps one expression. */
+  private def qDhashNearDup(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.dhashNearDup(t(s, dir, "documents"), col("doc_id"),
+      col("text"), maxHamming = 6)
+
+  /** Media metadata quality gates ([[ops.Multimodal.mediaQualityGates]])
+    * — the Gopher rules of images: min dimensions, aspect-ratio band,
+    * bytes-per-pixel sanity over the typed metadata, zero decode. */
+  private def qMediaGates(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.mediaQualityGates(
+      ops.Multimodal.asMediaTable(t(s, dir, "documents")))
+
+  /** SemDeDup on the MEDIA modality ([[ops.Multimodal.mediaSemDedup]],
+    * Abbas et al.) — q32's quantized-bucket + cosine-verify regime on
+    * decoded-media feature vectors instead of text embeddings; returns
+    * the surviving corpus (smaller-id-wins inside each near-dup
+    * neighborhood). */
+  private def qMediaSemDedup(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.mediaSemDedup(t(s, dir, "documents"), col("doc_id"),
+      col("text"), threshold = 0.99)
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4855,7 +4881,10 @@ object SparkEntry {
     "q319_markov_attrib" -> (qMarkovAttribution _),
     "q320_energy_dist" -> (qEnergyDistance _),
     "q321_median_ci" -> (qMedianCI _),
-    "q322_yuen" -> (qYuen _))
+    "q322_yuen" -> (qYuen _),
+    "q323_dhash_neardup" -> (qDhashNearDup _),
+    "q324_media_gates" -> (qMediaGates _),
+    "q325_media_semdedup" -> (qMediaSemDedup _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11064,5 +11093,59 @@ object SparkEntry {
         "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM u) " +
         "SELECT CAST(30 AS BIGINT) AS tau, n_a, n_b, rmst_treat, rmst_ctrl, " +
         "round(rmst_treat - rmst_ctrl, 6) AS rmst_diff " +
-        "FROM rc CROSS JOIN rra CROSS JOIN rrb"))
+        "FROM rc CROSS JOIN rra CROSS JOIN rrb"),
+    "q323_dhash_neardup" ->
+      // the md5 grid stub replayed cell-by-cell: 8x9 grid, bit b =
+      // cell(r, c) > cell(r, c+1); four 16-bit LSH bands; exact
+      // Hamming over band-matched candidates only
+      ("WITH dd AS (SELECT doc_id, text, greatest(1, length(text) // 72) AS L FROM documents), " +
+        "bx AS MATERIALIZED (SELECT doc_id, b, " +
+        "(CAST(('0x' || substr(md5(substr(text, ((b // 8) * 9 + (b % 8)) * L + 1, L)), 1, 8)) AS BIGINT) % 256) > " +
+        "(CAST(('0x' || substr(md5(substr(text, ((b // 8) * 9 + (b % 8) + 1) * L + 1, L)), 1, 8)) AS BIGINT) % 256) AS bit " +
+        "FROM dd CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)), " +
+        "bd AS MATERIALIZED (SELECT doc_id, b // 16 AS band, " +
+        "CAST(sum(CASE WHEN bit THEN CAST(power(2, b % 16) AS BIGINT) ELSE 0 END) AS BIGINT) AS v " +
+        "FROM bx GROUP BY 1, 2), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bd a JOIN bd b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id), " +
+        "hm AS (SELECT cand.doc_a, cand.doc_b, " +
+        "CAST(sum(CASE WHEN xa.bit <> xb.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming " +
+        "FROM cand JOIN bx xa ON xa.doc_id = cand.doc_a " +
+        "JOIN bx xb ON xb.doc_id = cand.doc_b AND xb.b = xa.b GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6"),
+    "q324_media_gates" ->
+      // pure metadata arithmetic over the stub geometry
+      // (width = n_bytes mod 640, height = n_bytes mod 480)
+      ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents), " +
+        "g AS (SELECT doc_id, n_bytes, n_bytes % 640 AS width, n_bytes % 480 AS height FROM m), " +
+        "x AS (SELECT doc_id, n_bytes, width, height, " +
+        "CASE WHEN height > 0 THEN round(CAST(width AS DOUBLE) / CAST(height AS DOUBLE), 4) END AS aspect, " +
+        "CASE WHEN width > 0 AND height > 0 THEN round(CAST(n_bytes AS DOUBLE) / CAST(width * height AS DOUBLE), 4) END AS bytes_per_pixel " +
+        "FROM g) " +
+        "SELECT doc_id, n_bytes, width, height, aspect, bytes_per_pixel, " +
+        "width >= 16 AND height >= 16 AS f_dims, " +
+        "coalesce(aspect >= CAST(0.25 AS DOUBLE) AND aspect <= CAST(4.0 AS DOUBLE), false) AS f_aspect, " +
+        "coalesce(bytes_per_pixel >= CAST(0.05 AS DOUBLE) AND bytes_per_pixel <= CAST(10.0 AS DOUBLE), false) AS f_density, " +
+        "(width >= 16 AND height >= 16) AND " +
+        "coalesce(aspect >= CAST(0.25 AS DOUBLE) AND aspect <= CAST(4.0 AS DOUBLE), false) AND " +
+        "coalesce(bytes_per_pixel >= CAST(0.05 AS DOUBLE) AND bytes_per_pixel <= CAST(10.0 AS DOUBLE), false) AS admit " +
+        "FROM x"),
+    "q325_media_semdedup" ->
+      // the q32 regime on the md5-decoded media features: 4-bit sign
+      // bucket at 0.5, bucket-local cosine >= 0.99 pairs, smaller-id
+      // survivor policy
+      ("WITH f AS MATERIALIZED (SELECT doc_id, " +
+        "list_transform(generate_series(0, 7), j -> " +
+        "CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || text), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0) AS e " +
+        "FROM documents), " +
+        "bk AS MATERIALIZED (SELECT doc_id, e, " +
+        "CAST(CASE WHEN e[1] >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END + " +
+        "CASE WHEN e[2] >= CAST(0.5 AS DOUBLE) THEN 2 ELSE 0 END + " +
+        "CASE WHEN e[3] >= CAST(0.5 AS DOUBLE) THEN 4 ELSE 0 END + " +
+        "CASE WHEN e[4] >= CAST(0.5 AS DOUBLE) THEN 8 ELSE 0 END AS BIGINT) AS bucket FROM f), " +
+        "p AS (SELECT DISTINCT b.doc_id AS id_b FROM bk a JOIN bk b " +
+        "ON a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+        "WHERE round(list_dot_product(a.e, b.e) / " +
+        "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) >= CAST(0.99 AS DOUBLE)) " +
+        "SELECT doc_id, bucket FROM bk WHERE doc_id NOT IN (SELECT id_b FROM p)"))
 }

@@ -213,20 +213,25 @@ object Multimodal {
       ceil(octet_length(col("text")) / lit(chunkBytes.toDouble)).cast("long")
         .as("n_chunks"))
 
-  /** The md5-derived "decoded pixel" at grid cell `idx` of a payload —
-    * the cell-level twin of [[fakeDecodeFeatures]] (same md5(i + "|" +
-    * payload) vocabulary, so any engine with md5 replays the grid). A
-    * real decoder replaces this one expression with a resampled
-    * grayscale read of the same cell; every consumer below is
-    * unchanged. */
-  private def gridCell(idx: Column, payload: Column): Column =
-    pmod(conv(substring(md5(concat(idx.cast("string"), lit("|"), payload)),
+  /** The md5-derived "decoded pixel" at grid cell `idx` of a payload:
+    * the cell reads a CONTIGUOUS payload slice (length `sliceLen`,
+    * offset idx·sliceLen) and buckets its md5 — LOCALITY-preserving
+    * like a real downsampled grayscale read (two payloads sharing a
+    * region share those cells; md5-of-the-whole would avalanche every
+    * cell on a one-byte edit). A real decoder replaces this one
+    * expression with a resampled pixel read of the same cell; every
+    * consumer below is unchanged. Engine-replayable: md5 + substring
+    * only. */
+  private def gridCell(idx: Column, payload: Column,
+      sliceLen: Column): Column =
+    pmod(conv(substring(md5(payload.substr(idx * sliceLen + 1, sliceLen)),
       1, 8), 16, 10).cast("long"), lit(256L))
 
   /** dHash perceptual fingerprint BITS (Krawetz's difference hash — the
     * standard gradient perceptual hash): decode to an 8-row × 9-column
-    * grid, bit b (row r = b div 8, col c = b mod 8) = cell(r,c) >
-    * cell(r,c+1). Gradient direction survives brightness/contrast
+    * grid of locality-preserving cells ([[gridCell]] — contiguous
+    * payload slices), bit b (row r = b div 8, col c = b mod 8) =
+    * cell(r,c) > cell(r,c+1). Gradient direction survives brightness/contrast
     * shifts that break byte-exact hashing — the media twin of q23's
     * text SimHash. One codegen pass: 64 exploded rows per doc, both
     * cells evaluated inline (the decode boundary is [[gridCell]]).
@@ -234,12 +239,15 @@ object Multimodal {
   def dhashBits(media: DataFrame, id: Column, payload: Column): DataFrame =
     graft.ops.Fanout.fanout(media)
       .select(id.as("doc_id"), payload.as("__p"),
+        // 72 cells tile the payload: slice length = max(1, len/72)
+        greatest(lit(1), floor(length(payload) / lit(72)).cast("int"))
+          .as("__l"),
         explode(sequence(lit(0), lit(63))).as("b"))
       .select(col("doc_id"), col("b"),
         (gridCell(floor(col("b") / lit(8)).cast("int") * 9 +
-            pmod(col("b"), lit(8)), col("__p")) >
+            pmod(col("b"), lit(8)), col("__p"), col("__l")) >
           gridCell(floor(col("b") / lit(8)).cast("int") * 9 +
-            pmod(col("b"), lit(8)) + 1, col("__p"))).as("bit"))
+            pmod(col("b"), lit(8)) + 1, col("__p"), col("__l"))).as("bit"))
 
   /** Perceptual-hash near-duplicates by LSH BANDING over the 64 dHash
     * bits: the hash splits into four 16-bit bands; a pair is a
@@ -323,13 +331,16 @@ object Multimodal {
 
   /** The [[fakeDecodeFeatures]] vector as ONE in-plan array expression
     * (no Dataset hop): feature j = md5(j + "|" + payload) bucket / 1000
-    * — bit-identical to the mapPartitions stub, but consumable by the
-    * embedding operators (SemDeDup, ANN) directly inside codegen. */
+    * — the same md5 vocabulary as the mapPartitions stub, but
+    * consumable by the embedding operators (SemDeDup, ANN) directly
+    * inside codegen. Elements are DOUBLE (k/1000 at full precision —
+    * the exact value any engine computes), not the stub's display
+    * floats. */
   def mediaFeatureArray(payload: Column, dim: Int = 8): Column =
     transform(sequence(lit(0), lit(dim - 1)), j =>
-      (pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), payload)),
+      pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), payload)),
         1, 8), 16, 10).cast("long"), lit(1000L)).cast("double") /
-        lit(1000.0)).cast("float"))
+        lit(1000.0))
 
   /** SemDeDup over the MEDIA modality (Abbas et al., the q32 regime on
     * decoded-media features instead of text embeddings): feature

@@ -114,4 +114,67 @@ class MultimodalSpec extends SparkSpec {
       assert(got.exists(_.getDouble(5) == 1.0),
         "exact payload dups must score 1.0")
   }
+  test("dhashNearDup: identical payloads pair at hamming 0; a local " +
+    "suffix edit stays near; candidates only via band match") {
+    import graft.ops.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                             // exact dup -> hamming 0
+      (3L, base.dropRight(30) + "EDITED TAIL SUFFIX CHANGED HERE"),
+      (4L, scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).alphanumeric.take(base.length).mkString))
+      .toDF("doc_id", "text")
+    val r = Multimodal.dhashNearDup(docs, col("doc_id"), col("text"),
+        maxHamming = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(r.get((1L, 2L)).contains(0L), s"exact dup must hash equal: $r")
+    // the suffix edit touches only trailing cells: few bits flip
+    assert(r.contains((1L, 3L)) && r((1L, 3L)) <= 6L, s"local edit: $r")
+    // the random doc shares no band with base (overwhelmingly) — and if
+    // it ever did, its hamming would exceed the threshold
+    assert(!r.keys.exists(k => k._1 == 4L || k._2 == 4L))
+    // bits are a pure function: repartition changes nothing
+    val r2 = Multimodal.dhashNearDup(docs.repartition(5), col("doc_id"),
+        col("text"), maxHamming = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(r2 == r)
+  }
+
+  test("mediaQualityGates: geometry flags by hand — zero dimension, " +
+    "extreme aspect, and healthy payloads") {
+    import graft.ops.Multimodal
+    // n_bytes = 640k -> width 0 (fails dims); pick sizes by arithmetic
+    def mk(n: Int) = "x" * n
+    val docs = Seq(
+      (1L, mk(640)),   // width = 0 -> f_dims false, admit false
+      (2L, mk(500)),   // w=500 h=20 -> aspect 25 -> f_aspect false
+      (3L, mk(341)))   // w=341 h=341 -> aspect 1, bpp ~0.0029 -> density fails
+      .toDF("doc_id", "text")
+    val r = Multimodal.mediaQualityGates(Multimodal.asMediaTable(docs))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r(1L).getBoolean(6) && !r(1L).getBoolean(9)) // f_dims, admit
+    assert(r(2L).getBoolean(6) && !r(2L).getBoolean(7))  // dims ok, aspect out
+    assert(r(3L).getBoolean(6) && r(3L).getBoolean(7) &&
+      !r(3L).getBoolean(8)) // bpp = 341/341^2 < 0.05
+    // every flag NULL-safe: no NULL admit anywhere
+    assert(r.values.forall(!_.isNullAt(9)))
+  }
+
+  test("mediaSemDedup: duplicate payloads collapse to the smaller id; " +
+    "survivors carry their bucket") {
+    import graft.ops.Multimodal
+    val base = "some representative media payload content " * 10
+    val other = "completely different other content entirely " * 10
+    val docs = Seq((5L, base), (2L, base), (9L, other))
+      .toDF("doc_id", "text")
+    val kept = Multimodal.mediaSemDedup(docs, col("doc_id"), col("text"),
+      threshold = 0.999).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.contains(2L) && !kept.contains(5L),
+      s"smaller id must win: $kept")
+    assert(kept.contains(9L))
+  }
+
 }
