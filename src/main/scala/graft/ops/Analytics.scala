@@ -1920,6 +1920,15 @@ object Analytics {
     val cnt = materialize(all.groupBy(col("grp"), col("x"))
       .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
         sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca")))
+    cvmFromGrid(cnt)
+  }
+
+  /** [[cvmDrift]] from its value-grid sufficient statistic — the
+    * (grp, x, ce, ca) per-value class counts. The counts are purely
+    * ADDITIVE, which is exactly what the streaming monitor sink needs:
+    * maintain the grid incrementally, re-read the statistic per epoch
+    * ([[graft.stream.StreamCuration.startCvmSink]]). */
+  def cvmFromGrid(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy(col("grp"))
       .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"))
     val w = Window.partitionBy(col("grp")).orderBy(col("x"))

@@ -530,6 +530,69 @@ object StreamCuration {
       .start()
   }
 
+  /** q283's Cramér–von Mises two-sample drift maintained at INGEST —
+    * the 23rd sink: the INTEGRATED-CDF distribution monitor run live
+    * over a stream of (group, value, half) observations (half = "e"
+    * expected / "a" actual — both arms may stream; a fixed reference
+    * is just an "e"-only first batch). State is the per-(group, value)
+    * class-count grid — exactly
+    * [[graft.ops.Analytics.cvmFromGrid]]'s input — and counts are
+    * purely additive, so each epoch's (t, reject) is bit-identical to
+    * batch `cvmDrift` over the union of all arrived rows under any
+    * batch split (spec-pinned). State is value-grid-bounded (the q137
+    * bounded-distinct discipline) regardless of stream length.
+    * State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): a
+    * restarted query RESUMES the merged state instead of resetting
+    * while offsets advance, and a failure-replayed epoch is detected
+    * by id and re-emitted without re-merging (at-least-once →
+    * effectively-once). */
+  def startCvmSink(obsStream: DataFrame, grpCol: String, xCol: String,
+      halfCol: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = obsStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ca",
+          org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    obsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId))
+            sink(graft.ops.Analytics.cvmFromGrid(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val part = batch.select(col(grpCol).cast("string").as("grp"),
+              col(xCol).cast("double").as("x"),
+              col(halfCol).cast("string").as("half"))
+            .groupBy(col("grp"), col("x"))
+            .agg(sum(when(col("half") === "e", 1L).otherwise(0L))
+                .as("dce"),
+              sum(when(col("half") === "a", 1L).otherwise(0L)).as("dca"))
+          val next = state.get.join(part, Seq("grp", "x"), "full_outer")
+            .select(col("grp"), col("x"),
+              (coalesce(col("ce"), lit(0L)) + coalesce(col("dce"), lit(0L)))
+                .as("ce"),
+              (coalesce(col("ca"), lit(0L)) + coalesce(col("dca"), lit(0L)))
+                .as("ca"))
+          sink(graft.ops.Analytics.cvmFromGrid(
+            state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q170's fill-in-the-middle construction at INGEST time: like the
     * span-corruption sink, the construction is a pure per-document
     * md5-derived function — union of batch outputs ≡ batch construction

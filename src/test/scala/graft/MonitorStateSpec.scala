@@ -126,4 +126,41 @@ class MonitorStateSpec extends SparkSpec {
     assert(totalObs == vals.size.toLong,
       s"state double-merged: $totalObs != ${vals.size}")
   }
+  test("startCvmSink (23rd sink): each emission ≡ batch cvmDrift over " +
+    "all arrived rows under shuffled batch splits; restart resumes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // expected arm ~ uniform values, actual arm shifted: reject fires
+    val eRows = (1 to 40).map(i => ("g", (i % 10).toDouble, "e"))
+    val aRows = (1 to 40).map(i => ("g", (i % 10).toDouble + 4.0, "a"))
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(11)).shuffle(eRows ++ aRows)
+    def run(batches: Seq[Seq[(String, Double, String)]],
+        ckpt: String): Seq[String] = {
+      val ms = MemoryStream[(String, Double, String)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startCvmSink(
+        ms.toDF().toDF("grp", "x", "half"), "grp", "x", "half", ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("grp")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = graft.ops.Analytics.cvmDrift(
+      eRows.toDF("grp", "x", "half"), aRows.toDF("grp", "x", "half"),
+      col("grp"), col("x"))
+      .orderBy(col("grp")).collect().map(_.toString).toSeq
+    val ck1 = java.nio.file.Files.createTempDirectory("cvm1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("cvm2").toString
+    val a = run(Seq(all.take(30), all.slice(30, 55), all.drop(55)), ck1)
+    val b = run(Seq(all.reverse.take(44), all.reverse.drop(44)), ck2)
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // the shifted arm must actually trip the 5% criterion
+    assert(want.head.contains("true"))
+  }
+
 }
