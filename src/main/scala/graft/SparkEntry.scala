@@ -3983,6 +3983,37 @@ object SparkEntry {
     ops.Multimodal.mediaSemDedup(t(s, dir, "documents"), col("doc_id"),
       col("text"), threshold = 0.99)
 
+  /** A-ES weighted sampling without replacement per source
+    * ([[ops.Sampling.aesSample]], Efraimidis & Spirtakis 2006) at
+    * k=10 with weight = n_chars: the exact-k counterpart of q57's
+    * Bernoulli weighted sample — inclusion probability tracks length,
+    * the draw a pure md5 function of the ids. */
+  private def qAesSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.aesSample(t(s, dir, "documents"), col("source"),
+      col("doc_id"), col("n_chars"), k = 10)
+
+  /** Off-policy value of the uniform policy from logged events
+    * ([[ops.Quality.ipsOffPolicy]]: Horvitz–Thompson IPS, clipped
+    * IPS, SNIPS, ESS) — context = the md5 user quartile, action =
+    * event_type, reward = value. */
+  private def qIpsOffPolicy(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.ipsOffPolicy(t(s, dir, "events"),
+      pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(4L)),
+      col("event_type"), col("value"))
+
+  /** MAUVE divergence curve between the embedding label-parity arms
+    * ([[ops.Analytics.mauveCurve]], Pillutla et al. 2021) over the
+    * 4-bit sign-bucket quantization — the type-I/type-II frontier the
+    * single-number drift family (q83/q320) collapses. */
+  private def qMauve(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings")
+    val cell = (0 until 4).map(j =>
+      when(element_at(col("embedding"), j + 1) >= 0f, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    ops.Analytics.mauveCurve(v, col("label") % 2 === 0, cell)
+  }
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4128,8 +4159,17 @@ object SparkEntry {
     * embedding cosine (q32). */
   private def qSparseCosine(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // term keys are 60-bit md5 hashes of the grams (the minhash
+    // convention, same collision regime): every index shuffle — tf
+    // groupBy, df groupBy, the w join, the pair join — carries an
+    // 8-byte long instead of a ~30-byte gram string. The similarity
+    // is DEFINED over the hashed-term space (stated estimand; a
+    // collision conflates the same grams in both engines).
     val tf = ops.Fanout.fanout(docs).select(col("doc_id"),
-        graft.expr.TextStats.shingleGen(col("text"), 3).as("term"))
+        graft.expr.TextStats.shingleGen(col("text"), 3).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          .as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     ops.TextDedup.sparseCosinePairs(docs, col("doc_id"), col("text"),
       threshold = 0.3, tf0 = Some(tf))
@@ -4884,7 +4924,10 @@ object SparkEntry {
     "q322_yuen" -> (qYuen _),
     "q323_dhash_neardup" -> (qDhashNearDup _),
     "q324_media_gates" -> (qMediaGates _),
-    "q325_media_semdedup" -> (qMediaSemDedup _))
+    "q325_media_semdedup" -> (qMediaSemDedup _),
+    "q326_aes_sample" -> (qAesSample _),
+    "q327_ips_offpolicy" -> (qIpsOffPolicy _),
+    "q328_mauve" -> (qMauve _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9793,7 +9836,7 @@ object SparkEntry {
       // 3-gram tf-idf over the df-banded [2, 50] term space; snapped
       // dots/norms; 4-dp-rounded cosine thresholded at 0.3
       "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-        "sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g FROM toks, unnest(generate_series(1, len(t) - 2)) AS su(i)), " +
+        "sh AS (SELECT doc_id, CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) AS g FROM toks, unnest(generate_series(1, len(t) - 2)) AS su(i)), " +
         "tfx AS MATERIALIZED (SELECT doc_id, g, count(*) AS tf FROM sh GROUP BY 1, 2), " +
         "dfx AS (SELECT g, count(*) AS df FROM tfx GROUP BY 1), " +
         "ndx AS (SELECT count(DISTINCT doc_id) AS nd FROM tfx), " +
@@ -11147,5 +11190,59 @@ object SparkEntry {
         "ON a.bucket = b.bucket AND a.doc_id < b.doc_id " +
         "WHERE round(list_dot_product(a.e, b.e) / " +
         "nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0), 4) >= CAST(0.99 AS DOUBLE)) " +
-        "SELECT doc_id, bucket FROM bk WHERE doc_id NOT IN (SELECT id_b FROM p)"))
+        "SELECT doc_id, bucket FROM bk WHERE doc_id NOT IN (SELECT id_b FROM p)"),
+    "q326_aes_sample" ->
+      // the md5-uniform u = (h+1)/(2^32+1); rank key ln(u)/w snapped
+      // to 6 dp BEFORE the rank (id tie-break) so ordering never
+      // hinges on a final-ulp ln() disagreement
+      ("WITH b AS (SELECT source AS grp, doc_id AS id, CAST(n_chars AS DOUBLE) AS weight FROM documents WHERE CAST(n_chars AS DOUBLE) > 0), " +
+        "k AS (SELECT grp, id, weight, " +
+        "floor(ln((CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967297.0) / weight * 1000000 + 0.5) / 1000000 AS key FROM b), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY key DESC, id) AS rank FROM k) " +
+        "SELECT grp, id, weight, key, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10"),
+    "q327_ips_offpolicy" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // empirical behavior propensities within the md5 user quartile;
+      // uniform target; snapped weighted sums
+      "WITH b AS (SELECT CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS BIGINT) AS x, " +
+        "event_type AS a, CAST(value AS DOUBLE) AS r FROM events), " +
+        "nx AS (SELECT x, count(*) AS n_x FROM b GROUP BY 1), " +
+        "nxa AS (SELECT x, a, count(*) AS n_xa FROM b GROUP BY 1, 2), " +
+        "na AS (SELECT count(DISTINCT a) AS n_actions FROM b), " +
+        "wt AS (SELECT r, n_actions, CAST(n_x AS DOUBLE) / CAST(n_actions * n_xa AS DOUBLE) AS w " +
+        "FROM b JOIN nxa USING (x, a) JOIN nx USING (x) CROSS JOIN na), " +
+        s"sx AS (SELECT count(*) AS n, max(n_actions) AS n_actions, ${snap("w * r")} AS swr, " +
+        s"${snap("w")} AS sw, ${snap("w * w")} AS sww, ${snap("least(w, 10.0) * r")} AS scr FROM wt) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(n_actions AS BIGINT) AS n_actions, " +
+        "round(swr / CAST(n AS DOUBLE), 6) AS ips, round(swr / sw, 6) AS snips, " +
+        "round(scr / CAST(n AS DOUBLE), 6) AS ips_clip, round(sw * sw / sww, 6) AS ess FROM sx"
+    },
+    "q328_mauve" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // sign-bucket cells; exact shares; per-lambda snapped KLs; the
+      // trapezoid area over consecutive interior grid points
+      "WITH v AS (SELECT label % 2 = 0 AS isp, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+        "cx AS (SELECT isp, CAST(CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END + " +
+        "CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END AS BIGINT) AS cell FROM v), " +
+        "h AS MATERIALIZED (SELECT cell, CAST(sum(CASE WHEN isp THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN isp THEN 0 ELSE 1 END) AS BIGINT) AS nq FROM cx GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nq) AS BIGINT) AS tq FROM h), " +
+        "lam AS (SELECT CAST(i AS DOUBLE) / 10.0 AS lambda FROM (SELECT unnest(generate_series(1, 9)) AS i)), " +
+        "kx AS MATERIALIZED (SELECT lambda, " +
+        s"${snap("CASE WHEN np > 0 THEN (CAST(np AS DOUBLE) / CAST(tp AS DOUBLE)) * ln((CAST(np AS DOUBLE) / CAST(tp AS DOUBLE)) / (lambda * (CAST(np AS DOUBLE) / CAST(tp AS DOUBLE)) + (CAST(1 AS DOUBLE) - lambda) * (CAST(nq AS DOUBLE) / CAST(tq AS DOUBLE)))) ELSE CAST(0 AS DOUBLE) END")} AS klp, " +
+        s"${snap("CASE WHEN nq > 0 THEN (CAST(nq AS DOUBLE) / CAST(tq AS DOUBLE)) * ln((CAST(nq AS DOUBLE) / CAST(tq AS DOUBLE)) / (lambda * (CAST(np AS DOUBLE) / CAST(tp AS DOUBLE)) + (CAST(1 AS DOUBLE) - lambda) * (CAST(nq AS DOUBLE) / CAST(tq AS DOUBLE)))) ELSE CAST(0 AS DOUBLE) END")} AS klq " +
+        "FROM h CROSS JOIN t CROSS JOIN lam GROUP BY 1), " +
+        "ky AS MATERIALIZED (SELECT lambda, round(klp, 6) AS kl_p_r, round(klq, 6) AS kl_q_r, " +
+        "round(exp(-5.0 * klq), 6) AS x, round(exp(-5.0 * klp), 6) AS y FROM kx), " +
+        "pt AS (SELECT 10 - CAST(floor(lambda * 10 + 0.5) AS BIGINT) AS i, x, y FROM ky " +
+        "UNION ALL SELECT 0, CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) " +
+        "UNION ALL SELECT 10, CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)), " +
+        "pa AS (SELECT i, x AS x0, y AS y0 FROM pt), " +
+        "pb AS (SELECT i - 1 AS i, x AS x1, y AS y1 FROM pt), " +
+        s"ar AS (SELECT coalesce(round(${snap("(x1 - x0) * (y0 + y1) / 2.0")}, 6), CAST(0 AS DOUBLE)) AS mauve " +
+        "FROM pa JOIN pb USING (i)) " +
+        "SELECT lambda, kl_p_r, kl_q_r, x, y, mauve FROM ky CROSS JOIN ar"
+    })
 }

@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Snap {
 
-  /** Σ terms, each snapped half-up to 1/grid resolution. */
+  /** Σ terms, each snapped half-up to 1/grid resolution.
+    *
+    * The per-row snap routes double → LONG → decimal(38,0): within the
+    * documented |term|·grid < 2^63 domain the long cast is exact (same
+    * value the direct double→decimal cast produces), and a long-backed
+    * Decimal keeps Spark's fast non-BigDecimal accumulation path in the
+    * sum buffer — measurably cheaper on million-row pair aggregations
+    * (q282). The SUM itself stays decimal(38,0): totals may exceed
+    * 2^63 and must not wrap. */
   def snappedSum(term: Column, grid: Double): Column =
-    sum(floor(term * lit(grid) + lit(0.5)).cast("decimal(38,0)"))
+    sum(floor(term * lit(grid) + lit(0.5)).cast("long")
+        .cast("decimal(38,0)"))
       .cast("double") / lit(grid)
 }

@@ -2920,5 +2920,77 @@ object Analytics {
       round(when(ok, pv), 6).as("p_value"),
       when(ok, round(pv, 6) < lit(0.05)).as("reject"))
   }
+  /** MAUVE-style divergence curve between two corpora over a shared
+    * quantization (Pillutla et al. 2021, "MAUVE: Measuring the gap
+    * between neural text and human text", simplified to a fixed cell
+    * quantization instead of a fitted k-means — the cells are the
+    * caller's choice, e.g. embedding sign-buckets): for each mixture
+    * weight λ on the interior grid i/(grid+1), R_λ = λP + (1−λ)Q and
+    * the curve point is (exp(−c·KL(Q‖R_λ)), exp(−c·KL(P‖R_λ))) — the
+    * frontier traces HOW the two distributions differ (type-I vs
+    * type-II mass), where a single KL collapses it to one number. The
+    * summary `mauve` column is the paper's AUC: the trapezoid area
+    * under the interior curve COMPLETED with the corner points (0, 1)
+    * and (1, 0) (the official implementation's convention) — identical
+    * corpora score exactly 1, disjoint-support corpora fall toward 0.
+    *
+    * Exactness: P, Q are exact integer shares; each KL is a 1e9-snapped
+    * Σ p·ln(p/r) (R_λ > 0 wherever the numerator is on the OPEN grid);
+    * curve coordinates round at 6 dp; the area pairs consecutive grid
+    * points by index join (no window), trapezoid terms snapped.
+    *
+    * Scale shape: one cell histogram per corpus (map-side combined,
+    * cell-bounded), the λ grid is a `grid`-row broadcast, everything
+    * after is (cells × grid)-sized. Returns one row per λ:
+    * (lambda, kl_p_r, kl_q_r, x, y, mauve). */
+  def mauveCurve(cells: DataFrame, isP: Column, cell: Column,
+      c: Double = 5.0, grid: Int = 9): DataFrame = {
+    require(c > 0.0 && grid >= 2, s"mauveCurve: c=$c grid=$grid")
+    import graft.expr.Snap
+    val spark0 = cells.sparkSession
+    val hist = cells.select(cell.as("cell"),
+        when(isP, 1L).otherwise(0L).as("p"))
+      .groupBy(col("cell"))
+      .agg(sum(col("p")).as("np"), sum(lit(1L) - col("p")).as("nq"))
+    val tot = hist.agg(sum(col("np")).as("tp"), sum(col("nq")).as("tq"))
+    val lam = spark0.range(1, grid + 1).select(
+      (col("id").cast("double") / lit(grid + 1.0)).as("lambda"))
+    val pr = col("np").cast("double") / col("tp").cast("double")
+    val qr = col("nq").cast("double") / col("tq").cast("double")
+    val r = col("lambda") * pr + (lit(1.0) - col("lambda")) * qr
+    val kls = hist.crossJoin(broadcast(tot)).crossJoin(broadcast(lam))
+      .groupBy(col("lambda"))
+      .agg(
+        Snap.snappedSum(when(col("np") > 0L, pr * log(pr / r))
+          .otherwise(lit(0.0)), 1e9).as("klp"),
+        Snap.snappedSum(when(col("nq") > 0L, qr * log(qr / r))
+          .otherwise(lit(0.0)), 1e9).as("klq"))
+      .select(col("lambda"), round(col("klp"), 6).as("kl_p_r"),
+        round(col("klq"), 6).as("kl_q_r"),
+        round(exp(lit(-c) * col("klq")), 6).as("x"),
+        round(exp(lit(-c) * col("klp")), 6).as("y"))
+    // trapezoid area over x-ascending points: x = exp(−c·KL(Q‖R_λ))
+    // is MONOTONE DECREASING in λ, so the x order is the λ-descending
+    // order and the position index is computable from λ directly —
+    // an index join, no window. Corners (0,1) and (1,0) complete the
+    // curve (the paper's convention).
+    val interior = kls.select(
+      (lit(grid + 1L) - floor(col("lambda") * lit(grid + 1.0) + lit(0.5))
+        .cast("long")).as("i"), col("x"), col("y"))
+    val corners = spark0.range(1).select(lit(0L).as("i"),
+        lit(0.0).as("x"), lit(1.0).as("y"))
+      .unionByName(spark0.range(1).select(lit(grid + 1L).as("i"),
+        lit(1.0).as("x"), lit(0.0).as("y")))
+    val pts = interior.unionByName(corners)
+    val a = pts.select(col("i"), col("x").as("x0"), col("y").as("y0"))
+    val b = pts.select((col("i") - lit(1L)).as("i"), col("x").as("x1"),
+      col("y").as("y1"))
+    val area = a.join(b, "i")
+      .agg(coalesce(round(Snap.snappedSum(
+        (col("x1") - col("x0")) * (col("y0") + col("y1")) / lit(2.0),
+        1e9), 6), lit(0.0)).as("mauve"))
+    kls.crossJoin(broadcast(area))
+  }
+
 }
 

@@ -1666,4 +1666,53 @@ object Quality {
           .otherwise(lit(1.0)), 6).as("coverage"),
         lit(1.0 - alpha).as("target"))
   }
+  /** Off-policy evaluation of a UNIFORM target policy from logged
+    * bandit feedback (Horvitz & Thompson 1952 inverse propensity
+    * scoring; Ionides 2008 weight clipping; Swaminathan & Joachims
+    * 2015 self-normalized IPS): "what reward WOULD the uniform policy
+    * have collected" estimated from logs collected under the
+    * behavior policy — the curation question behind every RLHF/
+    * preference-data reweighting. The behavior propensity is the
+    * EMPIRICAL action share within the logging context
+    * π_b(a|x) = n(x,a)/n(x) (exact integer ratio); the target is
+    * uniform 1/|A| over the globally observed action set; the weight
+    * is their ratio. Reports, in one row:
+    *   - `ips`       = Σ w·r / N           (unbiased, heavy-tailed)
+    *   - `snips`     = Σ w·r / Σ w         (self-normalized)
+    *   - `ips_clip`  = Σ min(w, M)·r / N   (bias-variance knob)
+    *   - `ess`       = (Σ w)² / Σ w²       (Kong 1992 — how many
+    *     effective logs survive the reweighting)
+    * All sums 1e9-snapped (order-free), outputs 6 dp.
+    *
+    * Scale shape: two map-side-combined count tables (contexts,
+    * context×action — both broadcast-sized), the log stream joined
+    * against them once, one global aggregate. */
+  def ipsOffPolicy(logs: DataFrame, ctx: Column, action: Column,
+      reward: Column, clipM: Double = 10.0): DataFrame = {
+    require(clipM > 0.0, s"ipsOffPolicy: clipM=$clipM")
+    import graft.expr.Snap
+    val b = logs.select(ctx.as("x"), action.as("a"),
+      reward.cast("double").as("r"))
+    val nx = b.groupBy(col("x")).agg(count(lit(1)).as("n_x"))
+    val nxa = b.groupBy(col("x"), col("a")).agg(count(lit(1)).as("n_xa"))
+    val nA = b.agg(countDistinct(col("a")).as("n_actions"))
+    val wgt = b.join(broadcast(nxa), Seq("x", "a"))
+      .join(broadcast(nx), Seq("x"))
+      .crossJoin(broadcast(nA))
+      .select(col("r"), col("n_actions"),
+        (col("n_x").cast("double") /
+          (col("n_actions") * col("n_xa")).cast("double")).as("w"))
+    wgt.agg(count(lit(1)).as("n"), max(col("n_actions")).as("n_actions"),
+        Snap.snappedSum(col("w") * col("r"), 1e9).as("swr"),
+        Snap.snappedSum(col("w"), 1e9).as("sw"),
+        Snap.snappedSum(col("w") * col("w"), 1e9).as("sww"),
+        Snap.snappedSum(least(col("w"), lit(clipM)) * col("r"), 1e9)
+          .as("scr"))
+      .select(col("n"), col("n_actions"),
+        round(col("swr") / col("n").cast("double"), 6).as("ips"),
+        round(col("swr") / col("sw"), 6).as("snips"),
+        round(col("scr") / col("n").cast("double"), 6).as("ips_clip"),
+        round(col("sw") * col("sw") / col("sww"), 6).as("ess"))
+  }
+
 }

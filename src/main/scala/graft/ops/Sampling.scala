@@ -559,4 +559,42 @@ object Sampling {
       round(when(col("t_total") > 0.0, col("t_between") / col("t_total")),
         6).as("between_share"))
   }
+  /** A-ES weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirtakis 2006, "Weighted random sampling with a reservoir"): per
+    * group keep the `k` items with the largest key u^(1/w) — the
+    * classic one-pass weighted reservoir, here with the repo's
+    * md5-deterministic uniform u = (h + 1)/(2^32 + 1) (h = the first
+    * 32 digest bits of the id) so the SAMPLE IS A PURE FUNCTION of the
+    * ids: any engine draws the identical sample, reruns are idempotent,
+    * and the oracle replays the draw. The complement to
+    * [[weightedSample]]'s Bernoulli form: exact-k per group, inclusion
+    * probability ∝ weight.
+    *
+    * Ranking uses the monotone-equivalent key ln(u)/w (no pow), SNAPPED
+    * to 6 dp before the rank with id tie-break — the rank never hinges
+    * on a final-ulp ln() disagreement between engines. Items with
+    * non-positive weight are excluded (stated; a zero-weight item has
+    * zero inclusion probability in the scheme's limit anyway).
+    *
+    * Scale shape: one projection + ONE per-group rank window
+    * (WindowGroupLimit keeps a k-row heap per group per task — the
+    * |corpus| never sorts globally). */
+  def aesSample(df: DataFrame, grp: Column, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"aesSample: k=$k")
+    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val key = floor(log(u) / weight.cast("double") * lit(1e6) + lit(0.5)) /
+      lit(1e6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("key").desc, col("id"))
+    df.select(grp.as("grp"), id.as("id"),
+        weight.cast("double").as("weight"), key.as("key"))
+      .filter(col("weight") > 0.0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("id"), col("weight"), col("key"),
+        col("rank").cast("long").as("rank"))
+  }
+
 }

@@ -1029,19 +1029,28 @@ object TextDedup {
     import graft.expr.Snap
     require(threshold > 0.0 && dfMin >= 1L && dfCap >= dfMin,
       s"sparseCosinePairs: threshold=$threshold dfMin=$dfMin dfCap=$dfCap")
-    val tf = tf0.getOrElse(fanout(docs)
+    // materialize the TF index (ONE corpus pass — the only stage that
+    // reads the documents; everything after is index-sized), then
+    // derive df as a COUNT WINDOW over the term partition instead of a
+    // groupBy + join-back: the window re-runs per consumer over the
+    // cached index (cheap), the df-band filter and idf weighting run
+    // in place, and the pair self-join below matches the term
+    // partitioning the window already established.
+    val tf = materialize(tf0.getOrElse(fanout(docs)
       .select(id.as("doc_id"), explode(TextStats.tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))))
     // N as a one-row broadcast, not a driver action: idf evaluates
     // entirely in-plan
     val nd = tf.agg(countDistinct(col("doc_id")).as("nd"))
-    val w = materialize(tf
-      .join(df.filter(col("df") >= dfMin && col("df") <= dfCap), "term")
+    val wTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val w = tf
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .filter(col("df") >= dfMin && col("df") <= dfCap)
       .crossJoin(broadcast(nd))
       .select(col("doc_id"), col("term"),
         (col("tf").cast("double") *
-          log(col("nd").cast("double") / col("df").cast("double"))).as("w")))
+          log(col("nd").cast("double") / col("df").cast("double"))).as("w"))
     val nrm = w.groupBy(col("doc_id"))
       .agg(Snap.snappedSum(col("w") * col("w"), 1e9).as("n2"))
     val dots = w.select(col("term"), col("doc_id").as("doc_a"),

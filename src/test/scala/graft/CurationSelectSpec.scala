@@ -349,4 +349,29 @@ class CurationSelectSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 3L, 2L), (9L, 1L, 9L)))
   }
+  test("aesSample: exact-k per group, md5-deterministic, weight-" +
+    "monotone inclusion tendency, non-positive weights excluded") {
+    import graft.ops.Sampling
+    val df = ((1L to 60L).map(i => ("a", i, (i % 6 + 1).toDouble)) ++
+      (61L to 70L).map(i => ("b", i, 1.0)) ++
+      Seq(("a", 999L, 0.0), ("a", 998L, -3.0))) // excluded
+      .toDF("src", "id", "w")
+    val r = Sampling.aesSample(df, col("src"), col("id"), col("w"), 5)
+      .collect()
+    val byGrp = r.groupBy(_.getString(0))
+    assert(byGrp("a").length == 5 && byGrp("b").length == 5)
+    assert(!r.exists(x => x.getLong(1) >= 998L && x.getLong(1) <= 999L))
+    // ranks are 1..5 with snapped keys non-increasing
+    val aKeys = byGrp("a").sortBy(_.getLong(4)).map(_.getDouble(3)).toSeq
+    assert(aKeys == aKeys.sorted.reverse)
+    // pure function of ids: repartition changes nothing
+    val r2 = Sampling.aesSample(df.repartition(7), col("src"), col("id"),
+      col("w"), 5).collect()
+    assert(r2.map(_.toString).sorted.toSeq == r.map(_.toString).sorted.toSeq)
+    // statistical sanity: with weights 1..6 cycling, the selected ids
+    // skew heavy — mean weight of the a-sample beats the population mean
+    val meanSel = byGrp("a").map(_.getDouble(2)).sum / 5
+    assert(meanSel > 3.5, s"weighted draw looks uniform: $meanSel")
+  }
+
 }

@@ -1796,4 +1796,63 @@ class QualitySpec extends SparkSpec {
     assert(out.contains("ok") && !out("ok").isNullAt(4))
   }
 
+  test("ipsOffPolicy: hand-checked propensity weights; uniform logs " +
+    "give ips = snips = plain mean and ESS = n") {
+    // context x0: actions A (3 logs, r = 1) and B (1 log, r = 0)
+    //   pi_b(A|x0) = 3/4, pi_b(B|x0) = 1/4; uniform target = 1/2
+    //   w(A) = (1/2)/(3/4) = 2/3, w(B) = (1/2)/(1/4) = 2
+    val logs = Seq((0L, "A", 1.0), (0L, "A", 1.0), (0L, "A", 1.0),
+      (0L, "B", 0.0)).toDF("x", "a", "r")
+    val r = Quality.ipsOffPolicy(logs, col("x"), col("a"), col("r"))
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    // ips = (3 * 2/3 * 1 + 2 * 0) / 4 = 0.5
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-6)
+    // snips = 2 / (3 * 2/3 + 2) = 0.5
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-6)
+    // ess = (sum w)^2 / sum w^2 = 16 / (3 * 4/9 + 4) = 3.0
+    assert(math.abs(r.getDouble(5) - 3.0) < 1e-5)
+    // behavior = target (uniform logs): every w = 1 -> ips = snips =
+    // mean reward, ess = n
+    val uni = Seq((0L, "A", 2.0), (0L, "B", 4.0), (0L, "A", 2.0),
+      (0L, "B", 4.0)).toDF("x", "a", "r")
+    val u = Quality.ipsOffPolicy(uni, col("x"), col("a"), col("r"))
+      .collect().head
+    assert(math.abs(u.getDouble(2) - 3.0) < 1e-6 &&
+      math.abs(u.getDouble(3) - 3.0) < 1e-6 &&
+      math.abs(u.getDouble(5) - 4.0) < 1e-5)
+    // clipping binds: one rare action with a huge weight
+    val rare = (Seq.fill(40)((0L, "A", 0.0)) :+ ((0L, "B", 1.0)))
+      .toDF("x", "a", "r")
+    val c = Quality.ipsOffPolicy(rare, col("x"), col("a"), col("r"),
+      clipM = 2.0).collect().head
+    assert(c.getDouble(4) < c.getDouble(2),
+      "clipped estimate must sit below the raw one when a weight is cut")
+  }
+
+  test("mauveCurve: identical corpora give zero KLs and area ~1; " +
+    "disjoint-cell corpora collapse the curve; 9 interior points") {
+    import graft.ops.Analytics
+    val same = ((1 to 30).map(i => (true, i % 4)) ++
+      (1 to 30).map(i => (false, i % 4))).toDF("isp", "cell")
+    val rs = Analytics.mauveCurve(same, col("isp"), col("cell"))
+      .orderBy(col("lambda")).collect()
+    assert(rs.length == 9)
+    assert(rs.forall(x => x.getDouble(1) == 0.0 && x.getDouble(2) == 0.0))
+    assert(rs.forall(x => x.getDouble(3) == 1.0 && x.getDouble(4) == 1.0))
+    // the corner-completed AUC scores identical corpora exactly 1
+    assert(rs.head.getDouble(5) == 1.0)
+    // disjoint supports: P on cells {0,1}, Q on {2,3} — big KLs, tiny
+    // x/y products, monotone frontier
+    val disj = ((1 to 20).map(i => (true, i % 2)) ++
+      (1 to 20).map(i => (false, 2 + i % 2))).toDF("isp", "cell")
+    val rd = Analytics.mauveCurve(disj, col("isp"), col("cell"))
+      .orderBy(col("lambda")).collect()
+    assert(rd.forall(x => x.getDouble(1) > 0.0 && x.getDouble(2) > 0.0))
+    val xs = rd.map(_.getDouble(3)).toSeq
+    assert(xs == xs.sorted.reverse, s"x must fall as lambda rises: $xs")
+    assert(rd.head.getDouble(5) > 0.0 && rd.head.getDouble(5) < 0.5,
+      "disjoint corpora must score a small area")
+  }
+
 }
