@@ -4014,6 +4014,32 @@ object SparkEntry {
     ops.Analytics.mauveCurve(v, col("label") % 2 === 0, cell)
   }
 
+  /** Platt scaling of event values against the purchase label
+    * ([[ops.Quality.plattScaling]], Platt 1999) — the parametric
+    * member of the calibration triad (q288 isotonic, q287 conformal):
+    * eight snapped Newton steps, trajectory oracle-replayed. */
+  private def qPlatt(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.plattScaling(t(s, dir, "events"), col("value"),
+      col("event_type") === "purchase")
+
+  /** Confident-learning label-error matrix over the language-labeled
+    * corpus ([[ops.Quality.confidentLearning]], Northcutt et al. 2021)
+    * — held-out k-fold NB posteriors, per-class confidence thresholds,
+    * joint (given, suggested) counts; off-diagonal mass = the label-
+    * error estimate. */
+  private def qConfidentLearning(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.confidentLearning(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang"))
+
+  /** Adamic–Adar link prediction between parts via shared suppliers
+    * ([[ops.Graph.adamicAdar]], Adamic & Adar 2003) on the q94 part
+    * subset — hub-discounted common-neighbor scores, top-100. */
+  private def qAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    ops.Graph.adamicAdar(
+      t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+        .select(col("l_partkey"), col("l_suppkey")),
+      "l_partkey", "l_suppkey", k = 100)
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4927,7 +4953,10 @@ object SparkEntry {
     "q325_media_semdedup" -> (qMediaSemDedup _),
     "q326_aes_sample" -> (qAesSample _),
     "q327_ips_offpolicy" -> (qIpsOffPolicy _),
-    "q328_mauve" -> (qMauve _))
+    "q328_mauve" -> (qMauve _),
+    "q329_platt" -> (qPlatt _),
+    "q330_confident_learning" -> (qConfidentLearning _),
+    "q331_adamic_adar" -> (qAdamicAdar _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11244,5 +11273,103 @@ object SparkEntry {
         s"ar AS (SELECT coalesce(round(${snap("(x1 - x0) * (y0 + y1) / 2.0")}, 6), CAST(0 AS DOUBLE)) AS mauve " +
         "FROM pa JOIN pb USING (i)) " +
         "SELECT lambda, kl_p_r, kl_q_r, x, y, mauve FROM ky CROSS JOIN ar"
+    },
+    "q329_platt" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      def snap6(e: String) = s"floor(($e) * 1000000 + 0.5) / 1000000"
+      // q = sigmoid(a*s+b) with (a, b) from the previous iteration CTE
+      val q = "(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(CAST(0 AS DOUBLE) - (a * s + b))))"
+      def step(prev: String, sums: String, next: String): String =
+        s"$sums AS (SELECT a, b, ${snap(s"($q - t) * s")} AS g1, ${snap(s"$q - t")} AS g0, " +
+          s"${snap(s"$q * (CAST(1 AS DOUBLE) - $q) * s * s")} AS hxx, " +
+          s"${snap(s"$q * (CAST(1 AS DOUBLE) - $q) * s")} AS hx, " +
+          s"${snap(s"$q * (CAST(1 AS DOUBLE) - $q)")} AS h0 " +
+          s"FROM bz CROSS JOIN $prev GROUP BY a, b), " +
+          s"$next AS (SELECT ${snap6("a - (g1 * (h0 + 0.000001) - g0 * hx) / ((hxx + 0.000001) * (h0 + 0.000001) - hx * hx)")} AS a, " +
+          s"${snap6("b - (g0 * (hxx + 0.000001) - g1 * hx) / ((hxx + 0.000001) * (h0 + 0.000001) - hx * hx)")} AS b " +
+          s"FROM $sums), "
+      val chain = (0 until 8).map(i => step(s"it$i", s"sm$i", s"it${i + 1}"))
+        .mkString
+      // the overflow-safe softplus, branch at 30 (identical CASE)
+      val spz = "CASE WHEN (CAST(0 AS DOUBLE) - (a * s + b)) > CAST(30 AS DOUBLE) THEN (CAST(0 AS DOUBLE) - (a * s + b)) " +
+        "ELSE ln(CAST(1 AS DOUBLE) + exp(CAST(0 AS DOUBLE) - (a * s + b))) END"
+      val spz2 = "CASE WHEN (a * s + b) > CAST(30 AS DOUBLE) THEN (a * s + b) " +
+        "ELSE ln(CAST(1 AS DOUBLE) + exp(a * s + b)) END"
+      "WITH r0 AS (SELECT CAST(value AS DOUBLE) AS s0, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y FROM events), " +
+        s"stx AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np, " +
+        s"${snap("s0")} AS ss, ${snap("s0 * s0")} AS sss FROM r0), " +
+        "mo AS (SELECT n, np, ss / CAST(n AS DOUBLE) AS mu, " +
+        "sqrt(sss / CAST(n AS DOUBLE) - (ss / CAST(n AS DOUBLE)) * (ss / CAST(n AS DOUBLE))) AS sd FROM stx), " +
+        "bz AS MATERIALIZED (SELECT (s0 - mu) / sd AS s, " +
+        "CASE WHEN y = 1 THEN (CAST(np AS DOUBLE) + 1) / (CAST(np AS DOUBLE) + 2) " +
+        "ELSE CAST(1 AS DOUBLE) / (CAST(n - np AS DOUBLE) + 2) END AS t FROM r0 CROSS JOIN mo), " +
+        "it0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b), " +
+        chain +
+        s"fin AS (SELECT ${snap(s"t * ($spz) + (CAST(1 AS DOUBLE) - t) * ($spz2)")} AS nll " +
+        "FROM bz CROSS JOIN it8 GROUP BY a, b) " +
+        "SELECT (SELECT n FROM mo) AS n, (SELECT np FROM mo) AS n_pos, " +
+        s"(SELECT ${snap6("a")} FROM it8) AS a, (SELECT ${snap6("b")} FROM it8) AS b, " +
+        "round((SELECT nll FROM fin), 6) AS nll"
+    },
+    "q330_confident_learning" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // the q292 k-fold NB replay, served HELD-OUT (each doc scored by
+      // its own fold's model), then Northcutt thresholds + joint matrix
+      ("WITH folds AS (SELECT range AS f FROM range(5)), " +
+        "tok AS (SELECT doc_id, lang AS lab, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "dt AS MATERIALIZED (SELECT doc_id, doc_id % 5 AS fold, lab, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3, 4), " +
+        "ct AS MATERIALIZED (SELECT f, lab, term, sum(tf) AS ctf FROM dt CROSS JOIN folds WHERE fold <> f GROUP BY 1, 2, 3), " +
+        "vv AS (SELECT f, count(DISTINCT term) AS v FROM ct GROUP BY 1), " +
+        "cs AS (SELECT f, lab, sum(ctf) AS ctot FROM ct GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, lang AS lab, doc_id % 5 AS fold FROM documents), " +
+        "pr AS (SELECT f, lab, count(*) AS nd FROM dl CROSS JOIN folds WHERE fold <> f GROUP BY 1, 2), " +
+        "nt AS (SELECT f, sum(nd) AS ntot FROM pr GROUP BY 1), " +
+        "ls AS (SELECT cs.f, cs.lab AS clab, " +
+        "ln(CAST(nd AS DOUBLE) / CAST(ntot AS DOUBLE)) AS prior_ln, " +
+        "ln(1.0 / CAST(ctot + v AS DOUBLE)) AS lp0 " +
+        "FROM cs JOIN pr ON pr.f = cs.f AND pr.lab = cs.lab " +
+        "JOIN nt ON nt.f = cs.f JOIN vv ON vv.f = cs.f), " +
+        "sv AS MATERIALIZED (SELECT doc_id, lab, term, tf, fold AS f FROM dt), " +
+        "seen AS (SELECT sv.f, sv.doc_id, ct.lab AS clab, " +
+        s"${snap("CAST(tf AS DOUBLE) * ln(CAST(ctf + 1 AS DOUBLE))")} AS s1 " +
+        "FROM sv JOIN ct ON ct.f = sv.f AND ct.term = sv.term GROUP BY 1, 2, 3), " +
+        "dn AS (SELECT f, doc_id, lab, sum(tf) AS n_tok FROM sv GROUP BY 1, 2, 3), " +
+        "sc AS MATERIALIZED (SELECT dn.f, dn.doc_id, dn.lab, ls.clab, " +
+        "round(prior_ln + CAST(n_tok AS DOUBLE) * lp0 + coalesce(s1, 0.0), 4) AS score " +
+        "FROM dn JOIN ls ON ls.f = dn.f " +
+        "LEFT JOIN seen ON seen.f = dn.f AND seen.doc_id = dn.doc_id AND seen.clab = ls.clab), " +
+        "mx AS (SELECT doc_id, max(score) AS mx FROM sc GROUP BY 1), " +
+        s"zz AS (SELECT sc.doc_id, ${snap("exp(score - mx)")} AS z " +
+        "FROM sc JOIN mx USING (doc_id) GROUP BY 1), " +
+        "po AS MATERIALIZED (SELECT sc.doc_id, sc.lab, sc.clab, " +
+        "CAST(floor(round(exp(score - mx) / z, 6) * 1000000 + 0.5) AS BIGINT) AS pl " +
+        "FROM sc JOIN mx USING (doc_id) JOIN zz USING (doc_id)), " +
+        "thr AS (SELECT clab, CAST(floor(CAST(sum(pl) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS tl " +
+        "FROM po WHERE clab = lab GROUP BY 1), " +
+        "qd AS (SELECT doc_id, lab, clab, pl, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY pl DESC, clab) AS rn " +
+        "FROM po JOIN thr USING (clab) WHERE pl >= tl) " +
+        "SELECT lab AS lab_given, clab AS lab_suggested, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, lab <> clab AS off_diag " +
+        "FROM qd WHERE rn = 1 GROUP BY 1, 2")
+    },
+    "q331_adamic_adar" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // shared-supplier candidates only; 1/ln(deg) snapped; top-100 by
+      // (score desc, ids)
+      "WITH e AS (SELECT DISTINCT l_partkey AS node, l_suppkey AS via " +
+        "FROM lineitem WHERE l_partkey % 4 = 0), " +
+        "dg AS (SELECT via, count(*) AS deg FROM e GROUP BY 1), " +
+        "ew AS MATERIALIZED (SELECT e.node, e.via, dg.deg FROM e JOIN dg USING (via) WHERE deg >= 2), " +
+        "px AS (SELECT a.node AS node_a, b.node AS node_b, a.deg " +
+        "FROM ew a JOIN ew b ON a.via = b.via AND a.node < b.node), " +
+        "ag AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common, " +
+        s"round(${snap("CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE))")}, 6) AS aa_score " +
+        "FROM px GROUP BY 1, 2) " +
+        "SELECT * FROM ag ORDER BY aa_score DESC, node_a, node_b LIMIT 100"
     })
 }

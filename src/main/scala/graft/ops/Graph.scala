@@ -753,4 +753,42 @@ object Graph {
       .select(col("state"), col("pi").as("p_stationary"),
         round(col("tv"), 6).as("tv_delta"))
   }
+  /** Adamic–Adar link prediction over a bipartite incidence (Adamic &
+    * Adar 2003; Liben-Nowell & Kleinberg 2007): candidate node pairs
+    * share at least one `via` vertex, scored
+    * AA(a, b) = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg v) — common neighbors
+    * discounted by how promiscuous they are (a hub shared by everyone
+    * carries no signal; the idf of graphs). Top-`k` by (6-dp snapped
+    * score desc, id) — fully deterministic.
+    *
+    * Scale shape: the candidate join is a `via` EQUI-join (a pair is
+    * enumerated only through a shared vertex — never all-pairs, the
+    * [[graft.ops.Ann.cosineNearDupPairs]] discipline); deg-1 vertices
+    * are dropped BEFORE the self-join (they cannot be shared); the
+    * per-pair sum is map-side combined; the top-k is
+    * TakeOrderedAndProject (a k-row heap per task, no global sort
+    * materialization). Skewed hub vertices are the caller's df-cap
+    * decision — same knob as the inverted-index band. */
+  def adamicAdar(edges: DataFrame, src: String, via: String,
+      k: Int = 100, maxDeg: Long = Long.MaxValue): DataFrame = {
+    require(k > 0, s"adamicAdar: k=$k")
+    import graft.expr.Snap
+    val e = edges.select(col(src).as("node"), col(via).as("via"))
+      .distinct()
+    val deg = e.groupBy(col("via")).agg(count(lit(1)).as("deg"))
+    val ew = e.join(deg, "via")
+      .filter(col("deg") >= 2L && col("deg") <= maxDeg)
+    val pairs = Fanout.fanout(ew.select(col("via"),
+        col("node").as("node_a"), col("deg")))
+      .join(ew.select(col("via"), col("node").as("node_b")), Seq("via"))
+      .filter(col("node_a") < col("node_b"))
+    pairs.groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(Snap.snappedSum(
+          lit(1.0) / log(col("deg").cast("double")), 1e9), 6)
+          .as("aa_score"))
+      .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
+      .limit(k)
+  }
+
 }

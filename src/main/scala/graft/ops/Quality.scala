@@ -1715,4 +1715,178 @@ object Quality {
         round(col("sw") * col("sw") / col("sww"), 6).as("ess"))
   }
 
+  /** Platt scaling (Platt 1999, "Probabilistic outputs for support
+    * vector machines"; Niculescu-Mizil & Caruana 2005) — the PARAMETRIC
+    * member of the calibration triad next to q288's isotonic (shape-
+    * free, monotone) and q287's conformal (interval, distribution-
+    * free): fit P(y=1|s) = σ(a·s + b) to the scores by Newton on the
+    * regularized log-likelihood against Platt's SMOOTHED targets
+    * t₊ = (N₊+1)/(N₊+2), t₋ = 1/(N₋+2) (the out-of-sample correction
+    * that keeps the fit off the 0/1 boundary). (Platt's original
+    * parametrization is σ(−(A·f+B)); a = −A, b = −B.)
+    *
+    * Determinism (the kmeansLloyd driver-state contract): scores are
+    * standardized by the corpus' SNAPPED mean/sd first (the q289 zi
+    * discipline — bounds |z| so the sigmoid never saturates to an
+    * engine-dependent denormal); each of the `iters` fixed Newton
+    * steps collects FIVE 1e9-snapped sums (∇ and Hessian entries),
+    * solves the 2×2 system on the driver with one fixed IEEE formula
+    * sequence (1e-6 ridge on the diagonal), and snaps (a, b) to the
+    * 1e6 grid before they re-enter the plan as literals — the whole
+    * trajectory replays bit-for-bit as unrolled oracle CTEs.
+    * Softplus ln(1+exp(x)) branches to x above 30 (identical CASE in
+    * both engines). Returns one row
+    * (n, n_pos, a, b, nll) with a, b, nll at 6 dp. */
+  def plattScaling(df: DataFrame, score: Column, label: Column,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"plattScaling: iters=$iters")
+    import graft.expr.Snap
+    def snap6d(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val raw = df.select(score.cast("double").as("s0"),
+      when(label, 1L).otherwise(0L).as("y"))
+    // snapped standardization (q289's zi discipline)
+    val st = raw.agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+        Snap.snappedSum(col("s0"), 1e9).as("ss"),
+        Snap.snappedSum(col("s0") * col("s0"), 1e9).as("sss"))
+      .collect().head
+    val n = st.getLong(0); val npos = st.getLong(1)
+    require(n > 0 && npos > 0 && npos < n,
+      s"plattScaling: need both classes (n=$n, n_pos=$npos)")
+    val mu = st.getDouble(2) / n
+    val sd = math.sqrt(st.getDouble(3) / n - mu * mu)
+    require(sd > 0.0, "plattScaling: constant scores")
+    val tp = (npos + 1.0) / (npos + 2.0)
+    val tn = 1.0 / ((n - npos) + 2.0)
+    val base = raw.select(((col("s0") - lit(mu)) / lit(sd)).as("s"),
+      when(col("y") === 1L, lit(tp)).otherwise(lit(tn)).as("t"))
+      .localCheckpoint(true)
+    var a = 0.0; var b = 0.0
+    for (_ <- 1 to iters) {
+      val z = lit(a) * col("s") + lit(b)
+      val q = lit(1.0) / (lit(1.0) + exp(lit(0.0) - z))
+      val sums = base.agg(
+          Snap.snappedSum((q - col("t")) * col("s"), 1e9).as("g1"),
+          Snap.snappedSum(q - col("t"), 1e9).as("g0"),
+          Snap.snappedSum(q * (lit(1.0) - q) * col("s") * col("s"), 1e9)
+            .as("hxx"),
+          Snap.snappedSum(q * (lit(1.0) - q) * col("s"), 1e9).as("hx"),
+          Snap.snappedSum(q * (lit(1.0) - q), 1e9).as("h0"))
+        .collect().head
+      val g1 = sums.getDouble(0); val g0 = sums.getDouble(1)
+      val hxx = sums.getDouble(2) + 1e-6
+      val hx = sums.getDouble(3); val h0 = sums.getDouble(4) + 1e-6
+      val det = hxx * h0 - hx * hx
+      a = snap6d(a - (g1 * h0 - g0 * hx) / det)
+      b = snap6d(b - (g0 * hxx - g1 * hx) / det)
+    }
+    // final NLL with the overflow-safe softplus (branch at 30)
+    val zf = lit(a) * col("s") + lit(b)
+    def sp(x: Column): Column =
+      when(x > 30.0, x).otherwise(log(lit(1.0) + exp(x)))
+    base.agg(Snap.snappedSum(
+        col("t") * sp(lit(0.0) - zf) + (lit(1.0) - col("t")) * sp(zf), 1e9)
+      .as("nllS"))
+      .select(lit(n).as("n"), lit(npos).as("n_pos"),
+        lit(snap6d(a)).as("a"), lit(snap6d(b)).as("b"),
+        round(col("nllS"), 6).as("nll"))
+  }
+
+  /** Confident-learning label-error estimation (Northcutt, Jiang &
+    * Chuang 2021, "Confident learning: estimating uncertainty in
+    * dataset labels") — the joint (given label, suggested label) count
+    * matrix over OUT-OF-SAMPLE posteriors: each doc is scored by the
+    * k-fold NB model that did NOT train on it (fold == f — the proper
+    * held-out serve, where q292's cartography deliberately uses the
+    * k−1 training models), class thresholds are the per-class mean
+    * self-confidence t_j = mean p(j | docs labeled j), and a doc
+    * labeled i is counted into C[i, j*] where j* is its argmax class
+    * among those clearing their threshold (no class clears → the doc
+    * abstains — the paper's convention). Off-diagonal mass is the
+    * label-error estimate.
+    *
+    * Exactness: posteriors follow the q169/q292 softmax convention
+    * (6-dp grid); thresholds are floor-snapped integer-grid means, so
+    * the clearing comparison p_j ≥ t_j is an EXACT integer compare on
+    * the 1e6 grid; argmax ties break to the smaller class label.
+    *
+    * Scale shape: inherits the q223/q292 fold replay — k models as
+    * (fold, class, term) count tables, the corpus touched once per
+    * role, posteriors doc-keyed; thresholds are a |classes|-row
+    * broadcast. Returns (lab_given, lab_suggested, n_docs, off_diag).
+    */
+  def confidentLearning(docs: DataFrame, id: Column, text: Column,
+      label: Column, k: Int = 5,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    require(k >= 2, s"confidentLearning: k=$k")
+    import graft.expr.Snap
+    val docTf = materialize(Fanout.fanout(docs)
+      .select(id.as("doc_id"), label.as("lab"),
+        explode(graft.expr.TextStats.tokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("lab"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+    val folds = broadcast(docs.sparkSession.range(k)
+      .select(col("id").as("f")))
+    val ct = materialize(docTf.crossJoin(folds)
+      .filter(col("fold") =!= col("f"))
+      .groupBy(col("f"), col("lab"), col("term"))
+      .agg(sum(col("tf")).as("ctf")))
+    val vv = ct.groupBy(col("f"))
+      .agg(countDistinct(col("term")).as("v"))
+    val cs = ct.groupBy(col("f"), col("lab")).agg(sum(col("ctf")).as("ctot"))
+    val dl = docs.select(id.as("doc_id"), label.as("lab"))
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+    val pr = dl.crossJoin(folds).filter(col("fold") =!= col("f"))
+      .groupBy(col("f"), col("lab")).agg(count(lit(1)).as("nd"))
+    val nt = pr.groupBy(col("f")).agg(sum(col("nd")).as("ntot"))
+    val labStats = cs.join(pr, Seq("f", "lab")).join(broadcast(nt), "f")
+      .join(broadcast(vv), "f")
+      .select(col("f"), col("lab").as("clab"),
+        log(col("nd").cast("double") / col("ntot").cast("double"))
+          .as("prior_ln"),
+        log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0"))
+    val terms = ct.select(col("f"), col("lab").as("clab"), col("term"),
+      log((col("ctf") + lit(1L)).cast("double")).as("lterm"))
+    // HELD-OUT serve: each doc scored by its own fold's model
+    val serveTf = docTf.withColumn("f", col("fold"))
+    val seen = serveTf.join(broadcast(terms), Seq("f", "term"))
+      .groupBy(col("f"), col("doc_id"), col("clab"))
+      .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
+        .as("s1"))
+    val docN = serveTf.groupBy(col("f"), col("doc_id"), col("lab"))
+      .agg(sum(col("tf")).as("n_tok"))
+    val sc = materialize(docN.join(broadcast(labStats), Seq("f"))
+      .join(seen, Seq("f", "doc_id", "clab"), "left")
+      .select(col("f"), col("doc_id"), col("lab"), col("clab"),
+        round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
+          coalesce(col("s1"), lit(0.0)), 4).as("score")))
+    val mx = sc.groupBy(col("doc_id")).agg(max(col("score")).as("mx"))
+    val z = sc.join(mx, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(Snap.snappedSum(exp(col("score") - col("mx")), 1e9).as("z"))
+    // posterior on the EXACT 1e6 integer grid
+    val post = materialize(sc.join(mx, "doc_id").join(z, "doc_id")
+      .select(col("doc_id"), col("lab"), col("clab"),
+        floor(round(exp(col("score") - col("mx")) / col("z"), 6) *
+          lit(1e6) + lit(0.5)).cast("long").as("pl")))
+    // t_j = floor-snapped integer-grid mean self-confidence of class j
+    val thr = post.filter(col("clab") === col("lab"))
+      .groupBy(col("clab"))
+      .agg(floor(sum(col("pl")).cast("double") /
+        count(lit(1)).cast("double") + lit(0.5)).cast("long").as("tl"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pl").desc, col("clab"))
+    val joint = post.join(broadcast(thr), "clab")
+      .filter(col("pl") >= col("tl"))
+      .withColumn("rn", row_number().over(wdoc))
+      .filter(col("rn") === 1)
+      .groupBy(col("lab").as("lab_given"),
+        col("clab").as("lab_suggested"))
+      .agg(count(lit(1)).as("n_docs"))
+    joint.select(col("lab_given"), col("lab_suggested"), col("n_docs"),
+      (col("lab_given") =!= col("lab_suggested")).as("off_diag"))
+  }
+
 }

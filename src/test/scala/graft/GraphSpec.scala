@@ -498,4 +498,33 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.toString).toMap
     assert(r.keys.forall(k => again(k) == r(k).toString))
   }
+  test("adamicAdar: hand bipartite graph — hub-discounted common " +
+    "neighbors, deg-1 vias dropped, deterministic top-k order") {
+    import graft.ops.Graph
+    // via 10: {1, 2}; via 11: {1, 2, 3}; via 12: {3} (deg 1, dropped);
+    // AA(1,2) = 1/ln2 + 1/ln3; AA(1,3) = AA(2,3) = 1/ln3
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 11L), (3L, 12L), (3L, 12L)) // dup edge collapses
+      .toDF("node", "via")
+    val r = Graph.adamicAdar(edges, "node", "via", k = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val expected12 = r6(math.floor(1.0 / math.log(2.0) * 1e9 + 0.5) / 1e9 +
+      0.0) // snapped sum then round — recompute exactly below
+    assert(r((1L, 2L))._1 == 2L)
+    val aa12 = (math.floor(1.0 / math.log(2.0) * 1e9 + 0.5) +
+      math.floor(1.0 / math.log(3.0) * 1e9 + 0.5)) / 1e9
+    assert(r((1L, 2L))._2 == math.floor(aa12 * 1e6 + 0.5) / 1e6)
+    assert(r((1L, 3L))._1 == 1L && r((2L, 3L))._1 == 1L)
+    // the pair with two shared vias outranks the single-via pairs
+    val ordered = Graph.adamicAdar(edges, "node", "via", k = 1).collect()
+    assert(ordered.head.getLong(0) == 1L && ordered.head.getLong(1) == 2L)
+    // maxDeg cap: capping at 2 removes via 11 -> only (1,2) remains
+    val capped = Graph.adamicAdar(edges, "node", "via", k = 10,
+      maxDeg = 2L).collect()
+    assert(capped.map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      Set((1L, 2L)))
+  }
+
 }

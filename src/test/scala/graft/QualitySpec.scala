@@ -1855,4 +1855,63 @@ class QualitySpec extends SparkSpec {
       "disjoint corpora must score a small area")
   }
 
+  test("plattScaling: separable scores fit a rising sigmoid; score-free " +
+    "labels fit a ~= 0 with sigmoid(b) ~ smoothed base rate; guards") {
+    // labels follow the score: high scores positive
+    val sep = ((1 to 40).map(i => (i.toDouble, i > 20)) ++
+      Seq((20.5, true), (20.4, false))).toDF("s", "y")
+    val r = Quality.plattScaling(sep, col("s"), col("y")).collect().head
+    assert(r.getLong(0) == 42L && r.getLong(1) == 21L)
+    val aSep = r.getDouble(2)
+    assert(aSep > 1.0, s"separable data must fit a steep slope: $aSep")
+    // labels independent of score: slope ~ 0, intercept ~ logit of the
+    // smoothed positive share (25% of 40 -> t+ ~ .917, t- ~ .031,
+    // mean target ~ .25)
+    val flat = (1 to 40).map(i => (i.toDouble, i % 4 == 0)).toDF("s", "y")
+    val f = Quality.plattScaling(flat, col("s"), col("y")).collect().head
+    val aF = f.getDouble(2); val bF = f.getDouble(3)
+    assert(math.abs(aF) < 0.2, s"uncorrelated scores must fit a~0: $aF")
+    val pb = 1.0 / (1.0 + math.exp(-bF))
+    assert(math.abs(pb - 0.25) < 0.05,
+      s"sigmoid(b)=$pb must sit near the base rate 0.25")
+    // NLL of the fitted model beats the a=0,b=0 coin (2-dp check via
+    // recompute): coin NLL = n * mean softplus terms at q=.5 -> ln 2
+    assert(r.getDouble(4) / 42.0 < math.log(2.0),
+      "fitted NLL per row must beat the uniform coin")
+    // guards: single class / constant scores fail loudly
+    intercept[IllegalArgumentException] {
+      Quality.plattScaling((1 to 5).map(i => (i.toDouble, true))
+        .toDF("s", "y"), col("s"), col("y"))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.plattScaling(Seq((1.0, true), (1.0, false))
+        .toDF("s", "y"), col("s"), col("y"))
+    }
+  }
+
+  test("confidentLearning: planted label flips surface as off-diagonal " +
+    "mass pointing back at the true class") {
+    // two sharply separated vocabularies; 3 docs of each class get the
+    // WRONG label — CL should suggest their true class
+    def aDoc(i: Long) = (i, "alpha beta gamma alpha beta gamma alpha", "A")
+    def bDoc(i: Long) = (i, "delta epsilon zeta delta epsilon zeta", "B")
+    val clean = (1L to 30L).map(i => if (i % 2 == 0) aDoc(i) else bDoc(i))
+    val flipped = Seq(
+      (31L, "alpha beta gamma alpha beta gamma", "B"),
+      (32L, "alpha beta gamma alpha gamma", "B"),
+      (33L, "delta epsilon zeta epsilon", "A"))
+    val docs = (clean ++ flipped).toDF("doc_id", "text", "lang")
+    val r = Quality.confidentLearning(docs, col("doc_id"), col("text"),
+        col("lang"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    // the planted alpha-vocab docs labeled B are suggested A, and the
+    // planted delta-vocab doc labeled A is suggested B
+    assert(r.getOrElse(("B", "A"), 0L) >= 2L, s"missed planted flips: $r")
+    assert(r.getOrElse(("A", "B"), 0L) >= 1L, s"missed planted flip: $r")
+    // clean docs dominate the diagonal
+    assert(r.getOrElse(("A", "A"), 0L) >= 12L &&
+      r.getOrElse(("B", "B"), 0L) >= 12L, s"diagonal collapsed: $r")
+  }
+
 }
