@@ -530,6 +530,55 @@ object StreamCuration {
       .start()
   }
 
+  /** q312's Mann–Kendall trend verdict maintained at INGEST — the 24th
+    * sink: IS the per-period volume trending, re-answered on every
+    * micro-batch (the monotone-trend complement to
+    * [[startChangepointSink]]'s level-break WHERE and
+    * [[startCusumSink]]'s drifting NOW). State is the same per-period
+    * LONG count table as the changepoint sink — calendar-grid-sized,
+    * exactly additive — so each epoch's (S, var, z, p, trend) is
+    * bit-identical to batch [[graft.ops.Analytics.mannKendall]] over
+    * the union of all arrived events under any batch split
+    * (spec-pinned). State is persisted per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): restarts
+    * RESUME, replayed epochs re-emit without re-merging. */
+  def startTrendSink(eventStream: DataFrame, periodCol: String,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = eventStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    def readout(st: DataFrame) = graft.ops.Analytics.mannKendall(
+      st.select(col("p"), col("c").cast("double").as("y")),
+      col("p"), col("y"))
+    eventStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId)) sink(readout(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val st = state.get
+          val part = batch.select(col(periodCol).cast("long").as("p"))
+            .groupBy(col("p")).agg(count(lit(1)).as("c"))
+          val next = st.join(part, Seq("p"), "full_outer")
+            .select(col("p"),
+              (coalesce(st("c"), lit(0L)) +
+                coalesce(part("c"), lit(0L))).as("c"))
+          sink(readout(state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q283's Cramér–von Mises two-sample drift maintained at INGEST —
     * the 23rd sink: the INTEGRATED-CDF distribution monitor run live
     * over a stream of (group, value, half) observations (half = "e"

@@ -163,4 +163,36 @@ class MonitorStateSpec extends SparkSpec {
     assert(want.head.contains("true"))
   }
 
+  test("startTrendSink (24th sink): each emission ≡ batch mannKendall " +
+    "over all arrived events under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a rising daily series: day d gets d events (clear upward trend)
+    val events = (1L to 12L).flatMap(d => Seq.fill(d.toInt)(d))
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(5)).shuffle(events)
+    def run(batches: Seq[Seq[Long]]): Seq[String] = {
+      val ms = MemoryStream[Long]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val ckpt = java.nio.file.Files.createTempDirectory("trend").toString
+      val q = graft.stream.StreamCuration.startTrendSink(
+        ms.toDF().toDF("d"), "d", ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = graft.ops.Analytics.mannKendall(
+      all.toDF("d").groupBy(col("d").as("p"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("p"), col("y")).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(30), all.slice(30, 60), all.drop(60)))
+    val b = run(Seq(all.reverse.take(11), all.reverse.drop(11)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    assert(want.head.contains("increasing"))
+  }
+
 }
