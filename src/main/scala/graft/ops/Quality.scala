@@ -1794,10 +1794,15 @@ object Quality {
   /** Confident-learning label-error estimation (Northcutt, Jiang &
     * Chuang 2021, "Confident learning: estimating uncertainty in
     * dataset labels") — the joint (given label, suggested label) count
-    * matrix over OUT-OF-SAMPLE posteriors: each doc is scored by the
-    * k-fold NB model that did NOT train on it (fold == f — the proper
-    * held-out serve, where q292's cartography deliberately uses the
-    * k−1 training models), class thresholds are the per-class mean
+    * matrix over OUT-OF-SAMPLE posteriors. This is the paper's proper
+    * CROSS-VALIDATED form of [[labelNoise]] (q227): there the corpus-
+    * trained model scores its own training docs (each doc's label
+    * leaks into its own posterior, deflating the error estimate);
+    * here each doc is scored by the k-fold NB model that did NOT
+    * train on it (fold == f — where q292's cartography deliberately
+    * serves from the k−1 training models), and the FULL joint matrix
+    * is emitted, diagonal included (q227 reports only the suspected
+    * off-diagonal). Class thresholds are the per-class mean
     * self-confidence t_j = mean p(j | docs labeled j), and a doc
     * labeled i is counted into C[i, j*] where j* is its argmax class
     * among those clearing their threshold (no class clears → the doc
@@ -1888,5 +1893,6 @@ object Quality {
     joint.select(col("lab_given"), col("lab_suggested"), col("n_docs"),
       (col("lab_given") =!= col("lab_suggested")).as("off_diag"))
   }
+
 
 }
