@@ -4040,6 +4040,26 @@ object SparkEntry {
         .select(col("l_partkey"), col("l_suppkey")),
       "l_partkey", "l_suppkey", k = 100)
 
+  /** Interval-overlap join ([[ops.RangeJoin.overlapJoin]]): per-user
+    * daily activity spans × the daily 06–18h business windows (q35's
+    * intervals), matched through binned equi-joins with exactly-once
+    * first-shared-bin reporting — the interval×interval sibling of
+    * q35's point×interval range join. */
+  private def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val spans = ev
+      .groupBy(col("user_id"), expr("us DIV 86400000000").as("day"))
+      .agg(min(col("us")).as("a_lo"), (max(col("us")) + 1L).as("a_hi"))
+    val wins = ev.select(expr("us DIV 86400000000").as("wday")).distinct()
+      .select((col("wday") * 86400000000L + 21600000000L).as("b_lo"),
+        (col("wday") * 86400000000L + 64800000000L).as("b_hi"))
+    ops.RangeJoin.overlapJoin(spans, col("a_lo"), col("a_hi"),
+        wins, col("b_lo"), col("b_hi"), binWidth = 21600000000L)
+      .select(col("user_id"), col("day"), col("b_lo").as("win_lo"),
+        col("overlap"))
+  }
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4956,7 +4976,8 @@ object SparkEntry {
     "q328_mauve" -> (qMauve _),
     "q329_platt" -> (qPlatt _),
     "q330_confident_learning" -> (qConfidentLearning _),
-    "q331_adamic_adar" -> (qAdamicAdar _))
+    "q331_adamic_adar" -> (qAdamicAdar _),
+    "q332_overlap_join" -> (qOverlapJoin _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11371,5 +11392,16 @@ object SparkEntry {
         s"round(${snap("CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE))")}, 6) AS aa_score " +
         "FROM px GROUP BY 1, 2) " +
         "SELECT * FROM ag ORDER BY aa_score DESC, node_a, node_b LIMIT 100"
-    })
+    },
+    "q332_overlap_join" ->
+      // the naive overlap predicate IS the estimand; the engine's
+      // binned equi-join + first-shared-bin reporting must reproduce
+      // it exactly
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+        "sp AS (SELECT user_id, us // 86400000000 AS day, min(us) AS alo, max(us) + 1 AS ahi FROM ev GROUP BY 1, 2), " +
+        "wd AS (SELECT DISTINCT us // 86400000000 AS wday FROM ev), " +
+        "wn AS (SELECT wday * 86400000000 + 21600000000 AS blo, wday * 86400000000 + 64800000000 AS bhi FROM wd) " +
+        "SELECT user_id, CAST(day AS BIGINT) AS day, CAST(blo AS BIGINT) AS win_lo, " +
+        "CAST(least(ahi, bhi) - greatest(alo, blo) AS BIGINT) AS overlap " +
+        "FROM sp JOIN wn ON alo < bhi AND blo < ahi"))
 }

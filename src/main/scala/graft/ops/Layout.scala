@@ -135,4 +135,28 @@ object Layout {
           (col("n_segments") * col("n_probes")).cast("double"), 6)
           .as("scan_frac"))
   }
+  /** Write a DataFrame as a BUCKETED (and bucket-sorted) managed
+    * table: `buckets` files per partition keyed by hash(key), the
+    * layout that makes repeated joins/aggregations on `key` FREE of
+    * their shuffle — two tables bucketed the same way join with zero
+    * Exchange, and (one file per bucket + the
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` flag) zero
+    * Sort as well (PlanContractSpec proves both on the physical
+    * plan). This is the
+    * at-rest counterpart of [[clusterByZ]]'s in-file ordering and THE
+    * standard answer for a 100 TB fact table that is joined on the
+    * same key every day: pay the shuffle once at write time, never at
+    * read time. Spark-native bucketing (hash pre-partitioning recorded
+    * in the catalog), no custom machinery. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    require(buckets > 0, s"writeBucketed: buckets=$buckets")
+    // repartition on the SAME hash first so each task holds exactly
+    // one bucket -> ONE file per bucket: Spark only trusts (and
+    // elides) the bucket sort order when a bucket is a single file
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
 }

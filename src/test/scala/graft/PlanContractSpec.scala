@@ -1154,4 +1154,46 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "CartesianProduct") == 0 &&
       count(p, "BroadcastNestedLoopJoin") == 0, p.take(1500))
   }
+  test("writeBucketed: two same-bucketed tables join with ZERO " +
+    "exchange and zero sort — the pay-shuffle-once-at-write layout") {
+    import graft.ops.Layout
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val a = (1L to 500L).map(i => (i, s"u$i")).toDF("k", "va")
+    val b = (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "vb")
+    Layout.writeBucketed(a, "graft_bkt_a", "k", 8)
+    Layout.writeBucketed(b, "graft_bkt_b", "k", 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      // the core claim: the at-read shuffle is GONE
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // correctness unchanged vs the plain join
+      assert(j.count() == 500L &&
+        j.agg(sum(col("vb"))).collect()(0).getDouble(0) ==
+          (1L to 500L).map(_ * 2.0).sum)
+      // sort elision: Spark 3+ only trusts bucket sort order under the
+      // legacy flag AND one file per bucket (which writeBucketed
+      // guarantees via the pre-repartition) — demonstrate it holds
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val j2 = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange") && !plan2.contains("Sort "),
+        s"one-file-per-bucket sorted scan must elide the sort:\n$plan2")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
 }

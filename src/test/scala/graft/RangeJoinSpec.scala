@@ -105,4 +105,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(spark.table("dedup_sink").count() == 1) // only first occurrence
     q.stop()
   }
+  test("overlapJoin: exact half-open overlap semantics, exactly-once " +
+    "reporting across shared bins, abutting intervals excluded") {
+    import graft.ops.RangeJoin
+    val a = Seq((1L, 0L, 100L), (2L, 95L, 205L), (3L, 300L, 310L))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 90L, 120L), (20L, 100L, 300L), (30L, 310L, 320L))
+      .toDF("bid", "blo", "bhi")
+    // binWidth 50 -> intervals span multiple bins; pairs sharing
+    // several bins (2-20 share bins 2,3,4) must appear ONCE
+    val r = RangeJoin.overlapJoin(a, col("alo"), col("ahi"),
+        b, col("blo"), col("bhi"), binWidth = 50L)
+      .collect().map(x => (x.getLong(0), x.getLong(3)) -> x.getLong(6))
+      .toMap
+    // expected: (1,10) overlap [90,100) = 10; (2,10) [95,120) = 25;
+    // (2,20) [100,205) = 105. NOT (1,20): [0,100) vs [100,300) abut.
+    // NOT (3,30): [300,310) vs [310,320) abut.
+    assert(r == Map((1L, 10L) -> 10L, (2L, 10L) -> 25L,
+      (2L, 20L) -> 105L), r.toString)
+    // exactly-once held under any bin width (dedupe is structural)
+    for (w <- Seq(7L, 100L, 1000L)) {
+      val rw = RangeJoin.overlapJoin(a, col("alo"), col("ahi"),
+          b, col("blo"), col("bhi"), binWidth = w)
+        .collect().map(x => (x.getLong(0), x.getLong(3)) -> x.getLong(6))
+        .toMap
+      assert(rw == r, s"binWidth $w changed the result: $rw")
+    }
+    // the plan is an equi-join on the bin, never a nested loop
+    val plan = RangeJoin.overlapJoin(a, col("alo"), col("ahi"),
+      b, col("blo"), col("bhi"), 50L).queryExecution.executedPlan
+    assert(!plan.toString.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
 }
