@@ -4060,6 +4060,15 @@ object SparkEntry {
         col("overlap"))
   }
 
+  /** l-diversity audit over (lang, source) quasi-identifier classes
+    * with the length decile as the sensitive attribute
+    * ([[ops.Quality.lDiversity]], Machanavajjhala et al. 2007) — the
+    * homogeneity attack q234's k-anonymity cannot see. */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.lDiversity(t(s, dir, "documents"),
+      Seq("lang" -> col("lang"), "source" -> col("source")),
+      floor(col("n_chars") / lit(100)).cast("long"), l = 2.0)
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4977,7 +4986,8 @@ object SparkEntry {
     "q329_platt" -> (qPlatt _),
     "q330_confident_learning" -> (qConfidentLearning _),
     "q331_adamic_adar" -> (qAdamicAdar _),
-    "q332_overlap_join" -> (qOverlapJoin _))
+    "q332_overlap_join" -> (qOverlapJoin _),
+    "q333_l_diversity" -> (qLDiversity _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11403,5 +11413,17 @@ object SparkEntry {
         "wn AS (SELECT wday * 86400000000 + 21600000000 AS blo, wday * 86400000000 + 64800000000 AS bhi FROM wd) " +
         "SELECT user_id, CAST(day AS BIGINT) AS day, CAST(blo AS BIGINT) AS win_lo, " +
         "CAST(least(ahi, bhi) - greatest(alo, blo) AS BIGINT) AS overlap " +
-        "FROM sp JOIN wn ON alo < bhi AND blo < ahi"))
+        "FROM sp JOIN wn ON alo < bhi AND blo < ahi"),
+    "q333_l_diversity" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      "WITH c AS (SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS nv FROM documents GROUP BY 1, 2, 3), " +
+        "p AS (SELECT lang, source, CAST(sum(nv) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS distinct_l FROM c GROUP BY 1, 2), " +
+        s"h AS (SELECT c.lang, c.source, ${snap("(CAST(nv AS DOUBLE) / CAST(n_rows AS DOUBLE)) * ln(CAST(n_rows AS DOUBLE) / CAST(nv AS DOUBLE))")} AS hh " +
+        "FROM c JOIN p USING (lang, source) GROUP BY 1, 2) " +
+        "SELECT p.lang, p.source, n_rows, distinct_l, " +
+        "round(exp(hh), 4) AS entropy_l, " +
+        "round(exp(hh), 4) >= CAST(2.0 AS DOUBLE) AS diverse " +
+        "FROM p JOIN h USING (lang, source)"
+    })
 }

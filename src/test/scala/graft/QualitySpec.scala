@@ -1914,4 +1914,29 @@ class QualitySpec extends SparkSpec {
       r.getOrElse(("B", "B"), 0L) >= 12L, s"diagonal collapsed: $r")
   }
 
+  test("lDiversity: a k-anonymous but homogeneous class fails the " +
+    "diversity gate; uniform sensitive values give entropy_l = " +
+    "distinct_l") {
+    // class A: 12 rows, all the same sensitive value -> entropy_l 1
+    // class B: 12 rows, 4 values x 3 -> entropy_l = 4 exactly
+    // class C: 9 rows, values 6/2/1 -> diverse at l=2? H < ln 3
+    val df = ((1 to 12).map(_ => ("A", "x", 0L)) ++
+      (1 to 12).map(i => ("B", "x", (i % 4).toLong)) ++
+      (Seq.fill(6)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(1)(2L))
+        .map(v => ("C", "x", v)))
+      .toDF("g", "h", "s")
+    val r = Quality.lDiversity(df, Seq("g" -> col("g"), "h" -> col("h")),
+        col("s"), l = 2.0)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(4), x.getBoolean(5))))
+      .toMap
+    assert(r("A") == ((12L, 1L, 1.0, false)),
+      s"homogeneous class must fail: ${r("A")}")
+    assert(r("B")._2 == 4L && math.abs(r("B")._3 - 4.0) < 1e-3 &&
+      r("B")._4, s"uniform 4-value class: ${r("B")}")
+    // C: H = .667 ln(1.5) + .222 ln(4.5) + .111 ln(9) -> e^H ~ 2.21
+    assert(r("C")._2 == 3L && r("C")._4 &&
+      r("C")._3 > 2.0 && r("C")._3 < 3.0, s"skewed class: ${r("C")}")
+  }
+
 }
