@@ -4027,9 +4027,13 @@ object SparkEntry {
     * — held-out k-fold NB posteriors, per-class confidence thresholds,
     * joint (given, suggested) counts; off-diagonal mass = the label-
     * error estimate. */
-  private def qConfidentLearning(s: SparkSession, dir: String): DataFrame =
-    ops.Quality.confidentLearning(t(s, dir, "documents"), col("doc_id"),
-      col("text"), col("lang"))
+  private def qConfidentLearning(s: SparkSession, dir: String): DataFrame = {
+    val tf = sharedTermFreqs(s, dir)
+    val docs = t(s, dir, "documents")
+    ops.Quality.confidentLearning(docs, col("doc_id"),
+      col("text"), col("lang"), docTf0 = Some(tf.join(
+        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
+  }
 
   /** Adamic–Adar link prediction between parts via shared suppliers
     * ([[ops.Graph.adamicAdar]], Adamic & Adar 2003) on the q94 part

@@ -1821,15 +1821,15 @@ object Quality {
     */
   def confidentLearning(docs: DataFrame, id: Column, text: Column,
       label: Column, k: Int = 5,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(true))
-      : DataFrame = {
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      docTf0: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"confidentLearning: k=$k")
     import graft.expr.Snap
-    val docTf = materialize(Fanout.fanout(docs)
+    val docTf = docTf0.getOrElse(materialize(Fanout.fanout(docs)
       .select(id.as("doc_id"), label.as("lab"),
         explode(graft.expr.TextStats.tokens(text)).as("term"))
       .groupBy(col("doc_id"), col("lab"), col("term"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))))
       .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
     val folds = broadcast(docs.sparkSession.range(k)
       .select(col("id").as("f")))
