@@ -4073,6 +4073,16 @@ object SparkEntry {
       Seq("lang" -> col("lang"), "source" -> col("source")),
       floor(col("n_chars") / lit(100)).cast("long"), l = 2.0)
 
+  /** Shapley-value channel attribution over user journeys
+    * ([[ops.Analytics.shapleyAttribution]], Shapley 1953; Zhao et al.
+    * 2018) — the axiomatic member of the attribution triad next to
+    * q107's positional rules and q319's Markov removal effects, over
+    * the exact 2^4 coalition lattice of touched-channel sets. */
+  private def qShapley(s: SparkSession, dir: String): DataFrame =
+    ops.Analytics.shapleyAttribution(t(s, dir, "events"), col("user_id"),
+      col("ts"), col("event_id"), col("event_type"), "purchase",
+      channels = Seq("click", "error", "signup", "view"))
+
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
     * data-driven "who do conversions actually flow through" next to
@@ -4991,7 +5001,8 @@ object SparkEntry {
     "q330_confident_learning" -> (qConfidentLearning _),
     "q331_adamic_adar" -> (qAdamicAdar _),
     "q332_overlap_join" -> (qOverlapJoin _),
-    "q333_l_diversity" -> (qLDiversity _))
+    "q333_l_diversity" -> (qLDiversity _),
+    "q334_shapley" -> (qShapley _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11429,5 +11440,34 @@ object SparkEntry {
         "round(exp(hh), 4) AS entropy_l, " +
         "round(exp(hh), 4) >= CAST(2.0 AS DOUBLE) AS diverse " +
         "FROM p JOIN h USING (lang, source)"
+    },
+    "q334_shapley" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // journeys <= first purchase; touched-set bitmask; v(S) = exact
+      // conversion rate at exactly-S (unobserved -> 0); exact factorial
+      // weights as single divisions; snapped phi
+      ("WITH b0 AS (SELECT user_id AS u, ts AS t, event_id AS i, CAST(event_type AS VARCHAR) AS e FROM events), " +
+        "b1 AS (SELECT *, sum(CASE WHEN e = 'purchase' THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY u ORDER BY t, i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np FROM b0), " +
+        "b2 AS (SELECT u, e FROM b1 WHERE coalesce(np, 0) = 0), " +
+        "pu AS (SELECT u, CAST(max(CASE WHEN e = 'click' THEN 1 ELSE 0 END) + " +
+        "max(CASE WHEN e = 'error' THEN 2 ELSE 0 END) + " +
+        "max(CASE WHEN e = 'signup' THEN 4 ELSE 0 END) + " +
+        "max(CASE WHEN e = 'view' THEN 8 ELSE 0 END) AS BIGINT) AS mask, " +
+        "CAST(max(CASE WHEN e = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM b2 GROUP BY 1), " +
+        "bm AS (SELECT mask, CAST(count(*) AS BIGINT) AS nu, CAST(sum(conv) AS BIGINT) AS nc FROM pu GROUP BY 1), " +
+        "lat AS MATERIALIZED (SELECT CAST(g.m AS BIGINT) AS mask, " +
+        "coalesce(CASE WHEN nu > 0 THEN CAST(nc AS DOUBLE) / CAST(nu AS DOUBLE) END, CAST(0 AS DOUBLE)) AS v " +
+        "FROM (SELECT unnest(generate_series(0, 15)) AS m) g LEFT JOIN bm ON bm.mask = g.m), " +
+        "ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)) AS t(channel, bit)), " +
+        "tm AS (SELECT channel, " +
+        "(CASE bit_count(l.mask) WHEN 0 THEN CAST(6.0 AS DOUBLE) / 24 WHEN 1 THEN CAST(2.0 AS DOUBLE) / 24 " +
+        "WHEN 2 THEN CAST(2.0 AS DOUBLE) / 24 WHEN 3 THEN CAST(6.0 AS DOUBLE) / 24 END) * (ux.v - l.v) AS term " +
+        "FROM lat l CROSS JOIN ch JOIN lat ux ON ux.mask = l.mask + bit WHERE (l.mask & bit) = 0), " +
+        s"ph AS (SELECT channel, round(${snap("term")}, 6) AS shapley FROM tm GROUP BY 1), " +
+        s"tt AS (SELECT ${snap("shapley")} AS tot FROM ph) " +
+        "SELECT channel, shapley, round(CASE WHEN tot > CAST(0 AS DOUBLE) THEN shapley / tot END, 6) AS share " +
+        "FROM ph CROSS JOIN tt")
     })
 }

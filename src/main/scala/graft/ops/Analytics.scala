@@ -2992,5 +2992,92 @@ object Analytics {
     kls.crossJoin(broadcast(area))
   }
 
+  /** Shapley-value channel attribution (Shapley 1953; Zhao, Mahboobi &
+    * Bagheri 2018, "Shapley value methods for attribution modeling")
+    * — the third member of the attribution triad: q107's positional
+    * rules are heuristic, q319's Markov removal-effect is model-based;
+    * the Shapley value is the unique allocation satisfying efficiency/
+    * symmetry/dummy axioms over the observed coalition outcomes.
+    * Journeys truncate at the FIRST conversion (q319's convention);
+    * each user contributes their touched-channel SET (as a bitmask
+    * over the caller-pinned channel list) and a converted flag;
+    * v(S) = the conversion rate among users whose touched set is
+    * EXACTLY S (unobserved coalitions contribute v = 0 — stated, the
+    * data-driven convention of the paper's "simplified" estimator);
+    * φ_i = Σ_{S ∌ i} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)).
+    *
+    * Exactness: masks and coalition counts are exact integers; v is
+    * an exact integer ratio; the factorial weights are exact small-int
+    * ratios evaluated in double (identical in any engine); φ is a
+    * 1e9-snapped sum over the 2^(n−1) terms, 6 dp out.
+    *
+    * Scale shape: ONE corpus pass to per-user (mask, converted) —
+    * user-partitioned window + map-side-combined rollup; everything
+    * after runs on the 2^n-row mask lattice (n = |channels|, a
+    * caller-bounded constant). Returns (channel, shapley, share). */
+  def shapleyAttribution(events: DataFrame, user: Column, ts: Column,
+      id: Column, eventType: Column, conversion: String,
+      channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 16 &&
+      channels.distinct.size == channels.size &&
+      !channels.contains(conversion),
+      s"shapleyAttribution: channels=$channels")
+    import graft.expr.Snap
+    val n = channels.size
+    val chSorted = channels.sorted
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("i"))
+    val base = events.select(user.as("u"), ts.as("t"), id.as("i"),
+        eventType.cast("string").as("e"))
+      .withColumn("np", sum(when(col("e") === conversion, 1L)
+        .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(coalesce(col("np"), lit(0L)) === 0L) // ≤ first conversion
+    val perUser = base.groupBy(col("u"))
+      .agg(chSorted.zipWithIndex.map { case (c, j) =>
+          max(when(col("e") === c, lit(1L << j)).otherwise(0L))
+            .as(s"b$j")
+        }.head,
+        (chSorted.zipWithIndex.tail.map { case (c, j) =>
+          max(when(col("e") === c, lit(1L << j)).otherwise(0L))
+            .as(s"b$j")
+        } :+ max(when(col("e") === conversion, 1L).otherwise(0L))
+          .as("conv")): _*)
+      .select((0 until n).map(j => col(s"b$j")).reduce(_ + _).as("mask"),
+        col("conv"))
+    val byMask = perUser.groupBy(col("mask"))
+      .agg(count(lit(1)).as("nu"), sum(col("conv")).as("nc"))
+    val lattice = events.sparkSession.range(1L << n)
+      .select(col("id").as("mask"))
+      .join(byMask, Seq("mask"), "left")
+      .select(col("mask"),
+        when(coalesce(col("nu"), lit(0L)) > 0L,
+          col("nc").cast("double") / col("nu").cast("double"))
+          .otherwise(lit(0.0)).as("v"))
+    def fact(k: Int): Long = (1 to k).product.toLong
+    // per (channel i, coalition S ∌ i): weight(|S|) · (v(S∪i) − v(S))
+    val chAxis = events.sparkSession
+      .createDataFrame(chSorted.zipWithIndex.map { case (c, j) =>
+        (c, 1L << j)
+      }).toDF("channel", "bit")
+    val wExpr = (1 until n).foldLeft(
+      when(expr("bit_count(mask)") === 0,
+        lit((fact(0) * fact(n - 1)).toDouble / fact(n)))) { (acc, k) =>
+      acc.when(expr("bit_count(mask)") === k,
+        lit((fact(k) * fact(n - 1 - k)).toDouble / fact(n)))
+    }
+    val terms = lattice.select(col("mask"), col("v"))
+      .crossJoin(broadcast(chAxis))
+      .filter((col("mask").bitwiseAND(col("bit"))) === 0L)
+      .join(lattice.select(col("mask").as("mu"), col("v").as("vu")),
+        col("mu") === (col("mask") + col("bit")))
+      .select(col("channel"), (wExpr * (col("vu") - col("v"))).as("term"))
+    val phi = terms.groupBy(col("channel"))
+      .agg(round(Snap.snappedSum(col("term"), 1e9), 6).as("shapley"))
+    val tot = phi.agg(Snap.snappedSum(col("shapley"), 1e9).as("tot"))
+    phi.crossJoin(broadcast(tot))
+      .select(col("channel"), col("shapley"),
+        round(when(col("tot") > 0.0, col("shapley") / col("tot")), 6)
+          .as("share"))
+  }
+
 }
 

@@ -1939,4 +1939,36 @@ class QualitySpec extends SparkSpec {
       r("C")._3 > 2.0 && r("C")._3 < 3.0, s"skewed class: ${r("C")}")
   }
 
+  test("shapleyAttribution: hand 2-channel coalition lattice; post-" +
+    "conversion touches ignored; efficiency (shares sum to 1)") {
+    import graft.ops.Analytics
+    // masks: {A}: u1(conv), u2, u6(conv — B arrives AFTER buy and must
+    // be ignored) -> v = 2/3; {B}: u3, u5 -> v = 0; {A,B}: u4 -> v = 1
+    // phi_A = 1/2*v(A) + 1/2*(v(AB) - v(B)) = 1/3 + 1/2 = 5/6
+    // phi_B = 1/2*0 + 1/2*(v(AB) - v(A)) = 1/6
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "buy"),
+      (2L, 1L, 3L, "A"),
+      (3L, 1L, 4L, "B"),
+      (4L, 1L, 5L, "A"), (4L, 2L, 6L, "B"), (4L, 3L, 7L, "buy"),
+      (5L, 1L, 8L, "B"),
+      (6L, 1L, 9L, "A"), (6L, 2L, 10L, "buy"), (6L, 3L, 11L, "B"))
+      .toDF("u", "t", "i", "e")
+    val r = Analytics.shapleyAttribution(ev, col("u"), col("t"),
+        col("i"), col("e"), "buy", channels = Seq("A", "B"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-4
+    assert(near(r("A")._1, 5.0 / 6) && near(r("B")._1, 1.0 / 6),
+      r.toString)
+    // efficiency: shares sum to 1; phi sums to v(grand) - v(empty) = 1
+    assert(near(r("A")._2 + r("B")._2, 1.0))
+    assert(near(r("A")._1 + r("B")._1, 1.0))
+    // channel list guards
+    intercept[IllegalArgumentException] {
+      Analytics.shapleyAttribution(ev, col("u"), col("t"), col("i"),
+        col("e"), "buy", channels = Seq("A", "buy"))
+    }
+  }
+
 }
