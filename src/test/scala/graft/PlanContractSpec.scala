@@ -1196,4 +1196,43 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q323: dHash candidates come ONLY through the (band, value) " +
+    "equi-join — no nested loop anywhere; top of the pipeline is one " +
+    "codegen explode") {
+    val p = plan("q323_dhash_neardup")
+    // (the bit table is localCheckpoint'd, so the explode's Generate
+    // runs in its own already-materialized stage — the served plan's
+    // contract is the join discipline)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q331: Adamic-Adar top-k plans as TakeOrderedAndProject, " +
+    "candidates only via the shared-vertex equi-join") {
+    val p = plan("q331_adamic_adar")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(!p.contains("rangepartitioning"),
+      "global sort materialization crept in")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q332: the interval-overlap join is an equi-join on the bin — " +
+    "the naive O(|A|x|B|) nested loop never appears") {
+    val p = plan("q332_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q334: Shapley runs ONE corpus pass — everything after the " +
+    "per-user rollup is lattice-sized (single corpus-keyed exchange " +
+    "chain, no corpus self-join)") {
+    val p = plan("q334_shapley")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the per-user window + rollup chain: user-partitioned exchanges
+    // only; the 16-row lattice joins broadcast
+    assert(count(p, "SortMergeJoin") == 0,
+      s"corpus-sized merge join crept in:\n${p.take(800)}")
+  }
+
 }
