@@ -265,6 +265,14 @@ object Analytics {
     val cnt = materialize(all.groupBy(col("grp"), col("x"))
       .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
         sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca")))
+    ksFromGrid(cnt)
+  }
+
+  /** [[ksDrift]] from its (grp, x, ce, ca) value-grid sufficient
+    * statistic — additive counts, the streaming monitor's state shape
+    * ([[graft.stream.StreamCuration.startKsSink]]); same contract as
+    * [[cvmFromGrid]]. */
+  def ksFromGrid(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy(col("grp"))
       .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"))
     val w = Window.partitionBy(col("grp")).orderBy(col("x"))

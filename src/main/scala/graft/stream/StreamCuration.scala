@@ -642,6 +642,64 @@ object StreamCuration {
       .start()
   }
 
+  /** q180's Kolmogorov–Smirnov two-sample drift maintained at INGEST —
+    * the 25th sink: the MAX-ECDF-distance companion to
+    * [[startCvmSink]]'s integrated distance, over the same
+    * (grp, value, half) observation stream and the SAME additive
+    * value-grid state shape ([[graft.ops.Analytics.ksFromGrid]]): each
+    * epoch's (D, scaled_d) is bit-identical to batch `ksDrift` over
+    * all arrived rows under any batch split (spec-pinned). KS reacts
+    * to the single worst point of divergence (a tail tear); CvM to
+    * accumulated shift — a live gate wants both tripwires on one
+    * state table. State persists per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): restarts
+    * RESUME, replayed epochs re-emit without re-merging. */
+  def startKsSink(obsStream: DataFrame, grpCol: String, xCol: String,
+      halfCol: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = obsStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ca",
+          org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    obsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId))
+            sink(graft.ops.Analytics.ksFromGrid(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val part = batch.select(col(grpCol).cast("string").as("grp"),
+              col(xCol).cast("double").as("x"),
+              col(halfCol).cast("string").as("half"))
+            .groupBy(col("grp"), col("x"))
+            .agg(sum(when(col("half") === "e", 1L).otherwise(0L))
+                .as("dce"),
+              sum(when(col("half") === "a", 1L).otherwise(0L)).as("dca"))
+          val next = state.get.join(part, Seq("grp", "x"), "full_outer")
+            .select(col("grp"), col("x"),
+              (coalesce(col("ce"), lit(0L)) + coalesce(col("dce"), lit(0L)))
+                .as("ce"),
+              (coalesce(col("ca"), lit(0L)) + coalesce(col("dca"), lit(0L)))
+                .as("ca"))
+          sink(graft.ops.Analytics.ksFromGrid(
+            state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q170's fill-in-the-middle construction at INGEST time: like the
     * span-corruption sink, the construction is a pure per-document
     * md5-derived function — union of batch outputs ≡ batch construction

@@ -195,4 +195,38 @@ class MonitorStateSpec extends SparkSpec {
     assert(want.head.contains("increasing"))
   }
 
+  test("startKsSink (25th sink): each emission ≡ batch ksDrift over " +
+    "all arrived rows under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val eRows = (1 to 40).map(i => ("g", (i % 10).toDouble, "e"))
+    val aRows = (1 to 40).map(i => ("g", (i % 10).toDouble + 4.0, "a"))
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(13)).shuffle(eRows ++ aRows)
+    def run(batches: Seq[Seq[(String, Double, String)]],
+        ckpt: String): Seq[String] = {
+      val ms = MemoryStream[(String, Double, String)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startKsSink(
+        ms.toDF().toDF("grp", "x", "half"), "grp", "x", "half", ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("grp")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = graft.ops.Analytics.ksDrift(
+      eRows.toDF("grp", "x", "half"), aRows.toDF("grp", "x", "half"),
+      col("grp"), col("x"))
+      .orderBy(col("grp")).collect().map(_.toString).toSeq
+    val ck1 = java.nio.file.Files.createTempDirectory("ks1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("ks2").toString
+    val a = run(Seq(all.take(25), all.slice(25, 60), all.drop(60)), ck1)
+    val b = run(Seq(all.reverse.take(37), all.reverse.drop(37)), ck2)
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+  }
+
 }
