@@ -72,33 +72,60 @@ object Bench {
       }
       name -> ts
     }
-    // per query: (reported min, p50 of ALL clean samples both passes).
-    // The min is the stall-resistant headline; the p50 makes noise vs
-    // regression readable round-over-round without a re-run.
-    val results = bench.map { case (name, fn) =>
-      val ts1 = pass1(name)
-      if (ts1.exists(_ < 0)) name -> ((-1.0, -1.0))
-      else {
-        val m1 = ts1.min
-        val t2 = timeOnce(fn)
-        val extra =
-          if (t2 < 0) Vector.empty[Double]
-          else if (t2 < m1 / 1.25) { // pass 1 was stall-poisoned
-            val t3 = timeOnce(fn)
-            if (t3 < 0) Vector(t2) else Vector(t2, t3)
-          } else Vector(t2)
-        // p50 basis: when pass 2 exposed pass 1 as stall-poisoned, the
-        // poisoned samples must not enter the median — otherwise the
-        // p50 column reports the stall as steady-state and a later
-        // clean round reads as a phantom recovery
-        val basis =
-          if (t2 >= 0 && t2 < m1 / 1.25) extra else ts1 ++ extra
-        val all = basis.sorted
-        val p50 =
-          if (all.size % 2 == 1) all(all.size / 2)
-          else (all(all.size / 2 - 1) + all(all.size / 2)) / 2.0
-        name -> ((math.min(m1, all.min), p50))
+    // per query: ALL clean samples (pass 1 + time-separated pass 2)
+    // plus the p50 basis. The min is the stall-resistant headline; the
+    // p50 makes noise vs regression readable round-over-round without
+    // a re-run. When pass 2 exposed pass 1 as stall-poisoned, the
+    // poisoned samples must not enter the median — otherwise the p50
+    // column reports the stall as steady-state and a later clean round
+    // reads as a phantom recovery.
+    def p50Of(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    var samples: Map[String, (Vector[Double], Vector[Double])] =
+      bench.map { case (name, fn) =>
+        val ts1 = pass1(name)
+        if (ts1.exists(_ < 0))
+          name -> ((Vector(-1.0), Vector(-1.0)))
+        else {
+          val m1 = ts1.min
+          val t2 = timeOnce(fn)
+          val extra =
+            if (t2 < 0) Vector.empty[Double]
+            else if (t2 < m1 / 1.25) { // pass 1 was stall-poisoned
+              val t3 = timeOnce(fn)
+              if (t3 < 0) Vector(t2) else Vector(t2, t3)
+            } else Vector(t2)
+          val basis =
+            if (t2 >= 0 && t2 < m1 / 1.25) extra else ts1 ++ extra
+          name -> ((ts1 ++ extra, basis))
+        }
       }
+    // RESCUE pass (the bench defends itself against noisy windows,
+    // VERDICT r11 #1): any query whose recorded spread still exceeds
+    // 1.5× (p50/min > 1.5 — a stall survived both passes) gets up to
+    // two more time-separated samples IN THIS PROCESS before the
+    // record is written; the extra samples join both the min and the
+    // p50 basis. A genuinely slow query converges (p50 ≈ min) and is
+    // left alone; only stall-shaped spread triggers the re-run.
+    val suspects = samples.collect {
+      case (n, (all, basis))
+          if all.head >= 0 && all.min > 0 &&
+            p50Of(basis) / all.min > 1.5 => n
+    }.toVector
+    for (name <- suspects) {
+      val fn = bench(name)
+      val extra = Vector(timeOnce(fn), timeOnce(fn)).filter(_ >= 0)
+      if (extra.nonEmpty) {
+        val (all, basis) = samples(name)
+        samples = samples.updated(name, (all ++ extra, basis ++ extra))
+      }
+    }
+    val results = samples.map { case (name, (all, basis)) =>
+      if (all.exists(_ < 0) && all.min < 0) name -> ((-1.0, -1.0))
+      else name -> ((all.min, p50Of(basis)))
     }
     def r3(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -106,7 +133,13 @@ object Bench {
       .mkString("{", ",", "}")
     val p50s = results.map { case (k, (_, p)) => s"\"" + k + "\":" + r3(p) }
       .mkString("{", ",", "}")
+    // both totals, named: total_min (sum of per-query min-of-samples —
+    // the stall-resistant number; == "value" for continuity) and
+    // total_p50 (sum of per-query p50s — the window-quality number).
+    // total_p50/total_min >> 1 means the WINDOW was noisy, not the
+    // queries: the round-over-round read no longer needs prose.
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalP50 = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     // host-drift indicator: the median over queries of p50/min. ~1.0 =
     // quiet host (medians sit on the mins); >>1 = memory-reclaim stalls
     // inflated repeat samples — read regressions against THIS, not prose
@@ -118,7 +151,7 @@ object Bench {
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r3(total)},"total_p50":${r3(totalP50)},"queries":$qs,"p50":$p50s,"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}"""
     // The driver artifact tail-truncates long stdout (BENCH_r06 lost its
     // head 38 timings) and its last-line parse must land on a COMPLETE
     // JSON object — so the per-query detail goes ONLY to a file, never
@@ -139,7 +172,7 @@ object Bench {
     // inside the driver's ~2 KB tail capture. sbt's own "[success] Total
     // time" epilogue is suppressed via showSuccess := false in build.sbt
     // so this line IS the last stdout line of the bench step.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"total_min":${r3(total)},"total_p50":${r3(totalP50)},"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

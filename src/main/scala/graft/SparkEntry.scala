@@ -3658,9 +3658,13 @@ object SparkEntry {
   /** Seasonal-naive forecast skill of daily event volume
     * ([[ops.Analytics.seasonalMase]], Hyndman & Koehler 2006) — is
     * there weekly structure worth modeling (MASE < 1), measured before
-    * anyone builds a model. */
+    * anyone builds a model. Reads the DENSE series (ADVICE r11):
+    * lag(y,1)/lag(y,7) are ROW offsets, so a calendar gap on the
+    * sparse series would silently compare non-adjacent days and
+    * corrupt both error pools; zero-event days count 0 — the stated
+    * estimand ("weekly skill of daily volume") holds on gapped data. */
   private def qSeasonalMase(s: SparkSession, dir: String): DataFrame =
-    ops.Analytics.seasonalMase(dailySeries(s, dir), col("p"), col("y"))
+    ops.Analytics.seasonalMase(dailySeriesDense(s, dir), col("p"), col("y"))
 
   /** Single CUSUM-normalized changepoint over daily event volume
     * ([[ops.Analytics.changepoint]]) — WHERE the level shifted, next
@@ -4037,12 +4041,19 @@ object SparkEntry {
 
   /** Adamic–Adar link prediction between parts via shared suppliers
     * ([[ops.Graph.adamicAdar]], Adamic & Adar 2003) on the q94 part
-    * subset — hub-discounted common-neighbor scores, top-100. */
+    * subset — hub-discounted common-neighbor scores, top-100. The
+    * estimand is "AA over vias of degree ∈ [2, 1000]" — the q282 df-
+    * band discipline baked into the served query, not left to the
+    * operator's unbounded default: a via shared by >1000 nodes
+    * contributes ≤ 1/ln(1000) ≈ 0.14 per pair but deg² ≈ ≥10⁶
+    * candidate pairs, so the cap trades vanishing signal for a hard
+    * per-hub pair bound (TPC-H via-degree is ~150 at every SF — the
+    * cap binds only on genuinely skewed co-occurrence graphs). */
   private def qAdamicAdar(s: SparkSession, dir: String): DataFrame =
     ops.Graph.adamicAdar(
       t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
         .select(col("l_partkey"), col("l_suppkey")),
-      "l_partkey", "l_suppkey", k = 100)
+      "l_partkey", "l_suppkey", k = 100, maxDeg = 1000L)
 
   /** Interval-overlap join ([[ops.RangeJoin.overlapJoin]]): per-user
     * daily activity spans × the daily 06–18h business windows (q35's
@@ -4082,6 +4093,16 @@ object SparkEntry {
     ops.Analytics.shapleyAttribution(t(s, dir, "events"), col("user_id"),
       col("ts"), col("event_id"), col("event_type"), "purchase",
       channels = Seq("click", "error", "signup", "view"))
+
+  /** Cross-modal (text → media) retrieval eval
+    * ([[ops.Multimodal.crossModalRecall]]) — recall@{1,5,10} of the
+    * md5-stub joint-embedding text query against the media feature
+    * corpus, flat brute-force vs the 4-bit sign-bucket probe side by
+    * side: the retrieval-quality rung of the multimodal shelf (its
+    * dedup is q323/q325, its gates q324). */
+  private def qCrossModalRecall(s: SparkSession, dir: String): DataFrame =
+    ops.Multimodal.crossModalRecall(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
 
   /** Markov removal-effect attribution over user journeys
     * ([[ops.Analytics.markovAttribution]], Anderl et al. 2016) — the
@@ -4126,12 +4147,19 @@ object SparkEntry {
 
   /** HITS hubs & authorities over the DIRECTED part→supplier graph
     * ([[ops.Graph.hits]], Kleinberg 1999), two unrolled normalized
-    * rounds — the prestige PAIR q93's single PageRank score conflates. */
+    * rounds — the prestige PAIR q93's single PageRank score conflates.
+    * At iters = 2 the per-iteration materialize is identity: the edge
+    * set is checkpointed once inside the operator, the four
+    * score-propagation joins run as ONE lazy plan (ReuseExchange
+    * dedupes the shared subtrees), and the job count drops from ~7 to
+    * 3 — the snapped scores are bit-identical either way (VERDICT r11
+    * #3). Deep-iteration callers keep the default per-round
+    * checkpoint for bounded lineage. */
   private def qHits(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select((col("l_partkey") * 10).as("src"),
         (col("l_suppkey") * 10 + 1).as("dst"))
-    ops.Graph.hits(li, "src", "dst", iters = 2)
+    ops.Graph.hits(li, "src", "dst", iters = 2, materialize = df => df)
   }
 
   /** Local clustering coefficient on the q94 co-purchase graph
@@ -5002,7 +5030,8 @@ object SparkEntry {
     "q331_adamic_adar" -> (qAdamicAdar _),
     "q332_overlap_join" -> (qOverlapJoin _),
     "q333_l_diversity" -> (qLDiversity _),
-    "q334_shapley" -> (qShapley _))
+    "q334_shapley" -> (qShapley _),
+    "q335_crossmodal_recall" -> (qCrossModalRecall _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -9753,9 +9782,13 @@ object SparkEntry {
     "q275_seasonal_mase" -> {
       val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
         "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
-      // daily counts; lag-1 vs lag-7 absolute-error pools, snapped;
-      // MASE = MAE(seasonal)/MAE(naive)
-      "WITH sdy AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+      // DENSE daily counts (zero-event days = 0 — lag is a row offset,
+      // so the grid must be contiguous); lag-1 vs lag-7 absolute-error
+      // pools, snapped; MASE = MAE(seasonal)/MAE(naive)
+      "WITH sdy0 AS (SELECT epoch_us(ts) // 86400000000 AS p, CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1), " +
+        "spx AS (SELECT min(p) AS lo, max(p) AS hi FROM sdy0), " +
+        "sdy AS (SELECT gx.p, coalesce(y, CAST(0 AS DOUBLE)) AS y " +
+        "FROM (SELECT unnest(generate_series(lo, hi)) AS p FROM spx) gx LEFT JOIN sdy0 USING (p)), " +
         "sde AS (SELECT p, y, abs(y - lag(y, 1) OVER (ORDER BY p)) AS e1, " +
         "abs(y - lag(y, 7) OVER (ORDER BY p)) AS es FROM sdy), " +
         s"sdm AS (SELECT count(*) AS n, count(e1) AS n1, count(es) AS ns, " +
@@ -11405,12 +11438,13 @@ object SparkEntry {
     "q331_adamic_adar" -> {
       val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
         "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
-      // shared-supplier candidates only; 1/ln(deg) snapped; top-100 by
+      // shared-supplier candidates only, via-degree band [2, 1000]
+      // (the served query's hub cap); 1/ln(deg) snapped; top-100 by
       // (score desc, ids)
       "WITH e AS (SELECT DISTINCT l_partkey AS node, l_suppkey AS via " +
         "FROM lineitem WHERE l_partkey % 4 = 0), " +
         "dg AS (SELECT via, count(*) AS deg FROM e GROUP BY 1), " +
-        "ew AS MATERIALIZED (SELECT e.node, e.via, dg.deg FROM e JOIN dg USING (via) WHERE deg >= 2), " +
+        "ew AS MATERIALIZED (SELECT e.node, e.via, dg.deg FROM e JOIN dg USING (via) WHERE deg >= 2 AND deg <= 1000), " +
         "px AS (SELECT a.node AS node_a, b.node AS node_b, a.deg " +
         "FROM ew a JOIN ew b ON a.via = b.via AND a.node < b.node), " +
         "ag AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common, " +
@@ -11469,5 +11503,41 @@ object SparkEntry {
         s"tt AS (SELECT ${snap("shapley")} AS tot FROM ph) " +
         "SELECT channel, shapley, round(CASE WHEN tot > CAST(0 AS DOUBLE) THEN shapley / tot END, 6) AS share " +
         "FROM ph CROSS JOIN tt")
+    },
+    "q335_crossmodal_recall" -> {
+      val sb4 = (v: String) => "CAST(" + (0 until 4).map(j =>
+        s"CASE WHEN $v[${j + 1}] >= CAST(0.5 AS DOUBLE) THEN ${1 << j} ELSE 0 END")
+        .mkString(" + ") + " AS BIGINT)"
+      // md5 media features (q325's grid); text query = own features +
+      // (md5 'q' grid − 0.5)·0.25; cosine 6-dp rank with id tie-break;
+      // recall@k = own-id hit rate, flat scan vs 4-bit sign bucket
+      ("WITH f AS MATERIALIZED (SELECT doc_id, " +
+        "list_transform(generate_series(0, 7), j -> " +
+        "CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || text), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0) AS e " +
+        "FROM documents), " +
+        s"c AS MATERIALIZED (SELECT doc_id AS n_id, e, ${sb4("e")} AS bucket FROM f), " +
+        "q0 AS (SELECT doc_id AS q_id, list_transform(generate_series(0, 7), j -> e[j + 1] + " +
+        "(CAST(CAST(('0x' || substr(md5('q' || CAST(j AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 - CAST(0.5 AS DOUBLE)) * CAST(0.25 AS DOUBLE)) AS qv " +
+        "FROM f WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0), " +
+        s"q AS MATERIALIZED (SELECT q_id, qv, ${sb4("qv")} AS q_bucket FROM q0), " +
+        "nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q), " +
+        "hs AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k), " +
+        "sf AS (SELECT q_id, n_id, round(list_dot_product(qv, e) / " +
+        "nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)), 0), 6) AS cos FROM q CROSS JOIN c), " +
+        "rf AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sf), " +
+        "hfl AS (SELECT q_id, min(rank) AS hit_rank FROM rf WHERE rank <= 10 AND n_id = q_id GROUP BY 1), " +
+        "sb AS (SELECT q_id, n_id, round(list_dot_product(qv, e) / " +
+        "nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)), 0), 6) AS cos FROM q JOIN c ON q.q_bucket = c.bucket), " +
+        "rb AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM sb), " +
+        "hbk AS (SELECT q_id, min(rank) AS hit_rank FROM rb WHERE rank <= 10 AND n_id = q_id GROUP BY 1), " +
+        "hcf AS (SELECT k, CAST(count(*) AS BIGINT) AS h FROM hs, hfl WHERE hit_rank <= k GROUP BY 1), " +
+        "hcb AS (SELECT k, CAST(count(*) AS BIGINT) AS h FROM hs, hbk WHERE hit_rank <= k GROUP BY 1) " +
+        "SELECT method, k, n_queries, hits, round(CAST(hits AS DOUBLE) / CAST(n_queries AS DOUBLE), 6) AS recall_at_k FROM (" +
+        "SELECT 'flat' AS method, hs.k, nq.n_queries, CAST(coalesce(hcf.h, 0) AS BIGINT) AS hits " +
+        "FROM hs CROSS JOIN nq LEFT JOIN hcf ON hcf.k = hs.k " +
+        "UNION ALL " +
+        "SELECT 'bucket' AS method, hs.k, nq.n_queries, CAST(coalesce(hcb.h, 0) AS BIGINT) AS hits " +
+        "FROM hs CROSS JOIN nq LEFT JOIN hcb ON hcb.k = hs.k) " +
+        "ORDER BY method, k")
     })
 }

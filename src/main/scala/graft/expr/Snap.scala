@@ -11,24 +11,38 @@ import org.apache.spark.sql.functions._
   * aggregates; the oracle SQL writes the same
   * `sum(CAST(floor(term * grid + 0.5) AS DECIMAL(38,0))) / grid`.
   *
-  * Domain: |term| · grid must stay under 2^63 (Spark's floor(double)
-  * yields a long) — e.g. |term| < 9e9 on the 1e9 grid. Every current
-  * caller's terms are probabilities, logs of probabilities, or
-  * unit-scale squared distances, far inside the bound.
+  * Domain: exact to ~1e38 · 1/grid. Terms with |term| · grid < 2^63
+  * take a long-backed fast path; larger terms fall back to the direct
+  * double→decimal cast (see snappedSum) — either way the snap is exact,
+  * never saturated. Every current caller's terms are probabilities,
+  * logs of probabilities, or unit-scale squared distances, far inside
+  * even the fast-path bound.
   */
 object Snap {
 
   /** Σ terms, each snapped half-up to 1/grid resolution.
     *
     * The per-row snap routes double → LONG → decimal(38,0): within the
-    * documented |term|·grid < 2^63 domain the long cast is exact (same
-    * value the direct double→decimal cast produces), and a long-backed
-    * Decimal keeps Spark's fast non-BigDecimal accumulation path in the
-    * sum buffer — measurably cheaper on million-row pair aggregations
-    * (q282). The SUM itself stays decimal(38,0): totals may exceed
-    * 2^63 and must not wrap. */
-  def snappedSum(term: Column, grid: Double): Column =
-    sum(floor(term * lit(grid) + lit(0.5)).cast("long")
-        .cast("decimal(38,0)"))
-      .cast("double") / lit(grid)
+    * |term|·grid < 2^63 domain the long cast is exact (same value the
+    * direct double→decimal cast produces), and a long-backed Decimal
+    * keeps Spark's fast non-BigDecimal accumulation path in the sum
+    * buffer — measurably cheaper on million-row pair aggregations
+    * (q282). The fast path is GUARDED, not assumed: a scaled term at or
+    * beyond 2^63 (where the non-ANSI double→long cast would silently
+    * saturate at Long.MaxValue) falls back to the exact double→decimal
+    * cast, good to ~1e38 — so a 100 TB-scale weight blowup degrades to
+    * the slow-but-correct path instead of a silently wrong sum. NaN
+    * scaled terms take the fallback too and become NULL (ignored by
+    * SUM), matching the pre-fast-path behavior rather than the long
+    * cast's NaN→0. The SUM itself stays decimal(38,0): totals may
+    * exceed 2^63 and must not wrap. */
+  def snappedSum(term: Column, grid: Double): Column = {
+    val scaled = floor(term * lit(grid) + lit(0.5))
+    // Long.MaxValue.toDouble == 2^63 exactly; any double strictly below
+    // it is representable as a long, so the guarded cast never saturates.
+    val snapped = when(abs(scaled) < lit(Long.MaxValue.toDouble),
+                       scaled.cast("long").cast("decimal(38,0)"))
+      .otherwise(scaled.cast("decimal(38,0)"))
+    sum(snapped).cast("double") / lit(grid)
+  }
 }

@@ -1995,6 +1995,17 @@ object Analytics {
     val cnt = materialize(all.groupBy(col("grp"), col("x"))
       .agg(sum(when(col("half") === "e", 1L).otherwise(0L)).as("ce"),
         sum(when(col("half") === "a", 1L).otherwise(0L)).as("ca")))
+    wassersteinFromGrid(cnt)
+  }
+
+  /** [[wassersteinDrift]] from its value-grid sufficient statistic —
+    * the (grp, x, ce, ca) per-value class counts. The counts are
+    * purely ADDITIVE, which is exactly what the streaming monitor sink
+    * needs: maintain the grid incrementally, re-read the statistic per
+    * epoch ([[graft.stream.StreamCuration.startWassersteinSink]]) —
+    * the same contract as [[cvmFromGrid]] / [[ksFromGrid]]. */
+  def wassersteinFromGrid(cnt: DataFrame): DataFrame = {
+    import graft.expr.Snap
     val tot = cnt.groupBy(col("grp"))
       .agg(sum(col("ce")).as("te"), sum(col("ca")).as("ta"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("x"))
@@ -2279,31 +2290,6 @@ object Analytics {
     val absorb = events.sparkSession
       .createDataFrame(Seq((conversion, conversion, 1.0), ("END", "END", 1.0)))
       .toDF("src", "dst", "p")
-    def close(m: DataFrame): DataFrame = m.unionByName(absorb)
-    def square(m: DataFrame): DataFrame = {
-      val a = m.select(col("src").as("i"), col("dst").as("k"),
-        col("p").as("pa"))
-      val b = m.select(col("src").as("k"), col("dst").as("j"),
-        col("p").as("pb"))
-      materialize(a.join(b, "k")
-        .groupBy(col("i").as("src"), col("j").as("dst"))
-        .agg(snap6(Snap.snappedSum(col("pa") * col("pb"), 1e9)).as("p"))
-        .filter(col("p") > 0.0))
-    }
-    // reach = P^16[START→conversion]; absorbed = P^16[START→{conv,END}].
-    // 1 − absorbed is the UNABSORBED residual: mass still in transient
-    // states after 16 transitions — the visible readout of the fixed
-    // four-squaring truncation (journeys needing >16 steps), mirroring
-    // stationaryDistribution's tv_delta convergence convention.
-    def reach(m0: DataFrame): DataFrame = {
-      val p16 = square(square(square(square(close(m0)))))
-      p16.filter(col("src") === "START" &&
-          (col("dst") === conversion || col("dst") === "END"))
-        .agg(coalesce(max(when(col("dst") === conversion, col("p"))),
-            lit(0.0)).as("reach"),
-          coalesce(sum(col("p")), lit(0.0)).as("absorbed"))
-    }
-    val full = reach(pFull).select(col("reach"))
     // removable states: caller-pinned (oracle-replayable), or
     // discovered — a bounded |event types|-sized driver read
     val removable = removable0.map(_.sorted).getOrElse(
@@ -2316,18 +2302,69 @@ object Analytics {
         s"journey goes directly START→$conversion/END, so there is " +
         "nothing to attribute; pass removable0 explicitly if the state " +
         "set is known")
-    val rows = removable.map { s =>
-      // redirect every transition INTO s to END (row sums stay 1)
-      val variant = pFull.select(col("src"),
-        when(col("dst") === s, lit("END")).otherwise(col("dst")).as("dst"),
+    // ALL removal variants + the untouched chain evaluated as ONE
+    // v-keyed block-diagonal matrix: the four squarings run ONCE over
+    // the union instead of once per variant — a driver loop of
+    // (|variants|+1) × 4 tiny materialized jobs was this operator's
+    // whole constant factor (VERDICT r11 #3). Per-variant math is
+    // bit-identical to the loop form: every (v, src, dst) group
+    // carries exactly the terms the per-variant plan carried, and the
+    // snapped sums are summation-order-independent by construction.
+    val FULL = "__FULL__" // sentinel v for the untouched chain:
+    // the control-char prefix cannot appear in a sane event type,
+    // and the guard makes the assumption explicit, not silent
+    require(!removable.contains(FULL),
+      "markovAttribution: a removable state collides with the " +
+        "internal full-chain sentinel; rename the event type")
+    val rem = events.sparkSession.createDataFrame(
+      removable.map(Tuple1(_))).toDF("v")
+    val remAll = rem.unionByName(events.sparkSession
+      .createDataFrame(Seq(Tuple1(FULL))).toDF("v"))
+    // redirect every transition INTO v to END (row sums stay 1)
+    val variants = pFull.crossJoin(broadcast(rem))
+      .filter(col("src") =!= col("v"))
+      .select(col("v"), col("src"),
+        when(col("dst") === col("v"), lit("END")).otherwise(col("dst"))
+          .as("dst"),
         col("p"))
-        .filter(col("src") =!= s)
-        .groupBy(col("src"), col("dst"))
-        .agg(snap6(Snap.snappedSum(col("p"), 1e9)).as("p"))
-      reach(variant).select(lit(s).as("state"),
-        col("reach").as("reach_removed"),
-        round(lit(1.0) - col("absorbed"), 6).as("unabsorbed"))
-    }.reduce(_ unionByName _)
+      .groupBy(col("v"), col("src"), col("dst"))
+      .agg(snap6(Snap.snappedSum(col("p"), 1e9)).as("p"))
+    val allM = variants.unionByName(
+      pFull.select(lit(FULL).as("v"), col("src"), col("dst"), col("p")))
+    val absorbV = absorb.crossJoin(broadcast(remAll))
+      .select(col("v"), col("src"), col("dst"), col("p"))
+    def closeV(m: DataFrame): DataFrame = m.unionByName(absorbV)
+    def squareV(m: DataFrame): DataFrame = {
+      val a = m.select(col("v"), col("src").as("i"), col("dst").as("k"),
+        col("p").as("pa"))
+      val b = m.select(col("v"), col("src").as("k"), col("dst").as("j"),
+        col("p").as("pb"))
+      materialize(a.join(b, Seq("v", "k"))
+        .groupBy(col("v"), col("i").as("src"), col("j").as("dst"))
+        .agg(snap6(Snap.snappedSum(col("pa") * col("pb"), 1e9)).as("p"))
+        .filter(col("p") > 0.0))
+    }
+    // reach = P^16[START→conversion]; absorbed = P^16[START→{conv,END}].
+    // 1 − absorbed is the UNABSORBED residual: mass still in transient
+    // states after 16 transitions — the visible readout of the fixed
+    // four-squaring truncation (journeys needing >16 steps), mirroring
+    // stationaryDistribution's tv_delta convergence convention.
+    val p16 = squareV(squareV(squareV(squareV(closeV(allM)))))
+    val reaches = p16.filter(col("src") === "START" &&
+        (col("dst") === conversion || col("dst") === "END"))
+      .groupBy(col("v"))
+      .agg(coalesce(max(when(col("dst") === conversion, col("p"))),
+          lit(0.0)).as("reach"),
+        coalesce(sum(col("p")), lit(0.0)).as("absorbed"))
+    // global agg → always one row, even in the degenerate all-mass-
+    // transient case the per-variant global aggs used to absorb
+    val full = reaches.filter(col("v") === FULL)
+      .agg(coalesce(max(col("reach")), lit(0.0)).as("reach"))
+    val rows = rem.join(reaches, Seq("v"), "left")
+      .select(col("v").as("state"),
+        coalesce(col("reach"), lit(0.0)).as("reach_removed"),
+        round(lit(1.0) - coalesce(col("absorbed"), lit(0.0)), 6)
+          .as("unabsorbed"))
     val joined = rows.crossJoin(broadcast(full))
       .select(col("state"), round(col("reach"), 6).as("reach_full"),
         round(col("reach_removed"), 6).as("reach_removed"),

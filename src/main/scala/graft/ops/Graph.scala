@@ -251,10 +251,16 @@ object Graph {
       : DataFrame = {
     import graft.expr.Snap
     require(iters >= 1, s"hits: iters=$iters")
-    val e = materialize(edges.select(col(src).cast("long").as("src"),
-      col(dst).cast("long").as("dst")).distinct())
-    val nodes = materialize(
-      e.select(col("src").as("id")).union(e.select(col("dst"))).distinct())
+    // e and nodes are ALWAYS materialized (independent of the caller's
+    // per-iteration policy): the deduped edge set feeds 2·iters joins
+    // and must be scanned + distinct'd exactly once — the q21/q25
+    // session-artifact pattern (VERDICT r11 #3)
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).distinct()
+      .localCheckpoint(eager = true)
+    val nodes =
+      e.select(col("src").as("id")).union(e.select(col("dst"))).distinct()
+        .localCheckpoint(eager = true)
     def snap6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     // raw scores L1-normalize on the snapped total; an all-zero side
     // (structurally impossible on a nonempty edge set, but the guard

@@ -367,4 +367,96 @@ object Multimodal {
         idCol = "doc_id", vecCol = "feat")
       .select(col("doc_id"), col("bucket"))
   }
+
+  /** Cross-modal (text → media) retrieval eval — recall@k of a
+    * joint-embedding TEXT query against the MEDIA feature corpus, the
+    * retrieval-quality rung the multimodal shelf lacked next to its
+    * dedup (dhash / SemDeDup) and gates (VERDICT r11 #6). The paired
+    * setup every image↔caption eval uses: each sampled document's text
+    * query has exactly ONE relevant item — its own media — so
+    * recall@k = hit@k of the own id in the top k.
+    *
+    * The joint encoder is the md5 STUB, shaped like the real thing:
+    * the text query embeds as the doc's own [[mediaFeatureArray]]
+    * vector plus a deterministic md5 perturbation
+    * (q_j = feat_j + (md5("q"+j+"|"+id) grid − 0.5)·0.25 — the ±0.125
+    * displacement a real encoder's text↔image gap plays; 0.25 is a
+    * power of two so the scaling is IEEE-exact in any engine). A real
+    * joint encoder replaces ONE expression (the query construction);
+    * ranking, probing, and scoring are unchanged. Queries are the
+    * md5-stable 1/`queryMod` document sample (the eval set is
+    * caller-bounded — stated; it BROADCASTS).
+    *
+    * Two retrieval paths score side by side, the q142 flat-vs-ANN
+    * regime:
+    *  - `flat`: brute-force cosine over the full corpus — the exact
+    *    baseline. The all-pairs product is an intentional
+    *    |Q|·|corpus| scan with the bounded query side broadcast; the
+    *    join key is a constant so it plans as a BroadcastHashJoin,
+    *    never a BNLJ.
+    *  - `bucket`: candidates only from the query vector's 4-bit
+    *    sign-bucket cell (the q325 blocking) — the scale path; its
+    *    recall deficit vs `flat` prices the perturbation crossing a
+    *    sign boundary, exactly the type-II readout IVF probing buys.
+    *
+    * Exactness: features and perturbations are md5-grid arithmetic,
+    * cosine rounds to 6 dp before the (cos desc, id) rank, recall is
+    * an exact integer ratio rounded at 6 dp — fully DuckDB-replayable.
+    * Scale shape: one codegen projection per side, two broadcast hash
+    * joins, per-query top-k as a rank-k window (WindowGroupLimit's
+    * k-row heap per task), |ks|-row rollups.
+    * Returns (method, k, n_queries, hits, recall_at_k). */
+  def crossModalRecall(media: DataFrame, id: Column, payload: Column,
+      ks: Seq[Int] = Seq(1, 5, 10), queryMod: Int = 16): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"crossModalRecall: ks=$ks")
+    require(queryMod >= 1, s"crossModalRecall: queryMod=$queryMod")
+    import graft.expr.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val kMax = ks.max
+    val spark0 = media.sparkSession
+    def bucketOf(vec: Column): Column =
+      (0 until 4).map(j => when(element_at(vec, j + 1) >= 0.5,
+        lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val feats = media.select(id.cast("long").as("doc_id"),
+      mediaFeatureArray(payload).as("feat"))
+    val corpus = feats.select(col("doc_id").as("n_id"), col("feat"),
+      bucketOf(col("feat")).as("bucket"), lit(1).as("one"))
+    val noise = transform(sequence(lit(0), lit(7)), j =>
+      (pmod(conv(substring(md5(concat(lit("q"), j.cast("string"),
+        lit("|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long"), lit(1000L)).cast("double") / lit(1000.0) -
+        lit(0.5)) * lit(0.25))
+    val queries = feats
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 8), 16, 10).cast("long"), lit(queryMod.toLong)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        zip_with(col("feat"), noise, (a, b) => a + b).as("q_vec"))
+    val qb = broadcast(queries.select(col("q_id"), col("q_vec"),
+      bucketOf(col("q_vec")).as("q_bucket"), lit(1).as("one")))
+    val kdf = broadcast(spark0.createDataFrame(
+      ks.map(k => Tuple1(k.toLong))).toDF("k"))
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    def evalOf(scored: DataFrame, method: String): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      val hitRank = scored
+        .select(col("q_id"), col("n_id"),
+          round(Similarity.cosine(col("feat"), col("q_vec")), 6).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= kMax && col("n_id") === col("q_id"))
+        .groupBy(col("q_id")).agg(min(col("rank")).as("hit_rank"))
+      val hitsPerK = hitRank.crossJoin(kdf)
+        .filter(col("hit_rank") <= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("h"))
+      kdf.join(hitsPerK, Seq("k"), "left").crossJoin(broadcast(nq))
+        .select(lit(method).as("method"), col("k"), col("n_queries"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          round(coalesce(col("h"), lit(0L)).cast("double") /
+            col("n_queries").cast("double"), 6).as("recall_at_k"))
+    }
+    val flat = evalOf(corpus.join(qb, Seq("one")), "flat")
+    val probed = evalOf(
+      corpus.join(qb, col("bucket") === col("q_bucket")), "bucket")
+    flat.unionByName(probed).orderBy(col("method"), col("k"))
+  }
 }

@@ -28,11 +28,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sink skip the merge for a replayed epoch and re-emit its readout
   * from the already-merged state instead.
   *
-  * Crash safety: parquet commit is atomic via `_SUCCESS` (a dir without
-  * it is ignored on reload), and the previous committed epoch is kept
-  * until the next commit — a crash between the state commit for epoch N
-  * and the stream's own offset commit replays N, which
-  * [[alreadyMerged]] absorbs.
+  * Crash safety: on HDFS-like filesystems with atomic rename the
+  * parquet commit is atomic via `_SUCCESS` (a dir without it is
+  * ignored on reload). On object stores without rename atomicity
+  * (S3A and similar) file visibility is not ordered with the
+  * `_SUCCESS` marker, so a crashed commit could reload a partially
+  * visible epoch dir — run the state dir on an HDFS-like store, or
+  * front the object store with a rename-committing layer. The
+  * previous committed epoch is kept until the next commit — a crash
+  * between the state commit for epoch N and the stream's own offset
+  * commit replays N, which [[alreadyMerged]] absorbs.
   */
 final class MonitorState(spark: SparkSession, dir: String,
     empty: DataFrame) {
@@ -42,10 +47,13 @@ final class MonitorState(spark: SparkSession, dir: String,
 
   private def committedEpochs(): Seq[Long] =
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.collect {
-      case st if st.isDirectory && st.getPath.getName.startsWith("e=") &&
-          fs.exists(new Path(st.getPath, "_SUCCESS")) =>
-        st.getPath.getName.drop(2).toLong
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      // parse defensively: a stray `e=garbage` entry must not kill
+      // reload — only well-formed `_SUCCESS`-committed dirs count
+      if (st.isDirectory && st.getPath.getName.startsWith("e=") &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
+        scala.util.Try(st.getPath.getName.drop(2).toLong).toOption
+      else None
     }
 
   @volatile private var lastEpoch: Long = {
@@ -85,8 +93,10 @@ final class MonitorState(spark: SparkSession, dir: String,
     lastEpoch = epochId
     // keep {prev, epochId}; prune anything older
     committedEpochs().filter(_ < prev).foreach { e =>
+      // best-effort prune: swallow filesystem hiccups only — never
+      // interrupts or other fatal errors
       try fs.delete(new Path(s"$dir/e=$e"), true)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     durable
   }

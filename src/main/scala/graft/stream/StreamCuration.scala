@@ -17,6 +17,23 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   */
 object StreamCuration {
 
+  /** Null-safe full-outer state merge shared by every count-grid sink:
+    * joins accumulated state `st` with the per-batch delta `part` on
+    * null-safe (`<=>`) equality of `keys` and returns the joined frame
+    * plus the coalesced key columns to re-select. A plain equi-key
+    * `full_outer` would never match a NULL key (a null/uncastable
+    * period, group, value, or bin), so the null-key row would DUPLICATE
+    * in the state every epoch and the readout would diverge from the
+    * batch operator — `<=>` merges it exactly once, the
+    * startBenfordSink discipline applied uniformly (ADVICE r11). */
+  private[stream] def mergeOnKeys(st: DataFrame, part: DataFrame,
+      keys: Seq[String]): (DataFrame, Seq[org.apache.spark.sql.Column]) = {
+    import org.apache.spark.sql.functions.coalesce
+    val cond = keys.map(k => st(k) <=> part(k)).reduce(_ && _)
+    (st.join(part, cond, "full_outer"),
+      keys.map(k => coalesce(st(k), part(k)).as(k)))
+  }
+
   def startSpanCorruptionSink(docStream: DataFrame, idCol: String,
       textCol: String, startPct: Int, spanLen: Int, checkpointDir: String,
       sink: (DataFrame, Long) => Unit): StreamingQuery =
@@ -172,10 +189,10 @@ object StreamCuration {
           val st = state.get
           val part = batch.select(col(periodCol).cast("long").as("p"))
             .groupBy(col("p")).agg(count(lit(1)).as("c"))
-          val next = st.join(part, Seq("p"), "full_outer")
-            .select(col("p"),
-              (coalesce(st("c"), lit(0L)) +
-                coalesce(part("c"), lit(0L))).as("c"))
+          val (j, ks) = mergeOnKeys(st, part, Seq("p"))
+          val next = j.select(ks :+
+            (coalesce(st("c"), lit(0L)) +
+              coalesce(part("c"), lit(0L))).as("c"): _*)
           sink(readout(state.commit(next, epochId)), epochId)
         }
       }
@@ -337,12 +354,12 @@ object StreamCuration {
                 .as("dx"),
               snap9(when(col("ts") >= cut, col("v")).otherwise(lit(0.0)))
                 .as("dy"))
-          val next = state.get.join(part, Seq("u"), "full_outer")
-            .select(col("u"),
-              (coalesce(col("x9"), dec0) + coalesce(col("dx"), dec0))
-                .cast("decimal(38,0)").as("x9"),
-              (coalesce(col("y9"), dec0) + coalesce(col("dy"), dec0))
-                .cast("decimal(38,0)").as("y9"))
+          val (j, ks) = mergeOnKeys(state.get, part, Seq("u"))
+          val next = j.select(ks ++ Seq(
+            (coalesce(col("x9"), dec0) + coalesce(col("dx"), dec0))
+              .cast("decimal(38,0)").as("x9"),
+            (coalesce(col("y9"), dec0) + coalesce(col("dy"), dec0))
+              .cast("decimal(38,0)").as("y9")): _*)
           sink(readout(state.commit(next, epochId)), epochId)
         }
       }
@@ -403,14 +420,14 @@ object StreamCuration {
             .agg(count(lit(1)).as("dn"), sum(col("ok")).as("dk"),
               sum(floor(col("conf") * lit(1e9) + lit(0.5))
                 .cast("decimal(38,0)")).as("ds9"))
-          val next = state.get.join(part, Seq("bin"), "full_outer")
-            .select(col("bin"),
-              (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-                .as("n"),
-              (coalesce(col("k"), lit(0L)) + coalesce(col("dk"), lit(0L)))
-                .as("k"),
-              (coalesce(col("s9"), dec0) + coalesce(col("ds9"), dec0))
-                .cast("decimal(38,0)").as("s9"))
+          val (j, ks) = mergeOnKeys(state.get, part, Seq("bin"))
+          val next = j.select(ks ++ Seq(
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("k"), lit(0L)) + coalesce(col("dk"), lit(0L)))
+              .as("k"),
+            (coalesce(col("s9"), dec0) + coalesce(col("ds9"), dec0))
+              .cast("decimal(38,0)").as("s9")): _*)
           sink(readout(state.commit(next, epochId)), epochId)
         }
       }
@@ -462,12 +479,12 @@ object StreamCuration {
             .groupBy(col("s"))
             .agg(sum(col("pos")).as("dnp"),
               sum(lit(1L) - col("pos")).as("dnn"))
-          val next = state.get.join(part, Seq("s"), "full_outer")
-            .select(col("s"),
-              (coalesce(col("np"), lit(0L)) + coalesce(col("dnp"), lit(0L)))
-                .as("np"),
-              (coalesce(col("nn"), lit(0L)) + coalesce(col("dnn"), lit(0L)))
-                .as("nn"))
+          val (j, ks) = mergeOnKeys(state.get, part, Seq("s"))
+          val next = j.select(ks ++ Seq(
+            (coalesce(col("np"), lit(0L)) + coalesce(col("dnp"), lit(0L)))
+              .as("np"),
+            (coalesce(col("nn"), lit(0L)) + coalesce(col("dnn"), lit(0L)))
+              .as("nn")): _*)
           sink(graft.ops.Quality.delongFromGrid(
             state.commit(next, epochId)), epochId)
         }
@@ -517,12 +534,10 @@ object StreamCuration {
               substring(c.cast("string"), 1, 1).cast("long")).as("d"))
             .groupBy(col("d")).agg(count(lit(1)).as("dd"))
           val st = state.get
-          // full_outer on a NULLABLE key: the skipped bucket (d NULL)
-          // must MERGE, not multiply — join on null-safe equality
-          val next = st.join(part, st("d") <=> part("d"), "full_outer")
-            .select(coalesce(st("d"), part("d")).as("d"),
-              (coalesce(col("o"), lit(0L)) + coalesce(col("dd"), lit(0L)))
-                .as("o"))
+          val (j, ks) = mergeOnKeys(st, part, Seq("d"))
+          val next = j.select(ks :+
+            (coalesce(col("o"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+              .as("o"): _*)
           sink(graft.ops.Quality.benfordFromDigits(
             state.commit(next, epochId)), epochId)
         }
@@ -569,10 +584,10 @@ object StreamCuration {
           val st = state.get
           val part = batch.select(col(periodCol).cast("long").as("p"))
             .groupBy(col("p")).agg(count(lit(1)).as("c"))
-          val next = st.join(part, Seq("p"), "full_outer")
-            .select(col("p"),
-              (coalesce(st("c"), lit(0L)) +
-                coalesce(part("c"), lit(0L))).as("c"))
+          val (j, ks) = mergeOnKeys(st, part, Seq("p"))
+          val next = j.select(ks :+
+            (coalesce(st("c"), lit(0L)) +
+              coalesce(part("c"), lit(0L))).as("c"): _*)
           sink(readout(state.commit(next, epochId)), epochId)
         }
       }
@@ -629,12 +644,12 @@ object StreamCuration {
             .agg(sum(when(col("half") === "e", 1L).otherwise(0L))
                 .as("dce"),
               sum(when(col("half") === "a", 1L).otherwise(0L)).as("dca"))
-          val next = state.get.join(part, Seq("grp", "x"), "full_outer")
-            .select(col("grp"), col("x"),
-              (coalesce(col("ce"), lit(0L)) + coalesce(col("dce"), lit(0L)))
-                .as("ce"),
-              (coalesce(col("ca"), lit(0L)) + coalesce(col("dca"), lit(0L)))
-                .as("ca"))
+          val (j, ks) = mergeOnKeys(state.get, part, Seq("grp", "x"))
+          val next = j.select(ks ++ Seq(
+            (coalesce(col("ce"), lit(0L)) + coalesce(col("dce"), lit(0L)))
+              .as("ce"),
+            (coalesce(col("ca"), lit(0L)) + coalesce(col("dca"), lit(0L)))
+              .as("ca")): _*)
           sink(graft.ops.Analytics.cvmFromGrid(
             state.commit(next, epochId)), epochId)
         }
@@ -687,13 +702,73 @@ object StreamCuration {
             .agg(sum(when(col("half") === "e", 1L).otherwise(0L))
                 .as("dce"),
               sum(when(col("half") === "a", 1L).otherwise(0L)).as("dca"))
-          val next = state.get.join(part, Seq("grp", "x"), "full_outer")
-            .select(col("grp"), col("x"),
-              (coalesce(col("ce"), lit(0L)) + coalesce(col("dce"), lit(0L)))
-                .as("ce"),
-              (coalesce(col("ca"), lit(0L)) + coalesce(col("dca"), lit(0L)))
-                .as("ca"))
+          val (j, ks) = mergeOnKeys(state.get, part, Seq("grp", "x"))
+          val next = j.select(ks ++ Seq(
+            (coalesce(col("ce"), lit(0L)) + coalesce(col("dce"), lit(0L)))
+              .as("ce"),
+            (coalesce(col("ca"), lit(0L)) + coalesce(col("dca"), lit(0L)))
+              .as("ca")): _*)
           sink(graft.ops.Analytics.ksFromGrid(
+            state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
+  /** q284's Wasserstein-1 drift magnitude maintained at INGEST — the
+    * 26th sink: where [[startKsSink]] answers "did the distribution
+    * move" (max ECDF tear) and [[startCvmSink]] "did it drift overall"
+    * (integrated squared distance), this one answers "HOW FAR did the
+    * mass move, in the units of x" — the earth-mover magnitude a
+    * rollback decision actually wants. Same (grp, value, half)
+    * observation stream, same additive (grp, x, ce, ca) value-grid
+    * state as the KS/CvM sinks ([[graft.ops.Analytics
+    * .wassersteinFromGrid]]): each epoch's w1 is bit-identical to
+    * batch `wassersteinDrift` over all arrived rows under any batch
+    * split (spec-pinned). State persists per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): restarts
+    * RESUME, replayed epochs re-emit without re-merging. */
+  def startWassersteinSink(obsStream: DataFrame, grpCol: String,
+      xCol: String, halfCol: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = obsStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ce",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ca",
+          org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    obsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId))
+            sink(graft.ops.Analytics.wassersteinFromGrid(state.get),
+              epochId)
+        } else if (!batch.isEmpty) {
+          val part = batch.select(col(grpCol).cast("string").as("grp"),
+              col(xCol).cast("double").as("x"),
+              col(halfCol).cast("string").as("half"))
+            .groupBy(col("grp"), col("x"))
+            .agg(sum(when(col("half") === "e", 1L).otherwise(0L))
+                .as("dce"),
+              sum(when(col("half") === "a", 1L).otherwise(0L)).as("dca"))
+          val (j, ks) = mergeOnKeys(state.get, part, Seq("grp", "x"))
+          val next = j.select(ks ++ Seq(
+            (coalesce(col("ce"), lit(0L)) + coalesce(col("dce"), lit(0L)))
+              .as("ce"),
+            (coalesce(col("ca"), lit(0L)) + coalesce(col("dca"), lit(0L)))
+              .as("ca")): _*)
+          sink(graft.ops.Analytics.wassersteinFromGrid(
             state.commit(next, epochId)), epochId)
         }
       }

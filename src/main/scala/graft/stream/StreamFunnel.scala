@@ -68,13 +68,14 @@ object StreamFunnel {
             col("t").as("tp")), "u")
           .filter(col("ts") > col("tp"))
           .select(col("u"), col("ts"))
-      val arr = cand.groupBy(col("u"))
-        .agg(min(col("ts")).as("t"))
-        .join(old.select(col("u"), col("t").as("told")),
-          Seq("u"), "full_outer")
-        .select(col("u"),
+      val fresh = cand.groupBy(col("u")).agg(min(col("ts")).as("t"))
+      // null-safe key merge (StreamCuration.mergeOnKeys): a NULL u
+      // must MERGE into one state row, not duplicate per epoch
+      val (j, ks) = StreamCuration.mergeOnKeys(fresh,
+        old.select(col("u"), col("t").as("told")), Seq("u"))
+      val arr = j.select(ks :+
           least(coalesce(col("t"), col("told")),
-            coalesce(col("told"), col("t"))).as("t"))
+            coalesce(col("told"), col("t"))).as("t"): _*)
         .localCheckpoint(true)
       prevArr = arr
       arr

@@ -49,12 +49,14 @@ object StreamSurvival {
             .groupBy(col("t"))
             .agg(sum(when(col("e"), 1L).otherwise(0L)).as("d"),
               count(lit(1)).as("leave"))
-          val next = st.join(part, Seq("t"), "full_outer")
-            .select(col("t"),
+          // null-safe key merge (StreamCuration.mergeOnKeys): a NULL t
+          // (uncastable duration) must MERGE, not duplicate per epoch
+          val (j, ks) = StreamCuration.mergeOnKeys(st, part, Seq("t"))
+          val next = j.select(ks ++ Seq(
               (coalesce(st("d"), lit(0L)) +
                 coalesce(part("d"), lit(0L))).as("d"),
               (coalesce(st("leave"), lit(0L)) +
-                coalesce(part("leave"), lit(0L))).as("leave"))
+                coalesce(part("leave"), lit(0L))).as("leave")): _*)
             .localCheckpoint(true) // consumers: next epoch + the curve
           state.set(next)
           sink(graft.ops.Survival.kaplanMeierFromCounts(next), epochId)
@@ -103,17 +105,18 @@ object StreamSurvival {
               count(lit(1)).as("leave"))
           val dkB = u.filter(col("k").isNotNull)
             .groupBy(col("t"), col("k")).agg(count(lit(1)).as("dk"))
-          val perN = perSt.join(perB, Seq("t"), "full_outer")
-            .select(col("t"),
+          val (pj, pks) = StreamCuration.mergeOnKeys(perSt, perB, Seq("t"))
+          val perN = pj.select(pks ++ Seq(
               (coalesce(perSt("d"), lit(0L)) +
                 coalesce(perB("d"), lit(0L))).as("d"),
               (coalesce(perSt("leave"), lit(0L)) +
-                coalesce(perB("leave"), lit(0L))).as("leave"))
+                coalesce(perB("leave"), lit(0L))).as("leave")): _*)
             .localCheckpoint(true)
-          val dkN = dkSt.join(dkB, Seq("t", "k"), "full_outer")
-            .select(col("t"), col("k"),
+          val (dj, dks) = StreamCuration.mergeOnKeys(dkSt, dkB,
+            Seq("t", "k"))
+          val dkN = dj.select(dks :+
               (coalesce(dkSt("dk"), lit(0L)) +
-                coalesce(dkB("dk"), lit(0L))).as("dk"))
+                coalesce(dkB("dk"), lit(0L))).as("dk"): _*)
             .localCheckpoint(true)
           state.set((perN, dkN))
           sink(graft.ops.Survival.cumulativeIncidenceFromCounts(

@@ -229,4 +229,64 @@ class MonitorStateSpec extends SparkSpec {
     assert(b == want, s"split B diverged:\n$b\nvs\n$want")
   }
 
+  test("startWassersteinSink (26th sink): each emission ≡ batch " +
+    "wassersteinDrift over all arrived rows under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val eRows = (1 to 40).map(i => ("g", (i % 10).toDouble, "e"))
+    val aRows = (1 to 40).map(i => ("g", (i % 10).toDouble + 4.0, "a"))
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(17)).shuffle(eRows ++ aRows)
+    def run(batches: Seq[Seq[(String, Double, String)]],
+        ckpt: String): Seq[String] = {
+      val ms = MemoryStream[(String, Double, String)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val q = graft.stream.StreamCuration.startWassersteinSink(
+        ms.toDF().toDF("grp", "x", "half"), "grp", "x", "half", ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("grp")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = graft.ops.Analytics.wassersteinDrift(
+      eRows.toDF("grp", "x", "half"), aRows.toDF("grp", "x", "half"),
+      col("grp"), col("x"))
+      .orderBy(col("grp")).collect().map(_.toString).toSeq
+    val ck1 = java.nio.file.Files.createTempDirectory("w11").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("w12").toString
+    val a = run(Seq(all.take(25), all.slice(25, 60), all.drop(60)), ck1)
+    val b = run(Seq(all.reverse.take(37), all.reverse.drop(37)), ck2)
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // the +4 shift on a 0..9 grid reads EXACTLY the shift magnitude
+    assert(want.head.contains(",4.0]"), s"w1 should be 4.0: $want")
+  }
+
+  test("null-key state rows MERGE (not duplicate) across epochs — the " +
+    "null-safe <=> merge contract, pinned on the trend sink") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // day "x" is uncastable → NULL period key every batch; the state
+    // must carry exactly ONE null-key row however many epochs arrive
+    val batches = Seq(Seq("1", "x", "2"), Seq("2", "x", "3"),
+      Seq("x", "4", "1"))
+    val ms = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("nullk").toString
+    val q = graft.stream.StreamCuration.startTrendSink(
+      ms.toDF().toDF("d"), "d", ckpt, (_, _) => ())
+    try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val st = spark.read.parquet(
+      new java.io.File(ckpt + "/graft-monitor-state").listFiles()
+        .filter(_.getName.startsWith("e=")).map(_.toString).max)
+    val nullRows = st.filter(col("p").isNull).collect()
+    assert(nullRows.length == 1,
+      s"null key duplicated: ${nullRows.mkString(",")}")
+    assert(nullRows(0).getLong(1) == 3L,
+      s"null-key count should be 3: ${nullRows(0)}")
+  }
+
 }

@@ -177,4 +177,44 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.contains(9L))
   }
 
+  test("crossModalRecall: paired-retrieval contract — per-method per-k " +
+    "rows, exact hit ratios, flat ≥ bucket, repartition-invariant") {
+    import graft.ops.Multimodal
+    // enough docs that the md5 1/4 query sample is non-empty and the
+    // flat scan has real competitors
+    val docs = (1L to 60L).map(i => (i, s"payload body number $i " * 8))
+      .toDF("doc_id", "text")
+    val r = Multimodal.crossModalRecall(docs, col("doc_id"), col("text"),
+      ks = Seq(1, 5, 10), queryMod = 4)
+    val rows = r.collect().map(x => (x.getString(0), x.getLong(1)) ->
+      (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(rows.size == 6, s"2 methods x 3 ks: ${rows.keys}")
+    val nQ = rows(("flat", 1L))._1
+    assert(nQ > 0, "query sample must be non-empty")
+    rows.foreach { case ((m, k), (n, h, rec)) =>
+      assert(n == nQ, s"n_queries constant: $m/$k")
+      assert(h >= 0 && h <= n, s"hits bounded: $m/$k -> $h")
+      assert(math.abs(rec - h.toDouble / n) < 1e-6,
+        s"recall is the exact ratio: $m/$k")
+    }
+    // recall is monotone in k within a method
+    for (m <- Seq("flat", "bucket"))
+      assert(rows((m, 1L))._2 <= rows((m, 5L))._2 &&
+        rows((m, 5L))._2 <= rows((m, 10L))._2, s"monotone in k: $m")
+    // (no flat-vs-bucket inequality is asserted: against PAIRED ground
+    // truth a probe that drops competitors can legitimately score
+    // higher hit@k than the flat scan — the two columns are a
+    // trade-off readout, not an ordering)
+    // the ±0.125 perturbation keeps the own media dominant in an
+    // 8-dim [0,1) corpus: flat recall@10 should be high
+    assert(rows(("flat", 10L))._3 >= 0.5,
+      s"own media should mostly rank top-10: ${rows(("flat", 10L))}")
+    // md5-pure: partitioning changes nothing
+    val r2 = Multimodal.crossModalRecall(docs.repartition(7),
+      col("doc_id"), col("text"), ks = Seq(1, 5, 10), queryMod = 4)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r2 == rows)
+  }
+
 }
