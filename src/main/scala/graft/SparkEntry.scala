@@ -4084,6 +4084,17 @@ object SparkEntry {
       Seq("lang" -> col("lang"), "source" -> col("source")),
       floor(col("n_chars") / lit(100)).cast("long"), l = 2.0)
 
+  /** t-closeness audit over the q333 quasi-classes
+    * ([[ops.Quality.tCloseness]], Li et al. 2007) — the privacy
+    * TRIAD's third rung: k-anonymity (q234) bounds class size,
+    * l-diversity (q333) bounds homogeneity, t-closeness bounds SKEW
+    * vs the corpus distribution (EMD over the ordered decile grid at
+    * t = 0.2). */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.tCloseness(t(s, dir, "documents"),
+      Seq("lang" -> col("lang"), "source" -> col("source")),
+      floor(col("n_chars") / lit(100)).cast("long"), t = 0.2)
+
   /** Shapley-value channel attribution over user journeys
     * ([[ops.Analytics.shapleyAttribution]], Shapley 1953; Zhao et al.
     * 2018) — the axiomatic member of the attribution triad next to
@@ -4110,6 +4121,12 @@ object SparkEntry {
     * q107's positional rules; reach = P¹⁶[START→purchase] via four
     * snapped matrix squarings per removal variant. */
   private def qMarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    // default per-squaring materialize, deliberately: each squareV
+    // SELF-joins its input, so a lazy chain doubles the plan tree per
+    // level (2^4 copies of the base by the fourth squaring — measured
+    // 4.7s vs 2.2s checkpointed); four tiny materialized steps beat
+    // one exponentially-nested plan. The q277 lazy trick applies to
+    // LINEAR chains only.
     ops.Analytics.markovAttribution(t(s, dir, "events"), col("user_id"),
       col("ts"), col("event_id"), col("event_type"), "purchase",
       removable0 = Some(Seq("click", "error", "signup", "view")))
@@ -5031,7 +5048,8 @@ object SparkEntry {
     "q332_overlap_join" -> (qOverlapJoin _),
     "q333_l_diversity" -> (qLDiversity _),
     "q334_shapley" -> (qShapley _),
-    "q335_crossmodal_recall" -> (qCrossModalRecall _))
+    "q335_crossmodal_recall" -> (qCrossModalRecall _),
+    "q336_t_closeness" -> (qTCloseness _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11539,5 +11557,27 @@ object SparkEntry {
         "SELECT 'bucket' AS method, hs.k, nq.n_queries, CAST(coalesce(hcb.h, 0) AS BIGINT) AS hits " +
         "FROM hs CROSS JOIN nq LEFT JOIN hcb ON hcb.k = hs.k) " +
         "ORDER BY method, k")
-    })
+    },
+    "q336_t_closeness" ->
+      // EMD over the ordered decile grid: per-value diff snapped at 1e9
+      // into exact integer prefix sums (the q276 window discipline);
+      // the two divisions (1e9, m-1) happen once at the end
+      ("WITH c AS (SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS nv FROM documents GROUP BY 1, 2, 3), " +
+        "g AS (SELECT sv, CAST(sum(nv) AS BIGINT) AS gv FROM c GROUP BY 1), " +
+        "gt AS (SELECT CAST(sum(gv) AS BIGINT) AS gn, CAST(count(*) AS BIGINT) AS m FROM g), " +
+        "p AS (SELECT lang, source, CAST(sum(nv) AS BIGINT) AS n_rows FROM c GROUP BY 1, 2), " +
+        "gr AS (SELECT p.lang, p.source, p.n_rows, g.sv, g.gv, coalesce(c.nv, 0) AS nv " +
+        "FROM p CROSS JOIN g LEFT JOIN c ON c.lang = p.lang AND c.source = p.source AND c.sv = g.sv), " +
+        "cu AS (SELECT lang, source, n_rows, m, " +
+        "sum(CAST(floor((CAST(nv AS DOUBLE) / CAST(n_rows AS DOUBLE) - CAST(gv AS DOUBLE) / CAST(gn AS DOUBLE)) * 1000000000 + 0.5) AS DECIMAL(38,0))) " +
+        "OVER (PARTITION BY lang, source ORDER BY sv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum9, " +
+        "row_number() OVER (PARTITION BY lang, source ORDER BY sv) AS rn " +
+        "FROM gr CROSS JOIN gt), " +
+        "e AS (SELECT lang, source, max(n_rows) AS n_rows, max(m) AS m, sum(abs(cum9)) AS ss9 " +
+        "FROM cu WHERE rn < m OR m = 1 GROUP BY 1, 2) " +
+        "SELECT lang, source, n_rows, " +
+        "round(CASE WHEN m > 1 THEN CAST(ss9 AS DOUBLE) / 1000000000 / CAST(m - 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 6) AS emd, " +
+        "round(CASE WHEN m > 1 THEN CAST(ss9 AS DOUBLE) / 1000000000 / CAST(m - 1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 6) <= CAST(0.2 AS DOUBLE) AS close " +
+        "FROM e")
+    )
 }

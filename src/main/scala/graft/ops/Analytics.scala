@@ -2273,7 +2273,13 @@ object Analytics {
     val steps = base
       .withColumn("rn", row_number().over(w))
       .withColumn("nxt", lead(col("e"), 1).over(w))
-    val edges = materialize(
+    // edges/pFull are ALWAYS materialized (independent of the caller's
+    // per-squaring policy): the corpus pass must run exactly once
+    // however many lattice consumers read it — the q277 hits
+    // discipline; `materialize` below governs only the |states|²-sized
+    // squaring steps (identity = run the whole lattice as one lazy
+    // plan, the cheap choice at small state counts)
+    val edges =
       steps.filter(col("rn") === 1)
         .select(lit("START").as("src"), col("e").as("dst"))
       .unionByName(steps.filter(col("nxt").isNotNull)
@@ -2281,11 +2287,13 @@ object Analytics {
       .unionByName(steps.filter(col("nxt").isNull &&
           col("e") =!= conversion)
         .select(col("e").as("src"), lit("END").as("dst")))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
     val rowTot = edges.groupBy(col("src")).agg(sum(col("n")).as("rt"))
-    val pFull = materialize(edges.join(rowTot, "src")
+    val pFull = edges.join(rowTot, "src")
       .select(col("src"), col("dst"),
-        snap6(col("n").cast("double") / col("rt").cast("double")).as("p")))
+        snap6(col("n").cast("double") / col("rt").cast("double")).as("p"))
+      .localCheckpoint(eager = true)
     // absorbing self-loops so P^k keeps absorbed mass where it landed
     val absorb = events.sparkSession
       .createDataFrame(Seq((conversion, conversion, 1.0), ("END", "END", 1.0)))

@@ -390,10 +390,11 @@ object Multimodal {
     * Two retrieval paths score side by side, the q142 flat-vs-ANN
     * regime:
     *  - `flat`: brute-force cosine over the full corpus — the exact
-    *    baseline. The all-pairs product is an intentional
-    *    |Q|·|corpus| scan with the bounded query side broadcast; the
-    *    join key is a constant so it plans as a BroadcastHashJoin,
-    *    never a BNLJ.
+    *    baseline. The all-pairs product is an INTENTIONAL |Q|·|corpus|
+    *    scan (the estimand, exactly [[graft.ops.Ann.bruteForceTopK]]'s
+    *    shape): the bounded query side broadcasts and the corpus
+    *    streams through in place — the broadcast nested-loop plan IS
+    *    the brute-force scan, not a planning accident.
     *  - `bucket`: candidates only from the query vector's 4-bit
     *    sign-bucket cell (the q325 blocking) — the scale path; its
     *    recall deficit vs `flat` prices the perturbation crossing a
@@ -420,7 +421,7 @@ object Multimodal {
     val feats = media.select(id.cast("long").as("doc_id"),
       mediaFeatureArray(payload).as("feat"))
     val corpus = feats.select(col("doc_id").as("n_id"), col("feat"),
-      bucketOf(col("feat")).as("bucket"), lit(1).as("one"))
+      bucketOf(col("feat")).as("bucket"))
     val noise = transform(sequence(lit(0), lit(7)), j =>
       (pmod(conv(substring(md5(concat(lit("q"), j.cast("string"),
         lit("|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -432,7 +433,7 @@ object Multimodal {
       .select(col("doc_id").as("q_id"),
         zip_with(col("feat"), noise, (a, b) => a + b).as("q_vec"))
     val qb = broadcast(queries.select(col("q_id"), col("q_vec"),
-      bucketOf(col("q_vec")).as("q_bucket"), lit(1).as("one")))
+      bucketOf(col("q_vec")).as("q_bucket")))
     val kdf = broadcast(spark0.createDataFrame(
       ks.map(k => Tuple1(k.toLong))).toDF("k"))
     val nq = queries.agg(count(lit(1)).as("n_queries"))
@@ -448,13 +449,14 @@ object Multimodal {
       val hitsPerK = hitRank.crossJoin(kdf)
         .filter(col("hit_rank") <= col("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("h"))
-      kdf.join(hitsPerK, Seq("k"), "left").crossJoin(broadcast(nq))
+      kdf.join(broadcast(hitsPerK), Seq("k"), "left")
+        .crossJoin(broadcast(nq))
         .select(lit(method).as("method"), col("k"), col("n_queries"),
           coalesce(col("h"), lit(0L)).as("hits"),
           round(coalesce(col("h"), lit(0L)).cast("double") /
             col("n_queries").cast("double"), 6).as("recall_at_k"))
     }
-    val flat = evalOf(corpus.join(qb, Seq("one")), "flat")
+    val flat = evalOf(corpus.crossJoin(qb), "flat")
     val probed = evalOf(
       corpus.join(qb, col("bucket") === col("q_bucket")), "bucket")
     flat.unionByName(probed).orderBy(col("method"), col("k"))

@@ -1939,4 +1939,68 @@ object Quality {
         (round(exp(col("hh")), 4) >= l).as("diverse")): _*)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder: k-anonymity bounds re-identification
+    * (class SIZE), l-diversity bounds homogeneity (class VARIETY), and
+    * t-closeness bounds SKEW — a class can be large and varied and
+    * still leak if its sensitive distribution differs from the
+    * corpus's (a class that is 90% top-decile documents reveals its
+    * members are long-document authors even at l = 10). Per
+    * quasi-identifier class: the Earth Mover's Distance between the
+    * class's and the global sensitive distribution over the ORDERED
+    * value grid, the paper's numerical-attribute form
+    *   EMD = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (q_j − p_j)|
+    * (m = global distinct sensitive values; q = class shares,
+    * p = global shares; a value absent from the class contributes
+    * q_j = 0 — the class rides the FULL global grid).
+    *
+    * Exactness: shares are exact integer ratios; each per-value diff
+    * snaps at 1e9 into a decimal so BOTH the running prefix sum and
+    * the |cum| rollup are exact integer arithmetic (order-free — the
+    * q276 window discipline; a raw double window sum would pair
+    * differently in a segment-tree engine); the two divisions (1e9,
+    * m−1) happen once at the end. m = 1 → every distribution IS the
+    * global one: emd = 0 (stated).
+    *
+    * Scale shape: one (quasi…, sensitive) map-side-combined count, one
+    * value-grid-bounded global histogram (broadcast), classes × grid
+    * rows with class-partitioned grid-bounded windows — nothing
+    * corpus-global. Returns (quasi…, n_rows, emd, close). */
+  def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, t: Double): DataFrame = {
+    require(quasi.nonEmpty && t > 0.0, s"tCloseness: t=$t")
+    val qn = quasi.map(_._1)
+    val cells = df.groupBy(
+        (quasi.map { case (n, c) => c.as(n) } :+ sensitive.as("__s")): _*)
+      .agg(count(lit(1)).as("nv"))
+    val global = df.groupBy(sensitive.as("__s"))
+      .agg(count(lit(1)).as("gv"))
+    val gtot = global.agg(sum(col("gv")).as("__gn"),
+      count(lit(1)).as("__m"))
+    val per = cells.groupBy(qn.map(col): _*)
+      .agg(sum(col("nv")).as("n_rows"))
+    val grid = per.crossJoin(broadcast(global))
+      .join(cells, qn :+ "__s", "left")
+      .crossJoin(broadcast(gtot))
+    val w = Window.partitionBy(qn.map(col): _*).orderBy(col("__s"))
+    val diff = coalesce(col("nv"), lit(0L)).cast("double") /
+        col("n_rows").cast("double") -
+      col("gv").cast("double") / col("__gn").cast("double")
+    val cum = grid.select((qn.map(col) :+ col("n_rows") :+ col("__m") :+
+      sum(floor(diff * lit(1e9) + lit(0.5)).cast("decimal(38,0)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum9") :+
+      row_number().over(w).as("rn")): _*)
+    // rn < m drops the final prefix (identically 0); the m = 1 corner
+    // keeps its single row so the class still reports (emd = 0)
+    val emdRaw = cum.filter(col("rn") < col("__m") || col("__m") === 1L)
+      .groupBy(qn.map(col): _*)
+      .agg(max(col("n_rows")).as("n_rows"), max(col("__m")).as("__m"),
+        sum(abs(col("cum9"))).as("ss9"))
+    val emd = round(when(col("__m") > 1L,
+      col("ss9").cast("double") / lit(1e9) /
+        (col("__m") - lit(1L)).cast("double")).otherwise(lit(0.0)), 6)
+    emdRaw.select((qn.map(col) :+ col("n_rows") :+
+      emd.as("emd") :+ (emd <= t).as("close")): _*)
+  }
+
 }

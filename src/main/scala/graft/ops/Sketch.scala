@@ -34,18 +34,26 @@ object Sketch {
     pmod(conv(substring(md5(concat_ws("|", lit(i), item)), 1, 8), 16, 10)
       .cast("long"), lit(width.toLong))
 
-  /** The sketch matrix: (row, bucket, cnt) — depth aggregations over the
-    * item stream, each shuffling at most `width` combined rows per task. */
-  /** `weight` lets a pre-aggregated (item, count) table stand in for
+  /** The sketch matrix: (row, bucket, cnt) — ONE scan of the item
+    * stream: each item explodes to its `depth` (row, bucket) cells
+    * in-task and ONE (row, bucket)-keyed aggregation combines them
+    * map-side (≤ depth·width combined rows per task). The former
+    * per-row union planned `depth` separate scans + shuffles of the
+    * corpus — 3× the I/O for the same cells (q96's whole constant
+    * factor at depth 3).
+    * `weight` lets a pre-aggregated (item, count) table stand in for
     * the raw item stream — the matrix is identical (cells sum the
     * weights) and the corpus never re-explodes. */
   def countMinMatrix(items: DataFrame, item: Column, depth: Int,
       width: Int, weight: Column = lit(1L)): DataFrame =
-    (0 until depth).map { i =>
-      items.groupBy(cmBucket(i, item, width).as("bucket"))
-        .agg(sum(weight).as("cnt"))
-        .select(lit(i).as("row"), col("bucket"), col("cnt"))
-    }.reduce(_ unionByName _)
+    items.select(item.as("it"), weight.as("w"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col("it"), col("w"))
+      .groupBy(col("row"),
+        pmod(conv(substring(md5(concat_ws("|", col("row"), col("it"))),
+          1, 8), 16, 10).cast("long"), lit(width.toLong)).as("bucket"))
+      .agg(sum(col("w")).as("cnt"))
+      .select(col("row"), col("bucket"), col("cnt"))
 
   /** Bloom filter in the same relational style: the filter is the
     * DISTINCT set of set-bit indices (≤ `bits` rows — broadcastable),

@@ -594,6 +594,56 @@ object StreamCuration {
       .start()
   }
 
+  /** q285's Pettitt rank-based changepoint maintained at INGEST — the
+    * 27th sink: WHERE did the level shift, answered robustly (ranks,
+    * not means — one wild day cannot drag the split) on every
+    * micro-batch. Completes the live changepoint pair:
+    * [[startChangepointSink]] is the mean-based CUSUM binseg, this is
+    * its outlier-robust sibling, on the IDENTICAL per-period LONG
+    * count state (calendar-grid-sized, exactly additive, null-safe
+    * merged) — so each epoch's (n_periods, split_period, k_stat,
+    * p_value) is bit-identical to batch [[graft.ops.Analytics
+    * .pettitt]] over the union of all arrived events under any batch
+    * split (spec-pinned). State persists per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): restarts
+    * RESUME, replayed epochs re-emit without re-merging. */
+  def startPettittSink(eventStream: DataFrame, periodCol: String,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark0 = eventStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    def readout(st: DataFrame) = graft.ops.Analytics.pettitt(
+      st.select(col("p"), col("c").cast("double").as("y")),
+      col("p"), col("y"))
+    eventStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId)) sink(readout(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val st = state.get
+          val part = batch.select(col(periodCol).cast("long").as("p"))
+            .groupBy(col("p")).agg(count(lit(1)).as("c"))
+          val (j, ks) = mergeOnKeys(st, part, Seq("p"))
+          val next = j.select(ks :+
+            (coalesce(st("c"), lit(0L)) +
+              coalesce(part("c"), lit(0L))).as("c"): _*)
+          sink(readout(state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q283's Cramér–von Mises two-sample drift maintained at INGEST —
     * the 23rd sink: the INTEGRATED-CDF distribution monitor run live
     * over a stream of (group, value, half) observations (half = "e"

@@ -265,6 +265,40 @@ class MonitorStateSpec extends SparkSpec {
     assert(want.head.contains(",4.0]"), s"w1 should be 4.0: $want")
   }
 
+  test("startPettittSink (27th sink): each emission ≡ batch pettitt " +
+    "over all arrived events under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a clear level shift: days 1-6 get 2 events, days 7-12 get 9
+    val events = (1L to 12L).flatMap(d =>
+      Seq.fill(if (d <= 6) 2 else 9)(d))
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(23)).shuffle(events)
+    def run(batches: Seq[Seq[Long]]): Seq[String] = {
+      val ms = MemoryStream[Long]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val ckpt = java.nio.file.Files.createTempDirectory("ptt").toString
+      val q = graft.stream.StreamCuration.startPettittSink(
+        ms.toDF().toDF("d"), "d", ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.collect().map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = graft.ops.Analytics.pettitt(
+      all.toDF("d").groupBy(col("d").as("p"))
+        .agg(count(lit(1)).cast("double").as("y")),
+      col("p"), col("y")).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(20), all.slice(20, 45), all.drop(45)))
+    val b = run(Seq(all.reverse.take(13), all.reverse.drop(13)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // the split must land at the shift boundary (period 6)
+    assert(want.head.contains(",6,"), s"split at day 6: $want")
+  }
+
   test("null-key state rows MERGE (not duplicate) across epochs — the " +
     "null-safe <=> merge contract, pinned on the trend sink") {
     implicit val sqlCtx = spark.sqlContext

@@ -1235,4 +1235,21 @@ class PlanContractSpec extends SparkSpec {
       s"corpus-sized merge join crept in:\n${p.take(800)}")
   }
 
+  test("q335: cross-modal scoring broadcasts the query side — the " +
+    "bucket probe is a HASH join, the flat scan the intentional " +
+    "broadcast product (the q25 brute-force contract), the corpus " +
+    "never shuffles for scoring, and top-k is a WindowGroupLimit") {
+    val p = plan("q335_crossmodal_recall")
+    // bucket path: bucket-keyed BHJ with the broadcast query side
+    assert(count(p, "BroadcastHashJoin") >= 1,
+      s"bucket probe must broadcast-hash:\n${p.take(1200)}")
+    // no corpus-sized shuffle join anywhere (the rollup joins are
+    // |ks|-row broadcasts)
+    assert(count(p, "SortMergeJoin") == 0,
+      s"corpus-sized merge join crept in:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // rank <= kMax prunes per-task: the k-row heap, never a full sort
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
 }

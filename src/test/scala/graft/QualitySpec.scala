@@ -1939,6 +1939,36 @@ class QualitySpec extends SparkSpec {
       r("C")._3 > 2.0 && r("C")._3 < 3.0, s"skewed class: ${r("C")}")
   }
 
+  test("tCloseness: hand EMDs on the ordered grid — concentration at " +
+    "an edge costs more than at the middle; m = 1 reads 0") {
+    // global over sv {0,1,2}: 3/3/3 -> p = (1/3, 1/3, 1/3)
+    // X: all mass at the MIDDLE (sv=1): cum (-1/3, 1/3) -> EMD = 1/3
+    // Y: all mass at the EDGE (sv=2): cum (-1/3, -2/3) -> EMD = 1/2
+    // Z: all mass at sv=0:            cum ( 2/3,  1/3) -> EMD = 1/2
+    val df = (Seq.fill(3)(("X", 1L)) ++ Seq.fill(3)(("Y", 2L)) ++
+      Seq.fill(3)(("Z", 0L))).toDF("g", "s")
+    val r = Quality.tCloseness(df, Seq("g" -> col("g")), col("s"),
+        t = 0.4)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r("X") == ((3L, 0.333333, true)), s"middle: ${r("X")}")
+    assert(r("Y") == ((3L, 0.5, false)), s"edge: ${r("Y")}")
+    assert(r("Z") == ((3L, 0.5, false)), s"edge: ${r("Z")}")
+    // a class matching the global distribution is 0-close
+    val df2 = (Seq.fill(2)(("A", 0L)) ++ Seq.fill(2)(("A", 1L)) ++
+      Seq.fill(1)(("B", 0L)) ++ Seq.fill(1)(("B", 1L))).toDF("g", "s")
+    val r2 = Quality.tCloseness(df2, Seq("g" -> col("g")), col("s"),
+        t = 0.1)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r2("A") == 0.0 && r2("B") == 0.0, s"global-matching: $r2")
+    // m = 1 (a single sensitive value corpus-wide): emd 0, close
+    val df3 = Seq(("A", 7L), ("A", 7L), ("B", 7L)).toDF("g", "s")
+    val r3 = Quality.tCloseness(df3, Seq("g" -> col("g")), col("s"),
+        t = 0.1).collect().map(x => x.getString(0) ->
+        ((x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r3("A") == ((0.0, true)) && r3("B") == ((0.0, true)), s"$r3")
+  }
+
   test("shapleyAttribution: hand 2-channel coalition lattice; post-" +
     "conversion touches ignored; efficiency (shares sum to 1)") {
     import graft.ops.Analytics
