@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// temp diagnostic main — deleted after use
+/** Diagnostic main: print the physical plan of any registered query
+  * against sf0.1 — the manual companion to PlanContractSpec when a
+  * bench number moves and the first question is "did the plan change".
+  * Usage: `sbt "runMain graft.PlanDump q96_join_size_est ..."`. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -4084,6 +4084,23 @@ object SparkEntry {
       Seq("lang" -> col("lang"), "source" -> col("source")),
       floor(col("n_chars") / lit(100)).cast("long"), l = 2.0)
 
+  /** Newman–Girvan modularity of the brand partition on the q94
+    * co-purchase graph ([[ops.Graph.modularity]]) — the community-
+    * QUALITY number the graph shelf's structure finders (q63 CC, q172
+    * label prop) lacked: do co-purchases concentrate within brands,
+    * or is the partition no better than random wiring (Q ≈ 0)? */
+  private def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        "l_orderkey")
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+    ops.Graph.modularity(e, "src", "dst",
+      t(s, dir, "part"), "p_partkey", "p_brand")
+  }
+
   /** t-closeness audit over the q333 quasi-classes
     * ([[ops.Quality.tCloseness]], Li et al. 2007) — the privacy
     * TRIAD's third rung: k-anonymity (q234) bounds class size,
@@ -5049,7 +5066,8 @@ object SparkEntry {
     "q333_l_diversity" -> (qLDiversity _),
     "q334_shapley" -> (qShapley _),
     "q335_crossmodal_recall" -> (qCrossModalRecall _),
-    "q336_t_closeness" -> (qTCloseness _))
+    "q336_t_closeness" -> (qTCloseness _),
+    "q337_modularity" -> (qModularity _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11557,6 +11575,32 @@ object SparkEntry {
         "SELECT 'bucket' AS method, hs.k, nq.n_queries, CAST(coalesce(hcb.h, 0) AS BIGINT) AS hits " +
         "FROM hs CROSS JOIN nq LEFT JOIN hcb ON hcb.k = hs.k) " +
         "ORDER BY method, k")
+    },
+    "q337_modularity" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // deduped undirected co-purchase edges; per-brand e_in/deg_sum;
+      // Q_c = e_c/m - (d_c/2m)^2 as one fixed IEEE composition; total
+      // snapped at 1e9
+      "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0), " +
+        "e0 AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi FROM li a JOIN li b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0), " +
+        "dg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM " +
+        "(SELECT lo AS n FROM e0 UNION ALL SELECT hi AS n FROM e0) GROUP BY 1), " +
+        "lab AS (SELECT p_partkey AS n, p_brand AS c FROM part), " +
+        "dc AS (SELECT c, CAST(sum(d) AS BIGINT) AS deg_sum, CAST(count(*) AS BIGINT) AS n_nodes " +
+        "FROM dg JOIN lab USING (n) GROUP BY 1), " +
+        "ei AS (SELECT la.c, CAST(count(*) AS BIGINT) AS e_in FROM e0 " +
+        "JOIN lab la ON la.n = e0.lo JOIN lab lb ON lb.n = e0.hi WHERE la.c = lb.c GROUP BY 1), " +
+        "pc AS (SELECT dc.c AS community, n_nodes, CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, deg_sum, " +
+        "CAST(coalesce(e_in, 0) AS DOUBLE) / CAST(m AS DOUBLE) - " +
+        "(CAST(deg_sum AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE))) * " +
+        "(CAST(deg_sum AS DOUBLE) / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE))) AS contrib_raw " +
+        "FROM dc LEFT JOIN ei USING (c) CROSS JOIN mm), " +
+        s"tt AS (SELECT round(${snap("contrib_raw")}, 6) AS q_total FROM pc) " +
+        "SELECT community, n_nodes, e_in, deg_sum, round(contrib_raw, 6) AS contrib, q_total " +
+        "FROM pc CROSS JOIN tt ORDER BY community"
     },
     "q336_t_closeness" ->
       // EMD over the ordered decile grid: per-value diff snapped at 1e9

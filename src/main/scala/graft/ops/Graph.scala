@@ -797,4 +797,63 @@ object Graph {
       .limit(k)
   }
 
+  /** Newman–Girvan modularity (Newman & Girvan 2004; Newman 2006) of a
+    * labeled partition of the undirected graph — the QUALITY number
+    * for every community structure this shelf produces (label prop
+    * q172, connected components q63) or that the data carries
+    * natively (brands, sources): per community c,
+    *   Q_c = e_c/m − (d_c/(2m))²
+    * (e_c = within-community edges, d_c = degree sum, m = |edges|);
+    * Q = ΣQ_c ∈ [−1/2, 1) with ~0 = "no better than random wiring"
+    * — the gate between "we found communities" and "we found noise".
+    *
+    * Mechanics: edges normalize to deduped (lo < hi) pairs and
+    * checkpoint once (three consumers: m, degrees, the labeled join);
+    * unlabeled nodes drop from the partition (stated). Exactness:
+    * e_c/d_c/m are exact integers; each Q_c is one fixed IEEE
+    * composition; the total snaps at 1e9 (order-free) — fully
+    * oracle-replayable.
+    *
+    * Scale shape: degree rollup and the two label joins are node-/
+    * edge-keyed (label table broadcasts when node-bounded, shuffles
+    * on the node key at scale); everything after is |communities|-
+    * sized. Returns per community (community, n_nodes, e_in,
+    * deg_sum, contrib, q_total). */
+  def modularity(edges: DataFrame, src: String, dst: String,
+      labels: DataFrame, node: String, label: String): DataFrame = {
+    import graft.expr.Snap
+    val e = edges.select(least(col(src), col(dst)).cast("long").as("lo"),
+        greatest(col(src), col(dst)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(eager = true)
+    val lab = labels.select(col(node).cast("long").as("n"),
+      col(label).as("c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(explode(array(col("lo"), col("hi"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val degC = deg.join(lab, "n").groupBy(col("c"))
+      .agg(sum(col("d")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val eIn = e.join(lab.select(col("n").as("lo"), col("c").as("cl")), "lo")
+      .join(lab.select(col("n").as("hi"), col("c").as("ch")), "hi")
+      .filter(col("cl") === col("ch"))
+      .groupBy(col("cl").as("c")).agg(count(lit(1)).as("e_in"))
+    val mD = col("m").cast("double")
+    val half = col("deg_sum").cast("double") / (lit(2.0).cast("double") * mD)
+    val contribRaw = col("e_in").cast("double") / mD - half * half
+    val per = degC.join(eIn, Seq("c"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("c").as("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        col("m"))
+    val withContrib = per.select(col("community"), col("n_nodes"),
+      col("e_in"), col("deg_sum"), contribRaw.as("contrib_raw"))
+    val tot = withContrib.agg(
+      round(Snap.snappedSum(col("contrib_raw"), 1e9), 6).as("q_total"))
+    withContrib.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("e_in"),
+        col("deg_sum"), round(col("contrib_raw"), 6).as("contrib"),
+        col("q_total"))
+      .orderBy(col("community"))
+  }
+
 }

@@ -1917,11 +1917,19 @@ object Quality {
   def lDiversity(df: DataFrame, quasi: Seq[(String, Column)],
       sensitive: Column, l: Double): DataFrame = {
     require(quasi.nonEmpty && l >= 1.0, s"lDiversity: l=$l")
-    import graft.expr.Snap
-    val qn = quasi.map(_._1)
-    val cells = df.groupBy(
+    lDiversityFromCells(df.groupBy(
         (quasi.map { case (n, c) => c.as(n) } :+ sensitive.as("__s")): _*)
-      .agg(count(lit(1)).as("nv"))
+      .agg(count(lit(1)).as("nv")), quasi.map(_._1), l)
+  }
+
+  /** [[lDiversity]] from its (quasi…, __s, nv) cell-count grid — the
+    * counts are purely ADDITIVE, which is exactly what the streaming
+    * privacy sink needs: maintain the grid incrementally, re-read the
+    * audit per epoch ([[graft.stream.StreamCuration.startPrivacySink]])
+    * — the cvmFromGrid contract applied to privacy. */
+  def lDiversityFromCells(cells: DataFrame, qn: Seq[String], l: Double)
+      : DataFrame = {
+    import graft.expr.Snap
     val per = cells.groupBy(qn.map(col): _*)
       .agg(sum(col("nv")).as("n_rows"),
         count(lit(1)).as("distinct_l"))
@@ -1969,12 +1977,20 @@ object Quality {
   def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
       sensitive: Column, t: Double): DataFrame = {
     require(quasi.nonEmpty && t > 0.0, s"tCloseness: t=$t")
-    val qn = quasi.map(_._1)
-    val cells = df.groupBy(
+    tClosenessFromCells(df.groupBy(
         (quasi.map { case (n, c) => c.as(n) } :+ sensitive.as("__s")): _*)
-      .agg(count(lit(1)).as("nv"))
-    val global = df.groupBy(sensitive.as("__s"))
-      .agg(count(lit(1)).as("gv"))
+      .agg(count(lit(1)).as("nv")), quasi.map(_._1), t)
+  }
+
+  /** [[tCloseness]] from its (quasi…, __s, nv) cell-count grid — the
+    * same additive-state contract as [[lDiversityFromCells]]: the
+    * global histogram re-derives from the cells (identical counts),
+    * so the grid is the ONE sufficient statistic for the whole
+    * privacy triad ([[graft.stream.StreamCuration.startPrivacySink]]). */
+  def tClosenessFromCells(cells: DataFrame, qn: Seq[String], t: Double)
+      : DataFrame = {
+    val global = cells.groupBy(col("__s"))
+      .agg(sum(col("nv")).as("gv"))
     val gtot = global.agg(sum(col("gv")).as("__gn"),
       count(lit(1)).as("__m"))
     val per = cells.groupBy(qn.map(col): _*)

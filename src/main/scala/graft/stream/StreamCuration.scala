@@ -594,6 +594,68 @@ object StreamCuration {
       .start()
   }
 
+  /** The privacy TRIAD maintained at INGEST — the 28th sink: is the
+    * corpus we are accumulating still releasable, re-audited on every
+    * micro-batch. ONE additive state — the (quasi…, sensitive, nv)
+    * cell-count grid, the shared sufficient statistic of all three
+    * audits — serves three tripwires per epoch: k-anonymity (class
+    * size ≥ k), l-diversity (entropy-l ≥ l), t-closeness (EMD vs the
+    * global distribution ≤ t) — the q234/q333/q336 batch semantics
+    * bit-for-bit ([[graft.ops.Quality.lDiversityFromCells]] /
+    * [[graft.ops.Quality.tClosenessFromCells]] under any batch split,
+    * spec-pinned). The sensitive attribute is a caller-cast LONG (an
+    * ordered grid — t-closeness is the ordered-EMD form); state is
+    * (classes × sensitive grid)-bounded. State persists per committed
+    * epoch under `checkpointDir/graft-monitor-state` ([[MonitorState]]):
+    * restarts RESUME, replayed epochs re-emit without re-merging. */
+  def startPrivacySink(docStream: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Double, t: Double,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(quasiCols.nonEmpty, "startPrivacySink: no quasi columns")
+    val spark0 = docStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        quasiCols.map(q => org.apache.spark.sql.types.StructField(q,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          org.apache.spark.sql.types.StructField("__s",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("nv",
+            org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    def readout(cells: DataFrame): DataFrame = {
+      val ld = graft.ops.Quality.lDiversityFromCells(cells, quasiCols, l)
+      val tc = graft.ops.Quality.tClosenessFromCells(cells, quasiCols, t)
+      ld.join(tc.select((quasiCols.map(col) :+ col("emd") :+
+          col("close")): _*), quasiCols)
+        .withColumn("k_anonymous", col("n_rows") >= k)
+    }
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId)) sink(readout(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val part = batch.select(
+              (quasiCols.map(q => col(q).cast("string").as(q)) :+
+                col(sensitiveCol).cast("long").as("__s")): _*)
+            .groupBy((quasiCols :+ "__s").map(col): _*)
+            .agg(count(lit(1)).as("dnv"))
+          val keys = quasiCols :+ "__s"
+          val (j, ks) = mergeOnKeys(state.get, part, keys)
+          val next = j.select(ks :+
+            (coalesce(col("nv"), lit(0L)) + coalesce(col("dnv"), lit(0L)))
+              .as("nv"): _*)
+          sink(readout(state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
   /** q285's Pettitt rank-based changepoint maintained at INGEST — the
     * 27th sink: WHERE did the level shift, answered robustly (ranks,
     * not means — one wild day cannot drag the split) on every

@@ -527,4 +527,38 @@ class GraphSpec extends SparkSpec {
       Set((1L, 2L)))
   }
 
+  test("modularity: hand partition on the square-with-diagonal — " +
+    "per-community contributions, dedup/reversal invariance, " +
+    "unlabeled nodes drop") {
+    import graft.ops.Graph
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // square 1-2-3-4 plus diagonal 1-3 (m = 5); A = {1,2}, B = {3,4}:
+    // deg 1:3, 2:2, 3:3, 4:2; e_A = {(1,2)} = 1, d_A = 5;
+    // Q_A = 1/5 - (5/10)^2 = -0.05 = Q_B; Q = -0.1 (worse than random
+    // wiring: the diagonal crosses the partition)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+      (2L, 1L), (3L, 3L)) // reversed dup + self-loop: both must drop
+      .toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"),
+      (9L, "C")) // label for a node absent from the graph
+      .toDF("n", "c")
+    val r = Graph.modularity(edges, "src", "dst", labels, "n", "c")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4),
+          x.getDouble(5)))).toMap
+    assert(r.keySet == Set("A", "B"), s"graph-absent label row: $r")
+    assert(r("A") == ((2L, 1L, 5L, -0.05, -0.1)), s"A: ${r("A")}")
+    assert(r("B") == ((2L, 1L, 5L, -0.05, -0.1)), s"B: ${r("B")}")
+    // a perfect partition: two disjoint triangles
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L)).toDF("src", "dst")
+    val lab2 = (1L to 3L).map(i => (i, "L")) ++
+      (4L to 6L).map(i => (i, "R"))
+    val r2 = Graph.modularity(tri, "src", "dst", lab2.toDF("n", "c"),
+      "n", "c").collect().map(x => x.getString(0) -> x.getDouble(5)).toMap
+    // Q = 2 * (3/6 - (6/12)^2) = 0.5 — the two-cluster maximum
+    assert(r2("L") == 0.5 && r2("R") == 0.5, s"disjoint triangles: $r2")
+  }
+
 }

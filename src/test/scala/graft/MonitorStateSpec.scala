@@ -299,6 +299,57 @@ class MonitorStateSpec extends SparkSpec {
     assert(want.head.contains(",6,"), s"split at day 6: $want")
   }
 
+  test("startPrivacySink (28th sink): each emission ≡ the batch " +
+    "privacy triad (k-anon + l-div + t-closeness) over all arrived " +
+    "rows under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // X concentrated mid-grid, Y at the edge, W large and global-like
+    val rows = Seq.fill(3)(("X", 1L)) ++ Seq.fill(3)(("Y", 2L)) ++
+      Seq.fill(4)(("W", 0L)) ++ Seq.fill(4)(("W", 1L)) ++
+      Seq.fill(4)(("W", 2L))
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(29)).shuffle(rows)
+    val (kk, ll, tt) = (4L, 2.0, 0.4)
+    def run(batches: Seq[Seq[(String, Long)]]): Seq[String] = {
+      val ms = MemoryStream[(String, Long)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val ckpt = java.nio.file.Files.createTempDirectory("priv").toString
+      val q = graft.stream.StreamCuration.startPrivacySink(
+        ms.toDF().toDF("g", "s"), Seq("g"), "s", kk, ll, tt, ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("g")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val df = all.toDF("g", "s")
+    val cells = df.groupBy(col("g").cast("string").as("g"),
+        col("s").cast("long").as("__s"))
+      .agg(count(lit(1)).as("nv"))
+    val want = graft.ops.Quality.lDiversityFromCells(cells, Seq("g"), ll)
+      .join(graft.ops.Quality.tClosenessFromCells(cells, Seq("g"), tt)
+        .select(col("g"), col("emd"), col("close")), Seq("g"))
+      .withColumn("k_anonymous", col("n_rows") >= kk)
+      .orderBy(col("g")).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(5), all.slice(5, 11), all.drop(11)))
+    val b = run(Seq(all.reverse.take(8), all.reverse.drop(8)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // the verdicts themselves: W is releasable on all three gates,
+    // X fails size + diversity but sits mid-grid (t-close at 0.4),
+    // Y fails all three
+    // columns: g, n_rows, distinct_l, entropy_l, diverse, emd, close,
+    // k_anonymous
+    val m = want.map(s => s.drop(1).dropRight(1).split(",")).map(r =>
+      r(0) -> ((r(6).toBoolean, r(4).toBoolean, r(7).toBoolean))).toMap
+    assert(m("W") == ((true, true, true)), s"W: $m")   // close,div,kanon
+    assert(m("X") == ((true, false, false)), s"X: $m")
+    assert(m("Y") == ((false, false, false)), s"Y: $m")
+  }
+
   test("null-key state rows MERGE (not duplicate) across epochs — the " +
     "null-safe <=> merge contract, pinned on the trend sink") {
     implicit val sqlCtx = spark.sqlContext

@@ -1252,4 +1252,27 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("q336: t-closeness windows are CLASS-partitioned (no global " +
+    "window), the value-grid joins broadcast, no cartesian") {
+    val p = plan("q336_t_closeness")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // every Window in the plan partitions by the quasi keys — the
+    // corpus-global single-partition window hazard never appears
+    assert(!p.contains("windowspecdefinition()") &&
+      !p.contains("Window [") || !p.contains("Window [,"),
+      "unpartitioned window crept in")
+    assert(p.contains("windowspecdefinition(lang"),
+      s"class-partitioned window expected:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("q337: modularity joins are node-/edge-keyed with the label " +
+    "table broadcast — no cartesian, no corpus-global window") {
+    val p = plan("q337_modularity")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"label joins should broadcast at this scale:\n${p.take(1200)}")
+    assert(!p.contains("Window ["), "no window belongs in this plan")
+  }
+
 }
