@@ -4084,6 +4084,27 @@ object SparkEntry {
       Seq("lang" -> col("lang"), "source" -> col("source")),
       floor(col("n_chars") / lit(100)).cast("long"), l = 2.0)
 
+  /** Qini uplift curve of pre-period spend as a targeting score
+    * ([[ops.Analytics.qiniCurve]], Radcliffe 2007) — the A/B shelf's
+    * "did it work on average" (q110/q248) extended to "WHOM should we
+    * treat": md5 arm split (the q110 convention), score = the CUPED
+    * covariate (pre-cutoff value sum, q248's x), conversion = any
+    * post-cutoff purchase; coefficient > 0 = the score beats
+    * spray-and-pray targeting. */
+  private def qQini(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val units = ev.groupBy(col("user_id")).agg(
+      graft.expr.Snap.snappedSum(
+        when(col("ts") < cut, col("value")).otherwise(lit(0.0)), 1e9)
+        .as("x"),
+      max(when(col("ts") >= cut && col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
+    val isA = pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+      16, 10).cast("long"), lit(100L)) < 50
+    ops.Analytics.qiniCurve(units, isA, col("x"), col("conv") === 1L)
+  }
+
   /** Newman–Girvan modularity of the brand partition on the q94
     * co-purchase graph ([[ops.Graph.modularity]]) — the community-
     * QUALITY number the graph shelf's structure finders (q63 CC, q172
@@ -5067,7 +5088,8 @@ object SparkEntry {
     "q334_shapley" -> (qShapley _),
     "q335_crossmodal_recall" -> (qCrossModalRecall _),
     "q336_t_closeness" -> (qTCloseness _),
-    "q337_modularity" -> (qModularity _))
+    "q337_modularity" -> (qModularity _),
+    "q338_qini" -> (qQini _))
 
   // =====================================================================
   // DuckDB oracle SQL — column names/aliases must match the Spark output.
@@ -11575,6 +11597,47 @@ object SparkEntry {
         "SELECT 'bucket' AS method, hs.k, nq.n_queries, CAST(coalesce(hcb.h, 0) AS BIGINT) AS hits " +
         "FROM hs CROSS JOIN nq LEFT JOIN hcb ON hcb.k = hs.k) " +
         "ORDER BY method, k")
+    },
+    "q338_qini" -> {
+      val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000000"
+      // per-user pre-period snapped spend as the targeting score, md5
+      // arm, post-period purchase conversion; fixed-width score bins;
+      // cumulative class counts score-DESC; Qini vs the diagonal;
+      // trapezoid area on snapped segment terms
+      ("WITH u AS (SELECT user_id, " +
+        "CAST(sum(CAST(floor((CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value ELSE 0.0 END) * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000000 AS x, " +
+        "CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y, " +
+        "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50 AS t " +
+        "FROM events GROUP BY 1), " +
+        "sm AS (SELECT max(x) AS smax FROM u), " +
+        "bn AS (SELECT CAST(CASE WHEN smax > CAST(0 AS DOUBLE) THEN " +
+        "greatest(CAST(0 AS BIGINT), least(CAST(floor(x / smax * CAST(10 AS DOUBLE)) AS BIGINT), CAST(9 AS BIGINT))) " +
+        "ELSE 0 END AS BIGINT) AS bin, t, y FROM u CROSS JOIN sm), " +
+        "gr AS (SELECT bin, CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt, " +
+        "CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS ct, " +
+        "CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc, " +
+        "CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS cc FROM bn GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(nt) AS BIGINT) AS tnt, CAST(sum(ct) AS BIGINT) AS tct, " +
+        "CAST(sum(nc) AS BIGINT) AS tnc, CAST(sum(cc) AS BIGINT) AS tcc FROM gr), " +
+        "cm AS (SELECT bin, " +
+        "CAST(sum(nt) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt, " +
+        "CAST(sum(ct) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cct, " +
+        "CAST(sum(nc) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cnc, " +
+        "CAST(sum(cc) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccc " +
+        "FROM gr), " +
+        "qq AS (SELECT bin, cnt, cnc, cct, ccc, " +
+        "CASE WHEN cnc > 0 THEN CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE) ELSE CAST(cct AS DOUBLE) END AS qini_raw, " +
+        "CAST(cnt + cnc AS DOUBLE) / CAST(tnt + tnc AS DOUBLE) AS xfrac, " +
+        "CASE WHEN tnc > 0 THEN CAST(tct AS DOUBLE) - CAST(tcc AS DOUBLE) * CAST(tnt AS DOUBLE) / CAST(tnc AS DOUBLE) ELSE CAST(tct AS DOUBLE) END AS qtot " +
+        "FROM cm CROSS JOIN tt), " +
+        "sg AS (SELECT (xfrac - coalesce(lag(xfrac) OVER (ORDER BY xfrac), CAST(0 AS DOUBLE))) * " +
+        "((qini_raw - xfrac * qtot) + coalesce(lag(qini_raw - xfrac * qtot) OVER (ORDER BY xfrac), CAST(0 AS DOUBLE))) / CAST(2.0 AS DOUBLE) AS seg FROM qq), " +
+        s"ar AS (SELECT round(${snap("seg")}, 6) AS qini_coef FROM sg) " +
+        "SELECT bin, cnt AS n_t, cnc AS n_c, cct AS conv_t, ccc AS conv_c, " +
+        "round(xfrac, 6) AS frac_targeted, round(qini_raw, 6) AS qini, " +
+        "round(xfrac * qtot, 6) AS qini_random, qini_coef " +
+        "FROM qq CROSS JOIN ar ORDER BY bin DESC")
     },
     "q337_modularity" -> {
       val snap = (e: String) => s"CAST(sum(CAST(floor(($e) * 1000000000 + 0.5) " +

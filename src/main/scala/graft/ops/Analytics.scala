@@ -2389,6 +2389,94 @@ object Analytics {
         col("unabsorbed"))
   }
 
+  /** Qini uplift curve + coefficient (Radcliffe 2007, "Using control
+    * groups to target on predicted lift"; Gutierrez & Gérardy 2017
+    * review) — does a targeting SCORE actually rank incremental
+    * converters first? The A/B shelf answers "did treatment work on
+    * average"; uplift evaluation answers "whom should we treat": walk
+    * down the score, and at each targeting depth compare cumulative
+    * treated conversions against the control baseline scaled to the
+    * treated exposure, Qini(θ) = C_t(θ) − C_c(θ)·N_t(θ)/N_c(θ). The
+    * coefficient is the trapezoid area between that curve and the
+    * random-targeting diagonal — > 0 means the score beats spraying.
+    *
+    * Mechanics: scores normalize by the corpus max (ONE broadcast
+    * scalar, the q78 winsorize pattern) into `bins` fixed-width bins —
+    * the estimand is "Qini at each of `bins` score thresholds", stated
+    * (rank-decile Qini needs a corpus-global sort; fixed bins give the
+    * same curve read at a bounded plan shape). Per-bin class counts
+    * are exact integers; cumulative counts run score-DESC over the
+    * `bins`-row grid (unpartitioned windows bounded by `bins` — the
+    * q137 discipline); Qini and the diagonal are fixed IEEE
+    * compositions; area terms snap at 1e9. An empty control prefix
+    * (N_c = 0) reads Qini = C_t (nothing to subtract — stated).
+    * Returns per bin, highest scores first: (bin, n_t, n_c, conv_t,
+    * conv_c, frac_targeted, qini, qini_random, qini_coef). */
+  def qiniCurve(units: DataFrame, treated: Column, score: Column,
+      converted: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"qiniCurve: bins=$bins")
+    import graft.expr.Snap
+    val b = units.select(treated.cast("boolean").as("t"),
+      score.cast("double").as("s"),
+      when(converted.cast("boolean"), 1L).otherwise(0L).as("y"))
+    val smax = b.agg(max(col("s")).as("smax"))
+    val binned = b.crossJoin(broadcast(smax))
+      .select(when(col("smax") > 0.0,
+          greatest(lit(0L),
+            least(floor(col("s") / col("smax") * lit(bins.toDouble))
+              .cast("long"), lit(bins - 1L))))
+        .otherwise(lit(0L)).as("bin"), col("t"), col("y"))
+    val grid = binned.groupBy(col("bin"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("ct"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("cc"))
+    // cumulative from the TOP of the score down: bins-row windows
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = grid.agg(sum(col("nt")).as("tnt"), sum(col("ct")).as("tct"),
+      sum(col("nc")).as("tnc"), sum(col("cc")).as("tcc"))
+    val cum = grid.select(col("bin"),
+        sum(col("nt")).over(w).as("cnt"), sum(col("ct")).over(w).as("cct"),
+        sum(col("nc")).over(w).as("cnc"), sum(col("cc")).over(w).as("ccc"))
+      .crossJoin(broadcast(tot))
+    val qini = when(col("cnc") > 0L,
+      col("cct").cast("double") -
+        col("ccc").cast("double") * col("cnt").cast("double") /
+          col("cnc").cast("double"))
+      .otherwise(col("cct").cast("double"))
+    val qTotal = when(col("tnc") > 0L,
+      col("tct").cast("double") -
+        col("tcc").cast("double") * col("tnt").cast("double") /
+          col("tnc").cast("double"))
+      .otherwise(col("tct").cast("double"))
+    val frac = (col("cnt") + col("cnc")).cast("double") /
+      (col("tnt") + col("tnc")).cast("double")
+    val curve = cum.select(col("bin"),
+      col("cnt").as("n_t"), col("cnc").as("n_c"),
+      col("cct").as("conv_t"), col("ccc").as("conv_c"),
+      round(frac, 6).as("frac_targeted"),
+      round(qini, 6).as("qini"),
+      round(frac * qTotal, 6).as("qini_random"),
+      (qini - frac * qTotal).as("__excess"),
+      frac.as("__x"))
+    // trapezoid area between curve and diagonal over consecutive
+    // thresholds (plus the (0,0) anchor as the segment ending at the
+    // smallest frac): bins-row lead window, snapped terms
+    val wl = Window.orderBy(col("__x"))
+    val prevX = lag(col("__x"), 1).over(wl)
+    val prevE = lag(col("__excess"), 1).over(wl)
+    val seg = (col("__x") - coalesce(prevX, lit(0.0))) *
+      (col("__excess") + coalesce(prevE, lit(0.0))) / lit(2.0)
+    val area = curve.select(seg.as("seg"))
+      .agg(round(Snap.snappedSum(col("seg"), 1e9), 6).as("qini_coef"))
+    curve.crossJoin(broadcast(area))
+      .select(col("bin"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"), col("frac_targeted"), col("qini"),
+        col("qini_random"), col("qini_coef"))
+      .orderBy(col("bin").desc)
+  }
+
   /** Distribution-free median confidence interval per group (the
     * order-statistic interval of Hahn & Meeker 1991 §5.2 with the
     * normal-approximation ranks; Conover 1999 §3.2): the median is

@@ -1969,6 +1969,40 @@ class QualitySpec extends SparkSpec {
     assert(r3("A") == ((0.0, true)) && r3("B") == ((0.0, true)), s"$r3")
   }
 
+  test("qiniCurve: perfect targeting reads coefficient +0.5, inverted " +
+    "targeting −0.5; cumulative class counts exact") {
+    import graft.ops.Analytics
+    // two score levels, balanced arms; conversions only where stated
+    def mk(rows: Seq[(Boolean, Double, Boolean)]) = rows.toDF("t", "s", "y")
+    val good = mk(Seq(
+      (true, 10.0, true), (true, 10.0, true),    // high score, T converts
+      (false, 10.0, false), (false, 10.0, false),
+      (true, 1.0, false), (true, 1.0, false),    // low score: nothing
+      (false, 1.0, false), (false, 1.0, false)))
+    val r = Analytics.qiniCurve(good, col("t"), col("s"), col("y"),
+      bins = 2).collect()
+    assert(r.length == 2, r.mkString("|"))
+    // columns: bin, n_t, n_c, conv_t, conv_c, frac, qini, random, coef
+    val top = r(0)
+    assert(top.getLong(0) == 1L && top.getLong(1) == 2L &&
+      top.getLong(2) == 2L && top.getLong(3) == 2L &&
+      top.getLong(4) == 0L, top.toString)
+    assert(top.getDouble(5) == 0.5 && top.getDouble(6) == 2.0 &&
+      top.getDouble(7) == 1.0, top.toString)
+    assert(top.getDouble(8) == 0.5, s"perfect-targeting coef: $top")
+    // inverted score: the converters sit at the BOTTOM of the ranking
+    val bad = mk(Seq(
+      (true, 1.0, true), (true, 1.0, true),
+      (false, 1.0, false), (false, 1.0, false),
+      (true, 10.0, false), (true, 10.0, false),
+      (false, 10.0, false), (false, 10.0, false)))
+    val r2 = Analytics.qiniCurve(bad, col("t"), col("s"), col("y"),
+      bins = 2).collect()
+    assert(r2(0).getDouble(8) == -0.5, s"anti-targeting coef: ${r2(0)}")
+    // both curves end at the same total incremental lift
+    assert(r(1).getDouble(6) == 2.0 && r2(1).getDouble(6) == 2.0)
+  }
+
   test("shapleyAttribution: hand 2-channel coalition lattice; post-" +
     "conversion touches ignored; efficiency (shares sum to 1)") {
     import graft.ops.Analytics

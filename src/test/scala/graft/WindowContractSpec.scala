@@ -71,6 +71,9 @@ object WindowContractSpec {
   /** query → why its unpartitioned window frame is bounded. */
   val bounded: Map[String, String] = Map(
     "q105_skew_gini" -> "|sources|-row weight rollup (dimension-sized)",
+    "q338_qini" -> ("bins-row score-threshold grid (fixed-width bins, " +
+      "data-independent ≤ 10 rows; both the cumulative and the " +
+      "trapezoid window ride it)"),
     "q124_rrf_fusion" -> "two top-k candidate lists (k-bounded)",
     "q130_token_apportion" -> "|sources|-row budget table",
     "q161_curriculum" -> "|difficulty buckets| curriculum axis",
