@@ -666,38 +666,74 @@ object Graph {
     * the same sketch the q62/q68 family already certifies, pointed
     * at graph distance.
     *
-    * Determinism: registers are exact integers (md5 bucket +
-    * bin-length rank — [[Sketch.hllRegisters]]); merges are integer
-    * max (order-free); estimates are [[Sketch.hllEstimate]]'s
-    * all-dyadic arithmetic — reproducible to the last bit, and
-    * n1_exact (deg+1) rides along as the built-in accuracy readout
-    * at r = 1.
+    * Determinism: registers are exact integers (the [[Sketch
+    * .hllRegisters]] md5 bucket + bin-length rank, byte-for-byte);
+    * merges are elementwise integer max (order-free); estimates are
+    * [[Sketch.hllEstimate]]'s all-dyadic arithmetic — reproducible to
+    * the last bit, and n1_exact (deg+1) rides along as the built-in
+    * accuracy readout at r = 1.
     *
-    * Scale shape: per round ONE edge-sized join into a
-    * map-side-combined (node, bucket) max — state never exceeds
-    * 2^b rows/node regardless of neighborhood size. Returns
+    * Scale shape — PACKED state (round-12): registers live as ONE
+    * m-byte array per node, not m rows. The row form fanned every
+    * edge out ×m BEFORE the merge shuffle (edges·m rows per round);
+    * packed, the edge join moves edges·1 rows and the native
+    * [[graft.expr.catalyst.RegisterMaxAgg]] folds them map-side into
+    * one m-byte buffer per (node, task) — a 64× shuffle-volume cut at
+    * b = 6 with bit-identical register values and estimates. Returns
     * (node, n1_exact, est_1hop, est_2hop). */
   def neighborhoodFunction(edges: DataFrame, src: String, dst: String,
       b: Int = 6,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
+    import graft.expr.catalyst.RegisterMaxAgg
+    val m = 1 << b
+    val bits = 32 - b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
     val e0 = edges.select(least(col(src), col(dst)).cast("long").as("u"),
         greatest(col(src), col(dst)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
     val e = materialize(e0.unionByName(
       e0.select(col("v").as("u"), col("u").as("v"))))
     val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
-    var state = materialize(Sketch.hllRegisters(
-      deg.select(col("node"), col("node").as("item")),
-      Seq("node"), col("item"), b))
+    // packed seed: the node's own hllRegisters row written into its
+    // bucket position — SAME md5 bucket/rho values as the row form
+    val h = conv(substring(md5(col("node").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val bucket = h.bitwiseAND(lit((1L << b) - 1))
+    val w = shiftright(h, b)
+    val rho = when(w > 0, lit(bits + 1) - length(bin(w)))
+      .otherwise(lit(bits + 1))
+    var state = materialize(deg.select(col("node"),
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        when(j.cast("long") === bucket, rho).otherwise(lit(0))
+          .cast("byte")).as("regs")))
+    // hllEstimate's exact arithmetic read off the packed array:
+    // present register ⇔ value > 0 (rho ≥ 1 whenever a row existed)
+    def estimate(st: DataFrame, out: String): DataFrame = {
+      val present = filter(col("regs"), r => r > lit(0))
+      val nBuckets = size(present)
+      val sp = aggregate(present, lit(0.0),
+        (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+      val zeros = lit(m) - nBuckets
+      val raw = lit(alpha * m * m) / (sp + zeros.cast("double"))
+      st.select(col("node"),
+        round(when(raw <= 2.5 * m && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+          .otherwise(raw), 3).as(out))
+    }
     val ests = (1 to 2).map { r =>
       val merged = e.join(state, e("v") === state("node"))
-        .select(e("u").as("node"), col("bucket"), col("reg"))
-        .unionByName(state)
-        .groupBy(col("node"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .select(e("u").as("node"), col("regs"))
+        .unionByName(state.select(col("node"), col("regs")))
+        .groupBy(col("node"))
+        .agg(RegisterMaxAgg.registerMax(col("regs"), m).as("regs"))
       state = materialize(merged)
-      Sketch.hllEstimate(state, Seq("node"), b)
-        .select(col("node"), col("est_distinct").as(s"est_${r}hop"))
+      estimate(state, s"est_${r}hop")
     }
     deg.select(col("node"), (col("d") + lit(1L)).as("n1_exact"))
       .join(ests(0), "node").join(ests(1), "node")
