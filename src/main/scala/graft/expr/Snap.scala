@@ -37,12 +37,21 @@ object Snap {
     * cast's NaN→0. The SUM itself stays decimal(38,0): totals may
     * exceed 2^63 and must not wrap. */
   def snappedSum(term: Column, grid: Double): Column = {
-    val scaled = floor(term * lit(grid) + lit(0.5))
-    // Long.MaxValue.toDouble == 2^63 exactly; any double strictly below
-    // it is representable as a long, so the guarded cast never saturates.
-    val snapped = when(abs(scaled) < lit(Long.MaxValue.toDouble),
-                       scaled.cast("long").cast("decimal(38,0)"))
-      .otherwise(scaled.cast("decimal(38,0)"))
+    // Guard on the RAW scaled double, NOT on floor(d): Spark's
+    // floor(double) itself returns LongType, so it saturates at
+    // Long.MaxValue before any downstream guard could look — testing
+    // after floor is testing the saturated value.
+    val d = term * lit(grid) + lit(0.5)
+    // Long.MaxValue.toDouble == 2^63 exactly. Below it, floor's
+    // double→long is exact (the fast path — a long-backed Decimal in
+    // the sum buffer). At or above it, |d| ≥ 2^63 > 2^53 means d is
+    // ALREADY an exact integer (ulp ≥ 2048): floor and the +0.5 are
+    // no-ops, and the direct double→decimal cast is exact to ~1e38.
+    // NaN fails the comparison and becomes NULL via the decimal cast
+    // (ignored by SUM) — never the long cast's NaN→0.
+    val snapped = when(abs(d) < lit(Long.MaxValue.toDouble),
+                       floor(d).cast("decimal(38,0)"))
+      .otherwise(d.cast("decimal(38,0)"))
     sum(snapped).cast("double") / lit(grid)
   }
 }

@@ -411,4 +411,30 @@ class PropertySpec extends SparkSpec {
         assert(math.abs(nd(item) - c * n) <= 1e-6, s"c=$c, $item") }
     }
   }
+
+  test("snappedSum: the long fast-path guard — terms whose scaled " +
+    "value passes 2^63 fall back to the exact decimal cast instead of " +
+    "saturating; NaN terms drop; in-domain terms are unchanged") {
+    import spark.implicits._
+    import graft.expr.Snap
+    // in-domain: plain snapped sum
+    val small = Seq(1.25, -2.5, 0.000000001).toDF("x")
+    val s1 = small.agg(Snap.snappedSum(col("x"), 1e9).as("s"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(s1 - (-1.249999999)) < 1e-9, s"in-domain: $s1")
+    // out-of-domain: 1e10 at grid 1e9 scales to 1e19 > 2^63 ≈ 9.22e18.
+    // A saturating long cast would read Long.MaxValue/1e9 ≈ 9.223e9;
+    // the guarded fallback must read exactly 1e10 (+ the small term)
+    val big = Seq(1e10, 0.5).toDF("x")
+    val s2 = big.agg(Snap.snappedSum(col("x"), 1e9).as("s"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(s2 - 1.00000000005e10) < 1e-6,
+      s"guarded fallback must not saturate: $s2")
+    // NaN: ignored by SUM via the NULL fallback (the pre-fast-path
+    // behavior), never the long cast's NaN -> 0 counted as a term
+    val withNan = Seq(Double.NaN, 2.0).toDF("x")
+    val s3 = withNan.agg(Snap.snappedSum(col("x"), 1e9).as("s"))
+      .collect()(0).getDouble(0)
+    assert(s3 == 2.0, s"NaN must drop, not zero-contribute: $s3")
+  }
 }
