@@ -2415,22 +2415,39 @@ object Analytics {
   def qiniCurve(units: DataFrame, treated: Column, score: Column,
       converted: Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, s"qiniCurve: bins=$bins")
-    import graft.expr.Snap
     val b = units.select(treated.cast("boolean").as("t"),
       score.cast("double").as("s"),
       when(converted.cast("boolean"), 1L).otherwise(0L).as("y"))
     val smax = b.agg(max(col("s")).as("smax"))
     val binned = b.crossJoin(broadcast(smax))
-      .select(when(col("smax") > 0.0,
-          greatest(lit(0L),
-            least(floor(col("s") / col("smax") * lit(bins.toDouble))
-              .cast("long"), lit(bins - 1L))))
-        .otherwise(lit(0L)).as("bin"), col("t"), col("y"))
-    val grid = binned.groupBy(col("bin"))
+      .select(qiniBin(col("s"), col("smax"), bins).as("bin"),
+        col("t"), col("y"))
+    qiniFromGrid(binned.groupBy(col("bin"))
       .agg(sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
         sum(when(col("t"), col("y")).otherwise(0L)).as("ct"),
         sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
-        sum(when(!col("t"), col("y")).otherwise(0L)).as("cc"))
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("cc")))
+  }
+
+  /** The fixed-width score-threshold bin of [[qiniCurve]] — exposed so
+    * the streaming sink bins arriving units against a TRAIN-ONCE
+    * `scoreMax` (the startCusumSink offline-reference convention)
+    * with the exact batch expression. */
+  def qiniBin(score: Column, scoreMax: Column, bins: Int): Column =
+    when(scoreMax > 0.0,
+      greatest(lit(0L),
+        least(floor(score / scoreMax * lit(bins.toDouble))
+          .cast("long"), lit(bins - 1L))))
+      .otherwise(lit(0L))
+
+  /** [[qiniCurve]] from its (bin, nt, ct, nc, cc) per-threshold class-
+    * count grid — the counts are purely ADDITIVE, which is exactly
+    * what the streaming uplift monitor needs: maintain the grid
+    * incrementally against a fixed score normalizer, re-read the curve
+    * per epoch ([[graft.stream.StreamCuration.startQiniSink]]) — the
+    * cvmFromGrid contract applied to uplift. */
+  def qiniFromGrid(grid: DataFrame): DataFrame = {
+    import graft.expr.Snap
     // cumulative from the TOP of the score down: bins-row windows
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, 0)

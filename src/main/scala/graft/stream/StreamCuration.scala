@@ -594,6 +594,72 @@ object StreamCuration {
       .start()
   }
 
+  /** q338's Qini uplift curve maintained at INGEST — the 29th sink:
+    * live targeting-quality monitoring of a RUNNING experiment, the
+    * sequential read every uplift campaign wants ("is the score still
+    * ranking incremental converters first, or has the audience
+    * shifted"). The score normalizer `scoreMax` is decided OFFLINE and
+    * fixed (the startCusumSink train-once/serve-many convention —
+    * a data-dependent max would make the binning non-additive); state
+    * is the (bin, nt, ct, nc, cc) per-threshold class-count grid —
+    * exactly [[graft.ops.Analytics.qiniFromGrid]]'s input, purely
+    * additive and `bins`-bounded — so each epoch's curve + coefficient
+    * is bit-identical to the batch computation over all arrived units
+    * binned against the same scoreMax under any batch split
+    * (spec-pinned). State persists per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): restarts
+    * RESUME, replayed epochs re-emit without re-merging. */
+  def startQiniSink(unitStream: DataFrame, treatedCol: String,
+      scoreCol: String, convertedCol: String, scoreMax: Double,
+      bins: Int, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(bins >= 2 && scoreMax > 0.0,
+      s"startQiniSink: bins=$bins scoreMax=$scoreMax")
+    val spark0 = unitStream.sparkSession
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq("bin", "nt", "ct",
+        "nc", "cc").map(n => org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    unitStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId))
+            sink(graft.ops.Analytics.qiniFromGrid(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val part = batch.select(
+              col(treatedCol).cast("boolean").as("t"),
+              graft.ops.Analytics.qiniBin(col(scoreCol).cast("double"),
+                lit(scoreMax), bins).as("bin"),
+              when(col(convertedCol).cast("boolean"), 1L).otherwise(0L)
+                .as("y"))
+            .groupBy(col("bin"))
+            .agg(sum(when(col("t"), 1L).otherwise(0L)).as("dnt"),
+              sum(when(col("t"), col("y")).otherwise(0L)).as("dct"),
+              sum(when(!col("t"), 1L).otherwise(0L)).as("dnc"),
+              sum(when(!col("t"), col("y")).otherwise(0L)).as("dcc"))
+          val (j, ks) = mergeOnKeys(state.get, part, Seq("bin"))
+          val next = j.select(ks ++ Seq(
+            (coalesce(col("nt"), lit(0L)) + coalesce(col("dnt"), lit(0L)))
+              .as("nt"),
+            (coalesce(col("ct"), lit(0L)) + coalesce(col("dct"), lit(0L)))
+              .as("ct"),
+            (coalesce(col("nc"), lit(0L)) + coalesce(col("dnc"), lit(0L)))
+              .as("nc"),
+            (coalesce(col("cc"), lit(0L)) + coalesce(col("dcc"), lit(0L)))
+              .as("cc")): _*)
+          sink(graft.ops.Analytics.qiniFromGrid(
+            state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
   /** The privacy TRIAD maintained at INGEST — the 28th sink: is the
     * corpus we are accumulating still releasable, re-audited on every
     * micro-batch. ONE additive state — the (quasi…, sensitive, nv)

@@ -350,6 +350,53 @@ class MonitorStateSpec extends SparkSpec {
     assert(m("Y") == ((false, false, false)), s"Y: $m")
   }
 
+  test("startQiniSink (29th sink): each emission ≡ batch qiniFromGrid " +
+    "over all arrived units binned against the SAME fixed scoreMax " +
+    "under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the QualitySpec hand corpus: perfect targeting -> coef +0.5
+    val rows = Seq(
+      (true, 10.0, true), (true, 10.0, true),
+      (false, 10.0, false), (false, 10.0, false),
+      (true, 1.0, false), (true, 1.0, false),
+      (false, 1.0, false), (false, 1.0, false))
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(31)).shuffle(rows)
+    val (sMax, nb) = (10.0, 2)
+    def run(batches: Seq[Seq[(Boolean, Double, Boolean)]]): Seq[String] = {
+      val ms = MemoryStream[(Boolean, Double, Boolean)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val ckpt = java.nio.file.Files.createTempDirectory("qini").toString
+      val q = graft.stream.StreamCuration.startQiniSink(
+        ms.toDF().toDF("t", "s", "y"), "t", "s", "y", sMax, nb, ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("bin").desc).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val df = all.toDF("t", "s", "y")
+    val grid = df.select(col("t"),
+        graft.ops.Analytics.qiniBin(col("s"), lit(sMax), nb).as("bin"),
+        when(col("y"), 1L).otherwise(0L).as("yy"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t"), col("yy")).otherwise(0L)).as("ct"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("t"), col("yy")).otherwise(0L)).as("cc"))
+    val want = graft.ops.Analytics.qiniFromGrid(grid)
+      .orderBy(col("bin").desc).collect().map(_.toString).toSeq
+    val a = run(Seq(all.take(3), all.slice(3, 6), all.drop(6)))
+    val b = run(Seq(all.reverse.take(5), all.reverse.drop(5)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // and the readout itself: the perfect-targeting coefficient
+    assert(want.head.endsWith(",0.5]"), s"coef should be 0.5: $want")
+  }
+
   test("null-key state rows MERGE (not duplicate) across epochs — the " +
     "null-safe <=> merge contract, pinned on the trend sink") {
     implicit val sqlCtx = spark.sqlContext
