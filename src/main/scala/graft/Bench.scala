@@ -127,6 +127,17 @@ object Bench {
       if (all.exists(_ < 0) && all.min < 0) name -> ((-1.0, -1.0))
       else name -> ((all.min, p50Of(basis)))
     }
+    // BIMODALITY names itself (VERDICT r12 #2): a query whose p50/min
+    // still exceeds 2 AFTER the rescue pass is not host noise — point
+    // stalls were given four time-separated chances to wash out — it
+    // is a plan that executes two different ways run to run (the q331
+    // AQE-coalesce class). The min-of-samples headline is RIGHT for
+    // stall noise and WRONG for these: the min records the lucky mode.
+    // Surfacing the list in the parsed line means the round-over-round
+    // read cannot silently score a bimodal query at its rare fast mode.
+    val bimodal = results.collect {
+      case (n, (v, p)) if v > 0 && p / v > 2.0 => n
+    }.toVector.sorted
     def r3(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
@@ -150,8 +161,9 @@ object Bench {
       if (ratios.isEmpty) 1.0
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+    val bim = bimodal.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r3(total)},"total_p50":${r3(totalP50)},"queries":$qs,"p50":$p50s,"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r3(total)},"total_p50":${r3(totalP50)},"queries":$qs,"p50":$p50s,"p50_min_ratio_median":${r3(driftMedian)},"bimodal":$bim,"sf":"$sfDir"}"""
     // The driver artifact tail-truncates long stdout (BENCH_r06 lost its
     // head 38 timings) and its last-line parse must land on a COMPLETE
     // JSON object — so the per-query detail goes ONLY to a file, never
@@ -172,7 +184,7 @@ object Bench {
     // inside the driver's ~2 KB tail capture. sbt's own "[success] Total
     // time" epilogue is suppressed via showSuccess := false in build.sbt
     // so this line IS the last stdout line of the bench step.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"total_min":${r3(total)},"total_p50":${r3(totalP50)},"p50_min_ratio_median":${r3(driftMedian)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"total_min":${r3(total)},"total_p50":${r3(totalP50)},"p50_min_ratio_median":${r3(driftMedian)},"bimodal":$bim,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

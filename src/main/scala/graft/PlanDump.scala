@@ -21,7 +21,12 @@ object PlanDump {
     for (q <- args) {
       println(s"===== PLAN $q =====")
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-      println(df.queryExecution.executedPlan.toString.take(6000))
+      // execute FIRST: with AQE on, the pre-execution executedPlan is
+      // the static plan (isFinalPlan=false) — it hides the runtime
+      // shuffle-read coalescing and join flips that are exactly what a
+      // bench-movement investigation needs to see (VERDICT r12 #3)
+      df.count()
+      println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()
   }

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * register VALUES are untouched).
   *
   * Input: array<tinyint> of length `m` (absent register = 0). NULL
-  * arrays are ignored; a wrong-length array throws (the packing is a
-  * fixed-width contract, not a suggestion).
+  * arrays are ignored; a wrong-length array or a NULL ELEMENT throws
+  * (the packing is a fixed-width contract, not a suggestion — a null
+  * slot silently read as an arbitrary byte would corrupt the register
+  * it lands on, so it is rejected at the first update that sees it;
+  * ADVICE r12).
   */
 case class RegisterMaxAgg(
     child: Expression,
@@ -53,6 +56,13 @@ case class RegisterMaxAgg(
         s"graft_register_max: expected $m registers, got ${arr.numElements()}")
       var i = 0
       while (i < m) {
+        // reject null ELEMENTS explicitly: the analysis-time check
+        // accepts containsNull=true arrays (the seed's `transform`
+        // lambda is conservatively marked nullable even though it
+        // never produces nulls), and getByte on a null slot would
+        // silently read an arbitrary value into the register
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"graft_register_max: null register element at $i")
         val r = arr.getByte(i)
         if (r > buf(i)) buf(i) = r
         i += 1

@@ -2432,12 +2432,19 @@ object Analytics {
   /** The fixed-width score-threshold bin of [[qiniCurve]] — exposed so
     * the streaming sink bins arriving units against a TRAIN-ONCE
     * `scoreMax` (the startCusumSink offline-reference convention)
-    * with the exact batch expression. */
+    * with the exact batch expression. A NULL score (an uncastable or
+    * missing stream value — batch callers never produce one) bins at
+    * 0, the BOTTOM of the curve: Spark's least/greatest skip nulls,
+    * so without the explicit guard floor(null/·)=null would fall
+    * through to least(null, bins−1)=bins−1 and an unscorable unit
+    * would silently count as the best-scored one, distorting the
+    * head of the uplift curve (ADVICE r12). */
   def qiniBin(score: Column, scoreMax: Column, bins: Int): Column =
-    when(scoreMax > 0.0,
-      greatest(lit(0L),
-        least(floor(score / scoreMax * lit(bins.toDouble))
-          .cast("long"), lit(bins - 1L))))
+    when(score.isNull, lit(0L))
+      .when(scoreMax > 0.0,
+        greatest(lit(0L),
+          least(floor(score / scoreMax * lit(bins.toDouble))
+            .cast("long"), lit(bins - 1L))))
       .otherwise(lit(0L))
 
   /** [[qiniCurve]] from its (bin, nt, ct, nc, cc) per-threshold class-

@@ -807,10 +807,15 @@ object Graph {
     * enumerated only through a shared vertex — never all-pairs, the
     * [[graft.ops.Ann.cosineNearDupPairs]] discipline); deg-1 vertices
     * are dropped BEFORE the self-join (they cannot be shared); the
-    * per-pair sum is map-side combined; the top-k is
-    * TakeOrderedAndProject (a k-row heap per task, no global sort
-    * materialization). Skewed hub vertices are the caller's df-cap
-    * decision — same knob as the inverted-index band. */
+    * per-pair aggregation is PINNED at full width
+    * ([[Fanout.pin]] on the pair keys): its exchange carries few
+    * compressed bytes per unit of aggregation work, so AQE's
+    * coalescer would otherwise collapse it to one task and the whole
+    * candidate-pair set would aggregate serially (the measured 12s
+    * mode vs 3s pinned); the top-k is TakeOrderedAndProject (a k-row
+    * heap per task, no global sort materialization). Skewed hub
+    * vertices are the caller's df-cap decision — same knob as the
+    * inverted-index band. */
   def adamicAdar(edges: DataFrame, src: String, via: String,
       k: Int = 100, maxDeg: Long = Long.MaxValue): DataFrame = {
     require(k > 0, s"adamicAdar: k=$k")
@@ -824,7 +829,8 @@ object Graph {
         col("node").as("node_a"), col("deg")))
       .join(ew.select(col("via"), col("node").as("node_b")), Seq("via"))
       .filter(col("node_a") < col("node_b"))
-    pairs.groupBy(col("node_a"), col("node_b"))
+    Fanout.pin(pairs, col("node_a"), col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"),
         round(Snap.snappedSum(
           lit(1.0) / log(col("deg").cast("double")), 1e9), 6)
@@ -845,7 +851,10 @@ object Graph {
     *
     * Mechanics: edges normalize to deduped (lo < hi) pairs and
     * checkpoint once (three consumers: m, degrees, the labeled join);
-    * unlabeled nodes drop from the partition (stated). Exactness:
+    * unlabeled nodes drop from the partition (stated); a node listed
+    * more than once in `labels` keeps its MIN label (one label per
+    * node, deterministically — a duplicate row must not double-count
+    * the node's degree or its within-community edges). Exactness:
     * e_c/d_c/m are exact integers; each Q_c is one fixed IEEE
     * composition; the total snaps at 1e9 (order-free) — fully
     * oracle-replayable.
@@ -862,8 +871,13 @@ object Graph {
         greatest(col(src), col(dst)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint(eager = true)
+    // ONE label per node, deterministically (min): a node listed twice
+    // in `labels` would otherwise fan out BOTH degree-sum and
+    // within-community edge joins — double-counting deg_sum and e_in
+    // and skewing Q with no error raised (ADVICE r12)
     val lab = labels.select(col(node).cast("long").as("n"),
-      col(label).as("c"))
+        col(label).as("c"))
+      .groupBy(col("n")).agg(min(col("c")).as("c"))
     val m = e.agg(count(lit(1)).as("m"))
     val deg = e.select(explode(array(col("lo"), col("hi"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

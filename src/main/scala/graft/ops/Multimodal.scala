@@ -411,29 +411,69 @@ object Multimodal {
       ks: Seq[Int] = Seq(1, 5, 10), queryMod: Int = 16): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"crossModalRecall: ks=$ks")
     require(queryMod >= 1, s"crossModalRecall: queryMod=$queryMod")
-    import graft.expr.Similarity
-    import org.apache.spark.sql.expressions.Window
-    val kMax = ks.max
-    val spark0 = media.sparkSession
-    def bucketOf(vec: Column): Column =
-      (0 until 4).map(j => when(element_at(vec, j + 1) >= 0.5,
-        lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val corpus = crossModalCorpus(media, id, payload)
     val feats = media.select(id.cast("long").as("doc_id"),
       mediaFeatureArray(payload).as("feat"))
-    val corpus = feats.select(col("doc_id").as("n_id"), col("feat"),
-      bucketOf(col("feat")).as("bucket"))
+    val queries = crossModalQueries(feats
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 8), 16, 10).cast("long"), lit(queryMod.toLong)) === 0L))
+    crossModalFromCells(crossModalHitCells(corpus, queries, ks))
+      .orderBy(col("method"), col("k"))
+  }
+
+  /** The 4-bit sign-pattern blocking cell of the q325/q335 media
+    * feature space — first four features around 0.5. */
+  private def signBucketOf(vec: Column): Column =
+    (0 until 4).map(j => when(element_at(vec, j + 1) >= 0.5,
+      lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** The STATIC side of [[crossModalRecall]]: media rows embedded and
+    * sign-bucketed into the searchable (n_id, feat, bucket) corpus —
+    * built ONCE as the serving index artifact the streaming monitor
+    * probes every epoch ([[graft.stream.StreamCuration
+    * .startCrossModalRecallSink]]'s train-once convention). */
+  def crossModalCorpus(media: DataFrame, id: Column, payload: Column)
+      : DataFrame = {
+    val feats = media.select(id.cast("long").as("doc_id"),
+      mediaFeatureArray(payload).as("feat"))
+    feats.select(col("doc_id").as("n_id"), col("feat"),
+      signBucketOf(col("feat")).as("bucket"))
+  }
+
+  /** The QUERY side of [[crossModalRecall]]: each (doc_id, feat) row
+    * becomes its own text query — the doc's feature vector plus the
+    * deterministic md5 perturbation (the joint-encoder stub; see
+    * [[crossModalRecall]]). Returns (q_id, q_vec). */
+  def crossModalQueries(feats: DataFrame): DataFrame = {
     val noise = transform(sequence(lit(0), lit(7)), j =>
       (pmod(conv(substring(md5(concat(lit("q"), j.cast("string"),
         lit("|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long"), lit(1000L)).cast("double") / lit(1000.0) -
         lit(0.5)) * lit(0.25))
-    val queries = feats
-      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")),
-        1, 8), 16, 10).cast("long"), lit(queryMod.toLong)) === 0L)
-      .select(col("doc_id").as("q_id"),
-        zip_with(col("feat"), noise, (a, b) => a + b).as("q_vec"))
+    feats.select(col("doc_id").as("q_id"),
+      zip_with(col("feat"), noise, (a, b) => a + b).as("q_vec"))
+  }
+
+  /** The ADDITIVE sufficient statistic of [[crossModalRecall]]: per
+    * (method, k), this query set's size and its top-k self-retrieval
+    * hit count against the given corpus. Against a FIXED corpus each
+    * query's hit rank is independent of every other query, so cells
+    * from disjoint query batches merge by ADDITION — the *FromCells
+    * contract that lets the streaming monitor maintain the grid
+    * incrementally ([[graft.stream.StreamCuration
+    * .startCrossModalRecallSink]]). Both retrieval paths (flat
+    * baseline, sign-bucket probe) emit all |ks| rows even at zero
+    * hits (the state grid is fixed-shape). Returns (method, k,
+    * n_queries, hits). */
+  def crossModalHitCells(corpus: DataFrame, queries: DataFrame,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"crossModalHitCells: $ks")
+    import graft.expr.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val kMax = ks.max
+    val spark0 = corpus.sparkSession
     val qb = broadcast(queries.select(col("q_id"), col("q_vec"),
-      bucketOf(col("q_vec")).as("q_bucket")))
+      signBucketOf(col("q_vec")).as("q_bucket")))
     val kdf = broadcast(spark0.createDataFrame(
       ks.map(k => Tuple1(k.toLong))).toDF("k"))
     val nq = queries.agg(count(lit(1)).as("n_queries"))
@@ -452,13 +492,19 @@ object Multimodal {
       kdf.join(broadcast(hitsPerK), Seq("k"), "left")
         .crossJoin(broadcast(nq))
         .select(lit(method).as("method"), col("k"), col("n_queries"),
-          coalesce(col("h"), lit(0L)).as("hits"),
-          round(coalesce(col("h"), lit(0L)).cast("double") /
-            col("n_queries").cast("double"), 6).as("recall_at_k"))
+          coalesce(col("h"), lit(0L)).as("hits"))
     }
     val flat = evalOf(corpus.crossJoin(qb), "flat")
     val probed = evalOf(
       corpus.join(qb, col("bucket") === col("q_bucket")), "bucket")
-    flat.unionByName(probed).orderBy(col("method"), col("k"))
+    flat.unionByName(probed)
   }
+
+  /** [[crossModalRecall]]'s readout off the (method, k, n_queries,
+    * hits) cell grid — one division per row, so the streaming
+    * monitor's merged state replays the batch computation verbatim. */
+  def crossModalFromCells(cells: DataFrame): DataFrame =
+    cells.select(col("method"), col("k"), col("n_queries"), col("hits"),
+      round(col("hits").cast("double") /
+        col("n_queries").cast("double"), 6).as("recall_at_k"))
 }

@@ -1922,11 +1922,35 @@ object Quality {
       .agg(count(lit(1)).as("nv")), quasi.map(_._1), l)
   }
 
+  /** Null-safe (`<=>`) equi-join on named key columns, keeping the
+    * LEFT side's key columns. A plain key-list join never matches a
+    * NULL key, so a NULL-keyed quasi-identifier class — exactly the
+    * rows a privacy audit must not lose — would silently vanish from
+    * (or read all-zero in) every per-class rollup that joins back on
+    * the quasi keys (ADVICE r12). Both sides' keys are renamed before
+    * the join so the condition stays unambiguous under self-join
+    * lineage (the `FromCells` audits join a frame with its own
+    * aggregate). */
+  private[graft] def nsJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], how: String = "inner"): DataFrame = {
+    val l2 = keys.zipWithIndex.foldLeft(left) { case (d, (k, i)) =>
+      d.withColumnRenamed(k, s"__nsl$i") }
+    val r2 = keys.zipWithIndex.foldLeft(right) { case (d, (k, i)) =>
+      d.withColumnRenamed(k, s"__nsr$i") }
+    val cond = keys.indices.map { i =>
+      col(s"__nsl$i") <=> col(s"__nsr$i") }.reduce(_ && _)
+    val j = keys.indices.foldLeft(l2.join(r2, cond, how)) { (d, i) =>
+      d.drop(s"__nsr$i") }
+    keys.zipWithIndex.foldLeft(j) { case (d, (k, i)) =>
+      d.withColumnRenamed(s"__nsl$i", k) }
+  }
+
   /** [[lDiversity]] from its (quasi…, __s, nv) cell-count grid — the
     * counts are purely ADDITIVE, which is exactly what the streaming
     * privacy sink needs: maintain the grid incrementally, re-read the
     * audit per epoch ([[graft.stream.StreamCuration.startPrivacySink]])
-    * — the cvmFromGrid contract applied to privacy. */
+    * — the cvmFromGrid contract applied to privacy. Class joins are
+    * null-safe: a NULL quasi key is a class like any other. */
   def lDiversityFromCells(cells: DataFrame, qn: Seq[String], l: Double)
       : DataFrame = {
     import graft.expr.Snap
@@ -1934,14 +1958,14 @@ object Quality {
       .agg(sum(col("nv")).as("n_rows"),
         count(lit(1)).as("distinct_l"))
     // H = Σ (nv/n)·ln(n/nv) needs n per class joined back to the grid
-    val h = cells.join(per.select((qn.map(col) :+
+    val h = nsJoin(cells, per.select((qn.map(col) :+
         col("n_rows").as("__n")): _*), qn)
       .groupBy(qn.map(col): _*)
       .agg(Snap.snappedSum(
         (col("nv").cast("double") / col("__n").cast("double")) *
           log(col("__n").cast("double") / col("nv").cast("double")),
         1e9).as("hh"))
-    per.join(h, qn)
+    nsJoin(per, h, qn)
       .select((qn.map(col) :+ col("n_rows") :+ col("distinct_l") :+
         round(exp(col("hh")), 4).as("entropy_l") :+
         (round(exp(col("hh")), 4) >= l).as("diverse")): _*)
@@ -1995,8 +2019,11 @@ object Quality {
       count(lit(1)).as("__m"))
     val per = cells.groupBy(qn.map(col): _*)
       .agg(sum(col("nv")).as("n_rows"))
-    val grid = per.crossJoin(broadcast(global))
-      .join(cells, qn :+ "__s", "left")
+    // null-safe on quasi keys AND __s: a NULL-keyed class (or a NULL
+    // sensitive grid value) must find its own cells, not read as an
+    // all-zero distribution with a spuriously large EMD (ADVICE r12)
+    val grid = nsJoin(per.crossJoin(broadcast(global)), cells,
+        qn :+ "__s", "left")
       .crossJoin(broadcast(gtot))
     val w = Window.partitionBy(qn.map(col): _*).orderBy(col("__s"))
     val diff = coalesce(col("nv"), lit(0L)).cast("double") /

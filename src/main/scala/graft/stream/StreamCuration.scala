@@ -660,6 +660,76 @@ object StreamCuration {
       .start()
   }
 
+  /** q335's cross-modal retrieval-quality eval maintained at INGEST —
+    * the 30th sink: "is the joint-embedding index still retrieving its
+    * own captions", re-asked on every micro-batch (VERDICT r12 #6).
+    * The searchable index is decided OFFLINE and FIXED — `indexMedia`
+    * embeds and sign-buckets ONCE at sink start (localCheckpoint; the
+    * startCusumSink train-once/serve-many convention — a growing
+    * corpus would change every already-scored query's rank and make
+    * the state non-additive). Each arriving doc becomes its own query
+    * (the q335 paired-caption stub); against the fixed index each
+    * query's hit rank is independent of every other query, so state
+    * is [[graft.ops.Multimodal.crossModalHitCells]]'s (method, k,
+    * n_queries, hits) grid — purely additive and 2·|ks|-bounded — and
+    * each epoch's recall@k readout is bit-identical to the batch eval
+    * of ALL arrived queries under any batch split (spec-pinned).
+    * State persists per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): restarts
+    * RESUME, replayed epochs re-emit without re-merging. */
+  def startCrossModalRecallSink(docStream: DataFrame, idCol: String,
+      payloadCol: String, indexMedia: DataFrame, indexId: String,
+      indexPayload: String, ks: Seq[Int], checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"startCrossModalRecallSink: ks=$ks")
+    val spark0 = docStream.sparkSession
+    val corpus = graft.ops.Multimodal.crossModalCorpus(indexMedia,
+      col(indexId), col(indexPayload)).localCheckpoint(eager = true)
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("method",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_queries",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hits",
+          org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId)) sink(graft.ops.Multimodal
+            .crossModalFromCells(state.get), epochId)
+        } else if (!batch.isEmpty) {
+          val feats = batch.select(
+            col(idCol).cast("long").as("doc_id"),
+            graft.ops.Multimodal.mediaFeatureArray(col(payloadCol))
+              .as("feat"))
+          val part = graft.ops.Multimodal.crossModalHitCells(corpus,
+              graft.ops.Multimodal.crossModalQueries(feats), ks)
+            .select(col("method"), col("k"),
+              col("n_queries").as("dnq"), col("hits").as("dh"))
+          val (j, kcols) = mergeOnKeys(state.get, part,
+            Seq("method", "k"))
+          val next = j.select(kcols ++ Seq(
+            (coalesce(col("n_queries"), lit(0L)) +
+              coalesce(col("dnq"), lit(0L))).as("n_queries"),
+            (coalesce(col("hits"), lit(0L)) +
+              coalesce(col("dh"), lit(0L))).as("hits")): _*)
+          sink(graft.ops.Multimodal.crossModalFromCells(
+            state.commit(next, epochId)), epochId)
+        }
+      }
+      .start()
+  }
+
   /** The privacy TRIAD maintained at INGEST — the 28th sink: is the
     * corpus we are accumulating still releasable, re-audited on every
     * micro-batch. ONE additive state — the (quasi…, sensitive, nv)
@@ -695,8 +765,13 @@ object StreamCuration {
     def readout(cells: DataFrame): DataFrame = {
       val ld = graft.ops.Quality.lDiversityFromCells(cells, quasiCols, l)
       val tc = graft.ops.Quality.tClosenessFromCells(cells, quasiCols, t)
-      ld.join(tc.select((quasiCols.map(col) :+ col("emd") :+
-          col("close")): _*), quasiCols)
+      // null-safe: mergeOnKeys deliberately keeps a NULL-keyed class
+      // in state — a plain equi-join here would silently drop that
+      // class from the released audit, the exact failure a privacy
+      // tripwire exists to prevent (ADVICE r12)
+      graft.ops.Quality.nsJoin(ld,
+          tc.select((quasiCols.map(col) :+ col("emd") :+
+            col("close")): _*), quasiCols)
         .withColumn("k_anonymous", col("n_rows") >= k)
     }
     docStream.writeStream

@@ -541,6 +541,8 @@ class GraphSpec extends SparkSpec {
       (2L, 1L), (3L, 3L)) // reversed dup + self-loop: both must drop
       .toDF("src", "dst")
     val labels = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"),
+      (1L, "A"), // duplicate label row: must NOT double-count node 1's
+                 // degree or its within-community edges (ADVICE r12)
       (9L, "C")) // label for a node absent from the graph
       .toDF("n", "c")
     val r = Graph.modularity(edges, "src", "dst", labels, "n", "c")
@@ -559,6 +561,39 @@ class GraphSpec extends SparkSpec {
       "n", "c").collect().map(x => x.getString(0) -> x.getDouble(5)).toMap
     // Q = 2 * (3/6 - (6/12)^2) = 0.5 — the two-cluster maximum
     assert(r2("L") == 0.5 && r2("R") == 0.5, s"disjoint triangles: $r2")
+    // a node with CONFLICTING labels keeps the MIN deterministically:
+    // node 1 carries both "L" and "Z" -> stays in "L", "Z" never forms
+    val r3 = Graph.modularity(tri, "src", "dst",
+      (lab2 :+ ((1L, "Z"))).toDF("n", "c"), "n", "c")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r3 == Map("L" -> 3L, "R" -> 3L), s"min-label conflict: $r3")
+  }
+
+  test("registerMax rejects a NULL register element — the fixed-width " +
+    "contract is enforced, not silently mis-read (ADVICE r12)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // analysis accepts containsNull=true (the seed transform's lambda
+    // is conservatively nullable); a null SLOT must still throw at the
+    // first update that sees it, not read as an arbitrary byte
+    // Seq[Byte], not Array[Byte]: the latter encodes as BINARY
+    val ok = Seq(Tuple1(Seq[Byte](1, 2)), Tuple1(Seq[Byte](3, 1)))
+      .toDF("regs")
+      .agg(graft.expr.catalyst.RegisterMaxAgg
+        .registerMax(col("regs"), 2).as("r"))
+      .collect().head.getSeq[Byte](0)
+    assert(ok == Seq(3.toByte, 2.toByte), s"elementwise max: $ok")
+    val bad = Seq(Tuple1(Seq[java.lang.Byte](1.toByte, null)))
+      .toDF("regs")
+      .agg(graft.expr.catalyst.RegisterMaxAgg
+        .registerMax(col("regs"), 2).as("r"))
+    val e = intercept[Exception](bad.collect())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("null register element")),
+      s"expected the null-element rejection, got: $e")
   }
 
 }

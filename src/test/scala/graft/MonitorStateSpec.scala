@@ -350,6 +350,52 @@ class MonitorStateSpec extends SparkSpec {
     assert(m("Y") == ((false, false, false)), s"Y: $m")
   }
 
+  test("startPrivacySink: a NULL-keyed quasi class survives the " +
+    "readout — present in the released audit with the batch triad's " +
+    "numbers (ADVICE r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the NULL class mirrors W's grid spread; the readout join is
+    // null-safe, so it must emit ONE row for the null class per epoch
+    val rows: Seq[(String, Long)] = Seq.fill(3)(("X", 1L)) ++
+      Seq.fill(2)((null: String, 0L)) ++ Seq.fill(2)((null: String, 2L))
+    val ms = MemoryStream[(String, Long)]
+    val out =
+      scala.collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    val ckpt = java.nio.file.Files.createTempDirectory("privnull").toString
+    val q = graft.stream.StreamCuration.startPrivacySink(
+      ms.toDF().toDF("g", "s"), Seq("g"), "s", 2L, 1.5, 0.6, ckpt,
+      (df, epoch) => out.synchronized {
+        out(epoch) = df.orderBy(col("g")).collect().toSeq
+      })
+    try {
+      ms.addData(rows.take(4)); q.processAllAvailable()
+      ms.addData(rows.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    val last = out.synchronized(out(out.keys.max))
+    val nullRow = last.filter(_.isNullAt(0))
+    assert(nullRow.length == 1,
+      s"null class must appear exactly once: $last")
+    // batch triad over the same rows, null-safe joined like the sink
+    val cells = rows.toDF("g", "s")
+      .groupBy(col("g").cast("string").as("g"),
+        col("s").cast("long").as("__s"))
+      .agg(count(lit(1)).as("nv"))
+    val want = graft.ops.Quality.nsJoin(
+        graft.ops.Quality.lDiversityFromCells(cells, Seq("g"), 1.5),
+        graft.ops.Quality.tClosenessFromCells(cells, Seq("g"), 0.6)
+          .select(col("g"), col("emd"), col("close")), Seq("g"))
+      .withColumn("k_anonymous", col("n_rows") >= 2L)
+      .orderBy(col("g")).collect().toSeq
+    assert(last.map(_.toString) == want.map(_.toString),
+      s"stream readout diverged:\n$last\nvs\n$want")
+    // the null class's own verdicts: 4 rows over grid values {0,2}
+    // (n=4 >= k=2; entropy-l = 2 >= 1.5)
+    assert(nullRow.head.getLong(1) == 4L &&
+      nullRow.head.getBoolean(4) && nullRow.head.getBoolean(7),
+      s"null class verdicts: ${nullRow.head}")
+  }
+
   test("startQiniSink (29th sink): each emission ≡ batch qiniFromGrid " +
     "over all arrived units binned against the SAME fixed scoreMax " +
     "under shuffled batch splits") {
@@ -395,6 +441,61 @@ class MonitorStateSpec extends SparkSpec {
     assert(b == want, s"split B diverged:\n$b\nvs\n$want")
     // and the readout itself: the perfect-targeting coefficient
     assert(want.head.endsWith(",0.5]"), s"coef should be 0.5: $want")
+  }
+
+  test("startCrossModalRecallSink (30th sink): each emission ≡ the " +
+    "batch recall@k grid of ALL arrived queries against the FIXED " +
+    "index under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the serving index: 40 media docs, embedded + sign-bucketed once
+    val index = (1L to 40L).map(i => (i, s"media_payload_$i"))
+      .toDF("media_id", "payload")
+    // arriving captions: 12 of the indexed docs re-arrive as queries
+    val arrivals = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(37)).shuffle(
+        (1L to 40L by 3L).map(i => (i, s"media_payload_$i")).toList)
+    val ks = Seq(1, 5, 10)
+    def run(batches: Seq[Seq[(Long, String)]]): Seq[String] = {
+      val ms = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val ckpt = java.nio.file.Files.createTempDirectory("xmodal").toString
+      val q = graft.stream.StreamCuration.startCrossModalRecallSink(
+        ms.toDF().toDF("doc_id", "payload"), "doc_id", "payload",
+        index, "media_id", "payload", ks, ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("method"), col("k")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val corpus = graft.ops.Multimodal.crossModalCorpus(
+      index, col("media_id"), col("payload"))
+    val feats = arrivals.toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.ops.Multimodal.mediaFeatureArray(col("payload"))
+          .as("feat"))
+    val want = graft.ops.Multimodal.crossModalFromCells(
+        graft.ops.Multimodal.crossModalHitCells(corpus,
+          graft.ops.Multimodal.crossModalQueries(feats), ks))
+      .orderBy(col("method"), col("k")).collect().map(_.toString).toSeq
+    val a = run(Seq(arrivals.take(4), arrivals.slice(4, 9),
+      arrivals.drop(9)))
+    val b = run(Seq(arrivals.reverse.take(7), arrivals.reverse.drop(7)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // the readout itself: 2 methods × 3 ks, every query counted, and
+    // the flat baseline retrieves its own caption at k=10 for most
+    // queries (the perturbation is ±0.125 on a 0..1 grid)
+    assert(want.length == 6, s"grid shape: $want")
+    val flat10 = want.map(s => s.drop(1).dropRight(1).split(","))
+      .find(r => r(0) == "flat" && r(1) == "10").get
+    assert(flat10(2).toLong == arrivals.length.toLong,
+      s"n_queries must count every arrival: ${flat10.toSeq}")
+    assert(flat10(4).toDouble >= 0.5,
+      s"flat recall@10 collapsed: ${flat10.toSeq}")
   }
 
   test("null-key state rows MERGE (not duplicate) across epochs — the " +

@@ -1257,12 +1257,17 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q336_t_closeness")
     assert(!p.contains("CartesianProduct"), p.take(800))
     // every Window in the plan partitions by the quasi keys — the
-    // corpus-global single-partition window hazard never appears
-    assert(!p.contains("windowspecdefinition()") &&
-      !p.contains("Window [") || !p.contains("Window [,"),
-      "unpartitioned window crept in")
-    assert(p.contains("windowspecdefinition(lang"),
-      s"class-partitioned window expected:\n${p.take(1200)}")
+    // corpus-global single-partition window hazard never appears.
+    // Assert it DIRECTLY on each windowspecdefinition's first
+    // argument (the r12 form's && / || precedence made the guard
+    // vacuously true — ADVICE r12): a partitioned spec leads with its
+    // partition keys (lang…), an unpartitioned one leads with the
+    // ORDER column.
+    val specs = "windowspecdefinition\\(([^,)#]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty &&
+      specs.forall(_.startsWith("lang")),
+      s"unpartitioned window crept in: $specs\n${p.take(1200)}")
     assert(p.contains("BroadcastExchange"), p.take(800))
   }
 

@@ -1969,6 +1969,39 @@ class QualitySpec extends SparkSpec {
     assert(r3("A") == ((0.0, true)) && r3("B") == ((0.0, true)), s"$r3")
   }
 
+  test("privacy audits keep a NULL-keyed quasi class: l-diversity and " +
+    "t-closeness report it like any other class (ADVICE r12)") {
+    // the NULL class mirrors Y (all mass at the edge of the {0,1,2}
+    // grid) so its EMD is hand-checkable; an equi-join regression
+    // would DROP the row or read its distribution as all-zero
+    val df = (Seq.fill(3)(("X", 1L)) ++ Seq.fill(3)(("Y", 2L)) ++
+      Seq.fill(3)((null: String, 0L))).toDF("g", "s")
+    val tc = Quality.tCloseness(df, Seq("g" -> col("g")), col("s"),
+        t = 0.4)
+      .collect().map(x => Option(x.getString(0)) ->
+        ((x.getLong(1), x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(tc.keySet ==
+      Set(Some("X"), Some("Y"), None: Option[String]),
+      s"null class lost: ${tc.keySet}")
+    assert(tc(None) == ((3L, 0.5, false)), s"null@edge: ${tc(None)}")
+    assert(tc(Some("X")) == ((3L, 0.333333, true)), s"${tc(Some("X"))}")
+    val ld = Quality.lDiversity(df, Seq("g" -> col("g")), col("s"),
+        l = 1.0)
+      .collect().map(x => Option(x.getString(0)) ->
+        ((x.getLong(1), x.getLong(2)))).toMap
+    assert(ld(None) == ((3L, 1L)), s"null class in l-div: $ld")
+  }
+
+  test("qiniBin: a NULL score lands in bin 0 (the bottom of the " +
+    "curve), never the top bin (ADVICE r12)") {
+    import graft.ops.Analytics
+    val bins = Seq(Some(9.9), Some(0.1), None)
+      .toDF("s")
+      .select(Analytics.qiniBin(col("s"), lit(10.0), 10).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bins == Seq(9L, 0L, 0L), s"null must not read as best: $bins")
+  }
+
   test("qiniCurve: perfect targeting reads coefficient +0.5, inverted " +
     "targeting −0.5; cumulative class counts exact") {
     import graft.ops.Analytics

@@ -135,6 +135,63 @@ class ScaleSpec extends SparkSpec {
     assert(salted.size == 901)
   }
 
+  test("fanout-output aggregation keeps its width: no record-heavy " +
+    "stage runs single-task (the q331 AQE-coalesce class)") {
+    // THE regression gate for VERDICT r12 #1: a pair-expanding
+    // aggregate's ENSURE_REQUIREMENTS exchange carries few compressed
+    // bytes per unit of downstream work, so AQE's coalescer collapses
+    // it to ONE partition and the whole candidate-pair set aggregates
+    // serially — at cluster scale, one executor does the entire job.
+    // Graph.adamicAdar pins that exchange (Fanout.pin on the pair
+    // keys); this spec runs it on a fanout-heavy fixture under a
+    // task-level listener and asserts every record-heavy stage kept
+    // its width. Remove the pin and the final-aggregate stage reads
+    // all ~39k candidate pairs in one task — this test goes red.
+    import scala.collection.mutable
+    val tasks = mutable.Map[Int, Int]().withDefaultValue(0)
+    val recs = mutable.Map[Int, Long]().withDefaultValue(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized {
+          tasks(te.stageId) += 1
+          val m = te.taskMetrics
+          if (m != null) recs(te.stageId) +=
+            m.shuffleReadMetrics.recordsRead + m.inputMetrics.recordsRead
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 50 via vertices × 40 incident nodes: 2 000 input rows fan out
+      // to 50·C(40,2) = 39 000 candidate pairs — far over any one
+      // stage's legitimate single-task load here, far under the AQE
+      // advisory byte size (the hazard's signature)
+      val inc = (for (v <- 0 until 50; n <- 0 until 40)
+        yield (v * 1000L + n, v.toLong)).toDF("node", "via")
+      val out = graft.ops.Graph.adamicAdar(inc, "node", "via", k = 20)
+      assert(out.count() == 20)
+      // listener events are async: wait for the task counts to settle
+      var prev = -1
+      var settled = 0
+      var spins = 0
+      while (settled < 2 && spins < 50) {
+        Thread.sleep(100)
+        val now = listener.synchronized(tasks.values.sum)
+        if (now == prev) settled += 1 else { settled = 0; prev = now }
+        spins += 1
+      }
+      val heavy = listener.synchronized {
+        recs.filter(_._2 >= 20000L).keys.map(s => s -> tasks(s)).toMap
+      }
+      assert(heavy.nonEmpty,
+        s"fixture no longer fanout-heavy: per-stage records=$recs")
+      for ((stage, n) <- heavy)
+        assert(n > 1,
+          s"stage $stage read ${recs(stage)} records in ONE task — " +
+            s"the fanout-output aggregate lost its width (pin removed?)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
