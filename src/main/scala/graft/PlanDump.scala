@@ -24,8 +24,11 @@ object PlanDump {
       // execute FIRST: with AQE on, the pre-execution executedPlan is
       // the static plan (isFinalPlan=false) — it hides the runtime
       // shuffle-read coalescing and join flips that are exactly what a
-      // bench-movement investigation needs to see (VERDICT r12 #3)
-      df.count()
+      // bench-movement investigation needs to see (VERDICT r12 #3).
+      // It must be THIS frame's plan that runs: count() would build
+      // its own query execution and adapt that one instead (the
+      // ScaleSpec AQE-skew lesson), so drive the frame via its RDD.
+      df.queryExecution.toRdd.foreach(_ => ())
       println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()

@@ -822,11 +822,27 @@ object Graph {
     import graft.expr.Snap
     val e = edges.select(col(src).as("node"), col(via).as("via"))
       .distinct()
-    val deg = e.groupBy(col("via")).agg(count(lit(1)).as("deg"))
-    val ew = e.join(deg, "via")
+    // PIN the via partitioning on the SHARED incidence frame — the one
+    // whose partitioning every downstream stage (deg, the ew join's
+    // streamed side, the pair expansion itself) inherits. Placement
+    // rules learned the hard way (r13 probes):
+    //  - a pin directly above a child that already hash-partitions on
+    //    the same keys through an ENSURE_REQUIREMENTS exchange is
+    //    OPTIMIZED OUT by EnsureRequirements, and AQE then coalesces
+    //    the surviving ENSURE exchange;
+    //  - a pin on the tiny deg side is useless once AQE broadcasts it:
+    //    the expansion streams over e's coalescible distinct exchange.
+    // Both measured modes ran the ENTIRE ~11M-pair expansion in ONE
+    // task. Pinning e itself (REPARTITION_BY_NUM on via: AQE-coalesce-
+    // exempt, satisfies the deg groupBy, co-partitions the ew join)
+    // keeps expansion and aggregation 32-wide in every AQE outcome;
+    // per-via skew is bounded by the maxDeg cap.
+    val ep = Fanout.pin(e, col("via"))
+    val deg = ep.groupBy(col("via")).agg(count(lit(1)).as("deg"))
+    val ew = ep.join(deg, "via")
       .filter(col("deg") >= 2L && col("deg") <= maxDeg)
-    val pairs = Fanout.fanout(ew.select(col("via"),
-        col("node").as("node_a"), col("deg")))
+    val pairs = ew.select(col("via"), col("node").as("node_a"),
+        col("deg"))
       .join(ew.select(col("via"), col("node").as("node_b")), Seq("via"))
       .filter(col("node_a") < col("node_b"))
     Fanout.pin(pairs, col("node_a"), col("node_b"))
