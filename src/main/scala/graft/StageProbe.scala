@@ -16,6 +16,8 @@ object StageProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1MB"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -23,8 +25,9 @@ object StageProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val qname = args.headOption.getOrElse("q331_adamic_adar")
-    val reps = if (args.length > 1) args(1).toInt else 8
+    val qnames =
+      if (args.nonEmpty) args.toSeq else Seq("q331_adamic_adar")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "6").toInt
     // id -> (tasks, ms, recsIn, recsOut)
     val stages = mutable.Map[Int, (Int, Long, Long, Long)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -43,20 +46,22 @@ object StageProbe {
         }
     }
     spark.sparkContext.addSparkListener(listener)
-    val fn = SparkEntry.queries(qname)
-    for (i <- 1 to reps) {
-      listener.synchronized(stages.clear())
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.1").count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
-      val top = listener.synchronized(stages.toVector)
-        .sortBy(-_._2._2).take(8)
-        .map { case (id, (t, ms, r, w)) =>
-          f"stage$id: $t tasks ${ms}ms in=$r out=$w" }
-        .mkString("\n    ")
-      println(f"PROBE run$i wall=$wall%.2f\n    $top")
+    for (qname <- qnames) {
+      val fn = SparkEntry.queries(qname)
+      for (i <- 1 to reps) {
+        listener.synchronized(stages.clear())
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, "/root/testdata/sf0.1").count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        val top = listener.synchronized(stages.toVector)
+          .sortBy(-_._2._2).take(8)
+          .map { case (id, (t, ms, r, w)) =>
+            f"stage$id: $t tasks ${ms}ms in=$r out=$w" }
+          .mkString("\n    ")
+        println(f"PROBE $qname run$i wall=$wall%.2f\n    $top")
+      }
     }
     spark.stop()
   }

@@ -1439,10 +1439,22 @@ object Quality {
       .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
     val folds = broadcast(docs.sparkSession.range(k)
       .select(col("id").as("f")))
-    val ct = materialize(docTf.crossJoin(folds)
-      .filter(col("fold") =!= col("f"))
-      .groupBy(col("f"), col("lab"), col("term"))
-      .agg(sum(col("tf")).as("ctf")))
+    // fold-f training counts by TOTAL − OWN (the leave-one-out
+    // identity): ONE docTf-sized aggregation instead of fanning the
+    // corpus table ×k into the count build; the ×k join runs on the
+    // vocabulary-sized rollups. ctf = 0 rows drop — a term whose every
+    // occurrence sits in fold f is absent from that model's
+    // vocabulary, exactly as the direct per-fold count built it.
+    val own = docTf.groupBy(col("fold"), col("lab"), col("term"))
+      .agg(sum(col("tf")).as("otf"))
+    val tot = own.groupBy(col("lab"), col("term"))
+      .agg(sum(col("otf")).as("ttf"))
+    val ct = materialize(tot.crossJoin(folds)
+      .join(own.withColumnRenamed("fold", "f"), Seq("f", "lab", "term"),
+        "left")
+      .select(col("f"), col("lab"), col("term"),
+        (col("ttf") - coalesce(col("otf"), lit(0L))).as("ctf"))
+      .filter(col("ctf") > 0L))
     val vv = ct.groupBy(col("f"))
       .agg(countDistinct(col("term")).as("v"))
     val cs = ct.groupBy(col("f"), col("lab")).agg(sum(col("ctf")).as("ctot"))
@@ -1465,8 +1477,13 @@ object Quality {
       .groupBy(col("f"), col("doc_id"), col("clab"))
       .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
         .as("s1"))
-    val docN = serveTf.groupBy(col("f"), col("doc_id"), col("lab"))
+    // n_tok is fold-invariant (the doc's own token count): aggregate
+    // docTf ONCE, then fan the doc-sized rollup to its k−1 models —
+    // never the other way around
+    val docN = docTf.groupBy(col("doc_id"), col("lab"), col("fold"))
       .agg(sum(col("tf")).as("n_tok"))
+      .crossJoin(folds).filter(col("fold") =!= col("f"))
+      .select(col("f"), col("doc_id"), col("lab"), col("n_tok"))
     val sc = materialize(docN.join(broadcast(labStats), Seq("f"))
       .join(seen, Seq("f", "doc_id", "clab"), "left")
       .select(col("f"), col("doc_id"), col("lab"), col("clab"),
@@ -1833,10 +1850,20 @@ object Quality {
       .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
     val folds = broadcast(docs.sparkSession.range(k)
       .select(col("id").as("f")))
-    val ct = materialize(docTf.crossJoin(folds)
-      .filter(col("fold") =!= col("f"))
-      .groupBy(col("f"), col("lab"), col("term"))
-      .agg(sum(col("tf")).as("ctf")))
+    // fold-f training counts by TOTAL − OWN (the q292 leave-one-out
+    // identity): one docTf-sized aggregation, ×k only on the
+    // vocabulary-sized rollups; ctf = 0 rows drop (term absent from
+    // the fold's model vocabulary, as the direct build had it)
+    val own = docTf.groupBy(col("fold"), col("lab"), col("term"))
+      .agg(sum(col("tf")).as("otf"))
+    val tot = own.groupBy(col("lab"), col("term"))
+      .agg(sum(col("otf")).as("ttf"))
+    val ct = materialize(tot.crossJoin(folds)
+      .join(own.withColumnRenamed("fold", "f"), Seq("f", "lab", "term"),
+        "left")
+      .select(col("f"), col("lab"), col("term"),
+        (col("ttf") - coalesce(col("otf"), lit(0L))).as("ctf"))
+      .filter(col("ctf") > 0L))
     val vv = ct.groupBy(col("f"))
       .agg(countDistinct(col("term")).as("v"))
     val cs = ct.groupBy(col("f"), col("lab")).agg(sum(col("ctf")).as("ctot"))
@@ -1859,8 +1886,10 @@ object Quality {
       .groupBy(col("f"), col("doc_id"), col("clab"))
       .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
         .as("s1"))
-    val docN = serveTf.groupBy(col("f"), col("doc_id"), col("lab"))
+    val docN = docTf.groupBy(col("doc_id"), col("lab"), col("fold"))
       .agg(sum(col("tf")).as("n_tok"))
+      .select(col("fold").as("f"), col("doc_id"), col("lab"),
+        col("n_tok"))
     val sc = materialize(docN.join(broadcast(labStats), Seq("f"))
       .join(seen, Seq("f", "doc_id", "clab"), "left")
       .select(col("f"), col("doc_id"), col("lab"), col("clab"),
