@@ -135,8 +135,12 @@ object Bench {
     // stall noise and WRONG for these: the min records the lucky mode.
     // Surfacing the list in the parsed line means the round-over-round
     // read cannot silently score a bimodal query at its rare fast mode.
+    // The 1-second absolute-gap floor keeps sub-second queries out: a
+    // genuine plan mode costs SECONDS (q331's was min 2.45/p50 8.90),
+    // while a 0.3 s query doubles on scheduler jitter alone in any
+    // noisy window (q51 at drift 1.31 — probed steady, no modes).
     val bimodal = results.collect {
-      case (n, (v, p)) if v > 0 && p / v > 2.0 => n
+      case (n, (v, p)) if v > 0 && p / v > 2.0 && p - v > 1.0 => n
     }.toVector.sorted
     def r3(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)

@@ -1215,6 +1215,14 @@ class PlanContractSpec extends SparkSpec {
       "global sort materialization crept in")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(800))
+    // the r13 AQE-coalesce fix, pinned as a MECHANISM contract: both
+    // the incidence frame (via) and the pair aggregation (node_a,
+    // node_b) must ride USER-OWNED exchanges — REPARTITION_BY_NUM is
+    // AQE-coalesce-exempt, so neither the ~|pairs| expansion nor its
+    // aggregation can collapse to one task (ScaleSpec asserts the
+    // behavior; this asserts the plan shape that guarantees it)
+    assert(count(p, "REPARTITION_BY_NUM") >= 2,
+      s"user-pinned exchanges lost:\n${p.take(1200)}")
   }
 
   test("q332: the interval-overlap join is an equi-join on the bin — " +
