@@ -3721,9 +3721,13 @@ object SparkEntry {
   private def qCartography(s: SparkSession, dir: String): DataFrame = {
     val tf = sharedTermFreqs(s, dir)
     val docs = t(s, dir, "documents")
+    // broadcast the doc-bounded label side: a shuffle join here would
+    // hand the serve-side fold fanout + model probe to whatever
+    // partition count AQE leaves on the join read; a BHJ streams it
+    // over the TF artifact's own partitions
     ops.Quality.cartographyReport(docs, col("doc_id"), col("text"),
-      col("lang"), k = 5, docTf0 = Some(tf.join(
-        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
+      col("lang"), k = 5, docTf0 = Some(tf.join(broadcast(
+        docs.select(col("doc_id"), col("lang").as("lab"))), "doc_id")))
   }
 
   /** Chapman capture–recapture estimate of the total near-dup pair
@@ -4034,9 +4038,10 @@ object SparkEntry {
   private def qConfidentLearning(s: SparkSession, dir: String): DataFrame = {
     val tf = sharedTermFreqs(s, dir)
     val docs = t(s, dir, "documents")
+    // broadcast the label side for the same reason as q292
     ops.Quality.confidentLearning(docs, col("doc_id"),
-      col("text"), col("lang"), docTf0 = Some(tf.join(
-        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
+      col("text"), col("lang"), docTf0 = Some(tf.join(broadcast(
+        docs.select(col("doc_id"), col("lang").as("lab"))), "doc_id")))
   }
 
   /** Adamic–Adar link prediction between parts via shared suppliers

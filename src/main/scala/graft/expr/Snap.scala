@@ -36,7 +36,21 @@ object Snap {
     * SUM), matching the pre-fast-path behavior rather than the long
     * cast's NaN→0. The SUM itself stays decimal(38,0): totals may
     * exceed 2^63 and must not wrap. */
-  def snappedSum(term: Column, grid: Double): Column = {
+  def snappedSum(term: Column, grid: Double): Column =
+    sum(snapTerm(term, grid)).cast("double") / lit(grid)
+
+  /** [[snappedSum]] as a WINDOW aggregate: the identical per-term snap
+    * summed over `w`'s partition (define `w` without an ORDER BY so
+    * the frame is the whole partition). Lets a per-group normalizer
+    * (the q169 softmax Σexp) ride a chained window pass — one exchange
+    * + sort — instead of a groupBy + join back, with bit-identical
+    * values (the snap makes the sum order-free, so the window's
+    * evaluation order cannot matter either). */
+  def snappedSumOver(term: Column, grid: Double,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(snapTerm(term, grid)).over(w).cast("double") / lit(grid)
+
+  private def snapTerm(term: Column, grid: Double): Column = {
     // Guard on the RAW scaled double, NOT on floor(d): Spark's
     // floor(double) itself returns LongType, so it saturates at
     // Long.MaxValue before any downstream guard could look — testing
@@ -49,9 +63,8 @@ object Snap {
     // no-ops, and the direct double→decimal cast is exact to ~1e38.
     // NaN fails the comparison and becomes NULL via the decimal cast
     // (ignored by SUM) — never the long cast's NaN→0.
-    val snapped = when(abs(d) < lit(Long.MaxValue.toDouble),
-                       floor(d).cast("decimal(38,0)"))
+    when(abs(d) < lit(Long.MaxValue.toDouble),
+         floor(d).cast("decimal(38,0)"))
       .otherwise(d.cast("decimal(38,0)"))
-    sum(snapped).cast("double") / lit(grid)
   }
 }

@@ -1490,28 +1490,31 @@ object Quality {
         round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
           coalesce(col("s1"), lit(0.0)), 4).as("score")))
     // q169 softmax convention: exp(score − max), snapped normalizer,
-    // 6-dp posterior; conf = the TRUE label's posterior
-    val mx = sc.groupBy(col("f"), col("doc_id")).agg(max(col("score")).as("mx"))
-    val z = sc.join(mx, Seq("f", "doc_id"))
-      .groupBy(col("f"), col("doc_id"))
-      .agg(Snap.snappedSum(exp(col("score") - col("mx")), 1e9).as("z"))
-    val pTrue = sc.filter(col("clab") === col("lab"))
-      .join(mx, Seq("f", "doc_id")).join(z, Seq("f", "doc_id"))
-      .select(col("f"), col("doc_id"), col("lab"),
-        round(exp(col("score") - col("mx")) / col("z"), 6).as("p"))
-    val correct = sc.groupBy(col("f"), col("doc_id"), col("lab"))
-      .agg(min(struct((-col("score")).as("ns"), col("clab"))).as("best"))
-      .select(col("f"), col("doc_id"),
-        when(col("best").getField("clab") === col("lab"), 1L)
-          .otherwise(0L).as("ok"))
+    // 6-dp posterior; conf = the TRUE label's posterior. The per-model
+    // normalization (max, snapped Σexp, argmax) rides ONE chained
+    // window pass over the checkpointed score table — one exchange +
+    // sort on (f, doc_id) instead of two aggregation shuffles and
+    // three joins back. Values are bit-identical: max and min(struct)
+    // are order-free, and the normalizer is the same snapped sum
+    // (snappedSumOver), so the window's evaluation order cannot
+    // matter. The windows are (f, doc_id)-partitioned — model-sized,
+    // never corpus-global.
+    val wd = Window.partitionBy(col("f"), col("doc_id"))
+    val norm = sc.withColumn("mx", max(col("score")).over(wd))
+      .withColumn("z",
+        Snap.snappedSumOver(exp(col("score") - col("mx")), 1e9, wd))
+      .withColumn("best",
+        min(struct((-col("score")).as("ns"), col("clab"))).over(wd))
     // the 6-dp posterior lifts onto the integer 1e6 grid, so Σp/Σp²
     // are EXACT longs and the population variance m·Σp² − (Σp)² is
     // exactly 0 for identical posteriors (a 1e9 float snap of p²
     // leaves ~1e-10 residue that rounds to a phantom 1e-5 std)
-    val per = pTrue.join(correct, Seq("f", "doc_id"))
+    val per = norm.filter(col("clab") === col("lab"))
       .select(col("doc_id"), col("lab"),
-        floor(col("p") * lit(1e6) + lit(0.5)).cast("long").as("pl"),
-        col("ok"))
+        floor(round(exp(col("score") - col("mx")) / col("z"), 6) *
+          lit(1e6) + lit(0.5)).cast("long").as("pl"),
+        when(col("best").getField("clab") === col("lab"), 1L)
+          .otherwise(0L).as("ok"))
       .groupBy(col("doc_id"), col("lab"))
       .agg(count(lit(1)).as("m"), sum(col("pl")).as("sp"),
         sum(col("pl") * col("pl")).as("spp"), sum(col("ok")).as("nok"))
@@ -1895,15 +1898,20 @@ object Quality {
       .select(col("f"), col("doc_id"), col("lab"), col("clab"),
         round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
           coalesce(col("s1"), lit(0.0)), 4).as("score")))
-    val mx = sc.groupBy(col("doc_id")).agg(max(col("score")).as("mx"))
-    val z = sc.join(mx, "doc_id")
-      .groupBy(col("doc_id"))
-      .agg(Snap.snappedSum(exp(col("score") - col("mx")), 1e9).as("z"))
-    // posterior on the EXACT 1e6 integer grid
-    val post = materialize(sc.join(mx, "doc_id").join(z, "doc_id")
+    // posterior on the EXACT 1e6 integer grid; the softmax
+    // normalization (max, snapped Σexp) rides one chained doc-
+    // partitioned window pass over the checkpointed score table (the
+    // q292 fusion — bit-identical values, one exchange instead of two
+    // aggregation shuffles + two joins). post stays LAZY: both its
+    // consumers re-run only this cheap window chain over the
+    // materialized sc, one barrier fewer.
+    val wdn = Window.partitionBy(col("doc_id"))
+    val post = sc.withColumn("mx", max(col("score")).over(wdn))
+      .withColumn("z",
+        Snap.snappedSumOver(exp(col("score") - col("mx")), 1e9, wdn))
       .select(col("doc_id"), col("lab"), col("clab"),
         floor(round(exp(col("score") - col("mx")) / col("z"), 6) *
-          lit(1e6) + lit(0.5)).cast("long").as("pl")))
+          lit(1e6) + lit(0.5)).cast("long").as("pl"))
     // t_j = floor-snapped integer-grid mean self-confidence of class j
     val thr = post.filter(col("clab") === col("lab"))
       .groupBy(col("clab"))
