@@ -48,27 +48,59 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
 
+    // JOB COUNT is a first-class bench signal (VERDICT r13 #3): the
+    // residual latency class is many-tiny-jobs chains (the former q155
+    // greedy loop, the k-fold serve shelf), where wall ≈ jobs × per-job
+    // scheduler latency — ~100 ms+/job on a real cluster, so a 40-job
+    // query costs 4+ s there regardless of data volume. Per query the
+    // record keeps the MIN jobs over clean samples (first samples may
+    // carry one-time shared-artifact builds); queries above
+    // `jobsFlag` are named in the parsed line the way `bimodal` is.
+    val jobsFlag =
+      sys.env.getOrElse("SPARK_GRAFT_JOBS_FLAG", "25").toInt
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
+
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : (Double, Int) = {
       // drop persisted intermediates between runs: queries that
       // persist() (q22/q46) would otherwise cache-hit the previous
       // run and the min would time a cache read, not the query
       spark.catalog.clearCache()
+      jobCounter.set(0)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try { fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, jobCounter.get()) }
+      catch { case _: Throwable => (-1.0, 0) }
     }
     // two fastest samples within 25% of each other = a stable minimum
     def converged(ts: Seq[Double]): Boolean = ts.size >= 2 && {
       val s = ts.sorted; s(1) <= s(0) * 1.25
     }
 
+    // per-query MIN job count over clean samples (first samples carry
+    // one-time shared-artifact builds — the min is the steady state)
+    val jobsRec = scala.collection.mutable.Map[String, Int]()
+    def timed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val (t, j) = timeOnce(fn)
+      if (t >= 0) jobsRec.updateWith(name)(o =>
+        Some(o.fold(j)(math.min(_, j))))
+      t
+    }
+
     val bench = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val pass1 = bench.map { case (name, fn) =>
-      var ts = Vector(timeOnce(fn))
+      var ts = Vector(timed(name, fn))
       if (ts.head >= 0) {
-        while (!converged(ts) && ts.size < maxRep) ts :+= timeOnce(fn)
+        while (!converged(ts) && ts.size < maxRep) ts :+= timed(name, fn)
       }
       name -> ts
     }
@@ -91,11 +123,11 @@ object Bench {
           name -> ((Vector(-1.0), Vector(-1.0)))
         else {
           val m1 = ts1.min
-          val t2 = timeOnce(fn)
+          val t2 = timed(name, fn)
           val extra =
             if (t2 < 0) Vector.empty[Double]
             else if (t2 < m1 / 1.25) { // pass 1 was stall-poisoned
-              val t3 = timeOnce(fn)
+              val t3 = timed(name, fn)
               if (t3 < 0) Vector(t2) else Vector(t2, t3)
             } else Vector(t2)
           val basis =
@@ -117,7 +149,7 @@ object Bench {
     }.toVector
     for (name <- suspects) {
       val fn = bench(name)
-      val extra = Vector(timeOnce(fn), timeOnce(fn)).filter(_ >= 0)
+      val extra = Vector(timed(name, fn), timed(name, fn)).filter(_ >= 0)
       if (extra.nonEmpty) {
         val (all, basis) = samples(name)
         samples = samples.updated(name, (all ++ extra, basis ++ extra))
@@ -166,8 +198,18 @@ object Bench {
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
     val bim = bimodal.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the many-tiny-jobs flag: queries whose steady-state job count
+    // exceeds the threshold — each is a named scale hazard (wall on a
+    // real cluster ≈ jobs × ~100 ms) to justify or pay down
+    val jobsHi = jobsRec.toVector.collect {
+      case (n, j) if j > jobsFlag => n
+    }.sorted
+    val jh = jobsHi.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val jm = jobsRec.toVector.sortBy(_._1)
+      .map { case (k, j) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r3(total)},"total_p50":${r3(totalP50)},"queries":$qs,"p50":$p50s,"p50_min_ratio_median":${r3(driftMedian)},"bimodal":$bim,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":${r3(total)},"total_p50":${r3(totalP50)},"queries":$qs,"p50":$p50s,"jobs":$jm,"p50_min_ratio_median":${r3(driftMedian)},"bimodal":$bim,"jobs_hi":$jh,"sf":"$sfDir"}"""
     // The driver artifact tail-truncates long stdout (BENCH_r06 lost its
     // head 38 timings) and its last-line parse must land on a COMPLETE
     // JSON object — so the per-query detail goes ONLY to a file, never
@@ -188,7 +230,7 @@ object Bench {
     // inside the driver's ~2 KB tail capture. sbt's own "[success] Total
     // time" epilogue is suppressed via showSuccess := false in build.sbt
     // so this line IS the last stdout line of the bench step.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"total_min":${r3(total)},"total_p50":${r3(totalP50)},"p50_min_ratio_median":${r3(driftMedian)},"bimodal":$bim,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"total_min":${r3(total)},"total_p50":${r3(totalP50)},"p50_min_ratio_median":${r3(driftMedian)},"bimodal":$bim,"jobs_hi":$jh,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -3718,17 +3718,31 @@ object SparkEntry {
     * per-example confidence/variability/region across the k−1
     * fold-models that trained on it; `hard` is the label-error
     * hunting ground, `ambiguous` the curation frontier. */
-  private def qCartography(s: SparkSession, dir: String): DataFrame = {
-    val tf = sharedTermFreqs(s, dir)
-    val docs = t(s, dir, "documents")
-    // broadcast the doc-bounded label side: a shuffle join here would
-    // hand the serve-side fold fanout + model probe to whatever
-    // partition count AQE leaves on the join read; a BHJ streams it
-    // over the TF artifact's own partitions
-    ops.Quality.cartographyReport(docs, col("doc_id"), col("text"),
-      col("lang"), k = 5, docTf0 = Some(tf.join(broadcast(
-        docs.select(col("doc_id"), col("lang").as("lab"))), "doc_id")))
-  }
+  private def qCartography(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.cartographyReport(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang"), k = 5,
+      scores0 = Some(sharedKfoldScores(s, dir)))
+
+  private val kfoldMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  /** Session-scoped MATERIALIZED k-fold NB score table shared by q292
+    * (cartography) and q330 (confident learning) — the two build
+    * IDENTICAL fold models and differ only in which (model, doc) pairs
+    * they read ([[ops.Quality.kfoldScores]], serve = "all"), so the
+    * models train and serve ONCE per session and each query runs only
+    * its own window/rollup tail (VERDICT r13 #2: the k serve branches
+    * collapse into the shared artifact build). The label side
+    * broadcasts: a shuffle join would hand the serve-side fanout +
+    * model probe to whatever partition count AQE leaves on the join
+    * read; a BHJ streams it over the TF artifact's own partitions. */
+  private def sharedKfoldScores(s: SparkSession, dir: String): DataFrame =
+    kfoldMemo.getOrElseUpdate((s, dir), {
+      val tf = sharedTermFreqs(s, dir)
+      val docs = t(s, dir, "documents")
+      ops.Quality.kfoldScores(docs, col("doc_id"), col("text"),
+        col("lang"), k = 5, docTf0 = Some(tf.join(broadcast(
+          docs.select(col("doc_id"), col("lang").as("lab"))), "doc_id")))
+    })
 
   /** Chapman capture–recapture estimate of the total near-dup pair
     * population from the two independent dedup methods' catches —
@@ -4035,14 +4049,12 @@ object SparkEntry {
     * — held-out k-fold NB posteriors, per-class confidence thresholds,
     * joint (given, suggested) counts; off-diagonal mass = the label-
     * error estimate. */
-  private def qConfidentLearning(s: SparkSession, dir: String): DataFrame = {
-    val tf = sharedTermFreqs(s, dir)
-    val docs = t(s, dir, "documents")
-    // broadcast the label side for the same reason as q292
-    ops.Quality.confidentLearning(docs, col("doc_id"),
-      col("text"), col("lang"), docTf0 = Some(tf.join(broadcast(
-        docs.select(col("doc_id"), col("lang").as("lab"))), "doc_id")))
-  }
+  private def qConfidentLearning(s: SparkSession, dir: String): DataFrame =
+    // serves the SAME session k-fold score artifact as q292 (the two
+    // queries' models are identical — only the served pair set differs)
+    ops.Quality.confidentLearning(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang"),
+      scores0 = Some(sharedKfoldScores(s, dir)))
 
   /** Adamic–Adar link prediction between parts via shared suppliers
     * ([[ops.Graph.adamicAdar]], Adamic & Adar 2003) on the q94 part

@@ -30,7 +30,14 @@ object StageProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "6").toInt
     // id -> (tasks, ms, recsIn, recsOut)
     val stages = mutable.Map[Int, (Int, Long, Long, Long)]()
+    // jobs submitted during the run — the MANY-TINY-JOBS signature
+    // (VERDICT r13: wall ≈ jobs × per-job scheduler latency for the
+    // q155/k-fold class; on a real cluster ~100 ms × jobs)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         synchronized {
@@ -50,6 +57,7 @@ object StageProbe {
       val fn = SparkEntry.queries(qname)
       for (i <- 1 to reps) {
         listener.synchronized(stages.clear())
+        jobs.set(0)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, "/root/testdata/sf0.1").count()
@@ -60,7 +68,7 @@ object StageProbe {
           .map { case (id, (t, ms, r, w)) =>
             f"stage$id: $t tasks ${ms}ms in=$r out=$w" }
           .mkString("\n    ")
-        println(f"PROBE $qname run$i wall=$wall%.2f\n    $top")
+        println(f"PROBE $qname run$i wall=$wall%.2f jobs=${jobs.get()}\n    $top")
       }
     }
     spark.stop()

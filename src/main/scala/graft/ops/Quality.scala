@@ -1401,35 +1401,38 @@ object Quality {
         col("n"), col("n_skipped"))
   }
 
-  /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
-    * Cartography: Mapping and Diagnosing Datasets with Training
-    * Dynamics"), the cross-validation form: for each example, its
-    * TRUE-label confidence statistics across the k−1 fold-models that
-    * trained ON it (fold resampling as the checkpoint ensemble —
-    * the paper's epoch axis needs training dynamics a one-pass
-    * engine doesn't have; model variance over resamples is the
-    * standard proxy). conf = mean true-label posterior, variability
-    * = its population std, correct_frac = how often the argmax is
-    * right; region = easy-to-learn (conf ≥ 0.67) / hard-to-learn
-    * (conf ≤ 0.33, the label-error hunting ground) / ambiguous (the
-    * examples worth curating first).
+  /** The k-fold NB model + serve artifact SHARED by q292's dataset
+    * cartography and q330's confident learning (VERDICT r13 #2): both
+    * build IDENTICAL fold models (leave-one-out counts ct, per-model
+    * labStats, log-term tables) and differ only in WHICH (model, doc)
+    * pairs they serve — cartography the k−1 in-training models
+    * (fold ≠ f), confident learning the one held-out model
+    * (fold = f). This builds the dense 4-dp score table once; `serve`
+    * picks the pair set:
+    *  - "all": every (f, doc) pair — the k-direction superset both
+    *    tails filter (the session-shared artifact; total serve work =
+    *    the two direct builds combined),
+    *  - "train": fold ≠ f only (cartography standalone),
+    *  - "heldout": fold = f only (confident learning standalone —
+    *    no fold fanout at all).
+    * Filtering the "all" table to either subset is bit-identical to
+    * building that subset directly: the serve aggregation groups by
+    * (f, doc_id, clab), so group contents never cross the filter.
     *
-    * Determinism: the q223 one-statement k-model NB replay (4-dp
-    * scores), the q169 softmax convention (6-dp posteriors), snapped
-    * Σp/Σp² per doc, std = √max(0, ·) so a float-epsilon negative
-    * can't NaN; region thresholds compare the ROUNDED conf.
-    *
-    * Scale shape: all k models train in ONE pass over the (doc,
-    * term, tf) artifact (the kfoldNbEval shape); scoring fans each
-    * doc to its k−1 in-training models via the k-row fold axis —
-    * a bounded ×(k−1) blowup, vocabulary-sized broadcasts, zero
-    * windows. Returns (doc_id, lab, n_models, conf, variability,
-    * correct_frac, region). */
-  def cartographyReport(docs: DataFrame, id: Column, text: Column,
+    * Scale shape: all k models train in ONE docTf-sized aggregation
+    * (TOTAL − OWN leave-one-out counts); the serve side fans the
+    * (doc, term, tf) artifact only by its pair multiplicity (≤ k),
+    * probes vocabulary-sized broadcast model tables, and aggregates
+    * doc-keyed — nothing corpus-global, zero windows. Returns
+    * (f, fold, doc_id, lab, clab, score), materialized. */
+  def kfoldScores(docs: DataFrame, id: Column, text: Column,
       label: Column, k: Int = 5,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
-      docTf0: Option[DataFrame] = None): DataFrame = {
-    require(k >= 2, s"cartographyReport: k=$k")
+      docTf0: Option[DataFrame] = None,
+      serve: String = "all"): DataFrame = {
+    require(k >= 2, s"kfoldScores: k=$k")
+    require(Set("all", "train", "heldout")(serve),
+      s"kfoldScores: serve=$serve")
     import graft.expr.Snap
     val docTf = docTf0.getOrElse(materialize(Fanout.fanout(docs)
       .select(id.as("doc_id"), label.as("lab"),
@@ -1471,24 +1474,68 @@ object Quality {
         log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0"))
     val terms = ct.select(col("f"), col("lab").as("clab"), col("term"),
       log((col("ctf") + lit(1L)).cast("double")).as("lterm"))
-    // score each doc under every model that TRAINED on it (fold ≠ f)
-    val serveTf = docTf.crossJoin(folds).filter(col("fold") =!= col("f"))
-    val seen = serveTf.join(broadcast(terms), Seq("f", "term"))
+    // the (model, doc) pair set this table serves
+    def pairs(base: DataFrame): DataFrame = serve match {
+      case "heldout" => base.withColumn("f", col("fold"))
+      case "train"   => base.crossJoin(folds).filter(col("fold") =!= col("f"))
+      case _         => base.crossJoin(folds)
+    }
+    val seen = pairs(docTf).join(broadcast(terms), Seq("f", "term"))
       .groupBy(col("f"), col("doc_id"), col("clab"))
       .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
         .as("s1"))
     // n_tok is fold-invariant (the doc's own token count): aggregate
-    // docTf ONCE, then fan the doc-sized rollup to its k−1 models —
+    // docTf ONCE, then fan the doc-sized rollup to its pair models —
     // never the other way around
-    val docN = docTf.groupBy(col("doc_id"), col("lab"), col("fold"))
-      .agg(sum(col("tf")).as("n_tok"))
-      .crossJoin(folds).filter(col("fold") =!= col("f"))
-      .select(col("f"), col("doc_id"), col("lab"), col("n_tok"))
-    val sc = materialize(docN.join(broadcast(labStats), Seq("f"))
+    val docN = pairs(docTf.groupBy(col("doc_id"), col("lab"), col("fold"))
+      .agg(sum(col("tf")).as("n_tok")))
+      .select(col("f"), col("fold"), col("doc_id"), col("lab"),
+        col("n_tok"))
+    materialize(docN.join(broadcast(labStats), Seq("f"))
       .join(seen, Seq("f", "doc_id", "clab"), "left")
-      .select(col("f"), col("doc_id"), col("lab"), col("clab"),
+      .select(col("f"), col("fold"), col("doc_id"), col("lab"),
+        col("clab"),
         round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
           coalesce(col("s1"), lit(0.0)), 4).as("score")))
+  }
+
+  /** Dataset cartography (Swayamdipta et al. 2020, "Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics"), the cross-validation form: for each example, its
+    * TRUE-label confidence statistics across the k−1 fold-models that
+    * trained ON it (fold resampling as the checkpoint ensemble —
+    * the paper's epoch axis needs training dynamics a one-pass
+    * engine doesn't have; model variance over resamples is the
+    * standard proxy). conf = mean true-label posterior, variability
+    * = its population std, correct_frac = how often the argmax is
+    * right; region = easy-to-learn (conf ≥ 0.67) / hard-to-learn
+    * (conf ≤ 0.33, the label-error hunting ground) / ambiguous (the
+    * examples worth curating first).
+    *
+    * Determinism: the q223 one-statement k-model NB replay (4-dp
+    * scores), the q169 softmax convention (6-dp posteriors), snapped
+    * Σp/Σp² per doc, std = √max(0, ·) so a float-epsilon negative
+    * can't NaN; region thresholds compare the ROUNDED conf.
+    *
+    * Scale shape: all k models train in ONE pass over the (doc,
+    * term, tf) artifact (the kfoldNbEval shape); scoring fans each
+    * doc to its k−1 in-training models via the k-row fold axis —
+    * a bounded ×(k−1) blowup, vocabulary-sized broadcasts, zero
+    * windows. Returns (doc_id, lab, n_models, conf, variability,
+    * correct_frac, region). */
+  def cartographyReport(docs: DataFrame, id: Column, text: Column,
+      label: Column, k: Int = 5,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true),
+      docTf0: Option[DataFrame] = None,
+      scores0: Option[DataFrame] = None): DataFrame = {
+    require(k >= 2, s"cartographyReport: k=$k")
+    import graft.expr.Snap
+    // the k-fold score table: the session-shared all-pairs artifact
+    // filtered to the k−1 in-training models, or a direct fold ≠ f
+    // build ([[kfoldScores]] — bit-identical either way)
+    val sc = scores0.map(_.filter(col("fold") =!= col("f")))
+      .getOrElse(kfoldScores(docs, id, text, label, k, materialize,
+        docTf0, serve = "train"))
     // q169 softmax convention: exp(score − max), snapped normalizer,
     // 6-dp posterior; conf = the TRUE label's posterior. The per-model
     // normalization (max, snapped Σexp, argmax) rides ONE chained
@@ -1842,62 +1889,16 @@ object Quality {
   def confidentLearning(docs: DataFrame, id: Column, text: Column,
       label: Column, k: Int = 5,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
-      docTf0: Option[DataFrame] = None): DataFrame = {
+      docTf0: Option[DataFrame] = None,
+      scores0: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"confidentLearning: k=$k")
     import graft.expr.Snap
-    val docTf = docTf0.getOrElse(materialize(Fanout.fanout(docs)
-      .select(id.as("doc_id"), label.as("lab"),
-        explode(graft.expr.TextStats.tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("lab"), col("term"))
-      .agg(count(lit(1)).as("tf"))))
-      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
-    val folds = broadcast(docs.sparkSession.range(k)
-      .select(col("id").as("f")))
-    // fold-f training counts by TOTAL − OWN (the q292 leave-one-out
-    // identity): one docTf-sized aggregation, ×k only on the
-    // vocabulary-sized rollups; ctf = 0 rows drop (term absent from
-    // the fold's model vocabulary, as the direct build had it)
-    val own = docTf.groupBy(col("fold"), col("lab"), col("term"))
-      .agg(sum(col("tf")).as("otf"))
-    val tot = own.groupBy(col("lab"), col("term"))
-      .agg(sum(col("otf")).as("ttf"))
-    val ct = materialize(tot.crossJoin(folds)
-      .join(own.withColumnRenamed("fold", "f"), Seq("f", "lab", "term"),
-        "left")
-      .select(col("f"), col("lab"), col("term"),
-        (col("ttf") - coalesce(col("otf"), lit(0L))).as("ctf"))
-      .filter(col("ctf") > 0L))
-    val vv = ct.groupBy(col("f"))
-      .agg(countDistinct(col("term")).as("v"))
-    val cs = ct.groupBy(col("f"), col("lab")).agg(sum(col("ctf")).as("ctot"))
-    val dl = docs.select(id.as("doc_id"), label.as("lab"))
-      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
-    val pr = dl.crossJoin(folds).filter(col("fold") =!= col("f"))
-      .groupBy(col("f"), col("lab")).agg(count(lit(1)).as("nd"))
-    val nt = pr.groupBy(col("f")).agg(sum(col("nd")).as("ntot"))
-    val labStats = cs.join(pr, Seq("f", "lab")).join(broadcast(nt), "f")
-      .join(broadcast(vv), "f")
-      .select(col("f"), col("lab").as("clab"),
-        log(col("nd").cast("double") / col("ntot").cast("double"))
-          .as("prior_ln"),
-        log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0"))
-    val terms = ct.select(col("f"), col("lab").as("clab"), col("term"),
-      log((col("ctf") + lit(1L)).cast("double")).as("lterm"))
-    // HELD-OUT serve: each doc scored by its own fold's model
-    val serveTf = docTf.withColumn("f", col("fold"))
-    val seen = serveTf.join(broadcast(terms), Seq("f", "term"))
-      .groupBy(col("f"), col("doc_id"), col("clab"))
-      .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
-        .as("s1"))
-    val docN = docTf.groupBy(col("doc_id"), col("lab"), col("fold"))
-      .agg(sum(col("tf")).as("n_tok"))
-      .select(col("fold").as("f"), col("doc_id"), col("lab"),
-        col("n_tok"))
-    val sc = materialize(docN.join(broadcast(labStats), Seq("f"))
-      .join(seen, Seq("f", "doc_id", "clab"), "left")
-      .select(col("f"), col("doc_id"), col("lab"), col("clab"),
-        round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
-          coalesce(col("s1"), lit(0.0)), 4).as("score")))
+    // HELD-OUT serve (each doc scored by its own fold's model): the
+    // session-shared all-pairs artifact filtered to fold = f, or a
+    // direct held-out build ([[kfoldScores]] — bit-identical)
+    val sc = scores0.map(_.filter(col("fold") === col("f")))
+      .getOrElse(kfoldScores(docs, id, text, label, k, materialize,
+        docTf0, serve = "heldout"))
     // posterior on the EXACT 1e6 integer grid; the softmax
     // normalization (max, snapped Σexp) rides one chained doc-
     // partitioned window pass over the checkpointed score table (the

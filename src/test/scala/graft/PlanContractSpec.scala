@@ -668,20 +668,28 @@ class PlanContractSpec extends SparkSpec {
     assert(count(p, "ExistingRDD") >= 1, p.take(1500))
   }
 
-  test("q155: MMR — the greedy stages' BUILD shapes are hash-joined " +
-    "and candidate-bounded (no cartesian in the sim table; the pick " +
-    "union serves materialized steps)") {
+  test("q155: MMR — the whole greedy loop is ONE native expression " +
+    "over a per-query collect_list (no per-step barriers, no " +
+    "cartesian), serving the session shortlist artifact") {
     val p = plan("q155_mmr_rerank")
-    // each greedy step re-materializes the running pick set, so the
-    // final plan serves ONE checkpointed frame (no k-deep lineage)
+    // the shortlist artifact is the one materialized input; the greedy
+    // stage itself has NO checkpointed intermediates (job count is
+    // k-independent — VERDICT r13 #1)
     assert(count(p, "ExistingRDD") >= 1, p.take(1200))
-    // the sims build: pair join keyed on q_id, never a cartesian
+    // the greedy selection is the MmrSelect expression above ONE
+    // grouping aggregate — not k unrolled join/agg stages
+    assert(p.contains("graft_mmr_select"), p.take(1500))
+    assert(count(p, "graft_mmr_select") <= 2, "greedy loop re-unrolled")
+    assert(count(p, "CartesianProduct") == 0, p.take(1500))
+    // internal-shortlist path: still cartesian-free, still one
+    // expression
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val bp = graft.ops.Ann.mmrRerank(emb, emb.filter(col("vec_id") < 3),
-      10, 2, 0.7, materialize = identity)
+      10, 2, 0.7)
       .queryExecution.executedPlan.toString
     assert(count(bp, "CartesianProduct") == 0, bp.take(1500))
+    assert(bp.contains("graft_mmr_select"), bp.take(1500))
   }
 
   test("q156: NB holdout — serving plan: model tables are materialized " +
