@@ -40,15 +40,23 @@ object Snap {
     sum(snapTerm(term, grid)).cast("double") / lit(grid)
 
   /** [[snappedSum]] as a WINDOW aggregate: the identical per-term snap
-    * summed over `w`'s partition (define `w` without an ORDER BY so
-    * the frame is the whole partition). Lets a per-group normalizer
+    * summed over `w`'s WHOLE partition. Lets a per-group normalizer
     * (the q169 softmax Σexp) ride a chained window pass — one exchange
     * + sort — instead of a groupBy + join back, with bit-identical
     * values (the snap makes the sum order-free, so the window's
-    * evaluation order cannot matter either). */
+    * evaluation order cannot matter either). The full-partition frame
+    * is FORCED here (ADVICE r13): on an ORDER BY'd spec the default
+    * frame is unboundedPreceding..currentRow, which would silently
+    * turn the normalizer into a running sum — the override makes the
+    * whole-partition contract structural instead of scaladoc-only. */
   def snappedSumOver(term: Column, grid: Double,
-      w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    sum(snapTerm(term, grid)).over(w).cast("double") / lit(grid)
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    import org.apache.spark.sql.expressions.Window
+    sum(snapTerm(term, grid))
+      .over(w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing))
+      .cast("double") / lit(grid)
+  }
 
   private def snapTerm(term: Column, grid: Double): Column = {
     // Guard on the RAW scaled double, NOT on floor(d): Spark's

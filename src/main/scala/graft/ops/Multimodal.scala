@@ -468,6 +468,11 @@ object Multimodal {
   def crossModalHitCells(corpus: DataFrame, queries: DataFrame,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"crossModalHitCells: $ks")
+    // duplicate k values would emit duplicate (method, k) grid rows,
+    // and the streaming sink's full-outer merge on those keys would
+    // then cross-multiply state rows every epoch (ADVICE r13)
+    require(ks.distinct.size == ks.size,
+      s"crossModalHitCells: duplicate k in $ks")
     import graft.expr.Similarity
     import org.apache.spark.sql.expressions.Window
     val kMax = ks.max

@@ -1971,6 +1971,17 @@ object Quality {
     * aggregate). */
   private[graft] def nsJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], how: String = "inner"): DataFrame = {
+    // guard the rename trick's two fragilities (ADVICE r13): a
+    // pre-existing placeholder-named column would be captured by the
+    // join condition, and a shared non-key column name would yield
+    // ambiguous duplicate output columns
+    val ph = keys.indices.flatMap(i => Seq(s"__nsl$i", s"__nsr$i")).toSet
+    require(!(left.columns ++ right.columns).exists(ph),
+      s"nsJoin: input already contains a placeholder column ($ph)")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+      .diff(keys.toSet)
+    require(shared.isEmpty,
+      s"nsJoin: non-key columns shared by both sides: $shared")
     val l2 = keys.zipWithIndex.foldLeft(left) { case (d, (k, i)) =>
       d.withColumnRenamed(k, s"__nsl$i") }
     val r2 = keys.zipWithIndex.foldLeft(right) { case (d, (k, i)) =>

@@ -684,6 +684,10 @@ object StreamCuration {
     import org.apache.spark.sql.functions._
     require(ks.nonEmpty && ks.forall(_ >= 1),
       s"startCrossModalRecallSink: ks=$ks")
+    // duplicate (method, k) keys would cross-multiply state rows in
+    // the full-outer merge every epoch (ADVICE r13)
+    require(ks.distinct.size == ks.size,
+      s"startCrossModalRecallSink: duplicate k in $ks")
     val spark0 = docStream.sparkSession
     val corpus = graft.ops.Multimodal.crossModalCorpus(indexMedia,
       col(indexId), col(indexPayload)).localCheckpoint(eager = true)

@@ -1233,6 +1233,35 @@ class PlanContractSpec extends SparkSpec {
       s"user-pinned exchanges lost:\n${p.take(1200)}")
   }
 
+  /** The pin-placement contract as a reusable helper (VERDICT r13 #5;
+    * the q331 lesson promoted from PLANS.md prose): a `Fanout.pin`
+    * must OWN its exchange — a pin placed directly above a child that
+    * already hash-partitions on the same keys is optimized out by
+    * EnsureRequirements, and AQE then coalesces the surviving
+    * ENSURE_REQUIREMENTS exchange to one task. This DRIVES the query
+    * and asserts a REPARTITION_BY_NUM hash exchange on exactly `keys`
+    * survives into the FINAL adaptive plan — the initial plan can show
+    * a pin that the executed plan no longer has. */
+  private def assertPinOwned(name: String, keys: Seq[String]): Unit = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // drive AQE to its final plan
+    val p = df.queryExecution.executedPlan.toString
+    val re = ("Exchange hashpartitioning\\(" +
+      keys.map(k => java.util.regex.Pattern.quote(k) + "#\\d+[A-Za-z]?")
+        .mkString(",\\s*") + ",\\s*\\d+\\), REPARTITION_BY_NUM").r
+    assert(re.findFirstIn(p).isDefined,
+      s"$name: no surviving REPARTITION_BY_NUM exchange on " +
+        keys.mkString("(", ", ", ")") +
+        s" in the final adaptive plan:\n${p.take(2000)}")
+  }
+
+  test("q331: both pins OWN their exchanges in the final adaptive " +
+    "plan (via on the incidence frame; node_a,node_b on the pair " +
+    "aggregate)") {
+    assertPinOwned("q331_adamic_adar", Seq("via"))
+    assertPinOwned("q331_adamic_adar", Seq("node_a", "node_b"))
+  }
+
   test("q332: the interval-overlap join is an equi-join on the bin — " +
     "the naive O(|A|x|B|) nested loop never appears") {
     val p = plan("q332_overlap_join")

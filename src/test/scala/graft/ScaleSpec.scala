@@ -150,14 +150,25 @@ class ScaleSpec extends SparkSpec {
     import scala.collection.mutable
     val tasks = mutable.Map[Int, Int]().withDefaultValue(0)
     val recs = mutable.Map[Int, Long]().withDefaultValue(0L)
+    // straggler task-end events still queued from EARLIER tests on the
+    // shared session could land in the maps and a stale record-heavy
+    // single-task stage would fail the width assertion spuriously
+    // (ADVICE r13) — admit only stages of jobs started AFTER this
+    // listener attached (i.e. this probe's own jobs)
+    val ownStages = mutable.Set[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { js.stageInfos.foreach(ownStages += _.stageId) }
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         synchronized {
-          tasks(te.stageId) += 1
-          val m = te.taskMetrics
-          if (m != null) recs(te.stageId) +=
-            m.shuffleReadMetrics.recordsRead + m.inputMetrics.recordsRead
+          if (ownStages.contains(te.stageId)) {
+            tasks(te.stageId) += 1
+            val m = te.taskMetrics
+            if (m != null) recs(te.stageId) +=
+              m.shuffleReadMetrics.recordsRead + m.inputMetrics.recordsRead
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
