@@ -713,6 +713,50 @@ object Ann {
         col("p.mmr").as("mmr"))
   }
 
+  /** The ADDITIVE sufficient statistic of [[mmrRerank]]'s serving
+    * diversity: per pick position, this query set's size and the
+    * integer-grid (1e6) sums of relevance and redundancy (maxsim).
+    * Against a FIXED index each query's greedy selection is
+    * independent of every other query, so cells from disjoint query
+    * batches merge by ADDITION — the *FromCells contract that lets
+    * the streaming monitor maintain the grid incrementally
+    * ([[graft.stream.StreamCuration.startMmrDiversitySink]]). rel is
+    * the 4-dp shortlist cosine and maxsim the 6-dp pairwise max —
+    * both EXACT on the 1e6 grid, so the sums are exact longs (far
+    * under the floor-saturation bound: |rel|·1e6 ≤ 1e6 ≪ 2^63).
+    * Queries whose shortlist ran dry before pos p simply don't
+    * contribute to that row (n_queries is per-pos). Returns
+    * (pos, n_queries, rel_sum_l, maxsim_sum_l). */
+  def mmrPositionCells(corpus: DataFrame, queries: DataFrame,
+      shortlist: Int, k: Int, lambda: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      short0: Option[DataFrame] = None): DataFrame =
+    mmrRerank(corpus, queries, shortlist, k, lambda, idCol, vecCol,
+        short0)
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(floor(col("rel") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("rel_sum_l"),
+        sum(floor(col("maxsim") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("maxsim_sum_l"))
+
+  /** Per-position readout of [[mmrPositionCells]]: mean relevance,
+    * mean redundancy, and the mean MMR trade-off λ·rel − (1−λ)·maxsim
+    * at each rank position, 6 dp — "how much relevance does the
+    * result page trade for novelty at position p". Means are IEEE
+    * divisions of exact integer-grid sums (correctly rounded, so
+    * identical under any accumulation history), snapped at 6 dp. */
+  def mmrFromCells(cells: DataFrame, lambda: Double): DataFrame = {
+    val nD = col("n_queries").cast("double")
+    val mr = col("rel_sum_l").cast("double") / nD / lit(1e6)
+    val mm = col("maxsim_sum_l").cast("double") / nD / lit(1e6)
+    cells.select(col("pos"), col("n_queries"),
+      round(mr, 6).as("mean_rel"), round(mm, 6).as("mean_maxsim"),
+      round(lit(lambda) * mr - lit(1.0 - lambda) * mm, 6)
+        .as("mean_mmr"))
+      .orderBy(col("pos"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplane entries derived from md5 —
     * the same values any engine's `md5()` derives, so LSH bucket
     * assignments are portable and reproducible (no RNG state). Entry

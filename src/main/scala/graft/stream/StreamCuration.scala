@@ -734,6 +734,83 @@ object StreamCuration {
       .start()
   }
 
+  /** Serving diversity monitored at INGEST — the 31st sink: as query
+    * embeddings arrive, each is MMR-reranked against a FIXED serving
+    * index and the per-position relevance/redundancy grid accumulates
+    * — "is the result page trading relevance for novelty the way λ
+    * intends", answered online. Exists BECAUSE the greedy loop became
+    * cheap (VERDICT r13 #6 gating on #1): [[graft.expr.catalyst
+    * .MmrSelect]] runs the whole selection as ONE expression, so the
+    * per-epoch cost is one candidate-bounded aggregation, not k
+    * sequential jobs. Against the fixed index each query's selection
+    * is independent of every other query, so state is
+    * [[graft.ops.Ann.mmrPositionCells]]'s (pos, n_queries, rel_sum_l,
+    * maxsim_sum_l) grid — purely additive and k-row-bounded — and
+    * each epoch's readout is bit-identical to the batch eval of ALL
+    * arrived queries under any batch split (spec-pinned). A query
+    * whose id collides with an index id is excluded from its own
+    * candidates (the shortlist's standard self-exclusion). State
+    * persists per committed epoch under
+    * `checkpointDir/graft-monitor-state` ([[MonitorState]]): restarts
+    * RESUME, replayed epochs re-emit without re-merging. */
+  def startMmrDiversitySink(queryStream: DataFrame, idCol: String,
+      vecCol: String, index: DataFrame, indexId: String,
+      indexVec: String, shortlist: Int, k: Int, lambda: Double,
+      checkpointDir: String,
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    require(shortlist >= k && k >= 1,
+      s"startMmrDiversitySink: shortlist=$shortlist k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"startMmrDiversitySink: lambda=$lambda")
+    val spark0 = queryStream.sparkSession
+    // the serving index embeds once per sink lifetime — the
+    // train-once/serve-many contract the cross-modal sink established
+    val corpus = index.select(col(indexId).cast("long").as("vec_id"),
+        col(indexVec).cast("array<double>").as("embedding"))
+      .localCheckpoint(eager = true)
+    val empty = spark0.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_queries",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rel_sum_l",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("maxsim_sum_l",
+          org.apache.spark.sql.types.LongType))))
+    val state = new MonitorState(spark0,
+      checkpointDir + "/graft-monitor-state", empty)
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.alreadyMerged(epochId)) {
+          if (state.isLast(epochId)) sink(
+            graft.ops.Ann.mmrFromCells(state.get, lambda), epochId)
+        } else if (!batch.isEmpty) {
+          val qs = batch.select(col(idCol).cast("long").as("vec_id"),
+            col(vecCol).cast("array<double>").as("embedding"))
+          val part = graft.ops.Ann.mmrPositionCells(corpus, qs,
+              shortlist, k, lambda)
+            .select(col("pos"), col("n_queries").as("dn"),
+              col("rel_sum_l").as("dr"), col("maxsim_sum_l").as("dm"))
+          val (j, kcols) = mergeOnKeys(state.get, part, Seq("pos"))
+          val next = j.select(kcols ++ Seq(
+            (coalesce(col("n_queries"), lit(0L)) +
+              coalesce(col("dn"), lit(0L))).as("n_queries"),
+            (coalesce(col("rel_sum_l"), lit(0L)) +
+              coalesce(col("dr"), lit(0L))).as("rel_sum_l"),
+            (coalesce(col("maxsim_sum_l"), lit(0L)) +
+              coalesce(col("dm"), lit(0L))).as("maxsim_sum_l")): _*)
+          sink(graft.ops.Ann.mmrFromCells(
+            state.commit(next, epochId), lambda), epochId)
+        }
+      }
+      .start()
+  }
+
   /** The privacy TRIAD maintained at INGEST — the 28th sink: is the
     * corpus we are accumulating still releasable, re-audited on every
     * micro-batch. ONE additive state — the (quasi…, sensitive, nv)

@@ -498,6 +498,62 @@ class MonitorStateSpec extends SparkSpec {
       s"flat recall@10 collapsed: ${flat10.toSeq}")
   }
 
+  test("startMmrDiversitySink (31st sink): each emission ≡ the batch " +
+    "per-position MMR diversity grid of ALL arrived queries against " +
+    "the FIXED index under shuffled batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the serving index: 40 real embeddings; arriving queries: 9 more
+    // embeddings under shifted ids (no self-exclusion ambiguity)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(49).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val index = emb.take(40).toSeq.toDF("vec_id", "embedding")
+    val arrivals = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(41)).shuffle(
+        emb.drop(40).map { case (id, v) => (id + 10000L, v) }.toList)
+    val (shortlist, k, lambda) = (10, 4, 0.7)
+    def run(batches: Seq[Seq[(Long, Seq[Double])]]): Seq[String] = {
+      val ms = MemoryStream[(Long, Seq[Double])]
+      val out = scala.collection.mutable.Map[Long, Seq[String]]()
+      val ckpt = java.nio.file.Files.createTempDirectory("mmrdiv").toString
+      val q = graft.stream.StreamCuration.startMmrDiversitySink(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        index, "vec_id", "embedding", shortlist, k, lambda, ckpt,
+        (df, epoch) => out.synchronized {
+          out(epoch) = df.orderBy(col("pos")).collect()
+            .map(_.toString).toSeq
+        })
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      out.synchronized(out(out.keys.max))
+    }
+    val want = graft.ops.Ann.mmrFromCells(
+        graft.ops.Ann.mmrPositionCells(index,
+          arrivals.toDF("vec_id", "embedding"), shortlist, k, lambda),
+        lambda)
+      .orderBy(col("pos")).collect().map(_.toString).toSeq
+    val a = run(Seq(arrivals.take(3), arrivals.slice(3, 7),
+      arrivals.drop(7)))
+    val b = run(Seq(arrivals.reverse.take(5), arrivals.reverse.drop(5)))
+    assert(a == want, s"split A diverged:\n$a\nvs\n$want")
+    assert(b == want, s"split B diverged:\n$b\nvs\n$want")
+    // readout shape: k positions, every query contributing at every
+    // position (index depth 40 ≫ k), pos-1 redundancy exactly 0
+    assert(want.length == k, s"grid shape: $want")
+    val rows = want.map(_.drop(1).dropRight(1).split(","))
+    assert(rows.forall(_(1).toLong == arrivals.length.toLong),
+      s"n_queries must count every arrival at every pos: $want")
+    assert(rows.head(3).toDouble == 0.0,
+      s"pos-1 picks carry no redundancy penalty: ${rows.head.toSeq}")
+    // later picks ARE penalized: the pos-2 mean max-sim is an actual
+    // pairwise cosine (nonzero; can be NEGATIVE on synthetic
+    // embeddings — λ<1 prefers anti-similar picks)
+    assert(rows(1)(3).toDouble != 0.0, s"pos-2 maxsim: ${rows(1).toSeq}")
+  }
+
   test("null-key state rows MERGE (not duplicate) across epochs — the " +
     "null-safe <=> merge contract, pinned on the trend sink") {
     implicit val sqlCtx = spark.sqlContext
