@@ -678,6 +678,71 @@ class AnnSpec extends SparkSpec {
       ks.map(k => div(k)._1).toSet.size == 4 })
   }
 
+  test("MmrSelect.round6 ≡ the round(col, 6) column function on a " +
+    "hostile double grid (exact 6-dp half-way points, negatives, " +
+    "huge magnitudes, NaN, ±Inf) — the expression's score rounding " +
+    "IS Spark's") {
+    import spark.implicits._
+    val rng = new java.util.Random(77)
+    val hostile = Seq(0.1234565, -0.1234565, 0.12345650000001,
+      0.9999995, -0.9999995, 1e-7, -1e-7, 0.0, -0.0, 1e17, -1e17,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, 4.9999995, -4.9999995)
+    val random = (1 to 3000).map { _ =>
+      rng.nextInt(3) match {
+        case 0 => (rng.nextDouble() - 0.5) * 2        // cosine-scale
+        case 1 => (rng.nextDouble() - 0.5) * 2e-6     // grid-edge
+        case _ => (rng.nextDouble() - 0.5) * 2e12     // huge
+      }
+    }
+    val xs = hostile ++ random
+    val viaSpark = xs.toDF("x")
+      .select(round(col("x"), 6).as("r")).collect()
+      .map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    val viaExpr = xs.map(graft.expr.catalyst.MmrSelect.round6)
+    xs.indices.foreach { i =>
+      val (a, b) = (viaSpark(i), viaExpr(i))
+      assert(java.lang.Double.compare(a, b) == 0 ||
+        (a.isNaN && b.isNaN),
+        s"round6 diverges at x=${xs(i)}: spark=$a expr=$b")
+    }
+  }
+
+  test("MmrSelect edges: duplicate candidate ids retire together " +
+    "(the former anti-join keyed on n_id), and a null/zero-norm " +
+    "vector contributes no sim (maxsim falls back to 0.0)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    def run(cands: Seq[(Long, Double, Seq[Double])], k: Int)
+        : Seq[(Long, Long, Double, Double)] = {
+      val df = Seq(Tuple1(cands)).toDF("cands")
+        .select(GraftBridge.column(graft.expr.catalyst.MmrSelect(
+          GraftBridge.expression(
+            col("cands").cast(
+              "array<struct<n_id:bigint,rel:double,v:array<double>>>")),
+          k, 0.7)).as("picks"))
+        .select(explode(col("picks")).as("p"))
+        .select(col("p.pos"), col("p.n_id"), col("p.maxsim"),
+          col("p.mmr"))
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    }
+    // duplicate id 10: picking it once must retire BOTH rows — k=3
+    // over {10 (dup), 20} yields only 2 picks
+    val dup = run(Seq(
+      (10L, 0.9, Seq(1.0, 0.0)), (10L, 0.9, Seq(1.0, 0.0)),
+      (20L, 0.5, Seq(0.0, 1.0))), k = 3)
+    assert(dup.map(_._2) == Seq(10L, 20L), dup.toString)
+    // a zero-norm vector has NULL cosine to everything: when it is
+    // the only selected neighbor, the next pick's maxsim is the
+    // coalesce fallback 0.0 (not null, not NaN)
+    val zn = run(Seq(
+      (1L, 0.9, Seq(0.0, 0.0)), (2L, 0.5, Seq(1.0, 0.0))), k = 2)
+    assert(zn.map(_._2) == Seq(1L, 2L) && zn(1)._3 == 0.0, zn.toString)
+    // and the mmr of that second pick is then pure λ·rel
+    assert(math.abs(zn(1)._4 - 0.35) < 1e-9, zn.toString)
+  }
+
   test("mmrRerank: short0 path ignores the shortlist parameter (no " +
     "require), matches the internally-built shortlist result, and a " +
     "shallow artifact yields fewer than k rows for affected queries") {

@@ -437,4 +437,24 @@ class PropertySpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(s3 == 2.0, s"NaN must drop, not zero-contribute: $s3")
   }
+
+  test("snappedSumOver: an ORDER BY'd window spec still yields the " +
+    "WHOLE-partition sum — the forced full frame (ADVICE r13), not " +
+    "the default running frame") {
+    import spark.implicits._
+    import graft.expr.Snap
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 1, 1.5), ("a", 2, 2.25), ("a", 3, 4.0),
+      ("b", 1, 10.0)).toDF("g", "ord", "x")
+    val ordered = Window.partitionBy(col("g")).orderBy(col("ord"))
+    val r = df.withColumn("z", Snap.snappedSumOver(col("x"), 1e9, ordered))
+      .select(col("g"), col("ord"), col("z")).collect()
+      .map(row => (row.getString(0), row.getInt(1)) -> row.getDouble(2))
+      .toMap
+    // under the DEFAULT frame row ("a", 1) would read 1.5 (running);
+    // the forced frame reads the full-partition 7.75 everywhere
+    assert(r(("a", 1)) == 7.75 && r(("a", 2)) == 7.75 &&
+      r(("a", 3)) == 7.75, r.toString)
+    assert(r(("b", 1)) == 10.0, r.toString)
+  }
 }
