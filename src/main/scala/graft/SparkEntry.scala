@@ -3080,13 +3080,12 @@ object SparkEntry {
   /** 5-fold cross-validated NB accuracy — the variance answer q156's
     * single holdout can't give; all five models train in ONE plan over
     * the session TF artifact ([[ops.Quality.kfoldNbEval]]). */
-  private def qKfoldNb(s: SparkSession, dir: String): DataFrame = {
-    val tf = sharedTermFreqs(s, dir)
-    val docs = t(s, dir, "documents")
-    ops.Quality.kfoldNbEval(docs, col("doc_id"), col("text"),
-      col("lang"), k = 5, docTf0 = Some(tf.join(
-        docs.select(col("doc_id"), col("lang").as("lab")), "doc_id")))
-  }
+  private def qKfoldNb(s: SparkSession, dir: String): DataFrame =
+    // serves the session k-fold score artifact (q292/q330's): the
+    // held-out fold = f slice IS this query's score table
+    ops.Quality.kfoldNbEval(t(s, dir, "documents"), col("doc_id"),
+      col("text"), col("lang"), k = 5,
+      scores0 = Some(sharedKfoldScores(s, dir)))
 
   /** Dirichlet-prior query-likelihood top-20 (Zhai & Lafferty) for a
     * fixed 3-term query over the session TF artifact — the LM-retrieval

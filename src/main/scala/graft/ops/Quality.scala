@@ -1031,52 +1031,16 @@ object Quality {
   def kfoldNbEval(docs: DataFrame, id: Column, text: Column, label: Column,
       k: Int = 5,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true),
-      docTf0: Option[DataFrame] = None): DataFrame = {
+      docTf0: Option[DataFrame] = None,
+      scores0: Option[DataFrame] = None): DataFrame = {
     require(k >= 2, s"kfoldNbEval: k=$k")
-    import graft.expr.Snap
-    val docTf = docTf0.getOrElse(materialize(Fanout.fanout(docs)
-      .select(id.as("doc_id"), label.as("lab"),
-        explode(graft.expr.TextStats.tokens(text)).as("term"))
-      .groupBy(col("doc_id"), col("lab"), col("term"))
-      .agg(count(lit(1)).as("tf"))))
-      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
-    val folds = broadcast(docs.sparkSession.range(k)
-      .select(col("id").as("f")))
-    // all k training count tables in one pass: (f, lab, term, ctf) over
-    // the k−1 in-fold shards (fold ≠ f)
-    val ct = materialize(docTf.crossJoin(folds)
-      .filter(col("fold") =!= col("f"))
-      .groupBy(col("f"), col("lab"), col("term"))
-      .agg(sum(col("tf")).as("ctf")))
-    val vv = ct.groupBy(col("f"))
-      .agg(countDistinct(col("term")).as("v"))
-    val cs = ct.groupBy(col("f"), col("lab")).agg(sum(col("ctf")).as("ctot"))
-    val dl = docs.select(id.as("doc_id"), label.as("lab"))
-      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
-    val pr = dl.crossJoin(folds).filter(col("fold") =!= col("f"))
-      .groupBy(col("f"), col("lab")).agg(count(lit(1)).as("nd"))
-    val nt = pr.groupBy(col("f")).agg(sum(col("nd")).as("ntot"))
-    val labStats = cs.join(pr, Seq("f", "lab")).join(broadcast(nt), "f")
-      .join(broadcast(vv), "f")
-      .select(col("f"), col("lab").as("clab"),
-        log(col("nd").cast("double") / col("ntot").cast("double"))
-          .as("prior_ln"),
-        log(lit(1.0) / (col("ctot") + col("v")).cast("double")).as("lp0"))
-    val terms = ct.select(col("f"), col("lab").as("clab"), col("term"),
-      log((col("ctf") + lit(1L)).cast("double")).as("lterm"))
-    // score each doc against ITS fold's model (fold == f)
-    val serveTf = docTf.withColumnRenamed("fold", "f")
-    val seen = serveTf.join(broadcast(terms), Seq("f", "term"))
-      .groupBy(col("f"), col("doc_id"), col("clab"))
-      .agg(Snap.snappedSum(col("tf").cast("double") * col("lterm"), 1e9)
-        .as("s1"))
-    val docN = serveTf.groupBy(col("f"), col("doc_id"), col("lab"))
-      .agg(sum(col("tf")).as("n_tok"))
-    val sc = docN.join(broadcast(labStats), Seq("f"))
-      .join(seen, Seq("f", "doc_id", "clab"), "left")
-      .select(col("f"), col("doc_id"), col("lab"), col("clab"),
-        round(col("prior_ln") + col("n_tok").cast("double") * col("lp0") +
-          coalesce(col("s1"), lit(0.0)), 4).as("score"))
+    // the held-out fold scores: the session-shared all-pairs artifact
+    // filtered to fold = f, or a direct build ([[kfoldScores]] — the
+    // leave-one-out TOTAL − OWN counts equal the direct fold ≠ f
+    // aggregation term-for-term, so scores are bit-identical)
+    val sc = scores0.map(_.filter(col("fold") === col("f")))
+      .getOrElse(kfoldScores(docs, id, text, label, k, materialize,
+        docTf0, serve = "heldout"))
     val best = sc.groupBy(col("f"), col("doc_id"), col("lab"))
       .agg(min(struct((-col("score")).as("ns"), col("clab"))).as("best"))
       .select(col("f"), col("lab"), col("best.clab").as("pred"))
