@@ -58,6 +58,35 @@ object Snap {
       .cast("double") / lit(grid)
   }
 
+  /** DRIVER twin of [[snappedSum]] — bit-identical by construction
+    * (≡-property-tested): the same per-term snap (fast-path long floor
+    * under the 2^63 guard, exact BigDecimal fallback above it,
+    * non-finite terms dropped like the NULL-ignoring SUM), the same
+    * decimal accumulation, the same final double cast and grid divide.
+    * For iterative operators whose per-round state is dim-sized and
+    * already ships through the driver as a broadcast (Bradley–Terry's
+    * strength vector): normalizing ON the driver replaces a per-round
+    * checkpoint barrier with one collect, with identical values —
+    * the snap exists precisely so accumulation order (including
+    * "driver vs executors") cannot matter. */
+  def snappedSumDriver(terms: Iterator[Double], grid: Double): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    while (terms.hasNext) {
+      val t = terms.next()
+      val d = t * grid + 0.5
+      if (math.abs(d) < Long.MaxValue.toDouble)
+        acc = acc.add(java.math.BigDecimal.valueOf(math.floor(d).toLong))
+      else if (!d.isNaN && !d.isInfinite && math.abs(d) < 1e38)
+        // the column fallback is a double→decimal(38,0) CAST: Spark
+        // converts via the shortest decimal repr (BigDecimal.valueOf)
+        // with HALF_UP, and a decimal(38,0) overflow becomes NULL
+        // (dropped) — replicated exactly, incl. the 1e38 bound
+        acc = acc.add(java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP))
+    }
+    acc.doubleValue() / grid
+  }
+
   private def snapTerm(term: Column, grid: Double): Column = {
     // Guard on the RAW scaled double, NOT on floor(d): Spark's
     // floor(double) itself returns LongType, so it saturates at

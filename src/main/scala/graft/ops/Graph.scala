@@ -782,11 +782,17 @@ object Graph {
         .groupBy(col("dst").as("state"))
         .agg(Snap.snappedSum(col("pi") * col("p"), 1e9).as("raw"))
       val z = raw.agg(Snap.snappedSum(col("raw"), 1e9).as("z"))
-      pi = materialize(states.join(raw, Seq("state"), "left")
+      // LAZY per-pass state (the HITS discipline): raw is referenced
+      // twice (the z normalizer and the join-back) so the logical
+      // plan doubles per pass, but ReuseExchange serves both refs
+      // from one physical build and iters is a small constant — the
+      // former per-pass localCheckpoint barrier (~12 sequential
+      // jobs/pass, r14 probe) disappears.
+      pi = states.join(raw, Seq("state"), "left")
         .crossJoin(broadcast(z))
         .select(col("state"), snap6(when(col("z") > 0.0,
           coalesce(col("raw"), lit(0.0)) / col("z")).otherwise(lit(0.0)))
-          .as("pi")))
+          .as("pi"))
     }
     val tv = pi.join(prev.withColumnRenamed("pi", "pi0"), "state")
       .agg((Snap.snappedSum(abs(col("pi") - col("pi0")), 1e9) / lit(2.0))

@@ -55,18 +55,35 @@ object Pref {
       .select(win.as("i"), lose.as("j"), weight.cast("double").as("nw"))
       .groupBy(col("i"), col("j"))
       .agg(Snap.snappedSum(col("nw"), 1e9).as("wij")))
-    // symmetric duel counts n_ij and per-item totals
-    val nij = pw.select(col("i"), col("j"), col("wij").as("n"))
+    // symmetric duel counts n_ij and per-item totals — materialized:
+    // nij feeds every MM round's denominator join AND the totals
+    // build (4 consumers at iters=3), so lazy would re-run its
+    // union+aggregation per round
+    val nij = materialize(pw.select(col("i"), col("j"), col("wij").as("n"))
       .unionByName(pw.select(col("j").as("i"), col("i").as("j"),
         col("wij").as("n")))
       .groupBy(col("i"), col("j"))
-      .agg(Snap.snappedSum(col("n"), 1e9).as("nij"))
+      .agg(Snap.snappedSum(col("n"), 1e9).as("nij")))
     val wins = pw.groupBy(col("i"))
       .agg(Snap.snappedSum(col("wij"), 1e9).as("wi"))
-    val totals = materialize(nij.groupBy(col("i"))
+    // the per-item totals are |items|-sized — the SAME driver-bounded
+    // class as the strength vector the loop broadcasts every round —
+    // so they live as one collected LOCAL relation: every loop join
+    // against them broadcasts without a build job, and the initial
+    // uniform vector is local too (round 1 pays no distributed
+    // broadcast builds)
+    val spark0 = duels.sparkSession
+    val totalsDist = nij.groupBy(col("i"))
       .agg(Snap.snappedSum(col("nij"), 1e9).as("ni"))
       .join(wins, Seq("i"), "left")
-      .select(col("i"), col("ni"), coalesce(col("wi"), lit(0.0)).as("wi")))
+      .select(col("i"), col("ni"), coalesce(col("wi"), lit(0.0)).as("wi"))
+    val totals = spark0.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        totalsDist.collect().toSeq).asJava, totalsDist.schema)
+    val iField = totals.select(col("i")).schema.fields(0)
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(iField,
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DoubleType)))
     var w = totals.select(col("i"), lit(1.0).as("w"))
     for (_ <- 1 to iters) {
       val wb = broadcast(w)
@@ -78,12 +95,22 @@ object Pref {
           col("nij").cast("double") / (col("wa") + col("wb")), 1e9).as("d"))
       val upd = totals.join(denom, "i")
         .select(col("i"), (col("wi").cast("double") / col("d")).as("w0"))
-      val z = upd.agg(Snap.snappedSum(col("w0"), 1e9).as("z"))
-      // materialize the |items|-row vector each round: an unmaterialized
-      // w appears TWICE in the next round's join (wa, wb), so lineage —
-      // and the physical plan — would double per iteration
-      w = materialize(upd.crossJoin(broadcast(z))
-        .select(col("i"), round(col("w0") / col("z"), 6).as("w")))
+      // ONE action per MM round: collect the |items|-row vector — it
+      // is BROADCAST next round anyway, so it already ships through
+      // the driver and its size class is unchanged — and normalize on
+      // the driver with the exact column twins (snappedSumDriver ≡
+      // snappedSum, round6 ≡ round(·,6), both property-tested). The
+      // former per-round localCheckpoint barrier cost ~13 sequential
+      // jobs/round (r14 probe: 45 jobs, and the lazy-chain variant
+      // still 33 at a WORSE wall — w feeds wa AND wb, so lineage
+      // doubles); this shape is one job per round.
+      val rows = upd.collect()
+      val z = Snap.snappedSumDriver(rows.iterator.map(_.getDouble(1)), 1e9)
+      val norm: Seq[org.apache.spark.sql.Row] = rows.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.get(0),
+          graft.expr.catalyst.MmrSelect.round6(r.getDouble(1) / z)))
+      w = spark0.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(norm).asJava, wSchema)
     }
     w.join(totals, "i")
       .select(col("i").as("item"), col("w").as("strength"),

@@ -438,6 +438,34 @@ class PropertySpec extends SparkSpec {
     assert(s3 == 2.0, s"NaN must drop, not zero-contribute: $s3")
   }
 
+  test("snappedSumDriver ≡ the snappedSum column aggregate on a " +
+    "hostile term set (fast-path doubles, ≥2^63 fallback values, " +
+    "decimal-overflow drops, NaN/Inf drops, random mixes)") {
+    import spark.implicits._
+    import graft.expr.Snap
+    val rng = new java.util.Random(99)
+    val hostile = Seq(1.25, -2.5, 1e-9, 0.0, -0.0, 1e10, -1e10,
+      9.3e9, 1.2345678901234567e10, 1e30, -1e30, 1e40, -1e40,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val random = (1 to 500).map { _ =>
+      rng.nextInt(3) match {
+        case 0 => (rng.nextDouble() - 0.5) * 4
+        case 1 => (rng.nextDouble() - 0.5) * 2e10
+        case _ => (rng.nextDouble() - 0.5) * 2e25
+      }
+    }
+    for (grid <- Seq(1e9, 1e6)) {
+      for (xs <- Seq(hostile, random, hostile ++ random)) {
+        val viaCol = xs.toDF("x")
+          .agg(Snap.snappedSum(col("x"), grid).as("s"))
+          .collect()(0).getDouble(0)
+        val viaDrv = Snap.snappedSumDriver(xs.iterator, grid)
+        assert(java.lang.Double.compare(viaCol, viaDrv) == 0,
+          s"grid=$grid: col=$viaCol driver=$viaDrv over ${xs.take(8)}…")
+      }
+    }
+  }
+
   test("snappedSumOver: an ORDER BY'd window spec still yields the " +
     "WHOLE-partition sum — the forced full frame (ADVICE r13), not " +
     "the default running frame") {
