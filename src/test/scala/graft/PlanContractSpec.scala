@@ -822,25 +822,20 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("*(1)") && !p.contains("*(2)"), p.take(400))
   }
 
-  test("q171: Bradley-Terry — one MM step = two BROADCAST strength-" +
-    "vector joins + ONE one-row normalizer cross; the served plan " +
-    "reads materialized artifacts and scans no parquet") {
-    import org.apache.spark.sql.functions.col
-    import spark.implicits._
-    // materialize = identity exposes the single-step shape in one plan
-    val duels = Seq(("A", "B"), ("B", "A"), ("A", "C")).toDF("w", "l")
-    val step = graft.ops.Pref.bradleyTerry(duels, col("w"), col("l"),
-        iters = 1, materialize = df => df)
-      .queryExecution.executedPlan.toString
-    assert(count(step, "CartesianProduct") == 0, step.take(1200))
-    assert(count(step, "BroadcastNestedLoopJoin") == 1, step.take(1200))
-    assert(count(step, "BroadcastHashJoin") >= 2,
-      s"strength-vector joins de-broadcast:\n${step.take(1200)}")
-    // the served q171: every iteration input is a materialized artifact
-    // — the duel table's parquet/NLL upstream never re-enters the plan
+  test("q171: Bradley-Terry — the served plan is LOCAL-relation only " +
+    "(the strength vector and totals are driver-bounded artifacts; " +
+    "the MM rounds ran inside per-round actions): no parquet, no " +
+    "cartesian, no distributed scan survives") {
+    // r14 shape: the per-round normalization moved to the driver (the
+    // vector is broadcast every round anyway — collecting it is the
+    // same size class), so the RETURNED frame joins two local
+    // relations; the MM-step join shapes are exercised inside the
+    // loop's own actions, and the trajectory's VALUES are pinned by
+    // PrefSpec + the q171/q188 oracles
     val p = plan("q171_bradley_terry")
     assert(count(p, "CartesianProduct") == 0, p.take(1200))
-    assert(count(p, "Scan ExistingRDD") >= 2, p.take(1200))
+    assert(count(p, "LocalTableScan") >= 2,
+      s"vector/totals no longer local artifacts:\n${p.take(1200)}")
     assert(count(p, "FileScan parquet") == 0, p.take(1200))
   }
 
@@ -1095,14 +1090,18 @@ class PlanContractSpec extends SparkSpec {
       p.take(2000))
   }
 
-  test("q223: k-fold NB — the fold axis is a broadcast k-row nested " +
-    "loop (bounded fanout), model joins broadcast, no cartesian") {
+  test("q223: k-fold NB — serves the session fold-score artifact " +
+    "(no training-corpus scan, no fold fanout at serve time); argmax " +
+    "is a struct-min agg, never a window") {
+    // r14 shape: the fold models and dense scores live in the shared
+    // kfoldScores artifact (q292/q330's table); this query's plan is
+    // its held-out slice + the accuracy rollup
     val p = plan("q223_kfold_nb")
-    // the ONLY nested-loop joins are against the broadcast 5-row fold
-    // grid (a bounded fanout, the explode-equivalent); everything
-    // model-sized joins as broadcast hash
     assert(count(p, "CartesianProduct") == 0, p.take(1500))
-    assert(count(p, "BroadcastHashJoin") >= 2, p.take(1500))
+    assert(count(p, "Scan ExistingRDD") >= 1,
+      s"scores re-derived at serve time:\n${p.take(1500)}")
+    assert(count(p, "FileScan parquet") == 0, p.take(1500))
+    assert(count(p, "Window") == 0, "argmax degenerated to a window")
   }
 
   test("q228: Theil–Sen — the pair table builds AFTER the corpus " +
