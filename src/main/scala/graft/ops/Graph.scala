@@ -844,19 +844,37 @@ object Graph {
     // keeps expansion and aggregation 32-wide in every AQE outcome;
     // per-via skew is bounded by the maxDeg cap.
     val ep = Fanout.pin(e, col("via"))
+    // The snapped per-pair term 1/ln(deg) depends ONLY on the via, so
+    // snap it ONCE on the |vias|-sized deg table instead of per pair
+    // row: the ~|pairs| aggregation then sums a precomputed long
+    // instead of evaluating ln + the snap guard + floor per row (the
+    // r14 probe put ~half the query's executor time in that stage).
+    // Identity with Snap.snappedSum's fast path is structural: deg ≥ 2
+    // makes the scaled term positive, finite and ≤ ~1.45e9 — always
+    // under the 2^63 guard — so floor(term·1e9 + 0.5) as a long is the
+    // exact value snapTerm would produce per row. The per-PAIR sum
+    // stays a plain long (codegen-fast buffer; sum over decimal(38,0)
+    // is BigDecimal-backed and was ~half this stage's per-row cost):
+    // with every term ≤ ceil(1e9/ln 2) = 1 442 695 041, a long cannot
+    // wrap below n_common ≥ 2^63/1.45e9 ≈ 6.4e9 — a single pair group
+    // of 6.4 BILLION candidate rows, beyond any graph this operator's
+    // maxDeg-capped expansion can emit into one reduce key before the
+    // job itself is infeasible. (Corpus-sized snappedSum callers keep
+    // the decimal buffer; this bound is pair-local.)
     val deg = ep.groupBy(col("via")).agg(count(lit(1)).as("deg"))
-    val ew = ep.join(deg, "via")
       .filter(col("deg") >= 2L && col("deg") <= maxDeg)
+      .select(col("via"),
+        floor(lit(1.0) / log(col("deg").cast("double")) * lit(1e9)
+          + lit(0.5)).as("c"))
+    val ew = ep.join(deg, "via")
     val pairs = ew.select(col("via"), col("node").as("node_a"),
-        col("deg"))
+        col("c"))
       .join(ew.select(col("via"), col("node").as("node_b")), Seq("via"))
       .filter(col("node_a") < col("node_b"))
     Fanout.pin(pairs, col("node_a"), col("node_b"))
       .groupBy(col("node_a"), col("node_b"))
       .agg(count(lit(1)).as("n_common"),
-        round(Snap.snappedSum(
-          lit(1.0) / log(col("deg").cast("double")), 1e9), 6)
-          .as("aa_score"))
+        round(sum(col("c")).cast("double") / lit(1e9), 6).as("aa_score"))
       .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
       .limit(k)
   }
