@@ -69,9 +69,23 @@ object Similarity {
   def minhashC(i: Int): Long = 40503L * i
 
   def minhashTerm(i: Int, element: Column): Column = {
-    val d = md5(element)
-    pmod(lit(minhashA(i)) * conv(substring(d, 1, 7), 16, 10).cast("long") +
-      lit(minhashB(i)) * conv(substring(d, 8, 8), 16, 10).cast("long") +
+    // both limbs off ONE native digest ([[md5PrefixLong]]): hi = hex
+    // chars 1–7 = top 28 of the 60 prefix bits, lo = chars 8–15 = the
+    // low 32 — bit-identical to the conv(substring(md5…)) chain
+    // (property-tested) with zero per-row string allocation
+    val p = md5PrefixLong(element, 15)
+    pmod(lit(minhashA(i)) * shiftright(p, 32) +
+      lit(minhashB(i)) * p.bitwiseAND(lit(0xffffffffL)) +
       lit(minhashC(i)), lit(MinhashP))
   }
+
+  /** First `hexLen` hex digits of md5(x) as a long — the native
+    * ([[graft.expr.catalyst.Md5Prefix]]) form of the engine's portable
+    * hash idiom `conv(substring(md5(x), 1, hexLen), 16, 10)`,
+    * bit-identical by construction (≡-property-tested) with no per-row
+    * string allocation. hexLen ≤ 15 keeps the value positive-long. */
+  def md5PrefixLong(element: Column, hexLen: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.catalyst.Md5Prefix(
+        org.apache.spark.sql.GraftBridge.expression(element), hexLen))
 }

@@ -224,10 +224,15 @@ object Graph {
       val next = nodes.join(inMass, Seq("id"), "left")
         .select(col("id"), snap6(lit(0.15) / lit(n.toDouble) +
           lit(0.85) * coalesce(col("mass").cast("double"), lit(0.0))).as("rank"))
-      // snapped state between passes: the next iteration starts from a
-      // materialized table, not a growing lineage of joins. The LAST
-      // pass stays lazy — the caller's action pays for it exactly once.
-      ranks = if (i < iters) materialize(next) else next
+      // LAZY per-pass state (r14, the stationaryDistribution rule):
+      // ranks is a LINEAR recurrence — referenced exactly once per
+      // pass (the inMass join) — so the lineage grows by one
+      // join+aggregate level per pass with no doubling, and the
+      // per-pass checkpoint barrier (sequential jobs ≈ passes ×
+      // scheduler latency) buys nothing. Snapping already fixes the
+      // trajectory; values are materialization-independent. Callers
+      // needing barriers for MANY iterations pass `materialize`.
+      ranks = next
     }
     ranks
   }
@@ -275,6 +280,13 @@ object Graph {
     var h = nodes.select(col("id"), lit(1.0).as("hub"))
     var a = nodes.select(col("id"), lit(0.0).as("authority"))
     for (i <- 1 to iters) {
+      // Measured r14: the LAZY variant (the stationaryDistribution
+      // rule) does NOT help here — each score is referenced twice
+      // (next round + the final h⋈a), so the doubled post-exchange
+      // aggregations re-run (ReuseExchange dedupes only the exchange
+      // builds), job count stays 18 (AQE submits per-stage jobs
+      // either way) and warm wall read 2.9–3.1 s vs 2.7–2.8 s
+      // checkpointed. Keep the per-round barriers.
       a = materialize(norm(
         e.join(h.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id"))
@@ -708,10 +720,19 @@ object Graph {
     val w = shiftright(h, b)
     val rho = when(w > 0, lit(bits + 1) - length(bin(w)))
       .otherwise(lit(bits + 1))
-    var state = materialize(deg.select(col("node"),
+    // LAZY per-round state (the stationaryDistribution discipline,
+    // r14): state(r) is referenced twice per round (the edge join and
+    // the union) so the logical plan doubles per round, but each state
+    // ends in an aggregation over an exchange and ReuseExchange serves
+    // both refs from one physical build; with r ≤ 2 rounds the depth
+    // is a small constant. The former seed + per-round localCheckpoint
+    // barriers (~15 of q304's 23 sequential jobs) disappear — register
+    // values are exact integers, so materialization policy cannot
+    // change a bit.
+    var state = deg.select(col("node"),
       transform(sequence(lit(0), lit(m - 1)), j =>
         when(j.cast("long") === bucket, rho).otherwise(lit(0))
-          .cast("byte")).as("regs")))
+          .cast("byte")).as("regs"))
     // hllEstimate's exact arithmetic read off the packed array:
     // present register ⇔ value > 0 (rho ≥ 1 whenever a row existed)
     def estimate(st: DataFrame, out: String): DataFrame = {
@@ -732,7 +753,7 @@ object Graph {
         .unionByName(state.select(col("node"), col("regs")))
         .groupBy(col("node"))
         .agg(RegisterMaxAgg.registerMax(col("regs"), m).as("regs"))
-      state = materialize(merged)
+      state = merged
       estimate(state, s"est_${r}hop")
     }
     deg.select(col("node"), (col("d") + lit(1L)).as("n1_exact"))

@@ -231,6 +231,51 @@ class PropertySpec extends SparkSpec {
     assert(native.nonEmpty && !native.exists(_._1 == 2L)) // short doc: no rows
   }
 
+  test("native Md5Prefix ≡ conv(substring(md5(x),1,L),16,10) for every " +
+    "L in [1,15], codegen and interpreted, hostile strings included") {
+    import graft.expr.Similarity
+    val rnd = new scala.util.Random(20260819)
+    val strs = Seq("", " ", "a", "ß∂ƒ©", "tok1 tok2", " nul",
+      "0123456789abcdef0123456789abcdef", "😀 emoji") ++
+      (1 to 60).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq.tabulate(8)(i => s"collision-probe-$i-${"x" * i}")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    for (l <- Seq(1, 2, 7, 8, 14, 15)) {
+      def vals(c: org.apache.spark.sql.Column) =
+        df.select(col("id"), c.as("v")).orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val chain = vals(
+        conv(substring(md5(col("s")), 1, l), 16, 10).cast("long"))
+      val native = vals(Similarity.md5PrefixLong(col("s"), l))
+      assert(native == chain, s"hexLen=$l diverged")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try assert(vals(Similarity.md5PrefixLong(col("s"), l)) == chain,
+        s"hexLen=$l diverged on the interpreted path")
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // NULL child → NULL, like the chain
+    val n = Seq((1L, null: String)).toDF("id", "s")
+      .select(Similarity.md5PrefixLong(col("s"), 15).as("v")).collect()
+    assert(n.head.isNullAt(0))
+    // minhashTerm's one-digest two-limb rewrite ≡ the former two-conv
+    // form (hi = chars 1–7, lo = chars 8–15)
+    def mvals(c: org.apache.spark.sql.Column) =
+      df.select(col("id"), c.as("v")).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (i <- Seq(0, 3, 7)) {
+      val d = md5(col("s"))
+      val old = pmod(
+        lit(Similarity.minhashA(i)) *
+          conv(substring(d, 1, 7), 16, 10).cast("long") +
+        lit(Similarity.minhashB(i)) *
+          conv(substring(d, 8, 8), 16, 10).cast("long") +
+        lit(Similarity.minhashC(i)), lit(Similarity.MinhashP))
+      assert(mvals(Similarity.minhashTerm(i, col("s"))) == mvals(old),
+        s"minhashTerm($i) diverged")
+    }
+  }
+
   test("native VectorCosine ≡ HOF cosine bit-for-bit on random vectors") {
     import graft.expr.Similarity
     val vecGen = Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f))
