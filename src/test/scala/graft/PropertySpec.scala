@@ -235,7 +235,7 @@ class PropertySpec extends SparkSpec {
     "L in [1,15], codegen and interpreted, hostile strings included") {
     import graft.expr.Similarity
     val rnd = new scala.util.Random(20260819)
-    val strs = Seq("", " ", "a", "ß∂ƒ©", "tok1 tok2", " nul",
+    val strs = Seq("", " ", "a", "ß∂ƒ©", "tok1 tok2", "\u0000nul",
       "0123456789abcdef0123456789abcdef", "😀 emoji") ++
       (1 to 60).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
       Seq.tabulate(8)(i => s"collision-probe-$i-${"x" * i}")
