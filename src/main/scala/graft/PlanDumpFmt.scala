@@ -13,6 +13,10 @@ object PlanDumpFmt {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val suffix = args(1)
+    // data dir from the same env var Bench reads (ADVICE r14: the
+    // hardcoded path broke the artifact generator on any other host)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -25,7 +29,7 @@ object PlanDumpFmt {
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (q <- args.drop(2)) {
-      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      val df = SparkEntry.queries(q)(spark, sfDir)
       val fmt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       // run it so the appended executed plan is the FINAL adaptive one

@@ -60,7 +60,8 @@ object StageProbe {
         jobs.set(0)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        fn(spark, "/root/testdata/sf0.1").count()
+        fn(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")).count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500)
         val top = listener.synchronized(stages.toVector)
