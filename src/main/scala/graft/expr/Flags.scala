@@ -44,7 +44,7 @@ object Flags {
       when(s.isNull, lit("␀"))
         .otherwise(concat(length(s).cast("string"), lit(":"), s))
     }: _*)
-    when(anyNonNull, conv(substring(md5(canon), 1, 15), 16, 10).cast("long"))
+    when(anyNonNull, Similarity.md5PrefixLong(canon, 15))
       .otherwise(lit(null).cast("long"))
   }
 }

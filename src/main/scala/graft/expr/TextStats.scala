@@ -378,7 +378,7 @@ object TextStats {
       substring}
     require(topK >= 1, s"textRank: topK=$topK")
     def wid(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      Similarity.md5PrefixLong(c, 15)
     val edges0 = skipgramCounts(docs, id, text, window, minCount)
       .localCheckpoint(true) // consumers: edges + the word-id map
     val ranks = graft.ops.Graph.pagerank(

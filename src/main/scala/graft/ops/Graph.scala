@@ -229,10 +229,14 @@ object Graph {
       // pass (the inMass join) — so the lineage grows by one
       // join+aggregate level per pass with no doubling, and the
       // per-pass checkpoint barrier (sequential jobs ≈ passes ×
-      // scheduler latency) buys nothing. Snapping already fixes the
-      // trajectory; values are materialization-independent. Callers
-      // needing barriers for MANY iterations pass `materialize`.
-      ranks = next
+      // scheduler latency) buys nothing at small iters. Every 8th
+      // pass still runs through `materialize` (ADVICE r14): a LONG
+      // trajectory would otherwise grow an unbounded lazy lineage and
+      // pay optimizer time quadratic in passes — snapped values are
+      // materialization-independent, so the barrier cadence cannot
+      // change a bit, only bound plan depth. Call sites run iters = 2
+      // and so never hit the barrier.
+      ranks = if (i % 8 == 0 && i < iters) materialize(next) else next
     }
     ranks
   }
@@ -247,10 +251,12 @@ object Graph {
     * trajectory replays exactly in any engine. Nodes with no in-edges
     * (resp. out-edges) carry authority (resp. hub) exactly 0.
     *
-    * Scale shape: identical to [[pagerank]] — per round one edge-sized
-    * join per direction into a map-side-combined node aggregation,
-    * snapped state materialized between passes (truncated lineage),
-    * the last pass lazy. Returns (id, hub, authority). */
+    * Scale shape: per round one edge-sized join per direction into a
+    * map-side-combined node aggregation. Unlike [[pagerank]] (lazy
+    * linear recurrence), snapped state IS materialized between passes
+    * here — each score is referenced twice (next round + the final
+    * h⋈a), so the lazy chain doubles per round and measured WORSE
+    * (r14); the last pass stays lazy. Returns (id, hub, authority). */
   def hits(edges: DataFrame, src: String, dst: String, iters: Int,
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
@@ -714,8 +720,7 @@ object Graph {
     val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
     // packed seed: the node's own hllRegisters row written into its
     // bucket position — SAME md5 bucket/rho values as the row form
-    val h = conv(substring(md5(col("node").cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h = graft.expr.Similarity.md5PrefixLong(col("node").cast("string"), 8)
     val bucket = h.bitwiseAND(lit((1L << b) - 1))
     val w = shiftright(h, b)
     val rho = when(w > 0, lit(bits + 1) - length(bin(w)))

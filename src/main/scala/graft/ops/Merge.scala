@@ -228,7 +228,6 @@ object Merge {
       parts.map(c => coalesce(c.cast("string"), lit("␀"))): _*)
     df.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(conv(substring(md5(canon), 1, 15), 16, 10)
-          .cast("decimal(38,0)")).as("checksum"))
+        sum(graft.expr.Similarity.md5PrefixLong(canon, 15).cast("decimal(38,0)")).as("checksum"))
   }
 }

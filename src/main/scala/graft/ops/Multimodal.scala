@@ -224,8 +224,7 @@ object Multimodal {
     * only. */
   private def gridCell(idx: Column, payload: Column,
       sliceLen: Column): Column =
-    pmod(conv(substring(md5(payload.substr(idx * sliceLen + 1, sliceLen)),
-      1, 8), 16, 10).cast("long"), lit(256L))
+    pmod(graft.expr.Similarity.md5PrefixLong(payload.substr(idx * sliceLen + 1, sliceLen), 8), lit(256L))
 
   /** dHash perceptual fingerprint BITS (Krawetz's difference hash — the
     * standard gradient perceptual hash): decode to an 8-row × 9-column
@@ -338,8 +337,7 @@ object Multimodal {
     * floats. */
   def mediaFeatureArray(payload: Column, dim: Int = 8): Column =
     transform(sequence(lit(0), lit(dim - 1)), j =>
-      pmod(conv(substring(md5(concat(j.cast("string"), lit("|"), payload)),
-        1, 8), 16, 10).cast("long"), lit(1000L)).cast("double") /
+      pmod(graft.expr.Similarity.md5PrefixLong(concat(j.cast("string"), lit("|"), payload), 8), lit(1000L)).cast("double") /
         lit(1000.0))
 
   /** SemDeDup over the MEDIA modality (Abbas et al., the q32 regime on
@@ -415,8 +413,7 @@ object Multimodal {
     val feats = media.select(id.cast("long").as("doc_id"),
       mediaFeatureArray(payload).as("feat"))
     val queries = crossModalQueries(feats
-      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")),
-        1, 8), 16, 10).cast("long"), lit(queryMod.toLong)) === 0L))
+      .filter(pmod(graft.expr.Similarity.md5PrefixLong(col("doc_id").cast("string"), 8), lit(queryMod.toLong)) === 0L))
     crossModalFromCells(crossModalHitCells(corpus, queries, ks))
       .orderBy(col("method"), col("k"))
   }
@@ -446,9 +443,8 @@ object Multimodal {
     * [[crossModalRecall]]). Returns (q_id, q_vec). */
   def crossModalQueries(feats: DataFrame): DataFrame = {
     val noise = transform(sequence(lit(0), lit(7)), j =>
-      (pmod(conv(substring(md5(concat(lit("q"), j.cast("string"),
-        lit("|"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long"), lit(1000L)).cast("double") / lit(1000.0) -
+      (pmod(graft.expr.Similarity.md5PrefixLong(concat(lit("q"), j.cast("string"),
+        lit("|"), col("doc_id").cast("string")), 8), lit(1000L)).cast("double") / lit(1000.0) -
         lit(0.5)) * lit(0.25))
     feats.select(col("doc_id").as("q_id"),
       zip_with(col("feat"), noise, (a, b) => a + b).as("q_vec"))

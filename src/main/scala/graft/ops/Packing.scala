@@ -103,7 +103,7 @@ object Packing {
       .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
     val cut = when(
-      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+      graft.expr.Similarity.md5PrefixLong(col("tok"), 8)
         % divisor === 0, 1L).otherwise(0L)
     // chunk_idx = number of cut tokens strictly before pos (the cut
     // token is the LAST token of its chunk, as in byte-level CDC)
@@ -233,8 +233,8 @@ object Packing {
       spmPct: Int = 50): DataFrame = {
     require(spmPct >= 0 && spmPct <= 100, s"fimSplit: spmPct=$spmPct")
     def h(tag: String, m: Column) = pmod(
-      conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit("|" + tag))), 1, 8), 16, 10).cast("long"), m)
+      graft.expr.Similarity.md5PrefixLong(concat(col("doc_id").cast("string"),
+        lit("|" + tag)), 8), m)
     val base = docs.select(id.as("doc_id"),
         graft.expr.TextStats.tokens(text).as("t"))
       .withColumn("n", size(col("t")).cast("long"))

@@ -454,7 +454,7 @@ object Quality {
       .select(id.as("doc_id"), explode(graft.expr.TextStats.tokens(text))
         .as("tok"))
       .select(col("doc_id"),
-        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+        pmod(graft.expr.Similarity.md5PrefixLong(col("tok"), 8),
           lit(nBuckets.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).cast("double").as("x"))
@@ -896,7 +896,7 @@ object Quality {
       .agg(count(lit(1)).as("n"))
     val key = concat_ws("|",
       dims.map { case (n, _) => col(n).cast("string") } :+ lit(seed): _*)
-    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+    val u = (graft.expr.Similarity.md5PrefixLong(key, 8)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     val centered = u - lit(0.5)
     val noise = -(lit(1.0) / lit(epsilon)) * signum(centered) *
@@ -1646,8 +1646,7 @@ object Quality {
       alpha: Double = 0.1): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"splitConformal: alpha=$alpha")
     import graft.expr.Snap
-    val role = pmod(conv(substring(md5(unit.cast("string")), 1, 8),
-      16, 10).cast("long"), lit(3L))
+    val role = pmod(graft.expr.Similarity.md5PrefixLong(unit.cast("string"), 8), lit(3L))
     val b = df.select(grp.as("grp"), y.cast("double").as("y"),
       role.as("role"))
     val fit = b.filter(col("role") === 0L).groupBy(col("grp"))

@@ -15,7 +15,7 @@ object Sampling {
 
   /** Uniform bucket in [0, buckets) from the id. */
   def hashBucket(id: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+    pmod(graft.expr.Similarity.md5PrefixLong(id.cast("string"), 8),
       lit(buckets.toLong))
 
   /** Deterministic percentage split: `cuts` are ascending percentile
@@ -582,8 +582,7 @@ object Sampling {
   def aesSample(df: DataFrame, grp: Column, id: Column, weight: Column,
       k: Int): DataFrame = {
     require(k > 0, s"aesSample: k=$k")
-    val u = (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val u = (graft.expr.Similarity.md5PrefixLong(id.cast("string"), 8).cast("double") + lit(1.0)) / lit(4294967297.0)
     val key = floor(log(u) / weight.cast("double") * lit(1e6) + lit(0.5)) /
       lit(1e6)
     val w = org.apache.spark.sql.expressions.Window

@@ -31,8 +31,7 @@ object Sketch {
     * "i|item" mod width — the same shared-vocabulary hashing as
     * [[Sampling.hashBucket]]/minhash (portable to any engine with md5). */
   def cmBucket(i: Int, item: Column, width: Int): Column =
-    pmod(conv(substring(md5(concat_ws("|", lit(i), item)), 1, 8), 16, 10)
-      .cast("long"), lit(width.toLong))
+    pmod(graft.expr.Similarity.md5PrefixLong(concat_ws("|", lit(i), item), 8), lit(width.toLong))
 
   /** The sketch matrix: (row, bucket, cnt) — ONE scan of the item
     * stream: each item explodes to its `depth` (row, bucket) cells
@@ -50,8 +49,7 @@ object Sketch {
       .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
         col("it"), col("w"))
       .groupBy(col("row"),
-        pmod(conv(substring(md5(concat_ws("|", col("row"), col("it"))),
-          1, 8), 16, 10).cast("long"), lit(width.toLong)).as("bucket"))
+        pmod(graft.expr.Similarity.md5PrefixLong(concat_ws("|", col("row"), col("it")), 8), lit(width.toLong)).as("bucket"))
       .agg(sum(col("w")).as("cnt"))
       .select(col("row"), col("bucket"), col("cnt"))
 
@@ -127,8 +125,7 @@ object Sketch {
   def hllRegisters(items: DataFrame, groupCols: Seq[String], item: Column,
       b: Int = 6): DataFrame = {
     val bits = 32 - b
-    val h = conv(substring(md5(item.cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h = graft.expr.Similarity.md5PrefixLong(item.cast("string"), 8)
     // NULLs are not values: count-distinct semantics ignore them (a null
     // would otherwise form a 65th null-bucket register and skew `zeros`)
     val nonNull = items.filter(item.isNotNull)
@@ -278,8 +275,7 @@ object Sketch {
       materialize: DataFrame => DataFrame = _.localCheckpoint(true))
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = graft.expr.Similarity.md5PrefixLong(key.cast("string"), 15)
     val d = materialize(Fanout.fanout(df)
       .select(grp.as("grp"), h.as("h")).distinct())
     // the union row is an IN-BAND sentinel (part of the output
@@ -331,7 +327,7 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"kmvIntersect: k=$k")
     def h(key: Column): Column =
-      conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+      graft.expr.Similarity.md5PrefixLong(key.cast("string"), 15)
     val a = Fanout.fanout(dfA).select(h(keyA).as("h"),
       lit(true).as("ia"), lit(false).as("ib"))
     val b = Fanout.fanout(dfB).select(h(keyB).as("h"),

@@ -284,8 +284,7 @@ object TextDedup {
     // even in the ~2^-25-per-pair collision case; widen the digest if
     // that bound ever matters.
     val keyed = rawShingles(docs, id, text, n).select(col("doc_id"),
-      conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-        .cast("long").as("shingle"))
+      graft.expr.Similarity.md5PrefixLong(col("shingle"), 15).as("shingle"))
     // materialized once: feeds the df aggregation, the prefix window
     // build, and the verify's set arrays (checkpoint scans are cheap;
     // recomputing the explode per consumer is not)
@@ -1102,8 +1101,7 @@ object TextDedup {
       .select(col("doc_id"), col("__s"),
         explode(sequence(lit(1), length(col("__s")) - (k - 1))).as("i"))
       .select(col("doc_id"), col("i"),
-        (conv(substring(md5(col("__s").substr(col("i"), lit(k))), 1, 8),
-          16, 10).cast("long") * lit(HLANE) +
+        (graft.expr.Similarity.md5PrefixLong(col("__s").substr(col("i"), lit(k)), 8) * lit(HLANE) +
           (lit(PLANE) - col("i").cast("long"))).as("e"))
       .select(col("doc_id"), min(col("e")).over(win).as("me"),
         count(lit(1)).over(win).as("c"))
