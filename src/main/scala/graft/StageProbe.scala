@@ -34,10 +34,20 @@ object StageProbe {
     // (VERDICT r13: wall ≈ jobs × per-job scheduler latency for the
     // q155/k-fold class; on a real cluster ~100 ms × jobs)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // per-job breakdown (VERDICT r14 #5: justify a jobs_hi count with
+    // WHAT each job is): jobId -> (n stages, leaf stage name) — the
+    // leaf stage's callsite names the action/exchange that submitted it
+    val jobInfo = mutable.ArrayBuffer[(Int, Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        val leaf = js.stageInfos.sortBy(_.stageId).lastOption
+          .map(_.name.takeWhile(_ != '\n')).getOrElse("?")
+        jobInfo.synchronized {
+          jobInfo += ((js.jobId, js.stageInfos.size, leaf.take(70)))
+        }
+      }
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         synchronized {
@@ -57,6 +67,7 @@ object StageProbe {
       val fn = SparkEntry.queries(qname)
       for (i <- 1 to reps) {
         listener.synchronized(stages.clear())
+        jobInfo.synchronized(jobInfo.clear())
         jobs.set(0)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -70,6 +81,12 @@ object StageProbe {
             f"stage$id: $t tasks ${ms}ms in=$r out=$w" }
           .mkString("\n    ")
         println(f"PROBE $qname run$i wall=$wall%.2f jobs=${jobs.get()}\n    $top")
+        if (sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")) {
+          val jl = jobInfo.synchronized(jobInfo.toVector)
+            .map { case (id, n, leaf) => s"job$id[$n stages] $leaf" }
+            .mkString("\n    ")
+          println(s"  JOBS $qname run$i\n    $jl")
+        }
       }
     }
     spark.stop()

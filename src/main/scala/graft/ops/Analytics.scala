@@ -1135,8 +1135,7 @@ object Analytics {
       x.cast("double").as("x"))
     val rep = base.select(col("grp"), col("k"), col("x"),
       explode(sequence(lit(1), lit(b))).as("r"))
-    val u = conv(substring(md5(concat_ws(":", col("k"), col("r"))), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val u = graft.expr.Similarity.md5PrefixLong(concat_ws(":", col("k"), col("r")), 8).cast("double") / lit(4294967296.0)
     val w = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
       case ((c, i), rest) => when(u < lit(c), lit(i)).otherwise(rest)
     }.cast("long")
@@ -2357,6 +2356,13 @@ object Analytics {
     // states after 16 transitions — the visible readout of the fixed
     // four-squaring truncation (journeys needing >16 steps), mirroring
     // stationaryDistribution's tv_delta convergence convention.
+    // Barrier cadence is MEASURED, twice: squarings SELF-join (m ⋈ m),
+    // so a lazy level doubles the plan — full-lazy read 4.7 s vs 2.2 s
+    // checkpointed (r13), and the r15 half-lazy variant (two squarings
+    // per barrier) kept the SAME 35-job count while re-running the
+    // duplicated post-exchange variant aggregation 4× (walls 4.8–7.6 s
+    // — the q277 HITS negative result reproduced on this operator).
+    // Keep the per-squaring barriers.
     val p16 = squareV(squareV(squareV(squareV(closeV(allM)))))
     val reaches = p16.filter(col("src") === "START" &&
         (col("dst") === conversion || col("dst") === "END"))
@@ -2839,8 +2845,8 @@ object Analytics {
       .select(col("nu").as("n_units"), col("diff").as("diff_obs"))
     val repAxis = broadcast(units.sparkSession.range(reps)
       .select(col("id").as("r")))
-    val ra = pmod(conv(substring(md5(concat(col("u"), lit("|"),
-      col("r").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2L)) === 0L
+    val ra = pmod(graft.expr.Similarity.md5PrefixLong(concat(col("u"), lit("|"),
+      col("r").cast("string")), 8), lit(2L)) === 0L
     val diffs = diffOf(b.crossJoin(repAxis), ra, Seq(col("r")))
     val ext = diffs.crossJoin(broadcast(obs))
       .agg(sum(when(abs(col("diff")) >= abs(col("diff_obs")), 1L)
