@@ -119,6 +119,24 @@ class GraphSpec extends SparkSpec {
     assert(a == b) // bit-identical, not approximately equal
   }
 
+  test("pagerank: the every-8th-pass materialize barrier cannot move a bit " +
+    "(iters = 9 crosses the barrier; identity materialize never does)") {
+    // r15: the materialize hook fires INSIDE the loop every 8th pass
+    // (lineage bound for long trajectories). Snapped state must make
+    // the trajectory materialization-independent — pin it by running
+    // past the barrier with the default (checkpointing) hook vs an
+    // identity hook that keeps the whole 9-pass plan lazy.
+    val edges = (0 until 200).map { i =>
+      (i.toLong % 17, (i.toLong * 5 + 2) % 17)
+    }.filter(e => e._1 != e._2)
+    val withBarrier = Graph.pagerank(edges.toDF("src", "dst"),
+      "src", "dst", 9).as[(Long, Double)].collect().toMap
+    val fullyLazy = Graph.pagerank(edges.toDF("src", "dst"),
+      "src", "dst", 9, materialize = d => d)
+      .as[(Long, Double)].collect().toMap
+    assert(withBarrier == fullyLazy) // bit-identical across cadences
+  }
+
   test("triangleCount: K4 has 4 triangles, 3 per node; paths have none") {
     // K4 on 1..4, fed with duplicate and reversed edges (must dedup)
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
